@@ -1,13 +1,34 @@
 package graft
+
 import org.apache.spark.sql.{SparkSession, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.io.{SyntheticGrid, TrackReader}
+import graft.pipeline.TrackProfile
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship query (SURVEY.md §3.1): the Hermine track-profile pipeline
+    * over a deterministic synthetic grid (coarse axes for smoke speed).
+    * Driver smoke-checks rows > 0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val track = TrackReader.readNhc(spark, "/root/repo/data/al092016_track.csv")
+    val spec = SyntheticGrid.hermineSpec(step = 0.4)
+    val grid = SyntheticGrid.cleanSentinels(SyntheticGrid.generate(spark, spec))
+    TrackProfile.profile(track, grid, spec)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Queries.all
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    Queries.oracles
 }

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** J1 nearest-neighbor grid snap (SURVEY.md §2.3).
+  *
+  * The reference brute-force argmins over the *entire* lat×lon grid per
+  * track point (`location_to_index`, trackplot_hycom.py:67-86 — ~9M
+  * distance evals/point at GLBu0.08 scale). Two scalable formulations:
+  *
+  *  - [[snapRegular]]: O(1) arithmetic snap for a regular axis — no
+  *    shuffle, no join, pure codegen'd arithmetic. This is the plan that
+  *    survives 100 TB: each row computes its own grid index.
+  *  - [[snapByAxis]]: general (irregular axis) broadcast + `min_by`
+  *    argmin. Cost O(N·|axis|) map-side with a tiny broadcast table; the
+  *    per-row group is collapsed by partial aggregation before any
+  *    shuffle, and because the two axes are independent the 2-D argmin
+  *    factorizes into two 1-D argmins (never the O(N·|grid-cells|)
+  *    cross join).
+  *
+  * Tie semantics: the reference keeps the *first* (lowest-index) argmin
+  * on exact ties (strict `<` at trackplot_hycom.py:80); both variants
+  * reproduce that deterministically (`round` half-up midpoint for the
+  * regular snap; min_by on (dist, idx) struct for the general one).
+  */
+object NearestJoin {
+
+  /** Arithmetic snap of `coord` onto the regular axis
+    * `origin + i*step, i in [0, n)`: adds `{prefix}_idx` (clamped to the
+    * axis range) and `{prefix}_snap` (the axis value). O(1)/row.
+    */
+  def snapRegular(df: DataFrame, coord: Column, origin: Double, step: Double,
+                  n: Int, prefix: String): DataFrame = {
+    val rawIdx = round((coord - lit(origin)) / lit(step)).cast("int")
+    val idx = least(greatest(rawIdx, lit(0)), lit(n - 1))
+    df.withColumn(s"${prefix}_idx", idx)
+      .withColumn(s"${prefix}_snap", lit(origin) + col(s"${prefix}_idx") * lit(step))
+  }
+
+  /** General nearest-value snap against an arbitrary (small) axis table.
+    *
+    * @param df       rows to snap (any size — this side is never shuffled
+    *                 beyond the final partial-agg collapse)
+    * @param keyCols  columns uniquely identifying a df row (carried through)
+    * @param coord    the df coordinate column
+    * @param axis     small axis table, columns (`axisIdx`, `axisVal`) —
+    *                 broadcast to every task
+    * @return df columns + `{prefix}_idx`, `{prefix}_snap`
+    */
+  def snapByAxis(df: DataFrame, keyCols: Seq[String], coord: String,
+                 axis: DataFrame, axisIdx: String, axisVal: String,
+                 prefix: String): DataFrame = {
+    val a = broadcast(axis.select(col(axisIdx).as("__aidx"), col(axisVal).as("__aval")))
+    val joined = df.crossJoin(a)
+    val dist = abs(col(coord) - col("__aval"))
+    // first-index tie-break matches the reference's strict `<` argmin
+    val best = min_by(struct(col("__aidx"), col("__aval")), struct(dist, col("__aidx")))
+    joined
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        best.as("__best"),
+        // non-key df columns survive via first() — keys are unique per row
+        joined.columns
+          .filterNot(c => keyCols.contains(c) || c == "__aidx" || c == "__aval")
+          .map(c => first(col(c)).as(c)): _*)
+      .withColumn(s"${prefix}_idx", col("__best.__aidx"))
+      .withColumn(s"${prefix}_snap", col("__best.__aval"))
+      .drop("__best")
+  }
+}
