@@ -460,7 +460,7 @@ object Queries {
       |  SQRT(l_extendedprice) AS sqrt_price,
       |  l_discount * l_discount AS disc_sq,
       |  ABS(l_quantity - 25.0) AS qty_dev,
-      |  FLOOR(l_extendedprice / 100.0) AS price_h,
+      |  CAST(FLOOR(l_extendedprice / 100.0) AS BIGINT) AS price_h,
       |  CAST(ROUND(l_tax * 100.0) AS BIGINT) AS tax_pct
       |FROM lineitem WHERE l_orderkey <= 100 ORDER BY l_orderkey, l_linenumber""".stripMargin
 

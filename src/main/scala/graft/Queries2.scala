@@ -100,11 +100,11 @@ object Queries2 {
 
   private val q53Sql =
     """SELECT user_id,
-      |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-      |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-      |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-      |  SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-      |  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+      |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+      |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+      |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+      |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** Sessionization: a >30-minute gap starts a new session (lag +
@@ -137,8 +137,8 @@ object Queries2 {
       |  FROM g
       |), r AS (
       |  SELECT user_id,
-      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tns ASC, event_id ASC
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tns ASC, event_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM m
       |)
       |SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events
@@ -229,7 +229,7 @@ object Queries2 {
       .orderBy($"lang")
 
   private val q61Sql =
-    """SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+    """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
       |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars
       |FROM documents WHERE n_chars >= 100
       |GROUP BY lang ORDER BY lang""".stripMargin

@@ -28,7 +28,11 @@ object TrackReader {
     normalize(
       raw.select(
         to_timestamp(col("atcfdtg"), "yyyyMMddHH").as("ts"),
-        col("lat"), col("lon"), col("stormname")))
+        col("lat"), col("lon"), col("stormname"),
+        // the ATCF storm number is the stable per-storm key — stormname
+        // changes over a storm's life (INVEST → NINE → HERMINE in the
+        // committed fixture)
+        col("stormnum").as("storm_id")))
   }
 
   /** IBTrACS-style headerless CSV (Hermine_track.csv / Sandy_track.csv,
@@ -45,15 +49,24 @@ object TrackReader {
     normalize(
       raw.select(
         to_timestamp(trim(col("iso_time")), "M/d/yy H:mm").as("ts"),
-        col("lat"), col("lon"), trim(col("name")).as("stormname")))
+        col("lat"), col("lon"), trim(col("name")).as("stormname"),
+        col("serial").as("storm_id")))
   }
 
   /** Shared canonicalization: lon wrap, hour offset, deterministic
-    * point_id by time order (the reference relies on file order; an
-    * explicit sort key is the distributed-safe equivalent).
+    * point_id by time order within each storm (the reference relies on
+    * file order of a single-storm file). The id window is partitioned
+    * by `storm_id` — the stable ATCF number / IBTrACS serial, NOT the
+    * name, which mutates over a storm's life — so a multi-storm feed
+    * parallelizes across storms while each storm's fixes (a few
+    * hundred rows at most) rank inside one bounded partition. A global
+    * `Window.orderBy` would funnel the whole feed through a single
+    * partition — the scale-killer this avoids. point_id is unique per
+    * (storm_id, ts); single-storm fixtures get the same 0..N-1 ids the
+    * reference's file order implies.
     */
   private def normalize(df: DataFrame): DataFrame = {
-    val w = Window.orderBy(col("ts"))
+    val w = Window.partitionBy(col("storm_id")).orderBy(col("ts"))
     df.withColumn("lon", GeoFns.wrapLon360(col("lon")))
       .withColumn("hour", TimeFns.hoursSince2000(col("ts")))
       .withColumn("point_id", row_number().over(w).cast("long") - 1)

@@ -11,10 +11,13 @@ import org.apache.spark.sql.expressions.Window
   * Spark has no native as-of join; two formulations:
   *
   *  - [[nearestBroadcast]]: right side is a small axis (grid time axis —
-  *    thousands of entries max): broadcast + `min_by` partial-agg argmin.
-  *    No shuffle of the left side beyond the groupBy collapse, which AQE
-  *    coalesces. The strategy of choice whenever the right side fits in a
-  *    broadcast — including the stream-static case (SURVEY.md §2.8).
+  *    thousands of entries max): broadcast + `min_by` argmin. Since
+  *    `keyCols` are unique per row the groupBy has no reduction — the
+  *    left relation shuffles once with non-key columns carried through
+  *    `first()`; for wide rows, run it on a narrow (key, t) projection
+  *    and join back. The strategy of choice whenever the right side
+  *    fits in a broadcast — including the stream-static case
+  *    (SURVEY.md §2.8).
   *  - [[asofBackwardUnion]]: general big-big backward as-of
   *    (`last value with rt <= lt`): union the two sides tagged, single
   *    sort-partitioned window pass with `last(_, ignoreNulls)` — one

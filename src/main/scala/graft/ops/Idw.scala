@@ -18,19 +18,39 @@ object Idw {
   /** Inverse-distance weight `1/(d+eps)²` (F6). */
   def weight(dist: Column): Column = lit(1.0) / pow(dist + lit(Eps), 2)
 
-  /** IDW aggregate: `Σ w·v / Σ w` over the group, where null values are
-    * skipped in BOTH numerator and normalizer — exactly np.nansum
-    * semantics (`IDW_interp`, trackplot_hycom.py:28-37 / nb:37-48): a
-    * null neighbor contributes neither its value nor its weight. The
-    * normalizer summing weights only where v is non-null is the
-    * oracle-parity-critical detail (SURVEY.md §7.4 trap 1).
+  /** Renormalized IDW aggregate: `Σ w·v / Σ w` over the group, where
+    * null values are skipped in BOTH numerator and normalizer — a null
+    * neighbor contributes neither its value nor its weight, so the
+    * surviving weights are renormalized to sum to 1.
     *
-    * Returns null when every neighbor is null (np.nansum of empty = 0/0).
+    * DELIBERATE DEVIATION from the reference (`IDW_interp`,
+    * trackplot_hycom.py:28-37 / nb:37-48): there, weights are a pure
+    * function of distance and never NaN, so `np.nansum(w)` sums ALL 9
+    * neighbor weights — a NaN-valued (masked/land) neighbor still
+    * contributes its weight to the denominator, silently biasing
+    * coastal results toward 0. We renormalize instead (the
+    * statistically standard choice); [[idwReferenceParity]] reproduces
+    * the reference bit-for-bit when parity is wanted. The SQL oracle
+    * (q42) mirrors THIS renormalized semantics.
+    *
+    * Returns null when every neighbor is null (0/0 → null).
     */
   def idw(value: Column, dist: Column): Column = {
     val w = weight(dist)
     sum(when(value.isNotNull, w * value)) /
       sum(when(value.isNotNull, w))
+  }
+
+  /** Reference-parity IDW: numerator skips null values (np.nansum over
+    * w·v where NaN poisons the product) but the normalizer sums the
+    * weights of ALL neighbors, null-valued or not — exactly
+    * `np.nansum(w*v)/np.nansum(w)` of trackplot_hycom.py:32-34, where
+    * `w` never contains NaN. With any masked neighbor present the two
+    * variants differ by the factor Σw_all / Σw_nonnull.
+    */
+  def idwReferenceParity(value: Column, dist: Column): Column = {
+    val w = weight(dist)
+    sum(when(value.isNotNull, w * value)) / sum(w)
   }
 
   /** Degenerate "nearest" mode (`tempcolumn_nc4`,

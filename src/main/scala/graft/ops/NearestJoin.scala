@@ -13,16 +13,20 @@ import org.apache.spark.sql.functions._
   *    shuffle, no join, pure codegen'd arithmetic. This is the plan that
   *    survives 100 TB: each row computes its own grid index.
   *  - [[snapByAxis]]: general (irregular axis) broadcast + `min_by`
-  *    argmin. Cost O(N·|axis|) map-side with a tiny broadcast table; the
-  *    per-row group is collapsed by partial aggregation before any
-  *    shuffle, and because the two axes are independent the 2-D argmin
-  *    factorizes into two 1-D argmins (never the O(N·|grid-cells|)
-  *    cross join).
+  *    argmin. Cost O(N·|axis|) map-side with a tiny broadcast table.
+  *    Because `keyCols` are unique per row the groupBy has no reduction
+  *    to exploit — the full left relation shuffles ONCE (non-key
+  *    columns dragged through `first()`). For wide rows, snap on a
+  *    narrow (key, coord) projection and join back, or prefer
+  *    [[snapRegular]]. Because the two axes are independent the 2-D
+  *    argmin factorizes into two 1-D argmins (never the
+  *    O(N·|grid-cells|) cross join).
   *
   * Tie semantics: the reference keeps the *first* (lowest-index) argmin
   * on exact ties (strict `<` at trackplot_hycom.py:80); both variants
-  * reproduce that deterministically (`round` half-up midpoint for the
-  * regular snap; min_by on (dist, idx) struct for the general one).
+  * reproduce that deterministically (round-half-DOWN midpoint for the
+  * regular snap — an exact midpoint keeps the lower index; min_by on
+  * (dist, idx) struct for the general one).
   */
 object NearestJoin {
 
@@ -32,7 +36,10 @@ object NearestJoin {
     */
   def snapRegular(df: DataFrame, coord: Column, origin: Double, step: Double,
                   n: Int, prefix: String): DataFrame = {
-    val rawIdx = round((coord - lit(origin)) / lit(step)).cast("int")
+    // ceil(x - 0.5) = round-half-down: an exact midpoint between two
+    // axis nodes snaps to the LOWER index, matching the reference's
+    // strict-< first-argmin tie-break (trackplot_hycom.py:80).
+    val rawIdx = ceil((coord - lit(origin)) / lit(step) - lit(0.5)).cast("int")
     val idx = least(greatest(rawIdx, lit(0)), lit(n - 1))
     df.withColumn(s"${prefix}_idx", idx)
       .withColumn(s"${prefix}_snap", lit(origin) + col(s"${prefix}_idx") * lit(step))
