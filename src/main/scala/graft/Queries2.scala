@@ -320,19 +320,19 @@ object Queries2 {
 
   /** MinHash signatures with exact cross-engine parity: K=8 salted md5
     * hashes, min over each doc's distinct tokens — min in md5-hex
-    * string order, which both engines share. The LSH band table of the
-    * scalable near-dup pipeline (ext.Dedup has the xxhash64 production
-    * variant).
+    * string order, which both engines share. Computed via
+    * graft.ext.Dedup.minhashSignatures (k min-aggregate columns in ONE
+    * pass — no k× row explosion; the round-1 explode formulation was
+    * the bench's slowest query), then unpacked to (doc_id, k, minhash)
+    * rows for the oracle shape. graft.ext.Dedup.XxHasher is the
+    * long-typed production variant.
     */
   private def q65(s: SparkSession, dir: String): DataFrame = {
-    val toks = t(s, dir, "documents")
-      .select($"doc_id", explode(split($"text", " ")).as("tok"))
-      .filter($"tok" =!= "").distinct()
-    toks
-      .withColumn("k", explode(array((0 until 8).map(lit): _*)))
-      .withColumn("h", md5(concat($"k".cast("string"), lit(":"), $"tok")))
-      .groupBy($"doc_id", $"k")
-      .agg(min($"h").as("minhash"))
+    // n=1 shingles = distinct tokens; Md5Hasher salts exactly like the
+    // oracle SQL ('k:' || tok)
+    val toks = graft.ext.Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", n = 1)
+    graft.ext.Dedup.minhashSignatures(toks, "doc_id", k = 8, graft.ext.Dedup.Md5Hasher)
+      .select($"doc_id", posexplode($"sig").as(Seq("k", "minhash")))
       .orderBy($"doc_id", $"k")
   }
 

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Dedup
+
+/** ext/Dedup — the MinHash-LSH near-dup pipeline (production xxhash64
+  * path; the md5 parity path is covered by oracle queries q65-q67).
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Corpus with one planted near-dup pair (1001 is 1000 with one word
+    * changed → shingle Jaccard ≈ 0.85) and unrelated docs.
+    */
+  private lazy val docs = Seq(
+    (1000L, "the quick brown fox jumps over the lazy dog near the old river bank today"),
+    (1001L, "the quick brown fox jumps over the lazy cat near the old river bank today"),
+    (2000L, "completely different text about spark catalyst optimizer rules and codegen stages"),
+    (3000L, "yet another unrelated document mentioning parquet partition pruning and shuffles"),
+    (4000L, "short one"),
+    (5000L, "")
+  ).toDF("doc_id", "text")
+
+  test("shingles: 3-grams, distinct, short/empty docs yield none") {
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+    val counts = sh.groupBy($"doc_id").count().as[(Long, Long)].collect().toMap
+    // 15 words -> 13 distinct 3-gram starts
+    assert(counts(1000L) === 13)
+    assert(!counts.contains(4000L)) // 2 words < n
+    assert(!counts.contains(5000L)) // empty
+    val one = sh.filter($"doc_id" === 1000L && $"shingle" === "the quick brown").count()
+    assert(one === 1)
+  }
+
+  test("planted near-dup pair found; unrelated docs produce no pairs") {
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text",
+        n = 3, k = 16, b = 8, minJaccard = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) === Seq((1000L, 1001L)))
+    // docs differ in 1 word => the 3 shingles containing it differ per side:
+    // shared = 10, union = 13 + 13 - 10 = 16
+    assert(math.abs(pairs.head._3 - 10.0 / 16.0) < 1e-9)
+  }
+
+  test("plan has no cartesian product / broadcast nested loop join") {
+    val plan = Dedup.nearDupPairs(docs, "doc_id", "text", n = 3, k = 16, b = 8,
+      minJaccard = 0.5).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("dropNearDuplicates keeps the smaller id of a dup pair") {
+    val kept = Dedup.dropNearDuplicates(docs, "doc_id", "text",
+        n = 3, k = 16, b = 8, minJaccard = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept.contains(1000L) && !kept.contains(1001L))
+    assert(kept.contains(2000L) && kept.contains(3000L))
+  }
+
+  test("signature computation matches brute-force minhash") {
+    // brute-force: min over shingles of xxhash64(lit(i), shingle)
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+    val sigs = Dedup.minhashSignatures(sh, "doc_id", k = 4)
+      .select($"doc_id", $"sig").as[(Long, Seq[Long])].collect().toMap
+    val brute = sh
+      .select(($"doc_id" +: (0 until 4).map(i => xxhash64(lit(i), $"shingle").as(s"h$i"))): _*)
+      .groupBy($"doc_id")
+      .agg(min($"h0"), min($"h1"), min($"h2"), min($"h3"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    brute.foreach { case (id, h0, h1, h2, h3) =>
+      assert(sigs(id) === Seq(h0, h1, h2, h3))
+    }
+  }
+
+  test("lsh banding: identical signatures share all buckets, disjoint share none") {
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+    val sigs = Dedup.minhashSignatures(sh, "doc_id", k = 16)
+    val bands = Dedup.lshBands(sigs, "doc_id", k = 16, b = 8)
+    assert(bands.filter($"doc_id" === 1000L).count() === 8)
+    val cands = Dedup.candidatePairs(bands, "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((1000L, 1001L)))
+    assert(!cands.contains((2000L, 3000L)))
+  }
+
+  test("candidatePairs bucket-size guard drops degenerate buckets") {
+    // 5 docs all in one bucket; maxBucket=3 must exclude it entirely
+    val bands = Seq(
+      (1L, 0, 99L), (2L, 0, 99L), (3L, 0, 99L), (4L, 0, 99L), (5L, 0, 99L),
+      (1L, 1, 1L), (2L, 1, 2L), (3L, 1, 3L), (4L, 1, 4L), (5L, 1, 5L)
+    ).toDF("doc_id", "band", "band_hash")
+    assert(Dedup.candidatePairs(bands, "doc_id", maxBucket = 3).count() === 0)
+    assert(Dedup.candidatePairs(bands, "doc_id", maxBucket = 10).count() === 10)
+  }
+
+  test("simhash64: near-dups have small hamming distance, unrelated docs large") {
+    val fp = Dedup.simhash64(docs.filter(length($"text") > 0), "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val near = ham(fp(1000L), fp(1001L))
+    val far = ham(fp(1000L), fp(2000L))
+    assert(near < far, s"near=$near far=$far")
+    assert(near <= 16, s"near-dup hamming too large: $near")
+    // engine-side hamming expression agrees with JVM bitCount
+    val expr = spark.range(1).select(
+      Dedup.hamming64(lit(fp(1000L)), lit(fp(2000L)))).as[Int].collect().head
+    assert(expr === far)
+  }
+}
