@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.Dedup
+import graft.ext.{Dedup, SimJoin}
 
 /** Oracle corpus, batch 3: the ext/ LLM-pipeline modules exercised
   * end-to-end with DuckDB parity — LSH banding (q66), the full
@@ -142,18 +142,80 @@ object Queries3 {
        |FROM v ORDER BY doc_id""".stripMargin
   }
 
+  /** q73 ANN config: 16 deterministic Rademacher planes, 8 bands × 2
+    * bits. On this weakly-clustered corpus (true top-5 cosines ≈
+    * 0.3-0.4 → per-bit agreement ≈ 0.6) the expected per-neighbor
+    * recall is 1-(1-0.6²)⁸ ≈ 0.97; SimJoinSpec measures it against the
+    * q70 brute-force ground truth. Plane signs are JVM md5 constants —
+    * the DuckDB oracle embeds the SAME literals, so both engines
+    * compute identical buckets and the differential test is exact.
+    */
+  private val AnnPlanes = SimJoin.planes(nPlanes = 16, dim = 64)
+  private val AnnBands = 8
+
+  private def q73(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+    val queries = emb.filter($"vec_id" < 5)
+    SimJoin.annTopK(emb, queries, "vec_id", "v", k = 5, AnnPlanes, AnnBands)
+      .select($"q_id", $"rk", $"vec_id", round($"cos_sim", 6).as("cos_sim"))
+      .orderBy($"q_id", $"rk")
+  }
+
+  private val q73Sql = {
+    def planeLit(p: Seq[Double]): String =
+      p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+    val bitDefs = AnnPlanes.zipWithIndex.map { case (p, i) =>
+      s"CASE WHEN LIST_DOT_PRODUCT(v, ${planeLit(p)}) >= 0 THEN 1 ELSE 0 END AS bit$i"
+    }.mkString(",\n    ")
+    val codes = (0 until AnnBands).map(bi => s"bit${2 * bi} + 2 * bit${2 * bi + 1}")
+      .mkString("[", ", ", "]")
+    val bands = (0 until AnnBands).mkString("[", ", ", "]")
+    s"""WITH e AS (
+       |  SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), bits AS (
+       |  SELECT vec_id,
+       |    $bitDefs
+       |  FROM e
+       |), bkt AS (
+       |  SELECT vec_id, band, code FROM (
+       |    SELECT vec_id, UNNEST($bands) AS band, UNNEST($codes) AS code FROM bits)
+       |), qb AS (
+       |  SELECT vec_id AS q_id, band, code FROM bkt WHERE vec_id < 5
+       |), cand AS (
+       |  SELECT DISTINCT qb.q_id, c.vec_id
+       |  FROM bkt c JOIN qb ON c.band = qb.band AND c.code = qb.code AND c.vec_id <> qb.q_id
+       |), scored AS (
+       |  SELECT cand.q_id, cand.vec_id,
+       |    LIST_DOT_PRODUCT(qv.v, cv.v) /
+       |      (SQRT(LIST_DOT_PRODUCT(qv.v, qv.v)) * SQRT(LIST_DOT_PRODUCT(cv.v, cv.v))) AS cos
+       |  FROM cand
+       |  JOIN e cv ON cv.vec_id = cand.vec_id
+       |  JOIN e qv ON qv.vec_id = cand.q_id
+       |), ranked AS (
+       |  SELECT q_id, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk
+       |  FROM scored
+       |)
+       |SELECT q_id, rk, vec_id, ROUND(cos, 6) AS cos_sim
+       |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+  }
+
   // ------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_lsh_bands" -> (q66 _),
     "q67_neardup_pairs" -> (q67 _),
-    "q68_simhash" -> (q68 _)
+    "q68_simhash" -> (q68 _),
+    "q73_ann_topk" -> (q73 _)
   )
 
   val oracles: Map[String, String] = Map(
     "q66_lsh_bands" -> q66Sql,
     "q67_neardup_pairs" -> q67Sql,
-    "q68_simhash" -> q68Sql
+    "q68_simhash" -> q68Sql,
+    "q73_ann_topk" -> q73Sql
   )
 
   private implicit class Dollar(val sc: StringContext) {

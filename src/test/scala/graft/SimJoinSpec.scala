@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.SimJoin
+
+/** ext/SimJoin — bucketed cosine ANN vs brute-force ground truth. */
+class SimJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val planes = SimJoin.planes(nPlanes = 16, dim = 64)
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.01/embeddings.parquet")
+    .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+
+  test("planes are deterministic ±1 and dim-shaped") {
+    assert(planes.size === 16)
+    assert(planes.forall(p => p.size === 64 && p.forall(x => x == 1.0 || x == -1.0)))
+    assert(planes === SimJoin.planes(16, 64)) // stable across calls
+    // not degenerate: both signs present in each plane
+    assert(planes.forall(p => p.contains(1.0) && p.contains(-1.0)))
+  }
+
+  test("ann recall >= 0.9 vs brute-force ground truth (25 true top-5 pairs)") {
+    val queries = emb.filter($"vec_id" < 5)
+    val truth = SimJoin.bruteForceTopK(emb, queries, "vec_id", "v", k = 5)
+      .select($"q_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val ann = SimJoin.annTopK(emb, queries, "vec_id", "v", k = 5, planes, b = 8)
+      .select($"q_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val recall = (truth & ann).size.toDouble / truth.size
+    assert(truth.size === 25)
+    assert(recall >= 0.9, s"recall $recall < 0.9 (found ${(truth & ann).size}/25)")
+  }
+
+  test("ann plan is bucketed: no cartesian product / nested loop join") {
+    val queries = emb.filter($"vec_id" < 5)
+    val plan = SimJoin.annTopK(emb, queries, "vec_id", "v", 5, planes, 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("candidate set prunes relative to all-pairs on a clustered corpus") {
+    // two tight clusters around orthogonal centers: LSH must keep
+    // same-cluster candidates and prune most cross-cluster pairs
+    val dim = 64
+    val rnd = new scala.util.Random(7)
+    def jitter(center: Array[Double]): Seq[Double] = {
+      val v = center.map(x => x + rnd.nextGaussian() * 0.05)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n).toSeq
+    }
+    val c1 = Array.fill(dim)(0.0); c1(0) = 1.0
+    val c2 = Array.fill(dim)(0.0); c2(1) = 1.0
+    val rows = (0 until 50).map(i => (i.toLong, jitter(c1))) ++
+      (50 until 100).map(i => (i.toLong, jitter(c2)))
+    val df = rows.toDF("vec_id", "v")
+    val queries = df.filter($"vec_id".isin(0L, 50L))
+    // tight clusters (cos≈0.995): r=4 prunes hard and still recalls
+    val ann = SimJoin.annTopK(df, queries, "vec_id", "v", k = 5,
+        SimJoin.planes(16, dim), b = 4)
+      .select($"q_id", $"vec_id").as[(Long, Long)].collect()
+    // every returned neighbor is same-cluster
+    assert(ann.forall { case (q, v) => (q < 50) == (v < 50) })
+    assert(ann.count(_._1 == 0L) === 5 && ann.count(_._1 == 50L) === 5)
+  }
+}
