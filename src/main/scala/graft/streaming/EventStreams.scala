@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming ingestion (SURVEY.md §2.8): the streaming-shaped
+  * event pipeline, written so THE SAME functions run on a batch frame or
+  * a `readStream` frame — the parity StreamingSpec executes each
+  * transform both ways and asserts identical results. That is the
+  * Spark-idiomatic guarantee the reference (batch-only, eager) cannot
+  * express: one declarative plan, two execution modes.
+  *
+  * `events.ts` arrives as Long nanoseconds (the testdata's
+  * TIMESTAMP(NANOS) parquet read with nanosAsLong) — converted once to
+  * a proper timestamp for watermarking.
+  */
+object EventStreams {
+
+  /** Long-nanos → TimestampType (microsecond precision, exact for
+    * nano-aligned event times).
+    */
+  def tsCol: Column = timestamp_micros(expr("ts div 1000"))
+
+  /** Tumbling 1-hour window aggregation (q50 semantics) with a
+    * watermark for state eviction on unbounded streams: counts and
+    * exact decimal value totals per (window, event_type).
+    *
+    * Output: (hour_bucket, event_type, n, total_value) where
+    * hour_bucket = hours since epoch — byte-compatible with the batch
+    * q50 oracle shape.
+    *
+    * Scale: partial aggregation per micro-batch, state keyed by
+    * (window, event_type) — bounded by watermark horizon × type
+    * cardinality, shuffle only on the group keys.
+    */
+  def tumblingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("ts_t", tsCol)
+      .withWatermark("ts_t", watermark)
+      .groupBy(window(col("ts_t"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total_value"))
+      .select((col("w.start").cast("long") / 3600).cast("long").as("hour_bucket"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Stream-static backward as-of enrichment (q52 semantics): each
+    * event picks up the value of the user's latest signup with
+    * signup.ts <= event.ts, from a STATIC signups table.
+    *
+    * Formulation chosen for streaming: the static side is pre-collapsed
+    * to one row per user carrying a time-sorted array of
+    * (ts, value) signups; the join is then a plain stream-static
+    * equi-join on user_id (broadcastable — one narrow row per user),
+    * and the as-of lookup is a codegen'd higher-order filter +
+    * element_at(-1) on the array. No streaming aggregation, no
+    * watermark requirement, append-mode safe — this is the plan that
+    * survives an unbounded stream, unlike a per-event groupBy argmax.
+    * (For a big-big stream-stream as-of you'd reach for
+    * flatMapGroupsWithState — not reference surface, SURVEY §7.4.)
+    *
+    * Output: (event_id, user_id, signup_value), null when no prior
+    * signup exists.
+    */
+  def enrichAsof(events: DataFrame, signups: DataFrame): DataFrame = {
+    val byUser = signups
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts").as("s_ts"),
+        col("signup_value").as("s_v")))).as("__signs"))
+    events
+      .join(byUser, Seq("user_id"), "left")
+      .withColumn("__past",
+        filter(col("__signs"), s => s.getField("s_ts") <= col("ts")))
+      .select(col("event_id"), col("user_id"),
+        when(size(col("__past")) > 0, element_at(col("__past"), -1).getField("s_v"))
+          .as("signup_value"))
+  }
+
+  /** Sessionized per-user event counts with session windows (the
+    * streaming-native formulation of q54's gap logic): events closer
+    * than `gap` merge into one session. Works batch or streaming
+    * (streaming needs update/complete mode downstream).
+    */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("ts_t", tsCol)
+      .withWatermark("ts_t", watermark)
+      .groupBy(session_window(col("ts_t"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+}
