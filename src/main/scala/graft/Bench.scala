@@ -1,5 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: one JSON line of per-query wall times.
+  *
+  * Methodology (VERDICT r1 task 9): the session is warmed before any
+  * timing — first-query numbers otherwise absorb JVM/codegen/session
+  * startup (~3.5 s in round 1, charged to whichever query the map
+  * iteration happened to put first). Warm-up touches all four source
+  * tables and exercises scan + shuffle + window + HOF codegen paths;
+  * queries are then timed in sorted name order (deterministic across
+  * rounds).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,14 +23,28 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val warmups = Seq(
+      "q01_pricing_summary",   // lineitem scan + agg
+      "q20_window_rank",       // orders + window
+      "q50_events_tumbling",   // events (nanos) + shuffle agg
+      "q60_text_stats",        // documents + explode
+      "q71_embed_norms")       // embeddings + HOF codegen
+    warmups.foreach { n =>
+      try SparkEntry.queries(n)(spark, sfDir).count()
+      catch { case _: Throwable => () }
+    }
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val results = names.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

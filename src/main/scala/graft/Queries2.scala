@@ -318,33 +318,49 @@ object Queries2 {
       |JOIN sizes sb ON sb.doc_id = b_id
       |ORDER BY a_id""".stripMargin
 
-  /** MinHash signatures with exact cross-engine parity: K=8 salted md5
-    * hashes, min over each doc's distinct tokens — min in md5-hex
-    * string order, which both engines share. Computed via
+  /** MinHash signatures with exact cross-engine parity: ONE md5 per
+    * distinct token (its first 15 hex digits as a 60-bit int, reduced
+    * mod 2^31-1), then K=8 affine permutations (A_i·h+B_i mod P) —
+    * the classic k-permutations-of-one-hash construction. Computed via
     * graft.ext.Dedup.minhashSignatures (k min-aggregate columns in ONE
-    * pass — no k× row explosion; the round-1 explode formulation was
-    * the bench's slowest query), then unpacked to (doc_id, k, minhash)
-    * rows for the oracle shape. graft.ext.Dedup.XxHasher is the
-    * long-typed production variant.
+    * pass — no k× row explosion and no k× content hashing; the round-1
+    * explode + per-k-md5 formulation was the bench's slowest query),
+    * then unpacked to (doc_id, k, minhash) rows for the oracle shape.
+    * graft.ext.Dedup.XxHasher is the string-free production variant.
     */
   private def q65(s: SparkSession, dir: String): DataFrame = {
-    // n=1 shingles = distinct tokens; Md5Hasher salts exactly like the
-    // oracle SQL ('k:' || tok)
-    val toks = graft.ext.Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", n = 1)
-    graft.ext.Dedup.minhashSignatures(toks, "doc_id", k = 8, graft.ext.Dedup.Md5Hasher)
+    val docs = t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism) // single-file scan -> parallelize
+    val toks = graft.ext.Dedup.shingles(docs, "doc_id", "text", n = 1)
+    graft.ext.Dedup.minhashSignatures(toks, "doc_id", k = 8, graft.ext.Dedup.ParityHasher)
       .select($"doc_id", posexplode($"sig").as(Seq("k", "minhash")))
       .orderBy($"doc_id", $"k")
   }
 
-  private val q65Sql =
-    """WITH toks AS (
-      |  SELECT DISTINCT doc_id, tok FROM (
-      |    SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents)
-      |  WHERE tok <> ''
-      |)
-      |SELECT doc_id, k, MIN(md5(CAST(k AS VARCHAR) || ':' || tok)) AS minhash
-      |FROM toks CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS ks(k)
-      |GROUP BY doc_id, k ORDER BY doc_id, k""".stripMargin
+  private val q65Sql = {
+    val H = graft.ext.Dedup.ParityHasher
+    val mins = (0 until 8)
+      .map(i => s"MIN((${H.A(i)} * h + ${H.B(i)}) % ${H.P}) AS h$i")
+      .mkString(",\n    ")
+    val ks = (0 until 8).mkString("[", ", ", "]")
+    val hs = (0 until 8).map(i => s"h$i").mkString("[", ", ", "]")
+    s"""WITH toks AS (
+       |  SELECT DISTINCT doc_id, tok FROM (
+       |    SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents)
+       |  WHERE tok <> ''
+       |), p AS (
+       |  SELECT doc_id,
+       |    CAST(CONCAT('0x', SUBSTR(md5(tok), 1, 15)) AS BIGINT) % ${H.P} AS h
+       |  FROM toks
+       |), m AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM p GROUP BY doc_id
+       |)
+       |SELECT doc_id, k, minhash FROM (
+       |  SELECT doc_id, UNNEST($ks) AS k, UNNEST($hs) AS minhash FROM m)
+       |ORDER BY doc_id, k""".stripMargin
+  }
 
   // --------------------------------------------------- similarity (V)
 

@@ -7,7 +7,7 @@ import graft.ext.{Dedup, SimJoin}
 /** Oracle corpus, batch 3: the ext/ LLM-pipeline modules exercised
   * end-to-end with DuckDB parity — LSH banding (q66), the full
   * near-dup pipeline (q67), SimHash fingerprints (q68). All hashing is
-  * md5-based ([[Dedup.Md5Hasher]]) so both engines compute
+  * md5-based ([[Dedup.ParityHasher]]) so both engines compute
   * byte-identical values; the production paths use xxhash64 and are
   * covered by DedupSpec.
   */
@@ -15,6 +15,18 @@ object Queries3 {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** The testdata tables are single small parquet files → ONE input
+    * split, which serializes every downstream narrow stage onto one
+    * core (measured: 3×3.5 s single-task stages in q67). Spreading the
+    * scan output across the cluster first costs one tiny shuffle and
+    * buys full parallelism for the hash-heavy pipeline stages. On a
+    * real many-file 100 TB table this repartition is unnecessary (the
+    * scan already yields thousands of splits) — it belongs to the
+    * query layer, not the Dedup module.
+    */
+  private def docsPar(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
 
   /** Shared config for q66/q67: word 3-gram shingles, k=8 minhashes,
     * b=4 bands × r=2. On this corpus every near-dup pair (J≥0.9) lands
@@ -24,9 +36,13 @@ object Queries3 {
   private val N = 3
   private val K = 8
   private val B = 4
+  private val H = Dedup.ParityHasher
 
-  /** DuckDB CTEs mirroring Dedup.shingles (3-gram) + md5 minhash +
-    * banding. RANGE(1, L-1) yields 1-based shingle starts 1..L-2.
+  /** DuckDB CTEs mirroring Dedup.shingles (3-gram) + ParityHasher
+    * minhash + banding. RANGE(1, L-1) yields 1-based shingle starts
+    * 1..L-2; the hash is one md5 per shingle (60-bit hex parse mod
+    * 2^31-1) with k affine derivations, bands fold polynomially mod P
+    * — exactly Dedup.ParityHasher's arithmetic.
     */
   private val shinglesCte =
     """arr AS (
@@ -38,29 +54,37 @@ object Queries3 {
       |  WHERE LENGTH(a) >= 3
       |)""".stripMargin
 
-  private val minhashCte =
-    """m AS (
-      |  SELECT doc_id,
-      |    MIN(md5('0:' || shingle)) AS h0, MIN(md5('1:' || shingle)) AS h1,
-      |    MIN(md5('2:' || shingle)) AS h2, MIN(md5('3:' || shingle)) AS h3,
-      |    MIN(md5('4:' || shingle)) AS h4, MIN(md5('5:' || shingle)) AS h5,
-      |    MIN(md5('6:' || shingle)) AS h6, MIN(md5('7:' || shingle)) AS h7
-      |  FROM sh GROUP BY doc_id
-      |), bands AS (
-      |  SELECT doc_id, band, band_hash FROM (
-      |    SELECT doc_id, UNNEST([0, 1, 2, 3]) AS band,
-      |      UNNEST([md5(h0 || '|' || h1), md5(h2 || '|' || h3),
-      |              md5(h4 || '|' || h5), md5(h6 || '|' || h7)]) AS band_hash
-      |    FROM m)
-      |)""".stripMargin
+  private val minhashCte = {
+    val mins = (0 until K)
+      .map(i => s"MIN((${H.A(i)} * h + ${H.B(i)}) % ${H.P}) AS h$i")
+      .mkString(",\n    ")
+    val bandIdx = (0 until B).mkString("[", ", ", "]")
+    val bandKeys = (0 until B)
+      .map(bi => s"(h${2 * bi} * 31 + h${2 * bi + 1}) % ${H.P}")
+      .mkString("[", ", ", "]")
+    s"""p AS (
+       |  SELECT doc_id,
+       |    CAST(CONCAT('0x', SUBSTR(md5(shingle), 1, 15)) AS BIGINT) % ${H.P} AS h
+       |  FROM sh
+       |), m AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM p GROUP BY doc_id
+       |), bands AS (
+       |  SELECT doc_id, band, band_hash FROM (
+       |    SELECT doc_id, UNNEST($bandIdx) AS band,
+       |      UNNEST($bandKeys) AS band_hash
+       |    FROM m)
+       |)""".stripMargin
+  }
 
   /** The LSH band table of the near-dup pipeline: one bucket key per
     * (doc, band). This is the structure the candidate join groups on.
     */
   private def q66(s: SparkSession, dir: String): DataFrame = {
-    val sh = Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", N)
-    val sigs = Dedup.minhashSignatures(sh, "doc_id", K, Dedup.Md5Hasher)
-    Dedup.lshBands(sigs, "doc_id", K, B, Dedup.Md5Hasher)
+    val sh = Dedup.shingles(docsPar(s, dir), "doc_id", "text", N)
+    val sigs = Dedup.minhashSignatures(sh, "doc_id", K, Dedup.ParityHasher)
+    Dedup.lshBands(sigs, "doc_id", K, B, Dedup.ParityHasher)
       .orderBy($"doc_id", $"band")
   }
 
@@ -74,8 +98,8 @@ object Queries3 {
     * CartesianProduct / BroadcastNestedLoopJoin).
     */
   private def q67(s: SparkSession, dir: String): DataFrame =
-    Dedup.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = N, k = K, b = B, minJaccard = 0.9, hasher = Dedup.Md5Hasher)
+    Dedup.nearDupPairs(docsPar(s, dir), "doc_id", "text",
+        n = N, k = K, b = B, minJaccard = 0.9, hasher = Dedup.ParityHasher)
       .select($"a_id", $"b_id", round($"jaccard", 6).as("jaccard"))
       .orderBy($"a_id", $"b_id")
 
@@ -101,20 +125,21 @@ object Queries3 {
        |WHERE CAST(i.n AS DOUBLE) / (sa.sz + sb.sz - i.n) >= 0.9
        |ORDER BY a_id, b_id""".stripMargin
 
-  /** 32-bit SimHash document fingerprint with cross-engine parity: bit
-    * j of the fingerprint is the majority vote over the doc's distinct
-    * tokens of bit j of a 32-bit md5-derived hash (hex digit j's high
-    * bit: digit >= '8'). 32 sum-aggregate columns, one pass, no row
-    * explosion — same shape as the 64-bit xxhash64 production
-    * fingerprint (Dedup.simhash64, DedupSpec-covered).
+  /** 32-bit SimHash document fingerprint with cross-engine parity: one
+    * md5 per distinct token parsed to a 60-bit int; fingerprint bit j
+    * is the majority vote over tokens of hash bit j. 32 sum-aggregate
+    * columns over integer shifts, one pass, no row explosion — same
+    * shape as the 64-bit xxhash64 production fingerprint
+    * (Dedup.simhash64, DedupSpec-covered).
     */
   private def q68(s: SparkSession, dir: String): DataFrame = {
-    val toks = Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", n = 1)
-    val h = md5($"shingle")
+    val toks = Dedup.shingles(docsPar(s, dir), "doc_id", "text", n = 1)
+    val prepared = toks.select($"doc_id",
+      conv(substring(md5($"shingle"), 1, 15), 16, 10).cast("long").as("h"))
     val votes = (0 until 32).map { j =>
-      sum(when(substring(h, j + 1, 1) >= "8", 1).otherwise(-1)).as(s"v$j")
+      sum(when(shiftright($"h", j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$j")
     }
-    toks.groupBy($"doc_id")
+    prepared.groupBy($"doc_id")
       .agg(votes.head, votes.tail: _*)
       .select($"doc_id",
         (0 until 32).map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
@@ -124,7 +149,7 @@ object Queries3 {
 
   private val q68Sql = {
     val votes = (0 until 32).map { j =>
-      s"SUM(CASE WHEN SUBSTR(md5(tok), ${j + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS v$j"
+      s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j"
     }.mkString(",\n    ")
     val assemble = (0 until 32).map { j =>
       s"CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END"
@@ -133,10 +158,13 @@ object Queries3 {
        |  SELECT DISTINCT doc_id, tok FROM (
        |    SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents)
        |  WHERE tok <> ''
+       |), p AS (
+       |  SELECT doc_id, CAST(CONCAT('0x', SUBSTR(md5(tok), 1, 15)) AS BIGINT) AS h
+       |  FROM toks
        |), v AS (
        |  SELECT doc_id,
        |    $votes
-       |  FROM toks GROUP BY doc_id
+       |  FROM p GROUP BY doc_id
        |)
        |SELECT doc_id, CAST($assemble AS BIGINT) AS simhash
        |FROM v ORDER BY doc_id""".stripMargin

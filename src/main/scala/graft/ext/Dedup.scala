@@ -33,33 +33,56 @@ import org.apache.spark.sql.functions._
   *    shingle frequency distribution itself.
   *
   * Hashing is pluggable via [[Hasher]]: [[XxHasher]] (64-bit longs,
-  * codegen'd, the production path) and [[Md5Hasher]] (hex strings —
+  * codegen'd, the production path) and [[ParityHasher]] (md5-derived affine ints —
   * byte-identical in DuckDB, used by the oracle queries q65-q67 so the
   * differential tests hash-match across engines).
   */
 object Dedup {
 
-  /** k seeded hash functions + a band combiner, as Catalyst columns. */
+  /** k seeded hash functions + a band combiner, as Catalyst columns.
+    * Split into an expensive one-per-row [[prepare]] and k cheap
+    * [[hash]] transforms of the prepared value, so computing a k-wide
+    * signature costs ONE content hash per row, not k (the classic
+    * "k affine permutations of one hash" minhash construction).
+    */
   trait Hasher {
-    /** Hash of `shingle` under seed `i` — orderable (min = MinHash). */
-    def hash(i: Int, shingle: Column): Column
+    /** Content hash of `shingle` — computed once per row. */
+    def prepare(shingle: Column): Column
+    /** Cheap i-th derived hash of the prepared value — orderable
+      * (min = MinHash).
+      */
+    def hash(i: Int, prepared: Column): Column
     /** Combine one band's r signature elements into a bucket key. */
     def band(parts: Seq[Column]): Column
   }
 
-  /** Production hasher: xxhash64 (long, codegen, no string materialization). */
+  /** Production hasher: xxhash64 content hash, re-seeded xxhash64 for
+    * the k derivations (all long-typed, codegen, no strings).
+    */
   object XxHasher extends Hasher {
-    def hash(i: Int, shingle: Column): Column = xxhash64(lit(i), shingle)
+    def prepare(shingle: Column): Column = xxhash64(shingle)
+    def hash(i: Int, prepared: Column): Column = xxhash64(lit(i), prepared)
     def band(parts: Seq[Column]): Column = xxhash64(parts: _*)
   }
 
-  /** Cross-engine parity hasher: md5 hex strings, min in string order —
-    * identical in Spark and DuckDB (oracle queries).
+  /** Cross-engine parity hasher (oracle queries): base = the first 15
+    * hex digits of md5 parsed as a 60-bit int, reduced mod
+    * P = 2^31 - 1; derived hashes are affine transforms
+    * (A_i·h + B_i) mod P; band keys fold parts polynomially mod P.
+    * Every step is plain integer arithmetic expressible identically in
+    * DuckDB (`CAST('0x'||SUBSTR(md5(x),1,15) AS BIGINT)`), with all
+    * intermediates < 2^62 (no overflow on either engine).
     */
-  object Md5Hasher extends Hasher {
-    def hash(i: Int, shingle: Column): Column =
-      md5(concat(lit(s"$i:"), shingle))
-    def band(parts: Seq[Column]): Column = md5(concat_ws("|", parts: _*))
+  object ParityHasher extends Hasher {
+    val P: Long = 2147483647L // 2^31 - 1 (Mersenne prime)
+    def A(i: Int): Long = ((i + 1) * 2654435761L) % P
+    def B(i: Int): Long = ((i + 1) * 2654777111L) % P
+    def prepare(shingle: Column): Column =
+      conv(substring(md5(shingle), 1, 15), 16, 10).cast("long") % P
+    def hash(i: Int, prepared: Column): Column =
+      (lit(A(i)) * prepared + lit(B(i))) % P
+    def band(parts: Seq[Column]): Column =
+      parts.reduce((acc, p) => (acc * lit(31L) + p) % P)
   }
 
   /** Distinct word n-gram shingles per document: (idCol, shingle).
@@ -69,14 +92,25 @@ object Dedup {
   def shingles(docs: DataFrame, idCol: String, textCol: String,
                n: Int = 3): DataFrame = {
     val toks = array_remove(split(col(textCol), " "), "")
-    // sequence(0, size-n) would DESCEND for size < n — guard to empty
-    val starts = when(size(toks) >= n, sequence(lit(0), size(toks) - n))
-      .otherwise(array().cast("array<int>"))
-    docs.select(
-        col(idCol),
-        explode(transform(starts, i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-          .as("shingle"))
-      .distinct()
+    if (n == 1)
+      docs.select(col(idCol), explode(toks).as("shingle")).distinct()
+    else {
+      // posexplode + lead-window, NOT transform/slice lambdas: Spark's
+      // higher-order functions evaluate their lambda bodies interpreted
+      // (no whole-stage codegen) — measured ~190 µs/shingle vs ~2 µs
+      // here. The window shuffles by doc (bounded groups, perfectly
+      // distributed), and because it is an Exchange it is REUSED across
+      // the pipeline's branches instead of recomputed.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(idCol)).orderBy(col("__pos"))
+      val leads = (1 until n).map(j => lead(col("__tok"), j).over(w))
+      docs.select(col(idCol), posexplode(toks).as(Seq("__pos", "__tok")))
+        .withColumn("__last", leads.last)
+        .withColumn("shingle", concat_ws(" ", (col("__tok") +: leads): _*))
+        .filter(col("__last").isNotNull) // tail positions have no full n-gram
+        .select(col(idCol), col("shingle"))
+        .distinct()
+    }
   }
 
   /** MinHash signature per doc: (idCol, sig) where sig is a k-element
@@ -86,8 +120,9 @@ object Dedup {
     */
   def minhashSignatures(sh: DataFrame, idCol: String, k: Int,
                         hasher: Hasher = XxHasher): DataFrame = {
-    val mins = (0 until k).map(i => min(hasher.hash(i, col("shingle"))).as(s"__h$i"))
-    sh.groupBy(col(idCol))
+    val prepared = sh.select(col(idCol), hasher.prepare(col("shingle")).as("__p"))
+    val mins = (0 until k).map(i => min(hasher.hash(i, col("__p"))).as(s"__h$i"))
+    prepared.groupBy(col(idCol))
       .agg(mins.head, mins.tail: _*)
       .select(col(idCol), array((0 until k).map(i => col(s"__h$i")): _*).as("sig"))
   }
@@ -117,16 +152,23 @@ object Dedup {
     */
   def candidatePairs(bands: DataFrame, idCol: String,
                      maxBucket: Int = 10000): DataFrame = {
-    val ok = bands.groupBy(col("band"), col("band_hash"))
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") <= maxBucket)
-      .drop("__n")
-    val pruned = bands.join(ok, Seq("band", "band_hash"))
-    val a = pruned.select(col(idCol).as("a_id"), col("band"), col("band_hash"))
-    val b = pruned.select(col(idCol).as("b_id"), col("band"), col("band_hash"))
-    a.join(b, Seq("band", "band_hash"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"))
+    // one groupBy + in-bucket pair explosion, NOT a self-join: the
+    // band table is consumed once (no ok-filter join, no a/b-side
+    // exchange branches), the bucket guard is a size filter on the
+    // collected member list, and pair generation is two codegen'd
+    // generators. A bucket holds at most maxBucket ids (~80 KB at the
+    // default) — the guard caps the quadratic blow-up BEFORE any pair
+    // materializes.
+    val buckets = bands
+      .groupBy(col("band"), col("band_hash"))
+      .agg(collect_list(col(idCol)).as("__m"))
+      .filter(size(col("__m")).between(2, maxBucket))
+    buckets
+      .select(col("__m"), posexplode(col("__m")).as(Seq("__i", "__x")))
+      .select(col("__x"),
+        explode(slice(col("__m"), col("__i") + lit(2), size(col("__m")))).as("__y"))
+      .select(least(col("__x"), col("__y")).as("a_id"),
+        greatest(col("__x"), col("__y")).as("b_id"))
       .distinct()
   }
 
@@ -138,17 +180,25 @@ object Dedup {
     */
   def jaccardVerify(cands: DataFrame, sh: DataFrame, idCol: String,
                     minJaccard: Double): DataFrame = {
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__sz"))
-    val shA = sh.select(col(idCol).as("a_id"), col("shingle"))
-    val shB = sh.select(col(idCol).as("b_id"), col("shingle"))
-    val inter = cands
+    // only candidate docs' shingles matter — semi-join prune first so
+    // verification cost scales with the candidate set, not the corpus
+    val candDocs = cands.select(col("a_id").as(idCol))
+      .union(cands.select(col("b_id").as(idCol)))
+      .distinct()
+    val shC = sh.join(candDocs, Seq(idCol), "left_semi")
+    // sizes: one row per CANDIDATE doc (small by construction) —
+    // aggregated once and broadcast into the two post-aggregation
+    // joins, so no extra sort/shuffle of the shingle relation
+    val sizes = shC.groupBy(col(idCol)).agg(count(lit(1)).as("__sz"))
+    val shA = shC.select(col(idCol).as("a_id"), col("shingle"))
+    val shB = shC.select(col(idCol).as("b_id"), col("shingle"))
+    cands
       .join(shA, "a_id")
       .join(shB, Seq("b_id", "shingle"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("__inter"))
-    inter
-      .join(sizes.select(col(idCol).as("a_id"), col("__sz").as("__sa")), "a_id")
-      .join(sizes.select(col(idCol).as("b_id"), col("__sz").as("__sb")), "b_id")
+      .join(broadcast(sizes.select(col(idCol).as("a_id"), col("__sz").as("__sa"))), "a_id")
+      .join(broadcast(sizes.select(col(idCol).as("b_id"), col("__sz").as("__sb"))), "b_id")
       .select(col("a_id"), col("b_id"),
         (col("__inter").cast("double") /
           (col("__sa") + col("__sb") - col("__inter"))).as("jaccard"))
@@ -166,11 +216,27 @@ object Dedup {
                    n: Int = 3, k: Int = 16, b: Int = 8,
                    minJaccard: Double = 0.8,
                    hasher: Hasher = XxHasher,
-                   maxBucket: Int = 10000): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n)
+                   maxBucket: Int = 10000,
+                   persistIntermediates: Boolean = false): DataFrame = {
+    // The shingle table feeds both the signature stage and the verify
+    // branches, and the candidate pairs feed three branches of the
+    // verify join. Because the shingle table ends in a shuffle
+    // (window + distinct), Spark's ReusedExchange already shares the
+    // expensive tokenize/shuffle work across branches — measured
+    // faster than explicit caching at bench scale (cache build +
+    // InMemoryRelation scan cost more than the re-sorts they save).
+    // persistIntermediates=true switches to MLlib-style
+    // MEMORY_AND_DISK persistence of the two fan-out points for
+    // cluster runs where branch re-sorts dominate (wide clusters,
+    // spilling shuffles).
+    def maybePersist(df: DataFrame): DataFrame =
+      if (persistIntermediates)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
+    val sh = maybePersist(shingles(docs, idCol, textCol, n))
     val sigs = minhashSignatures(sh, idCol, k, hasher)
     val bands = lshBands(sigs, idCol, k, b, hasher)
-    val cands = candidatePairs(bands, idCol, maxBucket)
+    val cands = maybePersist(candidatePairs(bands, idCol, maxBucket))
     jaccardVerify(cands, sh, idCol, minJaccard)
   }
 

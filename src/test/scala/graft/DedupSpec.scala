@@ -58,12 +58,13 @@ class DedupSpec extends SparkSpec {
   }
 
   test("signature computation matches brute-force minhash") {
-    // brute-force: min over shingles of xxhash64(lit(i), shingle)
+    // brute-force: min over shingles of hash_i(prepare(shingle))
     val sh = Dedup.shingles(docs, "doc_id", "text", 3)
     val sigs = Dedup.minhashSignatures(sh, "doc_id", k = 4)
       .select($"doc_id", $"sig").as[(Long, Seq[Long])].collect().toMap
     val brute = sh
-      .select(($"doc_id" +: (0 until 4).map(i => xxhash64(lit(i), $"shingle").as(s"h$i"))): _*)
+      .select(($"doc_id" +: (0 until 4).map(i =>
+        xxhash64(lit(i), xxhash64($"shingle")).as(s"h$i"))): _*)
       .groupBy($"doc_id")
       .agg(min($"h0"), min($"h1"), min($"h2"), min($"h3"))
       .as[(Long, Long, Long, Long, Long)].collect()
