@@ -1,0 +1,116 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns: images/audio/video as opaque `binary` payloads
+  * with TYPED metadata, processed relationally (the brief's multimodal
+  * surface). The design rule: metadata extraction and routing stay in
+  * Catalyst (codegen'd binary `substring`/`hex`/`conv` — no UDF, no
+  * library), while pixel/sample DECODE — which needs codec libraries
+  * this environment does not ship — is isolated behind one
+  * clearly-marked deterministic stub with the real distributed
+  * plumbing (schema, batching, partition shape) in place.
+  *
+  * Scale notes:
+  *  - `binaryFile` scans parallelize per file; payload bytes never
+  *    shuffle unless explicitly repartitioned — all metadata ops are
+  *    narrow.
+  *  - Feature vectors (fixed-size arrays) are the only wide output;
+  *    they are orders of magnitude smaller than payloads, so derive
+  *    them EARLY and drop `content` before any join/shuffle.
+  *  - Archive extraction (zip is not splittable) is per-file
+  *    imperative logic, same pattern as TrackIngest.
+  */
+object Multimodal {
+
+  /** Asset table from an archive (KMZ/zip): one row per matching
+    * entry — (archive, entry, kind, content). Distributed per archive
+    * file; entries stream without temp files.
+    */
+  def readZipAssets(spark: SparkSession, path: String,
+                    extensions: Seq[String] = Seq("png", "jpg", "wav", "mp4")): DataFrame = {
+    import spark.implicits._
+    val exts = extensions.map(e => "." + e.toLowerCase)
+    spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        val zin = new java.util.zip.ZipInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        Iterator.continually(zin.getNextEntry)
+          .takeWhile(_ != null)
+          .filter(e => exts.exists(e.getName.toLowerCase.endsWith))
+          .map { e =>
+            val ext = e.getName.reverse.takeWhile(_ != '.').reverse.toLowerCase
+            (p, e.getName, ext, zin.readAllBytes())
+          }
+          .toSeq
+      }
+      .toDF("archive", "entry", "kind", "content")
+  }
+
+  /** Big-endian uint32 at 1-based byte offset `pos` of a binary
+    * column — pure built-ins (binary substring → hex → conv), codegen.
+    */
+  def beUint32(bin: Column, pos: Int): Column =
+    conv(hex(substring(bin, pos, 4)), 16, 10).cast("long")
+
+  private val PngMagic = "89504E470D0A1A0A"
+
+  /** Typed PNG metadata from the payload header — REAL decode of the
+    * IHDR chunk (width/height/bit depth/color type), no libraries, no
+    * UDF: the expressions run inside whole-stage codegen. Non-PNG rows
+    * get a null struct.
+    */
+  def withPngMeta(assets: DataFrame, contentCol: String = "content"): DataFrame = {
+    val c = col(contentCol)
+    val isPng = upper(hex(substring(c, 1, 8))) === PngMagic
+    assets.withColumn("meta",
+      when(isPng, struct(
+        beUint32(c, 17).as("width"),
+        beUint32(c, 21).as("height"),
+        conv(hex(substring(c, 25, 1)), 16, 10).cast("int").as("bit_depth"),
+        conv(hex(substring(c, 26, 1)), 16, 10).cast("int").as("color_type"),
+        length(c).as("n_bytes"))))
+  }
+
+  /** Deterministic feature extraction over binary payloads.
+    *
+    * ==STUB NOTICE==
+    * Real pixel decode + embedding needs an image codec / model
+    * runtime that this container does not provide. The features here
+    * are a DETERMINISTIC FAKE — `dim` pseudo-random floats in [-1, 1)
+    * seeded by xxhash64 of the payload — so every downstream property
+    * (schema `array<double>`, narrow per-row compute, payload dropped
+    * before shuffle, joinability with ext/SimJoin) is real and tested
+    * while the math is a placeholder. Swap the fake for a
+    * `mapPartitions` batch inference call without touching callers.
+    */
+  def withFeatureStub(assets: DataFrame, dim: Int = 16,
+                      contentCol: String = "content"): DataFrame = {
+    val seed = xxhash64(col(contentCol))
+    val feats = (0 until dim).map { i =>
+      (pmod(xxhash64(lit(i), seed), lit(2000000L)).cast("double") / 1000000.0 - 1.0)
+    }
+    assets.withColumn("features", array(feats: _*))
+  }
+
+  /** Frame/chunk sampling of a large payload: every `stride`-th
+    * fixed-size chunk, as (chunk_idx, chunk) rows — the row-shape of
+    * video frame-sampling (decode-free: chunks are raw bytes). Chunk
+    * extraction is `substring` on binary, the explosion is a
+    * generator — no shuffle, output size = payload/stride.
+    */
+  def sampleChunks(assets: DataFrame, chunkBytes: Int, stride: Int,
+                   contentCol: String = "content"): DataFrame = {
+    val c = col(contentCol)
+    val nChunks = ceil(length(c) / lit(chunkBytes.toDouble)).cast("int")
+    val picked = filter(sequence(lit(0), nChunks - 1), i => i % stride === 0)
+    assets
+      .withColumn("chunk_idx", explode(picked))
+      .withColumn("chunk",
+        substring(c, col("chunk_idx") * chunkBytes + 1, lit(chunkBytes)))
+      .drop(contentCol)
+  }
+}
