@@ -103,9 +103,23 @@ object GeoFns {
     b * bigA * (sigma - deltaSigma) / 1000.0   // meters → km
   }
 
-  /** `vincentyKmScala` as a Spark UDF. */
+  /** `vincentyKmScala` as a Spark UDF (kept for comparison/testing —
+    * prefer [[vincentyKmNative]], which stays inside whole-stage
+    * codegen instead of breaking the span at a ScalaUDF call).
+    */
   val vincentyKm: UserDefinedFunction =
     udf(vincentyKmScala _).asNonNullable()
+
+  /** [[VincentyKm]] native-expression Column API: same math as the
+    * UDF, but codegen'd inline (no closure invocation, no span break).
+    * Also registered as SQL `vincenty_km` via graft.GraftExtensions.
+    */
+  def vincentyKmNative(lat1: Column, lon1: Column,
+                       lat2: Column, lon2: Column): Column = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    gb.column(VincentyKm(gb.expression(lat1), gb.expression(lon1),
+      gb.expression(lat2), gb.expression(lon2)))
+  }
 
   /** P3/F9 longitude wrap: `lon < 0 → lon + 360`
     * (trackplot_hycom.py:167-170). Applied identically to track and grid

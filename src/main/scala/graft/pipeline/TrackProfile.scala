@@ -60,12 +60,14 @@ object TrackProfile {
       .withColumn("n_lat", lit(spec.latMin) + col("n_i") * spec.latStep)
       .withColumn("n_lon", lit(spec.lonMin) + col("n_j") * spec.lonStep)
 
-    // F4/F5: distance fix → neighbor cell (km)
+    // F4/F5: distance fix → neighbor cell (km). Vincenty runs as the
+    // native codegen expression (VincentyKm) — the one ScalaUDF that
+    // used to break the flagship's whole-stage-codegen span is gone.
     val distCol = cfg.distance match {
       case "haversine" =>
         GeoFns.haversineKm(col("lat"), col("lon"), col("n_lat"), col("n_lon"))
       case _ =>
-        GeoFns.vincentyKm(col("lat"), col("lon"), col("n_lat"), col("n_lon"))
+        GeoFns.vincentyKmNative(col("lat"), col("lon"), col("n_lat"), col("n_lon"))
     }
     val withDist = stencil.withColumn("d_km", distCol)
       .select("point_id", "hour", "gtime_t", "n_i", "n_j", "d_km")
