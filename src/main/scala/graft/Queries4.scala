@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.{SimJoin, TextOps}
+
+/** Oracle corpus, batch 4: ext/TextOps profile (q69) and bucketed
+  * embedding similarity pairs (q74) — DuckDB-parity differential
+  * coverage for the remaining ext/ surface.
+  */
+object Queries4 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** TextOps.profile over the corpus: token counts, quality signals,
+    * stopword-frequency language id. The corpus's `lang` column is a
+    * synthetic label (texts share one vocabulary), so the interesting
+    * assertion is cross-engine determinism of the heuristic, not label
+    * recovery — real-language behavior is unit-tested in TextOpsSpec.
+    */
+  private def q69(s: SparkSession, dir: String): DataFrame =
+    TextOps.profile(
+        t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism),
+        "doc_id", "text")
+      .select($"doc_id", $"n_tokens", $"n_distinct",
+        round($"mean_tok_len", 6).as("mean_tok_len"),
+        round($"stop_ratio", 6).as("stop_ratio"),
+        round($"alpha_ratio", 6).as("alpha_ratio"),
+        $"lang_id",
+        round($"quality", 6).as("quality"))
+      .orderBy($"doc_id")
+
+  private val q69Sql = {
+    val langCases = {
+      val langs = TextOps.Stopwords.map(_._1)
+      val cases = langs.zipWithIndex.map { case (lang, i) =>
+        val laterGe = langs.drop(i + 1).map(l2 => s"hits_$lang >= hits_$l2")
+        val conds = (s"hits_$lang > 0" +: laterGe).mkString(" AND ")
+        s"WHEN $conds THEN '$lang'"
+      }
+      cases.mkString("CASE ", " ", " ELSE 'und' END")
+    }
+    val hitSums = TextOps.Stopwords.map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString(", ")
+      s"SUM(CASE WHEN tok IN ($list) THEN 1 ELSE 0 END) AS hits_$lang"
+    }.mkString(",\n    ")
+    val enList = TextOps.Stopwords.head._2.map(w => s"'$w'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, tok FROM (
+       |    SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents)
+       |  WHERE tok <> ''
+       |), a AS (
+       |  SELECT doc_id,
+       |    COUNT(*) AS n_tokens,
+       |    COUNT(DISTINCT tok) AS n_distinct,
+       |    CAST(SUM(LENGTH(tok)) AS DOUBLE) / COUNT(*) AS mean_tok_len,
+       |    CAST(SUM(CASE WHEN tok IN ($enList) THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS stop_ratio,
+       |    CAST(SUM(LENGTH(REGEXP_REPLACE(tok, '[^a-zA-Z]', '', 'g'))) AS DOUBLE) / SUM(LENGTH(tok)) AS alpha_ratio,
+       |    $hitSums
+       |  FROM toks GROUP BY doc_id
+       |)
+       |SELECT doc_id, n_tokens, n_distinct,
+       |  ROUND(mean_tok_len, 6) AS mean_tok_len,
+       |  ROUND(stop_ratio, 6) AS stop_ratio,
+       |  ROUND(alpha_ratio, 6) AS alpha_ratio,
+       |  $langCases AS lang_id,
+       |  ROUND(0.4 * LEAST(n_tokens / 50.0, 1.0) + 0.3 * LEAST(stop_ratio * 5.0, 1.0)
+       |        + 0.3 * alpha_ratio, 6) AS quality
+       |FROM a ORDER BY doc_id""".stripMargin
+  }
+
+  /** Embedding near-dup / similar pairs, bucketed: every vector pair
+    * sharing an LSH band bucket, exact-cosine scored, kept above
+    * threshold — the embedding-side analog of q67's text near-dup
+    * (same candidate-then-verify shape, never all-pairs).
+    */
+  private val SimPlanes = SimJoin.planes(nPlanes = 16, dim = 64)
+  private val SimBands = 8
+  private val SimThreshold = 0.35
+
+  private def q74(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+    val bk = SimJoin.buckets(emb, "vec_id", "v", SimPlanes, SimBands)
+    val a = bk.select($"vec_id".as("a_id"), $"band", $"code")
+    val b = bk.select($"vec_id".as("b_id"), $"band", $"code")
+    val cands = a.join(b, Seq("band", "code"))
+      .filter($"a_id" < $"b_id")
+      .select($"a_id", $"b_id").distinct()
+    cands
+      .join(emb.select($"vec_id".as("a_id"), $"v".as("va")), "a_id")
+      .join(emb.select($"vec_id".as("b_id"), $"v".as("vb")), "b_id")
+      .withColumn("cos", SimJoin.cosine($"va", $"vb"))
+      .filter($"cos" >= SimThreshold)
+      .select($"a_id", $"b_id", round($"cos", 6).as("cos_sim"))
+      .orderBy($"a_id", $"b_id")
+  }
+
+  private val q74Sql = {
+    def planeLit(p: Seq[Double]): String =
+      p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+    val bitDefs = SimPlanes.zipWithIndex.map { case (p, i) =>
+      s"CASE WHEN LIST_DOT_PRODUCT(v, ${planeLit(p)}) >= 0 THEN 1 ELSE 0 END AS bit$i"
+    }.mkString(",\n    ")
+    val codes = (0 until SimBands).map(bi => s"bit${2 * bi} + 2 * bit${2 * bi + 1}")
+      .mkString("[", ", ", "]")
+    val bands = (0 until SimBands).mkString("[", ", ", "]")
+    s"""WITH e AS (
+       |  SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), bits AS (
+       |  SELECT vec_id,
+       |    $bitDefs
+       |  FROM e
+       |), bkt AS (
+       |  SELECT vec_id, band, code FROM (
+       |    SELECT vec_id, UNNEST($bands) AS band, UNNEST($codes) AS code FROM bits)
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM bkt a JOIN bkt b
+       |    ON a.band = b.band AND a.code = b.code AND a.vec_id < b.vec_id
+       |), scored AS (
+       |  SELECT cand.a_id, cand.b_id,
+       |    LIST_DOT_PRODUCT(ea.v, eb.v) /
+       |      (SQRT(LIST_DOT_PRODUCT(ea.v, ea.v)) * SQRT(LIST_DOT_PRODUCT(eb.v, eb.v))) AS cos
+       |  FROM cand
+       |  JOIN e ea ON ea.vec_id = cand.a_id
+       |  JOIN e eb ON eb.vec_id = cand.b_id
+       |)
+       |SELECT a_id, b_id, ROUND(cos, 6) AS cos_sim
+       |FROM scored WHERE cos >= $SimThreshold
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  // ------------------------------------------------------- registry
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_text_profile" -> (q69 _),
+    "q74_embed_simpairs" -> (q74 _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q69_text_profile" -> q69Sql,
+    "q74_embed_simpairs" -> q74Sql
+  )
+
+  private implicit class Dollar(val sc: StringContext) {
+    def $(args: Any*): Column = col(sc.s(args: _*))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for LLM-data pipelines (the brief's text surface):
+  * token counting, quality scoring, language identification,
+  * document fingerprinting. All operators follow the engine's
+  * established scalable shape — ONE explode of the token stream into
+  * ONE groupBy carrying many aggregate columns (map-side combine, no
+  * higher-order lambdas in hot paths, no repeated passes).
+  */
+object TextOps {
+
+  /** Tiny per-language stopword lists for the frequency heuristic.
+    * Order = tie-break preference (first wins on equal scores).
+    */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that", "it", "was"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans", "que", "pour", "qui"),
+    "es" -> Seq("el", "los", "las", "y", "es", "un", "una", "en", "por", "como"))
+
+  /** Non-distinct token stream: (idCol, tok). Single-space
+    * tokenization, empties dropped (q40/q60 convention).
+    */
+  def tokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      explode(array_remove(split(col(textCol), " "), "")).as("tok"))
+
+  /** Per-document text profile in ONE aggregation pass:
+    *
+    *  - `n_tokens`, `n_distinct`, `mean_tok_len` — token counting
+    *  - `stop_ratio` (English), `alpha_ratio` — quality signals
+    *  - `lang_id` — argmax of per-language stopword hit frequencies
+    *    (tie-break by [[Stopwords]] order; "und" = undetermined when
+    *    no list scores); CJK text short-circuits to "zh" via a
+    *    unicode-range count
+    *  - `quality` — deterministic composite in [0,1]:
+    *    0.4·min(n_tokens/50, 1) + 0.3·min(5·stop_ratio, 1) +
+    *    0.3·alpha_ratio
+    */
+  def profile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(docs, idCol, textCol)
+    val langHits = Stopwords.map { case (lang, words) =>
+      sum(when(col("tok").isin(words: _*), 1L).otherwise(0L)).as(s"__hits_$lang")
+    }
+    val base = Seq(
+      count(lit(1)).as("n_tokens"),
+      countDistinct(col("tok")).as("n_distinct"),
+      (sum(length(col("tok"))).cast("double") / count(lit(1))).as("mean_tok_len"),
+      (sum(when(col("tok").isin(Stopwords.head._2: _*), 1L).otherwise(0L))
+        .cast("double") / count(lit(1))).as("stop_ratio"),
+      (sum(length(regexp_replace(col("tok"), "[^a-zA-Z]", ""))).cast("double") /
+        sum(length(col("tok")))).as("alpha_ratio"),
+      sum(length(regexp_replace(col("tok"), "[^一-鿿]", ""))).as("__cjk"))
+    val agg = toks.groupBy(col(idCol)).agg(base.head, (base.tail ++ langHits): _*)
+
+    // argmax with fixed preference order: lang beats later langs on >=
+    val latinPick = Stopwords.map(_._1).foldRight(lit("und")) { (lang, rest) =>
+      val mine = col(s"__hits_$lang")
+      val beatsLater = Stopwords.map(_._1).dropWhile(_ != lang).drop(1)
+        .map(l2 => mine >= col(s"__hits_$l2"))
+        .foldLeft(mine > 0)(_ && _)
+      when(beatsLater, lit(lang)).otherwise(rest)
+    }
+    agg
+      .withColumn("lang_id", when(col("__cjk") > 0, lit("zh")).otherwise(latinPick))
+      .withColumn("quality",
+        lit(0.4) * least(col("n_tokens") / 50.0, lit(1.0)) +
+        lit(0.3) * least(col("stop_ratio") * 5.0, lit(1.0)) +
+        lit(0.3) * col("alpha_ratio"))
+      .drop((Stopwords.map(s => s"__hits_${s._1}") :+ "__cjk"): _*)
+  }
+
+  /** Document fingerprint: the k=1 MinHash of the doc's word
+    * n-shingles under [[Dedup.XxHasher]] — a rolling-hash-style
+    * content signature (equal for token-identical docs, cheap to
+    * compare). (idCol, fingerprint).
+    */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int = 3): DataFrame =
+    Dedup.minhashSignatures(Dedup.shingles(docs, idCol, textCol, n), idCol, k = 1)
+      .select(col(idCol), element_at(col("sig"), 1).as("fingerprint"))
+}
