@@ -70,17 +70,27 @@ object Queries4 {
        |FROM a ORDER BY doc_id""".stripMargin
   }
 
-  /** Embedding near-dup / similar pairs, bucketed: every vector pair
+  /** Embedding near-dup / similar pairs, bucketed: vector pairs
     * sharing an LSH band bucket, exact-cosine scored, kept above
     * threshold — the embedding-side analog of q67's text near-dup
     * (same candidate-then-verify shape, never all-pairs).
+    *
+    * Regime note: LSH pair-mining pays off when the target pairs are
+    * HIGH-similarity (near-dups, cos ≥ 0.9 → long r prunes ~100×).
+    * This corpus's top pairs sit at cos ≈ 0.35-0.4, the adversarial
+    * regime — r=4 bands give a deterministic ~4× candidate reduction
+    * here (vs ~none at r=2), and the query pins a bounded vector slice
+    * (like q70's 5 queries / q62's doc_id < 100) so the differential
+    * stays cheap at every SF while exercising the full
+    * bucket-candidate-verify plan.
     */
   private val SimPlanes = SimJoin.planes(nPlanes = 16, dim = 64)
-  private val SimBands = 8
+  private val SimBands = 4
   private val SimThreshold = 0.35
 
   private def q74(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
+      .filter($"vec_id" < 1000)
       .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
     val bk = SimJoin.buckets(emb, "vec_id", "v", SimPlanes, SimBands)
     val a = bk.select($"vec_id".as("a_id"), $"band", $"code")
@@ -103,12 +113,14 @@ object Queries4 {
     val bitDefs = SimPlanes.zipWithIndex.map { case (p, i) =>
       s"CASE WHEN LIST_DOT_PRODUCT(v, ${planeLit(p)}) >= 0 THEN 1 ELSE 0 END AS bit$i"
     }.mkString(",\n    ")
-    val codes = (0 until SimBands).map(bi => s"bit${2 * bi} + 2 * bit${2 * bi + 1}")
-      .mkString("[", ", ", "]")
+    val r = SimPlanes.size / SimBands
+    val codes = (0 until SimBands).map { bi =>
+      (0 until r).map(j => s"${1 << j} * bit${bi * r + j}").mkString(" + ")
+    }.mkString("[", ", ", "]")
     val bands = (0 until SimBands).mkString("[", ", ", "]")
     s"""WITH e AS (
        |  SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings
+       |  FROM embeddings WHERE vec_id < 1000
        |), bits AS (
        |  SELECT vec_id,
        |    $bitDefs
