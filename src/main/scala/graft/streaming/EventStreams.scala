@@ -76,6 +76,22 @@ object EventStreams {
           .as("signup_value"))
   }
 
+  /** Streaming exact deduplication on a business key — the streaming
+    * face of the LLM-pipeline dedup family (ext/Dedup covers batch
+    * near-dup): keeps the first arrival per key, with state bounded by
+    * the watermark horizon (`dropDuplicatesWithinWatermark`: a
+    * duplicate arriving within the watermark of its first occurrence
+    * is dropped; state for older keys is evicted — the only way
+    * streaming dedup state stays finite on an unbounded stream).
+    * On a batch frame it degrades to plain dropDuplicates semantics.
+    */
+  def dedupByKey(events: DataFrame, keyCols: Seq[String],
+                 watermark: String = "2 hours"): DataFrame = {
+    val withTs = events.withColumn("ts_t", tsCol).withWatermark("ts_t", watermark)
+    if (events.isStreaming) withTs.dropDuplicatesWithinWatermark(keyCols)
+    else withTs.dropDuplicates(keyCols)
+  }
+
   /** Sessionized per-user event counts with session windows (the
     * streaming-native formulation of q54's gap logic): events closer
     * than `gap` merge into one session. Works batch or streaming

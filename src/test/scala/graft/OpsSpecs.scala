@@ -39,6 +39,22 @@ class IdwSpec extends SparkSpec {
     assert(math.abs(got.get - 7.5) < 1e-9)
   }
 
+  test("reference-parity IDW: a null neighbor still weighs the denominator (golden)") {
+    import spark.implicits._
+    // two valid neighbors at d=1 (v=10, v=20) and one MASKED neighbor at
+    // d=1: reference np.nansum semantics (trackplot_hycom.py:32-34) keep
+    // the masked neighbor's weight in the denominator:
+    //   num = w*10 + w*20, den = 3w  ->  10.0   (w equal at equal d)
+    // while the default renormalized idw gives (10+20)/2 = 15.0
+    val rows = Seq((1L, Some(10.0), 1.0), (1L, Some(20.0), 1.0),
+      (1L, Option.empty[Double], 1.0)).toDF("g", "v", "d")
+    val r = rows.groupBy($"g")
+      .agg(Idw.idwReferenceParity($"v", $"d").as("ref"), Idw.idw($"v", $"d").as("renorm"))
+      .collect().head
+    assert(math.abs(r.getDouble(1) - 10.0) < 1e-9)
+    assert(math.abs(r.getDouble(2) - 15.0) < 1e-9)
+  }
+
   test("nearest mode picks closest non-null neighbor") {
     import spark.implicits._
     val out = Seq((1L, Option.empty[Double], 0.1), (1L, Some(5.0), 1.0), (1L, Some(9.0), 2.0))

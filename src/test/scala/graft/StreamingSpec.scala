@@ -90,6 +90,15 @@ class StreamingSpec extends SparkSpec {
     assert(asSortedRows(batch) === asSortedRows(viaWindow))
   }
 
+  test("streaming dedup: one row per key, watermark-bounded state") {
+    val keyed = EventStreams.dedupByKey(streamEvents, Seq("user_id"))
+      .select($"user_id")
+    val got = runAppend(keyed, "d_stream")
+    val distinctUsers = batchEvents.select($"user_id").distinct().count()
+    assert(got.count() === distinctUsers)
+    assert(got.distinct().count() === distinctUsers)
+  }
+
   test("session windows: stream == batch gap sessionization counts (q54 semantics)") {
     val batch = EventStreams.sessionCounts(batchEvents)
     val stream = runComplete(EventStreams.sessionCounts(streamEvents), "s_stream")
