@@ -101,7 +101,7 @@ object Queries4 {
     cands
       .join(emb.select($"vec_id".as("a_id"), $"v".as("va")), "a_id")
       .join(emb.select($"vec_id".as("b_id"), $"v".as("vb")), "b_id")
-      .withColumn("cos", SimJoin.cosineFixed($"va", $"vb", dim = 64))
+      .withColumn("cos", SimJoin.cosine($"va", $"vb"))
       .filter($"cos" >= SimThreshold)
       .select($"a_id", $"b_id", round($"cos", 6).as("cos_sim"))
       .orderBy($"a_id", $"b_id")

@@ -90,17 +90,27 @@ object Dedup {
     * tokens dropped; docs shorter than n words yield no shingles.
     */
   def shingles(docs: DataFrame, idCol: String, textCol: String,
-               n: Int = 3): DataFrame = {
+               n: Int = 3): DataFrame =
+    shingleStream(docs, idCol, textCol, n).distinct()
+
+  /** Non-distinct shingle stream (one row per shingle OCCURRENCE) via
+    * posexplode + lead-window. Two formulations were measured and
+    * rejected: `transform`/`slice` lambdas (higher-order-function
+    * bodies evaluate interpreted — ~100× slower) and carrying the
+    * token array through the generator with `element_at` lookups (the
+    * retained array column is materialized into every output row —
+    * O(tokens²) bytes per doc, 5× slower end-to-end). The lead-window
+    * costs one bounded per-doc sort shuffle and its Exchange is reused
+    * across pipeline branches. Use directly where duplicates don't
+    * matter (minhash `min` is idempotent); [[shingles]] adds the
+    * distinct for set semantics.
+    */
+  def shingleStream(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3): DataFrame = {
     val toks = array_remove(split(col(textCol), " "), "")
     if (n == 1)
-      docs.select(col(idCol), explode(toks).as("shingle")).distinct()
+      docs.select(col(idCol), explode(toks).as("shingle"))
     else {
-      // posexplode + lead-window, NOT transform/slice lambdas: Spark's
-      // higher-order functions evaluate their lambda bodies interpreted
-      // (no whole-stage codegen) — measured ~190 µs/shingle vs ~2 µs
-      // here. The window shuffles by doc (bounded groups, perfectly
-      // distributed), and because it is an Exchange it is REUSED across
-      // the pipeline's branches instead of recomputed.
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col(idCol)).orderBy(col("__pos"))
       val leads = (1 until n).map(j => lead(col("__tok"), j).over(w))
@@ -109,7 +119,6 @@ object Dedup {
         .withColumn("shingle", concat_ws(" ", (col("__tok") +: leads): _*))
         .filter(col("__last").isNotNull) // tail positions have no full n-gram
         .select(col(idCol), col("shingle"))
-        .distinct()
     }
   }
 
@@ -233,8 +242,11 @@ object Dedup {
       if (persistIntermediates)
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else df
+    // signatures read the NON-distinct stream (min is idempotent over
+    // duplicate shingles — saves the distinct's shuffle on this
+    // branch); verification needs set semantics and takes the distinct
     val sh = maybePersist(shingles(docs, idCol, textCol, n))
-    val sigs = minhashSignatures(sh, idCol, k, hasher)
+    val sigs = minhashSignatures(shingleStream(docs, idCol, textCol, n), idCol, k, hasher)
     val bands = lshBands(sigs, idCol, k, b, hasher)
     val cands = maybePersist(candidatePairs(bands, idCol, maxBucket))
     jaccardVerify(cands, sh, idCol, minJaccard)

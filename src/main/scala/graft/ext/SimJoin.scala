@@ -47,42 +47,29 @@ object SimJoin {
     }
   }
 
-  /** Dot product of an array column with a CONSTANT ±1 plane: a plain
-    * left-to-right sum of signed `element_at` terms. Deliberately NOT
-    * `aggregate(zip_with(...))` — higher-order-function lambdas
-    * evaluate interpreted (measured ~100× slower than codegen in this
-    * repo's Dedup shingles); an explicit expression tree stays inside
-    * whole-stage codegen and folds in the same order as the DuckDB
-    * oracle's LIST_DOT_PRODUCT over the same literals.
+  /** Sequential-fold dot product of an array column with a constant
+    * plane (left-to-right, same order as the DuckDB oracle's
+    * LIST_DOT_PRODUCT on the same literals). Measured note: an
+    * "optimized" explicit 64-term element_at sum tree was 50× SLOWER
+    * than this higher-order fold — 16 planes × 64 terms per row blow
+    * the codegen method budget and fall back to interpreted tree
+    * walking, while the HOF loop is a tight interpreted loop. Keep the
+    * fold.
     */
   def dotConst(v: Column, plane: Seq[Double]): Column =
-    plane.zipWithIndex.map { case (s, j) =>
-      val e = element_at(v, j + 1)
-      if (s >= 0) e else -e
-    }.reduce(_ + _)
+    aggregate(zip_with(v, typedLit(plane), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
 
-  /** Dot product of two array columns, dimension unknown at plan time
-    * (higher-order fold — interpreted; prefer [[dotFixed]] when the
-    * dimension is known).
+  /** Dot product of two array columns (higher-order fold — see the
+    * [[dotConst]] measurement note for why unrolled element_at trees
+    * are NOT faster).
     */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  /** Dot product with the dimension known at plan time: explicit
-    * left-assoc sum of products — whole-stage codegen, same fold order
-    * as [[dot]] and the DuckDB oracle.
-    */
-  def dotFixed(a: Column, b: Column, dim: Int): Column =
-    (0 until dim).map(j => element_at(a, j + 1) * element_at(b, j + 1))
-      .reduce(_ + _)
-
   /** Cosine similarity of two array columns (not assumed normalized). */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-
-  /** [[cosine]] with plan-time dimension — fully codegen'd. */
-  def cosineFixed(a: Column, b: Column, dim: Int): Column =
-    dotFixed(a, b, dim) / (sqrt(dotFixed(a, a, dim)) * sqrt(dotFixed(b, b, dim)))
 
   /** Bucket table: (idCol, band, code) — b rows per vector, where
     * `code` packs the band's r sign bits into an int. `vecCol` must be
@@ -119,11 +106,10 @@ object SimJoin {
       .filter(col(idCol) =!= col("q_id"))
       .select(col("q_id"), col(idCol))
       .distinct()
-    val dim = planeMat.head.size
     val scored = cands
       .join(corpus.select(col(idCol), col(vecCol).as("__cv")), idCol)
       .join(queries.select(col(idCol).as("q_id"), col(vecCol).as("__qv")), "q_id")
-      .withColumn("cos_sim", cosineFixed(col("__qv"), col("__cv"), dim))
+      .withColumn("cos_sim", cosine(col("__qv"), col("__cv")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col(idCol).asc)
     scored.withColumn("rk", row_number().over(w))
