@@ -73,6 +73,31 @@ object TextOps {
       .drop((Stopwords.map(s => s"__hits_${s._1}") :+ "__cjk"): _*)
   }
 
+  /** BPE-ish sub-word tokenization (GPT-2-style pre-tokenizer shape):
+    * common English contractions, letter runs, digit runs, punctuation
+    * runs — each optionally preceded by one space — as separate
+    * tokens. This is the PRE-tokenizer of a BPE pipeline (the merge
+    * table itself is model data, out of engine scope); its token
+    * counts approximate LLM token budgets far better than whitespace
+    * splitting on code/punctuation-heavy text.
+    */
+  val BpeishPattern: String =
+    "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
+  /** (idCol, tok) stream under [[BpeishPattern]]. */
+  def bpeishTokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      explode(regexp_extract_all(col(textCol), lit(BpeishPattern), lit(0))).as("tok"))
+
+  /** Per-doc token counts under BOTH tokenizations:
+    * (idCol, n_ws_tokens, n_bpeish_tokens).
+    */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      size(array_remove(split(col(textCol), " "), "")).as("n_ws_tokens"),
+      size(regexp_extract_all(col(textCol), lit(BpeishPattern), lit(0)))
+        .as("n_bpeish_tokens"))
+
   /** Document fingerprint: the k=1 MinHash of the doc's word
     * n-shingles under [[Dedup.XxHasher]] — a rolling-hash-style
     * content signature (equal for token-identical docs, cheap to

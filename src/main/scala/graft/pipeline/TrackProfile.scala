@@ -95,6 +95,10 @@ object TrackProfile {
       .groupBy(col("point_id"), col("hour"), col("gtime_t").as("grid_time"),
                col("depth_idx"), col("depth"))
       .agg(tempAgg.as("water_temp"), salAgg.as("salinity"))
+      // presentation-only global sort: the profile is ~|track|·25 rows
+      // (2 000 for Hermine) regardless of grid size, so the range
+      // exchange is O(output), never O(data); drop it for headless
+      // sinks that don't care about order
       .orderBy("point_id", "depth_idx")
   }
 }

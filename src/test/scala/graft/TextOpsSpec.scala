@@ -44,6 +44,17 @@ class TextOpsSpec extends SparkSpec {
     assert(p._2 === 12) // "the" appears 3x
   }
 
+  test("bpe-ish tokenizer: contractions, digit runs, punctuation split sub-word") {
+    val d = Seq((1L, "don't split 1234 tokens, e.g. foo-bar!")).toDF("doc_id", "text")
+    val toks = TextOps.bpeishTokens(d, "doc_id", "text")
+      .select($"tok").as[String].collect().toSeq
+    assert(toks === Seq("don", "'t", " split", " 1234", " tokens", ",", " e",
+      ".", "g", ".", " foo", "-", "bar", "!"))
+    val counts = TextOps.tokenCounts(d, "doc_id", "text")
+      .select($"n_ws_tokens", $"n_bpeish_tokens").as[(Int, Int)].collect().head
+    assert(counts === ((6, 14))) // punctuation-heavy: bpe-ish count >> whitespace
+  }
+
   test("fingerprint: equal for token-identical docs, differs otherwise") {
     val d = Seq(
       (1L, "alpha beta gamma delta epsilon"),
