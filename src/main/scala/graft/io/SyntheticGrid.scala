@@ -1,6 +1,6 @@
 package graft.io
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deterministic synthetic HYCOM-like grid (FIXTURES.md §2).
@@ -111,5 +111,28 @@ object SyntheticGrid {
       .sortWithinPartitions("lat_idx", "lon_idx", "depth_idx")
       .write.mode("overwrite")
       .partitionBy("time")
+      .parquet(path)
+
+  /** Spatial tile id for coarse clustering: `tileSize`×`tileSize`
+    * blocks of grid cells, row-major. A track's 3×3 stencils touch a
+    * handful of tiles, so a (time, tile)-partitioned layout +
+    * tile-equality in the gather join lets Dynamic Partition Pruning
+    * skip everything else — the relational equivalent of the
+    * reference's per-point OPeNDAP hyperslab (trackplot_hycom.py:110)
+    * with zero driver-side coordination.
+    */
+  def tileId(latIdx: Column, lonIdx: Column, tileSize: Int): Column =
+    (latIdx / tileSize).cast("int") * 10000 + (lonIdx / tileSize).cast("int")
+
+  /** Time+tile-partitioned layout (see [[tileId]]): the scan-pruning
+    * layout for track-profile workloads. Time-only [[writeGrid]]
+    * remains right for full-field scans (climatologies).
+    */
+  def writeGridTiled(df: DataFrame, path: String, tileSize: Int = 32): Unit =
+    df.withColumn("tile", tileId(col("lat_idx"), col("lon_idx"), tileSize))
+      .repartition(col("time"), col("tile"))
+      .sortWithinPartitions("lat_idx", "lon_idx", "depth_idx")
+      .write.mode("overwrite")
+      .partitionBy("time", "tile")
       .parquet(path)
 }

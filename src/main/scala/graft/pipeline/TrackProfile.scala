@@ -30,7 +30,8 @@ object TrackProfile {
   final case class Config(
       interp: String = "idw",          // "idw" | "nearest" (§2.9 item 4)
       distance: String = "vincenty",   // "vincenty" | "haversine"
-      maxDepthLevels: Int = 25)        // P5 (trackplot_hycom.py:148)
+      maxDepthLevels: Int = 25,        // P5 (trackplot_hycom.py:148)
+      tileSize: Int = 32)              // tile geometry of a tiled grid layout
 
   /** @param track  canonical track (point_id, hour, lat, lon, ...)
     * @param grid   long-format grid (Schemas.gridSchema), sentinels
@@ -74,13 +75,28 @@ object TrackProfile {
 
     // J4 gather: equi-join the tiny stencil side against the grid on
     // exact integer keys; broadcast the stencil so the grid side never
-    // shuffles. P5 depth truncation pushes into the grid scan.
+    // shuffles. P5 depth truncation pushes into the grid scan. When the
+    // grid carries a `tile` partition column (writeGridTiled layout),
+    // the stencil side computes the same tile and joins on it too —
+    // Dynamic Partition Pruning then skips every untouched (time, tile)
+    // partition, reducing the scan from the full field to the ~|track|
+    // tiles the stencils touch (the hyperslab-read equivalent, no
+    // driver-side coordination).
+    val tiled = grid.columns.contains("tile")
+    val stencilSide =
+      if (tiled)
+        withDist.withColumn("n_tile",
+          graft.io.SyntheticGrid.tileId(col("n_i"), col("n_j"), cfg.tileSize))
+      else withDist
+    val baseCond =
+      grid("time") === stencilSide("gtime_t") &&
+      grid("lat_idx") === stencilSide("n_i") &&
+      grid("lon_idx") === stencilSide("n_j")
+    val joinCond =
+      if (tiled) baseCond && grid("tile") === stencilSide("n_tile") else baseCond
     val gathered = grid
       .filter(col("depth_idx") < cfg.maxDepthLevels)
-      .join(broadcast(withDist),
-        grid("time") === withDist("gtime_t") &&
-        grid("lat_idx") === withDist("n_i") &&
-        grid("lon_idx") === withDist("n_j"))
+      .join(broadcast(stencilSide), joinCond)
 
     // A1: IDW (or nearest) per (point, depth) — multi-measure, one pass
     val (tempAgg, salAgg) = cfg.interp match {

@@ -53,6 +53,25 @@ class GridIngestSpec extends SparkSpec {
     }
   }
 
+  test("tiled layout: flagship joins on tile and Dynamic Partition Pruning fires") {
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("gridtiled").toString
+    graft.io.SyntheticGrid.writeGridTiled(
+      graft.io.SyntheticGrid.cleanSentinels(graft.io.SyntheticGrid.generate(spark, spec)), out)
+    val track = TrackReader.readNhc(spark, "/root/repo/data/al092016_track.csv")
+    val prof = TrackProfile.profile(track, spark.read.parquet(out), spec)
+    val plan = prof.queryExecution.executedPlan.toString
+    // DPP subqueries exist for the partition columns (time, tile)
+    assert(plan.contains("dynamicpruning"), plan.take(3000))
+    // and results are identical to the untiled path
+    val untiled = TrackProfile.profile(track,
+      graft.io.SyntheticGrid.cleanSentinels(graft.io.SyntheticGrid.generate(spark, spec)), spec)
+    assert(prof.count() === untiled.count())
+    val a = prof.agg(org.apache.spark.sql.functions.sum(col("water_temp"))).collect().head.getDouble(0)
+    val b = untiled.agg(org.apache.spark.sql.functions.sum(col("water_temp"))).collect().head.getDouble(0)
+    assert(math.abs(a - b) < 1e-6)
+  }
+
   test("ingestToParquet: time-partitioned layout prunes partitions") {
     val out = java.nio.file.Files.createTempDirectory("gridpq").toString
     GridIngest.ingestToParquet(spark, grd1Path, out)
