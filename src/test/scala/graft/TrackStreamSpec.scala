@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.io.{SyntheticGrid, TrackReader}
+import graft.pipeline.TrackProfile
+import graft.streaming.TrackStream
+
+/** The flagship pipeline on a STREAM of track fixes: stateless
+  * stream-static formulation must match the batch TrackProfile values.
+  */
+class TrackStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val spec = SyntheticGrid.hermineSpec(step = 0.4)
+  private lazy val grid =
+    SyntheticGrid.cleanSentinels(SyntheticGrid.generate(spark, spec))
+  private lazy val track =
+    TrackReader.readNhc(spark, "/root/repo/data/al092016_track.csv")
+
+  private def profileMap(df: DataFrame): Map[(Long, Int), (Option[Double], Option[Double])] =
+    df.select($"point_id", $"depth_idx", $"water_temp", $"salinity")
+      .as[(Long, Int, Option[Double], Option[Double])]
+      .collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4)))
+      .toMap
+
+  test("neighborhood index: interior cells carry 9 neighbors, corners 4") {
+    val idx = TrackStream.neighborhoodIndex(grid, spec)
+      .filter($"time" === spec.times.head && $"depth_idx" === 0)
+    val sizes = idx
+      .select($"lat_idx", $"lon_idx", size($"neigh").as("n"))
+      .as[(Int, Int, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(sizes((0, 0)) === 4)
+    assert(sizes((1, 1)) === 9)
+    assert(sizes((0, 1)) === 6)
+  }
+
+  test("streaming profile == batch TrackProfile (IDW, both measures)") {
+    val index = TrackStream.neighborhoodIndex(grid, spec)
+    val batchExpected = profileMap(TrackProfile.profile(track, grid, spec))
+
+    // stage the track as files and stream it
+    val dir = java.nio.file.Files.createTempDirectory("trackstream")
+      .resolve("fixes").toString
+    track.select($"point_id", $"ts", $"lat", $"lon").write.parquet(dir)
+    val fixes = spark.readStream
+      .schema(track.select($"point_id", $"ts", $"lat", $"lon").schema)
+      .parquet(dir)
+    val q = TrackStream.profile(fixes, index, spec).writeStream
+      .format("memory").queryName("ts_profile")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val got = profileMap(spark.table("ts_profile"))
+
+    assert(got.size === 2000)
+    batchExpected.foreach { case (key, (wt, sal)) =>
+      val (gwt, gsal) = got(key)
+      assert(wt.isDefined === gwt.isDefined, key)
+      wt.zip(gwt).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9, key) }
+      sal.zip(gsal).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9, key) }
+    }
+  }
+}
