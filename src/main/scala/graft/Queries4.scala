@@ -145,14 +145,61 @@ object Queries4 {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** Exact percentiles per group (inherited aggregate surface):
+    * Spark `percentile` and DuckDB `quantile_cont` both use linear
+    * interpolation over the sorted values — identical doubles after
+    * rounding.
+    */
+  private def q34(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99_price"))
+      .orderBy($"l_returnflag")
+
+  private val q34Sql =
+    """SELECT l_returnflag,
+      |  ROUND(QUANTILE_CONT(l_quantity, 0.5), 6) AS p50_qty,
+      |  ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 6) AS p90_price,
+      |  ROUND(QUANTILE_CONT(l_extendedprice, 0.99), 6) AS p99_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Statistical moments (population variance/stddev, correlation,
+    * covariance — the A5/OLS building blocks as first-class surface).
+    * Rounded: multi-partition summation order differs between engines.
+    */
+  private def q35(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy($"l_linestatus")
+      .agg(
+        round(var_pop($"l_quantity"), 4).as("var_qty"),
+        round(stddev_pop($"l_extendedprice"), 2).as("sd_price"),
+        round(corr($"l_quantity", $"l_extendedprice"), 6).as("corr_qp"),
+        round(covar_pop($"l_quantity", $"l_discount"), 6).as("cov_qd"))
+      .orderBy($"l_linestatus")
+
+  private val q35Sql =
+    """SELECT l_linestatus,
+      |  ROUND(VAR_POP(l_quantity), 4) AS var_qty,
+      |  ROUND(STDDEV_POP(l_extendedprice), 2) AS sd_price,
+      |  ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qp,
+      |  ROUND(COVAR_POP(l_quantity, l_discount), 6) AS cov_qd
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
   // ------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_percentiles" -> (q34 _),
+    "q35_stat_moments" -> (q35 _),
     "q69_text_profile" -> (q69 _),
     "q74_embed_simpairs" -> (q74 _)
   )
 
   val oracles: Map[String, String] = Map(
+    "q34_percentiles" -> q34Sql,
+    "q35_stat_moments" -> q35Sql,
     "q69_text_profile" -> q69Sql,
     "q74_embed_simpairs" -> q74Sql
   )
