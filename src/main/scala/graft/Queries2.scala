@@ -280,19 +280,22 @@ object Queries2 {
     * ints; jaccard = int/int division (bit-exact).
     */
   private def q64(s: SparkSession, dir: String): DataFrame = {
+    // set sizes ride along as a count-window over the token relation
+    // (VERDICT r1: the separate sizes aggregate + two joins were 2 of
+    // this query's 5 shuffles)
     val toks = t(s, dir, "documents")
       .select($"doc_id", explode(split($"text", " ")).as("tok"))
       .filter($"tok" =!= "").distinct()
-    val sizes = toks.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+      .withColumn("sz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")))
     val a = toks.filter($"doc_id" % 2 === 0)
-      .select($"doc_id".as("a_id"), $"tok")
-    val b = toks.select(($"doc_id" - 1).as("a_id"), $"tok", $"doc_id".as("b_id"))
+      .select($"doc_id".as("a_id"), $"tok", $"sz".as("sa"))
+    val b = toks.select(($"doc_id" - 1).as("a_id"), $"tok", $"doc_id".as("b_id"),
+        $"sz".as("sb"))
       .filter($"b_id" % 2 === 1)
-    val inter = a.join(b, Seq("a_id", "tok"))
-      .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sz", "sa"), "a_id")
-      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sz", "sb"), "b_id")
+    a.join(b, Seq("a_id", "tok"))
+      .groupBy($"a_id", $"b_id")
+      .agg(count(lit(1)).as("inter"), first($"sa").as("sa"), first($"sb").as("sb"))
       .select($"a_id", $"b_id",
         ($"inter".cast("double") / ($"sa" + $"sb" - $"inter")).as("jaccard"))
       .orderBy($"a_id")
