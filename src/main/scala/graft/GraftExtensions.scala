@@ -2,7 +2,10 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.DoubleType
 import graft.fn.VincentyKm
 
 /** Engine extension point (SURVEY.md §2.8 UDF surface): registers the
@@ -15,8 +18,10 @@ import graft.fn.VincentyKm
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.vincentyFn)
+    ext.injectOptimizerRule(_ => GraftExtensions.ZeroDistanceRule)
+  }
 }
 
 object GraftExtensions {
@@ -33,7 +38,37 @@ object GraftExtensions {
   /** Register the same functions on an ALREADY-RUNNING session (the
     * extensions config only applies at session construction).
     */
-  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry
       .registerFunction(vincentyFn._1, vincentyFn._2, vincentyFn._3)
+    if (!spark.experimental.extraOptimizations.contains(ZeroDistanceRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ ZeroDistanceRule
+  }
+
+  /** Example engine optimizer rule (the `Rule[LogicalPlan]` surface of
+    * SURVEY.md §2.8): a geodesic distance between a point and ITSELF —
+    * syntactically identical child expressions, a shape that arises
+    * when a join key is compared against its own snap — is 0 km by
+    * definition; fold it before the iterative kernel ever runs.
+    * (Literal-only arguments are already folded by Catalyst's own
+    * ConstantFolding because VincentyKm is deterministic — this rule
+    * covers the non-literal same-expression case Catalyst cannot know
+    * about.)
+    */
+  object ZeroDistanceRule extends Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      plan.transformAllExpressions {
+        case VincentyKm(lat1, lon1, lat2, lon2)
+            if lat1.semanticEquals(lat2) && lon1.semanticEquals(lon2) &&
+               lat1.deterministic && lon1.deterministic =>
+          // null-preserving: 0.0 only when both coords are non-null
+          org.apache.spark.sql.catalyst.expressions.If(
+            org.apache.spark.sql.catalyst.expressions.Or(
+              org.apache.spark.sql.catalyst.expressions.IsNull(lat1),
+              org.apache.spark.sql.catalyst.expressions.IsNull(lon1)),
+            Literal(null, DoubleType),
+            Literal(0.0, DoubleType))
+      }
+  }
 }

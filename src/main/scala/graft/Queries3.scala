@@ -191,25 +191,7 @@ object Queries3 {
   }
 
   private val q73Sql = {
-    def planeLit(p: Seq[Double]): String =
-      p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
-    val bitDefs = AnnPlanes.zipWithIndex.map { case (p, i) =>
-      s"CASE WHEN LIST_DOT_PRODUCT(v, ${planeLit(p)}) >= 0 THEN 1 ELSE 0 END AS bit$i"
-    }.mkString(",\n    ")
-    val codes = (0 until AnnBands).map(bi => s"bit${2 * bi} + 2 * bit${2 * bi + 1}")
-      .mkString("[", ", ", "]")
-    val bands = (0 until AnnBands).mkString("[", ", ", "]")
-    s"""WITH e AS (
-       |  SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings
-       |), bits AS (
-       |  SELECT vec_id,
-       |    $bitDefs
-       |  FROM e
-       |), bkt AS (
-       |  SELECT vec_id, band, code FROM (
-       |    SELECT vec_id, UNNEST($bands) AS band, UNNEST($codes) AS code FROM bits)
-       |), qb AS (
+    s"""WITH ${OracleSqlGen.annBucketCtes(AnnPlanes, AnnBands)}, qb AS (
        |  SELECT vec_id AS q_id, band, code FROM bkt WHERE vec_id < 5
        |), cand AS (
        |  SELECT DISTINCT qb.q_id, c.vec_id

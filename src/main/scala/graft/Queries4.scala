@@ -108,27 +108,7 @@ object Queries4 {
   }
 
   private val q74Sql = {
-    def planeLit(p: Seq[Double]): String =
-      p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
-    val bitDefs = SimPlanes.zipWithIndex.map { case (p, i) =>
-      s"CASE WHEN LIST_DOT_PRODUCT(v, ${planeLit(p)}) >= 0 THEN 1 ELSE 0 END AS bit$i"
-    }.mkString(",\n    ")
-    val r = SimPlanes.size / SimBands
-    val codes = (0 until SimBands).map { bi =>
-      (0 until r).map(j => s"${1 << j} * bit${bi * r + j}").mkString(" + ")
-    }.mkString("[", ", ", "]")
-    val bands = (0 until SimBands).mkString("[", ", ", "]")
-    s"""WITH e AS (
-       |  SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings WHERE vec_id < 1000
-       |), bits AS (
-       |  SELECT vec_id,
-       |    $bitDefs
-       |  FROM e
-       |), bkt AS (
-       |  SELECT vec_id, band, code FROM (
-       |    SELECT vec_id, UNNEST($bands) AS band, UNNEST($codes) AS code FROM bits)
-       |), cand AS (
+    s"""WITH ${OracleSqlGen.annBucketCtes(SimPlanes, SimBands, " WHERE vec_id < 1000")}, cand AS (
        |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
        |  FROM bkt a JOIN bkt b
        |    ON a.band = b.band AND a.code = b.code AND a.vec_id < b.vec_id

@@ -269,6 +269,26 @@ object Dedup {
     docs.join(dupIds, Seq(idCol), "left_anti")
   }
 
+  /** Exact duplicate groups on a derived key (default: xxhash64 of the
+    * full text): (key, keep_id = min id, n_members). The q63 oracle's
+    * reusable form. Hash-groupBy — one shuffle, scales linearly.
+    */
+  def exactDupGroups(docs: DataFrame, idCol: String, textCol: String,
+                     keyOf: Column => Column = xxhash64(_)): DataFrame =
+    docs.select(col(idCol), keyOf(col(textCol)).as("dup_key"))
+      .groupBy(col("dup_key"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_members"))
+
+  /** Keep exactly one row (the smallest id) per exact-duplicate
+    * group.
+    */
+  def dropExactDuplicates(docs: DataFrame, idCol: String, textCol: String,
+                          keyOf: Column => Column = xxhash64(_)): DataFrame = {
+    val keep = exactDupGroups(docs, idCol, textCol, keyOf)
+      .select(col("keep_id").as(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** 64-bit SimHash fingerprint per doc over its distinct tokens:
     * bit j of the fingerprint is set iff the sum over tokens of
     * (bit j of xxhash64(token) ? +1 : -1) is positive. Computed as 64

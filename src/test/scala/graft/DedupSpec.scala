@@ -94,6 +94,17 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.candidatePairs(bands, "doc_id", maxBucket = 10).count() === 10)
   }
 
+  test("exact dedup: identical texts collapse to min id") {
+    val d = Seq((5L, "same text"), (2L, "same text"), (9L, "other text"))
+      .toDF("doc_id", "text")
+    val groups = Dedup.exactDupGroups(d, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(groups.map(g => (g._2, g._3)).toSet === Set((2L, 2L), (9L, 1L)))
+    val kept = Dedup.dropExactDuplicates(d, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 9L))
+  }
+
   test("simhash64: near-dups have small hamming distance, unrelated docs large") {
     val fp = Dedup.simhash64(docs.filter(length($"text") > 0), "doc_id", "text")
       .as[(Long, Long)].collect().toMap

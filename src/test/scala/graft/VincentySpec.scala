@@ -53,4 +53,17 @@ class VincentySpec extends SparkSpec {
     // one degree of longitude on the WGS-84 equator ≈ 111.3195 km
     assert(math.abs(got - 111.3195) < 0.01, got)
   }
+
+  test("ZeroDistanceRule folds self-distance to 0 without running the kernel") {
+    GraftExtensions.install(spark)
+    val df = spark.range(100).select(
+      ($"id" % 90).cast("double").as("lat"), ($"id" % 180).cast("double").as("lon"))
+    val proj = df.select(GeoFns.vincentyKmNative($"lat", $"lon", $"lat", $"lon").as("d"))
+    val optimized = proj.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("vincenty_km"), optimized)
+    assert(proj.agg(max($"d")).collect().head.getDouble(0) === 0.0)
+    // different args survive the rule
+    val real = df.select(GeoFns.vincentyKmNative($"lat", $"lon", $"lat", $"lon" + 1).as("d"))
+    assert(real.queryExecution.optimizedPlan.toString.contains("vincenty_km"))
+  }
 }
