@@ -117,6 +117,86 @@ object SimJoin {
       .select(col("q_id"), col("rk"), col(idCol), col("cos_sim"))
   }
 
+  // ------------------------------------------------------------ IVF
+
+  /** Train IVF coarse-quantizer centroids with Lloyd's iterations,
+    * fully as DataFrame aggregations: assignment is a per-row argmax
+    * of centroid scores (distributed, codegen-friendly arithmetic);
+    * only the k×dim centroid matrix itself round-trips through the
+    * driver each iteration — exactly the state MLlib's KMeans also
+    * centralizes, with no RDD detour. Deterministic: seeds are the
+    * first k corpus vectors by id.
+    */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int = 5): Seq[Seq[Double]] = {
+    var cents: Seq[Seq[Double]] = corpus
+      .orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+    for (_ <- 0 until iters) {
+      val assigned = corpus.withColumn("__cell", assignCell(col(vecCol), cents))
+      val dim = cents.head.size
+      val sums = (0 until dim).map(j =>
+        sum(element_at(col(vecCol), j + 1)).as(s"__s$j"))
+      val means = assigned.groupBy(col("__cell"))
+        .agg(count(lit(1)).as("__n"), sums: _*)
+        .collect()
+        .map { r =>
+          val n = r.getLong(1).toDouble
+          r.getInt(0) -> (0 until dim).map(j => r.getDouble(j + 2) / n)
+        }.toMap
+      cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
+    }
+    cents
+  }
+
+  /** Nearest-centroid cell id for a vector: argmax over centroids of
+    * 2·v·c − |c|² (the |v|²-free monotone equivalent of −distance²).
+    * Ties break toward the higher cell id (struct max), deterministic.
+    */
+  def assignCell(v: Column, centroids: Seq[Seq[Double]]): Column =
+    cellScores(v, centroids) match {
+      case scores =>
+        array_max(array(scores.zipWithIndex.map { case (s, i) =>
+          struct(s.as("score"), lit(i).as("cell"))
+        }: _*)).getField("cell")
+    }
+
+  private def cellScores(v: Column, centroids: Seq[Seq[Double]]): Seq[Column] =
+    centroids.map { c =>
+      val c2 = c.map(x => x * x).sum
+      dotConst(v, c) * 2.0 - lit(c2)
+    }
+
+  /** IVF ANN top-k: corpus vectors live in their nearest-centroid
+    * cell; each query probes its `nProbe` best cells; candidates are
+    * re-scored with exact cosine. Equi-join on cell id — same
+    * candidate-then-verify shape as the LSH path, but the partitions
+    * follow the DATA's cluster structure instead of random
+    * hyperplanes (better pruning/recall on clustered corpora).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, centroids: Seq[Seq[Double]],
+              nProbe: Int): DataFrame = {
+    val corpusCells = corpus.withColumn("__cell", assignCell(col(vecCol), centroids))
+    val probeCells = sort_array(
+      array(cellScores(col(vecCol), centroids).zipWithIndex.map { case (s, i) =>
+        struct(s.as("score"), lit(i).as("cell"))
+      }: _*), asc = false)
+    val qCells = queries
+      .withColumn("__probe", explode(slice(probeCells, 1, nProbe)))
+      .select(col(idCol).as("q_id"), col(vecCol).as("__qv"),
+        col("__probe.cell").as("__cell"))
+    val scored = corpusCells.join(qCells, "__cell")
+      .filter(col(idCol) =!= col("q_id"))
+      .withColumn("cos_sim", cosine(col("__qv"), col(vecCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col(idCol).asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col(idCol), col("cos_sim"))
+  }
+
   /** Exact brute-force cosine top-k (correctness baseline / ground
     * truth for recall measurements; O(|queries|·|corpus|) — only for
     * small query sets or offline evaluation).

@@ -40,6 +40,31 @@ class SimJoinSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("ivf: centroids converge, probing beats single-cell, recall >= 0.9 at nProbe=8") {
+    val cents = SimJoin.ivfCentroids(emb, "vec_id", "v", k = 16, iters = 5)
+    assert(cents.size === 16 && cents.forall(_.size === 64))
+    val queries = emb.filter($"vec_id" < 5)
+    val truth = SimJoin.bruteForceTopK(emb, queries, "vec_id", "v", k = 5)
+      .select($"q_id", $"vec_id").as[(Long, Long)].collect().toSet
+    def recallAt(nProbe: Int): Double = {
+      val got = SimJoin.ivfTopK(emb, queries, "vec_id", "v", 5, cents, nProbe)
+        .select($"q_id", $"vec_id").as[(Long, Long)].collect().toSet
+      (truth & got).size.toDouble / truth.size
+    }
+    val r1 = recallAt(1)
+    val r8 = recallAt(8)
+    assert(r8 >= r1, s"probing more cells must not lower recall ($r1 -> $r8)")
+    assert(r8 >= 0.9, s"recall@nProbe=8 $r8 < 0.9")
+  }
+
+  test("ivf plan is bucketed: no cartesian product") {
+    val cents = SimJoin.ivfCentroids(emb, "vec_id", "v", k = 16, iters = 2)
+    val plan = SimJoin.ivfTopK(emb, emb.filter($"vec_id" < 5), "vec_id", "v", 5, cents, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("candidate set prunes relative to all-pairs on a clustered corpus") {
     // two tight clusters around orthogonal centers: LSH must keep
     // same-cluster candidates and prune most cross-cluster pairs
