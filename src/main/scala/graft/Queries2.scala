@@ -167,16 +167,18 @@ object Queries2 {
       |  ON c.c_nationkey = m.c_nationkey AND c.c_acctbal = m.top_bal
       |GROUP BY m.c_nationkey ORDER BY m.c_nationkey""".stripMargin
 
-  /** GROUPING SETS via SQL (inherited surface; Spark SQL parser path). */
-  private def q56(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
-    s.sql(
-      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
-        |FROM lineitem_v
-        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
-  }
+  /** GROUPING SETS via the Spark 4 Dataset API (no per-call temp-view
+    * registration — catalog mutation from a query function was a
+    * smell).
+    */
+  private def q56(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq($"l_returnflag"), Seq($"l_linestatus"), Seq()),
+        $"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum($"l_quantity".cast(DecimalType(18, 2))).cast("double").as("qty"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
 
   private val q56Sql =
     """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,

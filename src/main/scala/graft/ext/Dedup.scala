@@ -269,6 +269,57 @@ object Dedup {
     docs.join(dupIds, Seq(idCol), "left_anti")
   }
 
+  /** Minimum-label connected components over an undirected pair graph
+    * (a_id, b_id): returns (id, label) with label = the component's
+    * smallest id. Label propagation to fixpoint — each iteration is
+    * one join + one min-aggregate, materialized (persist + count) so
+    * the loop's lineage stays flat; dedup graphs have tiny diameters
+    * (duplicate clusters are near-cliques), so convergence is 2-4
+    * iterations in practice, `maxIters` bounds the worst case.
+    */
+  def connectedMinLabels(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val prop = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+        .unionByName(labels)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = prop.join(labels.withColumnRenamed("label", "__old"), "id")
+        .filter(col("label") =!= col("__old")).count()
+      labels.unpersist()
+      labels = prop
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Near-dup removal by FULL transitive closure: every duplicate
+    * cluster keeps exactly its smallest id (the greedy
+    * [[dropNearDuplicates]] can keep several — a doc whose only
+    * duplicate-neighbors have larger ids survives). Costs the CC
+    * iteration on top of the pipeline; worth it when clusters chain.
+    */
+  def dropNearDuplicatesConnected(docs: DataFrame, idCol: String, textCol: String,
+                                  n: Int = 3, k: Int = 16, b: Int = 8,
+                                  minJaccard: Double = 0.8,
+                                  hasher: Hasher = XxHasher): DataFrame = {
+    val pairs = nearDupPairs(docs, idCol, textCol, n, k, b, minJaccard, hasher)
+      .select(col("a_id"), col("b_id"))
+    val dupIds = connectedMinLabels(pairs)
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as(idCol))
+    docs.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   /** Exact duplicate groups on a derived key (default: xxhash64 of the
     * full text): (key, keep_id = min id, n_members). The q63 oracle's
     * reusable form. Hash-groupBy — one shuffle, scales linearly.

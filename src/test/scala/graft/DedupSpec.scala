@@ -94,6 +94,25 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.candidatePairs(bands, "doc_id", maxBucket = 10).count() === 10)
   }
 
+  test("connected components: min label spans chains the greedy pass misses") {
+    // cluster {10,20,30} with edges (10,30),(20,30): greedy keeps 10 AND
+    // 20 (20's only neighbor is larger); CC labels all three with 10
+    val pairs = Seq((10L, 30L), (20L, 30L), (100L, 200L))
+      .toDF("a_id", "b_id")
+    val labels = Dedup.connectedMinLabels(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels(10L) === 10L && labels(20L) === 10L && labels(30L) === 10L)
+    assert(labels(100L) === 100L && labels(200L) === 100L)
+  }
+
+  test("dropNearDuplicatesConnected agrees with greedy on the planted corpus") {
+    val kept = Dedup.dropNearDuplicatesConnected(docs, "doc_id", "text",
+        n = 3, k = 16, b = 8, minJaccard = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept.contains(1000L) && !kept.contains(1001L))
+    assert(kept.contains(2000L) && kept.contains(3000L))
+  }
+
   test("exact dedup: identical texts collapse to min id") {
     val d = Seq((5L, "same text"), (2L, "same text"), (9L, "other text"))
       .toDF("doc_id", "text")

@@ -99,6 +99,42 @@ class StreamingSpec extends SparkSpec {
     assert(got.distinct().count() === distinctUsers)
   }
 
+  test("watermark drops late duplicates across micro-batches (streaming-only semantics)") {
+    // two files processed as SEPARATE micro-batches via maxFilesPerTrigger:
+    // batch 1 advances the watermark past the dup key's event time + the
+    // 2h horizon, so batch 2's late re-arrival of the same key is dropped
+    // by state eviction, not by the dedup map
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType)))
+    val dir = java.nio.file.Files.createTempDirectory("late").toString
+    val hour = 3600L * 1000000000L
+    def write(rows: Seq[(Long, Long, Long)]): Unit =
+      spark.createDataFrame(rows.toDF("event_id", "ts", "user_id").rdd, sch)
+        .coalesce(1).write.mode("append").parquet(dir)
+    // batch 1: user 1 at t=1h, plus an event at t=10h (watermark -> 8h)
+    write(Seq((1L, 1 * hour, 1L), (2L, 10 * hour, 99L)))
+    val q = EventStreams.dedupByKey(
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", "1").parquet(dir),
+        Seq("user_id"))
+      .select($"user_id")
+      .writeStream.format("memory").queryName("late_dedup")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: user 1 again at t=2h — late (< watermark 8h), its dedup
+      // state was evicted, but within-watermark dedup already saw it?
+      // No: state for user 1 evicted -> the row is ADMITTED again only if
+      // its event time were inside the watermark; at 2h < 8h it is LATE
+      // and dropped entirely.
+      write(Seq((3L, 2 * hour, 1L)))
+      q.processAllAvailable()
+      val users = spark.table("late_dedup").select($"user_id").as[Long].collect().toSeq
+      assert(users.sorted === Seq(1L, 99L)) // the late duplicate did not re-emit
+    } finally q.stop()
+  }
+
   test("session windows: stream == batch gap sessionization counts (q54 semantics)") {
     val batch = EventStreams.sessionCounts(batchEvents)
     val stream = runComplete(EventStreams.sessionCounts(streamEvents), "s_stream")
