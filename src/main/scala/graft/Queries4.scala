@@ -27,6 +27,7 @@ object Queries4 {
         round($"mean_tok_len", 6).as("mean_tok_len"),
         round($"stop_ratio", 6).as("stop_ratio"),
         round($"alpha_ratio", 6).as("alpha_ratio"),
+        round($"punct_ratio", 6).as("punct_ratio"),
         $"lang_id",
         round($"quality", 6).as("quality"))
       .orderBy($"doc_id")
@@ -57,6 +58,7 @@ object Queries4 {
        |    CAST(SUM(LENGTH(tok)) AS DOUBLE) / COUNT(*) AS mean_tok_len,
        |    CAST(SUM(CASE WHEN tok IN ($enList) THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS stop_ratio,
        |    CAST(SUM(LENGTH(REGEXP_REPLACE(tok, '[^a-zA-Z]', '', 'g'))) AS DOUBLE) / SUM(LENGTH(tok)) AS alpha_ratio,
+       |    CAST(SUM(LENGTH(REGEXP_REPLACE(tok, '[a-zA-Z0-9]', '', 'g'))) AS DOUBLE) / SUM(LENGTH(tok)) AS punct_ratio,
        |    $hitSums
        |  FROM toks GROUP BY doc_id
        |)
@@ -64,6 +66,7 @@ object Queries4 {
        |  ROUND(mean_tok_len, 6) AS mean_tok_len,
        |  ROUND(stop_ratio, 6) AS stop_ratio,
        |  ROUND(alpha_ratio, 6) AS alpha_ratio,
+       |  ROUND(punct_ratio, 6) AS punct_ratio,
        |  $langCases AS lang_id,
        |  ROUND(0.4 * LEAST(n_tokens / 50.0, 1.0) + 0.3 * LEAST(stop_ratio * 5.0, 1.0)
        |        + 0.3 * alpha_ratio, 6) AS quality

@@ -31,7 +31,8 @@ object TextOps {
   /** Per-document text profile in ONE aggregation pass:
     *
     *  - `n_tokens`, `n_distinct`, `mean_tok_len` — token counting
-    *  - `stop_ratio` (English), `alpha_ratio` — quality signals
+    *  - `stop_ratio` (English), `alpha_ratio`, `punct_ratio` — quality
+    *    signals (length/punct/stopword, per the pipeline brief)
     *  - `lang_id` — argmax of per-language stopword hit frequencies
     *    (tie-break by [[Stopwords]] order; "und" = undetermined when
     *    no list scores); CJK text short-circuits to "zh" via a
@@ -53,6 +54,8 @@ object TextOps {
         .cast("double") / count(lit(1))).as("stop_ratio"),
       (sum(length(regexp_replace(col("tok"), "[^a-zA-Z]", ""))).cast("double") /
         sum(length(col("tok")))).as("alpha_ratio"),
+      (sum(length(regexp_replace(col("tok"), "[a-zA-Z0-9]", ""))).cast("double") /
+        sum(length(col("tok")))).as("punct_ratio"),
       sum(length(regexp_replace(col("tok"), "[^一-鿿]", ""))).as("__cjk"))
     val agg = toks.groupBy(col(idCol)).agg(base.head, (base.tail ++ langHits): _*)
 
