@@ -171,20 +171,80 @@ object Queries4 {
       |  ROUND(COVAR_POP(l_quantity, l_discount), 6) AS cov_qd
       |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
+  /** Levenshtein edit distance between adjacent docs' 40-char
+    * prefixes — the character-level near-dup primitive alongside q64's
+    * token Jaccard (both engines implement the classic DP, exact
+    * ints). Prefix-bounded: edit distance is O(len²) per pair.
+    */
+  private def q75(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select($"doc_id", substring($"text", 1, 40).as("p"))
+    val a = d.filter($"doc_id" % 2 === 0).select($"doc_id".as("a_id"), $"p".as("pa"))
+    val b = d.select(($"doc_id" - 1).as("a_id"), $"doc_id".as("b_id"), $"p".as("pb"))
+      .filter($"b_id" % 2 === 1)
+    a.join(b, "a_id")
+      .select($"a_id", $"b_id", levenshtein($"pa", $"pb").as("edit_dist"))
+      .orderBy($"a_id")
+  }
+
+  private val q75Sql =
+    """WITH d AS (SELECT doc_id, SUBSTR(text, 1, 40) AS p FROM documents)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  LEVENSHTEIN(a.p, b.p) AS edit_dist
+      |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+      |WHERE a.doc_id % 2 = 0
+      |ORDER BY a_id""".stripMargin
+
+  /** RANGE window frames (value-based, vs the ROWS frames of q21):
+    * running revenue over orders within a 30-day trailing window per
+    * customer — the distinct window surface Spark/DuckDB both define
+    * identically on ordered numeric frames.
+    */
+  private def q76(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .filter($"o_custkey" <= 200)
+      .select($"o_orderkey", $"o_custkey",
+        ($"o_orderdate".cast("timestamp").cast("long") / 86400L).cast("long").as("day"),
+        $"o_totalprice".cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("price"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_custkey").orderBy($"day")
+      .rangeBetween(-30, 0)
+    o.select($"o_orderkey", $"o_custkey",
+        sum($"price").over(w).cast("double").as("rev_30d"),
+        count(lit(1)).over(w).as("n_30d"))
+      .orderBy($"o_orderkey")
+  }
+
+  private val q76Sql =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS rev_30d,
+      |  COUNT(*) OVER w AS n_30d
+      |FROM (
+      |  SELECT o_orderkey, o_custkey, o_totalprice,
+      |    CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) / 86400 AS BIGINT) AS day
+      |  FROM orders WHERE o_custkey <= 200
+      |)
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+      |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_orderkey""".stripMargin
+
   // ------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_percentiles" -> (q34 _),
     "q35_stat_moments" -> (q35 _),
     "q69_text_profile" -> (q69 _),
-    "q74_embed_simpairs" -> (q74 _)
+    "q74_embed_simpairs" -> (q74 _),
+    "q75_levenshtein" -> (q75 _),
+    "q76_range_frames" -> (q76 _)
   )
 
   val oracles: Map[String, String] = Map(
     "q34_percentiles" -> q34Sql,
     "q35_stat_moments" -> q35Sql,
     "q69_text_profile" -> q69Sql,
-    "q74_embed_simpairs" -> q74Sql
+    "q74_embed_simpairs" -> q74Sql,
+    "q75_levenshtein" -> q75Sql,
+    "q76_range_frames" -> q76Sql
   )
 
   private implicit class Dollar(val sc: StringContext) {

@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 /** Near-duplicate detection at scale: MinHash + LSH banding as a real
   * pipeline (SURVEY.md §7.1 ext/; the brief's headline LLM-data op).
   *
-  *   shingles → minhash signatures → LSH bands → band-bucket candidate
-  *   join → exact-Jaccard verify → greedy keep-min-id dedup
+  *   shingles → minhash signatures → LSH bands → in-bucket candidate
+  *   pairs → exact-Jaccard verify → keep-min-id dedup (greedy, or full
+  *   connected components)
   *
   * Scale design (the whole point — the reference has nothing here):
   *
@@ -18,16 +19,17 @@ import org.apache.spark.sql.functions._
   *    `explode(0..k-1)` alternative multiplies the shingle table k×
   *    (it was this repo's slowest query in round 1 at 4.6 s; this
   *    formulation is ~k× less shuffle IO).
-  *  - Candidate generation is an equi-join on (band, band_hash) — a
-  *    shuffle hash join over bucket keys. No CartesianProduct, no
-  *    BroadcastNestedLoopJoin anywhere in the plan (asserted by
-  *    DedupSpec): all-pairs O(N²) never materializes.
+  *  - Candidate generation is one groupBy on the bucket key plus
+  *    in-bucket pair explosion — the band table is consumed once, and
+  *    no CartesianProduct or BroadcastNestedLoopJoin appears anywhere
+  *    in the plan (asserted by DedupSpec): all-pairs O(N²) never
+  *    materializes.
   *  - Bucket-size guard: a degenerate bucket (e.g. the empty-text
   *    signature) would produce |bucket|² candidate pairs. Buckets
-  *    larger than `maxBucket` are dropped from candidate generation —
+  *    larger than `maxBucket` are dropped BEFORE any pair explodes —
   *    the standard LSH skew guard; at 100 TB this is what keeps the
-  *    join bounded. Dropped buckets mean those docs are only compared
-  *    through their other b-1 bands.
+  *    pair count bounded. Dropped buckets mean those docs are only
+  *    compared through their other b-1 bands.
   *  - Verification is exact set-Jaccard over shingles via equi-joins
   *    keyed on (doc, shingle) — shuffle-safe, no skew risk beyond the
   *    shingle frequency distribution itself.
@@ -155,9 +157,9 @@ object Dedup {
   }
 
   /** Candidate pairs: docs sharing at least one (band, band_hash)
-    * bucket, as (a_id, b_id) with a_id < b_id, distinct. Equi-join on
-    * the bucket key — never a cross product. Buckets with more than
-    * `maxBucket` members are excluded (LSH skew guard, see object doc).
+    * bucket, as (a_id, b_id) with a_id < b_id, distinct — never a
+    * cross product. Buckets with more than `maxBucket` members are
+    * excluded (LSH skew guard, see object doc).
     */
   def candidatePairs(bands: DataFrame, idCol: String,
                      maxBucket: Int = 10000): DataFrame = {
