@@ -227,6 +227,41 @@ object Queries4 {
       |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** J2 NEAREST (not backward) as-of against a small axis — the
+    * reference's exact `find_time_index` semantics
+    * (trackplot_hycom.py:186-197) through the actual library operator
+    * (AsofJoin.nearestBroadcast: broadcast + min_by argmin with
+    * first-index ties), q52 being the backward variant. Axis = 10
+    * fixed 3-day marks over the events month; the oracle mirrors the
+    * argmin with a deterministic (distance, idx) rank.
+    */
+  private val AsofAxis: Seq[Long] =
+    (0 until 10).map(k => 1704067200000000000L + k * 259200000000000L)
+
+  private def q77(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.AsofJoin
+    val ev = t(s, dir, "events").select($"event_id", $"ts")
+    val axis = s.createDataFrame(AsofAxis.zipWithIndex.map { case (t, i) => (i, t) })
+      .toDF("idx", "t")
+    AsofJoin.nearestBroadcast(ev, Seq("event_id"), "ts", axis, "idx", "t", "g")
+      .select($"event_id", $"g_idx", $"g_t")
+      .orderBy($"event_id")
+  }
+
+  private val q77Sql = {
+    val axisRows = AsofAxis.zipWithIndex
+      .map { case (t, i) => s"($i, ${t}::BIGINT)" }.mkString(", ")
+    s"""WITH axis(idx, t) AS (VALUES $axisRows),
+       |r AS (
+       |  SELECT e.event_id, a.idx AS g_idx, a.t AS g_t,
+       |    ROW_NUMBER() OVER (PARTITION BY e.event_id
+       |      ORDER BY ABS(epoch_ns(e.ts) - a.t), a.idx) AS rk
+       |  FROM events e CROSS JOIN axis a
+       |)
+       |SELECT event_id, g_idx, g_t FROM r WHERE rk = 1
+       |ORDER BY event_id""".stripMargin
+  }
+
   // ------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -235,7 +270,8 @@ object Queries4 {
     "q69_text_profile" -> (q69 _),
     "q74_embed_simpairs" -> (q74 _),
     "q75_levenshtein" -> (q75 _),
-    "q76_range_frames" -> (q76 _)
+    "q76_range_frames" -> (q76 _),
+    "q77_asof_nearest" -> (q77 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -244,7 +280,8 @@ object Queries4 {
     "q69_text_profile" -> q69Sql,
     "q74_embed_simpairs" -> q74Sql,
     "q75_levenshtein" -> q75Sql,
-    "q76_range_frames" -> q76Sql
+    "q76_range_frames" -> q76Sql,
+    "q77_asof_nearest" -> q77Sql
   )
 
   private implicit class Dollar(val sc: StringContext) {
