@@ -76,6 +76,21 @@ object EventStreams {
           .as("signup_value"))
   }
 
+  /** Sliding 2-hour / 1-hour-step window counts (q51 semantics): each
+    * event lands in two overlapping windows — Spark's `window(ts,
+    * "2 hours", "1 hour")` generator, watermarked. Same function runs
+    * batch or streaming like the rest of this module.
+    */
+  def slidingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("ts_t", tsCol)
+      .withWatermark("ts_t", watermark)
+      .groupBy(window(col("ts_t"), "2 hours", "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"),
+        approx_count_distinct(col("user_id")).as("n_users_approx"))
+      .select((col("w.start").cast("long") / 3600).cast("long").as("win_start"),
+        col("n"), col("n_users_approx"))
+
   /** Streaming exact deduplication on a business key — the streaming
     * face of the LLM-pipeline dedup family (ext/Dedup covers batch
     * near-dup): keeps the first arrival per key, with state bounded by

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.io.{GridIngest, TrackIngest, TrackReader}
+
+/** Defensive behavior on malformed inputs: clear errors, no silent
+  * garbage.
+  */
+class NegativePathSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("GRD1 reader rejects a non-GRD1 file with a clear error") {
+    val p = java.nio.file.Files.createTempFile("not", ".grd1")
+    java.nio.file.Files.write(p, Array.fill[Byte](64)(0x42))
+    val e = intercept[IllegalArgumentException] {
+      GridIngest.Grd1.readHeader(p.toString)
+    }
+    assert(e.getMessage.contains("not a GRD1 file"))
+  }
+
+  test("KMZ ingest of an archive without a .kml entry fails loudly") {
+    val p = java.nio.file.Files.createTempFile("empty", ".kmz")
+    val zos = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(p.toFile))
+    zos.putNextEntry(new java.util.zip.ZipEntry("readme.txt"))
+    zos.write("no kml here".getBytes)
+    zos.closeEntry(); zos.close()
+    val e = intercept[org.apache.spark.SparkException] {
+      TrackIngest.readKmz(spark, p.toString).count()
+    }
+    assert(e.getMessage.contains("no .kml entry") ||
+      Option(e.getCause).exists(_.getMessage.contains("no .kml entry")))
+  }
+
+  test("NHC reader: malformed numeric fields become null, rows survive (PERMISSIVE)") {
+    val dir = java.nio.file.Files.createTempDirectory("badcsv")
+    val f = dir.resolve("bad.csv")
+    java.nio.file.Files.writeString(f,
+      """atcfdtg,stormnum,stormname,basin,stormtype,intensity,intensitymph,intensitykph,lat,lon,minsealevelpres,dtg
+        |2016081718,09,TEST,AL,Low,20,23,37,12.5,-19.4,1010,x
+        |2016081800,09,TEST,AL,Low,20,23,37,NOT_A_NUMBER,-21.1,1010,x
+        |""".stripMargin)
+    val track = TrackReader.readNhc(spark, f.toString)
+    assert(track.count() === 2)             // no row silently dropped
+    val lats = track.orderBy($"ts").select($"lat").collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(lats(0) === Some(12.5))
+    assert(lats(1) === None)                // malformed -> null, visible
+  }
+}

@@ -90,6 +90,16 @@ class StreamingSpec extends SparkSpec {
     assert(asSortedRows(batch) === asSortedRows(viaWindow))
   }
 
+  test("sliding windows: stream == batch, and counts match q51's explode formulation") {
+    val batch = EventStreams.slidingCounts(batchEvents)
+    val stream = runComplete(EventStreams.slidingCounts(streamEvents), "sl_stream")
+    assert(asSortedRows(stream) === asSortedRows(batch))
+    // window(2h, 1h) covers each event twice, exactly like the
+    // explode-over-offsets shape of q51 — total event-window memberships agree
+    val viaWindow = batch.agg(sum($"n")).collect().head.getLong(0)
+    assert(viaWindow === 2 * batchEvents.count())
+  }
+
   test("streaming dedup: one row per key, watermark-bounded state") {
     val keyed = EventStreams.dedupByKey(streamEvents, Seq("user_id"))
       .select($"user_id")
