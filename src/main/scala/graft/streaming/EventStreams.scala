@@ -107,6 +107,77 @@ object EventStreams {
     else withTs.dropDuplicates(keyCols)
   }
 
+  /** A closed user session emitted by [[sessionizeCustomState]]. */
+  final case class ClosedSession(user_id: Long, session_start: Long,
+                                 session_end: Long, n_events: Long)
+
+  /** Internal state of [[sessionizeCustomState]] (public: the state
+    * encoder's generated code needs constructor access).
+    */
+  final case class OpenSession(start: Long, end: Long, n: Long)
+
+  /** Sessionization with EXPLICIT custom state —
+    * `flatMapGroupsWithState` with event-time timeouts (the brief's
+    * named custom-state surface; [[sessionCounts]] is the declarative
+    * `session_window` twin). Per user, state holds the open session;
+    * a >gap jump inside a batch closes and EMITS the previous session
+    * immediately, and the watermark passing (session end + gap) fires
+    * the timeout that closes an idle session. State is one small
+    * struct per ACTIVE user — eviction by timeout keeps it bounded on
+    * an unbounded stream.
+    *
+    * Emits CLOSED sessions only (append-mode clean); timestamps are
+    * epoch micros. Assumes in-order arrival per user within the
+    * watermark (out-of-order events older than the open session extend
+    * its end only forward — document-level sessionization tolerance).
+    */
+  def sessionizeCustomState(events: DataFrame, gapMinutes: Int = 30,
+                            watermark: String = "2 hours")
+      : org.apache.spark.sql.Dataset[ClosedSession] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    def fn(userId: Long, batch: Iterator[(Long, Long, java.sql.Timestamp)],
+           state: GroupState[OpenSession]): Iterator[ClosedSession] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator.single(ClosedSession(userId, s.start, s.end, s.n))
+      } else {
+        val closed = scala.collection.mutable.ArrayBuffer[ClosedSession]()
+        var cur = state.getOption
+        batch.toSeq.sortBy(_._2).foreach { case (_, ts, _) =>
+          cur = cur match {
+            case None => Some(OpenSession(ts, ts, 1))
+            case Some(s) if ts - s.end > gapUs =>
+              closed += ClosedSession(userId, s.start, s.end, s.n)
+              Some(OpenSession(ts, ts, 1))
+            case Some(s) =>
+              Some(OpenSession(s.start, math.max(s.end, ts), s.n + 1))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          // close via timeout once the watermark passes end + gap
+          state.setTimeoutTimestamp((s.end + gapUs) / 1000L)
+        }
+        closed.iterator
+      }
+    }
+
+    events
+      .withColumn("ts_t", tsCol)
+      .withWatermark("ts_t", watermark)
+      // the watermarked column must stay visible to the stateful
+      // operator for event-time timeouts; _2 = epoch micros
+      .select(col("user_id").as("_1"), expr("ts div 1000").as("_2"), col("ts_t").as("_3"))
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+
   /** Sessionized per-user event counts with session windows (the
     * streaming-native formulation of q54's gap logic): events closer
     * than `gap` merge into one session. Works batch or streaming

@@ -145,6 +145,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionization: closed sessions match the batch gap logic") {
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType)))
+    val dir = java.nio.file.Files.createTempDirectory("fmgws").toString
+    val min = 60L * 1000000000L
+    def write(rows: Seq[(Long, Long, Long)]): Unit =
+      spark.createDataFrame(rows.toDF("event_id", "ts", "user_id").rdd, sch)
+        .coalesce(1).write.mode("append").parquet(dir)
+    // user 7: two sessions (gap 90min > 30min); user 8: one session
+    write(Seq((1L, 10 * min, 7L), (2L, 20 * min, 7L),
+      (3L, 110 * min, 7L), (4L, 115 * min, 7L), (5L, 10 * min, 8L)))
+    val q = EventStreams.sessionizeCustomState(
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", "1").parquet(dir),
+        gapMinutes = 30)
+      .writeStream.format("memory").queryName("fmgws")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // in-batch gap closes user 7's first session immediately
+      val afterB1 = spark.table("fmgws")
+        .as[EventStreams.ClosedSession].collect().toSet
+      assert(afterB1.map(s => (s.user_id, s.n_events)) === Set((7L, 2L)))
+      assert(afterB1.head.session_start === 10 * min / 1000)
+      assert(afterB1.head.session_end === 20 * min / 1000)
+      // a much later event advances the watermark past every open
+      // session's (end + gap) -> timeouts close them on the next batch
+      write(Seq((6L, 1000 * min, 99L)))
+      q.processAllAvailable()
+      val afterB2 = spark.table("fmgws")
+        .as[EventStreams.ClosedSession].collect().toSet
+      assert(afterB2.map(s => (s.user_id, s.n_events)) ===
+        Set((7L, 2L), (7L, 2L), (8L, 1L)).map(identity)) // both user-7 sessions + user 8
+      assert(afterB2.count(_.user_id == 7L) === 2)
+      assert(afterB2.exists(s => s.user_id == 8L && s.n_events == 1L))
+    } finally q.stop()
+  }
+
   test("session windows: stream == batch gap sessionization counts (q54 semantics)") {
     val batch = EventStreams.sessionCounts(batchEvents)
     val stream = runComplete(EventStreams.sessionCounts(streamEvents), "s_stream")
