@@ -50,7 +50,10 @@ object TrackReader {
       raw.select(
         to_timestamp(trim(col("iso_time")), "M/d/yy H:mm").as("ts"),
         col("lat"), col("lon"), trim(col("name")).as("stormname"),
-        col("serial").as("storm_id")))
+        // IBTrACS names are constant per storm (unlike NHC's mutating
+        // stormname), and the committed fixtures reuse one serial
+        // across two storms — key on both for robustness
+        concat_ws("/", col("serial"), trim(col("name"))).as("storm_id")))
   }
 
   /** Shared canonicalization: lon wrap, hour offset, deterministic

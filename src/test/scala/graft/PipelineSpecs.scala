@@ -36,6 +36,22 @@ class TrackReaderSpec extends SparkSpec {
     assert(sandy.filter($"lon" < 0).count() === 0)        // wrapped
     assert(sandy.select(min($"lon")).as[Double].collect().head > 270.0)
   }
+
+  test("multi-storm feed: point_ids restart per storm (per-storm id window)") {
+    import spark.implicits._
+    // one read over BOTH storm files — the multi-storm feed shape whose
+    // id minting must parallelize per storm (round-1 scale-killer fix:
+    // the window partitions by the stable storm serial, never globally)
+    val both = TrackReader.readIbtracs(spark,
+      "/root/repo/data/{Hermine_track,Sandy_track}.csv")
+    assert(both.count() === 58) // 13 + 45
+    val perStorm = both.groupBy($"stormname")
+      .agg(count(lit(1)).as("n"), min($"point_id").as("lo"), max($"point_id").as("hi"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(perStorm("HERMINE") === ((13L, 0L, 12L)))  // ids 0..12
+    assert(perStorm("SANDY") === ((45L, 0L, 44L)))    // ids 0..44, independent
+  }
 }
 
 /** §3.1 flagship integration over the deterministic synthetic grid. */
