@@ -4,9 +4,11 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ext.{SimJoin, TextOps}
 
-/** Oracle corpus, batch 4: ext/TextOps profile (q69) and bucketed
-  * embedding similarity pairs (q74) — DuckDB-parity differential
-  * coverage for the remaining ext/ surface.
+/** Oracle corpus, batch 4: ext/TextOps profile (q69), bucketed
+  * embedding similarity pairs (q74), and inherited-surface breadth —
+  * exact percentiles (q34), statistical moments (q35), Levenshtein
+  * (q75), RANGE window frames (q76), nearest as-of through the
+  * AsofJoin operator (q77). All DuckDB-parity differential queries.
   */
 object Queries4 {
 
