@@ -264,6 +264,45 @@ object Queries4 {
        |ORDER BY event_id""".stripMargin
   }
 
+  /** Array-function surface over real array data (embeddings): sort,
+    * slice, containment, set overlap — Spark array_* vs DuckDB list_*
+    * (element order and int semantics identical).
+    */
+  private def q78(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .filter($"vec_id" < 50)
+      .select($"vec_id",
+        // integer-quantized prefix: exact cross-engine arithmetic
+        transform(slice($"embedding", 1, 8),
+          x => round(x.cast("double") * 100).cast("long")).as("q"))
+    // scalar outputs only: the driver's hash comparator cannot digest
+    // array-typed result columns, so every array op collapses to a
+    // scalar (min of sorted = element 1, join of sorted, etc.)
+    e.select($"vec_id",
+        element_at(sort_array($"q"), 1).as("min_q"),
+        element_at(sort_array($"q", asc = false), 1).as("max_q"),
+        concat_ws(",", transform(sort_array($"q"), _.cast("string"))).as("sorted_csv"),
+        array_contains($"q", 0L).cast("int").as("has_zero"),
+        size(array_distinct($"q")).as("n_distinct"),
+        arrays_overlap($"q", array(lit(1L), lit(2L), lit(3L))).cast("int").as("overlaps_123"))
+      .orderBy($"vec_id")
+  }
+
+  private val q78Sql =
+    """WITH e AS (
+      |  SELECT vec_id,
+      |    LIST_TRANSFORM(embedding[1:8], x -> CAST(ROUND(CAST(x AS DOUBLE) * 100) AS BIGINT)) AS q
+      |  FROM embeddings WHERE vec_id < 50
+      |)
+      |SELECT vec_id,
+      |  LIST_SORT(q)[1] AS min_q,
+      |  LIST_REVERSE_SORT(q)[1] AS max_q,
+      |  ARRAY_TO_STRING(LIST_SORT(q), ',') AS sorted_csv,
+      |  CAST(LIST_CONTAINS(q, 0) AS INTEGER) AS has_zero,
+      |  LENGTH(LIST_DISTINCT(q)) AS n_distinct,
+      |  CAST(LEN(LIST_INTERSECT(q, [1, 2, 3])) > 0 AS INTEGER) AS overlaps_123
+      |FROM e ORDER BY vec_id""".stripMargin
+
   // ------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -273,7 +312,8 @@ object Queries4 {
     "q74_embed_simpairs" -> (q74 _),
     "q75_levenshtein" -> (q75 _),
     "q76_range_frames" -> (q76 _),
-    "q77_asof_nearest" -> (q77 _)
+    "q77_asof_nearest" -> (q77 _),
+    "q78_array_fns" -> (q78 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -283,7 +323,8 @@ object Queries4 {
     "q74_embed_simpairs" -> q74Sql,
     "q75_levenshtein" -> q75Sql,
     "q76_range_frames" -> q76Sql,
-    "q77_asof_nearest" -> q77Sql
+    "q77_asof_nearest" -> q77Sql,
+    "q78_array_fns" -> q78Sql
   )
 
   private implicit class Dollar(val sc: StringContext) {
