@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
-import graft.fn.VincentyKm
+import graft.fn.{ArrayDotProduct, CosineSim, VincentyKm}
 
 /** Engine extension point (SURVEY.md §2.8 UDF surface): registers the
   * engine's native expressions with the session's function registry so
@@ -19,28 +19,50 @@ import graft.fn.VincentyKm
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.vincentyFn)
+    GraftExtensions.functions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => GraftExtensions.ZeroDistanceRule)
   }
 }
 
 object GraftExtensions {
 
-  private val vincentyFn = (
-    new FunctionIdentifier("vincenty_km"),
-    new ExpressionInfo(classOf[VincentyKm].getName, "vincenty_km"),
+  private def binaryFn(name: String, clazz: Class[_],
+                       mk: (Expression, Expression) => Expression) = (
+    new FunctionIdentifier(name),
+    new ExpressionInfo(clazz.getName, name),
     (children: Seq[Expression]) => {
-      require(children.size == 4,
-        s"vincenty_km expects (lat1, lon1, lat2, lon2); got ${children.size} args")
-      VincentyKm(children(0), children(1), children(2), children(3))
+      require(children.size == 2, s"$name expects 2 args; got ${children.size}")
+      mk(children(0), children(1))
     })
+
+  /** The engine's SQL function surface (VERDICT r2 item 8): every
+    * library-level scalar also callable as SQL — `vincenty_km`,
+    * `dot_product`, `cosine_sim`, `hamming64`.
+    */
+  private[graft] val functions = Seq(
+    (
+      new FunctionIdentifier("vincenty_km"),
+      new ExpressionInfo(classOf[VincentyKm].getName, "vincenty_km"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4,
+          s"vincenty_km expects (lat1, lon1, lat2, lon2); got ${children.size} args")
+        VincentyKm(children(0), children(1), children(2), children(3))
+      }),
+    binaryFn("dot_product", classOf[ArrayDotProduct], ArrayDotProduct(_, _)),
+    binaryFn("cosine_sim", classOf[CosineSim], CosineSim(_, _)),
+    // SimHash distance: composition of codegen built-ins, no custom kernel
+    binaryFn("hamming64",
+      classOf[org.apache.spark.sql.catalyst.expressions.BitwiseCount],
+      (a, b) => org.apache.spark.sql.catalyst.expressions.BitwiseCount(
+        org.apache.spark.sql.catalyst.expressions.BitwiseXor(a, b))))
 
   /** Register the same functions on an ALREADY-RUNNING session (the
     * extensions config only applies at session construction).
     */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry
-      .registerFunction(vincentyFn._1, vincentyFn._2, vincentyFn._3)
+    functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
     if (!spark.experimental.extraOptimizations.contains(ZeroDistanceRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ ZeroDistanceRule

@@ -377,8 +377,7 @@ object Queries2 {
   private def q70(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
       .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
-    val dot = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val dot = (a: Column, b: Column) => graft.ext.SimJoin.dot(a, b)
     val q = emb.filter($"vec_id" < 5)
       .select($"vec_id".as("q_id"), $"v".as("qv"))
     val scored = emb.crossJoin(broadcast(q))
@@ -419,8 +418,7 @@ object Queries2 {
     t(s, dir, "embeddings")
       .filter($"vec_id" < 100)
       .select($"vec_id", $"label",
-        round(sqrt(aggregate(transform($"embedding", x => x.cast("double") * x.cast("double")),
-          lit(0.0), (acc, x) => acc + x)), 6).as("l2_norm"),
+        round(sqrt(graft.ext.SimJoin.dot($"embedding", $"embedding")), 6).as("l2_norm"),
         size($"embedding").as("dim"))
       .orderBy($"vec_id")
 

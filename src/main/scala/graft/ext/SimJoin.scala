@@ -47,29 +47,36 @@ object SimJoin {
     }
   }
 
-  /** Sequential-fold dot product of an array column with a constant
-    * plane (left-to-right, same order as the DuckDB oracle's
-    * LIST_DOT_PRODUCT on the same literals). Measured note: an
-    * "optimized" explicit 64-term element_at sum tree was 50× SLOWER
-    * than this higher-order fold — 16 planes × 64 terms per row blow
-    * the codegen method budget and fall back to interpreted tree
-    * walking, while the HOF loop is a tight interpreted loop. Keep the
-    * fold.
+  /** Dot product of an array column with a constant plane via the
+    * native codegen kernel (left-to-right, same order as the DuckDB
+    * oracle's LIST folds on the same literals). History of this hot
+    * path: the round-1 `aggregate(zip_with(...))` fold is INTERPRETED
+    * per element (Spark never codegens HOF lambda bodies) and
+    * dominated the round-2 bench; an explicit 64-term element_at sum
+    * tree was 50× slower still (16 planes × 64 terms blow the codegen
+    * method budget → interpreted tree walk). The
+    * [[graft.fn.ArrayDotProduct]] expression is a single static call
+    * to a JIT-compiled primitive loop inside the codegen span.
     */
   def dotConst(v: Column, plane: Seq[Double]): Column =
-    aggregate(zip_with(v, typedLit(plane), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+    dot(v, typedLit(plane))
 
-  /** Dot product of two array columns (higher-order fold — see the
-    * [[dotConst]] measurement note for why unrolled element_at trees
-    * are NOT faster).
+  /** Dot product of two array columns (native codegen kernel — see
+    * [[dotConst]] for why neither HOF folds nor unrolled trees win).
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    gb.column(graft.fn.ArrayDotProduct(gb.expression(a), gb.expression(b)))
+  }
 
-  /** Cosine similarity of two array columns (not assumed normalized). */
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  /** Cosine similarity of two array columns (not assumed normalized):
+    * one fused pass over both arrays — dot and both norms in a single
+    * loop instead of three separate folds.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    gb.column(graft.fn.CosineSim(gb.expression(a), gb.expression(b)))
+  }
 
   /** Bucket table: (idCol, band, code) — b rows per vector, where
     * `code` packs the band's r sign bits into an int. `vecCol` must be

@@ -1,0 +1,69 @@
+package graft.fn
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.AbstractDataType
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native codegen embedding math (VERDICT r2 item 1): the kernels in
+  * [[VecKernels]] exposed as Catalyst expressions, replacing the
+  * interpreted `aggregate(zip_with(...))` folds that dominated the
+  * round-2 bench (q74/q67/q73/q70/q71). `ImplicitCastInputTypes`
+  * inserts the `array<float> → array<double>` cast automatically for
+  * the raw `embeddings.embedding` column.
+  *
+  * Both expressions are nullable beyond their inputs (length mismatch
+  * / null element → null, mirroring the HOF semantics — see the
+  * [[VecKernels]] note), so `nullable` is unconditionally true and the
+  * codegen re-checks the boxed kernel result.
+  */
+abstract class VecBinaryExpression extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  /** Fully-qualified static kernel returning java.lang.Double. */
+  protected def kernel: String
+
+  protected def kernelEval(a: ArrayData, b: ArrayData): java.lang.Double
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    kernelEval(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |java.lang.Double ${ev.value}_r = $kernel($a, $b);
+         |if (${ev.value}_r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}_r.doubleValue();
+         |}
+       """.stripMargin)
+}
+
+/** Σ left(i)·right(i), left-to-right — SQL `dot_product`. */
+case class ArrayDotProduct(left: Expression, right: Expression)
+  extends VecBinaryExpression {
+  override def prettyName: String = "dot_product"
+  override protected def kernel: String = "graft.fn.VecKernels.dotBoxed"
+  override protected def kernelEval(a: ArrayData, b: ArrayData): java.lang.Double =
+    VecKernels.dotBoxed(a, b)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** One-pass cosine similarity — SQL `cosine_sim`. */
+case class CosineSim(left: Expression, right: Expression)
+  extends VecBinaryExpression {
+  override def prettyName: String = "cosine_sim"
+  override protected def kernel: String = "graft.fn.VecKernels.cosineBoxed"
+  override protected def kernelEval(a: ArrayData, b: ArrayData): java.lang.Double =
+    VecKernels.cosineBoxed(a, b)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
