@@ -61,6 +61,7 @@ object Queries4 {
        |    CAST(SUM(CASE WHEN tok IN ($enList) THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS stop_ratio,
        |    CAST(SUM(LENGTH(REGEXP_REPLACE(tok, '[^a-zA-Z]', '', 'g'))) AS DOUBLE) / SUM(LENGTH(tok)) AS alpha_ratio,
        |    CAST(SUM(LENGTH(REGEXP_REPLACE(tok, '[a-zA-Z0-9]', '', 'g'))) AS DOUBLE) / SUM(LENGTH(tok)) AS punct_ratio,
+       |    SUM(LENGTH(REGEXP_REPLACE(tok, '[^一-鿿]', '', 'g'))) AS cjk_chars,
        |    $hitSums
        |  FROM toks GROUP BY doc_id
        |)
@@ -69,7 +70,7 @@ object Queries4 {
        |  ROUND(stop_ratio, 6) AS stop_ratio,
        |  ROUND(alpha_ratio, 6) AS alpha_ratio,
        |  ROUND(punct_ratio, 6) AS punct_ratio,
-       |  $langCases AS lang_id,
+       |  CASE WHEN cjk_chars > 0 THEN 'zh' ELSE $langCases END AS lang_id,
        |  ROUND(0.4 * LEAST(n_tokens / 50.0, 1.0) + 0.3 * LEAST(stop_ratio * 5.0, 1.0)
        |        + 0.3 * alpha_ratio, 6) AS quality
        |FROM a ORDER BY doc_id""".stripMargin

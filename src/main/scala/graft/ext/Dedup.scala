@@ -163,17 +163,26 @@ object Dedup {
     */
   def candidatePairs(bands: DataFrame, idCol: String,
                      maxBucket: Int = 10000): DataFrame = {
-    // one groupBy + in-bucket pair explosion, NOT a self-join: the
-    // band table is consumed once (no ok-filter join, no a/b-side
-    // exchange branches), the bucket guard is a size filter on the
-    // collected member list, and pair generation is two codegen'd
-    // generators. A bucket holds at most maxBucket ids (~80 KB at the
-    // default) — the guard caps the quadratic blow-up BEFORE any pair
-    // materializes.
+    // Two-phase guard (ADVICE r2): a COUNT aggregation (map-side
+    // partial combine, constant state per bucket) finds qualifying
+    // buckets first, and only then is the member list collected — so
+    // no task ever materializes an unbounded list for a degenerate
+    // bucket (e.g. a common empty-text signature with millions of
+    // members). The semi-join and both aggregations hash-partition on
+    // the same (band, band_hash) key, so the bands exchange is reused
+    // rather than re-shuffled. After the prune, a collected list holds
+    // at most maxBucket ids (~80 KB at the default) and pair
+    // generation is two codegen'd generators — the quadratic blow-up
+    // is capped BEFORE any pair or any oversized list materializes.
+    val okBuckets = bands
+      .groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n").between(2, maxBucket))
+      .select(col("band"), col("band_hash"))
     val buckets = bands
+      .join(okBuckets, Seq("band", "band_hash"), "left_semi")
       .groupBy(col("band"), col("band_hash"))
       .agg(collect_list(col(idCol)).as("__m"))
-      .filter(size(col("__m")).between(2, maxBucket))
     buckets
       .select(col("__m"), posexplode(col("__m")).as(Seq("__i", "__x")))
       .select(col("__x"),
@@ -197,9 +206,11 @@ object Dedup {
       .union(cands.select(col("b_id").as(idCol)))
       .distinct()
     val shC = sh.join(candDocs, Seq(idCol), "left_semi")
-    // sizes: one row per CANDIDATE doc (small by construction) —
-    // aggregated once and broadcast into the two post-aggregation
-    // joins, so no extra sort/shuffle of the shingle relation
+    // sizes: one row per CANDIDATE doc. NOT force-broadcast (ADVICE
+    // r2): in a heavy-dup corpus the candidate-doc set can be a large
+    // fraction of the corpus, and a forced broadcast would collect it
+    // all to the driver — let AQE pick broadcast vs shuffle from the
+    // actual post-aggregation size.
     val sizes = shC.groupBy(col(idCol)).agg(count(lit(1)).as("__sz"))
     val shA = shC.select(col(idCol).as("a_id"), col("shingle"))
     val shB = shC.select(col(idCol).as("b_id"), col("shingle"))
@@ -208,8 +219,8 @@ object Dedup {
       .join(shB, Seq("b_id", "shingle"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("__inter"))
-      .join(broadcast(sizes.select(col(idCol).as("a_id"), col("__sz").as("__sa"))), "a_id")
-      .join(broadcast(sizes.select(col(idCol).as("b_id"), col("__sz").as("__sb"))), "b_id")
+      .join(sizes.select(col(idCol).as("a_id"), col("__sz").as("__sa")), "a_id")
+      .join(sizes.select(col(idCol).as("b_id"), col("__sz").as("__sb")), "b_id")
       .select(col("a_id"), col("b_id"),
         (col("__inter").cast("double") /
           (col("__sa") + col("__sb") - col("__inter"))).as("jaccard"))

@@ -107,8 +107,12 @@ object Multimodal {
     val c = col(contentCol)
     val nChunks = ceil(length(c) / lit(chunkBytes.toDouble)).cast("int")
     val picked = filter(sequence(lit(0), nChunks - 1), i => i % stride === 0)
+    // empty payload guard (ADVICE r2): nChunks=0 would make
+    // sequence(0, -1) count DOWN to [0, -1] and emit a spurious empty
+    // chunk_idx=0 row; explode of the null-when-empty array emits
+    // zero rows instead
     assets
-      .withColumn("chunk_idx", explode(picked))
+      .withColumn("chunk_idx", explode(when(nChunks > 0, picked)))
       .withColumn("chunk",
         substring(c, col("chunk_idx") * chunkBytes + 1, lit(chunkBytes)))
       .drop(contentCol)

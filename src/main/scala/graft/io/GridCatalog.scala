@@ -36,7 +36,15 @@ object GridCatalog {
     */
   def assign(track: DataFrame, catalog: DataFrame,
              hourCol: String = "hour"): DataFrame = {
-    val joined = track.join(
+    // collapse on a SURROGATE row key, not the track columns (ADVICE
+    // r2): grouping by every track column silently merged
+    // fully-duplicate track rows (multiplicity change) and required
+    // every column type to be groupable. The id is partition-local
+    // arithmetic (no shuffle to mint), each input row keeps exactly
+    // one output row, and the track attributes ride along in a struct
+    // (first() of a per-key-constant value — any column type works).
+    val withKey = track.withColumn("__row_id", monotonically_increasing_id())
+    val joined = withKey.join(
       broadcast(catalog),
       col(hourCol) >= col("t_min") && col(hourCol) <= col("t_max"),
       "left")
@@ -45,10 +53,11 @@ object GridCatalog {
       // latest-starting covering experiment wins; null coverage loses
       when(col("t_min").isNotNull, struct(col("t_min"), col("dataset"))))
     joined
-      .groupBy(track.columns.map(col): _*)
-      .agg(pick.as("__pick"))
-      .withColumn("dataset", col("__pick.dataset"))
-      .withColumn("dataset_path", col("__pick.path"))
-      .drop("__pick")
+      .groupBy(col("__row_id"))
+      .agg(first(struct(track.columns.map(col): _*)).as("__row"),
+        pick.as("__pick"))
+      .select(col("__row.*") +:
+        Seq(col("__pick.dataset").as("dataset"),
+            col("__pick.path").as("dataset_path")): _*)
   }
 }

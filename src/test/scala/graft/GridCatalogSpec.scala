@@ -37,4 +37,14 @@ class GridCatalogSpec extends SparkSpec {
     assert(got(3L) === Some("exptB")) // the reference (first-hour pick) would wrongly use exptA
     assert(got(4L) === None)          // uncovered -> null, not silent bad data
   }
+
+  test("assign preserves row multiplicity for fully-duplicate track rows (ADVICE r2)") {
+    val exptA = writeExperiment(Seq(100L, 106L, 112L))
+    val catalog = GridCatalog.build(spark, Map("exptA" -> exptA))
+    // two IDENTICAL rows — the surrogate-key collapse must keep both
+    val track = Seq((0L, 110L), (0L, 110L), (1L, 200L)).toDF("point_id", "hour")
+    val out = GridCatalog.assign(track, catalog)
+    assert(out.count() === 3)
+    assert(out.filter($"point_id" === 0L && $"dataset" === "exptA").count() === 2)
+  }
 }

@@ -58,6 +58,11 @@ class MultimodalSpec extends SparkSpec {
     assert(!chunks.columns.contains("content"))
   }
 
+  test("chunk sampling: zero-length payload emits zero rows (ADVICE r2)") {
+    val empty = Seq(("empty.bin", Array.emptyByteArray)).toDF("entry", "content")
+    assert(Multimodal.sampleChunks(empty, chunkBytes = 1000, stride = 2).count() === 0)
+  }
+
   test("stub features flow into SimJoin (multimodal similarity plumbing)") {
     val feats = Multimodal.withFeatureStub(assets, dim = 16)
       .select(monotonically_increasing_id().as("vec_id"), $"features".as("v"))
