@@ -8,13 +8,14 @@ import graft.io.SyntheticGrid.GridSpec
   * time-partitioned parquet (SURVEY.md §2.1 S4, §7.2 phase 3).
   *
   * The reference reads a remote netCDF 4-D array via OPeNDAP hyperslab
-  * requests (`trackplot_hycom.py:144,244`); no netCDF library exists in
-  * this environment, so the ingestion source is GRD1 — a minimal,
-  * fully-documented dense binary layout carrying the same information
-  * a HYCOM netCDF does (axes + row-major variable blocks + fill
-  * value). Swapping in a real netCDF reader means replacing ONLY
-  * [[Grd1.readHeader]]/the slab decode in [[ingest]] — the
-  * distribution strategy is format-agnostic.
+  * requests (`trackplot_hycom.py:144,244`). TWO container formats feed
+  * the same slab-parallel distribution here, sniffed by magic in
+  * [[ingestToParquet]]:
+  *  - **NetCDF-3 classic** ([[Nc3]], [[ingestNc]]) — the REAL public
+  *    format HYCOM publishes, parsed JDK-only (header + CF
+  *    short-packing + _FillValue);
+  *  - **GRD1** ([[ingest]]) — a minimal dense binary layout kept as
+  *    the round-trip fixture format and generator target.
   *
   * ==GRD1 layout (big-endian)==
   * {{{
@@ -157,14 +158,79 @@ object GridIngest {
     rows
   }
 
-  /** Full ingestion job: GRD1 → sentinel cleanup → canonical
-    * time-partitioned parquet grid (ready for TrackProfile).
+  /** Ingest a NetCDF-3 classic file (the reference's REAL container —
+    * trackplot_hycom.py:144) into the long-format grid schema. Same
+    * slab-parallel distribution as the GRD1 path: the KB-scale header
+    * and axes are parsed driver-side, then each task seeks straight to
+    * its (t, d) planes via [[Nc3.SlabReader]] — CF short-packing
+    * (scale/offset) and `_FillValue` → null are decoded per cell,
+    * exactly what the HYCOM files publish.
     */
-  def ingestToParquet(spark: SparkSession, grd1Path: String,
+  def ingestNc(spark: SparkSession, path: String, partitions: Int = 32,
+               tempVar: String = "water_temp",
+               salVar: String = "salinity"): DataFrame = {
+    import spark.implicits._
+    val hdr = Nc3.readHeader(path)
+    val spec = Nc3.gridSpecOf(path, hdr)
+    val nD = spec.depths.size
+    val planeCells = spec.nLat * spec.nLon
+    val tempR = Nc3.slabReaderOf(hdr, hdr.variable(tempVar), nD, planeCells)
+    val salR = Nc3.slabReaderOf(hdr, hdr.variable(salVar), nD, planeCells)
+    val times = spec.times; val depths = spec.depths
+    val nLon = spec.nLon
+    val (latMin, latStep, lonMin, lonStep) =
+      (spec.latMin, spec.latStep, spec.lonMin, spec.lonStep)
+    val nSlabs = times.size * nD
+    spark.range(0, nSlabs, 1, math.min(partitions, nSlabs))
+      .as[Long]
+      .mapPartitions { slabIds =>
+        val raf = new java.io.RandomAccessFile(path, "r")
+        val tBuf = new Array[Byte](tempR.planeBytes)
+        val sBuf = new Array[Byte](salR.planeBytes)
+        slabIds.flatMap { slab =>
+          val t = (slab / nD).toInt
+          val d = (slab % nD).toInt
+          val tb = tempR.readPlane(raf, t, d, tBuf)
+          val sb = salR.readPlane(raf, t, d, sBuf)
+          (0 until planeCells).iterator.map { c =>
+            val y = c / nLon
+            val x = c % nLon
+            (times(t), d, depths(d),
+              y, latMin + y * latStep,
+              x, lonMin + x * lonStep,
+              tempR.dec.decode(tb, c),
+              salR.dec.decode(sb, c))
+          }
+        }
+      }
+      .toDF("time", "depth_idx", "depth", "lat_idx", "lat",
+        "lon_idx", "lon", "water_temp", "salinity")
+  }
+
+  /** Magic-byte format sniff: NetCDF classic (`CDF\x01`/`\x02`) or
+    * GRD1.
+    */
+  def isNetcdf(path: String): Boolean = {
+    val in = new java.io.FileInputStream(path)
+    try {
+      val b = new Array[Byte](4); in.read(b)
+      b(0) == 'C' && b(1) == 'D' && b(2) == 'F' && (b(3) == 1 || b(3) == 2)
+    } finally in.close()
+  }
+
+  /** Full ingestion job: grid file (NetCDF-3 classic or GRD1, sniffed
+    * by magic) → sentinel cleanup → canonical time-partitioned parquet
+    * grid (ready for TrackProfile).
+    */
+  def ingestToParquet(spark: SparkSession, gridPath: String,
                       parquetPath: String): GridSpec = {
-    val hdr = Grd1.readHeader(grd1Path)
-    val df = SyntheticGrid.cleanSentinels(ingest(spark, grd1Path))
-    SyntheticGrid.writeGrid(df, parquetPath)
-    hdr.spec
+    val (spec, df) =
+      if (isNetcdf(gridPath)) {
+        val hdr = Nc3.readHeader(gridPath)
+        (Nc3.gridSpecOf(gridPath, hdr), ingestNc(spark, gridPath))
+      } else
+        (Grd1.readHeader(gridPath).spec, ingest(spark, gridPath))
+    SyntheticGrid.writeGrid(SyntheticGrid.cleanSentinels(df), parquetPath)
+    spec
   }
 }
