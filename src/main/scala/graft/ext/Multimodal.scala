@@ -75,17 +75,34 @@ object Multimodal {
         length(c).as("n_bytes"))))
   }
 
-  /** Deterministic feature extraction over binary payloads.
+  /** REAL image features: PNG payloads are pixel-decoded JDK-only
+    * (inflate IDAT → unfilter → Rec.601 luminance; [[Png]]) and
+    * summarized as [mean, std, nBins-histogram] — via the
+    * [[graft.fn.PngGrayFeatures]] native expression, inside
+    * whole-stage codegen, no UDF. Rows whose payload is not a
+    * decodable PNG get null features (callers route them to
+    * [[withFeatureStub]] or a future codec).
+    */
+  def withPngFeatures(assets: DataFrame, nBins: Int = 16,
+                      contentCol: String = "content"): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    assets.withColumn("features",
+      gb.column(graft.fn.PngGrayFeatures(gb.expression(col(contentCol)), nBins)))
+  }
+
+  /** Deterministic feature extraction over NON-IMAGE binary payloads
+    * (audio/video — PNG rows have REAL features via
+    * [[withPngFeatures]]).
     *
     * ==STUB NOTICE==
-    * Real pixel decode + embedding needs an image codec / model
-    * runtime that this container does not provide. The features here
-    * are a DETERMINISTIC FAKE — `dim` pseudo-random floats in [-1, 1)
-    * seeded by xxhash64 of the payload — so every downstream property
-    * (schema `array<double>`, narrow per-row compute, payload dropped
-    * before shuffle, joinability with ext/SimJoin) is real and tested
-    * while the math is a placeholder. Swap the fake for a
-    * `mapPartitions` batch inference call without touching callers.
+    * Audio/video sample decode + embedding needs codec/model runtimes
+    * this container does not provide. The features here are a
+    * DETERMINISTIC FAKE — `dim` pseudo-random floats in [-1, 1) seeded
+    * by xxhash64 of the payload — so every downstream property (schema
+    * `array<double>`, narrow per-row compute, payload dropped before
+    * shuffle, joinability with ext/SimJoin) is real and tested while
+    * the math is a placeholder. Swap the fake for a `mapPartitions`
+    * batch inference call without touching callers.
     */
   def withFeatureStub(assets: DataFrame, dim: Int = 16,
                       contentCol: String = "content"): DataFrame = {

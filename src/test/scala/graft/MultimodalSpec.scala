@@ -69,4 +69,55 @@ class MultimodalSpec extends SparkSpec {
     val out = graft.ext.SimJoin.bruteForceTopK(feats, feats.limit(2), "vec_id", "v", k = 3)
     assert(out.count() === 6) // 2 queries x top-3
   }
+
+  test("REAL PNG pixel decode: features match an independent python decoder bit-for-bit-ish") {
+    // ground truth computed with an independent pure-python decoder
+    // (zlib.decompress + unfilter + Rec.601) over the same committed
+    // files: [mean/255, std/255, hist bins 0..3, hist bin 15]
+    val f = Multimodal.withPngFeatures(assets, nBins = 16)
+      .select($"entry", $"features").as[(String, Seq[Double])].collect().toMap
+    def check(entry: String, mean: Double, std: Double, h03: Seq[Double], h15: Double): Unit = {
+      val v = f(entry)
+      assert(v.size === 18)
+      assert(math.abs(v(0) - mean) < 1e-9, s"$entry mean ${v(0)}")
+      assert(math.abs(v(1) - std) < 1e-9, s"$entry std ${v(1)}")
+      h03.zipWithIndex.foreach { case (x, i) =>
+        assert(math.abs(v(2 + i) - x) < 1e-9, s"$entry bin$i ${v(2 + i)}") }
+      assert(math.abs(v(17) - h15) < 1e-9, s"$entry bin15 ${v(17)}")
+    }
+    // RGBA (color type 6)
+    check("cat1_nhemi.png", 0.726634858, 0.376114112,
+      Seq(0.09375, 0.016601562, 0.010742188, 0.01171875), 0.629882812)
+    check("td_nhemi.png", 0.740908088, 0.364221593,
+      Seq(0.075195312, 0.009765625, 0.009765625, 0.009765625), 0.651367188)
+    // palette (color type 3, PLTE lookup)
+    check("breakPoint_legend.png", 0.882018489, 0.274737976,
+      Seq(0.028576923, 0.005269231, 0.043769231, 0.005115385), 0.811576923)
+  }
+
+  test("PNG features: non-PNG payload -> null; plan stays codegen (no UDF)") {
+    val mixed = Seq(("not_png.bin", Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9))).toDF("entry", "content")
+    val out = Multimodal.withPngFeatures(mixed).select($"features").collect()
+    assert(out.head.isNullAt(0))
+    val plan = Multimodal.withPngFeatures(assets).queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"), plan)
+    assert(plan.contains("png_gray_features"), plan)
+  }
+
+  test("REAL features flow into SimJoin: visually-similar storm icons cluster") {
+    // the 8 32x32 storm icons are variations of one glyph; the legend
+    // is a different image entirely — nearest neighbor of an icon (by
+    // cosine over real pixel features) must be another icon, not the legend
+    val feats = Multimodal.withPngFeatures(assets)
+      .filter($"features".isNotNull)
+      .select($"entry", $"features".as("v"))
+    val q = feats.filter($"entry" === "cat1_nhemi.png")
+      .select($"entry".as("q_entry"), $"v")
+    val scored = feats.filter($"entry" =!= "cat1_nhemi.png")
+      .crossJoin(q.select($"v".as("qv")))
+      .withColumn("cos", graft.ext.SimJoin.cosine($"v", $"qv"))
+      .orderBy($"cos".desc)
+    val best = scored.select($"entry").as[String].head()
+    assert(best.endsWith("_nhemi.png"), s"nearest to cat1 was $best")
+  }
 }
