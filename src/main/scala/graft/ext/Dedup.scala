@@ -96,32 +96,23 @@ object Dedup {
     shingleStream(docs, idCol, textCol, n).distinct()
 
   /** Non-distinct shingle stream (one row per shingle OCCURRENCE) via
-    * posexplode + lead-window. Two formulations were measured and
-    * rejected: `transform`/`slice` lambdas (higher-order-function
-    * bodies evaluate interpreted — ~100× slower) and carrying the
-    * token array through the generator with `element_at` lookups (the
-    * retained array column is materialized into every output row —
-    * O(tokens²) bytes per doc, 5× slower end-to-end). The lead-window
-    * costs one bounded per-doc sort shuffle and its Exchange is reused
-    * across pipeline branches. Use directly where duplicates don't
-    * matter (minhash `min` is idempotent); [[shingles]] adds the
-    * distinct for set semantics.
+    * the native [[graft.fn.WordShingles]] codegen kernel — the n-gram
+    * array is computed in one pass per document INSIDE the scan
+    * stage's codegen span and exploded directly: NO shuffle at all.
+    * Formulation history (all measured): posexplode + lead-window
+    * (round 2's choice) costs a full token-stream shuffle+sort — the
+    * pipeline's single most expensive stage; `transform`/`slice`
+    * lambdas evaluate interpreted (~100× slower); carrying the token
+    * array through a generator with `element_at` materializes the
+    * array into every output row (O(tokens²) bytes per doc). Use
+    * directly where duplicates don't matter (minhash `min` is
+    * idempotent); [[shingles]] adds the distinct for set semantics.
     */
   def shingleStream(docs: DataFrame, idCol: String, textCol: String,
                     n: Int = 3): DataFrame = {
-    val toks = array_remove(split(col(textCol), " "), "")
-    if (n == 1)
-      docs.select(col(idCol), explode(toks).as("shingle"))
-    else {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col(idCol)).orderBy(col("__pos"))
-      val leads = (1 until n).map(j => lead(col("__tok"), j).over(w))
-      docs.select(col(idCol), posexplode(toks).as(Seq("__pos", "__tok")))
-        .withColumn("__last", leads.last)
-        .withColumn("shingle", concat_ws(" ", (col("__tok") +: leads): _*))
-        .filter(col("__last").isNotNull) // tail positions have no full n-gram
-        .select(col(idCol), col("shingle"))
-    }
+    import org.apache.spark.sql.{graftbridge => gb}
+    val grams = gb.column(graft.fn.WordShingles(gb.expression(col(textCol)), n))
+    docs.select(col(idCol), explode(grams).as("shingle"))
   }
 
   /** MinHash signature per doc: (idCol, sig) where sig is a k-element

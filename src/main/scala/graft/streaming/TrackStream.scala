@@ -55,6 +55,64 @@ object TrackStream {
         col("water_temp").as("wt"), col("salinity").as("sal"))).as("neigh"))
   }
 
+  /** TRACK-SCOPED index build (VERDICT r2 item 4): the full-grid
+    * [[neighborhoodIndex]] shuffles 9× the grid's value bytes — a ~PB
+    * shuffle at 100 TB — yet a fleet's fixes only ever touch a tiny
+    * fraction of (time, tile) space. This variant derives the touched
+    * scope from a batch frame of known/planned fixes (historical
+    * tracks, forecast cones — the same side-input the batch flagship
+    * prunes with) and builds the index ONLY for those cells:
+    *
+    *  1. snap the scope fixes → distinct touched centers
+    *     (grid_time, lat_idx, lon_idx) — metadata-scale;
+    *  2. expand the 3×3 halo (cells whose values the centers need);
+    *  3. semi-join the grid on (time, tile) FIRST — on the tiled
+    *     parquet layout both are partition columns, so Dynamic
+    *     Partition Pruning skips untouched files at scan time (the
+    *     same DPP idea the batch flagship uses, asserted in
+    *     TrackStreamSpec) — then on exact (time, lat_idx, lon_idx);
+    *  4. run the inverse-stencil build on the pruned slice and keep
+    *     only touched centers.
+    *
+    * The 9× explode now applies to O(touched cells), not O(grid).
+    * Streamed fixes OUTSIDE the scope simply find no index row (inner
+    * join drops them) — widen the scope frame, not the grid.
+    */
+  def neighborhoodIndexScoped(grid: DataFrame, spec: GridSpec,
+                              scopeFixes: DataFrame,
+                              tileSize: Int = 32): DataFrame = {
+    import graft.io.SyntheticGrid.tileId
+    val centers = snapFixes(scopeFixes, spec)
+      .select(col("grid_time").as("time"),
+        col("glat_idx").as("lat_idx"), col("glon_idx").as("lon_idx"))
+      .distinct()
+    val offsets = array((for (di <- -1 to 1; dj <- -1 to 1)
+      yield struct(lit(di).as("di"), lit(dj).as("dj"))): _*)
+    val halo = centers
+      .withColumn("__o", explode(offsets))
+      .select(col("time"),
+        (col("lat_idx") + col("__o.di")).as("lat_idx"),
+        (col("lon_idx") + col("__o.dj")).as("lon_idx"))
+      .filter(col("lat_idx") >= 0 && col("lat_idx") < spec.nLat &&
+              col("lon_idx") >= 0 && col("lon_idx") < spec.nLon)
+      .distinct()
+    val haloTiles = halo
+      .select(col("time"), tileId(col("lat_idx"), col("lon_idx"), tileSize).as("tile"))
+      .distinct()
+    // broadcast is safe by construction here: both sides are bounded
+    // by fleet activity (≤ 9 × distinct snapped fixes), not by grid
+    // or corpus size
+    val withTile =
+      if (grid.columns.contains("tile")) grid
+      else grid.withColumn("tile", tileId(col("lat_idx"), col("lon_idx"), tileSize))
+    val pruned = withTile
+      .join(broadcast(haloTiles), Seq("time", "tile"), "left_semi")
+      .join(broadcast(halo), Seq("time", "lat_idx", "lon_idx"), "left_semi")
+      .drop("tile")
+    neighborhoodIndex(pruned, spec)
+      .join(broadcast(centers), Seq("time", "lat_idx", "lon_idx"), "left_semi")
+  }
+
   /** IDW over the neighborhood array for one measure: null neighbors
     * contribute neither value nor weight (Idw.idw semantics), weights
     * 1/(d+eps)² with d = vincenty km from the fix to each neighbor's
@@ -75,24 +133,31 @@ object TrackStream {
     * the IDW depth profile. `fixes` needs (point_id, ts, lat, lon)
     * with lon already wrapped; output one row per (fix × depth).
     */
-  def profile(fixes: DataFrame, index: DataFrame, spec: GridSpec,
-              maxDepthLevels: Int = 25): DataFrame = {
-    val idx = index.filter(col("depth_idx") < maxDepthLevels) // P5
-    // nearest grid time via a sorted literal axis (tiny, plan-time):
-    // pick the first axis entry whose midpoint-to-next exceeds hour
+  /** Fix → (grid_time, glat_idx, glon_idx) snap: nearest grid time via
+    * a sorted literal axis (tiny, plan-time; `<=` midpoint keeps the
+    * EARLIER entry on exact ties — reference first-argmin,
+    * trackplot_hycom.py:194), then O(1) arithmetic cell snap (J1).
+    * Shared by [[profile]] and the scope computation in
+    * [[neighborhoodIndexScoped]] so both use identical snapping.
+    */
+  private def snapFixes(fixes: DataFrame, spec: GridSpec): DataFrame = {
     val times = spec.times.sorted
     val nearestTime = times.zip(times.tail).foldRight(lit(times.last)) {
       case ((t, next), rest) =>
-        // <= midpoint keeps the EARLIER entry on exact midpoint ties
-        // (reference first-argmin, trackplot_hycom.py:194)
         when(col("hour").cast("double") - t <= (next - t) / 2.0, lit(t)).otherwise(rest)
     }
-    val snapped = NearestJoin.snapRegular(
+    NearestJoin.snapRegular(
       NearestJoin.snapRegular(
         fixes.withColumn("hour", TimeFns.hoursSince2000(col("ts")))
           .withColumn("grid_time", nearestTime),
         col("lat"), spec.latMin, spec.latStep, spec.nLat, "glat"),
       col("lon"), spec.lonMin, spec.lonStep, spec.nLon, "glon")
+  }
+
+  def profile(fixes: DataFrame, index: DataFrame, spec: GridSpec,
+              maxDepthLevels: Int = 25): DataFrame = {
+    val idx = index.filter(col("depth_idx") < maxDepthLevels) // P5
+    val snapped = snapFixes(fixes, spec)
 
     val nLat = (x: Column) => lit(spec.latMin) + (col("glat_idx") + x.getField("di")) * spec.latStep
     val nLon = (x: Column) => lit(spec.lonMin) + (col("glon_idx") + x.getField("dj")) * spec.lonStep
