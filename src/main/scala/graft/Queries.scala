@@ -263,15 +263,14 @@ object Queries {
     * (strict `<` argmin semantics, SURVEY §7.4 trap 2).
     */
   private def q15(s: SparkSession, dir: String): DataFrame = {
+    // broadcast sorted-axis binary search (ops.NearestJoin.nearest1d):
+    // O(N log m), fact side never shuffled — replaces the cross-join
+    // min_by argmin that went quadratic in the sf1 scale probe (45 s
+    // at 150k × 10k). Same (dist, key) argmin semantics as the oracle.
     val c = t(s, dir, "customer").select($"c_custkey", $"c_acctbal")
     val sup = t(s, dir, "supplier").select($"s_suppkey", $"s_acctbal")
-    c.crossJoin(broadcast(sup))
-      .groupBy($"c_custkey")
-      .agg(
-        min_by(struct($"s_suppkey"),
-               struct(abs($"c_acctbal" - $"s_acctbal"), $"s_suppkey"))
-          .getField("s_suppkey").as("nearest_supp"),
-        first($"c_acctbal").as("c_acctbal"))
+    graft.ops.NearestJoin.nearest1d(c, $"c_acctbal", sup,
+        "s_suppkey", "s_acctbal", "nearest_supp")
       .select($"c_custkey", $"c_acctbal", $"nearest_supp")
       .orderBy($"c_custkey")
   }

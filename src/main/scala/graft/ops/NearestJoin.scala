@@ -45,6 +45,37 @@ object NearestJoin {
       .withColumn(s"${prefix}_snap", lit(origin) + col(s"${prefix}_idx") * lit(step))
   }
 
+  /** Big-fact × dim 1-D nearest join via a broadcast SORTED axis +
+    * per-row binary search ([[graft.fn.Nearest1dKey]]) — O(N·log m)
+    * with NO shuffle of the fact side at all (vs [[snapByAxis]]'s
+    * O(N·m) distance evals + full-relation shuffle). The axis is
+    * reduced to one row of sorted parallel arrays with a distributed
+    * aggregation (duplicate values pre-reduced to their min key, so
+    * the kernel's midpoint tie-break reproduces
+    * `min_by(struct(key), struct(dist, key))` exactly); that one row
+    * broadcasts and the lookup fuses into the fact scan's codegen
+    * span. Bound: the axis must fit in one task / the broadcast
+    * (dim-table scale, the same bound any broadcast join has).
+    *
+    * This surfaced from the sf1 scale probe: the cross-join argmin
+    * formulation was 45 s at sf1 (150k × 10k) and quadratic beyond;
+    * this plan is linear in the fact side.
+    */
+  def nearest1d(df: DataFrame, coord: Column, axis: DataFrame,
+                axisKey: String, axisVal: String, out: String): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    val packed = axis
+      .groupBy(col(axisVal).cast("double").as("__v"))
+      .agg(min(col(axisKey).cast("long")).as("__k"))
+      .agg(sort_array(collect_list(struct(col("__v"), col("__k")))).as("__s"))
+      .select(col("__s.__v").as("__vals"), col("__s.__k").as("__keys"))
+    df.crossJoin(broadcast(packed))
+      .withColumn(out, gb.column(graft.fn.Nearest1dKey(
+        gb.expression(coord.cast("double")),
+        gb.expression(col("__vals")), gb.expression(col("__keys")))))
+      .drop("__vals", "__keys")
+  }
+
   /** General nearest-value snap against an arbitrary (small) axis table.
     *
     * @param df       rows to snap (any size — this side is never shuffled

@@ -98,6 +98,29 @@ class JoinOpsSpec extends SparkSpec {
     assert(got === Seq((1L, 0, 5.0), (2L, 0, 5.0), (3L, 1, 10.0)))
   }
 
+  test("nearest1d: binary-search join == brute-force (dist, key) argmin, incl. ties") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // axis with DUPLICATE values (key reduction) and fact points ON
+    // midpoints (tie-break) and outside the axis range (clamp)
+    val axis = ((0 until 50).map(i => (i.toLong + 100, rnd.nextInt(20) * 0.5)) ++
+      Seq((900L, 3.25), (901L, 3.25))).toDF("k", "v")
+    val facts = ((0 until 400).map(i => (i.toLong, rnd.nextDouble() * 12 - 1)) ++
+      Seq((1000L, 3.375), (1001L, -50.0), (1002L, 50.0))).toDF("id", "x")
+    val got = NearestJoin.nearest1d(facts, $"x", axis, "k", "v", "nk")
+      .select($"id", $"nk").as[(Long, Long)].collect().toMap
+    val brute = facts.crossJoin(axis)
+      .groupBy($"id")
+      .agg(min_by(struct($"k"), struct(abs($"x" - $"v"), $"k")).getField("k").as("nk"))
+      .select($"id", $"nk").as[(Long, Long)].collect().toMap
+    assert(got === brute)
+    // plan: no shuffle of the fact side, kernel inside codegen
+    val plan = NearestJoin.nearest1d(facts, $"x", axis, "k", "v", "nk")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("nearest1d_key"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+  }
+
   test("asof nearestBroadcast: nearest time, first-index tie-break") {
     import spark.implicits._
     val track = Seq((0L, 145769L), (1L, 145773L), (2L, 145790L)).toDF("point_id", "hour")
