@@ -304,6 +304,45 @@ object Queries4 {
       |  CAST(LEN(LIST_INTERSECT(q, [1, 2, 3])) > 0 AS INTEGER) AS overlaps_123
       |FROM e ORDER BY vec_id""".stripMargin
 
+  /** A5 multi-degree OLS (ops.Polyfit): deg-2 fit of scaled
+    * extendedprice against scaled quantity per returnflag. Both
+    * engines compute the same power moments (x scaled into [0, 1] so
+    * the Hankel system is well-conditioned and the two solve
+    * algorithms — Gaussian elimination here, Cramer's rule in the
+    * oracle — agree far beyond the 6-decimal round).
+    */
+  private def q79(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Polyfit.fit(t(s, dir, "lineitem"), Seq("l_returnflag"),
+        $"l_quantity" / 50.0, $"l_extendedprice" / 100000.0, deg = 2)
+      .select($"l_returnflag",
+        round(element_at($"coeffs", 1), 6).as("c0"),
+        round(element_at($"coeffs", 2), 6).as("c1"),
+        round(element_at($"coeffs", 3), 6).as("c2"))
+      .orderBy($"l_returnflag")
+
+  private val q79Sql =
+    """WITH m AS (
+      |  SELECT l_returnflag,
+      |    SUM(POW(l_quantity / 50.0, 0)) AS s0,
+      |    SUM(POW(l_quantity / 50.0, 1)) AS s1,
+      |    SUM(POW(l_quantity / 50.0, 2)) AS s2,
+      |    SUM(POW(l_quantity / 50.0, 3)) AS s3,
+      |    SUM(POW(l_quantity / 50.0, 4)) AS s4,
+      |    SUM(l_extendedprice / 100000.0 * POW(l_quantity / 50.0, 0)) AS t0,
+      |    SUM(l_extendedprice / 100000.0 * POW(l_quantity / 50.0, 1)) AS t1,
+      |    SUM(l_extendedprice / 100000.0 * POW(l_quantity / 50.0, 2)) AS t2
+      |  FROM lineitem GROUP BY l_returnflag
+      |), d AS (
+      |  SELECT *,
+      |    s0*(s2*s4 - s3*s3) - s1*(s1*s4 - s3*s2) + s2*(s1*s3 - s2*s2) AS det
+      |  FROM m
+      |)
+      |SELECT l_returnflag,
+      |  ROUND((t0*(s2*s4 - s3*s3) - s1*(t1*s4 - s3*t2) + s2*(t1*s3 - s2*t2)) / det, 6) AS c0,
+      |  ROUND((s0*(t1*s4 - s3*t2) - t0*(s1*s4 - s3*s2) + s2*(s1*t2 - t1*s2)) / det, 6) AS c1,
+      |  ROUND((s0*(s2*t2 - t1*s3) - s1*(s1*t2 - t1*s2) + t0*(s1*s3 - s2*s2)) / det, 6) AS c2
+      |FROM d ORDER BY l_returnflag""".stripMargin
+
   // ------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -314,7 +353,8 @@ object Queries4 {
     "q75_levenshtein" -> (q75 _),
     "q76_range_frames" -> (q76 _),
     "q77_asof_nearest" -> (q77 _),
-    "q78_array_fns" -> (q78 _)
+    "q78_array_fns" -> (q78 _),
+    "q79_polyfit2" -> (q79 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -325,7 +365,8 @@ object Queries4 {
     "q75_levenshtein" -> q75Sql,
     "q76_range_frames" -> q76Sql,
     "q77_asof_nearest" -> q77Sql,
-    "q78_array_fns" -> q78Sql
+    "q78_array_fns" -> q78Sql,
+    "q79_polyfit2" -> q79Sql
   )
 
   private implicit class Dollar(val sc: StringContext) {

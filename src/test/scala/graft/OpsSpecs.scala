@@ -64,6 +64,34 @@ class IdwSpec extends SparkSpec {
     assert(out.head.getDouble(1) === 5.0)
   }
 
+  test("Polyfit: exact deg-2 and deg-3 recovery; singular x -> null coeffs") {
+    import spark.implicits._
+    import graft.ops.Polyfit
+    // y = 2 - 3x + 0.5x² exactly, two groups
+    val df = (for (g <- Seq("a", "b"); i <- 0 until 40) yield {
+      val x = i * 0.25
+      (g, x, 2.0 - 3.0 * x + 0.5 * x * x)
+    }).toDF("g", "x", "y")
+    val got = Polyfit.fit(df, Seq("g"), $"x", $"y", 2)
+      .select($"g", $"coeffs").as[(String, Seq[Double])].collect().toMap
+    Seq("a", "b").foreach { g =>
+      val c = got(g)
+      assert(math.abs(c(0) - 2.0) < 1e-8 && math.abs(c(1) + 3.0) < 1e-8 &&
+        math.abs(c(2) - 0.5) < 1e-8, s"$g -> $c")
+    }
+    // deg-3: y = 1 + x - 2x² + 0.125x³
+    val df3 = (0 until 50).map { i =>
+      val x = i * 0.2 - 5
+      ("g", x, 1.0 + x - 2.0 * x * x + 0.125 * x * x * x)
+    }.toDF("g", "x", "y")
+    val c3 = Polyfit.fit(df3, Seq("g"), $"x", $"y", 3)
+      .select($"coeffs").as[Seq[Double]].head()
+    assert(Seq(1.0, 1.0, -2.0, 0.125).zip(c3).forall { case (e, a) => math.abs(e - a) < 1e-7 }, c3)
+    // all x equal -> singular normal equations -> null, not garbage
+    val bad = Seq(("g", 1.0, 1.0), ("g", 1.0, 2.0)).toDF("g", "x", "y")
+    assert(Polyfit.fit(bad, Seq("g"), $"x", $"y", 2).select($"coeffs").collect().head.isNullAt(0))
+  }
+
   test("OLS slope/intercept recover an exact linear relation") {
     import spark.implicits._
     // y = 1/24 x + 730120 — the notebook's polyfit ground truth shape

@@ -145,6 +145,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream as-of: latest in-lag reference per event, state watermark-bounded") {
+    import org.apache.spark.sql.types._
+    val evSch = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType)))
+    val refSch = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", LongType),
+      StructField("ref_value", DoubleType)))
+    val evDir = java.nio.file.Files.createTempDirectory("ssa_ev").toString
+    val refDir = java.nio.file.Files.createTempDirectory("ssa_ref").toString
+    val min = 60L * 1000000000L
+    def writeEv(rows: Seq[(Long, Long, Long)]): Unit =
+      spark.createDataFrame(rows.toDF("event_id", "ts", "user_id").rdd, evSch)
+        .coalesce(1).write.mode("append").parquet(evDir)
+    def writeRef(rows: Seq[(Long, Long, Double)]): Unit =
+      spark.createDataFrame(rows.toDF("user_id", "ts", "ref_value").rdd, refSch)
+        .coalesce(1).write.mode("append").parquet(refDir)
+
+    // user 1: refs at 10min (v=1.0) and 40min (v=2.0); user 2: ref at 5min (v=9.0)
+    writeRef(Seq((1L, 10 * min, 1.0), (1L, 40 * min, 2.0), (2L, 5 * min, 9.0)))
+    // events: e1@15min u1 -> ref 1.0; e2@45min u1 -> ref 2.0 (latest of two in lag);
+    // e3@130min u1 -> refs 10/40min are >60min stale -> DROPPED;
+    // e4@20min u2 -> ref 9.0; e5@30min u99 (no refs) -> dropped
+    writeEv(Seq((1L, 15 * min, 1L), (2L, 45 * min, 1L),
+      (3L, 130 * min, 1L), (4L, 20 * min, 2L), (5L, 30 * min, 99L)))
+
+    val out = EventStreams.asofStreamStream(
+      spark.readStream.schema(evSch).option("maxFilesPerTrigger", "1").parquet(evDir),
+      spark.readStream.schema(refSch).option("maxFilesPerTrigger", "1").parquet(refDir),
+      maxLag = "60 minutes")
+    val q = out.writeStream.format("memory").queryName("ssa")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // sentinel batch far in the future flushes the watermark-gated agg
+      writeEv(Seq((100L, 600 * min, 1000L)))
+      writeRef(Seq((1000L, 599 * min, 0.0)))
+      q.processAllAvailable()
+      val got = spark.table("ssa")
+        .filter($"event_id" < 100)
+        .select($"event_id", $"ref_value").as[(Long, Double)].collect().toMap
+      assert(got === Map(1L -> 1.0, 2L -> 2.0, 4L -> 9.0))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization: closed sessions match the batch gap logic") {
     import org.apache.spark.sql.types._
     val sch = StructType(Seq(
