@@ -35,11 +35,25 @@ object GraftExtensions {
       mk(children(0), children(1))
     })
 
+  private def unaryFn(name: String, clazz: Class[_],
+                      mk: Expression => Expression) = (
+    new FunctionIdentifier(name),
+    new ExpressionInfo(clazz.getName, name),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, s"$name expects 1 arg; got ${children.size}")
+      mk(children.head)
+    })
+
   /** The engine's SQL function surface (VERDICT r2 item 8): every
     * library-level scalar also callable as SQL — `vincenty_km`,
-    * `dot_product`, `cosine_sim`, `hamming64`.
+    * `dot_product`, `cosine_sim`, `hamming64`, and the multimodal
+    * decoders `png_gray_features` / `wav_pcm_features`.
     */
   private[graft] val functions = Seq(
+    unaryFn("png_gray_features", classOf[graft.fn.PngGrayFeatures],
+      graft.fn.PngGrayFeatures(_)),
+    unaryFn("wav_pcm_features", classOf[graft.fn.WavPcmFeatures],
+      graft.fn.WavPcmFeatures(_)),
     (
       new FunctionIdentifier("vincenty_km"),
       new ExpressionInfo(classOf[VincentyKm].getName, "vincenty_km"),

@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
   * with TYPED metadata, processed relationally (the brief's multimodal
   * surface). The design rule: metadata extraction and routing stay in
   * Catalyst (codegen'd binary `substring`/`hex`/`conv` — no UDF, no
-  * library), while pixel/sample DECODE — which needs codec libraries
-  * this environment does not ship — is isolated behind one
-  * clearly-marked deterministic stub with the real distributed
-  * plumbing (schema, batching, partition shape) in place.
+  * library), and decode runs JDK-only where the format allows it —
+  * PNG pixels ([[Png]], inflate + unfilter) and WAV PCM samples
+  * ([[Wav]], chunk walk) are REAL decodes behind native codegen
+  * expressions; only modalities with no in-container codec (video)
+  * fall back to one clearly-marked deterministic stub with the real
+  * distributed plumbing (schema, batching, partition shape) in place.
   *
   * Scale notes:
   *  - `binaryFile` scans parallelize per file; payload bytes never
@@ -90,9 +92,59 @@ object Multimodal {
       gb.column(graft.fn.PngGrayFeatures(gb.expression(col(contentCol)), nBins)))
   }
 
-  /** Deterministic feature extraction over NON-IMAGE binary payloads
-    * (audio/video — PNG rows have REAL features via
-    * [[withPngFeatures]]).
+  /** REAL audio features: RIFF PCM payloads are sample-decoded
+    * JDK-only (chunk walk → channel-averaged samples; [[Wav]]) into
+    * [channels, sample_rate, bits, n_frames, rms, mean, peak,
+    * zero_cross_rate] — via the [[graft.fn.WavPcmFeatures]] native
+    * expression, inside whole-stage codegen, no UDF. Non-WAV rows get
+    * null features.
+    */
+  def withWavFeatures(assets: DataFrame,
+                      contentCol: String = "content"): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    assets.withColumn("features",
+      gb.column(graft.fn.WavPcmFeatures(gb.expression(col(contentCol)))))
+  }
+
+  /** Typed WAV metadata (sample format + duration), derived from the
+    * same single decode as [[withWavFeatures]]: Catalyst prunes the
+    * struct fields it doesn't need, and non-WAV rows get a null
+    * struct.
+    */
+  def withWavMeta(assets: DataFrame, contentCol: String = "content"): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    val f = gb.column(graft.fn.WavPcmFeatures(gb.expression(col(contentCol))))
+    assets.withColumn("meta",
+      when(f.isNotNull, struct(
+        element_at(f, 1).cast("int").as("channels"),
+        element_at(f, 2).cast("long").as("sample_rate"),
+        element_at(f, 3).cast("int").as("bits_per_sample"),
+        element_at(f, 4).cast("long").as("n_frames"),
+        (element_at(f, 4) / element_at(f, 2)).as("duration_sec"),
+        length(col(contentCol)).as("n_bytes"))))
+  }
+
+  /** Route each asset row to its modality's REAL decoder — PNG pixels
+    * ([[withPngFeatures]]) or WAV samples ([[withWavFeatures]]) — and
+    * only fall back to the deterministic stub ([[withFeatureStub]])
+    * for modalities with no in-container codec (video). One narrow
+    * projection; each kernel only runs on rows it can decode.
+    */
+  def withFeatures(assets: DataFrame, nBins: Int = 16, stubDim: Int = 16,
+                   contentCol: String = "content"): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    val png = gb.column(graft.fn.PngGrayFeatures(gb.expression(col(contentCol)), nBins))
+    val wav = gb.column(graft.fn.WavPcmFeatures(gb.expression(col(contentCol))))
+    val seed = xxhash64(col(contentCol))
+    val stub = array((0 until stubDim).map { i =>
+      (pmod(xxhash64(lit(i), seed), lit(2000000L)).cast("double") / 1000000.0 - 1.0)
+    }: _*)
+    assets.withColumn("features", coalesce(png, wav, stub))
+  }
+
+  /** Deterministic feature extraction over binary payloads with NO
+    * in-container codec (video — PNG and WAV rows have REAL features
+    * via [[withPngFeatures]] / [[withWavFeatures]]).
     *
     * ==STUB NOTICE==
     * Audio/video sample decode + embedding needs codec/model runtimes

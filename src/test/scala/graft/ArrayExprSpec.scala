@@ -84,4 +84,14 @@ class ArrayExprSpec extends SparkSpec {
     assert(r.getDouble(1) === 1.0)
     assert(r.getInt(2) === 2)  // 101 xor 110 = 011
   }
+
+  test("SQL surface: multimodal decoders callable after install") {
+    GraftExtensions.install(spark)
+    // non-decodable payloads -> null from both kernels
+    val r = spark.sql(
+      """SELECT png_gray_features(CAST('junk' AS BINARY)) AS p,
+        |       wav_pcm_features(CAST('junk' AS BINARY)) AS w""".stripMargin)
+      .collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
 }

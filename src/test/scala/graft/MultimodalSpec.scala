@@ -104,6 +104,85 @@ class MultimodalSpec extends SparkSpec {
     assert(plan.contains("png_gray_features"), plan)
   }
 
+  // -------------------------------------------------------- WAV audio
+
+  /** Canonical RIFF/WAVE writer (test-side ground truth): interleaved
+    * integer frames, optional LIST chunk BEFORE fmt to exercise the
+    * decoder's chunk walk.
+    */
+  private def wavBytes(channels: Int, sampleRate: Int, bits: Int,
+                       frames: Seq[Seq[Long]], listChunk: Boolean = false): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def le(v: Long, n: Int): Unit = (0 until n).foreach(i => bos.write(((v >> (8 * i)) & 0xff).toInt))
+    def ascii(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    val bytesPer = bits / 8
+    val dataLen = frames.size * channels * bytesPer
+    val listLen = if (listChunk) 8 + 4 else 0 // "LIST" + size + "INFO"
+    ascii("RIFF"); le(4 + listLen + 24 + 8 + dataLen, 4); ascii("WAVE")
+    if (listChunk) { ascii("LIST"); le(4, 4); ascii("INFO") }
+    ascii("fmt "); le(16, 4)
+    le(1, 2); le(channels, 2); le(sampleRate, 4)
+    le(sampleRate.toLong * channels * bytesPer, 4); le(channels * bytesPer, 2); le(bits, 2)
+    ascii("data"); le(dataLen, 4)
+    frames.foreach(_.foreach { s =>
+      if (bits == 8) bos.write((s + 128).toInt) else le(s, bytesPer)
+    })
+    bos.toByteArray
+  }
+
+  test("REAL WAV PCM decode: exact rms/mean/peak/zcr on a known square wave") {
+    // 16-bit mono alternating +/-1000: rms = peak = 1000/32768,
+    // mean = 0, every consecutive pair crosses zero -> zcr = 1
+    val sq = (0 until 100).map(i => Seq(if (i % 2 == 0) 1000L else -1000L))
+    val df = Seq(("sq.wav", wavBytes(1, 8000, 16, sq))).toDF("entry", "content")
+    val f = Multimodal.withWavFeatures(df).select($"features").as[Seq[Double]].head()
+    assert(f === Seq(1.0, 8000.0, 16.0, 100.0,
+      1000.0 / 32768.0, 0.0, 1000.0 / 32768.0, 1.0))
+  }
+
+  test("WAV decode: stereo channel averaging + 8-bit unsigned + LIST chunk walk") {
+    // stereo 8-bit frames (L, R) -> mono (L+R)/2/128: (64,-64)->0, (64,64)->0.5
+    val st = Seq(Seq(64L, -64L), Seq(64L, 64L), Seq(-64L, -64L), Seq(64L, -64L))
+    val df = Seq(("st.wav", wavBytes(2, 44100, 8, st, listChunk = true)))
+      .toDF("entry", "content")
+    val meta = Multimodal.withWavMeta(df)
+      .select($"meta.channels", $"meta.sample_rate", $"meta.bits_per_sample",
+        $"meta.n_frames", $"meta.duration_sec")
+      .as[(Int, Long, Int, Long, Double)].head()
+    assert(meta === ((2, 44100L, 8, 4L, 4.0 / 44100.0)))
+    val f = Multimodal.withWavFeatures(df).select($"features").as[Seq[Double]].head()
+    val mono = Seq(0.0, 0.5, -0.5, 0.0)
+    assert(f(4) === math.sqrt(mono.map(x => x * x).sum / 4)) // rms
+    assert(f(5) === 0.0 && f(6) === 0.5)                     // mean, peak
+    assert(f(7) === 1.0 / 3.0)  // one crossing among 3 consecutive-nonzero gaps... sign pairs: (0,+),(+,-),(-,0)
+  }
+
+  test("WAV features: non-WAV payload -> null; plan stays codegen (no UDF)") {
+    val mixed = Seq(("not_wav.bin", Array[Byte](82, 73, 70, 70, 1, 2, 3, 4)))
+      .toDF("entry", "content")
+    assert(Multimodal.withWavFeatures(mixed).select($"features").collect().head.isNullAt(0))
+    // plan assert over the file-backed table (a local literal relation
+    // constant-folds the whole projection into its LocalTableScan)
+    val plan = Multimodal.withWavFeatures(assets).queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"), plan)
+    assert(plan.contains("wav_pcm_features"), plan)
+  }
+
+  test("modality router: PNG -> pixel features, WAV -> sample features, other -> stub") {
+    val wav = wavBytes(1, 8000, 16, (0 until 10).map(_ => Seq(500L)))
+    val png = assets.filter($"entry" === "cat1_nhemi.png")
+      .select($"entry", $"content").as[(String, Array[Byte])].head()._2
+    val rows = Seq(("a.png", png), ("b.wav", wav), ("c.mp4", Array[Byte](0, 1, 2)))
+      .toDF("entry", "content")
+    val got = Multimodal.withFeatures(rows, nBins = 16, stubDim = 12)
+      .select($"entry", $"features").as[(String, Seq[Double])].collect().toMap
+    assert(got("a.png").size === 18)          // 2 moments + 16 bins
+    assert(got("b.wav").size === 8)           // wav feature vector
+    assert(got("b.wav")(3) === 10.0)          // n_frames slot — real decode
+    assert(got("c.mp4").size === 12)          // stub dim
+    assert(got("c.mp4").forall(x => x >= -1.0 && x < 1.0))
+  }
+
   test("REAL features flow into SimJoin: visually-similar storm icons cluster") {
     // the 8 32x32 storm icons are variations of one glyph; the legend
     // is a different image entirely — nearest neighbor of an icon (by
