@@ -98,18 +98,9 @@ object Queries4 {
     val emb = t(s, dir, "embeddings")
       .filter($"vec_id" < 1000)
       .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
-    val bk = SimJoin.buckets(emb, "vec_id", "v", SimPlanes, SimBands)
-    val a = bk.select($"vec_id".as("a_id"), $"band", $"code")
-    val b = bk.select($"vec_id".as("b_id"), $"band", $"code")
-    val cands = a.join(b, Seq("band", "code"))
-      .filter($"a_id" < $"b_id")
-      .select($"a_id", $"b_id").distinct()
-    cands
-      .join(emb.select($"vec_id".as("a_id"), $"v".as("va")), "a_id")
-      .join(emb.select($"vec_id".as("b_id"), $"v".as("vb")), "b_id")
-      .withColumn("cos", SimJoin.cosine($"va", $"vb"))
-      .filter($"cos" >= SimThreshold)
-      .select($"a_id", $"b_id", round($"cos", 6).as("cos_sim"))
+    SimJoin.embeddingNearDupPairs(emb, "vec_id", "v", SimPlanes, SimBands,
+        SimThreshold)
+      .select($"a_id", $"b_id", round($"cos_sim", 6).as("cos_sim"))
       .orderBy($"a_id", $"b_id")
   }
 

@@ -204,6 +204,58 @@ object SimJoin {
       .select(col("q_id"), col("rk"), col(idCol), col("cos_sim"))
   }
 
+  /** Embedding-cosine near-duplicate pairs — the embedding member of
+    * the dedup family (ext/Dedup covers exact / MinHash / SimHash /
+    * n-gram Jaccard): corpus SELF-pairs sharing an LSH band bucket,
+    * exact-cosine verified at `minCos`. Output (a_id, b_id, cos_sim),
+    * a_id < b_id. Same scale skeleton as [[Dedup.nearDupPairs]]:
+    *  - candidates via equi-join on (band, code) — never all-pairs;
+    *  - a count-first `maxBucket` guard drops degenerate buckets
+    *    (e.g. the all-zeros embedding) BEFORE the self-join squares
+    *    them;
+    *  - the candidate table fans into both verify joins, so it is
+    *    persisted (small by the maxBucket invariant);
+    *  - verify is one fused codegen cosine per candidate pair.
+    * Recall follows the [[annTopK]] band math: near-dups live at
+    * cos ≈ 1 where p = 1 − arccos(c)/π ≈ 1, so even long r prunes
+    * hard without losing pairs.
+    */
+  def embeddingNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                            planeMat: Seq[Seq[Double]], b: Int, minCos: Double,
+                            maxBucket: Int = 10000): DataFrame = {
+    val bk = buckets(corpus, idCol, vecCol, planeMat, b)
+    val ok = bk.groupBy(col("band"), col("code")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n").between(2, maxBucket))
+      .select(col("band"), col("code"))
+    val pruned = bk.join(ok, Seq("band", "code"), "left_semi")
+    val cands = pruned.select(col(idCol).as("a_id"), col("band"), col("code"))
+      .join(pruned.select(col(idCol).as("b_id"), col("band"), col("code")),
+        Seq("band", "code"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cands
+      .join(corpus.select(col(idCol).as("a_id"), col(vecCol).as("__va")), "a_id")
+      .join(corpus.select(col(idCol).as("b_id"), col(vecCol).as("__vb")), "b_id")
+      .withColumn("cos_sim", cosine(col("__va"), col("__vb")))
+      .filter(col("cos_sim") >= minCos)
+      .select(col("a_id"), col("b_id"), col("cos_sim"))
+  }
+
+  /** Greedy embedding near-dup removal: drop every vector with a
+    * verified neighbor of SMALLER id (the [[Dedup.dropNearDuplicates]]
+    * convention; compose with [[Dedup.connectedMinLabels]] for full
+    * transitive closure).
+    */
+  def dropEmbeddingNearDups(corpus: DataFrame, idCol: String, vecCol: String,
+                            planeMat: Seq[Seq[Double]], b: Int, minCos: Double,
+                            maxBucket: Int = 10000): DataFrame = {
+    val dupIds = embeddingNearDupPairs(corpus, idCol, vecCol, planeMat, b,
+        minCos, maxBucket)
+      .select(col("b_id").as(idCol)).distinct()
+    corpus.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   /** Exact brute-force cosine top-k (correctness baseline / ground
     * truth for recall measurements; O(|queries|·|corpus|) — only for
     * small query sets or offline evaluation).

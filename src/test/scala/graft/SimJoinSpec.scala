@@ -89,4 +89,34 @@ class SimJoinSpec extends SparkSpec {
     assert(ann.forall { case (q, v) => (q < 50) == (v < 50) })
     assert(ann.count(_._1 == 0L) === 5 && ann.count(_._1 == 50L) === 5)
   }
+
+  test("embedding near-dup: planted clones found, greedy drop keeps min ids") {
+    val dim = 32
+    val rnd = new scala.util.Random(7)
+    def unit(): Seq[Double] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n).toSeq
+    }
+    // 40 well-separated random vectors; ids 100.. are near-clones
+    // (tiny jitter, cos > 0.99) of vectors 0, 1, 2
+    val base = (0 until 40).map(i => (i.toLong, unit()))
+    val clones = (0 until 3).map { i =>
+      (100L + i, base(i)._2.map(x => x + rnd.nextGaussian() * 0.01))
+    }
+    val df = (base ++ clones).toDF("vec_id", "v")
+    val pl = SimJoin.planes(16, dim)
+    val pairs = SimJoin.embeddingNearDupPairs(df, "vec_id", "v", pl,
+        b = 4, minCos = 0.98)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 100L), (1L, 101L), (2L, 102L)))
+    // plan shape: bucketed, never all-pairs
+    val plan = SimJoin.embeddingNearDupPairs(df, "vec_id", "v", pl, 4, 0.98)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    val kept = SimJoin.dropEmbeddingNearDups(df, "vec_id", "v", pl, 4, 0.98)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(kept === base.map(_._1).toSet) // clones dropped, originals kept
+  }
 }
