@@ -282,22 +282,27 @@ object Queries2 {
     * ints; jaccard = int/int division (bit-exact).
     */
   private def q64(s: SparkSession, dir: String): DataFrame = {
-    // set sizes ride along as a count-window over the token relation
-    // (VERDICT r1: the separate sizes aggregate + two joins were 2 of
-    // this query's 5 shuffles)
+    // Set-based formulation (round 3, the jaccardVerify shape): ONE
+    // collect_set row per doc — no distinct, set semantics applied in
+    // the aggregate — then an adjacent-pair equi-join intersected by
+    // codegen array_intersect. The former token-level join shuffled
+    // the token relation twice and windowed it for sizes (history:
+    // round 1 had a sizes aggregate + two joins; round 2 the window;
+    // this shape moves each doc's token set ONCE). inter >= 1 keeps
+    // the inner-join-over-tokens semantics (disjoint pairs drop).
     val toks = t(s, dir, "documents")
       .select($"doc_id", explode(split($"text", " ")).as("tok"))
-      .filter($"tok" =!= "").distinct()
-      .withColumn("sz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")))
-    val a = toks.filter($"doc_id" % 2 === 0)
-      .select($"doc_id".as("a_id"), $"tok", $"sz".as("sa"))
-    val b = toks.select(($"doc_id" - 1).as("a_id"), $"tok", $"doc_id".as("b_id"),
-        $"sz".as("sb"))
-      .filter($"b_id" % 2 === 1)
-    a.join(b, Seq("a_id", "tok"))
-      .groupBy($"a_id", $"b_id")
-      .agg(count(lit(1)).as("inter"), first($"sa").as("sa"), first($"sb").as("sb"))
+      .filter($"tok" =!= "")
+    val sets = toks.groupBy($"doc_id").agg(collect_set($"tok").as("set"))
+    val a = sets.filter($"doc_id" % 2 === 0)
+      .select($"doc_id".as("a_id"), $"set".as("__sa"))
+    val b = sets.filter($"doc_id" % 2 === 1)
+      .select(($"doc_id" - 1).as("a_id"), $"doc_id".as("b_id"), $"set".as("__sb"))
+    a.join(b, "a_id")
+      .select($"a_id", $"b_id",
+        size(array_intersect($"__sa", $"__sb")).as("inter"),
+        size($"__sa").as("sa"), size($"__sb").as("sb"))
+      .filter($"inter" >= 1)
       .select($"a_id", $"b_id",
         ($"inter".cast("double") / ($"sa" + $"sb" - $"inter")).as("jaccard"))
       .orderBy($"a_id")
