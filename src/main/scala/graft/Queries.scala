@@ -163,16 +163,35 @@ object Queries {
 
   /** Inner equi-join chain + agg (J4 family; TPC-H Q5 shape). */
   private def q10(s: SparkSession, dir: String): DataFrame = {
+    // Staged partial-aggregation pushdown (round 3): aggregate BELOW
+    // each join — lineitem collapses to one row per order BEFORE
+    // touching orders (parquet is order-clustered, so the map-side
+    // combine does most of it pre-shuffle), then to one row per
+    // customer before the customer join; the fact table's rows never
+    // ride through the join chain. Decimal sums re-aggregate exactly
+    // (associative), so results are bit-identical to the naive chain
+    // Catalyst would otherwise run — Spark has no automatic
+    // aggregate-through-join rule, which makes this THE join+agg
+    // technique that survives a 100× fact table.
     val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
     val o = t(s, dir, "orders"); val l = t(s, dir, "lineitem")
-    c.join(n, c("c_nationkey") === n("n_nationkey"))
-      .join(o, c("c_custkey") === o("o_custkey"))
-      .join(l, o("o_orderkey") === l("l_orderkey"))
-      .groupBy($"n_name")
+    val perOrder = l.groupBy($"l_orderkey")
       .agg(sum(($"l_extendedprice".cast(DecimalType(18, 2)) *
              (lit(BigDecimal(1)) - $"l_discount".cast(DecimalType(18, 2)))))
-          .cast("double").as("revenue"),
-        count(lit(1)).as("n_items"))
+          .as("__rev"),
+        count(lit(1)).as("__n"))
+    val perCust = perOrder
+      .join(o.select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_custkey")
+      .agg(sum($"__rev").as("__rev"), sum($"__n").as("__n"))
+    perCust
+      .join(c.select($"c_custkey", $"c_nationkey"),
+        $"o_custkey" === $"c_custkey")
+      .join(n, $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(sum($"__rev").cast("double").as("revenue"),
+        sum($"__n").as("n_items"))
       .orderBy($"n_name")
   }
 
