@@ -47,13 +47,14 @@ object GraftExtensions {
   /** The engine's SQL function surface (VERDICT r2 item 8): every
     * library-level scalar also callable as SQL — `vincenty_km`,
     * `dot_product`, `cosine_sim`, `hamming64`, and the multimodal
-    * decoders `png_gray_features` / `wav_pcm_features`.
+    * decoders `png_gray_features` / `wav_pcm_features` / `mp4_meta`.
     */
   private[graft] val functions = Seq(
     unaryFn("png_gray_features", classOf[graft.fn.PngGrayFeatures],
       graft.fn.PngGrayFeatures(_)),
     unaryFn("wav_pcm_features", classOf[graft.fn.WavPcmFeatures],
       graft.fn.WavPcmFeatures(_)),
+    unaryFn("mp4_meta", classOf[graft.fn.Mp4Meta], graft.fn.Mp4Meta(_)),
     (
       new FunctionIdentifier("vincenty_km"),
       new ExpressionInfo(classOf[VincentyKm].getName, "vincenty_km"),

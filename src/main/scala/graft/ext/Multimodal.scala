@@ -124,6 +124,27 @@ object Multimodal {
         length(col(contentCol)).as("n_bytes"))))
   }
 
+  /** Typed MP4/QuickTime metadata: major brand (ftyp leading box, the
+    * overwhelmingly common layout, via codegen substring) + the
+    * [[graft.fn.Mp4Meta]] box walk (timescale, duration, track
+    * count). Video FRAMES stay behind the stub/chunk-sampler — pixel
+    * decode needs codecs this container does not ship — but the
+    * container metadata is real, like PNG's IHDR and WAV's fmt.
+    */
+  def withMp4Meta(assets: DataFrame, contentCol: String = "content"): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    val c = col(contentCol)
+    val m = gb.column(graft.fn.Mp4Meta(gb.expression(c)))
+    assets.withColumn("meta",
+      when(m.isNotNull, struct(
+        when(substring(c, 5, 4).cast("string") === "ftyp",
+          substring(c, 9, 4).cast("string")).as("major_brand"),
+        element_at(m, 1).cast("long").as("timescale"),
+        element_at(m, 2).as("duration_sec"),
+        element_at(m, 3).cast("int").as("n_tracks"),
+        length(c).as("n_bytes"))))
+  }
+
   /** Route each asset row to its modality's REAL decoder — PNG pixels
     * ([[withPngFeatures]]) or WAV samples ([[withWavFeatures]]) — and
     * only fall back to the deterministic stub ([[withFeatureStub]])

@@ -90,8 +90,9 @@ class ArrayExprSpec extends SparkSpec {
     // non-decodable payloads -> null from both kernels
     val r = spark.sql(
       """SELECT png_gray_features(CAST('junk' AS BINARY)) AS p,
-        |       wav_pcm_features(CAST('junk' AS BINARY)) AS w""".stripMargin)
+        |       wav_pcm_features(CAST('junk' AS BINARY)) AS w,
+        |       mp4_meta(CAST('junk' AS BINARY)) AS m""".stripMargin)
       .collect().head
-    assert(r.isNullAt(0) && r.isNullAt(1))
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
   }
 }

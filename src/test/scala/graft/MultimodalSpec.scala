@@ -183,6 +183,46 @@ class MultimodalSpec extends SparkSpec {
     assert(got("c.mp4").forall(x => x >= -1.0 && x < 1.0))
   }
 
+  // -------------------------------------------------------- MP4 video
+
+  /** Minimal ISO BMFF writer: ftyp + moov(mvhd v0/v1, n empty traks),
+    * big-endian box sizes — the container layout the walk must parse.
+    */
+  private def mp4Bytes(timescale: Long, duration: Long, nTracks: Int,
+                       mvhdV1: Boolean = false): Array[Byte] = {
+    def be(v: Long, n: Int): Seq[Byte] =
+      (n - 1 to 0 by -1).map(i => ((v >> (8 * i)) & 0xff).toByte)
+    def box(tp: String, payload: Seq[Byte]): Seq[Byte] =
+      be(payload.size + 8L, 4) ++ tp.getBytes("US-ASCII") ++ payload
+    val mvhd =
+      if (mvhdV1) box("mvhd", Seq[Byte](1, 0, 0, 0) ++
+        be(0, 8) ++ be(0, 8) ++ be(timescale, 4) ++ be(duration, 8))
+      else box("mvhd", Seq[Byte](0, 0, 0, 0) ++
+        be(0, 4) ++ be(0, 4) ++ be(timescale, 4) ++ be(duration, 4))
+    val traks = (0 until nTracks).flatMap(_ => box("trak", Seq.empty))
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII").toSeq ++ be(512, 4))
+    (ftyp ++ box("moov", mvhd ++ traks)).toArray
+  }
+
+  test("REAL MP4 box walk: brand, timescale, duration, track count (v0 and v1 mvhd)") {
+    val rows = Seq(
+      ("a.mp4", mp4Bytes(timescale = 600, duration = 3000, nTracks = 2)),
+      ("b.mp4", mp4Bytes(timescale = 90000, duration = 450000, nTracks = 3, mvhdV1 = true)),
+      ("junk.bin", Array[Byte](0, 0, 0, 8, 1, 2, 3, 4)))
+      .toDF("entry", "content")
+    val got = Multimodal.withMp4Meta(rows)
+      .select($"entry", $"meta.major_brand", $"meta.timescale",
+        $"meta.duration_sec", $"meta.n_tracks")
+      .as[(String, Option[String], Option[Long], Option[Double], Option[Int])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("a.mp4") === ((Some("isom"), Some(600L), Some(5.0), Some(2))))
+    assert(got("b.mp4") === ((Some("isom"), Some(90000L), Some(5.0), Some(3))))
+    assert(got("junk.bin") === ((None, None, None, None)))
+    // codegen plan, no UDF (file-backed table for the plan assert)
+    val plan = Multimodal.withMp4Meta(assets).queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && plan.contains("mp4_meta"), plan)
+  }
+
   test("REAL features flow into SimJoin: visually-similar storm icons cluster") {
     // the 8 32x32 storm icons are variations of one glyph; the legend
     // is a different image entirely — nearest neighbor of an icon (by
