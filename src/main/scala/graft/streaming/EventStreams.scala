@@ -114,10 +114,17 @@ object EventStreams {
     * Contract: events (event_id, user_id, ts·nanos), refs
     * (user_id, ts·nanos, ref_value). Output (event_id, user_id,
     * ref_ts·micros, ref_value).
+    *
+    * `joinType = "leftOuter"` keeps events with NO in-window
+    * reference (null ref_ts/ref_value) — Spark emits the unmatched
+    * left rows once the watermark passes their join window, and the
+    * argmax's `max_by` ignores the null-padded rows whenever a real
+    * match exists, so matched output is identical to the inner form.
     */
   def asofStreamStream(events: DataFrame, refs: DataFrame,
                        maxLag: String = "1 hour",
-                       watermark: String = "2 hours"): DataFrame = {
+                       watermark: String = "2 hours",
+                       joinType: String = "inner"): DataFrame = {
     val l = events.select(col("event_id"), col("user_id"), tsCol.as("l_ts"))
       .withWatermark("l_ts", watermark)
     val r = refs.select(col("user_id").as("__r_user"), tsCol.as("r_ts"),
@@ -126,7 +133,8 @@ object EventStreams {
     l.join(r,
         col("user_id") === col("__r_user") &&
         col("r_ts") <= col("l_ts") &&
-        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $maxLag"))
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $maxLag"),
+        joinType)
       .groupBy(col("l_ts"), col("event_id"), col("user_id"))
       .agg(max_by(struct(col("r_ts"), col("ref_value")),
         struct(col("r_ts"), col("ref_value"))).as("__best"))

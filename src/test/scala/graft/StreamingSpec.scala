@@ -188,6 +188,27 @@ class StreamingSpec extends SparkSpec {
         .select($"event_id", $"ref_value").as[(Long, Double)].collect().toMap
       assert(got === Map(1L -> 1.0, 2L -> 2.0, 4L -> 9.0))
     } finally q.stop()
+
+    // left-outer variant: the no-in-window events (e3 stale refs,
+    // e5 no refs at all) surface with NULL ref instead of dropping;
+    // matched rows are identical to the inner form
+    val outL = EventStreams.asofStreamStream(
+      spark.readStream.schema(evSch).option("maxFilesPerTrigger", "1").parquet(evDir),
+      spark.readStream.schema(refSch).option("maxFilesPerTrigger", "1").parquet(refDir),
+      maxLag = "60 minutes", joinType = "leftOuter")
+    val qL = outL.writeStream.format("memory").queryName("ssa_lo")
+      .outputMode("append").start()
+    try {
+      qL.processAllAvailable()
+      writeEv(Seq((101L, 1200 * min, 1000L))) // push the watermark further
+      qL.processAllAvailable()
+      val gotL = spark.table("ssa_lo")
+        .filter($"event_id" < 100)
+        .select($"event_id", $"ref_value").as[(Long, Option[Double])]
+        .collect().toMap
+      assert(gotL === Map(1L -> Some(1.0), 2L -> Some(2.0), 4L -> Some(9.0),
+        3L -> None, 5L -> None))
+    } finally qL.stop()
   }
 
   test("flatMapGroupsWithState sessionization: closed sessions match the batch gap logic") {
