@@ -214,18 +214,73 @@ object Queries3 {
 
   // ------------------------------------------------------- registry
 
+  /** Connected-components dedup labels through the oracle: the full
+    * near-dup pipeline's verified pairs, then min-label transitive
+    * closure — `Dedup.connectedMinLabels`'s iterate-to-fixpoint
+    * label propagation, mirrored in DuckDB as a WITH RECURSIVE
+    * transitive closure + MIN over the reachable set. The pair graph
+    * is small by construction (verified near-dups), so the
+    * closure-based oracle is cheap even though closure is
+    * quadratic-ish in cluster size — the Spark side's iteration count
+    * scales with cluster DIAMETER instead, which is the 100 TB
+    * difference.
+    */
+  private def q80(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.nearDupPairs(docsPar(s, dir), "doc_id", "text",
+        n = N, k = K, b = B, minJaccard = 0.9, hasher = H)
+      .select($"a_id", $"b_id")
+    Dedup.connectedMinLabels(pairs)
+      .select($"id", $"label")
+      .orderBy($"id")
+  }
+
+  private val q80Sql =
+    s"""WITH RECURSIVE $shinglesCte, $minhashCte, cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+       |), sizes AS (
+       |  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+       |), inter AS (
+       |  SELECT c.a_id, c.b_id, COUNT(*) AS n
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.a_id
+       |  JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+       |  GROUP BY 1, 2
+       |), pairs AS (
+       |  SELECT i.a_id, i.b_id
+       |  FROM inter i
+       |  JOIN sizes sa ON sa.doc_id = i.a_id
+       |  JOIN sizes sb ON sb.doc_id = i.b_id
+       |  WHERE CAST(i.n AS DOUBLE) / (sa.sz + sb.sz - i.n) >= 0.9
+       |), edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION SELECT b_id, a_id FROM pairs
+       |), reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |)
+       |SELECT id, MIN(label) AS label FROM (
+       |  SELECT src AS id, dst AS label FROM reach
+       |  UNION SELECT DISTINCT src, src FROM edges
+       |)
+       |GROUP BY id ORDER BY id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_lsh_bands" -> (q66 _),
     "q67_neardup_pairs" -> (q67 _),
     "q68_simhash" -> (q68 _),
-    "q73_ann_topk" -> (q73 _)
+    "q73_ann_topk" -> (q73 _),
+    "q80_neardup_cc" -> (q80 _)
   )
 
   val oracles: Map[String, String] = Map(
     "q66_lsh_bands" -> q66Sql,
     "q67_neardup_pairs" -> q67Sql,
     "q68_simhash" -> q68Sql,
-    "q73_ann_topk" -> q73Sql
+    "q73_ann_topk" -> q73Sql,
+    "q80_neardup_cc" -> q80Sql
   )
 
   private implicit class Dollar(val sc: StringContext) {

@@ -295,8 +295,25 @@ object Dedup {
     * iterations in practice, `maxIters` bounds the worst case.
     */
   def connectedMinLabels(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+    // CHECKPOINT the pair graph before iterating — lineage truncation,
+    // not just caching. The input is typically the tail of an
+    // expensive verify pipeline, and with plain persist() the loop's
+    // per-iteration plans (which embed the full lineage) miss the
+    // cache substitution and RE-RUN the pipeline every iteration
+    // (measured: 13-16 s vs 2.3 s for the whole q80 at sf0.1).
+    // Truncating lineage at the iteration boundary is the standard
+    // iterative-graph practice (GraphX/MLlib do the same). Reliable
+    // checkpoint when the session has a checkpoint dir (cluster
+    // deployments — keeps fault tolerance); localCheckpoint otherwise
+    // (executor-local storage, the accepted local/dev form). The
+    // checkpointed table is |pairs|-sized — the CC working set, small
+    // relative to the corpus by the near-dup premise.
+    val p =
+      if (pairs.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        pairs.checkpoint()
+      else pairs.localCheckpoint()
+    val edges = p.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(p.select(col("b_id").as("src"), col("a_id").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
