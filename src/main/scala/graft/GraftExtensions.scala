@@ -65,6 +65,8 @@ object GraftExtensions {
       }),
     binaryFn("dot_product", classOf[ArrayDotProduct], ArrayDotProduct(_, _)),
     binaryFn("cosine_sim", classOf[CosineSim], CosineSim(_, _)),
+    binaryFn("polyfit_solve", classOf[graft.fn.PolyfitSolve],
+      graft.fn.PolyfitSolve(_, _)),
     // SimHash distance: composition of codegen built-ins, no custom kernel
     binaryFn("hamming64",
       classOf[org.apache.spark.sql.catalyst.expressions.BitwiseCount],

@@ -85,6 +85,16 @@ class ArrayExprSpec extends SparkSpec {
     assert(r.getInt(2) === 2)  // 101 xor 110 = 011
   }
 
+  test("SQL surface: polyfit_solve callable after install") {
+    GraftExtensions.install(spark)
+    // y = 2 + 3x over x in {0,1,2}: S=[3,3,5], T=[15,21] -> c=[2,3]
+    val r = spark.sql(
+      """SELECT polyfit_solve(array(3.0D, 3.0D, 5.0D),
+        |                     array(15.0D, 21.0D)) AS c""".stripMargin)
+      .collect().head.getSeq[Double](0)
+    assert(math.abs(r(0) - 2.0) < 1e-12 && math.abs(r(1) - 3.0) < 1e-12)
+  }
+
   test("SQL surface: multimodal decoders callable after install") {
     GraftExtensions.install(spark)
     // non-decodable payloads -> null from both kernels

@@ -157,6 +157,21 @@ class MultimodalSpec extends SparkSpec {
     assert(f(7) === 1.0 / 3.0)  // one crossing among 3 consecutive-nonzero gaps... sign pairs: (0,+),(+,-),(-,0)
   }
 
+  test("WAV decode: 24-bit and 32-bit PCM, sign extension exact") {
+    // 24-bit: full-scale divisor 2^23; value -2^22 -> -0.5 (sign-extended)
+    val s24 = Seq(Seq(1L << 22), Seq(-(1L << 22)), Seq(1L << 22), Seq(-(1L << 22)))
+    val f24 = Multimodal.withWavFeatures(
+        Seq(("a.wav", wavBytes(1, 48000, 24, s24))).toDF("entry", "content"))
+      .select($"features").as[Seq[Double]].head()
+    assert(f24 === Seq(1.0, 48000.0, 24.0, 4.0, 0.5, 0.0, 0.5, 1.0))
+    // 32-bit: divisor 2^31
+    val s32 = Seq(Seq(1L << 30), Seq(1L << 30))
+    val f32 = Multimodal.withWavFeatures(
+        Seq(("b.wav", wavBytes(1, 48000, 32, s32))).toDF("entry", "content"))
+      .select($"features").as[Seq[Double]].head()
+    assert(f32(4) === 0.5 && f32(6) === 0.5 && f32(7) === 0.0)
+  }
+
   test("WAV features: non-WAV payload -> null; plan stays codegen (no UDF)") {
     val mixed = Seq(("not_wav.bin", Array[Byte](82, 73, 70, 70, 1, 2, 3, 4)))
       .toDF("entry", "content")
