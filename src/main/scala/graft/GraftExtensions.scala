@@ -35,6 +35,15 @@ object GraftExtensions {
       mk(children(0), children(1))
     })
 
+  /** Structural parameters (shingle size, signature width) must be
+    * integer literals — they shape the expression, not the data.
+    */
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
   private def unaryFn(name: String, clazz: Class[_],
                       mk: Expression => Expression) = (
     new FunctionIdentifier(name),
@@ -55,6 +64,20 @@ object GraftExtensions {
     unaryFn("wav_pcm_features", classOf[graft.fn.WavPcmFeatures],
       graft.fn.WavPcmFeatures(_)),
     unaryFn("mp4_meta", classOf[graft.fn.Mp4Meta], graft.fn.Mp4Meta(_)),
+    (
+      new FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[graft.fn.WordShingles].getName, "word_shingles"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, s"word_shingles expects (text, n); got ${children.size} args")
+        graft.fn.WordShingles(children(0), litInt(children(1), "n"))
+      }),
+    (
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[graft.fn.MinhashSig].getName, "minhash_sig"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, s"minhash_sig expects (text, n, k); got ${children.size} args")
+        graft.fn.MinhashSig(children(0), litInt(children(1), "n"), litInt(children(2), "k"))
+      }),
     (
       new FunctionIdentifier("vincenty_km"),
       new ExpressionInfo(classOf[VincentyKm].getName, "vincenty_km"),

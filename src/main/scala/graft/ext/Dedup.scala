@@ -129,6 +129,24 @@ object Dedup {
       .select(col(idCol), array((0 until k).map(i => col(s"__h$i")): _*).as("sig"))
   }
 
+  /** Per-ROW MinHash signatures via the native [[graft.fn.MinhashSig]]
+    * kernel: (idCol, sig) computed inside the scan's codegen span —
+    * NO explode, NO groupBy, NO shuffle. Bit-identical to
+    * [[minhashSignatures]] with [[XxHasher]] (DedupSpec asserts);
+    * docs shorter than n words are dropped (the aggregate form emits
+    * no row for them either). This is the form a STREAM uses
+    * (stateless per-document signatures) and the cheapest batch form;
+    * the aggregate form remains for pluggable hashers (the md5
+    * ParityHasher oracle path).
+    */
+  def minhashSigPerRow(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    docs.select(col(idCol),
+        gb.column(graft.fn.MinhashSig(gb.expression(col(textCol)), n, k)).as("sig"))
+      .filter(col("sig").isNotNull)
+  }
+
   /** LSH banding: split the k-element signature into `b` bands of
     * r = k/b rows each; a band's bucket key hashes its r elements.
     * Output (idCol, band, band_hash) — b small rows per doc (explode

@@ -19,6 +19,57 @@ object TextKernels {
 
   private val Empty = new GenericArrayData(new Array[Any](0))
 
+  /** Per-ROW k-wide MinHash signature over word n-gram shingles —
+    * bit-identical to `Dedup.minhashSignatures(shingleStream(…),
+    * XxHasher)` (asserted by DedupSpec), but computed inside the
+    * row's codegen span: content hash = xxhash64(shingle) (Catalyst's
+    * exact string path, `XXH64.hashUTF8String` seed 42), derived
+    * hash i = xxhash64(i, content) (seed-chained hashInt→hashLong,
+    * Catalyst's multi-child order). Returns null when the text has
+    * fewer than n words (the aggregate form emits no row there).
+    *
+    * This kernel is what makes signatures SHUFFLE-FREE (the aggregate
+    * form pays an explode + groupBy) and streaming near-dup possible
+    * at all: a signature per arriving document with no state.
+    */
+  def minhashSig(s: UTF8String, n: Int, k: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val str = s.toString
+    val len = str.length
+    val toks = new java.util.ArrayList[String]
+    var i = 0
+    while (i < len) {
+      while (i < len && str.charAt(i) == ' ') i += 1
+      val start = i
+      while (i < len && str.charAt(i) != ' ') i += 1
+      if (i > start) toks.add(str.substring(start, i))
+    }
+    val m = toks.size - n + 1
+    if (m <= 0) return null
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val sb = new java.lang.StringBuilder
+    var j = 0
+    while (j < m) {
+      sb.setLength(0)
+      var t = 0
+      while (t < n) {
+        if (t > 0) sb.append(' ')
+        sb.append(toks.get(j + t))
+        t += 1
+      }
+      val prepared = XXH64.hashUTF8String(UTF8String.fromString(sb.toString), 42L)
+      var h = 0
+      while (h < k) {
+        val v = XXH64.hashLong(prepared, XXH64.hashInt(h, 42L))
+        if (v < mins(h)) mins(h) = v
+        h += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
   def wordShingles(s: UTF8String, n: Int): ArrayData = {
     val str = s.toString
     val len = str.length

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming MinHash NEAR-duplicate filtering — the streaming face of
+  * `ext/Dedup.nearDupPairs` (EventStreams covers streaming EXACT
+  * dedup). Possible at all because signatures are per-row and
+  * stateless ([[graft.fn.MinhashSig]], the shuffle-free kernel): each
+  * arriving document hashes to its b LSH band buckets; a document is
+  * kept iff it is the FIRST occupant of ALL its buckets within the
+  * watermark horizon — i.e. dropped when it shares any bucket with an
+  * earlier document, the standard streaming formulation of "LSH says
+  * probable near-dup of something already ingested".
+  *
+  * Plan — two chained stateful operators, both watermark-bounded:
+  *  1. per-row signature + band explode (narrow, stateless), then
+  *     `dropDuplicatesWithinWatermark` on the bucket key — state is
+  *     one entry per OCCUPIED bucket, evicted at watermark + horizon;
+  *  2. count surviving band rows per (event-time, doc): a doc keeping
+  *     all b of its bucket rows was first everywhere → keep. Keyed by
+  *     the watermarked event time so append-mode output flushes as
+  *     the watermark passes (the [[EventStreams.asofStreamStream]]
+  *     chaining shape).
+  *
+  * Semantics notes: across micro-batches "first" is arrival order
+  * (exactly the batch pipeline's keep-min-id convention when ids
+  * follow time). Within ONE micro-batch the bucket winner is
+  * arbitrary, so two same-batch near-dups may BOTH drop — the
+  * conservative direction (never keeps both). Documents with fewer
+  * than n words have no signature and are always kept: their bucket
+  * keys derive from their own doc_id (singleton buckets, never
+  * collide).
+  *
+  * Contract: docs (doc_id: long, ts: long nanos, text: string) →
+  * kept docs (doc_id, ts·micros). Exact-verify of survivors (the
+  * batch pipeline's Jaccard step) is a batch concern — LSH banding
+  * alone is the accepted streaming trade (no pairwise state).
+  */
+object DocStreams {
+
+  def nearDupFilter(docs: DataFrame, n: Int = 3, k: Int = 16, b: Int = 8,
+                    horizon: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    require(k % b == 0, s"signature length $k not divisible into $b bands")
+    val r = k / b
+
+    val sig = gb.column(graft.fn.MinhashSig(gb.expression(col("text")), n, k))
+    val withSig = docs
+      .select(col("doc_id"), EventStreams.tsCol.as("ts_t"), sig.as("sig"))
+    val bandStructs = (0 until b).map { bi =>
+      val parts = (0 until r).map(j => element_at(col("sig"), bi * r + j + 1))
+      struct(lit(bi).as("band"),
+        coalesce(xxhash64(parts: _*), xxhash64(lit(-1), col("doc_id"))).as("band_hash"))
+    }
+    val bands = withSig
+      .select(col("doc_id"), col("ts_t"), explode(array(bandStructs: _*)).as("__bs"))
+      .select(col("doc_id"), col("ts_t"),
+        col("__bs.band").as("band"), col("__bs.band_hash").as("band_hash"))
+      .withWatermark("ts_t", horizon)
+
+    bands
+      .dropDuplicatesWithinWatermark(Seq("band", "band_hash"))
+      .groupBy(col("ts_t"), col("doc_id"))
+      .agg(count(lit(1)).as("__nb"))
+      .filter(col("__nb") === b)
+      .select(col("doc_id"), unix_micros(col("ts_t")).as("ts"))
+  }
+}

@@ -95,6 +95,18 @@ class ArrayExprSpec extends SparkSpec {
     assert(math.abs(r(0) - 2.0) < 1e-12 && math.abs(r(1) - 3.0) < 1e-12)
   }
 
+  test("SQL surface: word_shingles / minhash_sig callable after install") {
+    GraftExtensions.install(spark)
+    val r = spark.sql(
+      """SELECT word_shingles('a b c d', 3) AS sh,
+        |       minhash_sig('a b c d', 3, 4) AS sig,
+        |       minhash_sig('too short', 3, 4) AS none""".stripMargin)
+      .collect().head
+    assert(r.getSeq[String](0) === Seq("a b c", "b c d"))
+    assert(r.getSeq[Long](1).size === 4)
+    assert(r.isNullAt(2))
+  }
+
   test("SQL surface: multimodal decoders callable after install") {
     GraftExtensions.install(spark)
     // non-decodable payloads -> null from both kernels

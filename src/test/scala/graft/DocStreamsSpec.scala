@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.DocStreams
+
+/** Streaming MinHash near-dup filter: earlier docs suppress
+  * later-arriving near-duplicates across micro-batches; unique and
+  * sub-shingle docs survive.
+  */
+class DocStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("per-row signature kernel == aggregate signatures (XxHasher), bit-exact") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val agg = graft.ext.Dedup.minhashSignatures(
+        graft.ext.Dedup.shingleStream(docs, "doc_id", "text", 3),
+        "doc_id", 16, graft.ext.Dedup.XxHasher)
+      .select($"doc_id", $"sig").as[(Long, Seq[Long])].collect().toMap
+    val perRow = graft.ext.Dedup.minhashSigPerRow(docs, "doc_id", "text", 3, 16)
+      .select($"doc_id", $"sig").as[(Long, Seq[Long])].collect().toMap
+    assert(perRow.size === agg.size)
+    assert(perRow === agg)
+    // and the per-row plan has no shuffle at all
+    val plan = graft.ext.Dedup.minhashSigPerRow(docs, "doc_id", "text", 3, 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("streaming near-dup filter: exact/near dups dropped across batches, unique+short kept") {
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ts", LongType),
+      StructField("text", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("docstream").toString
+    val min = 60L * 1000000000L
+    def write(rows: Seq[(Long, Long, String)]): Unit =
+      spark.createDataFrame(rows.toDF("doc_id", "ts", "text").rdd, sch)
+        .coalesce(1).write.mode("append").parquet(dir)
+
+    val base = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    // batch 1: two distinct docs + a short doc (no 3-shingle)
+    write(Seq(
+      (1L, 1 * min, base),
+      (2L, 2 * min, "completely different content about spark catalyst optimizer internals and codegen"),
+      (3L, 3 * min, "too short")))
+    // batch 2: exact dup of 1 (all bands collide -> dropped), near dup
+    // of 2 (one word changed -> shares bands -> dropped), fresh doc kept
+    write(Seq(
+      (4L, 4 * min, base),
+      (5L, 5 * min, "completely different content about spark catalyst optimizer internals and codegen today"),
+      (6L, 6 * min, "yet another entirely unrelated document mentioning oceans and hurricanes and grids")))
+
+    val q = DocStreams.nearDupFilter(
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", "1").parquet(dir),
+        n = 3, k = 16, b = 8, horizon = "30 minutes")
+      .writeStream.format("memory").queryName("ndf")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      write(Seq((100L, 600 * min, "sentinel flush document with enough words to shingle properly")))
+      q.processAllAvailable()
+      val kept = spark.table("ndf").filter($"doc_id" < 100)
+        .select($"doc_id").as[Long].collect().toSet
+      assert(kept === Set(1L, 2L, 3L, 6L), s"kept=$kept")
+    } finally q.stop()
+  }
+
+  test("horizon expiry: a dup arriving after the horizon is kept again") {
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ts", LongType),
+      StructField("text", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("docstream2").toString
+    val min = 60L * 1000000000L
+    def write(rows: Seq[(Long, Long, String)]): Unit =
+      spark.createDataFrame(rows.toDF("doc_id", "ts", "text").rdd, sch)
+        .coalesce(1).write.mode("append").parquet(dir)
+    val base = "deduplicate me across the stream with minhash banding and a watermark horizon"
+    write(Seq((1L, 1 * min, base)))
+    // 10 min horizon: doc 2 at +5min is suppressed; doc 50 (unique, at
+    // 60min) advances the watermark past 1min+10min so the bucket
+    // state evicts (the watermark lags one micro-batch — without an
+    // intervening batch the state would still be alive); doc 3 at
+    // 120min then re-occupies the expired bucket -> kept
+    write(Seq((2L, 6 * min, base)))
+    write(Seq((50L, 60 * min, "an unrelated watermark advancing document with plenty of words inside")))
+    // state cleanup runs POST-batch: batch(50) advances the watermark,
+    // batch(51) then evicts the expired bucket, batch(3) re-occupies it
+    write(Seq((51L, 70 * min, "a second filler document so the eviction pass actually runs before doc three")))
+    write(Seq((3L, 120 * min, base)))
+    val q = DocStreams.nearDupFilter(
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", "1").parquet(dir),
+        n = 3, k = 16, b = 8, horizon = "10 minutes")
+      .writeStream.format("memory").queryName("ndf2")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      write(Seq((100L, 1200 * min, "sentinel flush document with enough words to shingle properly")))
+      q.processAllAvailable()
+      val kept = spark.table("ndf2").filter($"doc_id" < 100)
+        .select($"doc_id").as[Long].collect().toSet
+      assert(kept === Set(1L, 50L, 51L, 3L), s"kept=$kept")
+    } finally q.stop()
+  }
+}
