@@ -280,7 +280,12 @@ object Dedup {
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else df
     val stream = maybePersist(shingleStream(docs, idCol, textCol, n))
-    val sigs = minhashSignatures(stream, idCol, k, hasher)
+    // production hasher → the per-row kernel (no explode, no groupBy
+    // on the signature branch); pluggable hashers (md5 oracle parity)
+    // → the aggregate form
+    val sigs =
+      if (hasher eq XxHasher) minhashSigPerRow(docs, idCol, textCol, n, k)
+      else minhashSignatures(stream, idCol, k, hasher)
     val bands = lshBands(sigs, idCol, k, b, hasher)
     val cands = candidatePairs(bands, idCol, maxBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
