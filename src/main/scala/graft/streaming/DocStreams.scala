@@ -66,4 +66,59 @@ object DocStreams {
       .filter(col("__nb") === b)
       .select(col("doc_id"), unix_micros(col("ts_t")).as("ts"))
   }
+
+  /** Streaming ANN enrichment: attach to every arriving embedded
+    * document its most cosine-similar STATIC-corpus vector among LSH
+    * bucket candidates — "tag each ingested doc with its nearest
+    * curated example", the streaming face of [[graft.ext.SimJoin.annTopK]].
+    *
+    * Plan: per-row band codes on the stream side (sign-LSH dots are
+    * plain arithmetic — stateless, inside codegen), corpus buckets
+    * precomputed once on the static side → stream-STATIC equi-join on
+    * (band, code) (no join state at all; the static side broadcasts
+    * or shuffles per micro-batch exactly as a batch join would) →
+    * exact-cosine rescore → one watermark-keyed `max_by` argmax, the
+    * only stateful operator. Docs with no bucket candidate are
+    * dropped (inner join — the ANN "no neighbor found" contract).
+    *
+    * Contract: stream (doc_id: long, ts: long nanos, vec:
+    * array<double>), corpus (idCol, vecCol). Output (doc_id,
+    * ts·micros, nn_id, cos_sim).
+    */
+  def annEnrich(stream: DataFrame, corpus: DataFrame,
+                idCol: String, vecCol: String,
+                planeMat: Seq[Seq[Double]], b: Int,
+                watermark: String = "10 minutes"): DataFrame = {
+    val nPlanes = planeMat.size
+    require(nPlanes % b == 0, s"$nPlanes planes not divisible into $b bands")
+    val rPl = nPlanes / b
+    val corpusBuckets = graft.ext.SimJoin
+      .buckets(corpus, idCol, vecCol, planeMat, b)
+      .join(corpus.select(col(idCol), col(vecCol).as("__cv")), idCol)
+    // band codes computed in-row on the stream side (same arithmetic
+    // as SimJoin.buckets, vec kept for the rescore) — stateless
+    val bits = planeMat.map(pl =>
+      when(graft.ext.SimJoin.dotConst(col("vec"), pl) >= 0, 1).otherwise(0))
+    val codes = (0 until b).map { bi =>
+      struct(lit(bi).as("band"),
+        (0 until rPl).map(j => bits(bi * rPl + j) * lit(1 << j))
+          .reduce(_ + _).as("code"))
+    }
+    val streamSide = stream
+      .select(col("doc_id"), EventStreams.tsCol.as("ts_t"), col("vec"))
+      .withWatermark("ts_t", watermark)
+      .select(col("doc_id"), col("ts_t"), col("vec"),
+        explode(array(codes: _*)).as("__bc"))
+      .select(col("doc_id"), col("ts_t"), col("vec"),
+        col("__bc.band").as("band"), col("__bc.code").as("code"))
+    streamSide
+      .join(corpusBuckets, Seq("band", "code"))
+      .withColumn("cos_sim", graft.ext.SimJoin.cosine(col("vec"), col("__cv")))
+      .groupBy(col("ts_t"), col("doc_id"))
+      .agg(max_by(struct(col("cos_sim"), col(idCol)),
+        struct(col("cos_sim"), col(idCol))).as("__best"))
+      .select(col("doc_id"), unix_micros(col("ts_t")).as("ts"),
+        col("__best").getField(idCol).as("nn_id"),
+        col("__best.cos_sim").as("cos_sim"))
+  }
 }

@@ -65,6 +65,59 @@ class DocStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ANN enrich == batch annTopK k=1 on the same vectors") {
+    import org.apache.spark.sql.types._
+    val dim = 16
+    val rnd = new scala.util.Random(11)
+    def unit(): Seq[Double] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / nrm).toSeq
+    }
+    val corpusRows = (0 until 40).map(i => (i.toLong, unit()))
+    val corpus = corpusRows.toDF("vec_id", "v")
+    val planes = graft.ext.SimJoin.planes(8, dim)
+    // stream docs = jittered copies of corpus vectors 5, 17, 23
+    val min = 60L * 1000000000L
+    val streamRows = Seq(5, 17, 23).zipWithIndex.map { case (ci, i) =>
+      (100L + i, (i + 1) * min,
+        corpusRows(ci)._2.map(x => x + rnd.nextGaussian() * 0.01))
+    }
+    val sch = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ts", LongType),
+      StructField("vec", ArrayType(DoubleType))))
+    val dir = java.nio.file.Files.createTempDirectory("annenrich").toString
+    spark.createDataFrame(streamRows.toDF("doc_id", "ts", "vec").rdd, sch)
+      .coalesce(1).write.mode("append").parquet(dir)
+
+    // batch ground truth through the SAME bucket parameters
+    val queries = streamRows.map(r => (r._1, r._3)).toDF("vec_id", "v")
+    val expected = graft.ext.SimJoin
+      .annTopK(corpus, queries, "vec_id", "v", k = 1, planes, b = 2)
+      .select($"q_id", $"vec_id", round($"cos_sim", 9)).as[(Long, Long, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+
+    val q = graft.streaming.DocStreams.annEnrich(
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", "1").parquet(dir),
+        corpus, "vec_id", "v", planes, b = 2)
+      .writeStream.format("memory").queryName("annen")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      spark.createDataFrame(
+          Seq((999L, 600 * min, unit())).toDF("doc_id", "ts", "vec").rdd, sch)
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val got = spark.table("annen").filter($"doc_id" < 999)
+        .select($"doc_id", $"nn_id", round($"cos_sim", 9))
+        .as[(Long, Long, Double)]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got === expected)
+      // and the jittered copies found their sources
+      assert(got(100L)._1 === 5L && got(101L)._1 === 17L && got(102L)._1 === 23L)
+    } finally q.stop()
+  }
+
   test("horizon expiry: a dup arriving after the horizon is kept again") {
     import org.apache.spark.sql.types._
     val sch = StructType(Seq(
