@@ -87,6 +87,20 @@ object Dedup {
       parts.reduce((acc, p) => (acc * lit(31L) + p) % P)
   }
 
+  /** Materialize a small intermediate ONCE, with lineage truncation:
+    * reliable checkpoint when the session has a checkpoint dir
+    * (cluster deployments — keeps fault tolerance), localCheckpoint
+    * otherwise. Unlike `persist()`, this leaves NO CacheManager entry
+    * behind — the blocks are owned by the checkpointed RDD and the
+    * ContextCleaner reclaims them once the caller's reference drops,
+    * so repeated library calls in a long-lived session do not
+    * accumulate pinned storage.
+    */
+  private[ext] def materialize(df: DataFrame, eager: Boolean = true): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager)
+    else df.localCheckpoint(eager)
+
   /** Distinct word n-gram shingles per document: (idCol, shingle).
     * Single-space tokenization (engine-identical, like q40/q60); empty
     * tokens dropped; docs shorter than n words yield no shingles.
@@ -266,15 +280,17 @@ object Dedup {
     // The candidate-pair table fans out into THREE verify branches
     // (the two semi-join prune arms and the pair join), and each
     // branch's lineage re-runs the whole LSH chain, so `cands` is
-    // ALWAYS persisted: it is small by construction (LSH buckets
-    // bounded by maxBucket cap the pair count — that bound is the
-    // pipeline's scale invariant, so materializing it is safe at any
-    // corpus size) and persisting it measured 2× on the bench
-    // (2.35 s → 1.26 s at sf0.1). The corpus-sized shingle STREAM is
-    // the opposite trade: its recompute is a narrow codegen scan
-    // (cheap), while materializing it at 100 TB is the full tokenized
-    // corpus — persist it only on persistIntermediates=true (cluster
-    // runs where the scan itself dominates, e.g. remote storage).
+    // ALWAYS materialized (checkpoint, not persist — no CacheManager
+    // entry to leak across repeated library calls): it is small by
+    // construction (LSH buckets bounded by maxBucket cap the pair
+    // count — that bound is the pipeline's scale invariant, so
+    // materializing it is safe at any corpus size) and doing so
+    // measured 2× on the bench (2.35 s → 1.26 s at sf0.1). The
+    // corpus-sized shingle STREAM is the opposite trade: its
+    // recompute is a narrow codegen scan (cheap), while materializing
+    // it at 100 TB is the full tokenized corpus — persist it only on
+    // persistIntermediates=true (cluster runs where the scan itself
+    // dominates, e.g. remote storage).
     def maybePersist(df: DataFrame): DataFrame =
       if (persistIntermediates)
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -287,8 +303,12 @@ object Dedup {
       if (hasher eq XxHasher) minhashSigPerRow(docs, idCol, textCol, n, k)
       else minhashSignatures(stream, idCol, k, hasher)
     val bands = lshBands(sigs, idCol, k, b, hasher)
-    val cands = candidatePairs(bands, idCol, maxBucket)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager: a LAZY checkpoint's blocks race concurrent consumer
+    // branches exactly like a lazy persist does (each branch computes
+    // the pipeline before any block registers — measured on both CC's
+    // edge union and q80's verify-under-checkpoint); the eager
+    // materialization is one candidate-sized job
+    val cands = materialize(candidatePairs(bands, idCol, maxBucket))
     jaccardVerify(cands, stream, idCol, minJaccard)
   }
 
@@ -355,8 +375,13 @@ object Dedup {
       labels = prop
       it += 1
     }
+    // hand back a checkpointed copy and release every loop persist —
+    // returning the persisted frame itself would leave its
+    // CacheManager entry pinned for the session lifetime
+    val out = materialize(labels)
+    labels.unpersist()
     edges.unpersist()
-    labels
+    out
   }
 
   /** Near-dup removal by FULL transitive closure: every duplicate

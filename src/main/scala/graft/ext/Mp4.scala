@@ -63,15 +63,17 @@ object Mp4 {
         val version = bytes(p) & 0xff
         if (version == 1 && p + 32 <= bytes.length) {
           timescale = beU32(bytes, p + 20).toDouble
-          durationSec = beU64(bytes, p + 24) / timescale
+          if (timescale > 0) durationSec = beU64(bytes, p + 24) / timescale
         } else if (version == 0 && p + 20 <= bytes.length) {
           timescale = beU32(bytes, p + 12).toDouble
-          durationSec = beU32(bytes, p + 16) / timescale
+          if (timescale > 0) durationSec = beU32(bytes, p + 16) / timescale
         }
       } else if (t == "trak") nTracks += 1
       c += size
     }
-    if (durationSec < 0) return null
+    // timescale 0 (division → NaN/Infinity) and missing mvhd both land
+    // here: NaN fails every comparison, so test !(valid) not (invalid)
+    if (!(durationSec >= 0)) return null
     Array(timescale, durationSec, nTracks.toDouble)
   }
 }

@@ -77,7 +77,11 @@ object Png {
     try {
       while (got < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, got, raw.length - got)
-        if (n == 0 && inf.needsInput()) return None // truncated stream
+        // ANY zero-progress state bails: truncated stream (needsInput),
+        // FDICT preset-dictionary header (needsDictionary), or any
+        // other stall — a bare needsInput check would loop forever on
+        // a crafted zlib stream with the dictionary bit set
+        if (n == 0) return None
         got += n
       }
     } catch { case _: java.util.zip.DataFormatException => return None }

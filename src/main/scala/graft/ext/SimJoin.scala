@@ -228,17 +228,22 @@ object SimJoin {
       .filter(col("__n").between(2, maxBucket))
       .select(col("band"), col("code"))
     val pruned = bk.join(ok, Seq("band", "code"), "left_semi")
-    val cands = pruned.select(col(idCol).as("a_id"), col("band"), col("code"))
-      .join(pruned.select(col(idCol).as("b_id"), col("band"), col("code")),
-        Seq("band", "code"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialized (checkpoint, not persist — see Dedup.materialize):
+    // fans into both verify joins; small by the maxBucket invariant
+    val cands = Dedup.materialize(
+      pruned.select(col(idCol).as("a_id"), col("band"), col("code"))
+        .join(pruned.select(col(idCol).as("b_id"), col("band"), col("code")),
+          Seq("band", "code"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id")).distinct())
     cands
       .join(corpus.select(col(idCol).as("a_id"), col(vecCol).as("__va")), "a_id")
       .join(corpus.select(col(idCol).as("b_id"), col(vecCol).as("__vb")), "b_id")
       .withColumn("cos_sim", cosine(col("__va"), col("__vb")))
-      .filter(col("cos_sim") >= minCos)
+      // NaN-guard (zero-norm vectors share every sign-LSH bucket and
+      // cosine to them is 0/0): Spark orders NaN ABOVE every number,
+      // so a bare >= would admit NaN pairs as "near-dups"
+      .filter(!isnan(col("cos_sim")) && col("cos_sim") >= minCos)
       .select(col("a_id"), col("b_id"), col("cos_sim"))
   }
 

@@ -128,6 +128,11 @@ object GridIngest {
       .as[Long]
       .mapPartitions { slabIds =>
         val raf = new java.io.RandomAccessFile(path, "r")
+        // one fd per task — close it when the task ends (success OR
+        // failure); without this, fds leak until executor GC and long
+        // sessions eventually hit the open-file limit
+        org.apache.spark.TaskContext.get().addTaskCompletionListener[Unit](
+          _ => raf.close())
         val tempBuf = new Array[Byte](slabCells * 8)
         val salBuf = new Array[Byte](slabCells * 8)
         slabIds.flatMap { slab =>
@@ -185,6 +190,9 @@ object GridIngest {
       .as[Long]
       .mapPartitions { slabIds =>
         val raf = new java.io.RandomAccessFile(path, "r")
+        // close the per-task fd at task end (see `ingest` — same leak)
+        org.apache.spark.TaskContext.get().addTaskCompletionListener[Unit](
+          _ => raf.close())
         val tBuf = new Array[Byte](tempR.planeBytes)
         val sBuf = new Array[Byte](salR.planeBytes)
         slabIds.flatMap { slab =>

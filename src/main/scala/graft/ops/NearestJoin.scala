@@ -65,6 +65,11 @@ object NearestJoin {
                 axisKey: String, axisVal: String, out: String): DataFrame = {
     import org.apache.spark.sql.{graftbridge => gb}
     val packed = axis
+      // null axis values would sort first and read back as 0.0 through
+      // ArrayData.getDouble, silently breaking the ascending invariant
+      // the binary search needs — drop them (the cross-join min_by
+      // formulation this replaces ignored null distances the same way)
+      .filter(col(axisVal).isNotNull)
       .groupBy(col(axisVal).cast("double").as("__v"))
       .agg(min(col(axisKey).cast("long")).as("__k"))
       .agg(sort_array(collect_list(struct(col("__v"), col("__k")))).as("__s"))

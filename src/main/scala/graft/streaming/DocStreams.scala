@@ -48,10 +48,15 @@ object DocStreams {
     val sig = gb.column(graft.fn.MinhashSig(gb.expression(col("text")), n, k))
     val withSig = docs
       .select(col("doc_id"), EventStreams.tsCol.as("ts_t"), sig.as("sig"))
+    // short docs (null sig) route to singleton buckets keyed by their
+    // own id — gated on sig's nullability explicitly, because
+    // xxhash64 of all-null inputs is NOT null (it returns the seed),
+    // so a coalesce over it would silently collide every short doc
     val bandStructs = (0 until b).map { bi =>
       val parts = (0 until r).map(j => element_at(col("sig"), bi * r + j + 1))
       struct(lit(bi).as("band"),
-        coalesce(xxhash64(parts: _*), xxhash64(lit(-1), col("doc_id"))).as("band_hash"))
+        when(col("sig").isNotNull, xxhash64(parts: _*))
+          .otherwise(xxhash64(lit(-1), col("doc_id"))).as("band_hash"))
     }
     val bands = withSig
       .select(col("doc_id"), col("ts_t"), explode(array(bandStructs: _*)).as("__bs"))
@@ -114,6 +119,9 @@ object DocStreams {
     streamSide
       .join(corpusBuckets, Seq("band", "code"))
       .withColumn("cos_sim", graft.ext.SimJoin.cosine(col("vec"), col("__cv")))
+      // zero-norm degenerates produce NaN cosine, and Spark sorts NaN
+      // ABOVE every number — an unfiltered NaN would win the argmax
+      .filter(!isnan(col("cos_sim")))
       .groupBy(col("ts_t"), col("doc_id"))
       .agg(max_by(struct(col("cos_sim"), col(idCol)),
         struct(col("cos_sim"), col(idCol))).as("__best"))

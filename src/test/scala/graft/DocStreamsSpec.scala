@@ -38,11 +38,14 @@ class DocStreamsSpec extends SparkSpec {
         .coalesce(1).write.mode("append").parquet(dir)
 
     val base = "the quick brown fox jumps over the lazy dog near the riverbank today"
-    // batch 1: two distinct docs + a short doc (no 3-shingle)
+    // batch 1: two distinct docs + TWO short docs (no 3-shingle) — both
+    // must survive (regression: a coalesce over xxhash64-of-nulls sent
+    // every short doc to ONE shared bucket and dropped all but the first)
     write(Seq(
       (1L, 1 * min, base),
       (2L, 2 * min, "completely different content about spark catalyst optimizer internals and codegen"),
-      (3L, 3 * min, "too short")))
+      (3L, 3 * min, "too short"),
+      (7L, 3 * min, "also short")))
     // batch 2: exact dup of 1 (all bands collide -> dropped), near dup
     // of 2 (one word changed -> shares bands -> dropped), fresh doc kept
     write(Seq(
@@ -61,7 +64,7 @@ class DocStreamsSpec extends SparkSpec {
       q.processAllAvailable()
       val kept = spark.table("ndf").filter($"doc_id" < 100)
         .select($"doc_id").as[Long].collect().toSet
-      assert(kept === Set(1L, 2L, 3L, 6L), s"kept=$kept")
+      assert(kept === Set(1L, 2L, 3L, 7L, 6L), s"kept=$kept")
     } finally q.stop()
   }
 

@@ -223,6 +223,8 @@ class MultimodalSpec extends SparkSpec {
     val rows = Seq(
       ("a.mp4", mp4Bytes(timescale = 600, duration = 3000, nTracks = 2)),
       ("b.mp4", mp4Bytes(timescale = 90000, duration = 450000, nTracks = 3, mvhdV1 = true)),
+      // timescale 0 must route to null, not a NaN duration struct
+      ("ts0.mp4", mp4Bytes(timescale = 0, duration = 3000, nTracks = 1)),
       ("junk.bin", Array[Byte](0, 0, 0, 8, 1, 2, 3, 4)))
       .toDF("entry", "content")
     val got = Multimodal.withMp4Meta(rows)
@@ -233,6 +235,7 @@ class MultimodalSpec extends SparkSpec {
     assert(got("a.mp4") === ((Some("isom"), Some(600L), Some(5.0), Some(2))))
     assert(got("b.mp4") === ((Some("isom"), Some(90000L), Some(5.0), Some(3))))
     assert(got("junk.bin") === ((None, None, None, None)))
+    assert(got("ts0.mp4") === ((None, None, None, None)))
     // codegen plan, no UDF (file-backed table for the plan assert)
     val plan = Multimodal.withMp4Meta(assets).queryExecution.executedPlan.toString
     assert(!plan.contains("ScalaUDF") && plan.contains("mp4_meta"), plan)

@@ -119,4 +119,19 @@ class SimJoinSpec extends SparkSpec {
       .select($"vec_id").as[Long].collect().toSet
     assert(kept === base.map(_._1).toSet) // clones dropped, originals kept
   }
+
+  test("embedding near-dup: zero-norm vectors never pair (NaN cosine guarded)") {
+    val dim = 8
+    // two all-zero vectors share every sign-LSH bucket; cosine = 0/0 =
+    // NaN, which Spark sorts ABOVE all numbers — the guard must keep
+    // them out of the pair set at any threshold
+    val rows = Seq(
+      (1L, Seq.fill(dim)(0.0)), (2L, Seq.fill(dim)(0.0)),
+      (3L, Seq.tabulate(dim)(i => if (i == 0) 1.0 else 0.0)))
+    val df = rows.toDF("vec_id", "v")
+    val pairs = SimJoin.embeddingNearDupPairs(df, "vec_id", "v",
+        SimJoin.planes(8, dim), b = 4, minCos = 0.0)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(!pairs.contains((1L, 2L)), s"NaN pair leaked: $pairs")
+  }
 }
