@@ -101,6 +101,35 @@ object Dedup {
       df.checkpoint(eager)
     else df.localCheckpoint(eager)
 
+  /** Persist with a BOUNDED library-wide registry: the oldest pinned
+    * frame is released once more than `MaxPinned` accumulate, so
+    * repeated library calls in a long-lived session cannot grow
+    * CacheManager entries without limit (an unpersisted frame a
+    * caller still holds simply recomputes — correctness unaffected).
+    * persist (not checkpoint) on purpose: `Dataset.checkpoint`
+    * executes via `toRdd`, BYPASSING AQE — the pipeline under it
+    * loses broadcast-join conversion and partition coalescing, and
+    * the warm bench measures it consistently slower (sf0.1 A/B:
+    * q67 2.2 s → 1.4 s, q74 1.0 s → 0.46 s; totals equal within
+    * noise at sf1). Known trade: the persist is LAZY, so the FIRST
+    * cold consumption can recompute the candidate pipeline's final
+    * map stages once per consumer branch before blocks register
+    * (shuffle stages are still shared by the scheduler, so the
+    * redundancy is bounded; measured once per fresh session, and
+    * only there — an eager count() that would pre-register blocks
+    * serializes materialization against the consumer and measured
+    * strictly worse end-to-end at both SFs).
+    */
+  private val MaxPinned = 4
+  private val pinned = new java.util.ArrayDeque[DataFrame]()
+  private[ext] def persistBounded(df: DataFrame): DataFrame = synchronized {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pinned.addLast(p)
+    while (pinned.size > MaxPinned)
+      pinned.removeFirst().unpersist(blocking = false)
+    p
+  }
+
   /** Distinct word n-gram shingles per document: (idCol, shingle).
     * Single-space tokenization (engine-identical, like q40/q60); empty
     * tokens dropped; docs shorter than n words yield no shingles.
@@ -303,12 +332,7 @@ object Dedup {
       if (hasher eq XxHasher) minhashSigPerRow(docs, idCol, textCol, n, k)
       else minhashSignatures(stream, idCol, k, hasher)
     val bands = lshBands(sigs, idCol, k, b, hasher)
-    // eager: a LAZY checkpoint's blocks race concurrent consumer
-    // branches exactly like a lazy persist does (each branch computes
-    // the pipeline before any block registers — measured on both CC's
-    // edge union and q80's verify-under-checkpoint); the eager
-    // materialization is one candidate-sized job
-    val cands = materialize(candidatePairs(bands, idCol, maxBucket))
+    val cands = persistBounded(candidatePairs(bands, idCol, maxBucket))
     jaccardVerify(cands, stream, idCol, minJaccard)
   }
 

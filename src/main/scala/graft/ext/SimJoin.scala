@@ -228,9 +228,10 @@ object SimJoin {
       .filter(col("__n").between(2, maxBucket))
       .select(col("band"), col("code"))
     val pruned = bk.join(ok, Seq("band", "code"), "left_semi")
-    // materialized (checkpoint, not persist — see Dedup.materialize):
-    // fans into both verify joins; small by the maxBucket invariant
-    val cands = Dedup.materialize(
+    // bounded persist (see Dedup.persistBounded — AQE-preserving,
+    // leak-bounded): fans into both verify joins; small by the
+    // maxBucket invariant
+    val cands = Dedup.persistBounded(
       pruned.select(col(idCol).as("a_id"), col("band"), col("code"))
         .join(pruned.select(col(idCol).as("b_id"), col("band"), col("code")),
           Seq("band", "code"))
