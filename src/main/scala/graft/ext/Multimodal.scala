@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
   * surface). The design rule: metadata extraction and routing stay in
   * Catalyst (codegen'd binary `substring`/`hex`/`conv` — no UDF, no
   * library), and decode runs JDK-only where the format allows it —
-  * PNG pixels ([[Png]], inflate + unfilter) and WAV PCM samples
-  * ([[Wav]], chunk walk) are REAL decodes behind native codegen
-  * expressions; only modalities with no in-container codec (video)
-  * fall back to one clearly-marked deterministic stub with the real
-  * distributed plumbing (schema, batching, partition shape) in place.
+  * PNG pixels ([[Png]], inflate + unfilter), WAV PCM samples
+  * ([[Wav]], chunk walk), and animated-PNG FRAMES ([[Apng]], per-frame
+  * inflate + unfilter + canvas compositing — real video-frame
+  * sampling) are REAL decodes behind native codegen expressions; only
+  * codec-bearing video (H.264-in-MP4) falls back to one
+  * clearly-marked deterministic stub with the real distributed
+  * plumbing (schema, batching, partition shape) in place.
   *
   * Scale notes:
   *  - `binaryFile` scans parallelize per file; payload bytes never
@@ -143,6 +145,33 @@ object Multimodal {
         element_at(m, 2).as("duration_sec"),
         element_at(m, 3).cast("int").as("n_tracks"),
         length(c).as("n_bytes"))))
+  }
+
+  /** REAL video-frame sampling for animated-PNG payloads: every
+    * `stride`-th frame (of the first `maxFrames`) is decoded —
+    * per-frame inflate + unfilter + canvas compositing, [[Apng]] —
+    * and emitted as one ROW (frame_idx, t_ms, features) per sampled
+    * frame via the [[graft.fn.ApngFrameFeatures]] native expression +
+    * a generator: the frame-sampling row shape of [[sampleChunks]],
+    * but with real pixels. The payload column is dropped BEFORE the
+    * explode, so only fixed-size feature vectors fan out. Non-APNG
+    * rows (still PNGs included) disappear — route them through
+    * [[withFeatures]] instead.
+    */
+  def withApngFrames(assets: DataFrame, nBins: Int = 16, stride: Int = 1,
+                     maxFrames: Int = 256,
+                     contentCol: String = "content"): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    val fr = gb.column(graft.fn.ApngFrameFeatures(
+      gb.expression(col(contentCol)), nBins, stride, maxFrames))
+    assets
+      .withColumn("__frames", fr)
+      .drop(contentCol)
+      .select(col("*"), explode(col("__frames")).as("__f"))
+      .withColumn("frame_idx", element_at(col("__f"), 1).cast("int"))
+      .withColumn("t_ms", element_at(col("__f"), 2))
+      .withColumn("features", slice(col("__f"), lit(3), size(col("__f")) - lit(2)))
+      .drop("__frames", "__f")
   }
 
   /** Route each asset row to its modality's REAL decoder — PNG pixels

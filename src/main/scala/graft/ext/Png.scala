@@ -22,9 +22,112 @@ object Png {
 
   private val Signature = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
 
-  private def beInt(b: Array[Byte], off: Int): Int =
+  private[ext] def beInt(b: Array[Byte], off: Int): Int =
     ((b(off) & 0xFF) << 24) | ((b(off + 1) & 0xFF) << 16) |
     ((b(off + 2) & 0xFF) << 8) | (b(off + 3) & 0xFF)
+
+  /** Inflate a complete zlib stream into exactly `out.length` bytes.
+    * False on truncation, overrun, FDICT, or any zero-progress stall
+    * (a bare needsInput check would loop forever on a crafted stream
+    * with the preset-dictionary bit set).
+    */
+  private[ext] def inflateTo(data: Array[Byte], out: Array[Byte]): Boolean = {
+    val inf = new Inflater()
+    inf.setInput(data)
+    var got = 0
+    try {
+      while (got < out.length && !inf.finished()) {
+        val n = inf.inflate(out, got, out.length - got)
+        if (n == 0) return false
+        got += n
+      }
+    } catch { case _: java.util.zip.DataFormatException => return false }
+    finally inf.end()
+    got == out.length
+  }
+
+  /** Undo the five standard scanline filters in place over `h` rows of
+    * `1 + stride` bytes (filter tag + pixel bytes); false on an
+    * unknown filter tag. Works for any sub-image region — APNG frames
+    * reuse it with the frame's own geometry.
+    */
+  private[ext] def unfilterInPlace(raw: Array[Byte], h: Int, stride: Int,
+                                   channels: Int): Boolean = {
+    var y = 0
+    while (y < h) {
+      val rowOff = y * (1 + stride) + 1
+      val filter = raw(rowOff - 1) & 0xFF
+      var x = 0
+      filter match {
+        case 0 => () // None
+        case 1 => // Sub
+          x = channels
+          while (x < stride) {
+            raw(rowOff + x) = ((raw(rowOff + x) & 0xFF) + (raw(rowOff + x - channels) & 0xFF)).toByte
+            x += 1
+          }
+        case 2 => // Up
+          if (y > 0) {
+            val prev = rowOff - (1 + stride)
+            while (x < stride) {
+              raw(rowOff + x) = ((raw(rowOff + x) & 0xFF) + (raw(prev + x) & 0xFF)).toByte
+              x += 1
+            }
+          }
+        case 3 => // Average
+          val prev = rowOff - (1 + stride)
+          while (x < stride) {
+            val a = if (x >= channels) raw(rowOff + x - channels) & 0xFF else 0
+            val b = if (y > 0) raw(prev + x) & 0xFF else 0
+            raw(rowOff + x) = ((raw(rowOff + x) & 0xFF) + (a + b) / 2).toByte
+            x += 1
+          }
+        case 4 => // Paeth
+          val prev = rowOff - (1 + stride)
+          while (x < stride) {
+            val a = if (x >= channels) raw(rowOff + x - channels) & 0xFF else 0
+            val b = if (y > 0) raw(prev + x) & 0xFF else 0
+            val c = if (x >= channels && y > 0) raw(prev + x - channels) & 0xFF else 0
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+            raw(rowOff + x) = ((raw(rowOff + x) & 0xFF) + pred).toByte
+            x += 1
+          }
+        case _ => return false
+      }
+      y += 1
+    }
+    true
+  }
+
+  /** [mean/255, std/255, nBins normalized histogram] over a luminance
+    * plane in [0, 255] — shared by still ([[grayFeaturesOrNull]]) and
+    * animated ([[Apng]]) feature extraction.
+    */
+  private[ext] def grayStats(g: Array[Double], nBins: Int): Array[Double] = {
+    val n = g.length
+    var s = 0.0; var s2 = 0.0
+    val hist = new Array[Double](nBins)
+    var i = 0
+    while (i < n) {
+      val v = g(i)
+      s += v; s2 += v * v
+      // 256 levels → nBins equal buckets; 255 lands in the last
+      var b = (v * nBins / 256.0).toInt
+      if (b >= nBins) b = nBins - 1
+      hist(b) += 1.0
+      i += 1
+    }
+    val mean = s / n
+    val variance = math.max(0.0, s2 / n - mean * mean)
+    val out = new Array[Double](2 + nBins)
+    out(0) = mean / 255.0
+    out(1) = math.sqrt(variance) / 255.0
+    i = 0
+    while (i < nBins) { out(i + 2) = hist(i) / n; i += 1 }
+    out
+  }
 
   /** Decoded luminance plane: Rec.601 gray (0.299R + 0.587G + 0.114B)
     * per pixel, row-major doubles in [0, 255]. None for non-PNG bytes
@@ -71,74 +174,13 @@ object Png {
     // ---- inflate the full filtered image: h rows of 1 + w*channels
     val stride = w * channels
     val raw = new Array[Byte]((1 + stride) * h)
-    val inf = new Inflater()
-    inf.setInput(idat.toByteArray)
-    var got = 0
-    try {
-      while (got < raw.length && !inf.finished()) {
-        val n = inf.inflate(raw, got, raw.length - got)
-        // ANY zero-progress state bails: truncated stream (needsInput),
-        // FDICT preset-dictionary header (needsDictionary), or any
-        // other stall — a bare needsInput check would loop forever on
-        // a crafted zlib stream with the dictionary bit set
-        if (n == 0) return None
-        got += n
-      }
-    } catch { case _: java.util.zip.DataFormatException => return None }
-    finally inf.end()
-    if (got < raw.length) return None
-
-    // ---- unfilter in place (per PNG spec; prior = row above, a = left)
-    var y = 0
-    while (y < h) {
-      val rowOff = y * (1 + stride) + 1
-      val filter = raw(rowOff - 1) & 0xFF
-      var x = 0
-      filter match {
-        case 0 => () // None
-        case 1 => // Sub
-          x = channels
-          while (x < stride) {
-            raw(rowOff + x) = ((raw(rowOff + x) & 0xFF) + (raw(rowOff + x - channels) & 0xFF)).toByte
-            x += 1
-          }
-        case 2 => // Up
-          if (y > 0) {
-            val prev = rowOff - (1 + stride)
-            while (x < stride) {
-              raw(rowOff + x) = ((raw(rowOff + x) & 0xFF) + (raw(prev + x) & 0xFF)).toByte
-              x += 1
-            }
-          }
-        case 3 => // Average
-          val prev = rowOff - (1 + stride)
-          while (x < stride) {
-            val a = if (x >= channels) raw(rowOff + x - channels) & 0xFF else 0
-            val b = if (y > 0) raw(prev + x) & 0xFF else 0
-            raw(rowOff + x) = ((raw(rowOff + x) & 0xFF) + (a + b) / 2).toByte
-            x += 1
-          }
-        case 4 => // Paeth
-          val prev = rowOff - (1 + stride)
-          while (x < stride) {
-            val a = if (x >= channels) raw(rowOff + x - channels) & 0xFF else 0
-            val b = if (y > 0) raw(prev + x) & 0xFF else 0
-            val c = if (x >= channels && y > 0) raw(prev + x - channels) & 0xFF else 0
-            val p = a + b - c
-            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
-            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
-            raw(rowOff + x) = ((raw(rowOff + x) & 0xFF) + pred).toByte
-            x += 1
-          }
-        case _ => return None
-      }
-      y += 1
-    }
+    if (!inflateTo(idat.toByteArray, raw)) return None
+    if (!unfilterInPlace(raw, h, stride, channels)) return None
 
     // ---- luminance
     val out = new Array[Double](w * h)
     var p = 0
-    y = 0
+    var y = 0
     while (y < h) {
       val rowOff = y * (1 + stride) + 1
       var x = 0
@@ -169,27 +211,6 @@ object Png {
   def grayFeaturesOrNull(bytes: Array[Byte], nBins: Int): Array[Double] =
     decodeGray(bytes) match {
       case None => null
-      case Some(g) =>
-        val n = g.length
-        var s = 0.0; var s2 = 0.0
-        val hist = new Array[Double](nBins)
-        var i = 0
-        while (i < n) {
-          val v = g(i)
-          s += v; s2 += v * v
-          // 256 levels → nBins equal buckets; 255 lands in the last
-          var b = (v * nBins / 256.0).toInt
-          if (b >= nBins) b = nBins - 1
-          hist(b) += 1.0
-          i += 1
-        }
-        val mean = s / n
-        val variance = math.max(0.0, s2 / n - mean * mean)
-        val out = new Array[Double](2 + nBins)
-        out(0) = mean / 255.0
-        out(1) = math.sqrt(variance) / 255.0
-        i = 0
-        while (i < nBins) { out(i + 2) = hist(i) / n; i += 1 }
-        out
+      case Some(g) => grayStats(g, nBins)
     }
 }
