@@ -56,7 +56,8 @@ object GraftExtensions {
   /** The engine's SQL function surface (VERDICT r2 item 8): every
     * library-level scalar also callable as SQL — `vincenty_km`,
     * `dot_product`, `cosine_sim`, `hamming64`, and the multimodal
-    * decoders `png_gray_features` / `wav_pcm_features` / `mp4_meta`.
+    * decoders `png_gray_features` / `wav_pcm_features` / `mp4_meta` /
+    * `apng_frame_features`.
     */
   private[graft] val functions = Seq(
     unaryFn("png_gray_features", classOf[graft.fn.PngGrayFeatures],
@@ -64,6 +65,17 @@ object GraftExtensions {
     unaryFn("wav_pcm_features", classOf[graft.fn.WavPcmFeatures],
       graft.fn.WavPcmFeatures(_)),
     unaryFn("mp4_meta", classOf[graft.fn.Mp4Meta], graft.fn.Mp4Meta(_)),
+    (
+      new FunctionIdentifier("apng_frame_features"),
+      new ExpressionInfo(classOf[graft.fn.ApngFrameFeatures].getName, "apng_frame_features"),
+      (children: Seq[Expression]) => {
+        require(children.nonEmpty && children.size <= 4,
+          s"apng_frame_features expects (bin[, nBins[, stride[, maxFrames]]]); got ${children.size} args")
+        def arg(i: Int, dflt: Int, what: String) =
+          if (children.size > i) litInt(children(i), what) else dflt
+        graft.fn.ApngFrameFeatures(children.head, arg(1, 16, "nBins"),
+          arg(2, 1, "stride"), arg(3, 256, "maxFrames"))
+      }),
     (
       new FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[graft.fn.WordShingles].getName, "word_shingles"),

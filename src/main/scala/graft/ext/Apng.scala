@@ -117,8 +117,10 @@ object Apng {
     var fi = 0
     while (fi < nEmit) {
       val f = frames(fi)
-      if (f.fw <= 0 || f.fh <= 0 ||
-          f.fx < 0 || f.fy < 0 || f.fx + f.fw > w || f.fy + f.fh > h) return null
+      // long arithmetic: crafted fcTL geometry near 2^31 would wrap a
+      // 32-bit fx+fw past the check and index out of the canvas
+      if (f.fw <= 0 || f.fh <= 0 || f.fx < 0 || f.fy < 0 ||
+          f.fx.toLong + f.fw > w || f.fy.toLong + f.fh > h) return null
       val stridePx = f.fw * channels
       val raw = new Array[Byte]((1 + stridePx) * f.fh)
       if (!Png.inflateTo(f.data.toByteArray, raw)) return null

@@ -182,7 +182,38 @@ class ApngSpec extends SparkSpec {
     assert(anim(0).drop(2).toSeq === still.toSeq)
   }
 
+  test("crafted fcTL geometry near 2^31 is rejected, not indexed out of bounds") {
+    // fx + fw = 2^30 + 2^30 wraps to Int.MinValue — a 32-bit bounds
+    // check would pass it and the paint loop would index off the
+    // canvas; the long-arith check must return null instead
+    val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    val ihdr = chunk("IHDR", be32(16) ++ be32(16) ++ Array[Byte](8, 6, 0, 0, 0))
+    val actl = chunk("acTL", be32(1) ++ be32(0))
+    val evil = fcTL(0, Fr(1 << 30, 1 << 30, 1 << 30, 0, null))
+    val idat = chunk("IDAT", deflate(rgbaRaw(16, 16)(const(1, 2, 3))))
+    val bytes = sig ++ ihdr ++ actl ++ evil ++ idat ++ chunk("IEND", Array.empty[Byte])
+    assert(Apng.frameFeaturesOrNull(bytes, 16, 1, 256) == null)
+  }
+
   // ---------- Spark surface ----------
+
+  test("SQL surface: apng_frame_features callable after install") {
+    import spark.implicits._
+    GraftExtensions.install(spark)
+    val anim = apng(8, 8, Seq(
+      Fr(8, 8, 0, 0, const(50, 50, 50)),
+      Fr(8, 8, 0, 0, const(150, 150, 150)),
+      Fr(8, 8, 0, 0, const(250, 250, 250))))
+    Seq(Tuple1(anim)).toDF("content").createOrReplaceTempView("apng_assets")
+    val rows = spark.sql(
+      """SELECT f[0] AS frame_idx, f[2] AS mean
+        |FROM apng_assets
+        |LATERAL VIEW explode(apng_frame_features(content, 4, 2, 256)) t AS f
+        |ORDER BY frame_idx""".stripMargin).collect()
+    assert(rows.map(_.getDouble(0)).toSeq === Seq(0.0, 2.0))
+    assert(math.abs(rows(0).getDouble(1) - 50.0 / 255) < 1e-12)
+    assert(math.abs(rows(1).getDouble(1) - 250.0 / 255) < 1e-12)
+  }
 
   test("withApngFrames: exploded rows, payload dropped, codegen expression") {
     import spark.implicits._
