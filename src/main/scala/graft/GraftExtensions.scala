@@ -77,6 +77,17 @@ object GraftExtensions {
           arg(2, 1, "stride"), arg(3, 256, "maxFrames"))
       }),
     (
+      new FunctionIdentifier("gif_frame_features"),
+      new ExpressionInfo(classOf[graft.fn.GifFrameFeatures].getName, "gif_frame_features"),
+      (children: Seq[Expression]) => {
+        require(children.nonEmpty && children.size <= 4,
+          s"gif_frame_features expects (bin[, nBins[, stride[, maxFrames]]]); got ${children.size} args")
+        def arg(i: Int, dflt: Int, what: String) =
+          if (children.size > i) litInt(children(i), what) else dflt
+        graft.fn.GifFrameFeatures(children.head, arg(1, 16, "nBins"),
+          arg(2, 1, "stride"), arg(3, 256, "maxFrames"))
+      }),
+    (
       new FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[graft.fn.WordShingles].getName, "word_shingles"),
       (children: Seq[Expression]) => {

@@ -162,17 +162,51 @@ object Multimodal {
                      maxFrames: Int = 256,
                      contentCol: String = "content"): DataFrame = {
     import org.apache.spark.sql.{graftbridge => gb}
-    val fr = gb.column(graft.fn.ApngFrameFeatures(
-      gb.expression(col(contentCol)), nBins, stride, maxFrames))
+    explodeFrames(assets, contentCol, gb.column(graft.fn.ApngFrameFeatures(
+      gb.expression(col(contentCol)), nBins, stride, maxFrames)))
+  }
+
+  /** GIF twin of [[withApngFrames]]: real LZW frame decode +
+    * palette/disposal compositing ([[Gif]]), same exploded row shape.
+    */
+  def withGifFrames(assets: DataFrame, nBins: Int = 16, stride: Int = 1,
+                    maxFrames: Int = 256,
+                    contentCol: String = "content"): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    explodeFrames(assets, contentCol, gb.column(graft.fn.GifFrameFeatures(
+      gb.expression(col(contentCol)), nBins, stride, maxFrames)))
+  }
+
+  /** Modality-routed video frame sampling: APNG and GIF payloads both
+    * decode to real per-frame features (each decoder null-gates on its
+    * own magic, so the coalesce routes by content, not by filename);
+    * rows of other kinds disappear. One narrow projection per decoder,
+    * payload dropped before the generator.
+    */
+  def withVideoFrames(assets: DataFrame, nBins: Int = 16, stride: Int = 1,
+                      maxFrames: Int = 256,
+                      contentCol: String = "content"): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    val c = gb.expression(col(contentCol))
+    explodeFrames(assets, contentCol, coalesce(
+      gb.column(graft.fn.ApngFrameFeatures(c, nBins, stride, maxFrames)),
+      gb.column(graft.fn.GifFrameFeatures(c, nBins, stride, maxFrames))))
+  }
+
+  /** Shared explode: frames array → (frame_idx, t_ms, features) rows,
+    * payload dropped BEFORE the generator so only fixed-size feature
+    * vectors fan out.
+    */
+  private def explodeFrames(assets: DataFrame, contentCol: String,
+                            frames: Column): DataFrame =
     assets
-      .withColumn("__frames", fr)
+      .withColumn("__frames", frames)
       .drop(contentCol)
       .select(col("*"), explode(col("__frames")).as("__f"))
       .withColumn("frame_idx", element_at(col("__f"), 1).cast("int"))
       .withColumn("t_ms", element_at(col("__f"), 2))
       .withColumn("features", slice(col("__f"), lit(3), size(col("__f")) - lit(2)))
       .drop("__frames", "__f")
-  }
 
   /** Route each asset row to its modality's REAL decoder — PNG pixels
     * ([[withPngFeatures]]) or WAV samples ([[withWavFeatures]]) — and
