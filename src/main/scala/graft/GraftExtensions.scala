@@ -44,6 +44,22 @@ object GraftExtensions {
       s"$what must be an integer literal, got $other")
   }
 
+  /** Video frame decoders: (bin[, nBins[, stride[, maxFrames]]]) with
+    * library defaults applied for omitted structural literals.
+    */
+  private def frameFn(name: String, clazz: Class[_],
+                      mk: (Expression, Int, Int, Int) => Expression) = (
+    new FunctionIdentifier(name),
+    new ExpressionInfo(clazz.getName, name),
+    (children: Seq[Expression]) => {
+      require(children.nonEmpty && children.size <= 4,
+        s"$name expects (bin[, nBins[, stride[, maxFrames]]]); got ${children.size} args")
+      def arg(i: Int, dflt: Int, what: String) =
+        if (children.size > i) litInt(children(i), what) else dflt
+      mk(children.head, arg(1, 16, "nBins"), arg(2, 1, "stride"),
+        arg(3, 256, "maxFrames"))
+    })
+
   private def unaryFn(name: String, clazz: Class[_],
                       mk: Expression => Expression) = (
     new FunctionIdentifier(name),
@@ -57,7 +73,7 @@ object GraftExtensions {
     * library-level scalar also callable as SQL — `vincenty_km`,
     * `dot_product`, `cosine_sim`, `hamming64`, and the multimodal
     * decoders `png_gray_features` / `wav_pcm_features` / `mp4_meta` /
-    * `apng_frame_features`.
+    * `apng_frame_features` / `gif_frame_features`.
     */
   private[graft] val functions = Seq(
     unaryFn("png_gray_features", classOf[graft.fn.PngGrayFeatures],
@@ -65,28 +81,10 @@ object GraftExtensions {
     unaryFn("wav_pcm_features", classOf[graft.fn.WavPcmFeatures],
       graft.fn.WavPcmFeatures(_)),
     unaryFn("mp4_meta", classOf[graft.fn.Mp4Meta], graft.fn.Mp4Meta(_)),
-    (
-      new FunctionIdentifier("apng_frame_features"),
-      new ExpressionInfo(classOf[graft.fn.ApngFrameFeatures].getName, "apng_frame_features"),
-      (children: Seq[Expression]) => {
-        require(children.nonEmpty && children.size <= 4,
-          s"apng_frame_features expects (bin[, nBins[, stride[, maxFrames]]]); got ${children.size} args")
-        def arg(i: Int, dflt: Int, what: String) =
-          if (children.size > i) litInt(children(i), what) else dflt
-        graft.fn.ApngFrameFeatures(children.head, arg(1, 16, "nBins"),
-          arg(2, 1, "stride"), arg(3, 256, "maxFrames"))
-      }),
-    (
-      new FunctionIdentifier("gif_frame_features"),
-      new ExpressionInfo(classOf[graft.fn.GifFrameFeatures].getName, "gif_frame_features"),
-      (children: Seq[Expression]) => {
-        require(children.nonEmpty && children.size <= 4,
-          s"gif_frame_features expects (bin[, nBins[, stride[, maxFrames]]]); got ${children.size} args")
-        def arg(i: Int, dflt: Int, what: String) =
-          if (children.size > i) litInt(children(i), what) else dflt
-        graft.fn.GifFrameFeatures(children.head, arg(1, 16, "nBins"),
-          arg(2, 1, "stride"), arg(3, 256, "maxFrames"))
-      }),
+    frameFn("apng_frame_features", classOf[graft.fn.ApngFrameFeatures],
+      graft.fn.ApngFrameFeatures(_, _, _, _)),
+    frameFn("gif_frame_features", classOf[graft.fn.GifFrameFeatures],
+      graft.fn.GifFrameFeatures(_, _, _, _)),
     (
       new FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[graft.fn.WordShingles].getName, "word_shingles"),

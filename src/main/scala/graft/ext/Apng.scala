@@ -107,7 +107,11 @@ object Apng {
       case _ => return null
     }
     if (colorType == 3 && palette == null) return null
-    if (w.toLong * h > 64L * 1024 * 1024) return null // 64M-pixel sanity cap
+    // animation canvas cap: 4M pixels (covers 1080p frames). The RGBA
+    // double canvas is w·h·32 bytes — the still path's 64M cap would
+    // let a few-hundred-byte crafted IHDR allocate a 2 GB canvas
+    // (plus a same-size dispose-PREVIOUS snapshot) per task
+    if (w.toLong * h > 4L * 1024 * 1024) return null
 
     // ---- composite frame regions onto an RGBA canvas, snapshot stats
     val canvas = new Array[Double](w * h * 4) // non-premultiplied RGBA, [0,255]
@@ -121,6 +125,7 @@ object Apng {
       // 32-bit fx+fw past the check and index out of the canvas
       if (f.fw <= 0 || f.fh <= 0 || f.fx < 0 || f.fy < 0 ||
           f.fx.toLong + f.fw > w || f.fy.toLong + f.fh > h) return null
+      if (f.blend > 1) return null // reserved blend_op: null, not a guess
       val stridePx = f.fw * channels
       val raw = new Array[Byte]((1 + stridePx) * f.fh)
       if (!Png.inflateTo(f.data.toByteArray, raw)) return null
@@ -164,17 +169,9 @@ object Apng {
         }
         y += 1
       }
-      // snapshot features for emitted frames
+      // snapshot features for emitted frames (streamed — no gray plane)
       if (fi % stride == 0) {
-        val gray = new Array[Double](w * h)
-        var p = 0
-        while (p < w * h) {
-          val ci = p * 4
-          gray(p) = (0.299 * canvas(ci) + 0.587 * canvas(ci + 1) +
-            0.114 * canvas(ci + 2)) * (canvas(ci + 3) / 255.0)
-          p += 1
-        }
-        val stats = Png.grayStats(gray, nBins)
+        val stats = Png.grayStatsFromRgbaCanvas(canvas, w * h, nBins)
         val row = new Array[Double](2 + stats.length)
         row(0) = fi; row(1) = tMs
         System.arraycopy(stats, 0, row, 2, stats.length)

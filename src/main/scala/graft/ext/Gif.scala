@@ -47,7 +47,9 @@ object Gif {
     def u16(off: Int): Int = (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8)
 
     val w = u16(6); val h = u16(8)
-    if (w <= 0 || h <= 0 || w.toLong * h > 64L * 1024 * 1024) return null
+    // 4M-pixel animation canvas cap, same rationale as Apng's: the
+    // RGBA double canvas is w·h·32 bytes per task
+    if (w <= 0 || h <= 0 || w.toLong * h > 4L * 1024 * 1024) return null
     val lsdFlags = bytes(10) & 0xFF
     var off = 13
     var global: Array[Byte] = null
@@ -116,6 +118,10 @@ object Gif {
           }
           f.data = buf.toByteArray
           frames += f
+          // frames past maxFrames are never decoded — stop collecting
+          // (bounds peak memory to what is used, and a corrupt byte in
+          // an unread tail frame cannot null an otherwise-good result)
+          if (frames.length >= maxFrames) done = true
         case _ => return null // unknown top-level block (incl. stray
         // padding zeros some mangled files carry — strict null beats
         // guessing at resync)
@@ -162,15 +168,7 @@ object Gif {
         p += 1
       }
       if (fi % stride == 0) {
-        val gray = new Array[Double](w * h)
-        var q = 0
-        while (q < w * h) {
-          val o = q * 4
-          gray(q) = (0.299 * canvas(o) + 0.587 * canvas(o + 1) +
-            0.114 * canvas(o + 2)) * (canvas(o + 3) / 255.0)
-          q += 1
-        }
-        val stats = Png.grayStats(gray, nBins)
+        val stats = Png.grayStatsFromRgbaCanvas(canvas, w * h, nBins)
         val row = new Array[Double](2 + stats.length)
         row(0) = fi; row(1) = tMs
         System.arraycopy(stats, 0, row, 2, stats.length)
@@ -216,7 +214,7 @@ object Gif {
     var prev = -1
 
     def readCode(): Int = {
-      if (bitPos + codeSize > data.length * 8) return -1
+      if (bitPos.toLong + codeSize > data.length.toLong * 8) return -1 // >256MB frames: *8 wraps Int
       var v = 0; var i = 0
       while (i < codeSize) {
         val b = bitPos + i

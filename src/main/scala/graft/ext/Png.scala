@@ -101,6 +101,36 @@ object Png {
     true
   }
 
+  /** [[grayStats]] streamed straight off an RGBA double canvas
+    * (Rec.601 matted on black: lum·α/255) with NO intermediate gray
+    * plane — the animated decoders call this per frame snapshot, so
+    * a w×h gray array per frame would be the dominant allocation.
+    */
+  private[ext] def grayStatsFromRgbaCanvas(canvas: Array[Double], nPixels: Int,
+                                           nBins: Int): Array[Double] = {
+    var s = 0.0; var s2 = 0.0
+    val hist = new Array[Double](nBins)
+    var p = 0
+    while (p < nPixels) {
+      val o = p * 4
+      val v = (0.299 * canvas(o) + 0.587 * canvas(o + 1) +
+        0.114 * canvas(o + 2)) * (canvas(o + 3) / 255.0)
+      s += v; s2 += v * v
+      var b = (v * nBins / 256.0).toInt
+      if (b >= nBins) b = nBins - 1
+      hist(b) += 1.0
+      p += 1
+    }
+    val mean = s / nPixels
+    val variance = math.max(0.0, s2 / nPixels - mean * mean)
+    val out = new Array[Double](2 + nBins)
+    out(0) = mean / 255.0
+    out(1) = math.sqrt(variance) / 255.0
+    var i = 0
+    while (i < nBins) { out(i + 2) = hist(i) / nPixels; i += 1 }
+    out
+  }
+
   /** [mean/255, std/255, nBins normalized histogram] over a luminance
     * plane in [0, 255] — shared by still ([[grayFeaturesOrNull]]) and
     * animated ([[Apng]]) feature extraction.

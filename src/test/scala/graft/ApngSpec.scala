@@ -182,6 +182,18 @@ class ApngSpec extends SparkSpec {
     assert(anim(0).drop(2).toSeq === still.toSeq)
   }
 
+  test("oversized animation canvas is rejected (4M-pixel cap, not a 2GB alloc)") {
+    // a few-hundred-byte payload declaring a 16000x4000 canvas would
+    // allocate w*h*32 bytes before any frame data is validated
+    val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    val ihdr = chunk("IHDR", be32(16000) ++ be32(4000) ++ Array[Byte](8, 6, 0, 0, 0))
+    val actl = chunk("acTL", be32(1) ++ be32(0))
+    val ctl = fcTL(0, Fr(1, 1, 0, 0, null))
+    val idat = chunk("IDAT", deflate(rgbaRaw(1, 1)(const(0, 0, 0))))
+    val bytes = sig ++ ihdr ++ actl ++ ctl ++ idat ++ chunk("IEND", Array.empty[Byte])
+    assert(Apng.frameFeaturesOrNull(bytes, 16, 1, 256) == null)
+  }
+
   test("crafted fcTL geometry near 2^31 is rejected, not indexed out of bounds") {
     // fx + fw = 2^30 + 2^30 wraps to Int.MinValue — a 32-bit bounds
     // check would pass it and the paint loop would index off the
