@@ -194,6 +194,43 @@ class GifSpec extends SparkSpec {
 
   // ---------- Spark surface ----------
 
+  test("withVideoFrames runs unchanged on a STREAM: value-exact batch parity") {
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(
+      StructField("entry", StringType), StructField("content", BinaryType)))
+    val dir = java.nio.file.Files.createTempDirectory("vidstream").toString
+    val gifs = (0 until 3).map { i =>
+      (s"clip$i.gif", writeGif(Seq(
+        GFrame(grayImg(8, 8)((x, y) => (x * 9 + y * i * 5) % 256)),
+        GFrame(grayImg(8, 8)((x, y) => (i * 40 + x + y) % 256)))))
+    }
+    import spark.implicits._
+    gifs.foreach { case (e, b) => // one file per micro-batch
+      spark.createDataFrame(Seq((e, b)).toDF("entry", "content").rdd, sch)
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    // the SAME transform, batch and stream (narrow ops only — no
+    // state, no watermark needed)
+    val batch = Multimodal.withVideoFrames(spark.read.parquet(dir), nBins = 4)
+      .select($"entry", $"frame_idx", $"t_ms", $"features")
+    val q = Multimodal.withVideoFrames(
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", "1").parquet(dir),
+        nBins = 4)
+      .select($"entry", $"frame_idx", $"t_ms", $"features")
+      .writeStream.format("memory").queryName("vidframes")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("vidframes").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getSeq[Double](3)))
+        .toSet
+      val batched = batch.collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getSeq[Double](3)))
+        .toSet
+      assert(streamed.nonEmpty && streamed === batched)
+    } finally q.stop()
+  }
+
   test("withVideoFrames routes GIF and APNG by content; SQL surface; codegen plan") {
     import spark.implicits._
     GraftExtensions.install(spark)
