@@ -81,6 +81,8 @@ object GraftExtensions {
     unaryFn("wav_pcm_features", classOf[graft.fn.WavPcmFeatures],
       graft.fn.WavPcmFeatures(_)),
     unaryFn("mp4_meta", classOf[graft.fn.Mp4Meta], graft.fn.Mp4Meta(_)),
+    unaryFn("jpeg_gray_features", classOf[graft.fn.JpegGrayFeatures],
+      graft.fn.JpegGrayFeatures(_)),
     frameFn("apng_frame_features", classOf[graft.fn.ApngFrameFeatures],
       graft.fn.ApngFrameFeatures(_, _, _, _)),
     frameFn("gif_frame_features", classOf[graft.fn.GifFrameFeatures],

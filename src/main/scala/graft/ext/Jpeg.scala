@@ -1,0 +1,385 @@
+package graft.ext
+
+/** Real baseline-JPEG luminance decode, JDK-only — upgrades `.jpg`
+  * assets (the dominant format of real image corpora) from the
+  * feature stub to real pixels, next to [[Png]]/[[Apng]]/[[Gif]].
+  *
+  * Scope: baseline sequential DCT (SOF0), 8-bit, 1 or 3 components,
+  * interleaved single scan, optional restart markers. Progressive
+  * (SOF2), arithmetic coding, hierarchical, 12-bit, and CMYK return
+  * null — never wrong pixels.
+  *
+  * The decoder produces the Y (luma) PLANE only: JFIF Y is BT.601
+  * luminance — exactly the gray the feature contract wants — so the
+  * chroma components are entropy-decoded (the interleaved bitstream
+  * cannot be skipped) but never dequantized, IDCT'd, or upsampled.
+  * That keeps the hot loop at one IDCT per Y block.
+  *
+  * Pipeline per the public ITU T.81 spec: marker parse (DQT quant
+  * tables, DHT canonical Huffman tables, SOF0 geometry/sampling, DRI
+  * restart interval, SOS scan) → per-MCU entropy decode (DC category
+  * + diff with per-component predictors, AC run/size with EOB/ZRL) →
+  * dequant + dezigzag → float IDCT → +128 level shift, clamp.
+  */
+object Jpeg {
+
+  // zigzag order: coefficient index → natural (row-major) position
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  // cos((2x+1)·u·π/16) table for the reference IDCT
+  private val Cos: Array[Double] = {
+    val t = new Array[Double](64)
+    var x = 0
+    while (x < 8) {
+      var u = 0
+      while (u < 8) { t(x * 8 + u) = math.cos((2 * x + 1) * u * math.Pi / 16); u += 1 }
+      x += 1
+    }
+    t
+  }
+  private val InvSqrt2 = 1.0 / math.sqrt(2.0)
+
+  private final class Huff {
+    // canonical decode per T.81 F.2.2.3: minCode/maxCode/valPtr by length
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    var values: Array[Byte] = null
+  }
+
+  private final class Comp {
+    var id = 0; var hs = 0; var vs = 0; var tq = 0
+    var dcTab = 0; var acTab = 0
+    var pred = 0 // DC predictor
+  }
+
+  /** Decoded Y plane (w×h, values [0,255]) or null. */
+  def decodeLuma(bytes: Array[Byte]): LumaPlane = {
+    if (bytes == null || bytes.length < 4) return null
+    if ((bytes(0) & 0xFF) != 0xFF || (bytes(1) & 0xFF) != 0xD8) return null // SOI
+
+    val quant = new Array[Array[Int]](4)
+    val dcTabs = new Array[Huff](4)
+    val acTabs = new Array[Huff](4)
+    var comps: Array[Comp] = null
+    var w = 0; var h = 0
+    var restartInterval = 0
+    var off = 2
+
+    def u16(o: Int): Int = ((bytes(o) & 0xFF) << 8) | (bytes(o + 1) & 0xFF)
+
+    def readHuff(data: Int, end: Int): Int = {
+      // one DHT segment may carry several tables
+      var o = data
+      while (o < end) {
+        if (o + 17 > end) return -1
+        val tc = (bytes(o) >> 4) & 0xF; val th = bytes(o) & 0xF
+        if (tc > 1 || th > 3) return -1
+        val t = new Huff
+        var total = 0
+        var l = 1
+        var code = 0
+        var k = 0
+        val counts = new Array[Int](17)
+        while (l <= 16) { counts(l) = bytes(o + l) & 0xFF; total += counts(l); l += 1 }
+        if (o + 17 + total > end || total > 256) return -1
+        t.values = java.util.Arrays.copyOfRange(bytes, o + 17, o + 17 + total)
+        l = 1
+        while (l <= 16) {
+          t.valPtr(l) = k
+          t.minCode(l) = code
+          code += counts(l); k += counts(l)
+          t.maxCode(l) = if (counts(l) == 0) -1 else code - 1
+          code <<= 1
+          l += 1
+        }
+        if (tc == 0) dcTabs(th) = t else acTabs(th) = t
+        o += 17 + total
+      }
+      end
+    }
+
+    // ---- marker loop up to SOS
+    var sosOff = -1
+    while (sosOff < 0) {
+      // resync: skip fill bytes
+      while (off < bytes.length && (bytes(off) & 0xFF) != 0xFF) return null
+      while (off < bytes.length && (bytes(off) & 0xFF) == 0xFF) off += 1
+      if (off >= bytes.length) return null
+      val marker = bytes(off) & 0xFF
+      off += 1
+      marker match {
+        case 0xD9 => return null // EOI before any scan
+        case 0xC0 => // SOF0 baseline
+          if (off + 2 > bytes.length) return null
+          val len = u16(off)
+          if (off + len > bytes.length || len < 8) return null
+          val prec = bytes(off + 2) & 0xFF
+          h = u16(off + 3); w = u16(off + 5)
+          val nc = bytes(off + 7) & 0xFF
+          if (prec != 8 || w <= 0 || h <= 0 || (nc != 1 && nc != 3)) return null
+          if (w.toLong * h > 64L * 1024 * 1024) return null
+          if (len < 8 + 3 * nc) return null
+          comps = Array.fill(nc)(new Comp)
+          var i = 0
+          while (i < nc) {
+            val o = off + 8 + 3 * i
+            comps(i).id = bytes(o) & 0xFF
+            comps(i).hs = (bytes(o + 1) >> 4) & 0xF
+            comps(i).vs = bytes(o + 1) & 0xF
+            comps(i).tq = bytes(o + 2) & 0xFF
+            if (comps(i).hs < 1 || comps(i).hs > 4 ||
+                comps(i).vs < 1 || comps(i).vs > 4 || comps(i).tq > 3) return null
+            i += 1
+          }
+          off += len
+        case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 |
+             0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
+          return null // extended/progressive/lossless/arithmetic: out of scope
+        case 0xC4 => // DHT
+          if (off + 2 > bytes.length) return null
+          val len = u16(off)
+          if (off + len > bytes.length) return null
+          if (readHuff(off + 2, off + len) < 0) return null
+          off += len
+        case 0xDB => // DQT
+          if (off + 2 > bytes.length) return null
+          val len = u16(off)
+          if (off + len > bytes.length) return null
+          var o = off + 2
+          while (o < off + len) {
+            val pq = (bytes(o) >> 4) & 0xF; val tq = bytes(o) & 0xF
+            if (pq > 1 || tq > 3) return null
+            val n = if (pq == 0) 64 else 128
+            if (o + 1 + n > off + len) return null
+            val q = new Array[Int](64)
+            var i = 0
+            while (i < 64) {
+              q(i) = if (pq == 0) bytes(o + 1 + i) & 0xFF else u16(o + 1 + 2 * i)
+              i += 1
+            }
+            quant(tq) = q
+            o += 1 + n
+          }
+          off += len
+        case 0xDD => // DRI
+          if (off + 4 > bytes.length) return null
+          restartInterval = u16(off + 2)
+          off += u16(off)
+        case 0xDA => // SOS
+          if (off + 2 > bytes.length) return null
+          val len = u16(off)
+          if (off + len > bytes.length || comps == null) return null
+          val ns = bytes(off + 2) & 0xFF
+          if (ns != comps.length) return null // interleaved single scan only
+          var i = 0
+          while (i < ns) {
+            val cid = bytes(off + 3 + 2 * i) & 0xFF
+            val tabs = bytes(off + 4 + 2 * i) & 0xFF
+            val c = comps.find(_.id == cid).orNull
+            if (c == null) return null
+            c.dcTab = (tabs >> 4) & 0xF; c.acTab = tabs & 0xF
+            if (c.dcTab > 3 || c.acTab > 3) return null
+            i += 1
+          }
+          sosOff = off + len
+        case m if m >= 0xD0 && m <= 0xD7 => () // stray RST: ignore
+        case 0x01 => ()                        // TEM: no payload
+        case _ => // APPn/COM/anything with a length
+          if (off + 2 > bytes.length) return null
+          val len = u16(off)
+          if (len < 2 || off + len > bytes.length) return null
+          off += len
+      }
+    }
+
+    // ---- validate tables needed by the scan
+    var ci = 0
+    while (ci < comps.length) {
+      val c = comps(ci)
+      if (quant(c.tq) == null || dcTabs(c.dcTab) == null || acTabs(c.acTab) == null)
+        return null
+      ci += 1
+    }
+    val hMax = comps.map(_.hs).max; val vMax = comps.map(_.vs).max
+    val y = comps(0) // component 0 is Y for JFIF; gray images have only it
+    if (comps.length == 3 && (y.hs != hMax || y.vs != vMax))
+      return null // Y subsampled below chroma: not JFIF, out of scope
+    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+    val planeW = mcusX * y.hs * 8
+    val planeH = mcusY * y.vs * 8
+    val plane = new Array[Double](planeW * planeH)
+    val yQuant = quant(y.tq)
+
+    // ---- entropy-coded segment reader (FF00 destuffing, RST handling)
+    var pos = sosOff
+    var bitBuf = 0; var bitCnt = 0
+
+    def nextBit(): Int = {
+      if (bitCnt == 0) {
+        if (pos >= bytes.length) return -1
+        var b = bytes(pos) & 0xFF
+        pos += 1
+        if (b == 0xFF) {
+          if (pos >= bytes.length) return -1
+          val b2 = bytes(pos) & 0xFF
+          if (b2 == 0x00) pos += 1          // stuffed FF
+          else return -1                     // marker inside scan: underrun
+          b = 0xFF
+        }
+        bitBuf = b; bitCnt = 8
+      }
+      bitCnt -= 1
+      (bitBuf >> bitCnt) & 1
+    }
+
+    def decodeHuff(t: Huff): Int = {
+      var code = 0
+      var l = 1
+      while (l <= 16) {
+        val b = nextBit()
+        if (b < 0) return -1
+        code = (code << 1) | b
+        if (t.maxCode(l) >= 0 && code <= t.maxCode(l))
+          return t.values(t.valPtr(l) + code - t.minCode(l)) & 0xFF
+        l += 1
+      }
+      -1
+    }
+
+    def receiveExtend(s: Int): Int = {
+      if (s == 0) return 0
+      var v = 0
+      var i = 0
+      while (i < s) {
+        val b = nextBit()
+        if (b < 0) return Int.MinValue
+        v = (v << 1) | b
+        i += 1
+      }
+      if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+    }
+
+    val coef = new Array[Int](64)
+
+    /** One 8×8 block of component c; returns false on bitstream error.
+      * IDCT + store only when `store` (Y blocks). */
+    def decodeBlock(c: Comp, store: Boolean, bx: Int, by: Int): Boolean = {
+      val sDC = decodeHuff(dcTabs(c.dcTab))
+      if (sDC < 0 || sDC > 15) return false
+      val diff = receiveExtend(sDC)
+      if (diff == Int.MinValue) return false
+      c.pred += diff
+      if (store) {
+        java.util.Arrays.fill(coef, 0)
+        coef(0) = c.pred * yQuant(0)
+      }
+      var k = 1
+      while (k < 64) {
+        val rs = decodeHuff(acTabs(c.acTab))
+        if (rs < 0) return false
+        val r = rs >> 4; val s = rs & 0xF
+        if (s == 0) {
+          if (r == 15) k += 16 // ZRL
+          else k = 64          // EOB
+        } else {
+          k += r
+          if (k > 63) return false
+          val v = receiveExtend(s)
+          if (v == Int.MinValue) return false
+          if (store) coef(Zigzag(k)) = v * yQuant(k)
+          k += 1
+        }
+      }
+      if (store) {
+        // reference 2-D IDCT (T.81 A.3.3) + level shift, into the plane
+        var py = 0
+        while (py < 8) {
+          val rowBase = (by + py) * planeW + bx
+          var px = 0
+          while (px < 8) {
+            var sum = 0.0
+            var v = 0
+            while (v < 8) {
+              val cv = if (v == 0) InvSqrt2 else 1.0
+              val cosY = Cos(py * 8 + v)
+              var u = 0
+              while (u < 8) {
+                val cu = if (u == 0) InvSqrt2 else 1.0
+                val f = coef(v * 8 + u)
+                if (f != 0) sum += cu * cv * f * Cos(px * 8 + u) * cosY
+                u += 1
+              }
+              v += 1
+            }
+            var p = sum / 4.0 + 128.0
+            if (p < 0) p = 0 else if (p > 255) p = 255
+            plane(rowBase + px) = p
+            px += 1
+          }
+          py += 1
+        }
+      }
+      true
+    }
+
+    // ---- MCU loop
+    val totalMcus = mcusX * mcusY
+    var mcu = 0
+    while (mcu < totalMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        // byte-align and consume RSTn; reset predictors
+        bitCnt = 0
+        if (pos + 1 >= bytes.length || (bytes(pos) & 0xFF) != 0xFF ||
+            (bytes(pos + 1) & 0xFF) < 0xD0 || (bytes(pos + 1) & 0xFF) > 0xD7) return null
+        pos += 2
+        var i = 0
+        while (i < comps.length) { comps(i).pred = 0; i += 1 }
+      }
+      val mx = mcu % mcusX; val my = mcu / mcusX
+      var i = 0
+      while (i < comps.length) {
+        val c = comps(i)
+        val isY = c eq y
+        var by = 0
+        while (by < c.vs) {
+          var bx = 0
+          while (bx < c.hs) {
+            if (!decodeBlock(c, isY,
+                (mx * y.hs + bx) * 8, (my * y.vs + by) * 8)) return null
+            bx += 1
+          }
+          by += 1
+        }
+        i += 1
+      }
+      mcu += 1
+    }
+    new LumaPlane(plane, planeW, w, h)
+  }
+
+  /** Y-plane view: `planeW`-strided storage cropped to w×h. */
+  final class LumaPlane(val plane: Array[Double], val planeW: Int,
+                        val w: Int, val h: Int)
+
+  /** [mean/255, std/255, nBins histogram] over the w×h luma crop —
+    * same contract as [[Png.grayFeaturesOrNull]]; null for non-JPEG
+    * or out-of-scope profiles.
+    */
+  def grayFeaturesOrNull(bytes: Array[Byte], nBins: Int): Array[Double] = {
+    val lp = decodeLuma(bytes)
+    if (lp == null) return null
+    val g = new Array[Double](lp.w * lp.h)
+    var y = 0
+    while (y < lp.h) {
+      System.arraycopy(lp.plane, y * lp.planeW, g, y * lp.w, lp.w)
+      y += 1
+    }
+    Png.grayStats(g, nBins)
+  }
+}

@@ -218,12 +218,27 @@ object Multimodal {
                    contentCol: String = "content"): DataFrame = {
     import org.apache.spark.sql.{graftbridge => gb}
     val png = gb.column(graft.fn.PngGrayFeatures(gb.expression(col(contentCol)), nBins))
+    val jpg = gb.column(graft.fn.JpegGrayFeatures(gb.expression(col(contentCol)), nBins))
     val wav = gb.column(graft.fn.WavPcmFeatures(gb.expression(col(contentCol))))
     val seed = xxhash64(col(contentCol))
     val stub = array((0 until stubDim).map { i =>
       (pmod(xxhash64(lit(i), seed), lit(2000000L)).cast("double") / 1000000.0 - 1.0)
     }: _*)
-    assets.withColumn("features", coalesce(png, wav, stub))
+    assets.withColumn("features", coalesce(png, jpg, wav, stub))
+  }
+
+  /** REAL JPEG features: baseline-sequential payloads are
+    * luma-decoded JDK-only (Huffman entropy decode → dequant → IDCT
+    * of the Y plane; [[Jpeg]]) into the same [mean, std, histogram]
+    * contract as [[withPngFeatures]] — via the
+    * [[graft.fn.JpegGrayFeatures]] native expression. Non-JPEG or
+    * out-of-scope profiles (progressive, CMYK) get null features.
+    */
+  def withJpegFeatures(assets: DataFrame, nBins: Int = 16,
+                       contentCol: String = "content"): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    assets.withColumn("features",
+      gb.column(graft.fn.JpegGrayFeatures(gb.expression(col(contentCol)), nBins)))
   }
 
   /** Deterministic feature extraction over binary payloads with NO

@@ -1,0 +1,143 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
+import javax.imageio.stream.MemoryCacheImageOutputStream
+
+import graft.ext.{Jpeg, Multimodal}
+import org.apache.spark.sql.functions._
+
+/** Baseline-JPEG luma decode tested against the JDK's own ImageIO
+  * JPEG codec: ImageIO ENCODES the fixtures (independent Huffman/DCT
+  * implementation) and DECODES them back for per-pixel parity — the
+  * strongest available ground truth without a codec dependency.
+  */
+class JpegSpec extends SparkSpec {
+
+  private def encode(img: BufferedImage, quality: Float,
+                     progressive: Boolean = false): Array[Byte] = {
+    val writer = ImageIO.getImageWritersByFormatName("jpg").next()
+    val baos = new ByteArrayOutputStream()
+    val ios = new MemoryCacheImageOutputStream(baos)
+    writer.setOutput(ios)
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    if (progressive) p.setProgressiveMode(ImageWriteParam.MODE_DEFAULT)
+    writer.write(null, new IIOImage(img, null, null), p)
+    ios.close(); writer.dispose()
+    baos.toByteArray
+  }
+
+  private def grayImg(w: Int, h: Int)(px: (Int, Int) => Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) img.getRaster.setSample(x, y, 0, px(x, y) & 0xFF)
+    img
+  }
+
+  private def rgbImg(w: Int, h: Int)(px: (Int, Int) => Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px(x, y))
+    img
+  }
+
+  test("grayscale: per-pixel parity with the JDK ImageIO decoder") {
+    // odd dims exercise the MCU-padding crop; the gradient exercises
+    // AC coefficients across the spectrum
+    val img = grayImg(67, 41)((x, y) => (x * 3 + y * 5 + (x * y) % 31) % 256)
+    val bytes = encode(img, 0.9f)
+    val lp = Jpeg.decodeLuma(bytes)
+    assert(lp != null, "decoder rejected an ImageIO-written baseline JPEG")
+    assert(lp.w === 67 && lp.h === 41)
+    val ref = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var maxDiff = 0.0; var sumDiff = 0.0
+    for (y <- 0 until 41; x <- 0 until 67) {
+      val ours = lp.plane(y * lp.planeW + x)
+      // raw raster sample: getRGB would apply a gray->sRGB transform
+      val theirs = ref.getRaster.getSample(x, y, 0).toDouble
+      val d = math.abs(ours - theirs)
+      maxDiff = math.max(maxDiff, d); sumDiff += d
+    }
+    // both are conforming IDCTs of the SAME coefficients: differences
+    // are rounding only (T.81 permits ±1 per sample)
+    assert(maxDiff <= 2.0, s"max per-pixel diff $maxDiff")
+    assert(sumDiff / (67 * 41) <= 0.51, s"mean abs diff ${sumDiff / (67 * 41)}")
+  }
+
+  test("color 4:2:0: luma stats match the JDK decoder's Rec.601 luminance") {
+    val img = rgbImg(64, 48) { (x, y) =>
+      val r = (x * 4) % 256; val g = (y * 5) % 256; val b = (x + y) % 256
+      (r << 16) | (g << 8) | b
+    }
+    val bytes = encode(img, 0.92f)
+    val ours = Jpeg.grayFeaturesOrNull(bytes, 16)
+    assert(ours != null)
+    val ref = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var s = 0.0; var s2 = 0.0
+    for (y <- 0 until 48; x <- 0 until 64) {
+      val rgb = ref.getRGB(x, y)
+      val lum = 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+        0.114 * (rgb & 0xFF)
+      s += lum; s2 += lum * lum
+    }
+    val n = 64 * 48
+    val mean = s / n
+    val std = math.sqrt(math.max(0.0, s2 / n - mean * mean))
+    // our Y plane vs their Y->RGB->lum round trip: rounding only
+    assert(math.abs(ours(0) - mean / 255) < 2.0 / 255, s"mean ${ours(0)} vs ${mean / 255}")
+    assert(math.abs(ours(1) - std / 255) < 2.5 / 255, s"std ${ours(1)} vs ${std / 255}")
+  }
+
+  test("constant image: near-exact mean, near-zero std at high quality") {
+    val bytes = encode(grayImg(40, 40)((_, _) => 180), 1.0f)
+    val f = Jpeg.grayFeaturesOrNull(bytes, 16)
+    assert(f != null)
+    assert(math.abs(f(0) - 180.0 / 255) < 1.0 / 255)
+    assert(f(1) < 1.0 / 255)
+  }
+
+  test("out-of-scope and malformed payloads: null, never a throw") {
+    val img = grayImg(32, 32)((x, y) => (x * 8 + y) % 256)
+    // progressive (SOF2) is explicitly out of scope
+    assert(Jpeg.grayFeaturesOrNull(encode(img, 0.9f, progressive = true), 16) == null)
+    assert(Jpeg.grayFeaturesOrNull(null, 16) == null)
+    assert(Jpeg.grayFeaturesOrNull(Array[Byte](1, 2, 3, 4), 16) == null)
+    val good = encode(img, 0.9f)
+    for (cut <- Seq(2, 20, 100, good.length / 2, good.length - 3))
+      Jpeg.grayFeaturesOrNull(good.take(cut), 16) // must not throw
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 300) {
+      val m = good.clone()
+      for (_ <- 0 to rnd.nextInt(4)) m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      Jpeg.grayFeaturesOrNull(m, 8) // decode or reject cleanly
+    }
+  }
+
+  test("router + SQL surface: JPEG rows get REAL features, codegen plan") {
+    import spark.implicits._
+    GraftExtensions.install(spark)
+    val jpg = encode(grayImg(24, 24)((x, _) => x * 10 % 256), 0.9f)
+    val tmp = java.nio.file.Files.createTempDirectory("jpeg_assets").toString
+    Seq(("a.jpg", jpg), ("junk.bin", Array[Byte](9, 8, 7)))
+      .toDF("entry", "content").write.mode("overwrite").parquet(tmp)
+    val df = spark.read.parquet(tmp)
+    // withFeatures: the jpg row takes the REAL decoder branch (its
+    // features match withJpegFeatures bit-for-bit), junk hits the stub
+    val routed = Multimodal.withFeatures(df, nBins = 16, stubDim = 16)
+      .select($"entry", $"features").collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val real = Multimodal.withJpegFeatures(df.filter($"entry" === "a.jpg"))
+      .select($"features").as[Seq[Double]].head()
+    assert(routed("a.jpg") === real)
+    assert(routed("junk.bin").length === 16)
+    assert(routed("junk.bin") != real)
+    val plan = Multimodal.withJpegFeatures(df).queryExecution.executedPlan.toString
+    assert(plan.contains("jpeg_gray_features"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+    df.createOrReplaceTempView("jpeg_assets")
+    val viaSql = spark.sql(
+      "SELECT jpeg_gray_features(content) AS f FROM jpeg_assets WHERE entry = 'a.jpg'")
+      .as[Seq[Double]].head()
+    assert(viaSql === real)
+  }
+}
