@@ -402,16 +402,30 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var changed = 1L
+    // Convergence test: a min-label propagation step strictly
+    // DECREASES every label it changes, so sum(label) is strictly
+    // monotone and two consecutive equal sums IS the fixpoint. The
+    // sum rides the SAME job that materializes each iteration's
+    // persist — replacing the join + count convergence job of the
+    // naive form (one job per iteration instead of two; the loop is
+    // fixed-overhead-bound, so this halves its cost). decimal(38,0)
+    // so the sum cannot overflow for any realistic id domain.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    // no initial sum job: iteration 1 changes labels unless the graph
+    // has no edges at all, so its sum is compared against null (≠)
+    var prevSum: java.math.BigDecimal = null
+    var converged = false
     var it = 0
-    while (changed > 0 && it < maxIters) {
+    while (!converged && it < maxIters) {
       val prop = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("label"))
         .unionByName(labels)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      changed = prop.join(labels.withColumnRenamed("label", "__old"), "id")
-        .filter(col("label") =!= col("__old")).count()
+      val s = labelSum(prop)
+      converged = java.util.Objects.equals(s, prevSum) // null-safe: empty graph
+      prevSum = s
       labels.unpersist()
       labels = prop
       it += 1
