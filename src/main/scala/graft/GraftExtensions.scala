@@ -109,6 +109,15 @@ object GraftExtensions {
           s"vincenty_km expects (lat1, lon1, lat2, lon2); got ${children.size} args")
         VincentyKm(children(0), children(1), children(2), children(3))
       }),
+    (
+      new FunctionIdentifier("topk_freq"),
+      new ExpressionInfo(classOf[graft.fn.SpaceSavingTopK].getName, "topk_freq"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          s"topk_freq expects (item, capacity, k); got ${children.size} args")
+        graft.fn.SpaceSavingTopK(children(0), litInt(children(1), "capacity"),
+          litInt(children(2), "k"))
+      }),
     binaryFn("dot_product", classOf[ArrayDotProduct], ArrayDotProduct(_, _)),
     binaryFn("cosine_sim", classOf[CosineSim], CosineSim(_, _)),
     binaryFn("polyfit_solve", classOf[graft.fn.PolyfitSolve],

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.ext.Sketches
+import graft.ops.BloomJoin
+
+/** Oracle corpus, batch 5: bounded-state summary operators — the
+  * Space-Saving heavy-hitters sketch (q81), deterministic bottom-k
+  * hash sampling (q82), and Bloom semi-join reduction (q83). Each is
+  * a differential query: the Spark side runs the O(k)-state / reduced-
+  * shuffle operator, the DuckDB oracle computes the same answer the
+  * exhaustive way — equality is exactly the operator's correctness
+  * guarantee (sketch exact under capacity; sample determined by the
+  * shared md5-60bit order hash; Bloom false positives dropped by the
+  * join).
+  */
+object Queries5 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // ------------------------------------------------- q81: heavy hitters
+  /** Top-3 brands per part type via [[graft.fn.SpaceSavingTopK]]
+    * (capacity 64 ≥ the 25 distinct brands ⇒ exact at every SF, so
+    * the sketch must reproduce the oracle's full GROUP BY + rank —
+    * with O(64) per-group state instead of the oracle's unbounded
+    * (type, brand) shuffle).
+    */
+  private def q81(s: SparkSession, dir: String): DataFrame =
+    Sketches.heavyHitters(t(s, dir, "part"), Seq("p_type"), $"p_brand",
+        capacity = 64, k = 3)
+      .select($"p_type", $"rk", $"item", $"cnt", $"err")
+      .orderBy($"p_type", $"rk")
+
+  private val q81Sql =
+    """SELECT p_type,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY p_type ORDER BY COUNT(*) DESC, p_brand) AS INT) AS rk,
+      |  p_brand AS item,
+      |  CAST(COUNT(*) AS BIGINT) AS cnt,
+      |  CAST(0 AS BIGINT) AS err
+      |FROM part
+      |GROUP BY p_type, p_brand
+      |QUALIFY rk <= 3
+      |ORDER BY p_type, rk""".stripMargin
+
+  // ------------------------------------------------- q82: bottom-k sample
+  /** Deterministic uniform sample of 120 documents: the rows with the
+    * smallest md5-60bit order hash ([[Sketches.sampleBottomK]] — a
+    * per-partition top-k heap + driver merge, no full sort/shuffle).
+    * The oracle recomputes the identical hash in DuckDB and takes the
+    * same LIMIT — same rows, bit for bit.
+    */
+  private def q82(s: SparkSession, dir: String): DataFrame =
+    Sketches.sampleBottomK(t(s, dir, "documents"), $"doc_id", 120)
+      .select($"doc_id", $"lang", $"n_chars")
+      .orderBy($"doc_id")
+
+  private val q82Sql =
+    """SELECT doc_id, lang, n_chars FROM (
+      |  SELECT doc_id, lang, n_chars,
+      |    CAST(CONCAT('0x', SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      |  FROM documents
+      |  ORDER BY h, doc_id
+      |  LIMIT 120)
+      |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------- q83: bloom join
+  /** Revenue by high-balance supplier, with the lineitem side Bloom-
+    * prefiltered on the surviving supplier keys before the join
+    * ([[BloomJoin.join]]). The oracle is the PLAIN join — equality
+    * proves the semi-join reduction is transparent (false positives
+    * pass the filter, then die in the join).
+    */
+  private def q83(s: SparkSession, dir: String): DataFrame = {
+    val dim = t(s, dir, "supplier").where($"s_acctbal" > 5000)
+    BloomJoin.join(t(s, dir, "lineitem"), "l_suppkey", dim, "s_suppkey",
+        expectedItems = 100000L)
+      .groupBy($"s_suppkey")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(($"l_extendedprice".cast(DecimalType(18, 2)) *
+             (lit(BigDecimal(1)) - $"l_discount".cast(DecimalType(18, 2)))))
+          .cast("double").as("revenue"))
+      .orderBy($"s_suppkey")
+  }
+
+  private val q83Sql =
+    """SELECT s_suppkey,
+      |  COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE s_acctbal > 5000
+      |GROUP BY s_suppkey
+      |ORDER BY s_suppkey""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_topk_freq" -> (q81 _),
+    "q82_bottomk_sample" -> (q82 _),
+    "q83_bloom_join" -> (q83 _))
+
+  val oracles: Map[String, String] = Map(
+    "q81_topk_freq" -> q81Sql,
+    "q82_bottomk_sample" -> q82Sql,
+    "q83_bloom_join" -> q83Sql)
+
+  // $"..." interpolator without a SparkSession-bound implicits import
+  private implicit class Dollar(val sc: StringContext) {
+    def $(args: Any*): Column = col(sc.s(args: _*))
+  }
+}

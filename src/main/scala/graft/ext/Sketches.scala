@@ -1,0 +1,69 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{graftbridge => gb}
+import graft.fn.SpaceSavingTopK
+
+/** Bounded-state summary operators for 100 TB-scale profiling: the
+  * Space-Saving heavy-hitters aggregate and deterministic bottom-k
+  * hash sampling. Both keep per-group / per-job state O(k) no matter
+  * how many rows flow through — the property that separates "profile
+  * the corpus" from "shuffle the corpus".
+  */
+object Sketches {
+
+  /** Per-group top-k frequent items via the native
+    * [[graft.fn.SpaceSavingTopK]] aggregate —
+    * `array<struct<item, cnt, err>>`, count-desc. One shuffle with
+    * map-side partial aggregation; O(capacity) state per group.
+    * Exact (err = 0) whenever the group's distinct-item cardinality
+    * stays ≤ capacity; otherwise counts over-estimate by ≤ err ≤
+    * N/capacity (Metwally et al. 2005).
+    */
+  def topkFreq(item: Column, capacity: Int, k: Int): Column =
+    gb.column(SpaceSavingTopK(gb.expression(item), capacity, k)
+      .toAggregateExpression())
+
+  /** Heavy hitters per group, exploded to one row per (group, rank):
+    * `groupCols..., rk (1-based), item, cnt, err`. The scalable
+    * alternative to `groupBy(group, item).count` + window-rank, which
+    * at 100 TB shuffles every distinct (group, item) pair and sorts
+    * unbounded groups; this shuffles only O(capacity) per group.
+    */
+  def heavyHitters(df: DataFrame, groupCols: Seq[String], item: Column,
+                   capacity: Int, k: Int): DataFrame = {
+    df.groupBy(groupCols.map(col): _*)
+      .agg(topkFreq(item, capacity, k).as("__tk"))
+      .select(groupCols.map(col) ++ Seq(posexplode(col("__tk"))): _*)
+      .select(groupCols.map(col) ++ Seq(
+        (col("pos") + 1).cast("int").as("rk"),
+        col("col.item").as("item"),
+        col("col.cnt").as("cnt"),
+        col("col.err").as("err")): _*)
+  }
+
+  /** 60-bit md5-derived order key — byte-identical in DuckDB as
+    * `CAST(CONCAT('0x', SUBSTR(md5(x), 1, 15)) AS BIGINT)`, so
+    * hash-ordered samples are reproducible cross-engine (same
+    * construction as [[Dedup.ParityHasher]], without the mod-P fold:
+    * sampling wants the full 60 bits to make order ties negligible).
+    */
+  def orderHash(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Deterministic uniform sample WITHOUT a full shuffle or sort: the
+    * k rows with the smallest [[orderHash]] (the classic bottom-k /
+    * KMV sample — uniform over distinct keys, stable under reruns and
+    * engine changes, mergeable across partitions). Physically a
+    * TakeOrderedAndProject: each partition keeps a k-element heap and
+    * the driver merges #partitions × k candidates — no exchange of
+    * the data itself, which is what `ORDER BY rand() LIMIT k` costs
+    * when the optimizer cannot see through the non-determinism.
+    */
+  def sampleBottomK(df: DataFrame, key: Column, k: Int): DataFrame =
+    df.withColumn("__h", orderHash(key))
+      .orderBy(col("__h"), key)
+      .limit(k)
+      .drop("__h")
+}

@@ -1,0 +1,188 @@
+package graft.fn
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{ImperativeAggregate, TypedImperativeAggregate}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.AbstractDataType
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Bounded Space-Saving / Misra–Gries frequency summary: at most
+  * `capacity` (item → count, err) counters, regardless of how many
+  * rows or distinct items flow through. The classic heavy-hitters
+  * sketch (Metwally et al. 2005; merge rule from Agarwal et al. 2012,
+  * "Mergeable Summaries"): any item with true frequency
+  * > N/capacity is guaranteed present, and every reported count
+  * deviates from truth by at most its `err` field (update-side
+  * takeovers over-estimate, merge-side trims under-estimate — the
+  * bound is two-sided, ≤ 2N/capacity over any merge tree). When a
+  * group's
+  * distinct cardinality never exceeds `capacity`, no eviction or trim
+  * ever fires and the summary is EXACT (err = 0 for every entry) —
+  * which is what makes the sketch oracle-checkable against a plain
+  * GROUP BY count.
+  */
+final class SpaceSavingBuffer(val capacity: Int) {
+
+  /** value = Array(count, err); keys are owned (cloned) UTF8Strings. */
+  val entries = new java.util.HashMap[UTF8String, Array[Long]]()
+
+  /** Streaming update (Space-Saving): hit → count++; miss with room →
+    * insert; miss when full → evict the min-count entry and take over
+    * its count as the new item's over-estimate.
+    */
+  def add(key: UTF8String, w: Long): Unit = {
+    val cur = entries.get(key)
+    if (cur != null) cur(0) += w
+    else if (entries.size < capacity) entries.put(key.clone(), Array(w, 0L))
+    else {
+      var minKey: UTF8String = null
+      var min = Long.MaxValue
+      val it = entries.entrySet().iterator()
+      while (it.hasNext) {
+        val en = it.next()
+        if (en.getValue()(0) < min) { min = en.getValue()(0); minKey = en.getKey }
+      }
+      entries.remove(minKey)
+      entries.put(key.clone(), Array(min + w, min))
+    }
+  }
+
+  /** Misra–Gries merge: union-sum both summaries, then if over
+    * capacity subtract the (capacity+1)-th largest count from every
+    * counter and drop the non-positive ones (the subtracted amount
+    * joins each survivor's error bound). Keeps the mergeability
+    * guarantee: error after any merge tree ≤ N/capacity.
+    */
+  def mergeIn(other: SpaceSavingBuffer): Unit = {
+    other.entries.forEach { (k, v) =>
+      val cur = entries.get(k)
+      if (cur != null) { cur(0) += v(0); cur(1) += v(1) }
+      else entries.put(k.clone(), Array(v(0), v(1)))
+    }
+    if (entries.size > capacity) {
+      val counts = new Array[Long](entries.size)
+      var i = 0
+      entries.forEach { (_, v) => counts(i) = v(0); i += 1 }
+      java.util.Arrays.sort(counts)
+      val t = counts(counts.length - capacity - 1) // (capacity+1)-th largest
+      val it = entries.entrySet().iterator()
+      while (it.hasNext) {
+        val en = it.next()
+        if (en.getValue()(0) <= t) it.remove()
+        else { en.getValue()(0) -= t; en.getValue()(1) += t }
+      }
+    }
+  }
+
+  /** Top-k rows sorted by (count desc, item binary asc) — the same
+    * total order a `ROW_NUMBER() OVER (ORDER BY cnt DESC, item)`
+    * oracle uses, so ties resolve identically cross-engine.
+    */
+  def topK(k: Int): GenericArrayData = {
+    val arr = new Array[(UTF8String, Long, Long)](entries.size)
+    var i = 0
+    entries.forEach { (key, v) => arr(i) = (key, v(0), v(1)); i += 1 }
+    val sorted = arr.sortWith { case ((k1, c1, _), (k2, c2, _)) =>
+      if (c1 != c2) c1 > c2 else k1.compareTo(k2) < 0
+    }
+    new GenericArrayData(sorted.take(k).map { case (key, cnt, err) =>
+      new GenericInternalRow(Array[Any](key, cnt, err))
+    })
+  }
+
+  def serialize(): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(entries.size)
+    entries.forEach { (k, v) =>
+      val bytes = k.getBytes
+      out.writeInt(bytes.length)
+      out.write(bytes)
+      out.writeLong(v(0))
+      out.writeLong(v(1))
+    }
+    out.flush()
+    bos.toByteArray
+  }
+}
+
+object SpaceSavingBuffer {
+  def deserialize(capacity: Int, bytes: Array[Byte]): SpaceSavingBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new SpaceSavingBuffer(capacity)
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val kb = new Array[Byte](len)
+      in.readFully(kb)
+      buf.entries.put(UTF8String.fromBytes(kb), Array(in.readLong(), in.readLong()))
+      i += 1
+    }
+    buf
+  }
+}
+
+/** `topk_freq(item, capacity, k)` — per-group heavy hitters as a
+  * native [[TypedImperativeAggregate]] (the same extension point
+  * Spark's own `collect_list`/`percentile` and the DataSketches
+  * library use). One shuffle, map-side partial aggregation, and
+  * O(capacity) state per group INDEPENDENT of group size — the
+  * bounded-state alternative to the `groupBy(item).count` +
+  * window-rank plan, which shuffles every distinct item and carries
+  * an unbounded per-group sort at 100 TB. Returns
+  * `array<struct<item, cnt, err>>` (err = 0 ⇔ the count is exact;
+  * see [[SpaceSavingBuffer]] for the guarantee).
+  */
+case class SpaceSavingTopK(
+    child: Expression,
+    capacity: Int,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[SpaceSavingBuffer]
+  with ExpectsInputTypes with UnaryLike[Expression] {
+
+  require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+  require(k >= 1 && k <= capacity, s"k must be in [1, capacity], got $k")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType, nullable = false),
+    StructField("cnt", LongType, nullable = false),
+    StructField("err", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "topk_freq"
+
+  override def createAggregationBuffer(): SpaceSavingBuffer =
+    new SpaceSavingBuffer(capacity)
+
+  override def update(b: SpaceSavingBuffer, input: InternalRow): SpaceSavingBuffer = {
+    val v = child.eval(input)
+    if (v != null) b.add(v.asInstanceOf[UTF8String], 1L)
+    b
+  }
+
+  override def merge(b: SpaceSavingBuffer, o: SpaceSavingBuffer): SpaceSavingBuffer = {
+    b.mergeIn(o); b
+  }
+
+  override def eval(b: SpaceSavingBuffer): Any = b.topK(k)
+
+  override def serialize(b: SpaceSavingBuffer): Array[Byte] = b.serialize()
+  override def deserialize(bytes: Array[Byte]): SpaceSavingBuffer =
+    SpaceSavingBuffer.deserialize(capacity, bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): SpaceSavingTopK =
+    copy(child = newChild)
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.ext.Sketches
+import graft.ops.BloomJoin
+
+/** Space-Saving heavy hitters, bottom-k sampling, Bloom semi-join
+  * reduction (Queries5 operators). Differential style: every operator
+  * is checked against the exhaustive computation on the same data.
+  */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+
+  test("topk_freq exact mode reproduces groupBy-count + rank (merge path live)") {
+    // 4 partitions force partial buffers through serialize/merge.
+    val hh = Sketches.heavyHitters(part.repartition(4), Seq("p_type"),
+      col("p_brand"), capacity = 64, k = 3)
+    val w = Window.partitionBy($"p_type").orderBy($"cnt".desc, $"item")
+    val exact = part.groupBy($"p_type", $"p_brand".as("item"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .where($"rk" <= 3)
+      .select($"p_type", $"rk", $"item", $"cnt")
+    assert(hh.select($"p_type", $"rk", $"item", $"cnt").except(exact).isEmpty &&
+      exact.except(hh.select($"p_type", $"rk", $"item", $"cnt")).isEmpty)
+    assert(hh.agg(max($"err")).head.getLong(0) === 0L) // under capacity ⇒ exact
+  }
+
+  test("topk_freq over capacity: heavy hitter survives, counts within err bound") {
+    // 1 dominant key + 200 rare keys through a capacity-8 sketch.
+    val rows = (1 to 400).map(i => s"heavy") ++ (1 to 200).map(i => s"rare_$i")
+    val df = rows.toDF("item").repartition(4) // exercises trim-on-merge too
+    val out = df.agg(Sketches.topkFreq($"item", capacity = 8, k = 1).as("tk"))
+      .select(explode($"tk").as("e")).select($"e.item", $"e.cnt", $"e.err")
+      .head
+    assert(out.getString(0) === "heavy") // freq 400 > 600/8 ⇒ guaranteed present
+    val (cnt, err) = (out.getLong(1), out.getLong(2))
+    // Two-sided deviation bound: Space-Saving takeovers over-estimate,
+    // Misra–Gries merge trims under-estimate; err covers both.
+    assert(math.abs(cnt - 400L) <= err, s"cnt=$cnt err=$err")
+    assert(err <= 2 * 600L / 8) // hybrid bound: err ≤ 2N/capacity
+  }
+
+  test("topk_freq on the SQL surface") {
+    GraftExtensions.install(spark)
+    part.createOrReplaceTempView("part_sql")
+    val r = spark.sql(
+      """SELECT e.item, e.cnt FROM (
+        |  SELECT explode(topk_freq(p_brand, 64, 1)) AS e FROM part_sql)""".stripMargin)
+      .head
+    val top = part.groupBy($"p_brand").count()
+      .orderBy($"count".desc, $"p_brand").head
+    assert(r.getString(0) === top.getString(0) && r.getLong(1) === top.getLong(1))
+  }
+
+  test("sampleBottomK picks exactly the k smallest order-hashes, via TakeOrdered") {
+    val sample = Sketches.sampleBottomK(part, $"p_partkey", 50)
+    val exact = part.withColumn("h", Sketches.orderHash($"p_partkey"))
+      .orderBy($"h", $"p_partkey").limit(50).drop("h")
+    assert(sample.except(exact).isEmpty && exact.except(sample).isEmpty)
+    assert(sample.count() === 50)
+    val phys = sample.queryExecution.executedPlan.toString
+    assert(phys.contains("TakeOrderedAndProject"), s"expected TakeOrdered, got:\n$phys")
+  }
+
+  test("bloom join equals the plain join; prefilter passes every true match") {
+    val fact = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val dim = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
+      .where($"s_acctbal" > 5000)
+    val viaBloom = BloomJoin.join(fact, "l_suppkey", dim, "s_suppkey", 10000L)
+      .select($"l_orderkey", $"l_linenumber", $"s_suppkey")
+    val plain = fact.join(dim, $"l_suppkey" === $"s_suppkey")
+      .select($"l_orderkey", $"l_linenumber", $"s_suppkey")
+    assert(viaBloom.except(plain).isEmpty && plain.except(viaBloom).isEmpty)
+
+    // No false negatives: every key in the plain semi-join survives the filter.
+    val bloom = BloomJoin.buildBloom(dim, $"s_suppkey", 10000L)
+    val kept = BloomJoin.prefilter(fact, $"l_suppkey", bloom)
+    assert(fact.join(dim, $"l_suppkey" === $"s_suppkey", "left_semi")
+      .except(kept.join(dim, $"l_suppkey" === $"s_suppkey", "left_semi"))
+      .isEmpty)
+    // The predicate runs at the scan, below the join.
+    val phys = kept.queryExecution.executedPlan.toString
+    assert(phys.contains("might_contain"), s"expected might_contain in:\n$phys")
+  }
+
+  test("bloom join with an empty build side is empty, not a crash") {
+    val fact = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val dim = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
+      .where(lit(false))
+    assert(BloomJoin.join(fact, "l_suppkey", dim, "s_suppkey", 100L).isEmpty)
+  }
+}
