@@ -87,6 +87,35 @@ class SketchSpec extends SparkSpec {
     assert(phys.contains("might_contain"), s"expected might_contain in:\n$phys")
   }
 
+  test("topk_freq as streaming state: cross-batch counts match the batch sketch") {
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(
+      StructField("grp", StringType), StructField("item", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("hhstream").toString
+    def write(rows: Seq[(String, String)]): Unit =
+      spark.createDataFrame(rows.toDF("grp", "item").rdd, sch)
+        .coalesce(1).write.mode("append").parquet(dir)
+
+    // two micro-batches whose per-batch top-1 differs from the union's
+    // top-1 for group a — only correct cross-batch merge gets b right
+    write(Seq(("a", "x"), ("a", "x"), ("a", "y"), ("b", "p")))
+    write(Seq(("a", "y"), ("a", "y"), ("b", "p"), ("b", "q")))
+
+    val q = spark.readStream.schema(sch).option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .groupBy($"grp").agg(Sketches.topkFreq($"item", 8, 1).as("tk"))
+      .writeStream.format("memory").queryName("hh")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("hh")
+      .select($"grp", $"tk"(0)("item").as("item"), $"tk"(0)("cnt").as("cnt"))
+      .as[(String, String, Long)].collect()
+      .map { case (g, i, c) => g -> ((i, c)) }.toMap
+    assert(got("a") === ("y", 3L)) // y wins only after merging both batches
+    assert(got("b") === ("p", 2L))
+  }
+
   test("bloom join with an empty build side is empty, not a crash") {
     val fact = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val dim = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
