@@ -116,6 +116,23 @@ class SketchSpec extends SparkSpec {
     assert(got("b") === ("p", 2L))
   }
 
+  test("hll sketch distinct: mergeable across partitions, estimate within 2%") {
+    // Spark's built-in DataSketches HLL completes the sketch family:
+    // partial sketches union exactly like topk_freq buffers merge.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val exact = docs.select(countDistinct($"l_partkey")).head.getLong(0)
+    val est = docs.repartition(8)
+      .select(hll_sketch_agg($"l_partkey").as("sk"))
+      .select(hll_sketch_estimate($"sk")).head.getLong(0)
+    assert(math.abs(est - exact) <= exact * 2 / 100, s"est=$est exact=$exact")
+    // union of per-group sketches == sketch of the union (mergeability)
+    val merged = docs.groupBy($"l_returnflag")
+      .agg(hll_sketch_agg($"l_partkey").as("sk"))
+      .select(hll_union_agg($"sk").as("u"))
+      .select(hll_sketch_estimate($"u")).head.getLong(0)
+    assert(merged === est)
+  }
+
   test("bloom join with an empty build side is empty, not a crash") {
     val fact = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val dim = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
