@@ -66,4 +66,19 @@ object Sketches {
       .orderBy(col("__h"), key)
       .limit(k)
       .drop("__h")
+
+  /** Per-group (stratified) bottom-k sample: k deterministic uniform
+    * picks per group, same order-hash construction as
+    * [[sampleBottomK]]. One shuffle on the group keys + per-group
+    * sort-rank — use the global form when no strata are needed (it
+    * never shuffles the data).
+    */
+  def stratifiedBottomK(df: DataFrame, groupCols: Seq[String], key: Column,
+                        k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(orderHash(key), key)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .drop("__rn")
+  }
 }

@@ -116,6 +116,42 @@ class SketchSpec extends SparkSpec {
     assert(got("b") === ("p", 2L))
   }
 
+  test("randomized sketch law: capacity >= distinct ==> sketch == naive counts") {
+    val rnd = new scala.util.Random(77)
+    for (trial <- 1 to 5) {
+      val distinct = 1 + rnd.nextInt(40)
+      // zipf-ish skew: item j drawn with weight ~ 1/(j+1)
+      val rows = (1 to 2000).map { _ =>
+        val r = rnd.nextDouble()
+        var j = 0; var acc = 0.0
+        val norm = (0 until distinct).map(j => 1.0 / (j + 1.0)).sum
+        while (j < distinct - 1 && { acc += 1.0 / ((j + 1) * norm); acc < r }) j += 1
+        s"item_$j"
+      }
+      val df = rows.toDF("item").repartition(1 + rnd.nextInt(7))
+      val got = df.agg(Sketches.topkFreq($"item", capacity = 48, k = 48).as("tk"))
+        .select(explode($"tk").as("e"))
+        .select($"e.item", $"e.cnt", $"e.err")
+        .as[(String, Long, Long)].collect()
+      val naive = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(got.length === naive.size, s"trial $trial")
+      got.foreach { case (item, cnt, err) =>
+        assert(err === 0L && cnt === naive(item), s"trial $trial item $item")
+      }
+    }
+  }
+
+  test("stratified bottom-k: k deterministic picks per group, matching brute force") {
+    val sample = Sketches.stratifiedBottomK(part, Seq("p_type"), $"p_partkey", 5)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"p_type").orderBy(Sketches.orderHash($"p_partkey"), $"p_partkey")
+    val exact = part.withColumn("rn", row_number().over(w))
+      .where($"rn" <= 5).drop("rn")
+    assert(sample.except(exact).isEmpty && exact.except(sample).isEmpty)
+    val sizes = sample.groupBy($"p_type").count().select($"count").as[Long].collect()
+    assert(sizes.forall(_ === 5L))
+  }
+
   test("hll sketch distinct: mergeable across partitions, estimate within 2%") {
     // Spark's built-in DataSketches HLL completes the sketch family:
     // partial sketches union exactly like topk_freq buffers merge.
