@@ -112,11 +112,13 @@ object GraftExtensions {
     (
       new FunctionIdentifier("topk_freq"),
       new ExpressionInfo(classOf[graft.fn.SpaceSavingTopK].getName, "topk_freq"),
-      (children: Seq[Expression]) => {
-        require(children.size == 3,
-          s"topk_freq expects (item, capacity, k); got ${children.size} args")
-        graft.fn.SpaceSavingTopK(children(0), litInt(children(1), "capacity"),
-          litInt(children(2), "k"))
+      (children: Seq[Expression]) => children match {
+        case Seq(item, cap, k) =>
+          graft.fn.SpaceSavingTopK(item, litInt(cap, "capacity"), litInt(k, "k"))
+        case Seq(item, w, cap, k) =>
+          graft.fn.SpaceSavingTopK(item, w, litInt(cap, "capacity"), litInt(k, "k"))
+        case other => throw new IllegalArgumentException(
+          s"topk_freq expects (item[, weight], capacity, k); got ${other.size} args")
       }),
     binaryFn("dot_product", classOf[ArrayDotProduct], ArrayDotProduct(_, _)),
     binaryFn("cosine_sim", classOf[CosineSim], CosineSim(_, _)),

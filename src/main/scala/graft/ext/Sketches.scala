@@ -25,6 +25,15 @@ object Sketches {
     gb.column(SpaceSavingTopK(gb.expression(item), capacity, k)
       .toAggregateExpression())
 
+  /** Weighted form: each row contributes `weight` (long, > 0; null or
+    * non-positive rows are ignored). Composes with pre-aggregation —
+    * per-document token counts roll up to corpus heavy hitters
+    * without re-exploding the corpus.
+    */
+  def topkFreqWeighted(item: Column, weight: Column, capacity: Int, k: Int): Column =
+    gb.column(SpaceSavingTopK(gb.expression(item), gb.expression(weight),
+      capacity, k).toAggregateExpression())
+
   /** Heavy hitters per group, exploded to one row per (group, rank):
     * `groupCols..., rk (1-based), item, cnt, err`. The scalable
     * alternative to `groupBy(group, item).count` + window-rank, which

@@ -3,10 +3,10 @@ package graft.fn
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{ImperativeAggregate, TypedImperativeAggregate}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.AbstractDataType
 import org.apache.spark.sql.types._
@@ -129,30 +129,39 @@ object SpaceSavingBuffer {
   }
 }
 
-/** `topk_freq(item, capacity, k)` — per-group heavy hitters as a
-  * native [[TypedImperativeAggregate]] (the same extension point
+/** `topk_freq(item, capacity, k)` / weighted
+  * `topk_freq(item, weight, capacity, k)` — per-group heavy hitters
+  * as a native [[TypedImperativeAggregate]] (the same extension point
   * Spark's own `collect_list`/`percentile` and the DataSketches
   * library use). One shuffle, map-side partial aggregation, and
   * O(capacity) state per group INDEPENDENT of group size — the
   * bounded-state alternative to the `groupBy(item).count` +
   * window-rank plan, which shuffles every distinct item and carries
-  * an unbounded per-group sort at 100 TB. Returns
+  * an unbounded per-group sort at 100 TB. The weighted form makes the
+  * sketch compose with pre-aggregation: per-document token counts
+  * roll up to corpus-level token frequencies without re-exploding the
+  * corpus (weight = the partial count; Space-Saving is exactly the
+  * weighted-update sketch, Metwally et al. §3). Returns
   * `array<struct<item, cnt, err>>` (err = 0 ⇔ the count is exact;
-  * see [[SpaceSavingBuffer]] for the guarantee).
+  * see [[SpaceSavingBuffer]] for the guarantee). Rows with null item,
+  * null weight, or weight ≤ 0 are ignored.
   */
 case class SpaceSavingTopK(
     child: Expression,
+    weight: Expression,
     capacity: Int,
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[SpaceSavingBuffer]
-  with ExpectsInputTypes with UnaryLike[Expression] {
+  with ExpectsInputTypes with BinaryLike[Expression] {
 
   require(capacity >= 1, s"capacity must be >= 1, got $capacity")
   require(k >= 1 && k <= capacity, s"k must be in [1, capacity], got $k")
 
-  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def left: Expression = child
+  override def right: Expression = weight
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, LongType)
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("item", StringType, nullable = false),
     StructField("cnt", LongType, nullable = false),
@@ -165,7 +174,11 @@ case class SpaceSavingTopK(
 
   override def update(b: SpaceSavingBuffer, input: InternalRow): SpaceSavingBuffer = {
     val v = child.eval(input)
-    if (v != null) b.add(v.asInstanceOf[UTF8String], 1L)
+    if (v != null) {
+      val w = weight.eval(input)
+      if (w != null && w.asInstanceOf[Long] > 0L)
+        b.add(v.asInstanceOf[UTF8String], w.asInstanceOf[Long])
+    }
     b
   }
 
@@ -183,6 +196,13 @@ case class SpaceSavingTopK(
     copy(mutableAggBufferOffset = newOffset)
   override def withNewInputAggBufferOffset(newOffset: Int): ImperativeAggregate =
     copy(inputAggBufferOffset = newOffset)
-  override protected def withNewChildInternal(newChild: Expression): SpaceSavingTopK =
-    copy(child = newChild)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SpaceSavingTopK =
+    copy(child = newLeft, weight = newRight)
+}
+
+object SpaceSavingTopK {
+  /** Unweighted form: every row counts 1. */
+  def apply(child: Expression, capacity: Int, k: Int): SpaceSavingTopK =
+    SpaceSavingTopK(child, Literal(1L), capacity, k)
 }

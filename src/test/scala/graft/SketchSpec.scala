@@ -152,6 +152,31 @@ class SketchSpec extends SparkSpec {
     assert(sizes.forall(_ === 5L))
   }
 
+  test("weighted topk_freq: per-doc token counts roll up to the corpus top-k") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val toks = docs.select(explode(split($"text", " ")).as("tok"))
+      .where($"tok" =!= "")
+    // pre-aggregated path: count per (doc, token) first, then feed the
+    // partial counts to the sketch as weights
+    val perDoc = docs.select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .where($"tok" =!= "")
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("w"))
+    val viaWeights = perDoc
+      .agg(Sketches.topkFreqWeighted($"tok", $"w", 64, 5).as("tk"))
+      .select(explode($"tk").as("e")).select($"e.item", $"e.cnt")
+      .as[(String, Long)].collect().toSeq
+    // direct path: one row per token occurrence
+    val direct = toks.agg(Sketches.topkFreq($"tok", 64, 5).as("tk"))
+      .select(explode($"tk").as("e")).select($"e.item", $"e.cnt")
+      .as[(String, Long)].collect().toSeq
+    // exhaustive truth
+    val exact = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"tok").limit(5)
+      .as[(String, Long)].collect().toSeq
+    assert(viaWeights === exact)
+    assert(direct === exact)
+  }
+
   test("hll sketch distinct: mergeable across partitions, estimate within 2%") {
     // Spark's built-in DataSketches HLL completes the sketch family:
     // partial sketches union exactly like topk_freq buffers merge.
