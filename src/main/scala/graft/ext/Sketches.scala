@@ -17,9 +17,9 @@ object Sketches {
     * [[graft.fn.SpaceSavingTopK]] aggregate —
     * `array<struct<item, cnt, err>>`, count-desc. One shuffle with
     * map-side partial aggregation; O(capacity) state per group.
-    * Exact (err = 0) whenever the group's distinct-item cardinality
-    * stays ≤ capacity; otherwise counts over-estimate by ≤ err ≤
-    * N/capacity (Metwally et al. 2005).
+    * Exact (err = 0) whenever the group distinct-item cardinality
+    * stays ≤ capacity; otherwise counts under-estimate by ≤ err ≤
+    * N/(capacity+1) (Misra–Gries; amortized O(1) updates).
     */
   def topkFreq(item: Column, capacity: Int, k: Int): Column =
     gb.column(SpaceSavingTopK(gb.expression(item), capacity, k)

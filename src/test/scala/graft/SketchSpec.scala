@@ -36,12 +36,12 @@ class SketchSpec extends SparkSpec {
     val out = df.agg(Sketches.topkFreq($"item", capacity = 8, k = 1).as("tk"))
       .select(explode($"tk").as("e")).select($"e.item", $"e.cnt", $"e.err")
       .head
-    assert(out.getString(0) === "heavy") // freq 400 > 600/8 ⇒ guaranteed present
+    assert(out.getString(0) === "heavy") // freq 400 > 600/9 ⇒ guaranteed present
     val (cnt, err) = (out.getLong(1), out.getLong(2))
-    // Two-sided deviation bound: Space-Saving takeovers over-estimate,
-    // Misra–Gries merge trims under-estimate; err covers both.
-    assert(math.abs(cnt - 400L) <= err, s"cnt=$cnt err=$err")
-    assert(err <= 2 * 600L / 8) // hybrid bound: err ≤ 2N/capacity
+    // Misra–Gries one-sided bound: trims only subtract, so
+    // cnt ≤ true ≤ cnt + err with err ≤ N/(capacity+1).
+    assert(cnt <= 400L && 400L <= cnt + err, s"cnt=$cnt err=$err")
+    assert(err <= 600L / 9)
   }
 
   test("topk_freq on the SQL surface") {
