@@ -71,9 +71,10 @@ object GraftExtensions {
 
   /** The engine's SQL function surface (VERDICT r2 item 8): every
     * library-level scalar also callable as SQL — `vincenty_km`,
-    * `dot_product`, `cosine_sim`, `hamming64`, and the multimodal
-    * decoders `png_gray_features` / `wav_pcm_features` / `mp4_meta` /
-    * `apng_frame_features` / `gif_frame_features`.
+    * `dot_product`, `cosine_sim`, `hamming64`, the heavy-hitters
+    * aggregate `topk_freq(item[, weight], capacity, k)`, and the
+    * multimodal decoders `png_gray_features` / `wav_pcm_features` /
+    * `mp4_meta` / `apng_frame_features` / `gif_frame_features`.
     */
   private[graft] val functions = Seq(
     unaryFn("png_gray_features", classOf[graft.fn.PngGrayFeatures],
