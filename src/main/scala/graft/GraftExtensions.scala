@@ -88,6 +88,8 @@ object GraftExtensions {
       graft.fn.ApngFrameFeatures(_, _, _, _)),
     frameFn("gif_frame_features", classOf[graft.fn.GifFrameFeatures],
       graft.fn.GifFrameFeatures(_, _, _, _)),
+    frameFn("mjpeg_frame_features", classOf[graft.fn.MjpegFrameFeatures],
+      graft.fn.MjpegFrameFeatures(_, _, _, _)),
     (
       new FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[graft.fn.WordShingles].getName, "word_shingles"),

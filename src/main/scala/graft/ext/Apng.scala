@@ -5,7 +5,7 @@ package graft.ext
   * to real per-frame pixels for the one multi-frame container whose
   * codec the JDK can express: APNG frames are zlib streams with PNG
   * scanline filters, so the [[Png]] inflate/unfilter kernel applies
-  * per frame. (H.264-in-MP4 frames stay behind the documented stub —
+  * per frame. (inter-coded H.264-in-MP4 frames stay behind the documented stub —
   * that codec genuinely isn't available here; MP4 container METADATA
   * is real via [[graft.fn.Mp4Meta]].)
   *

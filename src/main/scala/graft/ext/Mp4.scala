@@ -2,7 +2,7 @@ package graft.ext
 
 /** JDK-only ISO BMFF (MP4/QuickTime) metadata walk — the video member
   * of the real-decode family ([[Png]] pixels, [[Wav]] samples). Frame
-  * DECODE genuinely needs codec runtimes this container does not ship
+  * DECODE needs a codec: MJPEG tracks are REAL via [[Mjpeg]] (sample tables + the baseline-JPEG kernel); inter-coded codecs (H.264) this container cannot ship
   * (that path stays behind the documented stub + chunk sampler), but
   * the container METADATA is a plain public box structure: walk the
   * top-level boxes, find `moov`, read `mvhd` (timescale + duration,

@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * ([[Wav]], chunk walk), and animated-PNG FRAMES ([[Apng]], per-frame
   * inflate + unfilter + canvas compositing — real video-frame
   * sampling) are REAL decodes behind native codegen expressions; only
-  * codec-bearing video (H.264-in-MP4) falls back to one
+  * inter-coded video (H.264-in-MP4) falls back to one
   * clearly-marked deterministic stub with the real distributed
   * plumbing (schema, batching, partition shape) in place.
   *
@@ -129,9 +129,11 @@ object Multimodal {
   /** Typed MP4/QuickTime metadata: major brand (ftyp leading box, the
     * overwhelmingly common layout, via codegen substring) + the
     * [[graft.fn.Mp4Meta]] box walk (timescale, duration, track
-    * count). Video FRAMES stay behind the stub/chunk-sampler — pixel
-    * decode needs codecs this container does not ship — but the
-    * container metadata is real, like PNG's IHDR and WAV's fmt.
+    * count). MJPEG tracks additionally decode REAL frames
+    * ([[withMjpegFrames]]); inter-coded tracks (H.264) stay behind
+    * the stub/chunk-sampler — their pixel decode needs codecs this
+    * container does not ship — but the container metadata is real
+    * either way, like PNG's IHDR and WAV's fmt.
     */
   def withMp4Meta(assets: DataFrame, contentCol: String = "content"): DataFrame = {
     import org.apache.spark.sql.{graftbridge => gb}
@@ -177,11 +179,27 @@ object Multimodal {
       gb.expression(col(contentCol)), nBins, stride, maxFrames)))
   }
 
-  /** Modality-routed video frame sampling: APNG and GIF payloads both
-    * decode to real per-frame features (each decoder null-gates on its
-    * own magic, so the coalesce routes by content, not by filename);
-    * rows of other kinds disappear. One narrow projection per decoder,
-    * payload dropped before the generator.
+  /** MJPEG-in-MP4 member of [[withApngFrames]]/[[withGifFrames]]: the
+    * container's sample tables route each sample to the baseline-JPEG
+    * kernel ([[Mjpeg]]) — the codec-bearing video path; `stride` here
+    * skips the decode itself (samples are independent), not just the
+    * emit.
+    */
+  def withMjpegFrames(assets: DataFrame, nBins: Int = 16, stride: Int = 1,
+                      maxFrames: Int = 256,
+                      contentCol: String = "content"): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    explodeFrames(assets, contentCol, gb.column(graft.fn.MjpegFrameFeatures(
+      gb.expression(col(contentCol)), nBins, stride, maxFrames)))
+  }
+
+  /** Modality-routed video frame sampling: APNG, GIF, and
+    * MJPEG-in-MP4 payloads all decode to real per-frame features
+    * (each decoder null-gates on its own magic/track tables, so the
+    * coalesce routes by content, not by filename); rows of other
+    * kinds — including MP4s whose track needs a real codec runtime
+    * (H.264) — disappear. One narrow projection per decoder, payload
+    * dropped before the generator.
     */
   def withVideoFrames(assets: DataFrame, nBins: Int = 16, stride: Int = 1,
                       maxFrames: Int = 256,
@@ -190,7 +208,8 @@ object Multimodal {
     val c = gb.expression(col(contentCol))
     explodeFrames(assets, contentCol, coalesce(
       gb.column(graft.fn.ApngFrameFeatures(c, nBins, stride, maxFrames)),
-      gb.column(graft.fn.GifFrameFeatures(c, nBins, stride, maxFrames))))
+      gb.column(graft.fn.GifFrameFeatures(c, nBins, stride, maxFrames)),
+      gb.column(graft.fn.MjpegFrameFeatures(c, nBins, stride, maxFrames))))
   }
 
   /** Shared explode: frames array → (frame_idx, t_ms, features) rows,
