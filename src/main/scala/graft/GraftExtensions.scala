@@ -90,6 +90,17 @@ object GraftExtensions {
       graft.fn.GifFrameFeatures(_, _, _, _)),
     frameFn("mjpeg_frame_features", classOf[graft.fn.MjpegFrameFeatures],
       graft.fn.MjpegFrameFeatures(_, _, _, _)),
+    unaryFn("image_dhash64", classOf[graft.fn.ImageDhash64],
+      graft.fn.ImageDhash64(_)),
+    (
+      new FunctionIdentifier("gray_thumbnail"),
+      new ExpressionInfo(classOf[graft.fn.GrayThumbnail].getName, "gray_thumbnail"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          s"gray_thumbnail expects (content, tw, th); got ${children.size} args")
+        graft.fn.GrayThumbnail(children(0), litInt(children(1), "tw"),
+          litInt(children(2), "th"))
+      }),
     (
       new FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[graft.fn.WordShingles].getName, "word_shingles"),

@@ -1,0 +1,115 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import javax.imageio.ImageIO
+
+import graft.ext.Images
+import org.apache.spark.sql.functions._
+
+/** Image resize (fractional box filter) + dHash perceptual near-dup:
+  * exact ground truth for the resampler, robustness of the hash under
+  * re-scaling/re-encoding/noise, and the banded pair operator.
+  */
+class ImagesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pngBytes(img: BufferedImage): Array[Byte] = {
+    val baos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  private def jpegBytes(img: BufferedImage): Array[Byte] = {
+    val baos = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", baos)
+    baos.toByteArray
+  }
+
+  private def grayImg(w: Int, h: Int)(px: (Int, Int) => Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, px(x, y) & 0xFF)
+    img
+  }
+
+  // textured but smooth-ish scene, renderable at any resolution
+  private def scene(w: Int, h: Int)(x: Int, y: Int): Int = {
+    val u = x.toDouble / w; val v = y.toDouble / h
+    (127 + 60 * math.sin(6 * u + 2 * v) + 50 * math.cos(3 * v + u)).toInt
+  }
+
+  test("resizeGray: exact block averages, integer and fractional") {
+    // 4x2 -> 2x1: each target pixel = mean of its 2x2 block
+    val g = Array[Double](1, 3, 5, 7, 2, 4, 6, 8)
+    assert(Images.resizeGray(g, 4, 2, 2, 1).toSeq === Seq(2.5, 6.5))
+    // 3x1 -> 2x1: fractional boxes [0,1.5) and [1.5,3)
+    val f = Images.resizeGray(Array[Double](0, 3, 9), 3, 1, 2, 1)
+    assert(math.abs(f(0) - (0 + 3 * 0.5) / 1.5) < 1e-12)
+    assert(math.abs(f(1) - (3 * 0.5 + 9) / 1.5) < 1e-12)
+    // identity resize is exact
+    assert(Images.resizeGray(g, 4, 2, 4, 2).toSeq === g.toSeq)
+  }
+
+  test("thumbnailOrNull equals resize of the decoded plane (PNG route)") {
+    val img = grayImg(32, 16)(scene(32, 16))
+    val direct = {
+      val p = Images.grayPlaneOrNull(pngBytes(img))
+      Images.resizeGray(p._1, p._2, p._3, 8, 4)
+    }
+    assert(Images.thumbnailOrNull(pngBytes(img), 8, 4).toSeq === direct.toSeq)
+    assert(Images.thumbnailOrNull("nope".getBytes, 8, 4) === null)
+  }
+
+  test("dhash: stable across rescale and PNG/JPEG re-encode, far for other scenes") {
+    def d(a: java.lang.Long, b: java.lang.Long) =
+      java.lang.Long.bitCount(a.longValue() ^ b.longValue())
+    val big = Images.dhash64OrNull(pngBytes(grayImg(64, 48)(scene(64, 48))))
+    val small = Images.dhash64OrNull(pngBytes(grayImg(32, 24)(scene(32, 24))))
+    val jpg = Images.dhash64OrNull(jpegBytes(grayImg(64, 48)(scene(64, 48))))
+    val other = Images.dhash64OrNull(pngBytes(
+      grayImg(64, 48)((x, y) => scene(64, 48)(y, x) ^ 0x55)))
+    assert(d(big, small) <= 8, s"rescale distance ${d(big, small)}")
+    assert(d(big, jpg) <= 8, s"re-encode distance ${d(big, jpg)}")
+    assert(d(big, other) >= 16, s"distinct-scene distance ${d(big, other)}")
+  }
+
+  test("nearDupImagePairs: identical, perturbed, and distinct images") {
+    val base = grayImg(48, 32)(scene(48, 32))
+    val noisy = grayImg(48, 32)((x, y) =>
+      scene(48, 32)(x, y) + (if ((x * 31 + y * 17) % 29 == 0) 2 else 0))
+    val other = grayImg(48, 32)((x, y) => scene(48, 32)(y % 48, x % 32) ^ 0x55)
+    val assets = Seq(
+      (1L, pngBytes(base)),
+      (2L, pngBytes(noisy)),       // near-dup of 1
+      (3L, pngBytes(other)),       // distinct
+      (4L, pngBytes(base)),        // byte-identical to 1
+      (5L, "not an image".getBytes)) // undecodable: silently dropped
+      .toDF("img_id", "content")
+    val pairs = Images.nearDupImagePairs(assets, "img_id", maxHamming = 3)
+      .select($"a_id", $"b_id", $"hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    val keys = pairs.map(p => (p._1, p._2))
+    assert(keys.contains((1L, 4L))) // identical bytes => hamming 0 via eq join
+    assert(pairs.collectFirst { case (1L, 4L, hm) => hm }.get === 0)
+    assert(keys.contains((1L, 2L)) && keys.contains((2L, 4L))) // perceptual dups
+    assert(!keys.exists(p => p._1 == 3L || p._2 == 3L)) // distinct stays unpaired
+    assert(!keys.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("pair plan is bucket-join shaped and the SQL surface works") {
+    val assets = Seq((1L, pngBytes(grayImg(24, 16)(scene(24, 16))))).toDF("img_id", "content")
+    val plan = Images.nearDupImagePairs(assets, "img_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("ScalaUDF"), plan)
+
+    GraftExtensions.install(spark)
+    assets.createOrReplaceTempView("img_assets")
+    val r = spark.sql(
+      """SELECT image_dhash64(content) AS h,
+        |       size(gray_thumbnail(content, 8, 4)) AS n
+        |FROM img_assets""".stripMargin).head
+    assert(!r.isNullAt(0) && r.getInt(1) === 32)
+  }
+}
