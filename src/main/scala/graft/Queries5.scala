@@ -95,10 +95,58 @@ object Queries5 {
       |GROUP BY s_suppkey
       |ORDER BY s_suppkey""".stripMargin
 
+  // ------------------------------------------------- q84: image near-dup
+  /** Perceptual image dedup end-to-end on a deterministic synthetic
+    * corpus: 120 distinct rendered scenes + 20 noise-perturbed copies
+    * (id + 1000). [[graft.ext.Images.nearDupImagePairs]] must recover
+    * the planted pairs through real PNG decode → box-filter resize →
+    * dHash64 → banded bucket join. No DuckDB oracle (it cannot decode
+    * images) — the driver records the rows-only check; the planted-
+    * pair recovery itself is asserted in ImagesSpec/this query's
+    * self-check column.
+    */
+  private def q84(s: SparkSession, dir: String): DataFrame = {
+    def scene(seed: Int)(x: Int, y: Int): Int = {
+      // seed-hashed frequencies AND phases: high dHash diversity so
+      // accidental collisions stay rare and the planted pairs dominate
+      val u = x / 48.0; val v = y / 32.0
+      val h = seed * 2654435761L
+      val fu = 2 + (h % 9).toInt.abs; val fv = 1 + ((h >> 8) % 7).toInt.abs
+      val p1 = ((h >> 16) % 628).toInt / 100.0
+      val p2 = ((h >> 24) % 628).toInt / 100.0
+      (127 + 55 * math.sin(fu * u + fv * v + p1) +
+        45 * math.cos((fv + 2) * v - fu * u + p2)).toInt & 0xFF
+    }
+    def png(px: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        48, 32, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      var y = 0
+      while (y < 32) {
+        var x = 0
+        while (x < 48) { img.getRaster.setSample(x, y, 0, px(x, y)); x += 1 }
+        y += 1
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val originals = (0 until 120).map(i => (i.toLong, png(scene(i))))
+    val copies = (0 until 20).map { i =>
+      (i + 1000L, png((x, y) =>
+        scene(i)(x, y) + (if ((x * 31 + y * 17) % 29 == 0) 2 else 0)))
+    }
+    val assets = s.createDataFrame(originals ++ copies).toDF("img_id", "content")
+      .repartition(8)
+    graft.ext.Images.nearDupImagePairs(assets, "img_id", maxHamming = 3)
+      .withColumn("planted", ($"b_id" - $"a_id" === 1000L).cast("int"))
+      .orderBy($"a_id", $"b_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_topk_freq" -> (q81 _),
     "q82_bottomk_sample" -> (q82 _),
-    "q83_bloom_join" -> (q83 _))
+    "q83_bloom_join" -> (q83 _),
+    "q84_image_neardup" -> (q84 _))
 
   val oracles: Map[String, String] = Map(
     "q81_topk_freq" -> q81Sql,
