@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
 
 /** Near-duplicate detection at scale: MinHash + LSH banding as a real
   * pipeline (SURVEY.md §7.1 ext/; the brief's headline LLM-data op).
@@ -402,14 +403,26 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Convergence test: a min-label propagation step strictly
-    // DECREASES every label it changes, so sum(label) is strictly
-    // monotone and two consecutive equal sums IS the fixpoint. The
-    // sum rides the SAME job that materializes each iteration's
-    // persist — replacing the join + count convergence job of the
-    // naive form (one job per iteration instead of two; the loop is
-    // fixed-overhead-bound, so this halves its cost). decimal(38,0)
-    // so the sum cannot overflow for any realistic id domain.
+    // Convergence test, fast path (integral ids only): a min-label
+    // propagation step strictly DECREASES every label it changes, so
+    // sum(label) is strictly monotone and two consecutive equal sums
+    // IS the fixpoint. The sum rides the SAME job that materializes
+    // each iteration's persist — replacing the join + count
+    // convergence job of the naive form (one job per iteration
+    // instead of two; the loop is fixed-overhead-bound, so this
+    // halves its cost). decimal(38,0) so the sum cannot overflow for
+    // any realistic id domain. The cast is only lossless for
+    // INTEGRAL label types — for string/UUID ids it yields null
+    // (sum null == sum null would declare convergence after one
+    // step) and for float/double rounding could mask a real change —
+    // so any non-integral id falls back to a changed-row count
+    // (order-comparable is all min() needs; one extra job per
+    // iteration).
+    val sumConvergenceSafe = labels.schema("label").dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case d: DecimalType if d.scale == 0                => true
+      case _                                             => false
+    }
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
     // no initial sum job: iteration 1 changes labels unless the graph
@@ -423,9 +436,17 @@ object Dedup {
         .unionByName(labels)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val s = labelSum(prop)
-      converged = java.util.Objects.equals(s, prevSum) // null-safe: empty graph
-      prevSum = s
+      if (sumConvergenceSafe) {
+        val s = labelSum(prop)
+        converged = java.util.Objects.equals(s, prevSum) // null-safe: empty graph
+        prevSum = s
+      } else {
+        val changed = prop.as("n")
+          .join(labels.as("o"), col("n.id") === col("o.id"))
+          .where(col("n.label") =!= col("o.label"))
+          .count()
+        converged = changed == 0L
+      }
       labels.unpersist()
       labels = prop
       it += 1

@@ -122,7 +122,11 @@ object Jpeg {
           h = u16(off + 3); w = u16(off + 5)
           val nc = bytes(off + 7) & 0xFF
           if (prec != 8 || w <= 0 || h <= 0 || (nc != 1 && nc != 3)) return null
-          if (w.toLong * h > 64L * 1024 * 1024) return null
+          // 16M-pixel cap, matching Png's: a crafted SOF0 header can
+          // claim huge dims from a few-byte payload and the component
+          // planes are allocated before any entropy-coded data is
+          // validated — bound the allocation, not just sanity
+          if (w.toLong * h > 16L * 1024 * 1024) return null
           if (len < 8 + 3 * nc) return null
           comps = Array.fill(nc)(new Comp)
           var i = 0

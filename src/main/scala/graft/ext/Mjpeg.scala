@@ -150,12 +150,22 @@ object Mjpeg {
   private def sampleOffsets(tr: Track): Array[Long] = {
     val n = tr.sizes.length
     val out = new Array[Long](n)
+    // stsc first_chunk entries are strictly ascending in valid files;
+    // reject non-ascending tables so the monotone cursor below is
+    // sound (and so a crafted table can't force a quadratic rescan —
+    // with MaxChunks×MaxSamples both 2^20 a from-zero rescan per
+    // chunk would be ~10^12 iterations in one task).
+    var v = 1
+    while (v < tr.stsc.length) {
+      if (tr.stsc(v)._1 <= tr.stsc(v - 1)._1) return null
+      v += 1
+    }
     var s = 0
     var ci = 0 // 0-based chunk index
+    var k = 0  // monotone cursor into stsc — never reset across chunks
+    var spc = 0L
     while (s < n && ci < tr.chunkOffsets.length) {
       // samples-per-chunk for chunk ci+1: last stsc entry with first_chunk <= ci+1
-      var spc = 0L
-      var k = 0
       while (k < tr.stsc.length && tr.stsc(k)._1 <= ci + 1) { spc = tr.stsc(k)._2; k += 1 }
       if (spc <= 0) return null
       var off = tr.chunkOffsets(ci)

@@ -199,11 +199,22 @@ object Png {
       case _ => return None
     }
     if (colorType == 3 && palette == null) return None
-    if (w.toLong * h > 64L * 1024 * 1024) return None // 64M-pixel sanity cap
+    // 16M-pixel cap (4096×4096) — bounds the worst-case allocation to
+    // ~80 MB raw + 128 MB doubles per row. The animated decoders cap
+    // at 4M for the same reason ×frames; stills get 4× because there
+    // is exactly one frame. A tiny zlib-bomb otherwise forces the
+    // full allocation from a few-KB payload on untrusted corpora.
+    if (w.toLong * h > 16L * 1024 * 1024) return None
 
     // ---- inflate the full filtered image: h rows of 1 + w*channels
     val stride = w * channels
-    val raw = new Array[Byte]((1 + stride) * h)
+    val rawLen = (1L + stride) * h
+    // inflate-feasibility guard BEFORE allocating: deflate expands at
+    // most ~1032:1, so an IDAT too small to possibly fill the raw
+    // buffer is rejected without paying the allocation (inflateTo
+    // would fail anyway, but only after the ~80 MB grab).
+    if (idat.size().toLong * 1040 + 64 < rawLen) return None
+    val raw = new Array[Byte](rawLen.toInt)
     if (!inflateTo(idat.toByteArray, raw)) return None
     if (!unfilterInPlace(raw, h, stride, channels)) return None
 

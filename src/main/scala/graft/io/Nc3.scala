@@ -145,6 +145,10 @@ object Nc3 {
               case NcInt => in.readInt().toDouble
               case NcFloat => in.readFloat().toDouble
               case NcDouble => in.readDouble()
+              // same controlled failure as typeSize() — CDF-5 types
+              // (int64 etc.) and junk codes must not MatchError
+              case other =>
+                throw new IllegalArgumentException(s"unsupported nc_type $other")
             }
           }
           skipPad(in, n.toLong * typeSize(t))

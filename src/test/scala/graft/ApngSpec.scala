@@ -194,6 +194,21 @@ class ApngSpec extends SparkSpec {
     assert(Apng.frameFeaturesOrNull(bytes, 16, 1, 256) == null)
   }
 
+  test("still decoder rejects zlib-bomb shapes: oversized dims and infeasible IDAT") {
+    val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    val tinyDat = chunk("IDAT", deflate(rgbaRaw(1, 1)(const(0, 0, 0))))
+    // 25M pixels > the 16M still cap — rejected on dims alone
+    val big = sig ++ chunk("IHDR", be32(5000) ++ be32(5000) ++ Array[Byte](8, 6, 0, 0, 0)) ++
+      tinyDat ++ chunk("IEND", Array.empty[Byte])
+    assert(Png.grayFeaturesOrNull(big, 16) == null)
+    // 4096×4096 is inside the cap, but a few-byte IDAT cannot inflate
+    // to the ~67 MB raw buffer (deflate max ~1032:1) — the feasibility
+    // guard must reject it BEFORE the allocation
+    val infeasible = sig ++ chunk("IHDR", be32(4096) ++ be32(4096) ++ Array[Byte](8, 6, 0, 0, 0)) ++
+      tinyDat ++ chunk("IEND", Array.empty[Byte])
+    assert(Png.grayFeaturesOrNull(infeasible, 16) == null)
+  }
+
   test("crafted fcTL geometry near 2^31 is rejected, not indexed out of bounds") {
     // fx + fw = 2^30 + 2^30 wraps to Int.MinValue — a 32-bit bounds
     // check would pass it and the paint loop would index off the

@@ -105,6 +105,20 @@ class DedupSpec extends SparkSpec {
     assert(labels(100L) === 100L && labels(200L) === 100L)
   }
 
+  test("connected components converge for STRING ids (non-summable labels)") {
+    // diameter-3 chain: a-b-c-d. The integral-id fast path sums labels
+    // for convergence; string labels can't be summed (cast → null), so
+    // this exercises the changed-count fallback. One propagation step
+    // only reaches distance-1 neighbors — a premature "converged after
+    // one step" bug leaves d labeled "c".
+    val pairs = Seq(("c", "d"), ("b", "c"), ("a", "b"), ("x", "y"))
+      .toDF("a_id", "b_id")
+    val labels = Dedup.connectedMinLabels(pairs)
+      .as[(String, String)].collect().toMap
+    assert(labels === Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a",
+      "x" -> "x", "y" -> "x"))
+  }
+
   test("dropNearDuplicatesConnected agrees with greedy on the planted corpus") {
     val kept = Dedup.dropNearDuplicatesConnected(docs, "doc_id", "text",
         n = 3, k = 16, b = 8, minJaccard = 0.5)

@@ -112,6 +112,20 @@ class MjpegSpec extends SparkSpec {
     assert(Mjpeg.frameFeaturesOrNull(bad, 8, 1, 256) === null)
   }
 
+  test("non-ascending stsc first_chunk table is rejected (quadratic-walk guard)") {
+    // 5 samples → two stsc entries (1,2,1),(3,1,1); rewrite the second
+    // entry's first_chunk to 1 so the table is non-ascending. The
+    // monotone-cursor walk must reject it rather than mis-map (or, in
+    // the old from-zero rescan form, burn quadratic work on it).
+    val bad = video.clone()
+    val stscOff = bad.indexOfSlice("stsc".getBytes("US-ASCII"))
+    assert(stscOff > 0)
+    // [tag][ver 4][count 4][entry1 12][entry2 first_chunk at +4+8+12]
+    val e2 = stscOff + 4 + 8 + 12
+    bad(e2) = 0; bad(e2 + 1) = 0; bad(e2 + 2) = 0; bad(e2 + 3) = 1
+    assert(Mjpeg.frameFeaturesOrNull(bad, 8, 1, 256) === null)
+  }
+
   test("withVideoFrames routes MP4-MJPEG next to GIF by content, UDF-free") {
     val df = Seq(
       (1L, video),

@@ -132,6 +132,27 @@ class Nc3Spec extends SparkSpec {
     assert(gs.lonMin === 250.0 && gs.nLon === 2 && gs.depths === Seq(5.0))
   }
 
+  test("unknown attribute nc_type fails with the controlled unsupported-format error") {
+    // CDF-5 int64 attr (type code 11) in a CDF-1 file: the header
+    // parser must raise IllegalArgumentException like typeSize() does,
+    // not a raw scala.MatchError from the value decoder
+    val p = tmp("badatt.nc")
+    val o = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(p)))
+    def name(s: String): Unit = {
+      o.writeInt(s.length); o.write(s.getBytes)
+      (0 until (4 - s.length % 4) % 4).foreach(_ => o.writeByte(0))
+    }
+    o.write("CDF".getBytes); o.writeByte(1)
+    o.writeInt(0)                 // numrecs
+    o.writeInt(0); o.writeInt(0)  // no dims
+    o.writeInt(0x0C); o.writeInt(1)
+    name("bogus"); o.writeInt(11); o.writeInt(1); o.writeLong(42L)
+    o.writeInt(0); o.writeInt(0)  // no vars
+    o.close()
+    val e = intercept[IllegalArgumentException](Nc3.readHeader(p))
+    assert(e.getMessage.contains("unsupported nc_type"))
+  }
+
   for (recordTime <- Seq(true, false); packShort <- Seq(true, false))
     test(s"writer/reader round-trip (recordTime=$recordTime, packShort=$packShort)") {
       val p = tmp(s"rt_${recordTime}_$packShort.nc")
