@@ -29,7 +29,10 @@ object Bench {
       "q20_window_rank",       // orders + window
       "q50_events_tumbling",   // events (nanos) + shuffle agg
       "q60_text_stats",        // documents + explode
-      "q71_embed_norms")       // embeddings + HOF codegen
+      "q71_embed_norms",       // embeddings + HOF codegen
+      "q72_json_extract")      // Jackson/json-path init (BENCH_r03: q72
+                               // charged ~4 s of one-time JSON class
+                               // loading + codegen; warm runs are 0.6 s)
     warmups.foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case _: Throwable => () }

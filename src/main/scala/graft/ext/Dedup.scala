@@ -379,7 +379,8 @@ object Dedup {
     * (duplicate clusters are near-cliques), so convergence is 2-4
     * iterations in practice, `maxIters` bounds the worst case.
     */
-  def connectedMinLabels(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+  def connectedMinLabels(pairs: DataFrame, maxIters: Int = 10,
+                         smallGraphMax: Long = 1L << 20): DataFrame = {
     // CHECKPOINT the pair graph before iterating — lineage truncation,
     // not just caching. The input is typically the tail of an
     // expensive verify pipeline, and with plain persist() the loop's
@@ -397,6 +398,17 @@ object Dedup {
       if (pairs.sparkSession.sparkContext.getCheckpointDir.isDefined)
         pairs.checkpoint()
       else pairs.localCheckpoint()
+    // Adaptive small-graph fast path: when the (already materialized,
+    // so the count is one cheap job) edge set fits comfortably on the
+    // driver, run union-find locally instead of a multi-job
+    // distributed loop. The same threshold-gated adaptivity Spark
+    // itself applies to broadcast joins: at sf0.1 this turns ~10 jobs
+    // of fixed scheduling overhead into milliseconds; at 100 TB a
+    // billion-edge graph skips the branch and takes the distributed
+    // loop. 2^20 edges ≈ tens of MB collected — well inside driver
+    // headroom, same order as the broadcast threshold.
+    if (smallGraphMax > 0 && p.count() <= smallGraphMax)
+      return driverUnionFind(p)
     val edges = p.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(p.select(col("b_id").as("src"), col("a_id").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -458,6 +470,47 @@ object Dedup {
     labels.unpersist()
     edges.unpersist()
     out
+  }
+
+  /** Driver-side union-find over a collected pair graph — the small-
+    * graph branch of [[connectedMinLabels]]. Union by minimum element
+    * (ids are Comparable for every Spark atomic type), so each root IS
+    * the component's min label; path-halving keeps finds near-O(1).
+    */
+  private def driverUnionFind(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    val dt = pairs.schema("a_id").dataType
+    def lt(a: Any, b: Any): Boolean = a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var r = x
+      var px = parent.get(r)
+      while (px != null && px != r) { // path halving
+        val ppx = parent.get(px)
+        if (ppx != null) parent.put(r, ppx)
+        r = px
+        px = parent.get(r)
+      }
+      r
+    }
+    pairs.select(col("a_id"), col("b_id")).collect().foreach { row =>
+      val (a, b) = (row.get(0), row.get(1))
+      if (a != null && b != null) {
+        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", dt),
+      org.apache.spark.sql.types.StructField("label", dt)))
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size())
+    parent.keySet().forEach { n =>
+      rows.add(org.apache.spark.sql.Row(n, find(n)))
+    }
+    spark.createDataFrame(rows, schema)
   }
 
   /** Near-dup removal by FULL transitive closure: every duplicate

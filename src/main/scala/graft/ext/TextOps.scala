@@ -110,4 +110,38 @@ object TextOps {
                   n: Int = 3): DataFrame =
     Dedup.minhashSignatures(Dedup.shingles(docs, idCol, textCol, n), idCol, k = 1)
       .select(col(idCol), element_at(col("sig"), 1).as("fingerprint"))
+
+  /** BM25 ranked retrieval: score every document against a fixed query
+    * token list (Robertson/Okapi, the `ln(1 + (N-df+0.5)/(df+0.5))`
+    * idf form that keeps scores positive). Used in data curation to
+    * bias sampling toward topical docs. Returns (idCol, score) for
+    * docs matching at least one query token.
+    *
+    * Scale shape: one token explode (shared with every other text
+    * stat), one groupBy(doc, tok) filtered to the query tokens BEFORE
+    * the shuffle (the filter is an `isin` over a literal list — pushed
+    * into the scan stage), then joins against two tiny aggregates (df
+    * per query token: |query| rows; the (N, avgdl) global: 1 row) that
+    * Spark broadcasts. No corpus-sized shuffle beyond the tf groupBy,
+    * whose key space is |docs with a hit| × |query|.
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           query: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "bm25 needs at least one query token")
+    val toks = tokens(docs, idCol, textCol)
+    val lens = toks.groupBy(col(idCol)).agg(count(lit(1)).as("__dl"))
+    val global = lens.agg(count(lit(1)).as("__n"), avg(col("__dl")).as("__avgdl"))
+    val tf = toks.filter(col("tok").isin(query: _*))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("__tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("__df"))
+    tf.join(broadcast(df), "tok")
+      .join(lens, idCol)
+      .crossJoin(broadcast(global))
+      .select(col(idCol),
+        (log(lit(1.0) + (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5)) *
+          (col("__tf") * (k1 + 1)) /
+          (col("__tf") + lit(k1) * (lit(1 - b) + lit(b) * col("__dl") / col("__avgdl"))))
+          .as("__s"))
+      .groupBy(col(idCol)).agg(sum(col("__s")).as("score"))
+  }
 }

@@ -99,10 +99,16 @@ class DedupSpec extends SparkSpec {
     // 20 (20's only neighbor is larger); CC labels all three with 10
     val pairs = Seq((10L, 30L), (20L, 30L), (100L, 200L))
       .toDF("a_id", "b_id")
-    val labels = Dedup.connectedMinLabels(pairs)
-      .as[(Long, Long)].collect().toMap
-    assert(labels(10L) === 10L && labels(20L) === 10L && labels(30L) === 10L)
-    assert(labels(100L) === 100L && labels(200L) === 100L)
+    // smallGraphMax = 0 forces the distributed label-propagation loop;
+    // the default goes through the driver union-find fast path — both
+    // must produce the identical labeling
+    for (cap <- Seq(0L, 1L << 20)) {
+      val labels = Dedup.connectedMinLabels(pairs, smallGraphMax = cap)
+        .as[(Long, Long)].collect().toMap
+      assert(labels(10L) === 10L && labels(20L) === 10L && labels(30L) === 10L,
+        s"cap=$cap")
+      assert(labels(100L) === 100L && labels(200L) === 100L, s"cap=$cap")
+    }
   }
 
   test("connected components converge for STRING ids (non-summable labels)") {
@@ -113,10 +119,12 @@ class DedupSpec extends SparkSpec {
     // one step" bug leaves d labeled "c".
     val pairs = Seq(("c", "d"), ("b", "c"), ("a", "b"), ("x", "y"))
       .toDF("a_id", "b_id")
-    val labels = Dedup.connectedMinLabels(pairs)
-      .as[(String, String)].collect().toMap
-    assert(labels === Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a",
-      "x" -> "x", "y" -> "x"))
+    for (cap <- Seq(0L, 1L << 20)) {
+      val labels = Dedup.connectedMinLabels(pairs, smallGraphMax = cap)
+        .as[(String, String)].collect().toMap
+      assert(labels === Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a",
+        "x" -> "x", "y" -> "x"), s"cap=$cap")
+    }
   }
 
   test("dropNearDuplicatesConnected agrees with greedy on the planted corpus") {
