@@ -1,0 +1,264 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.{Corpus, SimJoin, TextOps}
+
+/** Oracle corpus, batch 7: data-mixing and curation operators —
+  * deterministic quota sampling (q89), TF-IDF keyword extraction
+  * (q90), PII redaction (q91), repetition filtering (q92), embedding
+  * int8 quantization (q93), and cross-doc boilerplate n-grams (q94).
+  * Same contract as batches 3-6: the Spark side runs the library
+  * operator, the DuckDB oracle recomputes the answer from first
+  * principles, equality IS the correctness claim.
+  */
+object Queries7 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Single-file testdata → one input split; spread once for the
+    * hash-heavy stages (same note as Queries3.docsPar).
+    */
+  private def docsPar(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+
+  // ---------------------------------------- q89: quota mix sampling
+  /** Per-source quota sample (40 docs/source) under a PORTABLE
+    * deterministic permutation key — the Knuth multiplicative hash
+    * `(id · 2654435761) mod 2^32`, spelled identically in both
+    * engines so the oracle reproduces the exact sample. (The library
+    * default key is xxhash64 — same structure, Spark-only; the key is
+    * a parameter precisely so recipes can pin a portable one.)
+    */
+  private val KnuthA = 2654435761L
+  private val Mod32 = 4294967296L
+
+  private def q89(s: SparkSession, dir: String): DataFrame =
+    Corpus.quotaSample(t(s, dir, "documents"), "doc_id", "source",
+        quota = 40, key = id => pmod(id * lit(KnuthA), lit(Mod32)))
+      .select($"source", $"doc_id")
+      .orderBy($"source", $"doc_id")
+
+  private val q89Sql =
+    s"""SELECT source, doc_id FROM (
+       |  SELECT source, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY (doc_id * $KnuthA) % $Mod32, doc_id) AS rk
+       |  FROM documents)
+       |WHERE rk <= 40 ORDER BY source, doc_id""".stripMargin
+
+  // ---------------------------------------- q90: TF-IDF keywords
+  /** Top-3 TF-IDF terms per doc (corpus-wide df/N statistics, output
+    * restricted to doc_id < 200 to keep the diff small). Ranking key
+    * is the ROUNDED score + token tie-break — deterministic across
+    * engines' ln implementations.
+    */
+  private def q90(s: SparkSession, dir: String): DataFrame =
+    TextOps.tfIdfTopK(docsPar(s, dir), "doc_id", "text", k = 3)
+      .filter($"doc_id" < 200)
+      .select($"doc_id", $"rk".cast("long").as("rk"), $"tok", $"tfidf")
+      .orderBy($"doc_id", $"rk")
+
+  private val q90Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+      |), tf AS (
+      |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM toks WHERE tok <> '' GROUP BY 1, 2
+      |), df AS (
+      |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+      |), n AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+      |), scored AS (
+      |  SELECT t.doc_id, t.tok,
+      |    ROUND(t.tf * (LN((1.0 + n.n) / (1.0 + d.df)) + 1.0), 6) AS tfidf
+      |  FROM tf t JOIN df d USING (tok), n
+      |), ranked AS (
+      |  SELECT doc_id, tok, tfidf,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY tfidf DESC, tok ASC) AS rk
+      |  FROM scored
+      |)
+      |SELECT doc_id, rk, tok, tfidf FROM ranked
+      |WHERE rk <= 3 AND doc_id < 200 ORDER BY doc_id, rk""".stripMargin
+
+  // ---------------------------------------- q91: PII redaction
+  /** PII scrub over a synthesized contact suffix (the corpus text
+    * itself carries no PII, so both engines append the same
+    * deterministic email/phone/card string per doc, then redact).
+    * Verifies match counting AND replacement text cross-engine — the
+    * regex subset is written for exact Java/RE2 agreement.
+    */
+  private def q91(s: SparkSession, dir: String): DataFrame = {
+    val suffixed = t(s, dir, "documents")
+      .select($"doc_id",
+        concat(lit("contact "), $"source", $"doc_id".cast("string"),
+          lit("@mail.example"), lit(" tel +1 555-01"),
+          lpad(pmod($"doc_id", lit(100)).cast("string"), 2, "0"),
+          when(pmod($"doc_id", lit(3)) === 0,
+            lit(" card 4111111111111111")).otherwise(lit(""))).as("contact"))
+    TextOps.redactPii(suffixed, "contact", "redacted")
+      .select($"doc_id", $"n_pii", $"redacted")
+      .orderBy($"doc_id")
+  }
+
+  private val q91Sql = {
+    val email = TextOps.EmailPattern
+    val card = TextOps.CardPattern
+    val phone = TextOps.PhonePattern
+    s"""WITH suffixed AS (
+       |  SELECT doc_id,
+       |    'contact ' || source || CAST(doc_id AS VARCHAR) || '@mail.example' ||
+       |    ' tel +1 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ||
+       |    CASE WHEN doc_id % 3 = 0 THEN ' card 4111111111111111' ELSE '' END
+       |      AS contact
+       |  FROM documents
+       |), steps AS (
+       |  SELECT doc_id, contact,
+       |    regexp_replace(contact, '$email', '<EMAIL>', 'g') AS s1
+       |  FROM suffixed
+       |), steps2 AS (
+       |  SELECT doc_id, contact, s1,
+       |    regexp_replace(s1, '$card', '<CARD>', 'g') AS s2
+       |  FROM steps
+       |)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(contact, '$email')) +
+       |       len(regexp_extract_all(s1, '$card')) +
+       |       len(regexp_extract_all(s2, '$phone')) AS INTEGER) AS n_pii,
+       |  regexp_replace(s2, '$phone', '<PHONE>', 'g') AS redacted
+       |FROM steps2 ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------- q92: repetition stats
+  /** Gopher-style within-doc repetition signals over word 3-grams,
+    * whole corpus; fractions rounded to 6.
+    */
+  private def q92(s: SparkSession, dir: String): DataFrame =
+    TextOps.repetitionStats(docsPar(s, dir), "doc_id", "text", n = 3)
+      .select($"doc_id", $"n_grams", $"n_distinct_grams",
+        round($"dup_gram_frac", 6).as("dup_gram_frac"),
+        round($"top_gram_frac", 6).as("top_gram_frac"))
+      .orderBy($"doc_id")
+
+  private val q92Sql =
+    """WITH sh AS (
+      |  SELECT doc_id, array_to_string(list_slice(toks, i + 1, i + 3), ' ') AS shingle
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |       UNNEST(range(0, GREATEST(0, len(toks) - 2))) AS t(i)
+      |), gc AS (
+      |  SELECT doc_id, shingle, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM sh GROUP BY 1, 2
+      |)
+      |SELECT doc_id,
+      |  CAST(SUM(c) AS BIGINT) AS n_grams,
+      |  CAST(COUNT(*) AS BIGINT) AS n_distinct_grams,
+      |  ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS dup_gram_frac,
+      |  ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_gram_frac
+      |FROM gc GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------- q93: int8 quantization
+  /** Symmetric int8 quantization of every embedding: the scale, the
+    * quantized component sum (exact integer — catches any rounding
+    * divergence component-by-component), and the cosine between the
+    * vector and its dequantized reconstruction (quantization error;
+    * rounded). floor(x/s + 0.5) spelling keeps negative halves
+    * engine-identical.
+    */
+  private def q93(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+      .withColumn("scale", SimJoin.int8Scale($"v"))
+      .withColumn("q", SimJoin.quantizeInt8($"v", $"scale"))
+    emb.select($"vec_id",
+        round($"scale", 9).as("scale"),
+        aggregate($"q", lit(0L), (acc, x) => acc + x).as("q_sum"),
+        round(SimJoin.cosine($"v", SimJoin.dequantize($"q", $"scale")), 6)
+          .as("cos_recon"))
+      .orderBy($"vec_id")
+  }
+
+  private val q93Sql =
+    """WITH e AS (
+      |  SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |), scaled AS (
+      |  SELECT vec_id, v,
+      |    LIST_MAX(LIST_TRANSFORM(v, x -> ABS(x))) / 127.0 AS scale
+      |  FROM e
+      |), quant AS (
+      |  SELECT vec_id, v, scale,
+      |    LIST_TRANSFORM(v, x -> CASE WHEN scale = 0 THEN 0
+      |      ELSE CAST(GREATEST(-127.0, LEAST(127.0, FLOOR(x / scale + 0.5))) AS INTEGER)
+      |      END) AS q
+      |  FROM scaled
+      |)
+      |SELECT vec_id, ROUND(scale, 9) AS scale,
+      |  CAST(LIST_SUM(q) AS BIGINT) AS q_sum,
+      |  ROUND(LIST_DOT_PRODUCT(v, LIST_TRANSFORM(q, x -> x * scale)) /
+      |    (SQRT(LIST_DOT_PRODUCT(v, v)) *
+      |     SQRT(LIST_DOT_PRODUCT(LIST_TRANSFORM(q, x -> x * scale),
+      |                           LIST_TRANSFORM(q, x -> x * scale)))), 6)
+      |    AS cos_recon
+      |FROM quant ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------- q94: boilerplate n-grams
+  /** Cross-document boilerplate: word 2-grams appearing in ≥ 100
+    * distinct docs (the synthetic corpus's shared-vocabulary 2-grams
+    * stand in for real boilerplate headers/footers), then each doc's
+    * fraction of distinct 2-grams that are boilerplate (docs < 100).
+    */
+  private def q94(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsPar(s, dir)
+    Corpus.boilerplateStats(docs, "doc_id", "text", n = 2, minDocs = 100)
+      .filter($"doc_id" < 100)
+      .select($"doc_id", $"n_distinct_grams", $"n_boilerplate",
+        round($"boilerplate_frac", 6).as("boilerplate_frac"))
+      .orderBy($"doc_id")
+  }
+
+  private val q94Sql =
+    """WITH sh AS (
+      |  SELECT doc_id, array_to_string(list_slice(toks, i + 1, i + 2), ' ') AS shingle
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |       UNNEST(range(0, GREATEST(0, len(toks) - 1))) AS t(i)
+      |), dsh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM sh
+      |), bp AS (
+      |  SELECT shingle FROM dsh GROUP BY 1 HAVING COUNT(*) >= 100
+      |)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_distinct_grams,
+      |  CAST(SUM(CASE WHEN bp.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_boilerplate,
+      |  ROUND(CAST(SUM(CASE WHEN bp.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*), 6) AS boilerplate_frac
+      |FROM dsh LEFT JOIN bp USING (shingle)
+      |WHERE doc_id < 100
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------- registry
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_quota_sample" -> (q89 _),
+    "q90_tfidf_topk" -> (q90 _),
+    "q91_pii_redact" -> (q91 _),
+    "q92_repetition" -> (q92 _),
+    "q93_quantize_int8" -> (q93 _),
+    "q94_boilerplate" -> (q94 _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q89_quota_sample" -> q89Sql,
+    "q90_tfidf_topk" -> q90Sql,
+    "q91_pii_redact" -> q91Sql,
+    "q92_repetition" -> q92Sql,
+    "q93_quantize_int8" -> q93Sql,
+    "q94_boilerplate" -> q94Sql
+  )
+
+  private implicit class Dollar(val sc: StringContext) {
+    def $(args: Any*): Column = col(sc.s(args: _*))
+  }
+}

@@ -138,4 +138,107 @@ object Corpus {
         (least(col("__start") + col("__cnt"), (col("block_id") + 1) * b) -
           greatest(col("__start"), col("block_id") * b)).as("n_toks"))
   }
+
+  // ------------------------------------------------ boilerplate
+
+  /** Corpus-wide boilerplate n-grams: word n-grams occurring in at
+    * least `minDocs` DISTINCT documents (headers, footers, license
+    * blurbs — text shared verbatim across many pages). Returns
+    * (shingle, n_docs).
+    *
+    * Scale shape: the [[Dedup.shingles]] distinct (one shuffle the
+    * dedup family already pays) re-aggregated by shingle only — the
+    * output is the heavy tail of the gram-frequency distribution,
+    * tiny relative to the corpus.
+    */
+  def boilerplateGrams(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, minDocs: Long): DataFrame = {
+    require(minDocs > 0, s"minDocs must be positive; got $minDocs")
+    Dedup.shingles(docs, idCol, textCol, n)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
+  /** Per-document boilerplate exposure: of the doc's distinct word
+    * n-grams, how many are corpus-boilerplate per
+    * [[boilerplateGrams]], and the fraction. Returns
+    * (idCol, n_distinct_grams, n_boilerplate, boilerplate_frac); docs
+    * with no n-grams yield no row. High-fraction docs are the
+    * template-generated pages curation drops.
+    *
+    * The boilerplate set joins the doc-shingle stream on the shingle
+    * key — a small-side join Spark broadcasts when the set is small
+    * (AQE decides; at pathological thresholds it degrades to a
+    * shuffle join, never a product).
+    */
+  def boilerplateStats(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, minDocs: Long): DataFrame = {
+    require(minDocs > 0, s"minDocs must be positive; got $minDocs")
+    // bp derives from the SAME dsh plan so the shingle-distinct
+    // Exchange is computed once and reused across both branches
+    // (ReusedExchange — the q67 pipeline's proven pattern).
+    val dsh = Dedup.shingles(docs, idCol, textCol, n)
+    val bp = dsh.groupBy(col("shingle")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .withColumn("__bp", lit(1L))
+    dsh.join(bp.select(col("shingle"), col("__bp")), Seq("shingle"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_distinct_grams"),
+        sum(coalesce(col("__bp"), lit(0L))).as("n_boilerplate"))
+      .select(col(idCol), col("n_distinct_grams"), col("n_boilerplate"),
+        (col("n_boilerplate").cast("double") / col("n_distinct_grams"))
+          .as("boilerplate_frac"))
+  }
+
+  // ------------------------------------------------ mixture sampling
+
+  /** Default deterministic permutation key for the samplers: xxhash64
+    * of the id — a stable pseudo-random priority that never touches
+    * `rand()` (task retries replay identically; the reason `ops/Salt`
+    * made the same choice).
+    */
+  def permKey(idCol: Column): Column = xxhash64(idCol)
+
+  /** Stateless deterministic fractional sampling: keep a row iff its
+    * permutation key falls below `frac` of the key space. The
+    * data-mixing primitive for weighted source blending ("20% code,
+    * 40% web, ..."): one pass, NO shuffle, no state — the only
+    * sampling shape that is free at 100 TB. Deterministic: the same
+    * row set survives on every run and every retry.
+    *
+    * `key` must be uniform over the full signed-Long range (the
+    * [[permKey]] default is; pass a custom key only with the same
+    * property). Expected|kept| = frac·n with binomial concentration —
+    * exact-count sampling needs [[quotaSample]].
+    */
+  def hashSample(docs: DataFrame, idCol: String, frac: Double,
+                 key: Column => Column = permKey): DataFrame = {
+    require(frac >= 0 && frac <= 1, s"frac must be in [0,1]; got $frac")
+    // key/2^64 + 0.5 maps signed Long uniformly onto [0,1)
+    val u = key(col(idCol)).cast("double") / lit(2.0 * Long.MaxValue.toDouble) + lit(0.5)
+    docs.filter(u < lit(frac))
+  }
+
+  /** Exact per-stratum quota sampling: the `quota` highest-priority
+    * rows of each stratum under the deterministic permutation key
+    * (ties broken by id — total order, so the sample is unique and
+    * reproducible). The data-mixing primitive when the recipe is
+    * per-source COUNTS rather than fractions.
+    *
+    * Scale shape: one shuffle on the stratum column + a bounded
+    * window rank. Strata are sources/domains — thousands at most, so
+    * per-stratum sort is the cost; at extreme stratum sizes pre-thin
+    * with [[hashSample]] at a generous multiple of quota/|stratum|
+    * (per-stratum counts are a tiny broadcast aggregate) before the
+    * exact rank — the survivors are the only rows sorted.
+    */
+  def quotaSample(docs: DataFrame, idCol: String, stratumCol: String,
+                  quota: Int, key: Column => Column = permKey): DataFrame = {
+    require(quota > 0, s"quota must be positive; got $quota")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(key(col(idCol)).asc, col(idCol).asc)
+    docs.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= quota)
+      .drop("__rk")
+  }
 }

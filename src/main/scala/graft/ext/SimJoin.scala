@@ -278,4 +278,40 @@ object SimJoin {
       .filter(col("rk") <= k)
       .select(col("q_id"), col("rk"), col(idCol), col("cos_sim"))
   }
+
+  // ------------------------------------------------ int8 quantization
+
+  /** Per-vector symmetric int8 quantization scale: max|x| / 127
+    * (0 for the all-zero vector, by convention).
+    */
+  def int8Scale(v: Column): Column =
+    array_max(transform(v, x => abs(x))) / lit(127.0)
+
+  /** Symmetric int8 quantization of a double-array embedding under a
+    * precomputed `scale` column: q_i = floor(x_i/scale + 0.5), clamped
+    * to [-127, 127] (round-half-up spelled as an explicit floor so
+    * Spark and any SQL oracle agree bit-for-bit on negative halves —
+    * engine `round()` semantics differ). The all-zero vector (scale
+    * 0) quantizes to all zeros.
+    *
+    * This is the storage trade every billion-vector ANN index makes:
+    * 4×-8× smaller vectors (and faster scans) for a bounded cosine
+    * error — pair with [[dequantize]] + the codegen [[dot]]/[[cosine]]
+    * kernels for scoring. Purely narrow per-row math: no shuffle, any
+    * scale.
+    */
+  def quantizeInt8(v: Column, scale: Column): Column =
+    transform(v, x =>
+      when(scale === 0.0, lit(0))
+        .otherwise(greatest(lit(-127.0),
+          least(lit(127.0), floor(x / scale + 0.5))))
+        .cast("int"))
+
+  /** Reconstruct the double array a quantized vector represents:
+    * x̂_i = q_i · scale. Feed to [[dot]]/[[cosine]] for quantized
+    * scoring (cosine is scale-invariant, so the scales cancel there —
+    * dequantized dot products are what need them).
+    */
+  def dequantize(q: Column, scale: Column): Column =
+    transform(q, x => x.cast("double") * scale)
 }

@@ -129,7 +129,14 @@ object TextOps {
            query: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(query.nonEmpty, "bm25 needs at least one query token")
     val toks = tokens(docs, idCol, textCol)
-    val lens = toks.groupBy(col(idCol)).agg(count(lit(1)).as("__dl"))
+    // doc length is a NARROW per-row array size — computing it via the
+    // exploded token stream (round-3 form) paid a full corpus-wide
+    // groupBy shuffle for a number each row already knows. Empty docs
+    // are filtered to keep N/avgdl identical to the token-stream
+    // definition (docs with no tokens never had a lens row).
+    val lens = docs.select(col(idCol),
+        size(array_remove(split(col(textCol), " "), "")).cast("long").as("__dl"))
+      .filter(col("__dl") > 0)
     val global = lens.agg(count(lit(1)).as("__n"), avg(col("__dl")).as("__avgdl"))
     val tf = toks.filter(col("tok").isin(query: _*))
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("__tf"))
@@ -144,4 +151,122 @@ object TextOps {
           .as("__s"))
       .groupBy(col(idCol)).agg(sum(col("__s")).as("score"))
   }
+
+  // ------------------------------------------------ TF-IDF
+
+  /** Per-(doc, term) TF-IDF scores over the whole corpus:
+    * (idCol, tok, tf, df, tfidf) with the smooth sklearn-style idf
+    * `ln((1 + N) / (1 + df)) + 1` (defined for every df, strictly
+    * positive, so scores never vanish or go negative).
+    *
+    * Scale shape: one token explode → one groupBy(doc, tok) with
+    * map-side combine (the tf table, the corpus's distinct (doc, term)
+    * set — the same working set any search indexer materializes); df
+    * re-aggregates tf by term only (vocabulary-sized, small); N is a
+    * 1-row broadcast. No join moves corpus bytes more than once.
+    */
+  def tfIdf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = tokens(docs, idCol, textCol)
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    tf.join(df, "tok")
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col("tok"), col("tf"), col("df"),
+        (col("tf") * (log((lit(1.0) + col("__n")) / (lit(1.0) + col("df"))) + 1.0))
+          .as("tfidf"))
+  }
+
+  /** Top-k most characteristic terms per document by TF-IDF —
+    * the keyword-extraction form used for topic tagging in curation
+    * pipelines. Ranking key is the score ROUNDED to `roundTo` decimals
+    * with a token tie-break, so the cut is deterministic cross-engine
+    * (raw doubles differ in the last ulp between ln implementations).
+    */
+  def tfIdfTopK(docs: DataFrame, idCol: String, textCol: String,
+                k: Int = 3, roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(round(col("tfidf"), roundTo).desc, col("tok").asc)
+    tfIdf(docs, idCol, textCol)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("rk"), col("tok"),
+        round(col("tfidf"), roundTo).as("tfidf"))
+  }
+
+  // ------------------------------------------------ PII redaction
+
+  /** PII patterns, written to the regex subset where Java (Spark) and
+    * RE2 (DuckDB, the oracle) agree exactly: ASCII classes, greedy
+    * quantifiers, no backrefs/lookaround.
+    */
+  val EmailPattern: String =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** 13-19 digit runs — card/account-number shaped. Checked BEFORE
+    * phones (a bare card number also matches the looser phone shape).
+    */
+  val CardPattern: String = "[0-9]{13,19}"
+  /** International-ish phone: optional +, 9-16 chars of digits,
+    * space, dash or parens, digit-bounded.
+    */
+  val PhonePattern: String = "\\+?[0-9][0-9() -]{7,14}[0-9]"
+
+  /** Scrub personally identifiable information from a text column —
+    * the compliance pass every web-scale corpus runs before training.
+    * Emails → `<EMAIL>`, card-length digit runs → `<CARD>`, phone
+    * shapes → `<PHONE>`, applied in that order (most-specific first).
+    * Adds `n_pii` = total matches redacted (counted on the original
+    * text). Purely narrow per-row expressions — no shuffle, codegen
+    * end-to-end, linear at any scale.
+    */
+  def redactPii(docs: DataFrame, textCol: String,
+                outCol: String = "text_redacted"): DataFrame =
+    docs
+      .withColumn("n_pii",
+        size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0))) +
+        size(regexp_extract_all(
+          regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
+          lit(CardPattern), lit(0))) +
+        size(regexp_extract_all(
+          regexp_replace(
+            regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
+            CardPattern, "<CARD>"),
+          lit(PhonePattern), lit(0))))
+      .withColumn(outCol,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
+            CardPattern, "<CARD>"),
+          PhonePattern, "<PHONE>"))
+
+  // ------------------------------------------------ repetition stats
+
+  /** Within-document repetition signals (the Gopher/MassiveText-style
+    * repetition filters): for word n-grams of size `n`,
+    *
+    *  - `n_grams` — total n-gram occurrences,
+    *  - `n_distinct_grams` — distinct n-grams,
+    *  - `dup_gram_frac` — `1 - distinct/total` (mass sitting in
+    *    repeats; 0 for repetition-free text),
+    *  - `top_gram_frac` — the most frequent n-gram's share (boilerplate
+    *    loops and keyword stuffing spike this).
+    *
+    * Docs shorter than `n` words yield no row (no n-grams to judge).
+    * Scale shape: the [[Dedup.shingleStream]] codegen kernel (no
+    * shuffle) → groupBy(doc, gram) with map-side combine → groupBy(doc)
+    * — the same two-level aggregation every distinct-count plan pays.
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3): DataFrame =
+    Dedup.shingleStream(docs, idCol, textCol, n)
+      .groupBy(col(idCol), col("shingle")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_grams"),
+        count(lit(1)).as("n_distinct_grams"),
+        max(col("__c")).as("__max"))
+      .select(col(idCol), col("n_grams"), col("n_distinct_grams"),
+        (lit(1.0) - col("n_distinct_grams").cast("double") / col("n_grams"))
+          .as("dup_gram_frac"),
+        (col("__max").cast("double") / col("n_grams")).as("top_gram_frac"))
 }

@@ -1,0 +1,44 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev probe: Verify for a SUBSET of queries — args = sfDir outDir
+  * name... — so new oracle batches can be differential-checked
+  * without dumping the whole corpus.
+  */
+object VerifySome {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = args(1)
+    val names = args.drop(2).toSeq
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+    names.foreach { name =>
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, sfDir)
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      println(f"[verifysome] $name dumped in ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = graft.SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), json)
+    spark.stop()
+  }
+}

@@ -184,4 +184,54 @@ class CorpusSpec extends SparkSpec {
     // the all-hits doc must outrank the single-common-term doc
     assert(got(1L) > got(2L))
   }
+
+  // ----------------------------------------------------- sampling
+
+  test("quotaSample: exact quota per stratum, deterministic, subset of input") {
+    val docs = (0L until 200L).map(i => (i, s"s${i % 4}")).toDF("id", "src")
+    val got = Corpus.quotaSample(docs, "id", "src", quota = 10)
+      .as[(Long, String)].collect().toSeq
+    assert(got.groupBy(_._2).view.mapValues(_.size).toMap ===
+      Map("s0" -> 10, "s1" -> 10, "s2" -> 10, "s3" -> 10))
+    // deterministic: second run picks the identical sample
+    val again = Corpus.quotaSample(docs, "id", "src", quota = 10)
+      .as[(Long, String)].collect().toSeq
+    assert(got.sorted === again.sorted)
+    // quota >= stratum size degrades to the whole stratum
+    val all = Corpus.quotaSample(docs, "id", "src", quota = 100)
+      .as[(Long, String)].collect()
+    assert(all.length === 200)
+  }
+
+  test("hashSample: deterministic, frac-proportional, nested for growing frac") {
+    val docs = (0L until 2000L).map(i => Tuple1(i)).toDF("id")
+    val s20 = Corpus.hashSample(docs, "id", 0.2).as[Long].collect().toSet
+    val s40 = Corpus.hashSample(docs, "id", 0.4).as[Long].collect().toSet
+    // binomial(2000, f): allow 5 sigma
+    assert(math.abs(s20.size - 400) < 5 * math.sqrt(2000 * 0.2 * 0.8), s"${s20.size}")
+    assert(math.abs(s40.size - 800) < 5 * math.sqrt(2000 * 0.4 * 0.6), s"${s40.size}")
+    // threshold sampling nests: the 20% sample is inside the 40% one
+    assert(s20.subsetOf(s40))
+    assert(Corpus.hashSample(docs, "id", 0.0).count() === 0)
+    assert(Corpus.hashSample(docs, "id", 1.0).count() === 2000)
+  }
+
+  // ----------------------------------------------------- boilerplate
+
+  test("boilerplateStats: shared grams found, fraction exact, below-threshold ignored") {
+    // "a b" appears in docs 1,2,3; each doc also has unique grams
+    val docs = Seq(
+      (1L, "a b x1 y1"),   // grams: "a b","b x1","x1 y1"
+      (2L, "a b x2 y2"),
+      (3L, "a b x3 y3")
+    ).toDF("doc_id", "text")
+    val bp = Corpus.boilerplateGrams(docs, "doc_id", "text", n = 2, minDocs = 3)
+      .as[(String, Long)].collect().toMap
+    assert(bp === Map("a b" -> 3L))
+    val stats = Corpus.boilerplateStats(docs, "doc_id", "text", n = 2, minDocs = 3)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(stats === Seq(
+      (1L, 3L, 1L, 1.0 / 3), (2L, 3L, 1L, 1.0 / 3), (3L, 3L, 1L, 1.0 / 3)))
+  }
 }

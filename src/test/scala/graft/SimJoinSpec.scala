@@ -134,4 +134,27 @@ class SimJoinSpec extends SparkSpec {
       .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
     assert(!pairs.contains((1L, 2L)), s"NaN pair leaked: $pairs")
   }
+
+  test("int8 quantization: exact components, zero-vector convention, bounded error") {
+    val rows = Seq(
+      (1L, Seq(1.27, -1.27, 0.635, 0.0)),   // scale 0.01 -> (127,-127,64,0)
+      (2L, Seq(0.0, 0.0, 0.0, 0.0)),        // zero vector -> zeros, scale 0
+      (3L, Seq(-0.005, 0.005, 1.27, -0.635))// negative-half rounding: floor(x/s+.5)
+    ).toDF("vec_id", "v")
+    val q = rows
+      .withColumn("scale", SimJoin.int8Scale($"v"))
+      .withColumn("q", SimJoin.quantizeInt8($"v", $"scale"))
+    val got = q.select($"vec_id", $"scale", $"q")
+      .as[(Long, Double, Seq[Int])].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(math.abs(got(1L)._1 - 0.01) < 1e-15)
+    assert(got(1L)._2 === Seq(127, -127, 64, 0))  // floor(63.5+0.5)=64
+    assert(got(2L) === ((0.0, Seq(0, 0, 0, 0))))
+    // -0.005/0.01 = -0.5 -> floor(0) = 0 (round-half-UP on negatives)
+    assert(got(3L)._2 === Seq(0, 1, 127, -63))    // -63.5 -> floor(-63) = -63
+    // reconstruction cosine within the int8 error envelope for a real vector
+    val cos = q.filter($"vec_id" === 1L)
+      .select(SimJoin.cosine($"v", SimJoin.dequantize($"q", $"scale")))
+      .as[Double].head()
+    assert(cos > 0.9999, s"reconstruction cosine $cos")
+  }
 }

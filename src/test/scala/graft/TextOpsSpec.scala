@@ -66,4 +66,57 @@ class TextOpsSpec extends SparkSpec {
     assert(fp(1L) === fp(2L))
     assert(fp(1L) !== fp(3L))
   }
+
+  test("tfIdf: hand-computed scores; rare term outranks common term") {
+    // 3 docs; "rare" in doc 1 only, "common" in all
+    val d = Seq(
+      (1L, "common rare rare"),
+      (2L, "common alpha"),
+      (3L, "common beta")
+    ).toDF("doc_id", "text")
+    val got = TextOps.tfIdf(d, "doc_id", "text")
+      .as[(Long, String, Long, Long, Double)].collect()
+      .map { case (id, tok, tf, df, s) => (id, tok) -> ((tf, df, s)) }.toMap
+    def idf(df: Long) = math.log(4.0 / (1 + df)) + 1
+    assert(got((1L, "rare"))._1 === 2L)
+    assert(got((1L, "rare"))._2 === 1L)
+    assert(math.abs(got((1L, "rare"))._3 - 2 * idf(1)) < 1e-12)
+    assert(math.abs(got((2L, "common"))._3 - idf(3)) < 1e-12)
+    // within doc 1, rare (tf 2, df 1) must outrank common (tf 1, df 3)
+    val top = TextOps.tfIdfTopK(d, "doc_id", "text", k = 1)
+      .filter($"doc_id" === 1L).select($"tok").as[String].head()
+    assert(top === "rare")
+  }
+
+  test("redactPii: each pattern fires, counts exact, clean text untouched") {
+    val d = Seq(
+      (1L, "mail bob.smith+x@corp.example.org now"),
+      (2L, "call +1 (555) 010-4477 or 555 010 4477"),
+      (3L, "card 4111111111111111 charged"),
+      (4L, "clean text with numbers 12 345 and a.b"),
+      (5L, "a@b.io then 4111111111111111 then +44 20 7946 0958")
+    ).toDF("doc_id", "text")
+    val got = TextOps.redactPii(d, "text")
+      .select($"doc_id", $"n_pii", $"text_redacted")
+      .as[(Long, Int, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((1, "mail <EMAIL> now")))
+    assert(got(2L) === ((2, "call <PHONE> or <PHONE>")))
+    assert(got(3L) === ((1, "card <CARD> charged")))
+    assert(got(4L) === ((0, "clean text with numbers 12 345 and a.b")))
+    assert(got(5L) === ((3, "<EMAIL> then <CARD> then <PHONE>")))
+  }
+
+  test("repetitionStats: exact fractions; repetition-free vs looped text") {
+    val d = Seq(
+      (1L, "a b c d e"),          // 3 distinct 3-grams, all unique
+      (2L, "x y x y x y x y"),    // 6 3-grams, 2 distinct ("x y x","y x y")
+      (3L, "a b")                 // shorter than n -> no row
+    ).toDF("doc_id", "text")
+    val got = TextOps.repetitionStats(d, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 3L, 3L, 0.0, 1.0 / 3)))
+    assert(got(2L) === ((2L, 6L, 2L, 1.0 - 2.0 / 6, 3.0 / 6)))
+    assert(!got.contains(3L))
+  }
 }
