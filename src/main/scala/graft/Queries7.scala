@@ -238,6 +238,49 @@ object Queries7 {
       |WHERE doc_id < 100
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------- q95: weighted source mix
+  /** Weighted mixture recipe over the 20 sources (50% of src0, 25% of
+    * src1, 10% of src2, 5% of everything else) under the same
+    * portable unit key as q89 — the oracle reproduces the exact
+    * surviving row set, proving the recipe is deterministic, not just
+    * proportional.
+    */
+  private def q95(s: SparkSession, dir: String): DataFrame =
+    Corpus.mixBySource(t(s, dir, "documents"), "doc_id", "source",
+        weights = Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.1),
+        default = 0.05,
+        key = id => pmod(id * lit(KnuthA), lit(Mod32)).cast("double") /
+          lit(Mod32.toDouble))
+      .select($"source", $"doc_id")
+      .orderBy($"source", $"doc_id")
+
+  private val q95Sql =
+    s"""SELECT source, doc_id FROM documents
+       |WHERE CAST((doc_id * $KnuthA) % $Mod32 AS DOUBLE) / $Mod32.0 <
+       |  CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25
+       |              WHEN 'src2' THEN 0.1 ELSE 0.05 END
+       |ORDER BY source, doc_id""".stripMargin
+
+  // ---------------------------------------- q96: inverted index
+  /** Full inverted-index build: per term, document frequency and the
+    * doc-sorted `doc:tf` posting string (portable across engines —
+    * struct-list columns stringify differently).
+    */
+  private def q96(s: SparkSession, dir: String): DataFrame =
+    TextOps.invertedIndex(docsPar(s, dir), "doc_id", "text")
+      .orderBy($"tok")
+
+  private val q96Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+      |), tf AS (
+      |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM toks WHERE tok <> '' GROUP BY 1, 2
+      |)
+      |SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
+      |  string_agg(doc_id || ':' || tf, ' ' ORDER BY doc_id) AS postings
+      |FROM tf GROUP BY tok ORDER BY tok""".stripMargin
+
   // ------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -246,7 +289,9 @@ object Queries7 {
     "q91_pii_redact" -> (q91 _),
     "q92_repetition" -> (q92 _),
     "q93_quantize_int8" -> (q93 _),
-    "q94_boilerplate" -> (q94 _)
+    "q94_boilerplate" -> (q94 _),
+    "q95_mix_sources" -> (q95 _),
+    "q96_inverted_index" -> (q96 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -255,7 +300,9 @@ object Queries7 {
     "q91_pii_redact" -> q91Sql,
     "q92_repetition" -> q92Sql,
     "q93_quantize_int8" -> q93Sql,
-    "q94_boilerplate" -> q94Sql
+    "q94_boilerplate" -> q94Sql,
+    "q95_mix_sources" -> q95Sql,
+    "q96_inverted_index" -> q96Sql
   )
 
   private implicit class Dollar(val sc: StringContext) {

@@ -199,24 +199,50 @@ object Corpus {
     */
   def permKey(idCol: Column): Column = xxhash64(idCol)
 
+  /** [[permKey]] mapped uniformly onto the unit interval [0,1) —
+    * the threshold-sampling form of the permutation key
+    * (key/2^64 + 0.5 maps the signed-Long range onto [0,1)).
+    */
+  def unitKey(idCol: Column): Column =
+    permKey(idCol).cast("double") / lit(2.0 * Long.MaxValue.toDouble) + lit(0.5)
+
   /** Stateless deterministic fractional sampling: keep a row iff its
-    * permutation key falls below `frac` of the key space. The
+    * unit-interval permutation key falls below `frac`. The
     * data-mixing primitive for weighted source blending ("20% code,
     * 40% web, ..."): one pass, NO shuffle, no state — the only
     * sampling shape that is free at 100 TB. Deterministic: the same
     * row set survives on every run and every retry.
     *
-    * `key` must be uniform over the full signed-Long range (the
-    * [[permKey]] default is; pass a custom key only with the same
-    * property). Expected|kept| = frac·n with binomial concentration —
-    * exact-count sampling needs [[quotaSample]].
+    * `key` must be uniform over [0,1) (the [[unitKey]] default is;
+    * a portable SQL-replicable key like `((id·K) mod 2^32) / 2^32`
+    * works too). Expected|kept| = frac·n with binomial concentration
+    * — exact-count sampling needs [[quotaSample]].
     */
   def hashSample(docs: DataFrame, idCol: String, frac: Double,
-                 key: Column => Column = permKey): DataFrame = {
+                 key: Column => Column = unitKey): DataFrame = {
     require(frac >= 0 && frac <= 1, s"frac must be in [0,1]; got $frac")
-    // key/2^64 + 0.5 maps signed Long uniformly onto [0,1)
-    val u = key(col(idCol)).cast("double") / lit(2.0 * Long.MaxValue.toDouble) + lit(0.5)
-    docs.filter(u < lit(frac))
+    docs.filter(key(col(idCol)) < lit(frac))
+  }
+
+  /** Weighted multi-source mixing: keep each row with the probability
+    * its source's weight prescribes — the one-pass form of a training
+    * mixture recipe ("50% of src0, 10% of src1, drop the rest").
+    * Sources absent from `weights` get `default`. Same stateless
+    * hash-threshold mechanics as [[hashSample]]: no shuffle, no
+    * state, retry-stable, and nested — raising one source's weight
+    * only ADDS rows, never swaps any (recipe iteration does not churn
+    * the corpus).
+    */
+  def mixBySource(docs: DataFrame, idCol: String, sourceCol: String,
+                  weights: Map[String, Double], default: Double = 0.0,
+                  key: Column => Column = unitKey): DataFrame = {
+    require((weights.values ++ Seq(default)).forall(w => w >= 0 && w <= 1),
+      s"weights must be in [0,1]; got $weights default=$default")
+    val w = weights.toSeq.sortBy(_._1).foldLeft(lit(default)) {
+      case (rest, (src, frac)) =>
+        when(col(sourceCol) === src, lit(frac)).otherwise(rest)
+    }
+    docs.filter(key(col(idCol)) < w)
   }
 
   /** Exact per-stratum quota sampling: the `quota` highest-priority

@@ -240,6 +240,34 @@ object TextOps {
             CardPattern, "<CARD>"),
           PhonePattern, "<PHONE>"))
 
+  // ------------------------------------------------ inverted index
+
+  /** Inverted index materialization: per term, the document frequency
+    * and the posting list as a portable `doc:tf` string sorted by doc
+    * id — the retrieval-index build step of a curation stack (BM25 /
+    * contamination lookups read this instead of re-exploding the
+    * corpus). Terms below `minDf` are dropped (hapax noise).
+    *
+    * Scale shape: token explode → (doc, term) tf groupBy (map-side
+    * combine) → groupBy(term) collect. Posting lists are the classic
+    * skew point — a stopword's list is corpus-sized — so real
+    * deployments shard hot terms ([[Dedup]]'s `maxBucket` guard
+    * pattern applies verbatim); the build itself is two shuffles of
+    * the distinct (doc, term) set, nothing corpus-squared.
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    minDf: Long = 1L): DataFrame =
+    tokens(docs, idCol, textCol)
+      .groupBy(col("tok"), col(idCol)).agg(count(lit(1)).as("tf"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"),
+        array_sort(collect_list(struct(col(idCol), col("tf")))).as("__p"))
+      .filter(col("df") >= minDf)
+      .select(col("tok"), col("df"),
+        array_join(transform(col("__p"),
+          p => concat(p.getField(idCol).cast("string"), lit(":"),
+            p.getField("tf").cast("string"))), " ").as("postings"))
+
   // ------------------------------------------------ repetition stats
 
   /** Within-document repetition signals (the Gopher/MassiveText-style

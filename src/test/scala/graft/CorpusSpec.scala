@@ -216,6 +216,25 @@ class CorpusSpec extends SparkSpec {
     assert(Corpus.hashSample(docs, "id", 1.0).count() === 2000)
   }
 
+  test("mixBySource: per-source proportions, default weight, monotone under weight raise") {
+    val docs = (0L until 3000L).map(i => (i, s"s${i % 3}")).toDF("id", "src")
+    def kept(w: Map[String, Double], d: Double) =
+      Corpus.mixBySource(docs, "id", "src", w, default = d)
+        .as[(Long, String)].collect().toSet
+    val a = kept(Map("s0" -> 0.5, "s1" -> 0.1), 0.0)
+    val bySrc = a.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(math.abs(bySrc("s0") - 500) < 5 * math.sqrt(1000 * 0.25), s"$bySrc")
+    assert(math.abs(bySrc.getOrElse("s1", 0) - 100) < 5 * math.sqrt(1000 * 0.09), s"$bySrc")
+    assert(!bySrc.contains("s2")) // default 0 drops unlisted sources
+    // raising one weight only ADDS rows (nested thresholds)
+    val b = kept(Map("s0" -> 0.8, "s1" -> 0.1), 0.0)
+    assert(a.subsetOf(b))
+    assert(a.filter(_._2 == "s1") === b.filter(_._2 == "s1"))
+    // default applies to unlisted sources
+    val c = kept(Map("s0" -> 0.5), 1.0)
+    assert(c.count(_._2 == "s1") === 1000)
+  }
+
   // ----------------------------------------------------- boilerplate
 
   test("boilerplateStats: shared grams found, fraction exact, below-threshold ignored") {

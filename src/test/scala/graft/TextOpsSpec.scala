@@ -106,6 +106,22 @@ class TextOpsSpec extends SparkSpec {
     assert(got(5L) === ((3, "<EMAIL> then <CARD> then <PHONE>")))
   }
 
+  test("invertedIndex: postings sorted by doc, tf exact, minDf cut") {
+    val d = Seq(
+      (3L, "b a a"),
+      (1L, "a b b a"),
+      (2L, "c a")
+    ).toDF("doc_id", "text")
+    val got = TextOps.invertedIndex(d, "doc_id", "text")
+      .as[(String, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("a") === ((3L, "1:2 2:1 3:2")))
+    assert(got("b") === ((2L, "1:2 3:1")))
+    assert(got("c") === ((1L, "2:1")))
+    val cut = TextOps.invertedIndex(d, "doc_id", "text", minDf = 2)
+      .select($"tok").as[String].collect().toSet
+    assert(cut === Set("a", "b"))
+  }
+
   test("repetitionStats: exact fractions; repetition-free vs looped text") {
     val d = Seq(
       (1L, "a b c d e"),          // 3 distinct 3-grams, all unique
