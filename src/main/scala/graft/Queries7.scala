@@ -26,17 +26,31 @@ object Queries7 {
   // ---------------------------------------- q89: quota mix sampling
   /** Per-source quota sample (40 docs/source) under a PORTABLE
     * deterministic permutation key — the Knuth multiplicative hash
-    * `(id · 2654435761) mod 2^32`, spelled identically in both
-    * engines so the oracle reproduces the exact sample. (The library
-    * default key is xxhash64 — same structure, Spark-only; the key is
-    * a parameter precisely so recipes can pin a portable one.)
+    * `((id mod 2^31-1) · 2654435761) mod 2^32`, spelled identically in
+    * both engines so the oracle reproduces the exact sample. The
+    * pre-mod keeps the product under 2^63 for ANY Long id — without
+    * it, billion-range ids overflow INT64 in BOTH engines (ANSI Spark
+    * throws, DuckDB errors; caught live on the sf1 replica ids).
+    * (The library default key is xxhash64 — Spark-only; the key is a
+    * parameter precisely so recipes can pin a portable one.)
     */
   private val KnuthA = 2654435761L
   private val Mod32 = 4294967296L
+  private val PreMod = 2147483647L
+
+  /** The portable key as a Spark column (unit-interval form divides
+    * by 2^32).
+    */
+  private def knuthKey(id: Column): Column =
+    pmod(pmod(id, lit(PreMod)) * lit(KnuthA), lit(Mod32))
+
+  /** The identical key in DuckDB SQL. */
+  private def knuthKeySql(id: String): String =
+    s"(($id % $PreMod) * $KnuthA) % $Mod32"
 
   private def q89(s: SparkSession, dir: String): DataFrame =
     Corpus.quotaSample(t(s, dir, "documents"), "doc_id", "source",
-        quota = 40, key = id => pmod(id * lit(KnuthA), lit(Mod32)))
+        quota = 40, key = knuthKey)
       .select($"source", $"doc_id")
       .orderBy($"source", $"doc_id")
 
@@ -44,7 +58,7 @@ object Queries7 {
     s"""SELECT source, doc_id FROM (
        |  SELECT source, doc_id,
        |    ROW_NUMBER() OVER (PARTITION BY source
-       |      ORDER BY (doc_id * $KnuthA) % $Mod32, doc_id) AS rk
+       |      ORDER BY ${knuthKeySql("doc_id")}, doc_id) AS rk
        |  FROM documents)
        |WHERE rk <= 40 ORDER BY source, doc_id""".stripMargin
 
@@ -249,14 +263,13 @@ object Queries7 {
     Corpus.mixBySource(t(s, dir, "documents"), "doc_id", "source",
         weights = Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.1),
         default = 0.05,
-        key = id => pmod(id * lit(KnuthA), lit(Mod32)).cast("double") /
-          lit(Mod32.toDouble))
+        key = id => knuthKey(id).cast("double") / lit(Mod32.toDouble))
       .select($"source", $"doc_id")
       .orderBy($"source", $"doc_id")
 
   private val q95Sql =
     s"""SELECT source, doc_id FROM documents
-       |WHERE CAST((doc_id * $KnuthA) % $Mod32 AS DOUBLE) / $Mod32.0 <
+       |WHERE CAST(${knuthKeySql("doc_id")} AS DOUBLE) / $Mod32.0 <
        |  CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25
        |              WHEN 'src2' THEN 0.1 ELSE 0.05 END
        |ORDER BY source, doc_id""".stripMargin
