@@ -433,9 +433,18 @@ object Queries2 {
       |  LENGTH(embedding) AS dim
       |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin
 
-  /** JSON extraction from the events props column (inherited surface). */
+  /** JSON extraction from the events props column (inherited surface).
+    * The testdata events file is ONE parquet row group — an unsplit
+    * scan would run the (expensive, per-row) JSON parse in a single
+    * task no matter the core count (sf1: 2.3 s single-task vs 0.3 s
+    * spread; a real deployment has many files and skips this).
+    * Repartition moves only (event_id, props) bytes once, BEFORE the
+    * parse.
+    */
   private def q72(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
+      .select($"event_id", $"props")
+      .repartition(s.sparkContext.defaultParallelism)
       .select($"event_id",
         get_json_object($"props", "$.k").cast("int").as("k"))
       .groupBy($"k")

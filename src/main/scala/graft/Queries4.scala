@@ -15,14 +15,17 @@ object Queries4 {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** TextOps.profile over the corpus: token counts, quality signals,
-    * stopword-frequency language id. The corpus's `lang` column is a
-    * synthetic label (texts share one vocabulary), so the interesting
-    * assertion is cross-engine determinism of the heuristic, not label
-    * recovery — real-language behavior is unit-tested in TextOpsSpec.
+  /** Text profile over the corpus: token counts, quality signals,
+    * stopword-frequency language id — via the NARROW `text_profile`
+    * codegen kernel (round 4; bit-identical to the aggregate
+    * `TextOps.profile`, asserted in TextOpsSpec, and shuffle-free).
+    * The corpus's `lang` column is a synthetic label (texts share one
+    * vocabulary), so the interesting assertion is cross-engine
+    * determinism of the heuristic, not label recovery — real-language
+    * behavior is unit-tested in TextOpsSpec.
     */
   private def q69(s: SparkSession, dir: String): DataFrame =
-    TextOps.profile(
+    TextOps.profileNarrow(
         t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism),
         "doc_id", "text")
       .select($"doc_id", $"n_tokens", $"n_distinct",

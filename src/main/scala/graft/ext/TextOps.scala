@@ -14,12 +14,10 @@ object TextOps {
 
   /** Tiny per-language stopword lists for the frequency heuristic.
     * Order = tie-break preference (first wins on equal scores).
+    * Canonical copy lives in [[graft.fn.TextKernels.Stopwords]] so the
+    * per-row kernel and this aggregate formulation can never drift.
     */
-  val Stopwords: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that", "it", "was"),
-    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu"),
-    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans", "que", "pour", "qui"),
-    "es" -> Seq("el", "los", "las", "y", "es", "un", "una", "en", "por", "como"))
+  val Stopwords: Seq[(String, Seq[String])] = graft.fn.TextKernels.Stopwords
 
   /** Non-distinct token stream: (idCol, tok). Single-space
     * tokenization, empties dropped (q40/q60 convention).
@@ -76,6 +74,22 @@ object TextOps {
       .drop((Stopwords.map(s => s"__hits_${s._1}") :+ "__cjk"): _*)
   }
 
+  /** The narrow, shuffle-free twin of [[profile]]: one
+    * `text_profile(text)` codegen kernel call per row — no explode,
+    * no groupBy, bit-identical output (asserted in TextOpsSpec).
+    * Use THIS form at scale (the aggregate form shuffles the whole
+    * token stream to compute per-row-derivable numbers; it remains as
+    * the differential reference) and in streams (stateless → no
+    * watermark, no state store — see `DocStreams.curationGate`).
+    */
+  def profileNarrow(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    val p = gb.column(graft.fn.TextProfile(gb.expression(col(textCol))))
+    docs.select(col(idCol), p.as("__p"))
+      .filter(col("__p").isNotNull)
+      .select(col(idCol), col("__p.*"))
+  }
+
   /** BPE-ish sub-word tokenization (GPT-2-style pre-tokenizer shape):
     * common English contractions, letter runs, digit runs, punctuation
     * runs — each optionally preceded by one space — as separate
@@ -117,39 +131,47 @@ object TextOps {
     * bias sampling toward topical docs. Returns (idCol, score) for
     * docs matching at least one query token.
     *
-    * Scale shape: one token explode (shared with every other text
-    * stat), one groupBy(doc, tok) filtered to the query tokens BEFORE
-    * the shuffle (the filter is an `isin` over a literal list — pushed
-    * into the scan stage), then joins against two tiny aggregates (df
-    * per query token: |query| rows; the (N, avgdl) global: 1 row) that
-    * Spark broadcasts. No corpus-sized shuffle beyond the tf groupBy,
-    * whose key space is |docs with a hit| × |query|.
+    * Scale shape — the query is a LITERAL token list, so the whole
+    * retrieval needs exactly ONE corpus-keyed shuffle: the token
+    * explode feeds a single groupBy(doc) whose aggregate carries the
+    * doc length AND one conditional-sum tf column per query token
+    * (map-side combine on all of them). Corpus statistics (N, avgdl,
+    * per-token df) then collapse to a 1-row aggregate of that per-doc
+    * frame, broadcast back, and the score is a fixed-length narrow
+    * expression. The round-3 form paid three shuffles and two joins
+    * ((doc,tok) tf → per-token df → join back through doc) for the
+    * same answer; this is the difference between "index build" and
+    * "score a known query" — the inverted-index operator
+    * ([[invertedIndex]]) still serves the former.
     */
   def bm25(docs: DataFrame, idCol: String, textCol: String,
            query: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(query.nonEmpty, "bm25 needs at least one query token")
+    val qs = query.distinct
     val toks = tokens(docs, idCol, textCol)
-    // doc length is a NARROW per-row array size — computing it via the
-    // exploded token stream (round-3 form) paid a full corpus-wide
-    // groupBy shuffle for a number each row already knows. Empty docs
-    // are filtered to keep N/avgdl identical to the token-stream
-    // definition (docs with no tokens never had a lens row).
-    val lens = docs.select(col(idCol),
-        size(array_remove(split(col(textCol), " "), "")).cast("long").as("__dl"))
-      .filter(col("__dl") > 0)
-    val global = lens.agg(count(lit(1)).as("__n"), avg(col("__dl")).as("__avgdl"))
-    val tf = toks.filter(col("tok").isin(query: _*))
-      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("__tf"))
-    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("__df"))
-    tf.join(broadcast(df), "tok")
-      .join(lens, idCol)
+    val perDoc = toks.groupBy(col(idCol)).agg(
+      count(lit(1)).as("__dl"),
+      qs.zipWithIndex.map { case (q, i) =>
+        sum(when(col("tok") === q, 1L).otherwise(0L)).as(s"__tf_$i")
+      }: _*)
+    val global = perDoc.agg(
+      count(lit(1)).as("__n"),
+      (avg(col("__dl")).as("__avgdl") +:
+        qs.indices.map(i =>
+          sum(when(col(s"__tf_$i") > 0, 1L).otherwise(0L)).as(s"__df_$i"))): _*)
+    val score = qs.indices.map { i =>
+      val tf = col(s"__tf_$i")
+      val df = col(s"__df_$i")
+      when(tf > 0,
+        log(lit(1.0) + (col("__n") - df + 0.5) / (df + 0.5)) *
+          (tf * (k1 + 1)) /
+          (tf + lit(k1) * (lit(1 - b) + lit(b) * col("__dl") / col("__avgdl"))))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    perDoc
+      .filter(qs.indices.map(i => col(s"__tf_$i") > 0).reduce(_ || _))
       .crossJoin(broadcast(global))
-      .select(col(idCol),
-        (log(lit(1.0) + (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5)) *
-          (col("__tf") * (k1 + 1)) /
-          (col("__tf") + lit(k1) * (lit(1 - b) + lit(b) * col("__dl") / col("__avgdl"))))
-          .as("__s"))
-      .groupBy(col(idCol)).agg(sum(col("__s")).as("score"))
+      .select(col(idCol), score.as("score"))
   }
 
   // ------------------------------------------------ TF-IDF

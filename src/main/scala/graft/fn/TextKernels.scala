@@ -99,4 +99,108 @@ object TextKernels {
     }
     new GenericArrayData(out)
   }
+
+  /** Canonical per-language stopword lists for the frequency
+    * heuristic (ext.TextOps re-exports this — the kernel and the
+    * aggregate formulation must share ONE list). Order = tie-break
+    * preference.
+    */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that", "it", "was"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans", "que", "pour", "qui"),
+    "es" -> Seq("el", "los", "las", "y", "es", "un", "una", "en", "por", "como"))
+
+  private val stopSets: Array[java.util.HashSet[String]] =
+    Stopwords.map { case (_, ws) =>
+      val h = new java.util.HashSet[String]()
+      ws.foreach(h.add)
+      h
+    }.toArray
+  private val langNames: Array[UTF8String] =
+    Stopwords.map(l => UTF8String.fromString(l._1)).toArray
+  private val LangUnd = UTF8String.fromString("und")
+  private val LangZh = UTF8String.fromString("zh")
+
+  /** Per-ROW text profile — the narrow, shuffle-free form of
+    * `TextOps.profile`, bit-identical to the aggregate formulation
+    * (TextOpsSpec asserts exact equality): one pass over the string
+    * computes token/distinct counts, length/stopword/alpha/punct
+    * ratios, the stopword-argmax language id (CJK short-circuit), and
+    * the composite quality score. Returns null for texts with no
+    * tokens (the aggregate form emits no row there).
+    *
+    * This kernel is what makes corpus quality-gating possible as a
+    * STATELESS streaming operator (no explode, no groupBy, no state)
+    * and removes the per-doc aggregation shuffle from batch profiling
+    * — at 100 TB the explode+groupBy form shuffles the entire token
+    * stream to compute numbers every row can derive locally.
+    */
+  def textProfile(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val str = s.toString
+    val len = str.length
+    var nTok = 0L
+    var sumLen = 0L
+    var alpha = 0L
+    var punct = 0L
+    var cjk = 0L
+    val hits = new Array[Long](stopSets.length)
+    val distinct = new java.util.HashSet[String]()
+    var i = 0
+    while (i < len) {
+      while (i < len && str.charAt(i) == ' ') i += 1
+      val start = i
+      while (i < len && str.charAt(i) != ' ') i += 1
+      if (i > start) {
+        val tok = str.substring(start, i)
+        nTok += 1
+        sumLen += tok.length
+        distinct.add(tok)
+        var c = start
+        while (c < i) {
+          val ch = str.charAt(c)
+          val isAl = (ch >= 'a' && ch <= 'z') || (ch >= 'A' && ch <= 'Z')
+          val isDig = ch >= '0' && ch <= '9'
+          if (isAl) alpha += 1
+          if (!isAl && !isDig) punct += 1
+          if (ch >= '一' && ch <= '鿿') cjk += 1
+          c += 1
+        }
+        var l = 0
+        while (l < stopSets.length) {
+          if (stopSets(l).contains(tok)) hits(l) += 1
+          l += 1
+        }
+      }
+    }
+    if (nTok == 0) return null
+    val meanTokLen = sumLen.toDouble / nTok
+    val stopRatio = hits(0).toDouble / nTok
+    val alphaRatio = alpha.toDouble / sumLen
+    val punctRatio = punct.toDouble / sumLen
+    // first lang (in Stopwords order) with hits > 0 and no LATER lang
+    // strictly ahead — the exact foldRight semantics of the aggregate
+    // form's argmax
+    var lang: UTF8String = LangUnd
+    var l = 0
+    var found = false
+    while (l < hits.length && !found) {
+      if (hits(l) > 0) {
+        var ok = true
+        var m = l + 1
+        while (m < hits.length) {
+          if (hits(l) < hits(m)) ok = false
+          m += 1
+        }
+        if (ok) { lang = langNames(l); found = true }
+      }
+      l += 1
+    }
+    if (cjk > 0) lang = LangZh
+    val quality = 0.4 * math.min(nTok / 50.0, 1.0) +
+      0.3 * math.min(stopRatio * 5.0, 1.0) + 0.3 * alphaRatio
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nTok, distinct.size.toLong, meanTokLen, stopRatio,
+        alphaRatio, punctRatio, lang, quality))
+  }
 }

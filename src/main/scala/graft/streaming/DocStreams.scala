@@ -129,4 +129,54 @@ object DocStreams {
         col("__best").getField(idCol).as("nn_id"),
         col("__best.cos_sim").as("cos_sim"))
   }
+
+  /** Streaming curation gate — the standard ingest-time filter chain
+    * of an LLM corpus pipeline, composed entirely from STATELESS
+    * per-row kernels plus one watermark-bounded dedup:
+    *
+    *  1. quality gate: `text_profile` (narrow codegen kernel — no
+    *     explode, no aggregation, no state) scores each arriving doc;
+    *     docs below `minQuality`, with no tokens, or outside
+    *     `langs` (when non-empty) drop immediately;
+    *  2. PII scrub: [[graft.ext.TextOps.redactPii]]'s regex chain,
+    *     narrow per-row expressions;
+    *  3. exact-content dedup: first arrival per content fingerprint
+    *     (the k=1 minhash kernel) within the watermark horizon wins —
+    *     the only STATEFUL step, state = one row per distinct
+    *     fingerprint inside the horizon, watermark-evicted.
+    *
+    * On a batch frame the same plan runs with `dropDuplicates`
+    * (arbitrary winner within equal content — content-identical rows
+    * make the choice immaterial for the redacted output).
+    *
+    * Contract: docs (doc_id: long, ts: long nanos, text: string) →
+    * (doc_id, ts·micros, text_redacted, n_pii, lang_id, quality).
+    */
+  def curationGate(docs: DataFrame, minQuality: Double = 0.3,
+                   langs: Seq[String] = Nil,
+                   horizon: String = "10 minutes",
+                   shingleN: Int = 3): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    val profile = gb.column(graft.fn.TextProfile(gb.expression(col("text"))))
+    val fp = gb.column(graft.fn.MinhashSig(gb.expression(col("text")), shingleN, 1))
+    val scored = docs
+      .select(col("doc_id"), EventStreams.tsCol.as("ts_t"), col("text"),
+        profile.as("__p"),
+        // short docs have no shingle fingerprint: fall back to the
+        // whole-text hash (still content-exact, never null-collides)
+        coalesce(element_at(fp, 1), xxhash64(lit(-1), col("text"))).as("__fp"))
+      .filter(col("__p").isNotNull && col("__p.quality") >= minQuality)
+    val langGated =
+      if (langs.isEmpty) scored
+      else scored.filter(col("__p.lang_id").isin(langs: _*))
+    val redacted = graft.ext.TextOps.redactPii(langGated, "text")
+      .withWatermark("ts_t", horizon)
+    val deduped =
+      if (redacted.isStreaming)
+        redacted.dropDuplicatesWithinWatermark(Seq("__fp"))
+      else redacted.dropDuplicates(Seq("__fp"))
+    deduped.select(col("doc_id"), unix_micros(col("ts_t")).as("ts"),
+      col("text_redacted"), col("n_pii"),
+      col("__p.lang_id").as("lang_id"), col("__p.quality").as("quality"))
+  }
 }

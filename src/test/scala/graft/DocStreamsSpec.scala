@@ -26,6 +26,68 @@ class DocStreamsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("curation gate: quality/lang gates, PII scrub, content dedup; stream == batch") {
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ts", LongType),
+      StructField("text", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("curation").toString
+    val min = 60L * 1000000000L
+    def write(rows: Seq[(Long, Long, String)]): Unit =
+      spark.createDataFrame(rows.toDF("doc_id", "ts", "text").rdd, sch)
+        .coalesce(1).write.mode("append").parquet(dir)
+
+    val mail = "please contact the team at bob@corp.example and check that the new spark build is ready to ship today"
+    val phone = "call the office at +1 555-010-9999 before the meeting because it was moved to the morning"
+    val german = "der hund und die katze ist nicht mit dem ball zu spielen"
+    write(Seq(
+      (1L, 1 * min, mail),          // kept, email redacted
+      (2L, 2 * min, "zz1 zz2 !!!"), // low quality -> dropped
+      (3L, 3 * min, ""),            // no tokens -> dropped
+      (4L, 4 * min, "hello there"), // short (fallback fingerprint), kept
+      (8L, 5 * min, german)))       // lang 'de', kept when langs=Nil
+    write(Seq(
+      (5L, 6 * min, mail),          // exact content dup of 1 -> dropped
+      (6L, 7 * min, "hello there"), // dup of 4 via fallback hash -> dropped
+      (7L, 8 * min, phone)))        // kept, phone redacted
+
+    val q = DocStreams.curationGate(
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", "1").parquet(dir),
+        minQuality = 0.3, horizon = "30 minutes")
+      .writeStream.format("memory").queryName("gate")
+      .outputMode("append").start()
+    val streamed = try {
+      q.processAllAvailable()
+      write(Seq((100L, 600 * min,
+        "sentinel flush document with enough good english words that the gate keeps it")))
+      q.processAllAvailable()
+      spark.table("gate").filter($"doc_id" < 100)
+        .select($"text_redacted", $"n_pii", $"lang_id")
+        .as[(String, Int, String)].collect().toSet
+    } finally q.stop()
+
+    // streaming keeps first arrivals; batch dropDuplicates picks an
+    // arbitrary content-identical winner — compare CONTENT, not ids
+    val batch = DocStreams.curationGate(
+        spark.read.schema(sch).parquet(dir), minQuality = 0.3)
+      .filter($"doc_id" < 100)
+      .select($"text_redacted", $"n_pii", $"lang_id")
+      .as[(String, Int, String)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.size === 4, s"$streamed")
+    assert(streamed.exists(r => r._1.contains("<EMAIL>") && r._2 === 1))
+    assert(streamed.exists(r => r._1.contains("<PHONE>") && r._2 === 1))
+    assert(streamed.exists(_._3 === "de"))
+    // lang gate: restricting to en drops the german doc and the
+    // stopword-free short doc ('und' lang id)
+    val enOnly = DocStreams.curationGate(
+        spark.read.schema(sch).parquet(dir), minQuality = 0.3,
+        langs = Seq("en"))
+      .filter($"doc_id" < 100)
+      .select($"lang_id").as[String].collect().toSet
+    assert(enOnly === Set("en"))
+  }
+
   test("streaming near-dup filter: exact/near dups dropped across batches, unique+short kept") {
     import org.apache.spark.sql.types._
     val sch = StructType(Seq(

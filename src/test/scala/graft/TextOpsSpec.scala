@@ -106,6 +106,35 @@ class TextOpsSpec extends SparkSpec {
     assert(got(5L) === ((3, "<EMAIL> then <CARD> then <PHONE>")))
   }
 
+  test("profileNarrow == profile bit-exact on varied + real corpus; plan narrow") {
+    val hand = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and it was good"),
+      (2L, "der hund und die katze ist nicht mit dem ball zu spielen"),
+      (3L, "对酒当歌 人生几何 譬如朝露 去日苦多"),
+      (4L, "zz9 !!! ??? ,,, 123"),
+      (5L, ""),                     // no tokens -> dropped by both forms
+      (6L, "   "),                  // only spaces -> dropped by both
+      (7L, "singleton"),
+      (8L, "a b a b a b a b")
+    ).toDF("doc_id", "text")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id" + 1000000L as "doc_id", $"text")
+      .unionByName(hand)
+    val cols = Seq("doc_id", "n_tokens", "n_distinct", "mean_tok_len",
+      "stop_ratio", "alpha_ratio", "punct_ratio", "lang_id", "quality")
+    val agg = TextOps.profile(docs, "doc_id", "text")
+      .select(cols.map(col): _*).orderBy($"doc_id").collect().toSeq
+    val nar = TextOps.profileNarrow(docs, "doc_id", "text")
+      .select(cols.map(col): _*).orderBy($"doc_id").collect().toSeq
+    assert(agg.nonEmpty)
+    assert(nar === agg) // bit-exact, including every double ratio
+    // the narrow form must have NO shuffle and NO generator
+    val plan = TextOps.profileNarrow(docs.filter($"doc_id" < 100), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Generate"), plan)
+  }
+
   test("invertedIndex: postings sorted by doc, tf exact, minDf cut") {
     val d = Seq(
       (3L, "b a a"),
