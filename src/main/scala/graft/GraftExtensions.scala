@@ -92,6 +92,8 @@ object GraftExtensions {
       graft.fn.MjpegFrameFeatures(_, _, _, _)),
     unaryFn("image_dhash64", classOf[graft.fn.ImageDhash64],
       graft.fn.ImageDhash64(_)),
+    unaryFn("text_profile", classOf[graft.fn.TextProfile],
+      graft.fn.TextProfile(_)),
     (
       new FunctionIdentifier("gray_thumbnail"),
       new ExpressionInfo(classOf[graft.fn.GrayThumbnail].getName, "gray_thumbnail"),

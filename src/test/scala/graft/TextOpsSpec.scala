@@ -135,6 +135,18 @@ class TextOpsSpec extends SparkSpec {
     assert(!plan.contains("Generate"), plan)
   }
 
+  test("SQL surface: text_profile callable after install, null on empty") {
+    GraftExtensions.install(spark)
+    val r = spark.sql(
+      """SELECT text_profile('the cat and the dog') AS p,
+        |       text_profile('') AS none""".stripMargin).collect().head
+    val p = r.getStruct(0)
+    assert(p.getAs[Long]("n_tokens") === 5L)
+    assert(p.getAs[Long]("n_distinct") === 4L)
+    assert(p.getAs[String]("lang_id") === "en")
+    assert(r.isNullAt(1))
+  }
+
   test("invertedIndex: postings sorted by doc, tf exact, minDf cut") {
     val d = Seq(
       (3L, "b a a"),
