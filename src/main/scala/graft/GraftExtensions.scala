@@ -94,6 +94,10 @@ object GraftExtensions {
       graft.fn.ImageDhash64(_)),
     unaryFn("text_profile", classOf[graft.fn.TextProfile],
       graft.fn.TextProfile(_)),
+    unaryFn("vec_mean", classOf[graft.fn.VecPoolAgg],
+      graft.fn.VecPoolAgg(_, mean = true)),
+    unaryFn("vec_sum", classOf[graft.fn.VecPoolAgg],
+      graft.fn.VecPoolAgg(_, mean = false)),
     (
       new FunctionIdentifier("gray_thumbnail"),
       new ExpressionInfo(classOf[graft.fn.GrayThumbnail].getName, "gray_thumbnail"),

@@ -294,6 +294,37 @@ object Queries7 {
       |  string_agg(doc_id || ':' || tf, ' ' ORDER BY doc_id) AS postings
       |FROM tf GROUP BY tok ORDER BY tok""".stripMargin
 
+  // ---------------------------------------- q97: embedding pooling
+  /** Mean-pool embeddings per label (the chunk→document / cluster→
+    * centroid roll-up) via the native bounded-state `vec_mean`
+    * aggregate; components rounded to 6 (sum order across partitions
+    * differs between engines in the last ulp).
+    */
+  private def q97(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select($"label", transform($"embedding", _.cast("double")).as("v"))
+      .groupBy($"label")
+      .agg(SimJoin.vecMean($"v").as("__m"), count(lit(1)).as("n_vecs"))
+      .select($"label", $"n_vecs",
+        transform($"__m", x => round(x, 6)).as("mean_vec"))
+      .orderBy($"label")
+
+  private val q97Sql =
+    """WITH e AS (
+      |  SELECT label, UNNEST(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)))
+      |    AS v, UNNEST(range(1, len(embedding) + 1)) AS pos
+      |  FROM embeddings
+      |), m AS (
+      |  SELECT label, pos, AVG(v) AS mv FROM e GROUP BY 1, 2
+      |), cnt AS (
+      |  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+      |  FROM embeddings GROUP BY 1
+      |)
+      |SELECT label, n_vecs,
+      |  (SELECT LIST(ROUND(mv, 6) ORDER BY pos) FROM m WHERE m.label = cnt.label)
+      |    AS mean_vec
+      |FROM cnt ORDER BY label""".stripMargin
+
   // ------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -304,7 +335,8 @@ object Queries7 {
     "q93_quantize_int8" -> (q93 _),
     "q94_boilerplate" -> (q94 _),
     "q95_mix_sources" -> (q95 _),
-    "q96_inverted_index" -> (q96 _)
+    "q96_inverted_index" -> (q96 _),
+    "q97_vec_pooling" -> (q97 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -315,7 +347,8 @@ object Queries7 {
     "q93_quantize_int8" -> q93Sql,
     "q94_boilerplate" -> q94Sql,
     "q95_mix_sources" -> q95Sql,
-    "q96_inverted_index" -> q96Sql
+    "q96_inverted_index" -> q96Sql,
+    "q97_vec_pooling" -> q97Sql
   )
 
   private implicit class Dollar(val sc: StringContext) {

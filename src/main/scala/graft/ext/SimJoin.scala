@@ -314,4 +314,29 @@ object SimJoin {
     */
   def dequantize(q: Column, scale: Column): Column =
     transform(q, x => x.cast("double") * scale)
+
+  // ------------------------------------------------ vector pooling
+
+  /** Element-wise mean of an `array<double>` column per group — the
+    * chunk→document embedding roll-up (mean-pool chunk vectors,
+    * cluster centroids, class prototypes). Native bounded-state
+    * aggregate ([[graft.fn.VecPoolAgg]]): one dim-sized state per
+    * (group × map task) through the shuffle, map-side combined — no
+    * dim× position explosion, no whole-group collect_list. Null
+    * vectors skipped; all-null group → null.
+    */
+  def vecMean(v: Column): Column = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    gb.column(graft.fn.VecPoolAgg(gb.expression(v), mean = true)
+      .toAggregateExpression())
+  }
+
+  /** Element-wise sum twin of [[vecMean]] (gradient/statistics
+    * accumulation shape).
+    */
+  def vecSum(v: Column): Column = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    gb.column(graft.fn.VecPoolAgg(gb.expression(v), mean = false)
+      .toAggregateExpression())
+  }
 }

@@ -135,6 +135,38 @@ class SimJoinSpec extends SparkSpec {
     assert(!pairs.contains((1L, 2L)), s"NaN pair leaked: $pairs")
   }
 
+  test("vec_mean/vec_sum: hand values, cross-partition merge, nulls skipped, all-null group") {
+    val rows = Seq(
+      (1L, Some(Seq(1.0, 2.0))), (1L, Some(Seq(3.0, 4.0))),
+      (1L, None),                                      // skipped
+      (2L, Some(Seq(10.0, -10.0))),
+      (3L, None)                                       // all-null group -> null
+    )
+    val df = rows.toDF("g", "v").repartition(4)        // force partial+merge path
+    val got = df.groupBy($"g")
+      .agg(SimJoin.vecMean($"v").as("m"), SimJoin.vecSum($"v").as("s"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getSeq[Double](1)), Option(r.getSeq[Double](2))))).toMap
+    assert(got(1L) === ((Some(Seq(2.0, 3.0)), Some(Seq(4.0, 6.0)))))
+    assert(got(2L) === ((Some(Seq(10.0, -10.0)), Some(Seq(10.0, -10.0)))))
+    assert(got(3L) === ((None, None)))
+    // dimension mismatch inside a group is corrupt data -> error
+    val bad = Seq((1L, Seq(1.0, 2.0)), (1L, Seq(1.0))).toDF("g", "v")
+    val e = intercept[Exception] {
+      bad.groupBy($"g").agg(SimJoin.vecMean($"v")).collect()
+    }
+    assert(e.getMessage.contains("dimension mismatch") ||
+      e.getCause != null && e.getCause.getMessage.contains("dimension mismatch"))
+    // SQL surface
+    GraftExtensions.install(spark)
+    Seq((1L, Seq(1.0, 3.0)), (1L, Seq(3.0, 5.0))).toDF("g", "v")
+      .createOrReplaceTempView("vecs")
+    val sqlRow = spark.sql("SELECT vec_mean(v) AS m, vec_sum(v) AS s FROM vecs")
+      .collect().head
+    assert(sqlRow.getSeq[Double](0) === Seq(2.0, 4.0))
+    assert(sqlRow.getSeq[Double](1) === Seq(4.0, 8.0))
+  }
+
   test("int8 quantization: exact components, zero-vector convention, bounded error") {
     val rows = Seq(
       (1L, Seq(1.27, -1.27, 0.635, 0.0)),   // scale 0.01 -> (127,-127,64,0)
