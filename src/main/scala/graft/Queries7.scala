@@ -297,7 +297,9 @@ object Queries7 {
   // ---------------------------------------- q97: embedding pooling
   /** Mean-pool embeddings per label (the chunk→document / cluster→
     * centroid roll-up) via the native bounded-state `vec_mean`
-    * aggregate; components rounded to 6 (sum order across partitions
+    * aggregate; the pooled vector is exploded to (label, pos,
+    * component) rows — the driver's hash compare needs scalar cells —
+    * with components rounded to 6 (sum order across partitions
     * differs between engines in the last ulp).
     */
   private def q97(s: SparkSession, dir: String): DataFrame =
@@ -305,9 +307,10 @@ object Queries7 {
       .select($"label", transform($"embedding", _.cast("double")).as("v"))
       .groupBy($"label")
       .agg(SimJoin.vecMean($"v").as("__m"), count(lit(1)).as("n_vecs"))
-      .select($"label", $"n_vecs",
-        transform($"__m", x => round(x, 6)).as("mean_vec"))
-      .orderBy($"label")
+      .select($"label", $"n_vecs", posexplode($"__m").as(Seq("pos", "__c")))
+      .select($"label", $"n_vecs", ($"pos" + 1).cast("long").as("pos"),
+        round($"__c", 6).as("component"))
+      .orderBy($"label", $"pos")
 
   private val q97Sql =
     """WITH e AS (
@@ -320,10 +323,9 @@ object Queries7 {
       |  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs
       |  FROM embeddings GROUP BY 1
       |)
-      |SELECT label, n_vecs,
-      |  (SELECT LIST(ROUND(mv, 6) ORDER BY pos) FROM m WHERE m.label = cnt.label)
-      |    AS mean_vec
-      |FROM cnt ORDER BY label""".stripMargin
+      |SELECT label, n_vecs, pos, ROUND(mv, 6) AS component
+      |FROM m JOIN cnt USING (label)
+      |ORDER BY label, pos""".stripMargin
 
   // ------------------------------------------------------- registry
 

@@ -35,7 +35,9 @@ object VerifySome {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = graft.SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
+    // write ALL oracles, not just the subset — a subset dump into an
+    // existing full Verify outDir must not clobber the driver's json
+    val json = graft.SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -47,4 +47,28 @@ class NegativePathSpec extends SparkSpec {
     assert(lats(0) === Some(12.5))
     assert(lats(1) === None)                // malformed -> null, visible
   }
+
+  test("curation operators reject malformed parameters with clear errors") {
+    import graft.ext.{Corpus, TextOps, QualityModel}
+    val docs = Seq((1L, "a b c", "s")).toDF("id", "text", "src")
+    assert(intercept[IllegalArgumentException] {
+      Corpus.hashSample(docs, "id", 1.5)
+    }.getMessage.contains("frac"))
+    assert(intercept[IllegalArgumentException] {
+      Corpus.quotaSample(docs, "id", "src", quota = 0)
+    }.getMessage.contains("quota"))
+    assert(intercept[IllegalArgumentException] {
+      Corpus.mixBySource(docs, "id", "src", Map("s" -> 2.0))
+    }.getMessage.contains("weights"))
+    assert(intercept[IllegalArgumentException] {
+      Corpus.boilerplateGrams(docs, "id", "text", n = 2, minDocs = 0)
+    }.getMessage.contains("minDocs"))
+    assert(intercept[IllegalArgumentException] {
+      TextOps.bm25(docs, "id", "text", Nil)
+    }.getMessage.contains("query"))
+    assert(intercept[IllegalArgumentException] {
+      QualityModel.train(docs.select($"id",
+        array(lit(1.0)).as("f"), lit(1).as("y")), "f", "y", iters = 0)
+    }.getMessage.contains("iters"))
+  }
 }
