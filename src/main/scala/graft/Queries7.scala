@@ -327,6 +327,52 @@ object Queries7 {
       |FROM m JOIN cnt USING (label)
       |ORDER BY label, pos""".stripMargin
 
+  // ---------------------------------------- q98: quality-model score
+  /** `QualityModel` scoring pass with FIXED literal weights (a
+    * trained model is just a weight vector; pinning one makes the
+    * whole featurize→σ(w·x) path oracle-checkable): per-doc logistic
+    * quality score over the text_profile features, rounded to 6. No
+    * threshold filter — raw-score comparisons at a cut boundary are
+    * not cross-engine stable, rounded scores are.
+    */
+  private val QW = Seq(-3.0, 2.0, 4.0, 3.0, -4.0, 1.0)
+
+  private def q98(s: SparkSession, dir: String): DataFrame =
+    graft.ext.QualityModel.featurize(docsPar(s, dir), "doc_id", "text")
+      .select($"doc_id",
+        round(graft.ext.QualityModel.score($"features", QW), 6).as("q_score"))
+      .orderBy($"doc_id")
+
+  private val q98Sql = {
+    val en = TextOps.Stopwords.head._2.map(w => s"'$w'").mkString(", ")
+    val Seq(w0, w1, w2, w3, w4, w5) = QW
+    s"""WITH toks AS (
+       |  SELECT doc_id, tok FROM (
+       |    SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents)
+       |  WHERE tok <> ''
+       |), agg AS (
+       |  SELECT doc_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |    SUM(CASE WHEN tok IN ($en) THEN 1 ELSE 0 END) AS hits_en,
+       |    SUM(LENGTH(tok)) AS sum_len,
+       |    SUM(LENGTH(REGEXP_REPLACE(tok, '[^a-zA-Z]', '', 'g'))) AS alpha,
+       |    SUM(LENGTH(REGEXP_REPLACE(tok, '[a-zA-Z0-9]', '', 'g'))) AS punct
+       |  FROM toks GROUP BY 1
+       |), feats AS (
+       |  SELECT doc_id,
+       |    LEAST(n_tokens / 50.0, 1.0) AS f1,
+       |    CAST(hits_en AS DOUBLE) / n_tokens AS f2,
+       |    CAST(alpha AS DOUBLE) / sum_len AS f3,
+       |    CAST(punct AS DOUBLE) / sum_len AS f4,
+       |    LEAST((CAST(sum_len AS DOUBLE) / n_tokens) / 10.0, 1.0) AS f5
+       |  FROM agg
+       |)
+       |SELECT doc_id,
+       |  ROUND(1.0 / (1.0 + EXP(-($w0 * 1.0 + $w1 * f1 + $w2 * f2 +
+       |    $w3 * f3 + $w4 * f4 + $w5 * f5))), 6) AS q_score
+       |FROM feats ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -338,7 +384,8 @@ object Queries7 {
     "q94_boilerplate" -> (q94 _),
     "q95_mix_sources" -> (q95 _),
     "q96_inverted_index" -> (q96 _),
-    "q97_vec_pooling" -> (q97 _)
+    "q97_vec_pooling" -> (q97 _),
+    "q98_quality_score" -> (q98 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -350,7 +397,8 @@ object Queries7 {
     "q94_boilerplate" -> q94Sql,
     "q95_mix_sources" -> q95Sql,
     "q96_inverted_index" -> q96Sql,
-    "q97_vec_pooling" -> q97Sql
+    "q97_vec_pooling" -> q97Sql,
+    "q98_quality_score" -> q98Sql
   )
 
   private implicit class Dollar(val sc: StringContext) {
