@@ -373,6 +373,43 @@ object Queries7 {
        |FROM feats ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------- q99: packed block text
+  /** [[Corpus.materializeBlocks]]: the q86 packing assignments turned
+    * into actual 256-token training sequences (fragments concatenated
+    * in doc order per block) — the oracle recomputes the running-sum
+    * assignment AND the fragment slicing/concatenation.
+    */
+  private def q99(s: SparkSession, dir: String): DataFrame =
+    Corpus.materializeBlocks(t(s, dir, "documents"), "doc_id", "text",
+        blockSize = 256L, shardCol = pmod($"doc_id", lit(8)))
+      .select($"shard".cast("long").as("shard"), $"block_id", $"n_toks",
+        $"block_text")
+      .orderBy($"shard", $"block_id")
+
+  private val q99Sql =
+    """WITH base AS (
+      |  SELECT doc_id, doc_id % 8 AS shard, string_split(text, ' ') AS toks,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS cnt
+      |  FROM documents
+      |  WHERE len(string_split(text, ' ')) > 0
+      |), cum AS (
+      |  SELECT shard, doc_id, toks, cnt,
+      |    CAST(SUM(cnt) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS fin,
+      |    CAST(SUM(cnt) OVER (PARTITION BY shard ORDER BY doc_id) - cnt AS BIGINT) AS ini
+      |  FROM base
+      |), asg AS (
+      |  SELECT shard, doc_id, toks, b.block_id,
+      |    GREATEST(0, b.block_id * 256 - ini) AS tok_start,
+      |    LEAST(ini + cnt, (b.block_id + 1) * 256) -
+      |      GREATEST(ini, b.block_id * 256) AS n_toks
+      |  FROM cum, UNNEST(range(ini // 256, (fin - 1) // 256 + 1)) AS b(block_id)
+      |)
+      |SELECT shard, block_id, CAST(SUM(n_toks) AS BIGINT) AS n_toks,
+      |  string_agg(array_to_string(
+      |    list_slice(toks, tok_start + 1, tok_start + n_toks), ' '),
+      |    ' ' ORDER BY doc_id) AS block_text
+      |FROM asg GROUP BY 1, 2 ORDER BY shard, block_id""".stripMargin
+
   // ------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -385,7 +422,8 @@ object Queries7 {
     "q95_mix_sources" -> (q95 _),
     "q96_inverted_index" -> (q96 _),
     "q97_vec_pooling" -> (q97 _),
-    "q98_quality_score" -> (q98 _)
+    "q98_quality_score" -> (q98 _),
+    "q99_packed_blocks" -> (q99 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -398,7 +436,8 @@ object Queries7 {
     "q95_mix_sources" -> q95Sql,
     "q96_inverted_index" -> q96Sql,
     "q97_vec_pooling" -> q97Sql,
-    "q98_quality_score" -> q98Sql
+    "q98_quality_score" -> q98Sql,
+    "q99_packed_blocks" -> q99Sql
   )
 
   private implicit class Dollar(val sc: StringContext) {

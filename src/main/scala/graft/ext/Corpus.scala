@@ -139,6 +139,36 @@ object Corpus {
           greatest(col("__start"), col("block_id") * b)).as("n_toks"))
   }
 
+  /** Materialize [[packBlocks]] assignments into actual packed token
+    * sequences: per (shard, block), the doc fragments concatenated in
+    * doc order — what the trainer's data loader reads. Single-space
+    * tokenization (the engine convention).
+    *
+    * Scale shape: the assignment table joins back to the docs on the
+    * id (one equi-join — AQE broadcasts the small side when the
+    * block set is filtered), fragments are narrow `slice`s of the
+    * token array, and the only new shuffle is the per-block
+    * collect — output-sized (the trainer's own read volume), with
+    * fragment count per block bounded by blockSize (a block holds at
+    * most blockSize docs).
+    */
+  def materializeBlocks(docs: DataFrame, idCol: String, textCol: String,
+                        blockSize: Long, shardCol: Column): DataFrame = {
+    val toks = docs.select(col(idCol),
+      split(col(textCol), " ").as("__toks"))
+    val asg = packBlocks(docs, idCol, size(split(col(textCol), " ")),
+      blockSize, shardCol)
+    asg.join(toks, idCol)
+      .select(col("shard"), col("block_id"), col(idCol),
+        slice(col("__toks"), (col("tok_start") + 1).cast("int"),
+          col("n_toks").cast("int")).as("__frag"))
+      .groupBy(col("shard"), col("block_id"))
+      .agg(sum(size(col("__frag"))).cast("long").as("n_toks"),
+        array_join(flatten(array_sort(collect_list(
+          struct(col(idCol), col("__frag")))).getField("__frag")), " ")
+          .as("block_text"))
+  }
+
   // ------------------------------------------------ boilerplate
 
   /** Corpus-wide boilerplate n-grams: word n-grams occurring in at

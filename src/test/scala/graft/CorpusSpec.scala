@@ -185,6 +185,33 @@ class CorpusSpec extends SparkSpec {
     assert(got(1L) > got(2L))
   }
 
+  test("materializeBlocks: every token exactly once, in order, blocks full except last") {
+    val docs = Seq(
+      (1L, words(5)),          // shard 1
+      (2L, words(7, 100)),     // shard 0
+      (3L, words(4, 200)),     // shard 1 — crosses the size-8 boundary with doc 1
+      (4L, words(9, 300))      // shard 0 — crosses with doc 2
+    ).toDF("doc_id", "text")
+    val blocks = Corpus.materializeBlocks(docs, "doc_id", "text",
+        blockSize = 8L, shardCol = pmod($"doc_id", lit(2)))
+      .orderBy($"shard", $"block_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // shard 0: docs 2 (7 toks) + 4 (9 toks) = 16 -> two full blocks
+    // shard 1: docs 1 (5) + 3 (4) = 9 -> block of 8 + block of 1
+    val byShard = blocks.groupBy(_._1)
+    assert(byShard(0L).map(_._3) === Seq(8L, 8L))
+    assert(byShard(1L).map(_._3) === Seq(8L, 1L))
+    blocks.foreach { case (_, _, n, text) =>
+      assert(text.split(" ").length === n)
+    }
+    // concatenating a shard's blocks reproduces the shard's doc-order
+    // token stream exactly
+    assert(byShard(0L).map(_._4).mkString(" ") ===
+      (words(7, 100) + " " + words(9, 300)))
+    assert(byShard(1L).map(_._4).mkString(" ") ===
+      (words(5) + " " + words(4, 200)))
+  }
+
   // ----------------------------------------------------- sampling
 
   test("quotaSample: exact quota per stratum, deterministic, subset of input") {

@@ -167,6 +167,31 @@ class SimJoinSpec extends SparkSpec {
     assert(sqlRow.getSeq[Double](1) === Seq(4.0, 8.0))
   }
 
+  test("vec_mean as streaming state: cross-batch pooling matches the batch mean") {
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(
+      StructField("g", LongType),
+      StructField("v", ArrayType(DoubleType))))
+    val dir = java.nio.file.Files.createTempDirectory("vecstream").toString
+    def write(rows: Seq[(Long, Seq[Double])]): Unit =
+      spark.createDataFrame(rows.toDF("g", "v").rdd, sch)
+        .coalesce(1).write.mode("append").parquet(dir)
+
+    // the per-batch means differ from the union mean — only a correct
+    // cross-batch buffer merge produces (3,4)
+    write(Seq((1L, Seq(1.0, 2.0)), (1L, Seq(1.0, 2.0))))
+    write(Seq((1L, Seq(7.0, 8.0))))
+
+    val q = spark.readStream.schema(sch).option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .groupBy($"g").agg(SimJoin.vecMean($"v").as("m"))
+      .writeStream.format("memory").queryName("vm")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("vm").select($"m").as[Seq[Double]].head()
+    assert(got === Seq(3.0, 4.0))
+  }
+
   test("int8 quantization: exact components, zero-vector convention, bounded error") {
     val rows = Seq(
       (1L, Seq(1.27, -1.27, 0.635, 0.0)),   // scale 0.01 -> (127,-127,64,0)
