@@ -72,4 +72,46 @@ class ExtPropertySpec extends SparkSpec {
       assert(ar >= 0.0 && ar <= 1.0, id)
     }
   }
+
+  test("int8 quantization law: per-component error <= scale/2 (unclamped), cos >= 0.999") {
+    import graft.ext.SimJoin
+    val vecs = (0 until 100).map { i =>
+      (i.toLong, Seq.fill(32)(rnd.nextDouble() * 4 - 2))
+    }.toDF("vec_id", "v")
+    val q = vecs
+      .withColumn("scale", SimJoin.int8Scale($"v"))
+      .withColumn("dq", SimJoin.dequantize(
+        SimJoin.quantizeInt8($"v", $"scale"), $"scale"))
+    val rows = q.select($"vec_id", $"v", $"scale", $"dq",
+        SimJoin.cosine($"v", $"dq").as("cos"))
+      .as[(Long, Seq[Double], Double, Seq[Double], Double)].collect()
+    rows.foreach { case (id, v, s, dq, cos) =>
+      // |x| <= 127*scale by construction, so no clamping: the
+      // round-half-up grid guarantees |x - x̂| <= scale/2 (+ulp)
+      v.zip(dq).foreach { case (x, xh) =>
+        assert(math.abs(x - xh) <= s / 2 + 1e-12, s"vec $id: $x vs $xh (scale $s)")
+      }
+      assert(cos >= 0.999, s"vec $id cos $cos")
+    }
+  }
+
+  test("sampler laws: quota subset-of-stratum; mix row set == per-source hashSample union") {
+    import graft.ext.Corpus
+    val src = (0L until 900L).map(i => (i, s"s${i % 3}")).toDF("id", "src")
+    // quotaSample returns existing rows only, quota per stratum exact
+    val qs = Corpus.quotaSample(src, "id", "src", 50)
+      .as[(Long, String)].collect()
+    assert(qs.length === 150)
+    assert(qs.forall { case (i, s) => s == s"s${i % 3}" })
+    // mixBySource == union of per-source hashSamples at the same frac
+    val w = Map("s0" -> 0.4, "s1" -> 0.15)
+    val mixed = Corpus.mixBySource(src, "id", "src", w, default = 0.05)
+      .as[(Long, String)].collect().toSet
+    val manual = Seq("s0" -> 0.4, "s1" -> 0.15, "s2" -> 0.05).flatMap {
+      case (s, f) =>
+        Corpus.hashSample(src.filter($"src" === s), "id", f)
+          .as[(Long, String)].collect()
+    }.toSet
+    assert(mixed === manual)
+  }
 }
