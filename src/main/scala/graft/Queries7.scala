@@ -410,6 +410,89 @@ object Queries7 {
       |    ' ' ORDER BY doc_id) AS block_text
       |FROM asg GROUP BY 1, 2 ORDER BY shard, block_id""".stripMargin
 
+  // ---------------------------------------- q100: curation pipeline
+  /** The operators COMPOSED end-to-end — the corpus-curation pipeline
+    * a training run actually executes: exact dedup (keep min id per
+    * content) → quality gate (fixed-weight model score, rounded-score
+    * threshold so the cut is cross-engine deterministic) → weighted
+    * source mixing (portable key) → sequence packing. The oracle
+    * recomputes all four stages from raw SQL; matching here means the
+    * stages compose without semantic drift, not just that each works
+    * alone.
+    */
+  private def q100(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.{Dedup, QualityModel}
+    val docs = docsPar(s, dir)
+    val deduped = Dedup.dropExactDuplicates(docs, "doc_id", "text")
+    val kept = QualityModel.featurize(deduped, "doc_id", "text")
+      .filter(round(QualityModel.score($"features", QW), 6) >= 0.5)
+      .select($"doc_id")
+    val mixed = Corpus.mixBySource(
+        deduped.join(kept, "doc_id"), "doc_id", "source",
+        weights = Map("src0" -> 0.8, "src1" -> 0.6), default = 0.25,
+        key = id => knuthKey(id).cast("double") / lit(Mod32.toDouble))
+    Corpus.packBlocks(mixed, "doc_id", size(split($"text", " ")),
+        blockSize = 128L, shardCol = pmod($"doc_id", lit(4)))
+      .select($"shard".cast("long").as("shard"), $"block_id", $"doc_id",
+        $"tok_start", $"n_toks")
+      .orderBy($"shard", $"block_id", $"doc_id")
+  }
+
+  private val q100Sql = {
+    val en = TextOps.Stopwords.head._2.map(w => s"'$w'").mkString(", ")
+    val Seq(w0, w1, w2, w3, w4, w5) = QW
+    s"""WITH dedup AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+       |), d AS (
+       |  SELECT doc_id, text, source FROM documents
+       |  WHERE doc_id IN (SELECT doc_id FROM dedup)
+       |), toks AS (
+       |  SELECT doc_id, tok FROM (
+       |    SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM d)
+       |  WHERE tok <> ''
+       |), agg AS (
+       |  SELECT doc_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |    SUM(CASE WHEN tok IN ($en) THEN 1 ELSE 0 END) AS hits_en,
+       |    SUM(LENGTH(tok)) AS sum_len,
+       |    SUM(LENGTH(REGEXP_REPLACE(tok, '[^a-zA-Z]', '', 'g'))) AS alpha,
+       |    SUM(LENGTH(REGEXP_REPLACE(tok, '[a-zA-Z0-9]', '', 'g'))) AS punct
+       |  FROM toks GROUP BY 1
+       |), scored AS (
+       |  SELECT doc_id,
+       |    ROUND(1.0 / (1.0 + EXP(-($w0 * 1.0 +
+       |      $w1 * LEAST(n_tokens / 50.0, 1.0) +
+       |      $w2 * (CAST(hits_en AS DOUBLE) / n_tokens) +
+       |      $w3 * (CAST(alpha AS DOUBLE) / sum_len) +
+       |      $w4 * (CAST(punct AS DOUBLE) / sum_len) +
+       |      $w5 * LEAST((CAST(sum_len AS DOUBLE) / n_tokens) / 10.0, 1.0)))), 6)
+       |      AS q_score
+       |  FROM agg
+       |), mixed AS (
+       |  SELECT d.doc_id, d.text, d.source FROM d
+       |  JOIN scored USING (doc_id)
+       |  WHERE q_score >= 0.5
+       |    AND CAST(${knuthKeySql("d.doc_id")} AS DOUBLE) / $Mod32.0 <
+       |      CASE d.source WHEN 'src0' THEN 0.8 WHEN 'src1' THEN 0.6
+       |                    ELSE 0.25 END
+       |), base AS (
+       |  SELECT doc_id, doc_id % 4 AS shard,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS cnt
+       |  FROM mixed
+       |  WHERE len(string_split(text, ' ')) > 0
+       |), cum AS (
+       |  SELECT shard, doc_id, cnt,
+       |    CAST(SUM(cnt) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS fin,
+       |    CAST(SUM(cnt) OVER (PARTITION BY shard ORDER BY doc_id) - cnt AS BIGINT) AS ini
+       |  FROM base
+       |)
+       |SELECT shard, b.block_id, doc_id,
+       |  GREATEST(0, b.block_id * 128 - ini) AS tok_start,
+       |  LEAST(ini + cnt, (b.block_id + 1) * 128) - GREATEST(ini, b.block_id * 128) AS n_toks
+       |FROM cum, UNNEST(range(ini // 128, (fin - 1) // 128 + 1)) AS b(block_id)
+       |ORDER BY shard, block_id, doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -423,7 +506,8 @@ object Queries7 {
     "q96_inverted_index" -> (q96 _),
     "q97_vec_pooling" -> (q97 _),
     "q98_quality_score" -> (q98 _),
-    "q99_packed_blocks" -> (q99 _)
+    "q99_packed_blocks" -> (q99 _),
+    "q100_curation_pipeline" -> (q100 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -437,7 +521,8 @@ object Queries7 {
     "q96_inverted_index" -> q96Sql,
     "q97_vec_pooling" -> q97Sql,
     "q98_quality_score" -> q98Sql,
-    "q99_packed_blocks" -> q99Sql
+    "q99_packed_blocks" -> q99Sql,
+    "q100_curation_pipeline" -> q100Sql
   )
 
   private implicit class Dollar(val sc: StringContext) {
