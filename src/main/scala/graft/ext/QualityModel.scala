@@ -58,10 +58,10 @@ object QualityModel {
   def train(labeled: DataFrame, featCol: String, labelCol: String,
             iters: Int = 50, lr: Double = 2.0, l2: Double = 1e-4): Array[Double] = {
     require(iters > 0 && lr > 0, s"iters/lr must be positive; got $iters/$lr")
-    val first = labeled.select(size(col(featCol))).head()
-    val dim = first.getInt(0)
+    val firstRow = labeled.select(size(col(featCol))).limit(1).collect()
+    require(firstRow.nonEmpty, "train needs at least one labeled row")
+    val dim = firstRow.head.getInt(0)
     val n = labeled.count().toDouble
-    require(n > 0, "train needs at least one labeled row")
     var w = new Array[Double](dim)
     var it = 0
     while (it < iters) {

@@ -240,7 +240,16 @@ object TextOps {
     * shapes → `<PHONE>`, applied in that order (most-specific first).
     * Adds `n_pii` = total matches redacted (counted on the original
     * text). Purely narrow per-row expressions — no shuffle, codegen
-    * end-to-end, linear at any scale.
+    * end-to-end, linear in rows at any scale.
+    *
+    * Untrusted-content note: the patterns avoid nested quantifiers
+    * (no catastrophic backtracking — worst case on an adversarial
+    * row is quadratic in that row's length under Java's backtracking
+    * engine, e.g. a megabyte of unbroken `[A-Za-z0-9.-]` probing the
+    * email rule); they stay inside the RE2-compatible subset, so an
+    * RE2-based evaluator runs them in linear time. Pair with an
+    * upstream row-length cap (standard corpus hygiene) when inputs
+    * are hostile.
     */
   def redactPii(docs: DataFrame, textCol: String,
                 outCol: String = "text_redacted"): DataFrame =
