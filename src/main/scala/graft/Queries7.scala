@@ -159,7 +159,9 @@ object Queries7 {
   private val q92Sql =
     """WITH sh AS (
       |  SELECT doc_id, array_to_string(list_slice(toks, i + 1, i + 3), ' ') AS shingle
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      |        FROM documents),
       |       UNNEST(range(0, GREATEST(0, len(toks) - 2))) AS t(i)
       |), gc AS (
       |  SELECT doc_id, shingle, CAST(COUNT(*) AS BIGINT) AS c
@@ -188,7 +190,11 @@ object Queries7 {
     emb.select($"vec_id",
         round($"scale", 9).as("scale"),
         aggregate($"q", lit(0L), (acc, x) => acc + x).as("q_sum"),
-        round(SimJoin.cosine($"v", SimJoin.dequantize($"q", $"scale")), 6)
+        // scale=0 (all-zero embedding) → reconstruction is the zero
+        // vector and its cosine is 0/0; IEEE NaN-vs-NULL handling
+        // differs cross-engine, so emit NULL explicitly in BOTH
+        when($"scale" === 0, lit(null).cast("double"))
+          .otherwise(round(SimJoin.cosine($"v", SimJoin.dequantize($"q", $"scale")), 6))
           .as("cos_recon"))
       .orderBy($"vec_id")
   }
@@ -210,11 +216,12 @@ object Queries7 {
       |)
       |SELECT vec_id, ROUND(scale, 9) AS scale,
       |  CAST(LIST_SUM(q) AS BIGINT) AS q_sum,
+      |  CASE WHEN scale = 0 THEN NULL ELSE
       |  ROUND(LIST_DOT_PRODUCT(v, LIST_TRANSFORM(q, x -> x * scale)) /
       |    (SQRT(LIST_DOT_PRODUCT(v, v)) *
       |     SQRT(LIST_DOT_PRODUCT(LIST_TRANSFORM(q, x -> x * scale),
       |                           LIST_TRANSFORM(q, x -> x * scale)))), 6)
-      |    AS cos_recon
+      |  END AS cos_recon
       |FROM quant ORDER BY vec_id""".stripMargin
 
   // ---------------------------------------- q94: boilerplate n-grams
@@ -235,7 +242,9 @@ object Queries7 {
   private val q94Sql =
     """WITH sh AS (
       |  SELECT doc_id, array_to_string(list_slice(toks, i + 1, i + 2), ' ') AS shingle
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      |        FROM documents),
       |       UNNEST(range(0, GREATEST(0, len(toks) - 1))) AS t(i)
       |), dsh AS (
       |  SELECT DISTINCT doc_id, shingle FROM sh

@@ -29,10 +29,13 @@ object Corpus {
     *
     * Scale shape: benchmarks are KBs-to-MBs while the corpus is TBs,
     * so the benchmark shingle set is aggregated small and BROADCAST —
-    * the corpus-side shingle stream joins it map-side with no shuffle
-    * of corpus bytes, then one groupBy(doc) with map-side combine.
-    * The only corpus-wide shuffle is the per-doc count aggregation,
-    * which [[Dedup.shingles]]' distinct already pays anyway.
+    * the corpus-side shingle stream LEFT-joins it map-side (no shuffle
+    * of corpus bytes, no rows dropped), then ONE groupBy(doc) counts
+    * both the doc's shingles and the benchmark hits in the same
+    * aggregation. The corpus is scanned, shingled, and shuffled
+    * exactly ONCE — an inner-join-then-rejoin formulation would fan
+    * the shingle stream into two independent branches and pay the
+    * full corpus explode twice.
     */
   def contaminationReport(docs: DataFrame, idCol: String, textCol: String,
                           bench: DataFrame, benchTextCol: String,
@@ -42,12 +45,11 @@ object Corpus {
         bench.select(lit(0L).as("__bid"), col(benchTextCol)),
         "__bid", benchTextCol, n)
       .select(col("shingle")).distinct()
-    val sizes = docSh.groupBy(col(idCol))
-      .agg(count(lit(1)).as("doc_shingles"))
-    val overlaps = docSh.join(broadcast(benchSh), "shingle")
+      .withColumn("__hit", lit(1L))
+    docSh.join(broadcast(benchSh), Seq("shingle"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("overlap"))
-    overlaps.join(sizes, idCol)
+      .agg(count(lit(1)).as("doc_shingles"), count(col("__hit")).as("overlap"))
+      .filter(col("overlap") > 0)
       .select(col(idCol), col("overlap"), col("doc_shingles"),
         (col("overlap").cast("double") / col("doc_shingles")).as("overlap_frac"))
   }
@@ -230,11 +232,15 @@ object Corpus {
   def permKey(idCol: Column): Column = xxhash64(idCol)
 
   /** [[permKey]] mapped uniformly onto the unit interval [0,1) —
-    * the threshold-sampling form of the permutation key
-    * (key/2^64 + 0.5 maps the signed-Long range onto [0,1)).
+    * the threshold-sampling form of the permutation key. Derived from
+    * the TOP 53 bits ((key >>> 11) · 2⁻⁵³): every value is an exact
+    * double and the range is exactly [0,1). (Dividing the full 64-bit
+    * key by 2⁶⁴ instead would round values near Long.MaxValue UP to
+    * exactly 1.0, so `hashSample(frac = 1.0)` could drop a row with
+    * probability ~2⁻⁵⁴ — the [0,1) contract would be violated.)
     */
   def unitKey(idCol: Column): Column =
-    permKey(idCol).cast("double") / lit(2.0 * Long.MaxValue.toDouble) + lit(0.5)
+    shiftrightunsigned(permKey(idCol), 11).cast("double") * lit(math.pow(2, -53))
 
   /** Stateless deterministic fractional sampling: keep a row iff its
     * unit-interval permutation key falls below `frac`. The

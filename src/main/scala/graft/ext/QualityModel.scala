@@ -50,36 +50,72 @@ object QualityModel {
 
   private def sigmoid(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
 
-  /** Full-batch logistic-regression GD. `labeled` needs `featCol`
-    * (array<double>, length [[Dim]]-compatible) and `labelCol`
-    * (0/1). Returns the weight vector. One [[SimJoin.vecSum]] job per
-    * iteration; L2 on everything but the intercept.
+  /** Full-batch logistic-regression GD with early stopping. `labeled`
+    * needs `featCol` (array<double>, length [[Dim]]-compatible) and
+    * `labelCol` (0/1). Returns the weight vector. One job per
+    * iteration — the [[SimJoin.vecSum]] gradient aggregate CARRIES the
+    * log-loss in the same pass; when the relative loss improvement
+    * falls below `tol` the loop stops (separable profile features
+    * typically converge in 10-20 iterations, not the `iters` cap).
+    * L2 on everything but the intercept.
+    *
+    * Scale shape: quality classifiers train on a LABELED SAMPLE (the
+    * fastText-style curation recipe), never the corpus — rows beyond
+    * `maxTrainRows` are deterministically down-sampled (hash-threshold
+    * on the (features, label) content, retry-stable) and the training
+    * frame is PERSISTED so each iteration re-reads the bounded sample,
+    * not the full input lineage. Rows with null features are dropped
+    * BEFORE counting, so the 1/n gradient scale matches exactly the
+    * rows the aggregate sums over.
     */
   def train(labeled: DataFrame, featCol: String, labelCol: String,
-            iters: Int = 50, lr: Double = 2.0, l2: Double = 1e-4): Array[Double] = {
+            iters: Int = 50, lr: Double = 2.0, l2: Double = 1e-4,
+            tol: Double = 1e-6, maxTrainRows: Long = 100000L): Array[Double] = {
     require(iters > 0 && lr > 0, s"iters/lr must be positive; got $iters/$lr")
-    val firstRow = labeled.select(size(col(featCol))).limit(1).collect()
-    require(firstRow.nonEmpty, "train needs at least one labeled row")
-    val dim = firstRow.head.getInt(0)
-    val n = labeled.count().toDouble
-    var w = new Array[Double](dim)
-    var it = 0
-    while (it < iters) {
-      val err = sigmoid(SimJoin.dotConst(col(featCol), w.toSeq)) -
-        col(labelCol).cast("double")
-      val grad = labeled
-        .select(transform(col(featCol), x => x * err).as("__g"))
-        .agg(SimJoin.vecSum(col("__g")).as("__grad"))
-        .head().getSeq[Double](0).toArray
-      var j = 0
-      while (j < dim) {
-        val reg = if (j == 0) 0.0 else l2 * w(j)
-        w(j) -= lr * (grad(j) / n + reg)
-        j += 1
+    require(maxTrainRows > 0, s"maxTrainRows must be positive; got $maxTrainRows")
+    val nonNull = labeled.filter(col(featCol).isNotNull)
+    val total = nonNull.count()
+    require(total > 0, "train needs at least one labeled row with non-null features")
+    val sampled =
+      if (total <= maxTrainRows) nonNull
+      else nonNull.filter(
+        shiftrightunsigned(xxhash64(col(featCol), col(labelCol)), 11)
+          .cast("double") * lit(math.pow(2, -53)) <
+          lit(maxTrainRows.toDouble / total))
+    val train = sampled.persist()
+    try {
+      val firstRow = train.select(size(col(featCol))).limit(1).collect()
+      require(firstRow.nonEmpty, "train sample is empty")
+      val dim = firstRow.head.getInt(0)
+      val n = train.count().toDouble
+      var w = new Array[Double](dim)
+      var prevLoss = Double.MaxValue
+      var it = 0
+      var converged = false
+      while (it < iters && !converged) {
+        val p = sigmoid(SimJoin.dotConst(col(featCol), w.toSeq))
+        val y = col(labelCol).cast("double")
+        val row = train
+          .select(transform(col(featCol), x => x * (p - y)).as("__g"),
+            (-(y * log(greatest(p, lit(1e-15))) +
+              (lit(1.0) - y) * log(greatest(lit(1.0) - p, lit(1e-15)))))
+              .as("__l"))
+          .agg(SimJoin.vecSum(col("__g")).as("__grad"), sum(col("__l")).as("__loss"))
+          .head()
+        val grad = row.getSeq[Double](0).toArray
+        val loss = row.getDouble(1) / n
+        var j = 0
+        while (j < dim) {
+          val reg = if (j == 0) 0.0 else l2 * w(j)
+          w(j) -= lr * (grad(j) / n + reg)
+          j += 1
+        }
+        converged = prevLoss - loss < tol * math.max(prevLoss, 1.0)
+        prevLoss = loss
+        it += 1
       }
-      it += 1
-    }
-    w
+      w
+    } finally train.unpersist()
   }
 
   /** σ(w·x) as a narrow column over `featCol` — the corpus-wide

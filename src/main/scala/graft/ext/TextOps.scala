@@ -184,15 +184,27 @@ object TextOps {
     * Scale shape: one token explode → one groupBy(doc, tok) with
     * map-side combine (the tf table, the corpus's distinct (doc, term)
     * set — the same working set any search indexer materializes); df
-    * re-aggregates tf by term only (vocabulary-sized, small); N is a
-    * 1-row broadcast. No join moves corpus bytes more than once.
+    * re-aggregates tf by term only (vocabulary-sized, small) and is
+    * BROADCAST back onto tf — the big (doc, term) table is never
+    * re-shuffled on `tok`, which matters twice over: it saves the
+    * second corpus-sized exchange, and the `tok` key is exactly the
+    * skewed one (stopword-like terms dominate). N is a 1-row
+    * broadcast. When the vocabulary itself is too big to broadcast
+    * (`broadcastVocab = false` — e.g. unbounded n-gram vocabularies),
+    * the join falls back to [[graft.ops.Salt.saltedJoin]]: tf salted
+    * per row, df replicated `nSalts`×, so no task owns a whole hot
+    * term's postings.
     */
-  def tfIdf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def tfIdf(docs: DataFrame, idCol: String, textCol: String,
+            broadcastVocab: Boolean = true, nSalts: Int = 8): DataFrame = {
     val tf = tokens(docs, idCol, textCol)
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("__n"))
-    tf.join(df, "tok")
+    val joined =
+      if (broadcastVocab) tf.join(broadcast(df), "tok")
+      else graft.ops.Salt.saltedJoin(tf, df, Seq("tok"), col(idCol), nSalts)
+    joined
       .crossJoin(broadcast(n))
       .select(col(idCol), col("tok"), col("tf"), col("df"),
         (col("tf") * (log((lit(1.0) + col("__n")) / (lit(1.0) + col("df"))) + 1.0))

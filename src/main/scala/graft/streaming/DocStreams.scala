@@ -141,7 +141,7 @@ object DocStreams {
     *  2. PII scrub: [[graft.ext.TextOps.redactPii]]'s regex chain,
     *     narrow per-row expressions;
     *  3. exact-content dedup: first arrival per content fingerprint
-    *     (the k=1 minhash kernel) within the watermark horizon wins —
+    *     (whole-text xxhash64) within the watermark horizon wins —
     *     the only STATEFUL step, state = one row per distinct
     *     fingerprint inside the horizon, watermark-evicted.
     *
@@ -154,17 +154,17 @@ object DocStreams {
     */
   def curationGate(docs: DataFrame, minQuality: Double = 0.3,
                    langs: Seq[String] = Nil,
-                   horizon: String = "10 minutes",
-                   shingleN: Int = 3): DataFrame = {
+                   horizon: String = "10 minutes"): DataFrame = {
     import org.apache.spark.sql.{graftbridge => gb}
     val profile = gb.column(graft.fn.TextProfile(gb.expression(col("text"))))
-    val fp = gb.column(graft.fn.MinhashSig(gb.expression(col("text")), shingleN, 1))
     val scored = docs
       .select(col("doc_id"), EventStreams.tsCol.as("ts_t"), col("text"),
         profile.as("__p"),
-        // short docs have no shingle fingerprint: fall back to the
-        // whole-text hash (still content-exact, never null-collides)
-        coalesce(element_at(fp, 1), xxhash64(lit(-1), col("text"))).as("__fp"))
+        // content-EXACT fingerprint: whole-text hash. A k=1 minhash
+        // here would collide DISTINCT docs with probability equal to
+        // their shingle-set Jaccard (the defining MinHash property) —
+        // near-dup filtering is nearDupFilter's job, not this gate's
+        xxhash64(lit(-1), col("text")).as("__fp"))
       .filter(col("__p").isNotNull && col("__p.quality") >= minQuality)
     val langGated =
       if (langs.isEmpty) scored
