@@ -215,6 +215,125 @@ object GridIngest {
         "lon_idx", "lon", "water_temp", "salinity")
   }
 
+  /** Ingest a netCDF-4 / HDF5 file (the container modern HYCOM-style
+    * archives publish — the reference's `netCDF4.Dataset` opens these,
+    * trackplot_hycom.py:144) into the long-format grid schema.
+    *
+    * Distribution unit is the HDF5 CHUNK — the natural one (each chunk
+    * is an independent gzip stream): the driver parses the KB-scale
+    * metadata and chunk index, pairs water_temp/salinity chunks by
+    * logical offset, and fans the pairs out; each task seeks to its
+    * two chunks, inflates, CF-decodes, and emits joined cells. A chunk
+    * absent from the index was never written = all fill → both
+    * measures null (the grid row still exists, as in the Nc3 path).
+    * Contiguous (unfiltered) data vars take the same plane-slab split
+    * as [[ingestNc]].
+    */
+  def ingestNc4(spark: SparkSession, path: String, partitions: Int = 32,
+                tempVar: String = "water_temp",
+                salVar: String = "salinity"): DataFrame = {
+    import spark.implicits._
+    val f = Nc4.readFile(path)
+    val spec = Nc4.gridSpecOf(f)
+    val nD = spec.depths.size
+    val nLon = spec.nLon
+    val times = spec.times; val depths = spec.depths
+    val (latMin, latStep, lonMin, lonStep) =
+      (spec.latMin, spec.latStep, spec.lonMin, spec.lonStep)
+    val tempDs = f.dataset(tempVar); val salDs = f.dataset(salVar)
+    require(tempDs.dims.size == 4 && salDs.dims == tempDs.dims,
+      s"$path: expected matching 4-D (time,depth,lat,lon) data variables")
+    val dims = tempDs.dims
+    val tempDec = Nc4.decoderOf(tempDs); val salDec = Nc4.decoderOf(salDs)
+
+    (tempDs.layout, salDs.layout) match {
+      case (tl: Nc4.Chunked, sl: Nc4.Chunked) =>
+        require(tl.chunkDims == sl.chunkDims,
+          s"$path: $tempVar and $salVar have different chunk shapes")
+        val chunkDims = tl.chunkDims
+        val tempRd = Nc4.chunkReaderOf(tempDs); val salRd = Nc4.chunkReaderOf(salDs)
+        val tempChunks = Nc4.chunkRefs(path, tempDs).map(c => c.offsets -> c).toMap
+        val salChunks = Nc4.chunkRefs(path, salDs).map(c => c.offsets -> c).toMap
+        // every chunk origin of the regular chunk grid (missing from
+        // both indexes = all-fill chunk, still emitted as null cells)
+        val origins = {
+          def axis(d: Int) = 0L until dims(d) by chunkDims(d)
+          for (t <- axis(0); dd <- axis(1); y <- axis(2); x <- axis(3))
+            yield Seq(t, dd, y, x)
+        }
+        val work = origins.map(o => (o, tempChunks.get(o), salChunks.get(o)))
+        val nPart = math.max(1, math.min(partitions, work.size))
+        spark.sparkContext.parallelize(work, nPart)
+          .mapPartitions { it =>
+            val raf = new java.io.RandomAccessFile(path, "r")
+            org.apache.spark.TaskContext.get().addTaskCompletionListener[Unit](
+              _ => raf.close())
+            def load(ref: Option[Nc4.ChunkRef], rd: Nc4.ChunkReader): Option[java.nio.ByteBuffer] =
+              ref.map { c =>
+                val b = new Array[Byte](c.storedSize)
+                raf.seek(c.addr); raf.readFully(b)
+                java.nio.ByteBuffer.wrap(rd.decode(b, c.storedSize, c.filterMask))
+              }
+            it.flatMap { case (o, tRef, sRef) =>
+              val tb = load(tRef, tempRd)
+              val sb = load(sRef, salRd)
+              val (ct, cd, cy, cx) = (chunkDims(0), chunkDims(1), chunkDims(2), chunkDims(3))
+              for {
+                it0 <- (0 until ct).iterator; t = o(0) + it0 if t < dims(0)
+                id0 <- 0 until cd; d = o(1) + id0 if d < dims(1)
+                iy <- 0 until cy; y = o(2) + iy if y < dims(2)
+                ix <- 0 until cx; x = o(3) + ix if x < dims(3)
+              } yield {
+                val cell = ((it0 * cd + id0) * cy + iy) * cx + ix
+                (times(t.toInt), d.toInt, depths(d.toInt),
+                  y.toInt, latMin + y * latStep,
+                  x.toInt, lonMin + x * lonStep,
+                  tb.flatMap(b => tempDec.decode(b, cell)),
+                  sb.flatMap(b => salDec.decode(b, cell)))
+              }
+            }
+          }
+          .toDF("time", "depth_idx", "depth", "lat_idx", "lat",
+            "lon_idx", "lon", "water_temp", "salinity")
+
+      case (Nc4.Contiguous(tAddr, _), Nc4.Contiguous(sAddr, _)) =>
+        // plane-slab split, as in the Nc3 path
+        val planeCells = spec.nLat * spec.nLon
+        val tBytesPer = tempDs.dtype.size; val sBytesPer = salDs.dtype.size
+        val nSlabs = times.size * nD
+        spark.range(0, nSlabs, 1, math.min(partitions, nSlabs))
+          .as[Long]
+          .mapPartitions { slabIds =>
+            val raf = new java.io.RandomAccessFile(path, "r")
+            org.apache.spark.TaskContext.get().addTaskCompletionListener[Unit](
+              _ => raf.close())
+            val tBuf = new Array[Byte](planeCells * tBytesPer)
+            val sBuf = new Array[Byte](planeCells * sBytesPer)
+            slabIds.flatMap { slab =>
+              val t = (slab / nD).toInt
+              val d = (slab % nD).toInt
+              raf.seek(tAddr + slab * planeCells * tBytesPer); raf.readFully(tBuf)
+              raf.seek(sAddr + slab * planeCells * sBytesPer); raf.readFully(sBuf)
+              val tb = java.nio.ByteBuffer.wrap(tBuf)
+              val sb = java.nio.ByteBuffer.wrap(sBuf)
+              (0 until planeCells).iterator.map { c =>
+                val y = c / nLon
+                val x = c % nLon
+                (times(t), d, depths(d),
+                  y, latMin + y * latStep,
+                  x, lonMin + x * lonStep,
+                  tempDec.decode(tb, c), salDec.decode(sb, c))
+              }
+            }
+          }
+          .toDF("time", "depth_idx", "depth", "lat_idx", "lat",
+            "lon_idx", "lon", "water_temp", "salinity")
+
+      case (tl, sl) => throw new IllegalArgumentException(
+        s"$path: unsupported layout combination $tl / $sl")
+    }
+  }
+
   /** Magic-byte format sniff: NetCDF classic (`CDF\x01`/`\x02`) or
     * GRD1.
     */
@@ -226,14 +345,16 @@ object GridIngest {
     } finally in.close()
   }
 
-  /** Full ingestion job: grid file (NetCDF-3 classic or GRD1, sniffed
-    * by magic) → sentinel cleanup → canonical time-partitioned parquet
-    * grid (ready for TrackProfile).
+  /** Full ingestion job: grid file (NetCDF-3 classic, netCDF-4/HDF5,
+    * or GRD1, sniffed by magic) → sentinel cleanup → canonical
+    * time-partitioned parquet grid (ready for TrackProfile).
     */
   def ingestToParquet(spark: SparkSession, gridPath: String,
                       parquetPath: String): GridSpec = {
     val (spec, df) =
-      if (isNetcdf(gridPath)) {
+      if (Nc4.isHdf5(gridPath))
+        (Nc4.gridSpecOf(Nc4.readFile(gridPath)), ingestNc4(spark, gridPath))
+      else if (isNetcdf(gridPath)) {
         val hdr = Nc3.readHeader(gridPath)
         (Nc3.gridSpecOf(gridPath, hdr), ingestNc(spark, gridPath))
       } else
