@@ -21,6 +21,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Let AQE size post-shuffle partitions by the advisory target
+      // instead of pinning them to default parallelism — Spark's own
+      // recommendation for this knob. At sf0.1 a KB-scale shuffle
+      // coalesces to 1 task instead of 32 (pure scheduling overhead);
+      // at 100 TB the 64 MB advisory target governs either way.
+      // (A/B'd at 4 MB advisory too: no reliable gain — the dedup/LSH
+      // family's run-to-run noise at this box dwarfs the delta.)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -502,6 +502,38 @@ object Queries7 {
        |ORDER BY shard, block_id, doc_id""".stripMargin
   }
 
+  // ------------------------------- q101: sharded inverted index
+  /** Hot-term-sharded inverted index under the portable Knuth routing
+    * key: terms with df > 50 split into hash-routed posting segments
+    * (at sf0.01 every stopword-like token shards; the oracle
+    * recomputes df, shard counts, routing, and per-segment posting
+    * strings from raw SQL). The bounded-task-input property this
+    * buys at 100 TB is asserted separately in TextOpsSpec.
+    */
+  private def q101(s: SparkSession, dir: String): DataFrame =
+    TextOps.invertedIndexSharded(docsPar(s, dir), "doc_id", "text",
+        shardSize = 50L, key = knuthKey)
+      .orderBy($"tok", $"shard")
+
+  private val q101Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+       |), tf AS (
+       |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM toks WHERE tok <> '' GROUP BY 1, 2
+       |), dft AS (
+       |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
+       |    CAST(CEIL(COUNT(*) / 50.0) AS INT) AS n_shards
+       |  FROM tf GROUP BY tok
+       |)
+       |SELECT tf.tok,
+       |  CAST(${knuthKeySql("doc_id")} % n_shards AS INT) AS shard,
+       |  n_shards, df, CAST(COUNT(*) AS BIGINT) AS shard_df,
+       |  string_agg(doc_id || ':' || tf, ' ' ORDER BY doc_id) AS postings
+       |FROM tf JOIN dft USING (tok)
+       |GROUP BY 1, 2, 3, 4
+       |ORDER BY tok, shard""".stripMargin
+
   // ------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -516,7 +548,8 @@ object Queries7 {
     "q97_vec_pooling" -> (q97 _),
     "q98_quality_score" -> (q98 _),
     "q99_packed_blocks" -> (q99 _),
-    "q100_curation_pipeline" -> (q100 _)
+    "q100_curation_pipeline" -> (q100 _),
+    "q101_inverted_sharded" -> (q101 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -531,7 +564,8 @@ object Queries7 {
     "q97_vec_pooling" -> q97Sql,
     "q98_quality_score" -> q98Sql,
     "q99_packed_blocks" -> q99Sql,
-    "q100_curation_pipeline" -> q100Sql
+    "q100_curation_pipeline" -> q100Sql,
+    "q101_inverted_sharded" -> q101Sql
   )
 
   private implicit class Dollar(val sc: StringContext) {

@@ -311,6 +311,54 @@ object TextOps {
           p => concat(p.getField(idCol).cast("string"), lit(":"),
             p.getField("tf").cast("string"))), " ").as("postings"))
 
+  /** [[invertedIndex]] with HOT-TERM SHARDING (VERDICT r4 item 5):
+    * terms whose document frequency exceeds `shardSize` are split
+    * into `ceil(df / shardSize)` posting segments keyed by a
+    * deterministic hash of the doc id, so NO task ever collects a
+    * corpus-sized posting list — a stopword's postings arrive as
+    * bounded `(term, shard)` rows instead of one unbounded row.
+    * Cold terms keep `shard = 0, n_shards = 1` and their posting
+    * string is byte-identical to the unsharded build.
+    *
+    * Output: (tok, shard, n_shards, df, shard_df, postings) — `df`
+    * global, `shard_df` the segment's size (≈ df/n_shards by hash
+    * uniformity: the bounded-task-input guarantee), postings
+    * doc-sorted within the segment. Readers treat segments of a term
+    * as one logical list (the Lucene-style segmented posting layout).
+    *
+    * Scale shape: same two shuffles as [[invertedIndex]] plus ONE
+    * vocabulary-sized broadcast (df + shard counts — the same
+    * size argument as [[tfIdf]]'s vocab broadcast); the final
+    * groupBy key (tok, shard) is skew-free by construction.
+    *
+    * @param key deterministic per-doc hash for shard routing —
+    *            defaults to `xxhash64`; pass a portable key (e.g. the
+    *            Knuth multiplicative hash) when an external system
+    *            must reproduce the routing.
+    */
+  def invertedIndexSharded(docs: DataFrame, idCol: String, textCol: String,
+                           minDf: Long = 1L, shardSize: Long = 1000000L,
+                           key: Column => Column = xxhash64(_)): DataFrame = {
+    require(shardSize > 0, s"shardSize must be positive; got $shardSize")
+    val tf = tokens(docs, idCol, textCol)
+      .groupBy(col("tok"), col(idCol)).agg(count(lit(1)).as("tf"))
+    val dfTab = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .withColumn("n_shards",
+        ceil(col("df").cast("double") / shardSize).cast("int"))
+    tf.join(broadcast(dfTab), "tok")
+      .withColumn("shard", pmod(key(col(idCol)), col("n_shards")).cast("int"))
+      .groupBy(col("tok"), col("shard"))
+      .agg(first(col("n_shards")).as("n_shards"), first(col("df")).as("df"),
+        count(lit(1)).as("shard_df"),
+        array_sort(collect_list(struct(col(idCol), col("tf")))).as("__p"))
+      .select(col("tok"), col("shard"), col("n_shards"), col("df"),
+        col("shard_df"),
+        array_join(transform(col("__p"),
+          p => concat(p.getField(idCol).cast("string"), lit(":"),
+            p.getField("tf").cast("string"))), " ").as("postings"))
+  }
+
   // ------------------------------------------------ repetition stats
 
   /** Within-document repetition signals (the Gopher/MassiveText-style

@@ -163,6 +163,51 @@ class TextOpsSpec extends SparkSpec {
     assert(cut === Set("a", "b"))
   }
 
+  test("invertedIndexSharded: planted hot term — bounded segments, lossless merge, cold terms byte-identical") {
+    // 400 docs all containing the hot term "the"; every doc also has a
+    // unique cold term. shardSize = 50 forces the hot term into
+    // ceil(400/50) = 8 hash-routed segments.
+    val d = (0L until 400L).map(i => (i, s"the w$i")).toDF("doc_id", "text")
+    val sharded = TextOps.invertedIndexSharded(d, "doc_id", "text", shardSize = 50L)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getLong(4), r.getString(5)))
+    val hot = sharded.filter(_._1 == "the")
+    assert(hot.map(_._2).sorted.toSeq === (0 until 8), "8 segments, ids 0..7")
+    assert(hot.forall(_._3 === 8) && hot.forall(_._4 === 400L))
+    // bounded task input: every segment well under the unsharded 400
+    // (hash-uniform ⇒ ~50/segment; 3× headroom kills flakiness)
+    assert(hot.map(_._5).max <= 150L, s"max segment ${hot.map(_._5).max}")
+    assert(hot.map(_._5).sum === 400L)
+    // lossless: merged segments == the unsharded posting set
+    val mergedDocs = hot.flatMap(_._6.split(" ")).toSet
+    val unsharded = TextOps.invertedIndex(d, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(mergedDocs === unsharded("the").split(" ").toSet)
+    // cold terms: single segment, postings byte-identical
+    val cold = sharded.filter(_._1 != "the")
+    assert(cold.forall(c => c._3 == 1 && c._2 == 0 && c._4 == 1L))
+    cold.foreach(c => assert(c._6 === unsharded(c._1), c._1))
+  }
+
+  test("tfIdf salted fallback: salted exchange in the plan, answers identical under a planted hot key") {
+    // 10% of all (doc, tok) rows share one hot token — the stopword
+    // skew shape. broadcastVocab = false must route through
+    // Salt.saltedJoin and still match the broadcast plan's answer.
+    val d = (0L until 200L).map { i =>
+      val uniq = s"u$i v$i w$i x$i y$i z$i a$i b$i c$i"
+      (i, s"hot $uniq") // 1 of 10 tokens per doc is the hot key
+    }.toDF("doc_id", "text")
+    val viaBroadcast = TextOps.tfIdf(d, "doc_id", "text", broadcastVocab = true)
+    val viaSalt = TextOps.tfIdf(d, "doc_id", "text", broadcastVocab = false, nSalts = 8)
+    assert(viaSalt.queryExecution.executedPlan.toString.contains("__salt"),
+      "salted join key missing from the executed plan")
+    val key = Seq("doc_id", "tok")
+    assert(viaSalt.exceptAll(viaBroadcast).count() === 0)
+    assert(viaBroadcast.exceptAll(viaSalt).count() === 0)
+    assert(viaSalt.count() === 200L * 10)
+    val _ = key
+  }
+
   test("repetitionStats: exact fractions; repetition-free vs looped text") {
     val d = Seq(
       (1L, "a b c d e"),          // 3 distinct 3-grams, all unique
