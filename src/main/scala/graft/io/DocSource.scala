@@ -50,6 +50,30 @@ object DocSource {
       .json(path)
   }
 
+  /** Streaming form of [[readJsonl]]: a JSONL DIRECTORY as a
+    * Structured Streaming file source (new files picked up per
+    * micro-batch) with the same explicit-schema + PERMISSIVE
+    * quarantine policy — the shape of a continuously-landing corpus
+    * drop zone feeding [[graft.streaming.DocStreams]] gates. Same
+    * scale rules as batch: schema is declared (inference is
+    * impossible on an unbounded source anyway) and malformed lines
+    * surface in [[CorruptCol]] instead of killing the query.
+    */
+  def readJsonlStream(spark: SparkSession, path: String, schema: StructType,
+                      columns: Seq[String] = Nil,
+                      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val wanted =
+      if (columns.isEmpty) schema
+      else StructType(schema.fields.filter(f => columns.contains(f.name)))
+    val full = StructType(wanted.fields :+ StructField(CorruptCol, StringType))
+    val rd = spark.readStream
+      .schema(full)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+    maxFilesPerTrigger.foreach(n => rd.option("maxFilesPerTrigger", n.toString))
+    rd.json(path)
+  }
+
   /** JSONL writer (interchange/export). `compression` accepts none |
     * gzip | bzip2 | zstd — remember only bzip2 (slow) yields
     * SPLITTABLE compressed text; for anything re-read at scale,

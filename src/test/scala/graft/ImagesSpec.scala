@@ -112,4 +112,26 @@ class ImagesSpec extends SparkSpec {
         |FROM img_assets""".stripMargin).head
     assert(!r.isNullAt(0) && r.getInt(1) === 32)
   }
+
+  test("q84 self-oracle: exact planted-pair ground truth recovered, stable across runs") {
+    // q84 has no DuckDB oracle (image decode is not SQL-expressible),
+    // so the ground truth lives HERE: the synthetic corpus plants
+    // exactly the pairs (i, i+1000) for i in 0..19, and the query's
+    // `planted` column must mark all 20 — with the full sorted pair
+    // list (including any accidental hash-close scene pairs)
+    // IDENTICAL across two independent runs.
+    def run(): Seq[(Long, Long, Int)] =
+      SparkEntry.queries("q84_image_neardup")(spark, "unused")
+        .select("a_id", "b_id", "planted")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val first = run()
+    val second = run()
+    assert(first === second, "q84 pair list not deterministic across runs")
+    val plantedPairs = first.filter(_._3 == 1).map(p => (p._1, p._2)).toSet
+    assert(plantedPairs === (0L until 20L).map(i => (i, i + 1000L)).toSet,
+      s"planted recovery incomplete: $plantedPairs")
+    // accidental pairs are allowed (near hashes among 120 scenes) but
+    // must be few — the planted signal dominates the output
+    assert(first.count(_._3 == 0) <= 10, s"too many accidental pairs: $first")
+  }
 }
