@@ -144,8 +144,9 @@ object Nc4 {
         val so = head.get(9) & 0xFF; val sl = head.get(10) & 0xFF
         require(so == 8 && sl == 8,
           s"$path: unsupported offset/length size $so/$sl (only 8 supported)")
+        // base(8) extension(8) EOF(8) rootHeader(8) from byte 12
         val b = m.bytes(12, 32)
-        Superblock(b.getLong(20), Undef, Undef) // root object header address
+        Superblock(b.getLong(24), Undef, Undef)
       case other =>
         throw new IllegalArgumentException(s"$path: unsupported superblock version $other")
     }
@@ -217,12 +218,12 @@ object Nc4 {
     while (blocks.nonEmpty) {
       var (bAddr, bSize) = blocks.head
       blocks = blocks.tail
-      if (!first) { // continuation blocks start with "OCHK"
-        bAddr += 4; bSize -= 8 // skip signature, drop trailing checksum
-      } else {
-        bSize -= 4 // trailing checksum after chunk 0
-        first = false
-      }
+      if (!first) {
+        // continuation BLOCK length covers its "OCHK" signature and
+        // trailing checksum; chunk 0's size field covers neither
+        // (message data only), so chunk 0 needs no adjustment
+        bAddr += 4; bSize -= 8
+      } else first = false
       val bb = m.bytes(bAddr, bSize.toInt)
       var q = 0
       val msgHdr = if (creationOrder) 6 else 4

@@ -143,6 +143,94 @@ class Nc4Spec extends SparkSpec {
     assert(vals(2).isNaN)
   }
 
+  /** The `libver=latest` variant, hand-written from the spec: v2
+    * superblock (root header address direct, no symbol table), v2
+    * `OHDR` object headers (1-byte chunk size, packed messages, no
+    * 8-padding), compact new-style group (link-info + hard-link
+    * messages), dataspace v2, attribute v3. Checksums are not
+    * validated by the reader and are written as zeros.
+    */
+  private lazy val handWrittenV2: String = {
+    val p = tmp("handv2.h5")
+    val buf = ByteBuffer.allocate(272).order(ByteOrder.LITTLE_ENDIAN)
+    def undef(): Unit = buf.putLong(-1L)
+    // ---- superblock v2 @0 (48 bytes)
+    buf.put(Nc4.Signature)
+    buf.put(2.toByte).put(8.toByte).put(8.toByte).put(0.toByte)
+    buf.putLong(0L)                        // base address
+    undef()                                // superblock extension
+    buf.putLong(272L)                      // EOF
+    buf.putLong(48L)                       // root group object header
+    buf.putInt(0)                          // checksum (unvalidated)
+    // ---- root group OHDR @48: link info + one hard link, chunk0 = 38
+    assert(buf.position() == 48)
+    buf.put("OHDR".getBytes)
+    buf.put(2.toByte).put(0.toByte)        // version, flags (1-byte size)
+    buf.put(38.toByte)                     // size of chunk 0
+    //   link info v0: no creation index, dense storage undefined
+    buf.put(0x02.toByte).putShort(18).put(0.toByte)
+    buf.put(0.toByte).put(0.toByte); undef(); undef()
+    //   hard link "y" -> dataset header @104
+    buf.put(0x06.toByte).putShort(12).put(0.toByte)
+    buf.put(1.toByte).put(0.toByte)        // version, flags (1-byte name len)
+    buf.put(1.toByte).put('y'.toByte)
+    buf.putLong(104L)
+    buf.putInt(0)                          // checksum
+    assert(buf.position() == 97)
+    buf.put(new Array[Byte](7))            // free space to @104
+    // ---- dataset OHDR @104: chunk0 = 120 (16+24+22+58)
+    buf.put("OHDR".getBytes)
+    buf.put(2.toByte).put(0.toByte)
+    buf.put(120.toByte)
+    //   dataspace v2: rank 1, simple, [4]
+    buf.put(0x01.toByte).putShort(12).put(0.toByte)
+    buf.put(2.toByte).put(1.toByte).put(0.toByte).put(1.toByte)
+    buf.putLong(4L)
+    //   datatype: IEEE f64 LE (same bit fields as the v1 fixture)
+    def dtF64(): Unit = {
+      buf.put(0x11.toByte).put(0x20.toByte).put(0x3F.toByte).put(0.toByte)
+      buf.putInt(8)
+      buf.putShort(0).putShort(64)
+      buf.put(52.toByte).put(11.toByte).put(0.toByte).put(52.toByte)
+      buf.putInt(1023)
+    }
+    buf.put(0x03.toByte).putShort(20).put(0.toByte)
+    dtF64()
+    //   layout v3 contiguous @240 (v2 messages are NOT 8-padded)
+    buf.put(0x08.toByte).putShort(18).put(0.toByte)
+    buf.put(3.toByte).put(1.toByte)
+    buf.putLong(240L).putLong(32L)
+    //   attribute v3: scale_factor = 0.25 (name/dt/ds packed, no pad)
+    buf.put(0x0C.toByte).putShort(54).put(0.toByte)
+    buf.put(3.toByte).put(0.toByte)        // version, flags
+    buf.putShort(13).putShort(20).putShort(4)
+    buf.put(0.toByte)                      // name encoding: ASCII
+    buf.put("scale_factor".getBytes).put(0.toByte)
+    dtF64()
+    buf.put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte) // scalar ds v2
+    buf.putDouble(0.25)
+    buf.putInt(0)                          // checksum
+    assert(buf.position() == 235)
+    buf.put(new Array[Byte](5))            // free space to @240
+    // ---- data @240
+    Seq(4.0, 8.0, 12.0, 16.0).foreach(buf.putDouble)
+    assert(buf.position() == 272)
+    val out = new java.io.FileOutputStream(p)
+    try out.write(buf.array(), 0, buf.position())
+    finally out.close()
+    p
+  }
+
+  test("hand-written v2 superblock / OHDR / link-message file parses and reads") {
+    val f = Nc4.readFile(handWrittenV2)
+    assert(f.datasets.keySet === Set("y"))
+    val ds = f.dataset("y")
+    assert(ds.dims === Seq(4L))
+    assert(ds.numAtt("scale_factor") === Some(0.25))
+    assert(ds.layout === Nc4.Contiguous(240L, 32L))
+    assert(Nc4.readAll(handWrittenV2, ds).toSeq === Seq(1.0, 2.0, 3.0, 4.0))
+  }
+
   test("non-HDF5 files are rejected by sniff and reader") {
     val p = tmp("not.h5")
     java.nio.file.Files.write(java.nio.file.Paths.get(p), "CDFjunk".getBytes)
