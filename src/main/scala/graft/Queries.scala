@@ -25,7 +25,7 @@ import graft.fn.TimeFns
 object Queries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    Tables.tbl(s, dir, name)
 
   /** Exact decimal sum of a double column, surfaced as double. */
   private def dsum(c: Column, scale: Int = 2): Column =

@@ -19,7 +19,7 @@ import graft.ops.AsofJoin
 object Queries2 {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    Tables.tbl(s, dir, name)
 
   private val HourNs = 3600000000000L
 

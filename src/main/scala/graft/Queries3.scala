@@ -14,7 +14,7 @@ import graft.ext.{Dedup, SimJoin}
 object Queries3 {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    Tables.tbl(s, dir, name)
 
   /** The testdata tables are single small parquet files → ONE input
     * split, which serializes every downstream narrow stage onto one

@@ -13,7 +13,7 @@ import graft.ext.{SimJoin, TextOps}
 object Queries4 {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    Tables.tbl(s, dir, name)
 
   /** Text profile over the corpus: token counts, quality signals,
     * stopword-frequency language id — via the NARROW `text_profile`

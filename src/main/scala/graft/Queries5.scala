@@ -19,7 +19,7 @@ import graft.ops.BloomJoin
 object Queries5 {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    Tables.tbl(s, dir, name)
 
   // ------------------------------------------------- q81: heavy hitters
   /** Top-3 brands per part type via [[graft.fn.SpaceSavingTopK]]

@@ -15,7 +15,7 @@ import graft.ext.{Corpus, TextOps}
 object Queries6 {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    Tables.tbl(s, dir, name)
 
   /** Single-file testdata → one input split; spread once for the
     * hash-heavy pipeline stages (same note as Queries3.docsPar).

@@ -15,7 +15,7 @@ import graft.ext.{Corpus, SimJoin, TextOps}
 object Queries7 {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    Tables.tbl(s, dir, name)
 
   /** Single-file testdata → one input split; spread once for the
     * hash-heavy stages (same note as Queries3.docsPar).

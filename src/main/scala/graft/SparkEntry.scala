@@ -9,7 +9,7 @@ import graft.pipeline.TrackProfile
 object SparkEntry {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    Tables.tbl(spark, dir, name)
 
   /** Flagship query (SURVEY.md §3.1): the Hermine track-profile pipeline
     * over a deterministic synthetic grid (coarse axes for smoke speed).

@@ -293,6 +293,37 @@ object Dedup {
     val sets = sh.join(candDocs, Seq(idCol), "left_semi")
       .groupBy(col(idCol))
       .agg(collect_set(col("shingle")).as("__set"))
+    verifyPairs(cands, sets, idCol, minJaccard)
+  }
+
+  /** [[jaccardVerify]] with the prune applied at the DOCUMENT level
+    * BEFORE shingling: the corpus is semi-joined down to candidate
+    * docs first (the candidate id set is small by the `maxBucket`
+    * invariant, so AQE broadcasts it and the corpus scan stays
+    * narrow), and only the surviving docs are exploded into shingles.
+    * The shingle-stream form above explodes EVERY doc's shingles and
+    * prunes the exploded rows — corpus-sized generator work that this
+    * form never does. Measured at sf0.1: the verify branch drops from
+    * ~0.9 s to the candidate-proportional cost; at 100 TB the explode
+    * volume is (candidate docs)/(corpus docs) of the stream form's.
+    */
+  def jaccardVerifyDocs(cands: DataFrame, docs: DataFrame, idCol: String,
+                        textCol: String, n: Int,
+                        minJaccard: Double): DataFrame = {
+    val candDocs = cands.select(col("a_id").as(idCol))
+      .union(cands.select(col("b_id").as(idCol)))
+    val sets = shingleStream(docs.join(candDocs, Seq(idCol), "left_semi"),
+        idCol, textCol, n)
+      .groupBy(col(idCol))
+      .agg(collect_set(col("shingle")).as("__set"))
+    verifyPairs(cands, sets, idCol, minJaccard)
+  }
+
+  /** Common tail of the verify forms: join each pair to its two
+    * shingle sets and compute exact set Jaccard in codegen.
+    */
+  private def verifyPairs(cands: DataFrame, sets: DataFrame, idCol: String,
+                          minJaccard: Double): DataFrame =
     cands
       .join(sets.select(col(idCol).as("a_id"), col("__set").as("__sa")), "a_id")
       .join(sets.select(col(idCol).as("b_id"), col("__set").as("__sb")), "b_id")
@@ -303,7 +334,6 @@ object Dedup {
         (col("__inter").cast("double") /
           (col("__za") + col("__zb") - col("__inter"))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
-  }
 
   /** The full near-dup pipeline: docs → verified near-dup pairs
     * (a_id, b_id, jaccard), a_id < b_id.
@@ -318,9 +348,9 @@ object Dedup {
                    hasher: Hasher = XxHasher,
                    maxBucket: Int = 10000,
                    persistIntermediates: Boolean = false): DataFrame = {
-    // Both consumers read the shuffle-FREE non-distinct shingle
+    // Every shingle consumer reads the shuffle-FREE non-distinct
     // stream: `min` is idempotent over duplicates (signatures), and
-    // jaccardVerify's collect_set applies set semantics itself — no
+    // the verify collect_set applies set semantics itself — no
     // distinct shuffle anywhere in the pipeline.
     //
     // The candidate-pair table fans out into THREE verify branches
@@ -342,16 +372,19 @@ object Dedup {
       if (persistIntermediates)
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else df
-    val stream = maybePersist(shingleStream(docs, idCol, textCol, n))
     // production hasher → the per-row kernel (no explode, no groupBy
     // on the signature branch); pluggable hashers (md5 oracle parity)
-    // → the aggregate form
+    // → the aggregate form over the shuffle-free shingle stream
     val sigs =
       if (hasher eq XxHasher) minhashSigPerRow(docs, idCol, textCol, n, k)
-      else minhashSignatures(stream, idCol, k, hasher)
+      else minhashSignatures(
+        maybePersist(shingleStream(docs, idCol, textCol, n)), idCol, k, hasher)
     val bands = lshBands(sigs, idCol, k, b, hasher)
     val cands = persistBounded(candidatePairs(bands, idCol, maxBucket))
-    jaccardVerify(cands, stream, idCol, minJaccard)
+    // verify prunes at the DOC level before shingling: only candidate
+    // docs are exploded, so the verify branch's generator volume
+    // scales with the candidate set, not the corpus
+    jaccardVerifyDocs(cands, docs, idCol, textCol, n, minJaccard)
   }
 
   /** Greedy near-dup removal: drop every doc that has a verified
@@ -394,10 +427,15 @@ object Dedup {
     // (executor-local storage, the accepted local/dev form). The
     // checkpointed table is |pairs|-sized — the CC working set, small
     // relative to the corpus by the near-dup premise.
-    val p =
-      if (pairs.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        pairs.checkpoint()
-      else pairs.localCheckpoint()
+    // Materialize through a PERSIST first (AQE-preserving — a direct
+    // checkpoint executes the upstream pipeline via `toRdd`, which
+    // BYPASSES AQE: the expensive verify pipeline feeding this loop
+    // would lose its broadcast-join conversion and coalescing, the
+    // same measured trade persistBounded documents). The sizing count
+    // rides the persist; the checkpoint for the loop branch then just
+    // copies cached blocks instead of re-executing the pipeline.
+    val cached = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nPairs = cached.count()
     // Adaptive small-graph fast path: when the (already materialized,
     // so the count is one cheap job) edge set fits comfortably on the
     // driver, run union-find locally instead of a multi-job
@@ -407,8 +445,19 @@ object Dedup {
     // billion-edge graph skips the branch and takes the distributed
     // loop. 2^20 edges ≈ tens of MB collected — well inside driver
     // headroom, same order as the broadcast threshold.
-    if (smallGraphMax > 0 && p.count() <= smallGraphMax)
-      return driverUnionFind(p)
+    if (smallGraphMax > 0 && nPairs <= smallGraphMax) {
+      try return driverUnionFind(cached)
+      finally cached.unpersist(blocking = false)
+    }
+    // loop branch: truncate lineage at the iteration boundary (plain
+    // persist is NOT enough — each iteration's plan embeds the full
+    // lineage and cache substitution misses re-run it; see doc above)
+    val p =
+      try {
+        if (pairs.sparkSession.sparkContext.getCheckpointDir.isDefined)
+          cached.checkpoint()
+        else cached.localCheckpoint()
+      } finally cached.unpersist(blocking = false)
     val edges = p.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(p.select(col("b_id").as("src"), col("a_id").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
