@@ -41,6 +41,10 @@ object Bench {
       "q50_events_tumbling",   // events (nanos) + shuffle agg
       "q60_text_stats",        // documents + explode
       "q71_embed_norms",       // embeddings + HOF codegen
+      "q65_minhash_sig",       // md5/ParityHasher kernel JIT (the
+                               // dedup family's hash loop reaches
+                               // C2-compiled steady state here, not
+                               // inside a timed rep)
       "q72_json_extract")      // Jackson/json-path init (BENCH_r03: q72
                                // charged ~4 s of one-time JSON class
                                // loading + codegen; warm runs are 0.6 s)

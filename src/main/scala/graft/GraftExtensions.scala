@@ -122,6 +122,13 @@ object GraftExtensions {
         graft.fn.MinhashSig(children(0), litInt(children(1), "n"), litInt(children(2), "k"))
       }),
     (
+      new FunctionIdentifier("term_counts"),
+      new ExpressionInfo(classOf[graft.fn.TermCounts].getName, "term_counts"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, s"term_counts expects (text); got ${children.size} args")
+        graft.fn.TermCounts(children(0))
+      }),
+    (
       new FunctionIdentifier("vincenty_km"),
       new ExpressionInfo(classOf[VincentyKm].getName, "vincenty_km"),
       (children: Seq[Expression]) => {

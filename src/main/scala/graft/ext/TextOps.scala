@@ -26,6 +26,23 @@ object TextOps {
     docs.select(col(idCol),
       explode(array_remove(split(col(textCol), " "), "")).as("tok"))
 
+  /** The (idCol, tok, tf) term-frequency table computed with NO
+    * corpus shuffle: the [[graft.fn.TermCounts]] kernel builds each
+    * document's `map<tok, count>` inside the scan's codegen span and
+    * the map explodes directly — bit-identical rows to
+    * `tokens(…).groupBy(idCol, tok).count()` (TextOpsSpec asserts),
+    * minus that form's full exchange of the exploded token stream.
+    * Every tf consumer (TF-IDF, inverted index) starts here, so their
+    * only corpus-keyed exchange is the vocabulary aggregate itself.
+    */
+  def termFrequencies(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    docs
+      .select(col(idCol),
+        explode(gb.column(graft.fn.TermCounts(gb.expression(col(textCol)))))
+          .as(Seq("tok", "tf")))
+  }
+
   /** Per-document text profile in ONE aggregation pass:
     *
     *  - `n_tokens`, `n_distinct`, `mean_tok_len` — token counting
@@ -131,29 +148,35 @@ object TextOps {
     * bias sampling toward topical docs. Returns (idCol, score) for
     * docs matching at least one query token.
     *
-    * Scale shape — the query is a LITERAL token list, so the whole
-    * retrieval needs exactly ONE corpus-keyed shuffle: the token
-    * explode feeds a single groupBy(doc) whose aggregate carries the
-    * doc length AND one conditional-sum tf column per query token
-    * (map-side combine on all of them). Corpus statistics (N, avgdl,
-    * per-token df) then collapse to a 1-row aggregate of that per-doc
-    * frame, broadcast back, and the score is a fixed-length narrow
-    * expression. The round-3 form paid three shuffles and two joins
-    * ((doc,tok) tf → per-token df → join back through doc) for the
-    * same answer; this is the difference between "index build" and
-    * "score a known query" — the inverted-index operator
-    * ([[invertedIndex]]) still serves the former.
+    * Scale shape — the query is a LITERAL token list, so retrieval
+    * needs NO corpus-keyed shuffle at all: the [[graft.fn.TermCounts]]
+    * kernel builds each doc's tf map inside the scan span and the
+    * per-token tf columns are O(1) map probes on it (whole-stage
+    * codegen's subexpression elimination evaluates the kernel once
+    * per row). Corpus statistics (N, avgdl, per-token df) collapse to
+    * a 1-row aggregate of that narrow frame, broadcast back, and the
+    * score is a fixed-length narrow expression. The round-3 form paid
+    * three shuffles and two joins; the round-4 form one groupBy(doc)
+    * shuffle of the exploded token stream; this form moves zero corpus
+    * bytes — "score a known query" is embarrassingly parallel, and the
+    * inverted-index operator ([[invertedIndex]]) still serves the
+    * index-build case.
     */
   def bm25(docs: DataFrame, idCol: String, textCol: String,
            query: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(query.nonEmpty, "bm25 needs at least one query token")
+    import org.apache.spark.sql.{graftbridge => gb}
     val qs = query.distinct
-    val toks = tokens(docs, idCol, textCol)
-    val perDoc = toks.groupBy(col(idCol)).agg(
-      count(lit(1)).as("__dl"),
-      qs.zipWithIndex.map { case (q, i) =>
-        sum(when(col("tok") === q, 1L).otherwise(0L)).as(s"__tf_$i")
-      }: _*)
+    val tc = gb.column(graft.fn.TermCounts(gb.expression(col(textCol))))
+    val perDoc = docs.select(
+      (col(idCol) +:
+        size(array_remove(split(col(textCol), " "), "")).as("__dl") +:
+        qs.zipWithIndex.map { case (q, i) =>
+          coalesce(element_at(tc, lit(q)), lit(0L)).as(s"__tf_$i")
+        }): _*)
+      // token-less/null docs emit no row in the aggregate form — keep
+      // N and avgdl identical
+      .filter(col("__dl") > 0)
     val global = perDoc.agg(
       count(lit(1)).as("__n"),
       (avg(col("__dl")).as("__avgdl") +:
@@ -197,8 +220,7 @@ object TextOps {
     */
   def tfIdf(docs: DataFrame, idCol: String, textCol: String,
             broadcastVocab: Boolean = true, nSalts: Int = 8): DataFrame = {
-    val tf = tokens(docs, idCol, textCol)
-      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val tf = termFrequencies(docs, idCol, textCol)
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("__n"))
     val joined =
@@ -300,8 +322,7 @@ object TextOps {
     */
   def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
                     minDf: Long = 1L): DataFrame =
-    tokens(docs, idCol, textCol)
-      .groupBy(col("tok"), col(idCol)).agg(count(lit(1)).as("tf"))
+    termFrequencies(docs, idCol, textCol)
       .groupBy(col("tok"))
       .agg(count(lit(1)).as("df"),
         array_sort(collect_list(struct(col(idCol), col("tf")))).as("__p"))
@@ -340,8 +361,7 @@ object TextOps {
                            minDf: Long = 1L, shardSize: Long = 1000000L,
                            key: Column => Column = xxhash64(_)): DataFrame = {
     require(shardSize > 0, s"shardSize must be positive; got $shardSize")
-    val tf = tokens(docs, idCol, textCol)
-      .groupBy(col("tok"), col(idCol)).agg(count(lit(1)).as("tf"))
+    val tf = termFrequencies(docs, idCol, textCol)
     val dfTab = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
       .withColumn("n_shards",

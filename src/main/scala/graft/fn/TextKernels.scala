@@ -203,4 +203,44 @@ object TextKernels {
       Array[Any](nTok, distinct.size.toLong, meanTokLen, stopRatio,
         alphaRatio, punctRatio, lang, quality))
   }
+
+  /** Per-ROW term-frequency map — `map<tok, count>` over single-space
+    * tokens (exactly `split(text, ' ')` + empty-token drop, the
+    * engine-wide tokenization). Key order is FIRST-OCCURRENCE order
+    * (deterministic per text). Computing tf inside the row is what
+    * lets the tf table be built with NO corpus shuffle at all: the
+    * former `explode → groupBy(doc, tok)` form hash-partitioned the
+    * entire exploded token stream just to count within rows it
+    * already had together. Per-row state is bounded by the document
+    * itself (≤ distinct tokens of one doc).
+    */
+  def termCounts(s: UTF8String): org.apache.spark.sql.catalyst.util.MapData = {
+    val str = s.toString
+    val len = str.length
+    val m = new java.util.LinkedHashMap[String, Array[Long]]
+    var i = 0
+    while (i < len) {
+      while (i < len && str.charAt(i) == ' ') i += 1
+      val start = i
+      while (i < len && str.charAt(i) != ' ') i += 1
+      if (i > start) {
+        val tok = str.substring(start, i)
+        val c = m.get(tok)
+        if (c == null) m.put(tok, Array(1L)) else c(0) += 1L
+      }
+    }
+    val n = m.size
+    val keys = new Array[Any](n)
+    val vals = new Array[Any](n)
+    var j = 0
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      keys(j) = UTF8String.fromString(e.getKey)
+      vals(j) = e.getValue()(0)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new GenericArrayData(keys), new GenericArrayData(vals))
+  }
 }

@@ -208,6 +208,50 @@ class TextOpsSpec extends SparkSpec {
     val _ = key
   }
 
+  test("termFrequencies: row-identical to the explode+groupBy form, shuffle-free") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+      .unionByName(Seq(
+        (9000001L, "a  b   a b a"),    // multi-space runs, duplicate toks
+        (9000002L, ""),                // no tokens -> no rows
+        (9000003L, "   "),             // only spaces -> no rows
+        (9000004L, "solo")).toDF("doc_id", "text"))
+      .unionByName(Seq((9000005L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"))       // null text -> no rows
+    val viaGroupBy = TextOps.tokens(d, "doc_id", "text")
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+      .orderBy($"doc_id", $"tok").collect().toSeq
+    val viaKernel = TextOps.termFrequencies(d, "doc_id", "text")
+      .select($"doc_id", $"tok", $"tf")
+      .orderBy($"doc_id", $"tok").collect().toSeq
+    assert(viaGroupBy.nonEmpty)
+    assert(viaKernel === viaGroupBy)
+    // narrow: no exchange anywhere in the tf table build
+    val plan = TextOps.termFrequencies(d, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("bm25 narrow form: no corpus shuffle before the 1-row global aggregate") {
+    val d = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "a dog and a cat"),
+      (3L, ""),                        // token-less: excluded from N/avgdl
+      (4L, "dog dog dog")).toDF("doc_id", "text")
+    val scored = TextOps.bm25(d, "doc_id", "text", Seq("cat", "dog"))
+    // exactly the matching docs, scores positive
+    val got = scored.as[(Long, Double)].collect().toMap
+    assert(got.keySet === Set(1L, 2L, 4L))
+    assert(got.values.forall(_ > 0.0))
+    // doc 2 matches BOTH query tokens; doc 1 only "cat" (and is longer)
+    assert(got(2L) > got(1L))
+    // plan: the only exchanges feed the 1-row global aggregate and its
+    // broadcast back — nothing hash-partitions corpus rows by a key
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning(doc_id"), plan)
+    assert(!plan.contains("hashpartitioning(tok"), plan)
+  }
+
   test("repetitionStats: exact fractions; repetition-free vs looped text") {
     val d = Seq(
       (1L, "a b c d e"),          // 3 distinct 3-grams, all unique
