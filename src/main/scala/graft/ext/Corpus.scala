@@ -28,28 +28,36 @@ object Corpus {
     * their ratio.
     *
     * Scale shape: benchmarks are KBs-to-MBs while the corpus is TBs,
-    * so the benchmark shingle set is aggregated small and BROADCAST —
-    * the corpus-side shingle stream LEFT-joins it map-side (no shuffle
-    * of corpus bytes, no rows dropped), then ONE groupBy(doc) counts
-    * both the doc's shingles and the benchmark hits in the same
-    * aggregation. The corpus is scanned, shingled, and shuffled
-    * exactly ONCE — an inner-join-then-rejoin formulation would fan
-    * the shingle stream into two independent branches and pay the
-    * full corpus explode twice.
+    * so the benchmark shingle set is aggregated small and BROADCAST,
+    * and the corpus side moves NO corpus-keyed bytes at all: each
+    * doc's distinct-shingle ARRAY (and its size — the denominator) is
+    * computed inside the scan's codegen span, exploded, and
+    * INNER-joined against the broadcast set map-side, so only
+    * benchmark-HIT shingle rows survive to the one groupBy(doc) —
+    * the exchange carries the contamination hits (≈ benchmark-sized),
+    * not the corpus. Docs with zero overlap never reach the
+    * aggregation (the report excludes them by definition). The corpus
+    * is scanned exactly once; the former formulation shuffled the
+    * full shingle stream twice (a corpus-wide `distinct`, then the
+    * groupBy over ALL docs).
     */
   def contaminationReport(docs: DataFrame, idCol: String, textCol: String,
                           bench: DataFrame, benchTextCol: String,
                           n: Int = 8): DataFrame = {
-    val docSh = Dedup.shingles(docs, idCol, textCol, n)
+    import org.apache.spark.sql.{graftbridge => gb}
+    val distinctSh = array_distinct(
+      gb.column(graft.fn.WordShingles(gb.expression(col(textCol)), n)))
     val benchSh = Dedup.shingles(
         bench.select(lit(0L).as("__bid"), col(benchTextCol)),
         "__bid", benchTextCol, n)
       .select(col("shingle")).distinct()
-      .withColumn("__hit", lit(1L))
-    docSh.join(broadcast(benchSh), Seq("shingle"), "left")
+    docs
+      .select(col(idCol), size(distinctSh).as("doc_shingles"),
+        explode(distinctSh).as("shingle"))
+      .join(broadcast(benchSh), Seq("shingle"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("doc_shingles"), count(col("__hit")).as("overlap"))
-      .filter(col("overlap") > 0)
+      .agg(first(col("doc_shingles")).as("doc_shingles"),
+        count(lit(1)).as("overlap"))
       .select(col(idCol), col("overlap"), col("doc_shingles"),
         (col("overlap").cast("double") / col("doc_shingles")).as("overlap_frac"))
   }
