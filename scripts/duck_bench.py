@@ -17,6 +17,7 @@ for f in glob.glob(f"{sfdir}/*.parquet"):
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{f}'")
 times = {}
 timeouts = []
+ooms = []
 for name, sql in sorted(sqls.items()):
     runs = []
     hit_budget = False
@@ -28,6 +29,11 @@ for name, sql in sorted(sqls.items()):
             con.execute(sql).fetchall()
         except duckdb.InterruptException:
             hit_budget = True
+        except duckdb.OutOfMemoryException:
+            # a query that exhausts memory at this SF is itself a scale
+            # finding — record the censored time, flag it, keep going
+            hit_budget = True
+            ooms.append(name)
         finally:
             if timer: timer.cancel()
         runs.append(time.time() - t0)
@@ -41,4 +47,6 @@ out = {"sf": sfdir, "total": round(total, 2),
        "queries": {k: round(v, 3) for k, v in times.items()}}
 if timeouts:
     out["timeouts"] = sorted(timeouts)
+if ooms:
+    out["oom"] = sorted(ooms)
 print(json.dumps(out))
