@@ -329,20 +329,24 @@ object Queries2 {
       |ORDER BY a_id""".stripMargin
 
   /** MinHash signatures with exact cross-engine parity: ONE md5 per
-    * distinct token (its first 15 hex digits as a 60-bit int, reduced
-    * mod 2^31-1), then K=8 affine permutations (A_i·h+B_i mod P) —
-    * the classic k-permutations-of-one-hash construction. Computed via
-    * graft.ext.Dedup.minhashSignatures (k min-aggregate columns in ONE
-    * pass — no k× row explosion and no k× content hashing; the round-1
-    * explode + per-k-md5 formulation was the bench's slowest query),
-    * then unpacked to (doc_id, k, minhash) rows for the oracle shape.
+    * token occurrence (its first 15 hex digits as a 60-bit int,
+    * reduced mod 2^31-1), then K=8 affine permutations (A_i·h+B_i mod
+    * P) — the classic k-permutations-of-one-hash construction.
+    * Computed by the per-row [[graft.fn.ParityMinhashSig]] kernel
+    * inside the scan's codegen span — NO explode, NO groupBy, NO
+    * shuffle on the signature branch (`min` is idempotent over the
+    * non-distinct token stream, so skipping the distinct changes
+    * nothing; DedupSpec asserts bit-parity with the aggregate form).
+    * The round-1 explode + per-k-md5 formulation was the bench's
+    * slowest query; the round-4 aggregate form still paid the
+    * exploded-stream groupBy this kernel deletes. Unpacked to
+    * (doc_id, k, minhash) rows for the oracle shape.
     * graft.ext.Dedup.XxHasher is the string-free production variant.
     */
   private def q65(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism) // single-file scan -> parallelize
-    val toks = graft.ext.Dedup.shingles(docs, "doc_id", "text", n = 1)
-    graft.ext.Dedup.minhashSignatures(toks, "doc_id", k = 8, graft.ext.Dedup.ParityHasher)
+    graft.ext.Dedup.minhashSigPerRowParity(docs, "doc_id", "text", n = 1, k = 8)
       .select($"doc_id", posexplode($"sig").as(Seq("k", "minhash")))
       .orderBy($"doc_id", $"k")
   }

@@ -82,8 +82,9 @@ object Queries3 {
     * (doc, band). This is the structure the candidate join groups on.
     */
   private def q66(s: SparkSession, dir: String): DataFrame = {
-    val sh = Dedup.shingles(docsPar(s, dir), "doc_id", "text", N)
-    val sigs = Dedup.minhashSignatures(sh, "doc_id", K, Dedup.ParityHasher)
+    // per-row parity kernel: the whole bands build is explode-of-
+    // signature only — no shingle explode, no signature groupBy
+    val sigs = Dedup.minhashSigPerRowParity(docsPar(s, dir), "doc_id", "text", N, K)
     Dedup.lshBands(sigs, "doc_id", K, B, Dedup.ParityHasher)
       .orderBy($"doc_id", $"band")
   }

@@ -207,6 +207,23 @@ object Dedup {
       .filter(col("sig").isNotNull)
   }
 
+  /** [[minhashSigPerRow]] under [[ParityHasher]] — the shuffle-free
+    * per-row form of the ORACLE-parity signature branch, bit-identical
+    * to `minhashSignatures(shingleStream(…), k, ParityHasher)`
+    * (DedupSpec asserts). The affine coefficients are baked into the
+    * expression instance.
+    */
+  def minhashSigPerRowParity(docs: DataFrame, idCol: String, textCol: String,
+                             n: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    val a = (0 until k).map(ParityHasher.A)
+    val b = (0 until k).map(ParityHasher.B)
+    docs.select(col(idCol),
+        gb.column(graft.fn.ParityMinhashSig(
+          gb.expression(col(textCol)), n, k, a, b)).as("sig"))
+      .filter(col("sig").isNotNull)
+  }
+
   /** LSH banding: split the k-element signature into `b` bands of
     * r = k/b rows each; a band's bucket key hashes its r elements.
     * Output (idCol, band, band_hash) — b small rows per doc (explode
@@ -372,11 +389,13 @@ object Dedup {
       if (persistIntermediates)
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else df
-    // production hasher → the per-row kernel (no explode, no groupBy
-    // on the signature branch); pluggable hashers (md5 oracle parity)
-    // → the aggregate form over the shuffle-free shingle stream
+    // both shipped hashers have a per-row kernel (no explode, no
+    // groupBy on the signature branch); other custom hashers take the
+    // aggregate form over the shuffle-free shingle stream
     val sigs =
       if (hasher eq XxHasher) minhashSigPerRow(docs, idCol, textCol, n, k)
+      else if (hasher eq ParityHasher)
+        minhashSigPerRowParity(docs, idCol, textCol, n, k)
       else minhashSignatures(
         maybePersist(shingleStream(docs, idCol, textCol, n)), idCol, k, hasher)
     val bands = lshBands(sigs, idCol, k, b, hasher)

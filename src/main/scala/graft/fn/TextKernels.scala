@@ -243,4 +243,77 @@ object TextKernels {
     new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
       new GenericArrayData(keys), new GenericArrayData(vals))
   }
+
+  private val md5Local =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  /** Per-ROW k-wide MinHash signature under the CROSS-ENGINE PARITY
+    * hash ([[graft.ext.Dedup.ParityHasher]]): content hash = first 15
+    * hex digits of md5(shingle) parsed base-16, reduced mod
+    * P = 2³¹−1; derived hash i = (A_i·h + B_i) mod P. Bit-identical
+    * to `Dedup.minhashSignatures(shingleStream(…), ParityHasher)`
+    * (DedupSpec asserts) — the shuffle-free form of the oracle-parity
+    * pipeline, mirroring what [[minhashSig]] is for the xxhash64
+    * production path. `a` and `b` are the affine coefficient arrays
+    * (length k), precomputed by the caller.
+    */
+  def parityMinhashSig(s: UTF8String, n: Int,
+                       a: Array[Long], b: Array[Long]): ArrayData = {
+    val P = 2147483647L
+    val k = a.length
+    val str = s.toString
+    val len = str.length
+    val toks = new java.util.ArrayList[String]
+    var i = 0
+    while (i < len) {
+      while (i < len && str.charAt(i) == ' ') i += 1
+      val start = i
+      while (i < len && str.charAt(i) != ' ') i += 1
+      if (i > start) toks.add(str.substring(start, i))
+    }
+    val m = toks.size - n + 1
+    if (m <= 0) return null
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val md = md5Local.get()
+    val sb = new java.lang.StringBuilder
+    var j = 0
+    while (j < m) {
+      sb.setLength(0)
+      var t = 0
+      while (t < n) {
+        if (t > 0) sb.append(' ')
+        sb.append(toks.get(j + t))
+        t += 1
+      }
+      md.reset()
+      val digest = md.digest(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 15 hex digits = the top 7.5 bytes of the digest; parse
+      // base-16 exactly as conv(substring(md5(x),1,15),16,10) does
+      val hexChars = new Array[Char](15)
+      var hc = 0
+      var bi = 0
+      while (hc < 15) {
+        val v = digest(bi) & 0xff
+        hexChars(hc) = HexDigits(v >>> 4); hc += 1
+        if (hc < 15) { hexChars(hc) = HexDigits(v & 0xf); hc += 1 }
+        bi += 1
+      }
+      val prepared = java.lang.Long.parseLong(new String(hexChars), 16) % P
+      var h = 0
+      while (h < k) {
+        val v = (a(h) * prepared + b(h)) % P
+        if (v < mins(h)) mins(h) = v
+        h += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
 }

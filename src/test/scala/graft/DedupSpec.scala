@@ -73,6 +73,24 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("parity per-row kernel is bit-identical to the md5 aggregate form") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text").unionByName(docs)
+    for ((n, k) <- Seq((1, 8), (3, 8), (3, 16))) {
+      val agg = Dedup.minhashSignatures(
+          Dedup.shingleStream(real, "doc_id", "text", n), "doc_id", k,
+          Dedup.ParityHasher)
+        .orderBy($"doc_id").collect().toSeq
+      val perRow = Dedup.minhashSigPerRowParity(real, "doc_id", "text", n, k)
+        .orderBy($"doc_id").collect().toSeq
+      assert(perRow === agg, s"parity kernel diverges at n=$n k=$k")
+    }
+    // shuffle-free: no exchange in the per-row signature plan
+    val plan = Dedup.minhashSigPerRowParity(docs, "doc_id", "text", 3, 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("lsh banding: identical signatures share all buckets, disjoint share none") {
     val sh = Dedup.shingles(docs, "doc_id", "text", 3)
     val sigs = Dedup.minhashSignatures(sh, "doc_id", k = 16)
