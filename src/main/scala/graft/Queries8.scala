@@ -1,0 +1,232 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, LangModel, Sketches, SimJoin}
+
+/** Oracle corpus, batch 8: model-based and sketch-based curation —
+  * unigram-LM perplexity scoring (q102, the CCNet-style quality
+  * signal), SemDeDup-style semantic dedup over embedding clusters
+  * (q103), winnowing document fingerprints (q104, the MOSS
+  * algorithm), and the bounded-state KMV distinct sketch (q105).
+  * Same contract as batches 3-7: the Spark side runs the library
+  * operator, the DuckDB oracle recomputes the answer from first
+  * principles over the same parquet, equality IS the correctness
+  * claim. Portability conventions: md5-derived 60-bit hashes
+  * ([[graft.ext.Sketches.orderHash]]), doubles rounded at the edge,
+  * explicit ORDER BY.
+  */
+object Queries8 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.tbl(s, dir, name)
+
+  /** Single-file testdata → one input split; spread once for the
+    * hash-heavy stages (same note as Queries3.docsPar).
+    */
+  private def docsPar(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+
+  // ------------------------------------ q102: unigram LM perplexity
+  /** Per-doc add-1 unigram LM perplexity under the corpus's own
+    * statistics ([[graft.ext.LangModel]]): training is one
+    * vocabulary-sized shuffle, scoring the narrow broadcast kernel.
+    * The oracle recomputes counts, totals, and Σ −ln p from raw SQL.
+    * avg_nll rounded to 6; ppl = exp(avg_nll) rounded to 4 (absolute
+    * rounding granularity stays ≫ the engines' summation-order ulp
+    * noise at ppl magnitudes here).
+    */
+  private def q102(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsPar(s, dir)
+    LangModel.scoreNll(docs, "doc_id", "text",
+        LangModel.unigramCounts(docs, "text"), alpha = 1.0)
+      .filter($"doc_id" < 300)
+      .select($"doc_id", $"n_toks",
+        round($"avg_nll", 6).as("avg_nll"), round($"ppl", 4).as("ppl"))
+      .orderBy($"doc_id")
+  }
+
+  private val q102Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, tok FROM (
+      |    SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+      |  WHERE tok <> ''
+      |), counts AS (
+      |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok
+      |), tot AS (
+      |  SELECT CAST(SUM(cnt) AS DOUBLE) AS t, CAST(COUNT(*) AS DOUBLE) AS v
+      |  FROM counts
+      |), nll AS (
+      |  SELECT toks.doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+      |    SUM(-LN((counts.cnt + 1.0) / (tot.t + tot.v))) / COUNT(*) AS avg_nll
+      |  FROM toks JOIN counts USING (tok) CROSS JOIN tot
+      |  WHERE toks.doc_id < 300
+      |  GROUP BY toks.doc_id
+      |)
+      |SELECT doc_id, n_toks, ROUND(avg_nll, 6) AS avg_nll,
+      |  ROUND(EXP(avg_nll), 4) AS ppl
+      |FROM nll ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------- q103: semantic dedup pairs
+  /** SemDeDup over a bounded id slice: 16 deterministic seed
+    * centroids (smallest md5 order-hash ids), nearest-cosine
+    * assignment (ties → lowest cluster), exact cosine pairs ≥ 0.35
+    * within clusters only. The oracle replays seeds, assignment, and
+    * the within-cluster pair scan in SQL — same 60-bit md5 ordering,
+    * same left-to-right dot folds, same tie rules. The id slice
+    * bounds the oracle's quadratic pair stage (the library operator
+    * itself is corpus-wide — see SimJoinSpec).
+    */
+  private val SemSeeds = 16
+  private val SemTau = 0.35
+
+  private def q103(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .filter($"vec_id" < 4000)
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+    val seeds = SimJoin.seedCentroids(emb, "vec_id", "v", SemSeeds)
+    SimJoin.semanticDedupPairs(emb, "vec_id", "v", seeds, SemTau)
+      .select($"cluster", $"a_id", $"b_id", round($"cos", 6).as("cos"))
+      .orderBy($"cluster", $"a_id", $"b_id")
+  }
+
+  private val q103Sql =
+    s"""WITH e AS (
+       |  SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings WHERE vec_id < 4000
+       |), seeds AS (
+       |  SELECT v,
+       |    ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cluster
+       |  FROM (
+       |    SELECT vec_id, v,
+       |      CAST(CONCAT('0x', SUBSTR(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       |    FROM e ORDER BY h, vec_id LIMIT $SemSeeds)
+       |), scored AS (
+       |  SELECT e.vec_id, s.cluster,
+       |    CASE WHEN LIST_DOT_PRODUCT(e.v, e.v) = 0 OR LIST_DOT_PRODUCT(s.v, s.v) = 0
+       |      THEN -2.0
+       |      ELSE LIST_DOT_PRODUCT(e.v, s.v) /
+       |        (SQRT(LIST_DOT_PRODUCT(e.v, e.v)) * SQRT(LIST_DOT_PRODUCT(s.v, s.v)))
+       |    END AS cos
+       |  FROM e CROSS JOIN seeds s
+       |), assign AS (
+       |  SELECT vec_id, cluster FROM (
+       |    SELECT vec_id, cluster,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster) AS rk
+       |    FROM scored)
+       |  WHERE rk = 1
+       |), pairs AS (
+       |  SELECT a.cluster, a.vec_id AS a_id, b.vec_id AS b_id,
+       |    LIST_DOT_PRODUCT(ea.v, eb.v) /
+       |      (SQRT(LIST_DOT_PRODUCT(ea.v, ea.v)) * SQRT(LIST_DOT_PRODUCT(eb.v, eb.v))) AS cos
+       |  FROM assign a
+       |  JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  JOIN e ea ON ea.vec_id = a.vec_id
+       |  JOIN e eb ON eb.vec_id = b.vec_id
+       |  WHERE LIST_DOT_PRODUCT(ea.v, ea.v) > 0 AND LIST_DOT_PRODUCT(eb.v, eb.v) > 0
+       |)
+       |SELECT cluster, a_id, b_id, ROUND(cos, 6) AS cos
+       |FROM pairs WHERE cos >= $SemTau
+       |ORDER BY cluster, a_id, b_id""".stripMargin
+
+  // -------------------------------- q104: winnowing fingerprints
+  /** Winnowing fingerprints (k=5-token shingles, w=4 windows) for
+    * doc_id < 400 — the [[graft.fn.WinnowFingerprints]] narrow
+    * kernel vs an oracle that rebuilds shingle hashes with
+    * list_slice + md5 and takes window minima with a ROWS frame.
+    * Short docs (fewer shingles than the window) contribute their
+    * single global minimum (the j = 0 partial frame).
+    */
+  private val WinK = 5
+  private val WinW = 4
+
+  private def q104(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowFingerprints(docsPar(s, dir), "doc_id", "text", WinK, WinW)
+      .filter($"doc_id" < 400)
+      .orderBy($"doc_id", $"fp")
+
+  private val q104Sql =
+    s"""WITH d AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+       |  FROM documents WHERE doc_id < 400
+       |), sh AS (
+       |  SELECT doc_id, i, len(toks) - $WinK + 1 AS m,
+       |    CAST(CONCAT('0x', SUBSTR(md5(
+       |      array_to_string(list_slice(toks, i + 1, i + $WinK), ' ')), 1, 15))
+       |      AS BIGINT) AS h
+       |  FROM d, UNNEST(range(0, GREATEST(0, len(toks) - ${WinK - 1}))) AS t(i)
+       |), win AS (
+       |  SELECT doc_id, i, m,
+       |    MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN CURRENT ROW AND ${WinW - 1} FOLLOWING) AS wmin
+       |  FROM sh
+       |)
+       |SELECT DISTINCT doc_id, wmin AS fp
+       |FROM win WHERE i <= m - $WinW OR (m < $WinW AND i = 0)
+       |ORDER BY doc_id, fp""".stripMargin
+
+  // ------------------------------------ q105: KMV distinct sketch
+  /** Per-source distinct-token estimate from the bounded KMV
+    * aggregate (k = 16): the oracle recomputes the k-th smallest
+    * distinct 60-bit md5 hash per source with a window rank and
+    * applies the same (k−1)·2⁶⁰/h_k estimator — the sketch is
+    * portable because its state is defined by the HASH, not by
+    * engine internals. Sources with fewer than k distinct hashes
+    * take the exact-count branch in both engines.
+    */
+  private val KmvK = 16
+
+  private def q105(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    val toks = docsPar(s, dir)
+      .select($"source",
+        explode(gb.column(graft.fn.TermCounts(gb.expression($"text"))))
+          .as(Seq("tok", "tf")))
+    toks.groupBy($"source")
+      .agg(Sketches.kmvDistinct($"tok", KmvK).as("est"))
+      .select($"source", round($"est", 4).as("n_tok_est"))
+      .orderBy($"source")
+  }
+
+  private val q105Sql =
+    s"""WITH toks AS (
+       |  SELECT DISTINCT source, tok FROM (
+       |    SELECT source, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+       |  WHERE tok <> ''
+       |), hashed AS (
+       |  SELECT DISTINCT source,
+       |    CAST(CONCAT('0x', SUBSTR(md5(tok), 1, 15)) AS BIGINT) AS h
+       |  FROM toks
+       |), ranked AS (
+       |  SELECT source, h,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk,
+       |    COUNT(*) OVER (PARTITION BY source) AS nd
+       |  FROM hashed
+       |)
+       |SELECT source,
+       |  ROUND(CASE WHEN nd < $KmvK THEN CAST(nd AS DOUBLE)
+       |    ELSE ${KmvK - 1}.0 * POWER(2.0, 60) / CAST(h AS DOUBLE) END, 4)
+       |    AS n_tok_est
+       |FROM ranked WHERE rk = LEAST(nd, $KmvK)
+       |ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------- registry
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q102_lm_perplexity" -> (q102 _),
+    "q103_semantic_dedup" -> (q103 _),
+    "q104_winnow_fps" -> (q104 _),
+    "q105_kmv_distinct" -> (q105 _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q102_lm_perplexity" -> q102Sql,
+    "q103_semantic_dedup" -> q103Sql,
+    "q104_winnow_fps" -> q104Sql,
+    "q105_kmv_distinct" -> q105Sql
+  )
+
+  private implicit class Dollar(val sc: StringContext) {
+    def $(args: Any*): Column = col(sc.s(args: _*))
+  }
+}

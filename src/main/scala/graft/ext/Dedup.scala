@@ -224,6 +224,25 @@ object Dedup {
       .filter(col("sig").isNotNull)
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    * 2003 — MOSS): (idCol, fp) rows, fp = the distinct w-window
+    * minima of the doc's k-shingle 60-bit md5 hashes (the
+    * [[graft.fn.WinnowFingerprints]] narrow kernel; see there for
+    * the ≥ k+w−1 shared-run detection guarantee). The selected
+    * density is ~2/(w+1) of shingles — the fingerprint table a
+    * shared-span / plagiarism join runs on at a fraction of the full
+    * shingle table's size. Docs with no k-shingle emit no rows.
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 5, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    docs.select(col(idCol),
+        gb.column(graft.fn.WinnowFingerprints(
+          gb.expression(col(textCol)), k, w)).as("__fps"))
+      .filter(col("__fps").isNotNull)
+      .select(col(idCol), explode(col("__fps")).as("fp"))
+  }
+
   /** LSH banding: split the k-element signature into `b` bands of
     * r = k/b rows each; a band's bucket key hashes its r elements.
     * Output (idCol, band, band_hash) — b small rows per doc (explode

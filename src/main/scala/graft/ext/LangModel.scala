@@ -1,0 +1,95 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{graftbridge => gb}
+
+/** Unigram language-model training + perplexity scoring — the
+  * CCNet/KenLM-style corpus quality signal (Wenzek et al. 2020 score
+  * web text by LM perplexity and keep the low-perplexity head; the
+  * reference pipeline's quality gates are rule-based, this adds the
+  * model-based variant as a first-class operator).
+  *
+  * Scale shape: TRAINING is one vocabulary-sized shuffle — the
+  * [[graft.fn.TermCounts]] kernel builds each doc's (tok → tf) map
+  * inside the scan span, so the exchange carries per-doc DISTINCT
+  * tokens, not the token stream — and SCORING is a narrow per-row
+  * kernel over a broadcast vocabulary ([[graft.fn.UnigramNll]]):
+  * zero corpus bytes move. Real-corpus vocabularies (even trillions
+  * of tokens keep distinct words in the tens of millions) fit the
+  * broadcast guard; past it, [[scoreNllJoined]] degrades to the
+  * join+agg form.
+  */
+object LangModel {
+
+  /** Corpus unigram counts (tok, cnt), cnt = total occurrences. */
+  def unigramCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(gb.column(graft.fn.TermCounts(gb.expression(col(textCol)))))
+        .as(Seq("tok", "tf")))
+      .groupBy(col("tok"))
+      .agg(sum(col("tf")).as("cnt"))
+
+  /** Per-doc add-α unigram NLL via the narrow broadcast kernel:
+    * (idCol, n_toks, avg_nll, ppl). Docs without tokens are dropped
+    * (no LM evidence either way). `counts` must be (tok, cnt) as
+    * produced by [[unigramCounts]]; its size is guarded by
+    * `maxBroadcastVocab` — a larger vocabulary falls back to
+    * [[scoreNllJoined]].
+    */
+  def scoreNll(docs: DataFrame, idCol: String, textCol: String,
+               counts: DataFrame, alpha: Double = 1.0,
+               maxBroadcastVocab: Long = 4000000L): DataFrame = {
+    val head = counts.groupBy().agg(
+      sum(col("cnt")).as("t"), count(lit(1)).as("v")).collect()(0)
+    if (head.isNullAt(0))
+      return docs.select(col(idCol), lit(0L).as("n_toks"),
+          lit(0.0).as("avg_nll"), lit(1.0).as("ppl"))
+        .limit(0)
+    val total = head.getLong(0)
+    val vocab = head.getLong(1)
+    if (vocab > maxBroadcastVocab)
+      return scoreNllJoined(docs, idCol, textCol, counts, total, vocab, alpha)
+    val model = counts.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nll = gb.column(graft.fn.UnigramNll(
+      gb.expression(col(textCol)), model, total, vocab, alpha))
+    docs.select(col(idCol), nll.as("__s"))
+      .filter(col("__s").isNotNull)
+      .select(col(idCol), col("__s.n_toks").as("n_toks"),
+        col("__s.avg_nll").as("avg_nll"),
+        exp(col("__s.avg_nll")).as("ppl"))
+  }
+
+  /** Join-form fallback for vocabularies past the broadcast guard:
+    * explode each doc's (tok, tf) map, join the counts table on tok
+    * (Spark picks shuffle-hash/SMJ under AQE; the tf side carries
+    * per-doc DISTINCT tokens only), and fold Σ −tf·ln p per doc.
+    * One corpus-distinct-token exchange — the unavoidable cost once
+    * the model itself cannot ride to the data.
+    */
+  def scoreNllJoined(docs: DataFrame, idCol: String, textCol: String,
+                     counts: DataFrame, total: Long, vocab: Long,
+                     alpha: Double): DataFrame = {
+    val denom = lit(total.toDouble + alpha * vocab.toDouble)
+    docs
+      .select(col(idCol),
+        explode(gb.column(graft.fn.TermCounts(gb.expression(col(textCol)))))
+          .as(Seq("tok", "tf")))
+      .join(counts, Seq("tok"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_toks"),
+        (sum(-col("tf") * log((coalesce(col("cnt"), lit(0L)) + alpha) / denom)) /
+          sum(col("tf"))).as("avg_nll"))
+      .select(col(idCol), col("n_toks"), col("avg_nll"),
+        exp(col("avg_nll")).as("ppl"))
+  }
+
+  /** Train-and-score in one call (the common recipe: score the corpus
+    * under its own unigram statistics; low scores ≈ in-domain fluent
+    * text, high scores ≈ garbled/rare-token-heavy docs).
+    */
+  def perplexity(docs: DataFrame, idCol: String, textCol: String,
+                 alpha: Double = 1.0): DataFrame =
+    scoreNll(docs, idCol, textCol, unigramCounts(docs, textCol), alpha)
+}

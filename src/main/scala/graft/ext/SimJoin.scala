@@ -339,4 +339,90 @@ object SimJoin {
     gb.column(graft.fn.VecPoolAgg(gb.expression(v), mean = false)
       .toAggregateExpression())
   }
+
+  // ------------------------------------------- semantic dedup (SemDeDup)
+
+  /** Deterministic seed "centroids" for clustering without Lloyd
+    * iterations: the `c` corpus vectors with the smallest
+    * [[Sketches.orderHash]] of their id — a portable uniform draw
+    * (any engine reproduces the same seeds from the same md5
+    * construction), collected to the driver as a c×dim matrix (the
+    * only driver state; same bound as [[ivfCentroids]]'s k×dim).
+    * Returned in hash order, so index i is the cluster id.
+    */
+  def seedCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                    c: Int): Seq[Seq[Double]] = {
+    require(c >= 1, s"need at least one seed, got $c")
+    Sketches.sampleBottomK(
+        corpus.select(col(idCol), col(vecCol)), col(idCol), c)
+      .withColumn("__h", Sketches.orderHash(col(idCol)))
+      .orderBy(col("__h"), col(idCol))
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+  }
+
+  /** Nearest-centroid assignment by COSINE (argmax over the centroid
+    * list; ties and zero-norm vectors break toward the LOWEST
+    * cluster id — the `ROW_NUMBER() ... ORDER BY cos DESC, cluster`
+    * convention an oracle reproduces). Narrow: c fused dot-products
+    * per row inside the codegen span, no shuffle.
+    */
+  def assignNearestCos(v: Column, centroids: Seq[Seq[Double]]): Column = {
+    val vn = sqrt(dot(v, v))
+    val scored = centroids.zipWithIndex.map { case (cvec, i) =>
+      val cn = math.sqrt(cvec.map(x => x * x).sum)
+      val cos =
+        if (cn == 0.0) lit(-2.0)
+        else when(vn === 0.0, lit(-2.0)).otherwise(dotConst(v, cvec) / (vn * lit(cn)))
+      struct(cos.as("cos"), lit(-i).as("negi"))
+    }
+    (-array_max(array(scored: _*)).getField("negi")).cast("int")
+  }
+
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023):
+    * cluster the corpus by nearest seed centroid, then emit exact
+    * cosine pairs ≥ `minCos` WITHIN each cluster only. Output
+    * (cluster, a_id, b_id, cos), a_id < b_id.
+    *
+    * Scale shape: assignment is narrow (centroids ride into the
+    * scan); the pair stage shuffles on the cluster id only, and the
+    * quadratic verify is confined to each cluster — with c ~ √N
+    * clusters the expected pair work is N instead of N², which is the
+    * whole SemDeDup bargain. Skewed clusters are the caller's knob
+    * (raise c); zero-norm vectors never pair (cosine undefined →
+    * sentinel −2 < any real threshold).
+    */
+  def semanticDedupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                         centroids: Seq[Seq[Double]],
+                         minCos: Double): DataFrame = {
+    val assigned = corpus.select(
+      assignNearestCos(col(vecCol), centroids).as("cluster"),
+      col(idCol), col(vecCol))
+    val a = assigned.select(col("cluster"), col(idCol).as("a_id"),
+      col(vecCol).as("__va"))
+    val b = assigned.select(col("cluster"), col(idCol).as("b_id"),
+      col(vecCol).as("__vb"))
+    val na = sqrt(dot(col("__va"), col("__va")))
+    val nb = sqrt(dot(col("__vb"), col("__vb")))
+    a.join(b, Seq("cluster"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("cluster"), col("a_id"), col("b_id"),
+        // zero-norm cosine is undefined: NULL (never a pair) — in ANSI
+        // mode the unguarded division would throw, not NaN
+        when(na === 0.0 || nb === 0.0, lit(null).cast("double"))
+          .otherwise(dot(col("__va"), col("__vb")) / (na * nb)).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
+  /** Keep-one selection over [[semanticDedupPairs]]: drop the larger
+    * id of every qualifying pair (the transitive-closure-free
+    * SemDeDup keep rule — deterministic, single anti-join).
+    */
+  def dropSemanticDups(corpus: DataFrame, idCol: String, vecCol: String,
+                       centroids: Seq[Seq[Double]],
+                       minCos: Double): DataFrame = {
+    val drop = semanticDedupPairs(corpus, idCol, vecCol, centroids, minCos)
+      .select(col("b_id").as(idCol)).distinct()
+    corpus.join(drop, Seq(idCol), "left_anti")
+  }
 }

@@ -90,4 +90,24 @@ object Sketches {
       .where(col("__rn") <= k)
       .drop("__rn")
   }
+
+  /** The [[orderHash]] span: 15 hex digits = 2⁶⁰ possible values, so
+    * h/2⁶⁰ is uniform on [0, 1).
+    */
+  val OrderHashSpan: Double = math.pow(2.0, 60)
+
+  /** Per-group approximate COUNT DISTINCT via the native bounded KMV
+    * aggregate ([[graft.fn.KmvDistinct]]): state = the k smallest
+    * distinct [[orderHash]] values per group (O(k) no matter the
+    * cardinality), estimate = (k−1)·2⁶⁰/h_k, EXACT below k distinct
+    * keys. One shuffle with map-side partial merge — the
+    * bounded-state, CROSS-ENGINE-REPRODUCIBLE alternative to both
+    * `count_distinct` (unbounded state) and `approx_count_distinct`
+    * (engine-private HLL sketch): a DuckDB oracle recomputes the
+    * identical estimate from the same md5 hash and formula. Relative
+    * standard error ≈ 1/√(k−2) (Bar-Yossef et al. 2002).
+    */
+  def kmvDistinct(key: Column, k: Int): Column =
+    gb.column(graft.fn.KmvDistinct(gb.expression(orderHash(key)), k,
+      OrderHashSpan).toAggregateExpression())
 }

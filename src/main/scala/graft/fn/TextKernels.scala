@@ -316,4 +316,89 @@ object TextKernels {
     }
     new GenericArrayData(mins)
   }
+
+  /** 60-bit md5 content hash: first 15 hex digits of md5(s) parsed
+    * base-16 — byte-identical to DuckDB/Spark SQL
+    * `conv(substring(md5(s), 1, 15), 16, 10)` (the
+    * [[graft.ext.Sketches.orderHash]] construction).
+    */
+  private def md5Hash60(md: java.security.MessageDigest, s: String): Long = {
+    md.reset()
+    val digest = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hexChars = new Array[Char](15)
+    var hc = 0
+    var bi = 0
+    while (hc < 15) {
+      val v = digest(bi) & 0xff
+      hexChars(hc) = HexDigits(v >>> 4); hc += 1
+      if (hc < 15) { hexChars(hc) = HexDigits(v & 0xf); hc += 1 }
+      bi += 1
+    }
+    java.lang.Long.parseLong(new String(hexChars), 16)
+  }
+
+  /** Per-ROW winnowing fingerprints (Schleimer, Wilkerson & Aiken
+    * 2003 — the MOSS algorithm): hash every k-token shingle with the
+    * portable 60-bit md5 hash, slide a w-wide window over the hash
+    * sequence, record each window's MINIMUM, and return the DISTINCT
+    * minima sorted ascending. Guarantee: any shared token run of
+    * length ≥ k + w − 1 between two documents yields at least one
+    * shared fingerprint, while only ~2/(w+1) of shingle hashes are
+    * kept — the standard density/detection trade for plagiarism and
+    * near-dup span detection. Shorter docs (fewer than w shingles but
+    * at least one) contribute their single global minimum; docs with
+    * no k-shingle return null.
+    */
+  def winnowFingerprints(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val str = s.toString
+    val len = str.length
+    val toks = new java.util.ArrayList[String]
+    var i = 0
+    while (i < len) {
+      while (i < len && str.charAt(i) == ' ') i += 1
+      val start = i
+      while (i < len && str.charAt(i) != ' ') i += 1
+      if (i > start) toks.add(str.substring(start, i))
+    }
+    val m = toks.size - k + 1
+    if (m <= 0) return null
+    val md = md5Local.get()
+    val hashes = new Array[Long](m)
+    val sb = new java.lang.StringBuilder
+    var j = 0
+    while (j < m) {
+      sb.setLength(0)
+      var t = 0
+      while (t < k) {
+        if (t > 0) sb.append(' ')
+        sb.append(toks.get(j + t))
+        t += 1
+      }
+      hashes(j) = md5Hash60(md, sb.toString)
+      j += 1
+    }
+    val sel = new java.util.TreeSet[java.lang.Long]
+    if (m <= w) {
+      var min = java.lang.Long.MAX_VALUE
+      var p = 0
+      while (p < m) { if (hashes(p) < min) min = hashes(p); p += 1 }
+      sel.add(min)
+    } else {
+      // w is small (typically 4-8): the O(m·w) scan beats a deque's
+      // branchy constant factor and stays allocation-free
+      var start = 0
+      while (start <= m - w) {
+        var min = java.lang.Long.MAX_VALUE
+        var p = start
+        while (p < start + w) { if (hashes(p) < min) min = hashes(p); p += 1 }
+        sel.add(min)
+        start += 1
+      }
+    }
+    val out = new Array[Long](sel.size)
+    val it = sel.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
 }

@@ -91,6 +91,63 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("winnowing: shared run >= k+w-1 tokens guarantees a shared fingerprint") {
+    val k = 5; val w = 4
+    // 8 shared tokens = k+w-1 exactly; surrounded by disjoint text
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val a = Seq((1L, s"one two three $shared four five six"))
+    val b = Seq((2L, s"red blue green $shared yellow purple"))
+    val docs = (a ++ b).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs, "doc_id", "text", k, w)
+    val fa = fps.filter($"doc_id" === 1).select("fp").as[Long].collect().toSet
+    val fb = fps.filter($"doc_id" === 2).select("fp").as[Long].collect().toSet
+    assert((fa & fb).nonEmpty, "k+w-1 shared run must share a fingerprint")
+    // unrelated docs share nothing
+    val other = Seq((3L, "cats dogs birds fish mice lions tigers bears wolves"))
+      .toDF("doc_id", "text")
+    val fo = Dedup.winnowFingerprints(other, "doc_id", "text", k, w)
+      .select("fp").as[Long].collect().toSet
+    assert((fa & fo).isEmpty)
+  }
+
+  test("winnowing: brute-force parity, short docs, empty docs, density") {
+    val k = 3; val w = 4
+    // unique tokens -> all-distinct shingle hashes, so the selected
+    // count tracks the theoretical ~2/(w+1) density
+    val text = (1 to 60).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, "a b c"), (3L, "a b"), (4L, "")).toDF("doc_id", "text")
+    val got = Dedup.winnowFingerprints(docs, "doc_id", "text", k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force reference: md5-60bit shingle hashes, window minima
+    def hash60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).take(8)
+        .map(b => f"${b & 0xff}%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def winnow(t: String): Set[Long] = {
+      val toks = t.split(" ").filter(_.nonEmpty)
+      val hs = toks.sliding(k).filter(_.length == k).map(sh => hash60(sh.mkString(" "))).toArray
+      if (hs.isEmpty) Set.empty
+      else if (hs.length <= w) Set(hs.min)
+      else (0 to hs.length - w).map(j => hs.slice(j, j + w).min).toSet
+    }
+    val want = Seq((1L, text), (2L, "a b c"), (3L, "a b"), (4L, ""))
+      .flatMap { case (id, t) => winnow(t).map(id -> _) }.toSet
+    assert(got === want)
+    // doc 3 has one 3-shingle? "a b" has none (2 tokens) -> no rows
+    assert(!got.exists(_._1 == 3L) && !got.exists(_._1 == 4L))
+    // density: ~2/(w+1) of the 58 shingle hashes for doc 1, loose band
+    val n1 = got.count(_._1 == 1L)
+    assert(n1 >= 10 && n1 <= 40, s"winnow density off: $n1 of 58")
+  }
+
+  test("winnowing kernel is narrow: no exchange below the explode") {
+    val plan = Dedup.winnowFingerprints(docs, "doc_id", "text", 5, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("lsh banding: identical signatures share all buckets, disjoint share none") {
     val sh = Dedup.shingles(docs, "doc_id", "text", 3)
     val sigs = Dedup.minhashSignatures(sh, "doc_id", k = 16)

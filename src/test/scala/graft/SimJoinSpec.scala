@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ext.SimJoin
+import graft.ext.{Sketches, SimJoin}
 
 /** ext/SimJoin — bucketed cosine ANN vs brute-force ground truth. */
 class SimJoinSpec extends SparkSpec {
@@ -213,5 +213,44 @@ class SimJoinSpec extends SparkSpec {
       .select(SimJoin.cosine($"v", SimJoin.dequantize($"q", $"scale")))
       .as[Double].head()
     assert(cos > 0.9999, s"reconstruction cosine $cos")
+  }
+
+  test("semantic dedup: within-cluster pairs only, exact cosines, keep-lowest-id") {
+    // two tight clusters around orthogonal axes + one zero vector
+    val rows = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)), (2L, Seq(0.99, 0.1, 0.0)), (3L, Seq(0.98, -0.1, 0.0)),
+      (10L, Seq(0.0, 1.0, 0.0)), (11L, Seq(0.05, 0.99, 0.0)),
+      (99L, Seq(0.0, 0.0, 0.0))).toDF("vec_id", "v")
+    val seeds = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0))
+    val pairs = SimJoin.semanticDedupPairs(rows, "vec_id", "v", seeds, minCos = 0.9)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    // all x-cluster pairs qualify (cos > 0.97); cross-cluster never compared
+    assert(pairs === Set((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L)))
+    val kept = SimJoin.dropSemanticDups(rows, "vec_id", "v", seeds, minCos = 0.9)
+      .select($"vec_id").as[Long].collect().toSet
+    // 2,3 drop (pair with 1), 11 drops (pair with 10); zero vector survives
+    assert(kept === Set(1L, 10L, 99L))
+  }
+
+  test("semantic dedup assignment: argmax cosine, lowest-cluster ties, narrow plan") {
+    val rows = Seq((1L, Seq(1.0, 1.0)), (2L, Seq(0.0, 0.0))).toDF("vec_id", "v")
+    val seeds = Seq(Seq(1.0, 1.0), Seq(2.0, 2.0), Seq(0.0, 1.0))
+    // seeds 0 and 1 both at cos=1 with row 1 -> tie breaks to cluster 0;
+    // zero vector -> sentinel -2 on all -> cluster 0
+    val assigned = rows.select($"vec_id",
+      SimJoin.assignNearestCos($"v", seeds).as("c"))
+    assert(assigned.as[(Long, Int)].collect().toMap === Map(1L -> 0, 2L -> 0))
+    assert(!assigned.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("seed centroids are the bottom-k order-hash rows, in hash order") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+    val seeds = SimJoin.seedCentroids(emb, "vec_id", "v", 4)
+    val wantIds = emb.select($"vec_id", Sketches.orderHash($"vec_id").as("h"))
+      .orderBy($"h", $"vec_id").limit(4).select($"vec_id").as[Long].collect()
+    val byId = emb.filter($"vec_id".isin(wantIds: _*))
+      .select($"vec_id", $"v").as[(Long, Seq[Double])].collect().toMap
+    assert(seeds === wantIds.map(byId).toSeq)
   }
 }

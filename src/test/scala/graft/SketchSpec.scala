@@ -200,4 +200,39 @@ class SketchSpec extends SparkSpec {
       .where(lit(false))
     assert(BloomJoin.join(fact, "l_suppkey", dim, "s_suppkey", 100L).isEmpty)
   }
+
+  test("kmv_distinct: exact below k, duplicate-insensitive, merge-path live") {
+    // 40 distinct keys × 25 duplicate rows through a k=64 sketch over
+    // 8 partitions: distinct semantics + serialize/merge exercised.
+    val df = (1 to 1000).map(i => s"key_${i % 40}").toDF("k").repartition(8)
+    val est = df.agg(Sketches.kmvDistinct($"k", 64)).head.getDouble(0)
+    assert(est === 40.0, s"below-k estimate must be exact, got $est")
+  }
+
+  test("kmv_distinct: estimator within theory bounds over k, accuracy grows with k") {
+    // 5000 distinct keys; RSE ≈ 1/sqrt(k-2): k=256 → ~6.3%, assert 4σ.
+    val df = (1 to 5000).map(i => s"u_$i").toDF("k").repartition(8)
+    val est = df.agg(Sketches.kmvDistinct($"k", 256)).head.getDouble(0)
+    assert(math.abs(est - 5000) < 5000 * 0.25, s"est=$est")
+    // estimate is a pure function of the data (rerun + repartition stable)
+    val est2 = df.repartition(3).agg(Sketches.kmvDistinct($"k", 256)).head.getDouble(0)
+    assert(est === est2, "KMV must be deterministic under repartition")
+  }
+
+  test("kmv_distinct: per-group estimates match the oracle formula") {
+    // recompute (k-1)*2^60/h_k with DataFrame ops and compare exactly
+    val df = (1 to 2000).map(i => (s"g${i % 3}", s"v_${i % 500}")).toDF("g", "v")
+    val k = 32
+    val sketch = df.groupBy($"g").agg(Sketches.kmvDistinct($"v", k).as("est"))
+    val w = Window.partitionBy($"g").orderBy($"h")
+    val manual = df.select($"g", Sketches.orderHash($"v").as("h")).distinct()
+      .withColumn("rk", row_number().over(w))
+      .where($"rk" === k)
+      .select($"g", (lit((k - 1).toDouble) * lit(Sketches.OrderHashSpan) /
+        $"h".cast("double")).as("est"))
+    val joined = sketch.join(manual, "g")
+    assert(joined.count() === 3)
+    assert(joined.filter(sketch("est") =!= manual("est")).isEmpty,
+      "sketch estimate must equal the closed-form bottom-k formula")
+  }
 }
