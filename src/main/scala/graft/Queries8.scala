@@ -165,6 +165,49 @@ object Queries8 {
        |FROM win WHERE i <= m - $WinW OR (m < $WinW AND i = 0)
        |ORDER BY doc_id, fp""".stripMargin
 
+  // ------------------------------ q106: winnow shared-span pairs
+  /** Corpus-wide shared-span candidate pairs from the winnowing
+    * fingerprint table ([[graft.ext.Dedup.winnowSharedPairs]]) —
+    * surfaces exactly the planted near-dup pairs plus template
+    * overlaps, with n_shared counting common fingerprints. The
+    * oracle rebuilds the full fingerprint table (q104's CTEs without
+    * the id slice), applies the same [2, maxBucket] bucket guard,
+    * and counts pair co-occurrences by self-join.
+    */
+  private def q106(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowSharedPairs(docsPar(s, dir), "doc_id", "text",
+        WinK, WinW, minShared = 2)
+      .orderBy($"a_id", $"b_id")
+
+  private val q106Sql =
+    s"""WITH d AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id, i, len(toks) - $WinK + 1 AS m,
+       |    CAST(CONCAT('0x', SUBSTR(md5(
+       |      array_to_string(list_slice(toks, i + 1, i + $WinK), ' ')), 1, 15))
+       |      AS BIGINT) AS h
+       |  FROM d, UNNEST(range(0, GREATEST(0, len(toks) - ${WinK - 1}))) AS t(i)
+       |), win AS (
+       |  SELECT doc_id, i, m,
+       |    MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN CURRENT ROW AND ${WinW - 1} FOLLOWING) AS wmin
+       |  FROM sh
+       |), fps AS (
+       |  SELECT DISTINCT doc_id, wmin AS fp
+       |  FROM win WHERE i <= m - $WinW OR (m < $WinW AND i = 0)
+       |), ok AS (
+       |  SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 10000
+       |), pf AS (
+       |  SELECT doc_id, fp FROM fps JOIN ok USING (fp)
+       |)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_shared
+       |FROM pf a JOIN pf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+       |ORDER BY a_id, b_id""".stripMargin
+
   // ------------------------------------ q105: KMV distinct sketch
   /** Per-source distinct-token estimate from the bounded KMV
     * aggregate (k = 16): the oracle recomputes the k-th smallest
@@ -216,14 +259,16 @@ object Queries8 {
     "q102_lm_perplexity" -> (q102 _),
     "q103_semantic_dedup" -> (q103 _),
     "q104_winnow_fps" -> (q104 _),
-    "q105_kmv_distinct" -> (q105 _)
+    "q105_kmv_distinct" -> (q105 _),
+    "q106_winnow_pairs" -> (q106 _)
   )
 
   val oracles: Map[String, String] = Map(
     "q102_lm_perplexity" -> q102Sql,
     "q103_semantic_dedup" -> q103Sql,
     "q104_winnow_fps" -> q104Sql,
-    "q105_kmv_distinct" -> q105Sql
+    "q105_kmv_distinct" -> q105Sql,
+    "q106_winnow_pairs" -> q106Sql
   )
 
   private implicit class Dollar(val sc: StringContext) {

@@ -243,6 +243,42 @@ object Dedup {
       .select(col(idCol), explode(col("__fps")).as("fp"))
   }
 
+  /** Shared-span candidate pairs over [[winnowFingerprints]] — the
+    * distributed stand-in for suffix-array exact-substring dedup
+    * (Lee et al. 2021 "Deduplicating Training Data Makes Language
+    * Models Better"): docs sharing ≥ `minShared` winnow fingerprints
+    * very likely share verbatim token runs of length ≥ k+w−1.
+    * Output (a_id, b_id, n_shared), a_id < b_id.
+    *
+    * Scale shape: same bucket discipline as the LSH path — fingerprint
+    * buckets are COUNT-guarded first (degenerate boilerplate
+    * fingerprints shared by > maxBucket docs are dropped before any
+    * member list or pair materializes), then pairs are generated
+    * per-bucket and counted with map-side combine. The corpus never
+    * self-joins; the exchange carries the ~2/(w+1)-density fingerprint
+    * table, not the text.
+    */
+  def winnowSharedPairs(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 5, w: Int = 4, minShared: Int = 2,
+                        maxBucket: Int = 10000): DataFrame = {
+    val fps = winnowFingerprints(docs, idCol, textCol, k, w)
+    val ok = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n").between(2, maxBucket))
+      .select(col("fp"))
+    val buckets = fps.join(ok, Seq("fp"), "left_semi")
+      .groupBy(col("fp"))
+      .agg(collect_list(col(idCol)).as("__m"))
+    buckets
+      .select(col("__m"), posexplode(col("__m")).as(Seq("__i", "__x")))
+      .select(col("__x"),
+        explode(slice(col("__m"), col("__i") + lit(2), size(col("__m")))).as("__y"))
+      .groupBy(least(col("__x"), col("__y")).as("a_id"),
+        greatest(col("__x"), col("__y")).as("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** LSH banding: split the k-element signature into `b` bands of
     * r = k/b rows each; a band's bucket key hashes its r elements.
     * Output (idCol, band, band_hash) — b small rows per doc (explode

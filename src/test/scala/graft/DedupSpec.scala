@@ -142,6 +142,29 @@ class DedupSpec extends SparkSpec {
     assert(n1 >= 10 && n1 <= 40, s"winnow density off: $n1 of 58")
   }
 
+  test("winnowSharedPairs: planted shared span found with exact shared count") {
+    val k = 5; val w = 4
+    val shared = (1 to 20).map(i => s"s$i").mkString(" ")  // 20-token run
+    val rows = Seq(
+      (1L, s"a1 a2 a3 $shared a4 a5"),
+      (2L, s"b1 b2 $shared b3 b4 b5"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"))
+    val docs = rows.toDF("doc_id", "text")
+    val pairs = Dedup.winnowSharedPairs(docs, "doc_id", "text", k, w,
+        minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.keySet === Set((1L, 2L)))
+    // exact count: the pair shares precisely the common fingerprints
+    val fps = Dedup.winnowFingerprints(docs, "doc_id", "text", k, w)
+    val f1 = fps.filter($"doc_id" === 1).select("fp").as[Long].collect().toSet
+    val f2 = fps.filter($"doc_id" === 2).select("fp").as[Long].collect().toSet
+    assert(pairs((1L, 2L)) === (f1 & f2).size.toLong)
+    // a fingerprint shared by more docs than maxBucket is guarded out
+    val many = (10L to 30L).map(i => (i, s"x1 x2 $shared x3")).toDF("doc_id", "text")
+    assert(Dedup.winnowSharedPairs(many, "doc_id", "text", k, w, 2,
+      maxBucket = 5).isEmpty)
+  }
+
   test("winnowing kernel is narrow: no exchange below the explode") {
     val plan = Dedup.winnowFingerprints(docs, "doc_id", "text", 5, 4)
       .queryExecution.executedPlan.toString
