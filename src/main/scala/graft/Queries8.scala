@@ -253,6 +253,25 @@ object Queries8 {
        |FROM ranked WHERE rk = LEAST(nd, $KmvK)
        |ORDER BY source""".stripMargin
 
+  // --------------------------------------- q107: BPE tokenization
+  /** Real BPE subword token counts next to the whitespace counts:
+    * merges trained on the corpus's own word-frequency dictionary
+    * (one vocab-sized shuffle + driver-local merge learning —
+    * [[graft.ext.Bpe]]), encoding narrow. NO DuckDB oracle — BPE's
+    * iterative merge loop is not SQL-expressible (the driver records
+    * the weaker rows-only check; the algorithm itself is golden- and
+    * law-tested in BpeSpec, incl. a hand-traced trainer run).
+    */
+  private def q107(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsPar(s, dir)
+    val merges = graft.ext.Bpe.trainOn(docs, "text", numMerges = 100)
+    docs.filter($"doc_id" < 300)
+      .select($"doc_id",
+        size(array_remove(split($"text", " "), "")).as("n_ws_tokens"),
+        graft.ext.Bpe.tokenCount($"text", merges).as("n_bpe_tokens"))
+      .orderBy($"doc_id")
+  }
+
   // ------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -260,7 +279,8 @@ object Queries8 {
     "q103_semantic_dedup" -> (q103 _),
     "q104_winnow_fps" -> (q104 _),
     "q105_kmv_distinct" -> (q105 _),
-    "q106_winnow_pairs" -> (q106 _)
+    "q106_winnow_pairs" -> (q106 _),
+    "q107_bpe_tokens" -> (q107 _)
   )
 
   val oracles: Map[String, String] = Map(
