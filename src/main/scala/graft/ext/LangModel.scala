@@ -30,6 +30,21 @@ object LangModel {
       .groupBy(col("tok"))
       .agg(sum(col("tf")).as("cnt"))
 
+  /** Collect a counts table to driver model state (tok → cnt, total
+    * tokens, vocab size) for the broadcast-kernel scorers — the
+    * explicit form for callers that train once and score many frames
+    * (e.g. the streaming perplexity gate). Fails fast past the vocab
+    * guard rather than silently collecting unbounded state.
+    */
+  def collectModel(counts: DataFrame,
+                   maxVocab: Long = 4000000L): (Map[String, Long], Long, Long) = {
+    val n = counts.limit((maxVocab + 1).toInt).count()
+    require(n <= maxVocab,
+      s"vocabulary exceeds maxVocab=$maxVocab; raise the guard or pre-truncate")
+    val model = counts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (model, model.valuesIterator.sum, model.size.toLong)
+  }
+
   /** Per-doc add-α unigram NLL via the narrow broadcast kernel:
     * (idCol, n_toks, avg_nll, ppl). Docs without tokens are dropped
     * (no LM evidence either way). `counts` must be (tok, cnt) as

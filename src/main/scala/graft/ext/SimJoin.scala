@@ -388,16 +388,29 @@ object SimJoin {
     * scan); the pair stage shuffles on the cluster id only, and the
     * quadratic verify is confined to each cluster — with c ~ √N
     * clusters the expected pair work is N instead of N², which is the
-    * whole SemDeDup bargain. Skewed clusters are the caller's knob
-    * (raise c); zero-norm vectors never pair (cosine undefined →
-    * sentinel −2 < any real threshold).
+    * whole SemDeDup bargain. A DEGENERATE cluster (a mode the seeds
+    * under-resolve — near-duplicate boilerplate, zero-information
+    * embeddings) would reintroduce the N² term, so clusters above
+    * `maxCluster` members are COUNT-guarded out before any pair
+    * materializes (same discipline as the LSH `maxBucket` guard;
+    * remedy for dropped clusters is more/better centroids, e.g.
+    * [[ivfCentroids]]). `maxCluster <= 0` disables the guard (the
+    * oracle-parity setting when centroids are known adequate).
+    * Zero-norm vectors never pair (cosine undefined → NULL).
     */
   def semanticDedupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                          centroids: Seq[Seq[Double]],
-                         minCos: Double): DataFrame = {
-    val assigned = corpus.select(
+                         minCos: Double,
+                         maxCluster: Int = 1000000): DataFrame = {
+    val labeled = corpus.select(
       assignNearestCos(col(vecCol), centroids).as("cluster"),
       col(idCol), col(vecCol))
+    val assigned =
+      if (maxCluster <= 0) labeled
+      else labeled.join(
+        labeled.groupBy(col("cluster")).agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= maxCluster).select(col("cluster")),
+        Seq("cluster"), "left_semi")
     val a = assigned.select(col("cluster"), col(idCol).as("a_id"),
       col(vecCol).as("__va"))
     val b = assigned.select(col("cluster"), col(idCol).as("b_id"),
@@ -420,8 +433,10 @@ object SimJoin {
     */
   def dropSemanticDups(corpus: DataFrame, idCol: String, vecCol: String,
                        centroids: Seq[Seq[Double]],
-                       minCos: Double): DataFrame = {
-    val drop = semanticDedupPairs(corpus, idCol, vecCol, centroids, minCos)
+                       minCos: Double,
+                       maxCluster: Int = 1000000): DataFrame = {
+    val drop = semanticDedupPairs(corpus, idCol, vecCol, centroids, minCos,
+        maxCluster)
       .select(col("b_id").as(idCol)).distinct()
     corpus.join(drop, Seq(idCol), "left_anti")
   }

@@ -179,4 +179,32 @@ object DocStreams {
       col("text_redacted"), col("n_pii"),
       col("__p.lang_id").as("lang_id"), col("__p.quality").as("quality"))
   }
+
+  /** Streaming LM-perplexity quality gate — the model-based
+    * counterpart of [[curationGate]]'s rule-based quality filter
+    * (CCNet keeps the low-perplexity head of the stream). The model
+    * is TRAINED OFFLINE on a batch corpus
+    * ([[graft.ext.LangModel.unigramCounts]] →
+    * [[graft.ext.LangModel.collectModel]]) and rides the
+    * [[graft.fn.UnigramNll]] expression into every task, so the gate
+    * is completely STATELESS — no watermark, no state store, batch
+    * and stream plans are the same narrow kernel. Docs with no
+    * tokens or perplexity above `maxPpl` drop.
+    *
+    * Contract: docs (doc_id: long, ts: long nanos, text: string) →
+    * (doc_id, ts·micros, text, avg_nll, ppl).
+    */
+  def perplexityGate(docs: DataFrame, model: Map[String, Long],
+                     total: Long, vocab: Long, maxPpl: Double,
+                     alpha: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    val nll = gb.column(graft.fn.UnigramNll(
+      gb.expression(col("text")), model, total, vocab, alpha))
+    docs
+      .select(col("doc_id"), EventStreams.tsCol.as("ts_t"), col("text"),
+        nll.as("__s"))
+      .filter(col("__s").isNotNull && exp(col("__s.avg_nll")) <= maxPpl)
+      .select(col("doc_id"), unix_micros(col("ts_t")).as("ts"), col("text"),
+        col("__s.avg_nll").as("avg_nll"), exp(col("__s.avg_nll")).as("ppl"))
+  }
 }

@@ -275,4 +275,48 @@ class DocStreamsSpec extends SparkSpec {
       assert(kept === Set(1L, 50L, 51L, 3L), s"kept=$kept")
     } finally q.stop()
   }
+
+  test("streaming perplexity gate: stream == batch, in-domain kept, garbled dropped") {
+    import org.apache.spark.sql.types._
+    import graft.ext.LangModel
+    val sch = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ts", LongType),
+      StructField("text", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("pplgate").toString
+    val min = 60L * 1000000000L
+    def write(rows: Seq[(Long, Long, String)]): Unit =
+      spark.createDataFrame(rows.toDF("doc_id", "ts", "text").rdd, sch)
+        .coalesce(1).write.mode("append").parquet(dir)
+
+    // model trained OFFLINE on the real corpus (the deployment shape)
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val (model, total, vocab) =
+      LangModel.collectModel(LangModel.unigramCounts(corpus, "text"))
+    // threshold between in-domain tokens and out-of-vocab garble
+    val domainTok = corpus.select(explode(split($"text", " ")).as("t"))
+      .filter($"t" =!= "").groupBy($"t").count()
+      .orderBy($"count".desc).head.getString(0)
+    val inDomain = Seq.fill(8)(domainTok).mkString(" ")
+    val garbled = "qxzv wvvq zzzk jjqx qqqq xkcd vvvv kkkk"
+    val maxPpl = vocab.toDouble // unseen-token ppl ~= (T+V) >> V >= seen
+    write(Seq((1L, 1 * min, inDomain), (2L, 2 * min, garbled), (3L, 3 * min, "")))
+    write(Seq((4L, 4 * min, s"$inDomain $inDomain")))
+
+    val q = DocStreams.perplexityGate(
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", "1").parquet(dir),
+        model, total, vocab, maxPpl)
+      .writeStream.format("memory").queryName("pplgate")
+      .outputMode("append").start()
+    val streamed = try {
+      q.processAllAvailable()
+      spark.table("pplgate").select($"doc_id", $"ppl").as[(Long, Double)]
+        .collect().toMap
+    } finally q.stop()
+    val batch = DocStreams.perplexityGate(
+        spark.read.schema(sch).parquet(dir), model, total, vocab, maxPpl)
+      .select($"doc_id", $"ppl").as[(Long, Double)].collect().toMap
+    assert(streamed === batch, "stateless gate must be plan-identical")
+    assert(streamed.keySet === Set(1L, 4L), s"kept=${streamed.keySet}")
+    assert(streamed.values.forall(_ <= maxPpl))
+  }
 }

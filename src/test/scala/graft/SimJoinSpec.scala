@@ -232,6 +232,19 @@ class SimJoinSpec extends SparkSpec {
     assert(kept === Set(1L, 10L, 99L))
   }
 
+  test("semantic dedup: oversized clusters are count-guarded out of the pair stage") {
+    // 5 near-identical vectors all land in cluster 0
+    val rows = (1L to 5L).map(i => (i, Seq(1.0, i * 1e-6))).toDF("vec_id", "v")
+    val seeds = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val unguarded = SimJoin.semanticDedupPairs(rows, "vec_id", "v", seeds, 0.9)
+    assert(unguarded.count() === 10) // C(5,2)
+    val guarded = SimJoin.semanticDedupPairs(rows, "vec_id", "v", seeds, 0.9,
+      maxCluster = 4)
+    assert(guarded.isEmpty, "cluster of 5 must be dropped at maxCluster=4")
+    assert(SimJoin.dropSemanticDups(rows, "vec_id", "v", seeds, 0.9,
+      maxCluster = 4).count() === 5)
+  }
+
   test("semantic dedup assignment: argmax cosine, lowest-cluster ties, narrow plan") {
     val rows = Seq((1L, Seq(1.0, 1.0)), (2L, Seq(0.0, 0.0))).toDF("vec_id", "v")
     val seeds = Seq(Seq(1.0, 1.0), Seq(2.0, 2.0), Seq(0.0, 1.0))
