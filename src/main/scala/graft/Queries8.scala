@@ -272,6 +272,111 @@ object Queries8 {
       .orderBy($"doc_id")
   }
 
+  // ---------------------- q108: composed round-5 curation pipeline
+  /** The round-5 operators composed end-to-end, every stage
+    * oracle-recomputed: (1) shared-span dedup — drop the larger id of
+    * every winnow pair; (2) perplexity gate — survivors scored under
+    * their OWN unigram LM, keep round(ppl,4) ≤ 30.2 (binding at
+    * every SF: the corpus mode is ~30, the garbled tail 40+); (3)
+    * per-source KMV distinct-token report over the final corpus.
+    * Matching proves the new operators compose without semantic
+    * drift — the q100 claim extended to the model/sketch family.
+    */
+  private val PplMax = 30.2
+
+  private def q108(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    val docs = docsPar(s, dir)
+    val dropIds = Dedup.winnowSharedPairs(docs, "doc_id", "text",
+        WinK, WinW, minShared = 2)
+      .select($"b_id".as("doc_id")).distinct()
+    val s1 = docs.join(dropIds, Seq("doc_id"), "left_anti")
+    val keep = LangModel.scoreNll(s1, "doc_id", "text",
+        LangModel.unigramCounts(s1, "text"))
+      .filter(round($"ppl", 4) <= PplMax)
+      .select($"doc_id")
+    val s2 = s1.join(keep, Seq("doc_id"), "left_semi")
+    val nDocs = s2.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+    val est = s2
+      .select($"source",
+        explode(gb.column(graft.fn.TermCounts(gb.expression($"text"))))
+          .as(Seq("tok", "tf")))
+      .groupBy($"source")
+      .agg(round(Sketches.kmvDistinct($"tok", KmvK), 4).as("n_tok_est"))
+    nDocs.join(est, Seq("source")).orderBy($"source")
+  }
+
+  private val q108Sql =
+    s"""WITH d AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id, i, len(toks) - $WinK + 1 AS m,
+       |    CAST(CONCAT('0x', SUBSTR(md5(
+       |      array_to_string(list_slice(toks, i + 1, i + $WinK), ' ')), 1, 15))
+       |      AS BIGINT) AS h
+       |  FROM d, UNNEST(range(0, GREATEST(0, len(toks) - ${WinK - 1}))) AS t(i)
+       |), win AS (
+       |  SELECT doc_id, i, m,
+       |    MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN CURRENT ROW AND ${WinW - 1} FOLLOWING) AS wmin
+       |  FROM sh
+       |), fps AS (
+       |  SELECT DISTINCT doc_id, wmin AS fp
+       |  FROM win WHERE i <= m - $WinW OR (m < $WinW AND i = 0)
+       |), ok AS (
+       |  SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 10000
+       |), pf AS (
+       |  SELECT doc_id, fp FROM fps JOIN ok USING (fp)
+       |), dropset AS (
+       |  SELECT DISTINCT b.doc_id
+       |  FROM pf a JOIN pf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 2
+       |), s1 AS (
+       |  SELECT doc_id, text, source FROM documents dd
+       |  WHERE NOT EXISTS (SELECT 1 FROM dropset WHERE dropset.doc_id = dd.doc_id)
+       |), toks1 AS (
+       |  SELECT doc_id, tok FROM (
+       |    SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM s1)
+       |  WHERE tok <> ''
+       |), c1 AS (
+       |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks1 GROUP BY tok
+       |), t1 AS (
+       |  SELECT CAST(SUM(cnt) AS DOUBLE) AS t, CAST(COUNT(*) AS DOUBLE) AS v FROM c1
+       |), keep AS (
+       |  SELECT toks1.doc_id
+       |  FROM toks1 JOIN c1 USING (tok) CROSS JOIN t1
+       |  GROUP BY toks1.doc_id
+       |  HAVING ROUND(EXP(SUM(-LN((c1.cnt + 1.0) / (t1.t + t1.v))) / COUNT(*)), 4)
+       |    <= $PplMax
+       |), s2 AS (
+       |  SELECT s1.doc_id, s1.text, s1.source FROM s1 JOIN keep USING (doc_id)
+       |), toks2 AS (
+       |  SELECT DISTINCT source, tok FROM (
+       |    SELECT source, UNNEST(string_split(text, ' ')) AS tok FROM s2)
+       |  WHERE tok <> ''
+       |), h2 AS (
+       |  SELECT DISTINCT source,
+       |    CAST(CONCAT('0x', SUBSTR(md5(tok), 1, 15)) AS BIGINT) AS h
+       |  FROM toks2
+       |), r2 AS (
+       |  SELECT source, h,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk,
+       |    COUNT(*) OVER (PARTITION BY source) AS nd
+       |  FROM h2
+       |), est AS (
+       |  SELECT source,
+       |    ROUND(CASE WHEN nd < $KmvK THEN CAST(nd AS DOUBLE)
+       |      ELSE ${KmvK - 1}.0 * POWER(2.0, 60) / CAST(h AS DOUBLE) END, 4)
+       |      AS n_tok_est
+       |  FROM r2 WHERE rk = LEAST(nd, $KmvK)
+       |)
+       |SELECT s2n.source, s2n.n_docs, est.n_tok_est
+       |FROM (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |      FROM s2 GROUP BY source) s2n
+       |JOIN est USING (source)
+       |ORDER BY source""".stripMargin
+
   // ------------------------------------------------------- registry
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -280,7 +385,8 @@ object Queries8 {
     "q104_winnow_fps" -> (q104 _),
     "q105_kmv_distinct" -> (q105 _),
     "q106_winnow_pairs" -> (q106 _),
-    "q107_bpe_tokens" -> (q107 _)
+    "q107_bpe_tokens" -> (q107 _),
+    "q108_curation_r5" -> (q108 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -288,7 +394,8 @@ object Queries8 {
     "q103_semantic_dedup" -> q103Sql,
     "q104_winnow_fps" -> q104Sql,
     "q105_kmv_distinct" -> q105Sql,
-    "q106_winnow_pairs" -> q106Sql
+    "q106_winnow_pairs" -> q106Sql,
+    "q108_curation_r5" -> q108Sql
   )
 
   private implicit class Dollar(val sc: StringContext) {
