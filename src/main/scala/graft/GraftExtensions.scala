@@ -147,6 +147,26 @@ object GraftExtensions {
         case other => throw new IllegalArgumentException(
           s"topk_freq expects (item[, weight], capacity, k); got ${other.size} args")
       }),
+    (
+      new FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[graft.fn.WinnowFingerprints].getName, "winnow_fps"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          s"winnow_fps expects (text, k, w); got ${children.size} args")
+        graft.fn.WinnowFingerprints(children(0), litInt(children(1), "k"),
+          litInt(children(2), "w"))
+      }),
+    (
+      new FunctionIdentifier("kmv_distinct"),
+      new ExpressionInfo(classOf[graft.fn.KmvDistinct].getName, "kmv_distinct"),
+      (children: Seq[Expression]) => {
+        // span fixed to the 60-bit order-hash convention: pair with
+        // conv(substr(md5(x), 1, 15), 16, 10) (Sketches.orderHash)
+        require(children.size == 2,
+          s"kmv_distinct expects (hash60, k); got ${children.size} args")
+        graft.fn.KmvDistinct(children(0), litInt(children(1), "k"),
+          graft.ext.Sketches.OrderHashSpan)
+      }),
     binaryFn("dot_product", classOf[ArrayDotProduct], ArrayDotProduct(_, _)),
     binaryFn("cosine_sim", classOf[CosineSim], CosineSim(_, _)),
     binaryFn("polyfit_solve", classOf[graft.fn.PolyfitSolve],

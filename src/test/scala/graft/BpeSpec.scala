@@ -63,6 +63,17 @@ class BpeSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("losslessness law: concatenated BPE tokens reproduce the text minus spaces") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val merges = Bpe.trainOn(real, "text", numMerges = 30)
+    val bad = real.select(
+        concat_ws("", Bpe.encode($"text", merges)).as("joined"),
+        regexp_replace($"text", " ", "").as("squashed"))
+      .filter($"joined" =!= $"squashed")
+    assert(bad.isEmpty, "BPE must never lose or invent characters")
+  }
+
   test("real corpus: BPE count bounded by chars and never below word count... sanity") {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select($"doc_id", $"text")

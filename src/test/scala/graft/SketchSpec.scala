@@ -56,6 +56,33 @@ class SketchSpec extends SparkSpec {
     assert(r.getString(0) === top.getString(0) && r.getLong(1) === top.getLong(1))
   }
 
+  test("winnow_fps and kmv_distinct on the SQL surface") {
+    GraftExtensions.install(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.createOrReplaceTempView("docs_sql")
+    // winnow_fps == the library wrapper
+    val sql = spark.sql(
+      """SELECT doc_id, explode(winnow_fps(text, 5, 4)) AS fp
+        |FROM docs_sql""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lib = graft.ext.Dedup.winnowFingerprints(docs, "doc_id", "text", 5, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sql === lib)
+    // kmv_distinct over the SQL-spelled order hash == the library column
+    val est = spark.sql(
+      """SELECT source,
+        |  kmv_distinct(CAST(conv(substring(md5(CAST(tok AS STRING)), 1, 15), 16, 10)
+        |    AS BIGINT), 16) AS est
+        |FROM (SELECT source, explode(split(text, ' ')) AS tok FROM docs_sql)
+        |WHERE tok <> '' GROUP BY source""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val libEst = docs.select($"source", explode(split($"text", " ")).as("tok"))
+      .filter($"tok" =!= "")
+      .groupBy($"source").agg(Sketches.kmvDistinct($"tok", 16).as("est"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(est === libEst)
+  }
+
   test("sampleBottomK picks exactly the k smallest order-hashes, via TakeOrdered") {
     val sample = Sketches.sampleBottomK(part, $"p_partkey", 50)
     val exact = part.withColumn("h", Sketches.orderHash($"p_partkey"))
