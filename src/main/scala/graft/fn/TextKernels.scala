@@ -250,7 +250,6 @@ object TextKernels {
         java.security.MessageDigest.getInstance("MD5")
     }
 
-  private val HexDigits = "0123456789abcdef".toCharArray
 
   /** Per-ROW k-wide MinHash signature under the CROSS-ENGINE PARITY
     * hash ([[graft.ext.Dedup.ParityHasher]]): content hash = first 15
@@ -266,46 +265,13 @@ object TextKernels {
                        a: Array[Long], b: Array[Long]): ArrayData = {
     val P = 2147483647L
     val k = a.length
-    val str = s.toString
-    val len = str.length
-    val toks = new java.util.ArrayList[String]
-    var i = 0
-    while (i < len) {
-      while (i < len && str.charAt(i) == ' ') i += 1
-      val start = i
-      while (i < len && str.charAt(i) != ' ') i += 1
-      if (i > start) toks.add(str.substring(start, i))
-    }
-    val m = toks.size - n + 1
-    if (m <= 0) return null
+    val hashes = shingleHashes60(s, n)
+    if (hashes == null) return null
     val mins = new Array[Long](k)
     java.util.Arrays.fill(mins, Long.MaxValue)
-    val md = md5Local.get()
-    val sb = new java.lang.StringBuilder
     var j = 0
-    while (j < m) {
-      sb.setLength(0)
-      var t = 0
-      while (t < n) {
-        if (t > 0) sb.append(' ')
-        sb.append(toks.get(j + t))
-        t += 1
-      }
-      md.reset()
-      val digest = md.digest(
-        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      // first 15 hex digits = the top 7.5 bytes of the digest; parse
-      // base-16 exactly as conv(substring(md5(x),1,15),16,10) does
-      val hexChars = new Array[Char](15)
-      var hc = 0
-      var bi = 0
-      while (hc < 15) {
-        val v = digest(bi) & 0xff
-        hexChars(hc) = HexDigits(v >>> 4); hc += 1
-        if (hc < 15) { hexChars(hc) = HexDigits(v & 0xf); hc += 1 }
-        bi += 1
-      }
-      val prepared = java.lang.Long.parseLong(new String(hexChars), 16) % P
+    while (j < hashes.length) {
+      val prepared = hashes(j) % P
       var h = 0
       while (h < k) {
         val v = (a(h) * prepared + b(h)) % P
@@ -317,24 +283,80 @@ object TextKernels {
     new GenericArrayData(mins)
   }
 
-  /** 60-bit md5 content hash: first 15 hex digits of md5(s) parsed
-    * base-16 — byte-identical to DuckDB/Spark SQL
-    * `conv(substring(md5(s), 1, 15), 16, 10)` (the
-    * [[graft.ext.Sketches.orderHash]] construction).
+  private val digestLocal = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](16)
+  }
+  private val scratchLocal = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](256)
+  }
+
+  /** 60-bit md5 hash of every n-token shingle of `s`, or null when
+    * the text has no n-shingle. The hash value equals
+    * `conv(substring(md5(shingle), 1, 15), 16, 10)` — the first 15
+    * hex digits ARE the top 60 bits of the digest read big-endian,
+    * so the value is taken straight from the digest bytes: no hex
+    * string, no parse. The whole loop is allocation-light: tokens
+    * are byte ranges into the UTF-8 payload (splitting on 0x20 is
+    * multi-byte-safe), each shingle is assembled in a reusable
+    * thread-local scratch buffer, and the digest reuses a
+    * thread-local 16-byte output. This is the shared hot loop of the
+    * parity-minhash and winnowing kernels (~n_tokens md5 calls per
+    * document — the dominant cost of both, so it must not also pay
+    * per-shingle garbage).
     */
-  private def md5Hash60(md: java.security.MessageDigest, s: String): Long = {
-    md.reset()
-    val digest = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val hexChars = new Array[Char](15)
-    var hc = 0
-    var bi = 0
-    while (hc < 15) {
-      val v = digest(bi) & 0xff
-      hexChars(hc) = HexDigits(v >>> 4); hc += 1
-      if (hc < 15) { hexChars(hc) = HexDigits(v & 0xf); hc += 1 }
-      bi += 1
+  private def shingleHashes60(s: UTF8String, n: Int): Array[Long] = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var nTok = 0
+    var i = 0
+    while (i < len) {
+      while (i < len && bytes(i) == ' ') i += 1
+      val st = i
+      while (i < len && bytes(i) != ' ') i += 1
+      if (i > st) {
+        if (nTok == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, nTok * 2)
+          ends = java.util.Arrays.copyOf(ends, nTok * 2)
+        }
+        starts(nTok) = st; ends(nTok) = i; nTok += 1
+      }
     }
-    java.lang.Long.parseLong(new String(hexChars), 16)
+    val m = nTok - n + 1
+    if (m <= 0) return null
+    val md = md5Local.get()
+    val out = digestLocal.get()
+    var scratch = scratchLocal.get()
+    val hashes = new Array[Long](m)
+    var j = 0
+    while (j < m) {
+      var slen = n - 1
+      var t = j
+      while (t < j + n) { slen += ends(t) - starts(t); t += 1 }
+      if (slen > scratch.length) {
+        scratch = new Array[Byte](java.lang.Integer.highestOneBit(slen) * 2)
+        scratchLocal.set(scratch)
+      }
+      var pos = 0
+      t = j
+      while (t < j + n) {
+        if (t > j) { scratch(pos) = ' '; pos += 1 }
+        val tl = ends(t) - starts(t)
+        System.arraycopy(bytes, starts(t), scratch, pos, tl)
+        pos += tl
+        t += 1
+      }
+      md.reset()
+      md.update(scratch, 0, pos)
+      md.digest(out, 0, 16)
+      var v = 0L
+      var bi = 0
+      while (bi < 7) { v = (v << 8) | (out(bi) & 0xffL); bi += 1 }
+      hashes(j) = (v << 4) | ((out(7) & 0xffL) >>> 4)
+      j += 1
+    }
+    hashes
   }
 
   /** Per-ROW winnowing fingerprints (Schleimer, Wilkerson & Aiken
@@ -350,33 +372,9 @@ object TextKernels {
     * no k-shingle return null.
     */
   def winnowFingerprints(s: UTF8String, k: Int, w: Int): ArrayData = {
-    val str = s.toString
-    val len = str.length
-    val toks = new java.util.ArrayList[String]
-    var i = 0
-    while (i < len) {
-      while (i < len && str.charAt(i) == ' ') i += 1
-      val start = i
-      while (i < len && str.charAt(i) != ' ') i += 1
-      if (i > start) toks.add(str.substring(start, i))
-    }
-    val m = toks.size - k + 1
-    if (m <= 0) return null
-    val md = md5Local.get()
-    val hashes = new Array[Long](m)
-    val sb = new java.lang.StringBuilder
-    var j = 0
-    while (j < m) {
-      sb.setLength(0)
-      var t = 0
-      while (t < k) {
-        if (t > 0) sb.append(' ')
-        sb.append(toks.get(j + t))
-        t += 1
-      }
-      hashes(j) = md5Hash60(md, sb.toString)
-      j += 1
-    }
+    val hashes = shingleHashes60(s, k)
+    if (hashes == null) return null
+    val m = hashes.length
     val sel = new java.util.TreeSet[java.lang.Long]
     if (m <= w) {
       var min = java.lang.Long.MAX_VALUE
