@@ -36,6 +36,61 @@ class ExtPropertySpec extends SparkSpec {
     }
   }
 
+  test("winnowing laws on random docs: kernel == brute force, density, subset") {
+    def hash60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).take(8)
+        .map(b => f"${b & 0xff}%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def brute(t: String, k: Int, w: Int): Set[Long] = {
+      val hs = t.split(" ").filter(_.nonEmpty).sliding(k)
+        .filter(_.length == k).map(sh => hash60(sh.mkString(" "))).toArray
+      if (hs.isEmpty) Set.empty
+      else if (hs.length <= w) Set(hs.min)
+      else (0 to hs.length - w).map(j => hs.slice(j, j + w).min).toSet
+    }
+    for ((k, w) <- Seq((3, 4), (5, 2), (2, 8))) {
+      val got = Dedup.winnowFingerprints(docs, "doc_id", "text", k, w)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val texts = docs.as[(Long, String)].collect()
+      texts.foreach { case (id, t) =>
+        val want = brute(t, k, w)
+        assert(got.getOrElse(id, Set.empty[Long]) === want, s"k=$k w=$w id=$id")
+        // fingerprints are a SUBSET of the shingle hash set
+        val all = t.split(" ").filter(_.nonEmpty).sliding(k)
+          .filter(_.length == k).map(sh => hash60(sh.mkString(" "))).toSet
+        assert(want.subsetOf(all))
+      }
+    }
+  }
+
+  test("kmv law: sketch equals closed-form bottom-k on random groups, any partitioning") {
+    import graft.ext.Sketches
+    val rows = (0 until 3000)
+      .map(i => (s"g${rnd.nextInt(4)}", s"v${rnd.nextInt(700)}"))
+    val df = rows.toDF("g", "v")
+    for (parts <- Seq(1, 7)) {
+      val est = df.repartition(parts).groupBy($"g")
+        .agg(Sketches.kmvDistinct($"v", 24).as("e"))
+        .as[(String, Double)].collect().toMap
+      // closed form from the exact distinct hash sets
+      val want = rows.groupBy(_._1).map { case (g, rs) =>
+        val hs = rs.map(_._2).distinct
+          .map { v =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+            java.lang.Long.parseLong(
+              md.digest(v.getBytes("UTF-8")).take(8)
+                .map(b => f"${b & 0xff}%02x").mkString.take(15), 16)
+          }.distinct.sorted
+        g -> (if (hs.size < 24) hs.size.toDouble
+              else 23.0 * math.pow(2.0, 60) / hs(23).toDouble)
+      }
+      assert(est === want, s"parts=$parts")
+    }
+  }
+
   test("pair invariants: jaccard in [0,1], a_id < b_id, dedup output is a subset") {
     val pairs = Dedup.nearDupPairs(docs, "doc_id", "text",
       n = 2, k = 16, b = 8, minJaccard = 0.0)

@@ -71,4 +71,34 @@ class NegativePathSpec extends SparkSpec {
         array(lit(1.0)).as("f"), lit(1).as("y")), "f", "y", iters = 0)
     }.getMessage.contains("iters"))
   }
+
+  test("round-5 operators reject malformed parameters with clear errors") {
+    import graft.ext.{Bpe, LangModel, SimJoin}
+    val docs = Seq((1L, "a b c")).toDF("id", "text")
+    assert(intercept[IllegalArgumentException] {
+      graft.fn.WinnowFingerprints(
+        org.apache.spark.sql.graftbridge.expression($"text"), 0, 4)
+    }.getMessage.contains("shingle"))
+    assert(intercept[IllegalArgumentException] {
+      graft.fn.KmvDistinct(
+        org.apache.spark.sql.graftbridge.expression($"id"), 1, 100.0)
+    }.getMessage.contains("k must be >= 2"))
+    assert(intercept[IllegalArgumentException] {
+      Bpe.train(Seq("a" -> 1L), -1)
+    }.getMessage.contains("numMerges"))
+    assert(intercept[IllegalArgumentException] {
+      SimJoin.seedCentroids(docs.select($"id", array(lit(1.0)).as("v")),
+        "id", "v", 0)
+    }.getMessage.contains("seed"))
+    assert(intercept[IllegalArgumentException] {
+      graft.fn.UnigramNll(
+        org.apache.spark.sql.graftbridge.expression($"text"),
+        Map("a" -> 1L), 1L, 1L, alpha = 0.0)
+    }.getMessage.contains("alpha"))
+    // vocab guard fails FAST instead of collecting unbounded state
+    val counts = Seq(("a", 1L), ("b", 1L), ("c", 1L)).toDF("tok", "cnt")
+    assert(intercept[IllegalArgumentException] {
+      LangModel.collectModel(counts, maxVocab = 2L)
+    }.getMessage.contains("maxVocab"))
+  }
 }
