@@ -272,6 +272,61 @@ object Queries8 {
       .orderBy($"doc_id")
   }
 
+  // ------------------------------- q109: interpolated bigram LM
+  /** Interpolated bigram LM perplexity (Jelinek-Mercer, λ=0.7, α=1 —
+    * the order-2 form of the CCNet quality signal): both count
+    * tables broadcast into the narrow [[graft.fn.BigramNll]] kernel;
+    * the oracle rebuilds positions with range-unnest, recomputes
+    * unigram/bigram counts, and folds the IDENTICAL interpolation
+    * expression (operation order matched term by term).
+    */
+  private def q109(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsPar(s, dir)
+    LangModel.scoreBigramNll(docs, "doc_id", "text",
+        LangModel.unigramCounts(docs, "text"),
+        LangModel.bigramCounts(docs, "text"),
+        alpha = 1.0, lambda = 0.7)
+      .filter($"doc_id" < 300)
+      .select($"doc_id", $"n_toks",
+        round($"avg_nll", 6).as("avg_nll"), round($"ppl", 4).as("ppl"))
+      .orderBy($"doc_id")
+  }
+
+  private val q109Sql =
+    """WITH d AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      |  FROM documents
+      |), pos AS (
+      |  SELECT doc_id, i, toks[i + 1] AS tok,
+      |    CASE WHEN i = 0 THEN NULL ELSE toks[i] END AS prev
+      |  FROM d, UNNEST(range(0, len(toks))) AS t(i)
+      |), uni AS (
+      |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM pos GROUP BY tok
+      |), tot AS (
+      |  SELECT CAST(SUM(cnt) AS DOUBLE) AS t, CAST(COUNT(*) AS DOUBLE) AS v FROM uni
+      |), bi AS (
+      |  SELECT prev, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM pos WHERE prev IS NOT NULL GROUP BY 1, 2
+      |), nll AS (
+      |  SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+      |    SUM(-LN(CASE WHEN p.prev IS NULL
+      |      THEN (u.cnt + 1.0) / (tot.t + tot.v)
+      |      -- (1.0 - 0.7), NOT the literal 0.3: the kernel computes the
+      |      -- lambda complement in IEEE doubles (0.30000000000000004)
+      |      ELSE 0.7 * COALESCE(b.cnt, 0) / up.cnt
+      |         + (1.0 - 0.7) * (u.cnt + 1.0) / (tot.t + tot.v) END)) / COUNT(*) AS avg_nll
+      |  FROM pos p
+      |  JOIN uni u ON u.tok = p.tok
+      |  CROSS JOIN tot
+      |  LEFT JOIN bi b ON b.prev = p.prev AND b.tok = p.tok
+      |  LEFT JOIN uni up ON up.tok = p.prev
+      |  WHERE p.doc_id < 300
+      |  GROUP BY p.doc_id
+      |)
+      |SELECT doc_id, n_toks, ROUND(avg_nll, 6) AS avg_nll,
+      |  ROUND(EXP(avg_nll), 4) AS ppl
+      |FROM nll ORDER BY doc_id""".stripMargin
+
   // ---------------------- q108: composed round-5 curation pipeline
   /** The round-5 operators composed end-to-end, every stage
     * oracle-recomputed: (1) shared-span dedup — drop the larger id of
@@ -386,7 +441,8 @@ object Queries8 {
     "q105_kmv_distinct" -> (q105 _),
     "q106_winnow_pairs" -> (q106 _),
     "q107_bpe_tokens" -> (q107 _),
-    "q108_curation_r5" -> (q108 _)
+    "q108_curation_r5" -> (q108 _),
+    "q109_bigram_lm" -> (q109 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -395,7 +451,8 @@ object Queries8 {
     "q104_winnow_fps" -> q104Sql,
     "q105_kmv_distinct" -> q105Sql,
     "q106_winnow_pairs" -> q106Sql,
-    "q108_curation_r5" -> q108Sql
+    "q108_curation_r5" -> q108Sql,
+    "q109_bigram_lm" -> q109Sql
   )
 
   private implicit class Dollar(val sc: StringContext) {

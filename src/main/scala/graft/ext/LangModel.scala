@@ -107,4 +107,49 @@ object LangModel {
   def perplexity(docs: DataFrame, idCol: String, textCol: String,
                  alpha: Double = 1.0): DataFrame =
     scoreNll(docs, idCol, textCol, unigramCounts(docs, textCol), alpha)
+
+  // ---------------------------------------------------- bigram LM
+
+  /** Corpus bigram counts (prev, tok, cnt) — history does not cross
+    * document boundaries (the first token of each doc has no prev).
+    * One corpus-distinct-bigram-sized shuffle; the (prev, tok) key is
+    * derived inside the scan span from the token array, no join.
+    */
+  def bigramCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(array_remove(split(col(textCol), " "), "").as("__toks"))
+      .select(posexplode(col("__toks")).as(Seq("__i", "tok")), col("__toks"))
+      .filter(col("__i") > 0)
+      .select(element_at(col("__toks"), col("__i")).as("prev"), col("tok"))
+      .groupBy(col("prev"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Per-doc interpolated bigram NLL (Jelinek-Mercer — the shape real
+    * CCNet/KenLM quality scoring uses, order 2):
+    * p(w|h) = λ·c(h,w)/c(h) + (1−λ)·(c(w)+α)/(T+αV), first token
+    * unigram-only. Narrow broadcast kernel
+    * ([[graft.fn.BigramNll]]); both count tables ride the
+    * expression — guarded by `maxBroadcast` (distinct bigrams in
+    * natural corpora grow sublinearly; past the guard, fail fast and
+    * fall back to [[scoreNll]] or a sampled model upstream).
+    * Returns (idCol, n_toks, avg_nll, ppl).
+    */
+  def scoreBigramNll(docs: DataFrame, idCol: String, textCol: String,
+                     uniCounts: DataFrame, biCounts: DataFrame,
+                     alpha: Double = 1.0, lambda: Double = 0.7,
+                     maxBroadcast: Long = 8000000L): DataFrame = {
+    val (uni, total, vocab) = collectModel(uniCounts, maxBroadcast)
+    val nBi = biCounts.limit((maxBroadcast + 1).toInt).count()
+    require(nBi <= maxBroadcast,
+      s"bigram table exceeds maxBroadcast=$maxBroadcast; sample the corpus or use scoreNll")
+    val bi = biCounts.collect()
+      .map(r => (r.getString(0) + " " + r.getString(1)) -> r.getLong(2)).toMap
+    val nll = gb.column(graft.fn.BigramNll(
+      gb.expression(col(textCol)), uni, bi, total, vocab, alpha, lambda))
+    docs.select(col(idCol), nll.as("__s"))
+      .filter(col("__s").isNotNull)
+      .select(col(idCol), col("__s.n_toks").as("n_toks"),
+        col("__s.avg_nll").as("avg_nll"),
+        exp(col("__s.avg_nll")).as("ppl"))
+  }
 }

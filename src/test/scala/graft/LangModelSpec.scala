@@ -72,6 +72,50 @@ class LangModelSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("bigram counts respect doc boundaries; hand-computed interpolated NLL") {
+    // corpus: "a b" and "b a b" — bigrams: (a,b)x2, (b,a)x1; the
+    // doc boundary between "a b" and "b a b" contributes NO (b,b)
+    val docs2 = Seq((1L, "a b"), (2L, "b a b")).toDF("doc_id", "text")
+    val bi = LangModel.bigramCounts(docs2, "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(bi === Map(("a", "b") -> 2L, ("b", "a") -> 1L))
+    val uniC = LangModel.unigramCounts(docs2, "text")
+    val scored = LangModel.scoreBigramNll(docs2, "doc_id", "text", uniC,
+        LangModel.bigramCounts(docs2, "text"), alpha = 1.0, lambda = 0.7)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // uni: a->2, b->3; T=5, V=2, denom=7
+    val (lam, om) = (0.7, 1.0 - 0.7)
+    def uniT(c: Double) = (c + 1.0) / 7.0
+    // doc 1 "a b": p(a)=uniT(2); p(b|a)= .7*2/2 + .3*uniT(3)
+    val d1 = -(math.log(uniT(2)) +
+      math.log(lam * 2 / 2 + om * (3 + 1.0) / 7.0)) / 2
+    // doc 2 "b a b": p(b)=uniT(3); p(a|b)=.7*1/3+.3*uniT(2); p(b|a)=.7*2/2+.3*uniT(3)
+    val d2 = -(math.log(uniT(3)) +
+      math.log(lam * 1 / 3 + om * (2 + 1.0) / 7.0) +
+      math.log(lam * 2 / 2 + om * (3 + 1.0) / 7.0)) / 3
+    assert(math.abs(scored(1L) - d1) < 1e-12, s"${scored(1L)} vs $d1")
+    assert(math.abs(scored(2L) - d2) < 1e-12, s"${scored(2L)} vs $d2")
+  }
+
+  test("bigram LM separates fluent word order from scrambled order") {
+    // train on consistent word order; score a doc with the SAME tokens
+    // in fluent vs scrambled order — unigram ppl ties, bigram must not
+    val train = (1L to 20L).map(i => (i, "the cat sat on the mat"))
+      .toDF("doc_id", "text")
+    val uni = LangModel.unigramCounts(train, "text")
+    val bi = LangModel.bigramCounts(train, "text")
+    val probe = Seq((100L, "the cat sat on the mat"),
+      (101L, "mat the on sat cat the")).toDF("doc_id", "text")
+    val ppl = LangModel.scoreBigramNll(probe, "doc_id", "text", uni, bi)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(ppl(100L) < ppl(101L),
+      s"fluent ${ppl(100L)} must beat scrambled ${ppl(101L)}")
+    val uniPpl = LangModel.scoreNll(probe, "doc_id", "text", uni)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(math.abs(uniPpl(100L) - uniPpl(101L)) < 1e-9,
+      "unigram cannot see order — the bigram separation is real signal")
+  }
+
   test("perplexity one-call form runs end-to-end on real docs") {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = LangModel.perplexity(real, "doc_id", "text")
