@@ -272,6 +272,81 @@ object Queries8 {
       .orderBy($"doc_id")
   }
 
+  // ------------------------------ q110: quantized IVF retrieval
+  /** IVF ANN over the int8-QUANTIZED corpus (the 100 TB storage
+    * form — fp vectors never read at query time): deterministic seed
+    * centroids, [[graft.ext.SimJoin.assignCell]] cell assignment
+    * (2·v·c − |c|², ties toward the HIGHER cell — struct-max), each
+    * query probes its top-2 cells, candidates score by cosine
+    * against the dequantized reconstruction. The oracle replays
+    * seeds, assignment, probe ranking, q93's quantization arithmetic,
+    * and the final rank — end to end in SQL.
+    */
+  private val IvfSeeds = 8
+
+  private def q110(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+    val seeds = SimJoin.seedCentroids(emb, "vec_id", "v", IvfSeeds)
+    val qc = SimJoin.quantizedCorpus(emb, "vec_id", "v", seeds)
+    SimJoin.ivfTopKQuantized(qc, emb.filter($"vec_id" < 5), "vec_id", "v",
+        k = 5, seeds, nProbe = 2)
+      .select($"q_id", $"rk", $"vec_id", round($"cos_sim", 6).as("cos_sim"))
+      .orderBy($"q_id", $"rk")
+  }
+
+  private val q110Sql =
+    s"""WITH e AS (
+       |  SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), seeds AS (
+       |  SELECT v, ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell
+       |  FROM (
+       |    SELECT vec_id, v,
+       |      CAST(CONCAT('0x', SUBSTR(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       |    FROM e ORDER BY h, vec_id LIMIT $IvfSeeds)
+       |), cellscore AS (
+       |  SELECT e.vec_id, s.cell,
+       |    LIST_DOT_PRODUCT(e.v, s.v) * 2.0 - LIST_DOT_PRODUCT(s.v, s.v) AS score
+       |  FROM e CROSS JOIN seeds s
+       |), assign AS (
+       |  -- assignCell tie rule: struct-max -> higher cell wins ties
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rk
+       |    FROM cellscore)
+       |  WHERE rk = 1
+       |), qprobe AS (
+       |  SELECT vec_id AS q_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rk
+       |    FROM cellscore WHERE vec_id < 5)
+       |  WHERE rk <= 2
+       |), quant AS (
+       |  SELECT vec_id, scale,
+       |    LIST_TRANSFORM(v, x -> CASE WHEN scale = 0 THEN 0
+       |      ELSE CAST(GREATEST(-127.0, LEAST(127.0, FLOOR(x / scale + 0.5))) AS INTEGER)
+       |      END) AS q
+       |  FROM (SELECT vec_id, v,
+       |          LIST_MAX(LIST_TRANSFORM(v, x -> ABS(x))) / 127.0 AS scale
+       |        FROM e)
+       |), scored AS (
+       |  SELECT qp.q_id, a.vec_id,
+       |    LIST_DOT_PRODUCT(qe.v, LIST_TRANSFORM(qt.q, x -> x * qt.scale)) /
+       |      (SQRT(LIST_DOT_PRODUCT(qe.v, qe.v)) *
+       |       SQRT(LIST_DOT_PRODUCT(LIST_TRANSFORM(qt.q, x -> x * qt.scale),
+       |                             LIST_TRANSFORM(qt.q, x -> x * qt.scale)))) AS cos_sim
+       |  FROM qprobe qp
+       |  JOIN assign a ON a.cell = qp.cell AND a.vec_id <> qp.q_id
+       |  JOIN quant qt ON qt.vec_id = a.vec_id
+       |  JOIN e qe ON qe.vec_id = qp.q_id
+       |)
+       |SELECT q_id, rk, vec_id, ROUND(cos_sim, 6) AS cos_sim FROM (
+       |  SELECT q_id, vec_id, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rk
+       |  FROM scored)
+       |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
   // ------------------------------- q109: interpolated bigram LM
   /** Interpolated bigram LM perplexity (Jelinek-Mercer, λ=0.7, α=1 —
     * the order-2 form of the CCNet quality signal): both count
@@ -442,7 +517,8 @@ object Queries8 {
     "q106_winnow_pairs" -> (q106 _),
     "q107_bpe_tokens" -> (q107 _),
     "q108_curation_r5" -> (q108 _),
-    "q109_bigram_lm" -> (q109 _)
+    "q109_bigram_lm" -> (q109 _),
+    "q110_ivf_quantized" -> (q110 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -452,7 +528,8 @@ object Queries8 {
     "q105_kmv_distinct" -> q105Sql,
     "q106_winnow_pairs" -> q106Sql,
     "q108_curation_r5" -> q108Sql,
-    "q109_bigram_lm" -> q109Sql
+    "q109_bigram_lm" -> q109Sql,
+    "q110_ivf_quantized" -> q110Sql
   )
 
   private implicit class Dollar(val sc: StringContext) {

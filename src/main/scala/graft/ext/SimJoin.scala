@@ -204,6 +204,53 @@ object SimJoin {
       .select(col("q_id"), col("rk"), col(idCol), col("cos_sim"))
   }
 
+  /** The int8-quantized corpus table for [[ivfTopKQuantized]]:
+    * (idCol, cell, scale, q) — the 100 TB STORAGE form of an
+    * embedding corpus (4× smaller than fp32, 8× than fp64; a 10 B ×
+    * 768-dim corpus drops from ~30 TB to ~7.5 TB). Cell assignment is
+    * computed from the full-precision vector ONCE at build time,
+    * then the fp vector is dropped.
+    */
+  def quantizedCorpus(corpus: DataFrame, idCol: String, vecCol: String,
+                      centroids: Seq[Seq[Double]]): DataFrame = {
+    val scale = int8Scale(col(vecCol))
+    corpus.select(col(idCol),
+        assignCell(col(vecCol), centroids).as("__cell"),
+        scale.as("__scale"),
+        quantizeInt8(col(vecCol), scale).as("__q"))
+  }
+
+  /** IVF ANN over the QUANTIZED corpus: probe cells exactly as
+    * [[ivfTopK]], but candidates score against the dequantized int8
+    * reconstruction — the corpus's full-precision vectors are never
+    * read at query time (at 100 TB they need not even exist).
+    * Queries stay full-precision (they are tiny). Ranking error is
+    * bounded by the int8 reconstruction cosine (≥ 0.9999 for unit-ish
+    * vectors — SimJoinSpec), so recall tracks the fp path at the same
+    * nProbe; rk ties still break by id.
+    */
+  def ivfTopKQuantized(qCorpus: DataFrame, queries: DataFrame, idCol: String,
+                       vecCol: String, k: Int, centroids: Seq[Seq[Double]],
+                       nProbe: Int): DataFrame = {
+    val probeCells = sort_array(
+      array(cellScores(col(vecCol), centroids).zipWithIndex.map { case (s, i) =>
+        struct(s.as("score"), lit(i).as("cell"))
+      }: _*), asc = false)
+    val qCells = queries
+      .withColumn("__probe", explode(slice(probeCells, 1, nProbe)))
+      .select(col(idCol).as("q_id"), col(vecCol).as("__qv"),
+        col("__probe.cell").as("__cell"))
+    val scored = qCorpus.join(qCells, "__cell")
+      .filter(col(idCol) =!= col("q_id"))
+      .withColumn("cos_sim",
+        cosine(col("__qv"), dequantize(col("__q"), col("__scale"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col(idCol).asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col(idCol), col("cos_sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs — the embedding member of
     * the dedup family (ext/Dedup covers exact / MinHash / SimHash /
     * n-gram Jaccard): corpus SELF-pairs sharing an LSH band bucket,

@@ -232,6 +232,28 @@ class SimJoinSpec extends SparkSpec {
     assert(kept === Set(1L, 10L, 99L))
   }
 
+  test("quantized IVF: recall matches the fp path, fp vectors never read at query time") {
+    val cents = SimJoin.ivfCentroids(emb, "vec_id", "v", k = 16, iters = 3)
+    val queries = emb.filter($"vec_id" < 5)
+    val fp = SimJoin.ivfTopK(emb, queries, "vec_id", "v", 5, cents, 8)
+      .select($"q_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val qc = SimJoin.quantizedCorpus(emb, "vec_id", "v", cents)
+    assert(qc.columns.toSet === Set("vec_id", "__cell", "__scale", "__q"),
+      "quantized corpus must not carry the fp vector")
+    val q8 = SimJoin.ivfTopKQuantized(qc, queries, "vec_id", "v", 5, cents, 8)
+      .select($"q_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val overlap = (fp & q8).size.toDouble / fp.size
+    assert(overlap >= 0.9, s"quantized recall vs fp path: $overlap")
+    // scores are within the int8 reconstruction envelope
+    val both = SimJoin.ivfTopK(emb, queries, "vec_id", "v", 5, cents, 8)
+      .select($"q_id", $"vec_id", $"cos_sim".as("fp_cos"))
+      .join(SimJoin.ivfTopKQuantized(qc, queries, "vec_id", "v", 5, cents, 8)
+        .select($"q_id", $"vec_id", $"cos_sim".as("q_cos")),
+        Seq("q_id", "vec_id"))
+      .select(max(abs($"fp_cos" - $"q_cos"))).head.getDouble(0)
+    assert(both < 0.01, s"max score drift $both")
+  }
+
   test("semantic dedup: oversized clusters are count-guarded out of the pair stage") {
     // 5 near-identical vectors all land in cluster 0
     val rows = (1L to 5L).map(i => (i, Seq(1.0, i * 1e-6))).toDF("vec_id", "v")
