@@ -143,6 +143,30 @@ class SketchSpec extends SparkSpec {
     assert(got("b") === ("p", 2L))
   }
 
+  test("kmv_distinct as streaming state: cross-batch merge equals the batch sketch") {
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(
+      StructField("grp", StringType), StructField("item", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("kmvstream").toString
+    def write(rows: Seq[(String, String)]): Unit =
+      spark.createDataFrame(rows.toDF("grp", "item").rdd, sch)
+        .coalesce(1).write.mode("append").parquet(dir)
+    // overlapping batches: only set-union merge counts v0..v39 once
+    write((0 until 30).map(i => ("a", s"v$i")))
+    write((10 until 40).map(i => ("a", s"v$i")))
+    val q = spark.readStream.schema(sch).option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .groupBy($"grp").agg(Sketches.kmvDistinct($"item", 16).as("e"))
+      .writeStream.format("memory").queryName("kmvst")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("kmvst").as[(String, Double)].collect().toMap
+    val batch = spark.read.schema(sch).parquet(dir)
+      .groupBy($"grp").agg(Sketches.kmvDistinct($"item", 16).as("e"))
+      .as[(String, Double)].collect().toMap
+    assert(streamed === batch, "streaming state merge must equal batch")
+  }
+
   test("randomized sketch law: capacity >= distinct ==> sketch == naive counts") {
     val rnd = new scala.util.Random(77)
     for (trial <- 1 to 5) {
