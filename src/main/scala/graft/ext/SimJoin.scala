@@ -194,7 +194,12 @@ object SimJoin {
       .withColumn("__probe", explode(slice(probeCells, 1, nProbe)))
       .select(col(idCol).as("q_id"), col(vecCol).as("__qv"),
         col("__probe.cell").as("__cell"))
-    val scored = corpusCells.join(qCells, "__cell")
+    // queries are small BY CONTRACT: broadcast them so the corpus
+    // side never shuffles — the plain equi-join would hash-partition
+    // the whole corpus on __cell, a key with only |centroids| distinct
+    // values (parallelism collapses to k and the hot cell skews;
+    // measured 7.8 s -> sub-second at sf1 on the quantized path)
+    val scored = corpusCells.join(broadcast(qCells), "__cell")
       .filter(col(idCol) =!= col("q_id"))
       .withColumn("cos_sim", cosine(col("__qv"), col(vecCol)))
     val w = org.apache.spark.sql.expressions.Window
@@ -240,10 +245,15 @@ object SimJoin {
       .withColumn("__probe", explode(slice(probeCells, 1, nProbe)))
       .select(col(idCol).as("q_id"), col(vecCol).as("__qv"),
         col("__probe.cell").as("__cell"))
-    val scored = qCorpus.join(qCells, "__cell")
+    // broadcast for the same reason as [[ivfTopK]]: a shuffle join on
+    // __cell has only |centroids| distinct keys
+    val scored = qCorpus.join(broadcast(qCells), "__cell")
       .filter(col(idCol) =!= col("q_id"))
-      .withColumn("cos_sim",
-        cosine(col("__qv"), dequantize(col("__q"), col("__scale"))))
+      .withColumn("cos_sim", {
+        import org.apache.spark.sql.{graftbridge => gb}
+        gb.column(graft.fn.CosineSimQ8(gb.expression(col("__qv")),
+          gb.expression(col("__q")), gb.expression(col("__scale"))))
+      })
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col(idCol).asc)
     scored.withColumn("rk", row_number().over(w))
@@ -331,8 +341,10 @@ object SimJoin {
   /** Per-vector symmetric int8 quantization scale: max|x| / 127
     * (0 for the all-zero vector, by convention).
     */
-  def int8Scale(v: Column): Column =
-    array_max(transform(v, x => abs(x))) / lit(127.0)
+  def int8Scale(v: Column): Column = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    gb.column(graft.fn.Int8Scale(gb.expression(v)))
+  }
 
   /** Symmetric int8 quantization of a double-array embedding under a
     * precomputed `scale` column: q_i = floor(x_i/scale + 0.5), clamped
@@ -347,12 +359,10 @@ object SimJoin {
     * kernels for scoring. Purely narrow per-row math: no shuffle, any
     * scale.
     */
-  def quantizeInt8(v: Column, scale: Column): Column =
-    transform(v, x =>
-      when(scale === 0.0, lit(0))
-        .otherwise(greatest(lit(-127.0),
-          least(lit(127.0), floor(x / scale + 0.5))))
-        .cast("int"))
+  def quantizeInt8(v: Column, scale: Column): Column = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    gb.column(graft.fn.QuantizeInt8(gb.expression(v), gb.expression(scale)))
+  }
 
   /** Reconstruct the double array a quantized vector represents:
     * x̂_i = q_i · scale. Feed to [[dot]]/[[cosine]] for quantized

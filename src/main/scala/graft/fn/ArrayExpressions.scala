@@ -67,3 +67,91 @@ case class CosineSim(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Fused quantized cosine `cos(fp, q·scale)` — the int8-candidate
+  * scoring kernel ([[VecKernels.cosineQ8Boxed]]): no dequantized
+  * intermediate array, no interpreted HOF lambda. Bit-identical to
+  * `CosineSim(fp, dequantize(q, scale))`.
+  */
+case class CosineSimQ8(first: Expression, second: Expression, third: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+  with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(org.apache.spark.sql.types.IntegerType),
+      DoubleType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_sim_q8"
+
+  override protected def nullSafeEval(a: Any, q: Any, s: Any): Any =
+    VecKernels.cosineQ8Boxed(a.asInstanceOf[ArrayData], q.asInstanceOf[ArrayData],
+      s.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, q, s) =>
+      s"""
+         |java.lang.Double ${ev.value}_r = graft.fn.VecKernels.cosineQ8Boxed($a, $q, $s);
+         |if (${ev.value}_r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}_r.doubleValue();
+         |}
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      f: Expression, sec: Expression, t: Expression): Expression =
+    copy(first = f, second = sec, third = t)
+}
+
+/** max(|x|)/127 — the symmetric int8 scale as one compiled pass. */
+case class Int8Scale(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "int8_scale"
+
+  override protected def nullSafeEval(v: Any): Any =
+    VecKernels.int8ScaleBoxed(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""
+         |java.lang.Double ${ev.value}_r = graft.fn.VecKernels.int8ScaleBoxed($v);
+         |if (${ev.value}_r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}_r.doubleValue();
+         |}
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Symmetric int8 quantization as one compiled pass — numerically
+  * identical to the HOF chain the q93/q110 oracles replicate.
+  */
+case class QuantizeInt8(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), DoubleType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = true)
+  override def nullable: Boolean = true
+  override def prettyName: String = "quantize_int8"
+
+  override protected def nullSafeEval(v: Any, s: Any): Any =
+    VecKernels.quantizeInt8(v.asInstanceOf[ArrayData], s.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, s) =>
+      s"""
+         |${ev.value} = graft.fn.VecKernels.quantizeInt8($v, $s);
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
