@@ -169,6 +169,17 @@ object GraftExtensions {
       }),
     binaryFn("dot_product", classOf[ArrayDotProduct], ArrayDotProduct(_, _)),
     binaryFn("cosine_sim", classOf[CosineSim], CosineSim(_, _)),
+    unaryFn("int8_scale", classOf[graft.fn.Int8Scale], graft.fn.Int8Scale(_)),
+    binaryFn("quantize_int8", classOf[graft.fn.QuantizeInt8],
+      graft.fn.QuantizeInt8(_, _)),
+    (
+      new FunctionIdentifier("cosine_sim_q8"),
+      new ExpressionInfo(classOf[graft.fn.CosineSimQ8].getName, "cosine_sim_q8"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          s"cosine_sim_q8 expects (fp_vec, q_vec, scale); got ${children.size} args")
+        graft.fn.CosineSimQ8(children(0), children(1), children(2))
+      }),
     binaryFn("polyfit_solve", classOf[graft.fn.PolyfitSolve],
       graft.fn.PolyfitSolve(_, _)),
     // SimHash distance: composition of codegen built-ins, no custom kernel

@@ -232,6 +232,23 @@ class SimJoinSpec extends SparkSpec {
     assert(kept === Set(1L, 10L, 99L))
   }
 
+  test("quantization kernels on the SQL surface match the library columns") {
+    GraftExtensions.install(spark)
+    emb.limit(50).createOrReplaceTempView("emb_sql")
+    val sql = spark.sql(
+      """SELECT vec_id, int8_scale(v) AS s,
+        |  cosine_sim_q8(v, quantize_int8(v, int8_scale(v)), int8_scale(v)) AS c
+        |FROM emb_sql""".stripMargin)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val lib = emb.limit(50)
+      .select($"vec_id", $"v", SimJoin.int8Scale($"v").as("s"))
+      .withColumn("q", SimJoin.quantizeInt8($"v", $"s"))
+      .withColumn("c", SimJoin.cosine($"v", SimJoin.dequantize($"q", $"s")))
+      .select($"vec_id", $"s", $"c")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(sql === lib, "SQL kernels must be bit-identical to the library path")
+  }
+
   test("quantized IVF: recall matches the fp path, fp vectors never read at query time") {
     val cents = SimJoin.ivfCentroids(emb, "vec_id", "v", k = 16, iters = 3)
     val queries = emb.filter($"vec_id" < 5)
