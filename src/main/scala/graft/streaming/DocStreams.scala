@@ -72,6 +72,54 @@ object DocStreams {
       .select(col("doc_id"), unix_micros(col("ts_t")).as("ts"))
   }
 
+  /** Streaming shared-SPAN filter — the winnowing face of
+    * [[nearDupFilter]] (which matches whole-document SIMILARITY;
+    * this matches verbatim token runs ≥ k+w−1, the
+    * [[graft.ext.Dedup.winnowSharedPairs]] semantics): a document
+    * drops when ANY of its winnow fingerprints was already deposited
+    * by an earlier document inside the watermark horizon.
+    *
+    * Same two-operator chain as [[nearDupFilter]]: the narrow
+    * [[graft.fn.WinnowFingerprints]] kernel (stateless, in the scan
+    * span) → `dropDuplicatesWithinWatermark` on the fingerprint →
+    * per-(event-time, doc) count of surviving rows vs the doc's
+    * fingerprint count (kept = first occupant EVERYWHERE). Docs with
+    * no k-shingle get a singleton bucket keyed by their own id —
+    * always kept.
+    *
+    * Semantics note: the batch operator thresholds on `minShared`
+    * SHARED fingerprints per PAIR; per-fingerprint state cannot count
+    * pairwise co-occurrence, so the streaming rule is the
+    * conservative minShared = 1 ("any shared span drops") — strictly
+    * more aggressive, never keeps a doc the batch rule would drop
+    * (for minShared ≥ 1 against earlier docs in-horizon).
+    *
+    * Contract: docs (doc_id: long, ts: long nanos, text: string) →
+    * kept (doc_id, ts·micros).
+    */
+  def sharedSpanFilter(docs: DataFrame, k: Int = 5, w: Int = 4,
+                       horizon: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    val fps = gb.column(graft.fn.WinnowFingerprints(
+      gb.expression(col("text")), k, w))
+    val rows = docs
+      .select(col("doc_id"), EventStreams.tsCol.as("ts_t"), fps.as("__fps"))
+      // short docs: a singleton own-id bucket (never collides; the
+      // xxhash64 seed offset keeps it disjoint from real fingerprints)
+      .select(col("doc_id"), col("ts_t"),
+        when(col("__fps").isNotNull, col("__fps"))
+          .otherwise(array(xxhash64(lit(-7), col("doc_id")))).as("__fps"))
+      .select(col("doc_id"), col("ts_t"), size(col("__fps")).as("__n"),
+        explode(col("__fps")).as("fp"))
+      .withWatermark("ts_t", horizon)
+    rows
+      .dropDuplicatesWithinWatermark(Seq("fp"))
+      .groupBy(col("ts_t"), col("doc_id"), col("__n"))
+      .agg(count(lit(1)).as("__kept"))
+      .filter(col("__kept") === col("__n"))
+      .select(col("doc_id"), unix_micros(col("ts_t")).as("ts"))
+  }
+
   /** Streaming ANN enrichment: attach to every arriving embedded
     * document its most cosine-similar STATIC-corpus vector among LSH
     * bucket candidates — "tag each ingested doc with its nearest

@@ -276,6 +276,43 @@ class DocStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming shared-span filter: verbatim-run dups dropped across batches") {
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ts", LongType),
+      StructField("text", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("spanstream").toString
+    val min = 60L * 1000000000L
+    def write(rows: Seq[(Long, Long, String)]): Unit =
+      spark.createDataFrame(rows.toDF("doc_id", "ts", "text").rdd, sch)
+        .coalesce(1).write.mode("append").parquet(dir)
+
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota"  // 9 >= k+w-1
+    write(Seq(
+      (1L, 1 * min, s"intro words here $run closing remark now"),
+      (2L, 2 * min, "completely different content with no overlap at all here today"),
+      (3L, 3 * min, "tiny doc")))                    // < k tokens: singleton bucket
+    write(Seq(
+      (4L, 4 * min, s"other framing text $run different ending words"), // shares the run -> drop
+      (5L, 5 * min, "tiny doc"),                     // short: always kept
+      (6L, 6 * min, "fresh unrelated sentence with plenty of distinct novel tokens")))
+
+    val q = DocStreams.sharedSpanFilter(
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", "1").parquet(dir),
+        k = 5, w = 4, horizon = "30 minutes")
+      .writeStream.format("memory").queryName("spanf")
+      .outputMode("append").start()
+    val kept = try {
+      q.processAllAvailable()
+      write(Seq((100L, 600 * min,
+        "sentinel flush document with enough distinct words to fingerprint")))
+      q.processAllAvailable()
+      spark.table("spanf").filter($"doc_id" < 100)
+        .select($"doc_id").as[Long].collect().toSet
+    } finally q.stop()
+    assert(kept === Set(1L, 2L, 3L, 5L, 6L), s"kept=$kept")
+  }
+
   test("streaming perplexity gate: stream == batch, in-domain kept, garbled dropped") {
     import org.apache.spark.sql.types._
     import graft.ext.LangModel
