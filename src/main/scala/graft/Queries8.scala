@@ -8,7 +8,11 @@ import graft.ext.{Dedup, LangModel, Sketches, SimJoin}
   * unigram-LM perplexity scoring (q102, the CCNet-style quality
   * signal), SemDeDup-style semantic dedup over embedding clusters
   * (q103), winnowing document fingerprints (q104, the MOSS
-  * algorithm), and the bounded-state KMV distinct sketch (q105).
+  * algorithm), the bounded-state KMV distinct sketch (q105),
+  * winnow shared-span pairs (q106), real BPE tokenization (q107,
+  * rows-only — merge loop not SQL-expressible), the composed
+  * round-5 curation pipeline (q108), the interpolated bigram LM
+  * (q109), and quantized IVF retrieval (q110).
   * Same contract as batches 3-7: the Spark side runs the library
   * operator, the DuckDB oracle recomputes the answer from first
   * principles over the same parquet, equality IS the correctness

@@ -165,6 +165,30 @@ class DedupSpec extends SparkSpec {
       maxBucket = 5).isEmpty)
   }
 
+  test("byte-level shingle hashing agrees with SQL md5 on multi-byte UTF-8") {
+    // the kernel tokenizes RAW UTF-8 bytes on 0x20 (safe: no UTF-8
+    // continuation byte is 0x20) — assert hash parity against Spark's
+    // own conv(substr(md5)) on accented/CJK/emoji text
+    val rows = Seq(
+      (1L, "café über naïve résumé déjà vu encore été"),
+      (2L, "東京 大阪 京都 奈良 神戸 札幌 福岡 仙台"),
+      (3L, "mix of ascii und 中文 and émojis 🙂 🚀 plus more words here"))
+    val docs2 = rows.toDF("doc_id", "text")
+    val k = 3
+    val got = Dedup.winnowFingerprints(docs2, "doc_id", "text", k, w = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // w=1 selects EVERY shingle hash -> compare to the full SQL set
+    val want = docs2
+      .select($"doc_id", explode(expr(
+        s"""transform(sequence(0, size(filter(split(text, ' '), t -> t != '')) - $k),
+           |  i -> conv(substring(md5(concat_ws(' ',
+           |    slice(filter(split(text, ' '), t -> t != ''), i + 1, $k))), 1, 15), 16, 10))
+           |""".stripMargin.replace("\n", ""))).as("fp"))
+      .select($"doc_id", $"fp".cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want, "byte-level kernel must match SQL md5 on multi-byte text")
+  }
+
   test("winnowing kernel is narrow: no exchange below the explode") {
     val plan = Dedup.winnowFingerprints(docs, "doc_id", "text", 5, 4)
       .queryExecution.executedPlan.toString
