@@ -276,6 +276,55 @@ object Queries8 {
       .orderBy($"doc_id")
   }
 
+  // -------------------------- q111: winnow decontamination screen
+  /** Winnow-fingerprint contamination screen (q85's benchmark split:
+    * bench = doc_id < 50, corpus = the rest) — the ~2/(w+1)-density
+    * pre-filter to full n-gram decontamination, zero corpus shuffle.
+    * The oracle rebuilds both sides' fingerprints and joins them.
+    */
+  private def q111(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsPar(s, dir)
+    graft.ext.Corpus.winnowContaminationReport(
+        docs.filter($"doc_id" >= 50), "doc_id", "text",
+        docs.filter($"doc_id" < 50), "text", WinK, WinW)
+      .select($"doc_id", $"hits", $"n_fps",
+        round($"hit_frac", 6).as("hit_frac"))
+      .orderBy($"doc_id")
+  }
+
+  private val q111Sql =
+    s"""WITH d AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id, i, len(toks) - $WinK + 1 AS m,
+       |    CAST(CONCAT('0x', SUBSTR(md5(
+       |      array_to_string(list_slice(toks, i + 1, i + $WinK), ' ')), 1, 15))
+       |      AS BIGINT) AS h
+       |  FROM d, UNNEST(range(0, GREATEST(0, len(toks) - ${WinK - 1}))) AS t(i)
+       |), win AS (
+       |  SELECT doc_id, i, m,
+       |    MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN CURRENT ROW AND ${WinW - 1} FOLLOWING) AS wmin
+       |  FROM sh
+       |), fps AS (
+       |  SELECT DISTINCT doc_id, wmin AS fp
+       |  FROM win WHERE i <= m - $WinW OR (m < $WinW AND i = 0)
+       |), bench AS (
+       |  SELECT DISTINCT fp FROM fps WHERE doc_id < 50
+       |), corpus AS (
+       |  SELECT doc_id, fp FROM fps WHERE doc_id >= 50
+       |), sizes AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fps FROM corpus GROUP BY 1
+       |), ov AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS hits
+       |  FROM corpus JOIN bench USING (fp) GROUP BY 1
+       |)
+       |SELECT o.doc_id, o.hits, z.n_fps,
+       |  ROUND(CAST(o.hits AS DOUBLE) / z.n_fps, 6) AS hit_frac
+       |FROM ov o JOIN sizes z USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   // ------------------------------ q110: quantized IVF retrieval
   /** IVF ANN over the int8-QUANTIZED corpus (the 100 TB storage
     * form — fp vectors never read at query time): deterministic seed
@@ -522,7 +571,8 @@ object Queries8 {
     "q107_bpe_tokens" -> (q107 _),
     "q108_curation_r5" -> (q108 _),
     "q109_bigram_lm" -> (q109 _),
-    "q110_ivf_quantized" -> (q110 _)
+    "q110_ivf_quantized" -> (q110 _),
+    "q111_winnow_decontam" -> (q111 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -533,7 +583,8 @@ object Queries8 {
     "q106_winnow_pairs" -> q106Sql,
     "q108_curation_r5" -> q108Sql,
     "q109_bigram_lm" -> q109Sql,
-    "q110_ivf_quantized" -> q110Sql
+    "q110_ivf_quantized" -> q110Sql,
+    "q111_winnow_decontam" -> q111Sql
   )
 
   private implicit class Dollar(val sc: StringContext) {

@@ -62,6 +62,40 @@ object Corpus {
         (col("overlap").cast("double") / col("doc_shingles")).as("overlap_frac"))
   }
 
+  /** Winnow-fingerprint contamination screen — the CHEAP pre-filter
+    * to [[contaminationReport]]: compares ~2/(w+1)-density winnow
+    * fingerprints instead of every n-gram, so the broadcast set and
+    * the per-doc explode both shrink ~(w+1)/2× while the winnowing
+    * guarantee (any shared run ≥ k+w−1 tokens yields a shared
+    * fingerprint) still catches verbatim benchmark quotes of that
+    * length. Same zero-corpus-shuffle shape: per-doc fingerprints in
+    * the scan span, benchmark set broadcast, only HIT rows reach the
+    * one groupBy. Output (idCol, hits, n_fps, hit_frac) for docs
+    * with ≥ 1 hit. Use the full report when sub-(k+w−1) overlaps
+    * must also count.
+    */
+  def winnowContaminationReport(docs: DataFrame, idCol: String, textCol: String,
+                                bench: DataFrame, benchTextCol: String,
+                                k: Int = 8, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    val fpsCol = gb.column(graft.fn.WinnowFingerprints(
+      gb.expression(col(textCol)), k, w))
+    val benchFps = Dedup.winnowFingerprints(
+        bench.select(lit(0L).as("__bid"), col(benchTextCol)),
+        "__bid", benchTextCol, k, w)
+      .select(col("fp")).distinct()
+    docs
+      .select(col(idCol), fpsCol.as("__fps"))
+      .filter(col("__fps").isNotNull)
+      .select(col(idCol), size(col("__fps")).as("n_fps"),
+        explode(col("__fps")).as("fp"))
+      .join(broadcast(benchFps), Seq("fp"))
+      .groupBy(col(idCol))
+      .agg(first(col("n_fps")).as("n_fps"), count(lit(1)).as("hits"))
+      .select(col(idCol), col("hits"), col("n_fps"),
+        (col("hits").cast("double") / col("n_fps")).as("hit_frac"))
+  }
+
   /** Drop every corpus document whose benchmark n-gram overlap
     * fraction reaches `maxFrac` (0 = drop on ANY shared n-gram, the
     * strict published-eval convention). Anti-join against the (small)
