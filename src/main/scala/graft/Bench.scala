@@ -64,17 +64,25 @@ object Bench {
       // construction — the prepared-statement shape a real workload
       // has. Execution is NOT cached between reps (count() re-runs
       // the full job each call); min-of-2 for steady state as before.
+      // a query that fails to construct or execute is reported as -1,
+      // not silently timed as ~0 s (mirrors duck_bench's oom/timeout
+      // sentinel) — a broken query must never read as the suite's
+      // fastest
       val df = try Some(fn(spark, sfDir)) catch { case _: Throwable => None }
-      val times = (0 until 2).map { _ =>
-        val t0 = System.nanoTime()
-        try { df.foreach(_.count()) } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+      val times = df match {
+        case None => Seq(-1.0)
+        case Some(d) =>
+          (0 until 2).map { _ =>
+            val t0 = System.nanoTime()
+            try { d.count(); (System.nanoTime() - t0) / 1e9 }
+            catch { case _: Throwable => -1.0 }
+          }
       }
-      name -> times.min
+      name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

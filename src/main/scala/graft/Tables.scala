@@ -21,16 +21,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * per-query re-listing of a large table's file set is an
   * anti-pattern there too, just with a much larger constant.
   *
-  * Keyed WEAKLY by session so a stopped session's relations are
-  * collectable; keyed by absolute path so distinct sf dirs coexist.
-  * Content-change invalidation is out of scope (testdata is immutable
-  * within a run) — tests that rewrite a path must call
-  * [[Tables.invalidate]].
+  * Keyed strongly by session in a bounded LRU (a WEAK session key
+  * cannot work here: the cached DataFrames strongly reference their
+  * owning session, so a value→key cycle would pin every entry
+  * forever and the "collectable" claim would be false). Memory is bounded
+  * instead: at most [[Tables.maxSessions]] sessions are retained,
+  * least-recently-used evicted first — a hard bound that holds
+  * regardless of GC behavior. Keyed by absolute path within a session
+  * so distinct sf dirs coexist. Content-change invalidation is out of
+  * scope (testdata is immutable within a run) — tests that rewrite a
+  * path they already read must call [[Tables.invalidate]].
   */
 object Tables {
 
+  /** Hard cap on retained sessions (LRU beyond this). */
+  val maxSessions = 8
+
   private val bySession =
-    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+    new java.util.LinkedHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]](
+      16, 0.75f, /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]])
+        : Boolean = size() > maxSessions
+    }
 
   private def sessionMap(spark: SparkSession) = bySession.synchronized {
     var m = bySession.get(spark)

@@ -104,11 +104,15 @@ object DocStreams {
       gb.expression(col("text")), k, w))
     val rows = docs
       .select(col("doc_id"), EventStreams.tsCol.as("ts_t"), fps.as("__fps"))
-      // short docs: a singleton own-id bucket (never collides; the
-      // xxhash64 seed offset keeps it disjoint from real fingerprints)
+      // short docs: a singleton own-id bucket. Real winnow
+      // fingerprints live in the 60-bit md5-prefix range, so forcing
+      // bit 62 puts singleton keys STRUCTURALLY outside it (not just
+      // probabilistically — a raw xxhash64 would land in-range ~1/16
+      // of the time, with only negligible-odds collisions)
       .select(col("doc_id"), col("ts_t"),
         when(col("__fps").isNotNull, col("__fps"))
-          .otherwise(array(xxhash64(lit(-7), col("doc_id")))).as("__fps"))
+          .otherwise(array(xxhash64(lit(-7), col("doc_id"))
+            .bitwiseOR(lit(1L << 62)))).as("__fps"))
       .select(col("doc_id"), col("ts_t"), size(col("__fps")).as("__n"),
         explode(col("__fps")).as("fp"))
       .withWatermark("ts_t", horizon)
