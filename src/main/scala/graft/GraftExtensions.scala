@@ -157,6 +157,15 @@ object GraftExtensions {
           litInt(children(2), "w"))
       }),
     (
+      new FunctionIdentifier("winnow_fps_xx"),
+      new ExpressionInfo(classOf[graft.fn.WinnowFingerprints].getName, "winnow_fps_xx"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          s"winnow_fps_xx expects (text, k, w); got ${children.size} args")
+        graft.fn.WinnowFingerprints(children(0), litInt(children(1), "k"),
+          litInt(children(2), "w"), xx = true)
+      }),
+    (
       new FunctionIdentifier("kmv_distinct"),
       new ExpressionInfo(classOf[graft.fn.KmvDistinct].getName, "kmv_distinct"),
       (children: Seq[Expression]) => {

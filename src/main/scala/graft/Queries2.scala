@@ -10,11 +10,12 @@ import graft.ops.AsofJoin
   * analysis / dedup over `documents`, similarity over `embeddings` —
   * the LLM-pipeline extension surface, each with DuckDB oracle SQL.
   *
-  * Events parity note: `events.ts` is TIMESTAMP(NANOS) in parquet —
-  * Spark reads it as Long nanos (`nanosAsLong`), DuckDB as
-  * TIMESTAMP_NS. All arithmetic stays in exact integer nanoseconds
-  * (`epoch_ns` on the DuckDB side); nothing round-trips through double
-  * or microsecond truncation.
+  * Events parity note: `events.ts` is normalized to Long
+  * epoch-nanoseconds at the accessor ([[Tables.events]] — the
+  * testdata's physical type has varied between TIMESTAMP(NANOS) and
+  * TIMESTAMP(MICROS) across rounds). All arithmetic stays in exact
+  * integer nanoseconds (`epoch_ns` on the DuckDB side, valid for both
+  * types); nothing round-trips through double.
   */
 object Queries2 {
 
@@ -29,7 +30,7 @@ object Queries2 {
     * semantics — SURVEY §2.8). Integer-nanos bucketing, exact.
     */
   private def q50(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
+    Tables.events(s, dir)
       .withColumn("hour_bucket", expr(s"ts div $HourNs"))
       .groupBy($"hour_bucket", $"event_type")
       .agg(count(lit(1)).as("n"),
@@ -48,7 +49,7 @@ object Queries2 {
     * Spark's `window(ts, "2 hours", "1 hour")`).
     */
   private def q51(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
+    Tables.events(s, dir)
       .withColumn("off", explode(array(lit(0L), lit(1L))))
       .withColumn("win_start", (expr(s"ts div $HourNs") - $"off"))
       .groupBy($"win_start")
@@ -68,9 +69,9 @@ object Queries2 {
     * .asofBackwardUnion), one shuffle, no cross product.
     */
   private def q52(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
+    val ev = Tables.events(s, dir)
       .select($"event_id", $"user_id", $"ts", $"event_type")
-    val signups = t(s, dir, "events")
+    val signups = Tables.events(s, dir)
       .filter($"event_type" === "signup")
       .select($"user_id", $"ts", $"value".as("signup_value"))
     AsofJoin.asofBackwardUnion(ev, signups, Seq("user_id"), "ts", Seq("signup_value"))
@@ -90,7 +91,7 @@ object Queries2 {
   /** Pivot on event_type (inherited surface). */
   private def q53(s: SparkSession, dir: String): DataFrame = {
     val types = Seq("click", "error", "purchase", "signup", "view")
-    val p = t(s, dir, "events")
+    val p = Tables.events(s, dir)
       .groupBy($"user_id")
       .pivot("event_type", types)
       .count()
@@ -115,7 +116,7 @@ object Queries2 {
     val gapNs = 30L * 60 * 1000000000L
     val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t(s, dir, "events")
+    Tables.events(s, dir)
       .withColumn("prev_ts", lag($"ts", 1).over(w))
       .withColumn("new_sess",
         when($"prev_ts".isNull || $"ts" - $"prev_ts" > gapNs, 1L).otherwise(0L))
@@ -446,7 +447,7 @@ object Queries2 {
     * parse.
     */
   private def q72(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
+    Tables.events(s, dir)
       .select($"event_id", $"props")
       .repartition(s.sparkContext.defaultParallelism)
       .select($"event_id",

@@ -237,7 +237,7 @@ object Queries4 {
 
   private def q77(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.AsofJoin
-    val ev = t(s, dir, "events").select($"event_id", $"ts")
+    val ev = Tables.events(s, dir).select($"event_id", $"ts")
     val axis = s.createDataFrame(AsofAxis.zipWithIndex.map { case (t, i) => (i, t) })
       .toDF("idx", "t")
     AsofJoin.nearestBroadcast(ev, Seq("event_id"), "ts", axis, "idx", "t", "g")

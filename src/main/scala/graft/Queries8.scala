@@ -183,6 +183,28 @@ object Queries8 {
         WinK, WinW, minShared = 2)
       .orderBy($"a_id", $"b_id")
 
+  // --------------- q104x / q106x: PRODUCTION-hasher winnow variants
+  /** Same winnow queries under the xxhash64 production shingle hasher
+    * (`xx = true` — VERDICT r5 item 1). Rows-only by contract: DuckDB
+    * exposes no xxhash64, so the fingerprint VALUES can't be
+    * reproduced cross-engine; the md5 twins (q104/q106) carry the
+    * hash-matched oracle for the identical selection algorithm, and
+    * DedupSpec pins the xx kernel to SQL `xxhash64(shingle)`
+    * bit-for-bit. These exist so the per-round bench times the
+    * production path a 100 TB corpus run would use, not just the
+    * oracle-parity path.
+    */
+  private def q104x(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowFingerprints(docsPar(s, dir), "doc_id", "text", WinK, WinW,
+        xx = true)
+      .filter($"doc_id" < 400)
+      .orderBy($"doc_id", $"fp")
+
+  private def q106x(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowSharedPairs(docsPar(s, dir), "doc_id", "text",
+        WinK, WinW, minShared = 2, xx = true)
+      .orderBy($"a_id", $"b_id")
+
   private val q106Sql =
     s"""WITH d AS (
        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
@@ -566,8 +588,10 @@ object Queries8 {
     "q102_lm_perplexity" -> (q102 _),
     "q103_semantic_dedup" -> (q103 _),
     "q104_winnow_fps" -> (q104 _),
+    "q104x_winnow_fps_xx" -> (q104x _),
     "q105_kmv_distinct" -> (q105 _),
     "q106_winnow_pairs" -> (q106 _),
+    "q106x_winnow_pairs_xx" -> (q106x _),
     "q107_bpe_tokens" -> (q107 _),
     "q108_curation_r5" -> (q108 _),
     "q109_bigram_lm" -> (q109 _),

@@ -59,6 +59,34 @@ object Tables {
     sessionMap(spark).computeIfAbsent(s"$dir/$name.parquet",
       path => spark.read.parquet(path))
 
+  /** `events` with `ts` normalized to Long epoch-nanoseconds.
+    *
+    * The driver's testdata has shipped `ts` under two physical types
+    * across rounds: TIMESTAMP(NANOS) (reads as LongType under
+    * `nanosAsLong`) and TIMESTAMP(MICROS) (reads as timestamp_ntz).
+    * Engine arithmetic and every oracle (`epoch_ns(ts)` — valid on
+    * both TIMESTAMP_NS and TIMESTAMP in DuckDB) are defined on exact
+    * integer nanoseconds, so this accessor absorbs the physical-type
+    * difference at scan time with a zero-shuffle projection; nothing
+    * round-trips through double or loses sub-microsecond precision.
+    * (NTZ casts straight to long throw in Spark 4 — route through
+    * `cast("timestamp")` + `unix_micros`, exact under the UTC session
+    * timezone every entry point here sets.)
+    */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeTsNanos(tbl(spark, dir, "events"))
+
+  /** Same normalization for an externally-loaded events frame (works
+    * on streaming DataFrames too — it is a plain projection).
+    */
+  def normalizeTsNanos(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ =>
+        import org.apache.spark.sql.functions.{col, unix_micros}
+        df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
+    }
+
   /** Drop every cached relation for this session (e.g. after a test
     * rewrites a path it already read through the cache). */
   def invalidate(spark: SparkSession): Unit =

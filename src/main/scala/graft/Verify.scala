@@ -12,8 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS) which Spark cannot
-      // represent; read as Long nanos and convert explicitly (Tables.scala)
+      // if events.parquet carries TIMESTAMP(NANOS) (which Spark cannot
+      // represent), read as Long nanos; Tables.events normalizes either
+      // physical type to Long nanos
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

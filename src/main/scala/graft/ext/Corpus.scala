@@ -76,13 +76,14 @@ object Corpus {
     */
   def winnowContaminationReport(docs: DataFrame, idCol: String, textCol: String,
                                 bench: DataFrame, benchTextCol: String,
-                                k: Int = 8, w: Int = 4): DataFrame = {
+                                k: Int = 8, w: Int = 4,
+                                xx: Boolean = false): DataFrame = {
     import org.apache.spark.sql.{graftbridge => gb}
     val fpsCol = gb.column(graft.fn.WinnowFingerprints(
-      gb.expression(col(textCol)), k, w))
+      gb.expression(col(textCol)), k, w, xx))
     val benchFps = Dedup.winnowFingerprints(
         bench.select(lit(0L).as("__bid"), col(benchTextCol)),
-        "__bid", benchTextCol, k, w)
+        "__bid", benchTextCol, k, w, xx)
       .select(col("fp")).distinct()
     docs
       .select(col(idCol), fpsCol.as("__fps"))

@@ -232,13 +232,20 @@ object Dedup {
     * density is ~2/(w+1) of shingles — the fingerprint table a
     * shared-span / plagiarism join runs on at a fraction of the full
     * shingle table's size. Docs with no k-shingle emit no rows.
+    *
+    * `xx = true` selects the xxhash64 production shingle hasher
+    * (same selection algorithm, ~20× cheaper than the md5 default —
+    * the md5 path exists ONLY so the DuckDB oracle can reproduce the
+    * fingerprints bit-for-bit; a production corpus run should pass
+    * xx = true). Fingerprints from the two hashers are not
+    * comparable with each other.
     */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
-                         k: Int = 5, w: Int = 4): DataFrame = {
+                         k: Int = 5, w: Int = 4, xx: Boolean = false): DataFrame = {
     import org.apache.spark.sql.{graftbridge => gb}
     docs.select(col(idCol),
         gb.column(graft.fn.WinnowFingerprints(
-          gb.expression(col(textCol)), k, w)).as("__fps"))
+          gb.expression(col(textCol)), k, w, xx)).as("__fps"))
       .filter(col("__fps").isNotNull)
       .select(col(idCol), explode(col("__fps")).as("fp"))
   }
@@ -260,8 +267,8 @@ object Dedup {
     */
   def winnowSharedPairs(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 5, w: Int = 4, minShared: Int = 2,
-                        maxBucket: Int = 10000): DataFrame = {
-    val fps = winnowFingerprints(docs, idCol, textCol, k, w)
+                        maxBucket: Int = 10000, xx: Boolean = false): DataFrame = {
+    val fps = winnowFingerprints(docs, idCol, textCol, k, w, xx)
     val ok = fps.groupBy(col("fp"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n").between(2, maxBucket))

@@ -359,6 +359,65 @@ object TextKernels {
     hashes
   }
 
+  /** Like [[shingleHashes60]] but hashing each shingle with
+    * xxhash64 (seed 42 over the shingle's UTF-8 bytes — the exact
+    * bytes-and-seed contract of Catalyst's `xxhash64(string)`, so the
+    * values equal SQL `xxhash64(shingle)`). Full 64-bit range. This
+    * is the PRODUCTION hasher for the winnow family: ~20× cheaper per
+    * shingle than md5 (one pass of 8-byte mixing vs a full digest),
+    * with the md5 path retained only for cross-engine oracle parity.
+    * Same tokenization, same reusable scratch assembly — only the
+    * hash call differs.
+    */
+  private def shingleHashesXx(s: UTF8String, n: Int): Array[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.Platform
+    val bytes = s.getBytes
+    val len = bytes.length
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var nTok = 0
+    var i = 0
+    while (i < len) {
+      while (i < len && bytes(i) == ' ') i += 1
+      val st = i
+      while (i < len && bytes(i) != ' ') i += 1
+      if (i > st) {
+        if (nTok == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, nTok * 2)
+          ends = java.util.Arrays.copyOf(ends, nTok * 2)
+        }
+        starts(nTok) = st; ends(nTok) = i; nTok += 1
+      }
+    }
+    val m = nTok - n + 1
+    if (m <= 0) return null
+    var scratch = scratchLocal.get()
+    val hashes = new Array[Long](m)
+    var j = 0
+    while (j < m) {
+      var slen = n - 1
+      var t = j
+      while (t < j + n) { slen += ends(t) - starts(t); t += 1 }
+      if (slen > scratch.length) {
+        scratch = new Array[Byte](java.lang.Integer.highestOneBit(slen) * 2)
+        scratchLocal.set(scratch)
+      }
+      var pos = 0
+      t = j
+      while (t < j + n) {
+        if (t > j) { scratch(pos) = ' '; pos += 1 }
+        val tl = ends(t) - starts(t)
+        System.arraycopy(bytes, starts(t), scratch, pos, tl)
+        pos += tl
+        t += 1
+      }
+      hashes(j) = XXH64.hashUnsafeBytes(scratch, Platform.BYTE_ARRAY_OFFSET, pos, 42L)
+      j += 1
+    }
+    hashes
+  }
+
   /** Per-ROW winnowing fingerprints (Schleimer, Wilkerson & Aiken
     * 2003 — the MOSS algorithm): hash every k-token shingle with the
     * portable 60-bit md5 hash, slide a w-wide window over the hash
@@ -370,9 +429,18 @@ object TextKernels {
     * near-dup span detection. Shorter docs (fewer than w shingles but
     * at least one) contribute their single global minimum; docs with
     * no k-shingle return null.
+    *
+    * `xx = true` swaps the shingle hasher for xxhash64
+    * ([[shingleHashesXx]]) — the PRODUCTION path: identical selection
+    * algorithm and density, different (cheaper) hash values, so
+    * fingerprints are comparable only within one hasher choice. The
+    * md5 default stays because the DuckDB oracle can reproduce it
+    * bit-for-bit; a production deployment has no oracle in the loop
+    * and should pass xx = true.
     */
-  def winnowFingerprints(s: UTF8String, k: Int, w: Int): ArrayData = {
-    val hashes = shingleHashes60(s, k)
+  def winnowFingerprints(s: UTF8String, k: Int, w: Int,
+                         xx: Boolean = false): ArrayData = {
+    val hashes = if (xx) shingleHashesXx(s, k) else shingleHashes60(s, k)
     if (hashes == null) return null
     val m = hashes.length
     val sel = new java.util.TreeSet[java.lang.Long]

@@ -10,9 +10,9 @@ import org.apache.spark.sql.functions._
   * Spark-idiomatic guarantee the reference (batch-only, eager) cannot
   * express: one declarative plan, two execution modes.
   *
-  * `events.ts` arrives as Long nanoseconds (the testdata's
-  * TIMESTAMP(NANOS) parquet read with nanosAsLong) — converted once to
-  * a proper timestamp for watermarking.
+  * `events.ts` arrives as Long nanoseconds (normalize any loaded
+  * frame with [[graft.Tables.normalizeTsNanos]] first) — converted
+  * once to a proper timestamp for watermarking.
   */
 object EventStreams {
 

@@ -195,6 +195,54 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("winnowing xx production hasher: SQL xxhash64 parity, guarantee, pairs") {
+    // w=1 selects EVERY shingle hash — the xx kernel must equal SQL
+    // xxhash64(shingle) exactly (same bytes, same seed 42), including
+    // on multi-byte UTF-8
+    val rows = Seq(
+      (1L, "one two three four five six seven"),
+      (2L, "café über naïve résumé déjà vu encore été"),
+      (3L, "mix of ascii und 中文 and émojis 🙂 🚀 plus more words here"))
+    val docs2 = rows.toDF("doc_id", "text")
+    val k = 3
+    val got = Dedup.winnowFingerprints(docs2, "doc_id", "text", k, w = 1, xx = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = docs2
+      .select($"doc_id", explode(expr(
+        s"""transform(sequence(0, size(filter(split(text, ' '), t -> t != '')) - $k),
+           |  i -> xxhash64(concat_ws(' ',
+           |    slice(filter(split(text, ' '), t -> t != ''), i + 1, $k))))
+           |""".stripMargin.replace("\n", ""))).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want, "xx kernel must match SQL xxhash64 per shingle")
+    // the winnowing guarantee holds under the xx hasher too
+    val kk = 5; val w = 4
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val ab = Seq((1L, s"one two three $shared four five six"),
+      (2L, s"red blue green $shared yellow purple")).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(ab, "doc_id", "text", kk, w, xx = true)
+    val fa = fps.filter($"doc_id" === 1).select("fp").as[Long].collect().toSet
+    val fb = fps.filter($"doc_id" === 2).select("fp").as[Long].collect().toSet
+    assert((fa & fb).nonEmpty, "k+w-1 shared run must share an xx fingerprint")
+    // shared-span pairs under the production hasher find the planted pair
+    val run = (1 to 20).map(i => s"s$i").mkString(" ")
+    val three = Seq((1L, s"a1 a2 a3 $run a4 a5"), (2L, s"b1 b2 $run b3 b4 b5"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10")).toDF("doc_id", "text")
+    val pairs = Dedup.winnowSharedPairs(three, "doc_id", "text", kk, w,
+        minShared = 2, xx = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+    // SQL registration: winnow_fps_xx equals the DataFrame-API path
+    GraftExtensions.install(spark)
+    val viaSql = docs2.selectExpr("doc_id", s"explode(winnow_fps_xx(text, $k, 1)) AS fp")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaSql === got)
+    // still narrow
+    val plan = Dedup.winnowFingerprints(docs2, "doc_id", "text", kk, w, xx = true)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("lsh banding: identical signatures share all buckets, disjoint share none") {
     val sh = Dedup.shingles(docs, "doc_id", "text", 3)
     val sigs = Dedup.minhashSignatures(sh, "doc_id", k = 16)

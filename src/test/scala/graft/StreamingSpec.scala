@@ -23,13 +23,13 @@ class StreamingSpec extends SparkSpec {
   }
 
   private lazy val batchEvents: DataFrame =
-    spark.read.parquet(srcDir)
+    Tables.normalizeTsNanos(spark.read.parquet(srcDir))
 
   /** Streaming read over the same file(s), file-source. */
   private def streamEvents: DataFrame =
-    spark.readStream
-      .schema(batchEvents.schema)
-      .parquet(srcDir)
+    Tables.normalizeTsNanos(spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .parquet(srcDir))
 
   /** Run a streaming frame to completion into a memory sink, return the
     * final table (complete mode — every batch replaces the output; the
