@@ -421,19 +421,18 @@ object SimJoin {
   /** Nearest-centroid assignment by COSINE (argmax over the centroid
     * list; ties and zero-norm vectors break toward the LOWEST
     * cluster id — the `ROW_NUMBER() ... ORDER BY cos DESC, cluster`
-    * convention an oracle reproduces). Narrow: c fused dot-products
-    * per row inside the codegen span, no shuffle.
+    * convention an oracle reproduces). Narrow: ONE fused compiled
+    * pass per row ([[graft.fn.NearestCentroidCos]]) inside the
+    * codegen span, no shuffle. (The previous spelling — c separate
+    * dot kernels + a struct `array_max` argmax — re-read the vector c
+    * times and walked an interpreted struct-comparison tree per row;
+    * at sf1 that was the q103 hot spot, the same genus as the q110
+    * HOF finding. Scores/ties/sentinels are unchanged — SimJoinSpec
+    * pins them.)
     */
   def assignNearestCos(v: Column, centroids: Seq[Seq[Double]]): Column = {
-    val vn = sqrt(dot(v, v))
-    val scored = centroids.zipWithIndex.map { case (cvec, i) =>
-      val cn = math.sqrt(cvec.map(x => x * x).sum)
-      val cos =
-        if (cn == 0.0) lit(-2.0)
-        else when(vn === 0.0, lit(-2.0)).otherwise(dotConst(v, cvec) / (vn * lit(cn)))
-      struct(cos.as("cos"), lit(-i).as("negi"))
-    }
-    (-array_max(array(scored: _*)).getField("negi")).cast("int")
+    import org.apache.spark.sql.{graftbridge => gb}
+    gb.column(graft.fn.NearestCentroidCos(gb.expression(v), centroids))
   }
 
   /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023):
@@ -468,19 +467,25 @@ object SimJoin {
         labeled.groupBy(col("cluster")).agg(count(lit(1)).as("__n"))
           .filter(col("__n") <= maxCluster).select(col("cluster")),
         Seq("cluster"), "left_semi")
+    // norms are computed ONCE per input row, BEFORE the pair join —
+    // spelled inside the join's projections they would re-run the
+    // sqrt(dot(v,v)) kernel per PAIR (|cluster|²/2 times instead of
+    // |cluster| times; 2/3 of the pair stage's kernel work at sf1).
+    // Same values, same order of operations — the q103 oracle still
+    // hash-matches.
     val a = assigned.select(col("cluster"), col(idCol).as("a_id"),
-      col(vecCol).as("__va"))
+      col(vecCol).as("__va"), sqrt(dot(col(vecCol), col(vecCol))).as("__na"))
     val b = assigned.select(col("cluster"), col(idCol).as("b_id"),
-      col(vecCol).as("__vb"))
-    val na = sqrt(dot(col("__va"), col("__va")))
-    val nb = sqrt(dot(col("__vb"), col("__vb")))
+      col(vecCol).as("__vb"), sqrt(dot(col(vecCol), col(vecCol))).as("__nb"))
     a.join(b, Seq("cluster"))
       .filter(col("a_id") < col("b_id"))
       .select(col("cluster"), col("a_id"), col("b_id"),
         // zero-norm cosine is undefined: NULL (never a pair) — in ANSI
         // mode the unguarded division would throw, not NaN
-        when(na === 0.0 || nb === 0.0, lit(null).cast("double"))
-          .otherwise(dot(col("__va"), col("__vb")) / (na * nb)).as("cos"))
+        when(col("__na") === 0.0 || col("__nb") === 0.0,
+            lit(null).cast("double"))
+          .otherwise(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+          .as("cos"))
       .filter(col("cos") >= minCos)
   }
 

@@ -155,3 +155,59 @@ case class QuantizeInt8(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Fused nearest-centroid cosine assignment over a CONSTANT k×dim
+  * centroid matrix — the SemDeDup/q103 cluster-assignment hot path as
+  * one compiled pass ([[VecKernels.nearestCentroidCosBoxed]]).
+  *
+  * Replaces the k-struct `array_max(array(struct(cos_c, -c)...))`
+  * argmax spelling: that form issues k separate ArrayDotProduct calls
+  * (each re-reading the unsafe array) and walks an interpreted
+  * struct-comparison tree per row; this expression reads the vector
+  * once and loops the flattened centroid matrix inside the
+  * whole-stage-codegen span. Same scores, same ties (lowest cluster),
+  * same −2.0 zero-norm sentinel — SimJoinSpec pins the parity.
+  * The matrix rides into generated code as a reference object, so
+  * executors get it with the serialized plan — nothing is looked up
+  * at runtime and the expression stays foldable-free and narrow.
+  */
+case class NearestCentroidCos(child: Expression, centroids: Seq[Seq[Double]])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with ImplicitCastInputTypes {
+
+  require(centroids.nonEmpty, "need at least one centroid")
+  require(centroids.map(_.size).distinct.size == 1,
+    "ragged centroid matrix")
+
+  @transient private lazy val flat: Array[Double] = centroids.flatten.toArray
+  // same Seq-sum order as the Column formulation this replaces, so the
+  // precomputed norms are bit-identical
+  @transient private lazy val norms: Array[Double] =
+    centroids.map(c => math.sqrt(c.map(x => x * x).sum)).toArray
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest_centroid_cos"
+
+  override protected def nullSafeEval(v: Any): Any =
+    VecKernels.nearestCentroidCosBoxed(v.asInstanceOf[ArrayData], flat, norms)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("ncFlat", flat, "double[]")
+    val normsRef = ctx.addReferenceObj("ncNorms", norms, "double[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""
+         |java.lang.Integer ${ev.value}_r =
+         |  graft.fn.VecKernels.nearestCentroidCosBoxed($v, $flatRef, $normsRef);
+         |if (${ev.value}_r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}_r.intValue();
+         |}
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -100,6 +100,72 @@ object VecKernels {
     if (!seen) null else java.lang.Double.valueOf(m / 127.0)
   }
 
+  private val centScratch = new ThreadLocal[Array[Double]] {
+    override def initialValue(): Array[Double] = new Array[Double](0)
+  }
+
+  /** Fused nearest-centroid-by-cosine assignment: argmax over the
+    * constant k×dim centroid matrix of cos(v, c) in ONE compiled pass
+    * (the q103/SemDeDup hot path — previously k separate
+    * ArrayDotProduct calls each re-reading the unsafe array, plus an
+    * interpreted struct/array_max argmax per row).
+    *
+    * Numeric parity with the Column formulation it replaces, term by
+    * term: v's norm is √(Σv²) accumulated left-to-right; each score is
+    * dot(v,c) / (vn·cn) with the product formed BEFORE the division;
+    * centroid norms are precomputed by the caller with the same
+    * Seq-sum order. Zero v-norm or zero centroid norm scores the −2.0
+    * sentinel (cosine undefined — never beats a real score). Argmax
+    * by `Double.compare` (Spark's double ordering: NaN greatest),
+    * strict, so ties keep the LOWEST cluster id — the
+    * `ROW_NUMBER ... ORDER BY cos DESC, cluster` oracle convention.
+    * Null when the vector has a null element or its length differs
+    * from the centroid dim (the poisoned-fold contract above).
+    */
+  def nearestCentroidCosBoxed(v: ArrayData, flat: Array[Double],
+                              norms: Array[Double]): java.lang.Integer = {
+    val k = norms.length
+    if (k == 0) return null
+    val dim = flat.length / k
+    val n = v.numElements()
+    if (n != dim) return null
+    var scratch = centScratch.get()
+    if (scratch.length < n) {
+      scratch = new Array[Double](n)
+      centScratch.set(scratch)
+    }
+    var vv = 0.0
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      val x = v.getDouble(i)
+      scratch(i) = x
+      vv += x * x
+      i += 1
+    }
+    val vn = math.sqrt(vv)
+    var best = 0.0
+    var bestIdx = -1
+    var c = 0
+    while (c < k) {
+      val cn = norms(c)
+      val cos =
+        if (cn == 0.0 || vn == 0.0) -2.0
+        else {
+          var s = 0.0
+          val off = c * dim
+          var j = 0
+          while (j < n) { s += scratch(j) * flat(off + j); j += 1 }
+          s / (vn * cn)
+        }
+      if (bestIdx < 0 || java.lang.Double.compare(cos, best) > 0) {
+        best = cos; bestIdx = c
+      }
+      c += 1
+    }
+    java.lang.Integer.valueOf(bestIdx)
+  }
+
   /** Symmetric int8 quantization: floor(x/scale + 0.5) clamped to
     * [−127, 127]; scale = 0 → all zeros. Numerically identical to the
     * HOF spelling (`greatest(-127, least(127, floor(x/s + 0.5)))`,
