@@ -251,7 +251,7 @@ object Multimodal {
     * of the Y plane; [[Jpeg]]) into the same [mean, std, histogram]
     * contract as [[withPngFeatures]] — via the
     * [[graft.fn.JpegGrayFeatures]] native expression. Non-JPEG or
-    * out-of-scope profiles (progressive, CMYK) get null features.
+    * out-of-scope profiles (arithmetic, 12-bit, CMYK) get null features; baseline AND progressive decode.
     */
   def withJpegFeatures(assets: DataFrame, nBins: Int = 16,
                        contentCol: String = "content"): DataFrame = {

@@ -11,7 +11,7 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType}
   * decode → dequant → IDCT of the Y plane → [mean, std, nBins
   * histogram], the same contract as [[PngGrayFeatures]]. One static
   * call inside the whole-stage codegen span; non-JPEG or
-  * out-of-scope profiles (progressive, arithmetic, 12-bit, CMYK)
+  * out-of-scope profiles (arithmetic, 12-bit, CMYK; progressive decodes)
   * yield SQL null.
   */
 case class JpegGrayFeatures(child: Expression, nBins: Int = 16)

@@ -97,10 +97,55 @@ class JpegSpec extends SparkSpec {
     assert(f(1) < 1.0 / 255)
   }
 
+  test("progressive grayscale: per-pixel parity with the JDK ImageIO decoder") {
+    // odd dims exercise MCU padding; the gradient fills every AC band
+    // across the writer's spectral-selection scan script
+    val img = grayImg(67, 41)((x, y) => (x * 3 + y * 5 + (x * y) % 31) % 256)
+    val bytes = encode(img, 0.9f, progressive = true)
+    // confirm the writer actually produced SOF2 (else this test is vacuous)
+    assert((0 until bytes.length - 1).exists(i =>
+      (bytes(i) & 0xFF) == 0xFF && (bytes(i + 1) & 0xFF) == 0xC2),
+      "fixture is not progressive")
+    val lp = Jpeg.decodeLuma(bytes)
+    assert(lp != null, "decoder rejected an ImageIO-written progressive JPEG")
+    assert(lp.w === 67 && lp.h === 41)
+    val ref = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var maxDiff = 0.0; var sumDiff = 0.0
+    for (y <- 0 until 41; x <- 0 until 67) {
+      val ours = lp.plane(y * lp.planeW + x)
+      val theirs = ref.getRaster.getSample(x, y, 0).toDouble
+      val d = math.abs(ours - theirs)
+      maxDiff = math.max(maxDiff, d); sumDiff += d
+    }
+    assert(maxDiff <= 2.0, s"max per-pixel diff $maxDiff")
+    assert(sumDiff / (67 * 41) <= 0.51, s"mean abs diff ${sumDiff / (67 * 41)}")
+  }
+
+  test("progressive color 4:2:0: luma stats match the JDK decoder") {
+    val img = rgbImg(64, 48) { (x, y) =>
+      val r = (x * 4) % 256; val g = (y * 5) % 256; val b = (x + y) % 256
+      (r << 16) | (g << 8) | b
+    }
+    val bytes = encode(img, 0.92f, progressive = true)
+    val ours = Jpeg.grayFeaturesOrNull(bytes, 16)
+    assert(ours != null, "decoder rejected a progressive color JPEG")
+    val ref = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var s = 0.0; var s2 = 0.0
+    for (y <- 0 until 48; x <- 0 until 64) {
+      val rgb = ref.getRGB(x, y)
+      val lum = 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+        0.114 * (rgb & 0xFF)
+      s += lum; s2 += lum * lum
+    }
+    val n = 64 * 48
+    val mean = s / n
+    val std = math.sqrt(math.max(0.0, s2 / n - mean * mean))
+    assert(math.abs(ours(0) - mean / 255) < 2.0 / 255, s"mean ${ours(0)} vs ${mean / 255}")
+    assert(math.abs(ours(1) - std / 255) < 2.5 / 255, s"std ${ours(1)} vs ${std / 255}")
+  }
+
   test("out-of-scope and malformed payloads: null, never a throw") {
     val img = grayImg(32, 32)((x, y) => (x * 8 + y) % 256)
-    // progressive (SOF2) is explicitly out of scope
-    assert(Jpeg.grayFeaturesOrNull(encode(img, 0.9f, progressive = true), 16) == null)
     assert(Jpeg.grayFeaturesOrNull(null, 16) == null)
     assert(Jpeg.grayFeaturesOrNull(Array[Byte](1, 2, 3, 4), 16) == null)
     val good = encode(img, 0.9f)
@@ -109,6 +154,15 @@ class JpegSpec extends SparkSpec {
     val rnd = new scala.util.Random(7)
     for (_ <- 0 until 300) {
       val m = good.clone()
+      for (_ <- 0 to rnd.nextInt(4)) m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      Jpeg.grayFeaturesOrNull(m, 8) // decode or reject cleanly
+    }
+    // progressive: same truncation/corruption robustness
+    val prog = encode(img, 0.9f, progressive = true)
+    for (cut <- Seq(2, 20, 100, prog.length / 2, prog.length - 3))
+      Jpeg.grayFeaturesOrNull(prog.take(cut), 16) // must not throw
+    for (_ <- 0 until 300) {
+      val m = prog.clone()
       for (_ <- 0 to rnd.nextInt(4)) m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
       Jpeg.grayFeaturesOrNull(m, 8) // decode or reject cleanly
     }
