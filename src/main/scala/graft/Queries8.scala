@@ -10,9 +10,11 @@ import graft.ext.{Dedup, LangModel, Sketches, SimJoin}
   * (q103), winnowing document fingerprints (q104, the MOSS
   * algorithm), the bounded-state KMV distinct sketch (q105),
   * winnow shared-span pairs (q106), real BPE tokenization (q107,
-  * rows-only — merge loop not SQL-expressible), the composed
-  * round-5 curation pipeline (q108), the interpolated bigram LM
-  * (q109), and quantized IVF retrieval (q110).
+  * rows-only — the training loop is not SQL-expressible; q112
+  * hash-gates the encode half under a fixed merge table via a
+  * recursive-CTE oracle), the composed round-5 curation pipeline
+  * (q108), the interpolated bigram LM (q109), and quantized IVF
+  * retrieval (q110).
   * Same contract as batches 3-7: the Spark side runs the library
   * operator, the DuckDB oracle recomputes the answer from first
   * principles over the same parquet, equality IS the correctness
@@ -289,10 +291,12 @@ object Queries8 {
   /** Real BPE subword token counts next to the whitespace counts:
     * merges trained on the corpus's own word-frequency dictionary
     * (one vocab-sized shuffle + driver-local merge learning —
-    * [[graft.ext.Bpe]]), encoding narrow. NO DuckDB oracle — BPE's
-    * iterative merge loop is not SQL-expressible (the driver records
-    * the weaker rows-only check; the algorithm itself is golden- and
-    * law-tested in BpeSpec, incl. a hand-traced trainer run).
+    * [[graft.ext.Bpe]]), encoding narrow. NO DuckDB oracle for THIS
+    * query — the TRAINING loop is not SQL-expressible (the driver
+    * records the weaker rows-only check; training is golden- and
+    * law-tested in BpeSpec, incl. a hand-traced trainer run). The
+    * ENCODE half is hash-gated cross-engine by q112, which replays
+    * the same merge loop in a recursive CTE under a fixed rank table.
     */
   private def q107(s: SparkSession, dir: String): DataFrame = {
     val docs = docsPar(s, dir)
@@ -302,6 +306,76 @@ object Queries8 {
         size(array_remove(split($"text", " "), "")).as("n_ws_tokens"),
         graft.ext.Bpe.tokenCount($"text", merges).as("n_bpe_tokens"))
       .orderBy($"doc_id")
+  }
+
+  // ------------------------ q112: BPE ENCODE under a fixed merge table
+  /** The SQL-expressible half of BPE (VERDICT r5 item 6): q107's
+    * merge TRAINING is a driver-local iterative loop no oracle can
+    * replay, but ENCODING under a GIVEN merge table is — the oracle
+    * replays the lowest-rank-first / leftmost-tie merge loop with a
+    * recursive CTE over a literal rank map, so the
+    * [[graft.fn.BpeEncode]] kernel's exact token stream (not just the
+    * count) is hash-gated cross-engine. The merge table is a fixed
+    * 12-rule English-pair chain (t+h → th+e etc.) exercising
+    * multi-level merges; ranks and tie rules are identical to the
+    * trained path q107 runs.
+    */
+  private val BpeFixedMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"), ("o", "n"),
+    ("r", "e"), ("s", "t"), ("e", "n"), ("o", "r"), ("an", "d"), ("in", "g"))
+
+  private def q112(s: SparkSession, dir: String): DataFrame = {
+    val toks = graft.ext.Bpe.encode($"text", BpeFixedMerges)
+    docsPar(s, dir).filter($"doc_id" < 100)
+      .select($"doc_id",
+        size(toks).cast("long").as("n_bpe_tokens"),
+        array_join(toks, "|").as("bpe_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  private val q112Sql: String = {
+    val mapLit = "MAP([" +
+      BpeFixedMerges.map { case (l, r) => s"'$l $r'" }.mkString(",") +
+      "], [" + BpeFixedMerges.indices.mkString(",") + "])"
+    def rank(p: String): String = {
+      val k = s"segs[$p] || ' ' || segs[$p+1]"
+      s"CASE WHEN len(element_at($mapLit, $k)) > 0 " +
+        s"THEN element_at($mapLit, $k)[1] * 1000000 + $p ELSE NULL END"
+    }
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id < 100
+       |), words AS (
+       |  SELECT d.doc_id, t.wid,
+       |    list_filter(string_split(d.text, ' '), w -> w <> '')[t.wid] AS word
+       |  FROM d, UNNEST(range(1, len(list_filter(string_split(d.text, ' '), w -> w <> '')) + 1)) AS t(wid)
+       |), rec AS (
+       |  SELECT doc_id, wid,
+       |    list_transform(range(1, length(word) + 1), i -> word[i]) AS segs
+       |  FROM words
+       |  UNION ALL
+       |  SELECT doc_id, wid,
+       |    segs[1:(enc % 1000000)::INT - 1]
+       |      || [segs[(enc % 1000000)::INT] || segs[(enc % 1000000)::INT + 1]]
+       |      || segs[(enc % 1000000)::INT + 2:len(segs)] AS segs
+       |  FROM (
+       |    SELECT doc_id, wid, segs,
+       |      list_min(list_filter(list_transform(range(1, len(segs)),
+       |        p -> ${rank("p")}), x -> x IS NOT NULL)) AS enc
+       |    FROM rec) s
+       |  WHERE enc IS NOT NULL
+       |), last AS (
+       |  SELECT doc_id, wid, segs
+       |  FROM rec
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id, wid ORDER BY len(segs) ASC) = 1
+       |), agg AS (
+       |  SELECT doc_id, CAST(SUM(len(segs)) AS BIGINT) AS n_bpe_tokens,
+       |    string_agg(array_to_string(segs, '|'), '|' ORDER BY wid) AS bpe_tokens
+       |  FROM last GROUP BY doc_id
+       |)
+       |SELECT d.doc_id, COALESCE(a.n_bpe_tokens, 0) AS n_bpe_tokens,
+       |  COALESCE(a.bpe_tokens, '') AS bpe_tokens
+       |FROM d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
   }
 
   // -------------------------- q111: winnow decontamination screen
@@ -602,7 +676,8 @@ object Queries8 {
     "q108_curation_r5" -> (q108 _),
     "q109_bigram_lm" -> (q109 _),
     "q110_ivf_quantized" -> (q110 _),
-    "q111_winnow_decontam" -> (q111 _)
+    "q111_winnow_decontam" -> (q111 _),
+    "q112_bpe_encode" -> (q112 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -614,7 +689,8 @@ object Queries8 {
     "q108_curation_r5" -> q108Sql,
     "q109_bigram_lm" -> q109Sql,
     "q110_ivf_quantized" -> q110Sql,
-    "q111_winnow_decontam" -> q111Sql
+    "q111_winnow_decontam" -> q111Sql,
+    "q112_bpe_encode" -> q112Sql
   )
 
   private implicit class Dollar(val sc: StringContext) {
