@@ -82,6 +82,17 @@ object GraftExtensions {
     unaryFn("wav_pcm_features", classOf[graft.fn.WavPcmFeatures],
       graft.fn.WavPcmFeatures(_)),
     unaryFn("mp4_meta", classOf[graft.fn.Mp4Meta], graft.fn.Mp4Meta(_)),
+    unaryFn("mp4_avc_meta", classOf[graft.fn.Mp4AvcMeta],
+      graft.fn.Mp4AvcMeta(_)),
+    (
+      new FunctionIdentifier("mp4_sync_offsets"),
+      new ExpressionInfo(classOf[graft.fn.Mp4SyncOffsets].getName,
+        "mp4_sync_offsets"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"mp4_sync_offsets expects (content, maxN); got ${children.size} args")
+        graft.fn.Mp4SyncOffsets(children(0), litInt(children(1), "maxN"))
+      }),
     unaryFn("jpeg_gray_features", classOf[graft.fn.JpegGrayFeatures],
       graft.fn.JpegGrayFeatures(_)),
     frameFn("apng_frame_features", classOf[graft.fn.ApngFrameFeatures],

@@ -1,0 +1,295 @@
+package graft.ext
+
+/** H.264/AVC metadata from an MP4 container WITHOUT a video decoder —
+  * the most common real-corpus video need (resolution/profile triage,
+  * keyframe indexing for clip sampling) served from plain public
+  * structures: the avcC box (ISO/IEC 14496-15
+  * AVCDecoderConfigurationRecord) carries the SPS NAL, and the SPS
+  * (ITU-T H.264 §7.3.2.1.1, Exp-Golomb coded) carries the CODED
+  * dimensions — authoritative where container width/height fields are
+  * absent or wrong, which is exactly the real-data failure mode.
+  * Frame DECODE of inter-coded H.264 stays the documented stub
+  * ([[Multimodal]]); this closes the metadata half.
+  *
+  * Sync-sample (keyframe) BYTE offsets come from stss (sync sample
+  * numbers) composed with the stsz/stsc/stco mapping ([[Bmff]]) — the
+  * random-access index a clip sampler seeks by, no bitstream parse.
+  */
+object Avc {
+
+  import Bmff.{beU32, children, find, tag}
+
+  private val AvcFourccs = Set("avc1", "avc3")
+  private val MaxSamples = 1 << 20
+  private val MaxChunks = 1 << 20
+
+  /** Exp-Golomb bit reader over RBSP bytes (emulation prevention
+    * already stripped). Returns negative on underrun.
+    */
+  private final class BitReader(val b: Array[Byte]) {
+    private var pos = 0
+    def u(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        val byteIdx = pos >> 3
+        if (byteIdx >= b.length) return -1
+        v = (v << 1) | ((b(byteIdx) >> (7 - (pos & 7))) & 1)
+        pos += 1
+        i += 1
+      }
+      v
+    }
+    def ue(): Int = {
+      var zeros = 0
+      var bit = u(1)
+      while (bit == 0) { zeros += 1; if (zeros > 31) return -1; bit = u(1) }
+      if (bit < 0) return -1
+      if (zeros == 0) return 0
+      val rest = u(zeros)
+      if (rest < 0) return -1
+      (1 << zeros) - 1 + rest
+    }
+    def se(): Int = {
+      val k = ue()
+      if (k < 0) return Int.MinValue
+      if (k % 2 == 0) -(k / 2) else (k + 1) / 2
+    }
+  }
+
+  /** Strip H.264 emulation-prevention bytes (00 00 03 → 00 00). */
+  private def rbsp(nal: Array[Byte], from: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(nal.length - from)
+    var i = from
+    var zeros = 0
+    while (i < nal.length) {
+      val v = nal(i) & 0xFF
+      if (zeros >= 2 && v == 3) zeros = 0 // skip the emulation byte
+      else {
+        out.write(v)
+        zeros = if (v == 0) zeros + 1 else 0
+      }
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** Parse seq_parameter_set_data (H.264 §7.3.2.1.1):
+    * [width, height, profile_idc, level_idc] or null. `sps` includes
+    * the 1-byte NAL header.
+    */
+  private[ext] def parseSps(sps: Array[Byte]): Array[Double] = {
+    if (sps == null || sps.length < 4) return null
+    if ((sps(0) & 0x1F) != 7) return null // NAL type must be SPS
+    val r = new BitReader(rbsp(sps, 1))
+    val profile = r.u(8)
+    r.u(8) // constraint flags + reserved
+    val level = r.u(8)
+    if (r.ue() < 0) return null // sps_id
+    var chromaFormat = 1 // the default when not transmitted (4:2:0)
+    var separateColour = 0
+    if (Set(100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135)
+        .contains(profile)) {
+      chromaFormat = r.ue()
+      if (chromaFormat < 0 || chromaFormat > 3) return null
+      if (chromaFormat == 3) separateColour = r.u(1)
+      if (r.ue() < 0) return null // bit_depth_luma_minus8
+      if (r.ue() < 0) return null // bit_depth_chroma_minus8
+      r.u(1) // qpprime_y_zero_transform_bypass_flag
+      val scalingPresent = r.u(1)
+      if (scalingPresent == 1) {
+        val nLists = if (chromaFormat != 3) 8 else 12
+        var i = 0
+        while (i < nLists) {
+          if (r.u(1) == 1) { // seq_scaling_list_present_flag[i]
+            val size = if (i < 6) 16 else 64
+            // scaling_list(): delta-coded; walk to advance the reader
+            var lastScale = 8; var nextScale = 8
+            var j = 0
+            while (j < size) {
+              if (nextScale != 0) {
+                val delta = r.se()
+                if (delta == Int.MinValue) return null
+                nextScale = (lastScale + delta + 256) % 256
+              }
+              lastScale = if (nextScale == 0) lastScale else nextScale
+              j += 1
+            }
+          }
+          i += 1
+        }
+      }
+    }
+    if (r.ue() < 0) return null // log2_max_frame_num_minus4
+    val pocType = r.ue()
+    if (pocType < 0) return null
+    if (pocType == 0) {
+      if (r.ue() < 0) return null // log2_max_pic_order_cnt_lsb_minus4
+    } else if (pocType == 1) {
+      r.u(1) // delta_pic_order_always_zero_flag
+      if (r.se() == Int.MinValue) return null
+      if (r.se() == Int.MinValue) return null
+      val n = r.ue()
+      if (n < 0 || n > 255) return null
+      var i = 0
+      while (i < n) { if (r.se() == Int.MinValue) return null; i += 1 }
+    }
+    if (r.ue() < 0) return null // max_num_ref_frames
+    r.u(1) // gaps_in_frame_num_value_allowed_flag
+    val widthMbs = r.ue()
+    val heightMapUnits = r.ue()
+    if (widthMbs < 0 || heightMapUnits < 0) return null
+    val frameMbsOnly = r.u(1)
+    if (frameMbsOnly < 0) return null
+    if (frameMbsOnly == 0) r.u(1) // mb_adaptive_frame_field_flag
+    r.u(1) // direct_8x8_inference_flag
+    val cropping = r.u(1)
+    if (cropping < 0) return null
+    var cl = 0; var cr = 0; var ct = 0; var cb = 0
+    if (cropping == 1) {
+      cl = r.ue(); cr = r.ue(); ct = r.ue(); cb = r.ue()
+      if (cl < 0 || cr < 0 || ct < 0 || cb < 0) return null
+    }
+    // crop units (§7.4.2.1.1): chroma-dependent horizontally/vertically
+    val (cropX, cropY0) =
+      if (chromaFormat == 0 || separateColour == 1) (1, 1)
+      else if (chromaFormat == 3) (1, 1)
+      else if (chromaFormat == 2) (2, 1)
+      else (2, 2) // 4:2:0
+    val cropY = cropY0 * (2 - frameMbsOnly)
+    val width = (widthMbs + 1) * 16 - cropX * (cl + cr)
+    val height = (2 - frameMbsOnly) * (heightMapUnits + 1) * 16 - cropY * (ct + cb)
+    if (width <= 0 || height <= 0) return null
+    Array(width.toDouble, height.toDouble, profile.toDouble, level.toDouble)
+  }
+
+  /** The first avc1/avc3 track's stbl bounds, or null. */
+  private def findAvcStbl(b: Array[Byte]): (Long, Long, Array[Byte]) = {
+    if (b == null || b.length < 16 || tag(b, 4) != "ftyp") return null
+    val moov = find(b, 0, b.length, "moov").getOrElse(return null)
+    children(b, moov._1, moov._2).foreach {
+      case ("trak", ts, te) =>
+        val found = for {
+          mdia <- find(b, ts, te, "mdia")
+          minf <- find(b, mdia._1, mdia._2, "minf")
+          stbl <- find(b, minf._1, minf._2, "stbl")
+          stsd <- find(b, stbl._1, stbl._2, "stsd")
+          // stsd payload: version/flags(4) + entry_count(4), then entry boxes
+          entry <- children(b, stsd._1 + 8, stsd._2)
+            .find(e => AvcFourccs.contains(e._1))
+          // visual sample entry: 78 fixed bytes, then child boxes (avcC)
+          avcc <- find(b, entry._2 + 78, entry._3, "avcC")
+        } yield (stbl, avcc)
+        found.foreach { case (stbl, (as, ae)) =>
+          if (ae - as >= 7) {
+            val numSps = b((as + 5).toInt) & 0x1F
+            if (numSps >= 1 && as + 8 <= ae) {
+              val spsLen = ((b((as + 6).toInt) & 0xFF) << 8) | (b((as + 7).toInt) & 0xFF)
+              if (as + 8 + spsLen <= ae)
+                return (stbl._1, stbl._2,
+                  java.util.Arrays.copyOfRange(b, (as + 8).toInt, (as + 8 + spsLen).toInt))
+            }
+          }
+        }
+      case _ => ()
+    }
+    null
+  }
+
+  /** `[width, height, profile_idc, level_idc, n_samples, n_sync]` for
+    * the first H.264 track — width/height are SPS-DERIVED (coded
+    * size minus cropping), not the container's fields. n_sync = the
+    * stss entry count, or n_samples when stss is absent (every sample
+    * a sync sample, per ISO 14496-12). Null for non-BMFF payloads or
+    * no parseable AVC track.
+    */
+  def h264MetaOrNull(bytes: Array[Byte]): Array[Double] = {
+    val got = findAvcStbl(bytes)
+    if (got == null) return null
+    val (ss, se, sps) = got
+    val meta = parseSps(sps)
+    if (meta == null) return null
+    var nSamples = 0L
+    find(bytes, ss, se, "stsz").foreach { case (s, e) =>
+      if (s + 12 <= e) nSamples = beU32(bytes, s.toInt + 8)
+    }
+    if (nSamples < 0 || nSamples > MaxSamples) return null
+    var nSync = nSamples
+    find(bytes, ss, se, "stss").foreach { case (s, e) =>
+      if (s + 8 <= e) nSync = beU32(bytes, s.toInt + 4)
+    }
+    meta ++ Array(nSamples.toDouble, nSync.toDouble)
+  }
+
+  /** Absolute byte offsets of the first `maxN` sync samples
+    * (keyframes) of the first H.264 track, from stss composed with
+    * the stsz/stsc/stco mapping; with no stss every sample is sync.
+    * Null on malformed tables — never wrong offsets.
+    */
+  def syncOffsetsOrNull(bytes: Array[Byte], maxN: Int): Array[Long] = {
+    if (maxN < 1) return null
+    val got = findAvcStbl(bytes)
+    if (got == null) return null
+    val (ss, se, _) = got
+    var sizes: Array[Long] = null
+    var chunkOffsets: Array[Long] = null
+    var stsc: Array[(Long, Long)] = null
+    find(bytes, ss, se, "stsz").foreach { case (s, e) =>
+      if (s + 12 <= e) {
+        val const = beU32(bytes, s.toInt + 4)
+        val n = beU32(bytes, s.toInt + 8)
+        if (n >= 1 && n <= MaxSamples) {
+          if (const != 0) sizes = Array.fill(n.toInt)(const)
+          else if (s + 12 + 4L * n <= e)
+            sizes = Array.tabulate(n.toInt)(i => beU32(bytes, (s + 12 + 4L * i).toInt))
+        }
+      }
+    }
+    find(bytes, ss, se, "stsc").foreach { case (s, e) =>
+      if (s + 8 <= e) {
+        val n = beU32(bytes, s.toInt + 4)
+        if (n >= 1 && n <= MaxChunks && s + 8 + 12L * n <= e)
+          stsc = Array.tabulate(n.toInt) { i =>
+            val o = (s + 8 + 12L * i).toInt
+            (beU32(bytes, o), beU32(bytes, o + 4))
+          }
+      }
+    }
+    find(bytes, ss, se, "stco").foreach { case (s, e) =>
+      if (s + 8 <= e) {
+        val n = beU32(bytes, s.toInt + 4)
+        if (n >= 1 && n <= MaxChunks && s + 8 + 4L * n <= e)
+          chunkOffsets = Array.tabulate(n.toInt)(i => beU32(bytes, (s + 8 + 4L * i).toInt))
+      }
+    }
+    if (chunkOffsets == null) find(bytes, ss, se, "co64").foreach { case (s, e) =>
+      if (s + 8 <= e) {
+        val n = beU32(bytes, s.toInt + 4)
+        if (n >= 1 && n <= MaxChunks && s + 8 + 8L * n <= e)
+          chunkOffsets = Array.tabulate(n.toInt)(i => Bmff.beU64(bytes, (s + 8 + 8L * i).toInt))
+      }
+    }
+    val offsets = Bmff.sampleOffsets(sizes, chunkOffsets, stsc)
+    if (offsets == null) return null
+    // sync sample numbers (1-based) from stss; absent → every sample
+    var syncNums: Array[Long] = null
+    find(bytes, ss, se, "stss").foreach { case (s, e) =>
+      if (s + 8 <= e) {
+        val n = beU32(bytes, s.toInt + 4)
+        if (n >= 0 && n <= MaxSamples && s + 8 + 4L * n <= e)
+          syncNums = Array.tabulate(n.toInt)(i => beU32(bytes, (s + 8 + 4L * i).toInt))
+      }
+    }
+    if (syncNums == null)
+      syncNums = Array.tabulate(offsets.length)(i => (i + 1).toLong)
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    var i = 0
+    while (i < syncNums.length && out.length < maxN) {
+      val sn = syncNums(i)
+      if (sn < 1 || sn > offsets.length) return null // corrupt stss
+      out += offsets((sn - 1).toInt)
+      i += 1
+    }
+    out.toArray
+  }
+}

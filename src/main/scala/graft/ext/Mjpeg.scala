@@ -31,36 +31,8 @@ object Mjpeg {
   private val MaxSamples = 1 << 20 // sanity cap on crafted tables
   private val MaxChunks = 1 << 20
 
-  private def beU32(b: Array[Byte], off: Int): Long =
-    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
-      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
-
-  private def beU64(b: Array[Byte], off: Int): Long =
-    (beU32(b, off) << 32) | beU32(b, off + 4)
-
-  private def tag(b: Array[Byte], off: Int): String =
-    new String(b, off, 4, "US-ASCII")
-
-  /** Child boxes of [start, end): (tag, payloadStart, payloadEnd). */
-  private def children(b: Array[Byte], start: Long, end: Long): Seq[(String, Long, Long)] = {
-    val out = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
-    var off = start
-    while (off + 8 <= end) {
-      val size0 = beU32(b, off.toInt)
-      val t = tag(b, off.toInt + 4)
-      val (size, hdr) =
-        if (size0 == 1 && off + 16 <= end) (beU64(b, off.toInt + 8), 16L)
-        else if (size0 == 0) (end - off, 8L)
-        else (size0, 8L)
-      if (size < hdr || off + size > end) return out.toSeq // stop at corruption
-      out += ((t, off + hdr, off + size))
-      off += size
-    }
-    out.toSeq
-  }
-
-  private def find(b: Array[Byte], start: Long, end: Long, t: String): Option[(Long, Long)] =
-    children(b, start, end).collectFirst { case (`t`, s, e) => (s, e) }
+  // box-walk helpers shared with the H.264 metadata reader
+  import Bmff.{beU32, beU64, children, find, tag}
 
   private final class Track {
     var timescale = 0L
@@ -147,38 +119,8 @@ object Mjpeg {
   /** Per-sample absolute byte offsets via the stsc chunk mapping, or
     * null if the tables are inconsistent.
     */
-  private def sampleOffsets(tr: Track): Array[Long] = {
-    val n = tr.sizes.length
-    val out = new Array[Long](n)
-    // stsc first_chunk entries are strictly ascending in valid files;
-    // reject non-ascending tables so the monotone cursor below is
-    // sound (and so a crafted table can't force a quadratic rescan —
-    // with MaxChunks×MaxSamples both 2^20 a from-zero rescan per
-    // chunk would be ~10^12 iterations in one task).
-    var v = 1
-    while (v < tr.stsc.length) {
-      if (tr.stsc(v)._1 <= tr.stsc(v - 1)._1) return null
-      v += 1
-    }
-    var s = 0
-    var ci = 0 // 0-based chunk index
-    var k = 0  // monotone cursor into stsc — never reset across chunks
-    var spc = 0L
-    while (s < n && ci < tr.chunkOffsets.length) {
-      // samples-per-chunk for chunk ci+1: last stsc entry with first_chunk <= ci+1
-      while (k < tr.stsc.length && tr.stsc(k)._1 <= ci + 1) { spc = tr.stsc(k)._2; k += 1 }
-      if (spc <= 0) return null
-      var off = tr.chunkOffsets(ci)
-      var j = 0L
-      while (j < spc && s < n) {
-        out(s) = off
-        off += tr.sizes(s)
-        s += 1; j += 1
-      }
-      ci += 1
-    }
-    if (s < n) null else out
-  }
+  private def sampleOffsets(tr: Track): Array[Long] =
+    Bmff.sampleOffsets(tr.sizes, tr.chunkOffsets, tr.stsc)
 
   /** `[frame_idx, t_ms, mean/255, std/255, nBins histogram]` per every
     * `stride`-th of the first `maxFrames` samples of the first

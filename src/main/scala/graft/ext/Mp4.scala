@@ -2,9 +2,11 @@ package graft.ext
 
 /** JDK-only ISO BMFF (MP4/QuickTime) metadata walk — the video member
   * of the real-decode family ([[Png]] pixels, [[Wav]] samples). Frame
-  * DECODE needs a codec: MJPEG tracks are REAL via [[Mjpeg]] (sample tables + the baseline-JPEG kernel); inter-coded codecs (H.264) this container cannot ship
-  * (that path stays behind the documented stub + chunk sampler), but
-  * the container METADATA is a plain public box structure: walk the
+  * DECODE needs a codec: MJPEG tracks are REAL via [[Mjpeg]] (sample
+  * tables + the baseline-JPEG kernel); inter-coded H.264 frame decode
+  * stays the documented stub, but its METADATA is fully real via
+  * [[Avc]] (avcC/SPS parse → resolution/profile, stss → keyframe
+  * offsets). This object reads the container-level summary: walk the
   * top-level boxes, find `moov`, read `mvhd` (timescale + duration,
   * version 0 and 1 layouts) and count `trak` children.
   */

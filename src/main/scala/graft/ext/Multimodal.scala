@@ -131,9 +131,11 @@ object Multimodal {
     * [[graft.fn.Mp4Meta]] box walk (timescale, duration, track
     * count). MJPEG tracks additionally decode REAL frames
     * ([[withMjpegFrames]]); inter-coded tracks (H.264) stay behind
-    * the stub/chunk-sampler — their pixel decode needs codecs this
-    * container does not ship — but the container metadata is real
-    * either way, like PNG's IHDR and WAV's fmt.
+    * the stub/chunk-sampler for PIXELS — their decode needs codecs
+    * this container does not ship — but their metadata is fully real:
+    * [[graft.fn.Mp4AvcMeta]] surfaces SPS-derived resolution/profile
+    * and [[graft.fn.Mp4SyncOffsets]] the keyframe byte index, like
+    * PNG's IHDR and WAV's fmt.
     */
   def withMp4Meta(assets: DataFrame, contentCol: String = "content"): DataFrame = {
     import org.apache.spark.sql.{graftbridge => gb}

@@ -39,3 +39,74 @@ case class Mp4Meta(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** SQL `mp4_avc_meta(content)` — `[width, height, profile_idc,
+  * level_idc, n_samples, n_sync]` for the first H.264 track, with
+  * width/height SPS-DERIVED ([[graft.ext.Avc.h264MetaOrNull]]: avcC →
+  * SPS Exp-Golomb parse, coded size minus cropping). Null for
+  * non-BMFF / non-AVC payloads.
+  */
+case class Mp4AvcMeta(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "mp4_avc_meta"
+
+  override protected def nullSafeEval(bytes: Any): Any = {
+    val f = graft.ext.Avc.h264MetaOrNull(bytes.asInstanceOf[Array[Byte]])
+    if (f == null) null else new GenericArrayData(f)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, bytes =>
+      s"""
+         |double[] ${ev.value}_f = graft.ext.Avc.h264MetaOrNull($bytes);
+         |if (${ev.value}_f == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(${ev.value}_f);
+         |}
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** SQL `mp4_sync_offsets(content, maxN)` — absolute byte offsets of
+  * the first maxN sync samples (keyframes) of the first H.264 track
+  * ([[graft.ext.Avc.syncOffsetsOrNull]]: stss ∘ stsz/stsc/stco). The
+  * random-access index a clip sampler seeks by — no bitstream parse,
+  * no decode.
+  */
+case class Mp4SyncOffsets(child: Expression, maxN: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(maxN >= 1, s"maxN must be >= 1, got $maxN")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "mp4_sync_offsets"
+
+  override protected def nullSafeEval(bytes: Any): Any = {
+    val f = graft.ext.Avc.syncOffsetsOrNull(bytes.asInstanceOf[Array[Byte]], maxN)
+    if (f == null) null else new GenericArrayData(f)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, bytes =>
+      s"""
+         |long[] ${ev.value}_f = graft.ext.Avc.syncOffsetsOrNull($bytes, $maxN);
+         |if (${ev.value}_f == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(${ev.value}_f);
+         |}
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
