@@ -211,3 +211,57 @@ case class NearestCentroidCos(child: Expression, centroids: Seq[Seq[Double]])
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** [[NearestCentroidCos]] returning `struct<cluster:int, cos:double>`
+  * — assignment AND the winning cosine in the same single compiled
+  * pass, for consumers that gate on the similarity value (the
+  * streaming semantic gate). Zero-norm rows carry the −2.0 sentinel
+  * as cos (callers translate to null); same ties and null rules.
+  */
+case class NearestCentroidScore(child: Expression, centroids: Seq[Seq[Double]])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with ImplicitCastInputTypes {
+
+  require(centroids.nonEmpty, "need at least one centroid")
+  require(centroids.map(_.size).distinct.size == 1,
+    "ragged centroid matrix")
+
+  @transient private lazy val flat: Array[Double] = centroids.flatten.toArray
+  @transient private lazy val norms: Array[Double] =
+    centroids.map(c => math.sqrt(c.map(x => x * x).sum)).toArray
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("cluster",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("cos", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest_centroid_score"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val r = VecKernels.nearestCentroidScoreBoxed(
+      v.asInstanceOf[ArrayData], flat, norms)
+    if (r == null) null
+    else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](r(0).toInt, r(1)))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("ncsFlat", flat, "double[]")
+    val normsRef = ctx.addReferenceObj("ncsNorms", norms, "double[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""
+         |double[] ${ev.value}_r =
+         |  graft.fn.VecKernels.nearestCentroidScoreBoxed($v, $flatRef, $normsRef);
+         |if (${ev.value}_r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[] { (int) ${ev.value}_r[0], ${ev.value}_r[1] });
+         |}
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

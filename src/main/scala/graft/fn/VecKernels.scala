@@ -166,6 +166,56 @@ object VecKernels {
     java.lang.Integer.valueOf(bestIdx)
   }
 
+  /** [[nearestCentroidCosBoxed]] returning BOTH halves of the argmax —
+    * `[cluster, cos]` — for consumers that gate on the similarity
+    * value as well as the assignment (the streaming semantic gate).
+    * Same loop, same tie/sentinel rules; the −2.0 sentinel rides out
+    * as the cos for zero-norm rows (callers translate it to null).
+    */
+  def nearestCentroidScoreBoxed(v: ArrayData, flat: Array[Double],
+                                norms: Array[Double]): Array[Double] = {
+    val k = norms.length
+    if (k == 0) return null
+    val dim = flat.length / k
+    val n = v.numElements()
+    if (n != dim) return null
+    var scratch = centScratch.get()
+    if (scratch.length < n) {
+      scratch = new Array[Double](n)
+      centScratch.set(scratch)
+    }
+    var vv = 0.0
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      val x = v.getDouble(i)
+      scratch(i) = x
+      vv += x * x
+      i += 1
+    }
+    val vn = math.sqrt(vv)
+    var best = 0.0
+    var bestIdx = -1
+    var c = 0
+    while (c < k) {
+      val cn = norms(c)
+      val cos =
+        if (cn == 0.0 || vn == 0.0) -2.0
+        else {
+          var s = 0.0
+          val off = c * dim
+          var j = 0
+          while (j < n) { s += scratch(j) * flat(off + j); j += 1 }
+          s / (vn * cn)
+        }
+      if (bestIdx < 0 || java.lang.Double.compare(cos, best) > 0) {
+        best = cos; bestIdx = c
+      }
+      c += 1
+    }
+    Array(bestIdx.toDouble, best)
+  }
+
   /** Symmetric int8 quantization: floor(x/scale + 0.5) clamped to
     * [−127, 127]; scale = 0 → all zeros. Numerically identical to the
     * HOF spelling (`greatest(-127, least(127, floor(x/s + 0.5)))`,

@@ -246,6 +246,45 @@ object DocStreams {
     * Contract: docs (doc_id: long, ts: long nanos, text: string) →
     * (doc_id, ts·micros, text, avg_nll, ppl).
     */
+  /** Streaming SEMANTIC gate — the streaming face of
+    * `ext/SimJoin.semanticDedupPairs`'s assignment stage: each
+    * arriving embedding is assigned its nearest centroid by cosine
+    * ([[graft.fn.NearestCentroidScore]], the fused q103 kernel) and
+    * DROPPED when that cosine reaches `maxCos` — "too close to a
+    * region the reference corpus already covers densely", the
+    * SemDeDup screen against a FIXED centroid book (dedup against
+    * already-ingested mass; the pairwise within-cluster verify stays
+    * a batch concern, exactly as LSH banding stands in for the
+    * Jaccard verify in [[nearDupFilter]]).
+    *
+    * Completely STATELESS — the centroid matrix rides the expression
+    * into every task, so there is no watermark, no state store, and
+    * the batch and streaming plans are the same narrow kernel
+    * (DocStreamsSpec asserts stream == batch row-for-row).
+    *
+    * Contract: docs (doc_id: long, ts: long nanos,
+    * embedding: array<double>) → kept (doc_id, ts·micros, cluster,
+    * cos). Zero-norm embeddings have no defined cosine: kept, with
+    * null cos (the batch operator's null-cosine convention); rows
+    * whose embedding is null or of the wrong dimension are kept with
+    * null cluster AND cos — a malformed row is a curation decision,
+    * not a silent drop.
+    */
+  def semanticGate(docs: DataFrame, centroids: Seq[Seq[Double]],
+                   maxCos: Double): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    val score = gb.column(graft.fn.NearestCentroidScore(
+      gb.expression(col("embedding")), centroids))
+    docs
+      .select(col("doc_id"), EventStreams.tsCol.as("ts_t"), score.as("__s"))
+      .filter(col("__s").isNull || col("__s.cos") <= -2.0 ||
+        col("__s.cos") < maxCos)
+      .select(col("doc_id"), unix_micros(col("ts_t")).as("ts"),
+        col("__s.cluster").as("cluster"),
+        when(col("__s.cos") <= -2.0, lit(null).cast("double"))
+          .otherwise(col("__s.cos")).as("cos"))
+  }
+
   def perplexityGate(docs: DataFrame, model: Map[String, Long],
                      total: Long, vocab: Long, maxPpl: Double,
                      alpha: Double = 1.0): DataFrame = {

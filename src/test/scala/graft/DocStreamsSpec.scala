@@ -356,4 +356,51 @@ class DocStreamsSpec extends SparkSpec {
     assert(streamed.keySet === Set(1L, 4L), s"kept=${streamed.keySet}")
     assert(streamed.values.forall(_ <= maxPpl))
   }
+
+  test("streaming semantic gate: stream == batch, near-centroid dropped, zero-norm kept") {
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ts", LongType),
+      StructField("embedding", ArrayType(DoubleType))))
+    val dir = java.nio.file.Files.createTempDirectory("semgate").toString
+    val min = 60L * 1000000000L
+    def write(rows: Seq[(Long, Long, Seq[Double])]): Unit =
+      spark.createDataFrame(rows.toDF("doc_id", "ts", "embedding").rdd, sch)
+        .coalesce(1).write.mode("append").parquet(dir)
+
+    val centroids = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0))
+    write(Seq(
+      (1L, 1 * min, Seq(0.99, 0.05, 0.0)),  // cos≈0.999 to c0 -> drop
+      (2L, 2 * min, Seq(0.5, 0.5, 0.7)),    // cos≈0.5 -> keep
+      (3L, 3 * min, Seq(0.0, 0.0, 0.0))))   // zero-norm: kept, null cos
+    write(Seq(
+      (4L, 4 * min, Seq(0.0, 1.0, 0.01)),   // ~c1 -> drop
+      (5L, 5 * min, Seq(0.1, 0.1, 0.99))))  // orthogonal-ish -> keep
+
+    val q = DocStreams.semanticGate(
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", "1").parquet(dir),
+        centroids, maxCos = 0.9)
+      .writeStream.format("memory").queryName("semgate")
+      .outputMode("append").start()
+    val streamed = try {
+      q.processAllAvailable()
+      spark.table("semgate")
+        .select($"doc_id", $"cluster", $"cos").collect()
+        .map(r => (r.getLong(0), r.getInt(1), Option(r.get(2)))).toSet
+    } finally q.stop()
+    val batch = DocStreams.semanticGate(
+        spark.read.schema(sch).parquet(dir), centroids, maxCos = 0.9)
+      .select($"doc_id", $"cluster", $"cos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), Option(r.get(2)))).toSet
+    assert(streamed === batch, "stateless gate must be plan-identical")
+    assert(streamed.map(_._1) === Set(2L, 3L, 5L), s"kept=$streamed")
+    // zero-norm row: assigned cluster 0 (lowest-id tie), null cosine
+    assert(streamed.exists(t => t._1 == 3L && t._2 == 0 && t._3.isEmpty))
+    // the batch assignment agrees with the q103 kernel's cluster ids
+    val viaAssign = spark.read.schema(sch).parquet(dir)
+      .select($"doc_id",
+        graft.ext.SimJoin.assignNearestCos($"embedding", centroids).as("c"))
+      .as[(Long, Int)].collect().toMap
+    batch.foreach { case (id, cl, _) => assert(viaAssign(id) === cl, s"doc $id") }
+  }
 }
