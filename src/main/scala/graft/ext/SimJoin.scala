@@ -175,6 +175,17 @@ object SimJoin {
       dotConst(v, c) * 2.0 - lit(c2)
     }
 
+  /** The `nProbe` best cells for a query vector, best first — the
+    * probe side of every IVF variant (batch top-k, quantized top-k,
+    * streaming enrich), as a slice-ready array of (score, cell)
+    * structs. Stateless per-row arithmetic.
+    */
+  def probeCells(v: Column, centroids: Seq[Seq[Double]], nProbe: Int): Column =
+    slice(sort_array(
+      array(cellScores(v, centroids).zipWithIndex.map { case (s, i) =>
+        struct(s.as("score"), lit(i).as("cell"))
+      }: _*), asc = false), 1, nProbe)
+
   /** IVF ANN top-k: corpus vectors live in their nearest-centroid
     * cell; each query probes its `nProbe` best cells; candidates are
     * re-scored with exact cosine. Equi-join on cell id — same
@@ -186,12 +197,8 @@ object SimJoin {
               vecCol: String, k: Int, centroids: Seq[Seq[Double]],
               nProbe: Int): DataFrame = {
     val corpusCells = corpus.withColumn("__cell", assignCell(col(vecCol), centroids))
-    val probeCells = sort_array(
-      array(cellScores(col(vecCol), centroids).zipWithIndex.map { case (s, i) =>
-        struct(s.as("score"), lit(i).as("cell"))
-      }: _*), asc = false)
     val qCells = queries
-      .withColumn("__probe", explode(slice(probeCells, 1, nProbe)))
+      .withColumn("__probe", explode(probeCells(col(vecCol), centroids, nProbe)))
       .select(col(idCol).as("q_id"), col(vecCol).as("__qv"),
         col("__probe.cell").as("__cell"))
     // queries are small BY CONTRACT: broadcast them so the corpus
@@ -237,12 +244,8 @@ object SimJoin {
   def ivfTopKQuantized(qCorpus: DataFrame, queries: DataFrame, idCol: String,
                        vecCol: String, k: Int, centroids: Seq[Seq[Double]],
                        nProbe: Int): DataFrame = {
-    val probeCells = sort_array(
-      array(cellScores(col(vecCol), centroids).zipWithIndex.map { case (s, i) =>
-        struct(s.as("score"), lit(i).as("cell"))
-      }: _*), asc = false)
     val qCells = queries
-      .withColumn("__probe", explode(slice(probeCells, 1, nProbe)))
+      .withColumn("__probe", explode(probeCells(col(vecCol), centroids, nProbe)))
       .select(col(idCol).as("q_id"), col(vecCol).as("__qv"),
         col("__probe.cell").as("__cell"))
     // broadcast for the same reason as [[ivfTopK]]: a shuffle join on

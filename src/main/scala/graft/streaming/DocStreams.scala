@@ -182,6 +182,57 @@ object DocStreams {
         col("__best.cos_sim").as("cos_sim"))
   }
 
+  /** [[annEnrich]] against the INT8-QUANTIZED corpus — the streaming
+    * face of `SimJoin.ivfTopKQuantized` (q110): the static side is
+    * `SimJoin.quantizedCorpus`'s (id, cell, scale, q) table — the
+    * 100 TB storage form, 4× smaller than fp32, which matters
+    * doubly on a stream because the static side stays RESIDENT for
+    * the query's lifetime — and candidates score with the fused
+    * `cosine_sim_q8` kernel; full-precision corpus vectors are never
+    * read (need not exist). The stream side assigns its `nProbe`
+    * best cells per row ([[graft.ext.SimJoin.probeCells]] — the same
+    * arithmetic the batch path uses), stateless, then equi-joins the
+    * cell key. Output: each doc's nearest corpus neighbor among the
+    * probed cells (ties by lowest id, the batch rk=1 convention);
+    * docs whose probed cells are empty or all-degenerate emit
+    * nothing.
+    *
+    * Contract: stream (doc_id: long, ts: long nanos,
+    * vec: array<double>) × quantized corpus → (doc_id, ts·micros,
+    * nn_id, cos_sim). DocStreamsSpec asserts stream == batch
+    * `ivfTopKQuantized` k=1 row-for-row.
+    */
+  def annEnrichQuantized(stream: DataFrame, qCorpus: DataFrame,
+                         idCol: String, centroids: Seq[Seq[Double]],
+                         nProbe: Int,
+                         watermark: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    val streamSide = stream
+      .select(col("doc_id"), EventStreams.tsCol.as("ts_t"), col("vec"))
+      .withWatermark("ts_t", watermark)
+      .select(col("doc_id"), col("ts_t"), col("vec"),
+        explode(graft.ext.SimJoin.probeCells(col("vec"), centroids, nProbe))
+          .as("__probe"))
+      .select(col("doc_id"), col("ts_t"), col("vec"),
+        col("__probe.cell").as("__cell"))
+    streamSide
+      .join(qCorpus, Seq("__cell"))
+      .withColumn("cos_sim", gb.column(graft.fn.CosineSimQ8(
+        gb.expression(col("vec")), gb.expression(col("__q")),
+        gb.expression(col("__scale")))))
+      // NaN (zero-norm degenerates) would win the argmax — drop, as in
+      // [[annEnrich]]
+      .filter(!isnan(col("cos_sim")))
+      .groupBy(col("ts_t"), col("doc_id"))
+      // batch rk=1 orders cos DESC then id ASC — max over
+      // (cos, -id) mirrors the id tiebreak exactly
+      .agg(max_by(struct(col("cos_sim"), col(idCol)),
+        struct(col("cos_sim"), (-col(idCol)).as(idCol))).as("__best"))
+      .select(col("doc_id"), unix_micros(col("ts_t")).as("ts"),
+        col("__best").getField(idCol).as("nn_id"),
+        col("__best.cos_sim").as("cos_sim"))
+  }
+
   /** Streaming curation gate — the standard ingest-time filter chain
     * of an LLM corpus pipeline, composed entirely from STATELESS
     * per-row kernels plus one watermark-bounded dedup:

@@ -238,6 +238,59 @@ class DocStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quantized ANN enrich == batch ivfTopKQuantized k=1") {
+    import org.apache.spark.sql.types._
+    val dim = 16
+    val rnd = new scala.util.Random(23)
+    def unit(): Seq[Double] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / nrm).toSeq
+    }
+    val corpusRows = (0 until 40).map(i => (i.toLong, unit()))
+    val corpus = corpusRows.toDF("vec_id", "v")
+    val cents = graft.ext.SimJoin.ivfCentroids(corpus, "vec_id", "v", k = 4, iters = 2)
+    val qCorpus = graft.ext.SimJoin.quantizedCorpus(corpus, "vec_id", "v", cents)
+    val min = 60L * 1000000000L
+    // disjoint id space: the batch path's self-exclusion never fires
+    val streamRows = Seq(3, 11, 29).zipWithIndex.map { case (ci, i) =>
+      (1000L + i, (i + 1) * min,
+        corpusRows(ci)._2.map(x => x + rnd.nextGaussian() * 0.01))
+    }
+    val sch = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ts", LongType),
+      StructField("vec", ArrayType(DoubleType))))
+    val dir = java.nio.file.Files.createTempDirectory("annq8").toString
+    spark.createDataFrame(streamRows.toDF("doc_id", "ts", "vec").rdd, sch)
+      .coalesce(1).write.mode("append").parquet(dir)
+
+    val queries = streamRows.map(r => (r._1, r._3)).toDF("vec_id", "v")
+    val expected = graft.ext.SimJoin
+      .ivfTopKQuantized(qCorpus, queries, "vec_id", "v", k = 1, cents, nProbe = 2)
+      .select($"q_id", $"vec_id", round($"cos_sim", 9)).as[(Long, Long, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+
+    val q = graft.streaming.DocStreams.annEnrichQuantized(
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", "1").parquet(dir),
+        qCorpus, "vec_id", cents, nProbe = 2)
+      .writeStream.format("memory").queryName("annq8")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      spark.createDataFrame(
+          Seq((9999L, 600 * min, unit())).toDF("doc_id", "ts", "vec").rdd, sch)
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val got = spark.table("annq8").filter($"doc_id" < 9999)
+        .select($"doc_id", $"nn_id", round($"cos_sim", 9))
+        .as[(Long, Long, Double)]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got === expected, "stream must equal the batch quantized path")
+      // jittered copies found their int8-stored sources
+      assert(got(1000L)._1 === 3L && got(1001L)._1 === 11L && got(1002L)._1 === 29L)
+    } finally q.stop()
+  }
+
   test("horizon expiry: a dup arriving after the horizon is kept again") {
     import org.apache.spark.sql.types._
     val sch = StructType(Seq(
