@@ -175,8 +175,11 @@ object DocStreams {
       // ABOVE every number — an unfiltered NaN would win the argmax
       .filter(!isnan(col("cos_sim")))
       .groupBy(col("ts_t"), col("doc_id"))
+      // batch annTopK's rk=1 orders cos DESC then id ASC — max over
+      // (cos, -id) reproduces the id tiebreak exactly (a plain
+      // (cos, id) ordering would break ties to the HIGHEST id)
       .agg(max_by(struct(col("cos_sim"), col(idCol)),
-        struct(col("cos_sim"), col(idCol))).as("__best"))
+        struct(col("cos_sim"), (-col(idCol)).as(idCol))).as("__best"))
       .select(col("doc_id"), unix_micros(col("ts_t")).as("ts"),
         col("__best").getField(idCol).as("nn_id"),
         col("__best.cos_sim").as("cos_sim"))

@@ -194,15 +194,19 @@ class DocStreamsSpec extends SparkSpec {
       val nrm = math.sqrt(v.map(x => x * x).sum)
       v.map(_ / nrm).toSeq
     }
-    val corpusRows = (0 until 40).map(i => (i.toLong, unit()))
+    // ids 30 and 35 carry the IDENTICAL vector: any query near it ties
+    // EXACTLY on cosine, and both engines must break to the LOWER id
+    val base = (0 until 40).map(i => (i.toLong, unit()))
+    val corpusRows = base.map { case (i, v) => if (i == 35L) (i, base(30)._2) else (i, v) }
     val corpus = corpusRows.toDF("vec_id", "v")
     val planes = graft.ext.SimJoin.planes(8, dim)
-    // stream docs = jittered copies of corpus vectors 5, 17, 23
+    // stream docs = jittered copies of corpus vectors 5, 17, 23 + an
+    // EXACT copy of the duplicated vector (forces the cosine tie)
     val min = 60L * 1000000000L
     val streamRows = Seq(5, 17, 23).zipWithIndex.map { case (ci, i) =>
       (100L + i, (i + 1) * min,
         corpusRows(ci)._2.map(x => x + rnd.nextGaussian() * 0.01))
-    }
+    } :+ ((103L, 4 * min, corpusRows(30)._2))
     val sch = StructType(Seq(
       StructField("doc_id", LongType), StructField("ts", LongType),
       StructField("vec", ArrayType(DoubleType))))
@@ -235,6 +239,8 @@ class DocStreamsSpec extends SparkSpec {
       assert(got === expected)
       // and the jittered copies found their sources
       assert(got(100L)._1 === 5L && got(101L)._1 === 17L && got(102L)._1 === 23L)
+      // the exact tie (corpus 30 == corpus 35) broke to the LOWER id
+      assert(got(103L)._1 === 30L, s"tie must break low, got ${got(103L)}")
     } finally q.stop()
   }
 
