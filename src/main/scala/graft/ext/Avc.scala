@@ -43,7 +43,11 @@ object Avc {
     def ue(): Int = {
       var zeros = 0
       var bit = u(1)
-      while (bit == 0) { zeros += 1; if (zeros > 31) return -1; bit = u(1) }
+      // cap at 30 leading zeros: (1 << 31) - 1 + rest overflows Int,
+      // and no legal SPS field needs values ≥ 2^30 — a crafted stream
+      // past the cap must read as malformed (-1), not wrap into a
+      // plausible positive that poisons the crop arithmetic
+      while (bit == 0) { zeros += 1; if (zeros > 30) return -1; bit = u(1) }
       if (bit < 0) return -1
       if (zeros == 0) return 0
       val rest = u(zeros)
@@ -157,9 +161,13 @@ object Avc {
       else if (chromaFormat == 2) (2, 1)
       else (2, 2) // 4:2:0
     val cropY = cropY0 * (2 - frameMbsOnly)
-    val width = (widthMbs + 1) * 16 - cropX * (cl + cr)
-    val height = (2 - frameMbsOnly) * (heightMapUnits + 1) * 16 - cropY * (ct + cb)
-    if (width <= 0 || height <= 0) return null
+    // Long arithmetic: crafted near-2^30 ue values passed the reader's
+    // overflow cap but would wrap Int sums here; the 16384 bound is
+    // the H.264 level-limit ceiling, so anything past it is garbage
+    val width = (widthMbs + 1).toLong * 16 - cropX.toLong * (cl.toLong + cr)
+    val height = (2 - frameMbsOnly).toLong * (heightMapUnits + 1) * 16 -
+      cropY.toLong * (ct.toLong + cb)
+    if (width <= 0 || height <= 0 || width > 16384 || height > 16384) return null
     Array(width.toDouble, height.toDouble, profile.toDouble, level.toDouble)
   }
 
@@ -218,6 +226,9 @@ object Avc {
     find(bytes, ss, se, "stss").foreach { case (s, e) =>
       if (s + 8 <= e) nSync = beU32(bytes, s.toInt + 4)
     }
+    // same bound the nSamples path enforces — a corrupt stss count
+    // must not ride out as garbage metadata
+    if (nSync < 0 || nSync > MaxSamples) return null
     meta ++ Array(nSamples.toDouble, nSync.toDouble)
   }
 

@@ -213,9 +213,13 @@ object Jpeg {
         case 0xDA => // SOS
           if (off + 2 > bytes.length) return null
           val len = u16(off)
-          if (off + len > bytes.length || comps == null) return null
+          // len >= 3 before reading ns (a crafted len of 2 would read
+          // one past the segment), then the full header before the
+          // component specs
+          if (off + len > bytes.length || comps == null || len < 3) return null
           val ns = bytes(off + 2) & 0xFF
           if (ns != comps.length) return null // interleaved single scan only
+          if (len < 3 + 2 * ns) return null
           var i = 0
           while (i < ns) {
             val cid = bytes(off + 3 + 2 * i) & 0xFF
@@ -801,7 +805,9 @@ object Jpeg {
         case 0xDA =>
           if (off + 2 > bytes.length || comps == null || yCoef == null) return null
           val len = u16(off)
-          if (off + len > bytes.length) return null
+          // len >= 3 before reading ns — a crafted len of 2 passes the
+          // range check but indexes one past the segment
+          if (off + len > bytes.length || len < 3) return null
           val ns = bytes(off + 2) & 0xFF
           if (ns < 1 || ns > comps.length || len < 6 + 2 * ns) return null
           val scomps = new Array[Comp](ns)

@@ -304,7 +304,17 @@ object TextKernels {
     * document — the dominant cost of both, so it must not also pay
     * per-shingle garbage).
     */
-  private def shingleHashes60(s: UTF8String, n: Int): Array[Long] = {
+  private def shingleHashes60(s: UTF8String, n: Int): Array[Long] =
+    shingleHashesImpl(s, n, xx = false)
+
+  /** One tokenize-and-assemble loop for BOTH shingle hashers (the
+    * md5/oracle-parity and xxhash64/production paths differ ONLY in
+    * the final hash call — a single predictable branch per shingle,
+    * so the two hashers cannot drift in tokenization or scratch
+    * handling).
+    */
+  private def shingleHashesImpl(s: UTF8String, n: Int,
+                                xx: Boolean): Array[Long] = {
     val bytes = s.getBytes
     val len = bytes.length
     var starts = new Array[Int](16)
@@ -325,8 +335,8 @@ object TextKernels {
     }
     val m = nTok - n + 1
     if (m <= 0) return null
-    val md = md5Local.get()
-    val out = digestLocal.get()
+    val md = if (xx) null else md5Local.get()
+    val out = if (xx) null else digestLocal.get()
     var scratch = scratchLocal.get()
     val hashes = new Array[Long](m)
     var j = 0
@@ -347,13 +357,21 @@ object TextKernels {
         pos += tl
         t += 1
       }
-      md.reset()
-      md.update(scratch, 0, pos)
-      md.digest(out, 0, 16)
-      var v = 0L
-      var bi = 0
-      while (bi < 7) { v = (v << 8) | (out(bi) & 0xffL); bi += 1 }
-      hashes(j) = (v << 4) | ((out(7) & 0xffL) >>> 4)
+      if (xx) {
+        // seed-42 over the shingle's UTF-8 bytes — the exact
+        // bytes-and-seed contract of SQL xxhash64(string)
+        hashes(j) = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(scratch,
+            org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, pos, 42L)
+      } else {
+        md.reset()
+        md.update(scratch, 0, pos)
+        md.digest(out, 0, 16)
+        var v = 0L
+        var bi = 0
+        while (bi < 7) { v = (v << 8) | (out(bi) & 0xffL); bi += 1 }
+        hashes(j) = (v << 4) | ((out(7) & 0xffL) >>> 4)
+      }
       j += 1
     }
     hashes
@@ -369,54 +387,8 @@ object TextKernels {
     * Same tokenization, same reusable scratch assembly — only the
     * hash call differs.
     */
-  private def shingleHashesXx(s: UTF8String, n: Int): Array[Long] = {
-    import org.apache.spark.sql.catalyst.expressions.XXH64
-    import org.apache.spark.unsafe.Platform
-    val bytes = s.getBytes
-    val len = bytes.length
-    var starts = new Array[Int](16)
-    var ends = new Array[Int](16)
-    var nTok = 0
-    var i = 0
-    while (i < len) {
-      while (i < len && bytes(i) == ' ') i += 1
-      val st = i
-      while (i < len && bytes(i) != ' ') i += 1
-      if (i > st) {
-        if (nTok == starts.length) {
-          starts = java.util.Arrays.copyOf(starts, nTok * 2)
-          ends = java.util.Arrays.copyOf(ends, nTok * 2)
-        }
-        starts(nTok) = st; ends(nTok) = i; nTok += 1
-      }
-    }
-    val m = nTok - n + 1
-    if (m <= 0) return null
-    var scratch = scratchLocal.get()
-    val hashes = new Array[Long](m)
-    var j = 0
-    while (j < m) {
-      var slen = n - 1
-      var t = j
-      while (t < j + n) { slen += ends(t) - starts(t); t += 1 }
-      if (slen > scratch.length) {
-        scratch = new Array[Byte](java.lang.Integer.highestOneBit(slen) * 2)
-        scratchLocal.set(scratch)
-      }
-      var pos = 0
-      t = j
-      while (t < j + n) {
-        if (t > j) { scratch(pos) = ' '; pos += 1 }
-        val tl = ends(t) - starts(t)
-        System.arraycopy(bytes, starts(t), scratch, pos, tl)
-        pos += tl
-        t += 1
-      }
-      hashes(j) = XXH64.hashUnsafeBytes(scratch, Platform.BYTE_ARRAY_OFFSET, pos, 42L)
-      j += 1
-    }
-    hashes
-  }
+  private def shingleHashesXx(s: UTF8String, n: Int): Array[Long] =
+    shingleHashesImpl(s, n, xx = true)
 
   /** Per-ROW winnowing fingerprints (Schleimer, Wilkerson & Aiken
     * 2003 — the MOSS algorithm): hash every k-token shingle with the

@@ -124,46 +124,12 @@ object VecKernels {
     */
   def nearestCentroidCosBoxed(v: ArrayData, flat: Array[Double],
                               norms: Array[Double]): java.lang.Integer = {
-    val k = norms.length
-    if (k == 0) return null
-    val dim = flat.length / k
-    val n = v.numElements()
-    if (n != dim) return null
-    var scratch = centScratch.get()
-    if (scratch.length < n) {
-      scratch = new Array[Double](n)
-      centScratch.set(scratch)
-    }
-    var vv = 0.0
-    var i = 0
-    while (i < n) {
-      if (v.isNullAt(i)) return null
-      val x = v.getDouble(i)
-      scratch(i) = x
-      vv += x * x
-      i += 1
-    }
-    val vn = math.sqrt(vv)
-    var best = 0.0
-    var bestIdx = -1
-    var c = 0
-    while (c < k) {
-      val cn = norms(c)
-      val cos =
-        if (cn == 0.0 || vn == 0.0) -2.0
-        else {
-          var s = 0.0
-          val off = c * dim
-          var j = 0
-          while (j < n) { s += scratch(j) * flat(off + j); j += 1 }
-          s / (vn * cn)
-        }
-      if (bestIdx < 0 || java.lang.Double.compare(cos, best) > 0) {
-        best = cos; bestIdx = c
-      }
-      c += 1
-    }
-    java.lang.Integer.valueOf(bestIdx)
+    // one loop, two views: the score variant carries the argmax AND
+    // the winning cosine; this drops the cosine half. Keeping a single
+    // implementation means the parity-critical accumulation order is
+    // asserted in exactly one place.
+    val r = nearestCentroidScoreBoxed(v, flat, norms)
+    if (r == null) null else java.lang.Integer.valueOf(r(0).toInt)
   }
 
   /** [[nearestCentroidCosBoxed]] returning BOTH halves of the argmax —

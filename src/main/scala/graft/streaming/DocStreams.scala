@@ -170,6 +170,11 @@ object DocStreams {
         col("__bc.band").as("band"), col("__bc.code").as("code"))
     streamSide
       .join(corpusBuckets, Seq("band", "code"))
+      // batch annTopK excludes a corpus row sharing the query's id
+      // (SimJoin.annTopK's q_id filter) — mirror it, else a re-ingested
+      // doc "finds" itself at cos 1.0 and the stream==batch contract
+      // breaks whenever the id spaces overlap
+      .filter(col(idCol) =!= col("doc_id"))
       .withColumn("cos_sim", graft.ext.SimJoin.cosine(col("vec"), col("__cv")))
       // zero-norm degenerates produce NaN cosine, and Spark sorts NaN
       // ABOVE every number — an unfiltered NaN would win the argmax
@@ -220,6 +225,8 @@ object DocStreams {
         col("__probe.cell").as("__cell"))
     streamSide
       .join(qCorpus, Seq("__cell"))
+      // same self-id exclusion as batch ivfTopKQuantized's q_id filter
+      .filter(col(idCol) =!= col("doc_id"))
       .withColumn("cos_sim", gb.column(graft.fn.CosineSimQ8(
         gb.expression(col("vec")), gb.expression(col("__q")),
         gb.expression(col("__scale")))))

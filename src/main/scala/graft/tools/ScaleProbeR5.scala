@@ -25,8 +25,9 @@ object ScaleProbeR5 {
     val family = Seq(
       "q102_lm_perplexity", "q103_semantic_dedup", "q104_winnow_fps",
       "q104x_winnow_fps_xx", "q105_kmv_distinct", "q106_winnow_pairs",
-      "q106x_winnow_pairs_xx", "q108_curation_r5", "q109_bigram_lm",
-      "q110_ivf_quantized", "q111_winnow_decontam", "q112_bpe_encode")
+      "q106x_winnow_pairs_xx", "q107_bpe_tokens", "q108_curation_r5",
+      "q109_bigram_lm", "q110_ivf_quantized", "q111_winnow_decontam",
+      "q112_bpe_encode")
 
     def timed(name: String, dir: String): Double = {
       val fn = graft.SparkEntry.queries(name)

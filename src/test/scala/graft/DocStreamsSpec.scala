@@ -258,7 +258,8 @@ class DocStreamsSpec extends SparkSpec {
     val cents = graft.ext.SimJoin.ivfCentroids(corpus, "vec_id", "v", k = 4, iters = 2)
     val qCorpus = graft.ext.SimJoin.quantizedCorpus(corpus, "vec_id", "v", cents)
     val min = 60L * 1000000000L
-    // disjoint id space: the batch path's self-exclusion never fires
+    // disjoint id space: neither side's self-id exclusion fires, so
+    // the comparison covers the pure scoring path
     val streamRows = Seq(3, 11, 29).zipWithIndex.map { case (ci, i) =>
       (1000L + i, (i + 1) * min,
         corpusRows(ci)._2.map(x => x + rnd.nextGaussian() * 0.01))
