@@ -26,7 +26,7 @@ object Queries3 {
     * query layer, not the Dedup module.
     */
   private def docsPar(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+    Tables.docsPar(s, dir)
 
   /** Shared config for q66/q67: word 3-gram shingles, k=8 minhashes,
     * b=4 bands × r=2. On this corpus every near-dup pair (J≥0.9) lands

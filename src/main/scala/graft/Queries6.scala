@@ -21,7 +21,7 @@ object Queries6 {
     * hash-heavy pipeline stages (same note as Queries3.docsPar).
     */
   private def docsPar(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+    Tables.docsPar(s, dir)
 
   /** Shared shingle CTE for the decontamination oracle: word 5-grams,
     * engine-identical single-space tokenization.

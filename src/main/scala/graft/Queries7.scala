@@ -21,7 +21,7 @@ object Queries7 {
     * hash-heavy stages (same note as Queries3.docsPar).
     */
   private def docsPar(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+    Tables.docsPar(s, dir)
 
   // ---------------------------------------- q89: quota mix sampling
   /** Per-source quota sample (40 docs/source) under a PORTABLE

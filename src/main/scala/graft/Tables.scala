@@ -87,6 +87,35 @@ object Tables {
         df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
     }
 
+  /** Size-aware spread for single-file scans feeding hash-heavy
+    * per-row kernels (minhash/winnow/LM/BPE…): a one-row-group
+    * testdata file yields ONE input split, so the kernel would run
+    * serially without a repartition — but a fixed
+    * `repartition(defaultParallelism)` overpays at small inputs,
+    * where 32-task wave scheduling costs more than the kernel itself
+    * (measured round 7: q102 at sf1 0.94 s at width 32 vs 0.70 s at
+    * width 8; same ordering at sf10). Width therefore scales with the
+    * relation's file bytes (~one partition per `targetBytes`),
+    * clamped to [minParts, defaultParallelism]: small corpora pay few
+    * waves, large corpora still fan out to every core, and on a real
+    * cluster a 100 TB table has thousands of row groups so the
+    * repartition is a no-op-sized safety net, not the parallelism
+    * source. Plan-stats based — no job runs to pick the width.
+    */
+  def spread(spark: SparkSession, df: DataFrame,
+             minParts: Int = 8, targetBytes: Long = 4L << 20): DataFrame = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val want = (bytes / targetBytes).min(BigInt(1 << 24)).toInt + 1
+    val width = math.max(minParts,
+      math.min(spark.sparkContext.defaultParallelism, want))
+    df.repartition(width)
+  }
+
+  /** The `documents` relation spread for hash-heavy stages — the
+    * shared definition behind every query batch's `docsPar`. */
+  def docsPar(spark: SparkSession, dir: String): DataFrame =
+    spread(spark, tbl(spark, dir, "documents"))
+
   /** Drop every cached relation for this session (e.g. after a test
     * rewrites a path it already read through the cache). */
   def invalidate(spark: SparkSession): Unit =

@@ -38,10 +38,15 @@ object LangModel {
     */
   def collectModel(counts: DataFrame,
                    maxVocab: Long = 4000000L): (Map[String, Long], Long, Long) = {
-    val n = counts.limit((maxVocab + 1).toInt).count()
-    require(n <= maxVocab,
+    // guard and fetch in ONE job: limit(maxVocab+1) caps what can ever
+    // reach the driver, and an over-guard vocabulary shows up as
+    // length > maxVocab. The former count()-then-collect() form ran
+    // the whole counting shuffle twice — at sf1 that was half of
+    // q102/q109's wall time.
+    val rows = counts.limit((maxVocab + 1).toInt).collect()
+    require(rows.length <= maxVocab,
       s"vocabulary exceeds maxVocab=$maxVocab; raise the guard or pre-truncate")
-    val model = counts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val model = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
     (model, model.valuesIterator.sum, model.size.toLong)
   }
 
@@ -55,18 +60,25 @@ object LangModel {
   def scoreNll(docs: DataFrame, idCol: String, textCol: String,
                counts: DataFrame, alpha: Double = 1.0,
                maxBroadcastVocab: Long = 4000000L): DataFrame = {
-    val head = counts.groupBy().agg(
-      sum(col("cnt")).as("t"), count(lit(1)).as("v")).collect()(0)
-    if (head.isNullAt(0))
+    // one counting job, not three: limit(guard+1).collect() both
+    // enforces the broadcast guard and fetches the model (the former
+    // head-agg + collect pair re-ran the counting shuffle per call);
+    // total/vocab then fold on the driver. Only the rare over-guard
+    // fallback pays a second aggregate for exact totals.
+    val rows = counts.limit((maxBroadcastVocab + 1).toInt).collect()
+    if (rows.isEmpty)
       return docs.select(col(idCol), lit(0L).as("n_toks"),
           lit(0.0).as("avg_nll"), lit(1.0).as("ppl"))
         .limit(0)
-    val total = head.getLong(0)
-    val vocab = head.getLong(1)
-    if (vocab > maxBroadcastVocab)
-      return scoreNllJoined(docs, idCol, textCol, counts, total, vocab, alpha)
-    val model = counts.collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (rows.length > maxBroadcastVocab) {
+      val head = counts.groupBy().agg(
+        sum(col("cnt")).as("t"), count(lit(1)).as("v")).collect()(0)
+      return scoreNllJoined(docs, idCol, textCol, counts,
+        head.getLong(0), head.getLong(1), alpha)
+    }
+    val model = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = model.valuesIterator.sum
+    val vocab = model.size.toLong
     val nll = gb.column(graft.fn.UnigramNll(
       gb.expression(col(textCol)), model, total, vocab, alpha))
     docs.select(col(idCol), nll.as("__s"))
@@ -139,10 +151,11 @@ object LangModel {
                      alpha: Double = 1.0, lambda: Double = 0.7,
                      maxBroadcast: Long = 8000000L): DataFrame = {
     val (uni, total, vocab) = collectModel(uniCounts, maxBroadcast)
-    val nBi = biCounts.limit((maxBroadcast + 1).toInt).count()
-    require(nBi <= maxBroadcast,
+    // same one-job guard-and-fetch as collectModel
+    val biRows = biCounts.limit((maxBroadcast + 1).toInt).collect()
+    require(biRows.length <= maxBroadcast,
       s"bigram table exceeds maxBroadcast=$maxBroadcast; sample the corpus or use scoreNll")
-    val bi = biCounts.collect()
+    val bi = biRows
       .map(r => (r.getString(0) + " " + r.getString(1)) -> r.getLong(2)).toMap
     val nll = gb.column(graft.fn.BigramNll(
       gb.expression(col(textCol)), uni, bi, total, vocab, alpha, lambda))

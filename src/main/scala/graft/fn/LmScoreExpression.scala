@@ -1,32 +1,99 @@
 package graft.fn
 
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, GenericInternalRow, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.AbstractDataType
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
+
+/** Immutable open-addressing token-count map: UTF-8 byte-string keys
+  * probed by xxhash64 with a full byte comparison on hash hits, so a
+  * 64-bit collision cannot return a foreign count. Built once per
+  * expression from the broadcast `Map[String, Long]`; lookups in the
+  * per-row scoring loop then cost one hash of the token's byte range
+  * plus a primitive array probe — no `String` materialization, no
+  * boxing, no `String.hashCode` re-walk (the boxed
+  * `HashMap[String, Long]` this replaces paid all three per token and
+  * held q102/q109 at 4× the oracle engine at BOTH sf1 and sf10).
+  * Missing keys return -1 (counts are non-negative).
+  */
+final class TokenCountMap private (mask: Int, hashes: Array[Long],
+                                   keys: Array[Array[Byte]],
+                                   vals: Array[Long]) extends Serializable {
+
+  def get(bytes: Array[Byte], off: Int, len: Int, hash: Long): Long = {
+    var slot = ((hash ^ (hash >>> 32)).toInt) & mask
+    while (true) {
+      val k = keys(slot)
+      if (k == null) return -1L
+      if (hashes(slot) == hash && k.length == len) {
+        var p = 0
+        while (p < len && k(p) == bytes(off + p)) p += 1
+        if (p == len) return vals(slot)
+      }
+      slot = (slot + 1) & mask
+    }
+    -1L // unreachable
+  }
+}
+
+object TokenCountMap {
+  /** Seed of the probe hash — internal to the map (both build and
+    * lookup sides use it), so any constant works; 42 keeps the
+    * engine-wide convention.
+    */
+  val Seed = 42L
+
+  def hashRange(bytes: Array[Byte], off: Int, len: Int): Long =
+    XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + off, len, Seed)
+
+  def apply(m: Map[String, Long]): TokenCountMap = {
+    // load factor <= 0.5: capacity = smallest power of two >= 2*size
+    var cap = 8
+    while (cap < m.size * 2) cap <<= 1
+    val mask = cap - 1
+    val hashes = new Array[Long](cap)
+    val keys = new Array[Array[Byte]](cap)
+    val vals = new Array[Long](cap)
+    m.foreach { case (s, v) =>
+      val kb = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val h = hashRange(kb, 0, kb.length)
+      var slot = ((h ^ (h >>> 32)).toInt) & mask
+      while (keys(slot) != null && !(hashes(slot) == h &&
+        java.util.Arrays.equals(keys(slot), kb))) slot = (slot + 1) & mask
+      hashes(slot) = h; keys(slot) = kb; vals(slot) = v
+    }
+    new TokenCountMap(mask, hashes, keys, vals)
+  }
+}
 
 object LmScore {
   /** Per-row add-α unigram negative log-likelihood:
     * nll(doc) = Σ_tok −ln((c(tok)+α)/(T+α·V)) / n_toks. Returns
     * (n_toks, avg_nll) or null for token-less docs. Shared by eval
-    * and codegen.
+    * and codegen. Tokenizes over the document's UTF-8 bytes (0x20
+    * never occurs inside a multi-byte sequence, so the byte split
+    * equals the char split) and looks counts up by byte range — the
+    * loop allocates nothing per token.
     */
-  def score(s: UTF8String, counts: java.util.HashMap[String, java.lang.Long],
+  def score(s: UTF8String, counts: TokenCountMap,
             total: Long, vocab: Long, alpha: Double): GenericInternalRow = {
-    val str = s.toString
-    val len = str.length
+    val bytes = s.getBytes
+    val len = bytes.length
     val denom = total.toDouble + alpha * vocab.toDouble
     var n = 0L
     var nll = 0.0
     var i = 0
     while (i < len) {
-      while (i < len && str.charAt(i) == ' ') i += 1
+      while (i < len && bytes(i) == ' ') i += 1
       val start = i
-      while (i < len && str.charAt(i) != ' ') i += 1
+      while (i < len && bytes(i) != ' ') i += 1
       if (i > start) {
-        val c = counts.get(str.substring(start, i))
-        val cnt = if (c == null) 0.0 else c.longValue().toDouble
+        val tl = i - start
+        val c = counts.get(bytes, start, tl,
+          TokenCountMap.hashRange(bytes, start, tl))
+        val cnt = if (c < 0L) 0.0 else c.toDouble
         nll -= math.log((cnt + alpha) / denom)
         n += 1L
       }
@@ -37,6 +104,10 @@ object LmScore {
 }
 
 object BigramLmScore {
+  private val scratchLocal = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](256)
+  }
+
   /** Per-row interpolated bigram NLL (Jelinek-Mercer):
     * p(w_i | w_{i-1}) = λ·c(w_{i-1},w_i)/c(w_{i-1})
     *                  + (1−λ)·(c(w_i)+α)/(T+α·V);
@@ -44,47 +115,63 @@ object BigramLmScore {
     * term alone. Operation order mirrors the SQL oracle EXACTLY:
     * (λ·bc)/pc + (1−λ)·(uc+α)/denom, both divisions left-assoc.
     * Bigram keys are "prev SPACE tok" (tokens never contain spaces
-    * by construction of the tokenizer).
+    * by construction of the tokenizer), assembled in a reusable
+    * thread-local scratch — no per-token concat. The current token's
+    * unigram count is carried into the next iteration as the
+    * history count, so each token pays ONE unigram probe, not two.
     */
   def score(s: UTF8String,
-            uni: java.util.HashMap[String, java.lang.Long],
-            bi: java.util.HashMap[String, java.lang.Long],
+            uni: TokenCountMap, bi: TokenCountMap,
             total: Long, vocab: Long,
             alpha: Double, lambda: Double): GenericInternalRow = {
-    val str = s.toString
-    val len = str.length
+    val bytes = s.getBytes
+    val len = bytes.length
     val denom = total.toDouble + alpha * vocab.toDouble
     var n = 0L
     var nll = 0.0
-    var prev: String = null
+    var prevStart = -1
+    var prevEnd = -1
+    var prevCnt = -1L
+    var scratch = scratchLocal.get()
     var i = 0
     while (i < len) {
-      while (i < len && str.charAt(i) == ' ') i += 1
+      while (i < len && bytes(i) == ' ') i += 1
       val start = i
-      while (i < len && str.charAt(i) != ' ') i += 1
+      while (i < len && bytes(i) != ' ') i += 1
       if (i > start) {
-        val tok = str.substring(start, i)
-        val u = uni.get(tok)
-        val uc = if (u == null) 0.0 else u.longValue().toDouble
+        val tl = i - start
+        val uc0 = uni.get(bytes, start, tl,
+          TokenCountMap.hashRange(bytes, start, tl))
+        val uc = if (uc0 < 0L) 0.0 else uc0.toDouble
         val uniTerm = (uc + alpha) / denom
         val p =
-          if (prev == null) uniTerm
+          if (prevStart < 0) uniTerm
           else {
-            val b = bi.get(prev + " " + tok)
-            val bc = if (b == null) 0.0 else b.longValue().toDouble
-            val pcRef = uni.get(prev)
             // prev was seen (it is a token of some doc); scoring a
             // FOREIGN doc against this LM may miss it -> pc = 0 means
             // no bigram evidence, fall back to the unigram term alone
-            if (pcRef == null || pcRef.longValue() == 0L)
-              (1.0 - lambda) * uniTerm
-            else
-              lambda * bc / pcRef.longValue().toDouble +
+            if (prevCnt <= 0L) (1.0 - lambda) * uniTerm
+            else {
+              val pl = prevEnd - prevStart
+              val klen = pl + 1 + tl
+              if (klen > scratch.length) {
+                scratch = new Array[Byte](
+                  java.lang.Integer.highestOneBit(klen) * 2)
+                scratchLocal.set(scratch)
+              }
+              System.arraycopy(bytes, prevStart, scratch, 0, pl)
+              scratch(pl) = ' '
+              System.arraycopy(bytes, start, scratch, pl + 1, tl)
+              val bc0 = bi.get(scratch, 0, klen,
+                TokenCountMap.hashRange(scratch, 0, klen))
+              val bc = if (bc0 < 0L) 0.0 else bc0.toDouble
+              lambda * bc / prevCnt.toDouble +
                 (1.0 - lambda) * (uc + alpha) / denom
+            }
           }
         nll -= math.log(p)
         n += 1L
-        prev = tok
+        prevStart = start; prevEnd = i; prevCnt = uc0
       }
     }
     if (n == 0L) null
@@ -116,24 +203,16 @@ case class BigramNll(child: Expression,
   override def nullable: Boolean = true
   override def prettyName: String = "bigram_nll"
 
-  @transient private lazy val uniLookup: java.util.HashMap[String, java.lang.Long] = {
-    val m = new java.util.HashMap[String, java.lang.Long](uni.size * 2)
-    uni.foreach { case (k, v) => m.put(k, java.lang.Long.valueOf(v)) }
-    m
-  }
-  @transient private lazy val biLookup: java.util.HashMap[String, java.lang.Long] = {
-    val m = new java.util.HashMap[String, java.lang.Long](bi.size * 2)
-    bi.foreach { case (k, v) => m.put(k, java.lang.Long.valueOf(v)) }
-    m
-  }
+  @transient private lazy val uniLookup: TokenCountMap = TokenCountMap(uni)
+  @transient private lazy val biLookup: TokenCountMap = TokenCountMap(bi)
 
   override protected def nullSafeEval(s: Any): Any =
     BigramLmScore.score(s.asInstanceOf[UTF8String], uniLookup, biLookup,
       total, vocab, alpha, lambda)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val uniRef = ctx.addReferenceObj("lmUni", uniLookup, "java.util.HashMap")
-    val biRef = ctx.addReferenceObj("lmBi", biLookup, "java.util.HashMap")
+    val uniRef = ctx.addReferenceObj("lmUni", uniLookup, "graft.fn.TokenCountMap")
+    val biRef = ctx.addReferenceObj("lmBi", biLookup, "graft.fn.TokenCountMap")
     nullSafeCodeGen(ctx, ev, s =>
       s"""
          |org.apache.spark.sql.catalyst.expressions.GenericInternalRow ${ev.value}_r =
@@ -179,17 +258,13 @@ case class UnigramNll(child: Expression, counts: Map[String, Long],
   override def nullable: Boolean = true
   override def prettyName: String = "lm_nll"
 
-  @transient private lazy val lookup: java.util.HashMap[String, java.lang.Long] = {
-    val m = new java.util.HashMap[String, java.lang.Long](counts.size * 2)
-    counts.foreach { case (k, v) => m.put(k, java.lang.Long.valueOf(v)) }
-    m
-  }
+  @transient private lazy val lookup: TokenCountMap = TokenCountMap(counts)
 
   override protected def nullSafeEval(s: Any): Any =
     LmScore.score(s.asInstanceOf[UTF8String], lookup, total, vocab, alpha)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val mapRef = ctx.addReferenceObj("lmCounts", lookup, "java.util.HashMap")
+    val mapRef = ctx.addReferenceObj("lmCounts", lookup, "graft.fn.TokenCountMap")
     nullSafeCodeGen(ctx, ev, s =>
       s"""
          |org.apache.spark.sql.catalyst.expressions.GenericInternalRow ${ev.value}_r =
