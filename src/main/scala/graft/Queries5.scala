@@ -66,6 +66,17 @@ object Queries5 {
       |  LIMIT 120)
       |ORDER BY doc_id""".stripMargin
 
+  /** q82x — the PRODUCTION twin of q82: identical bottom-k sample
+    * under the xxhash64 order hash ([[Sketches.orderHashXx]]).
+    * Rows-only by the q104x/q106x contract (DuckDB cannot reproduce
+    * xxhash64); the md5 twin keeps the hash gate on the shared
+    * heap/merge machinery, this entry benches the production hasher.
+    */
+  private def q82x(s: SparkSession, dir: String): DataFrame =
+    Sketches.sampleBottomK(t(s, dir, "documents"), $"doc_id", 120, xx = true)
+      .select($"doc_id", $"lang", $"n_chars")
+      .orderBy($"doc_id")
+
   // ------------------------------------------------- q83: bloom join
   /** Revenue by high-balance supplier, with the lineitem side Bloom-
     * prefiltered on the surviving supplier keys before the join
@@ -145,6 +156,7 @@ object Queries5 {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_topk_freq" -> (q81 _),
     "q82_bottomk_sample" -> (q82 _),
+    "q82x_bottomk_xx" -> (q82x _),
     "q83_bloom_join" -> (q83 _),
     "q84_image_neardup" -> (q84 _))
 

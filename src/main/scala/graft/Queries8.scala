@@ -291,6 +291,25 @@ object Queries8 {
        |FROM ranked WHERE rk = LEAST(nd, $KmvK)
        |ORDER BY source""".stripMargin
 
+  /** q105x — the PRODUCTION twin of q105: identical query under the
+    * xxhash64 order hash ([[Sketches.orderHashXx]], span 2⁶³). Same
+    * rows-only contract as q104x/q106x: DuckDB cannot reproduce
+    * xxhash64, so the md5 twin carries the hash gate for the shared
+    * estimator/state machinery and THIS entry carries the production
+    * hasher's timing in the graded bench.
+    */
+  private def q105x(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    val toks = docsPar(s, dir)
+      .select($"source",
+        explode(gb.column(graft.fn.TermCounts(gb.expression($"text"))))
+          .as(Seq("tok", "tf")))
+    toks.groupBy($"source")
+      .agg(Sketches.kmvDistinct($"tok", KmvK, xx = true).as("est"))
+      .select($"source", round($"est", 4).as("n_tok_est"))
+      .orderBy($"source")
+  }
+
   // --------------------------------------- q107: BPE tokenization
   /** Real BPE subword token counts next to the whitespace counts:
     * merges trained on the corpus's own word-frequency dictionary
@@ -676,6 +695,7 @@ object Queries8 {
     "q104_winnow_fps" -> (q104 _),
     "q104x_winnow_fps_xx" -> (q104x _),
     "q105_kmv_distinct" -> (q105 _),
+    "q105x_kmv_distinct_xx" -> (q105x _),
     "q106_winnow_pairs" -> (q106 _),
     "q106x_winnow_pairs_xx" -> (q106x _),
     "q107_bpe_tokens" -> (q107 _),

@@ -61,6 +61,19 @@ object Sketches {
   def orderHash(key: Column): Column =
     conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
 
+  /** PRODUCTION order key — xxhash64 of the key string masked to the
+    * non-negative range (63 uniform bits; dropping the sign bit of a
+    * uniform 64-bit hash keeps uniformity, and keeps the ordering
+    * convention "smaller = selected" identical to [[orderHash]]).
+    * Same role, ~20× cheaper per key than the md5 digest — the exact
+    * trade the winnow family's `_xx` twins made in round 6: md5 stays
+    * the ORACLE default because DuckDB reproduces it bit-for-bit;
+    * a corpus run with no oracle in the loop should prefer this.
+    * Hash values are not comparable between the two hashers.
+    */
+  def orderHashXx(key: Column): Column =
+    xxhash64(key.cast("string")).bitwiseAND(lit(Long.MaxValue))
+
   /** Deterministic uniform sample WITHOUT a full shuffle or sort: the
     * k rows with the smallest [[orderHash]] (the classic bottom-k /
     * KMV sample — uniform over distinct keys, stable under reruns and
@@ -70,8 +83,9 @@ object Sketches {
     * the data itself, which is what `ORDER BY rand() LIMIT k` costs
     * when the optimizer cannot see through the non-determinism.
     */
-  def sampleBottomK(df: DataFrame, key: Column, k: Int): DataFrame =
-    df.withColumn("__h", orderHash(key))
+  def sampleBottomK(df: DataFrame, key: Column, k: Int,
+                    xx: Boolean = false): DataFrame =
+    df.withColumn("__h", if (xx) orderHashXx(key) else orderHash(key))
       .orderBy(col("__h"), key)
       .limit(k)
       .drop("__h")
@@ -83,9 +97,10 @@ object Sketches {
     * never shuffles the data).
     */
   def stratifiedBottomK(df: DataFrame, groupCols: Seq[String], key: Column,
-                        k: Int): DataFrame = {
+                        k: Int, xx: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(orderHash(key), key)
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(if (xx) orderHashXx(key) else orderHash(key), key)
     df.withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= k)
       .drop("__rn")
@@ -95,6 +110,9 @@ object Sketches {
     * h/2⁶⁰ is uniform on [0, 1).
     */
   val OrderHashSpan: Double = math.pow(2.0, 60)
+
+  /** The [[orderHashXx]] span: 63 masked bits. */
+  val OrderHashXxSpan: Double = math.pow(2.0, 63)
 
   /** Per-group approximate COUNT DISTINCT via the native bounded KMV
     * aggregate ([[graft.fn.KmvDistinct]]): state = the k smallest
@@ -107,7 +125,11 @@ object Sketches {
     * identical estimate from the same md5 hash and formula. Relative
     * standard error ≈ 1/√(k−2) (Bar-Yossef et al. 2002).
     */
-  def kmvDistinct(key: Column, k: Int): Column =
-    gb.column(graft.fn.KmvDistinct(gb.expression(orderHash(key)), k,
-      OrderHashSpan).toAggregateExpression())
+  def kmvDistinct(key: Column, k: Int, xx: Boolean = false): Column =
+    if (xx)
+      gb.column(graft.fn.KmvDistinct(gb.expression(orderHashXx(key)), k,
+        OrderHashXxSpan).toAggregateExpression())
+    else
+      gb.column(graft.fn.KmvDistinct(gb.expression(orderHash(key)), k,
+        OrderHashSpan).toAggregateExpression())
 }

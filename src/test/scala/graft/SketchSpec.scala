@@ -93,6 +93,31 @@ class SketchSpec extends SparkSpec {
     assert(phys.contains("TakeOrderedAndProject"), s"expected TakeOrdered, got:\n$phys")
   }
 
+  test("xx order-hash twins: SQL xxhash64 parity, exactness below k, same selection machinery") {
+    // the production hasher IS SQL xxhash64 masked non-negative —
+    // pinned the same way DedupSpec pins winnow_fps_xx
+    val viaSql = part.selectExpr(
+        "p_partkey", "xxhash64(CAST(p_partkey AS STRING)) & 9223372036854775807 AS h")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLib = part.select($"p_partkey", Sketches.orderHashXx($"p_partkey").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql === viaLib)
+    assert(viaLib.values.forall(_ >= 0L))
+
+    // same exact-below-k law as the md5 twin, same merge machinery
+    val df = spark.range(40).toDF("k")
+    val est = df.agg(Sketches.kmvDistinct($"k", 64, xx = true)).head.getDouble(0)
+    assert(est === 40.0)
+
+    // bottom-k under xx = the k smallest xx hashes, still TakeOrdered
+    val sample = Sketches.sampleBottomK(part, $"p_partkey", 50, xx = true)
+    val exact = part.withColumn("h", Sketches.orderHashXx($"p_partkey"))
+      .orderBy($"h", $"p_partkey").limit(50).drop("h")
+    assert(sample.except(exact).isEmpty && exact.except(sample).isEmpty)
+    assert(sample.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+  }
+
   test("bloom join equals the plain join; prefilter passes every true match") {
     val fact = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val dim = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
