@@ -175,6 +175,16 @@ object Queries {
     // technique that survives a 100× fact table.
     val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
     val o = t(s, dir, "orders"); val l = t(s, dir, "lineitem")
+    q10Chain(l, o, c, n)
+  }
+
+  /** The q10 chain over caller-supplied lineitem/orders relations —
+    * shared by q10 (plain scans) and q10b (orderkey-bucketed scans,
+    * where the per-order aggregate and the orders join plan with NO
+    * exchange on the bucket key).
+    */
+  private def q10Chain(l: DataFrame, o: DataFrame,
+                       c: DataFrame, n: DataFrame): DataFrame = {
     val perOrder = l.groupBy($"l_orderkey")
       .agg(sum(($"l_extendedprice".cast(DecimalType(18, 2)) *
              (lit(BigDecimal(1)) - $"l_discount".cast(DecimalType(18, 2)))))
@@ -193,6 +203,22 @@ object Queries {
       .agg(sum($"__rev").cast("double").as("revenue"),
         sum($"__n").as("n_items"))
       .orderBy($"n_name")
+  }
+
+  /** q10b — the SAME chain on lineitem/orders BUCKETED 32-way by
+    * orderkey ([[graft.io.BucketedLayout]]): the graded form of the
+    * exchange-free plan tools/Q10Bucketed demonstrated (VERDICT r6
+    * item 4). The one-time bucketed write happens at DataFrame
+    * construction (the layout cost a warehouse pays once); execution
+    * then plans zero orderkey-keyed exchanges — the per-order
+    * aggregate and the orders join both ride the bucket spec
+    * (BucketedJoinSpec asserts). Same oracle SQL as q10: bucketing
+    * must be answer-invariant.
+    */
+  private def q10b(s: SparkSession, dir: String): DataFrame = {
+    val l = graft.io.BucketedLayout.table(s, dir, "lineitem", "l_orderkey")
+    val o = graft.io.BucketedLayout.table(s, dir, "orders", "o_orderkey")
+    q10Chain(l, o, t(s, dir, "customer"), t(s, dir, "nation"))
   }
 
   private val q10Sql =
@@ -607,6 +633,7 @@ object Queries {
     "q06_rollup" -> (q06 _),
     "q07_cube" -> (q07 _),
     "q10_join_agg_chain" -> (q10 _),
+    "q10b_join_agg_bucketed" -> (q10b _),
     "q11_left_join" -> (q11 _),
     "q12_semi_join" -> (q12 _),
     "q13_anti_join" -> (q13 _),
@@ -637,6 +664,7 @@ object Queries {
     "q06_rollup" -> q06Sql,
     "q07_cube" -> q07Sql,
     "q10_join_agg_chain" -> q10Sql,
+    "q10b_join_agg_bucketed" -> q10Sql,
     "q11_left_join" -> q11Sql,
     "q12_semi_join" -> q12Sql,
     "q13_anti_join" -> q13Sql,

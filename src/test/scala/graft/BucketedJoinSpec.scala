@@ -46,4 +46,23 @@ class BucketedJoinSpec extends SparkSpec {
     assert(joined.collect().map(_.toString).sorted ===
       plain.collect().map(_.toString).sorted)
   }
+
+  test("q10b: bucketed chain plans zero orderkey exchanges, answers match q10") {
+    val dir = "/root/testdata/sf0.001"
+    val q10 = SparkEntry.queries("q10_join_agg_chain")(spark, dir)
+    val q10b = SparkEntry.queries("q10b_join_agg_bucketed")(spark, dir)
+
+    def orderkeyExchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange hashpartitioning\\((l_orderkey|o_orderkey)".r
+        .findAllIn(df.queryExecution.executedPlan.toString).length
+
+    // the plain chain pays the per-order aggregate exchange; the
+    // bucketed chain must plan NONE keyed on the bucket key (later
+    // custkey/nationkey exchanges are a different key and remain)
+    assert(orderkeyExchanges(q10) > 0, "fixture lost its baseline exchange")
+    assert(orderkeyExchanges(q10b) === 0,
+      s"bucketed plan still exchanges on orderkey:\n${q10b.queryExecution.executedPlan}")
+    assert(q10b.collect().map(_.toString).toSeq ===
+      q10.collect().map(_.toString).toSeq)
+  }
 }
