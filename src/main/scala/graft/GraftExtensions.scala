@@ -84,6 +84,8 @@ object GraftExtensions {
     unaryFn("mp4_meta", classOf[graft.fn.Mp4Meta], graft.fn.Mp4Meta(_)),
     unaryFn("mp4_avc_meta", classOf[graft.fn.Mp4AvcMeta],
       graft.fn.Mp4AvcMeta(_)),
+    unaryFn("mp4_hevc_meta", classOf[graft.fn.Mp4HevcMeta],
+      graft.fn.Mp4HevcMeta(_)),
     (
       new FunctionIdentifier("mp4_sync_offsets"),
       new ExpressionInfo(classOf[graft.fn.Mp4SyncOffsets].getName,

@@ -20,6 +20,7 @@ object Avc {
   import Bmff.{beU32, children, find, tag}
 
   private val AvcFourccs = Set("avc1", "avc3")
+  private val HevcFourccs = Set("hvc1", "hev1")
   private val MaxSamples = 1 << 20
   private val MaxChunks = 1 << 20
 
@@ -171,9 +172,133 @@ object Avc {
     Array(width.toDouble, height.toDouble, profile.toDouble, level.toDouble)
   }
 
-  /** The first avc1/avc3 track's stbl bounds, or null. */
-  private def findAvcStbl(b: Array[Byte]): (Long, Long, Array[Byte]) = {
+  /** Parse H.265 seq_parameter_set_rbsp (ITU-T H.265 §7.3.2.2.1):
+    * `[width, height, profile_idc, level_idc]` or null. `sps`
+    * includes the 2-byte NAL header (type must be 33). Same
+    * Exp-Golomb machinery as the H.264 parser, different field walk:
+    * profile_tier_level first (general_profile_idc u(5) + 80 fixed
+    * bits to general_level_idc, then per-sub-layer presence flags),
+    * then luma dimensions as ue(v) and the conformance window in
+    * chroma units (Table 6-1: SubWidthC/SubHeightC).
+    */
+  private[ext] def parseHevcSps(sps: Array[Byte]): Array[Double] = {
+    if (sps == null || sps.length < 6) return null
+    if (((sps(0) >> 1) & 0x3F) != 33) return null // NAL type must be SPS
+    val r = new BitReader(rbsp(sps, 2))
+    r.u(4) // sps_video_parameter_set_id
+    val maxSub = r.u(3)
+    if (maxSub < 0) return null
+    r.u(1) // sps_temporal_id_nesting_flag
+    // profile_tier_level(1, maxSub) — skipped fields read in <32-bit
+    // chunks so a legitimate all-ones value can't alias the -1
+    // underrun sentinel on a field we'd test
+    r.u(2); r.u(1) // general_profile_space, general_tier_flag
+    val profile = r.u(5)
+    if (profile < 0) return null
+    r.u(16); r.u(16) // general_profile_compatibility_flags (32)
+    r.u(22); r.u(22) // constraint + reserved bits (44)
+    val level = r.u(8)
+    if (level < 0) return null
+    if (maxSub > 8) return null
+    if (maxSub > 0) {
+      val profPresent = new Array[Int](maxSub)
+      val levelPresent = new Array[Int](maxSub)
+      var i = 0
+      while (i < maxSub) {
+        profPresent(i) = r.u(1); levelPresent(i) = r.u(1); i += 1
+      }
+      var j = maxSub
+      while (j < 8) { r.u(2); j += 1 } // reserved_zero_2bits
+      i = 0
+      while (i < maxSub) {
+        if (profPresent(i) == 1) { r.u(22); r.u(22); r.u(22); r.u(22) } // 88 bits
+        if (levelPresent(i) == 1) r.u(8)
+        i += 1
+      }
+    }
+    if (r.ue() < 0) return null // sps_seq_parameter_set_id
+    val chroma = r.ue()
+    if (chroma < 0 || chroma > 3) return null
+    if (chroma == 3) r.u(1) // separate_colour_plane_flag
+    val lumaW = r.ue()
+    val lumaH = r.ue()
+    if (lumaW <= 0 || lumaH <= 0) return null
+    val confWin = r.u(1)
+    if (confWin < 0) return null
+    var cl = 0; var cr = 0; var ct = 0; var cb = 0
+    if (confWin == 1) {
+      cl = r.ue(); cr = r.ue(); ct = r.ue(); cb = r.ue()
+      if (cl < 0 || cr < 0 || ct < 0 || cb < 0) return null
+    }
+    // Table 6-1 crop units; separate-colour-plane (chroma 3 + flag)
+    // is monochrome-like per plane → 1,1, which chroma == 3 yields
+    val (subW, subH) = chroma match {
+      case 1 => (2, 2) // 4:2:0
+      case 2 => (2, 1) // 4:2:2
+      case _ => (1, 1) // monochrome / 4:4:4
+    }
+    // Long arithmetic + level-ceiling bound, same rationale as the
+    // H.264 path
+    val width = lumaW.toLong - subW.toLong * (cl.toLong + cr)
+    val height = lumaH.toLong - subH.toLong * (ct.toLong + cb)
+    if (width <= 0 || height <= 0 || width > 16384 || height > 16384) return null
+    Array(width.toDouble, height.toDouble, profile.toDouble, level.toDouble)
+  }
+
+  /** SPS NAL out of an avcC payload (AVCDecoderConfigurationRecord:
+    * fixed 5-byte header, numSps in the low 5 bits of byte 5, then
+    * 2-byte-length-prefixed SPS NALs — the first one is taken).
+    */
+  private def avccSps(b: Array[Byte], as: Long, ae: Long): Array[Byte] = {
+    if (ae - as < 7) return null
+    val numSps = b((as + 5).toInt) & 0x1F
+    if (numSps < 1 || as + 8 > ae) return null
+    val spsLen = ((b((as + 6).toInt) & 0xFF) << 8) | (b((as + 7).toInt) & 0xFF)
+    if (as + 8 + spsLen > ae) return null
+    java.util.Arrays.copyOfRange(b, (as + 8).toInt, (as + 8 + spsLen).toInt)
+  }
+
+  /** SPS NAL (type 33) out of an hvcC payload
+    * (HEVCDecoderConfigurationRecord, ISO 14496-15 §8.3.3.1: 22 fixed
+    * header bytes, then numOfArrays arrays of 2-byte-length-prefixed
+    * NALs grouped by type). Bounds-checked throughout — malformed
+    * lengths yield null, never a mis-sliced NAL.
+    */
+  private def hvccSps(b: Array[Byte], as: Long, ae: Long): Array[Byte] = {
+    if (ae - as < 23) return null
+    var off = as + 22
+    val numArrays = b(off.toInt) & 0xFF
+    off += 1
+    var a = 0
+    while (a < numArrays) {
+      if (off + 3 > ae) return null
+      val nalType = b(off.toInt) & 0x3F
+      val numNalus = ((b((off + 1).toInt) & 0xFF) << 8) | (b((off + 2).toInt) & 0xFF)
+      off += 3
+      var n = 0
+      while (n < numNalus) {
+        if (off + 2 > ae) return null
+        val len = ((b(off.toInt) & 0xFF) << 8) | (b((off + 1).toInt) & 0xFF)
+        off += 2
+        if (off + len > ae) return null
+        if (nalType == 33)
+          return java.util.Arrays.copyOfRange(b, off.toInt, (off + len).toInt)
+        off += len
+        n += 1
+      }
+      a += 1
+    }
+    null
+  }
+
+  /** The first matching video track's stbl bounds + its SPS NAL, or
+    * null. `hevc = false` walks avc1/avc3 + avcC; `hevc = true` walks
+    * hvc1/hev1 + hvcC.
+    */
+  private def findVideoStbl(b: Array[Byte], hevc: Boolean): (Long, Long, Array[Byte]) = {
     if (b == null || b.length < 16 || tag(b, 4) != "ftyp") return null
+    val fourccs = if (hevc) HevcFourccs else AvcFourccs
+    val cfgTag = if (hevc) "hvcC" else "avcC"
     val moov = find(b, 0, b.length, "moov").getOrElse(return null)
     children(b, moov._1, moov._2).foreach {
       case ("trak", ts, te) =>
@@ -184,25 +309,21 @@ object Avc {
           stsd <- find(b, stbl._1, stbl._2, "stsd")
           // stsd payload: version/flags(4) + entry_count(4), then entry boxes
           entry <- children(b, stsd._1 + 8, stsd._2)
-            .find(e => AvcFourccs.contains(e._1))
-          // visual sample entry: 78 fixed bytes, then child boxes (avcC)
-          avcc <- find(b, entry._2 + 78, entry._3, "avcC")
-        } yield (stbl, avcc)
+            .find(e => fourccs.contains(e._1))
+          // visual sample entry: 78 fixed bytes, then child boxes
+          cfg <- find(b, entry._2 + 78, entry._3, cfgTag)
+        } yield (stbl, cfg)
         found.foreach { case (stbl, (as, ae)) =>
-          if (ae - as >= 7) {
-            val numSps = b((as + 5).toInt) & 0x1F
-            if (numSps >= 1 && as + 8 <= ae) {
-              val spsLen = ((b((as + 6).toInt) & 0xFF) << 8) | (b((as + 7).toInt) & 0xFF)
-              if (as + 8 + spsLen <= ae)
-                return (stbl._1, stbl._2,
-                  java.util.Arrays.copyOfRange(b, (as + 8).toInt, (as + 8 + spsLen).toInt))
-            }
-          }
+          val sps = if (hevc) hvccSps(b, as, ae) else avccSps(b, as, ae)
+          if (sps != null) return (stbl._1, stbl._2, sps)
         }
       case _ => ()
     }
     null
   }
+
+  private def findAvcStbl(b: Array[Byte]): (Long, Long, Array[Byte]) =
+    findVideoStbl(b, hevc = false)
 
   /** `[width, height, profile_idc, level_idc, n_samples, n_sync]` for
     * the first H.264 track — width/height are SPS-DERIVED (coded
@@ -211,11 +332,22 @@ object Avc {
     * a sync sample, per ISO 14496-12). Null for non-BMFF payloads or
     * no parseable AVC track.
     */
-  def h264MetaOrNull(bytes: Array[Byte]): Array[Double] = {
-    val got = findAvcStbl(bytes)
+  def h264MetaOrNull(bytes: Array[Byte]): Array[Double] =
+    videoMetaOrNull(bytes, hevc = false)
+
+  /** HEVC twin of [[h264MetaOrNull]]: `[width, height, profile_idc,
+    * level_idc, n_samples, n_sync]` for the first hvc1/hev1 track,
+    * width/height derived from the H.265 SPS (luma size minus the
+    * conformance window), not the container's fields.
+    */
+  def hevcMetaOrNull(bytes: Array[Byte]): Array[Double] =
+    videoMetaOrNull(bytes, hevc = true)
+
+  private def videoMetaOrNull(bytes: Array[Byte], hevc: Boolean): Array[Double] = {
+    val got = findVideoStbl(bytes, hevc)
     if (got == null) return null
     val (ss, se, sps) = got
-    val meta = parseSps(sps)
+    val meta = if (hevc) parseHevcSps(sps) else parseSps(sps)
     if (meta == null) return null
     var nSamples = 0L
     find(bytes, ss, se, "stsz").foreach { case (s, e) =>
@@ -233,13 +365,18 @@ object Avc {
   }
 
   /** Absolute byte offsets of the first `maxN` sync samples
-    * (keyframes) of the first H.264 track, from stss composed with
-    * the stsz/stsc/stco mapping; with no stss every sample is sync.
-    * Null on malformed tables — never wrong offsets.
+    * (keyframes) of the first AVC — or, failing that, HEVC — video
+    * track, from stss composed with the stsz/stsc/stco mapping; with
+    * no stss every sample is sync. The sample-table composition is
+    * codec-independent, so one function serves both codecs. Null on
+    * malformed tables — never wrong offsets.
     */
   def syncOffsetsOrNull(bytes: Array[Byte], maxN: Int): Array[Long] = {
     if (maxN < 1) return null
-    val got = findAvcStbl(bytes)
+    val got = {
+      val avc = findAvcStbl(bytes)
+      if (avc != null) avc else findVideoStbl(bytes, hevc = true)
+    }
     if (got == null) return null
     val (ss, se, _) = got
     var sizes: Array[Long] = null

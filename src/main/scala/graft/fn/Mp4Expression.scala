@@ -74,6 +74,41 @@ case class Mp4AvcMeta(child: Expression)
     copy(child = newChild)
 }
 
+/** SQL `mp4_hevc_meta(content)` — the HEVC twin of [[Mp4AvcMeta]]:
+  * `[width, height, profile_idc, level_idc, n_samples, n_sync]` for
+  * the first hvc1/hev1 track, width/height derived from the H.265
+  * SPS ([[graft.ext.Avc.hevcMetaOrNull]]: hvcC → SPS Exp-Golomb
+  * parse, luma size minus the conformance window). Null for
+  * non-BMFF / non-HEVC payloads.
+  */
+case class Mp4HevcMeta(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "mp4_hevc_meta"
+
+  override protected def nullSafeEval(bytes: Any): Any = {
+    val f = graft.ext.Avc.hevcMetaOrNull(bytes.asInstanceOf[Array[Byte]])
+    if (f == null) null else new GenericArrayData(f)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, bytes =>
+      s"""
+         |double[] ${ev.value}_f = graft.ext.Avc.hevcMetaOrNull($bytes);
+         |if (${ev.value}_f == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(${ev.value}_f);
+         |}
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** SQL `mp4_sync_offsets(content, maxN)` — absolute byte offsets of
   * the first maxN sync samples (keyframes) of the first H.264 track
   * ([[graft.ext.Avc.syncOffsetsOrNull]]: stss ∘ stsz/stsc/stco). The

@@ -80,6 +80,55 @@ class Mp4Spec extends SparkSpec {
     Array[Byte](0x67) ++ w.bytes()
   }
 
+  /** H.265 Main-profile SPS: luma 1920×1088, conformance window
+    * bottom offset 4 (4:2:0 → SubHeightC 2 → 8 px) = 1080. maxSub=0
+    * keeps the PTL walk minimal. The parser stops at the conformance
+    * window, so later SPS fields are omitted (stop bit follows).
+    */
+  private def hevcSps1080(): Array[Byte] = {
+    val w = new BitWriter
+    w.u(0, 4)   // sps_video_parameter_set_id
+      .u(0, 3)  // sps_max_sub_layers_minus1
+      .u(1, 1)  // sps_temporal_id_nesting_flag
+      .u(0, 2).u(0, 1).u(1, 5) // profile_space, tier, profile_idc=1 (Main)
+      .u(0, 16).u(0, 16)       // compatibility flags (32)
+      .u(0, 22).u(0, 22)       // constraint + reserved (44)
+      .u(120, 8)               // general_level_idc (4.0)
+      .ue(0)    // sps_seq_parameter_set_id
+      .ue(1)    // chroma_format_idc 4:2:0
+      .ue(1920) // pic_width_in_luma_samples
+      .ue(1088) // pic_height_in_luma_samples
+      .u(1, 1)  // conformance_window_flag
+      .ue(0).ue(0).ue(0).ue(4) // l/r/t/b -> 1088 - 2*4 = 1080
+    // NAL header: type 33 (SPS), layer 0, tid+1 = 1
+    Array[Byte](0x42, 0x01) ++ w.bytes()
+  }
+
+  /** H.265 4:2:2 SPS with a sub-layer PTL walk (maxSub=1, level-only
+    * sub-layer): crop units SubWidthC=2/SubHeightC=1 — width
+    * 1280−2·(1+1)=1276, height 720−1·(2+0)=718.
+    */
+  private def hevcSps422(): Array[Byte] = {
+    val w = new BitWriter
+    w.u(0, 4)
+      .u(1, 3)  // sps_max_sub_layers_minus1 = 1
+      .u(0, 1)
+      .u(0, 2).u(0, 1).u(2, 5) // profile_idc = 2 (Main 10)
+      .u(0, 16).u(0, 16)
+      .u(0, 22).u(0, 22)
+      .u(90, 8) // level 3.0
+      .u(0, 1).u(1, 1)         // sub_layer: profile absent, level present
+      .u(0, 14)                // reserved_zero_2bits × 7 (i = 1..7)
+      .u(60, 8)                // sub_layer_level_idc
+      .ue(0)
+      .ue(2)    // chroma_format_idc 4:2:2
+      .ue(1280)
+      .ue(720)
+      .u(1, 1)
+      .ue(1).ue(1).ue(2).ue(0) // l/r/t/b
+    Array[Byte](0x42, 0x01) ++ w.bytes()
+  }
+
   // ---- minimal container writer (MjpegSpec pattern)
   private def be32(v: Long): Array[Byte] =
     Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
@@ -98,15 +147,30 @@ class Mp4Spec extends SparkSpec {
       Array(0xFF.toByte), Array(0xE1.toByte), be16(sps.length), sps,
       Array[Byte](0) /* numPPS = 0 */)
 
+  /** hvcC: 22-byte fixed header (zeroed past the version — the
+    * parser must take nothing from it), then ONE array of type 33
+    * holding the SPS.
+    */
+  private def hvcC(sps: Array[Byte]): Array[Byte] =
+    box("hvcC", Array[Byte](1), new Array[Byte](21),
+      Array[Byte](1) /* numOfArrays */,
+      Array[Byte](33) /* NAL_unit_type = SPS */, be16(1), be16(sps.length), sps)
+
   /** One avc1 track, 5 samples of 100 bytes in 2 chunks (3+2), sync
     * samples 1 and 4. Container width/height fields stay ZERO.
     */
-  private def mp4(sps: Array[Byte], withStss: Boolean = true): Array[Byte] = {
+  private def mp4(sps: Array[Byte], withStss: Boolean = true): Array[Byte] =
+    mp4With(box("avc1", new Array[Byte](78), avcC(sps)), withStss)
+
+  /** Same container with an hev1 entry + hvcC. */
+  private def mp4Hevc(sps: Array[Byte], withStss: Boolean = true): Array[Byte] =
+    mp4With(box("hev1", new Array[Byte](78), hvcC(sps)), withStss)
+
+  private def mp4With(entry: Array[Byte], withStss: Boolean): Array[Byte] = {
     val ftyp = box("ftyp", "isom".getBytes, be32(0x200), "isomiso2".getBytes)
     val mdatOff = ftyp.length + 8L
     val sizes = Seq(100L, 100L, 100L, 100L, 100L)
     val chunkOffs = Seq(mdatOff, mdatOff + 300L)
-    val entry = box("avc1", new Array[Byte](78), avcC(sps))
     val stsd = box("stsd", be32(0), be32(1), entry)
     val stsz = box("stsz", be32(0), be32(0), be32(5), sizes.map(be32).flatten.toArray)
     val stsc = box("stsc", be32(0), be32(2),
@@ -169,6 +233,61 @@ class Mp4Spec extends SparkSpec {
     // an MJPEG container is not an AVC track
     assert(Avc.h264MetaOrNull(
       mp4(sps1080()).patch(0, Array.empty[Byte], 0)) != null) // sanity: unpatched works
+  }
+
+  test("HEVC: SPS-derived dimensions through the conformance window (Main, L4.0)") {
+    val m = Avc.hevcMetaOrNull(mp4Hevc(hevcSps1080()))
+    assert(m != null)
+    // luma 1088 coded, bottom offset 4 × SubHeightC 2 = 1080 — a
+    // value only the H.265 SPS parse can produce (container zeroed)
+    assert(m.toSeq === Seq(1920.0, 1080.0, 1.0, 120.0, 5.0, 2.0))
+    // the AVC walk must NOT claim an hev1 track
+    assert(Avc.h264MetaOrNull(mp4Hevc(hevcSps1080())) === null)
+  }
+
+  test("HEVC: 4:2:2 crop units + sub-layer PTL walk") {
+    val m = Avc.hevcMetaOrNull(mp4Hevc(hevcSps422()))
+    assert(m != null)
+    assert(m.toSeq === Seq(1276.0, 718.0, 2.0, 90.0, 5.0, 2.0))
+  }
+
+  test("HEVC: sync offsets ride the same sample tables") {
+    val video = mp4Hevc(hevcSps1080())
+    val mdatOff = (8 + 4 + 4 + 8) + 8
+    assert(Avc.syncOffsetsOrNull(video, 10).toSeq ===
+      Seq(mdatOff.toLong, mdatOff + 300L))
+    val all = Avc.syncOffsetsOrNull(mp4Hevc(hevcSps1080(), withStss = false), 10)
+    assert(all.length === 5)
+  }
+
+  test("HEVC: malformed payloads null, never a throw") {
+    val good = mp4Hevc(hevcSps1080())
+    for (cut <- Seq(4, 40, good.length / 2, good.length - 5))
+      Avc.hevcMetaOrNull(good.take(cut))
+    val rnd = new scala.util.Random(13)
+    for (_ <- 0 until 300) {
+      val m = good.clone()
+      for (_ <- 0 to rnd.nextInt(4)) m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      Avc.hevcMetaOrNull(m)
+      Avc.syncOffsetsOrNull(m, 8)
+    }
+    assert(Avc.hevcMetaOrNull(good) != null) // sanity: unpatched works
+  }
+
+  test("SQL surface: mp4_hevc_meta, codegen plan") {
+    GraftExtensions.install(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("hevc_assets").toString
+    Seq(("v.mp4", mp4Hevc(hevcSps1080())), ("junk.bin", Array[Byte](1, 2, 3)))
+      .toDF("entry", "content").write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).createOrReplaceTempView("hevc_assets")
+    val got = spark.sql(
+      """SELECT entry, mp4_hevc_meta(content) AS m
+        |FROM hevc_assets ORDER BY entry""".stripMargin)
+    val rows = got.collect().map(r => r.getString(0) -> Option(r.getSeq[Double](1))).toMap
+    assert(rows("junk.bin") === None)
+    assert(rows("v.mp4").get.take(4) === Seq(1920.0, 1080.0, 1.0, 120.0))
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && plan.contains("mp4_hevc_meta"), plan)
   }
 
   test("SQL surface: mp4_avc_meta / mp4_sync_offsets, codegen plan") {
