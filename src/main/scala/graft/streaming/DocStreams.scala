@@ -141,6 +141,16 @@ object DocStreams {
     * Contract: stream (doc_id: long, ts: long nanos, vec:
     * array<double>), corpus (idCol, vecCol). Output (doc_id,
     * ts·micros, nn_id, cos_sim).
+    *
+    * SHARED-ID-SPACE ASSUMPTION: matches where the corpus id equals
+    * the stream doc_id are excluded (mirroring the batch operator's
+    * self-exclusion, so a re-ingested doc never "finds" itself at
+    * cos 1.0). This presumes stream and corpus ids live in ONE id
+    * space; if they are disjoint-but-numerically-overlapping, a
+    * legitimate neighbor whose id coincides with the query's doc_id
+    * is silently dropped — remap one side's ids (e.g. offset the
+    * stream's) before calling. Same caveat applies to
+    * [[annEnrichQuantized]].
     */
   def annEnrich(stream: DataFrame, corpus: DataFrame,
                 idCol: String, vecCol: String,
@@ -344,6 +354,43 @@ object DocStreams {
         col("__s.cluster").as("cluster"),
         when(col("__s.cos") <= -2.0, lit(null).cast("double"))
           .otherwise(col("__s.cos")).as("cos"))
+  }
+
+  /** Stateless streaming quality-MODEL gate — σ(w·x) over the
+    * per-row profile features, completing the model-based filter
+    * family on streams next to the rule-based [[curationGate]] and
+    * the LM-based [[perplexityGate]]: weights are trained OFFLINE
+    * (batch [[graft.ext.QualityModel.train]]) and ride the plan as
+    * LITERALS inside codegen, so the gate is a pure per-row
+    * projection + filter — no state store, no watermark, micro-batch
+    * order irrelevant. Keeps docs with score ≥ minScore.
+    *
+    * Contract: docs (doc_id: long, ts: long nanos, text: string) →
+    * kept (doc_id, ts micros, text, q_score), bit-identical to the
+    * batch [[graft.ext.QualityModel.filterByQuality]] decision on
+    * the same rows (DocStreamsSpec asserts). Token-less docs carry no
+    * features and are dropped — no model evidence, the batch
+    * convention.
+    */
+  def qualityModelGate(docs: DataFrame, w: Seq[Double],
+                       minScore: Double): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    val p = gb.column(graft.fn.TextProfile(gb.expression(col("text"))))
+    val feats = array(
+      lit(1.0),
+      least(col("__p.n_tokens") / 50.0, lit(1.0)),
+      col("__p.stop_ratio"),
+      col("__p.alpha_ratio"),
+      col("__p.punct_ratio"),
+      least(col("__p.mean_tok_len") / 10.0, lit(1.0)))
+    docs
+      .select(col("doc_id"), EventStreams.tsCol.as("ts_t"), col("text"),
+        p.as("__p"))
+      .filter(col("__p").isNotNull)
+      .withColumn("q_score", graft.ext.QualityModel.score(feats, w))
+      .filter(col("q_score") >= minScore)
+      .select(col("doc_id"), unix_micros(col("ts_t")).as("ts"), col("text"),
+        col("q_score"))
   }
 
   def perplexityGate(docs: DataFrame, model: Map[String, Long],

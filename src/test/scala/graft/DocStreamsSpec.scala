@@ -417,6 +417,48 @@ class DocStreamsSpec extends SparkSpec {
     assert(streamed.values.forall(_ <= maxPpl))
   }
 
+  test("streaming quality-model gate: stream == batch, junk dropped, token-less dropped") {
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ts", LongType),
+      StructField("text", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("qmgate").toString
+    val min = 60L * 1000000000L
+    def write(rows: Seq[(Long, Long, String)]): Unit =
+      spark.createDataFrame(rows.toDF("doc_id", "ts", "text").rdd, sch)
+        .coalesce(1).write.mode("append").parquet(dir)
+
+    // weights as a TRAINED model would carry them (intercept, token
+    // budget, stopword, alpha positive; punct negative) — literal
+    // model state, the deployment shape of QualityModel.train output
+    val w = Seq(-2.0, 2.0, 2.0, 2.0, -2.0, 1.0)
+    val good = "the cat sat on the mat and it was good that it sat"
+    val junk = "!!! ### $$$ %%%"
+    write(Seq((1L, 1 * min, good), (2L, 2 * min, junk), (3L, 3 * min, "")))
+    write(Seq((4L, 4 * min, s"$good $good")))
+
+    val q = DocStreams.qualityModelGate(
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", "1").parquet(dir),
+        w, minScore = 0.5)
+      .writeStream.format("memory").queryName("qmgate")
+      .outputMode("append").start()
+    val streamed = try {
+      q.processAllAvailable()
+      spark.table("qmgate").select($"doc_id", $"q_score").as[(Long, Double)]
+        .collect().toMap
+    } finally q.stop()
+    val batchGate = DocStreams.qualityModelGate(
+        spark.read.schema(sch).parquet(dir), w, minScore = 0.5)
+      .select($"doc_id", $"q_score").as[(Long, Double)].collect().toMap
+    assert(streamed === batchGate, "stateless gate must be plan-identical")
+    assert(streamed.keySet === Set(1L, 4L), s"kept=${streamed.keySet}")
+    // decision-identical to the BATCH library operator on the same rows
+    val viaBatchOp = graft.ext.QualityModel.filterByQuality(
+        spark.read.schema(sch).parquet(dir), "doc_id", "text", w, 0.5)
+      .select($"doc_id", $"q_score").as[(Long, Double)].collect().toMap
+    assert(streamed === viaBatchOp)
+  }
+
   test("streaming semantic gate: stream == batch, near-centroid dropped, zero-norm kept") {
     import org.apache.spark.sql.types._
     val sch = StructType(Seq(
