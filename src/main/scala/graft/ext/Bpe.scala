@@ -32,10 +32,23 @@ object Bpe {
     */
   def train(wordCounts: Seq[(String, Long)], numMerges: Int): Seq[(String, String)] = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
-    // current segmentation of each word; start at characters
+    // current segmentation of each word; start at CODE POINTS (not
+    // UTF-16 units — the encoder kernel and the q112 oracle both
+    // treat a supplementary-plane character as one unit, and the
+    // trainer must learn over the same alphabet)
+    def codePointSegs(w: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var c = 0
+      while (c < w.length) {
+        val n = Character.charCount(w.codePointAt(c))
+        out += w.substring(c, c + n)
+        c += n
+      }
+      out.toArray
+    }
     var words: Seq[(Array[String], Long)] = wordCounts
       .filter { case (w, c) => w.nonEmpty && c > 0 }
-      .map { case (w, c) => (w.map(_.toString).toArray, c) }
+      .map { case (w, c) => (codePointSegs(w), c) }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var step = 0
     while (step < numMerges) {
@@ -70,12 +83,13 @@ object Bpe {
     */
   def trainOn(docs: DataFrame, textCol: String, numMerges: Int,
               maxVocab: Long = 4000000L): Seq[(String, String)] = {
-    val counts = LangModel.unigramCounts(docs, textCol)
-    val n = counts.limit((maxVocab + 1).toInt).count()
-    require(n <= maxVocab,
+    // one-job guard-and-fetch (the LangModel.collectModel pattern):
+    // count()-then-collect() ran the counting shuffle twice
+    val rows = LangModel.unigramCounts(docs, textCol)
+      .limit((maxVocab + 1).toInt).collect()
+    require(rows.length <= maxVocab,
       s"vocabulary exceeds maxVocab=$maxVocab; raise the guard or pre-truncate")
-    train(counts.collect().map(r => r.getString(0) -> r.getLong(1)).toSeq,
-      numMerges)
+    train(rows.map(r => r.getString(0) -> r.getLong(1)).toSeq, numMerges)
   }
 
   /** Encode a text column: `array<string>` of BPE tokens (word-

@@ -207,9 +207,13 @@ object Jpeg {
           }
           off += len
         case 0xDD => // DRI
+          // the SOS guard, mirrored: a crafted len (0, 2, or past the
+          // buffer) would desynchronize the marker walk
           if (off + 4 > bytes.length) return null
+          val driLen = u16(off)
+          if (driLen < 4 || off + driLen > bytes.length) return null
           restartInterval = u16(off + 2)
-          off += u16(off)
+          off += driLen
         case 0xDA => // SOS
           if (off + 2 > bytes.length) return null
           val len = u16(off)
@@ -799,9 +803,12 @@ object Jpeg {
           }
           off += len
         case 0xDD =>
+          // same DRI length guard as the baseline loop
           if (off + 4 > bytes.length) return null
+          val driLen = u16(off)
+          if (driLen < 4 || off + driLen > bytes.length) return null
           restartInterval = u16(off + 2)
-          off += u16(off)
+          off += driLen
         case 0xDA =>
           if (off + 2 > bytes.length || comps == null || yCoef == null) return null
           val len = u16(off)

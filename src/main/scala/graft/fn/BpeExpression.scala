@@ -35,8 +35,17 @@ object BpeKernel {
                          ranks: java.util.HashMap[String, Integer],
                          out: java.util.ArrayList[UTF8String]): Unit = {
     var segs = new java.util.ArrayList[String](word.length)
+    // initial segments are CODE POINTS, not UTF-16 units: a
+    // supplementary-plane character (emoji) must start as ONE segment
+    // — both the trainer's dictionary split and the q112 oracle's
+    // DuckDB length()/[] indexing count code points, so a surrogate
+    // split here would diverge on non-BMP text
     var c = 0
-    while (c < word.length) { segs.add(String.valueOf(word.charAt(c))); c += 1 }
+    while (c < word.length) {
+      val n = Character.charCount(word.codePointAt(c))
+      segs.add(word.substring(c, c + n))
+      c += n
+    }
     var done = segs.size < 2
     while (!done) {
       // lowest-rank adjacent pair, leftmost on ties

@@ -74,6 +74,31 @@ class BpeSpec extends SparkSpec {
     assert(bad.isEmpty, "BPE must never lose or invent characters")
   }
 
+  test("non-BMP text: code-point segments, never surrogate halves (train + encode)") {
+    // U+1F600 GRINNING FACE — two UTF-16 units, ONE BPE alphabet symbol
+    val emoji = new String(Character.toChars(0x1F600))
+    val dict = Seq(s"ab$emoji" -> 5L, s"$emoji$emoji" -> 3L)
+    val merges = Bpe.train(dict, numMerges = 2)
+    // every learned side is whole code points (no lone surrogates)
+    merges.foreach { case (l, r) =>
+      for (s <- Seq(l, r); ch <- s.toCharArray)
+        assert(!Character.isSurrogate(ch) || s.length > 1,
+          s"lone surrogate in merge ($l, $r)")
+    }
+    // most frequent pair is (a, b) then (ab, emoji) under the traced rules
+    assert(merges.head === (("a", "b")))
+    val df = Seq((1L, s"ab$emoji xy$emoji")).toDF("doc_id", "text")
+    val toks = df.select(Bpe.encode($"text", merges).as("t"))
+      .head.getSeq[String](0)
+    // unseen word "xy<emoji>" stays as code-point singles — the emoji
+    // must come through whole, not as two surrogate tokens
+    assert(toks.contains(emoji))
+    assert(toks.forall(t => t.codePointCount(0, t.length) >= 1 &&
+      !(t.length == 1 && Character.isSurrogate(t.charAt(0)))))
+    // losslessness holds across the plane boundary
+    assert(toks.mkString("") === s"ab$emoji" + s"xy$emoji")
+  }
+
   test("real corpus: BPE count bounded by chars and never below word count... sanity") {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select($"doc_id", $"text")
