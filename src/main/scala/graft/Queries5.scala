@@ -116,7 +116,7 @@ object Queries5 {
     * pair recovery itself is asserted in ImagesSpec/this query's
     * self-check column.
     */
-  private def q84(s: SparkSession, dir: String): DataFrame = {
+  private def q84Assets(s: SparkSession): DataFrame = {
     def scene(seed: Int)(x: Int, y: Int): Int = {
       // seed-hashed frequencies AND phases: high dHash diversity so
       // accidental collisions stay rare and the planted pairs dominate
@@ -146,24 +146,80 @@ object Queries5 {
       (i + 1000L, png((x, y) =>
         scene(i)(x, y) + (if ((x * 31 + y * 17) % 29 == 0) 2 else 0)))
     }
-    val assets = s.createDataFrame(originals ++ copies).toDF("img_id", "content")
+    s.createDataFrame(originals ++ copies).toDF("img_id", "content")
       .repartition(8)
-    graft.ext.Images.nearDupImagePairs(assets, "img_id", maxHamming = 3)
+  }
+
+  private def q84(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Images.nearDupImagePairs(q84Assets(s), "img_id", maxHamming = 3)
       .withColumn("planted", ($"b_id" - $"a_id" === 1000L).cast("int"))
       .orderBy($"a_id", $"b_id")
+
+  /** q84p — q84's PAIR stage under the hash gate (VERDICT r6 item 5):
+    * the decode half stays on its ImageIO/ground-truth goldens (no
+    * image codec in the oracle engine), but everything AFTER the
+    * dHash — the 16-bit band-bucket candidate join and the
+    * bit_count(xor) verify — is pure relational algebra, so this
+    * entry PERSISTS the computed dHash table as a fixture parquet at
+    * construction and both engines replay the pair logic from that
+    * same file. Shrinks q84's no-oracle surface to the decode alone.
+    */
+  private val Q84HashFixture = "/tmp/graft_fixtures/q84_dhash.parquet"
+
+  private def q84p(s: SparkSession, dir: String): DataFrame = {
+    graft.ext.Images.withDhash(q84Assets(s))
+      .where($"dhash".isNotNull)
+      .select($"img_id".as("id"), $"dhash")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(Q84HashFixture)
+    graft.ext.Images.nearDupPairsFromHashes(
+        s.read.parquet(Q84HashFixture), maxHamming = 3)
+      .orderBy($"a_id", $"b_id")
   }
+
+  private val q84pSql =
+    s"""WITH h AS (
+       |  -- the fixture is a Spark-written parquet DIRECTORY
+       |  SELECT id, dhash FROM read_parquet('$Q84HashFixture/*.parquet')
+       |), eq AS (
+       |  SELECT x.id AS a_id, y.id AS b_id, 0 AS hamming
+       |  FROM h x JOIN h y ON x.dhash = y.dhash AND x.id < y.id
+       |), uniq AS (
+       |  SELECT DISTINCT dhash FROM h
+       |), banded AS (
+       |  -- (v >> k) & 65535 extracts the same 16 bits whether the
+       |  -- shift sign-extends or not
+       |  SELECT dhash, i AS band_idx, (dhash >> CAST(16 * i AS INT)) & 65535 AS band_val
+       |  FROM uniq, UNNEST(range(0, 4)) AS t(i)
+       |), near AS (
+       |  SELECT DISTINCT a.dhash AS ha, b.dhash AS hb
+       |  FROM banded a
+       |  JOIN banded b ON a.band_idx = b.band_idx
+       |    AND a.band_val = b.band_val AND a.dhash < b.dhash
+       |), nearh AS (
+       |  SELECT ha, hb, bit_count(xor(ha, hb)) AS hamming
+       |  FROM near WHERE bit_count(xor(ha, hb)) <= 3
+       |), neq AS (
+       |  SELECT LEAST(x.id, y.id) AS a_id, GREATEST(x.id, y.id) AS b_id, hamming
+       |  FROM nearh JOIN h x ON ha = x.dhash JOIN h y ON hb = y.dhash
+       |)
+       |SELECT a_id, b_id, CAST(hamming AS INT) AS hamming
+       |FROM (SELECT * FROM eq UNION ALL SELECT * FROM neq)
+       |ORDER BY a_id, b_id""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_topk_freq" -> (q81 _),
     "q82_bottomk_sample" -> (q82 _),
     "q82x_bottomk_xx" -> (q82x _),
     "q83_bloom_join" -> (q83 _),
-    "q84_image_neardup" -> (q84 _))
+    "q84_image_neardup" -> (q84 _),
+    "q84p_dhash_pairs" -> (q84p _))
 
   val oracles: Map[String, String] = Map(
     "q81_topk_freq" -> q81Sql,
     "q82_bottomk_sample" -> q82Sql,
-    "q83_bloom_join" -> q83Sql)
+    "q83_bloom_join" -> q83Sql,
+    "q84p_dhash_pairs" -> q84pSql)
 
   // $"..." interpolator without a SparkSession-bound implicits import
   private implicit class Dollar(val sc: StringContext) {

@@ -143,13 +143,26 @@ object Images {
     */
   def nearDupImagePairs(assets: DataFrame, idCol: String,
                         maxHamming: Int = 3, bands: Int = 4,
-                        contentCol: String = "content"): DataFrame = {
+                        contentCol: String = "content"): DataFrame =
+    nearDupPairsFromHashes(
+      withDhash(assets, contentCol)
+        .where(col("dhash").isNotNull)
+        .select(col(idCol).as("id"), col("dhash")),
+      maxHamming, bands)
+
+  /** The pair stage alone, over a precomputed `(id, dhash)` table —
+    * pure relational algebra on 64-bit hashes (band-bucket candidates
+    * + bit_count verify), so it is REPLAYABLE IN SQL by an oracle
+    * engine that cannot decode images: persist the hash table, run
+    * this and the SQL twin on the same parquet (q84p does exactly
+    * that). Split out of [[nearDupImagePairs]], which prepends the
+    * decode.
+    */
+  def nearDupPairsFromHashes(hashed: DataFrame, maxHamming: Int = 3,
+                             bands: Int = 4): DataFrame = {
     require(bands >= 1 && 16 * bands == 64, s"bands must split 64 bits; got $bands")
     require(maxHamming >= 0 && maxHamming < bands,
       s"pigeonhole exactness needs maxHamming < bands, got $maxHamming/$bands")
-    val hashed = withDhash(assets, contentCol)
-      .where(col("dhash").isNotNull)
-      .select(col(idCol).as("id"), col("dhash"))
 
     // exact perceptual duplicates: same 64-bit hash
     val eq = hashed.as("x").join(hashed.as("y"),
