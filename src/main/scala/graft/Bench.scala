@@ -32,6 +32,15 @@ object Bench {
       // (A/B'd at 4 MB advisory too: no reliable gain — the dedup/LSH
       // family's run-to-run noise at this box dwarfs the delta.)
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // ...but the 64 MB default advisory is a NETWORK-bound number.
+      // On this CPU-bound local box it coalesced q10's 15M-group
+      // exchange to ~4 tasks (round-7 probe: 10.3 s vs 2.9 s at sf10
+      // — a 3.5× penalty on every multi-MB CPU-heavy exchange); 8 MB
+      // keeps KB-scale shuffles at 1 task while giving aggregate
+      // stages full width. A real cluster re-tunes this per its
+      // shuffle fabric; the principle (advisory governs, sized to the
+      // execution bottleneck) is the same.
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -19,6 +19,7 @@ object ScaleProbeR5 {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m") // Bench parity
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
