@@ -4,11 +4,17 @@ package graft.ext
   * assets (the dominant format of real image corpora) from the
   * feature stub to real pixels, next to [[Png]]/[[Apng]]/[[Gif]].
   *
-  * Scope: baseline sequential DCT (SOF0) AND progressive DCT (SOF2 —
-  * spectral selection + successive approximation, T.81 §G; a large
-  * minority of real web JPEGs), 8-bit, 1 or 3 components, optional
-  * restart markers. Arithmetic coding, hierarchical, 12-bit, and
-  * CMYK return null — never wrong pixels.
+  * Scope: baseline sequential DCT (SOF0), extended sequential
+  * (SOF1, incl. 12-bit precision — samples rescaled to the [0,255]
+  * plane contract), AND progressive DCT (SOF2 — spectral selection +
+  * successive approximation, T.81 §G; a large minority of real web
+  * JPEGs), 1/3/4 components with optional restart markers. The
+  * 4-component path resolves Adobe APP14: YCCK (transform 2) grays
+  * as Y·K, CMYK (inverted ink, the Adobe convention) as BT.601 luma
+  * of c'k'/m'k'/y'k' — full-resolution K/C/M/Y' only (subsampled
+  * 4-comp would need upsampling no real corpus file uses).
+  * Arithmetic coding, hierarchical, progressive-12-bit, and
+  * progressive-CMYK return null — never wrong pixels.
   *
   * The decoder produces the Y (luma) PLANE only: JFIF Y is BT.601
   * luminance — exactly the gray the feature contract wants — so the
@@ -60,9 +66,14 @@ object Jpeg {
 
   /** Reference 2-D IDCT (T.81 A.3.3) of one natural-order 8×8
     * coefficient block + level shift, clamped into the strided plane.
+    * `levelShift`/`maxVal` default to the 8-bit values; the 12-bit
+    * sequential path passes 2048/4095 and the plane then holds
+    * NATIVE-precision samples (callers rescale at the end).
     */
   private def idctToPlane(coef: Array[Int], plane: Array[Double],
-                          planeW: Int, bx: Int, by: Int): Unit = {
+                          planeW: Int, bx: Int, by: Int,
+                          levelShift: Double = 128.0,
+                          maxVal: Double = 255.0): Unit = {
     var py = 0
     while (py < 8) {
       val rowBase = (by + py) * planeW + bx
@@ -82,8 +93,8 @@ object Jpeg {
           }
           v += 1
         }
-        var p = sum / 4.0 + 128.0
-        if (p < 0) p = 0 else if (p > 255) p = 255
+        var p = sum / 4.0 + levelShift
+        if (p < 0) p = 0 else if (p > maxVal) p = maxVal
         plane(rowBase + px) = p
         px += 1
       }
@@ -101,7 +112,11 @@ object Jpeg {
     val acTabs = new Array[Huff](4)
     var comps: Array[Comp] = null
     var w = 0; var h = 0
+    var prec = 8
     var restartInterval = 0
+    // Adobe APP14 color-transform flag: -1 = absent; 0 = CMYK (for
+    // 4-comp data) ; 2 = YCCK
+    var adobeTransform = -1
     var off = 2
 
     def u16(o: Int): Int = ((bytes(o) & 0xFF) << 8) | (bytes(o + 1) & 0xFF)
@@ -148,19 +163,25 @@ object Jpeg {
       off += 1
       marker match {
         case 0xD9 => return null // EOI before any scan
-        case 0xC0 => // SOF0 baseline
+        case 0xC0 | 0xC1 => // SOF0 baseline / SOF1 extended sequential
           if (off + 2 > bytes.length) return null
           val len = u16(off)
           if (off + len > bytes.length || len < 8) return null
-          val prec = bytes(off + 2) & 0xFF
+          prec = bytes(off + 2) & 0xFF
           h = u16(off + 3); w = u16(off + 5)
           val nc = bytes(off + 7) & 0xFF
-          if (prec != 8 || w <= 0 || h <= 0 || (nc != 1 && nc != 3)) return null
-          // 16M-pixel cap, matching Png's: a crafted SOF0 header can
+          // SOF0 is 8-bit by definition; SOF1 admits 8 or 12 (T.81
+          // Table B.2). 4 components = CMYK/YCCK (resolved at the
+          // gray-composition step via APP14).
+          if ((marker == 0xC0 && prec != 8) ||
+              (marker == 0xC1 && prec != 8 && prec != 12)) return null
+          if (w <= 0 || h <= 0 || (nc != 1 && nc != 3 && nc != 4)) return null
+          // 16M-pixel cap, matching Png's: a crafted SOF header can
           // claim huge dims from a few-byte payload and the component
           // planes are allocated before any entropy-coded data is
-          // validated — bound the allocation, not just sanity
-          if (w.toLong * h > 16L * 1024 * 1024) return null
+          // validated — bound the allocation, not just sanity (the
+          // 4-comp path stores up to 4 planes, so the cap divides)
+          if (w.toLong * h > (if (nc == 4) 4L else 16L) * 1024 * 1024) return null
           if (len < 8 + 3 * nc) return null
           comps = Array.fill(nc)(new Comp)
           var i = 0
@@ -177,9 +198,9 @@ object Jpeg {
           off += len
         case 0xC2 => // SOF2 progressive: its own multi-scan decoder
           return decodeProgressiveLuma(bytes)
-        case 0xC1 | 0xC3 | 0xC5 | 0xC6 | 0xC7 |
+        case 0xC3 | 0xC5 | 0xC6 | 0xC7 |
              0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
-          return null // extended/lossless/arithmetic: out of scope
+          return null // lossless/arithmetic/hierarchical: out of scope
         case 0xC4 => // DHT
           if (off + 2 > bytes.length) return null
           val len = u16(off)
@@ -237,6 +258,18 @@ object Jpeg {
           sosOff = off + len
         case m if m >= 0xD0 && m <= 0xD7 => () // stray RST: ignore
         case 0x01 => ()                        // TEM: no payload
+        case 0xEE => // APP14: Adobe color-transform flag
+          if (off + 2 > bytes.length) return null
+          val len = u16(off)
+          if (len < 2 || off + len > bytes.length) return null
+          // payload: "Adobe" + version(2) + flags0(2) + flags1(2) +
+          // transform(1) = 12 bytes minimum
+          if (len >= 14 &&
+              bytes(off + 2) == 'A' && bytes(off + 3) == 'd' &&
+              bytes(off + 4) == 'o' && bytes(off + 5) == 'b' &&
+              bytes(off + 6) == 'e')
+            adobeTransform = bytes(off + 13) & 0xFF
+          off += len
         case _ => // APPn/COM/anything with a length
           if (off + 2 > bytes.length) return null
           val len = u16(off)
@@ -257,12 +290,31 @@ object Jpeg {
     val y = comps(0) // component 0 is Y for JFIF; gray images have only it
     if (comps.length == 3 && (y.hs != hMax || y.vs != vMax))
       return null // Y subsampled below chroma: not JFIF, out of scope
+    // 4-component color model: YCCK when Adobe says transform 2,
+    // CMYK otherwise (Adobe stores CMYK INVERTED — handled at the
+    // gray-composition step). Gray needs Y·K (YCCK) or all four
+    // planes (CMYK) at full resolution; subsampled K/C/M/Y' would
+    // need upsampling no real corpus file uses — null, never wrong
+    // pixels.
+    val ycck = comps.length == 4 && adobeTransform == 2
+    val storeIdx: Array[Int] = comps.length match {
+      case 4 if ycck =>
+        if (comps(0).hs != hMax || comps(0).vs != vMax ||
+            comps(3).hs != hMax || comps(3).vs != vMax) return null
+        Array(0, -1, -1, 1)
+      case 4 =>
+        if (comps.exists(c => c.hs != hMax || c.vs != vMax)) return null
+        Array(0, 1, 2, 3)
+      case _ => Array.tabulate(comps.length)(i => if (i == 0) 0 else -1)
+    }
     val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
     val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
     val planeW = mcusX * y.hs * 8
     val planeH = mcusY * y.vs * 8
-    val plane = new Array[Double](planeW * planeH)
-    val yQuant = quant(y.tq)
+    val nPlanes = storeIdx.count(_ >= 0)
+    val planes = Array.fill(nPlanes)(new Array[Double](planeW * planeH))
+    val maxV = (1 << prec) - 1
+    val levelShift = 1 << (prec - 1)
 
     // ---- entropy-coded segment reader (FF00 destuffing, RST handling)
     var pos = sosOff
@@ -315,17 +367,22 @@ object Jpeg {
 
     val coef = new Array[Int](64)
 
-    /** One 8×8 block of component c; returns false on bitstream error.
-      * IDCT + store only when `store` (Y blocks). */
-    def decodeBlock(c: Comp, store: Boolean, bx: Int, by: Int): Boolean = {
+    /** One 8×8 block of component c; returns false on bitstream
+      * error. IDCT + store into `plane` only when it is non-null
+      * (the gray-relevant components). */
+    def decodeBlock(c: Comp, plane: Array[Double], bx: Int, by: Int): Boolean = {
       val sDC = decodeHuff(dcTabs(c.dcTab))
-      if (sDC < 0 || sDC > 15) return false
+      // DC difference categories reach 15 at 8-bit and 16 at 12-bit
+      // precision (T.81 Tables F.1/F.6)
+      if (sDC < 0 || sDC > (if (prec == 12) 16 else 15)) return false
       val diff = receiveExtend(sDC)
       if (diff == Int.MinValue) return false
       c.pred += diff
+      val store = plane != null
+      val q = if (store) quant(c.tq) else null
       if (store) {
         java.util.Arrays.fill(coef, 0)
-        coef(0) = c.pred * yQuant(0)
+        coef(0) = c.pred * q(0)
       }
       var k = 1
       while (k < 64) {
@@ -340,11 +397,13 @@ object Jpeg {
           if (k > 63) return false
           val v = receiveExtend(s)
           if (v == Int.MinValue) return false
-          if (store) coef(Zigzag(k)) = v * yQuant(k)
+          if (store) coef(Zigzag(k)) = v * q(k)
           k += 1
         }
       }
-      if (store) idctToPlane(coef, plane, planeW, bx, by)
+      if (store)
+        idctToPlane(coef, plane, planeW, bx, by, levelShift.toDouble,
+          maxV.toDouble)
       true
     }
 
@@ -365,12 +424,12 @@ object Jpeg {
       var i = 0
       while (i < comps.length) {
         val c = comps(i)
-        val isY = c eq y
+        val plane = if (storeIdx(i) >= 0) planes(storeIdx(i)) else null
         var by = 0
         while (by < c.vs) {
           var bx = 0
           while (bx < c.hs) {
-            if (!decodeBlock(c, isY,
+            if (!decodeBlock(c, plane,
                 (mx * y.hs + bx) * 8, (my * y.vs + by) * 8)) return null
             bx += 1
           }
@@ -380,7 +439,45 @@ object Jpeg {
       }
       mcu += 1
     }
-    new LumaPlane(plane, planeW, w, h)
+
+    // ---- gray composition (planes hold NATIVE-precision samples)
+    val toByteScale = 255.0 / maxV
+    val out =
+      if (comps.length < 4) {
+        if (prec == 8) planes(0)
+        else {
+          val p = planes(0)
+          var i = 0
+          while (i < p.length) { p(i) *= toByteScale; i += 1 }
+          p
+        }
+      } else if (ycck) {
+        // YCCK (Adobe-inverted chroma underneath, but gray needs only
+        // Y·K): every RGB channel scales by k'/maxV, so luma does too
+        val p0 = planes(0); val pk = planes(1)
+        val g = new Array[Double](p0.length)
+        var i = 0
+        while (i < g.length) {
+          g(i) = p0(i) * pk(i) / maxV * toByteScale
+          i += 1
+        }
+        g
+      } else {
+        // Adobe CMYK stores INVERTED ink: c' = maxV − C, so
+        // R = c'·k'/maxV (ditto G, B) — BT.601 luma of that
+        val pc = planes(0); val pm = planes(1)
+        val py = planes(2); val pk = planes(3)
+        val g = new Array[Double](pc.length)
+        var i = 0
+        while (i < g.length) {
+          val k = pk(i) / maxV
+          g(i) = (0.299 * pc(i) + 0.587 * pm(i) + 0.114 * py(i)) * k *
+            toByteScale
+          i += 1
+        }
+        g
+      }
+    new LumaPlane(out, planeW, w, h)
   }
 
   /** Progressive (SOF2) Y-plane decode, T.81 §G.

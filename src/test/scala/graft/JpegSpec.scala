@@ -168,6 +168,137 @@ class JpegSpec extends SparkSpec {
     }
   }
 
+  // ---- hand-built sequential fixtures (12-bit / CMYK / YCCK): the
+  // JDK codec can neither write nor read these, so the bitstreams are
+  // assembled field-by-field with known flat-block ground truth —
+  // quant all-ones, one 8×8 block per component, DC-only (IDCT of a
+  // lone DC is exactly the flat value), shared 4-bit DC category
+  // table + 1-bit EOB AC table.
+  private def handJpeg(prec: Int, compVals: Seq[Int],
+                       adobeTransform: Int = -1): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def b(v: Int): Unit = out.write(v & 0xFF)
+    def u16(v: Int): Unit = { b(v >> 8); b(v) }
+    b(0xFF); b(0xD8) // SOI
+    if (adobeTransform >= 0) {
+      b(0xFF); b(0xEE); u16(14)
+      "Adobe".foreach(c => b(c))
+      u16(0x65); u16(0); u16(0); b(adobeTransform)
+    }
+    b(0xFF); b(0xDB); u16(2 + 1 + 64); b(0x00) // DQT pq=0 tq=0
+    (0 until 64).foreach(_ => b(1))            // all-ones quant
+    // DHT DC 0: sixteen 4-bit codes, value list = categories 0..15
+    b(0xFF); b(0xC4); u16(2 + 17 + 16); b(0x00)
+    (1 to 16).foreach(l => b(if (l == 4) 16 else 0))
+    (0 until 16).foreach(b)
+    // DHT AC 0: one 1-bit code -> EOB
+    b(0xFF); b(0xC4); u16(2 + 17 + 1); b(0x10)
+    (1 to 16).foreach(l => b(if (l == 1) 1 else 0))
+    b(0x00)
+    // SOF0 (8-bit) or SOF1 (12-bit), 8×8, all comps 1×1 sampling
+    b(0xFF); b(if (prec == 8) 0xC0 else 0xC1)
+    u16(8 + 3 * compVals.size); b(prec); u16(8); u16(8); b(compVals.size)
+    compVals.indices.foreach { i => b(i + 1); b(0x11); b(0) }
+    // SOS: every comp on tables 0/0
+    b(0xFF); b(0xDA); u16(6 + 2 * compVals.size); b(compVals.size)
+    compVals.indices.foreach { i => b(i + 1); b(0x00) }
+    b(0); b(63); b(0)
+    // entropy data: per comp, DC category (4 bits) + diff bits + EOB
+    // (1 bit); emit bytes as they fill (with FF00 stuffing)
+    var acc = 0L; var nBits = 0
+    def bits(v: Int, n: Int): Unit = {
+      acc = (acc << n) | (v & ((1L << n) - 1)); nBits += n
+      while (nBits >= 8) {
+        val byte = ((acc >> (nBits - 8)) & 0xFF).toInt
+        b(byte)
+        if (byte == 0xFF) b(0x00) // stuffing
+        nBits -= 8
+      }
+    }
+    val shift = 1 << (prec - 1)
+    compVals.foreach { v =>
+      val dc = 8 * (v - shift) // F00 of a flat block (IDCT divides by 8)
+      val mag = math.abs(dc)
+      val s = 32 - Integer.numberOfLeadingZeros(mag) // category (0 if dc == 0)
+      bits(s, 4)
+      if (s > 0) bits(if (dc >= 0) dc else dc + (1 << s) - 1, s)
+      bits(0, 1) // EOB
+    }
+    if (nBits > 0) bits(0x7F, 8 - nBits) // 1-fill to the byte edge (T.81)
+    b(0xFF); b(0xD9) // EOI
+    out.toByteArray
+  }
+
+  test("12-bit extended sequential (SOF1): exact flat value, [0,255] rescale") {
+    val v = 3000 // 12-bit sample
+    val lp = Jpeg.decodeLuma(handJpeg(12, Seq(v)))
+    assert(lp != null)
+    val expect = v * 255.0 / 4095.0
+    assert(math.abs(lp.plane(0) - expect) < 0.01,
+      s"got ${lp.plane(0)}, want $expect")
+    // 8-bit SOF1 also decodes (T.81 allows prec 8 in SOF1)
+    val lp8 = Jpeg.decodeLuma(handJpeg(8, Seq(190)))
+    assert(lp8 != null && math.abs(lp8.plane(0) - 190.0) < 0.01)
+  }
+
+  test("CMYK (Adobe inverted ink): BT.601 luma of c'k'/m'k'/y'k'") {
+    val Seq(c, m, y, k) = Seq(200, 100, 50, 230)
+    val lp = Jpeg.decodeLuma(handJpeg(8, Seq(c, m, y, k), adobeTransform = 0))
+    assert(lp != null)
+    val expect = (0.299 * c + 0.587 * m + 0.114 * y) * (k / 255.0)
+    assert(math.abs(lp.plane(0) - expect) < 0.01,
+      s"got ${lp.plane(0)}, want $expect")
+    // no APP14 at all: 4 components still default to CMYK
+    val lp2 = Jpeg.decodeLuma(handJpeg(8, Seq(c, m, y, k)))
+    assert(lp2 != null && math.abs(lp2.plane(0) - expect) < 0.01)
+  }
+
+  test("YCCK (Adobe transform 2): gray = Y·K/255") {
+    val lp = Jpeg.decodeLuma(handJpeg(8, Seq(180, 128, 128, 230),
+      adobeTransform = 2))
+    assert(lp != null)
+    val expect = 180.0 * 230.0 / 255.0
+    assert(math.abs(lp.plane(0) - expect) < 0.01,
+      s"got ${lp.plane(0)}, want $expect")
+  }
+
+  test("12-bit CMYK composes: both extensions in one bitstream") {
+    val Seq(c, m, y, k) = Seq(3200, 1600, 800, 3680) // 12-bit ink
+    val lp = Jpeg.decodeLuma(handJpeg(12, Seq(c, m, y, k), adobeTransform = 0))
+    assert(lp != null)
+    val expect = (0.299 * c + 0.587 * m + 0.114 * y) * (k / 4095.0) * 255.0 / 4095.0
+    assert(math.abs(lp.plane(0) - expect) < 0.01,
+      s"got ${lp.plane(0)}, want $expect")
+  }
+
+  test("12-bit/CMYK fuzz: corrupted fixtures null or decode, never throw") {
+    val rnd = new scala.util.Random(17)
+    for (fixture <- Seq(handJpeg(12, Seq(3000)),
+                        handJpeg(8, Seq(200, 100, 50, 230), adobeTransform = 0),
+                        handJpeg(8, Seq(180, 128, 128, 230), adobeTransform = 2))) {
+      for (cut <- Seq(2, 10, fixture.length / 2, fixture.length - 3))
+        Jpeg.decodeLuma(fixture.take(cut))
+      for (_ <- 0 until 300) {
+        val x = fixture.clone()
+        for (_ <- 0 to rnd.nextInt(4)) x(rnd.nextInt(x.length)) = rnd.nextInt(256).toByte
+        Jpeg.decodeLuma(x)
+      }
+    }
+    // subsampled 4-comp: out of scope -> null (alter comp0 sampling byte)
+    val cmyk = handJpeg(8, Seq(200, 100, 50, 230), adobeTransform = 0)
+    val sofAt = {
+      var i = 0; var at = -1
+      while (at < 0 && i < cmyk.length - 1) {
+        if ((cmyk(i) & 0xFF) == 0xFF && (cmyk(i + 1) & 0xFF) == 0xC0) at = i
+        i += 1
+      }
+      at
+    }
+    val sub = cmyk.clone()
+    sub(sofAt + 11) = 0x22.toByte // comp 1 sampling 2×2
+    assert(Jpeg.decodeLuma(sub) == null)
+  }
+
   test("router + SQL surface: JPEG rows get REAL features, codegen plan") {
     import spark.implicits._
     GraftExtensions.install(spark)
