@@ -346,4 +346,29 @@ object Corpus {
       .filter(col("__rk") <= quota)
       .drop("__rk")
   }
+
+  /** Deterministic train/val/test assignment (the split every
+    * training pipeline pins before anything else): bucket =
+    * portable-hash(key) mod Σweights, assigned to splits by
+    * cumulative weight — e.g. `("train" -> 8, "val" -> 1,
+    * "test" -> 1)` sends 8/10 of keys to train. Properties a random
+    * split cannot give at 100 TB: stateless (a narrow projection, no
+    * shuffle, no stored assignment table), stable under reruns and
+    * re-partitioning, and CROSS-ENGINE reproducible via
+    * [[Sketches.orderHash]] (md5 — an external system can recompute
+    * membership from SQL alone). Same-key rows always land together
+    * (split by document, never by row).
+    */
+  def hashSplit(docs: DataFrame, keyCol: Column,
+                splits: Seq[(String, Int)] = Seq("train" -> 8, "val" -> 1, "test" -> 1)): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      s"split weights must be positive: $splits")
+    val total = splits.map(_._2).sum
+    val m = Sketches.orderHash(keyCol) % total
+    val (expr, _) = splits.foldLeft((lit(null).cast("string"), 0)) {
+      case ((acc, cum), (name, wgt)) =>
+        (when(m >= cum && m < cum + wgt, name).otherwise(acc), cum + wgt)
+    }
+    docs.withColumn("split", expr)
+  }
 }
