@@ -189,6 +189,16 @@ object GraftExtensions {
         graft.fn.KmvDistinct(children(0), litInt(children(1), "k"),
           graft.ext.Sketches.OrderHashSpan)
       }),
+    (
+      new FunctionIdentifier("hll_distinct"),
+      new ExpressionInfo(classOf[graft.fn.HllDistinct].getName, "hll_distinct"),
+      (children: Seq[Expression]) => {
+        // width fixed to the 60-bit order-hash convention, like
+        // kmv_distinct above
+        require(children.size == 2,
+          s"hll_distinct expects (hash60, p); got ${children.size} args")
+        graft.fn.HllDistinct(children(0), litInt(children(1), "p"), 60)
+      }),
     binaryFn("dot_product", classOf[ArrayDotProduct], ArrayDotProduct(_, _)),
     binaryFn("cosine_sim", classOf[CosineSim], CosineSim(_, _)),
     unaryFn("int8_scale", classOf[graft.fn.Int8Scale], graft.fn.Int8Scale(_)),

@@ -132,4 +132,72 @@ object Sketches {
     else
       gb.column(graft.fn.KmvDistinct(gb.expression(orderHash(key)), k,
         OrderHashSpan).toAggregateExpression())
+
+  /** Per-group approximate COUNT DISTINCT via the native HyperLogLog
+    * aggregate ([[graft.fn.HllDistinct]]): m = 2^p byte registers per
+    * group (512 B at p = 9) no matter the cardinality, merged by
+    * element-wise max — the cheapest mergeable distinct sketch when
+    * cardinalities reach billions. Relative standard error ≈ 1.04/√m.
+    * Same portability contract as [[kmvDistinct]]: the md5 default is
+    * reproduced bit-for-bit by a DuckDB oracle (bucket/ρ/register-max
+    * /harmonic-mean all plain SQL); `xx = true` swaps in the ~20×
+    * cheaper xxhash64 for production runs with no oracle in the loop.
+    */
+  def hllDistinct(key: Column, p: Int, xx: Boolean = false): Column =
+    if (xx)
+      gb.column(graft.fn.HllDistinct(gb.expression(orderHashXx(key)), p, 63)
+        .toAggregateExpression())
+    else
+      gb.column(graft.fn.HllDistinct(gb.expression(orderHash(key)), p, 60)
+        .toAggregateExpression())
+
+  /** One of the `depth` count-min row hashes for `item`: the 60-bit
+    * md5 order hash of `"<row>#<item>"` mod `width` (or xxhash64 of
+    * the same string for production). Deriving each row's hash from a
+    * distinct prefixed string gives the pairwise-independent family
+    * the CM guarantee needs, stays engine-portable, and costs one
+    * digest per (row, item).
+    */
+  def cmsCell(row: Int, item: Column, width: Int, xx: Boolean = false): Column = {
+    val keyed = concat_ws("#", lit(row), item.cast("string"))
+    val h = if (xx) orderHashXx(keyed) else orderHash(keyed)
+    pmod(h, lit(width.toLong)).cast("int")
+  }
+
+  /** Count-min sketch of an item stream (Cormode & Muthukrishnan
+    * 2005): `depth × width` counters, cell (r, c) = Σ over items with
+    * hash_r(item) = c of their weight. Returned as a DataFrame
+    * `(r, c, cnt)` with ≤ depth·width rows — the 100 TB property:
+    * the corpus collapses to a FIXED-size table (one shuffle keyed by
+    * (r, c), map-side combined), against which any number of point
+    * frequency queries then run without touching the corpus again.
+    * Estimates are biased UP (collisions only add), never down;
+    * err ≤ e·N/width with probability 1 − e^−depth.
+    */
+  def cmsSketch(items: DataFrame, item: Column, depth: Int, width: Int,
+                xx: Boolean = false): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
+    val rows = (0 until depth).map { r =>
+      items.select(lit(r).as("r"), cmsCell(r, item, width, xx).as("c"))
+    }.reduce(_ unionAll _)
+    rows.groupBy(col("r"), col("c")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point frequency estimates for `probes` (a DataFrame with an
+    * `item` column) against a [[cmsSketch]]: est(q) = min over rows r
+    * of sketch(r, hash_r(q)) — the count-min estimator. Physically
+    * the sketch side is ≤ depth·width rows, so the join broadcasts
+    * it; probing never rescans the stream the sketch summarized. A
+    * probe whose cell was never touched estimates 0.
+    */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, item: Column,
+                  depth: Int, width: Int, xx: Boolean = false): DataFrame = {
+    val probed = (0 until depth).map { r =>
+      probes.select(item.as("item"), lit(r).as("r"),
+        cmsCell(r, item, width, xx).as("c"))
+    }.reduce(_ unionAll _)
+    probed.join(broadcast(sketch), Seq("r", "c"), "left")
+      .groupBy(col("item"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+  }
 }

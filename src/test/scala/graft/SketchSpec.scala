@@ -311,4 +311,113 @@ class SketchSpec extends SparkSpec {
     assert(joined.filter(sketch("est") =!= manual("est")).isEmpty,
       "sketch estimate must equal the closed-form bottom-k formula")
   }
+
+  test("hll_distinct: kernel registers == the SQL-spelled bucket/rho/max formula") {
+    // The aggregate must compute EXACTLY the declarative HLL: route
+    // the 60-bit md5 hash to 2^p buckets, ρ = leading-zero run of the
+    // 51-bit suffix + 1, register = max ρ, estimate = harmonic mean
+    // with the linear-counting branch. Re-derive all of it from Spark
+    // built-ins and compare to the kernel bit-for-bit-ish (1e-12 rel:
+    // only summation order differs).
+    val p = 9
+    val m = 1 << p
+    val df = spark.range(5000).select((col("id") % 1700).as("k"))
+      .repartition(8) // forces serialize/merge through partials
+    val kernel = df.agg(Sketches.hllDistinct(col("k"), p).as("est"))
+      .head.getDouble(0)
+
+    val h = Sketches.orderHash(col("k"))
+    val w = (h / m).cast("long")
+    // rho = 51 - bitLength(w) + 1; bitLength via 64 - nlz spelled as
+    // floor(log2) is float-risky, so spell it with a join against the
+    // 52 possible thresholds instead: rho r matches w in
+    // [2^(51-r), 2^(52-r)) for r <= 51, w = 0 -> 52.
+    // build inner-out so the LARGEST threshold is the outermost test:
+    // when(w >= 2^50, 1).otherwise(when(w >= 2^49, 2)...otherwise(52))
+    val rho = (51 to 1 by -1).foldLeft(lit(52)) { (acc, r) =>
+      when(w >= (1L << (51 - r)), lit(r)).otherwise(acc)
+    }
+    val regs = df.select(pmod(h, lit(m)).cast("int").as("bucket"), rho.as("rho"))
+      .groupBy(col("bucket")).agg(max(col("rho")).as("mx"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val denom = (0 until m).map(b =>
+      math.pow(2.0, -regs.getOrElse(b, 0).toDouble)).sum
+    val zeros = m - regs.size
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val raw = alpha * m * m / denom
+    val expected =
+      if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+      else raw
+    assert(math.abs(kernel - expected) / expected < 1e-12,
+      s"kernel=$kernel formula=$expected")
+    // 1700 true distinct at m=512: raw branch, within 5x the RSE
+    assert(math.abs(kernel - 1700.0) / 1700.0 < 5 * 1.04 / math.sqrt(m.toDouble),
+      s"estimate $kernel too far from 1700")
+  }
+
+  test("hll_distinct: linear-counting branch at low cardinality, merge = elementwise max") {
+    val m = 512
+    val df = spark.range(100).toDF("k")
+    val est = df.repartition(7).agg(Sketches.hllDistinct(col("k"), 9))
+      .head.getDouble(0)
+    // 100 distinct << 2.5m: linear counting is near-exact
+    assert(math.abs(est - 100.0) / 100.0 < 0.05, s"lc estimate $est")
+    // merge associativity: union of two halves == whole corpus sketch
+    val whole = spark.range(2000).toDF("k")
+    val estWhole = whole.agg(Sketches.hllDistinct(col("k"), 9)).head.getDouble(0)
+    val estUnion = spark.range(1000).toDF("k")
+      .unionAll(spark.range(1000, 2000).toDF("k"))
+      .repartition(16)
+      .agg(Sketches.hllDistinct(col("k"), 9)).head.getDouble(0)
+    assert(estWhole === estUnion,
+      "register max-merge must be partition-order-insensitive")
+    // xx twin: same machinery, different hash — still a sane estimate
+    val estXx = whole.agg(Sketches.hllDistinct(col("k"), 9, xx = true))
+      .head.getDouble(0)
+    assert(math.abs(estXx - 2000.0) / 2000.0 < 5 * 1.04 / math.sqrt(m.toDouble))
+  }
+
+  test("hll_distinct on the SQL surface") {
+    GraftExtensions.install(spark)
+    spark.range(300).toDF("k").createOrReplaceTempView("hll_sql_t")
+    val viaSql = spark.sql(
+      """SELECT hll_distinct(CAST(conv(substring(md5(CAST(k AS STRING)), 1, 15), 16, 10)
+        |  AS BIGINT), 9) FROM hll_sql_t""".stripMargin).head.getDouble(0)
+    val viaLib = spark.range(300).toDF("k")
+      .agg(Sketches.hllDistinct(col("k"), 9)).head.getDouble(0)
+    assert(viaSql === viaLib)
+  }
+
+  test("count-min: never underestimates, exact when no cell collides, collision-safe when forced") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val toks = docs.select(explode(split($"text", " ")).as("tok"))
+      .filter($"tok" =!= "")
+    val truth = toks.groupBy($"tok").agg(count(lit(1)).as("true_cnt"))
+    val probes = truth.select($"tok").limit(200)
+    val sketch = Sketches.cmsSketch(toks.repartition(8), $"tok", 4, 4096)
+    // sketch is bounded by depth x width however large the corpus
+    assert(sketch.count() <= 4L * 4096)
+    val est = Sketches.cmsEstimate(sketch, probes, $"tok", 4, 4096)
+    val joined = est.join(truth, est("item") === truth("tok"))
+    // CM estimates are one-sided: min-of-rows can only overcount
+    assert(joined.filter(col("cms_est") < col("true_cnt")).isEmpty,
+      "count-min must never underestimate")
+    // at width >> distinct tokens nearly every estimate is exact;
+    // require the overwhelming majority rather than a lucky 100%
+    val n = joined.count()
+    val exactN = joined.filter(col("cms_est") === col("true_cnt")).count()
+    assert(exactN >= n * 9 / 10, s"only $exactN/$n exact at width 4096")
+
+    // force collisions: width 4 must still never undercount
+    val tiny = Sketches.cmsSketch(toks, $"tok", 3, 4)
+    val estTiny = Sketches.cmsEstimate(tiny, probes, $"tok", 3, 4)
+    assert(estTiny.join(truth, estTiny("item") === truth("tok"))
+      .filter(col("cms_est") < col("true_cnt")).isEmpty)
+
+    // xx twin: same one-sided law under the production hasher
+    val sx = Sketches.cmsSketch(toks, $"tok", 4, 4096, xx = true)
+    val ex = Sketches.cmsEstimate(sx, probes, $"tok", 4, 4096, xx = true)
+    assert(ex.join(truth, ex("item") === truth("tok"))
+      .filter(col("cms_est") < col("true_cnt")).isEmpty)
+  }
 }
