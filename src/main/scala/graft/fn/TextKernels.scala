@@ -439,4 +439,108 @@ object TextKernels {
     while (it.hasNext) { out(o) = it.next(); o += 1 }
     new GenericArrayData(out)
   }
+
+  /** Per-ROW hash of every L-CHARACTER window of `s` (stride 1,
+    * document order: element i is the window starting at char i+1,
+    * 1-based), or null when the text is shorter than L chars — the
+    * fingerprint stream of exact-substring duplicate detection
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better": any substring of length ≥ L occurring more than
+    * once in the corpus is a duplicated span; L-windows at stride 1
+    * detect every such substring, since each one contains at least
+    * one full window).
+    *
+    * Windows are CODE-POINT-based, not byte- or UTF-16-based: both
+    * engines' `substr`/`length` count code points, so this is the
+    * cross-engine-portable unit (and the q112 BPE lesson — surrogate
+    * pairs must never split). Window bytes are hashed in place from
+    * the row's UTF-8 payload via a code-point offset index — no
+    * substring materialization. Default hash is the portable 60-bit
+    * md5 (`conv(substring(md5(win), 1, 15), 16, 10)` — the engine
+    * convention DuckDB can replay); `xx = true` selects seed-42
+    * xxhash64 over the same bytes (≡ SQL `xxhash64(win)`) — the
+    * PRODUCTION hasher, ~20× cheaper, for runs with no oracle in the
+    * loop. O(n·L) bytes hashed per doc; L is a small constant.
+    */
+  def charWindowHashes(s: UTF8String, L: Int, xx: Boolean): ArrayData = {
+    val bytes = s.getBytes
+    val blen = bytes.length
+    var nChars = 0
+    var i = 0
+    while (i < blen) {
+      if ((bytes(i) & 0xC0) != 0x80) nChars += 1
+      i += 1
+    }
+    val m = nChars - L + 1
+    if (m <= 0) return null
+    // code-point start offsets; offs(nChars) = end sentinel
+    val offs = new Array[Int](nChars + 1)
+    var c = 0
+    i = 0
+    while (i < blen) {
+      if ((bytes(i) & 0xC0) != 0x80) { offs(c) = i; c += 1 }
+      i += 1
+    }
+    offs(nChars) = blen
+    val md = if (xx) null else md5Local.get()
+    val out = if (xx) null else digestLocal.get()
+    val hashes = new Array[Long](m)
+    var j = 0
+    while (j < m) {
+      val st = offs(j)
+      val wl = offs(j + L) - st
+      if (xx) {
+        hashes(j) = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(bytes,
+            org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + st, wl, 42L)
+      } else {
+        md.reset()
+        md.update(bytes, st, wl)
+        md.digest(out, 0, 16)
+        var v = 0L
+        var bi = 0
+        while (bi < 7) { v = (v << 8) | (out(bi) & 0xffL); bi += 1 }
+        hashes(j) = (v << 4) | ((out(7) & 0xffL) >>> 4)
+      }
+      j += 1
+    }
+    new GenericArrayData(hashes)
+  }
+
+  /** Remove the char spans [starts(i), ends(i)] (1-based, inclusive,
+    * sorted ascending, non-overlapping — the merged-island contract
+    * of `SpanDedup.duplicateSpans`) from `s`, by code point. A span
+    * index past the text's end is simply inert (no chars match it) —
+    * the kernel never reads outside the row. Single pass, one output
+    * buffer, no per-char allocation.
+    */
+  def stripCharSpans(s: UTF8String, starts: ArrayData, ends: ArrayData): UTF8String = {
+    val n = starts.numElements()
+    if (n == 0) return s
+    val bytes = s.getBytes
+    val blen = bytes.length
+    val outBuf = new Array[Byte](blen)
+    var pos = 0
+    var si = 0
+    var curStart = starts.getLong(0)
+    var curEnd = ends.getLong(0)
+    var ci = 1L // 1-based char index of the char starting at bi
+    var bi = 0
+    while (bi < blen) {
+      while (si < n && ci > curEnd) {
+        si += 1
+        if (si < n) { curStart = starts.getLong(si); curEnd = ends.getLong(si) }
+      }
+      val inSpan = si < n && ci >= curStart && ci <= curEnd
+      var next = bi + 1
+      while (next < blen && (bytes(next) & 0xC0) == 0x80) next += 1
+      if (!inSpan) {
+        System.arraycopy(bytes, bi, outBuf, pos, next - bi)
+        pos += next - bi
+      }
+      bi = next
+      ci += 1L
+    }
+    UTF8String.fromBytes(java.util.Arrays.copyOf(outBuf, pos))
+  }
 }
