@@ -129,15 +129,85 @@ object Queries10 {
        |LEFT JOIN recon r ON r.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  // --------------------------- q119: trigram Stupid Backoff score
+  /** Trigram Stupid Backoff fluency score (Brants et al. 2007) under
+    * the corpus's own counts ([[graft.ext.LangModel
+    * .scoreStupidBackoff]]): training is three n-gram-distinct
+    * shuffles, scoring the narrow broadcast kernel over the graded
+    * doc_id slice. The oracle rebuilds positions with two-token
+    * history and folds the identical backoff cascade (same division
+    * order, same 0.4 factors, same 1/N OOV floor). avg_nls rounded
+    * to 6 — the q102/q109 convention.
+    */
+  private def q119(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.docsPar(s, dir)
+    val slice = t(s, dir, "documents").filter($"doc_id" < 300)
+    graft.ext.LangModel.scoreStupidBackoff(slice, "doc_id", "text",
+        graft.ext.LangModel.unigramCounts(docs, "text"),
+        graft.ext.LangModel.bigramCounts(docs, "text"),
+        graft.ext.LangModel.trigramCounts(docs, "text"))
+      .select($"doc_id", $"n_toks", round($"avg_nls", 6).as("avg_nls"))
+      .orderBy($"doc_id")
+  }
+
+  private val q119Sql =
+    """WITH d AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      |  FROM documents
+      |), pos AS (
+      |  SELECT doc_id, i, toks[i + 1] AS tok,
+      |    CASE WHEN i >= 1 THEN toks[i] END AS p1,
+      |    CASE WHEN i >= 2 THEN toks[i - 1] END AS p2
+      |  FROM d, UNNEST(range(0, len(toks))) AS t(i)
+      |), uni AS (
+      |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM pos GROUP BY tok
+      |), tot AS (
+      |  SELECT CAST(SUM(cnt) AS DOUBLE) AS n FROM uni
+      |), bi AS (
+      |  SELECT p1, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM pos WHERE p1 IS NOT NULL GROUP BY 1, 2
+      |), tri AS (
+      |  SELECT p2, p1, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM pos WHERE p2 IS NOT NULL GROUP BY 1, 2, 3
+      |), scored AS (
+      |  SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+      |    SUM(-LN(
+      |      CASE WHEN p.p1 IS NULL THEN CAST(u.cnt AS DOUBLE) / tot.n
+      |           WHEN p.p2 IS NULL THEN
+      |             CASE WHEN b.cnt IS NOT NULL
+      |                  THEN CAST(b.cnt AS DOUBLE) / CAST(up.cnt AS DOUBLE)
+      |                  ELSE 0.4 * (CAST(u.cnt AS DOUBLE) / tot.n) END
+      |           ELSE
+      |             CASE WHEN t3.cnt IS NOT NULL
+      |                  THEN CAST(t3.cnt AS DOUBLE) / CAST(bp.cnt AS DOUBLE)
+      |                  ELSE 0.4 * (CASE WHEN b.cnt IS NOT NULL
+      |                    THEN CAST(b.cnt AS DOUBLE) / CAST(up.cnt AS DOUBLE)
+      |                    ELSE 0.4 * (CAST(u.cnt AS DOUBLE) / tot.n) END) END
+      |      END)) / COUNT(*) AS avg_nls
+      |  FROM pos p
+      |  JOIN uni u ON u.tok = p.tok
+      |  CROSS JOIN tot
+      |  LEFT JOIN uni up ON up.tok = p.p1
+      |  LEFT JOIN bi b ON b.p1 = p.p1 AND b.tok = p.tok
+      |  LEFT JOIN bi bp ON bp.p1 = p.p2 AND bp.tok = p.p1
+      |  LEFT JOIN tri t3 ON t3.p2 = p.p2 AND t3.p1 = p.p1 AND t3.tok = p.tok
+      |  WHERE p.doc_id < 300
+      |  GROUP BY p.doc_id
+      |)
+      |SELECT doc_id, n_toks, ROUND(avg_nls, 6) AS avg_nls
+      |FROM scored ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q117_dup_spans" -> (q117 _),
     "q117x_dup_spans_xx" -> (q117x _),
-    "q118_strip_spans" -> (q118 _))
+    "q118_strip_spans" -> (q118 _),
+    "q119_stupid_backoff" -> (q119 _))
 
   val oracles: Map[String, String] = Map(
     "q117_dup_spans" -> q117Sql,
     // q117x: xxhash64 production twin — rows-only (no DuckDB xxhash64)
-    "q118_strip_spans" -> q118Sql)
+    "q118_strip_spans" -> q118Sql,
+    "q119_stupid_backoff" -> q119Sql)
 
   // $"..." interpolator without a SparkSession-bound implicits import
   private implicit class Dollar(val sc: StringContext) {

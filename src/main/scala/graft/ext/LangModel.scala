@@ -136,6 +136,106 @@ object LangModel {
       .groupBy(col("prev"), col("tok"))
       .agg(count(lit(1)).as("cnt"))
 
+  // ------------------------------------ trigram Stupid Backoff LM
+
+  /** Corpus trigram counts (p2, p1, tok, cnt) — history does not
+    * cross document boundaries. One corpus-distinct-trigram-sized
+    * shuffle, keys derived inside the scan span.
+    */
+  def trigramCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(array_remove(split(col(textCol), " "), "").as("__toks"))
+      .select(posexplode(col("__toks")).as(Seq("__i", "tok")), col("__toks"))
+      .filter(col("__i") > 1)
+      .select(element_at(col("__toks"), col("__i") - 1).as("p2"),
+        element_at(col("__toks"), col("__i")).as("p1"), col("tok"))
+      .groupBy(col("p2"), col("p1"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Per-doc trigram Stupid Backoff score (Brants et al. 2007 —
+    * the web-scale LM built for distributed raw counts: no
+    * normalization, no discounting, backoff factor 0.4; see
+    * [[graft.fn.TrigramSbNll]] for the exact cascade). Returns
+    * (idCol, n_toks, avg_nls) with nls = −ln S.
+    *
+    * All three count tables broadcast into the narrow kernel under
+    * `maxBroadcast`; a trigram table past the guard switches to
+    * [[scoreStupidBackoffJoined]] — the paper's own sharded-counts
+    * serving shape (counts stay distributed, the token stream joins
+    * them), which is how a 100 TB-corpus model scores at all.
+    */
+  def scoreStupidBackoff(docs: DataFrame, idCol: String, textCol: String,
+                         uniCounts: DataFrame, biCounts: DataFrame,
+                         triCounts: DataFrame,
+                         maxBroadcast: Long = 8000000L): DataFrame = {
+    val triRows = triCounts.limit((maxBroadcast + 1).toInt).collect()
+    if (triRows.length > maxBroadcast)
+      return scoreStupidBackoffJoined(docs, idCol, textCol,
+        uniCounts, biCounts, triCounts)
+    val (uni, total, _) = collectModel(uniCounts, maxBroadcast)
+    val biRows = biCounts.limit((maxBroadcast + 1).toInt).collect()
+    require(biRows.length <= maxBroadcast,
+      s"bigram table exceeds maxBroadcast=$maxBroadcast with a broadcastable trigram table — inconsistent corpus")
+    val bi = biRows
+      .map(r => (r.getString(0) + " " + r.getString(1)) -> r.getLong(2)).toMap
+    val tri = triRows
+      .map(r => (r.getString(0) + " " + r.getString(1) + " " + r.getString(2)) -> r.getLong(3))
+      .toMap
+    val nls = gb.column(graft.fn.TrigramSbNll(
+      gb.expression(col(textCol)), uni, bi, tri, total))
+    docs.select(col(idCol), nls.as("__s"))
+      .filter(col("__s").isNotNull)
+      .select(col(idCol), col("__s.n_toks").as("n_toks"),
+        col("__s.avg_nls").as("avg_nls"))
+  }
+
+  /** Join-form Stupid Backoff for count tables past the broadcast
+    * guard: the token stream (with its two-token history, derived in
+    * the scan span) left-joins the distributed count tables and folds
+    * the identical backoff cascade as SQL expressions. Five joins of
+    * the position stream — the unavoidable serving cost once the
+    * model cannot ride to the data, and exactly the shape the paper
+    * runs on its MapReduce count shards.
+    */
+  def scoreStupidBackoffJoined(docs: DataFrame, idCol: String, textCol: String,
+                               uniCounts: DataFrame, biCounts: DataFrame,
+                               triCounts: DataFrame): DataFrame = {
+    val totalRow = uniCounts.groupBy().agg(sum(col("cnt")).as("t")).collect()(0)
+    val nTot = lit(totalRow.getLong(0).toDouble)
+    val pos = docs
+      .select(col(idCol), array_remove(split(col(textCol), " "), "").as("__toks"))
+      .select(col(idCol), posexplode(col("__toks")).as(Seq("__i", "tok")),
+        col("__toks"))
+      .select(col(idCol), col("tok"),
+        when(col("__i") >= 1, element_at(col("__toks"), col("__i"))).as("p1"),
+        when(col("__i") >= 2, element_at(col("__toks"), col("__i") - 1)).as("p2"))
+    val u = uniCounts.select(col("tok"), col("cnt").as("__uc"))
+    val up1 = uniCounts.select(col("tok").as("p1"), col("cnt").as("__upc"))
+    val b = biCounts.select(col("prev").as("p1"), col("tok"), col("cnt").as("__bc"))
+    val bp = biCounts.select(col("prev").as("p2"), col("tok").as("p1"),
+      col("cnt").as("__bpc"))
+    val t3 = triCounts.select(col("p2"), col("p1"), col("tok"), col("cnt").as("__tc"))
+    val s1 = when(coalesce(col("__uc"), lit(0L)) > 0,
+      col("__uc").cast("double") / nTot).otherwise(lit(1.0) / nTot)
+    val s2 = when(col("__bc").isNotNull,
+      col("__bc").cast("double") / col("__upc").cast("double"))
+      .otherwise(lit(0.4) * s1)
+    val score = when(col("p1").isNull, s1)
+      .when(col("p2").isNull, s2)
+      .otherwise(when(col("__tc").isNotNull,
+        col("__tc").cast("double") / col("__bpc").cast("double"))
+        .otherwise(lit(0.4) * s2))
+    pos
+      .join(u, Seq("tok"), "left")
+      .join(up1, Seq("p1"), "left")
+      .join(b, Seq("p1", "tok"), "left")
+      .join(bp, Seq("p2", "p1"), "left")
+      .join(t3, Seq("p2", "p1", "tok"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_toks"),
+        (sum(-log(score)) / count(lit(1))).as("avg_nls"))
+  }
+
   /** Per-doc interpolated bigram NLL (Jelinek-Mercer — the shape real
     * CCNet/KenLM quality scoring uses, order 2):
     * p(w|h) = λ·c(h,w)/c(h) + (1−λ)·(c(w)+α)/(T+αV), first token

@@ -179,6 +179,157 @@ object BigramLmScore {
   }
 }
 
+object StupidBackoffScore {
+  private val scratchLocal = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](384)
+  }
+
+  /** Per-row trigram Stupid Backoff NLL (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" — the non-normalized
+    * score designed for EXACTLY this distributed setting: raw counts,
+    * no discounting pass, backoff factor a fixed 0.4):
+    *
+    *   S(w₃|w₁w₂) = c(w₁w₂w₃)/c(w₁w₂)  if the trigram was seen,
+    *              else 0.4·S(w₃|w₂)
+    *   S(w₃|w₂)   = c(w₂w₃)/c(w₂)      if the bigram was seen,
+    *              else 0.4·S(w₃)
+    *   S(w₃)      = c(w₃)/N, with a 1/N floor for OOV tokens (the
+    *                paper leaves OOV undefined; the floor keeps
+    *                −ln S finite and is replayable in SQL).
+    *
+    * First token scores at the unigram level, second at the bigram
+    * level. Returns (n_toks, avg_nls) where nls = −ln S (not a true
+    * NLL — S is not normalized; useful as a relative fluency score,
+    * which is how the paper uses it).
+    *
+    * Per-token cost: one unigram probe, one bigram probe, one
+    * trigram probe — the trigram key "p₂ p₁ w" is assembled ONCE in
+    * a thread-local scratch and the bigram key "p₁ w" probed as its
+    * suffix range (no second assembly). The previous token's unigram
+    * count and the previous step's bigram count carry forward as the
+    * current denominators, so no context is ever probed twice.
+    * Division order and the 0.4 factors mirror the SQL oracle
+    * term-for-term.
+    */
+  def score(s: UTF8String, uni: TokenCountMap, bi: TokenCountMap,
+            tri: TokenCountMap, total: Long): GenericInternalRow = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    val nTot = total.toDouble
+    var n = 0L
+    var nll = 0.0
+    var p1s = -1; var p1e = -1
+    var p2s = -1; var p2e = -1
+    var ucPrev = -1L
+    var bcPrev = -1L
+    var scratch = scratchLocal.get()
+    var i = 0
+    while (i < len) {
+      while (i < len && bytes(i) == ' ') i += 1
+      val start = i
+      while (i < len && bytes(i) != ' ') i += 1
+      if (i > start) {
+        val tl = i - start
+        val uc = uni.get(bytes, start, tl,
+          TokenCountMap.hashRange(bytes, start, tl))
+        var bc = -1L
+        var tc = -1L
+        if (p1s >= 0) {
+          val p1l = p1e - p1s
+          val p2l = if (p2s >= 0) p2e - p2s + 1 else 0 // incl. its space
+          val klen = p2l + p1l + 1 + tl
+          if (klen > scratch.length) {
+            scratch = new Array[Byte](
+              java.lang.Integer.highestOneBit(klen) * 2)
+            scratchLocal.set(scratch)
+          }
+          var pos = 0
+          if (p2s >= 0) {
+            System.arraycopy(bytes, p2s, scratch, 0, p2l - 1)
+            scratch(p2l - 1) = ' '
+            pos = p2l
+          }
+          System.arraycopy(bytes, p1s, scratch, pos, p1l)
+          scratch(pos + p1l) = ' '
+          System.arraycopy(bytes, start, scratch, pos + p1l + 1, tl)
+          val biLen = p1l + 1 + tl
+          bc = bi.get(scratch, p2l, biLen,
+            TokenCountMap.hashRange(scratch, p2l, biLen))
+          if (p2s >= 0)
+            tc = tri.get(scratch, 0, klen,
+              TokenCountMap.hashRange(scratch, 0, klen))
+        }
+        val s1 = if (uc > 0L) uc.toDouble / nTot else 1.0 / nTot
+        val sc =
+          if (p1s < 0) s1
+          else if (p2s < 0) {
+            if (bc > 0L) bc.toDouble / ucPrev.toDouble else 0.4 * s1
+          } else {
+            if (tc > 0L) tc.toDouble / bcPrev.toDouble
+            else 0.4 * (if (bc > 0L) bc.toDouble / ucPrev.toDouble
+                        else 0.4 * s1)
+          }
+        nll -= math.log(sc)
+        n += 1L
+        p2s = p1s; p2e = p1e; p1s = start; p1e = i
+        ucPrev = uc; bcPrev = bc
+      }
+    }
+    if (n == 0L) null
+    else new GenericInternalRow(Array[Any](n, nll / n))
+  }
+}
+
+/** SQL `sb_trigram_nll(text)` — trigram Stupid Backoff scoring
+  * against BROADCAST count tables ([[StupidBackoffScore.score]]).
+  * Same narrow scale shape as [[BigramNll]]: all three count tables
+  * ride the expression (guarded by the caller — past the guard,
+  * [[graft.ext.LangModel.scoreStupidBackoffJoined]] serves the
+  * counts by join, the paper's own sharded-counts shape), scoring
+  * moves zero corpus bytes.
+  */
+case class TrigramSbNll(child: Expression,
+                        uni: Map[String, Long], bi: Map[String, Long],
+                        tri: Map[String, Long], total: Long)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(total > 0, s"total token count must be positive, got $total")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_toks", LongType, nullable = false),
+    StructField("avg_nls", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "sb_trigram_nll"
+
+  @transient private lazy val uniLookup: TokenCountMap = TokenCountMap(uni)
+  @transient private lazy val biLookup: TokenCountMap = TokenCountMap(bi)
+  @transient private lazy val triLookup: TokenCountMap = TokenCountMap(tri)
+
+  override protected def nullSafeEval(s: Any): Any =
+    StupidBackoffScore.score(s.asInstanceOf[UTF8String],
+      uniLookup, biLookup, triLookup, total)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val uniRef = ctx.addReferenceObj("sbUni", uniLookup, "graft.fn.TokenCountMap")
+    val biRef = ctx.addReferenceObj("sbBi", biLookup, "graft.fn.TokenCountMap")
+    val triRef = ctx.addReferenceObj("sbTri", triLookup, "graft.fn.TokenCountMap")
+    nullSafeCodeGen(ctx, ev, s =>
+      s"""
+         |org.apache.spark.sql.catalyst.expressions.GenericInternalRow ${ev.value}_r =
+         |  graft.fn.StupidBackoffScore.score($s, $uniRef, $biRef, $triRef, ${total}L);
+         |if (${ev.value}_r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}_r;
+         |}
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** SQL `bigram_nll(text)` — interpolated bigram LM scoring against
   * BROADCAST count tables ([[BigramLmScore.score]]). Same narrow
   * scale shape as [[UnigramNll]]: both models ride the expression

@@ -122,4 +122,53 @@ class LangModelSpec extends SparkSpec {
     assert(out.count() > 0)
     assert(out.filter($"ppl" <= 1.0).isEmpty, "perplexity must exceed 1")
   }
+
+  test("stupid backoff: hand-computed cascade on a tiny corpus") {
+    // corpus "a b c" + "a b d": N=6; c(a)=c(b)=2, c(c)=c(d)=1;
+    // c(a b)=2, c(b c)=c(b d)=1; c(a b c)=c(a b d)=1
+    val corpus = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val uni = LangModel.unigramCounts(corpus, "text")
+    val bi = LangModel.bigramCounts(corpus, "text")
+    val tri = LangModel.trigramCounts(corpus, "text")
+    val got = LangModel.scoreStupidBackoff(corpus, "doc_id", "text", uni, bi, tri)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // doc 1: S(a)=2/6; S(b|a)=c(ab)/c(a)=2/2; S(c|ab)=c(abc)/c(ab)=1/2
+    val want1 = -(math.log(2.0 / 6) + math.log(2.0 / 2.0) + math.log(1.0 / 2.0)) / 3
+    assert(got(1L)._1 === 3L && math.abs(got(1L)._2 - want1) < 1e-12)
+    assert(math.abs(got(2L)._2 - want1) < 1e-12) // symmetric corpus
+    // unseen trigram backs off: "b c" seen, "a c" unseen
+    val probe = Seq((9L, "b c")).toDF("doc_id", "text")
+    val p = LangModel.scoreStupidBackoff(probe, "doc_id", "text", uni, bi, tri).head
+    // S(b)=2/6; S(c|b)=c(bc)/c(b)=1/2
+    val wantP = -(math.log(2.0 / 6) + math.log(1.0 / 2.0)) / 2
+    assert(math.abs(p.getDouble(2) - wantP) < 1e-12)
+    // OOV floor: token never seen → S = 0.4-cascaded 1/N, finite
+    val oov = Seq((10L, "zz yy xx")).toDF("doc_id", "text")
+    val o = LangModel.scoreStupidBackoff(oov, "doc_id", "text", uni, bi, tri).head
+    val s1 = 1.0 / 6
+    val wantO = -(math.log(s1) + math.log(0.4 * s1) + math.log(0.4 * 0.4 * s1)) / 3
+    assert(math.abs(o.getDouble(2) - wantO) < 1e-12)
+  }
+
+  test("stupid backoff: broadcast kernel matches the join-form fallback") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val uni = LangModel.unigramCounts(real, "text")
+    val bi = LangModel.bigramCounts(real, "text")
+    val tri = LangModel.trigramCounts(real, "text")
+    val kernel = LangModel.scoreStupidBackoff(real, "doc_id", "text", uni, bi, tri)
+      .select($"doc_id", $"n_toks", round($"avg_nls", 9).as("avg_nls"))
+      .orderBy($"doc_id").collect()
+    val joined = LangModel.scoreStupidBackoffJoined(real, "doc_id", "text",
+        uni, bi, tri)
+      .select($"doc_id", $"n_toks", round($"avg_nls", 9).as("avg_nls"))
+      .orderBy($"doc_id").collect()
+    assert(kernel.length === joined.length && kernel.length > 0)
+    kernel.zip(joined).foreach { case (k, j) =>
+      assert(k.getLong(0) === j.getLong(0))
+      assert(k.getLong(1) === j.getLong(1), s"doc ${k.getLong(0)} n_toks")
+      assert(math.abs(k.getDouble(2) - j.getDouble(2)) < 1e-9,
+        s"doc ${k.getLong(0)} avg_nls ${k.getDouble(2)} vs ${j.getDouble(2)}")
+    }
+  }
 }
