@@ -197,17 +197,84 @@ object Queries10 {
       |SELECT doc_id, n_toks, ROUND(avg_nls, 6) AS avg_nls
       |FROM scored ORDER BY doc_id""".stripMargin
 
+  // --------------------- q120: deterministic sample-quantile sketch
+  /** Per-returnflag price quantiles from the bounded bottom-k row
+    * sample ([[graft.ext.Sketches.sampleQuantiles]], k = 256 —
+    * small enough that every group at every SF genuinely sketches)
+    * next to the exact percentile for context. The oracle replays
+    * the SKETCH, not just its answer: same md5 row-order-hash, same
+    * rank ≤ k retention, same ⌈q·m⌉ sample indexing — the q115-HLL
+    * contract applied to the quantile family.
+    */
+  private val SqK = 256
+  private val SqQs = Seq(0.25, 0.5, 0.75, 0.95)
+
+  private def q120(s: SparkSession, dir: String, xx: Boolean): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val rowKey = concat($"l_orderkey", lit("-"), $"l_linenumber")
+    val est = graft.ext.Sketches.sampleQuantiles(rowKey, $"l_extendedprice",
+      SqK, SqQs, xx)
+    li.groupBy($"l_returnflag")
+      .agg(est.as("__q"),
+        count(lit(1)).as("n_rows"))
+      .select($"l_returnflag",
+        round(element_at($"__q", 1), 6).as("p25"),
+        round(element_at($"__q", 2), 6).as("p50"),
+        round(element_at($"__q", 3), 6).as("p75"),
+        round(element_at($"__q", 4), 6).as("p95"),
+        $"n_rows")
+      .orderBy($"l_returnflag")
+  }
+
+  private val q120Sql =
+    s"""WITH hashed AS (
+       |  SELECT l_returnflag,
+       |    CAST(CONCAT('0x', SUBSTR(md5(CONCAT(CAST(l_orderkey AS VARCHAR), '-',
+       |      CAST(l_linenumber AS VARCHAR))), 1, 15)) AS BIGINT) AS h,
+       |    CAST(l_extendedprice AS DOUBLE) AS v
+       |  FROM lineitem
+       |), ranked AS (
+       |  SELECT l_returnflag, v,
+       |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h, v) AS rk
+       |  FROM hashed
+       |), samp AS (
+       |  SELECT l_returnflag, v FROM ranked WHERE rk <= $SqK
+       |), svals AS (
+       |  SELECT l_returnflag, v,
+       |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY v) AS vr,
+       |    COUNT(*) OVER (PARTITION BY l_returnflag) AS m
+       |  FROM samp
+       |), est AS (
+       |  SELECT l_returnflag,
+       |    MAX(CASE WHEN vr = GREATEST(1, CAST(CEIL(0.25 * m) AS BIGINT)) THEN v END) AS p25,
+       |    MAX(CASE WHEN vr = GREATEST(1, CAST(CEIL(0.50 * m) AS BIGINT)) THEN v END) AS p50,
+       |    MAX(CASE WHEN vr = GREATEST(1, CAST(CEIL(0.75 * m) AS BIGINT)) THEN v END) AS p75,
+       |    MAX(CASE WHEN vr = GREATEST(1, CAST(CEIL(0.95 * m) AS BIGINT)) THEN v END) AS p95
+       |  FROM svals GROUP BY l_returnflag
+       |), n AS (
+       |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows
+       |  FROM lineitem GROUP BY l_returnflag
+       |)
+       |SELECT est.l_returnflag, ROUND(p25, 6) AS p25, ROUND(p50, 6) AS p50,
+       |  ROUND(p75, 6) AS p75, ROUND(p95, 6) AS p95, n.n_rows
+       |FROM est JOIN n ON n.l_returnflag = est.l_returnflag
+       |ORDER BY est.l_returnflag""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q117_dup_spans" -> (q117 _),
     "q117x_dup_spans_xx" -> (q117x _),
     "q118_strip_spans" -> (q118 _),
-    "q119_stupid_backoff" -> (q119 _))
+    "q119_stupid_backoff" -> (q119 _),
+    "q120_sample_quantiles" -> ((s: SparkSession, dir: String) => q120(s, dir, xx = false)),
+    "q120x_sample_quantiles_xx" -> ((s: SparkSession, dir: String) => q120(s, dir, xx = true)))
 
   val oracles: Map[String, String] = Map(
     "q117_dup_spans" -> q117Sql,
     // q117x: xxhash64 production twin — rows-only (no DuckDB xxhash64)
     "q118_strip_spans" -> q118Sql,
-    "q119_stupid_backoff" -> q119Sql)
+    "q119_stupid_backoff" -> q119Sql,
+    // q120x: xxhash64 production twin — rows-only (no DuckDB xxhash64)
+    "q120_sample_quantiles" -> q120Sql)
 
   // $"..." interpolator without a SparkSession-bound implicits import
   private implicit class Dollar(val sc: StringContext) {

@@ -125,6 +125,25 @@ object Sketches {
     * identical estimate from the same md5 hash and formula. Relative
     * standard error ≈ 1/√(k−2) (Bar-Yossef et al. 2002).
     */
+  /** Per-group quantile estimates from a DETERMINISTIC bottom-k row
+    * sample ([[graft.fn.SampleQuantiles]]): state = the k (hash,
+    * value) pairs with smallest [[orderHash]] of a UNIQUE row key —
+    * O(k) per group however large the group, mergeable,
+    * merge-order-insensitive, and replayable in plain SQL (rank by
+    * the same md5 hash, rk ≤ k, index the value-sorted sample at
+    * ⌈q·m⌉). The determinism-first alternative to KLL/t-digest
+    * `approx_percentile`: those buy better ε per byte with
+    * randomized compaction, which no oracle can reproduce and no two
+    * runs need agree on; a uniform k-sample's rank error
+    * ≈ √(q(1−q)/k) is the price of a portable, auditable answer.
+    * Exact when the group has ≤ k rows.
+    */
+  def sampleQuantiles(rowKey: Column, value: Column, k: Int,
+                      qs: Seq[Double], xx: Boolean = false): Column =
+    gb.column(graft.fn.SampleQuantiles(
+      gb.expression(if (xx) orderHashXx(rowKey) else orderHash(rowKey)),
+      gb.expression(value.cast("double")), k, qs))
+
   def kmvDistinct(key: Column, k: Int, xx: Boolean = false): Column =
     if (xx)
       gb.column(graft.fn.KmvDistinct(gb.expression(orderHashXx(key)), k,

@@ -420,4 +420,43 @@ class SketchSpec extends SparkSpec {
     assert(ex.join(truth, ex("item") === truth("tok"))
       .filter(col("cms_est") < col("true_cnt")).isEmpty)
   }
+
+  test("sample_quantiles: exact below k, rank-error-bounded above, partition-invariant") {
+    import graft.ext.Sketches
+    // 10_000 rows, values = a deterministic permutation of 1..10_000
+    // so true quantile q = q*10_000
+    val n = 10000
+    val rows = (1 to n).map(i => (i.toLong, ((i * 2654435761L) % n + 1).toDouble))
+    val df = rows.toDF("id", "v")
+    val qs = Seq(0.25, 0.5, 0.75, 0.95)
+
+    // k >= n: the sample IS the group -> exact order statistics
+    val exact = df.agg(Sketches.sampleQuantiles($"id", $"v", 16384, qs).as("q"))
+      .head.getSeq[Double](0)
+    assert(exact === Seq(2500.0, 5000.0, 7500.0, 9500.0))
+
+    // k = 256 << n: each estimate within ~4 sigma of rank error sqrt(q(1-q)/k)*n
+    val est = df.agg(Sketches.sampleQuantiles($"id", $"v", 256, qs).as("q"))
+      .head.getSeq[Double](0)
+    qs.zip(est).foreach { case (q, e) =>
+      val tol = 4 * math.sqrt(q * (1 - q) / 256) * n
+      assert(math.abs(e - q * n) <= tol, s"q=$q est=$e tol=$tol")
+    }
+
+    // determinism: the answer is a pure function of the multiset —
+    // any partitioning (and hence any merge tree) gives the same bits
+    val est1 = df.repartition(1).agg(
+      Sketches.sampleQuantiles($"id", $"v", 256, qs)).head.getSeq[Double](0)
+    val est37 = df.repartition(37).agg(
+      Sketches.sampleQuantiles($"id", $"v", 256, qs)).head.getSeq[Double](0)
+    assert(est1 === est && est37 === est)
+
+    // xx twin: same machinery, different (production) hash
+    val ex = df.agg(Sketches.sampleQuantiles($"id", $"v", 256, qs, xx = true))
+      .head.getSeq[Double](0)
+    qs.zip(ex).foreach { case (q, e) =>
+      val tol = 4 * math.sqrt(q * (1 - q) / 256) * n
+      assert(math.abs(e - q * n) <= tol, s"xx q=$q est=$e tol=$tol")
+    }
+  }
 }
