@@ -8,12 +8,16 @@ import graft.io.SyntheticGrid.GridSpec
   * time-partitioned parquet (SURVEY.md §2.1 S4, §7.2 phase 3).
   *
   * The reference reads a remote netCDF 4-D array via OPeNDAP hyperslab
-  * requests (`trackplot_hycom.py:144,244`). TWO container formats feed
-  * the same slab-parallel distribution here, sniffed by magic in
+  * requests (`trackplot_hycom.py:144,244`). FOUR container formats
+  * feed the same slab/chunk-parallel distribution here, sniffed in
   * [[ingestToParquet]]:
   *  - **NetCDF-3 classic** ([[Nc3]], [[ingestNc]]) — the REAL public
   *    format HYCOM publishes, parsed JDK-only (header + CF
   *    short-packing + _FillValue);
+  *  - **netCDF-4 / HDF5** ([[Nc4]], [[ingestNc4]]) — chunked/deflated
+  *    layout, chunk-index-parallel;
+  *  - **Zarr v2** ([[Zarr]], [[ingestZarr]]) — the cloud-native
+  *    one-file-per-chunk store, chunk-grid-parallel;
   *  - **GRD1** ([[ingest]]) — a minimal dense binary layout kept as
   *    the round-trip fixture format and generator target.
   *
@@ -345,6 +349,98 @@ object GridIngest {
     } finally in.close()
   }
 
+  /** [[Zarr]] grid spec from the store's 1-D coordinate arrays (the
+    * xarray group layout: one array dir per coordinate/data
+    * variable) — same axis conventions as [[Nc4.gridSpecOf]].
+    */
+  def zarrGridSpecOf(path: String,
+                     timeVar: String = "time", depthVar: String = "depth",
+                     latVar: String = "lat", lonVar: String = "lon"): GridSpec = {
+    def coords(v: String): Array[Double] =
+      Zarr.readAll(Zarr.readArrayMeta(s"$path/$v"))
+    val times = coords(timeVar).map(math.round(_)).toSeq
+    val depths = coords(depthVar).toSeq
+    val lats = coords(latVar)
+    val lons = coords(lonVar)
+    def uniformStep(a: Array[Double], what: String): Double = {
+      if (a.length < 2) return 1.0
+      val step = a(1) - a(0)
+      a.sliding(2).foreach { w =>
+        require(math.abs((w(1) - w(0)) - step) < 1e-6, s"$what axis not uniform")
+      }
+      step
+    }
+    GridSpec(lats.head, uniformStep(lats, "lat"), lats.length,
+      lons.head, uniformStep(lons, "lon"), lons.length, depths, times)
+  }
+
+  /** Zarr-v2-store ingest — the cloud-native sibling of [[ingestNc4]]
+    * with the SAME output shape. The store is already the distribution
+    * layout: one file per chunk, so each task reads only its own
+    * chunk files (no shared seekable handle at all — on object
+    * storage this is one GET per chunk key, which is precisely what
+    * Zarr was designed to make parallel). Chunks missing from the
+    * store are all-fill per the spec and still emit null cells;
+    * fill-valued (or NaN-filled) cells decode to SQL null at ingest,
+    * the engine-wide sentinel rule.
+    */
+  def ingestZarr(spark: SparkSession, path: String, partitions: Int = 32,
+                 tempVar: String = "water_temp",
+                 salVar: String = "salinity"): DataFrame = {
+    import spark.implicits._
+    val tMeta = Zarr.readArrayMeta(s"$path/$tempVar")
+    val sMeta = Zarr.readArrayMeta(s"$path/$salVar")
+    require(tMeta.rank == 4 && sMeta.shape == tMeta.shape,
+      s"$path: expected matching 4-D (time,depth,lat,lon) data variables")
+    require(sMeta.chunks == tMeta.chunks,
+      s"$path: $tempVar and $salVar have different chunk shapes")
+    val spec = zarrGridSpecOf(path)
+    require(tMeta.shape == Seq(spec.times.size.toLong, spec.depths.size.toLong,
+        spec.nLat.toLong, spec.nLon.toLong),
+      s"$path: data shape ${tMeta.shape} does not match coordinate lengths")
+    val times = spec.times; val depths = spec.depths
+    val (latMin, latStep, lonMin, lonStep) =
+      (spec.latMin, spec.latStep, spec.lonMin, spec.lonStep)
+    val dims = tMeta.shape
+    val origins = tMeta.chunkOrigins
+    val nPart = math.max(1, math.min(partitions, origins.size))
+    val tFill = tMeta.fillValue; val sFill = sMeta.fillValue
+    spark.sparkContext.parallelize(origins, nPart)
+      .mapPartitions { it =>
+        def load(meta: Zarr.ArrayMeta, origin: Seq[Long]): Option[java.nio.ByteBuffer] = {
+          val p = java.nio.file.Paths.get(meta.dir, meta.chunkKey(origin))
+          if (!java.nio.file.Files.exists(p)) None
+          else Some(java.nio.ByteBuffer.wrap(
+            Zarr.decodeChunk(meta, java.nio.file.Files.readAllBytes(p))))
+        }
+        def dec(meta: Zarr.ArrayMeta, fill: Option[Double],
+                buf: Option[java.nio.ByteBuffer], inChunk: Seq[Int]): Option[Double] =
+          buf.flatMap { b =>
+            val v = Zarr.cellValue(meta, b, inChunk)
+            if (v.isNaN || fill.exists(_ == v)) None else Some(v)
+          }
+        it.flatMap { origin =>
+          val tb = load(tMeta, origin)
+          val sb = load(sMeta, origin)
+          val Seq(ct, cd, cy, cx) = tMeta.chunks
+          for {
+            it0 <- (0 until ct).iterator; t = origin(0) + it0 if t < dims(0)
+            id0 <- 0 until cd; d = origin(1) + id0 if d < dims(1)
+            iy <- 0 until cy; y = origin(2) + iy if y < dims(2)
+            ix <- 0 until cx; x = origin(3) + ix if x < dims(3)
+          } yield {
+            val inChunk = Seq(it0, id0, iy, ix)
+            (times(t.toInt), d.toInt, depths(d.toInt),
+              y.toInt, latMin + y * latStep,
+              x.toInt, lonMin + x * lonStep,
+              dec(tMeta, tFill, tb, inChunk), dec(sMeta, sFill, sb, inChunk))
+          }
+        }
+      }
+      .toDF("time", "depth_idx", "depth", "lat_idx", "lat",
+        "lon_idx", "lon", "water_temp", "salinity")
+  }
+
   /** Full ingestion job: grid file (NetCDF-3 classic, netCDF-4/HDF5,
     * or GRD1, sniffed by magic) → sentinel cleanup → canonical
     * time-partitioned parquet grid (ready for TrackProfile).
@@ -352,7 +448,9 @@ object GridIngest {
   def ingestToParquet(spark: SparkSession, gridPath: String,
                       parquetPath: String): GridSpec = {
     val (spec, df) =
-      if (Nc4.isHdf5(gridPath))
+      if (Zarr.isZarr(gridPath))
+        (zarrGridSpecOf(gridPath), ingestZarr(spark, gridPath))
+      else if (Nc4.isHdf5(gridPath))
         (Nc4.gridSpecOf(Nc4.readFile(gridPath)), ingestNc4(spark, gridPath))
       else if (isNetcdf(gridPath)) {
         val hdr = Nc3.readHeader(gridPath)

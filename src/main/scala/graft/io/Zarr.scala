@@ -1,0 +1,235 @@
+package graft.io
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+
+/** Zarr v2 store reader (Zarr storage specification version 2,
+  * https://zarr.readthedocs.io/en/stable/spec/v2.html — the
+  * cloud-native chunked-array format xarray/climate pipelines publish
+  * alongside the NetCDF files the reference consumes): a directory
+  * per array holding a `.zarray` JSON metadata document and one flat
+  * file per chunk, named by its dot-separated chunk-grid indices.
+  * This is the third grid container next to [[Nc3]] (NetCDF classic)
+  * and [[Nc4]] (HDF5), JDK-only like both: JSON via the Jackson
+  * shipped on Spark's own classpath, decompression via
+  * `java.util.zip`.
+  *
+  * Supported surface (the subset xarray writes by default, rejected
+  * loudly otherwise): dtypes `<f4 <f8 <i1 <i2 <i4 <i8 |i1 |u1 <u2
+  * <u4` and their big-endian `>` twins; compressor `null`, `zlib`,
+  * or `gzip` (blosc needs a native codec — not representable
+  * JDK-only); C and F chunk-internal order; optional
+  * `dimension_separator` ("." default, "/" accepted); missing chunk
+  * files = all-fill chunks per the spec.
+  *
+  * Scale shape: a Zarr store IS a pre-chunked layout — each chunk is
+  * its own object/file, so the distribution unit is exactly the
+  * chunk grid ([[GridIngest.ingestZarr]] fans origins out and each
+  * task reads only its own chunk files; on object storage the local
+  * `Files.readAllBytes` becomes a ranged GET of one key — the layout
+  * Zarr was designed for).
+  */
+object Zarr {
+
+  final case class Dtype(bigEndian: Boolean, kind: Char, size: Int)
+
+  sealed trait Compressor
+  case object RawCodec extends Compressor
+  case object ZlibCodec extends Compressor
+  case object GzipCodec extends Compressor
+
+  /** Parsed `.zarray` metadata + the array directory it governs. */
+  final case class ArrayMeta(dir: String, shape: Seq[Long], chunks: Seq[Int],
+                             dtype: Dtype, order: Char,
+                             compressor: Compressor,
+                             fillValue: Option[Double],
+                             dimSeparator: String) {
+    require(shape.size == chunks.size,
+      s"$dir: shape rank ${shape.size} != chunks rank ${chunks.size}")
+    def rank: Int = shape.size
+    def cellsPerChunk: Long = chunks.map(_.toLong).product
+    /** Chunk-grid origins (element offsets), row-major over the grid. */
+    def chunkOrigins: Seq[Seq[Long]] = {
+      def axis(d: Int): Seq[Long] = 0L until shape(d) by chunks(d)
+      shape.indices.foldLeft(Seq(Seq.empty[Long])) { (acc, d) =>
+        for (prefix <- acc; o <- axis(d)) yield prefix :+ o
+      }
+    }
+    /** Store key of the chunk at the given origin. */
+    def chunkKey(origin: Seq[Long]): String =
+      origin.zipWithIndex.map { case (o, d) => o / chunks(d) }
+        .mkString(dimSeparator)
+  }
+
+  private[io] def parseDtype(s: String): Dtype = {
+    require(s.length >= 3, s"unsupported dtype '$s'")
+    val endian = s.charAt(0)
+    val kind = s.charAt(1)
+    val size = s.substring(2).toInt
+    require(endian == '<' || endian == '>' || endian == '|',
+      s"unsupported byte order in dtype '$s'")
+    require("fiu".contains(kind), s"unsupported dtype kind '$s'")
+    require(endian != '|' || size == 1, s"'|' order requires 1-byte dtype, got '$s'")
+    require((kind == 'f' && (size == 4 || size == 8)) ||
+      (kind != 'f' && Seq(1, 2, 4, 8).contains(size)),
+      s"unsupported dtype width '$s'")
+    Dtype(endian == '>', kind, size)
+  }
+
+  /** Read and validate an array's `.zarray` document. */
+  def readArrayMeta(dir: String): ArrayMeta = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // fill_value may be the bare token NaN/Infinity per the spec
+    mapper.enable(com.fasterxml.jackson.core.JsonParser.Feature.ALLOW_NON_NUMERIC_NUMBERS)
+    val node = mapper.readTree(Files.readAllBytes(Paths.get(dir, ".zarray")))
+    require(node.path("zarr_format").asInt() == 2,
+      s"$dir: zarr_format ${node.path("zarr_format")} != 2")
+    val shape = (0 until node.path("shape").size())
+      .map(i => node.path("shape").get(i).asLong())
+    val chunks = (0 until node.path("chunks").size())
+      .map(i => node.path("chunks").get(i).asInt())
+    val dtype = parseDtype(node.path("dtype").asText())
+    val comp = node.path("compressor")
+    val compressor =
+      if (comp.isNull || comp.isMissingNode) RawCodec
+      else comp.path("id").asText() match {
+        case "zlib" => ZlibCodec
+        case "gzip" => GzipCodec
+        case other => throw new IllegalArgumentException(
+          s"$dir: unsupported compressor '$other' (JDK-only reader: null/zlib/gzip)")
+      }
+    val filters = node.path("filters")
+    require(filters.isNull || filters.isMissingNode || filters.size() == 0,
+      s"$dir: filter pipeline not supported")
+    val order = node.path("order").asText("C")
+    require(order == "C" || order == "F", s"$dir: unsupported order '$order'")
+    val fv = node.path("fill_value")
+    val fillValue =
+      if (fv.isNull || fv.isMissingNode) None
+      else Some(fv.asDouble()) // NaN token parses to Double.NaN
+    val sep = {
+      val s = node.path("dimension_separator").asText(".")
+      require(s == "." || s == "/", s"$dir: unsupported dimension_separator '$s'")
+      s
+    }
+    ArrayMeta(dir, shape, chunks, dtype, order.charAt(0), compressor,
+      fillValue, sep)
+  }
+
+  /** Decompress one chunk's stored bytes to its raw cell buffer. */
+  def decodeChunk(meta: ArrayMeta, stored: Array[Byte]): Array[Byte] = {
+    val want = meta.cellsPerChunk * meta.dtype.size
+    require(want <= Int.MaxValue, s"${meta.dir}: chunk too large")
+    meta.compressor match {
+      case RawCodec =>
+        require(stored.length == want,
+          s"${meta.dir}: raw chunk is ${stored.length} bytes, expected $want")
+        stored
+      case ZlibCodec =>
+        val inf = new java.util.zip.Inflater()
+        try {
+          inf.setInput(stored)
+          val out = new Array[Byte](want.toInt)
+          var off = 0
+          while (off < out.length && !inf.finished()) {
+            val n = inf.inflate(out, off, out.length - off)
+            require(n > 0 || !inf.needsInput(),
+              s"${meta.dir}: truncated zlib chunk")
+            off += n
+          }
+          require(off == out.length,
+            s"${meta.dir}: zlib chunk inflated to $off bytes, expected $want")
+          out
+        } finally inf.end()
+      case GzipCodec =>
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(stored))
+        try {
+          val out = new Array[Byte](want.toInt)
+          var off = 0
+          var n = 0
+          while (off < out.length && n >= 0) {
+            n = in.read(out, off, out.length - off)
+            if (n > 0) off += n
+          }
+          require(off == out.length,
+            s"${meta.dir}: gzip chunk yielded $off bytes, expected $want")
+          out
+        } finally in.close()
+    }
+  }
+
+  /** Read one cell out of a decoded chunk buffer by its
+    * WITHIN-CHUNK coordinates (bounds already applied by the caller).
+    * Addressing follows the chunk-internal `order`: C = row-major,
+    * F = column-major, per the spec's "storage order of the chunk's
+    * elements".
+    */
+  def cellValue(meta: ArrayMeta, buf: ByteBuffer, inChunk: Seq[Int]): Double = {
+    var flat = 0L
+    if (meta.order == 'C') {
+      var d = 0
+      while (d < meta.rank) { flat = flat * meta.chunks(d) + inChunk(d); d += 1 }
+    } else {
+      var d = meta.rank - 1
+      while (d >= 0) { flat = flat * meta.chunks(d) + inChunk(d); d -= 1 }
+    }
+    val at = (flat * meta.dtype.size).toInt
+    val bo = if (meta.dtype.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
+    val b = buf.duplicate().order(bo)
+    (meta.dtype.kind, meta.dtype.size) match {
+      case ('f', 4) => b.getFloat(at).toDouble
+      case ('f', 8) => b.getDouble(at)
+      case ('i', 1) => b.get(at).toDouble
+      case ('i', 2) => b.getShort(at).toDouble
+      case ('i', 4) => b.getInt(at).toDouble
+      case ('i', 8) => b.getLong(at).toDouble
+      case ('u', 1) => (b.get(at) & 0xff).toDouble
+      case ('u', 2) => (b.getShort(at) & 0xffff).toDouble
+      case ('u', 4) => (b.getInt(at) & 0xffffffffL).toDouble
+      case other => throw new IllegalStateException(s"unreachable dtype $other")
+    }
+  }
+
+  /** Whole-array driver-side read (coordinate variables: 1-D, tiny).
+    * Missing chunks yield the fill value.
+    */
+  def readAll(meta: ArrayMeta): Array[Double] = {
+    require(meta.shape.product <= (1 << 22),
+      s"${meta.dir}: readAll is for small coordinate arrays, " +
+        s"shape ${meta.shape} is not one — use the distributed ingest")
+    val n = meta.shape.product.toInt
+    val out = new Array[Double](n)
+    val fill = meta.fillValue.getOrElse(Double.NaN)
+    java.util.Arrays.fill(out, fill)
+    val strides = new Array[Long](meta.rank)
+    var s = 1L
+    (meta.rank - 1 to 0 by -1).foreach { d => strides(d) = s; s *= meta.shape(d) }
+    meta.chunkOrigins.foreach { origin =>
+      val p = Paths.get(meta.dir, meta.chunkKey(origin))
+      if (Files.exists(p)) {
+        val buf = ByteBuffer.wrap(decodeChunk(meta, Files.readAllBytes(p)))
+        val dims = meta.chunks
+        def walk(d: Int, inChunk: List[Int], flat: Long): Unit =
+          if (d == meta.rank)
+            out(flat.toInt) = cellValue(meta, buf, inChunk.reverse)
+          else {
+            var i = 0
+            while (i < dims(d) && origin(d) + i < meta.shape(d)) {
+              walk(d + 1, i :: inChunk, flat + (origin(d) + i) * strides(d))
+              i += 1
+            }
+          }
+        walk(0, Nil, 0L)
+      }
+    }
+    out
+  }
+
+  /** True when `dir` looks like a Zarr v2 array or group root. */
+  def isZarr(path: String): Boolean = {
+    val p = Paths.get(path)
+    Files.isDirectory(p) &&
+      (Files.exists(p.resolve(".zarray")) || Files.exists(p.resolve(".zgroup")))
+  }
+}

@@ -1,0 +1,222 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import graft.io.{GridIngest, Zarr}
+
+/** Zarr v2 store reader — fixtures hand-assembled from the public
+  * spec (JSON `.zarray` + one file per chunk), never written by any
+  * Zarr library, so every byte the reader consumes is spec-derived:
+  * C/F order, little/big endian, raw/zlib chunks, missing-chunk =
+  * fill semantics, `dimension_separator`, and the 4-D hydro-grid
+  * ingest wired through [[GridIngest.ingestZarr]].
+  */
+class ZarrSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Write one array dir: .zarray JSON + all chunk files (values from
+    * `f(globalIndices)`), honoring order/endianness/compressor.
+    */
+  private def writeArray(dir: String, shape: Seq[Int], chunks: Seq[Int],
+                         dtype: String, order: String, compressor: String,
+                         fill: Option[Double], f: Seq[Int] => Double,
+                         skipChunks: Set[String] = Set.empty,
+                         dimSep: String = "."): Unit = {
+    val p = Paths.get(dir)
+    Files.createDirectories(p)
+    val compJson = compressor match {
+      case "null" => "null"
+      case "zlib" => """{"id": "zlib", "level": 1}"""
+      case other => s"""{"id": "$other"}"""
+    }
+    val fillJson = fill match {
+      case None => "null"
+      case Some(v) if v.isNaN => "NaN"
+      case Some(v) => v.toString
+    }
+    val sepJson =
+      if (dimSep == ".") "" else s""", "dimension_separator": "$dimSep""""
+    Files.writeString(p.resolve(".zarray"),
+      s"""{"zarr_format": 2, "shape": [${shape.mkString(", ")}],
+         | "chunks": [${chunks.mkString(", ")}], "dtype": "$dtype",
+         | "compressor": $compJson, "fill_value": $fillJson,
+         | "order": "$order", "filters": null$sepJson}""".stripMargin)
+    val size = dtype.substring(2).toInt
+    val kind = dtype.charAt(1)
+    val bo = if (dtype.charAt(0) == '>') ByteOrder.BIG_ENDIAN
+             else ByteOrder.LITTLE_ENDIAN
+    val rank = shape.size
+    def axisOrigins(d: Int) = 0 until shape(d) by chunks(d)
+    val origins = shape.indices.foldLeft(Seq(Seq.empty[Int])) { (acc, d) =>
+      for (pre <- acc; o <- axisOrigins(d)) yield pre :+ o
+    }
+    origins.foreach { origin =>
+      val key = origin.zipWithIndex.map { case (o, d) => o / chunks(d) }
+        .mkString(dimSep)
+      if (!skipChunks.contains(key)) {
+        val nCells = chunks.product
+        val buf = ByteBuffer.allocate(nCells * size).order(bo)
+        // enumerate within-chunk indices in the chunk's STORAGE order
+        val dimOrder = if (order == "C") (0 until rank) else (rank - 1 to 0 by -1)
+        def walk(ds: List[Int], idx: Map[Int, Int]): Unit = ds match {
+          case Nil =>
+            val inChunk = (0 until rank).map(idx)
+            val global = inChunk.zipWithIndex.map { case (i, d) => origin(d) + i }
+            // out-of-bounds edge cells hold the fill (never read back)
+            val v = if (global.zipWithIndex.forall { case (g, d) => g < shape(d) })
+              f(global) else fill.getOrElse(0.0)
+            (kind, size) match {
+              case ('f', 4) => buf.putFloat(v.toFloat)
+              case ('f', 8) => buf.putDouble(v)
+              case ('i', 2) => buf.putShort(v.toShort)
+              case ('i', 4) => buf.putInt(v.toInt)
+              case ('u', 1) => buf.put(v.toInt.toByte)
+              case other => fail(s"fixture writer: dtype $other not needed")
+            }
+          case d :: rest =>
+            (0 until chunks(d)).foreach(i => walk(rest, idx + (d -> i)))
+        }
+        walk(dimOrder.toList, Map.empty)
+        val raw = buf.array()
+        val bytes = compressor match {
+          case "zlib" =>
+            val defl = new java.util.zip.Deflater(1)
+            defl.setInput(raw); defl.finish()
+            val out = new java.io.ByteArrayOutputStream()
+            val tmp = new Array[Byte](4096)
+            while (!defl.finished()) out.write(tmp, 0, defl.deflate(tmp))
+            defl.end()
+            out.toByteArray
+          case _ => raw
+        }
+        val target = p.resolve(key)
+        if (target.getParent != null) Files.createDirectories(target.getParent)
+        Files.write(target, bytes)
+      }
+    }
+  }
+
+  private def tmpStore(name: String): String = {
+    val d = Files.createTempDirectory(s"zarr-$name").toString
+    Files.writeString(Paths.get(d, ".zgroup"), """{"zarr_format": 2}""")
+    d
+  }
+
+  /** 1-D coordinate array, <f8, raw. */
+  private def writeCoord(store: String, name: String, vals: Seq[Double]): Unit =
+    writeArray(s"$store/$name", Seq(vals.size), Seq(vals.size), "<f8", "C",
+      "null", None, g => vals(g.head))
+
+  test("4-D hydro store ingests to the canonical grid frame (zlib, C order)") {
+    val store = tmpStore("hydro")
+    val (nT, nD, nY, nX) = (2, 2, 5, 6)
+    writeCoord(store, "time", Seq(100.0, 101.0))
+    writeCoord(store, "depth", Seq(0.0, 10.0))
+    writeCoord(store, "lat", (0 until nY).map(10.0 + _ * 0.5))
+    writeCoord(store, "lon", (0 until nX).map(270.0 + _ * 0.5))
+    def v(g: Seq[Int]): Double = g(0) * 1000 + g(1) * 100 + g(2) * 10 + g(3)
+    writeArray(s"$store/water_temp", Seq(nT, nD, nY, nX), Seq(1, 1, 3, 4),
+      "<f8", "C", "zlib", Some(-30000.0), v)
+    writeArray(s"$store/salinity", Seq(nT, nD, nY, nX), Seq(1, 1, 3, 4),
+      "<f4", "C", "zlib", Some(-30000.0), g => v(g) + 0.5)
+    val df = GridIngest.ingestZarr(spark, store).cache()
+    assert(df.count() === nT * nD * nY * nX)
+    val row = df.filter($"time" === 101L && $"depth_idx" === 1 &&
+      $"lat_idx" === 4 && $"lon_idx" === 5).head
+    assert(row.getAs[Double]("water_temp") === 1145.0)
+    assert(math.abs(row.getAs[Double]("salinity") - 1145.5) < 1e-6)
+    assert(row.getAs[Double]("lat") === 12.0)
+    assert(row.getAs[Double]("lon") === 272.5)
+    // chunk-edge cell (partial chunks at y=3..4, x=4..5 boundaries)
+    val edge = df.filter($"time" === 100L && $"depth_idx" === 0 &&
+      $"lat_idx" === 3 && $"lon_idx" === 4).head
+    assert(edge.getAs[Double]("water_temp") === 34.0)
+  }
+
+  test("missing chunk files are all-fill; fill values decode to null") {
+    val store = tmpStore("fill")
+    writeCoord(store, "time", Seq(0.0))
+    writeCoord(store, "depth", Seq(0.0))
+    writeCoord(store, "lat", Seq(0.0, 1.0))
+    writeCoord(store, "lon", Seq(0.0, 1.0))
+    def v(g: Seq[Int]): Double =
+      if (g(2) == 0 && g(3) == 0) -30000.0 else g(2) * 10 + g(3)
+    // chunk key "0.0.1.0" (second lat chunk) deliberately absent
+    writeArray(s"$store/water_temp", Seq(1, 1, 2, 2), Seq(1, 1, 1, 2),
+      "<f8", "C", "null", Some(-30000.0), v, skipChunks = Set("0.0.1.0"))
+    writeArray(s"$store/salinity", Seq(1, 1, 2, 2), Seq(1, 1, 1, 2),
+      "<f8", "C", "null", Some(-30000.0), v, skipChunks = Set("0.0.1.0"))
+    val df = GridIngest.ingestZarr(spark, store)
+    assert(df.count() === 4) // missing chunks still emit their cells
+    val byIdx = df.collect().map(r =>
+      (r.getAs[Int]("lat_idx"), r.getAs[Int]("lon_idx")) ->
+        Option(r.getAs[Any]("water_temp"))).toMap
+    assert(byIdx((0, 0)) === None)          // fill value -> null
+    assert(byIdx((0, 1)) === Some(1.0))
+    assert(byIdx((1, 0)) === None)          // missing chunk -> null
+    assert(byIdx((1, 1)) === None)
+  }
+
+  test("F order and big-endian dtypes address cells correctly") {
+    // 2x3 array, values v(i,j) = i*10 + j, stored column-major big-endian
+    val dir = Files.createTempDirectory("zarr-forder").toString
+    writeArray(dir, Seq(2, 3), Seq(2, 3), ">f4", "F", "null", None,
+      g => g(0) * 10 + g(1))
+    val all = Zarr.readAll(Zarr.readArrayMeta(dir))
+    // readAll returns row-major: (0,0),(0,1),(0,2),(1,0)...
+    assert(all.toSeq === Seq(0.0, 1.0, 2.0, 10.0, 11.0, 12.0))
+  }
+
+  test("integer dtypes, '/' separator, and unsigned decode") {
+    val dir = Files.createTempDirectory("zarr-int").toString
+    writeArray(dir, Seq(2, 2), Seq(1, 2), "<i2", "C", "zlib", None,
+      g => -(g(0) * 100 + g(1)), dimSep = "/")
+    assert(Zarr.readAll(Zarr.readArrayMeta(dir)).toSeq ===
+      Seq(0.0, -1.0, -100.0, -101.0))
+    val du = Files.createTempDirectory("zarr-uint").toString
+    writeArray(du, Seq(2), Seq(2), "|u1", "C", "null", None, g => 200 + g.head)
+    assert(Zarr.readAll(Zarr.readArrayMeta(du)).toSeq === Seq(200.0, 201.0))
+  }
+
+  test("unsupported compressor / malformed chunks fail loudly, never hang") {
+    val dir = Files.createTempDirectory("zarr-bad").toString
+    writeArray(dir, Seq(2), Seq(2), "<f8", "C", "blosc", None, g => g.head)
+    val e = intercept[IllegalArgumentException](Zarr.readArrayMeta(dir))
+    assert(e.getMessage.contains("blosc"))
+    // truncated zlib chunk
+    val dz = Files.createTempDirectory("zarr-trunc").toString
+    writeArray(dz, Seq(4), Seq(4), "<f8", "C", "zlib", None, g => g.head)
+    val key = Paths.get(dz, "0")
+    val full = Files.readAllBytes(key)
+    Files.write(key, java.util.Arrays.copyOf(full, math.max(1, full.length / 2)))
+    val meta = Zarr.readArrayMeta(dz)
+    intercept[Exception](Zarr.decodeChunk(meta, Files.readAllBytes(key)))
+    // wrong-length raw chunk
+    val dr = Files.createTempDirectory("zarr-short").toString
+    writeArray(dr, Seq(4), Seq(4), "<f8", "C", "null", None, g => g.head)
+    val meta2 = Zarr.readArrayMeta(dr)
+    intercept[IllegalArgumentException](
+      Zarr.decodeChunk(meta2, new Array[Byte](7)))
+  }
+
+  test("ingestToParquet sniffs a Zarr store and round-trips through parquet") {
+    val store = tmpStore("sniff")
+    writeCoord(store, "time", Seq(5.0))
+    writeCoord(store, "depth", Seq(0.0))
+    writeCoord(store, "lat", Seq(0.0, 1.0))
+    writeCoord(store, "lon", Seq(0.0, 1.0))
+    def v(g: Seq[Int]): Double = 20.0 + g(2) + g(3)
+    writeArray(s"$store/water_temp", Seq(1, 1, 2, 2), Seq(1, 1, 2, 2),
+      "<f8", "C", "zlib", Some(-30000.0), v)
+    writeArray(s"$store/salinity", Seq(1, 1, 2, 2), Seq(1, 1, 2, 2),
+      "<f8", "C", "zlib", Some(-30000.0), g => 35.0 + v(g) / 100)
+    val out = Files.createTempDirectory("zarr-pq").toString + "/grid"
+    val spec = GridIngest.ingestToParquet(spark, store, out)
+    assert(spec.nLat === 2 && spec.nLon === 2 && spec.times === Seq(5L))
+    val back = spark.read.parquet(out)
+    assert(back.count() === 4)
+    assert(back.agg(sum($"water_temp")).head.getDouble(0) === 4 * 20.0 + 4.0)
+  }
+}
