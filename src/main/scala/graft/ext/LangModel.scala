@@ -122,35 +122,37 @@ object LangModel {
 
   // ---------------------------------------------------- bigram LM
 
-  /** Corpus bigram counts (prev, tok, cnt) — history does not cross
-    * document boundaries (the first token of each doc has no prev).
-    * One corpus-distinct-bigram-sized shuffle; the (prev, tok) key is
-    * derived inside the scan span from the token array, no join.
+  /** Corpus n-gram counts keyed by component columns — history never
+    * crosses document boundaries. The exchange carries per-doc
+    * DISTINCT grams with map-side partial sums
+    * ([[graft.fn.NgramCounts]] builds each doc's gram→tf map inside
+    * the scan span); the former posexplode + element_at form
+    * hash-partitioned the corpus's entire token stream once per
+    * model order — at sf1 that was most of Stupid-Backoff training.
     */
+  private def ngramCountsDf(docs: DataFrame, textCol: String, n: Int,
+                            parts: Seq[String]): DataFrame = {
+    val split_ = docs
+      .select(explode(gb.column(graft.fn.NgramCounts(
+          gb.expression(col(textCol)), n)))
+        .as(Seq("__g", "__tf")))
+      .groupBy(col("__g"))
+      .agg(sum(col("__tf")).as("cnt"))
+      .withColumn("__p", split(col("__g"), " "))
+    split_.select(parts.zipWithIndex.map { case (p, i) =>
+      element_at(col("__p"), i + 1).as(p)
+    } :+ col("cnt"): _*)
+  }
+
+  /** Corpus bigram counts (prev, tok, cnt). */
   def bigramCounts(docs: DataFrame, textCol: String): DataFrame =
-    docs
-      .select(array_remove(split(col(textCol), " "), "").as("__toks"))
-      .select(posexplode(col("__toks")).as(Seq("__i", "tok")), col("__toks"))
-      .filter(col("__i") > 0)
-      .select(element_at(col("__toks"), col("__i")).as("prev"), col("tok"))
-      .groupBy(col("prev"), col("tok"))
-      .agg(count(lit(1)).as("cnt"))
+    ngramCountsDf(docs, textCol, 2, Seq("prev", "tok"))
 
   // ------------------------------------ trigram Stupid Backoff LM
 
-  /** Corpus trigram counts (p2, p1, tok, cnt) — history does not
-    * cross document boundaries. One corpus-distinct-trigram-sized
-    * shuffle, keys derived inside the scan span.
-    */
+  /** Corpus trigram counts (p2, p1, tok, cnt). */
   def trigramCounts(docs: DataFrame, textCol: String): DataFrame =
-    docs
-      .select(array_remove(split(col(textCol), " "), "").as("__toks"))
-      .select(posexplode(col("__toks")).as(Seq("__i", "tok")), col("__toks"))
-      .filter(col("__i") > 1)
-      .select(element_at(col("__toks"), col("__i") - 1).as("p2"),
-        element_at(col("__toks"), col("__i")).as("p1"), col("tok"))
-      .groupBy(col("p2"), col("p1"), col("tok"))
-      .agg(count(lit(1)).as("cnt"))
+    ngramCountsDf(docs, textCol, 3, Seq("p2", "p1", "tok"))
 
   /** Per-doc trigram Stupid Backoff score (Brants et al. 2007 —
     * the web-scale LM built for distributed raw counts: no
@@ -168,12 +170,27 @@ object LangModel {
                          uniCounts: DataFrame, biCounts: DataFrame,
                          triCounts: DataFrame,
                          maxBroadcast: Long = 8000000L): DataFrame = {
-    val triRows = triCounts.limit((maxBroadcast + 1).toInt).collect()
+    // the three model collects are INDEPENDENT jobs — submit them
+    // concurrently so their stages overlap (serial submission made
+    // training latency the SUM of three aggregate walls; overlapped
+    // it is their max). Still one bounded limit-collect per model.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val cap = (maxBroadcast + 1).toInt
+    val fTri = Future(triCounts.limit(cap).collect())
+    val fUni = Future(uniCounts.limit(cap).collect())
+    val fBi = Future(biCounts.limit(cap).collect())
+    val triRows = Await.result(fTri, Duration.Inf)
+    val uniRows = Await.result(fUni, Duration.Inf)
+    val biRows = Await.result(fBi, Duration.Inf)
     if (triRows.length > maxBroadcast)
       return scoreStupidBackoffJoined(docs, idCol, textCol,
         uniCounts, biCounts, triCounts)
-    val (uni, total, _) = collectModel(uniCounts, maxBroadcast)
-    val biRows = biCounts.limit((maxBroadcast + 1).toInt).collect()
+    require(uniRows.length <= maxBroadcast,
+      s"vocabulary exceeds maxBroadcast=$maxBroadcast with a broadcastable trigram table — inconsistent corpus")
+    val uni = uniRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = uni.valuesIterator.sum
     require(biRows.length <= maxBroadcast,
       s"bigram table exceeds maxBroadcast=$maxBroadcast with a broadcastable trigram table — inconsistent corpus")
     val bi = biRows

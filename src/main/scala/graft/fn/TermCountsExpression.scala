@@ -37,3 +37,30 @@ case class TermCounts(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Per-document n-gram-frequency map — SQL `ngram_counts(text, n)`,
+  * type `map<string, bigint>` keyed by space-joined n-token grams
+  * ([[TextKernels.ngramCounts]]). The n-gram LM trainers' analog of
+  * [[TermCounts]]: `explode(ngram_counts(text, n))` feeds the count
+  * aggregate per-doc DISTINCT grams (with map-side combine) instead
+  * of posexploding the corpus token stream once per model order.
+  */
+case class NgramCounts(child: Expression, n: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(n >= 2, s"use term_counts for unigrams; got n=$n")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType =
+    MapType(StringType, LongType, valueContainsNull = false)
+  override def prettyName: String = "ngram_counts"
+
+  override protected def nullSafeEval(s: Any): Any =
+    TextKernels.ngramCounts(s.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.fn.TextKernels.ngramCounts($s, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -244,6 +244,60 @@ object TextKernels {
       new GenericArrayData(keys), new GenericArrayData(vals))
   }
 
+  /** Per-ROW n-gram-frequency map — `map<gram, count>` with grams the
+    * space-joined n-token windows of the engine-wide tokenization
+    * (document order does not cross rows; key order is
+    * first-occurrence). [[termCounts]] generalized to n ≥ 2: the
+    * n-gram LM trainers' shuffle diet — the exchange behind
+    * `explode(ngram_counts(text, n))` carries per-doc DISTINCT
+    * n-grams with map-side partial sums, where the former
+    * posexplode + element_at form hash-partitioned the corpus's
+    * entire token stream once per model order.
+    */
+  def ngramCounts(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.MapData = {
+    val str = s.toString
+    val len = str.length
+    val starts = new java.util.ArrayList[Integer]
+    val ends = new java.util.ArrayList[Integer]
+    var i = 0
+    while (i < len) {
+      while (i < len && str.charAt(i) == ' ') i += 1
+      val st = i
+      while (i < len && str.charAt(i) != ' ') i += 1
+      if (i > st) { starts.add(st); ends.add(i) }
+    }
+    val nTok = starts.size
+    val m = new java.util.LinkedHashMap[String, Array[Long]]
+    val sb = new java.lang.StringBuilder
+    var j = 0
+    while (j <= nTok - n) {
+      sb.setLength(0)
+      var t = j
+      while (t < j + n) {
+        if (t > j) sb.append(' ')
+        sb.append(str, starts.get(t), ends.get(t))
+        t += 1
+      }
+      val gram = sb.toString
+      val c = m.get(gram)
+      if (c == null) m.put(gram, Array(1L)) else c(0) += 1L
+      j += 1
+    }
+    val sz = m.size
+    val keys = new Array[Any](sz)
+    val vals = new Array[Any](sz)
+    var o = 0
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      keys(o) = UTF8String.fromString(e.getKey)
+      vals(o) = e.getValue()(0)
+      o += 1
+    }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new GenericArrayData(keys), new GenericArrayData(vals))
+  }
+
   private val md5Local =
     new ThreadLocal[java.security.MessageDigest] {
       override def initialValue(): java.security.MessageDigest =
