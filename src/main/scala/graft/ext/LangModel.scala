@@ -189,15 +189,19 @@ object LangModel {
         uniCounts, biCounts, triCounts)
     require(uniRows.length <= maxBroadcast,
       s"vocabulary exceeds maxBroadcast=$maxBroadcast with a broadcastable trigram table — inconsistent corpus")
-    val uni = uniRows.map(r => r.getString(0) -> r.getLong(1)).toMap
-    val total = uni.valuesIterator.sum
     require(biRows.length <= maxBroadcast,
       s"bigram table exceeds maxBroadcast=$maxBroadcast with a broadcastable trigram table — inconsistent corpus")
-    val bi = biRows
-      .map(r => (r.getString(0) + " " + r.getString(1)) -> r.getLong(2)).toMap
-    val tri = triRows
-      .map(r => (r.getString(0) + " " + r.getString(1) + " " + r.getString(2)) -> r.getLong(3))
-      .toMap
+    // straight rows → open-addressing maps (no intermediate Map, no
+    // second hash pass): model prep is driver latency on every call,
+    // and the trigram table is the big one. Shipped as TRUE broadcast
+    // variables — see TrigramSbNll's scaladoc for why embedded maps
+    // are a serialization trap.
+    val sc = docs.sparkSession.sparkContext
+    val uni = sc.broadcast(graft.fn.TokenCountMap.fromRows(uniRows, 1))
+    var total = 0L
+    uniRows.foreach(r => total += r.getLong(1))
+    val bi = sc.broadcast(graft.fn.TokenCountMap.fromRows(biRows, 2))
+    val tri = sc.broadcast(graft.fn.TokenCountMap.fromRows(triRows, 3))
     val nls = gb.column(graft.fn.TrigramSbNll(
       gb.expression(col(textCol)), uni, bi, tri, total))
     docs.select(col(idCol), nls.as("__s"))

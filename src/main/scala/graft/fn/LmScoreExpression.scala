@@ -18,9 +18,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * held q102/q109 at 4× the oracle engine at BOTH sf1 and sf10).
   * Missing keys return -1 (counts are non-negative).
   */
-final class TokenCountMap private (mask: Int, hashes: Array[Long],
-                                   keys: Array[Array[Byte]],
-                                   vals: Array[Long]) extends Serializable {
+final class TokenCountMap private[fn] (mask: Int, hashes: Array[Long],
+                                       keys: Array[Array[Byte]],
+                                       vals: Array[Long]) extends Serializable {
 
   def get(bytes: Array[Byte], off: Int, len: Int, hash: Long): Long = {
     var slot = ((hash ^ (hash >>> 32)).toInt) & mask
@@ -36,6 +36,60 @@ final class TokenCountMap private (mask: Int, hashes: Array[Long],
     }
     -1L // unreachable
   }
+
+  /** Serialize as ONE flat buffer instead of a millions-of-byte[]
+    * object graph: task binaries carry every `addReferenceObj` of the
+    * plan, and default Java serialization of a multi-million-entry
+    * map (per-object headers, reference table) was the dominant cost
+    * of trigram-model scoring jobs — not the lookups, not the build.
+    * Slots serialize in place, so deserialization is a straight
+    * array fill with NO rehash.
+    */
+  private def writeReplace(): AnyRef = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(mask)
+    var i = 0
+    while (i <= mask) {
+      val k = keys(i)
+      if (k == null) out.writeInt(-1)
+      else {
+        out.writeInt(k.length)
+        out.write(k)
+        out.writeLong(hashes(i))
+        out.writeLong(vals(i))
+      }
+      i += 1
+    }
+    out.close()
+    new TokenCountMapProxy(bos.toByteArray)
+  }
+}
+
+/** Flat-buffer serialization proxy of [[TokenCountMap]]. */
+final class TokenCountMapProxy(val blob: Array[Byte]) extends Serializable {
+  private def readResolve(): AnyRef = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(blob))
+    val mask = in.readInt()
+    val hashes = new Array[Long](mask + 1)
+    val keys = new Array[Array[Byte]](mask + 1)
+    val vals = new Array[Long](mask + 1)
+    var i = 0
+    while (i <= mask) {
+      val len = in.readInt()
+      if (len >= 0) {
+        val k = new Array[Byte](len)
+        in.readFully(k)
+        keys(i) = k
+        hashes(i) = in.readLong()
+        vals(i) = in.readLong()
+      }
+      i += 1
+    }
+    in.close()
+    new TokenCountMap(mask, hashes, keys, vals)
+  }
 }
 
 object TokenCountMap {
@@ -48,23 +102,78 @@ object TokenCountMap {
   def hashRange(bytes: Array[Byte], off: Int, len: Int): Long =
     XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + off, len, Seed)
 
-  def apply(m: Map[String, Long]): TokenCountMap = {
-    // load factor <= 0.5: capacity = smallest power of two >= 2*size
-    var cap = 8
-    while (cap < m.size * 2) cap <<= 1
-    val mask = cap - 1
-    val hashes = new Array[Long](cap)
-    val keys = new Array[Array[Byte]](cap)
-    val vals = new Array[Long](cap)
-    m.foreach { case (s, v) =>
-      val kb = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  /** Mutable builder with a known size hint — one allocation, no
+    * intermediate collection. The n-gram model path builds multi-
+    * million-entry maps straight from collected count rows; the
+    * former rows → `Map[String, Long]` → rehash pipeline was the
+    * dominant cost of Stupid-Backoff model prep at sf10 (an
+    * immutable-Map build plus a full second hash pass, both
+    * discarded immediately).
+    */
+  final class Builder(sizeHint: Int) {
+    private var cap = 8
+    while (cap < sizeHint * 2) cap <<= 1
+    private val mask = cap - 1
+    private val hashes = new Array[Long](cap)
+    private val keys = new Array[Array[Byte]](cap)
+    private val vals = new Array[Long](cap)
+    private var n = 0
+
+    /** Insert the space-joined UTF-8 key of `parts` (pre-encoded). */
+    def put(parts: Array[Array[Byte]], v: Long): Unit = {
+      require(n < sizeHint, s"builder sized for $sizeHint entries")
+      var klen = parts.length - 1
+      var i = 0
+      while (i < parts.length) { klen += parts(i).length; i += 1 }
+      val kb = new Array[Byte](klen)
+      var pos = 0
+      i = 0
+      while (i < parts.length) {
+        if (i > 0) { kb(pos) = ' '; pos += 1 }
+        System.arraycopy(parts(i), 0, kb, pos, parts(i).length)
+        pos += parts(i).length
+        i += 1
+      }
       val h = hashRange(kb, 0, kb.length)
       var slot = ((h ^ (h >>> 32)).toInt) & mask
       while (keys(slot) != null && !(hashes(slot) == h &&
         java.util.Arrays.equals(keys(slot), kb))) slot = (slot + 1) & mask
+      if (keys(slot) == null) n += 1
       hashes(slot) = h; keys(slot) = kb; vals(slot) = v
     }
-    new TokenCountMap(mask, hashes, keys, vals)
+
+    def result(): TokenCountMap = new TokenCountMap(mask, hashes, keys, vals)
+  }
+
+  /** Build straight from collected count rows: `nKeyCols` leading
+    * string columns (joined by single spaces — the kernel key
+    * convention) followed by the long count.
+    */
+  def fromRows(rows: Array[org.apache.spark.sql.Row], nKeyCols: Int): TokenCountMap = {
+    val b = new Builder(math.max(1, rows.length))
+    val parts = new Array[Array[Byte]](nKeyCols)
+    var i = 0
+    while (i < rows.length) {
+      val r = rows(i)
+      var c = 0
+      while (c < nKeyCols) {
+        parts(c) = r.getString(c).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        c += 1
+      }
+      b.put(parts, r.getLong(nKeyCols))
+      i += 1
+    }
+    b.result()
+  }
+
+  def apply(m: Map[String, Long]): TokenCountMap = {
+    val b = new Builder(math.max(1, m.size))
+    val parts = new Array[Array[Byte]](1)
+    m.foreach { case (s, v) =>
+      parts(0) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      b.put(parts, v)
+    }
+    b.result()
   }
 }
 
@@ -282,15 +391,24 @@ object StupidBackoffScore {
 
 /** SQL `sb_trigram_nll(text)` — trigram Stupid Backoff scoring
   * against BROADCAST count tables ([[StupidBackoffScore.score]]).
-  * Same narrow scale shape as [[BigramNll]]: all three count tables
-  * ride the expression (guarded by the caller — past the guard,
-  * [[graft.ext.LangModel.scoreStupidBackoffJoined]] serves the
-  * counts by join, the paper's own sharded-counts shape), scoring
-  * moves zero corpus bytes.
+  * Same narrow scale shape as [[BigramNll]] — scoring moves zero
+  * corpus bytes — but the models are TRUE `Broadcast` variables, not
+  * expression-embedded maps: a trigram table is millions of entries,
+  * and the optimizer legitimately clones the expression when it
+  * splits the output struct into columns (CollapseProject), so an
+  * embedded model would ride the task binary ONCE PER CLONE (measured
+  * 32 s of pure serialization at sf10). As a broadcast handle the
+  * clone costs nothing and executors fetch the blocks once, torrent-
+  * style — the right shape on a real cluster too. Guarded by the
+  * caller; past the guard, [[graft.ext.LangModel
+  * .scoreStupidBackoffJoined]] serves the counts by join, the
+  * paper's own sharded-counts shape.
   */
 case class TrigramSbNll(child: Expression,
-                        uni: Map[String, Long], bi: Map[String, Long],
-                        tri: Map[String, Long], total: Long)
+                        uni: org.apache.spark.broadcast.Broadcast[TokenCountMap],
+                        bi: org.apache.spark.broadcast.Broadcast[TokenCountMap],
+                        tri: org.apache.spark.broadcast.Broadcast[TokenCountMap],
+                        total: Long)
   extends UnaryExpression with ExpectsInputTypes {
 
   require(total > 0, s"total token count must be positive, got $total")
@@ -302,22 +420,22 @@ case class TrigramSbNll(child: Expression,
   override def nullable: Boolean = true
   override def prettyName: String = "sb_trigram_nll"
 
-  @transient private lazy val uniLookup: TokenCountMap = TokenCountMap(uni)
-  @transient private lazy val biLookup: TokenCountMap = TokenCountMap(bi)
-  @transient private lazy val triLookup: TokenCountMap = TokenCountMap(tri)
-
   override protected def nullSafeEval(s: Any): Any =
     StupidBackoffScore.score(s.asInstanceOf[UTF8String],
-      uniLookup, biLookup, triLookup, total)
+      uni.value, bi.value, tri.value, total)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val uniRef = ctx.addReferenceObj("sbUni", uniLookup, "graft.fn.TokenCountMap")
-    val biRef = ctx.addReferenceObj("sbBi", biLookup, "graft.fn.TokenCountMap")
-    val triRef = ctx.addReferenceObj("sbTri", triLookup, "graft.fn.TokenCountMap")
+    val bcCls = "org.apache.spark.broadcast.Broadcast"
+    val uniRef = ctx.addReferenceObj("sbUni", uni, bcCls)
+    val biRef = ctx.addReferenceObj("sbBi", bi, bcCls)
+    val triRef = ctx.addReferenceObj("sbTri", tri, bcCls)
     nullSafeCodeGen(ctx, ev, s =>
       s"""
          |org.apache.spark.sql.catalyst.expressions.GenericInternalRow ${ev.value}_r =
-         |  graft.fn.StupidBackoffScore.score($s, $uniRef, $biRef, $triRef, ${total}L);
+         |  graft.fn.StupidBackoffScore.score($s,
+         |    (graft.fn.TokenCountMap) $uniRef.value(),
+         |    (graft.fn.TokenCountMap) $biRef.value(),
+         |    (graft.fn.TokenCountMap) $triRef.value(), ${total}L);
          |if (${ev.value}_r == null) {
          |  ${ev.isNull} = true;
          |} else {
