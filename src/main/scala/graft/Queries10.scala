@@ -260,13 +260,95 @@ object Queries10 {
        |FROM est JOIN n ON n.l_returnflag = est.l_returnflag
        |ORDER BY est.l_returnflag""".stripMargin
 
+  // ------------------------- q121: BPE TRAINING, oracle-replayed
+  /** The last no-oracle contract closed: q107's merge-rule TRAINING
+    * — "not SQL-expressible" since round 5 — replayed in a DuckDB
+    * recursive CTE. The key: the trainer's batched merge pass is
+    * EQUIVALENT to sequentially merging the leftmost occurrence until
+    * none remain (a merged seg can never re-form the pair), so the
+    * recursion carries (word, freq, segs, current-pair, history) rows
+    * and alternates two phases — apply one leftmost occurrence per
+    * word while ANY word still has the current pair (EXISTS over the
+    * working table), else pick the next argmax pair (same max-count /
+    * lexicographic-tie rule, via an aggregate subquery over the
+    * working table). Output = the learned merge table itself,
+    * (rank, l, r), numMerges = 100 — the exact table q107 trains.
+    * History uses ASCII unit/record separators (chr 31/30) — tokens
+    * cannot contain spaces (the seg separator) and the corpus is
+    * ASCII text (the q112 BMP caveat applies).
+    */
+  private val BpeTrainMerges = 100
+
+  private def q121(s: SparkSession, dir: String): DataFrame = {
+    val merges = graft.ext.Bpe.trainOn(Tables.docsPar(s, dir), "text",
+      BpeTrainMerges)
+    import s.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    merges.zipWithIndex
+      .map { case ((l, r), i) => ((i + 1).toLong, l, r) }
+      .toDF("rank", "l", "r")
+      .orderBy($"rank")
+  }
+
+  private val q121Sql =
+    s"""WITH RECURSIVE wc AS (
+       |  SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+       |    SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents) t
+       |  WHERE tok <> '' GROUP BY tok
+       |), rec AS (
+       |  SELECT word, freq,
+       |    list_transform(range(1, length(word) + 1), i -> word[i]) AS segs,
+       |    CAST(NULL AS VARCHAR) AS cl, CAST(NULL AS VARCHAR) AS cr,
+       |    '' AS hist, 0 AS nm, 0 AS it
+       |  FROM wc WHERE word <> '' AND freq > 0
+       |  UNION ALL
+       |  SELECT word, freq,
+       |    CASE WHEN has_occ AND pos IS NOT NULL THEN
+       |      segs[1:pos - 1] || [cl || cr] || segs[pos + 2:len(segs)]
+       |    ELSE segs END AS segs,
+       |    CASE WHEN has_occ THEN cl ELSE bl END AS cl,
+       |    CASE WHEN has_occ THEN cr ELSE br END AS cr,
+       |    CASE WHEN has_occ THEN hist
+       |         ELSE hist || bl || chr(31) || br || chr(30) END AS hist,
+       |    CASE WHEN has_occ THEN nm ELSE nm + 1 END AS nm,
+       |    it + 1 AS it
+       |  FROM (
+       |    SELECT r.*,
+       |      (cl IS NOT NULL AND EXISTS (
+       |        SELECT 1 FROM rec r2, UNNEST(range(1, len(r2.segs))) AS u(i)
+       |        WHERE r2.segs[i] = r.cl AND r2.segs[i + 1] = r.cr)) AS has_occ,
+       |      list_min(list_filter(list_transform(range(1, len(r.segs)),
+       |        p -> CASE WHEN r.segs[p] = r.cl AND r.segs[p + 1] = r.cr THEN p END),
+       |        x -> x IS NOT NULL)) AS pos,
+       |      (SELECT {'l': l, 'r': r} FROM (
+       |         SELECT r3.segs[i] AS l, r3.segs[i + 1] AS r, SUM(r3.freq) AS c
+       |         FROM rec r3, UNNEST(range(1, len(r3.segs))) AS u(i)
+       |         GROUP BY 1, 2)
+       |       ORDER BY c DESC, l, r LIMIT 1).l AS bl,
+       |      (SELECT {'l': l, 'r': r} FROM (
+       |         SELECT r3.segs[i] AS l, r3.segs[i + 1] AS r, SUM(r3.freq) AS c
+       |         FROM rec r3, UNNEST(range(1, len(r3.segs))) AS u(i)
+       |         GROUP BY 1, 2)
+       |       ORDER BY c DESC, l, r LIMIT 1).r AS br
+       |    FROM rec r) s
+       |  WHERE has_occ OR (nm < $BpeTrainMerges AND bl IS NOT NULL)
+       |)
+       |SELECT CAST(rk AS BIGINT) AS rank,
+       |  string_split(ms[CAST(rk AS INT)], chr(31))[1] AS l,
+       |  string_split(ms[CAST(rk AS INT)], chr(31))[2] AS r
+       |FROM (
+       |  SELECT string_split(rtrim(hist, chr(30)), chr(30)) AS ms
+       |  FROM rec ORDER BY it DESC, word LIMIT 1
+       |), UNNEST(range(1, len(ms) + 1)) AS t(rk)
+       |ORDER BY rank""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q117_dup_spans" -> (q117 _),
     "q117x_dup_spans_xx" -> (q117x _),
     "q118_strip_spans" -> (q118 _),
     "q119_stupid_backoff" -> (q119 _),
     "q120_sample_quantiles" -> ((s: SparkSession, dir: String) => q120(s, dir, xx = false)),
-    "q120x_sample_quantiles_xx" -> ((s: SparkSession, dir: String) => q120(s, dir, xx = true)))
+    "q120x_sample_quantiles_xx" -> ((s: SparkSession, dir: String) => q120(s, dir, xx = true)),
+    "q121_bpe_train" -> (q121 _))
 
   val oracles: Map[String, String] = Map(
     "q117_dup_spans" -> q117Sql,
@@ -274,7 +356,8 @@ object Queries10 {
     "q118_strip_spans" -> q118Sql,
     "q119_stupid_backoff" -> q119Sql,
     // q120x: xxhash64 production twin — rows-only (no DuckDB xxhash64)
-    "q120_sample_quantiles" -> q120Sql)
+    "q120_sample_quantiles" -> q120Sql,
+    "q121_bpe_train" -> q121Sql)
 
   // $"..." interpolator without a SparkSession-bound implicits import
   private implicit class Dollar(val sc: StringContext) {

@@ -10,9 +10,9 @@ import graft.ext.{Dedup, LangModel, Sketches, SimJoin}
   * (q103), winnowing document fingerprints (q104, the MOSS
   * algorithm), the bounded-state KMV distinct sketch (q105),
   * winnow shared-span pairs (q106), real BPE tokenization (q107,
-  * rows-only — the training loop is not SQL-expressible; q112
-  * hash-gates the encode half under a fixed merge table via a
-  * recursive-CTE oracle), the composed round-5 curation pipeline
+  * rows-only; q112 hash-gates the encode half under a fixed merge
+  * table via a recursive-CTE oracle, and q121 hash-gates the
+  * TRAINING loop itself), the composed round-5 curation pipeline
   * (q108), the interpolated bigram LM (q109), and quantized IVF
   * retrieval (q110).
   * Same contract as batches 3-7: the Spark side runs the library
@@ -315,11 +315,13 @@ object Queries8 {
     * merges trained on the corpus's own word-frequency dictionary
     * (one vocab-sized shuffle + driver-local merge learning —
     * [[graft.ext.Bpe]]), encoding narrow. NO DuckDB oracle for THIS
-    * query — the TRAINING loop is not SQL-expressible (the driver
-    * records the weaker rows-only check; training is golden- and
-    * law-tested in BpeSpec, incl. a hand-traced trainer run). The
-    * ENCODE half is hash-gated cross-engine by q112, which replays
-    * the same merge loop in a recursive CTE under a fixed rank table.
+    * query (the driver records the weaker rows-only check), but BOTH
+    * halves are hash-gated elsewhere: q112 replays the ENCODE merge
+    * loop under a fixed rank table, and q121 replays the TRAINING
+    * loop itself — argmax/tie/merge-application semantics — in a
+    * two-phase recursive CTE; this entry remains rows-only purely
+    * because its composed output (trained table + encode + counts)
+    * would duplicate both oracles in one query.
     */
   private def q107(s: SparkSession, dir: String): DataFrame = {
     val docs = docsPar(s, dir)
