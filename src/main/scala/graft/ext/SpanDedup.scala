@@ -83,6 +83,47 @@ object SpanDedup {
       .select(col(idCol), col("span_start"), col("span_end"))
   }
 
+  /** Distinct window hashes of a REFERENCE corpus (the contamination
+    * screen's broadcast side — benchmark suites, eval sets), collected
+    * to a primitive hash set under a fail-fast guard. References are
+    * benchmark-sized by construction; a corpus-scale reference should
+    * use [[duplicateSpans]]'s join form instead.
+    */
+  def collectWindowSet(ref: DataFrame, textCol: String, L: Int,
+                       xx: Boolean = false,
+                       maxSize: Long = 50000000L): graft.fn.LongHashSet = {
+    val rows = ref
+      .select(explode(gb.column(
+          graft.fn.CharWindowHashes(gb.expression(col(textCol)), L, xx)))
+        .as("h"))
+      .distinct()
+      .limit((maxSize + 1).toInt)
+      .collect()
+    require(rows.length <= maxSize,
+      s"reference window set exceeds maxSize=$maxSize; use the join form")
+    graft.fn.LongHashSet(rows.map(_.getLong(0)))
+  }
+
+  /** Per-doc contamination stats against a broadcast reference window
+    * set ([[graft.fn.CharWindowHits]]): (n_windows, hits, hit_frac)
+    * appended; docs with no window are DROPPED (no evidence either
+    * way — the winnowContaminationReport convention). Stateless and
+    * narrow — the streaming-safe form.
+    */
+  def contaminationStats(docs: DataFrame, textCol: String,
+                         set: org.apache.spark.broadcast.Broadcast[graft.fn.LongHashSet],
+                         L: Int, xx: Boolean = false): DataFrame = {
+    val s = gb.column(graft.fn.CharWindowHits(
+      gb.expression(col(textCol)), L, xx, set))
+    docs.withColumn("__cw", s)
+      .filter(col("__cw").isNotNull)
+      .withColumn("n_windows", col("__cw.n_windows"))
+      .withColumn("hits", col("__cw.hits"))
+      .withColumn("hit_frac",
+        col("__cw.hits").cast("double") / col("__cw.n_windows").cast("double"))
+      .drop("__cw")
+  }
+
   /** The APPLY half: every document with its duplicated spans removed
     * (docs without spans pass through untouched). Adds `cleanCol`
     * next to the original columns. Spans collect to a per-doc sorted

@@ -393,6 +393,34 @@ object DocStreams {
         col("q_score"))
   }
 
+  /** EXACT-substring contamination gate — the [[graft.ext.SpanDedup]]
+    * screen on streams: drop arriving docs whose L-char-window overlap
+    * with a STATIC reference corpus (benchmark/eval suites) exceeds
+    * `maxHitFrac`. Completely STATELESS: the reference rides the plan
+    * as a broadcast primitive-set handle
+    * ([[graft.ext.SpanDedup.collectWindowSet]]) and each doc is
+    * screened by one narrow kernel pass — no watermark, no state
+    * store, stream plan ≡ batch plan. Docs without a full window pass
+    * (no evidence of contamination).
+    */
+  def substringContaminationGate(docs: DataFrame,
+                                 refSet: org.apache.spark.broadcast.Broadcast[graft.fn.LongHashSet],
+                                 L: Int, maxHitFrac: Double,
+                                 xx: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    val s = gb.column(graft.fn.CharWindowHits(
+      gb.expression(col("text")), L, xx, refSet))
+    docs
+      .select(col("doc_id"), EventStreams.tsCol.as("ts_t"), col("text"),
+        s.as("__cw"))
+      .filter(col("__cw").isNull ||
+        col("__cw.hits").cast("double") / col("__cw.n_windows").cast("double")
+          <= maxHitFrac)
+      .select(col("doc_id"), unix_micros(col("ts_t")).as("ts"), col("text"),
+        coalesce(col("__cw.hits"), lit(0L)).as("ref_hits"),
+        coalesce(col("__cw.n_windows"), lit(0L)).as("n_windows"))
+  }
+
   def perplexityGate(docs: DataFrame, model: Map[String, Long],
                      total: Long, vocab: Long, maxPpl: Double,
                      alpha: Double = 1.0): DataFrame = {

@@ -505,4 +505,54 @@ class DocStreamsSpec extends SparkSpec {
       .as[(Long, Int)].collect().toMap
     batch.foreach { case (id, cl, _) => assert(viaAssign(id) === cl, s"doc $id") }
   }
+
+  test("streaming substring-contamination gate: stream == batch, verbatim quote dropped") {
+    import org.apache.spark.sql.types._
+    import graft.ext.SpanDedup
+    val sch = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ts", LongType),
+      StructField("text", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("cwgate").toString
+    val min = 60L * 1000000000L
+    def write(rows: Seq[(Long, Long, String)]): Unit =
+      spark.createDataFrame(rows.toDF("doc_id", "ts", "text").rdd, sch)
+        .coalesce(1).write.mode("append").parquet(dir)
+
+    // reference = a benchmark doc; its window set collected OFFLINE
+    val L = 20
+    val benchText = "the secret benchmark answer sequence nobody should train on ever"
+    val ref = Seq((0L, benchText)).toDF("doc_id", "text")
+    val refSet = spark.sparkContext.broadcast(
+      SpanDedup.collectWindowSet(ref, "text", L))
+
+    val clean = "a perfectly ordinary training document with fresh content here"
+    val quoting = "prefix words then " + benchText + " and a suffix"
+    val short = "tiny"
+    write(Seq((1L, 1 * min, clean), (2L, 2 * min, quoting), (3L, 3 * min, short)))
+    write(Seq((4L, 4 * min, clean + " second arrival")))
+
+    val q = DocStreams.substringContaminationGate(
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", "1").parquet(dir),
+        refSet, L, maxHitFrac = 0.2)
+      .writeStream.format("memory").queryName("cwgate")
+      .outputMode("append").start()
+    val streamed = try {
+      q.processAllAvailable()
+      spark.table("cwgate").select($"doc_id", $"ref_hits").as[(Long, Long)]
+        .collect().toMap
+    } finally q.stop()
+    val batch = DocStreams.substringContaminationGate(
+        spark.read.schema(sch).parquet(dir), refSet, L, maxHitFrac = 0.2)
+      .select($"doc_id", $"ref_hits").as[(Long, Long)].collect().toMap
+    assert(streamed === batch, "stateless gate must be plan-identical")
+    // quoting doc dropped; clean docs and the window-less doc pass
+    assert(streamed.keySet === Set(1L, 3L, 4L), s"kept=${streamed.keySet}")
+    assert(streamed(3L) === 0L) // no window -> zero evidence, kept
+    // batch stats twin agrees on the contaminated doc
+    val stats = SpanDedup.contaminationStats(
+        Seq((2L, quoting)).toDF("doc_id", "text"), "text", refSet, L)
+      .select($"hits", $"n_windows").as[(Long, Long)].head()
+    assert(stats._1 > 0 && stats._1 <= stats._2)
+    assert(stats._1.toDouble / stats._2 > 0.2)
+  }
 }
