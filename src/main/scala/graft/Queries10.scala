@@ -78,6 +78,11 @@ object Queries10 {
         length($"text_clean").cast("long").as("clean_len"),
         (length($"text") - length($"text_clean")).cast("long").as("removed"),
         md5($"text_clean".cast("binary")).as("clean_md5"))
+      // always-true predicate on a COMPUTED column: without it the
+      // bench's count() legitimately left-join-eliminates the entire
+      // strip (unique-keyed spans side, no columns consumed) and
+      // times an empty plan — the oracle carries the same WHERE
+      .where($"removed" >= 0)
       .orderBy($"doc_id")
 
   private val q118Sql =
@@ -127,6 +132,8 @@ object Queries10 {
        |FROM documents d
        |LEFT JOIN spanned sp ON sp.doc_id = d.doc_id
        |LEFT JOIN recon r ON r.doc_id = d.doc_id
+       |WHERE len(d.text) - CASE WHEN sp.doc_id IS NULL THEN len(d.text)
+       |                         ELSE COALESCE(len(r.ct), 0) END >= 0
        |ORDER BY d.doc_id""".stripMargin
 
   // --------------------------- q119: trigram Stupid Backoff score

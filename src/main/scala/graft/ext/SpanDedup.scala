@@ -91,7 +91,7 @@ object SpanDedup {
     */
   def collectWindowSet(ref: DataFrame, textCol: String, L: Int,
                        xx: Boolean = false,
-                       maxSize: Long = 50000000L): graft.fn.LongHashSet = {
+                       maxSize: Long = 10000000L): graft.fn.LongHashSet = {
     val rows = ref
       .select(explode(gb.column(
           graft.fn.CharWindowHashes(gb.expression(col(textCol)), L, xx)))
