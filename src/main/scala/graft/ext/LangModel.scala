@@ -184,13 +184,13 @@ object LangModel {
     val triRows = Await.result(fTri, Duration.Inf)
     val uniRows = Await.result(fUni, Duration.Inf)
     val biRows = Await.result(fBi, Duration.Inf)
-    if (triRows.length > maxBroadcast)
+    // ANY over-guard table routes to the join form — a pruned trigram
+    // table over an unpruned bigram table (standard count-threshold
+    // practice) is a legitimate input, not an inconsistency
+    if (triRows.length > maxBroadcast || uniRows.length > maxBroadcast ||
+        biRows.length > maxBroadcast)
       return scoreStupidBackoffJoined(docs, idCol, textCol,
         uniCounts, biCounts, triCounts)
-    require(uniRows.length <= maxBroadcast,
-      s"vocabulary exceeds maxBroadcast=$maxBroadcast with a broadcastable trigram table — inconsistent corpus")
-    require(biRows.length <= maxBroadcast,
-      s"bigram table exceeds maxBroadcast=$maxBroadcast with a broadcastable trigram table — inconsistent corpus")
     // straight rows → open-addressing maps (no intermediate Map, no
     // second hash pass): model prep is driver latency on every call,
     // and the trigram table is the big one. Shipped as TRUE broadcast

@@ -358,20 +358,8 @@ object GridIngest {
                      latVar: String = "lat", lonVar: String = "lon"): GridSpec = {
     def coords(v: String): Array[Double] =
       Zarr.readAll(Zarr.readArrayMeta(s"$path/$v"))
-    val times = coords(timeVar).map(math.round(_)).toSeq
-    val depths = coords(depthVar).toSeq
-    val lats = coords(latVar)
-    val lons = coords(lonVar)
-    def uniformStep(a: Array[Double], what: String): Double = {
-      if (a.length < 2) return 1.0
-      val step = a(1) - a(0)
-      a.sliding(2).foreach { w =>
-        require(math.abs((w(1) - w(0)) - step) < 1e-6, s"$what axis not uniform")
-      }
-      step
-    }
-    GridSpec(lats.head, uniformStep(lats, "lat"), lats.length,
-      lons.head, uniformStep(lons, "lon"), lons.length, depths, times)
+    SyntheticGrid.specFromAxes(coords(timeVar).map(math.round(_)).toSeq,
+      coords(depthVar).toSeq, coords(latVar), coords(lonVar))
   }
 
   /** Zarr-v2-store ingest — the cloud-native sibling of [[ingestNc4]]

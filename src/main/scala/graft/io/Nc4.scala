@@ -676,22 +676,12 @@ object Nc4 {
     */
   def gridSpecOf(f: Hdf5File,
                  timeVar: String = "time", depthVar: String = "depth",
-                 latVar: String = "lat", lonVar: String = "lon"): GridSpec = {
-    val times = readAll(f.path, f.dataset(timeVar)).map(math.round).toSeq
-    val depths = readAll(f.path, f.dataset(depthVar)).toSeq
-    val lats = readAll(f.path, f.dataset(latVar))
-    val lons = readAll(f.path, f.dataset(lonVar))
-    def uniformStep(a: Array[Double], what: String): Double = {
-      if (a.length < 2) return 1.0
-      val step = a(1) - a(0)
-      a.sliding(2).foreach { w =>
-        require(math.abs((w(1) - w(0)) - step) < 1e-6, s"$what axis not uniform")
-      }
-      step
-    }
-    GridSpec(lats.head, uniformStep(lats, "lat"), lats.length,
-      lons.head, uniformStep(lons, "lon"), lons.length, depths, times)
-  }
+                 latVar: String = "lat", lonVar: String = "lon"): GridSpec =
+    SyntheticGrid.specFromAxes(
+      readAll(f.path, f.dataset(timeVar)).map(math.round).toSeq,
+      readAll(f.path, f.dataset(depthVar)).toSeq,
+      readAll(f.path, f.dataset(latVar)),
+      readAll(f.path, f.dataset(lonVar)))
 
   // --------------------------------------------------------------- writer
 

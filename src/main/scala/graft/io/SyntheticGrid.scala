@@ -34,6 +34,25 @@ object SyntheticGrid {
       depths: Seq[Double] = DefaultDepths,
       times: Seq[Long] = DefaultTimes)
 
+  /** [[GridSpec]] from raw 1-D coordinate axes — the ONE place the
+    * uniform-step validation and axis conventions live (every grid
+    * container reader — netCDF-4, Zarr — derives its spec here, so a
+    * tolerance or convention change cannot silently diverge readers).
+    */
+  def specFromAxes(times: Seq[Long], depths: Seq[Double],
+                   lats: Array[Double], lons: Array[Double]): GridSpec = {
+    def uniformStep(a: Array[Double], what: String): Double = {
+      if (a.length < 2) return 1.0
+      val step = a(1) - a(0)
+      a.sliding(2).foreach { w =>
+        require(math.abs((w(1) - w(0)) - step) < 1e-6, s"$what axis not uniform")
+      }
+      step
+    }
+    GridSpec(lats.head, uniformStep(lats, "lat"), lats.length,
+      lons.head, uniformStep(lons, "lon"), lons.length, depths, times)
+  }
+
   /** GLBu0.08-like axes over the al092016 bbox (lat 10-40, lon 270-345
     * in [0,360)), at a configurable step (0.08° = real resolution;
     * coarser for fast smoke runs).

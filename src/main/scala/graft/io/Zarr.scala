@@ -133,6 +133,9 @@ object Zarr {
           var off = 0
           while (off < out.length && !inf.finished()) {
             val n = inf.inflate(out, off, out.length - off)
+            // inflate()=0 has THREE causes; all must terminate the loop
+            require(!inf.needsDictionary(),
+              s"${meta.dir}: preset-dictionary zlib chunk not supported")
             require(n > 0 || !inf.needsInput(),
               s"${meta.dir}: truncated zlib chunk")
             off += n
@@ -175,8 +178,11 @@ object Zarr {
       while (d >= 0) { flat = flat * meta.chunks(d) + inChunk(d); d -= 1 }
     }
     val at = (flat * meta.dtype.size).toInt
-    val bo = if (meta.dtype.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
-    val b = buf.duplicate().order(bo)
+    // order() mutates a field on the caller's buffer — zero-alloc; the
+    // buffer is task-private, and this is the per-cell hot loop
+    // (duplicate() here cost one ByteBuffer allocation PER CELL)
+    val b = buf.order(
+      if (meta.dtype.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
     (meta.dtype.kind, meta.dtype.size) match {
       case ('f', 4) => b.getFloat(at).toDouble
       case ('f', 8) => b.getDouble(at)
