@@ -201,6 +201,32 @@ class ZarrSpec extends SparkSpec {
       Zarr.decodeChunk(meta2, new Array[Byte](7)))
   }
 
+  test("randomized round-trip: random shape/chunks/dtype/order/codec all read back exactly") {
+    val rnd = new scala.util.Random(42)
+    val dtypes = Seq("<f8", ">f8", "<f4", ">f4", "<i2", ">i4", "|u1")
+    (1 to 25).foreach { trial =>
+      val rank = 1 + rnd.nextInt(3)
+      val shape = Seq.fill(rank)(1 + rnd.nextInt(6))
+      val chunks = shape.map(s => 1 + rnd.nextInt(s + 2)) // may exceed shape
+      val dtype = dtypes(rnd.nextInt(dtypes.length))
+      val order = if (rnd.nextBoolean()) "C" else "F"
+      val codec = if (rnd.nextBoolean()) "zlib" else "null"
+      // values exactly representable in EVERY dtype above (incl. u1)
+      def v(g: Seq[Int]): Double =
+        g.zipWithIndex.map { case (x, d) => x * math.pow(6, d) }.sum % 120
+      val dir = Files.createTempDirectory(s"zarr-prop-$trial").toString
+      writeArray(dir, shape, chunks, dtype, order, codec, None, v)
+      val got = Zarr.readAll(Zarr.readArrayMeta(dir))
+      // expected in row-major global order
+      val idxs = shape.foldLeft(Seq(Seq.empty[Int])) { (acc, s) =>
+        for (p <- acc; i <- 0 until s) yield p :+ i
+      }
+      val want = idxs.map(v)
+      assert(got.toSeq === want,
+        s"trial $trial shape=$shape chunks=$chunks dtype=$dtype order=$order codec=$codec")
+    }
+  }
+
   test("ingestToParquet sniffs a Zarr store and round-trips through parquet") {
     val store = tmpStore("sniff")
     writeCoord(store, "time", Seq(5.0))
