@@ -348,6 +348,43 @@ object Queries10 {
        |), UNNEST(range(1, len(ms) + 1)) AS t(rk)
        |ORDER BY rank""".stripMargin
 
+  // --------------------- q122: deterministic weighted sampling (A-ES)
+  /** Per-source weighted sample (k = 10, weight = n_chars —
+    * length-proportional selection, the quality-weighted mixing
+    * primitive) via [[graft.ext.Sketches.weightedBottomK]]. The
+    * oracle recomputes the exact Efraimidis–Spirakis key
+    * (−ln((h+0.5)/2⁶⁰)/w from the same md5 hash) and the same
+    * rank — membership AND order compared.
+    */
+  private val WsK = 10
+
+  private def q122(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Sketches.weightedBottomK(t(s, dir, "documents"),
+        Seq("source"), $"doc_id".cast("string"), $"n_chars", WsK)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum($"n_chars").as("sampled_chars"),
+        min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
+      .orderBy($"source")
+
+  private val q122Sql =
+    s"""WITH keyed AS (
+       |  SELECT source, doc_id, n_chars,
+       |    -LN((CAST(CAST(CONCAT('0x', SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE) + 0.5)
+       |        / POWER(2.0, 60)) / CAST(n_chars AS DOUBLE) AS k
+       |  FROM documents WHERE n_chars > 0
+       |), ranked AS (
+       |  SELECT source, doc_id, n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY k, CAST(doc_id AS VARCHAR)) AS rn
+       |  FROM keyed
+       |)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       |  SUM(n_chars) AS sampled_chars,
+       |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+       |FROM ranked WHERE rn <= $WsK
+       |GROUP BY source ORDER BY source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q117_dup_spans" -> (q117 _),
     "q117x_dup_spans_xx" -> (q117x _),
@@ -355,7 +392,8 @@ object Queries10 {
     "q119_stupid_backoff" -> (q119 _),
     "q120_sample_quantiles" -> ((s: SparkSession, dir: String) => q120(s, dir, xx = false)),
     "q120x_sample_quantiles_xx" -> ((s: SparkSession, dir: String) => q120(s, dir, xx = true)),
-    "q121_bpe_train" -> (q121 _))
+    "q121_bpe_train" -> (q121 _),
+    "q122_weighted_sample" -> (q122 _))
 
   val oracles: Map[String, String] = Map(
     "q117_dup_spans" -> q117Sql,
@@ -364,7 +402,8 @@ object Queries10 {
     "q119_stupid_backoff" -> q119Sql,
     // q120x: xxhash64 production twin — rows-only (no DuckDB xxhash64)
     "q120_sample_quantiles" -> q120Sql,
-    "q121_bpe_train" -> q121Sql)
+    "q121_bpe_train" -> q121Sql,
+    "q122_weighted_sample" -> q122Sql)
 
   // $"..." interpolator without a SparkSession-bound implicits import
   private implicit class Dollar(val sc: StringContext) {

@@ -111,6 +111,34 @@ object Sketches {
     */
   val OrderHashSpan: Double = math.pow(2.0, 60)
 
+  /** Deterministic WEIGHTED sample without replacement (Efraimidis &
+    * Spirakis 2006, "Weighted random sampling with a reservoir"): each
+    * row ranks by key = −ln(u)/w with u = (orderHash(rowKey)+0.5)/2⁶⁰
+    * — u deterministic-uniform, so the k smallest keys per group are
+    * an exact A-ES weighted sample, stable under reruns, partitioning,
+    * and engine changes (the same md5 + ln arithmetic replays in SQL —
+    * the ln-parity the q102/q109/q119 hash matches already pin).
+    * Rows with weight ≤ 0 are excluded (zero-weight rows have no
+    * selection probability; a negative weight is a caller bug).
+    * The quality-weighted data-mixing primitive: sampling ∝ quality
+    * score / length / any per-row importance, with none of
+    * `rand()`'s retry instability.
+    */
+  def weightedBottomK(df: DataFrame, groupCols: Seq[String],
+                      rowKey: Column, weight: Column, k: Int,
+                      xx: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val span = if (xx) OrderHashXxSpan else OrderHashSpan
+    val h = if (xx) orderHashXx(rowKey) else orderHash(rowKey)
+    val u = (h.cast("double") + 0.5) / lit(span)
+    val key = -log(u) / weight.cast("double")
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(key, rowKey)
+    df.filter(weight > 0)
+      .withColumn("__wrn", row_number().over(w))
+      .where(col("__wrn") <= k)
+      .drop("__wrn")
+  }
+
   /** The [[orderHashXx]] span: 63 masked bits. */
   val OrderHashXxSpan: Double = math.pow(2.0, 63)
 

@@ -459,4 +459,33 @@ class SketchSpec extends SparkSpec {
       assert(math.abs(e - q * n) <= tol, s"xx q=$q est=$e tol=$tol")
     }
   }
+
+  test("weightedBottomK: A-ES selection laws — weight dominance, determinism, w<=0 excluded") {
+    import graft.ext.Sketches
+    val rows = (1L to 500L).map(i => (i, "g", if (i == 7L) 1e9 else 1.0)) ++
+      Seq((9001L, "g", 0.0), (9002L, "g", -3.0))
+    val df = rows.toDF("id", "grp", "w")
+    val picked = Sketches.weightedBottomK(df, Seq("grp"),
+        $"id".cast("string"), $"w", 20)
+      .select($"id").as[Long].collect().toSet
+    // a weight 1e9x everyone else's is sampled essentially surely
+    // (P(miss) < 1e-7 under A-ES) and non-positive weights never are
+    assert(picked.contains(7L))
+    assert(picked.size === 20)
+    assert(!picked.contains(9001L) && !picked.contains(9002L))
+    // pure function of the multiset: any partitioning, same sample
+    val p37 = Sketches.weightedBottomK(df.repartition(37), Seq("grp"),
+        $"id".cast("string"), $"w", 20)
+      .select($"id").as[Long].collect().toSet
+    assert(p37 === picked)
+    // frequency law: uniform weights give every id equal chance; with
+    // weight 3 vs 1 planted on disjoint halves, the heavy half should
+    // dominate the sample (seeded single draw, wide margin)
+    val halves = (1L to 2000L).map(i => (i, "h", if (i <= 1000L) 3.0 else 1.0))
+    val hs = Sketches.weightedBottomK(halves.toDF("id", "grp", "w"),
+        Seq("grp"), $"id".cast("string"), $"w", 100)
+      .select($"id").as[Long].collect()
+    val heavy = hs.count(_ <= 1000L)
+    assert(heavy > 55, s"heavy-half picks=$heavy of 100") // E≈75, P(<=55)≈1e-5
+  }
 }
