@@ -385,6 +385,83 @@ object Queries10 {
        |FROM ranked WHERE rn <= $WsK
        |GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------- q123: importance resampling (DSIR composition)
+  /** Data Selection via Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169) composed from the library's own operators:
+    * per-doc importance weight w = exp(avg_nll_raw − avg_nll_target)
+    * under two add-1 unigram LMs ([[graft.ext.LangModel.scoreNll]] —
+    * target = the doc_id < 50 "domain" slice, raw = the full corpus),
+    * then a deterministic A-ES weighted sample of k per source
+    * ([[graft.ext.Sketches.weightedBottomK]]). The oracle recomputes
+    * BOTH language models, both per-doc scores, the exact weight and
+    * sampling key, and the final ranks — the q100/q108 composition
+    * claim extended to the importance-sampling family.
+    */
+  private val DsirK = 15
+
+  private def q123(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.{LangModel, Sketches}
+    val docs = Tables.docsPar(s, dir)
+    val target = docs.filter($"doc_id" < 50)
+    val raw = LangModel.scoreNll(docs, "doc_id", "text",
+        LangModel.unigramCounts(docs, "text"))
+      .select($"doc_id", $"avg_nll".as("__raw"))
+    val tgt = LangModel.scoreNll(docs, "doc_id", "text",
+        LangModel.unigramCounts(target, "text"))
+      .select($"doc_id", $"avg_nll".as("__tgt"))
+    val weighted = t(s, dir, "documents")
+      .join(raw, Seq("doc_id"))
+      .join(tgt, Seq("doc_id"))
+      .withColumn("__w", exp($"__raw" - $"__tgt"))
+    Sketches.weightedBottomK(weighted, Seq("source"),
+        $"doc_id".cast("string"), $"__w", DsirK)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum($"n_chars").as("sampled_chars"),
+        min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
+      .orderBy($"source")
+  }
+
+  private val q123Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, tok FROM (
+       |    SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+       |  WHERE tok <> ''
+       |), rc AS (
+       |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok
+       |), rt AS (
+       |  SELECT CAST(SUM(cnt) AS DOUBLE) AS t, CAST(COUNT(*) AS DOUBLE) AS v FROM rc
+       |), tc AS (
+       |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks
+       |  WHERE doc_id < 50 GROUP BY tok
+       |), tt AS (
+       |  SELECT CAST(SUM(cnt) AS DOUBLE) AS t, CAST(COUNT(*) AS DOUBLE) AS v FROM tc
+       |), scored AS (
+       |  SELECT toks.doc_id,
+       |    SUM(-LN((rc.cnt + 1.0) / (rt.t + rt.v))) / COUNT(*) AS raw_nll,
+       |    SUM(-LN((COALESCE(tc.cnt, 0) + 1.0) / (tt.t + tt.v))) / COUNT(*) AS tgt_nll
+       |  FROM toks
+       |  JOIN rc USING (tok)
+       |  LEFT JOIN tc USING (tok)
+       |  CROSS JOIN rt CROSS JOIN tt
+       |  GROUP BY toks.doc_id
+       |), keyed AS (
+       |  SELECT d.source, d.doc_id, d.n_chars,
+       |    -LN((CAST(CAST(CONCAT('0x', SUBSTR(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE) + 0.5)
+       |        / POWER(2.0, 60)) / EXP(s.raw_nll - s.tgt_nll) AS k
+       |  FROM documents d JOIN scored s ON s.doc_id = d.doc_id
+       |), ranked AS (
+       |  SELECT source, doc_id, n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY k, CAST(doc_id AS VARCHAR)) AS rn
+       |  FROM keyed
+       |)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       |  SUM(n_chars) AS sampled_chars,
+       |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+       |FROM ranked WHERE rn <= $DsirK
+       |GROUP BY source ORDER BY source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q117_dup_spans" -> (q117 _),
     "q117x_dup_spans_xx" -> (q117x _),
@@ -393,7 +470,8 @@ object Queries10 {
     "q120_sample_quantiles" -> ((s: SparkSession, dir: String) => q120(s, dir, xx = false)),
     "q120x_sample_quantiles_xx" -> ((s: SparkSession, dir: String) => q120(s, dir, xx = true)),
     "q121_bpe_train" -> (q121 _),
-    "q122_weighted_sample" -> (q122 _))
+    "q122_weighted_sample" -> (q122 _),
+    "q123_dsir_resample" -> (q123 _))
 
   val oracles: Map[String, String] = Map(
     "q117_dup_spans" -> q117Sql,
@@ -403,7 +481,8 @@ object Queries10 {
     // q120x: xxhash64 production twin — rows-only (no DuckDB xxhash64)
     "q120_sample_quantiles" -> q120Sql,
     "q121_bpe_train" -> q121Sql,
-    "q122_weighted_sample" -> q122Sql)
+    "q122_weighted_sample" -> q122Sql,
+    "q123_dsir_resample" -> q123Sql)
 
   // $"..." interpolator without a SparkSession-bound implicits import
   private implicit class Dollar(val sc: StringContext) {
