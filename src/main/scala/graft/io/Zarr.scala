@@ -232,6 +232,122 @@ object Zarr {
     out
   }
 
+  /** Write a 1-D `<f8` raw coordinate array (driver-side, tiny). */
+  private def writeCoordArray(dir: String, vals: Array[Double]): Unit = {
+    val p = Paths.get(dir)
+    Files.createDirectories(p)
+    Files.writeString(p.resolve(".zarray"),
+      s"""{"zarr_format": 2, "shape": [${vals.length}],
+         | "chunks": [${vals.length}], "dtype": "<f8",
+         | "compressor": null, "fill_value": null,
+         | "order": "C", "filters": null}""".stripMargin)
+    val buf = ByteBuffer.allocate(vals.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+    vals.foreach(buf.putDouble)
+    Files.write(p.resolve("0"), buf.array())
+  }
+
+  private def writeDataArrayMeta(dir: String, shape: Seq[Int],
+                                 chunks: Seq[Int], fill: Double): Unit = {
+    val p = Paths.get(dir)
+    Files.createDirectories(p)
+    Files.writeString(p.resolve(".zarray"),
+      s"""{"zarr_format": 2, "shape": [${shape.mkString(", ")}],
+         | "chunks": [${chunks.mkString(", ")}], "dtype": "<f8",
+         | "compressor": {"id": "zlib", "level": 1}, "fill_value": $fill,
+         | "order": "C", "filters": null}""".stripMargin)
+  }
+
+  /** The SINK half: long-format grid frame → a Zarr v2 store readable
+    * by [[GridIngest.ingestZarr]] (and any Zarr library) — the
+    * publish-back path for grids the engine produced or repartitioned.
+    * Null cells write the fill value (`GridIngest.Fill`, the engine's
+    * sentinel convention, declared as the store's `fill_value` so any
+    * reader maps them back to missing).
+    *
+    * Distribution mirrors the read side in reverse: rows hash-
+    * partition BY CHUNK and sort within partitions, so each task
+    * streams its chunks one buffer at a time (bounded memory =
+    * one chunk), deflates, and writes its own chunk files — no
+    * driver data path except the four tiny coordinate arrays.
+    * Absent cells of a chunk stay fill (the dense buffer is
+    * fill-initialized), so sparse/filtered grids write correctly.
+    */
+  def writeStore(grid: org.apache.spark.sql.DataFrame,
+                 spec: graft.io.SyntheticGrid.GridSpec, path: String,
+                 chunkT: Int = 1, chunkD: Int = 8,
+                 chunkY: Int = 64, chunkX: Int = 64): Unit = {
+    import org.apache.spark.sql.functions._
+    val fill = GridIngest.Fill
+    Files.createDirectories(Paths.get(path))
+    Files.writeString(Paths.get(path, ".zgroup"), """{"zarr_format": 2}""")
+    writeCoordArray(s"$path/time", spec.times.map(_.toDouble).toArray)
+    writeCoordArray(s"$path/depth", spec.depths.toArray)
+    writeCoordArray(s"$path/lat",
+      (0 until spec.nLat).map(spec.latMin + _ * spec.latStep).toArray)
+    writeCoordArray(s"$path/lon",
+      (0 until spec.nLon).map(spec.lonMin + _ * spec.lonStep).toArray)
+    val shape = Seq(spec.times.size, spec.depths.size, spec.nLat, spec.nLon)
+    val chunks = Seq(chunkT, chunkD, chunkY, chunkX)
+      .zip(shape).map { case (c, s) => math.min(c, s) }
+    Seq("water_temp", "salinity").foreach(v =>
+      writeDataArrayMeta(s"$path/$v", shape, chunks, fill))
+    val timeIdx = spec.times.zipWithIndex.toMap
+    val Seq(ct, cd, cy, cx) = chunks
+    val nCells = ct * cd * cy * cx
+    val tIdxUdf = udf((t: Long) => timeIdx(t))
+    val rows = grid
+      .select(tIdxUdf(col("time")).cast("int").as("__t"),
+        col("depth_idx").cast("int").as("__d"),
+        col("lat_idx").cast("int").as("__y"),
+        col("lon_idx").cast("int").as("__x"),
+        col("water_temp").cast("double").as("__wt"),
+        col("salinity").cast("double").as("__sa"))
+      .withColumn("__ck", concat_ws(".",
+        (col("__t") / ct).cast("int"), (col("__d") / cd).cast("int"),
+        (col("__y") / cy).cast("int"), (col("__x") / cx).cast("int")))
+      .repartition(col("__ck"))
+      .sortWithinPartitions(col("__ck"))
+    rows.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      var curKey: String = null
+      var wtBuf: Array[Double] = null
+      var saBuf: Array[Double] = null
+      def flush(): Unit = if (curKey != null) {
+        def writeChunk(v: String, cells: Array[Double]): Unit = {
+          val bb = ByteBuffer.allocate(cells.length * 8)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          cells.foreach(bb.putDouble)
+          val defl = new java.util.zip.Deflater(1)
+          defl.setInput(bb.array()); defl.finish()
+          val out = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](1 << 16)
+          while (!defl.finished()) out.write(tmp, 0, defl.deflate(tmp))
+          defl.end()
+          Files.write(Paths.get(s"$path/$v/$curKey"), out.toByteArray)
+        }
+        writeChunk("water_temp", wtBuf)
+        writeChunk("salinity", saBuf)
+      }
+      while (it.hasNext) {
+        val r = it.next()
+        val key = r.getString(6)
+        if (key != curKey) {
+          flush()
+          curKey = key
+          wtBuf = Array.fill(nCells)(fill)
+          saBuf = Array.fill(nCells)(fill)
+        }
+        val inT = r.getInt(0) % ct
+        val inD = r.getInt(1) % cd
+        val inY = r.getInt(2) % cy
+        val inX = r.getInt(3) % cx
+        val cell = ((inT * cd + inD) * cy + inY) * cx + inX
+        wtBuf(cell) = if (r.isNullAt(4)) fill else r.getDouble(4)
+        saBuf(cell) = if (r.isNullAt(5)) fill else r.getDouble(5)
+      }
+      flush()
+    }
+  }
+
   /** True when `dir` looks like a Zarr v2 array or group root. */
   def isZarr(path: String): Boolean = {
     val p = Paths.get(path)

@@ -227,6 +227,38 @@ class ZarrSpec extends SparkSpec {
     }
   }
 
+  test("writeStore sink: synthetic grid round-trips through a real store, nulls preserved") {
+    import graft.io.SyntheticGrid
+    val spec = SyntheticGrid.GridSpec(
+      latMin = 10.0, latStep = 0.5, nLat = 7,
+      lonMin = 270.0, lonStep = 0.5, nLon = 9,
+      depths = Seq(0.0, 10.0, 20.0), times = Seq(100L, 106L))
+    // sentinels cleaned FIRST: the store's fill_value IS the missing
+    // marker, so raw -30000 sentinels would round-trip to null anyway —
+    // the test input must already be in the engine's null convention
+    val grid = SyntheticGrid.cleanSentinels(SyntheticGrid.generate(spark, spec))
+      .withColumn("water_temp",
+        when($"lat_idx" === 2 && $"lon_idx" === 3, lit(null)
+          .cast("double")).otherwise($"water_temp"))
+    val store = Files.createTempDirectory("zarr-sink").toString + "/store"
+    // chunk sizes chosen to force PARTIAL edge chunks on every axis
+    graft.io.Zarr.writeStore(grid, spec, store,
+      chunkT = 1, chunkD = 2, chunkY = 4, chunkX = 5)
+    val back = GridIngest.ingestZarr(spark, store)
+    val cols = Seq("time", "depth_idx", "lat_idx", "lon_idx")
+    val a = grid.select("time", "depth_idx", "depth", "lat_idx", "lat",
+      "lon_idx", "lon", "water_temp", "salinity")
+    assert(back.count() === a.count())
+    // exact frame equality both directions (doubles written <f8 raw)
+    assert(a.exceptAll(back).isEmpty && back.exceptAll(a).isEmpty)
+    // the planted nulls specifically
+    assert(back.filter($"lat_idx" === 2 && $"lon_idx" === 3 &&
+      $"water_temp".isNotNull).isEmpty)
+    // and an external sanity: the store parses as spec-valid metadata
+    val meta = Zarr.readArrayMeta(s"$store/water_temp")
+    assert(meta.shape === Seq(2L, 3L, 7L, 9L) && meta.chunks === Seq(1, 2, 4, 5))
+  }
+
   test("ingestToParquet sniffs a Zarr store and round-trips through parquet") {
     val store = tmpStore("sniff")
     writeCoord(store, "time", Seq(5.0))
