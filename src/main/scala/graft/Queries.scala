@@ -617,8 +617,8 @@ object Queries {
 
   private val q43Sql =
     """SELECT
-      |  ROUND(COVAR_POP(x, y) / VAR_POP(x), 6) AS slope,
-      |  ROUND(AVG(y) - (COVAR_POP(x, y) / VAR_POP(x)) * AVG(x), 2) AS intercept,
+      |  ROUND(COVAR_POP(x, y) / VAR_POP(x), 6) + 0 AS slope,
+      |  ROUND(AVG(y) - (COVAR_POP(x, y) / VAR_POP(x)) * AVG(x), 2) + 0 AS intercept,
       |  COUNT(*) AS n
       |FROM (SELECT EPOCH(o_orderdate) / 86400.0 AS x, o_totalprice AS y FROM orders)""".stripMargin
 

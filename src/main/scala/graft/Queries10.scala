@@ -380,7 +380,7 @@ object Queries10 {
        |  FROM keyed
        |)
        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sampled,
-       |  SUM(n_chars) AS sampled_chars,
+       |  CAST(SUM(n_chars) AS BIGINT) AS sampled_chars,
        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
        |FROM ranked WHERE rn <= $WsK
        |GROUP BY source ORDER BY source""".stripMargin
@@ -457,7 +457,7 @@ object Queries10 {
        |  FROM keyed
        |)
        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sampled,
-       |  SUM(n_chars) AS sampled_chars,
+       |  CAST(SUM(n_chars) AS BIGINT) AS sampled_chars,
        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
        |FROM ranked WHERE rn <= $DsirK
        |GROUP BY source ORDER BY source""".stripMargin

@@ -417,7 +417,7 @@ object Queries2 {
       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk
       |  FROM scored
       |)
-      |SELECT q_id, rk, vec_id, ROUND(cos, 6) AS cos_sim
+      |SELECT q_id, rk, vec_id, ROUND(cos, 6) + 0 AS cos_sim
       |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
 
   /** Embedding stats: exact norms are not cross-engine stable under

@@ -209,7 +209,7 @@ object Queries3 {
        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk
        |  FROM scored
        |)
-       |SELECT q_id, rk, vec_id, ROUND(cos, 6) AS cos_sim
+       |SELECT q_id, rk, vec_id, ROUND(cos, 6) + 0 AS cos_sim
        |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
   }
 

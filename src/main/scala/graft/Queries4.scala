@@ -120,7 +120,7 @@ object Queries4 {
        |  JOIN e ea ON ea.vec_id = cand.a_id
        |  JOIN e eb ON eb.vec_id = cand.b_id
        |)
-       |SELECT a_id, b_id, ROUND(cos, 6) AS cos_sim
+       |SELECT a_id, b_id, ROUND(cos, 6) + 0 AS cos_sim
        |FROM scored WHERE cos >= $SimThreshold
        |ORDER BY a_id, b_id""".stripMargin
   }
@@ -164,8 +164,8 @@ object Queries4 {
     """SELECT l_linestatus,
       |  ROUND(VAR_POP(l_quantity), 4) AS var_qty,
       |  ROUND(STDDEV_POP(l_extendedprice), 2) AS sd_price,
-      |  ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qp,
-      |  ROUND(COVAR_POP(l_quantity, l_discount), 6) AS cov_qd
+      |  ROUND(CORR(l_quantity, l_extendedprice), 6) + 0 AS corr_qp,
+      |  ROUND(COVAR_POP(l_quantity, l_discount), 6) + 0 AS cov_qd
       |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
   /** Levenshtein edit distance between adjacent docs' 40-char
@@ -332,9 +332,9 @@ object Queries4 {
       |  FROM m
       |)
       |SELECT l_returnflag,
-      |  ROUND((t0*(s2*s4 - s3*s3) - s1*(t1*s4 - s3*t2) + s2*(t1*s3 - s2*t2)) / det, 6) AS c0,
-      |  ROUND((s0*(t1*s4 - s3*t2) - t0*(s1*s4 - s3*s2) + s2*(s1*t2 - t1*s2)) / det, 6) AS c1,
-      |  ROUND((s0*(s2*t2 - t1*s3) - s1*(s1*t2 - t1*s2) + t0*(s1*s3 - s2*s2)) / det, 6) AS c2
+      |  ROUND((t0*(s2*s4 - s3*s3) - s1*(t1*s4 - s3*t2) + s2*(t1*s3 - s2*t2)) / det, 6) + 0 AS c0,
+      |  ROUND((s0*(t1*s4 - s3*t2) - t0*(s1*s4 - s3*s2) + s2*(s1*t2 - t1*s2)) / det, 6) + 0 AS c1,
+      |  ROUND((s0*(s2*t2 - t1*s3) - s1*(s1*t2 - t1*s2) + t0*(s1*s3 - s2*s2)) / det, 6) + 0 AS c2
       |FROM d ORDER BY l_returnflag""".stripMargin
 
   // ------------------------------------------------------- registry

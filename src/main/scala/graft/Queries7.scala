@@ -220,7 +220,7 @@ object Queries7 {
       |  ROUND(LIST_DOT_PRODUCT(v, LIST_TRANSFORM(q, x -> x * scale)) /
       |    (SQRT(LIST_DOT_PRODUCT(v, v)) *
       |     SQRT(LIST_DOT_PRODUCT(LIST_TRANSFORM(q, x -> x * scale),
-      |                           LIST_TRANSFORM(q, x -> x * scale)))), 6)
+      |                           LIST_TRANSFORM(q, x -> x * scale)))), 6) + 0
       |  END AS cos_recon
       |FROM quant ORDER BY vec_id""".stripMargin
 
@@ -332,7 +332,7 @@ object Queries7 {
       |  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs
       |  FROM embeddings GROUP BY 1
       |)
-      |SELECT label, n_vecs, pos, ROUND(mv, 6) AS component
+      |SELECT label, n_vecs, pos, ROUND(mv, 6) + 0 AS component
       |FROM m JOIN cnt USING (label)
       |ORDER BY label, pos""".stripMargin
 

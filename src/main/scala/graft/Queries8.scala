@@ -141,7 +141,7 @@ object Queries8 {
        |  JOIN e eb ON eb.vec_id = b.vec_id
        |  WHERE LIST_DOT_PRODUCT(ea.v, ea.v) > 0 AND LIST_DOT_PRODUCT(eb.v, eb.v) > 0
        |)
-       |SELECT cluster, a_id, b_id, ROUND(cos, 6) AS cos
+       |SELECT cluster, a_id, b_id, ROUND(cos, 6) + 0 AS cos
        |FROM pairs WHERE cos >= $SemTau
        |ORDER BY cluster, a_id, b_id""".stripMargin
 
@@ -521,7 +521,7 @@ object Queries8 {
        |  JOIN quant qt ON qt.vec_id = a.vec_id
        |  JOIN e qe ON qe.vec_id = qp.q_id
        |)
-       |SELECT q_id, rk, vec_id, ROUND(cos_sim, 6) AS cos_sim FROM (
+       |SELECT q_id, rk, vec_id, ROUND(cos_sim, 6) + 0 AS cos_sim FROM (
        |  SELECT q_id, vec_id, cos_sim,
        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rk
        |  FROM scored)

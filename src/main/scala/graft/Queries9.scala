@@ -40,7 +40,10 @@ object Queries9 {
     val rows = for {
       i <- cov.indices
       j <- i until cov.length
-    } yield (i, j, BigDecimal(cov(i)(j)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      // + 0.0 canonicalizes IEEE signed zero: a cell that rounds to
+      // -0.0 here vs +0.0 in the oracle compares == but hash-differs.
+      r = BigDecimal(cov(i)(j)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    } yield (i, j, r + 0.0)
     import s.implicits.{localSeqToDatasetHolder, newProductEncoder}
     rows.toDF("i", "j", "cov").orderBy(col("i"), col("j"))
   }
@@ -56,7 +59,7 @@ object Queries9 {
       |  GROUP BY a.i, b.i
       |)
       |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
-      |  ROUND(cov, 6) AS cov
+      |  ROUND(cov, 6) + 0 AS cov
       |FROM stats ORDER BY i, j""".stripMargin
 
   // ---------------------------- q114: deterministic hash split

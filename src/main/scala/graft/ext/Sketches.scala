@@ -142,17 +142,6 @@ object Sketches {
   /** The [[orderHashXx]] span: 63 masked bits. */
   val OrderHashXxSpan: Double = math.pow(2.0, 63)
 
-  /** Per-group approximate COUNT DISTINCT via the native bounded KMV
-    * aggregate ([[graft.fn.KmvDistinct]]): state = the k smallest
-    * distinct [[orderHash]] values per group (O(k) no matter the
-    * cardinality), estimate = (k−1)·2⁶⁰/h_k, EXACT below k distinct
-    * keys. One shuffle with map-side partial merge — the
-    * bounded-state, CROSS-ENGINE-REPRODUCIBLE alternative to both
-    * `count_distinct` (unbounded state) and `approx_count_distinct`
-    * (engine-private HLL sketch): a DuckDB oracle recomputes the
-    * identical estimate from the same md5 hash and formula. Relative
-    * standard error ≈ 1/√(k−2) (Bar-Yossef et al. 2002).
-    */
   /** Per-group quantile estimates from a DETERMINISTIC bottom-k row
     * sample ([[graft.fn.SampleQuantiles]]): state = the k (hash,
     * value) pairs with smallest [[orderHash]] of a UNIQUE row key —
@@ -172,6 +161,17 @@ object Sketches {
       gb.expression(if (xx) orderHashXx(rowKey) else orderHash(rowKey)),
       gb.expression(value.cast("double")), k, qs))
 
+  /** Per-group approximate COUNT DISTINCT via the native bounded KMV
+    * aggregate ([[graft.fn.KmvDistinct]]): state = the k smallest
+    * distinct [[orderHash]] values per group (O(k) no matter the
+    * cardinality), estimate = (k−1)·2⁶⁰/h_k, EXACT below k distinct
+    * keys. One shuffle with map-side partial merge — the
+    * bounded-state, CROSS-ENGINE-REPRODUCIBLE alternative to both
+    * `count_distinct` (unbounded state) and `approx_count_distinct`
+    * (engine-private HLL sketch): a DuckDB oracle recomputes the
+    * identical estimate from the same md5 hash and formula. Relative
+    * standard error ≈ 1/√(k−2) (Bar-Yossef et al. 2002).
+    */
   def kmvDistinct(key: Column, k: Int, xx: Boolean = false): Column =
     if (xx)
       gb.column(graft.fn.KmvDistinct(gb.expression(orderHashXx(key)), k,

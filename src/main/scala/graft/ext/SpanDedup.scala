@@ -97,7 +97,9 @@ object SpanDedup {
           graft.fn.CharWindowHashes(gb.expression(col(textCol)), L, xx)))
         .as("h"))
       .distinct()
-      .limit((maxSize + 1).toInt)
+      // clamp before toInt: maxSize >= Int.MaxValue would overflow the
+      // limit to a negative value and fail confusingly at runtime
+      .limit(math.min(maxSize + 1, Int.MaxValue.toLong).toInt)
       .collect()
     require(rows.length <= maxSize,
       s"reference window set exceeds maxSize=$maxSize; use the join form")

@@ -121,7 +121,6 @@ object TokenCountMap {
 
     /** Insert the space-joined UTF-8 key of `parts` (pre-encoded). */
     def put(parts: Array[Array[Byte]], v: Long): Unit = {
-      require(n < sizeHint, s"builder sized for $sizeHint entries")
       var klen = parts.length - 1
       var i = 0
       while (i < parts.length) { klen += parts(i).length; i += 1 }
@@ -138,7 +137,12 @@ object TokenCountMap {
       var slot = ((h ^ (h >>> 32)).toInt) & mask
       while (keys(slot) != null && !(hashes(slot) == h &&
         java.util.Arrays.equals(keys(slot), kb))) slot = (slot + 1) & mask
-      if (keys(slot) == null) n += 1
+      if (keys(slot) == null) {
+        // size check only on a NEW slot — updating an existing key in
+        // a builder filled to its hint needs no capacity
+        require(n < sizeHint, s"builder sized for $sizeHint entries")
+        n += 1
+      }
       hashes(slot) = h; keys(slot) = kb; vals(slot) = v
     }
 
@@ -372,10 +376,16 @@ object StupidBackoffScore {
         val sc =
           if (p1s < 0) s1
           else if (p2s < 0) {
-            if (bc > 0L) bc.toDouble / ucPrev.toDouble else 0.4 * s1
+            // bc>0 with ucPrev<=0 means mutually inconsistent count
+            // tables (bigram seen, its context unigram pruned) — fall
+            // through to the backoff branch instead of dividing by the
+            // -1 sentinel and silently emitting a NaN score
+            if (bc > 0L && ucPrev > 0L) bc.toDouble / ucPrev.toDouble
+            else 0.4 * s1
           } else {
-            if (tc > 0L) tc.toDouble / bcPrev.toDouble
-            else 0.4 * (if (bc > 0L) bc.toDouble / ucPrev.toDouble
+            if (tc > 0L && bcPrev > 0L) tc.toDouble / bcPrev.toDouble
+            else 0.4 * (if (bc > 0L && ucPrev > 0L)
+                          bc.toDouble / ucPrev.toDouble
                         else 0.4 * s1)
           }
         nll -= math.log(sc)

@@ -142,6 +142,10 @@ object Zarr {
           }
           require(off == out.length,
             s"${meta.dir}: zlib chunk inflated to $off bytes, expected $want")
+          // surplus guard: a chunk that decompresses to MORE than the
+          // cell grid is corrupt/mismatched, same as a short one
+          require(inf.finished(),
+            s"${meta.dir}: zlib chunk has surplus data past $want bytes")
           out
         } finally inf.end()
       case GzipCodec =>
@@ -157,6 +161,8 @@ object Zarr {
           }
           require(off == out.length,
             s"${meta.dir}: gzip chunk yielded $off bytes, expected $want")
+          require(in.read() == -1,
+            s"${meta.dir}: gzip chunk has surplus data past $want bytes")
           out
         } finally in.close()
     }
