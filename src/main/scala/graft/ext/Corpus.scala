@@ -330,21 +330,18 @@ object Corpus {
     * reproducible). The data-mixing primitive when the recipe is
     * per-source COUNTS rather than fractions.
     *
-    * Scale shape: one shuffle on the stratum column + a bounded
-    * window rank. Strata are sources/domains — thousands at most, so
-    * per-stratum sort is the cost; at extreme stratum sizes pre-thin
-    * with [[hashSample]] at a generous multiple of quota/|stratum|
-    * (per-stratum counts are a tiny broadcast aggregate) before the
-    * exact rank — the survivors are the only rows sorted.
+    * Scale shape: one shuffle carrying O(partitions x quota) rows per
+    * stratum — [[graft.ext.Sketches.bottomKRows]]'s bounded per-group
+    * retention with map-side combine; no stratum is ever collected
+    * into one task or sorted whole (the window-rank form this
+    * replaced did both, which with a handful of sources over a
+    * 100 TB corpus is a single-task sort of ~trillions of rows).
     */
   def quotaSample(docs: DataFrame, idCol: String, stratumCol: String,
                   quota: Int, key: Column => Column = permKey): DataFrame = {
     require(quota > 0, s"quota must be positive; got $quota")
-    val w = Window.partitionBy(col(stratumCol))
-      .orderBy(key(col(idCol)).asc, col(idCol).asc)
-    docs.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= quota)
-      .drop("__rk")
+    graft.ext.Sketches.bottomKRows(docs, Seq(stratumCol),
+      Seq(key(col(idCol)), col(idCol)), quota)
   }
 
   /** Deterministic train/val/test assignment (the split every

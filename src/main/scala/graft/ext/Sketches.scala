@@ -90,21 +90,52 @@ object Sketches {
       .limit(k)
       .drop("__h")
 
+  /** The k rows with the smallest `sortKeys` value per group, via the
+    * bounded [[graft.fn.BottomKRows]] aggregate — the shared engine of
+    * the whole per-stratum sampling family ([[stratifiedBottomK]],
+    * [[weightedBottomK]], [[graft.ext.Corpus.quotaSample]]).
+    *
+    * Scale shape: each map task retains k rows per group (O(1)
+    * root-compare rejection in steady state), the exchange carries
+    * only #partitions × k rows per group, and NOTHING is globally
+    * sorted — the per-group analogue of [[sampleBottomK]]'s
+    * TakeOrderedAndProject. The `row_number().over(Window.partitionBy
+    * (stratum))` form this replaces serialized every row of a stratum
+    * into ONE task and sorted it there: with a handful of sources
+    * over a 100 TB corpus, a single-task sort of ~trillions of rows —
+    * the textbook skew scale-killer, and invisible at test SF because
+    * local strata are small.
+    *
+    * `sortKeys` must be a TOTAL order (append a unique tie-break
+    * column) and non-null — rows with a null sort field are skipped.
+    * Output column set, types, and row multiset are identical to the
+    * window form; only the plan changes.
+    */
+  def bottomKRows(df: DataFrame, groupCols: Seq[String],
+                  sortKeys: Seq[Column], k: Int): DataFrame = {
+    val cols = df.columns.toSeq
+    val payload = struct(cols.map(col): _*)
+    val child = struct(
+      sortKeys.zipWithIndex.map { case (c, i) => c.as(s"__s$i") } :+
+        payload.as("__p"): _*)
+    val agg = gb.column(graft.fn.BottomKRows(
+      gb.expression(child), sortKeys.length, k).toAggregateExpression())
+    df.groupBy(groupCols.map(col): _*)
+      .agg(agg.as("__bk"))
+      .select(explode(col("__bk")).as("__r"))
+      .select(cols.map(c => col("__r").getField(c).as(c)): _*)
+  }
+
   /** Per-group (stratified) bottom-k sample: k deterministic uniform
     * picks per group, same order-hash construction as
-    * [[sampleBottomK]]. One shuffle on the group keys + per-group
-    * sort-rank — use the global form when no strata are needed (it
-    * never shuffles the data).
+    * [[sampleBottomK]]. One shuffle carrying O(partitions × k) rows
+    * per group ([[bottomKRows]]) — use the global form when no strata
+    * are needed (it never shuffles the data at all).
     */
   def stratifiedBottomK(df: DataFrame, groupCols: Seq[String], key: Column,
-                        k: Int, xx: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(groupCols.map(col): _*)
-      .orderBy(if (xx) orderHashXx(key) else orderHash(key), key)
-    df.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") <= k)
-      .drop("__rn")
-  }
+                        k: Int, xx: Boolean = false): DataFrame =
+    bottomKRows(df, groupCols,
+      Seq(if (xx) orderHashXx(key) else orderHash(key), key), k)
 
   /** The [[orderHash]] span: 15 hex digits = 2⁶⁰ possible values, so
     * h/2⁶⁰ is uniform on [0, 1).
@@ -127,16 +158,11 @@ object Sketches {
   def weightedBottomK(df: DataFrame, groupCols: Seq[String],
                       rowKey: Column, weight: Column, k: Int,
                       xx: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val span = if (xx) OrderHashXxSpan else OrderHashSpan
     val h = if (xx) orderHashXx(rowKey) else orderHash(rowKey)
     val u = (h.cast("double") + 0.5) / lit(span)
     val key = -log(u) / weight.cast("double")
-    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(key, rowKey)
-    df.filter(weight > 0)
-      .withColumn("__wrn", row_number().over(w))
-      .where(col("__wrn") <= k)
-      .drop("__wrn")
+    bottomKRows(df.filter(weight > 0), groupCols, Seq(key, rowKey), k)
   }
 
   /** The [[orderHashXx]] span: 63 masked bits. */

@@ -488,4 +488,34 @@ class SketchSpec extends SparkSpec {
     val heavy = hs.count(_ <= 1000L)
     assert(heavy > 55, s"heavy-half picks=$heavy of 100") // E≈75, P(<=55)≈1e-5
   }
+
+  test("sampling family plans: bounded bottom_k_rows aggregate, no per-stratum Window") {
+    // the row_number().over(partitionBy(stratum)) form serialized each
+    // stratum into ONE task and sorted it whole — the executed plans
+    // must show the O(k)-state aggregate instead
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plans = Seq(
+      Sketches.stratifiedBottomK(part, Seq("p_type"), $"p_partkey", 5),
+      Sketches.weightedBottomK(docs, Seq("source"),
+        $"doc_id".cast("string"), $"n_chars", 10),
+      graft.ext.Corpus.quotaSample(docs, "doc_id", "source", 10)
+    ).map(_.queryExecution.executedPlan.toString)
+    plans.foreach { p =>
+      assert(!p.contains("Window"), s"window survived:\n${p.take(800)}")
+      assert(p.contains("bottom_k_rows"), s"aggregate missing:\n${p.take(800)}")
+      // map-side combine: a partial aggregation precedes the exchange
+      assert(p.contains("partial_bottom_k_rows"), s"no partial agg:\n${p.take(800)}")
+    }
+  }
+
+  test("bottomKRows: null sort keys are skipped; schema and values survive round-trip") {
+    val df = Seq((Some(1L), "a", 1.5), (None, "a", 2.5), (Some(3L), "a", 3.5),
+        (Some(4L), "b", 4.5)).toDF("id", "grp", "v")
+    val got = Sketches.bottomKRows(df, Seq("grp"),
+      Seq(Sketches.orderHash($"id"), $"id"), 10)
+    assert(got.schema === df.schema.copy(fields = df.schema.fields
+      .map(f => f.copy(nullable = got.schema(f.name).nullable))))
+    val ids = got.select($"id").as[Option[Long]].collect().toSet
+    assert(ids === Set(Some(1L), Some(3L), Some(4L))) // null-keyed row dropped
+  }
 }
