@@ -238,29 +238,63 @@ object Zarr {
     out
   }
 
+  /** One PUT of a whole object through the Hadoop `FileSystem` API —
+    * the write-side twin of the read side's ranged-GET claim: on a
+    * local or cluster filesystem this is a create+write+close, on an
+    * object store one PUT per call, and either way the sink never
+    * assumes the tasks share a POSIX mount (the `java.nio.Files`
+    * form it replaced did, which held only in single-box tests).
+    */
+  private def putObject(fs: org.apache.hadoop.fs.FileSystem,
+                        p: org.apache.hadoop.fs.Path,
+                        bytes: Array[Byte]): Unit = {
+    val out = fs.create(p, true)
+    try out.write(bytes) finally out.close()
+  }
+
+  /** Serializable Hadoop-conf box (the standard `writeObject` /
+    * `readFields` pattern): `Configuration` itself is Writable but
+    * not `java.io.Serializable`, and executor tasks need the driver's
+    * filesystem settings (object-store credentials, scheme
+    * registrations) to resolve `path` the same way the driver did.
+    */
+  private final class ConfBox(@transient var conf: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      conf = new org.apache.hadoop.conf.Configuration(false)
+      conf.readFields(in)
+    }
+  }
+
   /** Write a 1-D `<f8` raw coordinate array (driver-side, tiny). */
-  private def writeCoordArray(dir: String, vals: Array[Double]): Unit = {
-    val p = Paths.get(dir)
-    Files.createDirectories(p)
-    Files.writeString(p.resolve(".zarray"),
+  private def writeCoordArray(fs: org.apache.hadoop.fs.FileSystem,
+                              dir: String, vals: Array[Double]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    fs.mkdirs(p)
+    putObject(fs, new org.apache.hadoop.fs.Path(p, ".zarray"),
       s"""{"zarr_format": 2, "shape": [${vals.length}],
          | "chunks": [${vals.length}], "dtype": "<f8",
          | "compressor": null, "fill_value": null,
-         | "order": "C", "filters": null}""".stripMargin)
+         | "order": "C", "filters": null}""".stripMargin.getBytes("UTF-8"))
     val buf = ByteBuffer.allocate(vals.length * 8).order(ByteOrder.LITTLE_ENDIAN)
     vals.foreach(buf.putDouble)
-    Files.write(p.resolve("0"), buf.array())
+    putObject(fs, new org.apache.hadoop.fs.Path(p, "0"), buf.array())
   }
 
-  private def writeDataArrayMeta(dir: String, shape: Seq[Int],
+  private def writeDataArrayMeta(fs: org.apache.hadoop.fs.FileSystem,
+                                 dir: String, shape: Seq[Int],
                                  chunks: Seq[Int], fill: Double): Unit = {
-    val p = Paths.get(dir)
-    Files.createDirectories(p)
-    Files.writeString(p.resolve(".zarray"),
+    val p = new org.apache.hadoop.fs.Path(dir)
+    fs.mkdirs(p)
+    putObject(fs, new org.apache.hadoop.fs.Path(p, ".zarray"),
       s"""{"zarr_format": 2, "shape": [${shape.mkString(", ")}],
          | "chunks": [${chunks.mkString(", ")}], "dtype": "<f8",
          | "compressor": {"id": "zlib", "level": 1}, "fill_value": $fill,
-         | "order": "C", "filters": null}""".stripMargin)
+         | "order": "C", "filters": null}""".stripMargin.getBytes("UTF-8"))
   }
 
   /** The SINK half: long-format grid frame → a Zarr v2 store readable
@@ -277,6 +311,12 @@ object Zarr {
     * driver data path except the four tiny coordinate arrays.
     * Absent cells of a chunk stay fill (the dense buffer is
     * fill-initialized), so sparse/filtered grids write correctly.
+    *
+    * All writes go through the Hadoop `FileSystem` resolved from
+    * `path` under the session's Hadoop configuration (shipped to
+    * tasks via [[ConfBox]]) — one PUT per chunk on an object store,
+    * one create+close on a cluster or local filesystem, and no
+    * assumption that tasks share a POSIX mount.
     */
   def writeStore(grid: org.apache.spark.sql.DataFrame,
                  spec: graft.io.SyntheticGrid.GridSpec, path: String,
@@ -284,36 +324,31 @@ object Zarr {
                  chunkY: Int = 64, chunkX: Int = 64): Unit = {
     import org.apache.spark.sql.functions._
     val fill = GridIngest.Fill
-    Files.createDirectories(Paths.get(path))
-    Files.writeString(Paths.get(path, ".zgroup"), """{"zarr_format": 2}""")
-    writeCoordArray(s"$path/time", spec.times.map(_.toDouble).toArray)
-    writeCoordArray(s"$path/depth", spec.depths.toArray)
-    writeCoordArray(s"$path/lat",
+    val hconf = grid.sparkSession.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val dfs = root.getFileSystem(hconf)
+    dfs.mkdirs(root)
+    putObject(dfs, new org.apache.hadoop.fs.Path(root, ".zgroup"),
+      """{"zarr_format": 2}""".getBytes("UTF-8"))
+    writeCoordArray(dfs, s"$path/time", spec.times.map(_.toDouble).toArray)
+    writeCoordArray(dfs, s"$path/depth", spec.depths.toArray)
+    writeCoordArray(dfs, s"$path/lat",
       (0 until spec.nLat).map(spec.latMin + _ * spec.latStep).toArray)
-    writeCoordArray(s"$path/lon",
+    writeCoordArray(dfs, s"$path/lon",
       (0 until spec.nLon).map(spec.lonMin + _ * spec.lonStep).toArray)
     val shape = Seq(spec.times.size, spec.depths.size, spec.nLat, spec.nLon)
     val chunks = Seq(chunkT, chunkD, chunkY, chunkX)
       .zip(shape).map { case (c, s) => math.min(c, s) }
     Seq("water_temp", "salinity").foreach(v =>
-      writeDataArrayMeta(s"$path/$v", shape, chunks, fill))
+      writeDataArrayMeta(dfs, s"$path/$v", shape, chunks, fill))
     val timeIdx = spec.times.zipWithIndex.toMap
     val Seq(ct, cd, cy, cx) = chunks
     val nCells = ct * cd * cy * cx
-    val tIdxUdf = udf((t: Long) => timeIdx(t))
-    val rows = grid
-      .select(tIdxUdf(col("time")).cast("int").as("__t"),
-        col("depth_idx").cast("int").as("__d"),
-        col("lat_idx").cast("int").as("__y"),
-        col("lon_idx").cast("int").as("__x"),
-        col("water_temp").cast("double").as("__wt"),
-        col("salinity").cast("double").as("__sa"))
-      .withColumn("__ck", concat_ws(".",
-        (col("__t") / ct).cast("int"), (col("__d") / cd).cast("int"),
-        (col("__y") / cy).cast("int"), (col("__x") / cx).cast("int")))
-      .repartition(col("__ck"))
-      .sortWithinPartitions(col("__ck"))
+    val confBox = new ConfBox(hconf)
+    val rows = chunkRows(grid, timeIdx, ct, cd, cy, cx)
     rows.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      val taskFs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(confBox.conf)
       var curKey: String = null
       var wtBuf: Array[Double] = null
       var saBuf: Array[Double] = null
@@ -328,7 +363,8 @@ object Zarr {
           val tmp = new Array[Byte](1 << 16)
           while (!defl.finished()) out.write(tmp, 0, defl.deflate(tmp))
           defl.end()
-          Files.write(Paths.get(s"$path/$v/$curKey"), out.toByteArray)
+          putObject(taskFs, new org.apache.hadoop.fs.Path(s"$path/$v/$curKey"),
+            out.toByteArray)
         }
         writeChunk("water_temp", wtBuf)
         writeChunk("salinity", saBuf)
@@ -352,6 +388,32 @@ object Zarr {
       }
       flush()
     }
+  }
+
+  /** The sink's distribution plan, exposed for plan-shape tests: rows
+    * keyed by chunk-grid coordinates, hash-partitioned and sorted BY
+    * CHUNK so each task streams whole chunks. time → index is a
+    * literal map lookup (`element_at` on a `typedLit` map), not a
+    * UDF — it stays inside codegen and the optimizer can see through
+    * it (the 4-row time axis makes the literal trivially small).
+    */
+  private[graft] def chunkRows(grid: org.apache.spark.sql.DataFrame,
+                               timeIdx: Map[Long, Int], ct: Int, cd: Int,
+                               cy: Int, cx: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tIdxCol = element_at(typedLit(timeIdx), col("time"))
+    grid
+      .select(tIdxCol.cast("int").as("__t"),
+        col("depth_idx").cast("int").as("__d"),
+        col("lat_idx").cast("int").as("__y"),
+        col("lon_idx").cast("int").as("__x"),
+        col("water_temp").cast("double").as("__wt"),
+        col("salinity").cast("double").as("__sa"))
+      .withColumn("__ck", concat_ws(".",
+        (col("__t") / ct).cast("int"), (col("__d") / cd).cast("int"),
+        (col("__y") / cy).cast("int"), (col("__x") / cx).cast("int")))
+      .repartition(col("__ck"))
+      .sortWithinPartitions(col("__ck"))
   }
 
   /** True when `dir` looks like a Zarr v2 array or group root. */

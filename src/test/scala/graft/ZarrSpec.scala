@@ -259,6 +259,31 @@ class ZarrSpec extends SparkSpec {
     assert(meta.shape === Seq(2L, 3L, 7L, 9L) && meta.chunks === Seq(1, 2, 4, 5))
   }
 
+  test("writeStore through an explicit file:// FileSystem handle; no UDF in the sink plan") {
+    import graft.io.SyntheticGrid
+    val spec = SyntheticGrid.GridSpec(
+      latMin = 10.0, latStep = 0.5, nLat = 5,
+      lonMin = 270.0, lonStep = 0.5, nLon = 6,
+      depths = Seq(0.0, 10.0), times = Seq(100L, 106L))
+    val grid = SyntheticGrid.cleanSentinels(SyntheticGrid.generate(spark, spec))
+    val local = Files.createTempDirectory("zarr-sink-fs").toString + "/store"
+    // scheme-qualified URI: every byte goes through the Hadoop
+    // FileSystem resolved from the path, not java.nio on a cwd mount
+    graft.io.Zarr.writeStore(grid, spec, "file://" + local,
+      chunkT = 1, chunkD = 1, chunkY = 3, chunkX = 4)
+    val back = GridIngest.ingestZarr(spark, local)
+    val a = grid.select("time", "depth_idx", "depth", "lat_idx", "lat",
+      "lon_idx", "lon", "water_temp", "salinity")
+    assert(back.count() === a.count())
+    assert(a.exceptAll(back).isEmpty && back.exceptAll(a).isEmpty)
+    // the chunk-keying projection must be pure built-ins — the former
+    // time->index UDF is now an element_at over a typedLit map
+    val plan = graft.io.Zarr.chunkRows(grid,
+      spec.times.zipWithIndex.toMap, 1, 1, 3, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), s"UDF in sink plan:\n${plan.take(600)}")
+  }
+
   test("ingestToParquet sniffs a Zarr store and round-trips through parquet") {
     val store = tmpStore("sniff")
     writeCoord(store, "time", Seq(5.0))
