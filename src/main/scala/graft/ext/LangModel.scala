@@ -238,12 +238,16 @@ object LangModel {
     val t3 = triCounts.select(col("p2"), col("p1"), col("tok"), col("cnt").as("__tc"))
     val s1 = when(coalesce(col("__uc"), lit(0L)) > 0,
       col("__uc").cast("double") / nTot).otherwise(lit(1.0) / nTot)
-    val s2 = when(col("__bc").isNotNull,
+    // denominators guard the numerators: a bigram hit whose context
+    // unigram is missing (mutually inconsistent tables — e.g. harder
+    // pruning upstream) backs off instead of nulling the term, the
+    // same rule the broadcast kernel applies (StupidBackoffScore)
+    val s2 = when(col("__bc").isNotNull && col("__upc").isNotNull,
       col("__bc").cast("double") / col("__upc").cast("double"))
       .otherwise(lit(0.4) * s1)
     val score = when(col("p1").isNull, s1)
       .when(col("p2").isNull, s2)
-      .otherwise(when(col("__tc").isNotNull,
+      .otherwise(when(col("__tc").isNotNull && col("__bpc").isNotNull,
         col("__tc").cast("double") / col("__bpc").cast("double"))
         .otherwise(lit(0.4) * s2))
     pos
