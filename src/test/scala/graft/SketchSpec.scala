@@ -192,6 +192,69 @@ class SketchSpec extends SparkSpec {
     assert(streamed === batch, "streaming state merge must equal batch")
   }
 
+  test("hll_distinct as streaming state: update-mode merge across 3 micro-batches == batch") {
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(
+      StructField("grp", StringType), StructField("item", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("hllstream").toString
+    def write(rows: Seq[(String, String)]): Unit =
+      spark.createDataFrame(rows.toDF("grp", "item").rdd, sch)
+        .coalesce(1).write.mode("append").parquet(dir)
+    // three OVERLAPPING batches: only correct register-max merge
+    // counts each distinct item once (sum-like merges overcount)
+    write((0 until 300).map(i => ("a", s"v$i")) ++ Seq(("b", "w0")))
+    write((100 until 400).map(i => ("a", s"v$i")) ++ Seq(("b", "w1")))
+    write((200 until 500).map(i => ("a", s"v$i")) ++ Seq(("b", "w0")))
+    val q = spark.readStream.schema(sch).option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .groupBy($"grp").agg(Sketches.hllDistinct($"item", 9).as("e"))
+      .writeStream.format("memory").queryName("hllst")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    // update mode appends one row per changed group per epoch; the
+    // LAST row per group is its final state
+    val streamed = spark.table("hllst").as[(String, Double)].collect()
+      .foldLeft(Map.empty[String, Double]) { case (m, (g, e)) => m + (g -> e) }
+    val batch = spark.read.schema(sch).parquet(dir)
+      .groupBy($"grp").agg(Sketches.hllDistinct($"item", 9).as("e"))
+      .as[(String, Double)].collect().toMap
+    assert(streamed === batch, "streaming register merge must equal batch")
+  }
+
+  test("sample_quantiles as streaming state: update-mode merge across 3 micro-batches == batch") {
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(
+      StructField("grp", StringType), StructField("id", LongType),
+      StructField("v", DoubleType)))
+    val dir = java.nio.file.Files.createTempDirectory("sqstream").toString
+    def write(rows: Seq[(String, Long, Double)]): Unit =
+      spark.createDataFrame(rows.toDF("grp", "id", "v").rdd, sch)
+        .coalesce(1).write.mode("append").parquet(dir)
+    // k=16 < per-group rows, so retention genuinely evicts; the
+    // bottom-k-by-hash set (and hence every quantile) is a pure
+    // function of the union multiset — batch boundaries must not show
+    write((0L until 200L).map(i => ("a", i, i * 1.0)))
+    write((200L until 400L).map(i => ("a", i, i * 1.0)))
+    write((400L until 600L).map(i => ("a", i, i * 1.0)) ++
+      Seq(("b", 1L, 5.0)))
+    val qs = Seq(0.25, 0.5, 0.9)
+    val q = spark.readStream.schema(sch).option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .groupBy($"grp")
+      .agg(Sketches.sampleQuantiles($"id", $"v", 16, qs).as("e"))
+      .writeStream.format("memory").queryName("sqst")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("sqst").as[(String, Seq[Double])].collect()
+      .foldLeft(Map.empty[String, Seq[Double]]) { case (m, (g, e)) => m + (g -> e) }
+    val batch = spark.read.schema(sch).parquet(dir)
+      .groupBy($"grp")
+      .agg(Sketches.sampleQuantiles($"id", $"v", 16, qs).as("e"))
+      .as[(String, Seq[Double])].collect().toMap
+    assert(streamed === batch, "streaming bottom-k merge must equal batch")
+    assert(streamed("b") === Seq(5.0, 5.0, 5.0)) // <=k group is exact
+  }
+
   test("randomized sketch law: capacity >= distinct ==> sketch == naive counts") {
     val rnd = new scala.util.Random(77)
     for (trial <- 1 to 5) {
