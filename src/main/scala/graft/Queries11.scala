@@ -27,8 +27,9 @@ object Queries11 {
   // --------------------- q124: salted join + agg over a planted hot key
   /** 90% of lineitem rows collapse onto k = 0 (the planted hot key);
     * the dimension side is a per-k aggregate of orders keyed the same
-    * way. [[graft.ops.Salt.saltedJoin]] spreads the hot key across 8
-    * salt replicas — the join key becomes (k, __salt), so no single
+    * way. [[graft.ops.Salt.saltedJoin]] spreads the hot key across 32
+    * salt replicas (one per local core; on a cluster, O(executor
+    * slots)) — the join key becomes (k, __salt), so no single
     * task owns k = 0 — and the final per-k aggregate re-combines.
     * At local test SF Spark would broadcast the dim side anyway; the
     * salted plan's value is at the scale where it cannot
@@ -44,7 +45,7 @@ object Queries11 {
       .withColumn("k", hotKey($"o_orderkey"))
       .groupBy($"k").agg(count(lit(1)).as("dim_cnt"))
     val joined = graft.ops.Salt.saltedJoin(li, dim, Seq("k"),
-      $"l_orderkey" * 16 + $"l_linenumber", nSalts = 8)
+      $"l_orderkey" * 16 + $"l_linenumber", nSalts = 32)
     joined.groupBy($"k")
       .agg(count(lit(1)).as("n_rows"),
         dsum($"l_quantity").as("sum_qty"),

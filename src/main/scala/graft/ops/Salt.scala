@@ -64,6 +64,11 @@ object Salt {
     val saltedLeft = left.withColumn("__salt", saltCol(leftRowExpr, nSalts))
     val saltedRight = right.withColumn("__salt",
       explode(array((0 until nSalts).map(lit): _*)))
-    saltedLeft.join(saltedRight, keys :+ "__salt", joinType).drop("__salt")
+    // the right side is small by this operator's contract (a broadcast
+    // candidate that didn't fit) — hash-build it per partition instead
+    // of letting the planner pick sort-merge, which would SORT the
+    // huge salted left side; the skewed side should never be sorted
+    saltedLeft.join(saltedRight.hint("shuffle_hash"), keys :+ "__salt", joinType)
+      .drop("__salt")
   }
 }

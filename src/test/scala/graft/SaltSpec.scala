@@ -34,7 +34,7 @@ class SaltSpec extends SparkSpec {
     }
   }
 
-  test("q124 shape under forced SMJ: salt is in the exchange keys, answer unchanged") {
+  test("q124 shape under forced no-broadcast: salt in the join keys, big side unsorted") {
     // at scale the dim side stops broadcasting; disable broadcast and
     // assert the sort-merge join actually keys on (k, __salt) — the
     // property that spreads the 90%-hot key across tasks
@@ -44,10 +44,12 @@ class SaltSpec extends SparkSpec {
       val dim = Seq(("HOT", 1.5), ("k3", 2.0), ("k5", 2.5)).toDF("k", "w")
       val salted = Salt.saltedJoin(skewed, dim, Seq("k"), $"id", nSalts = 8)
       val plan = salted.queryExecution.executedPlan.toString
-      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n${plan.take(400)}")
-      assert(plan.replaceAll("(?s)\n.*", "").contains("__salt") ||
-        plan.linesIterator.exists(l => l.contains("SortMergeJoin") && l.contains("__salt")),
-        s"salt not in the SMJ keys:\n${plan.take(600)}")
+      // the small replicated side hash-builds per partition; the huge
+      // salted side is never sorted (SMJ would sort it)
+      assert(plan.contains("ShuffledHashJoin"), s"expected SHJ:\n${plan.take(400)}")
+      assert(plan.linesIterator.exists(l =>
+        l.contains("ShuffledHashJoin") && l.contains("__salt")),
+        s"salt not in the SHJ keys:\n${plan.take(600)}")
       val plain = skewed.join(dim, Seq("k"), "inner").select($"id", $"k", $"v", $"w")
       val got = salted.select($"id", $"k", $"v", $"w")
       assert(got.exceptAll(plain).isEmpty && plain.exceptAll(got).isEmpty)
