@@ -105,6 +105,17 @@ object GraftExtensions {
       graft.fn.MjpegFrameFeatures(_, _, _, _)),
     unaryFn("image_dhash64", classOf[graft.fn.ImageDhash64],
       graft.fn.ImageDhash64(_)),
+    unaryFn("mp4_keyframe_dhash64", classOf[graft.fn.Mp4KeyframeDhash64],
+      graft.fn.Mp4KeyframeDhash64(_)),
+    (
+      new FunctionIdentifier("mp4_keyframe_thumb"),
+      new ExpressionInfo(classOf[graft.fn.Mp4KeyframeThumb].getName, "mp4_keyframe_thumb"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          s"mp4_keyframe_thumb expects (content, tw, th); got ${children.size} args")
+        graft.fn.Mp4KeyframeThumb(children(0), litInt(children(1), "tw"),
+          litInt(children(2), "th"))
+      }),
     unaryFn("text_profile", classOf[graft.fn.TextProfile],
       graft.fn.TextProfile(_)),
     unaryFn("vec_mean", classOf[graft.fn.VecPoolAgg],

@@ -8,8 +8,9 @@ package graft.ext
   * (ITU-T H.264 §7.3.2.1.1, Exp-Golomb coded) carries the CODED
   * dimensions — authoritative where container width/height fields are
   * absent or wrong, which is exactly the real-data failure mode.
-  * Frame DECODE of inter-coded H.264 stays the documented stub
-  * ([[Multimodal]]); this closes the metadata half.
+  * KEYFRAME decode (baseline I-frames) is real as of round 8
+  * ([[H264]]: CAVLC + intra prediction); inter-coded frames remain
+  * the documented stub ([[Multimodal]]).
   *
   * Sync-sample (keyframe) BYTE offsets come from stss (sync sample
   * numbers) composed with the stsz/stsc/stco mapping ([[Bmff]]) — the
@@ -372,6 +373,16 @@ object Avc {
     * malformed tables — never wrong offsets.
     */
   def syncOffsetsOrNull(bytes: Array[Byte], maxN: Int): Array[Long] = {
+    val spans = syncSpansOrNull(bytes, maxN)
+    if (spans == null) null else spans.map(_._1)
+  }
+
+  /** [[syncOffsetsOrNull]] with the sample SIZE alongside each offset
+    * — the exact byte span a keyframe decoder must read
+    * ([[H264.mp4KeyframeLumaOrNull]] walks the sample's
+    * length-prefixed NALs inside it).
+    */
+  private[ext] def syncSpansOrNull(bytes: Array[Byte], maxN: Int): Array[(Long, Long)] = {
     if (maxN < 1) return null
     val got = {
       val avc = findAvcStbl(bytes)
@@ -430,12 +441,12 @@ object Avc {
     }
     if (syncNums == null)
       syncNums = Array.tabulate(offsets.length)(i => (i + 1).toLong)
-    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
     var i = 0
     while (i < syncNums.length && out.length < maxN) {
       val sn = syncNums(i)
       if (sn < 1 || sn > offsets.length) return null // corrupt stss
-      out += offsets((sn - 1).toInt)
+      out += ((offsets((sn - 1).toInt), sizes((sn - 1).toInt)))
       i += 1
     }
     out.toArray

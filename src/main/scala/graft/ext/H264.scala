@@ -1,0 +1,1233 @@
+package graft.ext
+
+/** H.264/AVC BASELINE I-frame luma decoder (ITU-T H.264, JDK-only) —
+  * the keyframe-thumbnail half of the video-decode boundary that
+  * [[Multimodal]] documents: triage pipelines sample KEYFRAMES, and
+  * keyframes of a baseline stream are IDR/I slices decodable with
+  * CAVLC + intra prediction alone, no reference-frame machinery.
+  *
+  * Supported subset (null otherwise, loudly bounded like [[Jpeg]]):
+  * entropy_coding_mode = CAVLC, frame_mbs_only, 4:2:0 8-bit, one
+  * slice group, I/IDR slices (mb types I_4x4 / I_16x16 / I_PCM).
+  * LUMA is reconstructed (the [[Images]] gray-plane contract); chroma
+  * residuals are entropy-PARSED (the bitstream position requires it)
+  * but not reconstructed. The in-loop deblocking filter is skipped —
+  * acceptable for thumbnail/dHash use and EXACT for streams coded
+  * with disable_deblocking_filter_idc = 1 (what the per-pixel golden
+  * fixtures assert).
+  *
+  * CAVLC code tables are transcribed from the spec (Tables 9-4, 9-5,
+  * 9-7..9-10) and structurally verified in H264Spec: every VLC is
+  * checked prefix-free, and the tables the spec defines as complete
+  * codes are checked Kraft-complete.
+  *
+  * Reference behavior: `/root/reference` has no video at all — this
+  * operator group is brief-driven (multimodal corpus triage), scoped
+  * in SURVEY §8.
+  */
+object H264 {
+
+  import Bmff.beU32
+
+  /** Malformed-stream escape: caught at every public entry → null. */
+  private final class Malformed extends RuntimeException(null, null, false, false)
+  private def bad(): Nothing = throw new Malformed
+
+  // ------------------------------------------------------ bit reader
+
+  /** MSB-first bit reader over RBSP bytes; underrun throws Malformed
+    * (callers are OrNull entries), so parse code never tests
+    * sentinels.
+    */
+  private final class Br(val b: Array[Byte]) {
+    var pos = 0
+    def u(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        val bi = pos >> 3
+        if (bi >= b.length) bad()
+        v = (v << 1) | ((b(bi) >> (7 - (pos & 7))) & 1)
+        pos += 1
+        i += 1
+      }
+      v
+    }
+    def ue(): Int = {
+      var zeros = 0
+      while (u(1) == 0) { zeros += 1; if (zeros > 30) bad() }
+      if (zeros == 0) 0 else (1 << zeros) - 1 + u(zeros)
+    }
+    def se(): Int = {
+      val k = ue()
+      if (k % 2 == 0) -(k / 2) else (k + 1) / 2
+    }
+    def byteAlign(): Unit = { pos = (pos + 7) & ~7 }
+    def bitsLeft: Int = b.length * 8 - pos
+  }
+
+  /** Strip emulation-prevention bytes (00 00 03 → 00 00). */
+  private def rbsp(nal: Array[Byte], from: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(nal.length - from)
+    var i = from
+    var zeros = 0
+    while (i < nal.length) {
+      val v = nal(i) & 0xFF
+      if (zeros >= 2 && v == 3) zeros = 0
+      else {
+        out.write(v)
+        zeros = if (v == 0) zeros + 1 else 0
+      }
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  // -------------------------------------------------- SPS / PPS parse
+
+  private[graft] final case class Sps(widthMbs: Int, heightMbs: Int,
+                                    cropL: Int, cropR: Int, cropT: Int, cropB: Int,
+                                    log2MaxFrameNum: Int, pocType: Int,
+                                    log2MaxPocLsb: Int)
+
+  private[graft] final case class Pps(picInitQp: Int, deblockCtrl: Boolean,
+                                    redundantPicCnt: Boolean,
+                                    bottomFieldPoc: Boolean)
+
+  /** Decode-oriented SPS parse: only the baseline-decodable subset
+    * returns; anything else (high-profile chroma/bit-depth/scaling,
+    * interlace) throws → entry null.
+    */
+  private[graft] def parseSpsDecode(nal: Array[Byte]): Sps = {
+    if (nal == null || nal.length < 4 || (nal(0) & 0x1F) != 7) bad()
+    val r = new Br(rbsp(nal, 1))
+    val profile = r.u(8)
+    r.u(8); r.u(8) // constraints, level
+    r.ue() // sps_id
+    if (Set(100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135)
+        .contains(profile)) {
+      // the decoder only supports 4:2:0 8-bit flat-scaling streams
+      if (r.ue() != 1) bad() // chroma_format_idc
+      if (r.ue() != 0) bad() // bit_depth_luma_minus8
+      if (r.ue() != 0) bad() // bit_depth_chroma_minus8
+      r.u(1) // qpprime_y_zero_transform_bypass_flag
+      if (r.u(1) != 0) bad() // seq_scaling_matrix_present_flag
+    }
+    val log2MaxFrameNum = r.ue() + 4
+    val pocType = r.ue()
+    var log2MaxPocLsb = 0
+    if (pocType == 0) log2MaxPocLsb = r.ue() + 4
+    else if (pocType == 1) {
+      r.u(1); r.se(); r.se()
+      val n = r.ue()
+      if (n > 255) bad()
+      var i = 0
+      while (i < n) { r.se(); i += 1 }
+    }
+    r.ue() // max_num_ref_frames
+    r.u(1) // gaps_in_frame_num_value_allowed_flag
+    val widthMbs = r.ue() + 1
+    val heightMapUnits = r.ue() + 1
+    if (r.u(1) != 1) bad() // frame_mbs_only_flag — fields unsupported
+    r.u(1) // direct_8x8_inference_flag
+    var cl = 0; var cr = 0; var ct = 0; var cb = 0
+    if (r.u(1) == 1) { cl = r.ue(); cr = r.ue(); ct = r.ue(); cb = r.ue() }
+    if (widthMbs > 1024 || heightMapUnits > 1024) bad() // 16384px ceiling
+    val w = widthMbs * 16 - 2 * (cl + cr)
+    val h = heightMapUnits * 16 - 2 * (ct + cb)
+    if (w <= 0 || h <= 0) bad()
+    Sps(widthMbs, heightMapUnits, 2 * cl, 2 * cr, 2 * ct, 2 * cb,
+      log2MaxFrameNum, pocType, log2MaxPocLsb)
+  }
+
+  private[graft] def parsePpsDecode(nal: Array[Byte]): Pps = {
+    if (nal == null || nal.length < 2 || (nal(0) & 0x1F) != 8) bad()
+    val r = new Br(rbsp(nal, 1))
+    r.ue() // pps_id
+    r.ue() // sps_id
+    if (r.u(1) != 0) bad() // entropy_coding_mode_flag — CAVLC only
+    val bottomFieldPoc = r.u(1) == 1
+    if (r.ue() != 0) bad() // num_slice_groups_minus1 — no FMO
+    r.ue(); r.ue() // num_ref_idx_l{0,1}_default_active_minus1
+    r.u(1) // weighted_pred_flag
+    r.u(2) // weighted_bipred_idc
+    val picInitQp = 26 + r.se()
+    r.se() // pic_init_qs_minus26
+    r.se() // chroma_qp_index_offset
+    val deblockCtrl = r.u(1) == 1
+    r.u(1) // constrained_intra_pred_flag (I-frames: no effect)
+    val redundantPicCnt = r.u(1) == 1
+    Pps(picInitQp, deblockCtrl, redundantPicCnt, bottomFieldPoc)
+  }
+
+  // ------------------------------------------------------ VLC tables
+
+  /** A VLC decode table: parallel arrays of (bit-length, code value,
+    * symbol). Linear prefix scan — tables are ≤ 62 entries and each
+    * residual block consults one a handful of times.
+    */
+  private[graft] final class Vlc(spec: Seq[(String, Int)]) {
+    val lens: Array[Int] = spec.map(_._1.length).toArray
+    val codes: Array[Int] = spec.map(s => Integer.parseInt(s._1, 2)).toArray
+    val syms: Array[Int] = spec.map(_._2).toArray
+    def read(r: Br): Int = {
+      var acc = 0
+      var n = 0
+      while (n < 17) {
+        acc = (acc << 1) | r.u(1)
+        n += 1
+        var i = 0
+        while (i < lens.length) {
+          if (lens(i) == n && codes(i) == acc) return syms(i)
+          i += 1
+        }
+      }
+      bad()
+    }
+  }
+
+  /** coeff_token symbol packing: TotalCoeff * 4 + TrailingOnes. */
+  private def ct(tc: Int, t1: Int): Int = tc * 4 + t1
+
+  /** Table 9-5, 0 ≤ nC < 2. */
+  private[graft] val CoeffToken0 = new Vlc(Seq(
+    "1" -> ct(0, 0),
+    "000101" -> ct(1, 0), "01" -> ct(1, 1),
+    "00000111" -> ct(2, 0), "000100" -> ct(2, 1), "001" -> ct(2, 2),
+    "000000111" -> ct(3, 0), "00000110" -> ct(3, 1), "0000101" -> ct(3, 2), "00011" -> ct(3, 3),
+    "0000000111" -> ct(4, 0), "000000110" -> ct(4, 1), "00000101" -> ct(4, 2), "000011" -> ct(4, 3),
+    "00000000111" -> ct(5, 0), "0000000110" -> ct(5, 1), "000000101" -> ct(5, 2), "0000100" -> ct(5, 3),
+    "0000000001111" -> ct(6, 0), "00000000110" -> ct(6, 1), "0000000101" -> ct(6, 2), "00000100" -> ct(6, 3),
+    "0000000001011" -> ct(7, 0), "0000000001110" -> ct(7, 1), "00000000101" -> ct(7, 2), "000000100" -> ct(7, 3),
+    "0000000001000" -> ct(8, 0), "0000000001010" -> ct(8, 1), "0000000001101" -> ct(8, 2), "0000000100" -> ct(8, 3),
+    "00000000001111" -> ct(9, 0), "00000000001110" -> ct(9, 1), "0000000001001" -> ct(9, 2), "00000000100" -> ct(9, 3),
+    "00000000001011" -> ct(10, 0), "00000000001010" -> ct(10, 1), "00000000001101" -> ct(10, 2), "0000000001100" -> ct(10, 3),
+    "000000000001111" -> ct(11, 0), "000000000001110" -> ct(11, 1), "00000000001001" -> ct(11, 2), "00000000001100" -> ct(11, 3),
+    "000000000001011" -> ct(12, 0), "000000000001010" -> ct(12, 1), "000000000001101" -> ct(12, 2), "00000000001000" -> ct(12, 3),
+    "0000000000001111" -> ct(13, 0), "000000000000001" -> ct(13, 1), "000000000001001" -> ct(13, 2), "000000000001100" -> ct(13, 3),
+    "0000000000001011" -> ct(14, 0), "0000000000001110" -> ct(14, 1), "0000000000001101" -> ct(14, 2), "000000000001000" -> ct(14, 3),
+    "0000000000000111" -> ct(15, 0), "0000000000001010" -> ct(15, 1), "0000000000001001" -> ct(15, 2), "0000000000001100" -> ct(15, 3),
+    "0000000000000100" -> ct(16, 0), "0000000000000110" -> ct(16, 1), "0000000000000101" -> ct(16, 2), "0000000000001000" -> ct(16, 3)))
+
+  /** Table 9-5, 2 ≤ nC < 4. */
+  private[graft] val CoeffToken1 = new Vlc(Seq(
+    "11" -> ct(0, 0),
+    "001011" -> ct(1, 0), "10" -> ct(1, 1),
+    "000111" -> ct(2, 0), "00111" -> ct(2, 1), "011" -> ct(2, 2),
+    "0000111" -> ct(3, 0), "001010" -> ct(3, 1), "001001" -> ct(3, 2), "0101" -> ct(3, 3),
+    "00000111" -> ct(4, 0), "000110" -> ct(4, 1), "000101" -> ct(4, 2), "0100" -> ct(4, 3),
+    "00000100" -> ct(5, 0), "0000110" -> ct(5, 1), "0000101" -> ct(5, 2), "00110" -> ct(5, 3),
+    "000000111" -> ct(6, 0), "00000110" -> ct(6, 1), "00000101" -> ct(6, 2), "001000" -> ct(6, 3),
+    "00000001111" -> ct(7, 0), "000000110" -> ct(7, 1), "000000101" -> ct(7, 2), "000100" -> ct(7, 3),
+    "00000001011" -> ct(8, 0), "00000001110" -> ct(8, 1), "00000001101" -> ct(8, 2), "0000100" -> ct(8, 3),
+    "000000001111" -> ct(9, 0), "00000001010" -> ct(9, 1), "00000001001" -> ct(9, 2), "000000100" -> ct(9, 3),
+    "000000001011" -> ct(10, 0), "000000001110" -> ct(10, 1), "000000001101" -> ct(10, 2), "00000001100" -> ct(10, 3),
+    "000000001000" -> ct(11, 0), "000000001010" -> ct(11, 1), "000000001001" -> ct(11, 2), "00000001000" -> ct(11, 3),
+    "0000000001111" -> ct(12, 0), "0000000001110" -> ct(12, 1), "0000000001101" -> ct(12, 2), "000000001100" -> ct(12, 3),
+    "0000000001011" -> ct(13, 0), "0000000001010" -> ct(13, 1), "0000000001001" -> ct(13, 2), "0000000001100" -> ct(13, 3),
+    "0000000000111" -> ct(14, 0), "00000000001011" -> ct(14, 1), "0000000000110" -> ct(14, 2), "0000000001000" -> ct(14, 3),
+    "00000000001001" -> ct(15, 0), "00000000001000" -> ct(15, 1), "00000000001010" -> ct(15, 2), "0000000000001" -> ct(15, 3),
+    "00000000000111" -> ct(16, 0), "00000000000110" -> ct(16, 1), "00000000000101" -> ct(16, 2), "00000000000100" -> ct(16, 3)))
+
+  /** Table 9-5, 4 ≤ nC < 8. */
+  private[graft] val CoeffToken2 = new Vlc(Seq(
+    "1111" -> ct(0, 0),
+    "001111" -> ct(1, 0), "1110" -> ct(1, 1),
+    "001011" -> ct(2, 0), "01111" -> ct(2, 1), "1101" -> ct(2, 2),
+    "001000" -> ct(3, 0), "01100" -> ct(3, 1), "01110" -> ct(3, 2), "1100" -> ct(3, 3),
+    "0001111" -> ct(4, 0), "01010" -> ct(4, 1), "01011" -> ct(4, 2), "1011" -> ct(4, 3),
+    "0001011" -> ct(5, 0), "01000" -> ct(5, 1), "01001" -> ct(5, 2), "1010" -> ct(5, 3),
+    "0001001" -> ct(6, 0), "001110" -> ct(6, 1), "001101" -> ct(6, 2), "1001" -> ct(6, 3),
+    "0001000" -> ct(7, 0), "001010" -> ct(7, 1), "001001" -> ct(7, 2), "1000" -> ct(7, 3),
+    "00001111" -> ct(8, 0), "0001110" -> ct(8, 1), "0001101" -> ct(8, 2), "01101" -> ct(8, 3),
+    "00001011" -> ct(9, 0), "00001110" -> ct(9, 1), "0001010" -> ct(9, 2), "001100" -> ct(9, 3),
+    "000001111" -> ct(10, 0), "00001010" -> ct(10, 1), "00001101" -> ct(10, 2), "0001100" -> ct(10, 3),
+    "000001011" -> ct(11, 0), "000001110" -> ct(11, 1), "00001001" -> ct(11, 2), "00001100" -> ct(11, 3),
+    "000001000" -> ct(12, 0), "000001010" -> ct(12, 1), "000001101" -> ct(12, 2), "00001000" -> ct(12, 3),
+    "0000001101" -> ct(13, 0), "000000111" -> ct(13, 1), "000001001" -> ct(13, 2), "000001100" -> ct(13, 3),
+    "0000001001" -> ct(14, 0), "0000001100" -> ct(14, 1), "0000001011" -> ct(14, 2), "0000001010" -> ct(14, 3),
+    "0000000101" -> ct(15, 0), "0000001000" -> ct(15, 1), "0000000111" -> ct(15, 2), "0000000110" -> ct(15, 3),
+    "0000000001" -> ct(16, 0), "0000000100" -> ct(16, 1), "0000000011" -> ct(16, 2), "0000000010" -> ct(16, 3)))
+
+  /** Table 9-5, nC == -1 (chroma DC, 4:2:0). */
+  private[graft] val CoeffTokenChromaDc = new Vlc(Seq(
+    "01" -> ct(0, 0),
+    "000111" -> ct(1, 0), "1" -> ct(1, 1),
+    "000100" -> ct(2, 0), "000110" -> ct(2, 1), "001" -> ct(2, 2),
+    "000011" -> ct(3, 0), "0000011" -> ct(3, 1), "0000010" -> ct(3, 2), "000101" -> ct(3, 3),
+    "000010" -> ct(4, 0), "00000011" -> ct(4, 1), "00000010" -> ct(4, 2), "0000000" -> ct(4, 3)))
+
+  /** Tables 9-7/9-8 (total_zeros, 4x4 blocks), indexed by
+    * TotalCoeff 1..15; symbol = total_zeros.
+    */
+  private[graft] val TotalZeros4x4: Array[Vlc] = Array(
+    null, // TotalCoeff 0 never consults total_zeros
+    new Vlc(Seq("1" -> 0, "011" -> 1, "010" -> 2, "0011" -> 3, "0010" -> 4,
+      "00011" -> 5, "00010" -> 6, "000011" -> 7, "000010" -> 8,
+      "0000011" -> 9, "0000010" -> 10, "00000011" -> 11, "00000010" -> 12,
+      "000000011" -> 13, "000000010" -> 14, "000000001" -> 15)),
+    new Vlc(Seq("111" -> 0, "110" -> 1, "101" -> 2, "100" -> 3, "011" -> 4,
+      "0101" -> 5, "0100" -> 6, "0011" -> 7, "0010" -> 8, "00011" -> 9,
+      "00010" -> 10, "000011" -> 11, "000010" -> 12, "000001" -> 13,
+      "000000" -> 14)),
+    new Vlc(Seq("0101" -> 0, "111" -> 1, "110" -> 2, "101" -> 3, "0100" -> 4,
+      "0011" -> 5, "100" -> 6, "011" -> 7, "0010" -> 8, "00011" -> 9,
+      "00010" -> 10, "000001" -> 11, "00001" -> 12, "000000" -> 13)),
+    new Vlc(Seq("00011" -> 0, "111" -> 1, "0101" -> 2, "0100" -> 3, "110" -> 4,
+      "101" -> 5, "100" -> 6, "0011" -> 7, "011" -> 8, "0010" -> 9,
+      "00010" -> 10, "00001" -> 11, "00000" -> 12)),
+    new Vlc(Seq("0101" -> 0, "0100" -> 1, "0011" -> 2, "111" -> 3, "110" -> 4,
+      "101" -> 5, "100" -> 6, "011" -> 7, "0010" -> 8, "00001" -> 9,
+      "0001" -> 10, "00000" -> 11)),
+    new Vlc(Seq("000001" -> 0, "00001" -> 1, "111" -> 2, "110" -> 3,
+      "101" -> 4, "100" -> 5, "011" -> 6, "010" -> 7, "0001" -> 8,
+      "001" -> 9, "000000" -> 10)),
+    new Vlc(Seq("000001" -> 0, "00001" -> 1, "101" -> 2, "100" -> 3,
+      "011" -> 4, "11" -> 5, "010" -> 6, "0001" -> 7, "001" -> 8,
+      "000000" -> 9)),
+    new Vlc(Seq("000001" -> 0, "0001" -> 1, "00001" -> 2, "011" -> 3,
+      "11" -> 4, "10" -> 5, "010" -> 6, "001" -> 7, "000000" -> 8)),
+    new Vlc(Seq("000001" -> 0, "000000" -> 1, "0001" -> 2, "11" -> 3,
+      "10" -> 4, "001" -> 5, "01" -> 6, "00001" -> 7)),
+    new Vlc(Seq("00001" -> 0, "00000" -> 1, "001" -> 2, "11" -> 3,
+      "10" -> 4, "01" -> 5, "0001" -> 6)),
+    new Vlc(Seq("0000" -> 0, "0001" -> 1, "001" -> 2, "010" -> 3, "1" -> 4,
+      "011" -> 5)),
+    new Vlc(Seq("0000" -> 0, "0001" -> 1, "01" -> 2, "1" -> 3, "001" -> 4)),
+    new Vlc(Seq("000" -> 0, "001" -> 1, "1" -> 2, "01" -> 3)),
+    new Vlc(Seq("00" -> 0, "01" -> 1, "1" -> 2)),
+    new Vlc(Seq("0" -> 0, "1" -> 1)))
+
+  /** Table 9-9(a) (total_zeros, chroma DC 4:2:0), TotalCoeff 1..3. */
+  private[graft] val TotalZerosChromaDc: Array[Vlc] = Array(
+    null,
+    new Vlc(Seq("1" -> 0, "01" -> 1, "001" -> 2, "000" -> 3)),
+    new Vlc(Seq("1" -> 0, "01" -> 1, "00" -> 2)),
+    new Vlc(Seq("1" -> 0, "0" -> 1)))
+
+  /** Table 9-10 (run_before), indexed by min(zerosLeft, 7); >6 tail
+    * handled in code (unary past run 6).
+    */
+  private[graft] val RunBefore: Array[Vlc] = Array(
+    null,
+    new Vlc(Seq("1" -> 0, "0" -> 1)),
+    new Vlc(Seq("1" -> 0, "01" -> 1, "00" -> 2)),
+    new Vlc(Seq("11" -> 0, "10" -> 1, "01" -> 2, "00" -> 3)),
+    new Vlc(Seq("11" -> 0, "10" -> 1, "01" -> 2, "001" -> 3, "000" -> 4)),
+    new Vlc(Seq("11" -> 0, "10" -> 1, "011" -> 2, "010" -> 3, "001" -> 4,
+      "000" -> 5)),
+    new Vlc(Seq("11" -> 0, "000" -> 1, "001" -> 2, "011" -> 3, "010" -> 4,
+      "101" -> 5, "100" -> 6)))
+
+  /** Table 9-4, intra column: coded_block_pattern me(v) mapping. */
+  private[graft] val CbpIntra: Array[Int] = Array(
+    47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
+    16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1, 2, 4,
+    8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41)
+
+  // ------------------------------------------------- CAVLC residual
+
+  /** One residual_block (9.2): writes up to `maxCoeff` levels into
+    * `out` in SCAN order starting at `startIdx` (1 for the AC-only
+    * 15-coefficient blocks), returns TotalCoeff. `nC` selects the
+    * coeff_token table (-1 = chroma DC).
+    */
+  private[graft] def residualBlock(r: Br, nC: Int, maxCoeff: Int,
+                                 out: Array[Int], startIdx: Int): Int = {
+    java.util.Arrays.fill(out, 0)
+    val tok =
+      if (nC == -1) CoeffTokenChromaDc.read(r)
+      else if (nC < 2) CoeffToken0.read(r)
+      else if (nC < 4) CoeffToken1.read(r)
+      else if (nC < 8) CoeffToken2.read(r)
+      else { // 6-bit FLC: xxxxyy, xxxx = TotalCoeff-1, yy = T1s; 000011 = empty
+        val v = r.u(6)
+        if (v == 3) ct(0, 0) else ct((v >> 2) + 1, v & 3)
+      }
+    val totalCoeff = tok >> 2
+    val trailingOnes = tok & 3
+    if (totalCoeff == 0) return 0
+    if (totalCoeff > maxCoeff) bad()
+    val levels = new Array[Int](totalCoeff)
+    var i = 0
+    while (i < trailingOnes) {
+      levels(i) = if (r.u(1) == 1) -1 else 1
+      i += 1
+    }
+    var suffixLength = if (totalCoeff > 10 && trailingOnes < 3) 1 else 0
+    while (i < totalCoeff) {
+      var levelPrefix = 0
+      while (r.u(1) == 0) { levelPrefix += 1; if (levelPrefix > 31) bad() }
+      val suffixSize =
+        if (levelPrefix == 14 && suffixLength == 0) 4
+        else if (levelPrefix >= 15) levelPrefix - 3
+        else suffixLength
+      var levelCode = math.min(15, levelPrefix) << suffixLength
+      if (suffixSize > 0) levelCode += r.u(suffixSize)
+      if (levelPrefix >= 15 && suffixLength == 0) levelCode += 15
+      if (levelPrefix >= 16) levelCode += (1 << (levelPrefix - 3)) - 4096
+      if (i == trailingOnes && trailingOnes < 3) levelCode += 2
+      levels(i) =
+        if (levelCode % 2 == 0) (levelCode + 2) >> 1
+        else -((levelCode + 1) >> 1)
+      if (suffixLength == 0) suffixLength = 1
+      if (math.abs(levels(i)) > (3 << (suffixLength - 1)) && suffixLength < 6)
+        suffixLength += 1
+      i += 1
+    }
+    var totalZeros = 0
+    if (totalCoeff < maxCoeff) {
+      totalZeros =
+        if (nC == -1) TotalZerosChromaDc(totalCoeff).read(r)
+        else TotalZeros4x4(totalCoeff).read(r)
+    }
+    // runs: first decoded level is the HIGHEST-frequency coefficient
+    val runs = new Array[Int](totalCoeff)
+    var zerosLeft = totalZeros
+    i = 0
+    while (i < totalCoeff - 1) {
+      var run = 0
+      if (zerosLeft > 0) {
+        if (zerosLeft <= 6) run = RunBefore(zerosLeft).read(r)
+        else {
+          val v = r.u(3)
+          if (v > 0) run = 7 - v
+          else { // run_before > 6: "000" then unary continuation
+            run = 7
+            while (r.u(1) == 0) { run += 1; if (run > 16) bad() }
+          }
+        }
+      }
+      if (run > zerosLeft) bad()
+      runs(i) = run
+      zerosLeft -= run
+      i += 1
+    }
+    runs(totalCoeff - 1) = zerosLeft
+    var coeffNum = -1
+    i = totalCoeff - 1
+    while (i >= 0) {
+      coeffNum += runs(i) + 1
+      if (coeffNum >= maxCoeff) bad()
+      out(startIdx + coeffNum) = levels(i)
+      i -= 1
+    }
+    totalCoeff
+  }
+
+  // ----------------------------------------- dequant + transforms
+
+  /** normAdjust4x4 (Table 8-15 collapsed for flat scaling lists):
+    * V(m, pos) with pos class 0 = {(0,0),(0,2),(2,0),(2,2)},
+    * 1 = {(1,1),(1,3),(3,1),(3,3)}, 2 = rest.
+    */
+  private val DequantV: Array[Array[Int]] = Array(
+    Array(10, 16, 13), Array(11, 18, 14), Array(13, 20, 16),
+    Array(14, 23, 18), Array(16, 25, 20), Array(18, 29, 23))
+
+  private def posClass(i: Int, j: Int): Int =
+    if ((i % 2 == 0) && (j % 2 == 0)) 0
+    else if ((i % 2 == 1) && (j % 2 == 1)) 1
+    else 2
+
+  /** Zig-zag scan (Table 8-13): scan index → raster index. */
+  private[graft] val ZigZag4x4: Array[Int] =
+    Array(0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+
+  /** In-place 4x4 inverse core transform (8.5.12.2) of raster-order
+    * coefficients, writing RESIDUALS (already >> 6-rounded).
+    */
+  private[graft] def inverseTransform4x4(d: Array[Int]): Unit = {
+    var i = 0
+    while (i < 4) { // horizontal
+      val o = i * 4
+      val e0 = d(o) + d(o + 2)
+      val e1 = d(o) - d(o + 2)
+      val e2 = (d(o + 1) >> 1) - d(o + 3)
+      val e3 = d(o + 1) + (d(o + 3) >> 1)
+      d(o) = e0 + e3; d(o + 1) = e1 + e2; d(o + 2) = e1 - e2; d(o + 3) = e0 - e3
+      i += 1
+    }
+    i = 0
+    while (i < 4) { // vertical
+      val e0 = d(i) + d(8 + i)
+      val e1 = d(i) - d(8 + i)
+      val e2 = (d(4 + i) >> 1) - d(12 + i)
+      val e3 = d(4 + i) + (d(12 + i) >> 1)
+      d(i) = (e0 + e3 + 32) >> 6
+      d(4 + i) = (e1 + e2 + 32) >> 6
+      d(8 + i) = (e1 - e2 + 32) >> 6
+      d(12 + i) = (e0 - e3 + 32) >> 6
+      i += 1
+    }
+  }
+
+  /** 4x4 Hadamard for the I_16x16 luma DC block (8.5.10) + scaling;
+    * input raster-order parsed levels, output per-block DC values.
+    */
+  private[graft] def lumaDcTransform(c: Array[Int], qp: Int): Array[Int] = {
+    val f = new Array[Int](16)
+    var i = 0
+    while (i < 4) { // rows
+      val o = i * 4
+      val s0 = c(o) + c(o + 2); val s1 = c(o) - c(o + 2)
+      val s2 = c(o + 1) - c(o + 3); val s3 = c(o + 1) + c(o + 3)
+      f(o) = s0 + s3; f(o + 1) = s1 + s2; f(o + 2) = s1 - s2; f(o + 3) = s0 - s3
+      i += 1
+    }
+    val g = new Array[Int](16)
+    i = 0
+    while (i < 4) { // cols
+      val s0 = f(i) + f(8 + i); val s1 = f(i) - f(8 + i)
+      val s2 = f(4 + i) - f(12 + i); val s3 = f(4 + i) + f(12 + i)
+      g(i) = s0 + s3; g(4 + i) = s1 + s2; g(8 + i) = s1 - s2; g(12 + i) = s0 - s3
+      i += 1
+    }
+    val v = DequantV(qp % 6)(0)
+    val shift = qp / 6
+    val out = new Array[Int](16)
+    i = 0
+    while (i < 16) {
+      out(i) =
+        if (qp >= 12) (g(i) * v) << (shift - 2)
+        else (g(i) * v + (1 << (1 - shift))) >> (2 - shift)
+      i += 1
+    }
+    out
+  }
+
+  /** Dequantize AC (and I_4x4 DC) coefficients in raster order. For
+    * the I_16x16 AC path index 0 is overwritten by the Hadamard DC.
+    */
+  private[graft] def dequant4x4(c: Array[Int], qp: Int, skipDc: Boolean): Unit = {
+    val m = qp % 6
+    val shift = qp / 6
+    var idx = 0
+    while (idx < 16) {
+      if (!(skipDc && idx == 0) && c(idx) != 0)
+        c(idx) = (c(idx) * DequantV(m)(posClass(idx >> 2, idx & 3))) << shift
+      idx += 1
+    }
+  }
+
+  // -------------------------------------------------- slice decode
+
+  /** Per-frame decode state. Luma plane padded to whole MBs. */
+  private final class Frame(val sps: Sps) {
+    val wMbs: Int = sps.widthMbs
+    val hMbs: Int = sps.heightMbs
+    val w: Int = wMbs * 16
+    val h: Int = hMbs * 16
+    val luma = new Array[Int](w * h)
+    /** per-MB: decoded flag, I4x4 flag, per-4x4 luma nz counts,
+      * per-4x4 luma pred modes, per-chroma-4x4 nz counts.
+      */
+    val mbDecoded = new Array[Boolean](wMbs * hMbs)
+    val mbIsI4x4 = new Array[Boolean](wMbs * hMbs)
+    val lumaNz = Array.fill(wMbs * hMbs)(new Array[Int](16))
+    val predModes = Array.fill(wMbs * hMbs)(Array.fill(16)(2))
+    val chromaNz = Array.fill(wMbs * hMbs)(new Array[Int](8)) // cb 0-3, cr 4-7
+  }
+
+  /** Raster position of luma 4x4 block `blk` (coded block order) in
+    * units of 4x4 blocks within the MB: x + y * 4.
+    */
+  private val Blk4x4X = Array(0, 1, 0, 1, 2, 3, 2, 3, 0, 1, 0, 1, 2, 3, 2, 3)
+  private val Blk4x4Y = Array(0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3)
+  /** Inverse: raster 4x4 position (x + 4y) → coded block order. */
+  private val RasterToBlk: Array[Int] = {
+    val inv = new Array[Int](16)
+    var b = 0
+    while (b < 16) { inv(Blk4x4X(b) + 4 * Blk4x4Y(b)) = b; b += 1 }
+    inv
+  }
+
+  /** nz count of the luma 4x4 block LEFT of (mb, raster bx, by), or
+    * -1 when outside the picture / not yet decoded.
+    */
+  private def lumaNzLeft(f: Frame, mbX: Int, mbY: Int, bx: Int, by: Int): Int = {
+    if (bx > 0) f.lumaNz(mbY * f.wMbs + mbX)(RasterToBlk(bx - 1 + 4 * by))
+    else if (mbX == 0) -1
+    else {
+      val n = mbY * f.wMbs + mbX - 1
+      if (!f.mbDecoded(n)) -1 else f.lumaNz(n)(RasterToBlk(3 + 4 * by))
+    }
+  }
+
+  private def lumaNzAbove(f: Frame, mbX: Int, mbY: Int, bx: Int, by: Int): Int = {
+    if (by > 0) f.lumaNz(mbY * f.wMbs + mbX)(RasterToBlk(bx + 4 * (by - 1)))
+    else if (mbY == 0) -1
+    else {
+      val n = (mbY - 1) * f.wMbs + mbX
+      if (!f.mbDecoded(n)) -1 else f.lumaNz(n)(RasterToBlk(bx + 12))
+    }
+  }
+
+  private def nCOf(nA: Int, nB: Int): Int =
+    if (nA >= 0 && nB >= 0) (nA + nB + 1) >> 1
+    else if (nA >= 0) nA
+    else if (nB >= 0) nB
+    else 0
+
+  /** Chroma 2x2-grid twin of the luma nz lookups; `comp` 0 = Cb. */
+  private def chromaNz(f: Frame, mbX: Int, mbY: Int, comp: Int,
+                       bx: Int, by: Int): Int = {
+    if (bx < 0) {
+      if (mbX == 0) return -1
+      val n = mbY * f.wMbs + mbX - 1
+      if (!f.mbDecoded(n)) return -1
+      return f.chromaNz(n)(comp * 4 + 1 + 2 * by)
+    }
+    if (by < 0) {
+      if (mbY == 0) return -1
+      val n = (mbY - 1) * f.wMbs + mbX
+      if (!f.mbDecoded(n)) return -1
+      return f.chromaNz(n)(comp * 4 + 2 + bx)
+    }
+    f.chromaNz(mbY * f.wMbs + mbX)(comp * 4 + bx + 2 * by)
+  }
+
+  /** Intra 4x4 pred mode of a neighbor block for mode derivation
+    * (8.3.1.1): DC (2) when the neighbor is outside or not I_4x4.
+    */
+  private def neighborMode(f: Frame, mbX: Int, mbY: Int, bx: Int, by: Int): Int = {
+    val (nmx, nmy, nbx, nby) =
+      if (bx >= 0 && by >= 0) (mbX, mbY, bx, by)
+      else if (bx < 0) (mbX - 1, mbY, 3, by)
+      else (mbX, mbY - 1, bx, 3)
+    if (nmx < 0 || nmy < 0) return -1 // unavailable
+    val n = nmy * f.wMbs + nmx
+    if (nmx != mbX || nmy != mbY) {
+      if (!f.mbDecoded(n)) return -1
+      if (!f.mbIsI4x4(n)) return 2
+    }
+    f.predModes(n)(RasterToBlk(nbx + 4 * nby))
+  }
+
+  private def px(f: Frame, x: Int, y: Int): Int = f.luma(y * f.w + x)
+
+  /** Intra 4x4 prediction (8.3.1.2), modes 0-8, into `pred` (16). */
+  private def predict4x4(f: Frame, mode: Int, x0: Int, y0: Int,
+                         leftAvail: Boolean, aboveAvail: Boolean,
+                         aboveRightAvail: Boolean): Array[Int] = {
+    val p = new Array[Int](16)
+    // neighbor samples: l(0..3) left column, t(0..7) top row (+right), tl corner
+    val l = new Array[Int](4)
+    val t = new Array[Int](8)
+    var tl = 0
+    if (leftAvail) { var i = 0; while (i < 4) { l(i) = px(f, x0 - 1, y0 + i); i += 1 } }
+    if (aboveAvail) {
+      var i = 0; while (i < 4) { t(i) = px(f, x0 + i, y0 - 1); i += 1 }
+      if (aboveRightAvail) { i = 4; while (i < 8) { t(i) = px(f, x0 + i, y0 - 1); i += 1 } }
+      else { i = 4; while (i < 8) { t(i) = t(3); i += 1 } }
+    }
+    if (leftAvail && aboveAvail) tl = px(f, x0 - 1, y0 - 1)
+    def set(x: Int, y: Int, v: Int): Unit = p(y * 4 + x) = v
+    mode match {
+      case 0 => // vertical
+        if (!aboveAvail) bad()
+        var y = 0
+        while (y < 4) { var x = 0; while (x < 4) { set(x, y, t(x)); x += 1 }; y += 1 }
+      case 1 => // horizontal
+        if (!leftAvail) bad()
+        var y = 0
+        while (y < 4) { var x = 0; while (x < 4) { set(x, y, l(y)); x += 1 }; y += 1 }
+      case 2 => // DC
+        val v =
+          if (leftAvail && aboveAvail) (l.sum + t.take(4).sum + 4) >> 3
+          else if (leftAvail) (l.sum + 2) >> 2
+          else if (aboveAvail) (t.take(4).sum + 2) >> 2
+          else 128
+        var i = 0
+        while (i < 16) { p(i) = v; i += 1 }
+      case 3 => // diagonal down-left
+        if (!aboveAvail) bad()
+        var y = 0
+        while (y < 4) {
+          var x = 0
+          while (x < 4) {
+            val v =
+              if (x == 3 && y == 3) (t(6) + 3 * t(7) + 2) >> 2
+              else (t(x + y) + 2 * t(x + y + 1) + t(x + y + 2) + 2) >> 2
+            set(x, y, v); x += 1
+          }
+          y += 1
+        }
+      case 4 => // diagonal down-right
+        if (!leftAvail || !aboveAvail) bad()
+        var y = 0
+        while (y < 4) {
+          var x = 0
+          while (x < 4) {
+            val v =
+              if (x > y) (pAt(t, tl, x - y - 2) + 2 * pAt(t, tl, x - y - 1) + t(x - y) + 2) >> 2
+              else if (x < y) (lAt(l, tl, y - x - 2) + 2 * lAt(l, tl, y - x - 1) + l(y - x) + 2) >> 2
+              else (t(0) + 2 * tl + l(0) + 2) >> 2
+            set(x, y, v); x += 1
+          }
+          y += 1
+        }
+      case 5 => // vertical-right
+        if (!leftAvail || !aboveAvail) bad()
+        var y = 0
+        while (y < 4) {
+          var x = 0
+          while (x < 4) {
+            val z = 2 * x - y
+            val v =
+              if (z >= 0 && z % 2 == 0) {
+                val i = x - (y >> 1)
+                (pAt(t, tl, i - 1) + pAt(t, tl, i) + 1) >> 1
+              } else if (z >= 0) {
+                val i = x - (y >> 1)
+                (pAt(t, tl, i - 2) + 2 * pAt(t, tl, i - 1) + pAt(t, tl, i) + 2) >> 2
+              } else if (z == -1) (l(0) + 2 * tl + t(0) + 2) >> 2
+              else (lAt(l, tl, y - 1) + 2 * lAt(l, tl, y - 2) + lAt(l, tl, y - 3) + 2) >> 2
+            set(x, y, v); x += 1
+          }
+          y += 1
+        }
+      case 6 => // horizontal-down
+        if (!leftAvail || !aboveAvail) bad()
+        var y = 0
+        while (y < 4) {
+          var x = 0
+          while (x < 4) {
+            val z = 2 * y - x
+            val v =
+              if (z >= 0 && z % 2 == 0) {
+                val i = y - (x >> 1)
+                (lAt(l, tl, i - 1) + lAt(l, tl, i) + 1) >> 1
+              } else if (z >= 0) {
+                val i = y - (x >> 1)
+                (lAt(l, tl, i - 2) + 2 * lAt(l, tl, i - 1) + lAt(l, tl, i) + 2) >> 2
+              } else if (z == -1) (t(0) + 2 * tl + l(0) + 2) >> 2
+              else (pAt(t, tl, x - 1) + 2 * pAt(t, tl, x - 2) + pAt(t, tl, x - 3) + 2) >> 2
+            set(x, y, v); x += 1
+          }
+          y += 1
+        }
+      case 7 => // vertical-left
+        if (!aboveAvail) bad()
+        var y = 0
+        while (y < 4) {
+          var x = 0
+          while (x < 4) {
+            val i = x + (y >> 1)
+            val v =
+              if (y % 2 == 0) (t(i) + t(i + 1) + 1) >> 1
+              else (t(i) + 2 * t(i + 1) + t(i + 2) + 2) >> 2
+            set(x, y, v); x += 1
+          }
+          y += 1
+        }
+      case 8 => // horizontal-up
+        if (!leftAvail) bad()
+        var y = 0
+        while (y < 4) {
+          var x = 0
+          while (x < 4) {
+            val z = x + 2 * y
+            val v =
+              if (z < 5 && z % 2 == 0) (l(y + (x >> 1)) + l(y + (x >> 1) + 1) + 1) >> 1
+              else if (z < 5) (l(y + (x >> 1)) + 2 * l(y + (x >> 1) + 1) + l(y + (x >> 1) + 2) + 2) >> 2
+              else if (z == 5) (l(2) + 3 * l(3) + 2) >> 2
+              else l(3)
+            set(x, y, v); x += 1
+          }
+          y += 1
+        }
+      case _ => bad()
+    }
+    p
+  }
+
+  /** t-array access with index -1 = the corner sample. */
+  private def pAt(t: Array[Int], tl: Int, i: Int): Int = if (i < 0) tl else t(i)
+  private def lAt(l: Array[Int], tl: Int, i: Int): Int = if (i < 0) tl else l(i)
+
+  /** Intra 16x16 prediction (8.3.3), modes 0-3, into `pred` (256). */
+  private def predict16x16(f: Frame, mode: Int, x0: Int, y0: Int,
+                           leftAvail: Boolean, aboveAvail: Boolean): Array[Int] = {
+    val p = new Array[Int](256)
+    mode match {
+      case 0 => // vertical
+        if (!aboveAvail) bad()
+        var y = 0
+        while (y < 16) {
+          var x = 0
+          while (x < 16) { p(y * 16 + x) = px(f, x0 + x, y0 - 1); x += 1 }
+          y += 1
+        }
+      case 1 => // horizontal
+        if (!leftAvail) bad()
+        var y = 0
+        while (y < 16) {
+          val v = px(f, x0 - 1, y0 + y)
+          var x = 0
+          while (x < 16) { p(y * 16 + x) = v; x += 1 }
+          y += 1
+        }
+      case 2 => // DC
+        var s = 0
+        var n = 0
+        if (aboveAvail) { var x = 0; while (x < 16) { s += px(f, x0 + x, y0 - 1); x += 1 }; n += 16 }
+        if (leftAvail) { var y = 0; while (y < 16) { s += px(f, x0 - 1, y0 + y); y += 1 }; n += 16 }
+        val v = if (n == 32) (s + 16) >> 5 else if (n == 16) (s + 8) >> 4 else 128
+        var i = 0
+        while (i < 256) { p(i) = v; i += 1 }
+      case 3 => // plane
+        if (!leftAvail || !aboveAvail) bad()
+        var hsum = 0
+        var vsum = 0
+        var i = 0
+        while (i < 8) {
+          hsum += (i + 1) * (px(f, x0 + 8 + i, y0 - 1) - px(f, x0 + 6 - i, y0 - 1))
+          vsum += (i + 1) * (px(f, x0 - 1, y0 + 8 + i) - px(f, x0 - 1, y0 + 6 - i))
+          i += 1
+        }
+        val bS = (5 * hsum + 32) >> 6
+        val cS = (5 * vsum + 32) >> 6
+        val a = 16 * (px(f, x0 - 1, y0 + 15) + px(f, x0 + 15, y0 - 1))
+        var y = 0
+        while (y < 16) {
+          var x = 0
+          while (x < 16) {
+            val v = (a + bS * (x - 7) + cS * (y - 7) + 16) >> 5
+            p(y * 16 + x) = math.max(0, math.min(255, v))
+            x += 1
+          }
+          y += 1
+        }
+      case _ => bad()
+    }
+    p
+  }
+
+  private def clip255(v: Int): Int = math.max(0, math.min(255, v))
+
+  /** Decode one slice's macroblocks into the frame. `r` positioned
+    * after the NAL header byte (RBSP).
+    */
+  private def decodeSlice(f: Frame, pps: Pps, r: Br, idr: Boolean): Unit = {
+    val sps = f.sps
+    val firstMb = r.ue()
+    val sliceTypeRaw = r.ue()
+    if (sliceTypeRaw % 5 != 2) bad() // I slices only
+    r.ue() // pps_id
+    r.u(sps.log2MaxFrameNum) // frame_num
+    if (idr) r.ue() // idr_pic_id
+    if (sps.pocType == 0) {
+      r.u(sps.log2MaxPocLsb)
+      if (pps.bottomFieldPoc) r.se() // delta_pic_order_cnt_bottom
+    } else if (sps.pocType == 1) bad() // needs SPS cycle arrays; out of scope
+    if (pps.redundantPicCnt) r.ue()
+    // I slice: no ref lists; dec_ref_pic_marking for IDR
+    if (idr) { r.u(1); r.u(1) } // no_output_of_prior / long_term_reference
+    var qp = pps.picInitQp + r.se() // slice_qp_delta
+    if (pps.deblockCtrl) {
+      val idc = r.ue()
+      if (idc != 1) { r.se(); r.se() } // alpha/beta offsets (filter skipped)
+    }
+    val nMbs = f.wMbs * f.hMbs
+    var mbAddr = firstMb
+    if (mbAddr < 0 || mbAddr >= nMbs) bad()
+    var more = true
+    while (more && mbAddr < nMbs) {
+      decodeMb(f, r, mbAddr, qpIn = qp, setQp = q => qp = q)
+      mbAddr += 1
+      // more_rbsp_data: stop at (or past) the trailing stop bit
+      more = hasMoreRbsp(r)
+    }
+  }
+
+  /** more_rbsp_data(): true iff bits remain BEFORE the
+    * rbsp_stop_one_bit, which is the last 1-bit of the stream — when
+    * the next unread bit IS the stop bit (or nothing is left), the
+    * slice body is over.
+    */
+  private def hasMoreRbsp(r: Br): Boolean = {
+    if (r.bitsLeft <= 0) return false
+    var last1 = -1
+    var i = r.b.length * 8 - 1
+    while (i >= r.pos && last1 < 0) {
+      if (((r.b(i >> 3) >> (7 - (i & 7))) & 1) == 1) last1 = i
+      i -= 1
+    }
+    last1 > r.pos
+  }
+
+  /** One macroblock_layer + decode (I slices). */
+  private def decodeMb(f: Frame, r: Br, mbAddr: Int, qpIn: Int,
+                      setQp: Int => Unit): Unit = {
+    var qp = qpIn
+    val mbX = mbAddr % f.wMbs
+    val mbY = mbAddr / f.wMbs
+    val x0 = mbX * 16
+    val y0 = mbY * 16
+    val idx = mbAddr
+    val mbType = r.ue()
+    val leftMb = if (mbX > 0 && f.mbDecoded(idx - 1)) true else false
+    val aboveMb = if (mbY > 0 && f.mbDecoded(idx - f.wMbs)) true else false
+    val aboveRightMb = mbX + 1 < f.wMbs && mbY > 0 && f.mbDecoded(idx - f.wMbs + 1)
+
+    if (mbType == 25) { // I_PCM
+      r.byteAlign()
+      var i = 0
+      while (i < 256) {
+        f.luma(((y0 + (i >> 4)) * f.w) + x0 + (i & 15)) = r.u(8)
+        i += 1
+      }
+      i = 0
+      while (i < 128) { r.u(8); i += 1 } // chroma samples, discarded
+      java.util.Arrays.fill(f.lumaNz(idx), 16)
+      java.util.Arrays.fill(f.chromaNz(idx), 16)
+      java.util.Arrays.fill(f.predModes(idx), 2)
+      f.mbIsI4x4(idx) = false
+      f.mbDecoded(idx) = true
+      return
+    }
+    if (mbType > 25) bad()
+
+    val isI4x4 = mbType == 0
+    var i16PredMode = 0
+    var cbpLuma = 0
+    var cbpChroma = 0
+    val modes = new Array[Int](16)
+
+    if (isI4x4) {
+      var b = 0
+      while (b < 16) {
+        val bx = Blk4x4X(b)
+        val by = Blk4x4Y(b)
+        val mA = neighborMode(f, mbX, mbY, bx - 1, by)
+        val mB = neighborMode(f, mbX, mbY, bx, by - 1)
+        val pred = if (mA < 0 || mB < 0) 2 else math.min(mA, mB)
+        val mode =
+          if (r.u(1) == 1) pred
+          else { val rem = r.u(3); if (rem < pred) rem else rem + 1 }
+        modes(b) = mode
+        f.predModes(idx)(b) = mode
+        b += 1
+      }
+      r.ue() // intra_chroma_pred_mode
+      val cbpCode = r.ue()
+      if (cbpCode >= 48) bad()
+      val cbp = CbpIntra(cbpCode)
+      cbpLuma = cbp & 15
+      cbpChroma = cbp >> 4
+    } else {
+      val k = mbType - 1
+      cbpLuma = if (k >= 12) 15 else 0
+      val k2 = k % 12
+      cbpChroma = k2 / 4
+      i16PredMode = k2 % 4
+      r.ue() // intra_chroma_pred_mode
+    }
+    if (cbpChroma > 2) bad()
+
+    if (cbpLuma > 0 || cbpChroma > 0 || !isI4x4) {
+      val delta = r.se()
+      if (delta < -26 || delta > 25) bad()
+      qp = (qp + delta + 52) % 52 // 8-bit: QpBdOffsetY = 0 (7.4.5)
+      setQp(qp)
+    }
+
+    f.mbIsI4x4(idx) = isI4x4
+
+    val coeffs = new Array[Int](16)
+
+    if (isI4x4) {
+      var b = 0
+      while (b < 16) {
+        val bx = Blk4x4X(b)
+        val by = Blk4x4Y(b)
+        val bx0 = x0 + bx * 4
+        val by0 = y0 + by * 4
+        val blkLeftAvail = bx > 0 || leftMb
+        val blkAboveAvail = by > 0 || aboveMb
+        // above-right availability (8.3.1.2 / clause 6 neighbor rules):
+        // within the MB only blocks whose right neighbor sits on the
+        // row above are eligible; across the top edge the above(-right)
+        // MB decides; blocks 3/7/11/13/15 + right-column cases resolve
+        // to "already decoded?" in raster scan of 4x4 blocks
+        val blkAboveRightAvail: Boolean = {
+          val gx = mbX * 4 + bx + 1 // 4x4-grid coords of the block above-right
+          val gy = mbY * 4 + by - 1
+          if (gx >= f.wMbs * 4 || gy < 0) false
+          else {
+            val nMbX = gx / 4
+            val nMbY = gy / 4
+            if (nMbX == mbX && nMbY == mbY) {
+              // same MB: available iff that block was decoded before b
+              RasterToBlk((gx - mbX * 4) + 4 * (gy - mbY * 4)) < b
+            } else if (nMbY < mbY || (nMbY == mbY && nMbX < mbX)) {
+              f.mbDecoded(nMbY * f.wMbs + nMbX)
+            } else false
+          }
+        }
+        val pred = predict4x4(f, modes(b), bx0, by0,
+          blkLeftAvail, blkAboveAvail, blkAboveRightAvail)
+        var nz = 0
+        java.util.Arrays.fill(coeffs, 0)
+        if ((cbpLuma & (1 << (b >> 2))) != 0) {
+          val nC = nCOf(lumaNzLeft(f, mbX, mbY, bx, by),
+            lumaNzAbove(f, mbX, mbY, bx, by))
+          val scan = new Array[Int](16)
+          nz = residualBlock(r, nC, 16, scan, 0)
+          var s = 0
+          while (s < 16) { coeffs(ZigZag4x4(s)) = scan(s); s += 1 }
+          dequant4x4(coeffs, qp, skipDc = false)
+          inverseTransform4x4(coeffs)
+        }
+        f.lumaNz(idx)(b) = nz
+        var yy = 0
+        while (yy < 4) {
+          var xx = 0
+          while (xx < 4) {
+            val res = if (nz > 0) coeffs(yy * 4 + xx) else 0
+            f.luma((by0 + yy) * f.w + bx0 + xx) = clip255(pred(yy * 4 + xx) + res)
+            xx += 1
+          }
+          yy += 1
+        }
+        b += 1
+      }
+    } else {
+      // I_16x16: predict whole MB, then DC + optional AC residuals
+      val pred = predict16x16(f, i16PredMode, x0, y0, leftMb, aboveMb)
+      val dcScan = new Array[Int](16)
+      val nCdc = nCOf(lumaNzLeft(f, mbX, mbY, 0, 0),
+        lumaNzAbove(f, mbX, mbY, 0, 0))
+      residualBlock(r, nCdc, 16, dcScan, 0)
+      val dcRaster = new Array[Int](16)
+      var s = 0
+      while (s < 16) { dcRaster(ZigZag4x4(s)) = dcScan(s); s += 1 }
+      val dc = lumaDcTransform(dcRaster, qp)
+      var b = 0
+      while (b < 16) {
+        val bx = Blk4x4X(b)
+        val by = Blk4x4Y(b)
+        val bx0 = x0 + bx * 4
+        val by0 = y0 + by * 4
+        java.util.Arrays.fill(coeffs, 0)
+        var nz = 0
+        if ((cbpLuma & (1 << (b >> 2))) != 0) {
+          val nC = nCOf(lumaNzLeft(f, mbX, mbY, bx, by),
+            lumaNzAbove(f, mbX, mbY, bx, by))
+          val scan = new Array[Int](16)
+          nz = residualBlock(r, nC, 15, scan, 1)
+          var t = 1
+          while (t < 16) { coeffs(ZigZag4x4(t)) = scan(t); t += 1 }
+          dequant4x4(coeffs, qp, skipDc = true)
+        }
+        f.lumaNz(idx)(b) = nz
+        coeffs(0) = dc(by * 4 + bx)
+        inverseTransform4x4(coeffs)
+        var yy = 0
+        while (yy < 4) {
+          var xx = 0
+          while (xx < 4) {
+            f.luma((by0 + yy) * f.w + bx0 + xx) =
+              clip255(pred((by * 4 + yy) * 16 + bx * 4 + xx) + coeffs(yy * 4 + xx))
+            xx += 1
+          }
+          yy += 1
+        }
+        b += 1
+      }
+      java.util.Arrays.fill(f.predModes(idx), 2)
+    }
+
+    // chroma residuals: parsed for bit position only (4:2:0)
+    if (cbpChroma > 0) {
+      val scan = new Array[Int](16)
+      var comp = 0
+      while (comp < 2) { // DC 2x2 blocks, nC = -1
+        residualBlock(r, -1, 4, scan, 0)
+        comp += 1
+      }
+      if (cbpChroma == 2) {
+        comp = 0
+        while (comp < 2) {
+          var b = 0
+          while (b < 4) {
+            val bx = b & 1
+            val by = b >> 1
+            val nC = nCOf(chromaNz(f, mbX, mbY, comp, bx - 1, by),
+              chromaNz(f, mbX, mbY, comp, bx, by - 1))
+            val nz = residualBlock(r, nC, 15, scan, 1)
+            f.chromaNz(idx)(comp * 4 + b) = nz
+            b += 1
+          }
+          comp += 1
+        }
+      }
+    }
+    f.mbDecoded(idx) = true
+  }
+
+  // -------------------------------------------------- public entries
+
+  /** Decode the luma plane of an IDR/I frame from raw NAL units
+    * (without start codes / length prefixes): requires one SPS, one
+    * PPS, and ≥ 1 I/IDR slice NAL covering the frame. Returns
+    * (cropped row-major [0,255] doubles, w, h) or null.
+    */
+  def decodeIdrLumaOrNull(nals: Seq[Array[Byte]]): (Array[Double], Int, Int) = {
+    try {
+      var sps: Sps = null
+      var pps: Pps = null
+      val slices = scala.collection.mutable.ArrayBuffer[(Array[Byte], Boolean)]()
+      nals.foreach { nal =>
+        if (nal != null && nal.length >= 1) {
+          (nal(0) & 0x1F) match {
+            case 7 => if (sps == null) sps = parseSpsDecode(nal)
+            case 8 => if (pps == null) pps = parsePpsDecode(nal)
+            case 5 => slices += ((nal, true))
+            case 1 => slices += ((nal, false))
+            case _ => ()
+          }
+        }
+      }
+      if (sps == null || pps == null || slices.isEmpty) return null
+      if (sps.widthMbs * sps.heightMbs > (1 << 16)) return null // 16M px cap
+      val f = new Frame(sps)
+      slices.foreach { case (nal, idr) =>
+        decodeSlice(f, pps, new Br(rbsp(nal, 1)), idr)
+      }
+      if (!f.mbDecoded.forall(identity)) return null // frame not covered
+      val w = f.w - sps.cropL - sps.cropR
+      val h = f.h - sps.cropT - sps.cropB
+      val out = new Array[Double](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          out(y * w + x) = f.luma((y + sps.cropT) * f.w + x + sps.cropL).toDouble
+          x += 1
+        }
+        y += 1
+      }
+      (out, w, h)
+    } catch {
+      case _: Malformed => null
+      case scala.util.control.NonFatal(_) => null
+    }
+  }
+
+  /** avcC record → (lengthSize, spsNal, ppsNal) or null. */
+  private def parseAvcc(b: Array[Byte], as: Int, ae: Int): (Int, Array[Byte], Array[Byte]) = {
+    if (ae - as < 7) return null
+    val lengthSize = (b(as + 4) & 3) + 1
+    val numSps = b(as + 5) & 0x1F
+    if (numSps < 1) return null
+    var off = as + 6
+    var sps: Array[Byte] = null
+    var i = 0
+    while (i < numSps) {
+      if (off + 2 > ae) return null
+      val len = ((b(off) & 0xFF) << 8) | (b(off + 1) & 0xFF)
+      off += 2
+      if (off + len > ae) return null
+      if (sps == null) sps = java.util.Arrays.copyOfRange(b, off, off + len)
+      off += len
+      i += 1
+    }
+    if (off >= ae) return null
+    val numPps = b(off) & 0xFF
+    off += 1
+    var pps: Array[Byte] = null
+    i = 0
+    while (i < numPps) {
+      if (off + 2 > ae) return null
+      val len = ((b(off) & 0xFF) << 8) | (b(off + 1) & 0xFF)
+      off += 2
+      if (off + len > ae) return null
+      if (pps == null) pps = java.util.Arrays.copyOfRange(b, off, off + len)
+      off += len
+      i += 1
+    }
+    if (sps == null || pps == null) null else (lengthSize, sps, pps)
+  }
+
+  /** First keyframe's luma plane straight out of an MP4: avcC gives
+    * SPS/PPS + NAL length size, stss∘stsz/stsc/stco gives the sample,
+    * the sample's length-prefixed NALs feed [[decodeIdrLumaOrNull]].
+    * Null for non-MP4 payloads, non-AVC tracks, or streams outside
+    * the baseline subset — never a throw.
+    */
+  def mp4KeyframeLumaOrNull(bytes: Array[Byte]): (Array[Double], Int, Int) = {
+    try {
+      if (bytes == null || bytes.length < 16 || Bmff.tag(bytes, 4) != "ftyp")
+        return null
+      // avcC of the first avc1/avc3 track
+      val moov = Bmff.find(bytes, 0, bytes.length, "moov").getOrElse(return null)
+      var cfg: (Int, Array[Byte], Array[Byte]) = null
+      Bmff.children(bytes, moov._1, moov._2).foreach {
+        case ("trak", ts, te) if cfg == null =>
+          for {
+            mdia <- Bmff.find(bytes, ts, te, "mdia")
+            minf <- Bmff.find(bytes, mdia._1, mdia._2, "minf")
+            stbl <- Bmff.find(bytes, minf._1, minf._2, "stbl")
+            stsd <- Bmff.find(bytes, stbl._1, stbl._2, "stsd")
+            entry <- Bmff.children(bytes, stsd._1 + 8, stsd._2)
+              .find(e => e._1 == "avc1" || e._1 == "avc3")
+            c <- Bmff.find(bytes, entry._2 + 78, entry._3, "avcC")
+          } cfg = parseAvcc(bytes, c._1.toInt, c._2.toInt)
+        case _ => ()
+      }
+      if (cfg == null) return null
+      val (lengthSize, spsNal, ppsNal) = cfg
+      val spans = Avc.syncSpansOrNull(bytes, 1)
+      if (spans == null || spans.isEmpty) return null
+      val (off, size) = spans(0)
+      if (off < 0 || size <= 0 || off + size > bytes.length) return null
+      // the sample is a run of length-prefixed NALs filling exactly
+      // its stsz span — multi-slice keyframes decode whole
+      val nals = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+      var p = off.toInt
+      val end = (off + size).toInt
+      while (p + lengthSize <= end) {
+        var len = 0L
+        var i = 0
+        while (i < lengthSize) { len = (len << 8) | (bytes(p + i) & 0xFF); i += 1 }
+        if (len <= 0 || p + lengthSize + len > end) return null
+        nals += java.util.Arrays.copyOfRange(bytes, p + lengthSize,
+          (p + lengthSize + len).toInt)
+        p += (lengthSize + len).toInt
+      }
+      if (nals.isEmpty) return null
+      decodeIdrLumaOrNull(Seq(spsNal, ppsNal) ++ nals.toSeq)
+    } catch {
+      case _: Malformed => null
+      case scala.util.control.NonFatal(_) => null
+    }
+  }
+
+  /** Keyframe thumbnail on the [[Images]] gray contract. */
+  def keyframeThumbOrNull(bytes: Array[Byte], tw: Int, th: Int): Array[Double] = {
+    val p = mp4KeyframeLumaOrNull(bytes)
+    if (p == null) null else Images.resizeGray(p._1, p._2, p._3, tw, th)
+  }
+
+  /** Keyframe 64-bit dHash (9×8 + adjacent compare — the
+    * [[Images.dhash64OrNull]] convention), composing with the q84p
+    * band-join pair stage for video near-dup.
+    */
+  def keyframeDhashOrNull(bytes: Array[Byte]): java.lang.Long = {
+    val t = keyframeThumbOrNull(bytes, 9, 8)
+    if (t == null) return null
+    var hash = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (t(y * 9 + x) > t(y * 9 + x + 1)) hash |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    java.lang.Long.valueOf(hash)
+  }
+}

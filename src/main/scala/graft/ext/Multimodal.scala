@@ -130,9 +130,11 @@ object Multimodal {
     * overwhelmingly common layout, via codegen substring) + the
     * [[graft.fn.Mp4Meta]] box walk (timescale, duration, track
     * count). MJPEG tracks additionally decode REAL frames
-    * ([[withMjpegFrames]]); inter-coded tracks (H.264) stay behind
-    * the stub/chunk-sampler for PIXELS — their decode needs codecs
-    * this container does not ship — but their metadata is fully real:
+    * ([[withMjpegFrames]]); baseline H.264 tracks decode their
+    * KEYFRAMES for real ([[H264]], [[withKeyframeDhash]]) while
+    * inter-coded frames stay behind the stub/chunk-sampler for
+    * PIXELS — a full inter decoder (motion compensation, reference
+    * lists) remains out of proportion — and metadata is fully real:
     * [[graft.fn.Mp4AvcMeta]] surfaces SPS-derived resolution/profile
     * and [[graft.fn.Mp4SyncOffsets]] the keyframe byte index, like
     * PNG's IHDR and WAV's fmt.
@@ -306,4 +308,32 @@ object Multimodal {
         substring(c, col("chunk_idx") * chunkBytes + 1, lit(chunkBytes)))
       .drop(contentCol)
   }
+  /** Keyframe dHash column for H.264-in-MP4 payloads — REAL pixels
+    * from the round-8 baseline I-frame decoder ([[H264]]): avcC
+    * SPS/PPS + first stss sample → CAVLC + intra prediction → luma →
+    * 9×8 dHash. Null rows (non-AVC, out-of-subset streams) keep the
+    * metadata-only contract documented on [[withMp4Meta]].
+    */
+  def withKeyframeDhash(assets: DataFrame, contentCol: String = "content"): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    assets.withColumn("kf_dhash",
+      gb.column(graft.fn.Mp4KeyframeDhash64(gb.expression(col(contentCol)))))
+  }
+
+  /** Video near-duplicate pairs over keyframe dHashes — the SAME
+    * band-join pair stage the image family uses
+    * ([[Images.nearDupPairsFromHashes]], q84p's oracle-gated shape):
+    * decode swaps from PNG/JPEG to the H.264 keyframe, everything
+    * after the hash is shared. Undecodable rows drop out (no
+    * evidence either way).
+    */
+  def nearDupVideoPairs(assets: DataFrame, idCol: String,
+                        maxHamming: Int = 3, bands: Int = 4,
+                        contentCol: String = "content"): DataFrame =
+    Images.nearDupPairsFromHashes(
+      withKeyframeDhash(assets, contentCol)
+        .where(col("kf_dhash").isNotNull)
+        .select(col(idCol).as("id"), col("kf_dhash").as("dhash")),
+      maxHamming, bands)
+
 }

@@ -145,3 +145,77 @@ case class Mp4SyncOffsets(child: Expression, maxN: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** SQL `mp4_keyframe_thumb(content, tw, th)` — the FIRST keyframe of
+  * a baseline H.264 track decoded to a tw×th luma thumbnail
+  * ([[graft.ext.H264.keyframeThumbOrNull]]: avcC SPS/PPS + stss
+  * sample → CAVLC + intra-prediction I-frame decode → the
+  * [[graft.ext.Images]] box-filter resize). Null for non-MP4
+  * payloads, non-AVC tracks, or streams outside the baseline I-frame
+  * subset — the boundary [[graft.ext.H264]] documents.
+  */
+case class Mp4KeyframeThumb(child: Expression, tw: Int, th: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(tw >= 1 && th >= 1, s"thumbnail dims must be >= 1, got ${tw}x$th")
+  require(tw.toLong * th <= (1L << 20), s"thumbnail ${tw}x$th exceeds the 1M-px cap")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "mp4_keyframe_thumb"
+
+  override protected def nullSafeEval(bytes: Any): Any = {
+    val f = graft.ext.H264.keyframeThumbOrNull(
+      bytes.asInstanceOf[Array[Byte]], tw, th)
+    if (f == null) null else new GenericArrayData(f)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, bytes =>
+      s"""
+         |double[] ${ev.value}_f = graft.ext.H264.keyframeThumbOrNull($bytes, $tw, $th);
+         |if (${ev.value}_f == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(${ev.value}_f);
+         |}
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** SQL `mp4_keyframe_dhash64(content)` — 64-bit perceptual dHash of
+  * the first decodable keyframe (9×8 luma + adjacent compare, the
+  * [[graft.ext.Images.dhash64OrNull]] convention) — video near-dup
+  * composes with the SAME `hamming64` band-join pair stage the image
+  * family (q84/q84p) uses.
+  */
+case class Mp4KeyframeDhash64(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "mp4_keyframe_dhash64"
+
+  override protected def nullSafeEval(bytes: Any): Any = {
+    val h = graft.ext.H264.keyframeDhashOrNull(bytes.asInstanceOf[Array[Byte]])
+    if (h == null) null else h.longValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, bytes =>
+      s"""
+         |java.lang.Long ${ev.value}_h = graft.ext.H264.keyframeDhashOrNull($bytes);
+         |if (${ev.value}_h == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}_h.longValue();
+         |}
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

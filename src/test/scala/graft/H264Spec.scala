@@ -1,0 +1,393 @@
+package graft
+
+import graft.ext.H264
+import org.scalatest.funsuite.AnyFunSuite
+
+/** H.264 baseline I-frame luma decoder: structural verification of
+  * the CAVLC code tables (prefix-free everywhere; Kraft-complete for
+  * the tables the spec defines as complete codes), then per-pixel
+  * goldens on hand-built bitstreams — every fixture is written bit by
+  * bit per the spec syntax in this file, with expected pixels derived
+  * BY HAND from the prediction/transform equations, so decoder and
+  * fixture cannot share an error in the reconstruction math.
+  * Deblocking is off in every fixture (disable_deblocking_filter_idc
+  * = 1), where skipping the loop filter is exact.
+  */
+class H264Spec extends AnyFunSuite {
+
+  // ------------------------------------------------ VLC structure
+
+  private def pairs(v: H264.Vlc): Seq[(Int, Int)] =
+    v.lens.zip(v.codes).toSeq
+
+  private def assertPrefixFree(name: String, v: H264.Vlc): Unit = {
+    val ps = pairs(v)
+    assert(ps.distinct.size === ps.size, s"$name: duplicate codes")
+    for (Seq((l1, c1), (l2, c2)) <- ps.combinations(2)) {
+      val (sl, sc, ll, lc) = if (l1 <= l2) (l1, c1, l2, c2) else (l2, c2, l1, c1)
+      assert(!(sl < ll && (lc >> (ll - sl)) == sc) && (sl != ll || sc != lc),
+        s"$name: ${sc.toBinaryString}/$sl prefixes ${lc.toBinaryString}/$ll")
+    }
+  }
+
+  private def kraft(v: H264.Vlc): Double =
+    v.lens.map(l => math.pow(2, -l)).sum
+
+  test("coeff_token tables: prefix-free, 62 symbols each, chroma-DC complete") {
+    for ((n, t) <- Seq("vlc0" -> H264.CoeffToken0, "vlc1" -> H264.CoeffToken1,
+        "vlc2" -> H264.CoeffToken2)) {
+      assertPrefixFree(n, t)
+      assert(t.syms.length === 62, n)
+      assert(kraft(t) <= 1.0 + 1e-12, n)
+      // all (TrailingOnes <= min(3, TotalCoeff), TotalCoeff <= 16) present
+      assert(t.syms.toSet.size === 62, n)
+    }
+    assertPrefixFree("chromaDC", H264.CoeffTokenChromaDc)
+    assert(math.abs(kraft(H264.CoeffTokenChromaDc) - 1.0) < 1e-12)
+  }
+
+  test("total_zeros tables: prefix-free, complete where the spec's code is complete") {
+    for (tc <- 1 to 15) {
+      val t = H264.TotalZeros4x4(tc)
+      assertPrefixFree(s"tz$tc", t)
+      assert(t.syms.toSeq.sorted === (0 to 16 - tc), s"tz$tc symbol range")
+      if (tc >= 2) assert(math.abs(kraft(t) - 1.0) < 1e-12, s"tz$tc kraft")
+    }
+    for (tc <- 1 to 3) {
+      val t = H264.TotalZerosChromaDc(tc)
+      assertPrefixFree(s"ctz$tc", t)
+      assert(t.syms.toSeq.sorted === (0 to 4 - tc))
+      assert(math.abs(kraft(t) - 1.0) < 1e-12, s"ctz$tc kraft")
+    }
+    for (zl <- 1 to 6) {
+      val t = H264.RunBefore(zl)
+      assertPrefixFree(s"rb$zl", t)
+      assert(t.syms.toSeq.sorted === (0 to zl))
+      assert(math.abs(kraft(t) - 1.0) < 1e-12, s"rb$zl kraft")
+    }
+  }
+
+  // ------------------------------------------------ bit-level writer
+
+  private final class Bw {
+    private val bits = scala.collection.mutable.ArrayBuffer[Int]()
+    def u(v: Int, n: Int): this.type = {
+      var i = n - 1
+      while (i >= 0) { bits += ((v >> i) & 1); i -= 1 }
+      this
+    }
+    def ue(v: Int): this.type = {
+      val code = v + 1
+      val len = 32 - Integer.numberOfLeadingZeros(code)
+      u(0, len - 1); u(code, len)
+    }
+    def se(v: Int): this.type = ue(if (v <= 0) -2 * v else 2 * v - 1)
+    def bitsStr(s: String): this.type = { s.foreach(c => bits += (c - '0')); this }
+    def align(): this.type = { while (bits.size % 8 != 0) bits += 0; this }
+    def raw(b: Int): this.type = u(b & 0xFF, 8)
+    def stop(): this.type = { bits += 1; align() }
+    def bytes(): Array[Byte] = {
+      val out = new Array[Byte](bits.size / 8)
+      for (i <- bits.indices)
+        if (bits(i) == 1) out(i / 8) = (out(i / 8) | (1 << (7 - (i % 8)))).toByte
+      out
+    }
+  }
+
+  /** Baseline SPS NAL: widthMbs x heightMbs, poc type 2, no crop. */
+  private def sps(widthMbs: Int, heightMbs: Int): Array[Byte] = {
+    val w = new Bw
+    w.u(0x67, 8) // NAL header: ref_idc 3, type 7
+    w.u(66, 8).u(0, 8).u(10, 8) // baseline, no constraints, level 1
+    w.ue(0) // sps_id
+    w.ue(0) // log2_max_frame_num_minus4
+    w.ue(2) // pic_order_cnt_type = 2 (no more poc fields)
+    w.ue(1) // max_num_ref_frames
+    w.u(0, 1) // gaps_in_frame_num_value_allowed
+    w.ue(widthMbs - 1).ue(heightMbs - 1)
+    w.u(1, 1) // frame_mbs_only
+    w.u(1, 1) // direct_8x8_inference
+    w.u(0, 1) // frame_cropping
+    w.u(0, 1) // vui_parameters_present
+    w.stop()
+    w.bytes()
+  }
+
+  /** CAVLC PPS NAL with deblocking control present. */
+  private def pps(): Array[Byte] = {
+    val w = new Bw
+    w.u(0x68, 8)
+    w.ue(0).ue(0) // pps_id, sps_id
+    w.u(0, 1) // entropy_coding_mode = CAVLC
+    w.u(0, 1) // bottom_field_pic_order_in_frame_present
+    w.ue(0) // num_slice_groups_minus1
+    w.ue(0).ue(0) // num_ref_idx defaults
+    w.u(0, 1).u(0, 2) // weighted_pred, weighted_bipred
+    w.se(0).se(0).se(0) // pic_init_qp/qs_minus26, chroma_qp_offset
+    w.u(1, 1) // deblocking_filter_control_present
+    w.u(0, 1) // constrained_intra_pred
+    w.u(0, 1) // redundant_pic_cnt_present
+    w.stop()
+    w.bytes()
+  }
+
+  /** IDR slice NAL: header (QP 26, deblocking OFF), then `body` bits,
+    * then the rbsp stop bit.
+    */
+  private def idrSlice(body: Bw => Unit): Array[Byte] = {
+    val w = new Bw
+    w.u(0x65, 8) // NAL: ref_idc 3, type 5 (IDR)
+    w.ue(0) // first_mb_in_slice
+    w.ue(7) // slice_type = I (all slices)
+    w.ue(0) // pps_id
+    w.u(0, 4) // frame_num (log2 = 4)
+    w.ue(0) // idr_pic_id
+    w.u(0, 1).u(0, 1) // dec_ref_pic_marking
+    w.se(0) // slice_qp_delta → QP 26
+    w.ue(1) // disable_deblocking_filter_idc = 1 (filter OFF)
+    body(w)
+    w.stop()
+    w.bytes()
+  }
+
+  private def decode(spsNal: Array[Byte], s: Array[Byte]): (Array[Double], Int, Int) =
+    H264.decodeIdrLumaOrNull(Seq(spsNal, pps(), s))
+
+  // --------------------------------------------------- goldens
+
+  test("I_PCM: raw samples come back byte-exact") {
+    val pcm = Array.tabulate(256)(i => (i * 7 + 13) & 0xFF)
+    val slice = idrSlice { w =>
+      w.ue(25) // mb_type = I_PCM
+      w.align()
+      pcm.foreach(w.raw)
+      (0 until 128).foreach(_ => w.raw(0x80)) // chroma, discarded
+    }
+    val got = decode(sps(1, 1), slice)
+    assert(got != null)
+    val (g, w, h) = got
+    assert(w === 16 && h === 16)
+    for (i <- 0 until 256) assert(g(i) === pcm(i).toDouble, s"px $i")
+  }
+
+  test("I_16x16 DC prediction, no residual: flat 128") {
+    val slice = idrSlice { w =>
+      w.ue(3) // mb_type: I_16x16, pred DC(2), cbp 0/0
+      w.ue(0) // intra_chroma_pred_mode
+      w.se(0) // mb_qp_delta
+      w.bitsStr("1") // Intra16x16DCLevel: coeff_token TC=0 (nC=0)
+    }
+    val got = decode(sps(1, 1), slice)
+    assert(got != null)
+    assert(got._1.forall(_ === 128.0))
+  }
+
+  test("I_16x16 DC + single DC level 6 at QP 26: flat 133 (hand-derived)") {
+    // DC level +6: coeff_token(TC=1,T1=0) "000101", level_prefix 8
+    // zeros then 1 → levelCode 8+2(first-coeff adjust)=10 → +6,
+    // total_zeros(tc=1)=0 → "1". Hadamard of flat DC 6 → 6 each;
+    // dc = (6·13)<<(26/6−2) = 312; residual = (312+32)>>6 = 5 → 133.
+    val slice = idrSlice { w =>
+      w.ue(3).ue(0).se(0)
+      w.bitsStr("000101").bitsStr("000000001").bitsStr("1")
+    }
+    val got = decode(sps(1, 1), slice)
+    assert(got != null)
+    assert(got._1.forall(_ === 133.0), got._1.take(4).toSeq.toString)
+  }
+
+  test("I_4x4 horizontal prediction across an MB edge from an I_PCM neighbor") {
+    // MB0 I_PCM with luma(x,y) = 8y + x; MB1 I_4x4 all-horizontal:
+    // every row y of MB1 = MB0's right column sample 8y + 15
+    val slice = idrSlice { w =>
+      w.ue(25).align()
+      for (y <- 0 until 16; x <- 0 until 16) w.raw(8 * y + x)
+      (0 until 128).foreach(_ => w.raw(0x80))
+      w.ue(0) // MB1 mb_type = I_4x4
+      // coded block order pred-mode bits (derived in-comment):
+      // blocks 0,1,4,5 (top row / pred=DC) send rem=1; the rest
+      // have a mode-1 neighbor pair → prev_flag
+      val rem = "0001" // prev=0, rem_intra4x4_pred_mode=1 (3 bits)
+      val prev = "1"
+      Seq(rem, rem, prev, prev, rem, rem, prev, prev,
+        prev, prev, prev, prev, prev, prev, prev, prev).foreach(w.bitsStr)
+      w.ue(0) // intra_chroma_pred_mode
+      w.ue(3) // cbp me(v): CbpIntra(3) = 0
+    }
+    val got = decode(sps(2, 1), slice)
+    assert(got != null)
+    val (g, w, h) = got
+    assert(w === 32 && h === 16)
+    for (y <- 0 until 16; x <- 0 until 16)
+      assert(g(y * 32 + x) === (8 * y + x).toDouble, s"MB0 ($x,$y)")
+    for (y <- 0 until 16; x <- 16 until 32)
+      assert(g(y * 32 + x) === (8 * y + 15).toDouble, s"MB1 ($x,$y)")
+  }
+
+  test("I_4x4 DC with a CAVLC residual (T1 + level, run placement): hand-derived pixels") {
+    // cbp luma bit 0 → residuals in coded blocks 0-3. Block 0:
+    // TC=2,T1=1 "000100", T1 sign "1" (−1), level prefix "1" →
+    // levelCode 0+2 → +2, total_zeros(tc=2)=0 "111", no run bits.
+    // scan: [+2 (DC), −1 (0,1)]. Dequant QP26: 2·13<<4 = 416,
+    // −1·16<<4 = −256 → row0 [160,288,544,672] → residual columns
+    // (v+32)>>6 = [3,5,9,11]; pred 128 → rows [131,133,137,139].
+    val slice = idrSlice { w =>
+      w.ue(0) // I_4x4
+      (0 until 16).foreach(_ => w.bitsStr("1")) // all prev → DC mode
+      w.ue(0) // intra_chroma_pred_mode
+      w.ue(29) // cbp me(v): CbpIntra(29) = 1 (luma 8x8 #0)
+      w.se(0) // mb_qp_delta
+      w.bitsStr("000100").bitsStr("1").bitsStr("1").bitsStr("111") // block 0
+      w.bitsStr("11") // block 1: nC=2 → TC=0
+      w.bitsStr("11") // block 2: nC=2 → TC=0
+      w.bitsStr("1") // block 3: nC=0 → TC=0
+    }
+    val got = decode(sps(1, 1), slice)
+    assert(got != null)
+    val g = got._1
+    // block 0 (0,0)-(3,3): rows all [131,133,137,139]
+    for (y <- 0 until 4; x <- 0 until 4)
+      assert(g(y * 16 + x) === Seq(131.0, 133.0, 137.0, 139.0)(x), s"b0 ($x,$y)")
+    // block 1 (4..7,0..3): DC of block0's right column (139) → 139
+    for (y <- 0 until 4; x <- 4 until 8)
+      assert(g(y * 16 + x) === 139.0, s"b1 ($x,$y)")
+    // block 2 (0..3,4..7): DC of block0's bottom row → (540+2)>>2 = 135
+    for (y <- 4 until 8; x <- 0 until 4)
+      assert(g(y * 16 + x) === 135.0, s"b2 ($x,$y)")
+    // block 3 (4..7,4..7): DC of 135-col + 139-row → 1100>>3 = 137
+    for (y <- 4 until 8; x <- 4 until 8)
+      assert(g(y * 16 + x) === 137.0, s"b3 ($x,$y)")
+  }
+
+  // --------------------------------------------- container + fuzz
+
+  private def be32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def be16(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def box(tag: String, payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatten.toArray
+    be32(body.length + 8L) ++ tag.getBytes("US-ASCII") ++ body
+  }
+
+  /** avcC with SPS AND PPS + a single-sample video track whose mdat
+    * holds the length-prefixed slice NAL.
+    */
+  private def mp4(spsNal: Array[Byte], ppsNal: Array[Byte],
+                  slice: Array[Byte]): Array[Byte] = {
+    val avcc = box("avcC", Array[Byte](1), spsNal.slice(1, 2), Array[Byte](0),
+      spsNal.slice(3, 4), Array(0xFF.toByte) /* lengthSize 4 */,
+      Array(0xE1.toByte), be16(spsNal.length), spsNal,
+      Array[Byte](1), be16(ppsNal.length), ppsNal)
+    val sample = be32(slice.length.toLong) ++ slice
+    val ftyp = box("ftyp", "isom".getBytes, be32(0x200), "isomiso2".getBytes)
+    val mdatOff = ftyp.length + 8L
+    val stsd = box("stsd", be32(0), be32(1),
+      box("avc1", new Array[Byte](78), avcc))
+    val stsz = box("stsz", be32(0), be32(0), be32(1), be32(sample.length.toLong))
+    val stsc = box("stsc", be32(0), be32(1), be32(1), be32(1), be32(1))
+    val stco = box("stco", be32(0), be32(1), be32(mdatOff))
+    val stss = box("stss", be32(0), be32(1), be32(1))
+    val stbl = box("stbl", stsd, stsz, stsc, stco, stss)
+    val mdia = box("mdia", box("mdhd", be32(0), be32(0), be32(0), be32(1000),
+      be32(0), be32(0x55c40000L)), box("minf", stbl))
+    val moov = box("moov", box("mvhd", new Array[Byte](100)), box("trak", mdia))
+    ftyp ++ box("mdat", sample) ++ moov
+  }
+
+  test("mp4 keyframe: container walk → NAL split → decode → dHash composes") {
+    val pcm = Array.tabulate(256)(i => (i * 11 + 5) & 0xFF)
+    val slice = idrSlice { w =>
+      w.ue(25).align()
+      pcm.foreach(w.raw)
+      (0 until 128).foreach(_ => w.raw(0x80))
+    }
+    val video = mp4(sps(1, 1), pps(), slice)
+    val luma = H264.mp4KeyframeLumaOrNull(video)
+    assert(luma != null)
+    assert(luma._2 === 16 && luma._3 === 16)
+    for (i <- 0 until 256) assert(luma._1(i) === pcm(i).toDouble)
+    // dHash == the Images convention applied to the same plane
+    val thumb = graft.ext.Images.resizeGray(luma._1, 16, 16, 9, 8)
+    var want = 0L
+    for (y <- 0 until 8; x <- 0 until 8)
+      if (thumb(y * 9 + x) > thumb(y * 9 + x + 1)) want |= 1L << (y * 8 + x)
+    assert(H264.keyframeDhashOrNull(video) === want)
+    // identical pixels ⇒ identical dHash; a shifted PCM pattern ⇒ far
+    val slice2 = idrSlice { w =>
+      w.ue(25).align()
+      pcm.foreach(p => w.raw(255 - p))
+      (0 until 128).foreach(_ => w.raw(0x80))
+    }
+    val video2 = mp4(sps(1, 1), pps(), slice2)
+    val h1 = H264.keyframeDhashOrNull(video)
+    val h2 = H264.keyframeDhashOrNull(video2)
+    assert(h1 != null && h2 != null && h1 != h2)
+  }
+
+  test("video near-dup: planted keyframe copies recovered through the q84p pair stage") {
+    // needs a SparkSession — the composition claim is the DataFrame
+    // pipeline itself (decode -> dhash -> band join)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    def scene(seed: Int)(x: Int, y: Int): Int = {
+      val h = seed * 2654435761L
+      val fu = 1 + (h % 5).toInt.abs; val fv = 1 + ((h >> 8) % 4).toInt.abs
+      val p = ((h >> 16) % 628).toInt / 100.0
+      (127 + 90 * math.sin(fu * x / 2.5 + fv * y / 2.0 + p)).toInt & 0xFF
+    }
+    def videoOf(px: (Int, Int) => Int): Array[Byte] = {
+      val slice = idrSlice { w =>
+        w.ue(25).align()
+        for (y <- 0 until 16; x <- 0 until 16) w.raw(px(x, y))
+        (0 until 128).foreach(_ => w.raw(0x80))
+      }
+      mp4(sps(1, 1), pps(), slice)
+    }
+    val originals = (0 until 12).map(i => (i.toLong, videoOf(scene(i))))
+    val copies = (0 until 3).map { i =>
+      (i + 100L, videoOf((x, y) =>
+        math.min(255, scene(i)(x, y) + (if ((x * 31 + y * 17) % 37 == 0) 2 else 0))))
+    }
+    val assets = spark.createDataFrame(originals ++ copies)
+      .toDF("vid_id", "content")
+    val pairs = graft.ext.Multimodal.nearDupVideoPairs(assets, "vid_id",
+        maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (i <- 0 until 3)
+      assert(pairs.contains((i.toLong, i + 100L)), s"planted pair $i missing")
+    // distinct scenes must NOT collapse into one near-dup blob
+    assert(pairs.size < 20, s"too many pairs: $pairs")
+  }
+
+  test("fuzz: corrupted and truncated streams never throw") {
+    val pcm = Array.tabulate(256)(i => i & 0xFF)
+    val slice = idrSlice { w =>
+      w.ue(25).align(); pcm.foreach(w.raw); (0 until 128).foreach(_ => w.raw(0))
+    }
+    val video = mp4(sps(1, 1), pps(), slice)
+    assert(H264.mp4KeyframeLumaOrNull(null) === null)
+    assert(H264.mp4KeyframeLumaOrNull("junk".getBytes) === null)
+    for (cut <- Seq(4, 40, video.length / 3, video.length / 2, video.length - 3))
+      H264.mp4KeyframeLumaOrNull(video.take(cut)) // must not throw
+    val rnd = new scala.util.Random(31)
+    for (_ <- 0 until 500) {
+      val m = video.clone()
+      for (_ <- 0 to rnd.nextInt(6)) m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      H264.mp4KeyframeLumaOrNull(m) // any result, no throw
+    }
+    // random NAL payloads straight into the slice decoder
+    for (trial <- 0 until 300) {
+      val n = 2 + rnd.nextInt(80)
+      val junk = Array.fill(n)(rnd.nextInt(256).toByte)
+      junk(0) = 0x65.toByte
+      H264.decodeIdrLumaOrNull(Seq(sps(2, 2), pps(), junk))
+    }
+  }
+}
