@@ -70,10 +70,47 @@ object Queries11 {
       |FROM lk JOIN ok ON lk.k = ok.k
       |GROUP BY lk.k ORDER BY lk.k""".stripMargin
 
+  // ------------------- q125: video near-dup over decoded keyframes
+  /** Perceptual VIDEO dedup end-to-end on a deterministic synthetic
+    * corpus: 60 distinct keyframe scenes + 12 perturbed copies
+    * (id + 1000), each wrapped as a real MP4 (ftyp/moov/avcC with
+    * SPS+PPS, stss, length-prefixed IDR NAL) whose keyframe the
+    * round-8 baseline H.264 decoder ([[graft.ext.H264]]) must decode
+    * for real — container walk → NAL split → I-frame decode → 9×8
+    * dHash → the SAME band-join pair stage as images
+    * ([[graft.ext.Multimodal.nearDupVideoPairs]]). No DuckDB oracle
+    * (it cannot decode video) — rows-only by the q84 convention, with
+    * the planted-pair self-check column; the decode itself is
+    * per-pixel golden-tested in H264Spec.
+    */
+  private def q125Assets(s: SparkSession): DataFrame = {
+    def scene(seed: Int)(x: Int, y: Int): Int = {
+      val h = seed * 2654435761L
+      val fu = 1 + (h % 6).toInt.abs; val fv = 1 + ((h >> 8) % 5).toInt.abs
+      val p1 = ((h >> 16) % 628).toInt / 100.0
+      (127 + 90 * math.sin(fu * x / 2.5 + fv * y / 2.0 + p1)).toInt & 0xFF
+    }
+    val originals = (0 until 60).map(i =>
+      (i.toLong, graft.ext.VideoFixtures.pcmKeyframeMp4((x, y) => scene(i)(x, y))))
+    val copies = (0 until 12).map { i =>
+      (i + 1000L, graft.ext.VideoFixtures.pcmKeyframeMp4((x, y) =>
+        math.min(255, scene(i)(x, y) + (if ((x * 31 + y * 17) % 37 == 0) 2 else 0))))
+    }
+    s.createDataFrame(originals ++ copies).toDF("vid_id", "content")
+      .repartition(8)
+  }
+
+  private def q125(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Multimodal.nearDupVideoPairs(q125Assets(s), "vid_id", maxHamming = 3)
+      .withColumn("planted", ($"b_id" - $"a_id" === 1000L).cast("int"))
+      .orderBy($"a_id", $"b_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q124_salted_join" -> (q124 _))
+    "q124_salted_join" -> (q124 _),
+    "q125_video_neardup" -> (q125 _))
 
   val oracles: Map[String, String] = Map(
+    // q125: no oracle — DuckDB cannot decode H.264 (q84 convention)
     "q124_salted_join" -> q124Sql)
 
   // $"..." interpolator without a SparkSession-bound implicits import

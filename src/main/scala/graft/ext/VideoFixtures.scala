@@ -1,0 +1,114 @@
+package graft.ext
+
+/** Deterministic H.264-in-MP4 fixture builder for the graded video
+  * near-dup corpus (q125) — the video twin of q84's ImageIO-rendered
+  * PNGs: the oracle engine cannot decode either modality, so the
+  * corpus is synthesized and the planted-pair recovery is the check.
+  * One 16×16 I_PCM IDR keyframe per file inside a minimal but REAL
+  * BMFF container (ftyp, mdat, moov with avcC carrying SPS+PPS, the
+  * full stsz/stsc/stco/stss sample tables), so the decoder exercises
+  * the same container walk, NAL split, and slice decode as any
+  * external baseline stream. Bit syntax mirrors H264Spec's writer;
+  * pixel fidelity of the non-PCM decode paths is H264Spec's per-pixel
+  * golden suite, not this corpus.
+  */
+object VideoFixtures {
+
+  private final class Bw {
+    private val bits = scala.collection.mutable.ArrayBuffer[Int]()
+    def u(v: Int, n: Int): this.type = {
+      var i = n - 1
+      while (i >= 0) { bits += ((v >> i) & 1); i -= 1 }
+      this
+    }
+    def ue(v: Int): this.type = {
+      val code = v + 1
+      val len = 32 - Integer.numberOfLeadingZeros(code)
+      u(0, len - 1); u(code, len)
+    }
+    def se(v: Int): this.type = ue(if (v <= 0) -2 * v else 2 * v - 1)
+    def align(): this.type = { while (bits.size % 8 != 0) bits += 0; this }
+    def raw(b: Int): this.type = u(b & 0xFF, 8)
+    def stop(): this.type = { bits += 1; align() }
+    def bytes(): Array[Byte] = {
+      val out = new Array[Byte](bits.size / 8)
+      var i = 0
+      while (i < bits.size) {
+        if (bits(i) == 1) out(i / 8) = (out(i / 8) | (1 << (7 - (i % 8)))).toByte
+        i += 1
+      }
+      out
+    }
+  }
+
+  private def sps1x1(): Array[Byte] = {
+    val w = new Bw
+    w.u(0x67, 8).u(66, 8).u(0, 8).u(10, 8)
+    w.ue(0).ue(0).ue(2).ue(1).u(0, 1)
+    w.ue(0).ue(0) // 1x1 MBs
+    w.u(1, 1).u(1, 1).u(0, 1).u(0, 1)
+    w.stop(); w.bytes()
+  }
+
+  private def ppsNal(): Array[Byte] = {
+    val w = new Bw
+    w.u(0x68, 8)
+    w.ue(0).ue(0).u(0, 1).u(0, 1).ue(0).ue(0).ue(0)
+    w.u(0, 1).u(0, 2).se(0).se(0).se(0)
+    w.u(1, 1).u(0, 1).u(0, 1)
+    w.stop(); w.bytes()
+  }
+
+  private def idrPcm(px: (Int, Int) => Int): Array[Byte] = {
+    val w = new Bw
+    w.u(0x65, 8)
+    w.ue(0).ue(7).ue(0).u(0, 4).ue(0).u(0, 1).u(0, 1).se(0)
+    w.ue(1) // deblocking off
+    w.ue(25).align()
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 16) { w.raw(px(x, y) & 0xFF); x += 1 }
+      y += 1
+    }
+    var i = 0
+    while (i < 128) { w.raw(0x80); i += 1 }
+    w.stop(); w.bytes()
+  }
+
+  private def be32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def be16(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def box(tag: String, payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatten.toArray
+    be32(body.length + 8L) ++ tag.getBytes("US-ASCII") ++ body
+  }
+
+  /** One-keyframe MP4 whose 16×16 luma is `px`. */
+  def pcmKeyframeMp4(px: (Int, Int) => Int): Array[Byte] = {
+    val sps = sps1x1()
+    val pps = ppsNal()
+    val slice = idrPcm(px)
+    val avcc = box("avcC", Array[Byte](1), sps.slice(1, 2), Array[Byte](0),
+      sps.slice(3, 4), Array(0xFF.toByte), Array(0xE1.toByte),
+      be16(sps.length), sps, Array[Byte](1), be16(pps.length), pps)
+    val sample = be32(slice.length.toLong) ++ slice
+    val ftyp = box("ftyp", "isom".getBytes, be32(0x200), "isomiso2".getBytes)
+    val mdatOff = ftyp.length + 8L
+    val stsd = box("stsd", be32(0), be32(1),
+      box("avc1", new Array[Byte](78), avcc))
+    val stsz = box("stsz", be32(0), be32(0), be32(1), be32(sample.length.toLong))
+    val stsc = box("stsc", be32(0), be32(1), be32(1), be32(1), be32(1))
+    val stco = box("stco", be32(0), be32(1), be32(mdatOff))
+    val stss = box("stss", be32(0), be32(1), be32(1))
+    val stbl = box("stbl", stsd, stsz, stsc, stco, stss)
+    val mdia = box("mdia", box("mdhd", be32(0), be32(0), be32(0), be32(1000),
+      be32(0), be32(0x55c40000L)), box("minf", stbl))
+    val moov = box("moov", box("mvhd", new Array[Byte](100)), box("trak", mdia))
+    ftyp ++ box("mdat", sample) ++ moov
+  }
+}
