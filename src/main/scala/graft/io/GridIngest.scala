@@ -393,13 +393,15 @@ object GridIngest {
     val origins = tMeta.chunkOrigins
     val nPart = math.max(1, math.min(partitions, origins.size))
     val tFill = tMeta.fillValue; val sFill = sMeta.fillValue
+    val confBox = Zarr.confBox()
     spark.sparkContext.parallelize(origins, nPart)
       .mapPartitions { it =>
+        // chunk GETs go through the Hadoop FileSystem (ConfBox carries
+        // the driver's conf) — one ranged GET per chunk key on object
+        // storage, no shared-POSIX-mount assumption
         def load(meta: Zarr.ArrayMeta, origin: Seq[Long]): Option[java.nio.ByteBuffer] = {
-          val p = java.nio.file.Paths.get(meta.dir, meta.chunkKey(origin))
-          if (!java.nio.file.Files.exists(p)) None
-          else Some(java.nio.ByteBuffer.wrap(
-            Zarr.decodeChunk(meta, java.nio.file.Files.readAllBytes(p))))
+          val b = Zarr.chunkBytesOrNull(confBox, meta, origin)
+          if (b == null) None else Some(java.nio.ByteBuffer.wrap(b))
         }
         def dec(meta: Zarr.ArrayMeta, fill: Option[Double],
                 buf: Option[java.nio.ByteBuffer], inChunk: Seq[Int]): Option[Double] =

@@ -76,12 +76,17 @@ object Zarr {
     Dtype(endian == '>', kind, size)
   }
 
-  /** Read and validate an array's `.zarray` document. */
+  /** Read and validate an array's `.zarray` document (driver-side,
+    * through the Hadoop `FileSystem` resolved from `dir` — local
+    * paths, `file://`, or any registered object-store scheme).
+    */
   def readArrayMeta(dir: String): ArrayMeta = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     // fill_value may be the bare token NaN/Infinity per the spec
     mapper.enable(com.fasterxml.jackson.core.JsonParser.Feature.ALLOW_NON_NUMERIC_NUMBERS)
-    val node = mapper.readTree(Files.readAllBytes(Paths.get(dir, ".zarray")))
+    val zarray = getObjectOrNull(driverConf(), s"$dir/.zarray")
+    require(zarray != null, s"$dir: no .zarray document")
+    val node = mapper.readTree(zarray)
     require(node.path("zarr_format").asInt() == 2,
       s"$dir: zarr_format ${node.path("zarr_format")} != 2")
     val shape = (0 until node.path("shape").size())
@@ -217,10 +222,11 @@ object Zarr {
     val strides = new Array[Long](meta.rank)
     var s = 1L
     (meta.rank - 1 to 0 by -1).foreach { d => strides(d) = s; s *= meta.shape(d) }
+    val conf = driverConf()
     meta.chunkOrigins.foreach { origin =>
-      val p = Paths.get(meta.dir, meta.chunkKey(origin))
-      if (Files.exists(p)) {
-        val buf = ByteBuffer.wrap(decodeChunk(meta, Files.readAllBytes(p)))
+      val raw = getObjectOrNull(conf, s"${meta.dir}/${meta.chunkKey(origin)}")
+      if (raw != null) {
+        val buf = ByteBuffer.wrap(decodeChunk(meta, raw))
         val dims = meta.chunks
         def walk(d: Int, inChunk: List[Int], flat: Long): Unit =
           if (d == meta.rank)
@@ -236,6 +242,35 @@ object Zarr {
       }
     }
     out
+  }
+
+  /** Driver-side Hadoop configuration: the active session's (it
+    * carries object-store credentials and scheme registrations) or a
+    * default when no session is up (unit-test direct calls).
+    */
+  private[graft] def driverConf(): org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  /** One GET of a whole object through the Hadoop `FileSystem` API,
+    * or null when absent — the read-side twin of [[putObject]]: a
+    * missing chunk key is DATA (all-fill) per the spec, so absence is
+    * a value here, not an error.
+    */
+  private[graft] def getObjectOrNull(conf: org.apache.hadoop.conf.Configuration,
+                                     path: String): Array[Byte] = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(conf)
+    if (!fs.exists(hp)) return null
+    val in = fs.open(hp)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
   }
 
   /** One PUT of a whole object through the Hadoop `FileSystem` API —
@@ -258,7 +293,7 @@ object Zarr {
     * filesystem settings (object-store credentials, scheme
     * registrations) to resolve `path` the same way the driver did.
     */
-  private final class ConfBox(@transient var conf: org.apache.hadoop.conf.Configuration)
+  private[graft] final class ConfBox(@transient var conf: org.apache.hadoop.conf.Configuration)
       extends Serializable {
     private def writeObject(out: java.io.ObjectOutputStream): Unit = {
       out.defaultWriteObject(); conf.write(out)
@@ -416,10 +451,26 @@ object Zarr {
       .sortWithinPartitions(col("__ck"))
   }
 
-  /** True when `dir` looks like a Zarr v2 array or group root. */
+  /** Serializable conf for executor-side chunk reads. */
+  private[graft] def confBox(): ConfBox = new ConfBox(driverConf())
+
+  /** Executor-side chunk GET: decoded cell buffer or null for a
+    * missing chunk (= all-fill region).
+    */
+  private[graft] def chunkBytesOrNull(box: ConfBox, meta: ArrayMeta,
+                                      origin: Seq[Long]): Array[Byte] = {
+    val raw = getObjectOrNull(box.conf, s"${meta.dir}/${meta.chunkKey(origin)}")
+    if (raw == null) null else decodeChunk(meta, raw)
+  }
+
+  /** True when `dir` looks like a Zarr v2 array or group root
+    * (checked through the Hadoop `FileSystem`, same as the readers).
+    */
   def isZarr(path: String): Boolean = {
-    val p = Paths.get(path)
-    Files.isDirectory(p) &&
-      (Files.exists(p.resolve(".zarray")) || Files.exists(p.resolve(".zgroup")))
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(driverConf())
+    fs.isDirectory(hp) &&
+      (fs.exists(new org.apache.hadoop.fs.Path(hp, ".zarray")) ||
+        fs.exists(new org.apache.hadoop.fs.Path(hp, ".zgroup")))
   }
 }

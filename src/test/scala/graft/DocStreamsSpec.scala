@@ -555,4 +555,38 @@ class DocStreamsSpec extends SparkSpec {
     assert(stats._1 > 0 && stats._1 <= stats._2)
     assert(stats._1.toDouble / stats._2 > 0.2)
   }
+  test("streaming keyframe dedup: identical MP4 keyframes dropped across batches") {
+    // the round-8 H.264 keyframe decoder running INSIDE a streaming
+    // plan (expression serialization, per-batch execution) feeding
+    // dropDuplicatesWithinWatermark — the video twin of the content
+    // dedup gate
+    import org.apache.spark.sql.types._
+    def video(seed: Int): Array[Byte] =
+      graft.ext.VideoFixtures.pcmKeyframeMp4((x, y) =>
+        (127 + 90 * math.sin((1 + seed % 5) * x / 2.5 + y / 2.0 + seed)).toInt & 0xFF)
+    val sch = StructType(Seq(StructField("vid_id", LongType),
+      StructField("ts", TimestampType), StructField("content", BinaryType)))
+    val dir = java.nio.file.Files.createTempDirectory("kfdedup").toString
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    def write(rows: Seq[(Long, java.sql.Timestamp, Array[Byte])]): Unit =
+      spark.createDataFrame(rows.toDF("vid_id", "ts", "content").rdd, sch)
+        .coalesce(1).write.mode("append").parquet(dir)
+    write(Seq((1L, ts(0), video(1)), (2L, ts(1), video(2))))
+    write(Seq((10L, ts(2), video(1)), (3L, ts(2), video(3)))) // 10 = dup of 1
+    write(Seq((20L, ts(3), video(2)), (4L, ts(4), video(4)))) // 20 = dup of 2
+    val q = spark.readStream.schema(sch).option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .select($"vid_id", $"ts",
+        org.apache.spark.sql.graftbridge.column(graft.fn.Mp4KeyframeDhash64(
+          org.apache.spark.sql.graftbridge.expression($"content"))).as("kf"))
+      .where($"kf".isNotNull)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("kf")
+      .writeStream.format("memory").queryName("kfdedup")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val kept = spark.table("kfdedup").select($"vid_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 3L, 4L), s"kept=$kept")
+  }
+
 }

@@ -196,6 +196,31 @@ class H264Spec extends AnyFunSuite {
     assert(got._1.forall(_ === 133.0), got._1.take(4).toSeq.toString)
   }
 
+  test("I_16x16 with AC residual (cbp_luma=15): hand-derived pixels, nC chaining") {
+    // mb_type 15 = I_16x16 pred DC, cbpChroma 0, cbpLuma 15. DC block
+    // empty; AC block 0 carries one +1 trailing-one at scan index 1 →
+    // raster (0,1), class-2 dequant 1·16<<4 = 256. Inverse transform
+    // of d01=256 alone: row0 [256,128,−128,−256], every row then
+    // (v+32)>>6 → columns [4,2,−2,−4]; pred 128 → [132,130,126,124].
+    // Blocks 1-15 all parse empty coeff_tokens whose nC chain runs
+    // through block0's totalCoeff=1 (nC 1 → still VLC0 "1").
+    val slice = idrSlice { w =>
+      w.ue(15) // I_16x16, DC, cbp 0/15
+      w.ue(0) // intra_chroma_pred_mode
+      w.se(0) // mb_qp_delta
+      w.bitsStr("1") // DC block empty (nC=0)
+      w.bitsStr("01").bitsStr("0").bitsStr("1") // AC block 0: TC=1,T1=1, sign +, tz=0
+      (0 until 15).foreach(_ => w.bitsStr("1")) // AC blocks 1-15 empty
+    }
+    val got = decode(sps(1, 1), slice)
+    assert(got != null)
+    val g = got._1
+    for (y <- 0 until 4; x <- 0 until 4)
+      assert(g(y * 16 + x) === Seq(132.0, 130.0, 126.0, 124.0)(x), s"b0 ($x,$y)")
+    for (y <- 0 until 16; x <- 0 until 16 if x >= 4 || y >= 4)
+      assert(g(y * 16 + x) === 128.0, s"rest ($x,$y)")
+  }
+
   test("I_4x4 horizontal prediction across an MB edge from an I_PCM neighbor") {
     // MB0 I_PCM with luma(x,y) = 8y + x; MB1 I_4x4 all-horizontal:
     // every row y of MB1 = MB0's right column sample 8y + 15

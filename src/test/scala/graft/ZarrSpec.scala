@@ -271,11 +271,14 @@ class ZarrSpec extends SparkSpec {
     // FileSystem resolved from the path, not java.nio on a cwd mount
     graft.io.Zarr.writeStore(grid, spec, "file://" + local,
       chunkT = 1, chunkD = 1, chunkY = 3, chunkX = 4)
-    val back = GridIngest.ingestZarr(spark, local)
+    // read back through an explicit file:// handle too — the source
+    // side goes through the same Hadoop FileSystem as the sink
+    val back = GridIngest.ingestZarr(spark, "file://" + local)
     val a = grid.select("time", "depth_idx", "depth", "lat_idx", "lat",
       "lon_idx", "lon", "water_temp", "salinity")
     assert(back.count() === a.count())
     assert(a.exceptAll(back).isEmpty && back.exceptAll(a).isEmpty)
+    assert(graft.io.Zarr.isZarr("file://" + local))
     // the chunk-keying projection must be pure built-ins — the former
     // time->index UDF is now an element_at over a typedLit map
     val plan = graft.io.Zarr.chunkRows(grid,
