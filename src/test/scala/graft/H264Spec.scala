@@ -454,6 +454,33 @@ class H264Spec extends AnyFunSuite {
     }
   }
 
+  test("multi-slice frame: two I slices with first_mb_in_slice cover one picture") {
+    // slice 1 covers MB 0, slice 2 (first_mb_in_slice = 1) covers MB 1
+    def slice(firstMb: Int, pcm: Array[Int]): Array[Byte] = {
+      val w = new Bw
+      w.u(0x65, 8)
+      w.ue(firstMb)
+      w.ue(7).ue(0).u(0, 4).ue(0).u(0, 1).u(0, 1).se(0)
+      w.ue(1)
+      w.ue(25).align()
+      pcm.foreach(w.raw)
+      (0 until 128).foreach(_ => w.raw(0x80))
+      w.stop()
+      w.bytes()
+    }
+    val p0 = Array.tabulate(256)(i => i & 0xFF)
+    val p1 = Array.tabulate(256)(i => 255 - (i & 0xFF))
+    val got = H264.decodeIdrLumaOrNull(Seq(sps(2, 1), pps(), slice(0, p0), slice(1, p1)))
+    assert(got != null)
+    val (g, fw, _) = got
+    for (y <- 0 until 16; x <- 0 until 16) {
+      assert(g(y * fw + x) === p0(y * 16 + x).toDouble)
+      assert(g(y * fw + 16 + x) === p1(y * 16 + x).toDouble)
+    }
+    // a frame whose slices do NOT cover every MB is rejected, not emitted
+    assert(H264.decodeIdrLumaOrNull(Seq(sps(2, 1), pps(), slice(0, p0))) === null)
+  }
+
   // --------------------------------------------- container + fuzz
 
   private def be32(v: Long): Array[Byte] =
