@@ -108,6 +108,14 @@ object GraftExtensions {
     unaryFn("mp4_keyframe_dhash64", classOf[graft.fn.Mp4KeyframeDhash64],
       graft.fn.Mp4KeyframeDhash64(_)),
     (
+      new FunctionIdentifier("mp4_keyframe_features"),
+      new ExpressionInfo(classOf[graft.fn.Mp4KeyframeFeatures].getName, "mp4_keyframe_features"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"mp4_keyframe_features expects (content, nBins); got ${children.size} args")
+        graft.fn.Mp4KeyframeFeatures(children(0), litInt(children(1), "nBins"))
+      }),
+    (
       new FunctionIdentifier("mp4_keyframe_thumb"),
       new ExpressionInfo(classOf[graft.fn.Mp4KeyframeThumb].getName, "mp4_keyframe_thumb"),
       (children: Seq[Expression]) => {

@@ -1211,6 +1211,17 @@ object H264 {
     if (p == null) null else Images.resizeGray(p._1, p._2, p._3, tw, th)
   }
 
+  /** Keyframe feature vector on the shared image contract
+    * ([mean/255, std/255, nBins normalized histogram] —
+    * [[Png.grayStats]]); null outside the decodable subset. Lets the
+    * generic [[Multimodal.withFeatures]] route H.264 video through
+    * REAL pixels instead of the deterministic stub.
+    */
+  def keyframeFeaturesOrNull(bytes: Array[Byte], nBins: Int): Array[Double] = {
+    val p = mp4KeyframeLumaOrNull(bytes)
+    if (p == null) null else Png.grayStats(p._1, nBins)
+  }
+
   /** Keyframe 64-bit dHash (9×8 + adjacent compare — the
     * [[Images.dhash64OrNull]] convention), composing with the q84p
     * band-join pair stage for video near-dup.

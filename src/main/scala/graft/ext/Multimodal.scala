@@ -243,11 +243,14 @@ object Multimodal {
     val png = gb.column(graft.fn.PngGrayFeatures(gb.expression(col(contentCol)), nBins))
     val jpg = gb.column(graft.fn.JpegGrayFeatures(gb.expression(col(contentCol)), nBins))
     val wav = gb.column(graft.fn.WavPcmFeatures(gb.expression(col(contentCol))))
+    // round 8: baseline H.264 keyframes are REAL pixels now — only
+    // payloads no decoder claims fall through to the stub
+    val kf = gb.column(graft.fn.Mp4KeyframeFeatures(gb.expression(col(contentCol)), nBins))
     val seed = xxhash64(col(contentCol))
     val stub = array((0 until stubDim).map { i =>
       (pmod(xxhash64(lit(i), seed), lit(2000000L)).cast("double") / 1000000.0 - 1.0)
     }: _*)
-    assets.withColumn("features", coalesce(png, jpg, wav, stub))
+    assets.withColumn("features", coalesce(png, jpg, wav, kf, stub))
   }
 
   /** REAL JPEG features: baseline-sequential payloads are

@@ -219,3 +219,39 @@ case class Mp4KeyframeDhash64(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** SQL `mp4_keyframe_features(content, nBins)` — keyframe luma
+  * features on the shared [mean, std, histogram] image contract
+  * ([[graft.ext.H264.keyframeFeaturesOrNull]]); the member that slots
+  * H.264 video into the generic modality-routed feature coalesce.
+  */
+case class Mp4KeyframeFeatures(child: Expression, nBins: Int = 16)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(nBins >= 1 && nBins <= 4096, s"nBins out of range: $nBins")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "mp4_keyframe_features"
+
+  override protected def nullSafeEval(bytes: Any): Any = {
+    val f = graft.ext.H264.keyframeFeaturesOrNull(
+      bytes.asInstanceOf[Array[Byte]], nBins)
+    if (f == null) null else new GenericArrayData(f)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, bytes =>
+      s"""
+         |double[] ${ev.value}_f = graft.ext.H264.keyframeFeaturesOrNull($bytes, $nBins);
+         |if (${ev.value}_f == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(${ev.value}_f);
+         |}
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

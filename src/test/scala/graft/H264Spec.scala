@@ -94,8 +94,11 @@ class H264Spec extends AnyFunSuite {
     }
   }
 
-  /** Baseline SPS NAL: widthMbs x heightMbs, poc type 2, no crop. */
-  private def sps(widthMbs: Int, heightMbs: Int): Array[Byte] = {
+  /** Baseline SPS NAL: widthMbs x heightMbs, poc type 2, optional
+    * conformance crop in 4:2:0 units (2 luma px each).
+    */
+  private def sps(widthMbs: Int, heightMbs: Int,
+                  crop: (Int, Int, Int, Int) = (0, 0, 0, 0)): Array[Byte] = {
     val w = new Bw
     w.u(0x67, 8) // NAL header: ref_idc 3, type 7
     w.u(66, 8).u(0, 8).u(10, 8) // baseline, no constraints, level 1
@@ -107,7 +110,11 @@ class H264Spec extends AnyFunSuite {
     w.ue(widthMbs - 1).ue(heightMbs - 1)
     w.u(1, 1) // frame_mbs_only
     w.u(1, 1) // direct_8x8_inference
-    w.u(0, 1) // frame_cropping
+    if (crop == ((0, 0, 0, 0))) w.u(0, 1)
+    else {
+      w.u(1, 1)
+      w.ue(crop._1).ue(crop._2).ue(crop._3).ue(crop._4)
+    }
     w.u(0, 1) // vui_parameters_present
     w.stop()
     w.bytes()
@@ -454,6 +461,20 @@ class H264Spec extends AnyFunSuite {
     }
   }
 
+  test("conformance cropping: coded 16x16, output 12x14 window at the right offsets") {
+    // crop left 1 unit (2 px), right 1 (2 px), top 0, bottom 1 (2 px)
+    val pcm = Array.tabulate(256)(i => (i * 3 + 1) & 0xFF)
+    val slice = idrSlice { w =>
+      w.ue(25).align(); pcm.foreach(w.raw); (0 until 128).foreach(_ => w.raw(0x80))
+    }
+    val got = decode(sps(1, 1, crop = (1, 1, 0, 1)), slice)
+    assert(got != null)
+    val (g, fw, fh) = got
+    assert(fw === 12 && fh === 14)
+    for (y <- 0 until 14; x <- 0 until 12)
+      assert(g(y * 12 + x) === pcm(y * 16 + x + 2).toDouble, s"($x,$y)")
+  }
+
   test("multi-slice frame: two I slices with first_mb_in_slice cover one picture") {
     // slice 1 covers MB 0, slice 2 (first_mb_in_slice = 1) covers MB 1
     def slice(firstMb: Int, pcm: Array[Int]): Array[Byte] = {
@@ -586,6 +607,34 @@ class H264Spec extends AnyFunSuite {
       assert(pairs.contains((i.toLong, i + 100L)), s"planted pair $i missing")
     // distinct scenes must NOT collapse into one near-dup blob
     assert(pairs.size < 20, s"too many pairs: $pairs")
+  }
+
+  test("withFeatures routes H.264 video to real keyframe features, not the stub") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    val flat = graft.ext.VideoFixtures.pcmKeyframeMp4((_, _) => 100)
+    val junk = "not media at all".getBytes
+    val assets = spark.createDataFrame(Seq((1L, flat), (2L, junk)))
+      .toDF("asset_id", "content")
+    val rows = graft.ext.Multimodal.withFeatures(assets, nBins = 4)
+      .orderBy(org.apache.spark.sql.functions.col("asset_id"))
+      .collect()
+    val v = rows(0).getSeq[Double](2)
+    // flat-100 keyframe: mean 100/255, std 0, one histogram bin = 1
+    assert(math.abs(v(0) - 100.0 / 255) < 1e-9 && v(1) === 0.0, v.toString)
+    assert(v.length === 2 + 4)
+    val s = rows(1).getSeq[Double](2)
+    assert(s.length === 16) // junk falls to the 16-dim stub
+    // SQL surface
+    graft.GraftExtensions.install(spark)
+    import spark.implicits._
+    val sql = assets.createOrReplaceTempView("vassets")
+    val _ = sql
+    val n = spark.sql(
+      "SELECT mp4_keyframe_features(content, 4) f FROM vassets WHERE mp4_keyframe_features(content, 4) IS NOT NULL").count()
+    assert(n === 1L)
   }
 
   test("fuzz: corrupted and truncated streams never throw") {
