@@ -103,6 +103,8 @@ object GraftExtensions {
       graft.fn.GifFrameFeatures(_, _, _, _)),
     frameFn("mjpeg_frame_features", classOf[graft.fn.MjpegFrameFeatures],
       graft.fn.MjpegFrameFeatures(_, _, _, _)),
+    frameFn("h264_keyframe_frames", classOf[graft.fn.H264KeyframeFrames],
+      graft.fn.H264KeyframeFrames(_, _, _, _)),
     unaryFn("image_dhash64", classOf[graft.fn.ImageDhash64],
       graft.fn.ImageDhash64(_)),
     unaryFn("mp4_keyframe_dhash64", classOf[graft.fn.Mp4KeyframeDhash64],

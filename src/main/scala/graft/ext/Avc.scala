@@ -377,12 +377,13 @@ object Avc {
     if (spans == null) null else spans.map(_._1)
   }
 
-  /** [[syncOffsetsOrNull]] with the sample SIZE alongside each offset
-    * — the exact byte span a keyframe decoder must read
-    * ([[H264.mp4KeyframeLumaOrNull]] walks the sample's
-    * length-prefixed NALs inside it).
+  /** [[syncOffsetsOrNull]] with the sample SIZE and 1-based sample
+    * NUMBER alongside each offset — the exact byte span a keyframe
+    * decoder must read ([[H264.mp4KeyframeLumaOrNull]] walks the
+    * sample's length-prefixed NALs inside it) plus the index a
+    * timestamp lookup (stts prefix sum) needs.
     */
-  private[ext] def syncSpansOrNull(bytes: Array[Byte], maxN: Int): Array[(Long, Long)] = {
+  private[ext] def syncSpansOrNull(bytes: Array[Byte], maxN: Int): Array[(Long, Long, Long)] = {
     if (maxN < 1) return null
     val got = {
       val avc = findAvcStbl(bytes)
@@ -441,12 +442,12 @@ object Avc {
     }
     if (syncNums == null)
       syncNums = Array.tabulate(offsets.length)(i => (i + 1).toLong)
-    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
     var i = 0
     while (i < syncNums.length && out.length < maxN) {
       val sn = syncNums(i)
       if (sn < 1 || sn > offsets.length) return null // corrupt stss
-      out += ((offsets((sn - 1).toInt), sizes((sn - 1).toInt)))
+      out += ((offsets((sn - 1).toInt), sizes((sn - 1).toInt), sn))
       i += 1
     }
     out.toArray

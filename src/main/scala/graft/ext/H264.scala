@@ -1157,52 +1157,156 @@ object H264 {
     * Null for non-MP4 payloads, non-AVC tracks, or streams outside
     * the baseline subset — never a throw.
     */
+  /** avcC config + track bounds of the first avc1/avc3 track:
+    * (lengthSize, sps, pps, stbl start, stbl end, timescale,
+    * sttsDurations-or-null). Null when absent.
+    */
+  private def avcTrackConfig(bytes: Array[Byte]): (Int, Array[Byte], Array[Byte], Long, Long, Long, Array[Long]) = {
+    if (bytes == null || bytes.length < 16 || Bmff.tag(bytes, 4) != "ftyp")
+      return null
+    val moov = Bmff.find(bytes, 0, bytes.length, "moov").getOrElse(return null)
+    var out: (Int, Array[Byte], Array[Byte], Long, Long, Long, Array[Long]) = null
+    Bmff.children(bytes, moov._1, moov._2).foreach {
+      case ("trak", ts, te) if out == null =>
+        for {
+          mdia <- Bmff.find(bytes, ts, te, "mdia")
+          minf <- Bmff.find(bytes, mdia._1, mdia._2, "minf")
+          stbl <- Bmff.find(bytes, minf._1, minf._2, "stbl")
+          stsd <- Bmff.find(bytes, stbl._1, stbl._2, "stsd")
+          entry <- Bmff.children(bytes, stsd._1 + 8, stsd._2)
+            .find(e => e._1 == "avc1" || e._1 == "avc3")
+          c <- Bmff.find(bytes, entry._2 + 78, entry._3, "avcC")
+        } {
+          val cfg = parseAvcc(bytes, c._1.toInt, c._2.toInt)
+          if (cfg != null) {
+            // timescale: mdhd payload — version 0: u32 at offset 12
+            val timescale = Bmff.find(bytes, mdia._1, mdia._2, "mdhd")
+              .filter { case (ms, me) => ms + 16 <= me }
+              .map { case (ms, _) => beU32(bytes, ms.toInt + 12) }
+              .getOrElse(0L)
+            // stts → per-sample durations (run-length decoded)
+            var durations: Array[Long] = null
+            Bmff.find(bytes, stbl._1, stbl._2, "stts").foreach { case (ss, se) =>
+              if (ss + 8 <= se) {
+                val n = beU32(bytes, ss.toInt + 4)
+                if (n >= 1 && n <= (1 << 20) && ss + 8 + 8L * n <= se) {
+                  val runs = Array.tabulate(n.toInt) { i =>
+                    val o = (ss + 8 + 8L * i).toInt
+                    (beU32(bytes, o), beU32(bytes, o + 4))
+                  }
+                  val total = runs.map(_._1).sum
+                  if (total >= 1 && total <= (1 << 20)) {
+                    durations = new Array[Long](total.toInt)
+                    var i = 0
+                    runs.foreach { case (cnt, d) =>
+                      var j = 0L
+                      while (j < cnt) { durations(i) = d; i += 1; j += 1 }
+                    }
+                  }
+                }
+              }
+            }
+            out = (cfg._1, cfg._2, cfg._3, stbl._1, stbl._2, timescale, durations)
+          }
+        }
+      case _ => ()
+    }
+    out
+  }
+
+  /** Decode one stsz-bounded sample span (a run of length-prefixed
+    * NALs) with the given parameter sets. Null on malformed spans.
+    */
+  private def sampleLumaOrNull(bytes: Array[Byte], lengthSize: Int,
+                               spsNal: Array[Byte], ppsNal: Array[Byte],
+                               off: Long, size: Long): (Array[Double], Int, Int) = {
+    if (off < 0 || size <= 0 || off + size > bytes.length) return null
+    val nals = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    var p = off.toInt
+    val end = (off + size).toInt
+    while (p + lengthSize <= end) {
+      var len = 0L
+      var i = 0
+      while (i < lengthSize) { len = (len << 8) | (bytes(p + i) & 0xFF); i += 1 }
+      if (len <= 0 || p + lengthSize + len > end) return null
+      nals += java.util.Arrays.copyOfRange(bytes, p + lengthSize,
+        (p + lengthSize + len).toInt)
+      p += (lengthSize + len).toInt
+    }
+    if (nals.isEmpty) return null
+    decodeIdrLumaOrNull(Seq(spsNal, ppsNal) ++ nals.toSeq)
+  }
+
   def mp4KeyframeLumaOrNull(bytes: Array[Byte]): (Array[Double], Int, Int) = {
     try {
-      if (bytes == null || bytes.length < 16 || Bmff.tag(bytes, 4) != "ftyp")
-        return null
-      // avcC of the first avc1/avc3 track
-      val moov = Bmff.find(bytes, 0, bytes.length, "moov").getOrElse(return null)
-      var cfg: (Int, Array[Byte], Array[Byte]) = null
-      Bmff.children(bytes, moov._1, moov._2).foreach {
-        case ("trak", ts, te) if cfg == null =>
-          for {
-            mdia <- Bmff.find(bytes, ts, te, "mdia")
-            minf <- Bmff.find(bytes, mdia._1, mdia._2, "minf")
-            stbl <- Bmff.find(bytes, minf._1, minf._2, "stbl")
-            stsd <- Bmff.find(bytes, stbl._1, stbl._2, "stsd")
-            entry <- Bmff.children(bytes, stsd._1 + 8, stsd._2)
-              .find(e => e._1 == "avc1" || e._1 == "avc3")
-            c <- Bmff.find(bytes, entry._2 + 78, entry._3, "avcC")
-          } cfg = parseAvcc(bytes, c._1.toInt, c._2.toInt)
-        case _ => ()
-      }
+      val cfg = avcTrackConfig(bytes)
       if (cfg == null) return null
-      val (lengthSize, spsNal, ppsNal) = cfg
       val spans = Avc.syncSpansOrNull(bytes, 1)
       if (spans == null || spans.isEmpty) return null
-      val (off, size) = spans(0)
-      if (off < 0 || size <= 0 || off + size > bytes.length) return null
-      // the sample is a run of length-prefixed NALs filling exactly
-      // its stsz span — multi-slice keyframes decode whole
-      val nals = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
-      var p = off.toInt
-      val end = (off + size).toInt
-      while (p + lengthSize <= end) {
-        var len = 0L
-        var i = 0
-        while (i < lengthSize) { len = (len << 8) | (bytes(p + i) & 0xFF); i += 1 }
-        if (len <= 0 || p + lengthSize + len > end) return null
-        nals += java.util.Arrays.copyOfRange(bytes, p + lengthSize,
-          (p + lengthSize + len).toInt)
-        p += (lengthSize + len).toInt
-      }
-      if (nals.isEmpty) return null
-      decodeIdrLumaOrNull(Seq(spsNal, ppsNal) ++ nals.toSeq)
+      val (off, size, _) = spans(0)
+      sampleLumaOrNull(bytes, cfg._1, cfg._2, cfg._3, off, size)
     } catch {
       case _: Malformed => null
       case scala.util.control.NonFatal(_) => null
     }
+  }
+
+  /** `[frame_idx, t_ms, mean/255, std/255, nBins histogram]` per every
+    * `stride`-th of the first `maxFrames` KEYFRAMES — the
+    * [[Mjpeg.frameFeaturesOrNull]] row contract with frame_idx = the
+    * keyframe ordinal (0-based among sync samples) and t_ms from the
+    * stts prefix sum at the keyframe's sample number. Strict like the
+    * MJPEG member: one undecodable keyframe poisons the payload
+    * (null), so a non-null result is a complete sample.
+    */
+  def keyframeFrameFeaturesOrNull(bytes: Array[Byte], nBins: Int, stride: Int,
+                                  maxFrames: Int): Array[Array[Double]] = {
+    try {
+      if (stride < 1 || maxFrames < 1 || nBins < 1) return null
+      val cfg = avcTrackConfig(bytes)
+      if (cfg == null) return null
+      val (lengthSize, spsNal, ppsNal, _, _, timescale, durations) = cfg
+      val spans = Avc.syncSpansOrNull(bytes, maxFrames.toLong
+        .*(stride).min(1 << 20).toInt)
+      if (spans == null || spans.isEmpty) return null
+      // stts prefix sum → media time at each sample number
+      val prefix: Array[Long] =
+        if (durations == null) null
+        else {
+          val p = new Array[Long](durations.length + 1)
+          var i = 0
+          while (i < durations.length) { p(i + 1) = p(i) + durations(i); i += 1 }
+          p
+        }
+      val out = new scala.collection.mutable.ArrayBuffer[Array[Double]]()
+      var k = 0
+      while (k < spans.length && out.length < maxFrames) {
+        if (k % stride == 0) {
+          val (off, size, sn) = spans(k)
+          val luma = sampleLumaOrNull(bytes, lengthSize, spsNal, ppsNal, off, size)
+          if (luma == null) return null // strict
+          val tMedia =
+            if (prefix != null && sn - 1 < prefix.length) prefix((sn - 1).toInt)
+            else 0L
+          val tMs = if (timescale > 0) 1000.0 * tMedia / timescale else 0.0
+          out += (Array(k.toDouble, tMs) ++ Png.grayStats(luma._1, nBins))
+        }
+        k += 1
+      }
+      if (out.isEmpty) null else out.toArray
+    } catch {
+      case _: Malformed => null
+      case scala.util.control.NonFatal(_) => null
+    }
+  }
+
+  /** [[keyframeFrameFeaturesOrNull]] packed for Catalyst. */
+  def keyframeFrameFeaturesArrayDataOrNull(bytes: Array[Byte], nBins: Int,
+                                           stride: Int, maxFrames: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val f = keyframeFrameFeaturesOrNull(bytes, nBins, stride, maxFrames)
+    if (f == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      f.map(r => new org.apache.spark.sql.catalyst.util.GenericArrayData(r): Any))
   }
 
   /** Keyframe thumbnail on the [[Images]] gray contract. */

@@ -200,10 +200,10 @@ object Multimodal {
   /** Modality-routed video frame sampling: APNG, GIF, and
     * MJPEG-in-MP4 payloads all decode to real per-frame features
     * (each decoder null-gates on its own magic/track tables, so the
-    * coalesce routes by content, not by filename); rows of other
-    * kinds — including MP4s whose track needs a real codec runtime
-    * (H.264) — disappear. One narrow projection per decoder, payload
-    * dropped before the generator.
+    * coalesce routes by content, not by filename), and baseline
+    * H.264 tracks sample their decoded KEYFRAMES ([[H264]]); rows of
+    * other kinds disappear. One narrow projection per decoder,
+    * payload dropped before the generator.
     */
   def withVideoFrames(assets: DataFrame, nBins: Int = 16, stride: Int = 1,
                       maxFrames: Int = 256,
@@ -213,7 +213,10 @@ object Multimodal {
     explodeFrames(assets, contentCol, coalesce(
       gb.column(graft.fn.ApngFrameFeatures(c, nBins, stride, maxFrames)),
       gb.column(graft.fn.GifFrameFeatures(c, nBins, stride, maxFrames)),
-      gb.column(graft.fn.MjpegFrameFeatures(c, nBins, stride, maxFrames))))
+      gb.column(graft.fn.MjpegFrameFeatures(c, nBins, stride, maxFrames)),
+      // round 8: baseline H.264 tracks sample their KEYFRAMES for
+      // real (frame_idx = keyframe ordinal, t_ms from stts)
+      gb.column(graft.fn.H264KeyframeFrames(c, nBins, stride, maxFrames))))
   }
 
   /** Shared explode: frames array → (frame_idx, t_ms, features) rows,

@@ -255,3 +255,41 @@ case class Mp4KeyframeFeatures(child: Expression, nBins: Int = 16)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** SQL `h264_keyframe_frames(content[, nBins[, stride[, maxFrames]]])`
+  * — real per-KEYFRAME feature rows for baseline H.264 tracks
+  * ([[graft.ext.H264.keyframeFrameFeaturesOrNull]]): the
+  * [[ApngFrameFeatures]]/[[MjpegFrameFeatures]] row contract
+  * ([frame_idx, t_ms, features...]) with frame_idx = keyframe ordinal
+  * and t_ms from the stts prefix sum. Null outside the decodable
+  * subset or when any touched keyframe fails (strict).
+  */
+case class H264KeyframeFrames(child: Expression, nBins: Int = 16,
+                              stride: Int = 1, maxFrames: Int = 256)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "h264_keyframe_frames"
+
+  override protected def nullSafeEval(bytes: Any): Any =
+    graft.ext.H264.keyframeFrameFeaturesArrayDataOrNull(
+      bytes.asInstanceOf[Array[Byte]], nBins, stride, maxFrames)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, bytes =>
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value}_f =
+         |  graft.ext.H264.keyframeFrameFeaturesArrayDataOrNull($bytes, $nBins, $stride, $maxFrames);
+         |if (${ev.value}_f == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}_f;
+         |}
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -541,6 +541,71 @@ class H264Spec extends AnyFunSuite {
     ftyp ++ box("mdat", sample) ++ moov
   }
 
+  /** Multi-sample container: per-sample NALs, chosen sync numbers,
+    * stts with a constant delta.
+    */
+  private def mp4Multi(spsNal: Array[Byte], ppsNal: Array[Byte],
+                       slices: Seq[Array[Byte]], syncNums: Seq[Int],
+                       timescale: Long, delta: Long): Array[Byte] = {
+    val avcc = box("avcC", Array[Byte](1), spsNal.slice(1, 2), Array[Byte](0),
+      spsNal.slice(3, 4), Array(0xFF.toByte), Array(0xE1.toByte),
+      be16(spsNal.length), spsNal, Array[Byte](1), be16(ppsNal.length), ppsNal)
+    val samples = slices.map(sl => be32(sl.length.toLong) ++ sl)
+    val ftyp = box("ftyp", "isom".getBytes, be32(0x200), "isomiso2".getBytes)
+    val mdatOff = ftyp.length + 8L
+    val mdat = samples.flatten.toArray
+    val stsd = box("stsd", be32(0), be32(1),
+      box("avc1", new Array[Byte](78), avcc))
+    val stsz = box("stsz", be32(0), be32(0), be32(samples.length.toLong),
+      samples.flatMap(sm => be32(sm.length.toLong)).toArray)
+    val stsc = box("stsc", be32(0), be32(1), be32(1),
+      be32(samples.length.toLong), be32(1))
+    val stco = box("stco", be32(0), be32(1), be32(mdatOff))
+    val stss = box("stss", be32(0), be32(syncNums.length.toLong),
+      syncNums.flatMap(n => be32(n.toLong)).toArray)
+    val stts = box("stts", be32(0), be32(1),
+      be32(samples.length.toLong), be32(delta))
+    val stbl = box("stbl", stsd, stsz, stsc, stco, stss, stts)
+    val mdia = box("mdia", box("mdhd", be32(0), be32(0), be32(0),
+      be32(timescale), be32(0), be32(0x55c40000L)), box("minf", stbl))
+    val moov = box("moov", box("mvhd", new Array[Byte](100)), box("trak", mdia))
+    ftyp ++ box("mdat", mdat) ++ moov
+  }
+
+  test("keyframe frame sampling: ordinals, stts timestamps, per-frame features") {
+    def pcmSlice(v: Int): Array[Byte] = idrSlice { w =>
+      w.ue(25).align()
+      (0 until 256).foreach(_ => w.raw(v))
+      (0 until 128).foreach(_ => w.raw(0x80))
+    }
+    // 3 samples; samples 1 and 3 are sync; timescale 1000, delta 500
+    val video = mp4Multi(sps(1, 1), pps(),
+      Seq(pcmSlice(50), pcmSlice(100), pcmSlice(200)), Seq(1, 3), 1000L, 500L)
+    val rows = H264.keyframeFrameFeaturesOrNull(video, nBins = 4, stride = 1,
+      maxFrames = 8)
+    assert(rows != null && rows.length === 2)
+    assert(rows(0)(0) === 0.0 && rows(0)(1) === 0.0) // ordinal 0, t 0
+    assert(rows(1)(0) === 1.0 && rows(1)(1) === 1000.0) // sample 3 → 2·500/1000 s
+    assert(math.abs(rows(0)(2) - 50.0 / 255) < 1e-9) // mean of flat-50 frame
+    assert(math.abs(rows(1)(2) - 200.0 / 255) < 1e-9)
+    // stride 2 keeps only ordinal 0
+    val strided = H264.keyframeFrameFeaturesOrNull(video, 4, 2, 8)
+    assert(strided.length === 1 && strided(0)(0) === 0.0)
+    // withVideoFrames explode shape
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    val assets = spark.createDataFrame(Seq((7L, video))).toDF("asset_id", "content")
+    val got = graft.ext.Multimodal.withVideoFrames(assets, nBins = 4)
+      .select($"asset_id", $"frame_idx", $"t_ms")
+      .orderBy($"frame_idx").collect()
+    assert(got.length === 2)
+    assert(got(0).getInt(1) === 0 && got(0).getDouble(2) === 0.0)
+    assert(got(1).getInt(1) === 1 && got(1).getDouble(2) === 1000.0)
+  }
+
   test("mp4 keyframe: container walk → NAL split → decode → dHash composes") {
     val pcm = Array.tabulate(256)(i => (i * 11 + 5) & 0xFF)
     val slice = idrSlice { w =>
