@@ -109,6 +109,8 @@ object GraftExtensions {
       graft.fn.ImageDhash64(_)),
     unaryFn("mp4_keyframe_dhash64", classOf[graft.fn.Mp4KeyframeDhash64],
       graft.fn.Mp4KeyframeDhash64(_)),
+    unaryFn("webm_meta", classOf[graft.fn.WebmMeta], graft.fn.WebmMeta(_)),
+    unaryFn("flac_meta", classOf[graft.fn.FlacMeta], graft.fn.FlacMeta(_)),
     (
       new FunctionIdentifier("mp4_keyframe_features"),
       new ExpressionInfo(classOf[graft.fn.Mp4KeyframeFeatures].getName, "mp4_keyframe_features"),

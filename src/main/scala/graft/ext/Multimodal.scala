@@ -314,6 +314,26 @@ object Multimodal {
         substring(c, col("chunk_idx") * chunkBytes + 1, lit(chunkBytes)))
       .drop(contentCol)
   }
+  /** Typed WebM/Matroska metadata column ([[Webm]] EBML walk):
+    * doc type, duration, first video/audio track codec + dims/rate.
+    * Null rows are not WebM — the [[withMp4Meta]] contract for the
+    * second-most-common scraped video container.
+    */
+  def withWebmMeta(assets: DataFrame, contentCol: String = "content"): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    assets.withColumn("webm_meta",
+      gb.column(graft.fn.WebmMeta(gb.expression(col(contentCol)))))
+  }
+
+  /** Typed FLAC STREAMINFO metadata column ([[Flac]]): rate,
+    * channels, bits/sample, total samples, duration.
+    */
+  def withFlacMeta(assets: DataFrame, contentCol: String = "content"): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    assets.withColumn("flac_meta",
+      gb.column(graft.fn.FlacMeta(gb.expression(col(contentCol)))))
+  }
+
   /** Keyframe dHash column for H.264-in-MP4 payloads — REAL pixels
     * from the round-8 baseline I-frame decoder ([[H264]]): avcC
     * SPS/PPS + first stss sample → CAVLC + intra prediction → luma →
