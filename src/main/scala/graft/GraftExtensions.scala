@@ -111,6 +111,8 @@ object GraftExtensions {
       graft.fn.Mp4KeyframeDhash64(_)),
     unaryFn("webm_meta", classOf[graft.fn.WebmMeta], graft.fn.WebmMeta(_)),
     unaryFn("flac_meta", classOf[graft.fn.FlacMeta], graft.fn.FlacMeta(_)),
+    unaryFn("image_dims", classOf[graft.fn.ImageDims], graft.fn.ImageDims(_)),
+    unaryFn("audio_meta", classOf[graft.fn.AudioMeta], graft.fn.AudioMeta(_)),
     (
       new FunctionIdentifier("mp4_keyframe_features"),
       new ExpressionInfo(classOf[graft.fn.Mp4KeyframeFeatures].getName, "mp4_keyframe_features"),

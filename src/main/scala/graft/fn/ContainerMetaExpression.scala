@@ -106,3 +106,91 @@ case class FlacMeta(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+object MediaMetaKernels {
+  def imageDimsRowOrNull(bytes: Array[Byte]): GenericInternalRow = {
+    val m = graft.ext.MediaMeta.imageDimsOrNull(bytes)
+    if (m == null) null
+    else new GenericInternalRow(Array[Any](
+      UTF8String.fromString(m._1), m._2, m._3))
+  }
+
+  def audioMetaRowOrNull(bytes: Array[Byte]): GenericInternalRow = {
+    val m = graft.ext.MediaMeta.audioMetaOrNull(bytes)
+    if (m == null) null
+    else new GenericInternalRow(Array[Any](
+      UTF8String.fromString(m._1), m._2, m._3,
+      if (m._4.isNaN) null else java.lang.Double.valueOf(m._4)))
+  }
+}
+
+/** SQL `image_dims(content)` — format-routed still-image dimensions
+  * ([[graft.ext.MediaMeta.imageDimsOrNull]]: PNG/JPEG/GIF/BMP/WebP/
+  * TIFF/AVIF/HEIC by content magic). The resolution-triage verb that
+  * needs NO decode. Null for unrecognized payloads.
+  */
+case class ImageDims(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "image_dims"
+
+  override protected def nullSafeEval(bytes: Any): Any =
+    MediaMetaKernels.imageDimsRowOrNull(bytes.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, bytes =>
+      s"""
+         |org.apache.spark.sql.catalyst.expressions.GenericInternalRow ${ev.value}_r =
+         |  graft.fn.MediaMetaKernels.imageDimsRowOrNull($bytes);
+         |if (${ev.value}_r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}_r;
+         |}
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** SQL `audio_meta(content)` — format-routed audio metadata
+  * ([[graft.ext.MediaMeta.audioMetaOrNull]]: WAV/FLAC/MP3/Ogg by
+  * content magic): (format, sample_rate, channels, duration_sec —
+  * null when the container can't prove one).
+  */
+case class AudioMeta(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("sample_rate", LongType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("duration_sec", DoubleType)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "audio_meta"
+
+  override protected def nullSafeEval(bytes: Any): Any =
+    MediaMetaKernels.audioMetaRowOrNull(bytes.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, bytes =>
+      s"""
+         |org.apache.spark.sql.catalyst.expressions.GenericInternalRow ${ev.value}_r =
+         |  graft.fn.MediaMetaKernels.audioMetaRowOrNull($bytes);
+         |if (${ev.value}_r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}_r;
+         |}
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
