@@ -105,6 +105,8 @@ object GraftExtensions {
       graft.fn.MjpegFrameFeatures(_, _, _, _)),
     frameFn("h264_keyframe_frames", classOf[graft.fn.H264KeyframeFrames],
       graft.fn.H264KeyframeFrames(_, _, _, _)),
+    frameFn("h264_gop_frames", classOf[graft.fn.H264GopFrames],
+      graft.fn.H264GopFrames(_, _, _, _)),
     unaryFn("image_dhash64", classOf[graft.fn.ImageDhash64],
       graft.fn.ImageDhash64(_)),
     unaryFn("mp4_keyframe_dhash64", classOf[graft.fn.Mp4KeyframeDhash64],

@@ -8,9 +8,10 @@ package graft.ext
   * (ITU-T H.264 §7.3.2.1.1, Exp-Golomb coded) carries the CODED
   * dimensions — authoritative where container width/height fields are
   * absent or wrong, which is exactly the real-data failure mode.
-  * KEYFRAME decode (baseline I-frames) is real as of round 8
-  * ([[H264]]: CAVLC + intra prediction); inter-coded frames remain
-  * the documented stub ([[Multimodal]]).
+  * FRAME decode is real as of round 8 for the baseline subset
+  * ([[H264]]: CAVLC + intra prediction for I frames, quarter-pel
+  * motion compensation for P frames); only CABAC/B-frame/multi-ref
+  * streams remain metadata-only ([[Multimodal]]).
   *
   * Sync-sample (keyframe) BYTE offsets come from stss (sync sample
   * numbers) composed with the stsz/stsc/stco mapping ([[Bmff]]) — the
@@ -390,7 +391,22 @@ object Avc {
       if (avc != null) avc else findVideoStbl(bytes, hevc = true)
     }
     if (got == null) return null
-    val (ss, se, _) = got
+    spansFromStbl(bytes, got._1, got._2, maxN, syncOnly = true)
+  }
+
+  /** ALL sample spans (offset, size, 1-based number) in decode order
+    * — the GOP walk ([[H264]] inter decode) needs every sample, not
+    * just the sync subset.
+    */
+  private[ext] def sampleSpansOrNull(bytes: Array[Byte], maxN: Int): Array[(Long, Long, Long)] = {
+    if (maxN < 1) return null
+    val got = findAvcStbl(bytes)
+    if (got == null) return null
+    spansFromStbl(bytes, got._1, got._2, maxN, syncOnly = false)
+  }
+
+  private def spansFromStbl(bytes: Array[Byte], ss: Long, se: Long,
+                            maxN: Int, syncOnly: Boolean): Array[(Long, Long, Long)] = {
     var sizes: Array[Long] = null
     var chunkOffsets: Array[Long] = null
     var stsc: Array[(Long, Long)] = null
@@ -440,7 +456,7 @@ object Avc {
           syncNums = Array.tabulate(n.toInt)(i => beU32(bytes, (s + 8 + 4L * i).toInt))
       }
     }
-    if (syncNums == null)
+    if (syncNums == null || !syncOnly)
       syncNums = Array.tabulate(offsets.length)(i => (i + 1).toLong)
     val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
     var i = 0

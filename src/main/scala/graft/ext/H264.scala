@@ -92,7 +92,8 @@ object H264 {
 
   private[graft] final case class Pps(picInitQp: Int, deblockCtrl: Boolean,
                                     redundantPicCnt: Boolean,
-                                    bottomFieldPoc: Boolean)
+                                    bottomFieldPoc: Boolean,
+                                    weightedPred: Boolean)
 
   /** Decode-oriented SPS parse: only the baseline-decodable subset
     * returns; anything else (high-profile chroma/bit-depth/scaling,
@@ -149,7 +150,7 @@ object H264 {
     val bottomFieldPoc = r.u(1) == 1
     if (r.ue() != 0) bad() // num_slice_groups_minus1 — no FMO
     r.ue(); r.ue() // num_ref_idx_l{0,1}_default_active_minus1
-    r.u(1) // weighted_pred_flag
+    val weightedPred = r.u(1) == 1
     r.u(2) // weighted_bipred_idc
     val picInitQp = 26 + r.se()
     r.se() // pic_init_qs_minus26
@@ -157,7 +158,7 @@ object H264 {
     val deblockCtrl = r.u(1) == 1
     r.u(1) // constrained_intra_pred_flag (I-frames: no effect)
     val redundantPicCnt = r.u(1) == 1
-    Pps(picInitQp, deblockCtrl, redundantPicCnt, bottomFieldPoc)
+    Pps(picInitQp, deblockCtrl, redundantPicCnt, bottomFieldPoc, weightedPred)
   }
 
   // ------------------------------------------------------ VLC tables
@@ -318,6 +319,12 @@ object H264 {
       "000" -> 5)),
     new Vlc(Seq("11" -> 0, "000" -> 1, "001" -> 2, "011" -> 3, "010" -> 4,
       "101" -> 5, "100" -> 6)))
+
+  /** Table 9-4, inter column: coded_block_pattern me(v) mapping. */
+  private[graft] val CbpInter: Array[Int] = Array(
+    0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12, 15, 47, 7, 11, 13,
+    14, 6, 9, 31, 35, 37, 42, 44, 33, 34, 36, 40, 39, 43, 45, 46,
+    17, 18, 20, 24, 19, 21, 26, 28, 23, 27, 29, 30, 22, 25, 38, 41)
 
   /** Table 9-4, intra column: coded_block_pattern me(v) mapping. */
   private[graft] val CbpIntra: Array[Int] = Array(
@@ -527,6 +534,130 @@ object H264 {
     val lumaNz = Array.fill(wMbs * hMbs)(new Array[Int](16))
     val predModes = Array.fill(wMbs * hMbs)(Array.fill(16)(2))
     val chromaNz = Array.fill(wMbs * hMbs)(new Array[Int](8)) // cb 0-3, cr 4-7
+    /** P-slice motion state, 4x4-block granular (raster order within
+      * the MB): quarter-pel MV components and refIdx (-1 = intra /
+      * not decoded — the "different reference" sentinel the MV
+      * predictor needs).
+      */
+    val mvx = Array.fill(wMbs * hMbs)(new Array[Int](16))
+    val mvy = Array.fill(wMbs * hMbs)(new Array[Int](16))
+    val refIdx = Array.fill(wMbs * hMbs)(Array.fill(16)(-1))
+    /** MB being decoded: its already-assigned partitions are valid
+      * MV-prediction neighbors before mbDecoded flips (within-MB
+      * references in coded order only ever touch assigned blocks).
+      */
+    var curMb: Int = -1
+  }
+
+  // ------------------------------------------ inter prediction (P)
+
+  /** Clamped reference sample (unrestricted MVs reach past the frame;
+    * the spec pads by edge replication — 8.4.2.2.1's coordinate
+    * clipping).
+    */
+  private def refAt(ref: Frame, x: Int, y: Int): Int =
+    ref.luma(math.max(0, math.min(ref.h - 1, y)) * ref.w +
+      math.max(0, math.min(ref.w - 1, x)))
+
+  /** Quarter-pel luma motion compensation (8.4.2.2.1/2): 6-tap
+    * (1,−5,20,20,−5,1) half-pel filters with full intermediate
+    * precision for the center position, bilinear averaging for the
+    * quarter positions. Writes a bw×bh block into `out` (row-major).
+    */
+  private[graft] def mcLumaBlock(ref: Frame, x0: Int, y0: Int,
+                                 mvqx: Int, mvqy: Int, bw: Int, bh: Int,
+                                 out: Array[Int]): Unit = {
+    val fx = x0 + (mvqx >> 2)
+    val fy = y0 + (mvqy >> 2)
+    val px = mvqx & 3
+    val py = mvqy & 3
+    def G(x: Int, y: Int): Int = refAt(ref, fx + x, fy + y)
+    // half-pel b (horizontal) and h (vertical) at integer grid (x, y)
+    def b1(x: Int, y: Int): Int =
+      G(x - 2, y) - 5 * G(x - 1, y) + 20 * G(x, y) + 20 * G(x + 1, y) -
+        5 * G(x + 2, y) + G(x + 3, y)
+    def h1(x: Int, y: Int): Int =
+      G(x, y - 2) - 5 * G(x, y - 1) + 20 * G(x, y) + 20 * G(x, y + 1) -
+        5 * G(x, y + 2) + G(x, y + 3)
+    def bS(x: Int, y: Int): Int = clip255((b1(x, y) + 16) >> 5)
+    def hS(x: Int, y: Int): Int = clip255((h1(x, y) + 16) >> 5)
+    // center j: vertical 6-tap over UNROUNDED horizontal intermediates
+    def jS(x: Int, y: Int): Int = {
+      val v = b1(x, y - 2) - 5 * b1(x, y - 1) + 20 * b1(x, y) +
+        20 * b1(x, y + 1) - 5 * b1(x, y + 2) + b1(x, y + 3)
+      clip255((v + 512) >> 10)
+    }
+    var yy = 0
+    while (yy < bh) {
+      var xx = 0
+      while (xx < bw) {
+        val v = (px, py) match {
+          case (0, 0) => G(xx, yy)
+          case (1, 0) => (G(xx, yy) + bS(xx, yy) + 1) >> 1 // a
+          case (2, 0) => bS(xx, yy) // b
+          case (3, 0) => (G(xx + 1, yy) + bS(xx, yy) + 1) >> 1 // c
+          case (0, 1) => (G(xx, yy) + hS(xx, yy) + 1) >> 1 // d
+          case (0, 2) => hS(xx, yy) // h
+          case (0, 3) => (G(xx, yy + 1) + hS(xx, yy) + 1) >> 1 // n
+          case (2, 2) => jS(xx, yy) // j
+          case (1, 1) => (bS(xx, yy) + hS(xx, yy) + 1) >> 1 // e
+          case (3, 1) => (bS(xx, yy) + hS(xx + 1, yy) + 1) >> 1 // g
+          case (1, 3) => (bS(xx, yy + 1) + hS(xx, yy) + 1) >> 1 // p
+          case (3, 3) => (bS(xx, yy + 1) + hS(xx + 1, yy) + 1) >> 1 // r
+          case (2, 1) => (bS(xx, yy) + jS(xx, yy) + 1) >> 1 // f
+          case (2, 3) => (bS(xx, yy + 1) + jS(xx, yy) + 1) >> 1 // q
+          case (1, 2) => (hS(xx, yy) + jS(xx, yy) + 1) >> 1 // i
+          case (3, 2) => (hS(xx + 1, yy) + jS(xx, yy) + 1) >> 1 // k
+          case _ => 0 // unreachable
+        }
+        out(yy * bw + xx) = v
+        xx += 1
+      }
+      yy += 1
+    }
+  }
+
+  /** Motion info of the 4x4 block at absolute 4x4-grid coords
+    * (gx, gy): (mvx, mvy, refIdx, available). available = inside the
+    * picture AND already decoded; an available INTRA block carries
+    * mv (0,0) with refIdx −1 (the spec's "different reference").
+    */
+  private def motionAt(f: Frame, gx: Int, gy: Int): (Int, Int, Int, Boolean) = {
+    if (gx < 0 || gy < 0 || gx >= f.wMbs * 4 || gy >= f.hMbs * 4)
+      return (0, 0, -1, false)
+    val mb = (gy / 4) * f.wMbs + (gx / 4)
+    if (!f.mbDecoded(mb) && mb != f.curMb) return (0, 0, -1, false)
+    val b = (gy % 4) * 4 + (gx % 4)
+    (f.mvx(mb)(b), f.mvy(mb)(b), f.refIdx(mb)(b), true)
+  }
+
+  /** Luma MV predictor (8.4.1.3): neighbors A (left), B (above), C
+    * (above-right of the partition; D = above-left when C is
+    * unavailable). Order of rules: the 16x8/8x16 directional
+    * shortcuts (`shape`: 0 none, 1 16x8-top, 2 16x8-bottom,
+    * 3 8x16-left, 4 8x16-right — taken only when that neighbor's ref
+    * matches), then "only A available", then "exactly one neighbor
+    * shares the ref", then the component-wise median.
+    */
+  private def predictMv(f: Frame, gx: Int, gy: Int, bw4: Int,
+                        shape: Int): (Int, Int) = {
+    val a = motionAt(f, gx - 1, gy)
+    val b = motionAt(f, gx, gy - 1)
+    var c = motionAt(f, gx + bw4, gy - 1)
+    if (!c._4) c = motionAt(f, gx - 1, gy - 1) // D substitution
+    shape match {
+      case 1 => if (b._3 == 0) return (b._1, b._2)
+      case 2 => if (a._3 == 0) return (a._1, a._2)
+      case 3 => if (a._3 == 0) return (a._1, a._2)
+      case 4 => if (c._3 == 0) return (c._1, c._2)
+      case _ => ()
+    }
+    if (!b._4 && !c._4 && a._4) return (a._1, a._2)
+    val same = Seq(a, b, c).filter(n => n._4 && n._3 == 0)
+    if (same.length == 1) return (same.head._1, same.head._2)
+    def med(x: Int, y: Int, z: Int): Int =
+      math.max(math.min(x, y), math.min(math.max(x, y), z))
+    (med(a._1, b._1, c._1), med(a._2, b._2, c._2))
   }
 
   /** Raster position of luma 4x4 block `blk` (coded block order) in
@@ -807,13 +938,19 @@ object H264 {
   private def clip255(v: Int): Int = math.max(0, math.min(255, v))
 
   /** Decode one slice's macroblocks into the frame. `r` positioned
-    * after the NAL header byte (RBSP).
+    * after the NAL header byte (RBSP). `ref` = the previous decoded
+    * frame for P slices (null decodes I-only); `nalRefIdc` gates the
+    * dec_ref_pic_marking parse for non-IDR slices.
     */
-  private def decodeSlice(f: Frame, pps: Pps, r: Br, idr: Boolean): Unit = {
+  private def decodeSlice(f: Frame, pps: Pps, r: Br, idr: Boolean,
+                          nalRefIdc: Int, ref: Frame): Unit = {
     val sps = f.sps
     val firstMb = r.ue()
     val sliceTypeRaw = r.ue()
-    if (sliceTypeRaw % 5 != 2) bad() // I slices only
+    val isI = sliceTypeRaw % 5 == 2
+    val isP = sliceTypeRaw % 5 == 0
+    if (!isI && !isP) bad() // I and P slices only (baseline GOP)
+    if (isP && ref == null) bad()
     r.ue() // pps_id
     r.u(sps.log2MaxFrameNum) // frame_num
     if (idr) r.ue() // idr_pic_id
@@ -822,8 +959,15 @@ object H264 {
       if (pps.bottomFieldPoc) r.se() // delta_pic_order_cnt_bottom
     } else if (sps.pocType == 1) bad() // needs SPS cycle arrays; out of scope
     if (pps.redundantPicCnt) r.ue()
-    // I slice: no ref lists; dec_ref_pic_marking for IDR
+    if (isP) {
+      if (pps.weightedPred) bad() // baseline forbids weighted pred
+      if (r.u(1) == 1 && r.ue() != 0) bad() // l0 active override must stay 1 ref
+      if (r.u(1) != 0) bad() // ref_pic_list_modification: default order only
+    }
     if (idr) { r.u(1); r.u(1) } // no_output_of_prior / long_term_reference
+    else if (nalRefIdc != 0) {
+      if (r.u(1) != 0) bad() // adaptive_ref_pic_marking unsupported
+    }
     var qp = pps.picInitQp + r.se() // slice_qp_delta
     if (pps.deblockCtrl) {
       val idc = r.ue()
@@ -833,12 +977,253 @@ object H264 {
     var mbAddr = firstMb
     if (mbAddr < 0 || mbAddr >= nMbs) bad()
     var more = true
-    while (more && mbAddr < nMbs) {
-      decodeMb(f, r, mbAddr, qpIn = qp, setQp = q => qp = q)
-      mbAddr += 1
-      // more_rbsp_data: stop at (or past) the trailing stop bit
-      more = hasMoreRbsp(r)
+    if (isI) {
+      while (more && mbAddr < nMbs) {
+        decodeMb(f, r, mbAddr, qpIn = qp, setQp = q => qp = q)
+        mbAddr += 1
+        // more_rbsp_data: stop at (or past) the trailing stop bit
+        more = hasMoreRbsp(r)
+      }
+    } else {
+      while (more && mbAddr < nMbs) {
+        val skipRun = r.ue()
+        var i = 0
+        while (i < skipRun) {
+          if (mbAddr >= nMbs) bad()
+          decodeSkipMb(f, ref, mbAddr)
+          mbAddr += 1
+          i += 1
+        }
+        more = hasMoreRbsp(r)
+        if (more && mbAddr < nMbs) {
+          decodeMbP(f, ref, r, mbAddr, qpIn = qp, setQp = q => qp = q)
+          mbAddr += 1
+          more = hasMoreRbsp(r)
+        }
+      }
     }
+  }
+
+  /** P_Skip (8.4.1.1): predicted 16x16 MV unless an edge/zero-MV
+    * condition pins it to (0,0); copy from the reference, no
+    * residual.
+    */
+  private def decodeSkipMb(f: Frame, ref: Frame, mbAddr: Int): Unit = {
+    val mbX = mbAddr % f.wMbs
+    val mbY = mbAddr / f.wMbs
+    f.curMb = mbAddr
+    val gx = mbX * 4
+    val gy = mbY * 4
+    val a = motionAt(f, gx - 1, gy)
+    val b = motionAt(f, gx, gy - 1)
+    val mv =
+      if (!a._4 || !b._4 ||
+          (a._3 == 0 && a._1 == 0 && a._2 == 0) ||
+          (b._3 == 0 && b._1 == 0 && b._2 == 0)) (0, 0)
+      else predictMv(f, gx, gy, 4, 0)
+    val buf = new Array[Int](256)
+    mcLumaBlock(ref, mbX * 16, mbY * 16, mv._1, mv._2, 16, 16, buf)
+    var yy = 0
+    while (yy < 16) {
+      var xx = 0
+      while (xx < 16) {
+        f.luma((mbY * 16 + yy) * f.w + mbX * 16 + xx) = buf(yy * 16 + xx)
+        xx += 1
+      }
+      yy += 1
+    }
+    var blk = 0
+    while (blk < 16) {
+      f.mvx(mbAddr)(blk) = mv._1
+      f.mvy(mbAddr)(blk) = mv._2
+      f.refIdx(mbAddr)(blk) = 0
+      blk += 1
+    }
+    f.mbIsI4x4(mbAddr) = false
+    f.mbDecoded(mbAddr) = true
+  }
+
+  /** One P-slice macroblock_layer: inter partitions (P_16x16 /
+    * P_16x8 / P_8x16 / P_8x8 incl. sub-partitions) with MV
+    * prediction + quarter-pel MC + CAVLC residual, or an intra MB
+    * (mb_type − 5 → the I-slice layer).
+    */
+  private def decodeMbP(f: Frame, ref: Frame, r: Br, mbAddr: Int,
+                        qpIn: Int, setQp: Int => Unit): Unit = {
+    val mbType = r.ue()
+    if (mbType >= 5) { // intra MB inside a P slice
+      decodeMbIntra(f, r, mbAddr, qpIn, setQp, mbType - 5)
+      return
+    }
+    var qp = qpIn
+    val mbX = mbAddr % f.wMbs
+    val mbY = mbAddr / f.wMbs
+    val x0 = mbX * 16
+    val y0 = mbY * 16
+    f.curMb = mbAddr
+    val gx0 = mbX * 4
+    val gy0 = mbY * 4
+    val pred = new Array[Int](256)
+    val pbuf = new Array[Int](256)
+
+    def mcInto(bx4: Int, by4: Int, bw4: Int, bh4: Int, mvx: Int, mvy: Int): Unit = {
+      mcLumaBlock(ref, x0 + bx4 * 4, y0 + by4 * 4, mvx, mvy, bw4 * 4, bh4 * 4, pbuf)
+      var yy = 0
+      while (yy < bh4 * 4) {
+        var xx = 0
+        while (xx < bw4 * 4) {
+          pred((by4 * 4 + yy) * 16 + bx4 * 4 + xx) = pbuf(yy * (bw4 * 4) + xx)
+          xx += 1
+        }
+        yy += 1
+      }
+      var by = by4
+      while (by < by4 + bh4) {
+        var bx = bx4
+        while (bx < bx4 + bw4) {
+          val blk = by * 4 + bx
+          f.mvx(mbAddr)(blk) = mvx
+          f.mvy(mbAddr)(blk) = mvy
+          f.refIdx(mbAddr)(blk) = 0
+          bx += 1
+        }
+        by += 1
+      }
+    }
+
+    def part(bx4: Int, by4: Int, bw4: Int, shape: Int): Unit = {
+      val p = predictMv(f, gx0 + bx4, gy0 + by4, bw4, shape)
+      val mvdx = r.se()
+      val mvdy = r.se()
+      val bh4 = shape match {
+        case 1 | 2 => 2
+        case 3 | 4 => 4
+        case _ => if (bw4 == 4) 4 else bw4 // square sub-parts handled below
+      }
+      mcInto(bx4, by4, bw4, bh4, p._1 + mvdx, p._2 + mvdy)
+    }
+
+    mbType match {
+      case 0 => part(0, 0, 4, 0) // P_L0_16x16
+      case 1 => // P_L0_L0_16x8
+        part(0, 0, 4, 1)
+        part(0, 2, 4, 2)
+      case 2 => // P_L0_L0_8x16
+        part(0, 0, 2, 3)
+        part(2, 0, 2, 4)
+      case 3 | 4 => // P_8x8 / P_8x8ref0 (1 active ref: identical)
+        val subTypes = new Array[Int](4)
+        var i = 0
+        while (i < 4) {
+          subTypes(i) = r.ue()
+          if (subTypes(i) > 3) bad()
+          i += 1
+        }
+        i = 0
+        while (i < 4) {
+          val bx8 = (i & 1) * 2
+          val by8 = (i >> 1) * 2
+          subTypes(i) match {
+            case 0 => // 8x8
+              val p = predictMv(f, gx0 + bx8, gy0 + by8, 2, 0)
+              mcInto(bx8, by8, 2, 2, p._1 + r.se(), p._2 + r.se())
+            case 1 => // 8x4 (two rows)
+              var j = 0
+              while (j < 2) {
+                val p = predictMv(f, gx0 + bx8, gy0 + by8 + j, 2, 0)
+                mcInto(bx8, by8 + j, 2, 1, p._1 + r.se(), p._2 + r.se())
+                j += 1
+              }
+            case 2 => // 4x8 (two columns)
+              var j = 0
+              while (j < 2) {
+                val p = predictMv(f, gx0 + bx8 + j, gy0 + by8, 1, 0)
+                mcInto(bx8 + j, by8, 1, 2, p._1 + r.se(), p._2 + r.se())
+                j += 1
+              }
+            case _ => // 4x4
+              var j = 0
+              while (j < 4) {
+                val p = predictMv(f, gx0 + bx8 + (j & 1), gy0 + by8 + (j >> 1), 1, 0)
+                mcInto(bx8 + (j & 1), by8 + (j >> 1), 1, 1,
+                  p._1 + r.se(), p._2 + r.se())
+                j += 1
+              }
+          }
+          i += 1
+        }
+      case _ => bad()
+    }
+
+    // coded_block_pattern (inter mapping) + residual
+    val cbpCode = r.ue()
+    if (cbpCode >= 48) bad()
+    val cbp = CbpInter(cbpCode)
+    val cbpLuma = cbp & 15
+    val cbpChroma = cbp >> 4
+    if (cbpChroma > 2) bad()
+    if (cbp > 0) {
+      val delta = r.se()
+      if (delta < -26 || delta > 25) bad()
+      qp = (qp + delta + 52) % 52
+      setQp(qp)
+    }
+    val coeffs = new Array[Int](16)
+    var b = 0
+    while (b < 16) {
+      val bx = Blk4x4X(b)
+      val by = Blk4x4Y(b)
+      val bx0 = x0 + bx * 4
+      val by0 = y0 + by * 4
+      var nz = 0
+      java.util.Arrays.fill(coeffs, 0)
+      if ((cbpLuma & (1 << (b >> 2))) != 0) {
+        val nC = nCOf(lumaNzLeft(f, mbX, mbY, bx, by),
+          lumaNzAbove(f, mbX, mbY, bx, by))
+        val scan = new Array[Int](16)
+        nz = residualBlock(r, nC, 16, scan, 0)
+        var t = 0
+        while (t < 16) { coeffs(ZigZag4x4(t)) = scan(t); t += 1 }
+        dequant4x4(coeffs, qp, skipDc = false)
+        inverseTransform4x4(coeffs)
+      }
+      f.lumaNz(mbAddr)(b) = nz
+      var yy = 0
+      while (yy < 4) {
+        var xx = 0
+        while (xx < 4) {
+          val res = if (nz > 0) coeffs(yy * 4 + xx) else 0
+          f.luma((by0 + yy) * f.w + bx0 + xx) =
+            clip255(pred((by * 4 + yy) * 16 + bx * 4 + xx) + res)
+          xx += 1
+        }
+        yy += 1
+      }
+      b += 1
+    }
+    if (cbpChroma > 0) {
+      val scan = new Array[Int](16)
+      var comp = 0
+      while (comp < 2) { residualBlock(r, -1, 4, scan, 0); comp += 1 }
+      if (cbpChroma == 2) {
+        comp = 0
+        while (comp < 2) {
+          var cb = 0
+          while (cb < 4) {
+            val cx = cb & 1
+            val cy = cb >> 1
+            val nC = nCOf(chromaNz(f, mbX, mbY, comp, cx - 1, cy),
+              chromaNz(f, mbX, mbY, comp, cx, cy - 1))
+            val nzc = residualBlock(r, nC, 15, scan, 1)
+            f.chromaNz(mbAddr)(comp * 4 + cb) = nzc
+            cb += 1
+          }
+          comp += 1
+        }
+      }
+    }
+    f.mbIsI4x4(mbAddr) = false
+    f.mbDecoded(mbAddr) = true
   }
 
   /** more_rbsp_data(): true iff bits remain BEFORE the
@@ -859,14 +1244,22 @@ object H264 {
 
   /** One macroblock_layer + decode (I slices). */
   private def decodeMb(f: Frame, r: Br, mbAddr: Int, qpIn: Int,
-                      setQp: Int => Unit): Unit = {
+                      setQp: Int => Unit): Unit =
+    decodeMbIntra(f, r, mbAddr, qpIn, setQp, r.ue())
+
+  /** Intra macroblock body with the (slice-type-adjusted) mb_type
+    * already read — shared by I slices and intra MBs inside P slices
+    * (whose mb_type carries a +5 offset, stripped by the caller).
+    */
+  private def decodeMbIntra(f: Frame, r: Br, mbAddr: Int, qpIn: Int,
+                            setQp: Int => Unit, mbType: Int): Unit = {
     var qp = qpIn
     val mbX = mbAddr % f.wMbs
     val mbY = mbAddr / f.wMbs
     val x0 = mbX * 16
     val y0 = mbY * 16
     val idx = mbAddr
-    val mbType = r.ue()
+    f.curMb = mbAddr
     val leftMb = if (mbX > 0 && f.mbDecoded(idx - 1)) true else false
     val aboveMb = if (mbY > 0 && f.mbDecoded(idx - f.wMbs)) true else false
     val aboveRightMb = mbX + 1 < f.wMbs && mbY > 0 && f.mbDecoded(idx - f.wMbs + 1)
@@ -1094,22 +1487,154 @@ object H264 {
       if (sps.widthMbs * sps.heightMbs > (1 << 16)) return null // 16M px cap
       val f = new Frame(sps)
       slices.foreach { case (nal, idr) =>
-        decodeSlice(f, pps, new Br(rbsp(nal, 1)), idr)
+        decodeSlice(f, pps, new Br(rbsp(nal, 1)), idr,
+          (nal(0) >> 5) & 3, null)
       }
       if (!f.mbDecoded.forall(identity)) return null // frame not covered
-      val w = f.w - sps.cropL - sps.cropR
-      val h = f.h - sps.cropT - sps.cropB
-      val out = new Array[Double](w * h)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          out(y * w + x) = f.luma((y + sps.cropT) * f.w + x + sps.cropL).toDouble
-          x += 1
-        }
-        y += 1
+      cropOut(f)
+    } catch {
+      case _: Malformed => null
+      case scala.util.control.NonFatal(_) => null
+    }
+  }
+
+  /** Conformance-cropped luma plane of a decoded frame. */
+  private def cropOut(f: Frame): (Array[Double], Int, Int) = {
+    val sps = f.sps
+    val w = f.w - sps.cropL - sps.cropR
+    val h = f.h - sps.cropT - sps.cropB
+    val out = new Array[Double](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        out(y * w + x) = f.luma((y + sps.cropT) * f.w + x + sps.cropL).toDouble
+        x += 1
       }
-      (out, w, h)
+      y += 1
+    }
+    (out, w, h)
+  }
+
+  /** Decode one access unit (a sample's NALs) into a full Frame —
+    * `ref` = previous frame for P slices. Throws Malformed when the
+    * frame is not fully covered.
+    */
+  private def decodeAuFrame(sps: Sps, pps: Pps, nals: Seq[Array[Byte]],
+                            ref: Frame): Frame = {
+    val f = new Frame(sps)
+    var any = false
+    nals.foreach { nal =>
+      if (nal != null && nal.length >= 1) {
+        val t = nal(0) & 0x1F
+        if (t == 5 || t == 1) {
+          decodeSlice(f, pps, new Br(rbsp(nal, 1)), t == 5, (nal(0) >> 5) & 3, ref)
+          any = true
+        }
+      }
+    }
+    if (!any || !f.mbDecoded.forall(identity)) bad()
+    f
+  }
+
+  /** Split one stsz-bounded sample span into its length-prefixed
+    * NALs; throws on malformed spans.
+    */
+  private def sampleNals(bytes: Array[Byte], lengthSize: Int,
+                         off: Long, size: Long): Seq[Array[Byte]] = {
+    if (off < 0 || size <= 0 || off + size > bytes.length) bad()
+    val nals = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    var p = off.toInt
+    val end = (off + size).toInt
+    while (p + lengthSize <= end) {
+      var len = 0L
+      var i = 0
+      while (i < lengthSize) { len = (len << 8) | (bytes(p + i) & 0xFF); i += 1 }
+      if (len <= 0 || p + lengthSize + len > end) bad()
+      nals += java.util.Arrays.copyOfRange(bytes, p + lengthSize,
+        (p + lengthSize + len).toInt)
+      p += (lengthSize + len).toInt
+    }
+    if (nals.isEmpty) bad()
+    nals.toSeq
+  }
+
+  /** `[frame_idx, t_ms, mean/255, std/255, nBins histogram]` per
+    * every `stride`-th of the first `maxFrames` FRAMES of a baseline
+    * I+P GOP — the full-sequence extension of
+    * [[keyframeFrameFeaturesOrNull]]: every sample decodes (P frames
+    * motion-compensate against their predecessor), frame_idx is the
+    * SAMPLE ordinal. Strict: one undecodable frame nulls the
+    * payload. Work is bounded by maxFrames·stride decoded frames.
+    */
+  def gopFrameFeaturesOrNull(bytes: Array[Byte], nBins: Int, stride: Int,
+                             maxFrames: Int): Array[Array[Double]] = {
+    try {
+      if (stride < 1 || maxFrames < 1 || nBins < 1) return null
+      val cfg = avcTrackConfig(bytes)
+      if (cfg == null) return null
+      val (lengthSize, spsNal, ppsNal, _, _, timescale, durations) = cfg
+      val sps = parseSpsDecode(spsNal)
+      val pps = parsePpsDecode(ppsNal)
+      if (sps.widthMbs * sps.heightMbs > (1 << 16)) return null
+      val nDecode = math.min((maxFrames.toLong * stride).min(1 << 14).toInt,
+        1 << 14)
+      val spans = Avc.sampleSpansOrNull(bytes, nDecode)
+      if (spans == null || spans.isEmpty) return null
+      val prefix: Array[Long] =
+        if (durations == null) null
+        else {
+          val p = new Array[Long](durations.length + 1)
+          var i = 0
+          while (i < durations.length) { p(i + 1) = p(i) + durations(i); i += 1 }
+          p
+        }
+      val out = new scala.collection.mutable.ArrayBuffer[Array[Double]]()
+      var ref: Frame = null
+      var k = 0
+      while (k < spans.length && out.length < maxFrames) {
+        val (off, size, sn) = spans(k)
+        val f = decodeAuFrame(sps, pps,
+          sampleNals(bytes, lengthSize, off, size), ref)
+        ref = f
+        if (k % stride == 0) {
+          val (g, _, _) = cropOut(f)
+          val tMedia =
+            if (prefix != null && sn - 1 < prefix.length) prefix((sn - 1).toInt)
+            else 0L
+          val tMs = if (timescale > 0) 1000.0 * tMedia / timescale else 0.0
+          out += (Array(k.toDouble, tMs) ++ Png.grayStats(g, nBins))
+        }
+        k += 1
+      }
+      if (out.isEmpty) null else out.toArray
+    } catch {
+      case _: Malformed => null
+      case scala.util.control.NonFatal(_) => null
+    }
+  }
+
+  /** All decoded luma planes of the first `maxFrames` samples
+    * (test/tooling surface; strict like the features form).
+    */
+  def gopLumasOrNull(bytes: Array[Byte], maxFrames: Int): Seq[(Array[Double], Int, Int)] = {
+    try {
+      val cfg = avcTrackConfig(bytes)
+      if (cfg == null) return null
+      val (lengthSize, spsNal, ppsNal, _, _, _, _) = cfg
+      val sps = parseSpsDecode(spsNal)
+      val pps = parsePpsDecode(ppsNal)
+      val spans = Avc.sampleSpansOrNull(bytes, math.min(maxFrames, 1 << 14))
+      if (spans == null || spans.isEmpty) return null
+      var ref: Frame = null
+      val out = scala.collection.mutable.ArrayBuffer[(Array[Double], Int, Int)]()
+      spans.foreach { case (off, size, _) =>
+        val f = decodeAuFrame(sps, pps,
+          sampleNals(bytes, lengthSize, off, size), ref)
+        ref = f
+        out += cropOut(f)
+      }
+      out.toSeq
     } catch {
       case _: Malformed => null
       case scala.util.control.NonFatal(_) => null

@@ -131,10 +131,12 @@ object Multimodal {
     * [[graft.fn.Mp4Meta]] box walk (timescale, duration, track
     * count). MJPEG tracks additionally decode REAL frames
     * ([[withMjpegFrames]]); baseline H.264 tracks decode their
-    * KEYFRAMES for real ([[H264]], [[withKeyframeDhash]]) while
-    * inter-coded frames stay behind the stub/chunk-sampler for
-    * PIXELS — a full inter decoder (motion compensation, reference
-    * lists) remains out of proportion — and metadata is fully real:
+    * KEYFRAMES ([[H264]], [[withKeyframeDhash]]) AND, as of the
+    * round-8 inter decoder, their full I+P GOPs
+    * ([[withGopFrames]]: quarter-pel motion compensation against the
+    * previous frame, P_Skip/16x16/16x8/8x16/8x8 partitions). The
+    * remaining stub surface is streams outside the baseline subset
+    * (CABAC, B frames, multi-ref) — and metadata is fully real:
     * [[graft.fn.Mp4AvcMeta]] surfaces SPS-derived resolution/profile
     * and [[graft.fn.Mp4SyncOffsets]] the keyframe byte index, like
     * PNG's IHDR and WAV's fmt.
@@ -332,6 +334,20 @@ object Multimodal {
     import org.apache.spark.sql.{graftbridge => gb}
     assets.withColumn("flac_meta",
       gb.column(graft.fn.FlacMeta(gb.expression(col(contentCol)))))
+  }
+
+  /** Full-GOP frame sampling for baseline H.264 (I+P) tracks — the
+    * [[withVideoFrames]] row shape from EVERY frame, P frames decoded
+    * by motion compensation against their predecessor ([[H264]]
+    * round-8 inter decode). Use [[withVideoFrames]] when keyframes
+    * suffice (cheaper: no inter chain).
+    */
+  def withGopFrames(assets: DataFrame, nBins: Int = 16, stride: Int = 1,
+                    maxFrames: Int = 256,
+                    contentCol: String = "content"): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    explodeFrames(assets, contentCol, gb.column(graft.fn.H264GopFrames(
+      gb.expression(col(contentCol)), nBins, stride, maxFrames)))
   }
 
   /** Keyframe dHash column for H.264-in-MP4 payloads — REAL pixels

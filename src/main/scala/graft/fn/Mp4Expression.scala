@@ -293,3 +293,50 @@ case class H264KeyframeFrames(child: Expression, nBins: Int = 16,
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** SQL `h264_gop_frames(content[, nBins[, stride[, maxFrames]]])` —
+  * per-FRAME feature rows across a baseline I+P GOP
+  * ([[graft.ext.H264.gopFrameFeaturesOrNull]]): every sample decodes
+  * (P frames motion-compensate against their predecessor), frame_idx
+  * = sample ordinal, t_ms from stts. The full-sequence member of the
+  * frame-sampling family; [[H264KeyframeFrames]] stays the cheap
+  * keyframes-only form.
+  */
+case class H264GopFrames(child: Expression, nBins: Int = 16,
+                         stride: Int = 1, maxFrames: Int = 256)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "h264_gop_frames"
+
+  override protected def nullSafeEval(bytes: Any): Any = {
+    val f = graft.ext.H264.gopFrameFeaturesOrNull(
+      bytes.asInstanceOf[Array[Byte]], nBins, stride, maxFrames)
+    if (f == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      f.map(r => new org.apache.spark.sql.catalyst.util.GenericArrayData(r): Any))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val arrCls = "org.apache.spark.sql.catalyst.util.GenericArrayData"
+    nullSafeCodeGen(ctx, ev, bytes =>
+      s"""
+         |double[][] ${ev.value}_f = graft.ext.H264.gopFrameFeaturesOrNull($bytes, $nBins, $stride, $maxFrames);
+         |if (${ev.value}_f == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  Object[] ${ev.value}_rows = new Object[${ev.value}_f.length];
+         |  for (int i = 0; i < ${ev.value}_f.length; i++) {
+         |    ${ev.value}_rows[i] = new $arrCls(${ev.value}_f[i]);
+         |  }
+         |  ${ev.value} = new $arrCls(${ev.value}_rows);
+         |}
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -502,6 +502,165 @@ class H264Spec extends AnyFunSuite {
     assert(H264.decodeIdrLumaOrNull(Seq(sps(2, 1), pps(), slice(0, p0))) === null)
   }
 
+  // ------------------------------------------------ P slices (inter)
+
+  /** Non-IDR P-slice NAL: header (frame_num 1, QP 26, deblocking
+    * OFF, single ref, default list order), then `body`, then stop.
+    */
+  private def pSlice(body: Bw => Unit): Array[Byte] = {
+    val w = new Bw
+    w.u(0x61, 8) // NAL: ref_idc 3, type 1 (non-IDR slice)
+    w.ue(0) // first_mb_in_slice
+    w.ue(5) // slice_type = P (all slices)
+    w.ue(0) // pps_id
+    w.u(1, 4) // frame_num = 1
+    w.u(0, 1) // num_ref_idx_active_override_flag
+    w.u(0, 1) // ref_pic_list_modification_flag_l0
+    w.u(0, 1) // adaptive_ref_pic_marking_mode_flag
+    w.se(0) // slice_qp_delta -> QP 26
+    w.ue(1) // disable_deblocking_filter_idc
+    body(w)
+    w.stop()
+    w.bytes()
+  }
+
+  private def pcmIdr(pcm: Array[Int]): Array[Byte] = idrSlice { w =>
+    w.ue(25).align(); pcm.foreach(w.raw); (0 until 128).foreach(_ => w.raw(0x80))
+  }
+
+  private def decodeGop(spsNal: Array[Byte], s1: Array[Byte],
+                        s2: Array[Byte]): Seq[(Array[Double], Int, Int)] = {
+    val f0 = H264.decodeIdrLumaOrNull(Seq(spsNal, pps(), s1))
+    // build a 2-sample MP4 so the GOP path (ref chaining) is the code
+    // under test, not a test-local re-implementation
+    val video = mp4Multi(spsNal, pps(), Seq(s1, s2), Seq(1), 1000L, 500L)
+    val frames = H264.gopLumasOrNull(video, 2)
+    assert(f0 != null && frames != null && frames.length === 2)
+    // frame 0 through the GOP path must equal the direct decode
+    assert(frames(0)._1.toSeq === f0._1.toSeq)
+    frames
+  }
+
+  test("cbp me(v) tables are permutations of 0..47") {
+    assert(H264.CbpIntra.sorted.toSeq === (0 to 47))
+    assert(H264.CbpInter.sorted.toSeq === (0 to 47))
+  }
+
+  test("P_16x16 integer-pel MV: pixels shift with edge clamp (hand-derived)") {
+    val pcm = Array.tabulate(256)(i => (i * 5 + 3) & 0xFF)
+    // single MB: A/B/C all unavailable -> median of zeros -> pred (0,0)
+    // mvd (4,0) quarter-pel = one full pel right
+    val p = pSlice { w =>
+      w.ue(0) // mb_skip_run
+      w.ue(0) // mb_type P_L0_16x16
+      w.se(4).se(0) // mvd
+      w.ue(0) // cbp: CbpInter(0) = 0
+    }
+    val frames = decodeGop(sps(1, 1), pcmIdr(pcm), p)
+    val (g1, fw, _) = frames(1)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val sx = math.min(15, x + 1) // edge replication past the frame
+      assert(g1(y * fw + x) === pcm(y * 16 + sx).toDouble, s"($x,$y)")
+    }
+  }
+
+  test("P_Skip run covers the frame: P frame == reference frame") {
+    val pcm0 = Array.tabulate(256)(i => (i * 7 + 11) & 0xFF)
+    val pcm1 = Array.tabulate(256)(i => (255 - i * 3) & 0xFF)
+    val idr = idrSlice { w =>
+      for (p <- Seq(pcm0, pcm1)) {
+        w.ue(25).align(); p.foreach(w.raw); (0 until 128).foreach(_ => w.raw(0x80))
+      }
+    }
+    val p = pSlice { w => w.ue(2) } // mb_skip_run = 2, nothing else
+    val frames = decodeGop(sps(2, 1), idr, p)
+    assert(frames(1)._1.toSeq === frames(0)._1.toSeq)
+  }
+
+  test("P_16x16 half-pel MV: 6-tap interpolation matches an independent transcription") {
+    val pcm = Array.tabulate(256)(i => (i * 37 + 19) & 0xFF)
+    val p = pSlice { w =>
+      w.ue(0); w.ue(0)
+      w.se(2).se(0) // mv (2,0): horizontal half-pel position b
+      w.ue(0)
+    }
+    val frames = decodeGop(sps(1, 1), pcmIdr(pcm), p)
+    val (g1, fw, _) = frames(1)
+    def ref(x: Int, y: Int): Int =
+      pcm(math.max(0, math.min(15, y)) * 16 + math.max(0, math.min(15, x)))
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val b1 = ref(x - 2, y) - 5 * ref(x - 1, y) + 20 * ref(x, y) +
+        20 * ref(x + 1, y) - 5 * ref(x + 2, y) + ref(x + 3, y)
+      val want = math.max(0, math.min(255, (b1 + 16) >> 5))
+      assert(g1(y * fw + x) === want.toDouble, s"($x,$y)")
+    }
+  }
+
+  test("P_16x8 partitions: directional MV prediction, distinct MVs per half") {
+    val pcm = Array.tabulate(256)(i => (i * 13 + 7) & 0xFF)
+    // top partition: B unavailable -> general rules -> pred (0,0);
+    // mvd (0,4) -> mv (0,4) = one pel down.
+    // bottom partition: A unavailable, B = top partition (ref 0) is
+    // the EXACTLY-ONE same-ref neighbor -> pred (0,4); mvd (4,-4)
+    // -> mv (4,0) = one pel right. (Derivation per 8.4.1.3 by hand.)
+    val p = pSlice { w =>
+      w.ue(0); w.ue(1) // P_L0_L0_16x8
+      w.se(0).se(4) // top mvd
+      w.se(4).se(-4) // bottom mvd
+      w.ue(0) // cbp 0
+    }
+    val frames = decodeGop(sps(1, 1), pcmIdr(pcm), p)
+    val (g1, fw, _) = frames(1)
+    def ref(x: Int, y: Int): Int =
+      pcm(math.max(0, math.min(15, y)) * 16 + math.max(0, math.min(15, x)))
+    for (y <- 0 until 8; x <- 0 until 16)
+      assert(g1(y * fw + x) === ref(x, y + 1).toDouble, s"top ($x,$y)")
+    for (y <- 8 until 16; x <- 0 until 16)
+      assert(g1(y * fw + x) === ref(x + 1, y).toDouble, s"bottom ($x,$y)")
+  }
+
+  test("P_16x16 zero MV + CAVLC residual: reference plus hand-derived deltas") {
+    val pcm = Array.tabulate(256)(i => 100 + (i % 40))
+    // same residual bits as the I_4x4 golden: block 0 carries
+    // [+2 DC, -1 at (0,1)] -> residual columns [3,5,9,11] at QP 26
+    val p = pSlice { w =>
+      w.ue(0); w.ue(0)
+      w.se(0).se(0) // mv (0,0)
+      w.ue(2) // cbp me(v): CbpInter(2) = 1 (luma 8x8 #0)
+      w.se(0) // mb_qp_delta
+      w.bitsStr("000100").bitsStr("1").bitsStr("1").bitsStr("111") // block 0
+      w.bitsStr("11").bitsStr("11").bitsStr("1") // blocks 1-3 empty (nC 2,2,0)
+    }
+    val frames = decodeGop(sps(1, 1), pcmIdr(pcm), p)
+    val (g1, fw, _) = frames(1)
+    val delta = Seq(3, 5, 9, 11)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val want =
+        if (x < 4 && y < 4) math.min(255, pcm(y * 16 + x) + delta(x))
+        else pcm(y * 16 + x)
+      assert(g1(y * fw + x) === want.toDouble, s"($x,$y)")
+    }
+  }
+
+  test("GOP frame features: every frame decodes, P frames tracked from their reference") {
+    val pcm = Array.tabulate(256)(i => (i * 9 + 4) & 0xFF)
+    val shift = pSlice { w =>
+      w.ue(0); w.ue(0); w.se(4).se(0); w.ue(0)
+    }
+    val skip = pSlice { w => w.ue(1) }
+    val video = mp4Multi(sps(1, 1), pps(), Seq(pcmIdr(pcm), shift, skip),
+      Seq(1), 1000L, 400L)
+    val rows = H264.gopFrameFeaturesOrNull(video, nBins = 4, stride = 1,
+      maxFrames = 8)
+    assert(rows != null && rows.length === 3)
+    assert(rows.map(_(0)).toSeq === Seq(0.0, 1.0, 2.0))
+    assert(rows.map(_(1)).toSeq === Seq(0.0, 400.0, 800.0))
+    // frame 2 (skip) has identical pixels to frame 1 -> identical features
+    assert(rows(1).drop(2).toSeq === rows(2).drop(2).toSeq)
+    // and frame 1 differs from frame 0 (the shift changed pixels)
+    assert(rows(0).drop(2).toSeq !== rows(1).drop(2).toSeq)
+  }
+
   // --------------------------------------------- container + fuzz
 
   private def be32(v: Long): Array[Byte] =
@@ -724,6 +883,24 @@ class H264Spec extends AnyFunSuite {
       val junk = Array.fill(n)(rnd.nextInt(256).toByte)
       junk(0) = 0x65.toByte
       H264.decodeIdrLumaOrNull(Seq(sps(2, 2), pps(), junk))
+    }
+    // P-path fuzz: corrupted two-sample GOPs through the inter chain
+    val pv = mp4Multi(sps(1, 1), pps(),
+      Seq(pcmIdr(pcm), pSlice { w => w.ue(0); w.ue(0); w.se(4).se(0); w.ue(0) }),
+      Seq(1), 1000L, 500L)
+    assert(H264.gopLumasOrNull(pv, 4) != null)
+    for (_ <- 0 until 300) {
+      val m = pv.clone()
+      for (_ <- 0 to rnd.nextInt(6)) m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      H264.gopFrameFeaturesOrNull(m, 4, 1, 8) // any result, no throw
+    }
+    for (trial <- 0 until 300) {
+      val n = 2 + rnd.nextInt(60)
+      val junk = Array.fill(n)(rnd.nextInt(256).toByte)
+      junk(0) = 0x61.toByte // non-IDR slice NAL
+      val video = mp4Multi(sps(1, 1), pps(), Seq(pcmIdr(pcm), junk),
+        Seq(1), 1000L, 500L)
+      H264.gopLumasOrNull(video, 4)
     }
   }
 }
