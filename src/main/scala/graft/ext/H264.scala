@@ -12,9 +12,14 @@ package graft.ext
   * LUMA is reconstructed (the [[Images]] gray-plane contract); chroma
   * residuals are entropy-PARSED (the bitstream position requires it)
   * but not reconstructed. The in-loop deblocking filter is skipped —
-  * acceptable for thumbnail/dHash use and EXACT for streams coded
-  * with disable_deblocking_filter_idc = 1 (what the per-pixel golden
-  * fixtures assert).
+  * EXACT for streams coded with disable_deblocking_filter_idc = 1
+  * (what the per-pixel golden fixtures assert), an approximation for
+  * thumbnail/dHash use otherwise. NOTE for P chains: with the filter
+  * on, each P frame motion-compensates from an UNFILTERED reference,
+  * so the approximation COMPOUNDS over a GOP — keyframe entries
+  * ([[keyframeFrameFeaturesOrNull]]) re-anchor at every sync sample
+  * and do not drift; prefer them when the stream's filter is on and
+  * fidelity matters more than inter-frame coverage.
   *
   * CAVLC code tables are transcribed from the spec (Tables 9-4, 9-5,
   * 9-7..9-10) and structurally verified in H264Spec: every VLC is
@@ -93,7 +98,9 @@ object H264 {
   private[graft] final case class Pps(picInitQp: Int, deblockCtrl: Boolean,
                                     redundantPicCnt: Boolean,
                                     bottomFieldPoc: Boolean,
-                                    weightedPred: Boolean)
+                                    weightedPred: Boolean,
+                                    numRefIdxL0Default: Int,
+                                    constrainedIntra: Boolean)
 
   /** Decode-oriented SPS parse: only the baseline-decodable subset
     * returns; anything else (high-profile chroma/bit-depth/scaling,
@@ -149,16 +156,18 @@ object H264 {
     if (r.u(1) != 0) bad() // entropy_coding_mode_flag — CAVLC only
     val bottomFieldPoc = r.u(1) == 1
     if (r.ue() != 0) bad() // num_slice_groups_minus1 — no FMO
-    r.ue(); r.ue() // num_ref_idx_l{0,1}_default_active_minus1
+    val numRefIdxL0Default = r.ue() + 1
+    r.ue() // num_ref_idx_l1_default_active_minus1
     val weightedPred = r.u(1) == 1
     r.u(2) // weighted_bipred_idc
     val picInitQp = 26 + r.se()
     r.se() // pic_init_qs_minus26
     r.se() // chroma_qp_index_offset
     val deblockCtrl = r.u(1) == 1
-    r.u(1) // constrained_intra_pred_flag (I-frames: no effect)
+    val constrainedIntra = r.u(1) == 1
     val redundantPicCnt = r.u(1) == 1
-    Pps(picInitQp, deblockCtrl, redundantPicCnt, bottomFieldPoc, weightedPred)
+    Pps(picInitQp, deblockCtrl, redundantPicCnt, bottomFieldPoc, weightedPred,
+      numRefIdxL0Default, constrainedIntra)
   }
 
   // ------------------------------------------------------ VLC tables
@@ -542,11 +551,19 @@ object H264 {
     val mvx = Array.fill(wMbs * hMbs)(new Array[Int](16))
     val mvy = Array.fill(wMbs * hMbs)(new Array[Int](16))
     val refIdx = Array.fill(wMbs * hMbs)(Array.fill(16)(-1))
-    /** MB being decoded: its already-assigned partitions are valid
-      * MV-prediction neighbors before mbDecoded flips (within-MB
-      * references in coded order only ever touch assigned blocks).
+    /** MB being decoded: its already-ASSIGNED partitions (tracked by
+      * [[curAssigned]]) are valid MV-prediction neighbors before
+      * mbDecoded flips; blocks of later-coded partitions are NOT —
+      * the spec marks them unavailable and substitutes D for C.
       */
     var curMb: Int = -1
+    val curAssigned = new Array[Boolean](16)
+    /** Slice each MB belongs to: prediction of every kind never
+      * crosses a slice boundary (clause 6 availability), so neighbor
+      * checks compare slice ids, not just decodedness.
+      */
+    val mbSliceId = Array.fill(wMbs * hMbs)(-1)
+    var curSliceId: Int = -1
   }
 
   // ------------------------------------------ inter prediction (P)
@@ -581,10 +598,17 @@ object H264 {
         5 * G(x, y + 2) + G(x, y + 3)
     def bS(x: Int, y: Int): Int = clip255((b1(x, y) + 16) >> 5)
     def hS(x: Int, y: Int): Int = clip255((h1(x, y) + 16) >> 5)
-    // center j: vertical 6-tap over UNROUNDED horizontal intermediates
+    // center j: vertical 6-tap over UNROUNDED horizontal intermediates.
+    // The b1 plane is buffered ONCE per block — recomputing it per
+    // output pixel costs ~36 clamped loads each, an order of magnitude
+    // over the buffered form in the GOP hot loop.
+    val needsJ = (px == 2 && py != 0) || (py == 2 && px != 0)
+    val b1rows: Array[Array[Int]] =
+      if (!needsJ) null
+      else Array.tabulate(bh + 6, bw)((ry, xx) => b1(xx, ry - 2))
     def jS(x: Int, y: Int): Int = {
-      val v = b1(x, y - 2) - 5 * b1(x, y - 1) + 20 * b1(x, y) +
-        20 * b1(x, y + 1) - 5 * b1(x, y + 2) + b1(x, y + 3)
+      val v = b1rows(y)(x) - 5 * b1rows(y + 1)(x) + 20 * b1rows(y + 2)(x) +
+        20 * b1rows(y + 3)(x) - 5 * b1rows(y + 4)(x) + b1rows(y + 5)(x)
       clip255((v + 512) >> 10)
     }
     var yy = 0
@@ -626,8 +650,11 @@ object H264 {
     if (gx < 0 || gy < 0 || gx >= f.wMbs * 4 || gy >= f.hMbs * 4)
       return (0, 0, -1, false)
     val mb = (gy / 4) * f.wMbs + (gx / 4)
-    if (!f.mbDecoded(mb) && mb != f.curMb) return (0, 0, -1, false)
     val b = (gy % 4) * 4 + (gx % 4)
+    val avail =
+      if (mb == f.curMb) f.curAssigned(b)
+      else f.mbDecoded(mb) && f.mbSliceId(mb) == f.curSliceId
+    if (!avail) return (0, 0, -1, false)
     (f.mvx(mb)(b), f.mvy(mb)(b), f.refIdx(mb)(b), true)
   }
 
@@ -681,7 +708,8 @@ object H264 {
     else if (mbX == 0) -1
     else {
       val n = mbY * f.wMbs + mbX - 1
-      if (!f.mbDecoded(n)) -1 else f.lumaNz(n)(RasterToBlk(3 + 4 * by))
+      if (!f.mbDecoded(n) || f.mbSliceId(n) != f.curSliceId) -1
+      else f.lumaNz(n)(RasterToBlk(3 + 4 * by))
     }
   }
 
@@ -690,7 +718,8 @@ object H264 {
     else if (mbY == 0) -1
     else {
       val n = (mbY - 1) * f.wMbs + mbX
-      if (!f.mbDecoded(n)) -1 else f.lumaNz(n)(RasterToBlk(bx + 12))
+      if (!f.mbDecoded(n) || f.mbSliceId(n) != f.curSliceId) -1
+      else f.lumaNz(n)(RasterToBlk(bx + 12))
     }
   }
 
@@ -706,13 +735,13 @@ object H264 {
     if (bx < 0) {
       if (mbX == 0) return -1
       val n = mbY * f.wMbs + mbX - 1
-      if (!f.mbDecoded(n)) return -1
+      if (!f.mbDecoded(n) || f.mbSliceId(n) != f.curSliceId) return -1
       return f.chromaNz(n)(comp * 4 + 1 + 2 * by)
     }
     if (by < 0) {
       if (mbY == 0) return -1
       val n = (mbY - 1) * f.wMbs + mbX
-      if (!f.mbDecoded(n)) return -1
+      if (!f.mbDecoded(n) || f.mbSliceId(n) != f.curSliceId) return -1
       return f.chromaNz(n)(comp * 4 + 2 + bx)
     }
     f.chromaNz(mbY * f.wMbs + mbX)(comp * 4 + bx + 2 * by)
@@ -729,7 +758,7 @@ object H264 {
     if (nmx < 0 || nmy < 0) return -1 // unavailable
     val n = nmy * f.wMbs + nmx
     if (nmx != mbX || nmy != mbY) {
-      if (!f.mbDecoded(n)) return -1
+      if (!f.mbDecoded(n) || f.mbSliceId(n) != f.curSliceId) return -1
       if (!f.mbIsI4x4(n)) return 2
     }
     f.predModes(n)(RasterToBlk(nbx + 4 * nby))
@@ -961,7 +990,15 @@ object H264 {
     if (pps.redundantPicCnt) r.ue()
     if (isP) {
       if (pps.weightedPred) bad() // baseline forbids weighted pred
-      if (r.u(1) == 1 && r.ue() != 0) bad() // l0 active override must stay 1 ref
+      // constrained_intra_pred changes which pixels intra MBs in P
+      // slices may predict from — unsupported, reject loudly rather
+      // than reconstruct from neighbors the encoder excluded
+      if (pps.constrainedIntra) bad()
+      // EFFECTIVE active refs must be 1: either the slice overrides
+      // to 1, or the PPS default already is 1 — otherwise the
+      // ref_idx_l0 fields this parser never reads would be present
+      if (r.u(1) == 1) { if (r.ue() != 0) bad() }
+      else if (pps.numRefIdxL0Default != 1) bad()
       if (r.u(1) != 0) bad() // ref_pic_list_modification: default order only
     }
     if (idr) { r.u(1); r.u(1) } // no_output_of_prior / long_term_reference
@@ -976,6 +1013,7 @@ object H264 {
     val nMbs = f.wMbs * f.hMbs
     var mbAddr = firstMb
     if (mbAddr < 0 || mbAddr >= nMbs) bad()
+    f.curSliceId += 1
     var more = true
     if (isI) {
       while (more && mbAddr < nMbs) {
@@ -1012,6 +1050,8 @@ object H264 {
     val mbX = mbAddr % f.wMbs
     val mbY = mbAddr / f.wMbs
     f.curMb = mbAddr
+    java.util.Arrays.fill(f.curAssigned, false)
+    f.mbSliceId(mbAddr) = f.curSliceId
     val gx = mbX * 4
     val gy = mbY * 4
     val a = motionAt(f, gx - 1, gy)
@@ -1061,6 +1101,8 @@ object H264 {
     val x0 = mbX * 16
     val y0 = mbY * 16
     f.curMb = mbAddr
+    java.util.Arrays.fill(f.curAssigned, false)
+    f.mbSliceId(mbAddr) = f.curSliceId
     val gx0 = mbX * 4
     val gy0 = mbY * 4
     val pred = new Array[Int](256)
@@ -1085,6 +1127,7 @@ object H264 {
           f.mvx(mbAddr)(blk) = mvx
           f.mvy(mbAddr)(blk) = mvy
           f.refIdx(mbAddr)(blk) = 0
+          f.curAssigned(blk) = true
           bx += 1
         }
         by += 1
@@ -1260,9 +1303,13 @@ object H264 {
     val y0 = mbY * 16
     val idx = mbAddr
     f.curMb = mbAddr
-    val leftMb = if (mbX > 0 && f.mbDecoded(idx - 1)) true else false
-    val aboveMb = if (mbY > 0 && f.mbDecoded(idx - f.wMbs)) true else false
-    val aboveRightMb = mbX + 1 < f.wMbs && mbY > 0 && f.mbDecoded(idx - f.wMbs + 1)
+    java.util.Arrays.fill(f.curAssigned, false)
+    f.mbSliceId(idx) = f.curSliceId
+    def sameSlice(n: Int): Boolean =
+      f.mbDecoded(n) && f.mbSliceId(n) == f.curSliceId
+    val leftMb = mbX > 0 && sameSlice(idx - 1)
+    val aboveMb = mbY > 0 && sameSlice(idx - f.wMbs)
+    val aboveRightMb = mbX + 1 < f.wMbs && mbY > 0 && sameSlice(idx - f.wMbs + 1)
 
     if (mbType == 25) { // I_PCM
       r.byteAlign()
@@ -1355,7 +1402,8 @@ object H264 {
               // same MB: available iff that block was decoded before b
               RasterToBlk((gx - mbX * 4) + 4 * (gy - mbY * 4)) < b
             } else if (nMbY < mbY || (nMbY == mbY && nMbX < mbX)) {
-              f.mbDecoded(nMbY * f.wMbs + nMbX)
+              val n = nMbY * f.wMbs + nMbX
+              f.mbDecoded(n) && f.mbSliceId(n) == f.curSliceId
             } else false
           }
         }
@@ -1577,18 +1625,10 @@ object H264 {
       val sps = parseSpsDecode(spsNal)
       val pps = parsePpsDecode(ppsNal)
       if (sps.widthMbs * sps.heightMbs > (1 << 16)) return null
-      val nDecode = math.min((maxFrames.toLong * stride).min(1 << 14).toInt,
-        1 << 14)
+      val nDecode = (maxFrames.toLong * stride).min(1 << 14).toInt
       val spans = Avc.sampleSpansOrNull(bytes, nDecode)
       if (spans == null || spans.isEmpty) return null
-      val prefix: Array[Long] =
-        if (durations == null) null
-        else {
-          val p = new Array[Long](durations.length + 1)
-          var i = 0
-          while (i < durations.length) { p(i + 1) = p(i) + durations(i); i += 1 }
-          p
-        }
+      val prefix = sttsPrefix(durations)
       val out = new scala.collection.mutable.ArrayBuffer[Array[Double]]()
       var ref: Frame = null
       var k = 0
@@ -1739,27 +1779,28 @@ object H264 {
     out
   }
 
-  /** Decode one stsz-bounded sample span (a run of length-prefixed
-    * NALs) with the given parameter sets. Null on malformed spans.
+  /** Decode one stsz-bounded sample span with the given parameter
+    * sets ([[sampleNals]] + the IDR entry). Null on malformed spans.
     */
   private def sampleLumaOrNull(bytes: Array[Byte], lengthSize: Int,
                                spsNal: Array[Byte], ppsNal: Array[Byte],
-                               off: Long, size: Long): (Array[Double], Int, Int) = {
-    if (off < 0 || size <= 0 || off + size > bytes.length) return null
-    val nals = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
-    var p = off.toInt
-    val end = (off + size).toInt
-    while (p + lengthSize <= end) {
-      var len = 0L
-      var i = 0
-      while (i < lengthSize) { len = (len << 8) | (bytes(p + i) & 0xFF); i += 1 }
-      if (len <= 0 || p + lengthSize + len > end) return null
-      nals += java.util.Arrays.copyOfRange(bytes, p + lengthSize,
-        (p + lengthSize + len).toInt)
-      p += (lengthSize + len).toInt
+                               off: Long, size: Long): (Array[Double], Int, Int) =
+    try decodeIdrLumaOrNull(Seq(spsNal, ppsNal) ++
+      sampleNals(bytes, lengthSize, off, size))
+    catch {
+      case _: Malformed => null
+      case scala.util.control.NonFatal(_) => null
     }
-    if (nals.isEmpty) return null
-    decodeIdrLumaOrNull(Seq(spsNal, ppsNal) ++ nals.toSeq)
+
+  /** stts durations → media-time prefix sums (index = 0-based sample
+    * number), or null when stts is absent.
+    */
+  private def sttsPrefix(durations: Array[Long]): Array[Long] = {
+    if (durations == null) return null
+    val p = new Array[Long](durations.length + 1)
+    var i = 0
+    while (i < durations.length) { p(i + 1) = p(i) + durations(i); i += 1 }
+    p
   }
 
   def mp4KeyframeLumaOrNull(bytes: Array[Byte]): (Array[Double], Int, Int) = {
@@ -1795,14 +1836,7 @@ object H264 {
         .*(stride).min(1 << 20).toInt)
       if (spans == null || spans.isEmpty) return null
       // stts prefix sum → media time at each sample number
-      val prefix: Array[Long] =
-        if (durations == null) null
-        else {
-          val p = new Array[Long](durations.length + 1)
-          var i = 0
-          while (i < durations.length) { p(i + 1) = p(i) + durations(i); i += 1 }
-          p
-        }
+      val prefix = sttsPrefix(durations)
       val out = new scala.collection.mutable.ArrayBuffer[Array[Double]]()
       var k = 0
       while (k < spans.length && out.length < maxFrames) {

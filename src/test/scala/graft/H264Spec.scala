@@ -642,6 +642,71 @@ class H264Spec extends AnyFunSuite {
     }
   }
 
+  test("P_8x8 4x4 sub-blocks: C in a later partition is unavailable, D substitutes") {
+    // single MB; sub-partition 0 = four 4x4 blocks with MVs chosen so
+    // block j3's predictor (median over A=(0,8), B=(8,0), D=(8,8))
+    // gives (8,8) — treating the UNASSIGNED C at raster (2,0) as an
+    // available zero-MV neighbor would give (0,0) instead. Every
+    // predictor below is hand-derived per 8.4.1.3, and the mvds are
+    // literal bits, so decoder and fixture share no prediction code.
+    val pcm = Array.tabulate(256)(i => (i * 17 + 3) & 0xFF)
+    val p = pSlice { w =>
+      w.ue(0) // skip run
+      w.ue(3) // P_8x8
+      w.ue(3).ue(0).ue(0).ue(0) // sub types: 4x4, 8x8, 8x8, 8x8
+      // sub-part 0 (pred -> mv): j0 (0,0)->(8,8); j1 A-rule (8,8)->(8,0);
+      // j2 median (8,0)->(0,8); j3 median-with-D (8,8)->(8,8)
+      w.se(8).se(8); w.se(0).se(-8); w.se(-8).se(8); w.se(0).se(0)
+      w.se(-8).se(0) // sub-part 1: pred A-rule (8,0) -> mv (0,0)
+      w.se(0).se(0) // sub-part 2: pred median (0,0) -> mv (0,0)
+      w.se(0).se(0) // sub-part 3: pred median (0,0) -> mv (0,0)
+      w.ue(0) // cbp 0
+    }
+    val frames = decodeGop(sps(1, 1), pcmIdr(pcm), p)
+    val (g1, fw, _) = frames(1)
+    def ref(x: Int, y: Int): Int =
+      pcm(math.min(15, y) * 16 + math.min(15, x))
+    def shiftOf(x: Int, y: Int): (Int, Int) =
+      if (x < 4 && y < 4) (2, 2) // j0
+      else if (x < 8 && y < 4) (2, 0) // j1
+      else if (x < 4 && y < 8) (0, 2) // j2
+      else if (x < 8 && y < 8) (2, 2) // j3 — the D-substitution block
+      else (0, 0)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val (dx, dy) = shiftOf(x, y)
+      assert(g1(y * fw + x) === ref(x + dx, y + dy).toDouble, s"($x,$y)")
+    }
+  }
+
+  test("slice boundaries: prediction never crosses them (DC falls back to 128)") {
+    // slice 1 = MB0 I_PCM; slice 2 = MB1 I_16x16 DC. MB0 is decoded
+    // but in ANOTHER slice, so MB1's left neighbor is unavailable and
+    // its DC prediction must be 128, not MB0's right column.
+    val pcm = Array.tabulate(256)(i => (i * 3 + 40) & 0xFF)
+    val s1 = idrSlice { w =>
+      w.ue(25).align(); pcm.foreach(w.raw); (0 until 128).foreach(_ => w.raw(0x80))
+    }
+    val s2 = {
+      val w = new Bw
+      w.u(0x65, 8)
+      w.ue(1) // first_mb_in_slice = 1
+      w.ue(7).ue(0).u(0, 4).ue(0).u(0, 1).u(0, 1).se(0)
+      w.ue(1)
+      w.ue(3) // I_16x16 DC, cbp 0
+      w.ue(0).se(0)
+      w.bitsStr("1") // DC block: nC = 0 (left MB is another slice)
+      w.stop()
+      w.bytes()
+    }
+    val got = H264.decodeIdrLumaOrNull(Seq(sps(2, 1), pps(), s1, s2))
+    assert(got != null)
+    val (g, fw, _) = got
+    for (y <- 0 until 16; x <- 0 until 16)
+      assert(g(y * fw + x) === pcm(y * 16 + x).toDouble)
+    for (y <- 0 until 16; x <- 16 until 32)
+      assert(g(y * fw + x) === 128.0, s"($x,$y)")
+  }
+
   test("GOP frame features: every frame decodes, P frames tracked from their reference") {
     val pcm = Array.tabulate(256)(i => (i * 9 + 4) & 0xFF)
     val shift = pSlice { w =>
