@@ -34,8 +34,13 @@ object MediaMeta {
   def imageDimsOrNull(b: Array[Byte]): (String, Long, Long) = {
     try {
       if (b == null || b.length < 16) return null
-      if ((b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
-        return ("png", be32(b, 16), be32(b, 20)) // IHDR is first
+      if ((b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') {
+        // require the first chunk to BE IHDR: Apple CgBI PNGs insert a
+        // chunk before it, and offsets 16/20 would read its payload
+        if (b.length >= 24 && b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+          return ("png", be32(b, 16), be32(b, 20))
+        return null
+      }
       if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8)
         return jpegDims(b)
       if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8')
@@ -43,7 +48,7 @@ object MediaMeta {
       if (b(0) == 'B' && b(1) == 'M' && b.length >= 26) {
         val hdr = le32(b, 14)
         if (hdr >= 40) // BITMAPINFOHEADER+: signed height (top-down < 0)
-          return ("bmp", le32(b, 18), math.abs(le32(b, 22).toInt).toLong)
+          return ("bmp", le32(b, 18), math.abs(le32(b, 22).toInt.toLong))
         else if (hdr == 12) // BITMAPCOREHEADER
           return ("bmp", le16(b, 18).toLong, le16(b, 20).toLong)
       }
@@ -70,6 +75,9 @@ object MediaMeta {
     var o = 2
     while (o + 4 <= b.length) {
       if ((b(o) & 0xFF) != 0xFF) return null
+      // consume 0xFF fill bytes before the marker id (T.81 B.1.1.2)
+      while (o + 4 <= b.length && (b(o + 1) & 0xFF) == 0xFF) o += 1
+      if (o + 4 > b.length) return null
       val m = b(o + 1) & 0xFF
       if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7) || m == 0x01) o += 2
       else {
@@ -176,19 +184,21 @@ object MediaMeta {
   }
 
   private def wavMeta(b: Array[Byte]): (String, Long, Int, Double) = {
-    var off = 12
+    var off = 0L
+    off = 12
     var rate = 0L; var ch = 0; var bits = 0; var dataLen = -1L
     while (off + 8 <= b.length) {
-      val id = new String(b, off, 4, "US-ASCII")
-      val size = le32(b, off + 4)
+      val id = new String(b, off.toInt, 4, "US-ASCII")
+      val size = le32(b, off.toInt + 4) // unsigned — Long arithmetic ONLY
       val payload = off + 8
-      if (size < 0) return null
       if (id == "fmt " && size >= 16 && payload + 16 <= b.length) {
-        ch = le16(b, payload + 2)
-        rate = le32(b, payload + 4)
-        bits = le16(b, payload + 14)
-      } else if (id == "data") dataLen = math.min(size, (b.length - payload).toLong)
-      off = payload + size.toInt + (size.toInt & 1)
+        ch = le16(b, payload.toInt + 2)
+        rate = le32(b, payload.toInt + 4)
+        bits = le16(b, payload.toInt + 14)
+      } else if (id == "data") dataLen = math.min(size, b.length - payload)
+      // Long advance: a crafted 0xFFFFFFF8 size must run the cursor
+      // off the end, not wrap toInt negative and spin forever
+      off = payload + size + (size & 1)
     }
     if (rate <= 0 || ch < 1) return null
     val dur =
@@ -216,14 +226,24 @@ object MediaMeta {
         ((b(8) & 0x7F) << 7) | (b(9) & 0x7F)
       o = 10 + sz
     }
-    // sync scan (bounded): corpus blobs may hold junk before the frame
-    val limit = math.min(b.length - 4, o + (1 << 16))
-    while (o < limit && !((b(o) & 0xFF) == 0xFF && (b(o + 1) & 0xE0) == 0xE0)) o += 1
-    if (o >= limit) return null
+    // sync scan: with an ID3 tag the frame may sit after padding
+    // (bounded window); WITHOUT one, require sync at the very start —
+    // scanning arbitrary binaries for 0xFF Ex breeds false positives
+    val hadId3 = o > 0
+    if (hadId3) {
+      val limit = math.min(b.length - 4, o + (1 << 16))
+      while (o < limit && !((b(o) & 0xFF) == 0xFF && (b(o + 1) & 0xE0) == 0xE0)) o += 1
+      if (o >= limit) return null
+    } else {
+      if (b.length < 4 || (b(0) & 0xFF) != 0xFF || (b(1) & 0xE0) != 0xE0)
+        return null
+    }
     val verBits = (b(o + 1) >> 3) & 3
     val layerBits = (b(o + 1) >> 1) & 3
     if (verBits == 1 || layerBits == 0) return null // reserved
     val rates = Mp3Rates(verBits)
+    val bitrateIdx = (b(o + 2) >> 4) & 0xF
+    if (bitrateIdx == 0 || bitrateIdx == 0xF) return null // free-format/invalid
     val rateIdx = (b(o + 2) >> 2) & 3
     if (rateIdx == 3) return null
     val rate = rates(rateIdx)
@@ -235,12 +255,13 @@ object MediaMeta {
       if (layer == 1) 384L
       else if (layer == 2) 1152L
       else if (verBits == 3) 1152L else 576L
-    // Xing/Info at the side-info offset (MPEG-1: 36/21; MPEG-2: 21/13)
-    val sideOff =
+    // Xing/Info offset FROM FRAME START: 4-byte header + side info
+    // (MPEG-1: 32 stereo / 17 mono; MPEG-2: 17 / 9) = 36/21/21/13
+    val xingOff =
       if (verBits == 3) { if (chMode == 3) 21 else 36 }
       else { if (chMode == 3) 13 else 21 }
     var dur = Double.NaN
-    val xo = o + 4 + sideOff
+    val xo = o + xingOff
     if (xo + 16 <= b.length) {
       val tag = new String(b, xo, 4, "US-ASCII")
       if ((tag == "Xing" || tag == "Info") && (be32(b, xo + 4) & 1L) == 1L) {
@@ -276,12 +297,16 @@ object MediaMeta {
       granuleRate = 48000L // Opus granules are ALWAYS 48 kHz
     } else return null
     if (rate <= 0 || ch < 1) return null
-    // last page: scan back for the final "OggS" capture pattern
+    // last page: scan back for an "OggS" that VALIDATES as a page
+    // header (version 0, header-type flags < 8) — the capture pattern
+    // also occurs inside packet data, whose trailing bytes would read
+    // as a wild granule
     var dur = Double.NaN
     var p = b.length - 27
     var found = -1
     while (p >= 0 && found < 0) {
-      if (b(p) == 'O' && b(p + 1) == 'g' && b(p + 2) == 'g' && b(p + 3) == 'S')
+      if (b(p) == 'O' && b(p + 1) == 'g' && b(p + 2) == 'g' && b(p + 3) == 'S' &&
+          b(p + 4) == 0 && (b(p + 5) & 0xFF) < 8)
         found = p
       p -= 1
     }

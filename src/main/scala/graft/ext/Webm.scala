@@ -45,10 +45,13 @@ object Webm {
         val (size, szLen) = vint(pos + idLen, keepMarker = false)
         if (szLen == 0) return null
         val dataStart = pos + idLen + szLen
-        // all-VINT_DATA-ones = unknown size → to parent end
+        // all-VINT_DATA-ones = unknown size → to parent end; a KNOWN
+        // size past the buffer clamps to it instead of aborting —
+        // prefix-fetched corpus blobs hold a Segment whose declared
+        // size is the full file, with Info/Tracks entirely present
         val unknown = size == (1L << (7 * szLen)) - 1
-        val dataEnd = if (unknown) hi else dataStart + size
-        if (dataStart > hi || dataEnd > hi || dataEnd < dataStart) return null
+        val dataEnd = if (unknown) hi else math.min(dataStart + size, hi)
+        if (dataStart > hi || dataEnd < dataStart) return null
         pos = dataEnd
         (id, dataStart, dataEnd)
       }
@@ -158,7 +161,7 @@ object Webm {
 /** FLAC STREAMINFO metadata ("fLaC" magic + the mandatory first
   * metadata block, per the public FLAC format spec): sample rate,
   * channels, bits per sample, total samples → duration. The lossless
-  * audio sibling of [[Wav]]'s fmt parse — no frame decode.
+  * audio sibling of the WAV fmt parse — no frame decode.
   */
 object Flac {
 

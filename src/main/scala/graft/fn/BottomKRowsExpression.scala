@@ -25,8 +25,8 @@ import org.apache.spark.sql.types._
   * retained set is unique, not merely some k-subset of a tied
   * frontier.
   */
-final class BottomKRowsBuf(val k: Int, nSort: Int, sortTypes: Array[DataType]) {
-  private val ord = InterpretedOrdering.forSchema(sortTypes.toIndexedSeq)
+final class BottomKRowsBuf(val k: Int,
+                           ord: org.apache.spark.sql.catalyst.expressions.BaseOrdering) {
   val rows = new Array[UnsafeRow](k)
   var size = 0
 
@@ -102,10 +102,11 @@ final class BottomKRowsBuf(val k: Int, nSort: Int, sortTypes: Array[DataType]) {
 }
 
 object BottomKRowsBuf {
-  def deserialize(k: Int, nSort: Int, sortTypes: Array[DataType],
+  def deserialize(k: Int,
+                  ord: org.apache.spark.sql.catalyst.expressions.BaseOrdering,
                   numFields: Int, bytes: Array[Byte]): BottomKRowsBuf = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val buf = new BottomKRowsBuf(k, nSort, sortTypes)
+    val buf = new BottomKRowsBuf(k, ord)
     val n = in.readInt()
     var i = 0
     while (i < n) {
@@ -177,6 +178,11 @@ case class BottomKRows(
 
   @transient private lazy val sortTypes: Array[DataType] =
     structType.fields.take(nSort).map(_.dataType)
+  // one ordering per expression, shared by every group buffer — a
+  // per-buffer InterpretedOrdering was measurable churn at
+  // millions-of-groups cardinality
+  @transient private lazy val ordering: InterpretedOrdering =
+    InterpretedOrdering.forSchema(sortTypes.toIndexedSeq)
   @transient private lazy val payloadType: StructType =
     structType.fields.last.dataType.asInstanceOf[StructType]
   // projects the evaluated struct to a compact UnsafeRow we can copy
@@ -188,7 +194,7 @@ case class BottomKRows(
   override def prettyName: String = "bottom_k_rows"
 
   override def createAggregationBuffer(): BottomKRowsBuf =
-    new BottomKRowsBuf(k, nSort, sortTypes)
+    new BottomKRowsBuf(k, ordering)
 
   override def update(b: BottomKRowsBuf, input: InternalRow): BottomKRowsBuf = {
     val v = child.eval(input)
@@ -197,6 +203,9 @@ case class BottomKRows(
       var i = 0
       var nullSort = false
       while (i < nSort && !nullSort) { nullSort = row.isNullAt(i); i += 1 }
+      // a null PAYLOAD struct is skipped like a null sort key —
+      // eval's getStruct would otherwise NPE on the retained row
+      if (row.isNullAt(nSort)) nullSort = true
       if (!nullSort) {
         val u = proj(row) // reusable scratch — copy only on admit
         if (b.admits(u)) b.add(u.copy())
@@ -222,7 +231,7 @@ case class BottomKRows(
 
   override def serialize(b: BottomKRowsBuf): Array[Byte] = b.serialize()
   override def deserialize(bytes: Array[Byte]): BottomKRowsBuf =
-    BottomKRowsBuf.deserialize(k, nSort, sortTypes, structType.length, bytes)
+    BottomKRowsBuf.deserialize(k, ordering, structType.length, bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): ImperativeAggregate =
     copy(mutableAggBufferOffset = newOffset)

@@ -38,7 +38,13 @@ final class VecMomentsBuf {
     if (scratch == null || scratch.length < d) scratch = new Array[Double](d)
     val x = scratch
     var i = 0
-    while (i < d) { x(i) = arr.getDouble(i); i += 1 }
+    while (i < d) {
+      // fail loudly: a null element would silently read as 0.0 from
+      // UnsafeArrayData and skew every downstream moment
+      require(!arr.isNullAt(i), s"vec_moments: null element at $i")
+      x(i) = arr.getDouble(i)
+      i += 1
+    }
     var k = 0
     i = 0
     while (i < d) {

@@ -99,7 +99,9 @@ class MediaMetaSpec extends AnyFunSuite {
     val hdr = Array(0xFF, 0xFB, 0x90, 0x40).map(_.toByte) // v1 L3, 44100, mode 1
     val frame = new Array[Byte](400)
     hdr.copyInto(frame, 0)
-    val xo = 4 + 36 // MPEG-1 stereo side info
+    // Xing sits at frame start + 4-byte header + 32-byte MPEG-1
+    // stereo side info = 36 — the offset real encoders write
+    val xo = 36
     "Xing".getBytes.copyInto(frame, xo)
     frame(xo + 7) = 1 // flags: frames present
     frame(xo + 8) = 0; frame(xo + 9) = 0; frame(xo + 10) = 1; frame(xo + 11) = 44 // 300 frames

@@ -15,6 +15,17 @@ class VecStatsSpec extends SparkSpec {
     .parquet("/root/testdata/sf0.001/embeddings.parquet")
     .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
 
+  test("null vector elements fail loudly instead of skewing the moments") {
+    val df = Seq((1L, Seq[java.lang.Double](1.0, null, 3.0)),
+      (2L, Seq[java.lang.Double](1.0, 2.0, 3.0)))
+      .toDF("id", "v")
+      .select($"id", $"v".cast("array<double>").as("v"))
+    val e = intercept[Exception] {
+      VecStats.moments(df, $"v")
+    }
+    assert(e.getMessage != null)
+  }
+
   test("moments == brute force on a tiny frame") {
     val df = Seq(
       (1L, Seq(1.0, 2.0)), (2L, Seq(3.0, 5.0)), (3L, Seq(-1.0, 0.5))

@@ -85,6 +85,28 @@ class WebmSpec extends AnyFunSuite {
     assert(math.abs(m._2 - 1.0) < 1e-9) // default 1ms scale
   }
 
+  test("webm: prefix-fetched blob (known-size Segment cut mid-Cluster) still parses") {
+    // the common corpus shape: a seekable WebM whose Segment size is
+    // the full file length, fetched as a prefix holding Info+Tracks
+    // but cut inside the first Cluster — metadata must still come out
+    val header = el(0x1A45DFA3L, el(0x4282L, "webm".getBytes("US-ASCII")))
+    val info = el(0x1549A966L, el(0x2AD7B1L, uintBytes(1000000L, 3)),
+      el(0x4489L, f8(2000.0)))
+    val tracks = el(0x1654AE6BL, el(0xAEL,
+      el(0x83L, uintBytes(1, 1)),
+      el(0x86L, "V_VP8".getBytes("US-ASCII")),
+      el(0xE0L, el(0xB0L, uintBytes(320, 2)), el(0xBAL, uintBytes(240, 2)))))
+    val cluster = el(0x1F43B675L, new Array[Byte](5000)) // payload to cut
+    val segBody = info ++ tracks ++ cluster
+    val seg = idBytes(0x18538067L) ++ vintSize(segBody.length.toLong) ++ segBody
+    val full = header ++ seg
+    val prefix = full.take(header.length + 10 + info.length + tracks.length + 40)
+    val m = Webm.metaOrNull(prefix)
+    assert(m != null, "prefix fetch must not null out present metadata")
+    assert(m._3 === "V_VP8" && m._4 === 320L && m._5 === 240L)
+    assert(math.abs(m._2 - 2.0) < 1e-9)
+  }
+
   test("webm: malformed and non-EBML payloads null, never throw") {
     assert(Webm.metaOrNull(null) === null)
     assert(Webm.metaOrNull("RIFFjunk".getBytes) === null)
