@@ -44,7 +44,7 @@ object H264 {
     * (callers are OrNull entries), so parse code never tests
     * sentinels.
     */
-  private final class Br(val b: Array[Byte]) {
+  private[graft] final class Br(val b: Array[Byte]) {
     var pos = 0
     def u(n: Int): Int = {
       var v = 0
