@@ -22,7 +22,7 @@ import graft.fn.TimeFns
   *  - NULLS FIRST is spelled explicitly (Spark's ASC default) since
   *    DuckDB defaults to NULLS LAST.
   */
-object Queries {
+object Queries extends ColumnSyntax {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.tbl(s, dir, name)
@@ -686,8 +686,4 @@ object Queries {
     "q43_ols_fit" -> q43Sql
   )
 
-  // $"..." interpolator without a SparkSession-bound implicits import
-  private implicit class Dollar(val sc: StringContext) {
-    def $(args: Any*): Column = col(sc.s(args: _*))
-  }
 }

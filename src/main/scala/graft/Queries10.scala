@@ -12,7 +12,7 @@ import graft.ext.SpanDedup
   * principles (window hashes, duplicate set, island merge, segment
   * reconstruction) over the same parquet, equality IS the claim.
   */
-object Queries10 {
+object Queries10 extends ColumnSyntax {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.tbl(s, dir, name)
@@ -484,8 +484,4 @@ object Queries10 {
     "q122_weighted_sample" -> q122Sql,
     "q123_dsir_resample" -> q123Sql)
 
-  // $"..." interpolator without a SparkSession-bound implicits import
-  private implicit class Dollar(val sc: StringContext) {
-    def $(args: Any*): Column = col(sc.s(args: _*))
-  }
 }

@@ -16,7 +16,7 @@ import org.apache.spark.sql.types.DecimalType
   * each left row meets each matching right row exactly once, on its
   * own salt replica).
   */
-object Queries11 {
+object Queries11 extends ColumnSyntax {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.tbl(s, dir, name)
@@ -113,8 +113,4 @@ object Queries11 {
     // q125: no oracle — DuckDB cannot decode H.264 (q84 convention)
     "q124_salted_join" -> q124Sql)
 
-  // $"..." interpolator without a SparkSession-bound implicits import
-  private implicit class Dollar(val sc: StringContext) {
-    def $(args: Any*): Column = col(sc.s(args: _*))
-  }
 }

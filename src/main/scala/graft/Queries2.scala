@@ -17,7 +17,7 @@ import graft.ops.AsofJoin
   * integer nanoseconds (`epoch_ns` on the DuckDB side, valid for both
   * types); nothing round-trips through double.
   */
-object Queries2 {
+object Queries2 extends ColumnSyntax {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.tbl(s, dir, name)
@@ -500,7 +500,4 @@ object Queries2 {
     "q72_json_extract" -> q72Sql
   )
 
-  private implicit class Dollar(val sc: StringContext) {
-    def $(args: Any*): Column = col(sc.s(args: _*))
-  }
 }

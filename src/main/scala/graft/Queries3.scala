@@ -11,7 +11,7 @@ import graft.ext.{Dedup, SimJoin}
   * byte-identical values; the production paths use xxhash64 and are
   * covered by DedupSpec.
   */
-object Queries3 {
+object Queries3 extends ColumnSyntax {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.tbl(s, dir, name)
@@ -284,7 +284,4 @@ object Queries3 {
     "q80_neardup_cc" -> q80Sql
   )
 
-  private implicit class Dollar(val sc: StringContext) {
-    def $(args: Any*): Column = col(sc.s(args: _*))
-  }
 }

@@ -10,7 +10,7 @@ import graft.ext.{SimJoin, TextOps}
   * (q75), RANGE window frames (q76), nearest as-of through the
   * AsofJoin operator (q77). All DuckDB-parity differential queries.
   */
-object Queries4 {
+object Queries4 extends ColumnSyntax {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.tbl(s, dir, name)
@@ -363,7 +363,4 @@ object Queries4 {
     "q79_polyfit2" -> q79Sql
   )
 
-  private implicit class Dollar(val sc: StringContext) {
-    def $(args: Any*): Column = col(sc.s(args: _*))
-  }
 }

@@ -16,7 +16,7 @@ import graft.ops.BloomJoin
   * shared md5-60bit order hash; Bloom false positives dropped by the
   * join).
   */
-object Queries5 {
+object Queries5 extends ColumnSyntax {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.tbl(s, dir, name)
@@ -221,8 +221,4 @@ object Queries5 {
     "q83_bloom_join" -> q83Sql,
     "q84p_dhash_pairs" -> q84pSql)
 
-  // $"..." interpolator without a SparkSession-bound implicits import
-  private implicit class Dollar(val sc: StringContext) {
-    def $(args: Any*): Column = col(sc.s(args: _*))
-  }
 }

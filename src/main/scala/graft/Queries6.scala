@@ -12,7 +12,7 @@ import graft.ext.{Corpus, TextOps}
   * principles in SQL, and equality IS the operator's correctness
   * claim.
   */
-object Queries6 {
+object Queries6 extends ColumnSyntax {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.tbl(s, dir, name)
@@ -186,7 +186,4 @@ object Queries6 {
     "q88_bm25_topk" -> q88Sql
   )
 
-  private implicit class Dollar(val sc: StringContext) {
-    def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
-  }
 }

@@ -12,7 +12,7 @@ import graft.ext.{Corpus, SimJoin, TextOps}
   * operator, the DuckDB oracle recomputes the answer from first
   * principles, equality IS the correctness claim.
   */
-object Queries7 {
+object Queries7 extends ColumnSyntax {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.tbl(s, dir, name)
@@ -568,7 +568,4 @@ object Queries7 {
     "q101_inverted_sharded" -> q101Sql
   )
 
-  private implicit class Dollar(val sc: StringContext) {
-    def $(args: Any*): Column = col(sc.s(args: _*))
-  }
 }

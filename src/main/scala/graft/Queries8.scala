@@ -22,7 +22,7 @@ import graft.ext.{Dedup, LangModel, Sketches, SimJoin}
   * ([[graft.ext.Sketches.orderHash]]), doubles rounded at the edge,
   * explicit ORDER BY.
   */
-object Queries8 {
+object Queries8 extends ColumnSyntax {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.tbl(s, dir, name)
@@ -721,7 +721,4 @@ object Queries8 {
     "q112_bpe_encode" -> q112Sql
   )
 
-  private implicit class Dollar(val sc: StringContext) {
-    def $(args: Any*): Column = col(sc.s(args: _*))
-  }
 }

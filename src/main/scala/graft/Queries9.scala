@@ -18,7 +18,7 @@ import graft.ext.{Corpus, Sketches, VecStats}
   * eigen reconstruction, sign determinism); the covariance input it
   * consumes is what q113 hash-gates.
   */
-object Queries9 {
+object Queries9 extends ColumnSyntax {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.tbl(s, dir, name)
@@ -220,8 +220,4 @@ object Queries9 {
     // hash-gates the identical register/estimate algorithm
     "q116_cms_freq" -> q116Sql)
 
-  // $"..." interpolator without a SparkSession-bound implicits import
-  private implicit class Dollar(val sc: StringContext) {
-    def $(args: Any*): Column = col(sc.s(args: _*))
-  }
 }

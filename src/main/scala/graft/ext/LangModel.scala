@@ -22,6 +22,13 @@ import org.apache.spark.sql.{graftbridge => gb}
   */
 object LangModel {
 
+  /** limit() cap for a Long guard: guards near/above Int.MaxValue
+    * would overflow `(g + 1).toInt` into 0 or a silent truncation —
+    * clamp so "effectively unlimited" stays effectively unlimited.
+    */
+  private def capOf(guard: Long): Int =
+    math.min(guard, (Int.MaxValue - 1).toLong).toInt + 1
+
   /** Corpus unigram counts (tok, cnt), cnt = total occurrences. */
   def unigramCounts(docs: DataFrame, textCol: String): DataFrame =
     docs
@@ -43,7 +50,7 @@ object LangModel {
     // length > maxVocab. The former count()-then-collect() form ran
     // the whole counting shuffle twice — at sf1 that was half of
     // q102/q109's wall time.
-    val rows = counts.limit((maxVocab + 1).toInt).collect()
+    val rows = counts.limit(capOf(maxVocab)).collect()
     require(rows.length <= maxVocab,
       s"vocabulary exceeds maxVocab=$maxVocab; raise the guard or pre-truncate")
     val model = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -65,7 +72,7 @@ object LangModel {
     // head-agg + collect pair re-ran the counting shuffle per call);
     // total/vocab then fold on the driver. Only the rare over-guard
     // fallback pays a second aggregate for exact totals.
-    val rows = counts.limit((maxBroadcastVocab + 1).toInt).collect()
+    val rows = counts.limit(capOf(maxBroadcastVocab)).collect()
     if (rows.isEmpty)
       return docs.select(col(idCol), lit(0L).as("n_toks"),
           lit(0.0).as("avg_nll"), lit(1.0).as("ppl"))
@@ -177,7 +184,7 @@ object LangModel {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
-    val cap = (maxBroadcast + 1).toInt
+    val cap = capOf(maxBroadcast)
     val fTri = Future(triCounts.limit(cap).collect())
     val fUni = Future(uniCounts.limit(cap).collect())
     val fBi = Future(biCounts.limit(cap).collect())
@@ -277,7 +284,7 @@ object LangModel {
                      maxBroadcast: Long = 8000000L): DataFrame = {
     val (uni, total, vocab) = collectModel(uniCounts, maxBroadcast)
     // same one-job guard-and-fetch as collectModel
-    val biRows = biCounts.limit((maxBroadcast + 1).toInt).collect()
+    val biRows = biCounts.limit(capOf(maxBroadcast)).collect()
     require(biRows.length <= maxBroadcast,
       s"bigram table exceeds maxBroadcast=$maxBroadcast; sample the corpus or use scoreNll")
     val bi = biRows

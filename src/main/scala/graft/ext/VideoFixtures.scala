@@ -41,6 +41,28 @@ object VideoFixtures {
     }
   }
 
+
+  /** Insert H.264 emulation-prevention bytes (00 00 0x with x ≤ 3 →
+    * 00 00 03 0x) into a raw RBSP, leaving the NAL header byte
+    * untouched — raw PCM pixel bytes can legally contain the start-
+    * code patterns the transport layer must escape, and the decoder's
+    * rbsp() strips exactly this escaping back out.
+    */
+  private def escapeRbsp(nal: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(nal.length + 8)
+    out.write(nal(0))
+    var zeros = 0
+    var i = 1
+    while (i < nal.length) {
+      val v = nal(i) & 0xFF
+      if (zeros >= 2 && v <= 3) { out.write(3); zeros = 0 }
+      out.write(v)
+      zeros = if (v == 0) zeros + 1 else 0
+      i += 1
+    }
+    out.toByteArray
+  }
+
   private def sps1x1(): Array[Byte] = {
     val w = new Bw
     w.u(0x67, 8).u(66, 8).u(0, 8).u(10, 8)
@@ -90,9 +112,9 @@ object VideoFixtures {
 
   /** One-keyframe MP4 whose 16×16 luma is `px`. */
   def pcmKeyframeMp4(px: (Int, Int) => Int): Array[Byte] = {
-    val sps = sps1x1()
-    val pps = ppsNal()
-    val slice = idrPcm(px)
+    val sps = escapeRbsp(sps1x1())
+    val pps = escapeRbsp(ppsNal())
+    val slice = escapeRbsp(idrPcm(px))
     val avcc = box("avcC", Array[Byte](1), sps.slice(1, 2), Array[Byte](0),
       sps.slice(3, 4), Array(0xFF.toByte), Array(0xE1.toByte),
       be16(sps.length), sps, Array[Byte](1), be16(pps.length), pps)

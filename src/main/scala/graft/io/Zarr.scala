@@ -1,7 +1,6 @@
 package graft.io
 
 import java.nio.{ByteBuffer, ByteOrder}
-import java.nio.file.{Files, Paths}
 
 /** Zarr v2 store reader (Zarr storage specification version 2,
   * https://zarr.readthedocs.io/en/stable/spec/v2.html — the
@@ -73,6 +72,8 @@ object Zarr {
     require((kind == 'f' && (size == 4 || size == 8)) ||
       (kind != 'f' && Seq(1, 2, 4, 8).contains(size)),
       s"unsupported dtype width '$s'")
+    require(!(kind == 'u' && size == 8),
+      s"unsupported dtype width 'u8' (no lossless double mapping)")
     Dtype(endian == '>', kind, size)
   }
 
@@ -262,8 +263,12 @@ object Zarr {
                                      path: String): Array[Byte] = {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(conf)
-    if (!fs.exists(hp)) return null
-    val in = fs.open(hp)
+    // open directly and treat not-found as the value it is — an
+    // exists() probe would double the RPCs (HEAD before every GET on
+    // object stores) on the per-chunk hot path
+    val in =
+      try fs.open(hp)
+      catch { case _: java.io.FileNotFoundException => return null }
     try {
       val out = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](1 << 16)
@@ -363,24 +368,19 @@ object Zarr {
     val root = new org.apache.hadoop.fs.Path(path)
     val dfs = root.getFileSystem(hconf)
     dfs.mkdirs(root)
-    putObject(dfs, new org.apache.hadoop.fs.Path(root, ".zgroup"),
-      """{"zarr_format": 2}""".getBytes("UTF-8"))
-    writeCoordArray(dfs, s"$path/time", spec.times.map(_.toDouble).toArray)
-    writeCoordArray(dfs, s"$path/depth", spec.depths.toArray)
-    writeCoordArray(dfs, s"$path/lat",
-      (0 until spec.nLat).map(spec.latMin + _ * spec.latStep).toArray)
-    writeCoordArray(dfs, s"$path/lon",
-      (0 until spec.nLon).map(spec.lonMin + _ * spec.lonStep).toArray)
     val shape = Seq(spec.times.size, spec.depths.size, spec.nLat, spec.nLon)
     val chunks = Seq(chunkT, chunkD, chunkY, chunkX)
       .zip(shape).map { case (c, s) => math.min(c, s) }
-    Seq("water_temp", "salinity").foreach(v =>
-      writeDataArrayMeta(dfs, s"$path/$v", shape, chunks, fill))
     val timeIdx = spec.times.zipWithIndex.toMap
     val Seq(ct, cd, cy, cx) = chunks
     val nCells = ct * cd * cy * cx
     val confBox = new ConfBox(hconf)
     val rows = chunkRows(grid, timeIdx, ct, cd, cy, cx)
+    // chunk data FIRST, metadata LAST: a failed/partial job must not
+    // leave a store that parses — missing chunks read as all-fill per
+    // the spec, so a torn write with metadata present would be
+    // indistinguishable from valid sparse data. Until the .zarray
+    // docs land, readers reject the directory outright.
     rows.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       val taskFs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(confBox.conf)
@@ -423,6 +423,17 @@ object Zarr {
       }
       flush()
     }
+    // the job succeeded — commit the store by writing its metadata
+    putObject(dfs, new org.apache.hadoop.fs.Path(root, ".zgroup"),
+      """{"zarr_format": 2}""".getBytes("UTF-8"))
+    writeCoordArray(dfs, s"$path/time", spec.times.map(_.toDouble).toArray)
+    writeCoordArray(dfs, s"$path/depth", spec.depths.toArray)
+    writeCoordArray(dfs, s"$path/lat",
+      (0 until spec.nLat).map(spec.latMin + _ * spec.latStep).toArray)
+    writeCoordArray(dfs, s"$path/lon",
+      (0 until spec.nLon).map(spec.lonMin + _ * spec.lonStep).toArray)
+    Seq("water_temp", "salinity").foreach(v =>
+      writeDataArrayMeta(dfs, s"$path/$v", shape, chunks, fill))
   }
 
   /** The sink's distribution plan, exposed for plan-shape tests: rows

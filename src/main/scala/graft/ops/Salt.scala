@@ -30,8 +30,10 @@ object Salt {
     * unique-ish per row (an id column; NOT the join key — all rows of
     * a hot key would land on one salt).
     */
-  def saltCol(rowExpr: Column, nSalts: Int): Column =
+  def saltCol(rowExpr: Column, nSalts: Int): Column = {
+    require(nSalts >= 1, s"nSalts must be >= 1, got $nSalts")
     pmod(xxhash64(rowExpr), lit(nSalts.toLong)).cast("int")
+  }
 
   /** Two-phase salted aggregation.
     *
@@ -59,6 +61,7 @@ object Salt {
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  leftRowExpr: Column, nSalts: Int,
                  joinType: String = "inner"): DataFrame = {
+    require(nSalts >= 1, s"nSalts must be >= 1, got $nSalts")
     require(joinType == "inner" || joinType == "left" || joinType == "left_outer",
       s"saltedJoin supports inner/left joins, not $joinType")
     val saltedLeft = left.withColumn("__salt", saltCol(leftRowExpr, nSalts))

@@ -94,6 +94,28 @@ class H264Spec extends AnyFunSuite {
     }
   }
 
+
+  /** Insert H.264 emulation-prevention bytes (00 00 0x with x ≤ 3 →
+    * 00 00 03 0x) into a raw RBSP, leaving the NAL header byte
+    * untouched — raw PCM pixel bytes can legally contain the start-
+    * code patterns the transport layer must escape, and the decoder's
+    * rbsp() strips exactly this escaping back out.
+    */
+  private def escapeRbsp(nal: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(nal.length + 8)
+    out.write(nal(0))
+    var zeros = 0
+    var i = 1
+    while (i < nal.length) {
+      val v = nal(i) & 0xFF
+      if (zeros >= 2 && v <= 3) { out.write(3); zeros = 0 }
+      out.write(v)
+      zeros = if (v == 0) zeros + 1 else 0
+      i += 1
+    }
+    out.toByteArray
+  }
+
   /** Baseline SPS NAL: widthMbs x heightMbs, poc type 2, optional
     * conformance crop in 4:2:0 units (2 luma px each).
     */
@@ -117,7 +139,7 @@ class H264Spec extends AnyFunSuite {
     }
     w.u(0, 1) // vui_parameters_present
     w.stop()
-    w.bytes()
+    escapeRbsp(w.bytes())
   }
 
   /** CAVLC PPS NAL with deblocking control present. */
@@ -135,7 +157,7 @@ class H264Spec extends AnyFunSuite {
     w.u(0, 1) // constrained_intra_pred
     w.u(0, 1) // redundant_pic_cnt_present
     w.stop()
-    w.bytes()
+    escapeRbsp(w.bytes())
   }
 
   /** IDR slice NAL: header (QP 26, deblocking OFF), then `body` bits,
@@ -154,7 +176,7 @@ class H264Spec extends AnyFunSuite {
     w.ue(1) // disable_deblocking_filter_idc = 1 (filter OFF)
     body(w)
     w.stop()
-    w.bytes()
+    escapeRbsp(w.bytes())
   }
 
   private def decode(spsNal: Array[Byte], s: Array[Byte]): (Array[Double], Int, Int) =
@@ -521,7 +543,7 @@ class H264Spec extends AnyFunSuite {
     w.ue(1) // disable_deblocking_filter_idc
     body(w)
     w.stop()
-    w.bytes()
+    escapeRbsp(w.bytes())
   }
 
   private def pcmIdr(pcm: Array[Int]): Array[Byte] = idrSlice { w =>
