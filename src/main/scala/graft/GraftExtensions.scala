@@ -113,6 +113,14 @@ object GraftExtensions {
       graft.fn.Mp4KeyframeDhash64(_)),
     unaryFn("webm_meta", classOf[graft.fn.WebmMeta], graft.fn.WebmMeta(_)),
     unaryFn("flac_meta", classOf[graft.fn.FlacMeta], graft.fn.FlacMeta(_)),
+    (
+      new FunctionIdentifier("mp4_keyframe_dhashes"),
+      new ExpressionInfo(classOf[graft.fn.Mp4KeyframeDhashes].getName, "mp4_keyframe_dhashes"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"mp4_keyframe_dhashes expects (content, maxN); got ${children.size} args")
+        graft.fn.Mp4KeyframeDhashes(children(0), litInt(children(1), "maxN"))
+      }),
     unaryFn("image_dims", classOf[graft.fn.ImageDims], graft.fn.ImageDims(_)),
     unaryFn("audio_meta", classOf[graft.fn.AudioMeta], graft.fn.AudioMeta(_)),
     (

@@ -1885,6 +1885,46 @@ object H264 {
     if (p == null) null else Png.grayStats(p._1, nBins)
   }
 
+  /** dHashes of the first `maxN` keyframes (the [[keyframeDhashOrNull]]
+    * convention per frame) — multi-keyframe near-dup matches videos
+    * whose content overlaps ANYWHERE, not only at the first sync
+    * sample. Lenient per frame: undecodable keyframes are skipped
+    * (null only when none decode), because a partial index still
+    * indexes the frames it has.
+    */
+  def keyframeDhashesOrNull(bytes: Array[Byte], maxN: Int): Array[Long] = {
+    try {
+      if (maxN < 1) return null
+      val cfg = avcTrackConfig(bytes)
+      if (cfg == null) return null
+      val (lengthSize, spsNal, ppsNal, _, _, _, _) = cfg
+      val spans = Avc.syncSpansOrNull(bytes, math.min(maxN, 1 << 12))
+      if (spans == null || spans.isEmpty) return null
+      val out = scala.collection.mutable.ArrayBuffer[Long]()
+      spans.foreach { case (off, size, _) =>
+        val luma = sampleLumaOrNull(bytes, lengthSize, spsNal, ppsNal, off, size)
+        if (luma != null) {
+          val t = Images.resizeGray(luma._1, luma._2, luma._3, 9, 8)
+          var hash = 0L
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              if (t(y * 9 + x) > t(y * 9 + x + 1)) hash |= 1L << (y * 8 + x)
+              x += 1
+            }
+            y += 1
+          }
+          out += hash
+        }
+      }
+      if (out.isEmpty) null else out.toArray
+    } catch {
+      case _: Malformed => null
+      case scala.util.control.NonFatal(_) => null
+    }
+  }
+
   /** Keyframe 64-bit dHash (9×8 + adjacent compare — the
     * [[Images.dhash64OrNull]] convention), composing with the q84p
     * band-join pair stage for video near-dup.

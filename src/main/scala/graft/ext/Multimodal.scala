@@ -371,11 +371,26 @@ object Multimodal {
     */
   def nearDupVideoPairs(assets: DataFrame, idCol: String,
                         maxHamming: Int = 3, bands: Int = 4,
-                        contentCol: String = "content"): DataFrame =
-    Images.nearDupPairsFromHashes(
-      withKeyframeDhash(assets, contentCol)
-        .where(col("kf_dhash").isNotNull)
-        .select(col(idCol).as("id"), col("kf_dhash").as("dhash")),
-      maxHamming, bands)
+                        contentCol: String = "content",
+                        maxKeyframes: Int = 1): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    val hashed =
+      if (maxKeyframes == 1)
+        withKeyframeDhash(assets, contentCol)
+          .where(col("kf_dhash").isNotNull)
+          .select(col(idCol).as("id"), col("kf_dhash").as("dhash"))
+      else
+        // any-keyframe matching: every keyframe hash indexes the
+        // video; pairs sharing ANY near keyframe surface, reduced to
+        // their best (minimum) hamming
+        assets.select(col(idCol).as("id"),
+            explode(gb.column(graft.fn.Mp4KeyframeDhashes(
+              gb.expression(col(contentCol)), maxKeyframes))).as("dhash"))
+          .distinct()
+    val pairs = Images.nearDupPairsFromHashes(hashed, maxHamming, bands)
+    if (maxKeyframes == 1) pairs
+    else pairs.groupBy(col("a_id"), col("b_id"))
+      .agg(min(col("hamming")).cast("int").as("hamming"))
+  }
 
 }

@@ -340,3 +340,39 @@ case class H264GopFrames(child: Expression, nBins: Int = 16,
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** SQL `mp4_keyframe_dhashes(content, maxN)` — dHashes of the first
+  * maxN keyframes ([[graft.ext.H264.keyframeDhashesOrNull]]); the
+  * multi-keyframe index behind any-keyframe video near-dup.
+  */
+case class Mp4KeyframeDhashes(child: Expression, maxN: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(maxN >= 1, s"maxN must be >= 1, got $maxN")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "mp4_keyframe_dhashes"
+
+  override protected def nullSafeEval(bytes: Any): Any = {
+    val f = graft.ext.H264.keyframeDhashesOrNull(
+      bytes.asInstanceOf[Array[Byte]], maxN)
+    if (f == null) null else new GenericArrayData(f)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, bytes =>
+      s"""
+         |long[] ${ev.value}_f = graft.ext.H264.keyframeDhashesOrNull($bytes, $maxN);
+         |if (${ev.value}_f == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(${ev.value}_f);
+         |}
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

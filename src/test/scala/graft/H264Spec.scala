@@ -948,6 +948,33 @@ class H264Spec extends AnyFunSuite {
     assert(n === 1L)
   }
 
+  test("any-keyframe near-dup: videos sharing only their SECOND keyframe pair up") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    def scene(seed: Int)(x: Int, y: Int): Int =
+      (127 + 90 * math.sin((1 + seed % 5) * x / 2.5 + y / 2.0 + seed)).toInt & 0xFF
+    def twoKeyframeMp4(s1: Int, s2: Int): Array[Byte] = {
+      val a = pcmIdr(Array.tabulate(256)(i => scene(s1)(i % 16, i / 16)))
+      val b = pcmIdr(Array.tabulate(256)(i => scene(s2)(i % 16, i / 16)))
+      mp4Multi(sps(1, 1), pps(), Seq(a, b), Seq(1, 2), 1000L, 500L)
+    }
+    // videos 1 and 2 share scene 7 only at keyframe ordinal 1
+    val assets = spark.createDataFrame(Seq(
+      (1L, twoKeyframeMp4(3, 7)), (2L, twoKeyframeMp4(4, 7)),
+      (3L, twoKeyframeMp4(5, 6)))).toDF("vid_id", "content")
+    val firstOnly = graft.ext.Multimodal.nearDupVideoPairs(assets, "vid_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!firstOnly.contains((1L, 2L)), s"first-keyframe-only matched: $firstOnly")
+    val anyKf = graft.ext.Multimodal.nearDupVideoPairs(assets, "vid_id",
+        maxKeyframes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(anyKf.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0),
+      s"shared second keyframe not found: ${anyKf.toSeq}")
+    assert(!anyKf.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("fuzz: corrupted and truncated streams never throw") {
     val pcm = Array.tabulate(256)(i => i & 0xFF)
     val slice = idrSlice { w =>
