@@ -1898,25 +1898,15 @@ object H264 {
       val cfg = avcTrackConfig(bytes)
       if (cfg == null) return null
       val (lengthSize, spsNal, ppsNal, _, _, _, _) = cfg
-      val spans = Avc.syncSpansOrNull(bytes, math.min(maxN, 1 << 12))
+      require(maxN <= (1 << 12),
+        s"keyframe index bounded at 4096 frames; got $maxN") // loud, not silent
+      val spans = Avc.syncSpansOrNull(bytes, maxN)
       if (spans == null || spans.isEmpty) return null
       val out = scala.collection.mutable.ArrayBuffer[Long]()
       spans.foreach { case (off, size, _) =>
         val luma = sampleLumaOrNull(bytes, lengthSize, spsNal, ppsNal, off, size)
-        if (luma != null) {
-          val t = Images.resizeGray(luma._1, luma._2, luma._3, 9, 8)
-          var hash = 0L
-          var y = 0
-          while (y < 8) {
-            var x = 0
-            while (x < 8) {
-              if (t(y * 9 + x) > t(y * 9 + x + 1)) hash |= 1L << (y * 8 + x)
-              x += 1
-            }
-            y += 1
-          }
-          out += hash
-        }
+        if (luma != null)
+          out += Images.dhashOfThumb(Images.resizeGray(luma._1, luma._2, luma._3, 9, 8))
       }
       if (out.isEmpty) null else out.toArray
     } catch {
@@ -1932,16 +1922,6 @@ object H264 {
   def keyframeDhashOrNull(bytes: Array[Byte]): java.lang.Long = {
     val t = keyframeThumbOrNull(bytes, 9, 8)
     if (t == null) return null
-    var hash = 0L
-    var y = 0
-    while (y < 8) {
-      var x = 0
-      while (x < 8) {
-        if (t(y * 9 + x) > t(y * 9 + x + 1)) hash |= 1L << (y * 8 + x)
-        x += 1
-      }
-      y += 1
-    }
-    java.lang.Long.valueOf(hash)
+    java.lang.Long.valueOf(Images.dhashOfThumb(t))
   }
 }

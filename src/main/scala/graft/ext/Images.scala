@@ -111,6 +111,14 @@ object Images {
   def dhash64OrNull(bytes: Array[Byte]): java.lang.Long = {
     val t = thumbnailOrNull(bytes, 9, 8)
     if (t == null) return null
+    java.lang.Long.valueOf(dhashOfThumb(t))
+  }
+
+  /** The dHash bit rule over an already-built 9×8 thumbnail — ONE
+    * definition shared by the image and video (keyframe) indexes, so
+    * their hashes stay comparable by construction.
+    */
+  def dhashOfThumb(t: Array[Double]): Long = {
     var hash = 0L
     var y = 0
     while (y < 8) {
@@ -121,7 +129,7 @@ object Images {
       }
       y += 1
     }
-    java.lang.Long.valueOf(hash)
+    hash
   }
 
   /** `dhash` column (nullable long) via the native

@@ -184,8 +184,7 @@ object MediaMeta {
   }
 
   private def wavMeta(b: Array[Byte]): (String, Long, Int, Double) = {
-    var off = 0L
-    off = 12
+    var off: Long = 12
     var rate = 0L; var ch = 0; var bits = 0; var dataLen = -1L
     while (off + 8 <= b.length) {
       val id = new String(b, off.toInt, 4, "US-ASCII")

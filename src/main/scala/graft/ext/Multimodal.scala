@@ -389,7 +389,12 @@ object Multimodal {
           .distinct()
     val pairs = Images.nearDupPairsFromHashes(hashed, maxHamming, bands)
     if (maxKeyframes == 1) pairs
-    else pairs.groupBy(col("a_id"), col("b_id"))
+    else pairs
+      // multi-hash ids break the one-hash-per-id assumption of the
+      // pair stage: a video whose own keyframes are near each other
+      // would otherwise surface as a self-pair
+      .where(col("a_id") =!= col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
       .agg(min(col("hamming")).cast("int").as("hamming"))
   }
 

@@ -48,7 +48,7 @@ object VideoFixtures {
     * code patterns the transport layer must escape, and the decoder's
     * rbsp() strips exactly this escaping back out.
     */
-  private def escapeRbsp(nal: Array[Byte]): Array[Byte] = {
+  private[graft] def escapeRbsp(nal: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(nal.length + 8)
     out.write(nal(0))
     var zeros = 0

@@ -72,8 +72,12 @@ object Zarr {
     require((kind == 'f' && (size == 4 || size == 8)) ||
       (kind != 'f' && Seq(1, 2, 4, 8).contains(size)),
       s"unsupported dtype width '$s'")
+    // u8 is REJECTED: values past Long.MaxValue would sign-flip
+    // through the long read — wrong answers, not merely imprecise.
+    // i8 is accepted: exact to 2^53, above which the double mapping
+    // rounds (document-level caveat; grid data lives far below it).
     require(!(kind == 'u' && size == 8),
-      s"unsupported dtype width 'u8' (no lossless double mapping)")
+      s"unsupported dtype 'u8' (values past 2^63-1 would sign-flip)")
     Dtype(endian == '>', kind, size)
   }
 

@@ -95,26 +95,8 @@ class H264Spec extends AnyFunSuite {
   }
 
 
-  /** Insert H.264 emulation-prevention bytes (00 00 0x with x ≤ 3 →
-    * 00 00 03 0x) into a raw RBSP, leaving the NAL header byte
-    * untouched — raw PCM pixel bytes can legally contain the start-
-    * code patterns the transport layer must escape, and the decoder's
-    * rbsp() strips exactly this escaping back out.
-    */
-  private def escapeRbsp(nal: Array[Byte]): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream(nal.length + 8)
-    out.write(nal(0))
-    var zeros = 0
-    var i = 1
-    while (i < nal.length) {
-      val v = nal(i) & 0xFF
-      if (zeros >= 2 && v <= 3) { out.write(3); zeros = 0 }
-      out.write(v)
-      zeros = if (v == 0) zeros + 1 else 0
-      i += 1
-    }
-    out.toByteArray
-  }
+  private def escapeRbsp(nal: Array[Byte]): Array[Byte] =
+    graft.ext.VideoFixtures.escapeRbsp(nal)
 
   /** Baseline SPS NAL: widthMbs x heightMbs, poc type 2, optional
     * conformance crop in 4:2:0 units (2 luma px each).
@@ -973,6 +955,8 @@ class H264Spec extends AnyFunSuite {
     assert(anyKf.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0),
       s"shared second keyframe not found: ${anyKf.toSeq}")
     assert(!anyKf.exists(p => p._1 == 3L || p._2 == 3L))
+    // a video's own near-ish keyframes must never emit a self-pair
+    assert(!anyKf.exists(p => p._1 == p._2), s"self-pair: ${anyKf.toSeq}")
   }
 
   test("fuzz: corrupted and truncated streams never throw") {
