@@ -348,7 +348,10 @@ case class H264GopFrames(child: Expression, nBins: Int = 16,
 case class Mp4KeyframeDhashes(child: Expression, maxN: Int)
   extends UnaryExpression with ExpectsInputTypes {
 
-  require(maxN >= 1, s"maxN must be >= 1, got $maxN")
+  // the loud bound lives HERE (analysis time): the kernel's runtime
+  // require would be swallowed into a null by the OrNull contract
+  require(maxN >= 1 && maxN <= (1 << 12),
+    s"maxN must be in [1, 4096], got $maxN")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
   override def dataType: DataType =
