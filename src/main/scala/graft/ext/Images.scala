@@ -30,8 +30,8 @@ import org.apache.spark.sql.functions._
 object Images {
 
   /** Decoded luminance plane (row-major [0,255] doubles, w, h) for a
-    * PNG, baseline-JPEG, or uncompressed-BMP payload, routed by
-    * content magic; null otherwise.
+    * PNG, baseline-JPEG, uncompressed-BMP, or uncompressed-baseline-
+    * TIFF payload, routed by content magic; null otherwise.
     */
   def grayPlaneOrNull(bytes: Array[Byte]): (Array[Double], Int, Int) = {
     if (bytes == null || bytes.length < 24) return null
@@ -55,6 +55,9 @@ object Images {
       (g, lp.w, lp.h)
     } else if (bytes(0) == 'B' && bytes(1) == 'M') {
       Bmp.decodeGrayOrNull(bytes) // uncompressed DIB (round 8)
+    } else if ((bytes(0) == 'I' && bytes(1) == 'I') ||
+        (bytes(0) == 'M' && bytes(1) == 'M')) {
+      Tiff.decodeGrayOrNull(bytes) // uncompressed baseline TIFF (round 8)
     } else null
   }
 
