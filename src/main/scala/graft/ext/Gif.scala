@@ -40,22 +40,61 @@ object Gif {
     */
   def frameFeaturesOrNull(bytes: Array[Byte], nBins: Int, stride: Int,
                           maxFrames: Int): Array[Array[Double]] = {
-    if (bytes == null || bytes.length < 14 || stride < 1 || maxFrames < 1) return null
+    val out = new scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    val ok = decodeFrames(bytes, maxFrames, stride) { (fi, tMs, canvas, w, h) =>
+      val stats = Png.grayStatsFromRgbaCanvas(canvas, w * h, nBins)
+      val row = new Array[Double](2 + stats.length)
+      row(0) = fi; row(1) = tMs
+      System.arraycopy(stats, 0, row, 2, stats.length)
+      out += row
+    }
+    if (!ok || out.isEmpty) null else out.toArray
+  }
+
+  /** First frame's Rec.601 luminance plane (alpha matted on black,
+    * the [[Png.grayStatsFromRgbaCanvas]] convention) — routes GIF
+    * stills AND animation posters into the [[Images]]
+    * thumbnail/dHash/near-dup family.
+    */
+  def firstFrameGrayOrNull(bytes: Array[Byte]): (Array[Double], Int, Int) = {
+    var result: (Array[Double], Int, Int) = null
+    val ok = decodeFrames(bytes, 1, 1) { (_, _, canvas, w, h) =>
+      val g = new Array[Double](w * h)
+      var i = 0
+      while (i < w * h) {
+        val o = i * 4
+        g(i) = (0.299 * canvas(o) + 0.587 * canvas(o + 1) +
+          0.114 * canvas(o + 2)) * canvas(o + 3) / 255.0
+        i += 1
+      }
+      result = (g, w, h)
+    }
+    if (!ok) null else result
+  }
+
+  /** The shared parse + LZW + compositing walk: emits every
+    * `stride`-th of the first `maxFrames` composited canvases to
+    * `onFrame(frameIdx, tMs, rgbaCanvas, w, h)`; false = not a
+    * decodable GIF (callers return null).
+    */
+  private def decodeFrames(bytes: Array[Byte], maxFrames: Int, stride: Int)
+                          (onFrame: (Int, Double, Array[Double], Int, Int) => Unit): Boolean = {
+    if (bytes == null || bytes.length < 14 || stride < 1 || maxFrames < 1) return false
     val hdr = new String(bytes, 0, 6, "US-ASCII")
-    if (hdr != "GIF87a" && hdr != "GIF89a") return null
+    if (hdr != "GIF87a" && hdr != "GIF89a") return false
 
     def u16(off: Int): Int = (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8)
 
     val w = u16(6); val h = u16(8)
     // 4M-pixel animation canvas cap, same rationale as Apng's: the
     // RGBA double canvas is w·h·32 bytes per task
-    if (w <= 0 || h <= 0 || w.toLong * h > 4L * 1024 * 1024) return null
+    if (w <= 0 || h <= 0 || w.toLong * h > 4L * 1024 * 1024) return false
     val lsdFlags = bytes(10) & 0xFF
     var off = 13
     var global: Array[Byte] = null
     if ((lsdFlags & 0x80) != 0) {
       val n = 3 * (2 << (lsdFlags & 7))
-      if (off + n > bytes.length) return null
+      if (off + n > bytes.length) return false
       global = java.util.Arrays.copyOfRange(bytes, off, off + n)
       off += n
     }
@@ -68,7 +107,7 @@ object Gif {
       (bytes(off) & 0xFF) match {
         case 0x3B => done = true // trailer
         case 0x21 => // extension: label + sub-blocks
-          if (off + 2 > bytes.length) return null
+          if (off + 2 > bytes.length) return false
           val label = bytes(off + 1) & 0xFF
           off += 2
           if (label == 0xF9 && off + 6 <= bytes.length && (bytes(off) & 0xFF) == 4) {
@@ -80,13 +119,13 @@ object Gif {
           // skip sub-blocks (incl. the GCE's own, already read above)
           var sub = -1
           while (sub != 0) {
-            if (off >= bytes.length) return null
+            if (off >= bytes.length) return false
             sub = bytes(off) & 0xFF
             off += 1 + sub
-            if (off > bytes.length) return null
+            if (off > bytes.length) return false
           }
         case 0x2C => // image descriptor
-          if (off + 10 > bytes.length) return null
+          if (off + 10 > bytes.length) return false
           val f = new Frame
           f.x = u16(off + 1); f.y = u16(off + 3)
           f.w = u16(off + 5); f.h = u16(off + 7)
@@ -95,24 +134,24 @@ object Gif {
           off += 10
           if ((flags & 0x80) != 0) {
             val n = 3 * (2 << (flags & 7))
-            if (off + n > bytes.length) return null
+            if (off + n > bytes.length) return false
             f.palette = java.util.Arrays.copyOfRange(bytes, off, off + n)
             off += n
           } else f.palette = global
-          if (f.palette == null) return null
+          if (f.palette == null) return false
           f.transIdx = pendingTrans; f.disposal = pendingDisposal
           f.delayMs = pendingDelayMs
           pendingTrans = -1; pendingDisposal = 0; pendingDelayMs = 0.0
-          if (off >= bytes.length) return null
+          if (off >= bytes.length) return false
           f.minCodeSize = bytes(off) & 0xFF
           off += 1
-          if (f.minCodeSize < 2 || f.minCodeSize > 11) return null
+          if (f.minCodeSize < 2 || f.minCodeSize > 11) return false
           val buf = new java.io.ByteArrayOutputStream()
           var sub = -1
           while (sub != 0) {
-            if (off >= bytes.length) return null
+            if (off >= bytes.length) return false
             sub = bytes(off) & 0xFF
-            if (off + 1 + sub > bytes.length) return null
+            if (off + 1 + sub > bytes.length) return false
             buf.write(bytes, off + 1, sub)
             off += 1 + sub
           }
@@ -122,25 +161,24 @@ object Gif {
           // (bounds peak memory to what is used, and a corrupt byte in
           // an unread tail frame cannot null an otherwise-good result)
           if (frames.length >= maxFrames) done = true
-        case _ => return null // unknown top-level block (incl. stray
+        case _ => return false // unknown top-level block (incl. stray
         // padding zeros some mangled files carry — strict null beats
         // guessing at resync)
       }
     }
-    if (frames.isEmpty) return null
+    if (frames.isEmpty) return false
 
     // ---- decode + composite (RGBA canvas, like Apng)
     val canvas = new Array[Double](w * h * 4)
     val nEmit = math.min(maxFrames, frames.length)
-    val out = new scala.collection.mutable.ArrayBuffer[Array[Double]]()
     var tMs = 0.0
     var fi = 0
     while (fi < nEmit) {
       val f = frames(fi)
       if (f.w <= 0 || f.h <= 0 ||
-          f.x.toLong + f.w > w || f.y.toLong + f.h > h) return null
+          f.x.toLong + f.w > w || f.y.toLong + f.h > h) return false
       val idx = lzwDecode(f.data, f.minCodeSize, f.w * f.h)
-      if (idx == null) return null
+      if (idx == null) return false
       val prevRegion = if (f.disposal == 3) snapshot(canvas, w, f) else null
       var p = 0
       while (p < f.w * f.h) {
@@ -158,7 +196,7 @@ object Gif {
           }
         val ci = idx(p) & 0xFF
         if (ci != f.transIdx) {
-          if (3 * ci + 2 >= f.palette.length) return null
+          if (3 * ci + 2 >= f.palette.length) return false
           val o = ((f.y + y) * w + (f.x + p % f.w)) * 4
           canvas(o) = f.palette(3 * ci) & 0xFF
           canvas(o + 1) = f.palette(3 * ci + 1) & 0xFF
@@ -167,13 +205,7 @@ object Gif {
         }
         p += 1
       }
-      if (fi % stride == 0) {
-        val stats = Png.grayStatsFromRgbaCanvas(canvas, w * h, nBins)
-        val row = new Array[Double](2 + stats.length)
-        row(0) = fi; row(1) = tMs
-        System.arraycopy(stats, 0, row, 2, stats.length)
-        out += row
-      }
+      if (fi % stride == 0) onFrame(fi, tMs, canvas, w, h)
       f.disposal match {
         case 2 => // restore to background → transparent region
           var yy = 0
@@ -192,7 +224,7 @@ object Gif {
       tMs += f.delayMs
       fi += 1
     }
-    out.toArray
+    true
   }
 
   /** GIF-flavor LZW: variable-width codes LSB-first, dictionary of

@@ -30,8 +30,9 @@ import org.apache.spark.sql.functions._
 object Images {
 
   /** Decoded luminance plane (row-major [0,255] doubles, w, h) for a
-    * PNG, baseline-JPEG, uncompressed-BMP, or uncompressed-baseline-
-    * TIFF payload, routed by content magic; null otherwise.
+    * PNG, baseline-JPEG, uncompressed-BMP, uncompressed-baseline-TIFF,
+    * or GIF (first frame) payload, routed by content magic; null
+    * otherwise.
     */
   def grayPlaneOrNull(bytes: Array[Byte]): (Array[Double], Int, Int) = {
     if (bytes == null || bytes.length < 24) return null
@@ -58,6 +59,8 @@ object Images {
     } else if ((bytes(0) == 'I' && bytes(1) == 'I') ||
         (bytes(0) == 'M' && bytes(1) == 'M')) {
       Tiff.decodeGrayOrNull(bytes) // uncompressed baseline TIFF (round 8)
+    } else if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F') {
+      Gif.firstFrameGrayOrNull(bytes) // GIF stills / animation posters (round 8)
     } else null
   }
 

@@ -49,6 +49,29 @@ class BmpSpec extends AnyFunSuite {
     assert(Images.dhash64OrNull(b1b) === h1)
   }
 
+  test("GIF stills route through the image family too (round-8 first-frame decode)") {
+    val img = new java.awt.image.BufferedImage(
+      32, 24, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 24; x <- 0 until 32) {
+      val v = (127 + 90 * math.sin(x / 3.0 + y / 2.0)).toInt & 0xFF
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", baos)
+    val gif = baos.toByteArray
+    val got = Images.grayPlaneOrNull(gif)
+    assert(got != null)
+    assert(got._2 === 32 && got._3 === 24)
+    // GIF is palette-quantized; values approximate the source
+    for (y <- 0 until 24; x <- 0 until 32) {
+      val rgb = img.getRGB(x, y)
+      val want = 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+        0.114 * (rgb & 0xFF)
+      assert(math.abs(got._1(y * 32 + x) - want) < 16.0, s"($x,$y)")
+    }
+    assert(Images.dhash64OrNull(gif) != null)
+  }
+
   test("scope boundaries and fuzz: null, never a throw") {
     assert(Bmp.decodeGrayOrNull(null) === null)
     assert(Bmp.decodeGrayOrNull("BMnope".getBytes) === null)
