@@ -142,6 +142,8 @@ object GraftExtensions {
       }),
     unaryFn("text_profile", classOf[graft.fn.TextProfile],
       graft.fn.TextProfile(_)),
+    unaryFn("repetition_profile", classOf[graft.fn.RepetitionProfile],
+      graft.fn.RepetitionProfile(_)),
     unaryFn("vec_mean", classOf[graft.fn.VecPoolAgg],
       graft.fn.VecPoolAgg(_, mean = true)),
     unaryFn("vec_sum", classOf[graft.fn.VecPoolAgg],

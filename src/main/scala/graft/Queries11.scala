@@ -105,12 +105,80 @@ object Queries11 extends ColumnSyntax {
       .withColumn("planted", ($"b_id" - $"a_id" === 1000L).cast("int"))
       .orderBy($"a_id", $"b_id")
 
+  // ------------- q126: Gopher repetition signals (narrow kernel)
+  /** [[graft.ext.TextOps.repetitionSignals]]: per-doc top-{2,3,4}
+    * word-n-gram char fraction and duplicated-{5,6}-gram char
+    * fraction (Rae et al. 2021 Table A1) via ONE per-row codegen
+    * kernel — zero shuffle, zero explode. The oracle rebuilds every
+    * n-gram table the long way (UNNEST + GROUP BY + window argmax)
+    * and must land on the same six-decimal fractions, which also
+    * pins the tie-break convention (count desc, gram desc) and the
+    * occurrence-sum dup form cross-engine.
+    */
+  private def q126(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TextOps.repetitionSignals(Tables.docsPar(s, dir), "doc_id", "text")
+      .select($"doc_id", $"n_tokens", $"total_chars",
+        round($"top2_frac", 6).as("top2_frac"),
+        round($"top3_frac", 6).as("top3_frac"),
+        round($"top4_frac", 6).as("top4_frac"),
+        round($"dup5_frac", 6).as("dup5_frac"),
+        round($"dup6_frac", 6).as("dup6_frac"))
+      .orderBy($"doc_id")
+
+  private val q126Sql = {
+    def gramCte(n: Int) =
+      s"""g$n AS (
+         |  SELECT doc_id, array_to_string(list_slice(toks, i, i + ${n - 1}), ' ') AS gram
+         |  FROM (SELECT doc_id, toks, UNNEST(RANGE(1, len(toks) - ${n - 2})) AS i
+         |        FROM base WHERE len(toks) >= $n)
+         |), c$n AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g$n GROUP BY 1, 2)"""
+        .stripMargin
+    def topCte(n: Int) =
+      s"""t$n AS (
+         |  SELECT doc_id, cnt * length(gram) AS chars FROM (
+         |    SELECT doc_id, gram, cnt,
+         |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn
+         |    FROM c$n) WHERE rn = 1
+         |)""".stripMargin
+    def dupCte(n: Int) =
+      s"""d$n AS (
+         |  SELECT doc_id, SUM(cnt * length(gram)) AS chars
+         |  FROM c$n WHERE cnt >= 2 GROUP BY 1
+         |)""".stripMargin
+    s"""WITH toksrc AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+       |  FROM documents
+       |), base AS (
+       |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |         CAST(length(array_to_string(toks, ' ')) AS BIGINT) AS total_chars
+       |  FROM toksrc WHERE len(toks) > 0
+       |),
+       |${gramCte(2)}, ${topCte(2)},
+       |${gramCte(3)}, ${topCte(3)},
+       |${gramCte(4)}, ${topCte(4)},
+       |${gramCte(5)}, ${dupCte(5)},
+       |${gramCte(6)}, ${dupCte(6)}
+       |SELECT b.doc_id, b.n_tokens, b.total_chars,
+       |  ROUND(COALESCE(t2.chars, 0) / b.total_chars, 6) + 0 AS top2_frac,
+       |  ROUND(COALESCE(t3.chars, 0) / b.total_chars, 6) + 0 AS top3_frac,
+       |  ROUND(COALESCE(t4.chars, 0) / b.total_chars, 6) + 0 AS top4_frac,
+       |  ROUND(COALESCE(d5.chars, 0) / b.total_chars, 6) + 0 AS dup5_frac,
+       |  ROUND(COALESCE(d6.chars, 0) / b.total_chars, 6) + 0 AS dup6_frac
+       |FROM base b
+       |LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+       |LEFT JOIN t4 USING (doc_id) LEFT JOIN d5 USING (doc_id)
+       |LEFT JOIN d6 USING (doc_id)
+       |ORDER BY b.doc_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q124_salted_join" -> (q124 _),
-    "q125_video_neardup" -> (q125 _))
+    "q125_video_neardup" -> (q125 _),
+    "q126_repetition_signals" -> (q126 _))
 
   val oracles: Map[String, String] = Map(
     // q125: no oracle — DuckDB cannot decode H.264 (q84 convention)
-    "q124_salted_join" -> q124Sql)
+    "q124_salted_join" -> q124Sql,
+    "q126_repetition_signals" -> q126Sql)
 
 }

@@ -107,6 +107,24 @@ object TextOps {
       .select(col(idCol), col("__p.*"))
   }
 
+  /** Per-doc Gopher repetition signals (Rae et al. 2021 Table A1) —
+    * one `repetition_profile(text)` kernel call per row: top-{2,3,4}
+    * word-n-gram char fraction + duplicated-{5,6}-gram occurrence-sum
+    * char fraction, plus the token/char counts they normalize by.
+    * Narrow and stateless (NO explode, NO shuffle — the per-doc
+    * n-gram maps live and die inside the row's codegen span), so it
+    * gates batch curation and streams alike. Conventions (tie-break,
+    * occurrence-sum dup form) documented on
+    * [[graft.fn.TextKernels.repetitionProfile]].
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    val p = gb.column(graft.fn.RepetitionProfile(gb.expression(col(textCol))))
+    docs.select(col(idCol), p.as("__r"))
+      .filter(col("__r").isNotNull)
+      .select(col(idCol), col("__r.*"))
+  }
+
   /** BPE-ish sub-word tokenization (GPT-2-style pre-tokenizer shape):
     * common English contractions, letter runs, digit runs, punctuation
     * runs — each optionally preceded by one space — as separate

@@ -122,6 +122,106 @@ object TextKernels {
   private val LangUnd = UTF8String.fromString("und")
   private val LangZh = UTF8String.fromString("zh")
 
+  /** Per-ROW repetition profile — the Gopher repetition signals
+    * (Rae et al. 2021, "Scaling Language Models", Table A1) over the
+    * engine-wide tokenization (`split(text, ' ')` + empty drop):
+    *
+    *  - `top{2,3,4}_frac`: characters of the MOST FREQUENT word
+    *    n-gram (count × single-space-joined gram length) over the
+    *    single-space-joined document length. Ties break to the
+    *    lexicographically largest gram (deterministic, and ASCII
+    *    byte order == Java char order on this tokenization, so the
+    *    DuckDB oracle agrees).
+    *  - `dup{5,6}_frac`: Σ over n-grams occurring ≥ 2 times of
+    *    count × gram chars, over document chars — the OCCURRENCE-SUM
+    *    form of Gopher's "fraction of characters in duplicated
+    *    n-grams" (overlap-coverage is not SQL-expressible; this form
+    *    is, can exceed 1.0, and ranks documents identically for
+    *    gating purposes).
+    *
+    * Null for texts with no tokens; an n with fewer than n tokens
+    * contributes 0.0. Per-row and stateless — repetition gating
+    * needs NO explode and NO shuffle (the n-gram maps are bounded by
+    * the document itself), so it composes into streaming curation
+    * gates exactly like [[textProfile]].
+    */
+  def repetitionProfile(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val str = s.toString
+    val len = str.length
+    // token offsets, one pass
+    val starts = new java.util.ArrayList[Integer]
+    val ends = new java.util.ArrayList[Integer]
+    var i = 0
+    var sumLen = 0L
+    while (i < len) {
+      while (i < len && str.charAt(i) == ' ') i += 1
+      val st = i
+      while (i < len && str.charAt(i) != ' ') i += 1
+      if (i > st) { starts.add(st); ends.add(i); sumLen += i - st }
+    }
+    val nTok = starts.size
+    if (nTok == 0) return null
+    val totalChars = (sumLen + (nTok - 1)).toDouble
+
+    val sb = new java.lang.StringBuilder
+    def gramAt(j: Int, n: Int): String = {
+      sb.setLength(0)
+      var t = j
+      while (t < j + n) {
+        if (t > j) sb.append(' ')
+        sb.append(str, starts.get(t), ends.get(t))
+        t += 1
+      }
+      sb.toString
+    }
+    // top-n: chars of the (count, gram)-max n-gram; 0.0 if nTok < n
+    def topFrac(n: Int): Double = {
+      if (nTok < n) return 0.0
+      val m = new java.util.HashMap[String, Array[Long]]
+      var j = 0
+      while (j <= nTok - n) {
+        val g = gramAt(j, n)
+        val c = m.get(g)
+        if (c == null) m.put(g, Array(1L)) else c(0) += 1L
+        j += 1
+      }
+      var bestCnt = 0L
+      var bestGram: String = null
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val c = e.getValue()(0)
+        if (c > bestCnt || (c == bestCnt && e.getKey.compareTo(bestGram) > 0)) {
+          bestCnt = c; bestGram = e.getKey
+        }
+      }
+      bestCnt * bestGram.length / totalChars
+    }
+    // dup-n: occurrence-sum over grams seen >= 2 times; 0.0 if nTok < n
+    def dupFrac(n: Int): Double = {
+      if (nTok < n) return 0.0
+      val m = new java.util.HashMap[String, Array[Long]]
+      var j = 0
+      while (j <= nTok - n) {
+        val g = gramAt(j, n)
+        val c = m.get(g)
+        if (c == null) m.put(g, Array(1L)) else c(0) += 1L
+        j += 1
+      }
+      var dupChars = 0L
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val c = e.getValue()(0)
+        if (c >= 2L) dupChars += c * e.getKey.length
+      }
+      dupChars / totalChars
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nTok.toLong, totalChars.toLong,
+        topFrac(2), topFrac(3), topFrac(4), dupFrac(5), dupFrac(6)))
+  }
+
   /** Per-ROW text profile — the narrow, shuffle-free form of
     * `TextOps.profile`, bit-identical to the aggregate formulation
     * (TextOpsSpec asserts exact equality): one pass over the string
