@@ -171,14 +171,69 @@ object Queries11 extends ColumnSyntax {
        |ORDER BY b.doc_id""".stripMargin
   }
 
+  // ------------------- q127: PII detection + redaction scrub
+  /** [[graft.ext.TextOps.piiScrub]] over deterministically PLANTED
+    * PII (the q124 planted-key convention — the synthetic corpus
+    * carries none, so the scrub needs something real to find):
+    * ~1/7 of docs get an email, ~1/5 an IPv4, ~1/11 a phone number,
+    * all derived from doc_id so the oracle rebuilds the identical
+    * text. The oracle then re-runs the same three regexes under RE2
+    * (count + global replace) — regex-dialect portability is part of
+    * what this query pins.
+    */
+  private def q127(s: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.docsPar(s, dir).select($"doc_id",
+      concat($"text",
+        when($"doc_id" % 7 === 0,
+          concat(lit(" contact user"), $"doc_id".cast("string"),
+            lit("@example.com now"))).otherwise(lit("")),
+        when($"doc_id" % 5 === 0,
+          concat(lit(" from 10.0."), ($"doc_id" % 256).cast("string"),
+            lit("."), ($"doc_id" % 100).cast("string"), lit(" up")))
+          .otherwise(lit("")),
+        when($"doc_id" % 11 === 0,
+          concat(lit(" call +1-555-"), (lit(1000) + $"doc_id" % 9000).cast("string"),
+            lit(" ok"))).otherwise(lit(""))).as("text"))
+    graft.ext.TextOps.piiScrub(planted, "doc_id", "text")
+      .orderBy($"doc_id")
+  }
+
+  private val q127Sql = {
+    val em = graft.ext.TextOps.EmailRe
+    val ip = graft.ext.TextOps.Ipv4Re
+    val ph = graft.ext.TextOps.PhoneRe
+    s"""WITH planted AS (
+       |  SELECT doc_id, text
+       |    || CASE WHEN doc_id % 7 = 0
+       |            THEN ' contact user' || doc_id || '@example.com now' ELSE '' END
+       |    || CASE WHEN doc_id % 5 = 0
+       |            THEN ' from 10.0.' || (doc_id % 256) || '.' || (doc_id % 100) || ' up'
+       |            ELSE '' END
+       |    || CASE WHEN doc_id % 11 = 0
+       |            THEN ' call +1-555-' || (1000 + doc_id % 9000) || ' ok' ELSE '' END
+       |    AS text
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$em')) AS BIGINT) AS n_email,
+       |  CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ipv4,
+       |  CAST(len(regexp_extract_all(text, '$ph')) AS BIGINT) AS n_phone,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$em', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$ph', '<PHONE>', 'g')
+       |    AS redacted
+       |FROM planted ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q124_salted_join" -> (q124 _),
     "q125_video_neardup" -> (q125 _),
-    "q126_repetition_signals" -> (q126 _))
+    "q126_repetition_signals" -> (q126 _),
+    "q127_pii_scrub" -> (q127 _))
 
   val oracles: Map[String, String] = Map(
     // q125: no oracle — DuckDB cannot decode H.264 (q84 convention)
     "q124_salted_join" -> q124Sql,
-    "q126_repetition_signals" -> q126Sql)
+    "q126_repetition_signals" -> q126Sql,
+    "q127_pii_scrub" -> q127Sql)
 
 }

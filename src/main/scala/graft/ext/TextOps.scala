@@ -125,6 +125,34 @@ object TextOps {
       .select(col(idCol), col("__r.*"))
   }
 
+  /** PII patterns — the C4/RefinedWeb-style scrub set, written in the
+    * regex subset Java's engine and RE2 (the oracle's) read
+    * identically: no backrefs, no lookaround, ASCII classes only.
+    */
+  val EmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe: String = "\\+\\d{1,2}-\\d{3}-\\d{4}"
+
+  /** Per-doc PII detection + redaction — counts of emails / IPv4
+    * addresses / international-format phone numbers and the scrubbed
+    * text with each occurrence replaced by a typed placeholder
+    * (`<EMAIL>`/`<IP>`/`<PHONE>`, replaced in that order — the email
+    * pattern can contain dotted digits, so it must be consumed before
+    * the IPv4 pass reads the text). Built-in `regexp_count` /
+    * `regexp_replace` only: narrow, stateless, whole-stage-codegen —
+    * the scrub is a property of one document and never shuffles.
+    */
+  def piiScrub(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      regexp_count(col(textCol), lit(EmailRe)).cast("long").as("n_email"),
+      regexp_count(col(textCol), lit(Ipv4Re)).cast("long").as("n_ipv4"),
+      regexp_count(col(textCol), lit(PhoneRe)).cast("long").as("n_phone"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), lit(EmailRe), lit("<EMAIL>")),
+          lit(Ipv4Re), lit("<IP>")),
+        lit(PhoneRe), lit("<PHONE>")).as("redacted"))
+
   /** BPE-ish sub-word tokenization (GPT-2-style pre-tokenizer shape):
     * common English contractions, letter runs, digit runs, punctuation
     * runs — each optionally preceded by one space — as separate
