@@ -46,13 +46,15 @@ object Bmp {
         }
       val palOff = 14 + hdrSize.toInt
       if (bpp == 8 && palOff + 4L * palCount > bytes.length) return null
-      val rowBytes = ((w * bpp / 8) + 3) & ~3
-      if (dataOff < 0 || dataOff + rowBytes.toLong * h > bytes.length) return null
+      // Long arithmetic: at the size cap (w = 2^26, bpp = 32) w*bpp
+      // overflows Int and a legal image would be dropped, not decoded.
+      val rowBytes = ((w.toLong * bpp / 8) + 3) & ~3L
+      if (dataOff < 0 || dataOff + rowBytes * h > bytes.length) return null
       val out = new Array[Double](w * h)
       var y = 0
       while (y < h) {
         val srcRow = if (topDown) y else h - 1 - y
-        val ro = (dataOff + rowBytes.toLong * srcRow).toInt
+        val ro = (dataOff + rowBytes * srcRow).toInt
         var x = 0
         while (x < w) {
           var rC = 0; var gC = 0; var bC = 0

@@ -43,7 +43,10 @@ object MediaMeta {
       }
       if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8)
         return jpegDims(b)
-      if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8')
+      // full 6-byte version magic (GIF87a/GIF89a), matching
+      // Gif.decodeFrames — 'GIF8' alone admits e.g. 'GIF80'
+      if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+          (b(4) == '7' || b(4) == '9') && b(5) == 'a')
         return ("gif", le16(b, 6).toLong, le16(b, 8).toLong)
       if (b(0) == 'B' && b(1) == 'M' && b.length >= 26) {
         val hdr = le32(b, 14)

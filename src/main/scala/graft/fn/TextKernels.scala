@@ -139,6 +139,11 @@ object TextKernels {
     *    is, can exceed 1.0, and ranks documents identically for
     *    gating purposes).
     *
+    * All character counts are Unicode CODE POINTS (not UTF-16
+    * units), matching DuckDB's `length()` so the q126 oracle agrees
+    * on non-BMP text; only the tie-break retains the documented
+    * ASCII-byte-order caveat.
+    *
     * Null for texts with no tokens; an n with fewer than n tokens
     * contributes 0.0. Per-row and stateless — repetition gating
     * needs NO explode and NO shuffle (the n-gram maps are bounded by
@@ -157,11 +162,18 @@ object TextKernels {
       while (i < len && str.charAt(i) == ' ') i += 1
       val st = i
       while (i < len && str.charAt(i) != ' ') i += 1
-      if (i > st) { starts.add(st); ends.add(i); sumLen += i - st }
+      // code points, not UTF-16 units: DuckDB's length() counts code
+      // points, and the oracle divides by it — surrogate pairs must
+      // count once on both engines.
+      if (i > st) {
+        starts.add(st); ends.add(i); sumLen += str.codePointCount(st, i)
+      }
     }
     val nTok = starts.size
     if (nTok == 0) return null
     val totalChars = (sumLen + (nTok - 1)).toDouble
+    // gram char count in code points (tokens + single-space joins)
+    def gramChars(g: String): Long = g.codePointCount(0, g.length).toLong
 
     val sb = new java.lang.StringBuilder
     def gramAt(j: Int, n: Int): String = {
@@ -195,7 +207,7 @@ object TextKernels {
           bestCnt = c; bestGram = e.getKey
         }
       }
-      bestCnt * bestGram.length / totalChars
+      bestCnt * gramChars(bestGram) / totalChars
     }
     // dup-n: occurrence-sum over grams seen >= 2 times; 0.0 if nTok < n
     def dupFrac(n: Int): Double = {
@@ -213,7 +225,7 @@ object TextKernels {
       while (it.hasNext) {
         val e = it.next()
         val c = e.getValue()(0)
-        if (c >= 2L) dupChars += c * e.getKey.length
+        if (c >= 2L) dupChars += c * gramChars(e.getKey)
       }
       dupChars / totalChars
     }

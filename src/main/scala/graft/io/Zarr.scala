@@ -388,6 +388,17 @@ object Zarr {
     rows.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       val taskFs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(confBox.conf)
+      // Attempt isolation: a speculative or retried task attempt must
+      // never `create` the same chunk object concurrently with another
+      // attempt (interleaved/failed creates on HDFS-like stores). Each
+      // attempt writes to a `.`-prefixed attempt-unique temp key (dot
+      // names are invisible to Zarr chunk-key parsing) and renames on
+      // completion; if a sibling attempt already committed the chunk,
+      // the rename loses and the temp is discarded — chunk content is
+      // deterministic, so either winner is correct.
+      val attemptTag = Option(org.apache.spark.TaskContext.get())
+        .map(tc => s"${tc.taskAttemptId()}-${tc.attemptNumber()}")
+        .getOrElse(java.util.UUID.randomUUID().toString)
       var curKey: String = null
       var wtBuf: Array[Double] = null
       var saBuf: Array[Double] = null
@@ -402,8 +413,15 @@ object Zarr {
           val tmp = new Array[Byte](1 << 16)
           while (!defl.finished()) out.write(tmp, 0, defl.deflate(tmp))
           defl.end()
-          putObject(taskFs, new org.apache.hadoop.fs.Path(s"$path/$v/$curKey"),
-            out.toByteArray)
+          val dest = new org.apache.hadoop.fs.Path(s"$path/$v/$curKey")
+          val tmpKey =
+            new org.apache.hadoop.fs.Path(s"$path/$v/.$curKey.$attemptTag.tmp")
+          putObject(taskFs, tmpKey, out.toByteArray)
+          if (!taskFs.rename(tmpKey, dest)) {
+            // dest exists (another attempt committed first) — ours is
+            // byte-identical; drop the temp.
+            taskFs.delete(tmpKey, false)
+          }
         }
         writeChunk("water_temp", wtBuf)
         writeChunk("salinity", saBuf)

@@ -49,6 +49,19 @@ class RepetitionSpec extends SparkSpec {
     assert(m(2L).getLong(2) === "two tokens".length.toLong)
   }
 
+  test("non-BMP text counts code points, not UTF-16 units (DuckDB length() parity)") {
+    // U+1D11E (musical G clef) is 2 UTF-16 units but 1 code point.
+    // tokens: 𝄞𝄞 x 𝄞𝄞 x 𝄞𝄞 → joined code points = 2+1+2+1+2 + 4 = 12
+    val clef = new String(Character.toChars(0x1D11E))
+    val tok = clef * 2
+    val r = signals(1L -> s"$tok x $tok x $tok")(1L)
+    assert(r.getLong(1) === 5L)
+    assert(r.getLong(2) === 12L)              // 17 under UTF-16 counting
+    // 2-grams: "𝄞𝄞 x"×2 and "x 𝄞𝄞"×2 tie — both grams have 4 code
+    // points, so top2 is tie-break-independent here
+    assert(r.getDouble(3) === 2 * 4 / 12.0)
+  }
+
   test("SQL surface: repetition_profile registered by GraftExtensions") {
     GraftExtensions.install(spark)
     val got = spark.sql(
