@@ -16,8 +16,9 @@ import java.nio.{ByteBuffer, ByteOrder}
   * Supported surface (the subset xarray writes by default, rejected
   * loudly otherwise): dtypes `<f4 <f8 <i1 <i2 <i4 <i8 |i1 |u1 <u2
   * <u4` and their big-endian `>` twins; compressor `null`, `zlib`,
-  * or `gzip` (blosc needs a native codec — not representable
-  * JDK-only); C and F chunk-internal order; optional
+  * `gzip`, or `blosc` with inner LZ4 — zarr-python's default — via
+  * the from-spec [[Blosc]] decoder (other blosc inner codecs fail
+  * loudly per chunk); C and F chunk-internal order; optional
   * `dimension_separator` ("." default, "/" accepted); missing chunk
   * files = all-fill chunks per the spec.
   *
@@ -36,6 +37,7 @@ object Zarr {
   case object RawCodec extends Compressor
   case object ZlibCodec extends Compressor
   case object GzipCodec extends Compressor
+  case object BloscCodec extends Compressor
 
   /** Parsed `.zarray` metadata + the array directory it governs. */
   final case class ArrayMeta(dir: String, shape: Seq[Long], chunks: Seq[Int],
@@ -105,8 +107,12 @@ object Zarr {
       else comp.path("id").asText() match {
         case "zlib" => ZlibCodec
         case "gzip" => GzipCodec
+        // the inner codec is dispatched from each chunk's own header
+        // (flags bits 5-7), not the advisory metadata — lz4 decodes,
+        // the rest fail loudly per chunk with the codec named
+        case "blosc" => BloscCodec
         case other => throw new IllegalArgumentException(
-          s"$dir: unsupported compressor '$other' (JDK-only reader: null/zlib/gzip)")
+          s"$dir: unsupported compressor '$other' (JDK-only reader: null/zlib/gzip/blosc)")
       }
     val filters = node.path("filters")
     require(filters.isNull || filters.isMissingNode || filters.size() == 0,
@@ -175,6 +181,8 @@ object Zarr {
             s"${meta.dir}: gzip chunk has surplus data past $want bytes")
           out
         } finally in.close()
+      case BloscCodec =>
+        Blosc.decompress(stored, want.toInt, meta.dir)
     }
   }
 

@@ -29,6 +29,8 @@ class ZarrSpec extends SparkSpec {
     val compJson = compressor match {
       case "null" => "null"
       case "zlib" => """{"id": "zlib", "level": 1}"""
+      case "blosc" => // numcodecs' default Blosc() JSON shape
+        """{"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1, "blocksize": 0}"""
       case other => s"""{"id": "$other"}"""
     }
     val fillJson = fill match {
@@ -89,6 +91,7 @@ class ZarrSpec extends SparkSpec {
             while (!defl.finished()) out.write(tmp, 0, defl.deflate(tmp))
             defl.end()
             out.toByteArray
+          case "blosc" => bloscEncode(raw, size, shuffle = true)
           case _ => raw
         }
         val target = p.resolve(key)
@@ -96,6 +99,121 @@ class ZarrSpec extends SparkSpec {
         Files.write(target, bytes)
       }
     }
+  }
+
+  // ---- test-side blosc(lz4) WRITER: an independent transcription of
+  // the public c-blosc chunk container + LZ4 block format (shares no
+  // code with io.Blosc), so encode∘decode = identity is evidence of
+  // the spec, not a self-consistent pair.
+
+  /** Greedy from-spec LZ4 block encoder: 4-byte hash-table matches,
+    * 255-extension lengths, and the block-format end rules (final
+    * sequence literal-only, last 5 bytes literals, no match starting
+    * within the final 12 bytes).
+    */
+  private def lz4CompressBlock(src: Array[Byte], off: Int, len: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val end = off + len
+    def read32(p: Int): Int =
+      (src(p) & 0xFF) | ((src(p + 1) & 0xFF) << 8) |
+        ((src(p + 2) & 0xFF) << 16) | ((src(p + 3) & 0xFF) << 24)
+    def writeExt(v: Int): Unit = {
+      var rem = v
+      while (rem >= 255) { out.write(255); rem -= 255 }
+      out.write(rem)
+    }
+    def emitSeq(litOff: Int, litLen: Int, offset: Int, matchLen: Int): Unit = {
+      val litNib = math.min(15, litLen)
+      val matchNib = if (offset > 0) math.min(15, matchLen - 4) else 0
+      out.write((litNib << 4) | matchNib)
+      if (litNib == 15) writeExt(litLen - 15)
+      out.write(src, litOff, litLen)
+      if (offset > 0) {
+        out.write(offset & 0xFF); out.write((offset >>> 8) & 0xFF)
+        if (matchNib == 15) writeExt(matchLen - 4 - 15)
+      }
+    }
+    val table = new java.util.HashMap[Integer, Integer]()
+    var anchor = off
+    var i = off
+    while (i + 12 <= end) {
+      val key = Integer.valueOf((read32(i) * 0x9E3779B1) >>> 20)
+      val cand = table.put(key, i)
+      if (cand != null && i - cand <= 0xFFFF && cand >= off &&
+          read32(cand) == read32(i)) {
+        var ml = 4
+        val maxEnd = end - 5
+        while (i + ml < maxEnd && src(cand + ml) == src(i + ml)) ml += 1
+        emitSeq(anchor, i - anchor, i - cand, ml)
+        i += ml
+        anchor = i
+      } else i += 1
+    }
+    emitSeq(anchor, end - anchor, -1, 0)
+    out.toByteArray
+  }
+
+  /** Forward byte shuffle of one block (byte j of every element made
+    * contiguous; tail bytes past the last whole element verbatim).
+    */
+  private def bloscShuffleBlock(src: Array[Byte], off: Int, bsize: Int,
+                                typesize: Int): Array[Byte] = {
+    val dst = new Array[Byte](bsize)
+    val elems = bsize / typesize
+    for (i <- 0 until elems; j <- 0 until typesize)
+      dst(j * elems + i) = src(off + i * typesize + j)
+    for (t <- elems * typesize until bsize) dst(t) = src(off + t)
+    dst
+  }
+
+  /** Assemble a full blosc-1 chunk: 16-byte header, int32 bstarts,
+    * per-block split streams each prefixed by its int32 size (verbatim
+    * when compression does not gain), byte shuffle on.
+    */
+  private def bloscEncode(raw: Array[Byte], typesize: Int,
+                          shuffle: Boolean): Array[Byte] = {
+    val blocksize =
+      if (raw.length <= 1024) raw.length else 1024 - 1024 % typesize
+    val nblocks = (raw.length + blocksize - 1) / blocksize
+    val doShuffle = shuffle && typesize > 1
+    val streams = new java.io.ByteArrayOutputStream()
+    val bstarts = new Array[Int](nblocks)
+    val dataBase = 16 + 4 * nblocks
+    for (j <- 0 until nblocks) {
+      bstarts(j) = dataBase + streams.size()
+      val boff = j * blocksize
+      val bsize = math.min(blocksize, raw.length - boff)
+      val block =
+        if (doShuffle) bloscShuffleBlock(raw, boff, bsize, typesize)
+        else java.util.Arrays.copyOfRange(raw, boff, boff + bsize)
+      // blosc1 split rule (blosc.c): non-leftover lz4 blocks split
+      // into typesize streams when typesize<=16 and per-stream >=128
+      val nsplits =
+        if (bsize == blocksize && typesize >= 1 && typesize <= 16 &&
+            blocksize / typesize >= 128) typesize
+        else 1
+      val neblock = bsize / nsplits
+      for (s <- 0 until nsplits) {
+        val comp = lz4CompressBlock(block, s * neblock, neblock)
+        val (sc, payload) =
+          if (comp.length >= neblock)
+            (neblock, java.util.Arrays.copyOfRange(block, s * neblock, (s + 1) * neblock))
+          else (comp.length, comp)
+        streams.write(sc & 0xFF); streams.write((sc >>> 8) & 0xFF)
+        streams.write((sc >>> 16) & 0xFF); streams.write((sc >>> 24) & 0xFF)
+        streams.write(payload)
+      }
+    }
+    val body = streams.toByteArray
+    val cbytes = dataBase + body.length
+    val hdr = ByteBuffer.allocate(cbytes).order(ByteOrder.LITTLE_ENDIAN)
+    hdr.put(2.toByte).put(1.toByte) // version, versionlz
+    hdr.put((((1 << 5) | (if (doShuffle) 1 else 0))).toByte) // lz4 | shuffle
+    hdr.put((typesize & 0xFF).toByte)
+    hdr.putInt(raw.length).putInt(blocksize).putInt(cbytes)
+    bstarts.foreach(hdr.putInt)
+    hdr.put(body)
+    hdr.array()
   }
 
   private def tmpStore(name: String): String = {
@@ -182,9 +300,9 @@ class ZarrSpec extends SparkSpec {
 
   test("unsupported compressor / malformed chunks fail loudly, never hang") {
     val dir = Files.createTempDirectory("zarr-bad").toString
-    writeArray(dir, Seq(2), Seq(2), "<f8", "C", "blosc", None, g => g.head)
+    writeArray(dir, Seq(2), Seq(2), "<f8", "C", "lzma", None, g => g.head)
     val e = intercept[IllegalArgumentException](Zarr.readArrayMeta(dir))
-    assert(e.getMessage.contains("blosc"))
+    assert(e.getMessage.contains("lzma"))
     // truncated zlib chunk
     val dz = Files.createTempDirectory("zarr-trunc").toString
     writeArray(dz, Seq(4), Seq(4), "<f8", "C", "zlib", None, g => g.head)
@@ -201,6 +319,102 @@ class ZarrSpec extends SparkSpec {
       Zarr.decodeChunk(meta2, new Array[Byte](7)))
   }
 
+  test("blosc(lz4): hand-written LZ4 sequence bytes decode (decoder-only direction)") {
+    // One block, no shuffle, no split (16/8=2 < 128): stream is a
+    // hand-assembled LZ4 block — literals "ABCD", match offset 4 len 7
+    // (overlap copy), final literal-only sequence "DABCD".
+    val stream = Array[Byte](0x43, 'A', 'B', 'C', 'D', 0x04, 0x00,
+      0x50, 'D', 'A', 'B', 'C', 'D')
+    val cbytes = 16 + 4 + 4 + stream.length // hdr, bstarts, stream size, stream
+    val chunk = ByteBuffer.allocate(cbytes).order(ByteOrder.LITTLE_ENDIAN)
+      .put(2.toByte).put(1.toByte).put(0x20.toByte).put(8.toByte)
+      .putInt(16).putInt(16).putInt(cbytes)
+      .putInt(20) // bstarts[0]
+      .putInt(stream.length)
+      .put(stream).array()
+    val dir = Files.createTempDirectory("zarr-blosc-hand").toString
+    writeArray(dir, Seq(2), Seq(2), "<f8", "C", "blosc", None, _ => 0.0)
+    Files.write(Paths.get(dir, "0"), chunk)
+    val meta = Zarr.readArrayMeta(dir)
+    assert(Zarr.decodeChunk(meta, chunk)
+      .sameElements("ABCDABCDABCDABCD".getBytes("US-ASCII")))
+  }
+
+  test("blosc: memcpyed chunks decode verbatim") {
+    val raw = Array.tabulate(24)(i => (i * 7).toByte)
+    val chunk = ByteBuffer.allocate(16 + raw.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+      .put(2.toByte).put(1.toByte).put(0x02.toByte).put(8.toByte)
+      .putInt(raw.length).putInt(raw.length).putInt(16 + raw.length)
+      .put(raw).array()
+    val dir = Files.createTempDirectory("zarr-blosc-mc").toString
+    writeArray(dir, Seq(3), Seq(3), "<f8", "C", "blosc", None, _ => 0.0)
+    Files.write(Paths.get(dir, "0"), chunk)
+    assert(Zarr.decodeChunk(Zarr.readArrayMeta(dir), chunk).sameElements(raw))
+  }
+
+  test("blosc: multi-block split streams + leftover block + shuffle round-trip") {
+    // 4000-byte f8 chunk → blocks of 1024 (split into 8 streams of
+    // 128) + a 928-byte leftover block (single stream); repetitive
+    // values so the LZ4 paths emit real matches, not just verbatim
+    val dir = Files.createTempDirectory("zarr-blosc-big").toString
+    def v(g: Seq[Int]): Double = (g.head % 5) * 10.0 + g(1)
+    writeArray(dir, Seq(50, 10), Seq(50, 10), "<f8", "C", "blosc", None, v)
+    val got = Zarr.readAll(Zarr.readArrayMeta(dir))
+    val want = for (a <- 0 until 50; b <- 0 until 10) yield v(Seq(a, b))
+    assert(got.toSeq === want)
+    // the fixture must actually have compressed (not all-verbatim)
+    assert(Files.readAllBytes(Paths.get(dir, "0.0")).length < 4000)
+  }
+
+  test("blosc: bit-shuffle, foreign inner codecs, bad version, truncation fail loudly") {
+    val dir = Files.createTempDirectory("zarr-blosc-bad").toString
+    writeArray(dir, Seq(2), Seq(2), "<f8", "C", "blosc", None, g => g.head)
+    val meta = Zarr.readArrayMeta(dir)
+    def frame(version: Int, flags: Int): Array[Byte] =
+      ByteBuffer.allocate(16 + 16).order(ByteOrder.LITTLE_ENDIAN)
+        .put(version.toByte).put(1.toByte).put(flags.toByte).put(8.toByte)
+        .putInt(16).putInt(16).putInt(32).array()
+    val bitShuf = intercept[IllegalArgumentException](
+      Zarr.decodeChunk(meta, frame(2, 0x20 | 0x04)))
+    assert(bitShuf.getMessage.contains("bit-shuffle"))
+    val zstd = intercept[IllegalArgumentException](
+      Zarr.decodeChunk(meta, frame(2, 4 << 5)))
+    assert(zstd.getMessage.contains("zstd"))
+    val blosclz = intercept[IllegalArgumentException](
+      Zarr.decodeChunk(meta, frame(2, 0)))
+    assert(blosclz.getMessage.contains("blosclz"))
+    val ver = intercept[IllegalArgumentException](
+      Zarr.decodeChunk(meta, frame(4, 0x20)))
+    assert(ver.getMessage.contains("version"))
+    // truncated mid-stream: take a valid chunk, cut it, fix cbytes
+    val full = Files.readAllBytes(Paths.get(dir, "0"))
+    val cut = java.util.Arrays.copyOf(full, full.length - 3)
+    val bb = ByteBuffer.wrap(cut).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(12, cut.length)
+    intercept[IllegalArgumentException](Zarr.decodeChunk(meta, cut))
+  }
+
+  test("4-D hydro store ingests through blosc(lz4) chunks (zarr-python default)") {
+    val store = tmpStore("hydro-blosc")
+    val (nT, nD, nY, nX) = (2, 2, 5, 6)
+    writeCoord(store, "time", Seq(100.0, 101.0))
+    writeCoord(store, "depth", Seq(0.0, 10.0))
+    writeCoord(store, "lat", (0 until nY).map(10.0 + _ * 0.5))
+    writeCoord(store, "lon", (0 until nX).map(270.0 + _ * 0.5))
+    def v(g: Seq[Int]): Double = g(0) * 1000 + g(1) * 100 + g(2) * 10 + g(3)
+    writeArray(s"$store/water_temp", Seq(nT, nD, nY, nX), Seq(1, 1, 3, 4),
+      "<f8", "C", "blosc", Some(-30000.0), v)
+    writeArray(s"$store/salinity", Seq(nT, nD, nY, nX), Seq(1, 1, 3, 4),
+      "<f4", "C", "blosc", Some(-30000.0), g => v(g) + 0.5)
+    val df = GridIngest.ingestZarr(spark, store)
+    assert(df.count() === nT * nD * nY * nX)
+    val row = df.filter($"time" === 101L && $"depth_idx" === 1 &&
+      $"lat_idx" === 4 && $"lon_idx" === 5).head
+    assert(row.getAs[Double]("water_temp") === 1145.0)
+    assert(math.abs(row.getAs[Double]("salinity") - 1145.5) < 1e-6)
+  }
+
   test("randomized round-trip: random shape/chunks/dtype/order/codec all read back exactly") {
     val rnd = new scala.util.Random(42)
     val dtypes = Seq("<f8", ">f8", "<f4", ">f4", "<i2", ">i4", "|u1")
@@ -210,7 +424,7 @@ class ZarrSpec extends SparkSpec {
       val chunks = shape.map(s => 1 + rnd.nextInt(s + 2)) // may exceed shape
       val dtype = dtypes(rnd.nextInt(dtypes.length))
       val order = if (rnd.nextBoolean()) "C" else "F"
-      val codec = if (rnd.nextBoolean()) "zlib" else "null"
+      val codec = Seq("zlib", "null", "blosc")(rnd.nextInt(3))
       // values exactly representable in EVERY dtype above (incl. u1)
       def v(g: Seq[Int]): Double =
         g.zipWithIndex.map { case (x, d) => x * math.pow(6, d) }.sum % 120
