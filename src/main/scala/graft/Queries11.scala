@@ -105,6 +105,86 @@ object Queries11 extends ColumnSyntax {
       .withColumn("planted", ($"b_id" - $"a_id" === 1000L).cast("int"))
       .orderBy($"a_id", $"b_id")
 
+  // --------- q125p: the multi-keyframe video pair stage, hash-gated
+  /** q125's PAIR stage under the hash gate, the video twin of q84p
+    * (VERDICT r8 item 4): the decode half stays on H264Spec's
+    * per-pixel goldens (DuckDB cannot decode video), but the
+    * ANY-KEYFRAME matching logic — every keyframe hash indexes its
+    * video, band-join candidates, self-pairs dropped, id pairs
+    * reduced to their best hamming — is pure relational algebra. The
+    * corpus is the re-cut shape that logic exists for: two-keyframe
+    * videos whose copies (id + 1000) share only their SECOND
+    * keyframe behind a fresh prepended intro, so single-keyframe
+    * matching finds nothing and any-keyframe matching must. The
+    * computed `mp4_keyframe_dhashes` table persists as a fixture
+    * parquet and both engines replay the pair logic from that same
+    * file.
+    */
+  private val Q125HashFixture = "/tmp/graft_fixtures/q125_kf_dhash.parquet"
+
+  private def q125pAssets(s: SparkSession): DataFrame = {
+    def scene(seed: Int)(x: Int, y: Int): Int = {
+      val h = seed * 2654435761L
+      val fu = 1 + (h % 6).toInt.abs; val fv = 1 + ((h >> 8) % 5).toInt.abs
+      val p1 = ((h >> 16) % 628).toInt / 100.0
+      (127 + 90 * math.sin(fu * x / 2.5 + fv * y / 2.0 + p1)).toInt & 0xFF
+    }
+    val originals = (0 until 40).map { i =>
+      (i.toLong,
+        graft.ext.VideoFixtures.multiKeyframeMp4(Seq(scene(500 + i), scene(i))))
+    }
+    val recuts = (0 until 10).map { i =>
+      (i + 1000L, graft.ext.VideoFixtures.multiKeyframeMp4(Seq(
+        scene(700 + i),
+        (x, y) => math.min(255,
+          scene(i)(x, y) + (if ((x * 31 + y * 17) % 37 == 0) 2 else 0)))))
+    }
+    s.createDataFrame(originals ++ recuts).toDF("vid_id", "content")
+      .repartition(8)
+  }
+
+  private def q125p(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    q125pAssets(s).select($"vid_id".as("id"),
+        explode(gb.column(graft.fn.Mp4KeyframeDhashes(
+          gb.expression($"content"), 4))).as("dhash"))
+      .distinct()
+      .coalesce(1)
+      .write.mode("overwrite").parquet(Q125HashFixture)
+    graft.ext.Multimodal.nearDupPairsFromMultiHashes(
+        s.read.parquet(Q125HashFixture), maxHamming = 3)
+      .orderBy($"a_id", $"b_id")
+  }
+
+  private val q125pSql =
+    s"""WITH h AS (
+       |  SELECT id, dhash FROM read_parquet('$Q125HashFixture/*.parquet')
+       |), eq AS (
+       |  SELECT x.id AS a_id, y.id AS b_id, 0 AS hamming
+       |  FROM h x JOIN h y ON x.dhash = y.dhash AND x.id < y.id
+       |), uniq AS (
+       |  SELECT DISTINCT dhash FROM h
+       |), banded AS (
+       |  SELECT dhash, i AS band_idx, (dhash >> CAST(16 * i AS INT)) & 65535 AS band_val
+       |  FROM uniq, UNNEST(range(0, 4)) AS t(i)
+       |), near AS (
+       |  SELECT DISTINCT a.dhash AS ha, b.dhash AS hb
+       |  FROM banded a
+       |  JOIN banded b ON a.band_idx = b.band_idx
+       |    AND a.band_val = b.band_val AND a.dhash < b.dhash
+       |), nearh AS (
+       |  SELECT ha, hb, bit_count(xor(ha, hb)) AS hamming
+       |  FROM near WHERE bit_count(xor(ha, hb)) <= 3
+       |), neq AS (
+       |  SELECT LEAST(x.id, y.id) AS a_id, GREATEST(x.id, y.id) AS b_id, hamming
+       |  FROM nearh JOIN h x ON ha = x.dhash JOIN h y ON hb = y.dhash
+       |)
+       |SELECT a_id, b_id, CAST(MIN(hamming) AS INT) AS hamming
+       |FROM (SELECT * FROM eq UNION ALL SELECT * FROM neq)
+       |WHERE a_id <> b_id
+       |GROUP BY a_id, b_id
+       |ORDER BY a_id, b_id""".stripMargin
+
   // ------------- q126: Gopher repetition signals (narrow kernel)
   /** [[graft.ext.TextOps.repetitionSignals]]: per-doc top-{2,3,4}
     * word-n-gram char fraction and duplicated-{5,6}-gram char
@@ -227,12 +307,15 @@ object Queries11 extends ColumnSyntax {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q124_salted_join" -> (q124 _),
     "q125_video_neardup" -> (q125 _),
+    "q125p_kf_dhash_pairs" -> (q125p _),
     "q126_repetition_signals" -> (q126 _),
     "q127_pii_scrub" -> (q127 _))
 
   val oracles: Map[String, String] = Map(
-    // q125: no oracle — DuckDB cannot decode H.264 (q84 convention)
+    // q125: no oracle — DuckDB cannot decode H.264 (q84 convention);
+    // its pair stage IS hash-gated via q125p's persisted fixture
     "q124_salted_join" -> q124Sql,
+    "q125p_kf_dhash_pairs" -> q125pSql,
     "q126_repetition_signals" -> q126Sql,
     "q127_pii_scrub" -> q127Sql)
 

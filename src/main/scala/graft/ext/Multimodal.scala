@@ -387,15 +387,23 @@ object Multimodal {
             explode(gb.column(graft.fn.Mp4KeyframeDhashes(
               gb.expression(col(contentCol)), maxKeyframes))).as("dhash"))
           .distinct()
-    val pairs = Images.nearDupPairsFromHashes(hashed, maxHamming, bands)
-    if (maxKeyframes == 1) pairs
-    else pairs
-      // multi-hash ids break the one-hash-per-id assumption of the
-      // pair stage: a video whose own keyframes are near each other
-      // would otherwise surface as a self-pair
+    if (maxKeyframes == 1) Images.nearDupPairsFromHashes(hashed, maxHamming, bands)
+    else nearDupPairsFromMultiHashes(hashed, maxHamming, bands)
+  }
+
+  /** The multi-hash pair stage alone, from a persisted `(id, dhash)`
+    * table where one id may carry SEVERAL keyframe hashes (q125p's
+    * oracle-gated shape, the video twin of q84p): the shared
+    * band-join candidate stage, then self-pairs dropped (a video
+    * whose own keyframes are near each other is not a duplicate of
+    * itself) and each id pair reduced to its best (minimum) hamming
+    * over any keyframe combination.
+    */
+  def nearDupPairsFromMultiHashes(hashes: DataFrame, maxHamming: Int = 3,
+                                  bands: Int = 4): DataFrame =
+    Images.nearDupPairsFromHashes(hashes, maxHamming, bands)
       .where(col("a_id") =!= col("b_id"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(min(col("hamming")).cast("int").as("hamming"))
-  }
 
 }

@@ -110,6 +110,43 @@ object VideoFixtures {
     be32(body.length + 8L) ++ tag.getBytes("US-ASCII") ++ body
   }
 
+  /** Multi-keyframe MP4: one 16×16 I_PCM IDR sample per entry of
+    * `frames`, every sample marked sync in `stss` — the re-cut /
+    * prepended-intro shape the any-keyframe near-dup path (q125p)
+    * must match on. Same boxes as [[pcmKeyframeMp4]] plus `stts`
+    * (timescale 1000, 500 per frame) and per-sample `stsz` entries.
+    */
+  def multiKeyframeMp4(frames: Seq[(Int, Int) => Int]): Array[Byte] = {
+    require(frames.nonEmpty)
+    val sps = escapeRbsp(sps1x1())
+    val pps = escapeRbsp(ppsNal())
+    val avcc = box("avcC", Array[Byte](1), sps.slice(1, 2), Array[Byte](0),
+      sps.slice(3, 4), Array(0xFF.toByte), Array(0xE1.toByte),
+      be16(sps.length), sps, Array[Byte](1), be16(pps.length), pps)
+    val samples = frames.map { px =>
+      val slice = escapeRbsp(idrPcm(px))
+      be32(slice.length.toLong) ++ slice
+    }
+    val ftyp = box("ftyp", "isom".getBytes, be32(0x200), "isomiso2".getBytes)
+    val mdatOff = ftyp.length + 8L
+    val stsd = box("stsd", be32(0), be32(1),
+      box("avc1", new Array[Byte](78), avcc))
+    val stsz = box("stsz", be32(0), be32(0), be32(samples.length.toLong),
+      samples.flatMap(sm => be32(sm.length.toLong)).toArray)
+    val stsc = box("stsc", be32(0), be32(1), be32(1),
+      be32(samples.length.toLong), be32(1))
+    val stco = box("stco", be32(0), be32(1), be32(mdatOff))
+    val stss = box("stss", be32(0), be32(samples.length.toLong),
+      samples.indices.flatMap(i => be32(i + 1L)).toArray)
+    val stts = box("stts", be32(0), be32(1),
+      be32(samples.length.toLong), be32(500))
+    val stbl = box("stbl", stsd, stsz, stsc, stco, stss, stts)
+    val mdia = box("mdia", box("mdhd", be32(0), be32(0), be32(0), be32(1000),
+      be32(0), be32(0x55c40000L)), box("minf", stbl))
+    val moov = box("moov", box("mvhd", new Array[Byte](100)), box("trak", mdia))
+    ftyp ++ box("mdat", samples.flatten.toArray) ++ moov
+  }
+
   /** One-keyframe MP4 whose 16×16 luma is `px`. */
   def pcmKeyframeMp4(px: (Int, Int) => Int): Array[Byte] = {
     val sps = escapeRbsp(sps1x1())
