@@ -421,6 +421,66 @@ object DocStreams {
         coalesce(col("__cw.n_windows"), lit(0L)).as("n_windows"))
   }
 
+  /** Streaming IMAGE dedup gate — the media face of the dedup family
+    * (the text gates above all have one; this closes the image/video
+    * gap): decode → 9×8 dHash via the narrow
+    * [[graft.fn.ImageDhash64]] kernel (stateless, in the scan span),
+    * then the SAME 16-bit band decomposition the batch pair stage
+    * uses ([[graft.ext.Images.nearDupPairsFromHashes]]), as
+    * watermark-bounded first-occupant state: each band deposits into
+    * `dropDuplicatesWithinWatermark(band, band_val)`, and an asset is
+    * kept only when ALL its bands were first occupants — the
+    * [[nearDupFilter]] chain with dHash bands in place of MinHash
+    * bands.
+    *
+    * Semantics note (same conservatism contract as
+    * [[sharedSpanFilter]]): by pigeonhole, any later image within
+    * `bands − 1` hamming of an in-horizon earlier one shares a band
+    * and drops — the gate never keeps an image the batch
+    * `maxHamming < bands` pair stage would pair; a single colliding
+    * band (hamming possibly > maxHamming) also drops, which is
+    * strictly more aggressive, never less.
+    *
+    * Undecodable payloads (null dHash) drop — a dedup gate passes
+    * images it can VOUCH for; route triage of broken files through
+    * [[graft.ext.MediaMeta]], not a dedup state.
+    *
+    * Contract: assets (asset_id: long, ts: long nanos, content:
+    * binary) → kept (asset_id, ts·micros, dhash). Works identically
+    * on a batch frame (dropDuplicates in place of the watermark
+    * variant) for stream == batch parity tests.
+    */
+  def imageDedupGate(assets: DataFrame, bands: Int = 4,
+                     horizon: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    require(bands >= 1 && 16 * bands == 64, s"bands must split 64 bits; got $bands")
+    val hashed = assets
+      .select(col("asset_id"), EventStreams.tsCol.as("ts_t"),
+        gb.column(graft.fn.ImageDhash64(gb.expression(col("content"))))
+          .as("dhash"))
+      .filter(col("dhash").isNotNull)
+    val bandStructs = (0 until bands).map { bi =>
+      struct(lit(bi).as("band"),
+        shiftrightunsigned(col("dhash"), 16 * bi)
+          .bitwiseAND(lit(0xffffL)).as("band_val"))
+    }
+    val banded = hashed
+      .select(col("asset_id"), col("ts_t"), col("dhash"),
+        explode(array(bandStructs: _*)).as("__bs"))
+      .select(col("asset_id"), col("ts_t"), col("dhash"),
+        col("__bs.band").as("band"), col("__bs.band_val").as("band_val"))
+      .withWatermark("ts_t", horizon)
+    val surviving =
+      if (banded.isStreaming)
+        banded.dropDuplicatesWithinWatermark(Seq("band", "band_val"))
+      else banded.dropDuplicates(Seq("band", "band_val"))
+    surviving
+      .groupBy(col("ts_t"), col("asset_id"), col("dhash"))
+      .agg(count(lit(1)).as("__nb"))
+      .filter(col("__nb") === bands)
+      .select(col("asset_id"), unix_micros(col("ts_t")).as("ts"), col("dhash"))
+  }
+
   def perplexityGate(docs: DataFrame, model: Map[String, Long],
                      total: Long, vocab: Long, maxPpl: Double,
                      alpha: Double = 1.0): DataFrame = {

@@ -589,4 +589,101 @@ class DocStreamsSpec extends SparkSpec {
     assert(kept === Set(1L, 2L, 3L, 4L), s"kept=$kept")
   }
 
+  // PNG generator shared by the image-gate tests (q84's scene family:
+  // seed-hashed frequencies/phases for high dHash diversity)
+  private def scenePng(seed: Int, perturb: Boolean = false): Array[Byte] = {
+    def scene(x: Int, y: Int): Int = {
+      val u = x / 48.0; val v = y / 32.0
+      val h = seed * 2654435761L
+      val fu = 2 + (h % 9).toInt.abs; val fv = 1 + ((h >> 8) % 7).toInt.abs
+      val p1 = ((h >> 16) % 628).toInt / 100.0
+      val p2 = ((h >> 24) % 628).toInt / 100.0
+      val base = (127 + 55 * math.sin(fu * u + fv * v + p1) +
+        45 * math.cos((fv + 2) * v - fu * u + p2)).toInt & 0xFF
+      if (perturb && (x * 31 + y * 17) % 29 == 0) math.min(255, base + 2) else base
+    }
+    val img = new java.awt.image.BufferedImage(
+      48, 32, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 32; x <- 0 until 48)
+      img.getRaster.setSample(x, y, 0, scene(x, y))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("streaming image dedup gate: exact + perceptual dups dropped, undecodable dropped, stream == batch groups") {
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(StructField("asset_id", LongType),
+      StructField("ts", LongType), StructField("content", BinaryType)))
+    val dir = java.nio.file.Files.createTempDirectory("imggate").toString
+    val min = 60L * 1000000000L
+    def write(rows: Seq[(Long, Long, Array[Byte])]): Unit =
+      spark.createDataFrame(rows.toDF("asset_id", "ts", "content").rdd, sch)
+        .coalesce(1).write.mode("append").parquet(dir)
+    // batch 1: two distinct scenes + one undecodable payload
+    write(Seq((1L, 1 * min, scenePng(0)), (2L, 2 * min, scenePng(1)),
+      (9L, 2 * min, "not an image".getBytes)))
+    // batch 2: exact pixel copy of 1, perceptual near-dup of 2
+    // (hamming <= 3 shares a band by pigeonhole), one fresh scene
+    write(Seq((10L, 4 * min, scenePng(0)),
+      (20L, 5 * min, scenePng(1, perturb = true)),
+      (3L, 6 * min, scenePng(2))))
+    val q = DocStreams.imageDedupGate(
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", "1").parquet(dir),
+        horizon = "30 minutes")
+      .writeStream.format("memory").queryName("imggate")
+      .outputMode("append").start()
+    val streamed = try {
+      q.processAllAvailable()
+      write(Seq((100L, 600 * min, scenePng(99))))
+      q.processAllAvailable()
+      spark.table("imggate").filter($"asset_id" < 100)
+        .select($"asset_id").as[Long].collect().toSet
+    } finally q.stop()
+    assert(streamed === Set(1L, 2L, 3L), s"kept=$streamed")
+    // batch parity on the same frame: first-occupant choice within a
+    // dup group is arbitrary in batch dropDuplicates, so compare one
+    // survivor PER GROUP, not ids
+    val batch = DocStreams.imageDedupGate(
+        spark.read.schema(sch).parquet(dir).filter($"asset_id" < 100))
+      .select($"asset_id").as[Long].collect().toSet
+    assert(batch.size === 3, s"batch kept=$batch")
+    assert(batch.contains(3L))
+    assert(batch.intersect(Set(1L, 10L)).size === 1)
+    assert(batch.intersect(Set(2L, 20L)).size === 1)
+  }
+
+  test("image dedup gate horizon expiry: a perceptual dup after the horizon is kept again") {
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(StructField("asset_id", LongType),
+      StructField("ts", LongType), StructField("content", BinaryType)))
+    val dir = java.nio.file.Files.createTempDirectory("imggate2").toString
+    val min = 60L * 1000000000L
+    def write(rows: Seq[(Long, Long, Array[Byte])]): Unit =
+      spark.createDataFrame(rows.toDF("asset_id", "ts", "content").rdd, sch)
+        .coalesce(1).write.mode("append").parquet(dir)
+    write(Seq((1L, 1 * min, scenePng(5))))
+    // 10 min horizon: in-horizon near-dup suppressed; two fillers
+    // advance the watermark and run the eviction pass (state cleanup
+    // is post-batch and the watermark lags one micro-batch); the same
+    // scene at 120min re-occupies the expired band buckets -> kept
+    write(Seq((2L, 6 * min, scenePng(5, perturb = true))))
+    write(Seq((50L, 60 * min, scenePng(6))))
+    write(Seq((51L, 70 * min, scenePng(7))))
+    write(Seq((3L, 120 * min, scenePng(5))))
+    val q = DocStreams.imageDedupGate(
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", "1").parquet(dir),
+        horizon = "10 minutes")
+      .writeStream.format("memory").queryName("imggate2")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      write(Seq((100L, 1200 * min, scenePng(99))))
+      q.processAllAvailable()
+      val kept = spark.table("imggate2").filter($"asset_id" < 100)
+        .select($"asset_id").as[Long].collect().toSet
+      assert(kept === Set(1L, 50L, 51L, 3L), s"kept=$kept")
+    } finally q.stop()
+  }
+
 }
