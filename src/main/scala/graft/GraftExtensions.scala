@@ -113,6 +113,8 @@ object GraftExtensions {
       graft.fn.Mp4KeyframeDhash64(_)),
     unaryFn("webm_meta", classOf[graft.fn.WebmMeta], graft.fn.WebmMeta(_)),
     unaryFn("flac_meta", classOf[graft.fn.FlacMeta], graft.fn.FlacMeta(_)),
+    unaryFn("audio_fingerprint64", classOf[graft.fn.AudioFingerprint64],
+      graft.fn.AudioFingerprint64(_)),
     (
       new FunctionIdentifier("mp4_keyframe_dhashes"),
       new ExpressionInfo(classOf[graft.fn.Mp4KeyframeDhashes].getName, "mp4_keyframe_dhashes"),

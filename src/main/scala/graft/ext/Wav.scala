@@ -117,4 +117,69 @@ object Wav {
       math.sqrt(sumSq / nFrames), sum / nFrames, peak,
       if (nFrames > 1) crossings.toDouble / (nFrames - 1) else 0.0)
   }
+
+  /** Channel-averaged mono stream normalized to [-1, 1] plus the
+    * sample rate, or null — the sample-level twin of
+    * [[pcmFeaturesOrNull]] feeding [[Audio.fingerprint64OrNull]].
+    * Same chunk walk, same PCM subset, same null contract.
+    */
+  def monoOrNull(bytes: Array[Byte]): (Array[Double], Int) = {
+    if (bytes == null || bytes.length < 44) return null
+    if (tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE") return null
+    var channels = 0
+    var sampleRate = 0L
+    var bits = 0
+    var fmtCode = -1
+    var dataOff = -1
+    var dataLen = 0
+    var off = 12
+    while (off + 8 <= bytes.length) {
+      val id = tag(bytes, off)
+      val size = leU32(bytes, off + 4).toInt
+      val payload = off + 8
+      if (size < 0 || payload < 0) return null
+      id match {
+        case "fmt " if size >= 16 && payload + 16 <= bytes.length =>
+          fmtCode = leU16(bytes, payload)
+          channels = leU16(bytes, payload + 2)
+          sampleRate = leU32(bytes, payload + 4)
+          bits = leU16(bytes, payload + 14)
+        case "data" =>
+          dataOff = payload
+          dataLen = math.min(size.toLong, (bytes.length - payload).toLong).toInt
+        case _ => ()
+      }
+      off = payload + size + (size & 1)
+    }
+    if (fmtCode != 1 || channels < 1 || dataOff < 0) return null
+    if (bits != 8 && bits != 16 && bits != 24 && bits != 32) return null
+    val bytesPerSample = bits / 8
+    val frameBytes = bytesPerSample * channels
+    val nFrames = dataLen / frameBytes
+    if (nFrames == 0) return null
+    val scale = (1L << (bits - 1)).toDouble
+    val mono = new Array[Double](nFrames)
+    var f = 0
+    while (f < nFrames) {
+      var acc = 0.0
+      var c = 0
+      while (c < channels) {
+        val p = dataOff + f * frameBytes + c * bytesPerSample
+        val raw: Long = bits match {
+          case 8 => (bytes(p) & 0xff).toLong - 128L
+          case 16 => leU16(bytes, p).toShort.toLong
+          case 24 =>
+            val u = (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
+              ((bytes(p + 2) & 0xffL) << 16)
+            if ((u & 0x800000L) != 0) u - 0x1000000L else u
+          case _ => leU32(bytes, p).toInt.toLong
+        }
+        acc += raw / scale
+        c += 1
+      }
+      mono(f) = acc / channels
+      f += 1
+    }
+    (mono, sampleRate.toInt)
+  }
 }

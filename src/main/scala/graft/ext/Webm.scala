@@ -157,45 +157,3 @@ object Webm {
     }
   }
 }
-
-/** FLAC STREAMINFO metadata ("fLaC" magic + the mandatory first
-  * metadata block, per the public FLAC format spec): sample rate,
-  * channels, bits per sample, total samples → duration. The lossless
-  * audio sibling of the WAV fmt parse — no frame decode.
-  */
-object Flac {
-
-  /** (sampleRate, channels, bitsPerSample, totalSamples, durationSec)
-    * or null.
-    */
-  def metaOrNull(bytes: Array[Byte]): (Long, Int, Int, Long, Double) = {
-    try {
-      if (bytes == null || bytes.length < 42) return null
-      if (!(bytes(0) == 'f' && bytes(1) == 'L' && bytes(2) == 'a' && bytes(3) == 'C'))
-        return null
-      // first metadata block header: 1 byte type (low 7 bits; 0 =
-      // STREAMINFO, mandatory first) + 3-byte length
-      if ((bytes(4) & 0x7F) != 0) return null
-      val len = ((bytes(5) & 0xFF) << 16) | ((bytes(6) & 0xFF) << 8) | (bytes(7) & 0xFF)
-      if (len < 34 || 8 + len > bytes.length) return null
-      val o = 8
-      // STREAMINFO layout: min/max blocksize (2+2), min/max framesize
-      // (3+3), then 8 bytes packing rate(20) ch(3) bps(5) total(36)
-      val b10 = bytes(o + 10) & 0xFF
-      val b11 = bytes(o + 11) & 0xFF
-      val b12 = bytes(o + 12) & 0xFF
-      val b13 = bytes(o + 13) & 0xFF
-      val rate = (b10.toLong << 12) | (b11 << 4) | (b12 >> 4)
-      val channels = ((b12 >> 1) & 0x7) + 1
-      val bps = (((b12 & 1) << 4) | (b13 >> 4)) + 1
-      var total = (b13 & 0xF).toLong
-      var i = 14
-      while (i < 18) { total = (total << 8) | (bytes(o + i) & 0xFF); i += 1 }
-      if (rate == 0) return null // spec: 0 is invalid
-      (rate, channels, bps, total,
-        if (total == 0) Double.NaN else total.toDouble / rate)
-    } catch {
-      case scala.util.control.NonFatal(_) => null
-    }
-  }
-}
