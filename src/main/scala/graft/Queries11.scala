@@ -90,10 +90,17 @@ object Queries11 extends ColumnSyntax {
       val p1 = ((h >> 16) % 628).toInt / 100.0
       (127 + 90 * math.sin(fu * x / 2.5 + fv * y / 2.0 + p1)).toInt & 0xFF
     }
+    // every third asset ships the CABAC (Main-profile entropy) MP4
+    // variant — round 9: same pixels through the other entropy layer,
+    // so the dedup answer must be identical and the corpus exercises
+    // both decode paths
+    def mp4Of(i: Int, px: (Int, Int) => Int): Array[Byte] =
+      if (i % 3 == 0) graft.ext.VideoFixtures.pcmKeyframeMp4Cabac(px)
+      else graft.ext.VideoFixtures.pcmKeyframeMp4(px)
     val originals = (0 until 60).map(i =>
-      (i.toLong, graft.ext.VideoFixtures.pcmKeyframeMp4((x, y) => scene(i)(x, y))))
+      (i.toLong, mp4Of(i, (x, y) => scene(i)(x, y))))
     val copies = (0 until 12).map { i =>
-      (i + 1000L, graft.ext.VideoFixtures.pcmKeyframeMp4((x, y) =>
+      (i + 1000L, mp4Of(i + 1, (x, y) =>
         math.min(255, scene(i)(x, y) + (if ((x * 31 + y * 17) % 37 == 0) 2 else 0))))
     }
     s.createDataFrame(originals ++ copies).toDF("vid_id", "content")

@@ -1,14 +1,17 @@
 package graft.ext
 
-/** H.264/AVC BASELINE I-frame luma decoder (ITU-T H.264, JDK-only) —
+/** H.264/AVC I-frame luma decoder (ITU-T H.264, JDK-only) —
   * the keyframe-thumbnail half of the video-decode boundary that
   * [[Multimodal]] documents: triage pipelines sample KEYFRAMES, and
-  * keyframes of a baseline stream are IDR/I slices decodable with
-  * CAVLC + intra prediction alone, no reference-frame machinery.
+  * keyframes are IDR/I slices decodable with entropy decode + intra
+  * prediction alone, no reference-frame machinery.
   *
   * Supported subset (null otherwise, loudly bounded like [[Jpeg]]):
-  * entropy_coding_mode = CAVLC, frame_mbs_only, 4:2:0 8-bit, one
-  * slice group, I/IDR slices (mb types I_4x4 / I_16x16 / I_PCM).
+  * entropy_coding_mode CAVLC (all slice types below) or CABAC for
+  * I slices (round 9, [[H264Cabac]] — the Main-profile keyframe
+  * path; P-slice CABAC stays out of scope), frame_mbs_only, 4:2:0
+  * 8-bit, 4x4 transform only, one slice group, I/IDR slices (mb
+  * types I_4x4 / I_16x16 / I_PCM).
   * LUMA is reconstructed (the [[Images]] gray-plane contract); chroma
   * residuals are entropy-PARSED (the bitstream position requires it)
   * but not reconstructed. The in-loop deblocking filter is skipped —
@@ -100,7 +103,8 @@ object H264 {
                                     bottomFieldPoc: Boolean,
                                     weightedPred: Boolean,
                                     numRefIdxL0Default: Int,
-                                    constrainedIntra: Boolean)
+                                    constrainedIntra: Boolean,
+                                    cabac: Boolean)
 
   /** Decode-oriented SPS parse: only the baseline-decodable subset
     * returns; anything else (high-profile chroma/bit-depth/scaling,
@@ -153,7 +157,7 @@ object H264 {
     val r = new Br(rbsp(nal, 1))
     r.ue() // pps_id
     r.ue() // sps_id
-    if (r.u(1) != 0) bad() // entropy_coding_mode_flag — CAVLC only
+    val cabac = r.u(1) == 1 // entropy_coding_mode_flag (I slices only)
     val bottomFieldPoc = r.u(1) == 1
     if (r.ue() != 0) bad() // num_slice_groups_minus1 — no FMO
     val numRefIdxL0Default = r.ue() + 1
@@ -166,8 +170,13 @@ object H264 {
     val deblockCtrl = r.u(1) == 1
     val constrainedIntra = r.u(1) == 1
     val redundantPicCnt = r.u(1) == 1
+    if (hasMoreRbsp(r)) { // Main/High PPS extension
+      if (r.u(1) != 0) bad() // transform_8x8_mode_flag — 4x4 only
+      if (r.u(1) != 0) bad() // pic_scaling_matrix_present_flag — flat only
+      r.se() // second_chroma_qp_index_offset
+    }
     Pps(picInitQp, deblockCtrl, redundantPicCnt, bottomFieldPoc, weightedPred,
-      numRefIdxL0Default, constrainedIntra)
+      numRefIdxL0Default, constrainedIntra, cabac)
   }
 
   // ------------------------------------------------------ VLC tables
@@ -540,6 +549,18 @@ object H264 {
       */
     val mbDecoded = new Array[Boolean](wMbs * hMbs)
     val mbIsI4x4 = new Array[Boolean](wMbs * hMbs)
+    /** CABAC neighbor-context state: I_PCM / Intra_16x16 markers,
+      * decoded intra_chroma_pred_mode, and the DC coded_block_flags
+      * (luma DC; chroma DC per component) that CAVLC's nz counts
+      * don't cover.
+      */
+    val mbIsPcm = new Array[Boolean](wMbs * hMbs)
+    val mbIsI16 = new Array[Boolean](wMbs * hMbs)
+    val chromaPredMode = new Array[Int](wMbs * hMbs)
+    val lumaDcNz = new Array[Boolean](wMbs * hMbs)
+    val chromaDcNz = Array.fill(wMbs * hMbs)(new Array[Boolean](2))
+    val cbpLumaArr = new Array[Int](wMbs * hMbs)
+    val cbpChromaArr = new Array[Int](wMbs * hMbs)
     val lumaNz = Array.fill(wMbs * hMbs)(new Array[Int](16))
     val predModes = Array.fill(wMbs * hMbs)(Array.fill(16)(2))
     val chromaNz = Array.fill(wMbs * hMbs)(new Array[Int](8)) // cb 0-3, cr 4-7
@@ -1015,7 +1036,25 @@ object H264 {
     if (mbAddr < 0 || mbAddr >= nMbs) bad()
     f.curSliceId += 1
     var more = true
-    if (isI) {
+    if (pps.cabac) {
+      // CABAC entropy decoding — I slices (Main-profile keyframes);
+      // P-slice CABAC stays out of scope, rejected loudly
+      if (!isI) bad()
+      while ((r.pos & 7) != 0) {
+        if (r.u(1) != 1) bad() // cabac_alignment_one_bit
+      }
+      val eng = new H264CabacEngine(r)
+      eng.init(qp)
+      var prevQpDelta = 0
+      var end = false
+      while (!end) {
+        if (mbAddr >= nMbs) bad()
+        prevQpDelta = decodeMbIntraCabac(f, r, eng, mbAddr,
+          qpIn = qp, setQp = q => qp = q, prevQpDelta)
+        mbAddr += 1
+        end = eng.terminate() == 1 // end_of_slice_flag
+      }
+    } else if (isI) {
       while (more && mbAddr < nMbs) {
         decodeMb(f, r, mbAddr, qpIn = qp, setQp = q => qp = q)
         mbAddr += 1
@@ -1506,6 +1545,388 @@ object H264 {
       }
     }
     f.mbDecoded(idx) = true
+  }
+
+  // -------------------------------------- CABAC I-slice macroblocks
+
+  /** Residual block via CABAC (7.3.5.3.3 + 9.3.3.1.3): coded_block_
+    * flag, significance map, levels in reverse scan order. Writes
+    * levels into `scan(off + levelListIdx)` — the same scan-array
+    * convention [[residualBlock]] uses — and returns the number of
+    * nonzero levels (0 when coded_block_flag is 0).
+    */
+  private def residualBlockCabac(eng: H264CabacEngine, cat: Int, cbfInc: Int,
+                                 scan: Array[Int], off: Int,
+                                 maxCoeff: Int): Int = {
+    import H264Cabac._
+    if (eng.decision(85 + CbfCatOffset(cat) + cbfInc) == 0) return 0
+    val sigBase = 105 + SigCatOffset(cat)
+    val lastBase = 166 + SigCatOffset(cat)
+    val sig = new Array[Boolean](maxCoeff)
+    var numSig = 0
+    var i = 0
+    var done = false
+    while (!done && i < maxCoeff - 1) {
+      val inc = if (cat == 3) math.min(i, 2) else i
+      if (eng.decision(sigBase + inc) == 1) {
+        sig(i) = true
+        numSig += 1
+        if (eng.decision(lastBase + inc) == 1) done = true
+      }
+      i += 1
+    }
+    if (!done) { sig(maxCoeff - 1) = true; numSig += 1 }
+    val absBase = 227 + AbsCatOffset(cat)
+    var numEq1 = 0
+    var numGt1 = 0
+    var j = maxCoeff - 1
+    while (j >= 0) {
+      if (sig(j)) {
+        val ctx0 = absBase + (if (numGt1 != 0) 0 else math.min(4, 1 + numEq1))
+        var prefix = 0
+        if (eng.decision(ctx0) == 1) {
+          prefix = 1
+          val ctxN = absBase + 5 +
+            math.min(4 - (if (cat == 3) 1 else 0), numGt1)
+          while (prefix < 14 && eng.decision(ctxN) == 1) prefix += 1
+        }
+        var absM1 = prefix
+        if (prefix == 14) { // UEG0 suffix, bypass
+          var zeros = 0
+          while (eng.bypass() == 1) { zeros += 1; if (zeros > 30) bad() }
+          var suf = 0
+          var t = 0
+          while (t < zeros) { suf = (suf << 1) | eng.bypass(); t += 1 }
+          absM1 = 14 + (1 << zeros) - 1 + suf
+        }
+        val neg = eng.bypass() == 1
+        scan(off + j) = if (neg) -(absM1 + 1) else absM1 + 1
+        if (absM1 == 0) numEq1 += 1 else numGt1 += 1
+      }
+      j -= 1
+    }
+    numSig
+  }
+
+  /** coded_block_flag neighbor term from an nz lookup that returns
+    * -1 for unavailable: I-slice decoding, so unavailable → the
+    * intra default 1 (9.3.3.1.1.9).
+    */
+  private def cbfCond(nz: Int): Int = if (nz != 0) 1 else 0
+
+  private def lumaDcCbfCond(f: Frame, avail: Boolean, nIdx: Int): Int =
+    if (!avail) 1
+    else if (f.mbIsPcm(nIdx)) 1
+    else if (f.mbIsI16(nIdx) && f.lumaDcNz(nIdx)) 1
+    else 0
+
+  private def chromaDcCbfCond(f: Frame, avail: Boolean, nIdx: Int,
+                              comp: Int): Int =
+    if (!avail) 1
+    else if (f.mbIsPcm(nIdx)) 1
+    else if (f.chromaDcNz(nIdx)(comp)) 1
+    else 0
+
+  /** One CABAC I-slice macroblock_layer + reconstruction — the
+    * entropy twin of [[decodeMbIntra]]: identical intra prediction,
+    * dequant, and transform path; only the syntax-element decoding
+    * differs (9.3.3.1.1 context derivations against the neighbor
+    * state the [[Frame]] tracks). Returns the decoded mb_qp_delta
+    * (0 when absent) — the NEXT macroblock's bin-0 context needs it.
+    */
+  private def decodeMbIntraCabac(f: Frame, r: Br, eng: H264CabacEngine,
+                                 mbAddr: Int, qpIn: Int, setQp: Int => Unit,
+                                 prevQpDelta: Int): Int = {
+    var qp = qpIn
+    val mbX = mbAddr % f.wMbs
+    val mbY = mbAddr / f.wMbs
+    val x0 = mbX * 16
+    val y0 = mbY * 16
+    val idx = mbAddr
+    f.curMb = mbAddr
+    java.util.Arrays.fill(f.curAssigned, false)
+    f.mbSliceId(idx) = f.curSliceId
+    def sameSlice(n: Int): Boolean =
+      f.mbDecoded(n) && f.mbSliceId(n) == f.curSliceId
+    val leftMb = mbX > 0 && sameSlice(idx - 1)
+    val aboveMb = mbY > 0 && sameSlice(idx - f.wMbs)
+    val leftIdx = idx - 1
+    val aboveIdx = idx - f.wMbs
+
+    // ---- mb_type (9.3.3.1.1.3 + Table 9-39, binarization Table 9-36)
+    val typeCondA = if (leftMb && !f.mbIsI4x4(leftIdx)) 1 else 0
+    val typeCondB = if (aboveMb && !f.mbIsI4x4(aboveIdx)) 1 else 0
+    var mbType = 0
+    if (eng.decision(3 + typeCondA + typeCondB) == 1) {
+      if (eng.terminate() == 1) mbType = 25 // I_PCM escape bin
+      else {
+        val l = eng.decision(6)
+        val chroma = if (eng.decision(7) == 0) 0 else 1 + eng.decision(8)
+        if (chroma > 2) bad()
+        val p = (eng.decision(9) << 1) | eng.decision(10)
+        mbType = 1 + (if (l == 1) 12 else 0) + chroma * 4 + p
+      }
+    }
+
+    if (mbType == 25) { // I_PCM: raw bytes, then engine reinit (9.3.1.2)
+      eng.alignPastFlush()
+      var i = 0
+      while (i < 256) {
+        f.luma(((y0 + (i >> 4)) * f.w) + x0 + (i & 15)) = r.u(8)
+        i += 1
+      }
+      i = 0
+      while (i < 128) { r.u(8); i += 1 }
+      java.util.Arrays.fill(f.lumaNz(idx), 16)
+      java.util.Arrays.fill(f.chromaNz(idx), 16)
+      java.util.Arrays.fill(f.predModes(idx), 2)
+      f.mbIsI4x4(idx) = false
+      f.mbIsPcm(idx) = true
+      f.mbIsI16(idx) = false
+      f.cbpLumaArr(idx) = 15
+      f.cbpChromaArr(idx) = 2
+      f.lumaDcNz(idx) = true
+      f.chromaDcNz(idx)(0) = true
+      f.chromaDcNz(idx)(1) = true
+      f.mbDecoded(idx) = true
+      eng.reinitEngine()
+      return 0
+    }
+
+    val isI4x4 = mbType == 0
+    var i16PredMode = 0
+    var cbpLuma = 0
+    var cbpChroma = 0
+    val modes = new Array[Int](16)
+
+    // ---- mb_pred: intra modes
+    if (isI4x4) {
+      var b = 0
+      while (b < 16) {
+        val bx = Blk4x4X(b)
+        val by = Blk4x4Y(b)
+        val mA = neighborMode(f, mbX, mbY, bx - 1, by)
+        val mB = neighborMode(f, mbX, mbY, bx, by - 1)
+        val pred = if (mA < 0 || mB < 0) 2 else math.min(mA, mB)
+        val mode =
+          if (eng.decision(68) == 1) pred
+          else {
+            // rem_intra4x4_pred_mode: FL, LSB-first bins on ctx 69
+            val rem = eng.decision(69) | (eng.decision(69) << 1) |
+              (eng.decision(69) << 2)
+            if (rem < pred) rem else rem + 1
+          }
+        modes(b) = mode
+        f.predModes(idx)(b) = mode
+        b += 1
+      }
+    } else {
+      val k = mbType - 1
+      cbpLuma = if (k >= 12) 15 else 0
+      val k2 = k % 12
+      cbpChroma = k2 / 4
+      i16PredMode = k2 % 4
+    }
+    // intra_chroma_pred_mode: TU cMax 3 (9.3.3.1.1.8)
+    val cipCondA =
+      if (leftMb && !f.mbIsPcm(leftIdx) && f.chromaPredMode(leftIdx) != 0) 1 else 0
+    val cipCondB =
+      if (aboveMb && !f.mbIsPcm(aboveIdx) && f.chromaPredMode(aboveIdx) != 0) 1 else 0
+    var cip = 0
+    if (eng.decision(64 + cipCondA + cipCondB) == 1) {
+      cip = 1
+      if (eng.decision(67) == 1) {
+        cip = 2
+        if (eng.decision(67) == 1) cip = 3
+      }
+    }
+    f.chromaPredMode(idx) = cip
+
+    // ---- coded_block_pattern (I_4x4 only; 9.3.3.1.1.4)
+    if (isI4x4) {
+      var b = 0
+      while (b < 4) {
+        // left neighbor 8x8 bit: in-MB for odd b, left MB's b+1 else
+        val condA =
+          if ((b & 1) == 1) (if ((cbpLuma & (1 << (b - 1))) != 0) 0 else 1)
+          else if (!leftMb) 0
+          else if (f.mbIsPcm(leftIdx)) 0
+          else if ((f.cbpLumaArr(leftIdx) & (1 << (b + 1))) != 0) 0
+          else 1
+        val condB =
+          if (b >= 2) (if ((cbpLuma & (1 << (b - 2))) != 0) 0 else 1)
+          else if (!aboveMb) 0
+          else if (f.mbIsPcm(aboveIdx)) 0
+          else if ((f.cbpLumaArr(aboveIdx) & (1 << (b + 2))) != 0) 0
+          else 1
+        if (eng.decision(73 + condA + 2 * condB) == 1) cbpLuma |= 1 << b
+        b += 1
+      }
+      val chCondA =
+        if (leftMb && (f.mbIsPcm(leftIdx) || f.cbpChromaArr(leftIdx) != 0)) 1 else 0
+      val chCondB =
+        if (aboveMb && (f.mbIsPcm(aboveIdx) || f.cbpChromaArr(aboveIdx) != 0)) 1 else 0
+      if (eng.decision(77 + chCondA + 2 * chCondB) == 1) {
+        val c2CondA =
+          if (leftMb && (f.mbIsPcm(leftIdx) || f.cbpChromaArr(leftIdx) == 2)) 1 else 0
+        val c2CondB =
+          if (aboveMb && (f.mbIsPcm(aboveIdx) || f.cbpChromaArr(aboveIdx) == 2)) 1 else 0
+        cbpChroma = 1 + eng.decision(81 + c2CondA + 2 * c2CondB)
+      }
+    }
+    f.cbpLumaArr(idx) = cbpLuma
+    f.cbpChromaArr(idx) = cbpChroma
+
+    // ---- mb_qp_delta (unary bins: 60+inc, 62, 63; 9.3.2.7 mapping)
+    var qpDelta = 0
+    if (cbpLuma > 0 || cbpChroma > 0 || !isI4x4) {
+      var k = 0
+      if (eng.decision(60 + (if (prevQpDelta != 0) 1 else 0)) == 1) {
+        k = 1
+        while (k < 88 && eng.decision(if (k == 1) 62 else 63) == 1) k += 1
+        if (k >= 88) bad()
+      }
+      qpDelta = if ((k & 1) == 1) (k + 1) / 2 else -(k / 2)
+      if (qpDelta < -26 || qpDelta > 25) bad()
+      qp = (qp + qpDelta + 52) % 52
+      setQp(qp)
+    }
+
+    f.mbIsI4x4(idx) = isI4x4
+    f.mbIsI16(idx) = !isI4x4
+
+    val coeffs = new Array[Int](16)
+
+    if (isI4x4) {
+      var b = 0
+      while (b < 16) {
+        val bx = Blk4x4X(b)
+        val by = Blk4x4Y(b)
+        val bx0 = x0 + bx * 4
+        val by0 = y0 + by * 4
+        val blkLeftAvail = bx > 0 || leftMb
+        val blkAboveAvail = by > 0 || aboveMb
+        val blkAboveRightAvail: Boolean = {
+          val gx = mbX * 4 + bx + 1
+          val gy = mbY * 4 + by - 1
+          if (gx >= f.wMbs * 4 || gy < 0) false
+          else {
+            val nMbX = gx / 4
+            val nMbY = gy / 4
+            if (nMbX == mbX && nMbY == mbY)
+              RasterToBlk((gx - mbX * 4) + 4 * (gy - mbY * 4)) < b
+            else if (nMbY < mbY || (nMbY == mbY && nMbX < mbX)) {
+              val n = nMbY * f.wMbs + nMbX
+              f.mbDecoded(n) && f.mbSliceId(n) == f.curSliceId
+            } else false
+          }
+        }
+        val pred = predict4x4(f, modes(b), bx0, by0,
+          blkLeftAvail, blkAboveAvail, blkAboveRightAvail)
+        var nz = 0
+        java.util.Arrays.fill(coeffs, 0)
+        if ((cbpLuma & (1 << (b >> 2))) != 0) {
+          val inc = cbfCond(lumaNzLeft(f, mbX, mbY, bx, by)) +
+            2 * cbfCond(lumaNzAbove(f, mbX, mbY, bx, by))
+          val scan = new Array[Int](16)
+          nz = residualBlockCabac(eng, 2, inc, scan, 0, 16)
+          var s = 0
+          while (s < 16) { coeffs(ZigZag4x4(s)) = scan(s); s += 1 }
+          dequant4x4(coeffs, qp, skipDc = false)
+          inverseTransform4x4(coeffs)
+        }
+        f.lumaNz(idx)(b) = nz
+        var yy = 0
+        while (yy < 4) {
+          var xx = 0
+          while (xx < 4) {
+            val res = if (nz > 0) coeffs(yy * 4 + xx) else 0
+            f.luma((by0 + yy) * f.w + bx0 + xx) = clip255(pred(yy * 4 + xx) + res)
+            xx += 1
+          }
+          yy += 1
+        }
+        b += 1
+      }
+    } else {
+      // I_16x16: luma DC block (ctxBlockCat 0), then AC per cbp
+      val pred = predict16x16(f, i16PredMode, x0, y0, leftMb, aboveMb)
+      val dcScan = new Array[Int](16)
+      val dcInc = lumaDcCbfCond(f, leftMb, leftIdx) +
+        2 * lumaDcCbfCond(f, aboveMb, aboveIdx)
+      val dcNz = residualBlockCabac(eng, 0, dcInc, dcScan, 0, 16)
+      f.lumaDcNz(idx) = dcNz > 0
+      val dcRaster = new Array[Int](16)
+      var s = 0
+      while (s < 16) { dcRaster(ZigZag4x4(s)) = dcScan(s); s += 1 }
+      val dc = lumaDcTransform(dcRaster, qp)
+      var b = 0
+      while (b < 16) {
+        val bx = Blk4x4X(b)
+        val by = Blk4x4Y(b)
+        val bx0 = x0 + bx * 4
+        val by0 = y0 + by * 4
+        java.util.Arrays.fill(coeffs, 0)
+        var nz = 0
+        if ((cbpLuma & (1 << (b >> 2))) != 0) {
+          val inc = cbfCond(lumaNzLeft(f, mbX, mbY, bx, by)) +
+            2 * cbfCond(lumaNzAbove(f, mbX, mbY, bx, by))
+          val scan = new Array[Int](16)
+          nz = residualBlockCabac(eng, 1, inc, scan, 1, 15)
+          var t = 1
+          while (t < 16) { coeffs(ZigZag4x4(t)) = scan(t); t += 1 }
+          dequant4x4(coeffs, qp, skipDc = true)
+        }
+        f.lumaNz(idx)(b) = nz
+        coeffs(0) = dc(by * 4 + bx)
+        inverseTransform4x4(coeffs)
+        var yy = 0
+        while (yy < 4) {
+          var xx = 0
+          while (xx < 4) {
+            f.luma((by0 + yy) * f.w + bx0 + xx) =
+              clip255(pred((by * 4 + yy) * 16 + bx * 4 + xx) + coeffs(yy * 4 + xx))
+            xx += 1
+          }
+          yy += 1
+        }
+        b += 1
+      }
+      java.util.Arrays.fill(f.predModes(idx), 2)
+    }
+
+    // chroma residuals: parsed for bit position + neighbor state
+    if (cbpChroma > 0) {
+      val scan = new Array[Int](16)
+      var comp = 0
+      while (comp < 2) { // 2x2 DC, ctxBlockCat 3
+        val inc = chromaDcCbfCond(f, leftMb, leftIdx, comp) +
+          2 * chromaDcCbfCond(f, aboveMb, aboveIdx, comp)
+        java.util.Arrays.fill(scan, 0)
+        val nz = residualBlockCabac(eng, 3, inc, scan, 0, 4)
+        f.chromaDcNz(idx)(comp) = nz > 0
+        comp += 1
+      }
+      if (cbpChroma == 2) {
+        comp = 0
+        while (comp < 2) { // AC 4x4, ctxBlockCat 4
+          var b = 0
+          while (b < 4) {
+            val bx = b & 1
+            val by = b >> 1
+            val inc = cbfCond(chromaNz(f, mbX, mbY, comp, bx - 1, by)) +
+              2 * cbfCond(chromaNz(f, mbX, mbY, comp, bx, by - 1))
+            java.util.Arrays.fill(scan, 0)
+            val nz = residualBlockCabac(eng, 4, inc, scan, 1, 15)
+            f.chromaNz(idx)(comp * 4 + b) = nz
+            b += 1
+          }
+          comp += 1
+        }
+      }
+    }
+    f.mbDecoded(idx) = true
+    qpDelta
   }
 
   // -------------------------------------------------- public entries

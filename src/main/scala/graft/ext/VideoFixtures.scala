@@ -15,7 +15,7 @@ package graft.ext
 object VideoFixtures {
 
   private final class Bw {
-    private val bits = scala.collection.mutable.ArrayBuffer[Int]()
+    val bits = scala.collection.mutable.ArrayBuffer[Int]()
     def u(v: Int, n: Int): this.type = {
       var i = n - 1
       while (i >= 0) { bits += ((v >> i) & 1); i -= 1 }
@@ -79,6 +79,116 @@ object VideoFixtures {
     w.u(0, 1).u(0, 2).se(0).se(0).se(0)
     w.u(1, 1).u(0, 1).u(0, 1)
     w.stop(); w.bytes()
+  }
+
+  private def ppsCabacNal(): Array[Byte] = {
+    val w = new Bw
+    w.u(0x68, 8)
+    w.ue(0).ue(0).u(1, 1).u(0, 1).ue(0).ue(0).ue(0) // entropy = CABAC
+    w.u(0, 1).u(0, 2).se(0).se(0).se(0)
+    w.u(1, 1).u(0, 1).u(0, 1)
+    w.stop(); w.bytes()
+  }
+
+  /** Minimal CABAC bin encoder (spec 9.3.4.x) — just enough for
+    * I_PCM-only slices: the mb_type prefix decision, the terminate
+    * bin + flush, aligned raw samples, engine reinit. The full
+    * encoder (residuals, every context family) lives test-side in
+    * H264CabacSpec; this one exists so the oracle corpus can carry
+    * Main-profile (CABAC) MP4 variants.
+    */
+  private final class CabacEnc(qp: Int) {
+    private val bits = scala.collection.mutable.ArrayBuffer[Int]()
+    private var low = 0
+    private var range = 510
+    private var outstanding = 0
+    private var first = true
+    private val pState = new Array[Int](graft.ext.H264Cabac.NumCtx)
+    private val valMps = new Array[Int](graft.ext.H264Cabac.NumCtx)
+    locally {
+      val q = math.max(0, math.min(51, qp))
+      var c = 0
+      while (c < pState.length) {
+        val m = graft.ext.H264Cabac.InitI(c * 2)
+        val n = graft.ext.H264Cabac.InitI(c * 2 + 1)
+        val pre = math.max(1, math.min(126, ((m * q) >> 4) + n))
+        if (pre <= 63) { pState(c) = 63 - pre; valMps(c) = 0 }
+        else { pState(c) = pre - 64; valMps(c) = 1 }
+        c += 1
+      }
+      pState(276) = 63; valMps(276) = 0
+    }
+    private def putBit(b: Int): Unit = {
+      if (first) first = false else bits += b
+      while (outstanding > 0) { bits += 1 - b; outstanding -= 1 }
+    }
+    private def renorm(): Unit =
+      while (range < 256) {
+        if (low < 256) putBit(0)
+        else if (low >= 512) { low -= 512; putBit(1) }
+        else { low -= 256; outstanding += 1 }
+        range <<= 1; low <<= 1
+      }
+    def decision(ctx: Int, bin: Int): Unit = {
+      val lps = graft.ext.H264Cabac.RangeTabLps(pState(ctx) * 4 + ((range >> 6) & 3))
+      range -= lps
+      if (bin != valMps(ctx)) {
+        low += range; range = lps
+        if (pState(ctx) == 0) valMps(ctx) = 1 - valMps(ctx)
+        pState(ctx) = graft.ext.H264Cabac.TransIdxLps(pState(ctx))
+      } else if (pState(ctx) < 62) pState(ctx) += 1
+      renorm()
+    }
+    def terminate(bin: Int): Unit = {
+      range -= 2
+      if (bin == 1) {
+        low += range
+        range = 2
+        renorm()
+        putBit((low >> 9) & 1)
+        val v = ((low >> 7) & 3) | 1
+        bits += (v >> 1) & 1; bits += v & 1
+      } else renorm()
+    }
+    def alignAndRaw(raw: Seq[Int]): Unit = {
+      while (bits.size % 8 != 0) bits += 0
+      raw.foreach(b => (7 to 0 by -1).foreach(k => bits += (b >> k) & 1))
+    }
+    def reinit(): Unit = { low = 0; range = 510; outstanding = 0; first = true }
+    def appendTo(w: Bw): Unit = {
+      while (w.bits.size % 8 != 0) w.u(1, 1) // cabac_alignment_one_bit
+      bits.foreach(b => w.u(b, 1))
+      w.align()
+    }
+  }
+
+  /** CABAC IDR slice carrying one I_PCM macroblock per frame entry. */
+  private def idrPcmCabac(px: (Int, Int) => Int): Array[Byte] = {
+    val w = new Bw
+    w.u(0x65, 8)
+    w.ue(0).ue(7).ue(0).u(0, 4).ue(0).u(0, 1).u(0, 1).se(0)
+    w.ue(1) // deblocking off
+    val e = new CabacEnc(26)
+    e.decision(3, 1) // mb_type prefix: not I_NxN (no neighbors: inc 0)
+    e.terminate(1)   // I_PCM escape bin + flush
+    val raw = (0 until 256).map(i => px(i & 15, i >> 4) & 0xFF) ++
+      Seq.fill(128)(0x80)
+    e.alignAndRaw(raw)
+    e.reinit()
+    e.terminate(1)   // end_of_slice_flag
+    e.appendTo(w)
+    w.bytes()
+  }
+
+  /** One-keyframe MP4 whose slice is CABAC-coded (Main-profile
+    * entropy mode) — the q125 corpus's CABAC variant: same pixels,
+    * different entropy layer, must land on the same dHash.
+    */
+  def pcmKeyframeMp4Cabac(px: (Int, Int) => Int): Array[Byte] = {
+    val sps = escapeRbsp(sps1x1())
+    val pps = escapeRbsp(ppsCabacNal())
+    val slice = escapeRbsp(idrPcmCabac(px))
+    mp4From(sps, pps, slice)
   }
 
   private def idrPcm(px: (Int, Int) => Int): Array[Byte] = {
@@ -148,10 +258,12 @@ object VideoFixtures {
   }
 
   /** One-keyframe MP4 whose 16×16 luma is `px`. */
-  def pcmKeyframeMp4(px: (Int, Int) => Int): Array[Byte] = {
-    val sps = escapeRbsp(sps1x1())
-    val pps = escapeRbsp(ppsNal())
-    val slice = escapeRbsp(idrPcm(px))
+  def pcmKeyframeMp4(px: (Int, Int) => Int): Array[Byte] =
+    mp4From(escapeRbsp(sps1x1()), escapeRbsp(ppsNal()), escapeRbsp(idrPcm(px)))
+
+  /** Wrap one SPS/PPS/slice into the minimal real MP4. */
+  private def mp4From(sps: Array[Byte], pps: Array[Byte],
+                      slice: Array[Byte]): Array[Byte] = {
     val avcc = box("avcC", Array[Byte](1), sps.slice(1, 2), Array[Byte](0),
       sps.slice(3, 4), Array(0xFF.toByte), Array(0xE1.toByte),
       be16(sps.length), sps, Array[Byte](1), be16(pps.length), pps)
