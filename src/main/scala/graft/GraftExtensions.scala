@@ -81,6 +81,8 @@ object GraftExtensions {
       graft.fn.PngGrayFeatures(_)),
     unaryFn("wav_pcm_features", classOf[graft.fn.WavPcmFeatures],
       graft.fn.WavPcmFeatures(_)),
+    unaryFn("flac_pcm_features", classOf[graft.fn.FlacPcmFeatures],
+      graft.fn.FlacPcmFeatures(_)),
     unaryFn("mp4_meta", classOf[graft.fn.Mp4Meta], graft.fn.Mp4Meta(_)),
     unaryFn("mp4_avc_meta", classOf[graft.fn.Mp4AvcMeta],
       graft.fn.Mp4AvcMeta(_)),

@@ -406,6 +406,41 @@ object Flac {
     }
   }
 
+  /** Same feature contract as [[Wav.pcmFeaturesOrNull]] —
+    * `[channels, sample_rate, bits_per_sample, n_frames, rms, mean,
+    * peak, zero_cross_rate]` over the channel-averaged mono stream —
+    * so FLAC payloads ride the SAME downstream feature schema the
+    * WAV rows do ([[Multimodal.withFeatures]] routing).
+    */
+  def pcmFeaturesOrNull(bytes: Array[Byte]): Array[Double] = {
+    val pcm = decodeOrNull(bytes)
+    if (pcm == null || pcm.nSamples == 0) return null
+    val mono = pcm.mono
+    var sumSq = 0.0
+    var sum = 0.0
+    var peak = 0.0
+    var crossings = 0L
+    var prevSign = 0
+    var i = 0
+    while (i < mono.length) {
+      val s = mono(i)
+      sumSq += s * s
+      sum += s
+      val a = math.abs(s)
+      if (a > peak) peak = a
+      val sign = if (s > 0) 1 else if (s < 0) -1 else 0
+      if (sign != 0) {
+        if (prevSign != 0 && sign != prevSign) crossings += 1
+        prevSign = sign
+      }
+      i += 1
+    }
+    val n = mono.length
+    Array(pcm.channels.toDouble, pcm.sampleRate.toDouble, pcm.bps.toDouble,
+      n.toDouble, math.sqrt(sumSq / n), sum / n, peak,
+      if (n > 1) crossings.toDouble / (n - 1) else 0.0)
+  }
+
   /** Fixed-predictor restoration, orders 0–4 (polynomial predictors
     * from the spec).
     */

@@ -248,6 +248,9 @@ object Multimodal {
     val png = gb.column(graft.fn.PngGrayFeatures(gb.expression(col(contentCol)), nBins))
     val jpg = gb.column(graft.fn.JpegGrayFeatures(gb.expression(col(contentCol)), nBins))
     val wav = gb.column(graft.fn.WavPcmFeatures(gb.expression(col(contentCol))))
+    // round 9: FLAC rides the round-9 frame decoder into the same
+    // audio feature contract as WAV
+    val flac = gb.column(graft.fn.FlacPcmFeatures(gb.expression(col(contentCol))))
     // round 8: baseline H.264 keyframes are REAL pixels now — only
     // payloads no decoder claims fall through to the stub
     val kf = gb.column(graft.fn.Mp4KeyframeFeatures(gb.expression(col(contentCol)), nBins))
@@ -255,7 +258,7 @@ object Multimodal {
     val stub = array((0 until stubDim).map { i =>
       (pmod(xxhash64(lit(i), seed), lit(2000000L)).cast("double") / 1000000.0 - 1.0)
     }: _*)
-    assets.withColumn("features", coalesce(png, jpg, wav, kf, stub))
+    assets.withColumn("features", coalesce(png, jpg, wav, flac, kf, stub))
   }
 
   /** REAL JPEG features: baseline-sequential payloads are

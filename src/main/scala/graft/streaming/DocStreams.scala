@@ -453,11 +453,32 @@ object DocStreams {
   def imageDedupGate(assets: DataFrame, bands: Int = 4,
                      horizon: String = "10 minutes"): DataFrame = {
     import org.apache.spark.sql.{graftbridge => gb}
+    bandDedupGate(assets,
+      gb.column(graft.fn.ImageDhash64(gb.expression(col("content")))),
+      bands, horizon)
+  }
+
+  /** The AUDIO face of [[imageDedupGate]] (round 9): the energy-band
+    * fingerprint of decoded WAV/FLAC PCM
+    * ([[graft.fn.AudioFingerprint64]]) through the same
+    * watermark-bounded band state — identical conservatism contract,
+    * identical output shape.
+    */
+  def audioDedupGate(assets: DataFrame, bands: Int = 4,
+                     horizon: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    bandDedupGate(assets,
+      gb.column(graft.fn.AudioFingerprint64(gb.expression(col("content")))),
+      bands, horizon)
+  }
+
+  private def bandDedupGate(assets: DataFrame,
+                            fingerprint: org.apache.spark.sql.Column,
+                            bands: Int, horizon: String): DataFrame = {
     require(bands >= 1 && 16 * bands == 64, s"bands must split 64 bits; got $bands")
     val hashed = assets
       .select(col("asset_id"), EventStreams.tsCol.as("ts_t"),
-        gb.column(graft.fn.ImageDhash64(gb.expression(col("content"))))
-          .as("dhash"))
+        fingerprint.as("dhash"))
       .filter(col("dhash").isNotNull)
     val bandStructs = (0 until bands).map { bi =>
       struct(lit(bi).as("band"),

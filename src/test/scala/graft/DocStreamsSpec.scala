@@ -653,6 +653,37 @@ class DocStreamsSpec extends SparkSpec {
     assert(batch.intersect(Set(2L, 20L)).size === 1)
   }
 
+  test("streaming audio dedup gate: exact + perceptual dups dropped over FLAC clips, stream kept-set") {
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(StructField("asset_id", LongType),
+      StructField("ts", LongType), StructField("content", BinaryType)))
+    val dir = java.nio.file.Files.createTempDirectory("audgate").toString
+    val min = 60L * 1000000000L
+    def write(rows: Seq[(Long, Long, Array[Byte])]): Unit =
+      spark.createDataFrame(rows.toDF("asset_id", "ts", "content").rdd, sch)
+        .coalesce(1).write.mode("append").parquet(dir)
+    def clip(seed: Int, perturb: Boolean = false): Array[Byte] =
+      graft.ext.AudioFixtures.toneClip(seed, nSamples = 8192, perturb = perturb)
+    write(Seq((1L, 1 * min, clip(0)), (2L, 2 * min, clip(1)),
+      (9L, 2 * min, "not audio".getBytes)))
+    write(Seq((10L, 4 * min, clip(0)),              // exact dup of 1
+      (20L, 5 * min, clip(1, perturb = true)),      // perceptual dup of 2
+      (3L, 6 * min, clip(2))))                      // fresh
+    val q = DocStreams.audioDedupGate(
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", "1").parquet(dir),
+        horizon = "30 minutes")
+      .writeStream.format("memory").queryName("audgate")
+      .outputMode("append").start()
+    val streamed = try {
+      q.processAllAvailable()
+      write(Seq((100L, 600 * min, clip(99))))
+      q.processAllAvailable()
+      spark.table("audgate").filter($"asset_id" < 100)
+        .select($"asset_id").as[Long].collect().toSet
+    } finally q.stop()
+    assert(streamed === Set(1L, 2L, 3L), s"kept=$streamed")
+  }
+
   test("image dedup gate horizon expiry: a perceptual dup after the horizon is kept again") {
     import org.apache.spark.sql.types._
     val sch = StructType(Seq(StructField("asset_id", LongType),

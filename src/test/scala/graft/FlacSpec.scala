@@ -339,6 +339,43 @@ class FlacSpec extends SparkSpec {
     assert(Audio.fingerprint64OrNull("garbage".getBytes) == null)
   }
 
+  test("FLAC features: same contract as WAV on the same PCM; withFeatures routes FLAC to real features") {
+    import spark.implicits._
+    val sig = Array.tabulate(6000)(i => (8000 * math.sin(i / 9.0)).toInt)
+    val flacBytes = AudioFixtures.flac(Array(sig), 8000)
+    val f = Flac.pcmFeaturesOrNull(flacBytes)
+    assert(f != null && f.length === 8)
+    assert(f(0) === 1.0 && f(1) === 8000.0 && f(2) === 16.0 && f(3) === 6000.0)
+    // rms/mean/peak/zcr must equal the WAV decoder's on identical PCM
+    val data = new Array[Byte](sig.length * 2)
+    sig.indices.foreach { i =>
+      data(2 * i) = (sig(i) & 0xFF).toByte
+      data(2 * i + 1) = ((sig(i) >> 8) & 0xFF).toByte
+    }
+    def le32(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def le16(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    val wav = "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+      le32(16000) ++ le16(2) ++ le16(16) ++ "data".getBytes ++
+      le32(data.length) ++ data
+    val w = graft.ext.Wav.pcmFeaturesOrNull(wav)
+    (4 until 8).foreach(i => assert(math.abs(f(i) - w(i)) < 1e-12, s"feature $i"))
+    // routing: withFeatures gives FLAC rows the 8-dim audio vector
+    val assets = spark.createDataFrame(Seq(
+      (1L, flacBytes), (2L, "junk".getBytes))).toDF("asset_id", "content")
+    val rows = graft.ext.Multimodal.withFeatures(assets)
+      .orderBy($"asset_id").collect()
+    assert(rows(0).getSeq[Double](2).length === 8, "FLAC must route to real audio features")
+    assert(rows(0).getSeq[Double](2)(1) === 8000.0)
+    assert(rows(1).getSeq[Double](2).length === 16, "junk stays on the stub")
+    GraftExtensions.install(spark)
+    assets.createOrReplaceTempView("flacassets")
+    assert(spark.sql(
+      "SELECT flac_pcm_features(content) f FROM flacassets WHERE flac_pcm_features(content) IS NOT NULL")
+      .count() === 1L)
+  }
+
   test("nearDupAudioPairs: planted dup surfaces through the shared band-join stage; SQL surface") {
     import spark.implicits._
     val rows = (0 until 20).map(i => (i.toLong, AudioFixtures.toneClip(i, 8192))) ++
