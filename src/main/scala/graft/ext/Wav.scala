@@ -5,11 +5,13 @@ package graft.ext
   * for the multimodal asset table. Reference behavior modeled on the
   * public WAVE spec (RIFF chunks, little-endian, PCM format 1).
   *
-  * Scope: integer PCM, 8/16/24/32-bit, any channel count (channels
+  * Scope: integer PCM (format 1) at 8/16/24/32-bit and IEEE-float
+  * PCM (format 3) at 32-bit — round 9: float WAVs are what DAWs and
+  * scientific tooling commonly export — any channel count (channels
   * are averaged to one mono stream before feature math — the standard
   * analysis convention). Chunks are WALKED, not assumed at fixed
   * offsets, so files with LIST/INFO/fact chunks before `data` decode
-  * correctly. Anything else (float PCM, ADPCM, truncated payloads)
+  * correctly. Anything else (ADPCM, float64, truncated payloads)
   * returns null — callers route those rows to the stub path.
   *
   * Used by [[graft.fn.WavPcmFeatures]] inside whole-stage codegen: the
@@ -66,8 +68,12 @@ object Wav {
       off = payload + size + (size & 1) // chunks are word-aligned
     }
 
-    if (fmtCode != 1 || channels < 1 || dataOff < 0) return null
-    if (bits != 8 && bits != 16 && bits != 24 && bits != 32) return null
+    // format 1 = integer PCM (8/16/24/32), format 3 = IEEE float (32)
+    if (channels < 1 || dataOff < 0) return null
+    val isFloat = fmtCode == 3
+    if (isFloat) { if (bits != 32) return null }
+    else if (fmtCode != 1 ||
+      (bits != 8 && bits != 16 && bits != 24 && bits != 32)) return null
     val bytesPerSample = bits / 8
     val frameBytes = bytesPerSample * channels
     val nFrames = dataLen / frameBytes
@@ -86,16 +92,19 @@ object Wav {
       var c = 0
       while (c < channels) {
         val p = dataOff + f * frameBytes + c * bytesPerSample
-        val raw: Long = bits match {
-          case 8 => (bytes(p) & 0xff).toLong - 128L
-          case 16 => leU16(bytes, p).toShort.toLong
-          case 24 =>
-            val u = (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
-              ((bytes(p + 2) & 0xffL) << 16)
-            if ((u & 0x800000L) != 0) u - 0x1000000L else u
-          case _ => leU32(bytes, p).toInt.toLong
+        if (isFloat) acc += java.lang.Float.intBitsToFloat(leU32(bytes, p).toInt)
+        else {
+          val raw: Long = bits match {
+            case 8 => (bytes(p) & 0xff).toLong - 128L
+            case 16 => leU16(bytes, p).toShort.toLong
+            case 24 =>
+              val u = (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
+                ((bytes(p + 2) & 0xffL) << 16)
+              if ((u & 0x800000L) != 0) u - 0x1000000L else u
+            case _ => leU32(bytes, p).toInt.toLong
+          }
+          acc += raw / scale
         }
-        acc += raw / scale
         c += 1
       }
       val s = acc / channels
@@ -151,8 +160,12 @@ object Wav {
       }
       off = payload + size + (size & 1)
     }
-    if (fmtCode != 1 || channels < 1 || dataOff < 0) return null
-    if (bits != 8 && bits != 16 && bits != 24 && bits != 32) return null
+    // format 1 = integer PCM (8/16/24/32), format 3 = IEEE float (32)
+    if (channels < 1 || dataOff < 0) return null
+    val isFloat = fmtCode == 3
+    if (isFloat) { if (bits != 32) return null }
+    else if (fmtCode != 1 ||
+      (bits != 8 && bits != 16 && bits != 24 && bits != 32)) return null
     val bytesPerSample = bits / 8
     val frameBytes = bytesPerSample * channels
     val nFrames = dataLen / frameBytes
@@ -165,16 +178,19 @@ object Wav {
       var c = 0
       while (c < channels) {
         val p = dataOff + f * frameBytes + c * bytesPerSample
-        val raw: Long = bits match {
-          case 8 => (bytes(p) & 0xff).toLong - 128L
-          case 16 => leU16(bytes, p).toShort.toLong
-          case 24 =>
-            val u = (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
-              ((bytes(p + 2) & 0xffL) << 16)
-            if ((u & 0x800000L) != 0) u - 0x1000000L else u
-          case _ => leU32(bytes, p).toInt.toLong
+        if (isFloat) acc += java.lang.Float.intBitsToFloat(leU32(bytes, p).toInt)
+        else {
+          val raw: Long = bits match {
+            case 8 => (bytes(p) & 0xff).toLong - 128L
+            case 16 => leU16(bytes, p).toShort.toLong
+            case 24 =>
+              val u = (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
+                ((bytes(p + 2) & 0xffL) << 16)
+              if ((u & 0x800000L) != 0) u - 0x1000000L else u
+            case _ => leU32(bytes, p).toInt.toLong
+          }
+          acc += raw / scale
         }
-        acc += raw / scale
         c += 1
       }
       mono(f) = acc / channels

@@ -472,6 +472,18 @@ object DocStreams {
       bands, horizon)
   }
 
+  /** The VIDEO face: first-keyframe dHash from the real H.264 decode
+    * (CAVLC or, round 9, CABAC Main-profile keyframes) through the
+    * same watermark-bounded band state.
+    */
+  def videoDedupGate(assets: DataFrame, bands: Int = 4,
+                     horizon: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    bandDedupGate(assets,
+      gb.column(graft.fn.Mp4KeyframeDhash64(gb.expression(col("content")))),
+      bands, horizon)
+  }
+
   private def bandDedupGate(assets: DataFrame,
                             fingerprint: org.apache.spark.sql.Column,
                             bands: Int, horizon: String): DataFrame = {

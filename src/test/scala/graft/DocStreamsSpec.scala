@@ -684,6 +684,39 @@ class DocStreamsSpec extends SparkSpec {
     assert(streamed === Set(1L, 2L, 3L), s"kept=$streamed")
   }
 
+  test("streaming video dedup gate: CABAC + CAVLC keyframes dedup cross-entropy") {
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(StructField("asset_id", LongType),
+      StructField("ts", LongType), StructField("content", BinaryType)))
+    val dir = java.nio.file.Files.createTempDirectory("vidgate").toString
+    val min = 60L * 1000000000L
+    def write(rows: Seq[(Long, Long, Array[Byte])]): Unit =
+      spark.createDataFrame(rows.toDF("asset_id", "ts", "content").rdd, sch)
+        .coalesce(1).write.mode("append").parquet(dir)
+    def scene(seed: Int)(x: Int, y: Int): Int =
+      (127 + 90 * math.sin((1 + seed % 5) * x / 2.5 + y / 2.0 + seed)).toInt & 0xFF
+    // 1/2 distinct CAVLC; 10 = the SAME pixels as 1 but CABAC-coded —
+    // the entropy layer must be invisible to the dedup state
+    write(Seq((1L, 1 * min, graft.ext.VideoFixtures.pcmKeyframeMp4(scene(1))),
+      (2L, 2 * min, graft.ext.VideoFixtures.pcmKeyframeMp4(scene(2)))))
+    write(Seq((10L, 4 * min, graft.ext.VideoFixtures.pcmKeyframeMp4Cabac(scene(1))),
+      (3L, 5 * min, graft.ext.VideoFixtures.pcmKeyframeMp4Cabac(scene(3)))))
+    val q = DocStreams.videoDedupGate(
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", "1").parquet(dir),
+        horizon = "30 minutes")
+      .writeStream.format("memory").queryName("vidgate")
+      .outputMode("append").start()
+    val kept = try {
+      q.processAllAvailable()
+      write(Seq((100L, 600 * min,
+        graft.ext.VideoFixtures.pcmKeyframeMp4(scene(9)))))
+      q.processAllAvailable()
+      spark.table("vidgate").filter($"asset_id" < 100)
+        .select($"asset_id").as[Long].collect().toSet
+    } finally q.stop()
+    assert(kept === Set(1L, 2L, 3L), s"kept=$kept")
+  }
+
   test("image dedup gate horizon expiry: a perceptual dup after the horizon is kept again") {
     import org.apache.spark.sql.types._
     val sch = StructType(Seq(StructField("asset_id", LongType),

@@ -376,6 +376,44 @@ class FlacSpec extends SparkSpec {
       .count() === 1L)
   }
 
+  test("IEEE-float WAV (format 3): decodes, features track the int16 twin, fingerprint matches") {
+    val n = 4096
+    val samples = Array.tabulate(n)(i => 0.6 * math.sin(i / 7.0) + 0.2 * math.sin(i / 2.0))
+    def le32(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def le16(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def wavOf(fmt: Int, bits: Int, data: Array[Byte]) =
+      "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+        "fmt ".getBytes ++ le32(16) ++ le16(fmt) ++ le16(1) ++ le32(8000) ++
+        le32(8000 * bits / 8) ++ le16(bits / 8) ++ le16(bits) ++
+        "data".getBytes ++ le32(data.length) ++ data
+    val fData = new Array[Byte](n * 4)
+    samples.indices.foreach { i =>
+      val b = java.lang.Float.floatToIntBits(samples(i).toFloat)
+      fData(4 * i) = (b & 0xFF).toByte; fData(4 * i + 1) = ((b >> 8) & 0xFF).toByte
+      fData(4 * i + 2) = ((b >> 16) & 0xFF).toByte; fData(4 * i + 3) = ((b >> 24) & 0xFF).toByte
+    }
+    val iData = new Array[Byte](n * 2)
+    samples.indices.foreach { i =>
+      val v = math.round(samples(i) * 32768).toInt
+      iData(2 * i) = (v & 0xFF).toByte; iData(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val fw = graft.ext.Wav.pcmFeaturesOrNull(wavOf(3, 32, fData))
+    val iw = graft.ext.Wav.pcmFeaturesOrNull(wavOf(1, 16, iData))
+    assert(fw != null && iw != null)
+    assert(fw(2) === 32.0 && fw(3) === n.toDouble)
+    (4 until 8).foreach(i =>
+      assert(math.abs(fw(i) - iw(i)) < 1e-3, s"feature $i: ${fw(i)} vs ${iw(i)}"))
+    // same content through both containers lands on the same (or
+    // near-identical) perceptual fingerprint
+    val ff = Audio.fingerprint64OrNull(wavOf(3, 32, fData))
+    val fi = Audio.fingerprint64OrNull(wavOf(1, 16, iData))
+    assert(ff != null && fi != null)
+    assert(java.lang.Long.bitCount(ff.longValue() ^ fi.longValue()) <= 2)
+    // float64 stays out of scope, loudly null
+    assert(graft.ext.Wav.pcmFeaturesOrNull(wavOf(3, 64, fData)) == null)
+  }
+
   test("nearDupAudioPairs: planted dup surfaces through the shared band-join stage; SQL surface") {
     import spark.implicits._
     val rows = (0 until 20).map(i => (i.toLong, AudioFixtures.toneClip(i, 8192))) ++
