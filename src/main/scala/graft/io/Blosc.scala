@@ -21,11 +21,13 @@ package graft.io
   * LZ4 block format description. JDK-only, like every other codec in
   * this reader.
   *
-  * Scope: format versions 1–2, `memcpyed` chunks, inner codec LZ4
-  * with byte shuffle. Bit-shuffle and the other inner codecs
-  * (blosclz/snappy/zlib/zstd) fail LOUDLY with the codec named —
-  * the same discipline as the rest of [[Zarr]]: wrong answers are
-  * worse than no answers.
+  * Scope: format versions 1–2, `memcpyed` chunks, inner codecs LZ4
+  * (split streams), snappy (raw block format, from the published
+  * description), and zlib (JDK Inflater per block) with byte
+  * shuffle. Bit-shuffle and the remaining inner codecs
+  * (blosclz/zstd) fail LOUDLY with the codec named — the same
+  * discipline as the rest of [[Zarr]]: wrong answers are worse than
+  * no answers.
   */
 object Blosc {
 
@@ -37,6 +39,8 @@ object Blosc {
   private val CodecNames =
     Array("blosclz", "lz4", "snappy", "zlib", "zstd", "?5", "?6", "?7")
   private val Lz4Code = 1
+  private val SnappyCode = 2
+  private val ZlibCode = 3
   // blosc1 split rule constants (blosc.c: MAX_SPLITS, MIN_BUFFERSIZE)
   private val MaxSplits = 16
   private val MinBufferSize = 128
@@ -46,14 +50,17 @@ object Blosc {
       ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
 
   /** blosc1's split decision, mirrored exactly: a non-leftover block
-    * compressed with blosclz/lz4 is stored as `typesize` independent
-    * streams when the type fits the stream table and the per-stream
-    * size clears the floor. The decoder must re-derive this from the
-    * header alone — it is not stored.
+    * compressed with blosclz/LZ4 (and ONLY those two formats —
+    * snappy/zlib blocks are never split, blosc.c's `blosc_d`) is
+    * stored as `typesize` independent streams when the type fits the
+    * stream table and the per-stream size clears the floor. The
+    * decoder must re-derive this from the header alone — it is not
+    * stored.
     */
-  private def nsplitsFor(typesize: Int, blocksize: Int,
+  private def nsplitsFor(codec: Int, typesize: Int, blocksize: Int,
                          leftover: Boolean): Int =
-    if (!leftover && typesize > 1 && typesize <= MaxSplits &&
+    if (codec == Lz4Code && !leftover && typesize > 1 &&
+        typesize <= MaxSplits &&
         blocksize / typesize >= MinBufferSize && blocksize % typesize == 0)
       typesize
     else 1
@@ -84,8 +91,8 @@ object Blosc {
     require((flags & DoBitShuffle) == 0,
       s"$ctx: blosc bit-shuffle not supported (byte shuffle only)")
     val codec = (flags >>> 5) & 0x7
-    require(codec == Lz4Code,
-      s"$ctx: blosc inner codec '${CodecNames(codec)}' not supported (lz4 only)")
+    require(codec == Lz4Code || codec == SnappyCode || codec == ZlibCode,
+      s"$ctx: blosc inner codec '${CodecNames(codec)}' not supported (lz4/snappy/zlib)")
     require(blocksize > 0, s"$ctx: blosc blocksize $blocksize")
     val nblocks = (nbytes.toLong + blocksize - 1) / blocksize
     require(16L + 4L * nblocks <= chunk.length,
@@ -97,7 +104,7 @@ object Blosc {
       val off = j * blocksize
       val bsize = math.min(blocksize, nbytes - off)
       val leftover = bsize != blocksize
-      val nsplits = nsplitsFor(typesize, blocksize, leftover)
+      val nsplits = nsplitsFor(codec, typesize, blocksize, leftover)
       require(bsize % nsplits == 0,
         s"$ctx: blosc block $j size $bsize not divisible into $nsplits streams")
       val neblock = bsize / nsplits
@@ -115,7 +122,11 @@ object Blosc {
           s"$ctx: blosc block $j stream $s claims $sc bytes past the chunk end")
         val dpos = dstBase + s * neblock
         if (sc == neblock) System.arraycopy(chunk, pos, dst, dpos, neblock)
-        else lz4DecompressBlock(chunk, pos, sc, dst, dpos, neblock, ctx)
+        else codec match {
+          case SnappyCode => snappyDecompressBlock(chunk, pos, sc, dst, dpos, neblock, ctx)
+          case ZlibCode => zlibDecompressBlock(chunk, pos, sc, dst, dpos, neblock, ctx)
+          case _ => lz4DecompressBlock(chunk, pos, sc, dst, dpos, neblock, ctx)
+        }
         pos += sc
         s += 1
       }
@@ -175,6 +186,100 @@ object Blosc {
     }
     require(d == dEnd,
       s"$ctx: lz4 block yielded ${d - dstOff} bytes, expected $dstLen")
+  }
+
+  /** One snappy RAW block (the block format, not the framing format):
+    * varint uncompressed length, then literal / copy-1 / copy-2 /
+    * copy-4 elements; overlapping copies repeat bytes. From the
+    * published snappy format description.
+    */
+  private[io] def snappyDecompressBlock(src: Array[Byte], srcOff: Int, srcLen: Int,
+                                        dst: Array[Byte], dstOff: Int, dstLen: Int,
+                                        ctx: String): Unit = {
+    var s = srcOff
+    val sEnd = srcOff + srcLen
+    // varint preamble: declared uncompressed size must be the stream size
+    var declared = 0L
+    var shift = 0
+    var more = true
+    while (more) {
+      require(s < sEnd && shift <= 28, s"$ctx: snappy length varint overruns")
+      val b = src(s) & 0xFF; s += 1
+      declared |= (b & 0x7FL) << shift
+      shift += 7
+      more = (b & 0x80) != 0
+    }
+    require(declared == dstLen,
+      s"$ctx: snappy block declares $declared bytes, expected $dstLen")
+    var d = dstOff
+    val dEnd = dstOff + dstLen
+    while (s < sEnd) {
+      val tag = src(s) & 0xFF; s += 1
+      if ((tag & 3) == 0) { // literal
+        var len = (tag >>> 2) + 1
+        if (len > 60) {
+          val extra = len - 60
+          require(s + extra <= sEnd, s"$ctx: snappy literal length overruns")
+          var v = 0
+          var k = 0
+          while (k < extra) { v |= (src(s + k) & 0xFF) << (8 * k); k += 1 }
+          s += extra
+          len = v + 1
+        }
+        require(len > 0 && s + len <= sEnd && d + len <= dEnd,
+          s"$ctx: snappy literal overruns")
+        System.arraycopy(src, s, dst, d, len)
+        s += len; d += len
+      } else {
+        var len = 0
+        var offset = 0
+        (tag & 3) match {
+          case 1 =>
+            require(s < sEnd, s"$ctx: snappy copy1 truncated")
+            len = ((tag >>> 2) & 0x7) + 4
+            offset = ((tag >>> 5) << 8) | (src(s) & 0xFF); s += 1
+          case 2 =>
+            require(s + 2 <= sEnd, s"$ctx: snappy copy2 truncated")
+            len = (tag >>> 2) + 1
+            offset = (src(s) & 0xFF) | ((src(s + 1) & 0xFF) << 8); s += 2
+          case _ =>
+            require(s + 4 <= sEnd, s"$ctx: snappy copy4 truncated")
+            len = (tag >>> 2) + 1
+            offset = (src(s) & 0xFF) | ((src(s + 1) & 0xFF) << 8) |
+              ((src(s + 2) & 0xFF) << 16) | ((src(s + 3) & 0xFF) << 24)
+            s += 4
+        }
+        require(offset > 0 && d - offset >= dstOff && d + len <= dEnd,
+          s"$ctx: snappy copy out of range (offset $offset, len $len)")
+        val m = d - offset
+        var k = 0
+        while (k < len) { dst(d + k) = dst(m + k); k += 1 }
+        d += len
+      }
+    }
+    require(d == dEnd, s"$ctx: snappy block yielded ${d - dstOff}, expected $dstLen")
+  }
+
+  /** One zlib stream (blosc inner codec 3): a complete deflate
+    * stream per block, decompressed with the JDK Inflater, with the
+    * same truncation/surplus guards the Zarr zlib chunk path uses.
+    */
+  private[io] def zlibDecompressBlock(src: Array[Byte], srcOff: Int, srcLen: Int,
+                                      dst: Array[Byte], dstOff: Int, dstLen: Int,
+                                      ctx: String): Unit = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(src, srcOff, srcLen)
+      var off = 0
+      while (off < dstLen && !inf.finished()) {
+        val n = inf.inflate(dst, dstOff + off, dstLen - off)
+        require(!inf.needsDictionary(), s"$ctx: preset-dictionary zlib block")
+        require(n > 0 || !inf.needsInput(), s"$ctx: truncated zlib block")
+        off += n
+      }
+      require(off == dstLen,
+        s"$ctx: zlib block inflated to $off bytes, expected $dstLen")
+    } finally inf.end()
   }
 
   /** Inverse byte shuffle for one block: the shuffled layout stores

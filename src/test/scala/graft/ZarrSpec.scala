@@ -167,11 +167,14 @@ class ZarrSpec extends SparkSpec {
   }
 
   /** Assemble a full blosc-1 chunk: 16-byte header, int32 bstarts,
-    * per-block split streams each prefixed by its int32 size (verbatim
-    * when compression does not gain), byte shuffle on.
+    * per-block streams each prefixed by its int32 size (verbatim when
+    * compression does not gain), byte shuffle on. `inner` = "lz4"
+    * (split-stream rule applies) or "zlib" (Deflater per block,
+    * never split — blosc.c splits only blosclz/lz4).
     */
   private def bloscEncode(raw: Array[Byte], typesize: Int,
-                          shuffle: Boolean): Array[Byte] = {
+                          shuffle: Boolean,
+                          inner: String = "lz4"): Array[Byte] = {
     val blocksize =
       if (raw.length <= 1024) raw.length else 1024 - 1024 % typesize
     val nblocks = (raw.length + blocksize - 1) / blocksize
@@ -186,15 +189,26 @@ class ZarrSpec extends SparkSpec {
       val block =
         if (doShuffle) bloscShuffleBlock(raw, boff, bsize, typesize)
         else java.util.Arrays.copyOfRange(raw, boff, boff + bsize)
-      // blosc1 split rule (blosc.c): non-leftover lz4 blocks split
-      // into typesize streams when typesize<=16 and per-stream >=128
+      // blosc1 split rule (blosc.c): non-leftover LZ4 blocks split
+      // into typesize streams when typesize<=16 and per-stream >=128;
+      // other inner codecs never split
       val nsplits =
-        if (bsize == blocksize && typesize >= 1 && typesize <= 16 &&
-            blocksize / typesize >= 128) typesize
+        if (inner == "lz4" && bsize == blocksize && typesize >= 1 &&
+            typesize <= 16 && blocksize / typesize >= 128) typesize
         else 1
       val neblock = bsize / nsplits
       for (s <- 0 until nsplits) {
-        val comp = lz4CompressBlock(block, s * neblock, neblock)
+        val comp = inner match {
+          case "zlib" =>
+            val defl = new java.util.zip.Deflater(6)
+            defl.setInput(block, s * neblock, neblock); defl.finish()
+            val out = new java.io.ByteArrayOutputStream()
+            val tmp = new Array[Byte](4096)
+            while (!defl.finished()) out.write(tmp, 0, defl.deflate(tmp))
+            defl.end()
+            out.toByteArray
+          case _ => lz4CompressBlock(block, s * neblock, neblock)
+        }
         val (sc, payload) =
           if (comp.length >= neblock)
             (neblock, java.util.Arrays.copyOfRange(block, s * neblock, (s + 1) * neblock))
@@ -206,9 +220,10 @@ class ZarrSpec extends SparkSpec {
     }
     val body = streams.toByteArray
     val cbytes = dataBase + body.length
+    val codecBits = (if (inner == "zlib") 3 else 1) << 5
     val hdr = ByteBuffer.allocate(cbytes).order(ByteOrder.LITTLE_ENDIAN)
     hdr.put(2.toByte).put(1.toByte) // version, versionlz
-    hdr.put((((1 << 5) | (if (doShuffle) 1 else 0))).toByte) // lz4 | shuffle
+    hdr.put((codecBits | (if (doShuffle) 1 else 0)).toByte)
     hdr.put((typesize & 0xFF).toByte)
     hdr.putInt(raw.length).putInt(blocksize).putInt(cbytes)
     bstarts.foreach(hdr.putInt)
@@ -365,6 +380,40 @@ class ZarrSpec extends SparkSpec {
     assert(got.toSeq === want)
     // the fixture must actually have compressed (not all-verbatim)
     assert(Files.readAllBytes(Paths.get(dir, "0.0")).length < 4000)
+  }
+
+  test("blosc inner zlib: Deflater streams per block, shuffle, multi-block round-trip") {
+    // same shape as the lz4 big test, inner codec 3 (never split)
+    val dir = Files.createTempDirectory("zarr-blosc-zlib").toString
+    def v(g: Seq[Int]): Double = (g.head % 7) * 4.0 + g(1)
+    writeArray(dir, Seq(50, 10), Seq(50, 10), "<f8", "C", "blosc", None, v)
+    val chunkKey = Paths.get(dir, "0.0")
+    val raw = {
+      val bb = ByteBuffer.allocate(4000).order(ByteOrder.LITTLE_ENDIAN)
+      for (a <- 0 until 50; b <- 0 until 10) bb.putDouble(v(Seq(a, b)))
+      bb.array()
+    }
+    Files.write(chunkKey, bloscEncode(raw, 8, shuffle = true, inner = "zlib"))
+    val got = Zarr.readAll(Zarr.readArrayMeta(dir))
+    val want = for (a <- 0 until 50; b <- 0 until 10) yield v(Seq(a, b))
+    assert(got.toSeq === want)
+  }
+
+  test("blosc inner snappy: hand-written block (literal + overlapping copy) decodes") {
+    // 32 bytes of "abcd" repeated: varint(32), literal len 4, copy2
+    // offset 4 len 28 (overlap-copy extends the pattern)
+    val stream = Array[Byte](32, 0x0C, 'a', 'b', 'c', 'd', 0x6E, 0x04, 0x00)
+    val cbytes = 16 + 4 + 4 + stream.length
+    val chunk = ByteBuffer.allocate(cbytes).order(ByteOrder.LITTLE_ENDIAN)
+      .put(2.toByte).put(1.toByte).put((2 << 5).toByte).put(8.toByte)
+      .putInt(32).putInt(32).putInt(cbytes)
+      .putInt(20).putInt(stream.length)
+      .put(stream).array()
+    val dir = Files.createTempDirectory("zarr-blosc-snappy").toString
+    writeArray(dir, Seq(4), Seq(4), "<f8", "C", "blosc", None, _ => 0.0)
+    Files.write(Paths.get(dir, "0"), chunk)
+    val out = Zarr.decodeChunk(Zarr.readArrayMeta(dir), chunk)
+    assert(out.sameElements(("abcd" * 8).getBytes("US-ASCII")))
   }
 
   test("blosc: bit-shuffle, foreign inner codecs, bad version, truncation fail loudly") {
