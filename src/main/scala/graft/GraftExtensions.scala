@@ -117,6 +117,9 @@ object GraftExtensions {
     unaryFn("flac_meta", classOf[graft.fn.FlacMeta], graft.fn.FlacMeta(_)),
     unaryFn("audio_fingerprint64", classOf[graft.fn.AudioFingerprint64],
       graft.fn.AudioFingerprint64(_)),
+    unaryFn("pii_scan", classOf[graft.fn.PiiScan], graft.fn.PiiScan(_)),
+    unaryFn("url_normalize", classOf[graft.fn.UrlNormalize],
+      graft.fn.UrlNormalize(_)),
     (
       new FunctionIdentifier("mp4_keyframe_dhashes"),
       new ExpressionInfo(classOf[graft.fn.Mp4KeyframeDhashes].getName, "mp4_keyframe_dhashes"),

@@ -74,12 +74,167 @@ object Queries12 extends ColumnSyntax {
        |FROM (SELECT * FROM eq UNION ALL SELECT * FROM neq)
        |ORDER BY a_id, b_id""".stripMargin
 
+  // ---------------- q129/q130: web-corpus URL provenance operators
+  /** URLs planted deterministically from doc_id (the q127 convention
+    * — the synthetic corpus carries none): mixed-case schemes and
+    * hosts, default and non-default ports, dot-segment paths,
+    * tracking parameters, fragments, a co.uk-style second-level
+    * suffix. q129 runs [[graft.ext.WebOps.withNormalizedUrls]] (the
+    * `url_normalize` kernel: RFC 3986 remove_dot_segments, default-
+    * port strip, tracking-param drop, registered-domain rollup); the
+    * oracle re-derives the normalization GENERICALLY in SQL (string
+    * ops + iterated dot-segment collapse), not by replaying the
+    * plant's case arms. q130 caps each domain at 3 docs through the
+    * bounded [[graft.ext.Sketches.bottomKRows]] aggregate — the
+    * crawl-mix quota with O(k) state per domain, no per-domain sort.
+    */
+  private def plantedUrls(s: SparkSession, dir: String): DataFrame = {
+    val d = $"doc_id"
+    val scheme = element_at(
+      array(lit("HTTP"), lit("https"), lit("Http"), lit("https")),
+      (d % 4 + 1).cast("int"))
+    val port = element_at(
+      array(lit(":80"), lit(":443"), lit(""), lit(":8443")),
+      (d % 4 + 1).cast("int"))
+    val suffix = element_at(
+      array(lit(".com"), lit(".org"), lit(".co.uk")),
+      (d % 3 + 1).cast("int"))
+    val hostCore = concat(lit("h"), (d % 5).cast("string"), lit(".site"),
+      (d % 23).cast("string"), suffix)
+    val hostRaw = when(d % 5 === 0, upper(hostCore)).otherwise(hostCore)
+    val path = element_at(
+      array(lit("/a/b/../c"), lit("/a/./b"), lit(""), lit("/x/y/z"),
+        lit("/a/../"), lit("/p/q/../../r")),
+      (d % 6 + 1).cast("int"))
+    val query = element_at(
+      array(concat(lit("?utm_source=x&id="), d.cast("string")),
+        concat(lit("?id="), d.cast("string"), lit("&utm_campaign=z&ref="),
+          (d % 9).cast("string")),
+        lit("?fbclid=abc"), lit(""),
+        concat(lit("?q="), (d % 13).cast("string")),
+        concat(lit("?q="), (d % 13).cast("string")),
+        concat(lit("?q="), (d % 13).cast("string"))),
+      (d % 7 + 1).cast("int"))
+    val frag = when(d % 3 === 0,
+      concat(lit("#sec"), d.cast("string"))).otherwise(lit(""))
+    Tables.docsPar(s, dir).select($"doc_id",
+      concat(scheme, lit("://"), hostRaw, port, path, query, frag).as("url"))
+  }
+
+  private def q129(s: SparkSession, dir: String): DataFrame =
+    graft.ext.WebOps.withNormalizedUrls(plantedUrls(s, dir), "url")
+      .select($"doc_id", $"url", $"norm_url", $"host", $"domain")
+      .orderBy($"doc_id")
+
+  /** The oracle's GENERIC normalization of a planted url column
+    * (shared by q129/q130): scheme/host lowering, default-port strip,
+    * fragment drop, iterated dot-segment collapse, tracking-param
+    * filter, registered-domain rollup via label lists.
+    */
+  private val urlNormCtes =
+    """parts AS (
+      |  SELECT doc_id, url,
+      |    lower(split_part(url, '://', 1)) AS scheme,
+      |    substr(url, len(split_part(url, '://', 1)) + 4) AS rest
+      |  FROM planted
+      |), auth AS (
+      |  SELECT *, regexp_extract(rest, '^[^/?#]*') AS authority,
+      |    substr(rest, len(regexp_extract(rest, '^[^/?#]*')) + 1) AS pqf
+      |  FROM parts
+      |), hp AS (
+      |  SELECT *,
+      |    lower(CASE WHEN contains(authority, ':')
+      |               THEN split_part(authority, ':', 1) ELSE authority END) AS host,
+      |    CASE WHEN contains(authority, ':')
+      |         THEN split_part(authority, ':', 2) ELSE '' END AS port,
+      |    regexp_replace(pqf, '#.*$', '') AS nofrag
+      |  FROM auth
+      |), pq AS (
+      |  SELECT *, regexp_extract(nofrag, '^[^?]*') AS path0,
+      |    CASE WHEN contains(nofrag, '?')
+      |         THEN substr(nofrag, len(regexp_extract(nofrag, '^[^?]*')) + 2)
+      |         ELSE '' END AS query0
+      |  FROM hp
+      |), dots AS (
+      |  SELECT *, regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |    path0, '/\./', '/', 'g'),
+      |    '/[^/.][^/]*/\.\./', '/'), '/[^/.][^/]*/\.\./', '/'),
+      |    '/[^/.][^/]*/\.\./', '/') AS path1
+      |  FROM pq
+      |), qf AS (
+      |  SELECT *, array_to_string(list_filter(string_split(query0, '&'),
+      |    p -> NOT (p LIKE 'utm\_%' ESCAPE '\' OR p LIKE 'fbclid=%'
+      |              OR p LIKE 'gclid=%')), '&') AS query1
+      |  FROM dots
+      |), dom AS (
+      |  SELECT *, string_split(host, '.') AS hl FROM qf
+      |), norm AS (
+      |  SELECT doc_id, url, host,
+      |    CASE WHEN len(hl) >= 3 AND hl[-2] || '.' || hl[-1]
+      |              IN ('co.uk','org.uk','ac.uk','com.au','co.jp')
+      |         THEN hl[-3] || '.' || hl[-2] || '.' || hl[-1]
+      |         WHEN len(hl) >= 2 THEN hl[-2] || '.' || hl[-1]
+      |         ELSE host END AS domain,
+      |    scheme || '://' || host ||
+      |    CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+      |              AND NOT (scheme = 'https' AND port = '443')
+      |         THEN ':' || port ELSE '' END ||
+      |    CASE WHEN path1 = '' THEN '/' ELSE path1 END ||
+      |    CASE WHEN query1 <> '' THEN '?' || query1 ELSE '' END AS norm_url
+      |  FROM dom
+      |)""".stripMargin
+
+  private val plantedUrlSql =
+    """planted AS (
+      |  SELECT doc_id,
+      |    ['HTTP','https','Http','https'][(doc_id % 4) + 1] || '://' ||
+      |    CASE WHEN doc_id % 5 = 0
+      |         THEN upper('h' || (doc_id % 5) || '.site' || (doc_id % 23) ||
+      |              ['.com','.org','.co.uk'][(doc_id % 3) + 1])
+      |         ELSE 'h' || (doc_id % 5) || '.site' || (doc_id % 23) ||
+      |              ['.com','.org','.co.uk'][(doc_id % 3) + 1] END ||
+      |    [':80',':443','',':8443'][(doc_id % 4) + 1] ||
+      |    ['/a/b/../c','/a/./b','','/x/y/z','/a/../','/p/q/../../r'][(doc_id % 6) + 1] ||
+      |    ['?utm_source=x&id=' || doc_id,
+      |     '?id=' || doc_id || '&utm_campaign=z&ref=' || (doc_id % 9),
+      |     '?fbclid=abc', '',
+      |     '?q=' || (doc_id % 13), '?q=' || (doc_id % 13),
+      |     '?q=' || (doc_id % 13)][(doc_id % 7) + 1] ||
+      |    CASE WHEN doc_id % 3 = 0 THEN '#sec' || doc_id ELSE '' END AS url
+      |  FROM documents
+      |)""".stripMargin
+
+  private val q129Sql =
+    s"""WITH $plantedUrlSql, $urlNormCtes
+       |SELECT doc_id, url, norm_url, host, domain
+       |FROM norm ORDER BY doc_id""".stripMargin
+
+  private def q130(s: SparkSession, dir: String): DataFrame =
+    graft.ext.WebOps.domainQuota(
+        graft.ext.WebOps.withNormalizedUrls(plantedUrls(s, dir), "url")
+          .select($"doc_id", $"norm_url", $"domain"),
+        "domain", $"doc_id", k = 3)
+      .orderBy($"domain", $"doc_id")
+
+  private val q130Sql =
+    s"""WITH $plantedUrlSql, $urlNormCtes
+       |SELECT doc_id, norm_url, domain FROM (
+       |  SELECT doc_id, norm_url, domain,
+       |    ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+       |  FROM norm)
+       |WHERE rn <= 3
+       |ORDER BY domain, doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q128_audio_neardup" -> (q128 _),
-    "q128p_audio_fp_pairs" -> (q128p _))
+    "q128p_audio_fp_pairs" -> (q128p _),
+    "q129_url_normalize" -> (q129 _),
+    "q130_domain_quota" -> (q130 _))
 
   val oracles: Map[String, String] = Map(
     // q128: no oracle — DuckDB cannot decode FLAC (q84 convention);
     // its pair stage IS hash-gated via q128p's persisted fixture
-    "q128p_audio_fp_pairs" -> q128pSql)
+    "q128p_audio_fp_pairs" -> q128pSql,
+    "q129_url_normalize" -> q129Sql,
+    "q130_domain_quota" -> q130Sql)
 }

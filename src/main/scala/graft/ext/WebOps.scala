@@ -1,0 +1,150 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Web-corpus URL operators — the provenance half of a crawl
+  * pipeline's curation stage (the text half lives in [[TextOps]]):
+  * URL canonicalization so the SAME page under cosmetic URL variants
+  * dedups, host/registered-domain extraction, and per-domain quotas
+  * (crawl corpora are Zipf-distributed over domains; training mixes
+  * cap each domain's share so one site cannot dominate — the quota
+  * rides the bounded [[Sketches.bottomKRows]] aggregate, O(k) state
+  * per domain, never a per-domain sort).
+  *
+  * Normalization rules ([[Urls.normalizeOrNull]], RFC 3986 §6
+  * subset): scheme + host lowercased; default ports stripped
+  * (http:80, https:443); path dot-segments resolved by the RFC
+  * remove_dot_segments algorithm; empty path → "/"; tracking
+  * parameters (utm_*, fbclid, gclid) dropped with the other params'
+  * order preserved; fragment dropped. Registered domain = last two
+  * host labels, or three under a built-in second-level-suffix set
+  * (co.uk and friends — the mechanism; a production deployment
+  * ships the full public-suffix list as data). Out-of-subset URLs
+  * (no "://", userinfo, bracketed IPv6) → null, loudly documented.
+  */
+object WebOps {
+
+  /** Adds `norm_url`, `host`, `domain` from `urlCol` via the
+    * [[graft.fn.UrlNormalize]] codegen kernel (null for
+    * out-of-subset URLs).
+    */
+  def withNormalizedUrls(df: DataFrame, urlCol: String): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    df.withColumn("__u",
+        gb.column(graft.fn.UrlNormalize(gb.expression(col(urlCol)))))
+      .withColumn("norm_url", col("__u.norm_url"))
+      .withColumn("host", col("__u.host"))
+      .withColumn("domain", col("__u.domain"))
+      .drop("__u")
+  }
+
+  /** At most `k` rows per domain, picked deterministically by the
+    * ascending `rank` column — the crawl-mix quota as a bounded
+    * aggregate (map-side combine, O(partitions × k) rows per domain
+    * on the exchange; no per-domain window sort).
+    */
+  def domainQuota(df: DataFrame, domainCol: String, rank: Column,
+                  k: Int): DataFrame =
+    Sketches.bottomKRows(df, Seq(domainCol), Seq(rank), k)
+}
+
+/** The pure URL kernel behind [[WebOps]]. */
+object Urls {
+
+  // second-level public suffixes the domain rollup recognizes (the
+  // mechanism; the full PSL is deployment data)
+  private val SecondLevelSuffixes =
+    Set("co.uk", "org.uk", "ac.uk", "com.au", "co.jp")
+
+  /** RFC 3986 §5.2.4 remove_dot_segments. */
+  def removeDotSegments(path: String): String = {
+    val out = new java.lang.StringBuilder
+    var in = path
+    while (in.nonEmpty) {
+      if (in.startsWith("../")) in = in.substring(3)
+      else if (in.startsWith("./")) in = in.substring(2)
+      else if (in.startsWith("/./")) in = "/" + in.substring(3)
+      else if (in == "/.") in = "/"
+      else if (in.startsWith("/../") || in == "/..") {
+        in = if (in == "/..") "/" else "/" + in.substring(4)
+        val i = out.lastIndexOf("/")
+        out.setLength(math.max(i, 0))
+      } else if (in == "." || in == "..") in = ""
+      else {
+        val from = if (in.charAt(0) == '/') 1 else 0
+        val i = in.indexOf('/', from)
+        val seg = if (i < 0) in else in.substring(0, i)
+        out.append(seg)
+        in = if (i < 0) "" else in.substring(i)
+      }
+    }
+    out.toString
+  }
+
+  private def dropTracking(query: String): String =
+    if (query.isEmpty) ""
+    else {
+      val kept = query.split("&", -1).filterNot(p =>
+        p.startsWith("utm_") || p.startsWith("fbclid=") || p.startsWith("gclid="))
+      kept.mkString("&")
+    }
+
+  /** Registered domain: last two labels, three under the built-in
+    * second-level-suffix set; hosts with fewer labels pass through.
+    */
+  def registeredDomain(host: String): String = {
+    val parts = host.split('.')
+    if (parts.length < 2) host
+    else {
+      val last2 = parts(parts.length - 2) + "." + parts(parts.length - 1)
+      if (parts.length >= 3 && SecondLevelSuffixes.contains(last2))
+        parts(parts.length - 3) + "." + last2
+      else last2
+    }
+  }
+
+  /** (norm_url, host, domain) or null for out-of-subset URLs. */
+  def normalizeOrNull(url: String): (String, String, String) = {
+    if (url == null) return null
+    val sep = url.indexOf("://")
+    if (sep <= 0) return null
+    val scheme = url.substring(0, sep).toLowerCase
+    if (!scheme.forall(c => c >= 'a' && c <= 'z')) return null
+    val rest = url.substring(sep + 3)
+    var authEnd = rest.length
+    var i = 0
+    var found = false
+    while (i < rest.length && !found) {
+      val c = rest.charAt(i)
+      if (c == '/' || c == '?' || c == '#') { authEnd = i; found = true }
+      i += 1
+    }
+    val authority = rest.substring(0, authEnd)
+    if (authority.isEmpty || authority.contains('@') || authority.contains('['))
+      return null
+    val colon = authority.lastIndexOf(':')
+    val (hostRaw, port) =
+      if (colon < 0) (authority, "")
+      else (authority.substring(0, colon), authority.substring(colon + 1))
+    if (port.nonEmpty && !port.forall(c => c >= '0' && c <= '9')) return null
+    val host = hostRaw.toLowerCase
+    if (host.isEmpty) return null
+    val keepPort = port.nonEmpty &&
+      !((scheme == "http" && port == "80") || (scheme == "https" && port == "443"))
+    val afterAuth = rest.substring(authEnd)
+    val hashIdx = afterAuth.indexOf('#')
+    val noFrag = if (hashIdx < 0) afterAuth else afterAuth.substring(0, hashIdx)
+    val qIdx = noFrag.indexOf('?')
+    val pathRaw = if (qIdx < 0) noFrag else noFrag.substring(0, qIdx)
+    val queryRaw = if (qIdx < 0) "" else noFrag.substring(qIdx + 1)
+    val path0 = removeDotSegments(pathRaw)
+    val path = if (path0.isEmpty) "/" else path0
+    val query = dropTracking(queryRaw)
+    val norm = new java.lang.StringBuilder(scheme).append("://").append(host)
+    if (keepPort) norm.append(':').append(port)
+    norm.append(path)
+    if (query.nonEmpty) norm.append('?').append(query)
+    (norm.toString, host, registeredDomain(host))
+  }
+}

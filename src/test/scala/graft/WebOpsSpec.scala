@@ -1,0 +1,80 @@
+package graft
+
+import graft.ext.{Urls, WebOps}
+import org.apache.spark.sql.functions._
+
+/** [[graft.ext.Urls]] / [[graft.ext.WebOps]] — URL canonicalization
+  * corner cases (RFC 3986 remove_dot_segments traces, default
+  * ports, tracking params, suffix rollup, out-of-subset nulls), the
+  * quota operator's bounded-aggregate plan shape, and the SQL
+  * surface.
+  */
+class WebOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("normalizeOrNull: hand-traced RFC cases") {
+    def n(u: String): String = {
+      val t = Urls.normalizeOrNull(u)
+      if (t == null) null else t._1
+    }
+    assert(n("HTTP://WWW.Example.COM:80/a/b/../c?utm_source=x&id=7#frag") ===
+      "http://www.example.com/a/c?id=7")
+    assert(n("https://h.site.org:443/a/./b") === "https://h.site.org/a/b")
+    assert(n("https://h.site.org:8443/x") === "https://h.site.org:8443/x")
+    assert(n("http://a.b.com") === "http://a.b.com/")
+    assert(n("http://a.b.com/p/q/../../r") === "http://a.b.com/r")
+    assert(n("http://a.b.com/a/..") === "http://a.b.com/")
+    assert(n("http://a.b.com/a/../") === "http://a.b.com/")
+    assert(n("http://a.b.com/?fbclid=zz") === "http://a.b.com/")
+    assert(n("http://a.b.com/?gclid=1&keep=2&utm_x=3") === "http://a.b.com/?keep=2")
+    // out-of-subset: loud nulls
+    assert(n("not a url") == null)
+    assert(n("http://user@host.com/") == null)
+    assert(n("http://[::1]/x") == null)
+    assert(n("://nohost") == null)
+    assert(n("h ttp://x.com/") == null)
+  }
+
+  test("registered domain: PSL second-level mechanism") {
+    assert(Urls.registeredDomain("a.b.example.com") === "example.com")
+    assert(Urls.registeredDomain("sub.demo.co.uk") === "demo.co.uk")
+    assert(Urls.registeredDomain("demo.co.uk") === "demo.co.uk")
+    assert(Urls.registeredDomain("co.uk") === "co.uk")
+    assert(Urls.registeredDomain("localhost") === "localhost")
+    assert(Urls.registeredDomain("x.ac.uk") === "x.ac.uk")
+  }
+
+  test("removeDotSegments: the RFC 3986 §5.2.4 examples") {
+    assert(Urls.removeDotSegments("/a/b/c/./../../g") === "/a/g")
+    assert(Urls.removeDotSegments("mid/content=5/../6") === "mid/6")
+    assert(Urls.removeDotSegments("/../x") === "/x")
+    assert(Urls.removeDotSegments("/a/b/..") === "/a/")
+    assert(Urls.removeDotSegments(".") === "")
+    assert(Urls.removeDotSegments("..") === "")
+  }
+
+  test("domainQuota: bounded aggregate (no window sort), k rows per domain, determinism") {
+    val df = (0 until 200).map(i =>
+      (i.toLong, s"http://h$i.d${i % 7}.com/p", s"d${i % 7}.com"))
+      .toDF("doc_id", "norm_url", "domain").repartition(8)
+    val out = WebOps.domainQuota(df, "domain", $"doc_id", 3)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    val rows = out.collect().map(r => (r.getAs[String]("domain"), r.getAs[Long]("doc_id")))
+    assert(rows.length === 7 * 3)
+    rows.groupBy(_._1).foreach { case (d, g) =>
+      val want = (0 until 200).filter(i => s"d${i % 7}.com" == d).sorted.take(3)
+      assert(g.map(_._2).sorted.toSeq === want.map(_.toLong), d)
+    }
+  }
+
+  test("SQL surface: url_normalize registered; nulls propagate") {
+    GraftExtensions.install(spark)
+    val got = spark.sql(
+      "SELECT url_normalize('HTTPS://X.co.UK:443/a/./b?utm_a=1&z=2#f') AS u")
+      .select($"u.norm_url", $"u.domain").head()
+    assert(got.getString(0) === "https://x.co.uk/a/b?z=2")
+    assert(got.getString(1) === "x.co.uk")
+    assert(spark.sql("SELECT url_normalize('junk') IS NULL AS n").head().getBoolean(0))
+  }
+}
