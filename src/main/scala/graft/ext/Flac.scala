@@ -256,7 +256,11 @@ object Flac {
         val hdrCrc = crc8(bytes, frameStart, br.bytePos)
         require(br.bits(8) == hdrCrc, "flac: frame header CRC-8 mismatch")
 
-        require(n.toLong + blocksize <= MaxTotalSamples, "flac: stream too large")
+        // the cap bounds TOTAL decoded cells (samples × channels) —
+        // an unknown-total (siTotal = 0) multi-channel stream must
+        // not grow to chans× the advertised bound
+        require((n.toLong + blocksize) * chans <= MaxTotalSamples,
+          "flac: stream too large")
         if (n + blocksize > cap) {
           cap = math.max(cap * 2, n + blocksize)
           out = out.map(a => java.util.Arrays.copyOf(a, cap))

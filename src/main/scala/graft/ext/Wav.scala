@@ -30,6 +30,85 @@ object Wav {
   private def tag(b: Array[Byte], off: Int): String =
     new String(b, off, 4, "US-ASCII")
 
+  /** Shared RIFF walk + sample decode: (mono in [-1, 1], channels,
+    * sampleRate, bits) or null. The chunk walk advances in LONG
+    * arithmetic — a hostile size near Int.MaxValue previously wrapped
+    * the offset negative and threw out of the documented null
+    * contract — and the whole parse sits behind a NonFatal catch so
+    * corrupt payloads can never escalate past a null row.
+    */
+  private def decodeAll(bytes: Array[Byte]): (Array[Double], Int, Int, Int) = {
+    try {
+      if (bytes == null || bytes.length < 44) return null
+      if (tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE") return null
+      var channels = 0
+      var sampleRate = 0L
+      var bits = 0
+      var fmtCode = -1
+      var dataOff = -1
+      var dataLen = 0
+      var off = 12L
+      while (off + 8 <= bytes.length) {
+        val o = off.toInt
+        val id = tag(bytes, o)
+        val size = leU32(bytes, o + 4) // unsigned, as Long
+        val payload = o + 8
+        id match {
+          case "fmt " if size >= 16 && payload + 16 <= bytes.length =>
+            fmtCode = leU16(bytes, payload)
+            channels = leU16(bytes, payload + 2)
+            sampleRate = leU32(bytes, payload + 4)
+            bits = leU16(bytes, payload + 14)
+          case "data" =>
+            dataOff = payload
+            dataLen = math.min(size, (bytes.length - payload).toLong).toInt
+          case _ => // LIST, fact, cue … — skip
+        }
+        off = payload + size + (size & 1) // chunks are word-aligned
+      }
+      // format 1 = integer PCM (8/16/24/32), format 3 = IEEE float (32)
+      if (channels < 1 || dataOff < 0) return null
+      val isFloat = fmtCode == 3
+      if (isFloat) { if (bits != 32) return null }
+      else if (fmtCode != 1 ||
+        (bits != 8 && bits != 16 && bits != 24 && bits != 32)) return null
+      val bytesPerSample = bits / 8
+      val frameBytes = bytesPerSample * channels
+      val nFrames = dataLen / frameBytes
+      if (nFrames == 0) return null
+      // full-scale divisor; 8-bit WAV is UNSIGNED (offset binary)
+      val scale = (1L << (bits - 1)).toDouble
+      val mono = new Array[Double](nFrames)
+      var f = 0
+      while (f < nFrames) {
+        var acc = 0.0
+        var c = 0
+        while (c < channels) {
+          val p = dataOff + f * frameBytes + c * bytesPerSample
+          if (isFloat) acc += java.lang.Float.intBitsToFloat(leU32(bytes, p).toInt)
+          else {
+            val raw: Long = bits match {
+              case 8 => (bytes(p) & 0xff).toLong - 128L
+              case 16 => leU16(bytes, p).toShort.toLong
+              case 24 =>
+                val u = (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
+                  ((bytes(p + 2) & 0xffL) << 16)
+                if ((u & 0x800000L) != 0) u - 0x1000000L else u
+              case _ => leU32(bytes, p).toInt.toLong
+            }
+            acc += raw / scale
+          }
+          c += 1
+        }
+        mono(f) = acc / channels
+        f += 1
+      }
+      (mono, channels, sampleRate.toInt, bits)
+    } catch {
+      case scala.util.control.NonFatal(_) => null
+    }
+  }
+
   /** Decode a PCM WAV payload to
     * `[channels, sample_rate, bits_per_sample, n_frames,
     *   rms, mean, peak, zero_cross_rate]`
@@ -37,77 +116,17 @@ object Wav {
     * channel-averaged mono stream), or null if not decodable PCM.
     */
   def pcmFeaturesOrNull(bytes: Array[Byte]): Array[Double] = {
-    if (bytes == null || bytes.length < 44) return null
-    if (tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE") return null
-
-    var channels = 0
-    var sampleRate = 0L
-    var bits = 0
-    var fmtCode = -1
-    var dataOff = -1
-    var dataLen = 0
-
-    // chunk walk: [id:4][size:4 LE][payload:size (word-aligned)]
-    var off = 12
-    while (off + 8 <= bytes.length) {
-      val id = tag(bytes, off)
-      val size = leU32(bytes, off + 4).toInt
-      val payload = off + 8
-      if (size < 0 || payload < 0) return null
-      id match {
-        case "fmt " if size >= 16 && payload + 16 <= bytes.length =>
-          fmtCode = leU16(bytes, payload)
-          channels = leU16(bytes, payload + 2)
-          sampleRate = leU32(bytes, payload + 4)
-          bits = leU16(bytes, payload + 14)
-        case "data" =>
-          dataOff = payload
-          dataLen = math.min(size.toLong, (bytes.length - payload).toLong).toInt
-        case _ => // LIST, fact, cue … — skip
-      }
-      off = payload + size + (size & 1) // chunks are word-aligned
-    }
-
-    // format 1 = integer PCM (8/16/24/32), format 3 = IEEE float (32)
-    if (channels < 1 || dataOff < 0) return null
-    val isFloat = fmtCode == 3
-    if (isFloat) { if (bits != 32) return null }
-    else if (fmtCode != 1 ||
-      (bits != 8 && bits != 16 && bits != 24 && bits != 32)) return null
-    val bytesPerSample = bits / 8
-    val frameBytes = bytesPerSample * channels
-    val nFrames = dataLen / frameBytes
-    if (nFrames == 0) return null
-
-    // full-scale divisor; 8-bit WAV is UNSIGNED (offset binary)
-    val scale = (1L << (bits - 1)).toDouble
+    val d = decodeAll(bytes)
+    if (d == null) return null
+    val (mono, channels, sampleRate, bits) = d
     var sumSq = 0.0
     var sum = 0.0
     var peak = 0.0
     var crossings = 0L
     var prevSign = 0
     var f = 0
-    while (f < nFrames) {
-      var acc = 0.0
-      var c = 0
-      while (c < channels) {
-        val p = dataOff + f * frameBytes + c * bytesPerSample
-        if (isFloat) acc += java.lang.Float.intBitsToFloat(leU32(bytes, p).toInt)
-        else {
-          val raw: Long = bits match {
-            case 8 => (bytes(p) & 0xff).toLong - 128L
-            case 16 => leU16(bytes, p).toShort.toLong
-            case 24 =>
-              val u = (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
-                ((bytes(p + 2) & 0xffL) << 16)
-              if ((u & 0x800000L) != 0) u - 0x1000000L else u
-            case _ => leU32(bytes, p).toInt.toLong
-          }
-          acc += raw / scale
-        }
-        c += 1
-      }
-      val s = acc / channels
+    while (f < mono.length) {
+      val s = mono(f)
       sumSq += s * s
       sum += s
       val a = math.abs(s)
@@ -119,83 +138,19 @@ object Wav {
       }
       f += 1
     }
-
+    val n = mono.length
     Array(
-      channels.toDouble, sampleRate.toDouble, bits.toDouble,
-      nFrames.toDouble,
-      math.sqrt(sumSq / nFrames), sum / nFrames, peak,
-      if (nFrames > 1) crossings.toDouble / (nFrames - 1) else 0.0)
+      channels.toDouble, sampleRate.toDouble, bits.toDouble, n.toDouble,
+      math.sqrt(sumSq / n), sum / n, peak,
+      if (n > 1) crossings.toDouble / (n - 1) else 0.0)
   }
 
   /** Channel-averaged mono stream normalized to [-1, 1] plus the
     * sample rate, or null — the sample-level twin of
     * [[pcmFeaturesOrNull]] feeding [[Audio.fingerprint64OrNull]].
-    * Same chunk walk, same PCM subset, same null contract.
     */
   def monoOrNull(bytes: Array[Byte]): (Array[Double], Int) = {
-    if (bytes == null || bytes.length < 44) return null
-    if (tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE") return null
-    var channels = 0
-    var sampleRate = 0L
-    var bits = 0
-    var fmtCode = -1
-    var dataOff = -1
-    var dataLen = 0
-    var off = 12
-    while (off + 8 <= bytes.length) {
-      val id = tag(bytes, off)
-      val size = leU32(bytes, off + 4).toInt
-      val payload = off + 8
-      if (size < 0 || payload < 0) return null
-      id match {
-        case "fmt " if size >= 16 && payload + 16 <= bytes.length =>
-          fmtCode = leU16(bytes, payload)
-          channels = leU16(bytes, payload + 2)
-          sampleRate = leU32(bytes, payload + 4)
-          bits = leU16(bytes, payload + 14)
-        case "data" =>
-          dataOff = payload
-          dataLen = math.min(size.toLong, (bytes.length - payload).toLong).toInt
-        case _ => ()
-      }
-      off = payload + size + (size & 1)
-    }
-    // format 1 = integer PCM (8/16/24/32), format 3 = IEEE float (32)
-    if (channels < 1 || dataOff < 0) return null
-    val isFloat = fmtCode == 3
-    if (isFloat) { if (bits != 32) return null }
-    else if (fmtCode != 1 ||
-      (bits != 8 && bits != 16 && bits != 24 && bits != 32)) return null
-    val bytesPerSample = bits / 8
-    val frameBytes = bytesPerSample * channels
-    val nFrames = dataLen / frameBytes
-    if (nFrames == 0) return null
-    val scale = (1L << (bits - 1)).toDouble
-    val mono = new Array[Double](nFrames)
-    var f = 0
-    while (f < nFrames) {
-      var acc = 0.0
-      var c = 0
-      while (c < channels) {
-        val p = dataOff + f * frameBytes + c * bytesPerSample
-        if (isFloat) acc += java.lang.Float.intBitsToFloat(leU32(bytes, p).toInt)
-        else {
-          val raw: Long = bits match {
-            case 8 => (bytes(p) & 0xff).toLong - 128L
-            case 16 => leU16(bytes, p).toShort.toLong
-            case 24 =>
-              val u = (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
-                ((bytes(p + 2) & 0xffL) << 16)
-              if ((u & 0x800000L) != 0) u - 0x1000000L else u
-            case _ => leU32(bytes, p).toInt.toLong
-          }
-          acc += raw / scale
-        }
-        c += 1
-      }
-      mono(f) = acc / channels
-      f += 1
-    }
-    (mono, sampleRate.toInt)
+    val d = decodeAll(bytes)
+    if (d == null) null else (d._1, d._3)
   }
 }

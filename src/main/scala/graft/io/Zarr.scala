@@ -426,8 +426,12 @@ object Zarr {
             new org.apache.hadoop.fs.Path(s"$path/$v/.$curKey.$attemptTag.tmp")
           putObject(taskFs, tmpKey, out.toByteArray)
           if (!taskFs.rename(tmpKey, dest)) {
-            // dest exists (another attempt committed first) — ours is
-            // byte-identical; drop the temp.
+            // a false rename is only benign when another attempt
+            // already committed the (byte-identical) chunk — anything
+            // else must FAIL the task, not silently leave a missing
+            // chunk that later reads back as all-fill
+            require(taskFs.exists(dest),
+              s"Zarr sink: rename of $tmpKey to $dest failed with no committed chunk")
             taskFs.delete(tmpKey, false)
           }
         }

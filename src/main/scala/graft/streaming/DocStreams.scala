@@ -446,9 +446,12 @@ object DocStreams {
     * [[graft.ext.MediaMeta]], not a dedup state.
     *
     * Contract: assets (asset_id: long, ts: long nanos, content:
-    * binary) → kept (asset_id, ts·micros, dhash). Works identically
-    * on a batch frame (dropDuplicates in place of the watermark
-    * variant) for stream == batch parity tests.
+    * binary) → kept (asset_id, ts·micros, dhash). On a batch frame
+    * the per-bucket winner is the deterministic (ts, id)-minimum,
+    * which guarantees each collision component keeps ≥ 1
+    * representative; streaming keeps first-arrival state
+    * (deterministic across micro-batches; within one batch the
+    * winner is arrival-order — bounded by trigger granularity).
     */
   def imageDedupGate(assets: DataFrame, bands: Int = 4,
                      horizon: String = "10 minutes"): DataFrame = {
@@ -503,10 +506,25 @@ object DocStreams {
       .select(col("asset_id"), col("ts_t"), col("dhash"),
         col("__bs.band").as("band"), col("__bs.band_val").as("band_val"))
       .withWatermark("ts_t", horizon)
+    // Per-bucket WINNER selection. Batch mode picks the (ts, id)-MIN
+    // occupant of every bucket — a deterministic total order, which
+    // guarantees every collision component keeps ≥ 1 representative
+    // (the component's minimum wins ALL its buckets; arbitrary
+    // dropDuplicates winners could split a pair's buckets between
+    // them and drop BOTH). Streaming keeps first-arrival state
+    // (cross-batch arrivals are deterministic); within one
+    // micro-batch the winner is arrival-order — the documented
+    // caveat, bounded by trigger granularity.
     val surviving =
       if (banded.isStreaming)
         banded.dropDuplicatesWithinWatermark(Seq("band", "band_val"))
-      else banded.dropDuplicates(Seq("band", "band_val"))
+      else {
+        val win = banded.groupBy(col("band"), col("band_val"))
+          .agg(min(struct(col("ts_t"), col("asset_id"))).as("__w"))
+        banded.join(win, Seq("band", "band_val"))
+          .where(struct(col("ts_t"), col("asset_id")) === col("__w"))
+          .drop("__w")
+      }
     surviving
       .groupBy(col("ts_t"), col("asset_id"), col("dhash"))
       .agg(count(lit(1)).as("__nb"))

@@ -684,6 +684,54 @@ class DocStreamsSpec extends SparkSpec {
     assert(streamed === Set(1L, 2L, 3L), s"kept=$streamed")
   }
 
+  test("batch gate determinism: every collision component keeps exactly its minimal representative") {
+    // 30 images in 10 near-dup pairs + 10 singles, shuffled across
+    // partitions: the (ts, id)-min winner rule must keep EXACTLY one
+    // per pair (never zero — the split-winner hazard) and be stable
+    // across runs
+    val min = 60L * 1000000000L
+    val rows = (0 until 10).flatMap { g =>
+      Seq((g.toLong, (g + 1) * min, scenePng(g)),
+        (g + 100L, (g + 20) * min, scenePng(g, perturb = true)))
+    } ++ (0 until 10).map(g => (g + 200L, (g + 40) * min, scenePng(50 + g)))
+    val df = rows.toDF("asset_id", "ts", "content").repartition(16)
+    val kept1 = DocStreams.imageDedupGate(df).select($"asset_id")
+      .as[Long].collect().toSet
+    val kept2 = DocStreams.imageDedupGate(df.repartition(5)).select($"asset_id")
+      .as[Long].collect().toSet
+    assert(kept1 === kept2, "batch winners must be partitioning-independent")
+    // dedup works: never both members of a planted pair
+    (0 until 10).foreach(g =>
+      assert(!(kept1.contains(g.toLong) && kept1.contains(g + 100L)), s"pair $g"))
+    // the min-winner guarantee: every COLLISION component (any shared
+    // 16-bit band bucket, the gate's own granularity — accidental
+    // single-band collisions included, that's the documented
+    // conservatism) keeps >= 1 representative; arbitrary per-band
+    // winners could drop a whole component
+    val hashes = graft.ext.Images.withDhash(
+        rows.toDF("asset_id", "ts", "content"))
+      .where($"dhash".isNotNull)
+      .select($"asset_id", $"dhash").as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map(hashes.map(_._1 -> -1L): _*)
+    def find(x: Long): Long = if (parent(x) < 0) x else { val r = find(parent(x)); parent(x) = r; r }
+    def union(a: Long, b: Long): Unit = { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
+    val buckets = scala.collection.mutable.Map[(Int, Long), Long]()
+    hashes.foreach { case (id, h) =>
+      (0 until 4).foreach { b =>
+        val key = (b, (h >>> (16 * b)) & 0xFFFFL)
+        buckets.get(key) match {
+          case Some(o) => union(id, o)
+          case None => buckets(key) = id
+        }
+      }
+    }
+    hashes.map(h => find(h._1)).distinct.foreach { root =>
+      val members = hashes.map(_._1).filter(id => find(id) == root).toSet
+      assert(members.exists(kept1.contains),
+        s"component $members lost every representative")
+    }
+  }
+
   test("streaming video dedup gate: CABAC + CAVLC keyframes dedup cross-entropy") {
     import org.apache.spark.sql.types._
     val sch = StructType(Seq(StructField("asset_id", LongType),

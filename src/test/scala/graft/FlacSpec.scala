@@ -414,6 +414,24 @@ class FlacSpec extends SparkSpec {
     assert(graft.ext.Wav.pcmFeaturesOrNull(wavOf(3, 64, fData)) == null)
   }
 
+  test("hostile WAV chunk sizes (near Int.MaxValue) return null, never throw") {
+    def le32(v: Long) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    // a JUNK chunk whose size would wrap the walk offset negative in
+    // Int arithmetic, followed by nothing useful
+    val hostile = "RIFF".getBytes ++ le32(100) ++ "WAVE".getBytes ++
+      "JUNK".getBytes ++ le32(0x7FFFFFF0L) ++ new Array[Byte](64)
+    assert(graft.ext.Wav.pcmFeaturesOrNull(hostile) == null)
+    assert(graft.ext.Wav.monoOrNull(hostile) == null)
+    // unsigned size with bit 31 set: skipped chunk, not a crash
+    val hostile2 = "RIFF".getBytes ++ le32(100) ++ "WAVE".getBytes ++
+      "JUNK".getBytes ++ le32(0xFFFFFFF0L) ++ new Array[Byte](64)
+    assert(graft.ext.Wav.pcmFeaturesOrNull(hostile2) == null)
+    // multi-channel FLAC with unknown total hits the TOTAL-cells cap
+    // loudly (null), not an 8x allocation
+    assert(Audio.fingerprint64OrNull(hostile) == null)
+  }
+
   test("nearDupAudioPairs: planted dup surfaces through the shared band-join stage; SQL surface") {
     import spark.implicits._
     val rows = (0 until 20).map(i => (i.toLong, AudioFixtures.toneClip(i, 8192))) ++
