@@ -719,6 +719,62 @@ class H264CabacSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized slices: 40 mixed PCM/I16/I4 frames round-trip, PCM pixels exact") {
+    val rnd = new scala.util.Random(2024)
+    for (trial <- 0 until 40) {
+      val wMbs = 1 + rnd.nextInt(3)
+      val hMbs = 1 + rnd.nextInt(3)
+      val pcms = scala.collection.mutable.Map[Int, Array[Int]]()
+      val mbs = (0 until wMbs * hMbs).map { addr =>
+        rnd.nextInt(3) match {
+          case 0 =>
+            val p = Array.fill(256)(rnd.nextInt(256))
+            pcms(addr) = p
+            PcmMb(p)
+          case 1 =>
+            val dc = new Array[Int](16)
+            for (_ <- 0 until rnd.nextInt(4))
+              dc(rnd.nextInt(16)) = rnd.nextInt(21) - 10
+            val ac =
+              if (rnd.nextBoolean()) null
+              else Array.tabulate[Array[Int]](16) { _ =>
+                if (rnd.nextInt(3) == 0) {
+                  val a = new Array[Int](15)
+                  for (_ <- 0 until 1 + rnd.nextInt(3))
+                    a(rnd.nextInt(15)) = rnd.nextInt(9) - 4
+                  a
+                } else null
+              }
+            I16Mb(rnd.nextInt(3) match {
+              case 0 => 2
+              case _ => 2 // DC everywhere (availability-independent)
+            }, dc, ac, qpDelta = rnd.nextInt(5) - 2)
+          case _ =>
+            val coeffs = Array.tabulate[Array[Int]](16) { _ =>
+              if (rnd.nextBoolean()) {
+                val c = new Array[Int](16)
+                for (_ <- 0 until 1 + rnd.nextInt(4))
+                  c(rnd.nextInt(16)) = rnd.nextInt(31) - 15
+                c
+              } else null
+            }
+            I4Mb(Array.fill(16)(2), coeffs, qpDelta = rnd.nextInt(5) - 2)
+        }
+      }
+      val got = decode(wMbs, hMbs, mbs)
+      assert(got != null, s"trial $trial (${wMbs}x$hMbs) failed to decode")
+      val (g, w, _) = got
+      pcms.foreach { case (addr, p) =>
+        val x0 = (addr % wMbs) * 16
+        val y0 = (addr / wMbs) * 16
+        for (y <- 0 until 16; x <- 0 until 16)
+          assert(g((y0 + y) * w + x0 + x) === p(y * 16 + x).toDouble,
+            s"trial $trial PCM mb $addr ($x,$y)")
+      }
+      assert(g.forall(v => v >= 0 && v <= 255))
+    }
+  }
+
   test("fuzz: corrupted CABAC streams never throw") {
     val dc = new Array[Int](16)
     dc(0) = 6
