@@ -120,6 +120,7 @@ object GraftExtensions {
     unaryFn("pii_scan", classOf[graft.fn.PiiScan], graft.fn.PiiScan(_)),
     unaryFn("url_normalize", classOf[graft.fn.UrlNormalize],
       graft.fn.UrlNormalize(_)),
+    unaryFn("html_text", classOf[graft.fn.HtmlText], graft.fn.HtmlText(_)),
     (
       new FunctionIdentifier("mp4_keyframe_dhashes"),
       new ExpressionInfo(classOf[graft.fn.Mp4KeyframeDhashes].getName, "mp4_keyframe_dhashes"),
