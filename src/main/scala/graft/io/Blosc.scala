@@ -23,9 +23,10 @@ package graft.io
   *
   * Scope: format versions 1–2, `memcpyed` chunks, inner codecs LZ4
   * (split streams), snappy (raw block format, from the published
-  * description), and zlib (JDK Inflater per block) with byte
-  * shuffle. Bit-shuffle and the remaining inner codecs
-  * (blosclz/zstd) fail LOUDLY with the codec named — the same
+  * description), zlib (JDK Inflater per block), and zstd (the
+  * from-spec [[graft.io.Zstd]] frame decoder, one frame per stream)
+  * with byte shuffle. Bit-shuffle and the remaining inner codec
+  * (blosclz) fail LOUDLY with the codec named — the same
   * discipline as the rest of [[Zarr]]: wrong answers are worse than
   * no answers.
   */
@@ -41,6 +42,7 @@ object Blosc {
   private val Lz4Code = 1
   private val SnappyCode = 2
   private val ZlibCode = 3
+  private val ZstdCode = 4
   // blosc1 split rule constants (blosc.c: MAX_SPLITS, MIN_BUFFERSIZE)
   private val MaxSplits = 16
   private val MinBufferSize = 128
@@ -91,8 +93,9 @@ object Blosc {
     require((flags & DoBitShuffle) == 0,
       s"$ctx: blosc bit-shuffle not supported (byte shuffle only)")
     val codec = (flags >>> 5) & 0x7
-    require(codec == Lz4Code || codec == SnappyCode || codec == ZlibCode,
-      s"$ctx: blosc inner codec '${CodecNames(codec)}' not supported (lz4/snappy/zlib)")
+    require(codec == Lz4Code || codec == SnappyCode || codec == ZlibCode ||
+      codec == ZstdCode,
+      s"$ctx: blosc inner codec '${CodecNames(codec)}' not supported (lz4/snappy/zlib/zstd)")
     require(blocksize > 0, s"$ctx: blosc blocksize $blocksize")
     val nblocks = (nbytes.toLong + blocksize - 1) / blocksize
     require(16L + 4L * nblocks <= chunk.length,
@@ -125,6 +128,7 @@ object Blosc {
         else codec match {
           case SnappyCode => snappyDecompressBlock(chunk, pos, sc, dst, dpos, neblock, ctx)
           case ZlibCode => zlibDecompressBlock(chunk, pos, sc, dst, dpos, neblock, ctx)
+          case ZstdCode => zstdDecompressBlock(chunk, pos, sc, dst, dpos, neblock, ctx)
           case _ => lz4DecompressBlock(chunk, pos, sc, dst, dpos, neblock, ctx)
         }
         pos += sc
@@ -134,6 +138,20 @@ object Blosc {
       j += 1
     }
     out
+  }
+
+  /** One zstd stream — c-blosc stores each (never-split) zstd stream
+    * as a complete zstd FRAME, decoded by the repo's own from-spec
+    * [[graft.io.Zstd]] decoder.
+    */
+  private[io] def zstdDecompressBlock(src: Array[Byte], srcOff: Int, srcLen: Int,
+                                      dst: Array[Byte], dstOff: Int, dstLen: Int,
+                                      ctx: String): Unit = {
+    val frame = java.util.Arrays.copyOfRange(src, srcOff, srcOff + srcLen)
+    val got = Zstd.decompress(frame)
+    require(got.length == dstLen,
+      s"$ctx: blosc zstd stream yielded ${got.length}, expected $dstLen")
+    System.arraycopy(got, 0, dst, dstOff, dstLen)
   }
 
   /** One LZ4 block (raw block format, no frame): decode exactly

@@ -38,13 +38,26 @@ object Zarr {
   case object ZlibCodec extends Compressor
   case object GzipCodec extends Compressor
   case object BloscCodec extends Compressor
+  case object ZstdCodec extends Compressor
+
+  /** A Zarr v3 bytes→bytes codec chain (applied in reverse on read),
+    * after the mandatory `bytes` array→bytes codec whose endianness
+    * is folded into the dtype.
+    */
+  sealed trait V3Codec
+  case object V3Gzip extends V3Codec
+  case object V3Zstd extends V3Codec
+  case object V3Blosc extends V3Codec
+  case object V3Crc32c extends V3Codec
+  final case class V3Chain(codecs: Seq[V3Codec]) extends Compressor
 
   /** Parsed `.zarray` metadata + the array directory it governs. */
   final case class ArrayMeta(dir: String, shape: Seq[Long], chunks: Seq[Int],
                              dtype: Dtype, order: Char,
                              compressor: Compressor,
                              fillValue: Option[Double],
-                             dimSeparator: String) {
+                             dimSeparator: String,
+                             keyPrefix: String = "") {
     require(shape.size == chunks.size,
       s"$dir: shape rank ${shape.size} != chunks rank ${chunks.size}")
     def rank: Int = shape.size
@@ -56,10 +69,104 @@ object Zarr {
         for (prefix <- acc; o <- axis(d)) yield prefix :+ o
       }
     }
-    /** Store key of the chunk at the given origin. */
+    /** Store key of the chunk at the given origin (v3's default
+      * chunk-key encoding prepends `c<sep>` via `keyPrefix`).
+      */
     def chunkKey(origin: Seq[Long]): String =
-      origin.zipWithIndex.map { case (o, d) => o / chunks(d) }
+      keyPrefix + origin.zipWithIndex.map { case (o, d) => o / chunks(d) }
         .mkString(dimSeparator)
+  }
+
+  /** Zarr v3 array metadata (`zarr.json`, the v3 core spec): regular
+    * chunk grid, `default`/`v2` chunk-key encodings, the `bytes`
+    * array→bytes codec (endianness), and the bytes→bytes codecs
+    * gzip / zstd / blosc / crc32c. Sharding, transpose, and other
+    * extension codecs fail loudly by name. Order is always C in v3
+    * (a transpose codec would say otherwise — rejected).
+    */
+  private def readArrayMetaV3(dir: String,
+                              node: com.fasterxml.jackson.databind.JsonNode): ArrayMeta = {
+    require(node.path("zarr_format").asInt() == 3,
+      s"$dir: zarr.json zarr_format ${node.path("zarr_format")} != 3")
+    require(node.path("node_type").asText() == "array",
+      s"$dir: zarr.json node_type '${node.path("node_type").asText()}' is not an array")
+    val shape = (0 until node.path("shape").size())
+      .map(i => node.path("shape").get(i).asLong())
+    require(shape.nonEmpty, s"$dir: zero-rank v3 arrays not supported")
+
+    val grid = node.path("chunk_grid")
+    require(grid.path("name").asText() == "regular",
+      s"$dir: chunk_grid '${grid.path("name").asText()}' not supported (regular only)")
+    val cs = grid.path("configuration").path("chunk_shape")
+    val chunks = (0 until cs.size()).map(i => cs.get(i).asInt())
+
+    val cke = node.path("chunk_key_encoding")
+    val ckeName = if (cke.isMissingNode) "default" else cke.path("name").asText("default")
+    val sepDefault = if (ckeName == "v2") "." else "/"
+    val sep = cke.path("configuration").path("separator").asText(sepDefault)
+    require(sep == "." || sep == "/", s"$dir: unsupported v3 separator '$sep'")
+    val keyPrefix = ckeName match {
+      case "default" => "c" + sep
+      case "v2" => ""
+      case other => throw new IllegalArgumentException(
+        s"$dir: unsupported chunk_key_encoding '$other'")
+    }
+
+    val dtName = node.path("data_type").asText()
+    val (kind, size) = dtName match {
+      case "float64" => ('f', 8)
+      case "float32" => ('f', 4)
+      case "int8" => ('i', 1)
+      case "int16" => ('i', 2)
+      case "int32" => ('i', 4)
+      case "int64" => ('i', 8)
+      case "uint8" => ('u', 1)
+      case "uint16" => ('u', 2)
+      case "uint32" => ('u', 4)
+      case other => throw new IllegalArgumentException(
+        s"$dir: v3 data_type '$other' not supported")
+    }
+
+    // codecs: everything before `bytes` would be array→array (reject);
+    // `bytes` fixes the endianness; the rest are bytes→bytes
+    val codecsNode = node.path("codecs")
+    require(codecsNode.isArray && codecsNode.size() > 0,
+      s"$dir: v3 codecs list missing")
+    val names = (0 until codecsNode.size()).map(i => codecsNode.get(i))
+    val bytesIdx = names.indexWhere(c =>
+      c.path("name").asText() == "bytes" || c.path("name").asText() == "endian")
+    require(bytesIdx == 0,
+      s"$dir: expected the 'bytes' codec first (array→array codecs like " +
+        s"'${names.head.path("name").asText()}' are not supported)")
+    val endian = names.head.path("configuration").path("endian").asText("little")
+    require(endian == "little" || endian == "big", s"$dir: bad endian '$endian'")
+    val chain = names.drop(1).map { c =>
+      c.path("name").asText() match {
+        case "gzip" => V3Gzip
+        case "zstd" => V3Zstd
+        case "blosc" => V3Blosc
+        case "crc32c" => V3Crc32c
+        case other => throw new IllegalArgumentException(
+          s"$dir: v3 codec '$other' not supported (gzip/zstd/blosc/crc32c)")
+      }
+    }
+
+    val fv = node.path("fill_value")
+    val fillValue =
+      if (fv.isNull || fv.isMissingNode) None
+      else if (fv.isTextual) fv.asText() match {
+        case "NaN" => Some(Double.NaN)
+        case "Infinity" => Some(Double.PositiveInfinity)
+        case "-Infinity" => Some(Double.NegativeInfinity)
+        case other => throw new IllegalArgumentException(
+          s"$dir: v3 fill_value '$other' not supported")
+      }
+      else Some(fv.asDouble())
+
+    require(!(kind == 'u' && size == 8), s"$dir: uint64 would sign-flip")
+    ArrayMeta(dir, shape, chunks, Dtype(endian == "big", kind, size), 'C',
+      if (chain.isEmpty) RawCodec else V3Chain(chain),
+      fillValue, sep, keyPrefix)
   }
 
   private[io] def parseDtype(s: String): Dtype = {
@@ -92,7 +199,13 @@ object Zarr {
     // fill_value may be the bare token NaN/Infinity per the spec
     mapper.enable(com.fasterxml.jackson.core.JsonParser.Feature.ALLOW_NON_NUMERIC_NUMBERS)
     val zarray = getObjectOrNull(driverConf(), s"$dir/.zarray")
-    require(zarray != null, s"$dir: no .zarray document")
+    if (zarray == null) {
+      // v3 stores carry zarr.json instead — dispatch transparently so
+      // every caller (grid ingest, catalogs) reads either version
+      val zjson = getObjectOrNull(driverConf(), s"$dir/zarr.json")
+      require(zjson != null, s"$dir: neither .zarray (v2) nor zarr.json (v3) present")
+      return readArrayMetaV3(dir, mapper.readTree(zjson))
+    }
     val node = mapper.readTree(zarray)
     require(node.path("zarr_format").asInt() == 2,
       s"$dir: zarr_format ${node.path("zarr_format")} != 2")
@@ -111,8 +224,10 @@ object Zarr {
         // (flags bits 5-7), not the advisory metadata — lz4 decodes,
         // the rest fail loudly per chunk with the codec named
         case "blosc" => BloscCodec
+        // numcodecs Zstd stores the chunk as one bare zstd frame
+        case "zstd" => ZstdCodec
         case other => throw new IllegalArgumentException(
-          s"$dir: unsupported compressor '$other' (JDK-only reader: null/zlib/gzip/blosc)")
+          s"$dir: unsupported compressor '$other' (supported: null/zlib/gzip/blosc/zstd)")
       }
     val filters = node.path("filters")
     require(filters.isNull || filters.isMissingNode || filters.size() == 0,
@@ -183,6 +298,44 @@ object Zarr {
         } finally in.close()
       case BloscCodec =>
         Blosc.decompress(stored, want.toInt, meta.dir)
+      case ZstdCodec =>
+        val out = Zstd.decompress(stored)
+        require(out.length == want,
+          s"${meta.dir}: zstd chunk yielded ${out.length} bytes, expected $want")
+        out
+      case V3Chain(codecs) =>
+        // bytes→bytes codecs invert in reverse declaration order
+        var buf = stored
+        codecs.reverse.foreach {
+          case V3Crc32c =>
+            require(buf.length >= 4, s"${meta.dir}: crc32c chunk shorter than its checksum")
+            val c = new java.util.zip.CRC32C()
+            c.update(buf, 0, buf.length - 4)
+            val want32 = (buf(buf.length - 4) & 0xFF) |
+              ((buf(buf.length - 3) & 0xFF) << 8) |
+              ((buf(buf.length - 2) & 0xFF) << 16) |
+              ((buf(buf.length - 1) & 0xFF) << 24)
+            require(c.getValue.toInt == want32,
+              f"${meta.dir}: crc32c mismatch (got 0x${c.getValue.toInt}%08x want 0x$want32%08x)")
+            buf = java.util.Arrays.copyOf(buf, buf.length - 4)
+          case V3Zstd =>
+            buf = Zstd.decompress(buf)
+          case V3Gzip =>
+            val in = new java.util.zip.GZIPInputStream(
+              new java.io.ByteArrayInputStream(buf))
+            val bos = new java.io.ByteArrayOutputStream(buf.length * 2 + 64)
+            try {
+              val tmp = new Array[Byte](1 << 14)
+              var n = in.read(tmp)
+              while (n >= 0) { bos.write(tmp, 0, n); n = in.read(tmp) }
+            } finally in.close()
+            buf = bos.toByteArray
+          case V3Blosc =>
+            buf = Blosc.decompress(buf, want.toInt, meta.dir)
+        }
+        require(buf.length == want,
+          s"${meta.dir}: v3 codec chain yielded ${buf.length} bytes, expected $want")
+        buf
     }
   }
 

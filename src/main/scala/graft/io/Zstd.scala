@@ -1,0 +1,680 @@
+package graft.io
+
+/** Zstandard frame decoder, written from RFC 8878 (the public
+  * Zstandard specification) — no native library, no JNI. zstd is the
+  * default/dominant codec of the modern scientific-array and
+  * web-corpus ecosystems (Zarr v3 stores, blosc `zstd` inner chunks,
+  * parquet pages), so a grid/asset scan that cannot decode it stops
+  * at the first real-world store; this decoder feeds
+  * [[graft.io.Blosc]] and the Zarr readers the same way the from-spec
+  * LZ4 block decoder does.
+  *
+  * Scope: single and concatenated frames, skippable frames, raw/RLE/
+  * compressed blocks, all four literals types (raw, RLE, Huffman
+  * compressed with direct or FSE-compressed weights, treeless), all
+  * sequence table modes (predefined, RLE, FSE-compressed, repeat),
+  * repeat-offset history, and XXH64 content-checksum verification
+  * (via Spark's own XXH64). Dictionaries are rejected loudly —
+  * chunk-codec use never produces them. Every decode is bounded: a
+  * declared size past `MaxOutput` (1 GiB) fails rather than
+  * allocates, and all table/stream reads are range-checked.
+  *
+  * Validated in ZstdSpec against zstd-jni (on the provided Spark
+  * classpath) as the INDEPENDENT encoder across levels and data
+  * shapes — the H.264 CavlcRoundTripSpec discipline — plus hand-built
+  * frames for the paths high-level encoders rarely emit.
+  */
+object Zstd {
+
+  private val MaxOutput = 1 << 30
+  private val Magic = 0xFD2FB528
+  private val SkippableMin = 0x184D2A50
+  private val SkippableMax = 0x184D2A5F
+
+  /** Decompress a complete zstd stream (one or more frames). */
+  def decompress(src: Array[Byte]): Array[Byte] = {
+    val out = new Out(64 * 1024)
+    var pos = 0
+    while (pos < src.length) {
+      require(pos + 4 <= src.length, s"zstd: truncated magic at $pos")
+      val magic = le32(src, pos)
+      if (magic >= SkippableMin && magic <= SkippableMax) {
+        require(pos + 8 <= src.length, "zstd: truncated skippable frame")
+        val sz = le32(src, pos + 4)
+        require(sz >= 0 && pos + 8 + sz <= src.length, "zstd: skippable frame overruns input")
+        pos += 8 + sz
+      } else {
+        require(magic == Magic,
+          f"zstd: bad magic 0x$magic%08x at $pos (not a zstd frame)")
+        pos = decodeFrame(src, pos + 4, out)
+      }
+    }
+    out.toArray
+  }
+
+  // ------------------------------------------------------ framing
+
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) | ((b(i + 2) & 0xFF) << 16) | ((b(i + 3) & 0xFF) << 24)
+
+  private def leN(b: Array[Byte], i: Int, n: Int): Long = {
+    var v = 0L; var k = 0
+    while (k < n) { v |= (b(i + k) & 0xFFL) << (8 * k); k += 1 }
+    v
+  }
+
+  /** Grows-on-demand output with back-reference copy (the window). */
+  private final class Out(cap0: Int) {
+    var buf = new Array[Byte](cap0)
+    var len = 0
+    private def ensure(n: Int): Unit = {
+      require(len.toLong + n <= MaxOutput, s"zstd: output exceeds $MaxOutput guard")
+      if (len + n > buf.length) {
+        var c = buf.length
+        while (c < len + n) c = c << 1
+        buf = java.util.Arrays.copyOf(buf, c)
+      }
+    }
+    def append(src: Array[Byte], off: Int, n: Int): Unit = {
+      ensure(n); System.arraycopy(src, off, buf, len, n); len += n
+    }
+    def appendFill(v: Byte, n: Int): Unit = {
+      ensure(n); java.util.Arrays.fill(buf, len, len + n, v); len += n
+    }
+    /** Match copy — byte-wise because ranges may overlap (offset < length). */
+    def copyMatch(offset: Int, n: Int, frameBase: Int): Unit = {
+      require(offset > 0 && len - offset >= frameBase,
+        s"zstd: match offset $offset reaches before the frame (len=$len base=$frameBase)")
+      ensure(n)
+      var s = len - offset; var d = len; var k = 0
+      while (k < n) { buf(d) = buf(s); s += 1; d += 1; k += 1 }
+      len += n
+    }
+    def toArray: Array[Byte] = java.util.Arrays.copyOf(buf, len)
+  }
+
+  /** Decodes one frame starting after its magic; returns end position. */
+  private def decodeFrame(src: Array[Byte], start: Int, out: Out): Int = {
+    var pos = start
+    val fhd = src(pos) & 0xFF; pos += 1
+    val fcsFlag = fhd >>> 6
+    val singleSegment = (fhd & 0x20) != 0
+    require((fhd & 0x08) == 0, "zstd: reserved frame-header bit set")
+    val checksumFlag = (fhd & 0x04) != 0
+    val didFlag = fhd & 0x03
+
+    if (!singleSegment) pos += 1 // window descriptor: bound is MaxOutput anyway
+
+    val didBytes = Array(0, 1, 2, 4)(didFlag)
+    if (didBytes > 0) {
+      val did = leN(src, pos, didBytes); pos += didBytes
+      require(did == 0, s"zstd: dictionary $did required but dictionaries are unsupported")
+    }
+
+    val fcsBytes = fcsFlag match {
+      case 0 => if (singleSegment) 1 else 0
+      case 1 => 2
+      case 2 => 4
+      case 3 => 8
+    }
+    val contentSize: Long =
+      if (fcsBytes == 0) -1L
+      else {
+        val raw = leN(src, pos, fcsBytes)
+        pos += fcsBytes
+        if (fcsBytes == 2) raw + 256 else raw
+      }
+    require(contentSize <= MaxOutput, s"zstd: declared content size $contentSize exceeds guard")
+
+    val frameBase = out.len
+    val ctx = new FrameCtx
+
+    var last = false
+    while (!last) {
+      require(pos + 3 <= src.length, "zstd: truncated block header")
+      val bh = (src(pos) & 0xFF) | ((src(pos + 1) & 0xFF) << 8) | ((src(pos + 2) & 0xFF) << 16)
+      pos += 3
+      last = (bh & 1) != 0
+      val btype = (bh >>> 1) & 3
+      val bsize = bh >>> 3
+      btype match {
+        case 0 => // raw
+          require(pos + bsize <= src.length, "zstd: raw block overruns input")
+          out.append(src, pos, bsize); pos += bsize
+        case 1 => // RLE
+          require(pos < src.length, "zstd: RLE block overruns input")
+          out.appendFill(src(pos), bsize); pos += 1
+        case 2 =>
+          require(pos + bsize <= src.length, "zstd: compressed block overruns input")
+          decodeBlock(src, pos, bsize, out, frameBase, ctx)
+          pos += bsize
+        case _ => throw new IllegalArgumentException("zstd: reserved block type")
+      }
+    }
+
+    if (contentSize >= 0)
+      require(out.len - frameBase == contentSize,
+        s"zstd: regenerated ${out.len - frameBase} != declared $contentSize")
+    if (checksumFlag) {
+      require(pos + 4 <= src.length, "zstd: truncated content checksum")
+      val want = le32(src, pos); pos += 4
+      val got = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        out.buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + frameBase,
+        out.len - frameBase, 0L).toInt
+      require(got == want,
+        f"zstd: content checksum mismatch (got 0x$got%08x want 0x$want%08x)")
+    }
+    pos
+  }
+
+  /** Per-frame decoder state that persists across blocks. */
+  private final class FrameCtx {
+    var rep1 = 1; var rep2 = 4; var rep3 = 8
+    var huff: HuffTable = null           // for treeless literals
+    var llTab: FseTable = null           // for Repeat_Mode
+    var ofTab: FseTable = null
+    var mlTab: FseTable = null
+  }
+
+  // --------------------------------------------- backwards bitstream
+
+  /** RFC 8878 backwards bitstream: data is `src[from, until)`; the
+    * last byte's highest set bit is the padding sentinel; reads pull
+    * bits downward from the sentinel. `read` past the beginning
+    * zero-fills and drives `pos` negative (the documented FSE
+    * final-state convention); callers check `pos` where exact
+    * consumption is required.
+    */
+  private final class BackStream(src: Array[Byte], from: Int, until: Int) {
+    require(until > from, "zstd: empty backwards bitstream")
+    private val lastByte = src(until - 1) & 0xFF
+    require(lastByte != 0, "zstd: backwards bitstream with zero padding byte")
+    var pos: Int = (until - 1 - from) * 8 + (31 - Integer.numberOfLeadingZeros(lastByte))
+
+    def read(n: Int): Int = {
+      pos -= n
+      var v = 0; var j = 0
+      while (j < n) {
+        val p = pos + j
+        if (p >= 0) {
+          val bit = (src(from + (p >> 3)) >> (p & 7)) & 1
+          v |= bit << j
+        }
+        j += 1
+      }
+      v
+    }
+
+    /** Peek `n` bits without consuming (zero-filled past the start). */
+    def peek(n: Int): Int = { val p0 = pos; val v = read(n); pos = p0; v }
+    def consume(n: Int): Unit = pos -= n
+  }
+
+  // ------------------------------------------------------ FSE tables
+
+  private final class FseTable(val accuracyLog: Int, val size: Int) {
+    val symbol = new Array[Int](size)
+    val nbBits = new Array[Int](size)
+    val baseline = new Array[Int](size)
+  }
+
+  /** Builds a decoding table from normalized frequencies
+    * (RFC 8878 §4.1.1: -1 cells at the high end, step-spread fill).
+    */
+  private def buildFse(freqs: Array[Int], accuracyLog: Int): FseTable = {
+    val size = 1 << accuracyLog
+    val t = new FseTable(accuracyLog, size)
+    var highThreshold = size - 1
+    val next = new Array[Int](freqs.length)
+    var s = 0
+    while (s < freqs.length) {
+      if (freqs(s) == -1) {
+        t.symbol(highThreshold) = s; highThreshold -= 1; next(s) = 1
+      } else next(s) = freqs(s)
+      s += 1
+    }
+    val step = (size >> 1) + (size >> 3) + 3
+    val mask = size - 1
+    var posn = 0
+    s = 0
+    while (s < freqs.length) {
+      var i = 0
+      while (i < freqs(s)) {
+        t.symbol(posn) = s
+        do { posn = (posn + step) & mask } while (posn > highThreshold)
+        i += 1
+      }
+      s += 1
+    }
+    require(posn == 0, "zstd: corrupt FSE distribution (spread did not close)")
+    var i = 0
+    while (i < size) {
+      val sym = t.symbol(i)
+      val x = next(sym); next(sym) += 1
+      val nb = accuracyLog - (31 - Integer.numberOfLeadingZeros(x))
+      t.nbBits(i) = nb
+      t.baseline(i) = (x << nb) - size
+      i += 1
+    }
+    t
+  }
+
+  /** Reads an FSE table description (forward, LSB-first bitstream);
+    * returns (table, bytes consumed). §4.1.1.
+    */
+  private def readFseTable(src: Array[Byte], from: Int, limit: Int,
+                           maxAccuracy: Int, maxSymbol: Int): (FseTable, Int) = {
+    var bitPos = 0
+    def readBits(n: Int): Int = {
+      var v = 0; var j = 0
+      while (j < n) {
+        val p = bitPos + j
+        val byteIdx = from + (p >> 3)
+        require(byteIdx < limit, "zstd: FSE table description overruns")
+        v |= (((src(byteIdx) >> (p & 7)) & 1)) << j
+        j += 1
+      }
+      bitPos += n
+      v
+    }
+    val accuracyLog = readBits(4) + 5
+    require(accuracyLog <= maxAccuracy,
+      s"zstd: FSE accuracy $accuracyLog exceeds max $maxAccuracy")
+    val freqs = new Array[Int](maxSymbol + 1)
+    var remaining = 1 << accuracyLog
+    var sym = 0
+    while (remaining > 0 && sym <= maxSymbol) {
+      val bits = (31 - Integer.numberOfLeadingZeros(remaining + 1)) + 1
+      var value = readBits(bits)
+      val lowerMask = (1 << (bits - 1)) - 1
+      val threshold = (1 << bits) - 1 - (remaining + 1)
+      if ((value & lowerMask) < threshold) {
+        bitPos -= 1 // small value: only bits-1 bits were needed
+        value = value & lowerMask
+      } else if (value > lowerMask) {
+        value = value - threshold
+      }
+      val proba = value - 1
+      remaining -= (if (proba < 0) -proba else proba)
+      freqs(sym) = proba
+      sym += 1
+      if (proba == 0) {
+        var repeat = readBits(2)
+        while (repeat == 3) {
+          sym += 3
+          require(sym <= maxSymbol + 1, "zstd: FSE zero-repeat overruns symbols")
+          repeat = readBits(2)
+        }
+        sym += repeat
+        require(sym <= maxSymbol + 1, "zstd: FSE zero-repeat overruns symbols")
+      }
+    }
+    require(remaining == 0, s"zstd: FSE distribution sums short by $remaining")
+    (buildFse(freqs, accuracyLog), (bitPos + 7) >> 3)
+  }
+
+  // ------------------------------------------------------- Huffman
+
+  private final class HuffTable(val maxBits: Int) {
+    val symbol = new Array[Int](1 << maxBits)
+    val nbBits = new Array[Int](1 << maxBits)
+  }
+
+  /** Builds the canonical table from weights (§4.2.1): numBits =
+    * maxBits + 1 - weight; table filled low-to-high in increasing
+    * weight order, each symbol spanning 2^(weight-1) cells.
+    */
+  private def buildHuff(weights: Array[Int]): HuffTable = {
+    var total = 0L
+    var maxW = 0
+    weights.foreach { w => if (w > 0) { total += 1L << (w - 1); if (w > maxW) maxW = w } }
+    require(total > 0 && java.lang.Long.bitCount(total) == 1,
+      s"zstd: huffman weights sum $total is not a power of two")
+    // completeWeights already closed the sum to a power of two
+    val maxBits = java.lang.Long.numberOfTrailingZeros(total).toInt
+    require(maxBits >= 1 && maxBits <= 11, s"zstd: huffman maxBits $maxBits out of range")
+    val t = new HuffTable(maxBits)
+    var pos = 0
+    var w = 1
+    while (w <= maxW) {
+      var s = 0
+      while (s < weights.length) {
+        if (weights(s) == w) {
+          val span = 1 << (w - 1)
+          var k = 0
+          while (k < span) { t.symbol(pos) = s; t.nbBits(pos) = maxBits + 1 - w; pos += 1; k += 1 }
+        }
+        s += 1
+      }
+      w += 1
+    }
+    require(pos == (1 << maxBits), "zstd: huffman table fill incomplete")
+    t
+  }
+
+  /** Reads a huffman tree description at `from`; returns (table,
+    * bytes consumed). §4.2.1: headerByte < 128 → FSE-compressed
+    * weights (two interleaved states, accuracy ≤ 6); ≥ 128 → direct
+    * 4-bit weights.
+    */
+  private def readHuffTable(src: Array[Byte], from: Int, limit: Int): (HuffTable, Int) = {
+    require(from < limit, "zstd: truncated huffman description")
+    val hb = src(from) & 0xFF
+    if (hb >= 128) {
+      val nWeights = hb - 127
+      val nBytes = (nWeights + 1) / 2
+      require(from + 1 + nBytes <= limit, "zstd: truncated direct huffman weights")
+      val weights = new Array[Int](nWeights + 1) // + implicit last
+      var i = 0
+      while (i < nWeights) {
+        val b = src(from + 1 + (i >> 1)) & 0xFF
+        weights(i) = if ((i & 1) == 0) b >>> 4 else b & 0xF
+        i += 1
+      }
+      completeWeights(weights)
+      (buildHuff(weights), 1 + nBytes)
+    } else {
+      require(from + 1 + hb <= limit, "zstd: truncated FSE huffman weights")
+      // description then backwards bitstream, both inside the hb bytes
+      val (ft, fseDescBytes) =
+        readFseTable(src, from + 1, from + 1 + hb, maxAccuracy = 6, maxSymbol = 255)
+      val bs = new BackStream(src, from + 1 + fseDescBytes, from + 1 + hb)
+      var s1 = bs.read(ft.accuracyLog)
+      var s2 = bs.read(ft.accuracyLog)
+      // §4.2.1.1 two interleaved states: emit, update, stop when the
+      // update overdraws the stream (the other state emits last)
+      val ws = collection.mutable.ArrayBuffer.empty[Int]
+      var done = false
+      while (!done) {
+        ws += ft.symbol(s1)
+        s1 = ft.baseline(s1) + bs.read(ft.nbBits(s1))
+        if (bs.pos < 0) { ws += ft.symbol(s2); done = true }
+        else {
+          ws += ft.symbol(s2)
+          s2 = ft.baseline(s2) + bs.read(ft.nbBits(s2))
+          if (bs.pos < 0) { ws += ft.symbol(s1); done = true }
+        }
+        require(ws.size <= 256, "zstd: huffman weights overrun 255 symbols")
+      }
+      val weights = new Array[Int](ws.size + 1)
+      var i = 0
+      while (i < ws.size) { weights(i) = ws(i); i += 1 }
+      completeWeights(weights)
+      (buildHuff(weights), 1 + hb)
+    }
+  }
+
+  /** Fills in the implicit final weight (§4.2.1): the explicit
+    * weights' 2^(w-1) sum is completed to the next power of two.
+    */
+  private def completeWeights(weights: Array[Int]): Unit = {
+    var total = 0L
+    var i = 0
+    while (i < weights.length - 1) {
+      val w = weights(i)
+      require(w <= 11, s"zstd: huffman weight $w > 11")
+      if (w > 0) total += 1L << (w - 1)
+      i += 1
+    }
+    require(total > 0, "zstd: huffman weights all zero")
+    val maxBits = 64 - java.lang.Long.numberOfLeadingZeros(total)
+    val target = 1L << maxBits
+    val rest = target - total
+    require(rest > 0 && java.lang.Long.bitCount(rest) == 1,
+      s"zstd: huffman weights leave non-power-of-two remainder $rest")
+    weights(weights.length - 1) = java.lang.Long.numberOfTrailingZeros(rest).toInt + 1
+  }
+
+  /** Decodes `count` literals from one huffman backwards stream. */
+  private def huffDecodeStream(src: Array[Byte], from: Int, until: Int,
+                               table: HuffTable, dst: Array[Byte], dstOff: Int,
+                               count: Int): Unit = {
+    val bs = new BackStream(src, from, until)
+    var i = 0
+    while (i < count) {
+      val idx = bs.peek(table.maxBits)
+      dst(dstOff + i) = table.symbol(idx).toByte
+      bs.consume(table.nbBits(idx))
+      i += 1
+    }
+    require(bs.pos == 0, s"zstd: huffman stream not fully consumed (${bs.pos} bits left)")
+  }
+
+  // -------------------------------------------- predefined tables
+
+  // RFC 8878 §3.1.1.3.2.2: literals-length codes → baseline/extra bits
+  private val LlBaseline = Array(
+    0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+    16, 18, 20, 22, 24, 28, 32, 40, 48, 64, 128, 256, 512, 1024, 2048, 4096,
+    8192, 16384, 32768, 65536)
+  private val LlExtra = Array(
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10, 11, 12,
+    13, 14, 15, 16)
+  // match-length codes
+  private val MlBaseline = Array(
+    3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 20,
+    21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34,
+    35, 37, 39, 41, 43, 47, 51, 59, 67, 83, 99, 131, 259, 515, 1027, 2051,
+    4099, 8195, 16387, 32771, 65539)
+  private val MlExtra = Array(
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10, 11,
+    12, 13, 14, 15, 16)
+  // §3.1.1.3.2.2.1 predefined distributions
+  private val LlDefault = Array(
+    4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1,
+    2, 2, 2, 2, 2, 2, 2, 2, 2, 3, 2, 1, 1, 1, 1, 1,
+    -1, -1, -1, -1)
+  private val MlDefault = Array(
+    1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, -1, -1,
+    -1, -1, -1, -1, -1)
+  private val OfDefault = Array(
+    1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1)
+
+  private lazy val llPredef = buildFse(LlDefault, 6)
+  private lazy val mlPredef = buildFse(MlDefault, 6)
+  private lazy val ofPredef = buildFse(OfDefault, 5)
+
+  /** An RLE "table": one symbol, zero bits. */
+  private def rleTable(sym: Int): FseTable = {
+    val t = new FseTable(0, 1)
+    t.symbol(0) = sym; t.nbBits(0) = 0; t.baseline(0) = 0
+    t
+  }
+
+  // ------------------------------------------------ block decoding
+
+  private def decodeBlock(src: Array[Byte], blockStart: Int, blockSize: Int,
+                          out: Out, frameBase: Int, ctx: FrameCtx): Unit = {
+    val limit = blockStart + blockSize
+    var pos = blockStart
+
+    // ---- literals section
+    val b0 = src(pos) & 0xFF
+    val litType = b0 & 3
+    val sizeFormat = (b0 >>> 2) & 3
+    var regenSize = 0
+    var compSize = 0
+    var fourStreams = false
+    if (litType == 0 || litType == 1) { // raw / RLE
+      sizeFormat match {
+        case 0 | 2 => regenSize = b0 >>> 3; pos += 1
+        case 1 =>
+          regenSize = (b0 >>> 4) | ((src(pos + 1) & 0xFF) << 4); pos += 2
+        case 3 =>
+          regenSize = (b0 >>> 4) | ((src(pos + 1) & 0xFF) << 4) |
+            ((src(pos + 2) & 0xFF) << 12); pos += 3
+      }
+    } else { // compressed / treeless
+      sizeFormat match {
+        case 0 | 1 =>
+          val b1 = src(pos + 1) & 0xFF; val b2 = src(pos + 2) & 0xFF
+          regenSize = (b0 >>> 4) | ((b1 & 0x3F) << 4)
+          compSize = (b1 >>> 6) | (b2 << 2)
+          fourStreams = sizeFormat == 1
+          pos += 3
+        case 2 =>
+          val b1 = src(pos + 1) & 0xFF; val b2 = src(pos + 2) & 0xFF
+          val b3 = src(pos + 3) & 0xFF
+          regenSize = (b0 >>> 4) | (b1 << 4) | ((b2 & 0x03) << 12)
+          compSize = (b2 >>> 2) | (b3 << 6)
+          fourStreams = true
+          pos += 4
+        case 3 =>
+          val b1 = src(pos + 1) & 0xFF; val b2 = src(pos + 2) & 0xFF
+          val b3 = src(pos + 3) & 0xFF; val b4 = src(pos + 4) & 0xFF
+          regenSize = (b0 >>> 4) | (b1 << 4) | ((b2 & 0x3F) << 12)
+          compSize = (b2 >>> 6) | (b3 << 2) | (b4 << 10)
+          fourStreams = true
+          pos += 5
+      }
+    }
+    require(regenSize <= (1 << 20), s"zstd: literals regen size $regenSize > block bound")
+    val literals = new Array[Byte](regenSize)
+    litType match {
+      case 0 => // raw
+        require(pos + regenSize <= limit, "zstd: raw literals overrun block")
+        System.arraycopy(src, pos, literals, 0, regenSize); pos += regenSize
+      case 1 => // RLE
+        require(pos < limit, "zstd: RLE literals overrun block")
+        java.util.Arrays.fill(literals, src(pos)); pos += 1
+      case 2 | 3 =>
+        require(pos + compSize <= limit, "zstd: compressed literals overrun block")
+        val litEnd = pos + compSize
+        val table =
+          if (litType == 2) {
+            val (t, consumed) = readHuffTable(src, pos, litEnd)
+            pos += consumed
+            ctx.huff = t
+            t
+          } else {
+            require(ctx.huff != null, "zstd: treeless literals with no previous huffman table")
+            ctx.huff
+          }
+        if (!fourStreams) {
+          huffDecodeStream(src, pos, litEnd, table, literals, 0, regenSize)
+        } else {
+          require(pos + 6 <= litEnd, "zstd: truncated 4-stream jump table")
+          val s1 = (src(pos) & 0xFF) | ((src(pos + 1) & 0xFF) << 8)
+          val s2 = (src(pos + 2) & 0xFF) | ((src(pos + 3) & 0xFF) << 8)
+          val s3 = (src(pos + 4) & 0xFF) | ((src(pos + 5) & 0xFF) << 8)
+          val dataStart = pos + 6
+          val r = (regenSize + 3) / 4
+          val r4 = regenSize - 3 * r
+          require(r4 >= 0, "zstd: 4-stream regen split negative")
+          val e1 = dataStart + s1; val e2 = e1 + s2; val e3 = e2 + s3
+          require(e3 <= litEnd, "zstd: 4-stream sizes overrun literals")
+          huffDecodeStream(src, dataStart, e1, table, literals, 0, r)
+          huffDecodeStream(src, e1, e2, table, literals, r, r)
+          huffDecodeStream(src, e2, e3, table, literals, 2 * r, r)
+          huffDecodeStream(src, e3, litEnd, table, literals, 3 * r, r4)
+        }
+        pos = litEnd
+    }
+
+    // ---- sequences section
+    require(pos < limit, "zstd: missing sequences section")
+    val sb0 = src(pos) & 0xFF; pos += 1
+    var nSeq = 0
+    if (sb0 == 0) nSeq = 0
+    else if (sb0 < 128) nSeq = sb0
+    else if (sb0 < 255) {
+      nSeq = ((sb0 - 128) << 8) + (src(pos) & 0xFF); pos += 1
+    } else {
+      nSeq = (src(pos) & 0xFF) + ((src(pos + 1) & 0xFF) << 8) + 0x7F00; pos += 2
+    }
+
+    if (nSeq == 0) {
+      out.append(literals, 0, literals.length)
+      return
+    }
+
+    val modes = src(pos) & 0xFF; pos += 1
+    require((modes & 3) == 0, "zstd: reserved sequence-mode bits set")
+    def tableFor(mode: Int, predef: FseTable, maxAcc: Int, maxSym: Int,
+                 prev: FseTable, what: String): FseTable = mode match {
+      case 0 => predef
+      case 1 =>
+        val sym = src(pos) & 0xFF; pos += 1
+        require(sym <= maxSym, s"zstd: $what RLE symbol $sym > $maxSym")
+        rleTable(sym)
+      case 2 =>
+        val (t, consumed) = readFseTable(src, pos, limit, maxAcc, maxSym)
+        pos += consumed
+        t
+      case _ =>
+        require(prev != null, s"zstd: $what Repeat_Mode with no previous table")
+        prev
+    }
+    // stream order: LL, OF, ML
+    val llT = tableFor((modes >>> 6) & 3, llPredef, 9, 35, ctx.llTab, "LL")
+    val ofT = tableFor((modes >>> 4) & 3, ofPredef, 8, 31, ctx.ofTab, "OF")
+    val mlT = tableFor((modes >>> 2) & 3, mlPredef, 9, 52, ctx.mlTab, "ML")
+    ctx.llTab = llT; ctx.ofTab = ofT; ctx.mlTab = mlT
+
+    val bs = new BackStream(src, pos, limit)
+    // init order: LL, OF, ML
+    var llS = bs.read(llT.accuracyLog)
+    var ofS = bs.read(ofT.accuracyLog)
+    var mlS = bs.read(mlT.accuracyLog)
+
+    var litPos = 0
+    var i = 0
+    while (i < nSeq) {
+      val ofCode = ofT.symbol(ofS)
+      // 2^31+ offsets would exceed the 1 GiB output guard anyway, and
+      // capping keeps the extra-bits read inside Int
+      require(ofCode <= 30, s"zstd: offset code $ofCode beyond the 1 GiB window guard")
+      val mlCode = mlT.symbol(mlS)
+      val llCode = llT.symbol(llS)
+      // value-bit read order: OF, ML, LL
+      val ofValue = (1L << ofCode) + bs.read(ofCode)
+      val ml = MlBaseline(mlCode) + bs.read(MlExtra(mlCode))
+      val ll = LlBaseline(llCode) + bs.read(LlExtra(llCode))
+      require(bs.pos >= 0, "zstd: sequence bitstream exhausted mid-sequence")
+
+      // repeat-offset resolution (§3.1.1.5)
+      var offset = 0
+      if (ofValue > 3) {
+        offset = (ofValue - 3).toInt
+        ctx.rep3 = ctx.rep2; ctx.rep2 = ctx.rep1; ctx.rep1 = offset
+      } else {
+        var v = ofValue.toInt
+        if (ll == 0) v += 1
+        if (v == 1) offset = ctx.rep1
+        else {
+          offset = v match {
+            case 2 => ctx.rep2
+            case 3 => ctx.rep3
+            case _ => ctx.rep1 - 1 // v == 4
+          }
+          require(offset > 0, "zstd: repeat offset underflow")
+          if (v != 2) ctx.rep3 = ctx.rep2
+          ctx.rep2 = ctx.rep1
+          ctx.rep1 = offset
+        }
+      }
+
+      require(litPos + ll <= literals.length, "zstd: sequence literals overrun")
+      out.append(literals, litPos, ll)
+      litPos += ll
+      out.copyMatch(offset, ml, frameBase)
+
+      i += 1
+      if (i < nSeq) {
+        // state-update read order: LL, ML, OF
+        llS = llT.baseline(llS) + bs.read(llT.nbBits(llS))
+        mlS = mlT.baseline(mlS) + bs.read(mlT.nbBits(mlS))
+        ofS = ofT.baseline(ofS) + bs.read(ofT.nbBits(ofS))
+        require(bs.pos >= 0, "zstd: sequence bitstream exhausted on state update")
+      }
+    }
+    require(bs.pos == 0, s"zstd: sequences bitstream not fully consumed (${bs.pos})")
+    out.append(literals, litPos, literals.length - litPos)
+  }
+}

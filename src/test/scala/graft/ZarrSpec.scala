@@ -31,6 +31,7 @@ class ZarrSpec extends SparkSpec {
       case "zlib" => """{"id": "zlib", "level": 1}"""
       case "blosc" => // numcodecs' default Blosc() JSON shape
         """{"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1, "blocksize": 0}"""
+      case "zstd" => """{"id": "zstd", "level": 3}"""
       case other => s"""{"id": "$other"}"""
     }
     val fillJson = fill match {
@@ -92,6 +93,9 @@ class ZarrSpec extends SparkSpec {
             defl.end()
             out.toByteArray
           case "blosc" => bloscEncode(raw, size, shuffle = true)
+          // numcodecs Zstd: one bare frame, written by zstd-jni (the
+          // reference implementation — independent of io.Zstd)
+          case "zstd" => com.github.luben.zstd.Zstd.compress(raw, 3)
           case _ => raw
         }
         val target = p.resolve(key)
@@ -207,6 +211,9 @@ class ZarrSpec extends SparkSpec {
             while (!defl.finished()) out.write(tmp, 0, defl.deflate(tmp))
             defl.end()
             out.toByteArray
+          case "zstd" =>
+            com.github.luben.zstd.Zstd.compress(
+              java.util.Arrays.copyOfRange(block, s * neblock, (s + 1) * neblock), 3)
           case _ => lz4CompressBlock(block, s * neblock, neblock)
         }
         val (sc, payload) =
@@ -220,7 +227,8 @@ class ZarrSpec extends SparkSpec {
     }
     val body = streams.toByteArray
     val cbytes = dataBase + body.length
-    val codecBits = (if (inner == "zlib") 3 else 1) << 5
+    val codecBits =
+      (inner match { case "zlib" => 3; case "zstd" => 4; case _ => 1 }) << 5
     val hdr = ByteBuffer.allocate(cbytes).order(ByteOrder.LITTLE_ENDIAN)
     hdr.put(2.toByte).put(1.toByte) // version, versionlz
     hdr.put((codecBits | (if (doShuffle) 1 else 0)).toByte)
@@ -399,6 +407,176 @@ class ZarrSpec extends SparkSpec {
     assert(got.toSeq === want)
   }
 
+  test("blosc inner zstd: zstd-jni frames per block, shuffle, multi-block round-trip") {
+    // inner codec 4 — frames written by the reference implementation,
+    // decoded by the from-spec io.Zstd; never split (blosc.c rule)
+    val dir = Files.createTempDirectory("zarr-blosc-zstd").toString
+    def v(g: Seq[Int]): Double = (g.head % 11) * 3.0 + g(1) * 0.5
+    writeArray(dir, Seq(60, 10), Seq(60, 10), "<f8", "C", "blosc", None, v)
+    val chunkKey = Paths.get(dir, "0.0")
+    val raw = {
+      val bb = ByteBuffer.allocate(4800).order(ByteOrder.LITTLE_ENDIAN)
+      for (a <- 0 until 60; b <- 0 until 10) bb.putDouble(v(Seq(a, b)))
+      bb.array()
+    }
+    Files.write(chunkKey, bloscEncode(raw, 8, shuffle = true, inner = "zstd"))
+    val got = Zarr.readAll(Zarr.readArrayMeta(dir))
+    val want = for (a <- 0 until 60; b <- 0 until 10) yield v(Seq(a, b))
+    assert(got.toSeq === want)
+  }
+
+  // ---- Zarr v3 fixtures: zarr.json + chunk objects written by hand
+  // from the v3 core spec (never by a Zarr library)
+
+  /** Minimal v3 array writer for the supported surface. */
+  private def writeV3Array(dir: String, shape: Seq[Int], chunks: Seq[Int],
+                           dataType: String, endian: String,
+                           chain: Seq[String], keyEncoding: String,
+                           sep: String, fill: String,
+                           f: Seq[Int] => Double,
+                           skipChunks: Set[String] = Set.empty): Unit = {
+    val p = Paths.get(dir)
+    Files.createDirectories(p)
+    val chainJson = chain.map {
+      case "gzip" => """{"name": "gzip", "configuration": {"level": 5}}"""
+      case "zstd" => """{"name": "zstd", "configuration": {"level": 3, "checksum": false}}"""
+      case "blosc" => """{"name": "blosc", "configuration": {"cname": "lz4", "clevel": 5, "shuffle": "shuffle", "typesize": 4, "blocksize": 0}}"""
+      case "crc32c" => """{"name": "crc32c"}"""
+      case other => fail(s"v3 fixture writer: codec $other")
+    }
+    val codecs = (s"""{"name": "bytes", "configuration": {"endian": "$endian"}}""" +: chainJson)
+      .mkString("[", ", ", "]")
+    Files.writeString(p.resolve("zarr.json"),
+      s"""{"zarr_format": 3, "node_type": "array",
+         | "shape": [${shape.mkString(", ")}],
+         | "data_type": "$dataType",
+         | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [${chunks.mkString(", ")}]}},
+         | "chunk_key_encoding": {"name": "$keyEncoding", "configuration": {"separator": "$sep"}},
+         | "fill_value": $fill,
+         | "codecs": $codecs,
+         | "attributes": {}}""".stripMargin)
+    val size = dataType match {
+      case "float64" | "int64" => 8
+      case "float32" | "int32" | "uint32" => 4
+      case "int16" | "uint16" => 2
+      case _ => 1
+    }
+    val bo = if (endian == "big") ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
+    val rank = shape.size
+    val origins = shape.indices.foldLeft(Seq(Seq.empty[Int])) { (acc, d) =>
+      for (pre <- acc; o <- 0 until shape(d) by chunks(d)) yield pre :+ o
+    }
+    origins.foreach { origin =>
+      val idx = origin.zipWithIndex.map { case (o, d) => o / chunks(d) }
+      val key = keyEncoding match {
+        case "v2" => idx.mkString(sep)
+        case _ => "c" + sep + idx.mkString(sep)
+      }
+      if (!skipChunks.contains(key)) {
+        val buf = ByteBuffer.allocate(chunks.product * size).order(bo)
+        def walk(d: Int, inChunk: List[Int]): Unit =
+          if (d == rank) {
+            val global = inChunk.reverse.zipWithIndex.map { case (i, dd) => origin(dd) + i }
+            val v = if (global.zipWithIndex.forall { case (g, dd) => g < shape(dd) })
+              f(global) else 0.0
+            dataType match {
+              case "float64" => buf.putDouble(v)
+              case "float32" => buf.putFloat(v.toFloat)
+              case "int32" => buf.putInt(v.toInt)
+              case "int16" => buf.putShort(v.toShort)
+              case "uint8" => buf.put(v.toInt.toByte)
+              case other => fail(s"v3 fixture: dtype $other")
+            }
+          } else (0 until chunks(d)).foreach(i => walk(d + 1, i :: inChunk))
+        walk(0, Nil)
+        var bytes = buf.array()
+        chain.foreach {
+          case "gzip" =>
+            val o = new java.io.ByteArrayOutputStream()
+            val g = new java.util.zip.GZIPOutputStream(o)
+            g.write(bytes); g.close(); bytes = o.toByteArray
+          case "zstd" => bytes = com.github.luben.zstd.Zstd.compress(bytes, 3)
+          case "blosc" => bytes = bloscEncode(bytes, size, shuffle = true)
+          case "crc32c" =>
+            val c = new java.util.zip.CRC32C()
+            c.update(bytes, 0, bytes.length)
+            val v = c.getValue.toInt
+            bytes = bytes ++ Array[Byte](
+              (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+              ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+        }
+        val target = p.resolve(key)
+        if (target.getParent != null) Files.createDirectories(target.getParent)
+        Files.write(target, bytes)
+      }
+    }
+  }
+
+  test("v3 store: default key encoding, zstd codec, missing chunk = fill") {
+    val dir = Files.createTempDirectory("zarr-v3").toString
+    def v(g: Seq[Int]): Double = g.head * 10.0 + g(1)
+    writeV3Array(dir, Seq(6, 8), Seq(4, 4), "float64", "little",
+      Seq("zstd"), "default", "/", "NaN", v, skipChunks = Set("c/1/1"))
+    val meta = Zarr.readArrayMeta(dir) // transparent v3 dispatch
+    assert(meta.keyPrefix === "c/")
+    val got = Zarr.readAll(meta)
+    for (a <- 0 until 6; b <- 0 until 8) {
+      val x = got(a * 8 + b)
+      if (a >= 4 && b >= 4) assert(x.isNaN, s"($a,$b) should be fill")
+      else assert(x === v(Seq(a, b)), s"($a,$b)")
+    }
+  }
+
+  test("v3 store: gzip+crc32c chain, big endian, v2 key encoding, float32") {
+    val dir = Files.createTempDirectory("zarr-v3-gz").toString
+    def v(g: Seq[Int]): Double = (g.head - 3) * 0.25
+    writeV3Array(dir, Seq(10), Seq(4), "float32", "big",
+      Seq("gzip", "crc32c"), "v2", ".", "0.0", v)
+    val got = Zarr.readAll(Zarr.readArrayMeta(dir))
+    (0 until 10).foreach(a => assert(got(a) === v(Seq(a)).toFloat.toDouble, s"($a)"))
+  }
+
+  test("v3 store: blosc codec and int16 decode through the shared path") {
+    val dir = Files.createTempDirectory("zarr-v3-blosc").toString
+    def v(g: Seq[Int]): Double = (g.head * 7 - 20).toDouble
+    writeV3Array(dir, Seq(30, 4), Seq(30, 4), "int16", "little",
+      Seq("blosc"), "default", "/", "0", v)
+    val got = Zarr.readAll(Zarr.readArrayMeta(dir))
+    for (a <- 0 until 30; b <- 0 until 4)
+      assert(got(a * 4 + b) === v(Seq(a, b)), s"($a,$b)")
+  }
+
+  test("v3: sharding, transpose, unknown dtypes fail loudly by name") {
+    def store(codecs: String, dtype: String = "float64"): String = {
+      val dir = Files.createTempDirectory("zarr-v3-bad").toString
+      Files.writeString(Paths.get(dir, "zarr.json"),
+        s"""{"zarr_format": 3, "node_type": "array", "shape": [4],
+           | "data_type": "$dtype",
+           | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [4]}},
+           | "fill_value": 0, "codecs": $codecs}""".stripMargin)
+      dir
+    }
+    val shard = intercept[IllegalArgumentException](Zarr.readArrayMeta(store(
+      """[{"name": "bytes", "configuration": {"endian": "little"}}, {"name": "sharding_indexed"}]""")))
+    assert(shard.getMessage.contains("sharding_indexed"))
+    val transpose = intercept[IllegalArgumentException](Zarr.readArrayMeta(store(
+      """[{"name": "transpose", "configuration": {"order": [0]}}, {"name": "bytes"}]""")))
+    assert(transpose.getMessage.contains("transpose"))
+    val dt = intercept[IllegalArgumentException](Zarr.readArrayMeta(store(
+      """[{"name": "bytes", "configuration": {"endian": "little"}}]""", dtype = "complex64")))
+    assert(dt.getMessage.contains("complex64"))
+  }
+
+  test("zstd compressor: bare zstd-jni frames per chunk read back exactly") {
+    val dir = Files.createTempDirectory("zarr-zstd").toString
+    def v(g: Seq[Int]): Double = g.head * 2.5 - g(1)
+    writeArray(dir, Seq(40, 12), Seq(16, 5), "<f4", "C", "zstd", Some(-9.0), v)
+    val meta = Zarr.readArrayMeta(dir)
+    val got = Zarr.readAll(meta)
+    val want = for (a <- 0 until 40; b <- 0 until 12) yield v(Seq(a, b)).toFloat.toDouble
+    assert(got.toSeq === want)
+  }
+
   test("blosc inner snappy: hand-written block (literal + overlapping copy) decodes") {
     // 32 bytes of "abcd" repeated: varint(32), literal len 4, copy2
     // offset 4 len 28 (overlap-copy extends the pattern)
@@ -427,9 +605,11 @@ class ZarrSpec extends SparkSpec {
     val bitShuf = intercept[IllegalArgumentException](
       Zarr.decodeChunk(meta, frame(2, 0x20 | 0x04)))
     assert(bitShuf.getMessage.contains("bit-shuffle"))
+    // zstd is a SUPPORTED inner codec since round 9 — a zstd-flagged
+    // chunk with a garbage body must still fail loudly, not hang
     val zstd = intercept[IllegalArgumentException](
       Zarr.decodeChunk(meta, frame(2, 4 << 5)))
-    assert(zstd.getMessage.contains("zstd"))
+    assert(zstd.getMessage.contains("block"))
     val blosclz = intercept[IllegalArgumentException](
       Zarr.decodeChunk(meta, frame(2, 0)))
     assert(blosclz.getMessage.contains("blosclz"))
