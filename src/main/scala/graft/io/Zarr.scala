@@ -16,11 +16,20 @@ import java.nio.{ByteBuffer, ByteOrder}
   * Supported surface (the subset xarray writes by default, rejected
   * loudly otherwise): dtypes `<f4 <f8 <i1 <i2 <i4 <i8 |i1 |u1 <u2
   * <u4` and their big-endian `>` twins; compressor `null`, `zlib`,
-  * `gzip`, or `blosc` with inner LZ4 — zarr-python's default — via
-  * the from-spec [[Blosc]] decoder (other blosc inner codecs fail
-  * loudly per chunk); C and F chunk-internal order; optional
-  * `dimension_separator` ("." default, "/" accepted); missing chunk
-  * files = all-fill chunks per the spec.
+  * `gzip`, `zstd` (the from-spec [[Zstd]] frame decoder), or `blosc`
+  * with inner LZ4/snappy/zlib/zstd via the from-spec [[Blosc]]
+  * decoder (blosclz fails loudly per chunk); C and F chunk-internal
+  * order; optional `dimension_separator` ("." default, "/"
+  * accepted); missing chunk files = all-fill chunks per the spec.
+  *
+  * Round 9 adds **Zarr v3** (the current core spec): `zarr.json`
+  * metadata is dispatched transparently from [[readArrayMeta]], with
+  * the regular chunk grid, default/v2 chunk-key encodings, the
+  * `bytes` endianness codec, gzip/zstd/blosc/crc32c bytes→bytes
+  * chains, and `sharding_indexed` ([[V3Sharded]] — the bounded-
+  * object-count layout big v3 stores use). Every downstream consumer
+  * (grid ingest, catalogs, [[readAll]]) reads either version
+  * unchanged.
   *
   * Scale shape: a Zarr store IS a pre-chunked layout — each chunk is
   * its own object/file, so the distribution unit is exactly the
@@ -51,6 +60,17 @@ object Zarr {
   case object V3Crc32c extends V3Codec
   final case class V3Chain(codecs: Seq[V3Codec]) extends Compressor
 
+  /** Zarr v3 `sharding_indexed`: one store object holds a grid of
+    * independently-encoded INNER chunks plus a fixed-size index of
+    * (offset, nbytes) uint64-LE pairs (2^64-1 = absent → fill). The
+    * outer `chunk_grid` shape is the shard; `inner` divides it
+    * exactly. This is the layout big v3 stores actually use — it
+    * keeps object counts bounded while preserving sub-shard reads.
+    */
+  final case class V3Sharded(inner: Seq[Int], innerChain: Seq[V3Codec],
+                             indexCrc: Boolean, indexAtEnd: Boolean)
+    extends Compressor
+
   /** Parsed `.zarray` metadata + the array directory it governs. */
   final case class ArrayMeta(dir: String, shape: Seq[Long], chunks: Seq[Int],
                              dtype: Dtype, order: Char,
@@ -79,10 +99,11 @@ object Zarr {
 
   /** Zarr v3 array metadata (`zarr.json`, the v3 core spec): regular
     * chunk grid, `default`/`v2` chunk-key encodings, the `bytes`
-    * array→bytes codec (endianness), and the bytes→bytes codecs
-    * gzip / zstd / blosc / crc32c. Sharding, transpose, and other
-    * extension codecs fail loudly by name. Order is always C in v3
-    * (a transpose codec would say otherwise — rejected).
+    * array→bytes codec (endianness), the bytes→bytes codecs
+    * gzip / zstd / blosc / crc32c, and `sharding_indexed` (inner
+    * chunk grid + offset/nbytes index, [[V3Sharded]]). Transpose and
+    * other extension codecs fail loudly by name. Order is always C in
+    * v3 (a transpose codec would say otherwise — rejected).
     */
   private def readArrayMetaV3(dir: String,
                               node: com.fasterxml.jackson.databind.JsonNode): ArrayMeta = {
@@ -127,29 +148,73 @@ object Zarr {
         s"$dir: v3 data_type '$other' not supported")
     }
 
-    // codecs: everything before `bytes` would be array→array (reject);
-    // `bytes` fixes the endianness; the rest are bytes→bytes
+    // codecs: `bytes` (endianness) then bytes→bytes, or a single
+    // `sharding_indexed` whose configuration nests the same shape
     val codecsNode = node.path("codecs")
     require(codecsNode.isArray && codecsNode.size() > 0,
       s"$dir: v3 codecs list missing")
     val names = (0 until codecsNode.size()).map(i => codecsNode.get(i))
-    val bytesIdx = names.indexWhere(c =>
-      c.path("name").asText() == "bytes" || c.path("name").asText() == "endian")
-    require(bytesIdx == 0,
-      s"$dir: expected the 'bytes' codec first (array→array codecs like " +
-        s"'${names.head.path("name").asText()}' are not supported)")
-    val endian = names.head.path("configuration").path("endian").asText("little")
-    require(endian == "little" || endian == "big", s"$dir: bad endian '$endian'")
-    val chain = names.drop(1).map { c =>
-      c.path("name").asText() match {
-        case "gzip" => V3Gzip
-        case "zstd" => V3Zstd
-        case "blosc" => V3Blosc
-        case "crc32c" => V3Crc32c
-        case other => throw new IllegalArgumentException(
-          s"$dir: v3 codec '$other' not supported (gzip/zstd/blosc/crc32c)")
+
+    /** `[bytes(endian), tail...]` → (endian, decoded tail chain). */
+    def parseChain(list: Seq[com.fasterxml.jackson.databind.JsonNode],
+                   what: String): (String, Seq[V3Codec]) = {
+      require(list.nonEmpty, s"$dir: $what codecs list empty")
+      val head = list.head.path("name").asText()
+      require(head == "bytes" || head == "endian",
+        s"$dir: expected the 'bytes' codec first in $what (array→array codecs " +
+          s"like '$head' are not supported)")
+      val endian = list.head.path("configuration").path("endian").asText("little")
+      require(endian == "little" || endian == "big", s"$dir: bad endian '$endian'")
+      val chain = list.drop(1).map { c =>
+        c.path("name").asText() match {
+          case "gzip" => V3Gzip
+          case "zstd" => V3Zstd
+          case "blosc" => V3Blosc
+          case "crc32c" => V3Crc32c
+          case "sharding_indexed" => throw new IllegalArgumentException(
+            s"$dir: sharding_indexed must be the only top-level codec")
+          case other => throw new IllegalArgumentException(
+            s"$dir: v3 codec '$other' not supported (gzip/zstd/blosc/crc32c)")
+        }
       }
+      (endian, chain)
     }
+
+    val (endian, compressor0) =
+      if (names.head.path("name").asText() == "sharding_indexed") {
+        require(names.size == 1,
+          s"$dir: sharding_indexed must be the only top-level codec")
+        val conf = names.head.path("configuration")
+        val ics = conf.path("chunk_shape")
+        val innerShape = (0 until ics.size()).map(i => ics.get(i).asInt())
+        require(innerShape.size == chunks.size &&
+          innerShape.zip(chunks).forall { case (i, o) => i > 0 && o % i == 0 },
+          s"$dir: inner chunk shape $innerShape does not divide shard shape $chunks")
+        val innerList = conf.path("codecs")
+        val (e, innerChain) = parseChain(
+          (0 until innerList.size()).map(innerList.get), "sharding inner")
+        val idxList = conf.path("index_codecs")
+        val idxNames = (0 until idxList.size()).map(i =>
+          idxList.get(i).path("name").asText())
+        require(idxNames.headOption.forall(n => n == "bytes" || n == "endian"),
+          s"$dir: shard index_codecs must start with bytes")
+        val idxCrc = idxNames.drop(1) match {
+          case Seq() => false
+          case Seq("crc32c") => true
+          case other => throw new IllegalArgumentException(
+            s"$dir: shard index_codecs tail $other not supported (crc32c only)")
+        }
+        val atEnd = conf.path("index_location").asText("end") match {
+          case "end" => true
+          case "start" => false
+          case other => throw new IllegalArgumentException(
+            s"$dir: index_location '$other'")
+        }
+        (e, V3Sharded(innerShape, innerChain, idxCrc, atEnd))
+      } else {
+        val (e, chain) = parseChain(names, "array")
+        (e, if (chain.isEmpty) RawCodec else V3Chain(chain))
+      }
 
     val fv = node.path("fill_value")
     val fillValue =
@@ -165,8 +230,7 @@ object Zarr {
 
     require(!(kind == 'u' && size == 8), s"$dir: uint64 would sign-flip")
     ArrayMeta(dir, shape, chunks, Dtype(endian == "big", kind, size), 'C',
-      if (chain.isEmpty) RawCodec else V3Chain(chain),
-      fillValue, sep, keyPrefix)
+      compressor0, fillValue, sep, keyPrefix)
   }
 
   private[io] def parseDtype(s: String): Dtype = {
@@ -304,39 +368,150 @@ object Zarr {
           s"${meta.dir}: zstd chunk yielded ${out.length} bytes, expected $want")
         out
       case V3Chain(codecs) =>
-        // bytes→bytes codecs invert in reverse declaration order
-        var buf = stored
-        codecs.reverse.foreach {
-          case V3Crc32c =>
-            require(buf.length >= 4, s"${meta.dir}: crc32c chunk shorter than its checksum")
-            val c = new java.util.zip.CRC32C()
-            c.update(buf, 0, buf.length - 4)
-            val want32 = (buf(buf.length - 4) & 0xFF) |
-              ((buf(buf.length - 3) & 0xFF) << 8) |
-              ((buf(buf.length - 2) & 0xFF) << 16) |
-              ((buf(buf.length - 1) & 0xFF) << 24)
-            require(c.getValue.toInt == want32,
-              f"${meta.dir}: crc32c mismatch (got 0x${c.getValue.toInt}%08x want 0x$want32%08x)")
-            buf = java.util.Arrays.copyOf(buf, buf.length - 4)
-          case V3Zstd =>
-            buf = Zstd.decompress(buf)
-          case V3Gzip =>
-            val in = new java.util.zip.GZIPInputStream(
-              new java.io.ByteArrayInputStream(buf))
-            val bos = new java.io.ByteArrayOutputStream(buf.length * 2 + 64)
-            try {
-              val tmp = new Array[Byte](1 << 14)
-              var n = in.read(tmp)
-              while (n >= 0) { bos.write(tmp, 0, n); n = in.read(tmp) }
-            } finally in.close()
-            buf = bos.toByteArray
-          case V3Blosc =>
-            buf = Blosc.decompress(buf, want.toInt, meta.dir)
-        }
-        require(buf.length == want,
-          s"${meta.dir}: v3 codec chain yielded ${buf.length} bytes, expected $want")
-        buf
+        applyV3Chain(stored, want.toInt, codecs, meta.dir)
+      case V3Sharded(inner, innerChain, indexCrc, indexAtEnd) =>
+        decodeShard(meta, stored, inner, innerChain, indexCrc, indexAtEnd)
     }
+  }
+
+  /** Inverts a v3 bytes→bytes codec chain (reverse declaration
+    * order), verifying checksums and the final regenerated size.
+    */
+  private def applyV3Chain(stored: Array[Byte], want: Int,
+                           codecs: Seq[V3Codec], ctx: String): Array[Byte] = {
+    var buf = stored
+    codecs.reverse.foreach {
+      case V3Crc32c =>
+        require(buf.length >= 4, s"$ctx: crc32c payload shorter than its checksum")
+        val c = new java.util.zip.CRC32C()
+        c.update(buf, 0, buf.length - 4)
+        val want32 = (buf(buf.length - 4) & 0xFF) |
+          ((buf(buf.length - 3) & 0xFF) << 8) |
+          ((buf(buf.length - 2) & 0xFF) << 16) |
+          ((buf(buf.length - 1) & 0xFF) << 24)
+        require(c.getValue.toInt == want32,
+          f"$ctx: crc32c mismatch (got 0x${c.getValue.toInt}%08x want 0x$want32%08x)")
+        buf = java.util.Arrays.copyOf(buf, buf.length - 4)
+      case V3Zstd =>
+        buf = Zstd.decompress(buf)
+      case V3Gzip =>
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(buf))
+        val bos = new java.io.ByteArrayOutputStream(buf.length * 2 + 64)
+        try {
+          val tmp = new Array[Byte](1 << 14)
+          var n = in.read(tmp)
+          while (n >= 0) { bos.write(tmp, 0, n); n = in.read(tmp) }
+        } finally in.close()
+        buf = bos.toByteArray
+      case V3Blosc =>
+        buf = Blosc.decompress(buf, want, ctx)
+    }
+    require(buf.length == want,
+      s"$ctx: v3 codec chain yielded ${buf.length} bytes, expected $want")
+    buf
+  }
+
+  /** Assembles one shard into its full raw cell buffer: parse the
+    * (offset, nbytes) index, decode each present inner chunk through
+    * the inner chain, place it at its C-order position; absent inner
+    * chunks (2^64-1 sentinels) hold the fill value.
+    */
+  private def decodeShard(meta: ArrayMeta, stored: Array[Byte],
+                          inner: Seq[Int], innerChain: Seq[V3Codec],
+                          indexCrc: Boolean, indexAtEnd: Boolean): Array[Byte] = {
+    val dir = meta.dir
+    val esize = meta.dtype.size
+    val outer = meta.chunks
+    val gridDims = outer.indices.map(d => outer(d) / inner(d))
+    val nInner = gridDims.map(_.toLong).product
+    require(nInner <= (1 << 24), s"$dir: shard holds $nInner inner chunks (guard)")
+    val indexSize = nInner.toInt * 16 + (if (indexCrc) 4 else 0)
+    require(stored.length >= indexSize, s"$dir: shard shorter than its index")
+    val idxBytes = {
+      val raw =
+        if (indexAtEnd) java.util.Arrays.copyOfRange(stored, stored.length - indexSize, stored.length)
+        else java.util.Arrays.copyOf(stored, indexSize)
+      applyV3Chain(raw, nInner.toInt * 16,
+        if (indexCrc) Seq(V3Crc32c) else Seq.empty, s"$dir (shard index)")
+    }
+    val idx = java.nio.ByteBuffer.wrap(idxBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+
+    val want = (meta.cellsPerChunk * esize).toInt
+    val out = new Array[Byte](want)
+    // pre-fill: absent inner chunks hold the array's fill value
+    if (meta.fillValue.exists(_ != 0.0) || meta.fillValue.exists(_.isNaN)) {
+      val fv = meta.fillValue.get
+      val bb = java.nio.ByteBuffer.wrap(out).order(
+        if (meta.dtype.bigEndian) java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN)
+      var i = 0L
+      while (i < meta.cellsPerChunk) {
+        (meta.dtype.kind, esize) match {
+          case ('f', 8) => bb.putDouble(fv)
+          case ('f', 4) => bb.putFloat(fv.toFloat)
+          case ('i', 8) => bb.putLong(fv.toLong)
+          case ('i', 4) => bb.putInt(fv.toInt)
+          case ('i', 2) => bb.putShort(fv.toShort)
+          case (_, 1) => bb.put(fv.toInt.toByte)
+          case ('u', 2) => bb.putShort(fv.toInt.toShort)
+          case ('u', 4) => bb.putInt(fv.toLong.toInt)
+          case other => throw new IllegalStateException(s"$dir: fill for dtype $other")
+        }
+        i += 1
+      }
+    }
+
+    val innerCells = inner.map(_.toLong).product
+    val innerWant = (innerCells * esize).toInt
+    val rank = outer.size
+    // iterate inner-chunk grid positions in row-major order (the
+    // index order the spec fixes)
+    val gridPos = new Array[Int](rank)
+    var flat = 0L
+    while (flat < nInner) {
+      val off = idx.getLong(flat.toInt * 16)
+      val nbytes = idx.getLong(flat.toInt * 16 + 8)
+      if (off != -1L || nbytes != -1L) { // 2^64-1 sentinels = absent
+        require(off >= 0 && nbytes > 0 && off + nbytes <= stored.length,
+          s"$dir: shard inner chunk $flat spans [$off, ${off + nbytes}) outside the shard")
+        val enc = java.util.Arrays.copyOfRange(stored, off.toInt, (off + nbytes).toInt)
+        val raw = applyV3Chain(enc, innerWant, innerChain, s"$dir (inner $flat)")
+        // place: copy contiguous last-dim runs into the outer buffer
+        val runLen = inner(rank - 1) * esize
+        val nRuns = (innerCells / inner(rank - 1)).toInt
+        val runIdx = new Array[Int](math.max(rank - 1, 1))
+        var r = 0
+        while (r < nRuns) {
+          // within-inner-chunk coords of this run's start (last dim 0)
+          var cellOff = 0L
+          var d = 0
+          while (d < rank) {
+            val within = if (d == rank - 1) 0 else runIdx(d)
+            val globalInOuter = gridPos(d) * inner(d) + within
+            cellOff = cellOff * outer(d) + globalInOuter
+            d += 1
+          }
+          System.arraycopy(raw, r * runLen, out, (cellOff * esize).toInt, runLen)
+          // advance runIdx (row-major over dims 0..rank-2)
+          var k = rank - 2
+          while (k >= 0) {
+            runIdx(k) += 1
+            if (runIdx(k) < inner(k)) k = -1 else { runIdx(k) = 0; k -= 1 }
+          }
+          r += 1
+        }
+      }
+      // advance gridPos row-major
+      var k = rank - 1
+      while (k >= 0) {
+        gridPos(k) += 1
+        if (gridPos(k) < gridDims(k)) k = -1 else { gridPos(k) = 0; k -= 1 }
+      }
+      flat += 1
+    }
+    out
   }
 
   /** Read one cell out of a decoded chunk buffer by its
@@ -669,6 +844,7 @@ object Zarr {
     val fs = hp.getFileSystem(driverConf())
     fs.isDirectory(hp) &&
       (fs.exists(new org.apache.hadoop.fs.Path(hp, ".zarray")) ||
-        fs.exists(new org.apache.hadoop.fs.Path(hp, ".zgroup")))
+        fs.exists(new org.apache.hadoop.fs.Path(hp, ".zgroup")) ||
+        fs.exists(new org.apache.hadoop.fs.Path(hp, "zarr.json"))) // v3
   }
 }

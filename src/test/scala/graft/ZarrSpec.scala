@@ -512,6 +512,169 @@ class ZarrSpec extends SparkSpec {
     }
   }
 
+  /** Hand-written v3 `sharding_indexed` store: each shard object is
+    * [encoded inner chunks][index] (or index-first), index =
+    * (offset, nbytes) uint64-LE pairs in row-major inner-grid order,
+    * absent inner chunk = 2^64-1 sentinels, optional crc32c suffix.
+    */
+  private def writeV3Sharded(dir: String, shape: Seq[Int], outer: Seq[Int],
+                             inner: Seq[Int], innerCodec: String,
+                             indexCrc: Boolean, indexAtEnd: Boolean,
+                             fill: String, f: Seq[Int] => Double,
+                             skipInner: Set[(String, Int)] = Set.empty,
+                             skipShards: Set[String] = Set.empty): Unit = {
+    val p = Paths.get(dir)
+    Files.createDirectories(p)
+    val innerCodecJson = innerCodec match {
+      case "zstd" => """, {"name": "zstd", "configuration": {"level": 3}}"""
+      case "gzip" => """, {"name": "gzip", "configuration": {"level": 5}}"""
+      case _ => ""
+    }
+    val idxCodecs = """[{"name": "bytes", "configuration": {"endian": "little"}}""" +
+      (if (indexCrc) """, {"name": "crc32c"}]""" else "]")
+    Files.writeString(p.resolve("zarr.json"),
+      s"""{"zarr_format": 3, "node_type": "array",
+         | "shape": [${shape.mkString(", ")}],
+         | "data_type": "float64",
+         | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [${outer.mkString(", ")}]}},
+         | "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+         | "fill_value": $fill,
+         | "codecs": [{"name": "sharding_indexed", "configuration": {
+         |   "chunk_shape": [${inner.mkString(", ")}],
+         |   "codecs": [{"name": "bytes", "configuration": {"endian": "little"}}$innerCodecJson],
+         |   "index_codecs": $idxCodecs,
+         |   "index_location": "${if (indexAtEnd) "end" else "start"}"}}]}""".stripMargin)
+    val rank = shape.size
+    val gridDims = outer.indices.map(d => outer(d) / inner(d))
+    val nInner = gridDims.product
+    val shardOrigins = shape.indices.foldLeft(Seq(Seq.empty[Int])) { (acc, d) =>
+      for (pre <- acc; o <- 0 until shape(d) by outer(d)) yield pre :+ o
+    }
+    shardOrigins.foreach { so =>
+      val key = "c/" + so.zipWithIndex.map { case (o, d) => o / outer(d) }.mkString("/")
+      if (!skipShards.contains(key)) {
+        val indexSize = nInner * 16 + (if (indexCrc) 4 else 0)
+        val chunksOut = new java.io.ByteArrayOutputStream()
+        val index = ByteBuffer.allocate(nInner * 16).order(ByteOrder.LITTLE_ENDIAN)
+        // inner-grid positions in row-major order
+        def gridWalk(d: Int, pos: List[Int]): Seq[Seq[Int]] =
+          if (d == rank) Seq(pos.reverse)
+          else (0 until gridDims(d)).flatMap(i => gridWalk(d + 1, i :: pos))
+        gridWalk(0, Nil).zipWithIndex.foreach { case (gpos, flat) =>
+          if (skipInner.contains((key, flat))) {
+            index.putLong(-1L).putLong(-1L)
+          } else {
+            val buf = ByteBuffer.allocate(inner.product * 8).order(ByteOrder.LITTLE_ENDIAN)
+            def cellWalk(d: Int, idx: List[Int]): Unit =
+              if (d == rank) {
+                val global = idx.reverse.zipWithIndex.map { case (i, dd) =>
+                  so(dd) + gpos(dd) * inner(dd) + i }
+                val v = if (global.zipWithIndex.forall { case (g, dd) => g < shape(dd) })
+                  f(global) else 0.0
+                buf.putDouble(v)
+              } else (0 until inner(d)).foreach(i => cellWalk(d + 1, i :: idx))
+            cellWalk(0, Nil)
+            val enc = innerCodec match {
+              case "zstd" => com.github.luben.zstd.Zstd.compress(buf.array(), 3)
+              case "gzip" =>
+                val o = new java.io.ByteArrayOutputStream()
+                val g = new java.util.zip.GZIPOutputStream(o)
+                g.write(buf.array()); g.close(); o.toByteArray
+              case _ => buf.array()
+            }
+            val off = (if (indexAtEnd) 0 else indexSize) + chunksOut.size()
+            index.putLong(off.toLong).putLong(enc.length.toLong)
+            chunksOut.write(enc)
+          }
+        }
+        val idxBytes = if (indexCrc) {
+          val c = new java.util.zip.CRC32C()
+          c.update(index.array(), 0, index.array().length)
+          val v = c.getValue.toInt
+          index.array() ++ Array[Byte](
+            (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+            ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+        } else index.array()
+        val shard =
+          if (indexAtEnd) chunksOut.toByteArray ++ idxBytes
+          else idxBytes ++ chunksOut.toByteArray
+        val target = p.resolve(key)
+        Files.createDirectories(target.getParent)
+        Files.write(target, shard)
+      }
+    }
+  }
+
+  test("v3 sharding_indexed: zstd inner chunks, crc32c index at end, absences = fill") {
+    val dir = Files.createTempDirectory("zarr-v3-shard").toString
+    def v(g: Seq[Int]): Double = g.head * 100.0 + g(1)
+    // array 8x6, shards 4x6, inner 2x3 → 2x2 inner grid per shard
+    writeV3Sharded(dir, Seq(8, 6), Seq(4, 6), Seq(2, 3), "zstd",
+      indexCrc = true, indexAtEnd = true, "NaN", v,
+      skipInner = Set(("c/0/0", 3)), // inner (1,1) of shard (0,0): rows 2-3, cols 3-5
+      skipShards = Set("c/1/0"))     // rows 4-7 entirely
+    val meta = Zarr.readArrayMeta(dir)
+    val got = Zarr.readAll(meta)
+    for (a <- 0 until 8; b <- 0 until 6) {
+      val x = got(a * 6 + b)
+      val absent = (a >= 4) || (a >= 2 && a < 4 && b >= 3)
+      if (absent) assert(x.isNaN, s"($a,$b) should be fill")
+      else assert(x === v(Seq(a, b)), s"($a,$b)")
+    }
+  }
+
+  test("v3 sharding_indexed: plain index at start, uncompressed inner chunks") {
+    val dir = Files.createTempDirectory("zarr-v3-shard2").toString
+    def v(g: Seq[Int]): Double = g.head - 2.5
+    writeV3Sharded(dir, Seq(9), Seq(6), Seq(3), "none",
+      indexCrc = false, indexAtEnd = false, "0.0", v)
+    val got = Zarr.readAll(Zarr.readArrayMeta(dir))
+    (0 until 9).foreach(a => assert(got(a) === v(Seq(a)), s"($a)"))
+  }
+
+  test("v3 sharding_indexed: corrupted index crc fails loudly") {
+    val dir = Files.createTempDirectory("zarr-v3-shard3").toString
+    writeV3Sharded(dir, Seq(4), Seq(4), Seq(2), "none",
+      indexCrc = true, indexAtEnd = true, "0.0", g => g.head)
+    val shardPath = Paths.get(dir, "c", "0")
+    val bytes = Files.readAllBytes(shardPath)
+    bytes(bytes.length - 1) = (bytes(bytes.length - 1) ^ 0x7).toByte
+    Files.write(shardPath, bytes)
+    val e = intercept[IllegalArgumentException] {
+      Zarr.readAll(Zarr.readArrayMeta(dir))
+    }
+    assert(e.getMessage.contains("crc32c"))
+  }
+
+  test("v3 hydro store ingests through the SAME GridIngest path as v2") {
+    // xarray layout, v3 metadata throughout: sharded water_temp,
+    // plain-zstd salinity, raw v3 coordinate arrays — the transparent
+    // readArrayMeta dispatch means ingestZarr needs zero changes
+    val store = tmpStore("hydro-v3")
+    def coordV3(name: String, vals: Seq[Double]): Unit =
+      writeV3Array(s"$store/$name", Seq(vals.size), Seq(vals.size), "float64",
+        "little", Seq.empty, "default", "/", "0.0", g => vals(g.head))
+    val (nT, nD, nY, nX) = (2, 2, 6, 6)
+    coordV3("time", Seq(200.0, 201.0))
+    coordV3("depth", Seq(0.0, 8.0))
+    coordV3("lat", (0 until nY).map(20.0 + _ * 0.25))
+    coordV3("lon", (0 until nX).map(300.0 + _ * 0.25))
+    def v(g: Seq[Int]): Double = g(0) * 1000 + g(1) * 100 + g(2) * 10 + g(3)
+    writeV3Sharded(s"$store/water_temp", Seq(nT, nD, nY, nX), Seq(1, 1, 6, 6),
+      Seq(1, 1, 3, 3), "zstd", indexCrc = true, indexAtEnd = true,
+      "-30000.0", v)
+    writeV3Array(s"$store/salinity", Seq(nT, nD, nY, nX), Seq(1, 1, 6, 6),
+      "float64", "little", Seq("zstd"), "default", "/", "-30000.0",
+      g => v(g) + 0.5)
+    val df = GridIngest.ingestZarr(spark, store).cache()
+    assert(df.count() === nT * nD * nY * nX)
+    val row = df.filter($"time" === 201L && $"depth_idx" === 1 &&
+      $"lat_idx" === 5 && $"lon_idx" === 4).head
+    assert(row.getAs[Double]("water_temp") === 1154.0)
+    assert(row.getAs[Double]("salinity") === 1154.5)
+    assert(row.getAs[Double]("lat") === 21.25)
+  }
+
   test("v3 store: default key encoding, zstd codec, missing chunk = fill") {
     val dir = Files.createTempDirectory("zarr-v3").toString
     def v(g: Seq[Int]): Double = g.head * 10.0 + g(1)
@@ -556,9 +719,16 @@ class ZarrSpec extends SparkSpec {
            | "fill_value": 0, "codecs": $codecs}""".stripMargin)
       dir
     }
-    val shard = intercept[IllegalArgumentException](Zarr.readArrayMeta(store(
+    // sharding_indexed is SUPPORTED — but only as the sole top-level
+    // codec, and the inner grid must divide the shard
+    val shardPos = intercept[IllegalArgumentException](Zarr.readArrayMeta(store(
       """[{"name": "bytes", "configuration": {"endian": "little"}}, {"name": "sharding_indexed"}]""")))
-    assert(shard.getMessage.contains("sharding_indexed"))
+    assert(shardPos.getMessage.contains("sharding_indexed"))
+    val shardDiv = intercept[IllegalArgumentException](Zarr.readArrayMeta(store(
+      """[{"name": "sharding_indexed", "configuration": {"chunk_shape": [3],
+        |  "codecs": [{"name": "bytes", "configuration": {"endian": "little"}}],
+        |  "index_codecs": [{"name": "bytes", "configuration": {"endian": "little"}}]}}]""".stripMargin)))
+    assert(shardDiv.getMessage.contains("divide"))
     val transpose = intercept[IllegalArgumentException](Zarr.readArrayMeta(store(
       """[{"name": "transpose", "configuration": {"order": [0]}}, {"name": "bytes"}]""")))
     assert(transpose.getMessage.contains("transpose"))
