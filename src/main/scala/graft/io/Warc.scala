@@ -34,8 +34,11 @@ object Warc {
   /** One parsed WARC record. `http_status`/`http_content_type` are
     * populated for `response` records carrying `application/http`;
     * `payload` is then the DECODED response body (de-chunked,
-    * de-gzipped). For every other record type `payload` is the raw
-    * content block.
+    * de-gzipped) and `payload_encoding` is None — unless the capture
+    * used a content coding this decoder does not speak (`br`, ...),
+    * in which case the wire bytes are kept and the coding is surfaced
+    * here for explicit quarantine. For every other record type
+    * `payload` is the raw content block.
     */
   case class WarcRecord(
       warc_file: String,
@@ -47,7 +50,8 @@ object Warc {
       content_length: Long,
       http_status: Option[Int],
       http_content_type: Option[String],
-      payload: Array[Byte])
+      payload: Array[Byte],
+      payload_encoding: Option[String])
 
   // guards: fail loudly on garbage rather than allocate unboundedly
   private val MaxHeaderLine = 1 << 20      // 1 MiB header line
@@ -90,7 +94,8 @@ object Warc {
     * continuation lines (leading SP/HT) folded onto the previous
     * value with a single space.
     */
-  private def readHeaders(in: InputStream, what: String): collection.mutable.LinkedHashMap[String, String] = {
+  private def readHeaders(in: InputStream, what: String,
+                          strict: Boolean = true): collection.mutable.LinkedHashMap[String, String] = {
     val hs = collection.mutable.LinkedHashMap.empty[String, String]
     var last: String = null
     var line = readLine(in)
@@ -99,9 +104,19 @@ object Warc {
         hs(last) = hs(last) + " " + line.trim
       } else {
         val c = line.indexOf(':')
-        require(c > 0, s"$what: malformed header line '${line.take(80)}'")
-        last = line.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT)
-        hs(last) = line.substring(c + 1).trim
+        if (c > 0) {
+          last = line.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT)
+          hs(last) = line.substring(c + 1).trim
+        } else if (strict) {
+          // WARC framing headers: corruption here means record
+          // boundaries are unknowable — fail the file loudly
+          throw new IllegalArgumentException(
+            s"$what: malformed header line '${line.take(80)}'")
+        } else {
+          // HTTP payload headers are server-emitted DATA — real
+          // captures contain colon-less garbage lines; skip them
+          last = null
+        }
       }
       line = readLine(in)
     }
@@ -109,8 +124,11 @@ object Warc {
   }
 
   /** Parses a (possibly multi-member-gzip) WARC stream lazily, one
-    * record per `next()` — O(record) memory. The caller's stream is
-    * closed when the iterator is exhausted.
+    * record per `next()` — O(record) memory. The stream is closed on
+    * clean EOF and on any parse failure; callers that may stop early
+    * (limits, downstream exceptions) must also close `raw` themselves
+    * — [[readWarc]] registers a task-completion listener for exactly
+    * that.
     */
   def parseStream(raw: InputStream, file: String): Iterator[WarcRecord] = {
     val pb = new PushbackInputStream(new BufferedInputStream(raw, 1 << 16), 2)
@@ -128,7 +146,14 @@ object Warc {
       private var nextRec: WarcRecord = null
       private var done = false
 
-      private def advance(): Unit = {
+      private def advance(): Unit = try advanceInner() catch {
+        case e: Throwable =>
+          done = true
+          try in.close() catch { case _: Throwable => () }
+          throw e
+      }
+
+      private def advanceInner(): Unit = {
         if (done) return
         // skip inter-record blank lines (the \r\n\r\n trailer of the
         // previous record, tolerant of extras)
@@ -145,9 +170,9 @@ object Warc {
         val ctype = hs.get("content-type")
         val isHttpResponse = wtype == "response" &&
           ctype.exists(_.toLowerCase(java.util.Locale.ROOT).startsWith("application/http"))
-        val (status, httpCt, payload) =
+        val (status, httpCt, payload, residual) =
           if (isHttpResponse) parseHttpResponse(block, file)
-          else (None, None, block)
+          else (None, None, block, None)
         nextRec = WarcRecord(
           warc_file = file,
           warc_type = wtype,
@@ -158,7 +183,8 @@ object Warc {
           content_length = len,
           http_status = status,
           http_content_type = httpCt,
-          payload = payload)
+          payload = payload,
+          payload_encoding = residual)
       }
 
       advance()
@@ -176,21 +202,27 @@ object Warc {
   // ------------------------------------------------- HTTP payload
 
   /** Splits an `application/http; msgtype=response` block into
-    * (status, content-type, decoded body): status line + headers up
-    * to the first blank line, then the body de-chunked if
-    * `Transfer-Encoding: chunked` and decompressed if
-    * `Content-Encoding: gzip|x-gzip|deflate` (in that order, per RFC
-    * 9112 §6.1: Transfer-Encoding is hop framing, Content-Encoding is
-    * representation coding).
+    * (status, content-type, decoded body, residual coding): status
+    * line + headers up to the first blank line (malformed payload
+    * header lines are server-emitted DATA and are skipped, not
+    * fatal), then the body de-chunked if `Transfer-Encoding: chunked`
+    * and decompressed if `Content-Encoding: gzip|x-gzip|deflate` (in
+    * that order, per RFC 9112 §6.1: Transfer-Encoding is hop framing,
+    * Content-Encoding is representation coding). A coding this
+    * decoder does not speak (`br`, multi-codings) is NOT an error —
+    * the wire bytes are returned and the coding is surfaced in
+    * `payload_encoding` so pipelines can quarantine those rows
+    * explicitly (the corrupt-line-column pattern of [[DocSource]]).
     */
-  private[io] def parseHttpResponse(block: Array[Byte], what: String): (Option[Int], Option[String], Array[Byte]) = {
+  private[io] def parseHttpResponse(block: Array[Byte], what: String)
+      : (Option[Int], Option[String], Array[Byte], Option[String]) = {
     val in = new ByteArrayInputStream(block)
     val statusLine = readLine(in)
     if (statusLine == null || !statusLine.startsWith("HTTP/"))
-      return (None, None, block) // not actually HTTP — keep raw
+      return (None, None, block, None) // not actually HTTP — keep raw
     val parts = statusLine.split(" ", 3)
     val status = if (parts.length >= 2) parts(1).toIntOption else None
-    val hs = readHeaders(in, what)
+    val hs = readHeaders(in, what, strict = false)
     var body = {
       val rest = new ByteArrayOutputStream(in.available())
       val buf = new Array[Byte](1 << 14)
@@ -200,12 +232,14 @@ object Warc {
     }
     if (hs.get("transfer-encoding").exists(_.toLowerCase(java.util.Locale.ROOT).contains("chunked")))
       body = dechunk(body, what)
-    hs.get("content-encoding").map(_.trim.toLowerCase(java.util.Locale.ROOT)) match {
-      case Some("gzip") | Some("x-gzip") => body = gunzip(body, what)
-      case Some("deflate") => body = inflate(body, what)
-      case _ => ()
+    val coding = hs.get("content-encoding").map(_.trim.toLowerCase(java.util.Locale.ROOT))
+      .filter(c => c.nonEmpty && c != "identity" && c != "none")
+    val residual = coding match {
+      case Some("gzip") | Some("x-gzip") => body = gunzip(body, what); None
+      case Some("deflate") => body = inflate(body, what); None
+      case other => other // undecoded wire bytes, surfaced to the row
     }
-    (status, hs.get("content-type"), body)
+    (status, hs.get("content-type"), body, residual)
   }
 
   /** RFC 9112 §7.1 chunked coding: `hex-size[;ext]CRLF data CRLF`
@@ -234,14 +268,8 @@ object Warc {
     throw new EOFException(s"$what: chunked body without terminating 0 chunk")
   }
 
-  private def gunzip(b: Array[Byte], what: String): Array[Byte] = {
-    val in = new GZIPInputStream(new ByteArrayInputStream(b))
-    val out = new ByteArrayOutputStream(b.length * 2 + 64)
-    val buf = new Array[Byte](1 << 14)
-    var k = in.read(buf)
-    while (k >= 0) { out.write(buf, 0, k); k = in.read(buf) }
-    out.toByteArray
-  }
+  private def gunzip(b: Array[Byte], what: String): Array[Byte] =
+    Codecs.gunzipAll(b)
 
   /** `deflate` in the wild is zlib-wrapped (RFC 9110 §8.4.1.2); some
     * servers send raw DEFLATE — try zlib first, fall back raw.
@@ -289,9 +317,18 @@ object Warc {
     val box = new graft.io.Zarr.ConfBox(conf)
     spark.createDataset(files).repartition(nPart)
       .mapPartitions { paths =>
+        // parseStream closes on clean EOF and on parse failure; the
+        // listener covers early termination (limits, downstream
+        // errors) so no HDFS/S3 connection outlives its task
+        val open = new java.util.ArrayList[java.io.InputStream]()
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+          open.forEach(s => try s.close() catch { case _: Throwable => () })
+        }
         paths.flatMap { f =>
           val hp = new org.apache.hadoop.fs.Path(f)
           val stream = hp.getFileSystem(box.conf).open(hp)
+          open.add(stream)
           parseStream(stream, f)
         }
       }
@@ -424,7 +461,12 @@ object Warc {
           }
         } finally out.close()
         if (!fs.rename(tmpPath, finalPath)) {
-          // a speculative twin already committed an identical segment
+          // rename refusal is only legitimate when a speculative twin
+          // already committed the identical segment — anything else
+          // (permissions, transient store error) must NOT silently
+          // drop this partition's records (the Zarr sink discipline)
+          require(fs.exists(finalPath),
+            s"writeWarcGz: rename $tmpPath -> $finalPath failed with no committed twin")
           fs.delete(tmpPath, false)
         }
       }

@@ -198,6 +198,12 @@ object Zarr {
           idxList.get(i).path("name").asText())
         require(idxNames.headOption.forall(n => n == "bytes" || n == "endian"),
           s"$dir: shard index_codecs must start with bytes")
+        if (idxList.size() > 0) {
+          val idxEndian = idxList.get(0).path("configuration")
+            .path("endian").asText("little")
+          require(idxEndian == "little",
+            s"$dir: shard index endianness '$idxEndian' not supported (little only)")
+        }
         val idxCrc = idxNames.drop(1) match {
           case Seq() => false
           case Seq("crc32c") => true
@@ -395,15 +401,7 @@ object Zarr {
       case V3Zstd =>
         buf = Zstd.decompress(buf)
       case V3Gzip =>
-        val in = new java.util.zip.GZIPInputStream(
-          new java.io.ByteArrayInputStream(buf))
-        val bos = new java.io.ByteArrayOutputStream(buf.length * 2 + 64)
-        try {
-          val tmp = new Array[Byte](1 << 14)
-          var n = in.read(tmp)
-          while (n >= 0) { bos.write(tmp, 0, n); n = in.read(tmp) }
-        } finally in.close()
-        buf = bos.toByteArray
+        buf = Codecs.gunzipAll(buf)
       case V3Blosc =>
         buf = Blosc.decompress(buf, want, ctx)
     }
@@ -440,27 +438,28 @@ object Zarr {
 
     val want = (meta.cellsPerChunk * esize).toInt
     val out = new Array[Byte](want)
-    // pre-fill: absent inner chunks hold the array's fill value
-    if (meta.fillValue.exists(_ != 0.0) || meta.fillValue.exists(_.isNaN)) {
+    // pre-fill: absent inner chunks hold the array's fill value —
+    // encode ONE element's byte pattern and tile it (no per-cell
+    // dispatch/boxing over a potentially multi-million-cell shard)
+    if (meta.fillValue.exists(v => v != 0.0 || v.isNaN)) {
       val fv = meta.fillValue.get
-      val bb = java.nio.ByteBuffer.wrap(out).order(
+      val one = java.nio.ByteBuffer.allocate(esize).order(
         if (meta.dtype.bigEndian) java.nio.ByteOrder.BIG_ENDIAN
         else java.nio.ByteOrder.LITTLE_ENDIAN)
-      var i = 0L
-      while (i < meta.cellsPerChunk) {
-        (meta.dtype.kind, esize) match {
-          case ('f', 8) => bb.putDouble(fv)
-          case ('f', 4) => bb.putFloat(fv.toFloat)
-          case ('i', 8) => bb.putLong(fv.toLong)
-          case ('i', 4) => bb.putInt(fv.toInt)
-          case ('i', 2) => bb.putShort(fv.toShort)
-          case (_, 1) => bb.put(fv.toInt.toByte)
-          case ('u', 2) => bb.putShort(fv.toInt.toShort)
-          case ('u', 4) => bb.putInt(fv.toLong.toInt)
-          case other => throw new IllegalStateException(s"$dir: fill for dtype $other")
-        }
-        i += 1
+      (meta.dtype.kind, esize) match {
+        case ('f', 8) => one.putDouble(fv)
+        case ('f', 4) => one.putFloat(fv.toFloat)
+        case ('i', 8) => one.putLong(fv.toLong)
+        case ('i', 4) => one.putInt(fv.toInt)
+        case ('i', 2) => one.putShort(fv.toShort)
+        case (_, 1) => one.put(fv.toInt.toByte)
+        case ('u', 2) => one.putShort(fv.toInt.toShort)
+        case ('u', 4) => one.putInt(fv.toLong.toInt)
+        case other => throw new IllegalStateException(s"$dir: fill for dtype $other")
       }
+      val pat = one.array()
+      var off = 0
+      while (off < want) { System.arraycopy(pat, 0, out, off, esize); off += esize }
     }
 
     val innerCells = inner.map(_.toLong).product

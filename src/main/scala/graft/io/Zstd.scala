@@ -394,7 +394,8 @@ object Zstd {
           s2 = ft.baseline(s2) + bs.read(ft.nbBits(s2))
           if (bs.pos < 0) { ws += ft.symbol(s1); done = true }
         }
-        require(ws.size <= 256, "zstd: huffman weights overrun 255 symbols")
+        // spec max: symbols 0..254 explicit + 1 implicit = 255 explicit
+        require(ws.size <= 255, "zstd: huffman weights overrun 255 symbols")
       }
       val weights = new Array[Int](ws.size + 1)
       var i = 0
@@ -495,9 +496,14 @@ object Zstd {
     var pos = blockStart
 
     // ---- literals section
+    require(pos < limit, "zstd: empty compressed block")
     val b0 = src(pos) & 0xFF
     val litType = b0 & 3
     val sizeFormat = (b0 >>> 2) & 3
+    // widest size-header is 5 bytes — bound every header read to the
+    // block so a corrupt bsize cannot read the next block's bytes
+    def needHeader(n: Int): Unit = require(pos + n <= limit,
+      s"zstd: literals size header ($n bytes) overruns block")
     var regenSize = 0
     var compSize = 0
     var fourStreams = false
@@ -505,20 +511,24 @@ object Zstd {
       sizeFormat match {
         case 0 | 2 => regenSize = b0 >>> 3; pos += 1
         case 1 =>
+          needHeader(2)
           regenSize = (b0 >>> 4) | ((src(pos + 1) & 0xFF) << 4); pos += 2
         case 3 =>
+          needHeader(3)
           regenSize = (b0 >>> 4) | ((src(pos + 1) & 0xFF) << 4) |
             ((src(pos + 2) & 0xFF) << 12); pos += 3
       }
     } else { // compressed / treeless
       sizeFormat match {
         case 0 | 1 =>
+          needHeader(3)
           val b1 = src(pos + 1) & 0xFF; val b2 = src(pos + 2) & 0xFF
           regenSize = (b0 >>> 4) | ((b1 & 0x3F) << 4)
           compSize = (b1 >>> 6) | (b2 << 2)
           fourStreams = sizeFormat == 1
           pos += 3
         case 2 =>
+          needHeader(4)
           val b1 = src(pos + 1) & 0xFF; val b2 = src(pos + 2) & 0xFF
           val b3 = src(pos + 3) & 0xFF
           regenSize = (b0 >>> 4) | (b1 << 4) | ((b2 & 0x03) << 12)
@@ -526,6 +536,7 @@ object Zstd {
           fourStreams = true
           pos += 4
         case 3 =>
+          needHeader(5)
           val b1 = src(pos + 1) & 0xFF; val b2 = src(pos + 2) & 0xFF
           val b3 = src(pos + 3) & 0xFF; val b4 = src(pos + 4) & 0xFF
           regenSize = (b0 >>> 4) | (b1 << 4) | ((b2 & 0x3F) << 12)

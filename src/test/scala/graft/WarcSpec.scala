@@ -61,6 +61,7 @@ class WarcSpec extends SparkSpec {
     assert(rs(2).http_status === Some(200))
     assert(rs(2).http_content_type === Some("text/plain"))
     assert(new String(rs(2).payload, ISO_8859_1) === "hello warc!")
+    assert(rs(2).payload_encoding === None)
     assert(rs(2).content_length > 11) // the HTTP block, not the body
   }
 
@@ -134,6 +135,39 @@ class WarcSpec extends SparkSpec {
     assert(new String(parse(rec("gzip", gz("zipped body"))).head.payload, ISO_8859_1) === "zipped body")
     assert(new String(parse(rec("deflate", zlib("zlib body", false))).head.payload, ISO_8859_1) === "zlib body")
     assert(new String(parse(rec("deflate", zlib("raw body", true))).head.payload, ISO_8859_1) === "raw body")
+  }
+
+  test("unknown content coding is surfaced for quarantine, not silently kept") {
+    val wire = Array[Byte](1, 2, 3, 4, 5)
+    val head = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      "Content-Encoding: br\r\nContent-Length: 5\r\n\r\n"
+    val block = b(head) ++ wire
+    val rec = b("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Record-ID: <urn:test:br>\r\nWARC-Date: 2026-08-14T00:00:04Z\r\n" +
+      "Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${block.length}\r\n\r\n") ++ block ++ b("\r\n\r\n")
+    val r = parse(rec).head
+    assert(r.payload_encoding === Some("br"))
+    assert(r.payload.toSeq === wire.toSeq) // wire bytes kept, not dropped
+    assert(r.http_status === Some(200))
+    // identity coding is NOT residual
+    val r2 = parse(responseRecord(
+      "HTTP/1.1 200 OK\r\nContent-Encoding: identity\r\nContent-Length: 2\r\n\r\nok")).head
+    assert(r2.payload_encoding === None)
+    assert(new String(r2.payload, ISO_8859_1) === "ok")
+  }
+
+  test("malformed HTTP payload header lines are data, not fatal") {
+    val http = "HTTP/1.1 200 OK\r\nthis line has no colon\r\n" +
+      "Content-Type: text/plain\r\nContent-Length: 2\r\n\r\nhi"
+    val r = parse(responseRecord(http)).head
+    assert(r.http_status === Some(200))
+    assert(r.http_content_type === Some("text/plain"))
+    assert(new String(r.payload, ISO_8859_1) === "hi")
+    // WARC FRAMING headers stay strict: corruption there is fatal
+    val bad = b("WARC/1.0\r\nno colon here\r\nContent-Length: 0\r\n\r\n\r\n\r\n")
+    val e = intercept[IllegalArgumentException] { parse(bad) }
+    assert(e.getMessage.contains("malformed header"))
   }
 
   test("header continuation lines fold; names are case-insensitive") {
