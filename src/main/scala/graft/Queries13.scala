@@ -110,7 +110,8 @@ object Queries13 extends ColumnSyntax {
     val hp = new org.apache.hadoop.fs.Path(Q132Dir)
     val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(hp, true) // stale segments from a prior run/partitioning
-    graft.io.Warc.writeWarcGz(rows.repartition(8), Q132Dir, wireVariants = true)
+    val nSeg = math.max(8, s.sparkContext.defaultParallelism)
+    graft.io.Warc.writeWarcGz(rows.repartition(nSeg), Q132Dir, wireVariants = true)
     graft.io.Warc.responses(graft.io.Warc.readWarc(s, Q132Dir))
       .select(
         regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),

@@ -193,16 +193,18 @@ object Zstd {
 
     def read(n: Int): Int = {
       pos -= n
-      var v = 0; var j = 0
-      while (j < n) {
-        val p = pos + j
-        if (p >= 0) {
-          val bit = (src(from + (p >> 3)) >> (p & 7)) & 1
-          v |= bit << j
-        }
-        j += 1
+      if (n == 0) return 0
+      // gather the covering bytes into a long and shift once — the
+      // per-bit loop this replaced dominated whole-stream decode
+      val firstByte = pos >> 3 // arithmetic shift: correct for pos < 0
+      val lastByte = (pos + n - 1) >> 3
+      var v = 0L
+      var b = lastByte
+      while (b >= firstByte) {
+        v = (v << 8) | (if (b >= 0) (src(from + b) & 0xFFL) else 0L)
+        b -= 1
       }
-      v
+      ((v >>> (pos - (firstByte << 3))) & ((1L << n) - 1)).toInt
     }
 
     /** Peek `n` bits without consuming (zero-filled past the start). */
