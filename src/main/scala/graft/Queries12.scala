@@ -88,8 +88,7 @@ object Queries12 extends ColumnSyntax {
     * bounded [[graft.ext.Sketches.bottomKRows]] aggregate — the
     * crawl-mix quota with O(k) state per domain, no per-domain sort.
     */
-  private def plantedUrls(s: SparkSession, dir: String): DataFrame = {
-    val d = $"doc_id"
+  private[graft] def plantedUrlCol(d: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val scheme = element_at(
       array(lit("HTTP"), lit("https"), lit("Http"), lit("https")),
       (d % 4 + 1).cast("int"))
@@ -117,9 +116,11 @@ object Queries12 extends ColumnSyntax {
       (d % 7 + 1).cast("int"))
     val frag = when(d % 3 === 0,
       concat(lit("#sec"), d.cast("string"))).otherwise(lit(""))
-    Tables.docsPar(s, dir).select($"doc_id",
-      concat(scheme, lit("://"), hostRaw, port, path, query, frag).as("url"))
+    concat(scheme, lit("://"), hostRaw, port, path, query, frag)
   }
+
+  private def plantedUrls(s: SparkSession, dir: String): DataFrame =
+    Tables.docsPar(s, dir).select($"doc_id", plantedUrlCol($"doc_id").as("url"))
 
   private def q129(s: SparkSession, dir: String): DataFrame =
     graft.ext.WebOps.withNormalizedUrls(plantedUrls(s, dir), "url")
@@ -131,7 +132,7 @@ object Queries12 extends ColumnSyntax {
     * fragment drop, iterated dot-segment collapse, tracking-param
     * filter, registered-domain rollup via label lists.
     */
-  private val urlNormCtes =
+  private[graft] val urlNormCtes =
     """parts AS (
       |  SELECT doc_id, url,
       |    lower(split_part(url, '://', 1)) AS scheme,
@@ -184,7 +185,7 @@ object Queries12 extends ColumnSyntax {
       |  FROM dom
       |)""".stripMargin
 
-  private val plantedUrlSql =
+  private[graft] val plantedUrlSql =
     """planted AS (
       |  SELECT doc_id,
       |    ['HTTP','https','Http','https'][(doc_id % 4) + 1] || '://' ||

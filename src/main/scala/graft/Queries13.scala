@@ -55,15 +55,17 @@ object Queries13 extends ColumnSyntax {
         lit(H6)).as("html"))
   }
 
-  private val synthSql =
+  private def synthSqlOver(src: String): String =
     s"""synth AS (
        |  SELECT doc_id, ${sqlStr(H1)} || lang || ${sqlStr(H2)} || doc_id ||
        |    ${sqlStr(H3)} || source || ${sqlStr(H4)} || doc_id ||
        |    ${sqlStr(H5)} ||
        |    replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') ||
        |    ${sqlStr(H6)} AS html
-       |  FROM documents
+       |  FROM $src
        |)""".stripMargin
+
+  private val synthSql = synthSqlOver("documents")
 
   /** The [[graft.fn.HtmlKernels]] pass pipeline, replayed in SQL
     * step for step (see that object's scaladoc for the contract).
@@ -129,11 +131,120 @@ object Queries13 extends ColumnSyntax {
        |  CAST(length(text_out) AS BIGINT) AS n_out
        |FROM ext ORDER BY doc_id""".stripMargin
 
+  // ------- q133: the end-to-end crawl-curation pipeline, hash-gated
+  /** Composes the round-9 web surface into ONE graded pipeline — the
+    * shape a crawl-to-corpus job actually has: page synthesis (PII
+    * planted into the raw text first, the q127 arithmetic; crawl URL
+    * planted per q129) → `html_text` extraction → token-count quality
+    * gate → PII scrub → exact near-dup drop (argmin-struct aggregate,
+    * q63's derived key — no window) → URL normalization → per-domain
+    * quota through the bounded bottom-k aggregate. Every stage's SQL
+    * twin is an already-proven oracle fragment, stitched into one
+    * WITH chain.
+    */
+  private def q133(s: SparkSession, dir: String): DataFrame = {
+    val d = $"doc_id"
+    // 1. PII plants into the raw text (the q127 plant, pre-synthesis)
+    val plantedText = concat($"text",
+      when(d % 7 === 0, concat(lit(" contact user"), d.cast("string"),
+        lit("@example.com now"))).otherwise(lit("")),
+      when(d % 5 === 0, concat(lit(" from 10.0."), (d % 256).cast("string"),
+        lit("."), (d % 100).cast("string"), lit(" up"))).otherwise(lit("")),
+      when(d % 11 === 0, concat(lit(" call +1-555-"),
+        (lit(1000) + d % 9000).cast("string"), lit(" ok"))).otherwise(lit("")))
+    val base = Tables.docsPar(s, dir).select(d, $"lang", $"source",
+      plantedText.as("ptext"), Queries12.plantedUrlCol(d).as("url"))
+    // 2. the q131 page template over the planted text
+    val esc = expr(
+      "replace(replace(replace(ptext, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')")
+    val pages = base.select($"doc_id", $"url",
+      concat(lit(H1), $"lang", lit(H2), $"doc_id".cast("string"), lit(H3),
+        $"source", lit(H4), $"doc_id".cast("string"), lit(H5), esc,
+        lit(H6)).as("html"))
+    // 3. extract + token-count quality gate
+    val ext = pages
+      .select($"doc_id", $"url", htmlTextCol($"html").as("text_out"))
+      .where(size(split($"text_out", " ")) >= 20)
+    // 4. PII scrub (counts + sequential redaction, one pii_scan kernel)
+    val scrub = ext.select($"doc_id", $"url",
+        gb.column(graft.fn.PiiScan(gb.expression($"text_out"))).as("__p"))
+      .select($"doc_id", $"url",
+        ($"__p.n_email" + $"__p.n_ipv4" + $"__p.n_phone").as("n_pii"),
+        $"__p.redacted".as("redacted"))
+    // 5. exact dedup on a derived key (tokens 6-10 — past the template
+    //    preamble, into the document text); argmin-struct keeps the
+    //    lowest doc_id per group with NO window over the corpus
+    val keyed = scrub.withColumn("dup_key",
+      md5(concat_ws(" ", slice(split($"redacted", " "), 6, 5))))
+    val kept = keyed.groupBy($"dup_key")
+      .agg(min(struct($"doc_id", $"url", $"n_pii", $"redacted")).as("__w"))
+      .select($"__w.doc_id".as("doc_id"), $"__w.url".as("url"),
+        $"__w.n_pii".as("n_pii"), $"__w.redacted".as("redacted"))
+    // 6. URL normalization + 2-per-domain quota (bounded aggregate)
+    val normed = graft.ext.WebOps.withNormalizedUrls(kept, "url")
+      .select($"doc_id", $"domain", $"norm_url", $"n_pii",
+        length($"redacted").cast("long").as("n_out"))
+    graft.ext.WebOps.domainQuota(normed, "domain", $"doc_id", k = 2)
+      .orderBy($"domain", $"doc_id")
+  }
+
+  private val q133Sql = {
+    val em = graft.ext.TextOps.EmailRe
+    val ip = graft.ext.TextOps.Ipv4Re
+    val ph = graft.ext.TextOps.PhoneRe
+    // piidocs mirrors step 1; synth/ext come from the q131 fragments
+    // rebased onto piidocs; the URL plant + normalization CTEs are
+    // q129's verbatim (they read `documents` / `planted` by name)
+    s"""WITH piidocs AS (
+       |  SELECT doc_id, lang, source, text
+       |    || CASE WHEN doc_id % 7 = 0
+       |            THEN ' contact user' || doc_id || '@example.com now' ELSE '' END
+       |    || CASE WHEN doc_id % 5 = 0
+       |            THEN ' from 10.0.' || (doc_id % 256) || '.' || (doc_id % 100) || ' up'
+       |            ELSE '' END
+       |    || CASE WHEN doc_id % 11 = 0
+       |            THEN ' call +1-555-' || (1000 + doc_id % 9000) || ' ok' ELSE '' END
+       |    AS text
+       |  FROM documents
+       |), ${Queries12.plantedUrlSql}, ${Queries12.urlNormCtes},
+       |${synthSqlOver("piidocs")}, $extractSql,
+       |kept AS (
+       |  SELECT doc_id, text_out FROM ext
+       |  WHERE len(string_split(text_out, ' ')) >= 20
+       |), scrub AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(text_out, '$em'))
+       |       + len(regexp_extract_all(text_out, '$ip'))
+       |       + len(regexp_extract_all(text_out, '$ph')) AS BIGINT) AS n_pii,
+       |    regexp_replace(regexp_replace(regexp_replace(text_out,
+       |      '$em', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$ph', '<PHONE>', 'g')
+       |      AS redacted
+       |  FROM kept
+       |), keyed AS (
+       |  SELECT *, md5(array_to_string(string_split(redacted, ' ')[6:10], ' ')) AS dup_key
+       |  FROM scrub
+       |), dedup AS (
+       |  SELECT doc_id, n_pii, redacted FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY dup_key ORDER BY doc_id) AS rn
+       |    FROM keyed) WHERE rn = 1
+       |), joined AS (
+       |  SELECT d.doc_id, n.domain, n.norm_url, d.n_pii,
+       |    CAST(length(d.redacted) AS BIGINT) AS n_out
+       |  FROM dedup d JOIN norm n USING (doc_id)
+       |)
+       |SELECT doc_id, domain, norm_url, n_pii, n_out FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id) AS rq
+       |  FROM joined) WHERE rq <= 2
+       |ORDER BY domain, doc_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_html_extract" -> (q131 _),
-    "q132_warc_roundtrip" -> (q132 _))
+    "q132_warc_roundtrip" -> (q132 _),
+    "q133_crawl_pipeline" -> (q133 _))
 
   val oracles: Map[String, String] = Map(
     "q131_html_extract" -> q131Sql,
-    "q132_warc_roundtrip" -> q132Sql)
+    "q132_warc_roundtrip" -> q132Sql,
+    "q133_crawl_pipeline" -> q133Sql)
 }

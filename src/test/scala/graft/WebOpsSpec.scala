@@ -77,4 +77,14 @@ class WebOpsSpec extends SparkSpec {
     assert(got.getString(1) === "x.co.uk")
     assert(spark.sql("SELECT url_normalize('junk') IS NULL AS n").head().getBoolean(0))
   }
+
+  test("q133 crawl pipeline: no Window operator anywhere in the plan") {
+    // dedup = argmin-struct aggregate, quota = bounded bottom-k — a
+    // Window.partitionBy over the corpus is the skew scale-killer
+    // this pipeline must never reintroduce
+    val df = SparkEntry.queries("q133_crawl_pipeline")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "q133 plan must not contain a Window")
+    assert(df.count() > 0)
+  }
 }
