@@ -664,6 +664,41 @@ object Zarr {
     putObject(fs, new org.apache.hadoop.fs.Path(p, "0"), buf.array())
   }
 
+  /** v3 twin of [[writeCoordArray]]: raw float64, key `c/0`. */
+  private def writeCoordArrayV3(fs: org.apache.hadoop.fs.FileSystem,
+                                dir: String, vals: Array[Double]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    fs.mkdirs(p)
+    putObject(fs, new org.apache.hadoop.fs.Path(p, "zarr.json"),
+      s"""{"zarr_format": 3, "node_type": "array",
+         | "shape": [${vals.length}], "data_type": "float64",
+         | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [${vals.length}]}},
+         | "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+         | "fill_value": 0.0,
+         | "codecs": [{"name": "bytes", "configuration": {"endian": "little"}}]}"""
+        .stripMargin.getBytes("UTF-8"))
+    val buf = ByteBuffer.allocate(vals.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+    vals.foreach(buf.putDouble)
+    putObject(fs, new org.apache.hadoop.fs.Path(p, "c/0"), buf.array())
+  }
+
+  /** v3 twin of [[writeDataArrayMeta]]: float64, gzip codec chain. */
+  private def writeDataArrayMetaV3(fs: org.apache.hadoop.fs.FileSystem,
+                                   dir: String, shape: Seq[Int],
+                                   chunks: Seq[Int], fill: Double): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    fs.mkdirs(p)
+    putObject(fs, new org.apache.hadoop.fs.Path(p, "zarr.json"),
+      s"""{"zarr_format": 3, "node_type": "array",
+         | "shape": [${shape.mkString(", ")}], "data_type": "float64",
+         | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [${chunks.mkString(", ")}]}},
+         | "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+         | "fill_value": $fill,
+         | "codecs": [{"name": "bytes", "configuration": {"endian": "little"}},
+         |            {"name": "gzip", "configuration": {"level": 1}}]}"""
+        .stripMargin.getBytes("UTF-8"))
+  }
+
   private def writeDataArrayMeta(fs: org.apache.hadoop.fs.FileSystem,
                                  dir: String, shape: Seq[Int],
                                  chunks: Seq[Int], fill: Double): Unit = {
@@ -700,7 +735,8 @@ object Zarr {
   def writeStore(grid: org.apache.spark.sql.DataFrame,
                  spec: graft.io.SyntheticGrid.GridSpec, path: String,
                  chunkT: Int = 1, chunkD: Int = 8,
-                 chunkY: Int = 64, chunkX: Int = 64): Unit = {
+                 chunkY: Int = 64, chunkX: Int = 64,
+                 formatV3: Boolean = false): Unit = {
     import org.apache.spark.sql.functions._
     val fill = GridIngest.Fill
     val hconf = grid.sparkSession.sparkContext.hadoopConfiguration
@@ -742,15 +778,25 @@ object Zarr {
           val bb = ByteBuffer.allocate(cells.length * 8)
             .order(ByteOrder.LITTLE_ENDIAN)
           cells.foreach(bb.putDouble)
-          val defl = new java.util.zip.Deflater(1)
-          defl.setInput(bb.array()); defl.finish()
           val out = new java.io.ByteArrayOutputStream()
-          val tmp = new Array[Byte](1 << 16)
-          while (!defl.finished()) out.write(tmp, 0, defl.deflate(tmp))
-          defl.end()
-          val dest = new org.apache.hadoop.fs.Path(s"$path/$v/$curKey")
-          val tmpKey =
-            new org.apache.hadoop.fs.Path(s"$path/$v/.$curKey.$attemptTag.tmp")
+          if (formatV3) {
+            // the v3 `gzip` codec is the gzip FORMAT (not bare zlib)
+            val gz = new java.util.zip.GZIPOutputStream(out)
+            gz.write(bb.array()); gz.close()
+          } else {
+            val defl = new java.util.zip.Deflater(1)
+            defl.setInput(bb.array()); defl.finish()
+            val tmp = new Array[Byte](1 << 16)
+            while (!defl.finished()) out.write(tmp, 0, defl.deflate(tmp))
+            defl.end()
+          }
+          // v3 default chunk-key encoding nests under c/ with '/'
+          val keyPath = if (formatV3) "c/" + curKey.replace('.', '/') else curKey
+          val dest = new org.apache.hadoop.fs.Path(s"$path/$v/$keyPath")
+          // attempt temp lives NEXT TO the destination (same-directory
+          // rename; dot names are invisible to both key encodings)
+          val tmpKey = new org.apache.hadoop.fs.Path(
+            dest.getParent, s".${dest.getName}.$attemptTag.tmp")
           putObject(taskFs, tmpKey, out.toByteArray)
           if (!taskFs.rename(tmpKey, dest)) {
             // a false rename is only benign when another attempt
@@ -785,16 +831,24 @@ object Zarr {
       flush()
     }
     // the job succeeded — commit the store by writing its metadata
-    putObject(dfs, new org.apache.hadoop.fs.Path(root, ".zgroup"),
-      """{"zarr_format": 2}""".getBytes("UTF-8"))
-    writeCoordArray(dfs, s"$path/time", spec.times.map(_.toDouble).toArray)
-    writeCoordArray(dfs, s"$path/depth", spec.depths.toArray)
-    writeCoordArray(dfs, s"$path/lat",
+    if (formatV3)
+      putObject(dfs, new org.apache.hadoop.fs.Path(root, "zarr.json"),
+        """{"zarr_format": 3, "node_type": "group"}""".getBytes("UTF-8"))
+    else
+      putObject(dfs, new org.apache.hadoop.fs.Path(root, ".zgroup"),
+        """{"zarr_format": 2}""".getBytes("UTF-8"))
+    def coord(dir: String, vals: Array[Double]): Unit =
+      if (formatV3) writeCoordArrayV3(dfs, dir, vals)
+      else writeCoordArray(dfs, dir, vals)
+    coord(s"$path/time", spec.times.map(_.toDouble).toArray)
+    coord(s"$path/depth", spec.depths.toArray)
+    coord(s"$path/lat",
       (0 until spec.nLat).map(spec.latMin + _ * spec.latStep).toArray)
-    writeCoordArray(dfs, s"$path/lon",
+    coord(s"$path/lon",
       (0 until spec.nLon).map(spec.lonMin + _ * spec.lonStep).toArray)
     Seq("water_temp", "salinity").foreach(v =>
-      writeDataArrayMeta(dfs, s"$path/$v", shape, chunks, fill))
+      if (formatV3) writeDataArrayMetaV3(dfs, s"$path/$v", shape, chunks, fill)
+      else writeDataArrayMeta(dfs, s"$path/$v", shape, chunks, fill))
   }
 
   /** The sink's distribution plan, exposed for plan-shape tests: rows

@@ -275,6 +275,52 @@ object DocStreams {
     * Contract: docs (doc_id: long, ts: long nanos, text: string) →
     * (doc_id, ts·micros, text_redacted, n_pii, lang_id, quality).
     */
+  /** Streaming crawl-ingest gate — the streaming face of q133's
+    * front half: fetched pages arrive, visible text is extracted
+    * ([[graft.fn.HtmlText]], stateless), short pages drop on a
+    * token-count gate, PII is counted + scrubbed in one
+    * [[graft.fn.PiiScan]] kernel, EXACT content duplicates within
+    * the watermark horizon drop on the redacted-text fingerprint
+    * (the [[curationGate]] state pattern: bounded by the horizon,
+    * evicted after it), and the URL is normalized for downstream
+    * partitioning ([[graft.fn.UrlNormalize]], stateless). The
+    * per-domain QUOTA deliberately stays a batch/compaction concern:
+    * a global k-per-domain cap is unbounded state on an infinite
+    * stream by definition (the batch pipeline's bounded bottom-k
+    * aggregate is the right home).
+    *
+    * On a batch frame the same plan runs with `dropDuplicates`.
+    *
+    * Contract: pages (doc_id: long, ts: long nanos, url: string,
+    * html: string) → (doc_id, ts·micros, domain, norm_url, n_pii,
+    * text_out).
+    */
+  def crawlGate(pages: DataFrame, minTokens: Int = 20,
+                horizon: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    val text = gb.column(graft.fn.HtmlText(gb.expression(col("html"))))
+    val scrub = pages
+      .select(col("doc_id"), EventStreams.tsCol.as("ts_t"), col("url"),
+        text.as("__t"))
+      .filter(size(split(col("__t"), " ")) >= minTokens)
+      .select(col("doc_id"), col("ts_t"), col("url"),
+        gb.column(graft.fn.PiiScan(gb.expression(col("__t")))).as("__p"))
+      .select(col("doc_id"), col("ts_t"), col("url"),
+        (col("__p.n_email") + col("__p.n_ipv4") + col("__p.n_phone")).as("n_pii"),
+        col("__p.redacted").as("text_out"),
+        xxhash64(lit(-1), col("__p.redacted")).as("__fp"))
+      .withWatermark("ts_t", horizon)
+    val deduped =
+      if (scrub.isStreaming) scrub.dropDuplicatesWithinWatermark(Seq("__fp"))
+      else scrub.dropDuplicates(Seq("__fp"))
+    val normed = gb.column(graft.fn.UrlNormalize(gb.expression(col("url"))))
+    deduped
+      .select(col("doc_id"), unix_micros(col("ts_t")).as("ts"),
+        normed.as("__u"), col("n_pii"), col("text_out"))
+      .select(col("doc_id"), col("ts"), col("__u.domain").as("domain"),
+        col("__u.norm_url").as("norm_url"), col("n_pii"), col("text_out"))
+  }
+
   def curationGate(docs: DataFrame, minQuality: Double = 0.3,
                    langs: Seq[String] = Nil,
                    horizon: String = "10 minutes"): DataFrame = {

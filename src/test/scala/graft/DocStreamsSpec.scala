@@ -653,6 +653,60 @@ class DocStreamsSpec extends SparkSpec {
     assert(batch.intersect(Set(2L, 20L)).size === 1)
   }
 
+  test("streaming crawl gate: extract + scrub + dedup + normalize, stream == batch") {
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(StructField("doc_id", LongType),
+      StructField("ts", LongType), StructField("url", StringType),
+      StructField("html", StringType)))
+    def page(body: String): String =
+      "<html><head><style>x{y:1}</style><script>var a=1<2;</script></head>" +
+        s"<body><!-- c --><p>$body</p></body></html>"
+    val long1 = "alpha " * 30 + "mail me at user1@example.com please"
+    val long2 = "beta " * 40
+    val dir = java.nio.file.Files.createTempDirectory("crawlgate").toString
+    val min = 60L * 1000000000L
+    def write(rows: Seq[(Long, Long, String, String)]): Unit =
+      spark.createDataFrame(rows.toDF("doc_id", "ts", "url", "html").rdd, sch)
+        .coalesce(1).write.mode("append").parquet(dir)
+    write(Seq(
+      (1L, 1 * min, "HTTP://A.example.COM:80/a/../b?utm_source=x&q=1", page(long1)),
+      (2L, 2 * min, "https://b.example.org/x", page(long2)),
+      (3L, 2 * min, "https://c.example.org/short", page("too short"))))
+    // batch 2: an exact content dup of 1 (different URL), a fresh page
+    write(Seq(
+      (10L, 4 * min, "https://mirror.example.net/copy", page(long1)),
+      (4L, 5 * min, "https://d.example.org/y", page("gamma " * 25))))
+    val q = DocStreams.crawlGate(
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", "1").parquet(dir),
+        horizon = "30 minutes")
+      .writeStream.format("memory").queryName("crawlgate")
+      .outputMode("append").start()
+    val streamed = try {
+      q.processAllAvailable()
+      write(Seq((100L, 600 * min, "https://z.example.org/z", page("omega " * 50))))
+      q.processAllAvailable()
+      spark.table("crawlgate").filter($"doc_id" < 100).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("domain"),
+          r.getAs[String]("norm_url"), r.getAs[Long]("n_pii"))).toSet
+    } finally q.stop()
+    // 3 dropped (short), 10 dropped (content dup of 1 inside horizon)
+    assert(streamed.map(_._1) === Set(1L, 2L, 4L), s"kept=$streamed")
+    val row1 = streamed.find(_._1 == 1L).get
+    assert(row1._2 === "example.com")
+    assert(row1._3 === "http://a.example.com/b?q=1") // scheme/host lower, :80 + utm + dot-segments gone
+    assert(row1._4 === 1L) // the planted email was counted + redacted
+    val kept1Text = spark.table("crawlgate").filter($"doc_id" === 1L)
+      .select($"text_out").as[String].head()
+    assert(kept1Text.contains("<EMAIL>") && !kept1Text.contains("user1@"))
+    assert(!kept1Text.contains("<p>") && !kept1Text.contains("var a"))
+    // batch parity: same frame through the same gate
+    val batch = DocStreams.crawlGate(
+        spark.read.schema(sch).parquet(dir).filter($"doc_id" < 100))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(batch.size === 3 && batch.contains(2L) && batch.contains(4L))
+    assert(batch.intersect(Set(1L, 10L)).size === 1)
+  }
+
   test("streaming audio dedup gate: exact + perceptual dups dropped over FLAC clips, stream kept-set") {
     import org.apache.spark.sql.types._
     val sch = StructType(Seq(StructField("asset_id", LongType),

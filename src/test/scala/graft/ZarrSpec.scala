@@ -872,6 +872,36 @@ class ZarrSpec extends SparkSpec {
     assert(meta.shape === Seq(2L, 3L, 7L, 9L) && meta.chunks === Seq(1, 2, 4, 5))
   }
 
+  test("writeStore formatV3: publishes a v3 store that round-trips and sniffs") {
+    import graft.io.SyntheticGrid
+    val spec = SyntheticGrid.GridSpec(
+      latMin = -5.0, latStep = 0.5, nLat = 6,
+      lonMin = 10.0, lonStep = 0.25, nLon = 7,
+      depths = Seq(0.0, 15.0), times = Seq(50L, 51L, 52L))
+    val grid = SyntheticGrid.cleanSentinels(SyntheticGrid.generate(spark, spec))
+      .withColumn("salinity",
+        when($"lat_idx" === 1 && $"lon_idx" === 6, lit(null)
+          .cast("double")).otherwise($"salinity"))
+    val store = Files.createTempDirectory("zarr-sink-v3").toString + "/store"
+    graft.io.Zarr.writeStore(grid, spec, store,
+      chunkT = 2, chunkD = 1, chunkY = 4, chunkX = 4, formatV3 = true)
+    // the metadata is v3 with nested c/ chunk keys and the gzip chain
+    val meta = Zarr.readArrayMeta(s"$store/salinity")
+    assert(meta.keyPrefix === "c/")
+    assert(meta.compressor === Zarr.V3Chain(Seq(Zarr.V3Gzip)))
+    assert(Zarr.isZarr(store))
+    assert(new java.io.File(s"$store/salinity/c/0/0/0/0").isFile)
+    assert(new java.io.File(s"$store/zarr.json").isFile)
+    // full frame equality back through the SAME ingest path
+    val back = GridIngest.ingestZarr(spark, store)
+    val a = grid.select("time", "depth_idx", "depth", "lat_idx", "lat",
+      "lon_idx", "lon", "water_temp", "salinity")
+    assert(back.count() === a.count())
+    assert(a.exceptAll(back).isEmpty && back.exceptAll(a).isEmpty)
+    assert(back.filter($"lat_idx" === 1 && $"lon_idx" === 6 &&
+      $"salinity".isNotNull).isEmpty)
+  }
+
   test("writeStore through an explicit file:// FileSystem handle; no UDF in the sink plan") {
     import graft.io.SyntheticGrid
     val spec = SyntheticGrid.GridSpec(
