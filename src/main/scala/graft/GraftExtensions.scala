@@ -122,6 +122,14 @@ object GraftExtensions {
       graft.fn.UrlNormalize(_)),
     unaryFn("html_text", classOf[graft.fn.HtmlText], graft.fn.HtmlText(_)),
     (
+      new FunctionIdentifier("robots_allowed"),
+      new ExpressionInfo(classOf[graft.fn.RobotsAllowed].getName, "robots_allowed"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          s"robots_allowed expects (robots_txt, agent, path); got ${children.size} args")
+        graft.fn.RobotsAllowed(children(0), children(1), children(2))
+      }),
+    (
       new FunctionIdentifier("mp4_keyframe_dhashes"),
       new ExpressionInfo(classOf[graft.fn.Mp4KeyframeDhashes].getName, "mp4_keyframe_dhashes"),
       (children: Seq[Expression]) => {

@@ -238,13 +238,69 @@ object Queries13 extends ColumnSyntax {
        |ORDER BY domain, doc_id""".stripMargin
   }
 
+  // --------------- q134: robots.txt politeness decision, hash-gated
+  /** Per-document crawl-permission decision: three planted robots.txt
+    * shapes (a graftbot-specific group shadowing a total `*` ban, a
+    * `*` group with an allow carve-out, and an allow-all empty
+    * disallow behind an unrelated agent's ban) against seven planted
+    * paths. The kernel parses the raw robots BODY (group selection +
+    * merge + longest-match — RobotsSpec pins the RFC examples); the
+    * oracle replays the DECISION generically — the effective rule
+    * LIST per shape joined by prefix match, arg_max on
+    * (2·len + allow) with allow-wins ties, no-match → allowed — not
+    * the plant's case arms.
+    */
+  private val RobotsShapes = Seq(
+    "User-agent: graftbot\nDisallow: /private/\nAllow: /private/pub/\n\n" +
+      "User-agent: *\nDisallow: /\n",
+    "User-agent: *\nDisallow: /tmp/\nAllow: /tmp/ok\n",
+    "User-agent: otherbot\nDisallow: /\n\nUser-agent: *\nDisallow:\n")
+  private val RobotsPaths = Seq(
+    "/private/pub/x", "/private/secret", "/tmp/ok1", "/tmp/other",
+    "/home", "/private", "/tmp/")
+
+  private def q134(s: SparkSession, dir: String): DataFrame = {
+    val d = $"doc_id"
+    val robots = element_at(
+      array(RobotsShapes.map(lit): _*), (d % 3 + 1).cast("int"))
+    val path = element_at(
+      array(RobotsPaths.map(lit): _*), (d % 7 + 1).cast("int"))
+    Tables.docsPar(s, dir)
+      .select(d, path.as("path"),
+        gb.column(graft.fn.RobotsAllowed(gb.expression(robots),
+          gb.expression(lit("graftbot")), gb.expression(path))).as("allowed"))
+      .orderBy(d)
+  }
+
+  // the effective graftbot rule list per shape (what the kernel's
+  // parse + group selection must arrive at); the decision procedure
+  // below is the generic RFC longest-match, not a case-arm replay
+  private val q134Sql =
+    s"""WITH d AS (
+       |  SELECT doc_id, (doc_id % 3) AS shape,
+       |    [${RobotsPaths.map(p => s"'$p'").mkString(", ")}][(doc_id % 7) + 1] AS path
+       |  FROM documents
+       |), r(shape, allow, pat) AS (VALUES
+       |  (0, false, '/private/'), (0, true, '/private/pub/'),
+       |  (1, false, '/tmp/'), (1, true, '/tmp/ok')
+       |), m AS (
+       |  SELECT d.doc_id, d.path, r.allow, len(r.pat) AS l
+       |  FROM d LEFT JOIN r ON d.shape = r.shape AND starts_with(d.path, r.pat)
+       |)
+       |SELECT doc_id, ANY_VALUE(path) AS path,
+       |  COALESCE(arg_max(allow, l * 2 + CASE WHEN allow THEN 1 ELSE 0 END), TRUE)
+       |    AS allowed
+       |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_html_extract" -> (q131 _),
     "q132_warc_roundtrip" -> (q132 _),
-    "q133_crawl_pipeline" -> (q133 _))
+    "q133_crawl_pipeline" -> (q133 _),
+    "q134_robots_gate" -> (q134 _))
 
   val oracles: Map[String, String] = Map(
     "q131_html_extract" -> q131Sql,
     "q132_warc_roundtrip" -> q132Sql,
-    "q133_crawl_pipeline" -> q133Sql)
+    "q133_crawl_pipeline" -> q133Sql,
+    "q134_robots_gate" -> q134Sql)
 }
