@@ -45,15 +45,21 @@ object Queries13 extends ColumnSyntax {
     s.split("\n", -1).map(p => "'" + p.replace("'", "''") + "'")
       .mkString(" || chr(10) || ")
 
+  /** The template concat, defined ONCE for q131/q132/q133 (the SQL
+    * twin is [[synthSqlOver]]); `textCol` names the already-escaped
+    * source column.
+    */
+  private def escCol(textCol: String): org.apache.spark.sql.Column = expr(
+    s"replace(replace(replace($textCol, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')")
+
+  private def synthHtmlCol(escaped: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit(H1), $"lang", lit(H2), $"doc_id".cast("string"), lit(H3),
+      $"source", lit(H4), $"doc_id".cast("string"), lit(H5), escaped, lit(H6))
+
   /** doc_id, lang, source, html — the synthesized page. */
-  private def synthHtml(s: SparkSession, dir: String): DataFrame = {
-    val esc = expr(
-      "replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')")
+  private def synthHtml(s: SparkSession, dir: String): DataFrame =
     Tables.docsPar(s, dir).select($"doc_id", $"lang", $"source",
-      concat(lit(H1), $"lang", lit(H2), $"doc_id".cast("string"), lit(H3),
-        $"source", lit(H4), $"doc_id".cast("string"), lit(H5), esc,
-        lit(H6)).as("html"))
-  }
+      synthHtmlCol(escCol("text")).as("html"))
 
   private def synthSqlOver(src: String): String =
     s"""synth AS (
@@ -154,13 +160,9 @@ object Queries13 extends ColumnSyntax {
         (lit(1000) + d % 9000).cast("string"), lit(" ok"))).otherwise(lit("")))
     val base = Tables.docsPar(s, dir).select(d, $"lang", $"source",
       plantedText.as("ptext"), Queries12.plantedUrlCol(d).as("url"))
-    // 2. the q131 page template over the planted text
-    val esc = expr(
-      "replace(replace(replace(ptext, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')")
+    // 2. the q131 page template over the planted text (shared builder)
     val pages = base.select($"doc_id", $"url",
-      concat(lit(H1), $"lang", lit(H2), $"doc_id".cast("string"), lit(H3),
-        $"source", lit(H4), $"doc_id".cast("string"), lit(H5), esc,
-        lit(H6)).as("html"))
+      synthHtmlCol(escCol("ptext")).as("html"))
     // 3. extract + token-count quality gate
     val ext = pages
       .select($"doc_id", $"url", htmlTextCol($"html").as("text_out"))

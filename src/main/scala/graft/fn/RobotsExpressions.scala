@@ -41,11 +41,18 @@ object RobotsKernels {
     val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
     val exact = collection.mutable.ArrayBuffer.empty[Rule]
     val star = collection.mutable.ArrayBuffer.empty[Rule]
+    // §2.2.1: the * group applies only when NO specific group matched
+    // — a matched-but-empty specific group (whitelist shape) still
+    // shadows the * group, so track the sighting independently
+    var sawExactGroup = false
     // group state: which buckets the CURRENT group feeds
     var groupExact = false
     var groupStar = false
     var inAgentRun = false // consecutive user-agent lines extend one group
-    robots.split("\n", -1).foreach { raw =>
+    // crawled server output: tolerate a UTF-8 BOM glued to the first key
+    val body = if (robots.nonEmpty && robots.charAt(0) == '\uFEFF')
+      robots.substring(1) else robots
+    body.split("\n", -1).foreach { raw =>
       val noComment = {
         val h = raw.indexOf('#')
         if (h >= 0) raw.substring(0, h) else raw
@@ -61,8 +68,10 @@ object RobotsKernels {
               if (!inAgentRun) { groupExact = false; groupStar = false }
               inAgentRun = true
               if (value == "*") groupStar = true
-              else if (value.toLowerCase(java.util.Locale.ROOT) == agentLc)
+              else if (value.toLowerCase(java.util.Locale.ROOT) == agentLc) {
                 groupExact = true
+                sawExactGroup = true
+              }
             case "allow" | "disallow" =>
               inAgentRun = false
               if (value.nonEmpty) { // empty value matches nothing (§2.2.2)
@@ -76,7 +85,7 @@ object RobotsKernels {
         }
       }
     }
-    if (exact.nonEmpty) exact.toSeq else star.toSeq
+    if (sawExactGroup) exact.toSeq else star.toSeq
   }
 
   /** `pattern` against `path`: prefix semantics with `*` (any run,

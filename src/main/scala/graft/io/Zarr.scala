@@ -780,8 +780,12 @@ object Zarr {
           cells.foreach(bb.putDouble)
           val out = new java.io.ByteArrayOutputStream()
           if (formatV3) {
-            // the v3 `gzip` codec is the gzip FORMAT (not bare zlib)
-            val gz = new java.util.zip.GZIPOutputStream(out)
+            // the v3 `gzip` codec is the gzip FORMAT (not bare zlib);
+            // level 1 to match both the declared codec config and the
+            // v2 path's deliberate speed/size point
+            val gz = new java.util.zip.GZIPOutputStream(out) {
+              `def`.setLevel(1)
+            }
             gz.write(bb.array()); gz.close()
           } else {
             val defl = new java.util.zip.Deflater(1)

@@ -106,6 +106,23 @@ class RobotsSpec extends AnyFunSuite {
     assert(!allowed("otherbot", "/anything"))
   }
 
+  test("a matched-but-empty specific group shadows the * group (whitelist shape)") {
+    // the common 'whitelist this bot' robots.txt: the specific group
+    // matched, its empty Disallow means no restrictions — the * total
+    // ban must NOT apply (§2.2.1)
+    val whitelist = "User-agent: graftbot\nDisallow:\n\nUser-agent: *\nDisallow: /"
+    assert(RobotsKernels.isAllowed(whitelist, "graftbot", "/x"))
+    assert(!RobotsKernels.isAllowed(whitelist, "somebot", "/x"))
+    // same when the specific group holds only non-rule keys
+    val delayOnly = "User-agent: graftbot\nCrawl-delay: 5\n\nUser-agent: *\nDisallow: /"
+    assert(RobotsKernels.isAllowed(delayOnly, "graftbot", "/x"))
+  }
+
+  test("a UTF-8 BOM on the first line does not hide the first group") {
+    val bom = "﻿User-agent: *\nDisallow: /"
+    assert(!RobotsKernels.isAllowed(bom, "graftbot", "/x"))
+  }
+
   test("parse tolerances: empty disallow, malformed lines, empty file") {
     assert(RobotsKernels.isAllowed("User-agent: *\nDisallow:", "g", "/x"))
     assert(RobotsKernels.isAllowed("", "g", "/x"))
