@@ -294,15 +294,76 @@ object Queries13 extends ColumnSyntax {
        |    AS allowed
        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ----------------- q135: sitemap extraction (crawl discovery leg)
+  /** Three planted `<url>` entries per document — one with a
+    * `&amp;`-escaped query string and a lastmod, one whitespace-
+    * padded with no lastmod, one with `&lt;/&gt;` entities — through
+    * [[graft.ext.WebOps.sitemapUrls]] (split → explode → regex →
+    * unescape chain, no UDF/XML lib); the oracle replays the exact
+    * pipeline in SQL.
+    */
+  private def q135(s: SparkSession, dir: String): DataFrame = {
+    val d = $"doc_id"
+    val xml = concat(
+      lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+        "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+        "<url><loc>https://h"),
+      (d % 5).cast("string"), lit(".site"), (d % 23).cast("string"),
+      lit(".com/p/"), d.cast("string"), lit("?a=1&amp;b="),
+      (d % 9).cast("string"),
+      lit("</loc><lastmod>2026-0"), (d % 9 + 1).cast("string"),
+      lit("-01</lastmod></url><url><loc> https://h"),
+      (d % 5).cast("string"), lit(".example.org/q/"), d.cast("string"),
+      lit(" </loc></url><url><loc>https://x.example/&lt;odd&gt;/"),
+      (d % 7).cast("string"), lit("</loc></url></urlset>"))
+    graft.ext.WebOps.sitemapUrls(
+        Tables.docsPar(s, dir).select(d, xml.as("sitemap")),
+        "doc_id", "sitemap")
+      .orderBy($"doc_id", $"seq")
+  }
+
+  private val q135Sql =
+    """WITH sm AS (
+      |  SELECT doc_id,
+      |    '<?xml version="1.0" encoding="UTF-8"?>' ||
+      |    '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">' ||
+      |    '<url><loc>https://h' || (doc_id % 5) || '.site' || (doc_id % 23) ||
+      |    '.com/p/' || doc_id || '?a=1&amp;b=' || (doc_id % 9) ||
+      |    '</loc><lastmod>2026-0' || (doc_id % 9 + 1) ||
+      |    '-01</lastmod></url><url><loc> https://h' || (doc_id % 5) ||
+      |    '.example.org/q/' || doc_id ||
+      |    ' </loc></url><url><loc>https://x.example/&lt;odd&gt;/' ||
+      |    (doc_id % 7) || '</loc></url></urlset>' AS xml
+      |  FROM documents
+      |), fr AS (
+      |  SELECT doc_id, i AS seq, string_split(xml, '<url>')[i + 1] AS frag
+      |  FROM sm, UNNEST(range(0, 4)) AS t(i)
+      |), ex AS (
+      |  SELECT doc_id, CAST(seq AS BIGINT) AS seq,
+      |    replace(replace(replace(replace(replace(
+      |      trim(regexp_extract(frag, '<loc>(.*?)</loc>', 1)),
+      |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
+      |      '&amp;', '&') AS loc,
+      |    CASE WHEN regexp_extract(frag, '<lastmod>(.*?)</lastmod>', 1) = ''
+      |         THEN NULL
+      |         ELSE trim(regexp_extract(frag, '<lastmod>(.*?)</lastmod>', 1)) END
+      |      AS lastmod
+      |  FROM fr WHERE contains(frag, '</url>')
+      |)
+      |SELECT doc_id, seq, loc, lastmod FROM ex WHERE loc <> ''
+      |ORDER BY doc_id, seq""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_html_extract" -> (q131 _),
     "q132_warc_roundtrip" -> (q132 _),
     "q133_crawl_pipeline" -> (q133 _),
-    "q134_robots_gate" -> (q134 _))
+    "q134_robots_gate" -> (q134 _),
+    "q135_sitemap_urls" -> (q135 _))
 
   val oracles: Map[String, String] = Map(
     "q131_html_extract" -> q131Sql,
     "q132_warc_roundtrip" -> q132Sql,
     "q133_crawl_pipeline" -> q133Sql,
-    "q134_robots_gate" -> q134Sql)
+    "q134_robots_gate" -> q134Sql,
+    "q135_sitemap_urls" -> q135Sql)
 }

@@ -47,6 +47,42 @@ object WebOps {
   def domainQuota(df: DataFrame, domainCol: String, rank: Column,
                   k: Int): DataFrame =
     Sketches.bottomKRows(df, Seq(domainCol), Seq(rank), k)
+
+  /** XML entity unescape for sitemap values (the five predefined XML
+    * entities — sitemaps REQUIRE `&` in URLs escaped as `&amp;`),
+    * amp last so double escapes resolve one level.
+    */
+  private def xmlUnescape(c: Column): Column = {
+    val steps = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&apos;" -> "'", "&amp;" -> "&")
+    steps.foldLeft(c) { case (acc, (from, to)) =>
+      org.apache.spark.sql.functions.replace(acc,
+        org.apache.spark.sql.functions.lit(from),
+        org.apache.spark.sql.functions.lit(to))
+    }
+  }
+
+  /** Sitemap-protocol `<urlset>` extraction (sitemaps.org): one row
+    * per `<url>` entry — `(id, seq, loc, lastmod)`, `loc` trimmed
+    * (the protocol allows surrounding whitespace) and XML-unescaped,
+    * `lastmod` null when absent. Pure built-in plan (split → explode
+    * → regexp_extract → replace chain): no UDF, no XML library, and
+    * the exact same pipeline is SQL-expressible so q135 gates it
+    * hash-exact. `seq` is the entry's document position (1-based;
+    * fragment 0 is the preamble before the first `<url>`).
+    */
+  def sitemapUrls(df: DataFrame, idCol: String, xmlCol: String): DataFrame = {
+    val frag = col("frag")
+    df.select(col(idCol),
+        posexplode(split(col(xmlCol), "<url>")).as(Seq("seq", "frag")))
+      .filter(frag.contains("</url>"))
+      .select(col(idCol), col("seq").cast("long").as("seq"),
+        xmlUnescape(trim(regexp_extract(frag, "<loc>(.*?)</loc>", 1))).as("loc"),
+        when(regexp_extract(frag, "<lastmod>(.*?)</lastmod>", 1) === "", lit(null))
+          .otherwise(trim(regexp_extract(frag, "<lastmod>(.*?)</lastmod>", 1)))
+          .as("lastmod"))
+      .filter(col("loc") =!= "")
+  }
 }
 
 /** The pure URL kernel behind [[WebOps]]. */

@@ -38,7 +38,11 @@ object Warc {
     * used a content coding this decoder does not speak (`br`, ...),
     * in which case the wire bytes are kept and the coding is surfaced
     * here for explicit quarantine. For every other record type
-    * `payload` is the raw content block.
+    * `payload` is the raw content block. `digest_ok` verifies a
+    * `WARC-Payload-Digest: sha1:<base32>` header when present
+    * (computed over the transfer-decoded, still content-coded body —
+    * the convention crawl writers use), None when the record carries
+    * no digest; a mismatch is a QUARANTINE value, not an exception.
     */
   case class WarcRecord(
       warc_file: String,
@@ -51,7 +55,8 @@ object Warc {
       http_status: Option[Int],
       http_content_type: Option[String],
       payload: Array[Byte],
-      payload_encoding: Option[String])
+      payload_encoding: Option[String],
+      digest_ok: Option[Boolean])
 
   // guards: fail loudly on garbage rather than allocate unboundedly
   private val MaxHeaderLine = 1 << 20      // 1 MiB header line
@@ -170,9 +175,11 @@ object Warc {
         val ctype = hs.get("content-type")
         val isHttpResponse = wtype == "response" &&
           ctype.exists(_.toLowerCase(java.util.Locale.ROOT).startsWith("application/http"))
-        val (status, httpCt, payload, residual) =
-          if (isHttpResponse) parseHttpResponse(block, file)
-          else (None, None, block, None)
+        val digestHeader = hs.get("warc-payload-digest")
+        val (status, httpCt, payload, residual, digestOk) =
+          if (isHttpResponse) parseHttpResponse(block, file, digestHeader)
+          else (None, None, block, None,
+            digestHeader.map(d => digestMatches(d, block)))
         nextRec = WarcRecord(
           warc_file = file,
           warc_type = wtype,
@@ -184,7 +191,8 @@ object Warc {
           http_status = status,
           http_content_type = httpCt,
           payload = payload,
-          payload_encoding = residual)
+          payload_encoding = residual,
+          digest_ok = digestOk)
       }
 
       advance()
@@ -214,12 +222,13 @@ object Warc {
     * `payload_encoding` so pipelines can quarantine those rows
     * explicitly (the corrupt-line-column pattern of [[DocSource]]).
     */
-  private[io] def parseHttpResponse(block: Array[Byte], what: String)
-      : (Option[Int], Option[String], Array[Byte], Option[String]) = {
+  private[io] def parseHttpResponse(block: Array[Byte], what: String,
+                                    digestHeader: Option[String] = None)
+      : (Option[Int], Option[String], Array[Byte], Option[String], Option[Boolean]) = {
     val in = new ByteArrayInputStream(block)
     val statusLine = readLine(in)
     if (statusLine == null || !statusLine.startsWith("HTTP/"))
-      return (None, None, block, None) // not actually HTTP — keep raw
+      return (None, None, block, None, digestHeader.map(d => digestMatches(d, block)))
     val parts = statusLine.split(" ", 3)
     val status = if (parts.length >= 2) parts(1).toIntOption else None
     val hs = readHeaders(in, what, strict = false)
@@ -232,6 +241,9 @@ object Warc {
     }
     if (hs.get("transfer-encoding").exists(_.toLowerCase(java.util.Locale.ROOT).contains("chunked")))
       body = dechunk(body, what)
+    // WARC-Payload-Digest covers the transfer-decoded, still
+    // content-coded body (the crawl-writer convention)
+    val digestOk = digestHeader.map(d => digestMatches(d, body))
     val coding = hs.get("content-encoding").map(_.trim.toLowerCase(java.util.Locale.ROOT))
       .filter(c => c.nonEmpty && c != "identity" && c != "none")
     val residual = coding match {
@@ -239,7 +251,42 @@ object Warc {
       case Some("deflate") => body = inflate(body, what); None
       case other => other // undecoded wire bytes, surfaced to the row
     }
-    (status, hs.get("content-type"), body, residual)
+    (status, hs.get("content-type"), body, residual, digestOk)
+  }
+
+  /** RFC 4648 base32 (no padding variance: labelled digests in the
+    * wild omit '='), uppercase.
+    */
+  private[graft] def base32(b: Array[Byte]): String = {
+    val alphabet = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+    val sb = new StringBuilder((b.length * 8 + 4) / 5)
+    var acc = 0L; var bits = 0
+    b.foreach { x =>
+      acc = (acc << 8) | (x & 0xFFL); bits += 8
+      while (bits >= 5) { bits -= 5; sb.append(alphabet(((acc >> bits) & 31).toInt)) }
+    }
+    if (bits > 0) sb.append(alphabet(((acc << (5 - bits)) & 31).toInt))
+    sb.toString
+  }
+
+  /** Verifies a labelled digest (`sha1:<base32>`, the common crawl
+    * form; md5/sha256 also verified). A digest under an algorithm
+    * this reader does not know makes NO claim — reporting false
+    * would quarantine good records — so it passes; a malformed
+    * header (no label) is a real mismatch.
+    */
+  private[graft] def digestMatches(header: String, body: Array[Byte]): Boolean = {
+    val c = header.indexOf(':')
+    if (c <= 0) return false // malformed digest header: quarantine
+    val algo = header.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT)
+    val value = header.substring(c + 1).trim.stripSuffix("=").toUpperCase(java.util.Locale.ROOT)
+    val md = algo match {
+      case "sha1" | "sha-1" => java.security.MessageDigest.getInstance("SHA-1")
+      case "md5" => java.security.MessageDigest.getInstance("MD5")
+      case "sha256" | "sha-256" => java.security.MessageDigest.getInstance("SHA-256")
+      case _ => return true // unknown algorithm: no verification claim
+    }
+    base32(md.digest(body)) == value
   }
 
   /** RFC 9112 §7.1 chunked coding: `hex-size[;ext]CRLF data CRLF`
@@ -349,13 +396,15 @@ object Warc {
     */
   private[graft] def recordBytes(warcType: String, recordId: String,
                                  targetUri: Option[String], date: String,
-                                 contentType: String, content: Array[Byte]): Array[Byte] = {
+                                 contentType: String, content: Array[Byte],
+                                 payloadDigest: Option[String] = None): Array[Byte] = {
     val sb = new StringBuilder
     sb.append("WARC/1.0\r\n")
     sb.append("WARC-Type: ").append(warcType).append("\r\n")
     sb.append("WARC-Record-ID: ").append(recordId).append("\r\n")
     targetUri.foreach(u => sb.append("WARC-Target-URI: ").append(u).append("\r\n"))
     sb.append("WARC-Date: ").append(date).append("\r\n")
+    payloadDigest.foreach(d => sb.append("WARC-Payload-Digest: ").append(d).append("\r\n"))
     sb.append("Content-Type: ").append(contentType).append("\r\n")
     sb.append("Content-Length: ").append(content.length).append("\r\n")
     sb.append("\r\n")
@@ -453,9 +502,14 @@ object Warc {
               .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
             val http = new ByteArrayOutputStream(httpHead.length + wireBody.length)
             http.write(httpHead); http.write(wireBody)
+            // digest over the transfer-decoded body: the coded bytes
+            // for the content-coding variants, the plain body otherwise
+            val digestBody = if (variant == 2 || variant == 3) wireBody else body
+            val sha1 = java.security.MessageDigest.getInstance("SHA-1")
             val rec = recordBytes("response",
               s"<urn:graft:$part-$i>", Some(uri), date,
-              "application/http; msgtype=response", http.toByteArray)
+              "application/http; msgtype=response", http.toByteArray,
+              payloadDigest = Some("sha1:" + base32(sha1.digest(digestBody))))
             out.write(gzipMember(rec))
             i += 1
           }

@@ -198,6 +198,34 @@ class WarcSpec extends SparkSpec {
     assert(e.getMessage.contains("version line"))
   }
 
+  test("payload digests: sink writes sha1 base32, reader verifies; corruption flags") {
+    // known-answer base32 (RFC 4648 test vectors)
+    assert(Warc.base32("".getBytes) === "")
+    assert(Warc.base32("f".getBytes) === "MY")
+    assert(Warc.base32("fo".getBytes) === "MZXQ")
+    assert(Warc.base32("foo".getBytes) === "MZXW6")
+    assert(Warc.base32("foobar".getBytes) === "MZXW6YTBOI")
+    // hand-computed digest header over a known body
+    val body = "digest me please!"
+    val sha1 = java.security.MessageDigest.getInstance("SHA-1")
+    val good = "sha1:" + Warc.base32(sha1.digest(b(body)))
+    def rec(digest: String, payload: String): Array[Byte] = {
+      val http = s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n$payload"
+      b("WARC/1.0\r\nWARC-Type: response\r\n" +
+        "WARC-Record-ID: <urn:test:dg>\r\nWARC-Date: 2026-08-14T00:00:05Z\r\n" +
+        s"WARC-Payload-Digest: $digest\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${http.length}\r\n\r\n$http\r\n\r\n")
+    }
+    assert(parse(rec(good, body)).head.digest_ok === Some(true))
+    assert(parse(rec(good, "tampered body here!")).head.digest_ok === Some(false))
+    // unknown algorithm makes no claim; absent header = None
+    assert(parse(rec("blake3:XYZ", body)).head.digest_ok === Some(true))
+    assert(parse(responseRecord(
+      "HTTP/1.1 200 OK\r\nContent-Length: 2\r\n\r\nok")).head.digest_ok === None)
+  }
+
   test("sink round-trip: wire variants de-frame back to the payloads") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("warc_rt").toString + "/seg"
@@ -210,6 +238,10 @@ class WarcSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSeq
     assert(back.size === 23)
     assert(back.forall(_._2 === 200))
+    // every sink-written digest verifies through its wire variant
+    val digests = Warc.responses(Warc.readWarc(spark, dir))
+      .select("digest_ok").collect().map(_.getAs[Boolean](0))
+    assert(digests.length === 23 && digests.forall(identity))
     val byUri = back.map(t => t._1 -> t._3).toMap
     docs.foreach { case (uri, _, _, body) =>
       assert(byUri(uri) === new String(body, "UTF-8"), uri)
