@@ -78,6 +78,19 @@ class WebOpsSpec extends SparkSpec {
     assert(spark.sql("SELECT url_normalize('junk') IS NULL AS n").head().getBoolean(0))
   }
 
+  test("html_text and robots_allowed stay inside whole-stage codegen") {
+    GraftExtensions.install(spark)
+    // spark.range keeps the plan lazy (the RepetitionSpec discipline:
+    // a local Seq constant-folds and proves nothing)
+    val df = spark.range(50)
+      .selectExpr("id", "concat('<p>tok', id, '</p>') AS html")
+      .selectExpr("html_text(html) AS t",
+        "robots_allowed('User-agent: *' || chr(10) || 'Disallow: /p', 'bot', concat('/x', id)) AS a")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("*(1)"), plan) // one fused codegen span
+  }
+
   test("q133 crawl pipeline: no Window operator anywhere in the plan") {
     // dedup = argmin-struct aggregate, quota = bounded bottom-k — a
     // Window.partitionBy over the corpus is the skew scale-killer
