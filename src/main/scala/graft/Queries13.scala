@@ -314,8 +314,8 @@ object Queries13 extends ColumnSyntax {
       lit("</loc><lastmod>2026-0"), (d % 9 + 1).cast("string"),
       lit("-01</lastmod></url><url><loc> https://h"),
       (d % 5).cast("string"), lit(".example.org/q/"), d.cast("string"),
-      lit(" </loc></url><url><loc>https://x.example/&lt;odd&gt;/"),
-      (d % 7).cast("string"), lit("</loc></url></urlset>"))
+      lit(" </loc></url><url><loc>\n  https://x.example/&lt;odd&gt;/"),
+      (d % 7).cast("string"), lit("\n</loc></url></urlset>"))
     graft.ext.WebOps.sitemapUrls(
         Tables.docsPar(s, dir).select(d, xml.as("sitemap")),
         "doc_id", "sitemap")
@@ -332,8 +332,9 @@ object Queries13 extends ColumnSyntax {
       |    '</loc><lastmod>2026-0' || (doc_id % 9 + 1) ||
       |    '-01</lastmod></url><url><loc> https://h' || (doc_id % 5) ||
       |    '.example.org/q/' || doc_id ||
-      |    ' </loc></url><url><loc>https://x.example/&lt;odd&gt;/' ||
-      |    (doc_id % 7) || '</loc></url></urlset>' AS xml
+      |    ' </loc></url><url><loc>' || chr(10) ||
+      |    '  https://x.example/&lt;odd&gt;/' ||
+      |    (doc_id % 7) || chr(10) || '</loc></url></urlset>' AS xml
       |  FROM documents
       |), fr AS (
       |  SELECT doc_id, i AS seq, string_split(xml, '<url>')[i + 1] AS frag
@@ -341,12 +342,14 @@ object Queries13 extends ColumnSyntax {
       |), ex AS (
       |  SELECT doc_id, CAST(seq AS BIGINT) AS seq,
       |    replace(replace(replace(replace(replace(
-      |      trim(regexp_extract(frag, '<loc>(.*?)</loc>', 1)),
+      |      regexp_replace(regexp_extract(frag, '(?s)<loc>(.*?)</loc>', 1),
+      |        '^[ \t\n\f\r]+|[ \t\n\f\r]+$', '', 'g'),
       |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
       |      '&amp;', '&') AS loc,
-      |    CASE WHEN regexp_extract(frag, '<lastmod>(.*?)</lastmod>', 1) = ''
+      |    CASE WHEN regexp_extract(frag, '(?s)<lastmod>(.*?)</lastmod>', 1) = ''
       |         THEN NULL
-      |         ELSE trim(regexp_extract(frag, '<lastmod>(.*?)</lastmod>', 1)) END
+      |         ELSE regexp_replace(regexp_extract(frag, '(?s)<lastmod>(.*?)</lastmod>', 1),
+      |           '^[ \t\n\f\r]+|[ \t\n\f\r]+$', '', 'g') END
       |      AS lastmod
       |  FROM fr WHERE contains(frag, '</url>')
       |)

@@ -62,6 +62,13 @@ object WebOps {
     }
   }
 
+  /** Whitespace trim covering newlines/tabs (SQL `trim` is
+    * space-only in both engines; the explicit class is the portable
+    * RE2 ∩ java.util.regex set, the HtmlKernels rule).
+    */
+  private def wsTrim(c: Column): Column =
+    regexp_replace(c, "^[ \t\n\f\r]+|[ \t\n\f\r]+$", "")
+
   /** Sitemap-protocol `<urlset>` extraction (sitemaps.org): one row
     * per `<url>` entry — `(id, seq, loc, lastmod)`, `loc` trimmed
     * (the protocol allows surrounding whitespace) and XML-unescaped,
@@ -77,9 +84,11 @@ object WebOps {
         posexplode(split(col(xmlCol), "<url>")).as(Seq("seq", "frag")))
       .filter(frag.contains("</url>"))
       .select(col(idCol), col("seq").cast("long").as("seq"),
-        xmlUnescape(trim(regexp_extract(frag, "<loc>(.*?)</loc>", 1))).as("loc"),
-        when(regexp_extract(frag, "<lastmod>(.*?)</lastmod>", 1) === "", lit(null))
-          .otherwise(trim(regexp_extract(frag, "<lastmod>(.*?)</lastmod>", 1)))
+        // (?s): pretty-printed sitemaps put the value on its own line;
+        // the trim must strip that newline too, not just spaces
+        xmlUnescape(wsTrim(regexp_extract(frag, "(?s)<loc>(.*?)</loc>", 1))).as("loc"),
+        when(regexp_extract(frag, "(?s)<lastmod>(.*?)</lastmod>", 1) === "", lit(null))
+          .otherwise(wsTrim(regexp_extract(frag, "(?s)<lastmod>(.*?)</lastmod>", 1)))
           .as("lastmod"))
       .filter(col("loc") =!= "")
   }

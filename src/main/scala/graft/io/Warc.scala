@@ -176,10 +176,13 @@ object Warc {
         val isHttpResponse = wtype == "response" &&
           ctype.exists(_.toLowerCase(java.util.Locale.ROOT).startsWith("application/http"))
         val digestHeader = hs.get("warc-payload-digest")
+        // only a response's payload digest is verifiable here: for
+        // request/revisit records the digest covers a payload this
+        // reader does not reconstruct (HTTP request body / the
+        // ORIGINAL record) — no claim, never a false quarantine
         val (status, httpCt, payload, residual, digestOk) =
           if (isHttpResponse) parseHttpResponse(block, file, digestHeader)
-          else (None, None, block, None,
-            digestHeader.map(d => digestMatches(d, block)))
+          else (None, None, block, None, None)
         nextRec = WarcRecord(
           warc_file = file,
           warc_type = wtype,
@@ -270,23 +273,33 @@ object Warc {
   }
 
   /** Verifies a labelled digest (`sha1:<base32>`, the common crawl
-    * form; md5/sha256 also verified). A digest under an algorithm
-    * this reader does not know makes NO claim — reporting false
-    * would quarantine good records — so it passes; a malformed
-    * header (no label) is a real mismatch.
+    * form; md5/sha256, base32 or hex encodings). A digest this reader
+    * cannot interpret — unknown algorithm, unrecognized encoding —
+    * makes NO claim (reporting false would quarantine good records);
+    * a header with no label at all is a real mismatch.
     */
   private[graft] def digestMatches(header: String, body: Array[Byte]): Boolean = {
     val c = header.indexOf(':')
     if (c <= 0) return false // malformed digest header: quarantine
     val algo = header.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT)
-    val value = header.substring(c + 1).trim.stripSuffix("=").toUpperCase(java.util.Locale.ROOT)
+    val value = header.substring(c + 1).trim
+      .replaceAll("=+$", "") // canonical base32 padding is 1-6 '='
+      .toUpperCase(java.util.Locale.ROOT)
     val md = algo match {
       case "sha1" | "sha-1" => java.security.MessageDigest.getInstance("SHA-1")
       case "md5" => java.security.MessageDigest.getInstance("MD5")
       case "sha256" | "sha-256" => java.security.MessageDigest.getInstance("SHA-256")
       case _ => return true // unknown algorithm: no verification claim
     }
-    base32(md.digest(body)) == value
+    val digest = md.digest(body)
+    val b32Len = (digest.length * 8 + 4) / 5
+    if (value.length == b32Len && value.forall(ch =>
+        (ch >= 'A' && ch <= 'Z') || (ch >= '2' && ch <= '7')))
+      base32(digest) == value
+    else if (value.length == digest.length * 2 && value.forall(ch =>
+        (ch >= '0' && ch <= '9') || (ch >= 'A' && ch <= 'F')))
+      digest.map(b => f"$b%02X").mkString == value
+    else true // unrecognized encoding: no claim
   }
 
   /** RFC 9112 §7.1 chunked coding: `hex-size[;ext]CRLF data CRLF`

@@ -220,8 +220,23 @@ class WarcSpec extends SparkSpec {
     }
     assert(parse(rec(good, body)).head.digest_ok === Some(true))
     assert(parse(rec(good, "tampered body here!")).head.digest_ok === Some(false))
-    // unknown algorithm makes no claim; absent header = None
+    // canonical padded base32 (md5 pads with 6 '=') and hex encodings
+    val md5d = java.security.MessageDigest.getInstance("MD5").digest(b(body))
+    assert(parse(rec("md5:" + Warc.base32(md5d) + "======", body)).head.digest_ok === Some(true))
+    val sha256d = java.security.MessageDigest.getInstance("SHA-256").digest(b(body))
+    assert(parse(rec("sha256:" + sha256d.map(x => f"$x%02x").mkString, body)).head.digest_ok === Some(true))
+    // unknown algorithm or unrecognized encoding makes no claim
     assert(parse(rec("blake3:XYZ", body)).head.digest_ok === Some(true))
+    assert(parse(rec("sha1:!!!notbase32!!!", body)).head.digest_ok === Some(true))
+    // non-response records: the digest covers a payload this reader
+    // does not reconstruct - no claim, never a false quarantine
+    val req = "GET /a HTTP/1.1" + "\r\n\r\n"
+    val reqRec = b("WARC/1.0\r\nWARC-Type: request\r\n" +
+      "WARC-Record-ID: <urn:test:rq>\r\nWARC-Date: 2026-08-14T00:00:06Z\r\n" +
+      "WARC-Payload-Digest: sha1:NOTTHEBLOCKDIGESTATALLPADPADPADP\r\n" +
+      "Content-Type: application/http; msgtype=request\r\n" +
+      s"Content-Length: ${req.length}\r\n\r\n$req\r\n\r\n")
+    assert(parse(reqRec).head.digest_ok === None)
     assert(parse(responseRecord(
       "HTTP/1.1 200 OK\r\nContent-Length: 2\r\n\r\nok")).head.digest_ok === None)
   }

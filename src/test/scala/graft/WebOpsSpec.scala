@@ -88,7 +88,10 @@ class WebOpsSpec extends SparkSpec {
         "robots_allowed('User-agent: *' || chr(10) || 'Disallow: /p', 'bot', concat('/x', id)) AS a")
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
-    assert(plan.contains("*(1)"), plan) // one fused codegen span
+    // the PROJECT carrying the kernels must itself be starred — a
+    // bare *(1) Range with an unstarred Project would mean the
+    // kernels fell out of codegen
+    assert(plan.contains("*(1) Project"), plan)
   }
 
   test("q133 crawl pipeline: no Window operator anywhere in the plan") {
