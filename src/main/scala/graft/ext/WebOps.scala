@@ -78,11 +78,22 @@ object WebOps {
     * hash-exact. `seq` is the entry's document position (1-based;
     * fragment 0 is the preamble before the first `<url>`).
     */
-  def sitemapUrls(df: DataFrame, idCol: String, xmlCol: String): DataFrame = {
+  def sitemapUrls(df: DataFrame, idCol: String, xmlCol: String): DataFrame =
+    sitemapEntries(df, idCol, xmlCol, "url")
+
+  /** The `<sitemapindex>` form (an index of child sitemaps) — the
+    * same entry shape under the `<sitemap>` tag; a crawl-discovery
+    * walk reads the index first, then fans out over the children.
+    */
+  def sitemapIndex(df: DataFrame, idCol: String, xmlCol: String): DataFrame =
+    sitemapEntries(df, idCol, xmlCol, "sitemap")
+
+  private def sitemapEntries(df: DataFrame, idCol: String, xmlCol: String,
+                             tag: String): DataFrame = {
     val frag = col("frag")
     df.select(col(idCol),
-        posexplode(split(col(xmlCol), "<url>")).as(Seq("seq", "frag")))
-      .filter(frag.contains("</url>"))
+        posexplode(split(col(xmlCol), s"<$tag>")).as(Seq("seq", "frag")))
+      .filter(frag.contains(s"</$tag>"))
       .select(col(idCol), col("seq").cast("long").as("seq"),
         // (?s): pretty-printed sitemaps put the value on its own line;
         // the trim must strip that newline too, not just spaces

@@ -78,6 +78,31 @@ class WebOpsSpec extends SparkSpec {
     assert(spark.sql("SELECT url_normalize('junk') IS NULL AS n").head().getBoolean(0))
   }
 
+  test("sitemapUrls and sitemapIndex: entries, pretty-printing, escapes") {
+    val xml = """<?xml version="1.0"?><urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+      |<url><loc>https://a.example/p?x=1&amp;y=2</loc><lastmod>2026-01-02</lastmod></url>
+      |<url><loc>
+      |  https://a.example/q
+      |</loc></url>
+      |</urlset>""".stripMargin
+    val idx = """<sitemapindex><sitemap><loc> https://a.example/s1.xml.gz </loc>
+      |<lastmod>2026-02-03</lastmod></sitemap>
+      |<sitemap><loc>https://a.example/s2.xml</loc></sitemap></sitemapindex>""".stripMargin
+    val df = Seq((1L, xml, idx)).toDF("id", "sm", "ix")
+    val urls = WebOps.sitemapUrls(df, "id", "sm")
+      .orderBy($"seq").collect().map(r => (r.getString(2), r.getString(3)))
+    assert(urls.toSeq === Seq(
+      ("https://a.example/p?x=1&y=2", "2026-01-02"),
+      ("https://a.example/q", null)))
+    val subs = WebOps.sitemapIndex(df, "id", "ix")
+      .orderBy($"seq").collect().map(r => (r.getString(2), r.getString(3)))
+    assert(subs.toSeq === Seq(
+      ("https://a.example/s1.xml.gz", "2026-02-03"),
+      ("https://a.example/s2.xml", null)))
+    // the <urlset ...> preamble never splits as a <url> entry
+    assert(WebOps.sitemapUrls(df, "id", "sm").count() === 2)
+  }
+
   test("html_text and robots_allowed stay inside whole-stage codegen") {
     GraftExtensions.install(spark)
     // spark.range keeps the plan lazy (the RepetitionSpec discipline:
