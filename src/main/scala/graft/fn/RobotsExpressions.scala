@@ -135,6 +135,70 @@ object RobotsKernels {
   def isAllowed(robots: String, agent: String, path: String): Boolean =
     decide(effectiveRules(robots, agent), path)
 
+  /** `Crawl-delay` for `agent` (the de-facto politeness extension,
+    * not in RFC 9309 proper): the matched group's value under the
+    * same exact-then-star selection; None when absent or non-numeric.
+    */
+  def crawlDelay(robots: String, agent: String): Option[Double] = {
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    var exactDelay: Option[Double] = None
+    var starDelay: Option[Double] = None
+    var sawExactGroup = false
+    var groupExact = false
+    var groupStar = false
+    var inAgentRun = false
+    val body = if (robots.nonEmpty && robots.charAt(0) == '\uFEFF')
+      robots.substring(1) else robots
+    body.split("\n", -1).foreach { raw =>
+      val h = raw.indexOf('#')
+      val line = (if (h >= 0) raw.substring(0, h) else raw).trim
+      if (line.nonEmpty) {
+        val c = line.indexOf(':')
+        if (c > 0) {
+          val key = line.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT)
+          val value = line.substring(c + 1).trim
+          key match {
+            case "user-agent" =>
+              if (!inAgentRun) { groupExact = false; groupStar = false }
+              inAgentRun = true
+              if (value == "*") groupStar = true
+              else if (value.toLowerCase(java.util.Locale.ROOT) == agentLc) {
+                groupExact = true; sawExactGroup = true
+              }
+            case "crawl-delay" =>
+              inAgentRun = false
+              value.toDoubleOption.filter(_ >= 0).foreach { d =>
+                if (groupExact && exactDelay.isEmpty) exactDelay = Some(d)
+                if (groupStar && starDelay.isEmpty) starDelay = Some(d)
+              }
+            case _ => inAgentRun = false
+          }
+        }
+      }
+    }
+    if (sawExactGroup) exactDelay else starDelay
+  }
+
+  /** All `Sitemap:` directives (site-wide per spec — group-independent),
+    * in document order.
+    */
+  def sitemaps(robots: String): Seq[String] = {
+    val out = collection.mutable.ArrayBuffer.empty[String]
+    val body = if (robots.nonEmpty && robots.charAt(0) == '\uFEFF')
+      robots.substring(1) else robots
+    body.split("\n", -1).foreach { raw =>
+      val h = raw.indexOf('#')
+      val line = (if (h >= 0) raw.substring(0, h) else raw).trim
+      val c = line.indexOf(':')
+      if (c > 0 &&
+          line.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT) == "sitemap") {
+        val v = line.substring(c + 1).trim
+        if (v.nonEmpty) out += v
+      }
+    }
+    out.toSeq
+  }
+
   def allowedOrNull(robots: UTF8String, agent: UTF8String, path: UTF8String): Any =
     if (robots == null || agent == null || path == null) null
     else isAllowed(robots.toString, agent.toString, path.toString)

@@ -123,6 +123,32 @@ class RobotsSpec extends AnyFunSuite {
     assert(!RobotsKernels.isAllowed(bom, "graftbot", "/x"))
   }
 
+  test("crawl-delay: group-selected; sitemaps: site-wide, colons intact") {
+    val robots =
+      """User-agent: graftbot
+        |Crawl-delay: 2.5
+        |Disallow: /x
+        |
+        |User-agent: *
+        |Crawl-delay: 10
+        |Sitemap: https://x.example/sitemap.xml
+        |Sitemap: https://x.example/sitemap2.xml.gz
+        |""".stripMargin
+    assert(RobotsKernels.crawlDelay(robots, "graftbot") === Some(2.5))
+    assert(RobotsKernels.crawlDelay(robots, "otherbot") === Some(10.0))
+    assert(RobotsKernels.crawlDelay("User-agent: *\nDisallow: /", "b") === None)
+    // a matched specific group WITHOUT a delay shadows the * delay
+    assert(RobotsKernels.crawlDelay(
+      "User-agent: graftbot\nDisallow: /x\n\nUser-agent: *\nCrawl-delay: 9",
+      "graftbot") === None)
+    // negative / garbage delays are skipped
+    assert(RobotsKernels.crawlDelay("User-agent: *\nCrawl-delay: -1", "b") === None)
+    assert(RobotsKernels.crawlDelay("User-agent: *\nCrawl-delay: soon", "b") === None)
+    assert(RobotsKernels.sitemaps(robots) ===
+      Seq("https://x.example/sitemap.xml", "https://x.example/sitemap2.xml.gz"))
+    assert(RobotsKernels.sitemaps("no directives here") === Seq.empty)
+  }
+
   test("parse tolerances: empty disallow, malformed lines, empty file") {
     assert(RobotsKernels.isAllowed("User-agent: *\nDisallow:", "g", "/x"))
     assert(RobotsKernels.isAllowed("", "g", "/x"))

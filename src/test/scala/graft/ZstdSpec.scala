@@ -84,6 +84,27 @@ class ZstdSpec extends AnyFunSuite {
     }
   }
 
+  test("long-window stress: 16 MB with multi-MB match distances") {
+    // periodic structure with a ~3 MB period forces the encoder into
+    // long-distance matches (offsets far beyond one 128 KB block) and
+    // many blocks sharing repeat-offset history
+    val period = 3_000_001 // prime-ish so block boundaries drift
+    val n = 16 * 1024 * 1024
+    val data = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      data(i) = (((i % period) * 31 + (i % period >> 7)) & 0xFF).toByte
+      i += 1
+    }
+    for (level <- Seq(3, 19)) {
+      val c = jni(data, level)
+      assert(java.util.Arrays.equals(Zstd.decompress(c), data), s"level $level")
+    }
+    // and a high-entropy 8 MB body (raw-block heavy path)
+    val rnd8 = randomBytes(8 * 1024 * 1024)
+    assert(java.util.Arrays.equals(Zstd.decompress(jni(rnd8, 3)), rnd8))
+  }
+
   test("checksummed frames verify; corrupted payload fails loudly") {
     val ctx = new com.github.luben.zstd.ZstdCompressCtx()
     ctx.setLevel(3).setChecksum(true)
