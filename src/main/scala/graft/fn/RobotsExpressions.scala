@@ -37,15 +37,23 @@ object RobotsKernels {
     * case-insensitive product-token match, `*` fallback, matching
     * groups merged in document order).
     */
-  def effectiveRules(robots: String, agent: String): Seq[Rule] = {
+  /** One pass over the document collecting the exact-group and
+    * star-group state (§2.2.1 selection applied at the end): rules,
+    * first crawl-delay, and whether a specific group matched at all.
+    */
+  private final class GroupState {
+    val rules = collection.mutable.ArrayBuffer.empty[Rule]
+    var delay: Option[Double] = None
+  }
+
+  private def parseFor(robots: String, agent: String): (GroupState, Boolean) = {
     val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
-    val exact = collection.mutable.ArrayBuffer.empty[Rule]
-    val star = collection.mutable.ArrayBuffer.empty[Rule]
+    val exact = new GroupState
+    val star = new GroupState
     // §2.2.1: the * group applies only when NO specific group matched
     // — a matched-but-empty specific group (whitelist shape) still
     // shadows the * group, so track the sighting independently
     var sawExactGroup = false
-    // group state: which buckets the CURRENT group feeds
     var groupExact = false
     var groupStar = false
     var inAgentRun = false // consecutive user-agent lines extend one group
@@ -53,11 +61,8 @@ object RobotsKernels {
     val body = if (robots.nonEmpty && robots.charAt(0) == '\uFEFF')
       robots.substring(1) else robots
     body.split("\n", -1).foreach { raw =>
-      val noComment = {
-        val h = raw.indexOf('#')
-        if (h >= 0) raw.substring(0, h) else raw
-      }
-      val line = noComment.trim
+      val h = raw.indexOf('#')
+      val line = (if (h >= 0) raw.substring(0, h) else raw).trim
       if (line.nonEmpty) {
         val c = line.indexOf(':')
         if (c > 0) {
@@ -76,8 +81,14 @@ object RobotsKernels {
               inAgentRun = false
               if (value.nonEmpty) { // empty value matches nothing (§2.2.2)
                 val r = Rule(key == "allow", value)
-                if (groupExact) exact += r
-                if (groupStar) star += r
+                if (groupExact) exact.rules += r
+                if (groupStar) star.rules += r
+              }
+            case "crawl-delay" =>
+              inAgentRun = false
+              value.toDoubleOption.filter(_ >= 0).foreach { d =>
+                if (groupExact && exact.delay.isEmpty) exact.delay = Some(d)
+                if (groupStar && star.delay.isEmpty) star.delay = Some(d)
               }
             case _ => // sitemap etc: not a rule, ends the agent run
               inAgentRun = false
@@ -85,8 +96,15 @@ object RobotsKernels {
         }
       }
     }
-    if (sawExactGroup) exact.toSeq else star.toSeq
+    (if (sawExactGroup) exact else star, sawExactGroup)
   }
+
+  /** Effective rule list for `agent` per §2.2.1 (exact
+    * case-insensitive product-token match, `*` fallback, matching
+    * groups merged in document order).
+    */
+  def effectiveRules(robots: String, agent: String): Seq[Rule] =
+    parseFor(robots, agent)._1.rules.toSeq
 
   /** `pattern` against `path`: prefix semantics with `*` (any run,
     * including empty) and a FINAL `$` anchoring the end — i.e. an
@@ -139,45 +157,8 @@ object RobotsKernels {
     * not in RFC 9309 proper): the matched group's value under the
     * same exact-then-star selection; None when absent or non-numeric.
     */
-  def crawlDelay(robots: String, agent: String): Option[Double] = {
-    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
-    var exactDelay: Option[Double] = None
-    var starDelay: Option[Double] = None
-    var sawExactGroup = false
-    var groupExact = false
-    var groupStar = false
-    var inAgentRun = false
-    val body = if (robots.nonEmpty && robots.charAt(0) == '\uFEFF')
-      robots.substring(1) else robots
-    body.split("\n", -1).foreach { raw =>
-      val h = raw.indexOf('#')
-      val line = (if (h >= 0) raw.substring(0, h) else raw).trim
-      if (line.nonEmpty) {
-        val c = line.indexOf(':')
-        if (c > 0) {
-          val key = line.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT)
-          val value = line.substring(c + 1).trim
-          key match {
-            case "user-agent" =>
-              if (!inAgentRun) { groupExact = false; groupStar = false }
-              inAgentRun = true
-              if (value == "*") groupStar = true
-              else if (value.toLowerCase(java.util.Locale.ROOT) == agentLc) {
-                groupExact = true; sawExactGroup = true
-              }
-            case "crawl-delay" =>
-              inAgentRun = false
-              value.toDoubleOption.filter(_ >= 0).foreach { d =>
-                if (groupExact && exactDelay.isEmpty) exactDelay = Some(d)
-                if (groupStar && starDelay.isEmpty) starDelay = Some(d)
-              }
-            case _ => inAgentRun = false
-          }
-        }
-      }
-    }
-    if (sawExactGroup) exactDelay else starDelay
-  }
+  def crawlDelay(robots: String, agent: String): Option[Double] =
+    parseFor(robots, agent)._1.delay
 
   /** All `Sitemap:` directives (site-wide per spec — group-independent),
     * in document order.
