@@ -121,6 +121,8 @@ object GraftExtensions {
     unaryFn("url_normalize", classOf[graft.fn.UrlNormalize],
       graft.fn.UrlNormalize(_)),
     unaryFn("html_text", classOf[graft.fn.HtmlText], graft.fn.HtmlText(_)),
+    unaryFn("html_text_full", classOf[graft.fn.HtmlText],
+      graft.fn.HtmlText(_, numericRefs = true)),
     (
       new FunctionIdentifier("robots_allowed"),
       new ExpressionInfo(classOf[graft.fn.RobotsAllowed].getName, "robots_allowed"),

@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle corpus, batch 14 (round 10): percent-encoding URL
+  * normalization and the WET-style crawl-text extraction shape.
+  *
+  * q129b plants percent-encoded URL variants (the RFC 3986 §6.2.2.2
+  * cases: unreserved `%7E`/`%41`/`%5F` octets that must DECODE,
+  * reserved `%2f` that must stay encoded but uppercase, an escaped
+  * dot segment `%2E%2E` that must collapse like `..` AFTER decoding,
+  * a malformed `%zq` that passes through, and a `utm%5Fsource`
+  * tracking param that must be unmasked before the filter) and runs
+  * the same [[graft.ext.WebOps.withNormalizedUrls]] kernel as q129;
+  * the oracle re-derives the whole normalization generically in SQL
+  * with the percent step expressed as a replace chain over the
+  * planted escape set, inserted at the kernel's own pipeline position
+  * (after the path/query split, before dot collapse and the
+  * tracking-param filter).
+  */
+object Queries14 extends ColumnSyntax {
+
+  // --------------------- q129b: percent-encoding normalization
+  private def plantedPctUrlCol(d: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val scheme = element_at(array(lit("http"), lit("HTTPS")), (d % 2 + 1).cast("int"))
+    val host = concat(lit("h"), (d % 5).cast("string"), lit(".ex"),
+      (d % 17).cast("string"),
+      element_at(array(lit(".com"), lit(".co.uk")), (d % 2 + 1).cast("int")))
+    val port = element_at(array(lit(":80"), lit(""), lit(":8080")),
+      (d % 3 + 1).cast("int"))
+    val path = element_at(array(
+        concat(lit("/%7Euser/p"), d.cast("string")),
+        concat(lit("/a%2fb/"), d.cast("string")),
+        concat(lit("/p/%2E%2E/q"), d.cast("string")),
+        concat(lit("/x%41y/"), (d % 9).cast("string")),
+        concat(lit("/m%zq/"), d.cast("string")),
+        concat(lit("/n%5F/./"), d.cast("string"))),
+      (d % 6 + 1).cast("int"))
+    val query = element_at(array(
+        concat(lit("?utm%5Fsource=t&id="), d.cast("string")),
+        concat(lit("?u%5Fx="), (d % 7).cast("string"), lit("&ref="), d.cast("string")),
+        lit("")),
+      (d % 3 + 1).cast("int"))
+    val frag = when(d % 4 === 0, lit("#a")).otherwise(lit(""))
+    concat(scheme, lit("://"), host, port, path, query, frag)
+  }
+
+  private def q129b(s: SparkSession, dir: String): DataFrame =
+    graft.ext.WebOps.withNormalizedUrls(
+        Tables.docsPar(s, dir).select($"doc_id",
+          plantedPctUrlCol($"doc_id").as("url")),
+        "url")
+      .select($"doc_id", $"url", $"norm_url", $"host", $"domain")
+      .orderBy($"doc_id")
+
+  private val plantedPctSql =
+    """planted AS (
+      |  SELECT doc_id,
+      |    ['http','HTTPS'][(doc_id % 2) + 1] || '://' ||
+      |    'h' || (doc_id % 5) || '.ex' || (doc_id % 17) ||
+      |    ['.com','.co.uk'][(doc_id % 2) + 1] ||
+      |    [':80','',':8080'][(doc_id % 3) + 1] ||
+      |    ['/%7Euser/p' || doc_id, '/a%2fb/' || doc_id,
+      |     '/p/%2E%2E/q' || doc_id, '/x%41y/' || (doc_id % 9),
+      |     '/m%zq/' || doc_id, '/n%5F/./' || doc_id][(doc_id % 6) + 1] ||
+      |    ['?utm%5Fsource=t&id=' || doc_id,
+      |     '?u%5Fx=' || (doc_id % 7) || '&ref=' || doc_id,
+      |     ''][(doc_id % 3) + 1] ||
+      |    CASE WHEN doc_id % 4 = 0 THEN '#a' ELSE '' END AS url
+      |  FROM documents
+      |)""".stripMargin
+
+  /** The generic q129 normalization chain with the §6.2.2.2 percent
+    * step over the PLANTED escape set spliced in at the kernel's own
+    * position: decode unreserved (`%7E %41 %5F`), uppercase the
+    * reserved `%2f`, decode `%2E` so the dot collapse sees `..`,
+    * leave the malformed `%zq` alone.
+    */
+  private val pctNormCtes =
+    """parts AS (
+      |  SELECT doc_id, url,
+      |    lower(split_part(url, '://', 1)) AS scheme,
+      |    substr(url, len(split_part(url, '://', 1)) + 4) AS rest
+      |  FROM planted
+      |), auth AS (
+      |  SELECT *, regexp_extract(rest, '^[^/?#]*') AS authority,
+      |    substr(rest, len(regexp_extract(rest, '^[^/?#]*')) + 1) AS pqf
+      |  FROM parts
+      |), hp AS (
+      |  SELECT *,
+      |    lower(CASE WHEN contains(authority, ':')
+      |               THEN split_part(authority, ':', 1) ELSE authority END) AS host,
+      |    CASE WHEN contains(authority, ':')
+      |         THEN split_part(authority, ':', 2) ELSE '' END AS port,
+      |    regexp_replace(pqf, '#.*$', '') AS nofrag
+      |  FROM auth
+      |), pq AS (
+      |  SELECT *, regexp_extract(nofrag, '^[^?]*') AS path0,
+      |    CASE WHEN contains(nofrag, '?')
+      |         THEN substr(nofrag, len(regexp_extract(nofrag, '^[^?]*')) + 2)
+      |         ELSE '' END AS query0
+      |  FROM hp
+      |), pct AS (
+      |  SELECT *,
+      |    replace(replace(replace(replace(replace(path0,
+      |      '%7E', '~'), '%2f', '%2F'), '%2E', '.'), '%41', 'A'), '%5F', '_')
+      |      AS pathp,
+      |    replace(query0, '%5F', '_') AS queryp
+      |  FROM pq
+      |), dots AS (
+      |  SELECT *, regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |    pathp, '/\./', '/', 'g'),
+      |    '/[^/.][^/]*/\.\./', '/'), '/[^/.][^/]*/\.\./', '/'),
+      |    '/[^/.][^/]*/\.\./', '/') AS path1
+      |  FROM pct
+      |), qf AS (
+      |  SELECT *, array_to_string(list_filter(string_split(queryp, '&'),
+      |    p -> NOT (p LIKE 'utm\_%' ESCAPE '\' OR p LIKE 'fbclid=%'
+      |              OR p LIKE 'gclid=%')), '&') AS query1
+      |  FROM dots
+      |), dom AS (
+      |  SELECT *, string_split(host, '.') AS hl FROM qf
+      |), norm AS (
+      |  SELECT doc_id, url, host,
+      |    CASE WHEN len(hl) >= 3 AND hl[-2] || '.' || hl[-1]
+      |              IN ('co.uk','org.uk','ac.uk','com.au','co.jp')
+      |         THEN hl[-3] || '.' || hl[-2] || '.' || hl[-1]
+      |         WHEN len(hl) >= 2 THEN hl[-2] || '.' || hl[-1]
+      |         ELSE host END AS domain,
+      |    scheme || '://' || host ||
+      |    CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+      |              AND NOT (scheme = 'https' AND port = '443')
+      |         THEN ':' || port ELSE '' END ||
+      |    CASE WHEN path1 = '' THEN '/' ELSE path1 END ||
+      |    CASE WHEN query1 <> '' THEN '?' || query1 ELSE '' END AS norm_url
+      |  FROM dom
+      |)""".stripMargin
+
+  private val q129bSql =
+    s"""WITH $plantedPctSql, $pctNormCtes
+       |SELECT doc_id, url, norm_url, host, domain
+       |FROM norm ORDER BY doc_id""".stripMargin
+
+  // ------------- q131x: html_text_full production twin (rows-only)
+  /** The q131 extraction with numeric character references planted —
+    * the curly apostrophe `&#8217;`/`&#x2019;` real pages carry, a
+    * supplementary-plane `&#x1F600;`, and the malformed/out-of-range
+    * forms that must stay literal — through the PRODUCTION
+    * `html_text_full` kernel (`numericRefs = true`). No SQL oracle:
+    * `replace()` cannot express numeric decode (the documented q131
+    * contract); the decode itself is fuzz-pinned in HtmlSpec against
+    * an independent `java.util.regex` + `Character.toChars`
+    * reference, and the row count is gated rows-only by the xx
+    * convention.
+    */
+  private def q131x(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    val esc = expr(
+      "replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')")
+    val html = concat(
+      lit("<html><head><title>D"), $"doc_id".cast("string"),
+      lit("</title><script>if(1&#60;2){x&#8217;}</script></head><body><p>"),
+      esc,
+      lit("</p><p>it&#8217;s &#x2019; A=&#65; pair=&#x1F600; max=&#x10FFFF;"),
+      lit(" bad=&#1114112; sur=&#xD800; z=&#0; part=&#x; q&#39;s &amp;#65;</p>"),
+      lit("</body></html>"))
+    Tables.docsPar(s, dir)
+      .select($"doc_id",
+        gb.column(graft.fn.HtmlText(gb.expression(html), numericRefs = true))
+          .as("text_out"))
+      .withColumn("n_out", length($"text_out").cast("long"))
+      .orderBy($"doc_id")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129b_percent_norm" -> (q129b _),
+    "q131x_html_full_xx" -> (q131x _))
+
+  val oracles: Map[String, String] = Map(
+    // q131x: no oracle — numeric-ref decode is not SQL-expressible
+    // (HtmlSpec fuzz parity is its gate), rows-only by the xx convention
+    "q129b_percent_norm" -> q129bSql)
+}

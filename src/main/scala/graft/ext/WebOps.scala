@@ -13,26 +13,36 @@ import org.apache.spark.sql.functions._
   * per domain, never a per-domain sort).
   *
   * Normalization rules ([[Urls.normalizeOrNull]], RFC 3986 §6
-  * subset): scheme + host lowercased; default ports stripped
-  * (http:80, https:443); path dot-segments resolved by the RFC
-  * remove_dot_segments algorithm; empty path → "/"; tracking
+  * subset): scheme + host lowercased; percent-encodings normalized
+  * per §6.2.2.2 (hex uppercased, unreserved octets decoded — applied
+  * to host/path/query BEFORE dot-segment removal, the RFC's §6.2.2
+  * order, so `/%2E%2E/` collapses like `/../`); default ports
+  * stripped (http:80, https:443); path dot-segments resolved by the
+  * RFC remove_dot_segments algorithm; empty path → "/"; tracking
   * parameters (utm_*, fbclid, gclid) dropped with the other params'
   * order preserved; fragment dropped. Registered domain = last two
-  * host labels, or three under a built-in second-level-suffix set
-  * (co.uk and friends — the mechanism; a production deployment
-  * ships the full public-suffix list as data). Out-of-subset URLs
-  * (no "://", userinfo, bracketed IPv6) → null, loudly documented.
+  * host labels, or three under a second-level-suffix set — the
+  * built-in 5-entry set is the default; a production deployment
+  * injects a full public-suffix-list snapshot as a `Broadcast`
+  * (never an embedded payload — CollapseProject clones expressions,
+  * so a ~240 KB PSL would ride the task binary once per clone).
+  * Out-of-subset URLs (no "://", userinfo, bracketed IPv6, a colon
+  * left in the host after the port split) → null, loudly documented.
   */
 object WebOps {
 
   /** Adds `norm_url`, `host`, `domain` from `urlCol` via the
     * [[graft.fn.UrlNormalize]] codegen kernel (null for
-    * out-of-subset URLs).
+    * out-of-subset URLs). `suffixes` injects a public-suffix-list
+    * snapshot for the registered-domain rollup (broadcast once,
+    * shared by every task); None keeps the built-in default set.
     */
-  def withNormalizedUrls(df: DataFrame, urlCol: String): DataFrame = {
+  def withNormalizedUrls(df: DataFrame, urlCol: String,
+      suffixes: Option[org.apache.spark.broadcast.Broadcast[Set[String]]] = None)
+      : DataFrame = {
     import org.apache.spark.sql.{graftbridge => gb}
     df.withColumn("__u",
-        gb.column(graft.fn.UrlNormalize(gb.expression(col(urlCol)))))
+        gb.column(graft.fn.UrlNormalize(gb.expression(col(urlCol)), suffixes)))
       .withColumn("norm_url", col("__u.norm_url"))
       .withColumn("host", col("__u.host"))
       .withColumn("domain", col("__u.domain"))
@@ -108,10 +118,52 @@ object WebOps {
 /** The pure URL kernel behind [[WebOps]]. */
 object Urls {
 
-  // second-level public suffixes the domain rollup recognizes (the
-  // mechanism; the full PSL is deployment data)
-  private val SecondLevelSuffixes =
+  // second-level public suffixes the domain rollup recognizes by
+  // default (the mechanism; the full PSL is deployment data, injected
+  // per call — see registeredDomain's suffix parameter)
+  val DefaultSecondLevelSuffixes: Set[String] =
     Set("co.uk", "org.uk", "ac.uk", "com.au", "co.jp")
+
+  private def isHexDigit(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+
+  private def hexVal(c: Char): Int =
+    if (c <= '9') c - '0' else (c | 0x20) - 'a' + 10
+
+  private def isUnreservedOctet(v: Int): Boolean =
+    (v >= 'A' && v <= 'Z') || (v >= 'a' && v <= 'z') ||
+      (v >= '0' && v <= '9') || v == '-' || v == '.' || v == '_' || v == '~'
+
+  /** RFC 3986 §6.2.2.2 percent-encoding normalization: hex digits of
+    * an escape uppercased; octets that encode unreserved characters
+    * (ALPHA / DIGIT / "-" / "." / "_" / "~") decoded. Escapes of
+    * reserved octets are left encoded (decoding them would CHANGE the
+    * URL — `%2F` is not `/`). Malformed escapes (no two hex digits)
+    * pass through verbatim: normalization must never reject what the
+    * fetcher accepted. Single linear pass; the common no-`%` string
+    * returns itself with no allocation.
+    */
+  def percentNormalize(s: String): String = {
+    if (s.indexOf('%') < 0) return s
+    val out = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          isHexDigit(s.charAt(i + 1)) && isHexDigit(s.charAt(i + 2))) {
+        val v = hexVal(s.charAt(i + 1)) * 16 + hexVal(s.charAt(i + 2))
+        if (isUnreservedOctet(v)) out.append(v.toChar)
+        else out.append('%')
+          .append(Character.toUpperCase(s.charAt(i + 1)))
+          .append(Character.toUpperCase(s.charAt(i + 2)))
+        i += 3
+      } else {
+        out.append(c)
+        i += 1
+      }
+    }
+    out.toString
+  }
 
   /** RFC 3986 §5.2.4 remove_dot_segments. */
   def removeDotSegments(path: String): String = {
@@ -146,22 +198,30 @@ object Urls {
       kept.mkString("&")
     }
 
-  /** Registered domain: last two labels, three under the built-in
-    * second-level-suffix set; hosts with fewer labels pass through.
+  /** Registered domain: last two labels, three under the
+    * second-level-suffix set (the built-in default, or an injected
+    * PSL snapshot); hosts with fewer labels pass through.
     */
-  def registeredDomain(host: String): String = {
+  def registeredDomain(host: String): String =
+    registeredDomain(host, DefaultSecondLevelSuffixes)
+
+  def registeredDomain(host: String, secondLevel: Set[String]): String = {
     val parts = host.split('.')
     if (parts.length < 2) host
     else {
       val last2 = parts(parts.length - 2) + "." + parts(parts.length - 1)
-      if (parts.length >= 3 && SecondLevelSuffixes.contains(last2))
+      if (parts.length >= 3 && secondLevel.contains(last2))
         parts(parts.length - 3) + "." + last2
       else last2
     }
   }
 
   /** (norm_url, host, domain) or null for out-of-subset URLs. */
-  def normalizeOrNull(url: String): (String, String, String) = {
+  def normalizeOrNull(url: String): (String, String, String) =
+    normalizeOrNull(url, DefaultSecondLevelSuffixes)
+
+  def normalizeOrNull(url: String,
+                      secondLevel: Set[String]): (String, String, String) = {
     if (url == null) return null
     val sep = url.indexOf("://")
     if (sep <= 0) return null
@@ -184,7 +244,10 @@ object Urls {
       if (colon < 0) (authority, "")
       else (authority.substring(0, colon), authority.substring(colon + 1))
     if (port.nonEmpty && !port.forall(c => c >= '0' && c <= '9')) return null
-    val host = hostRaw.toLowerCase
+    // a colon LEFT in the host after the port split (http://a:1:2/x)
+    // is out of subset, like userinfo and bracketed IPv6 above
+    if (hostRaw.indexOf(':') >= 0) return null
+    val host = percentNormalize(hostRaw).toLowerCase
     if (host.isEmpty) return null
     val keepPort = port.nonEmpty &&
       !((scheme == "http" && port == "80") || (scheme == "https" && port == "443"))
@@ -194,13 +257,18 @@ object Urls {
     val qIdx = noFrag.indexOf('?')
     val pathRaw = if (qIdx < 0) noFrag else noFrag.substring(0, qIdx)
     val queryRaw = if (qIdx < 0) "" else noFrag.substring(qIdx + 1)
-    val path0 = removeDotSegments(pathRaw)
+    // §6.2.2 order: percent normalization BEFORE dot-segment removal,
+    // so a "%2E%2E" segment collapses exactly like ".."
+    val path0 = removeDotSegments(percentNormalize(pathRaw))
     val path = if (path0.isEmpty) "/" else path0
-    val query = dropTracking(queryRaw)
+    // unreserved decode never yields '&' or '=' (both reserved stay
+    // encoded), so the tracking-param split sees stable boundaries —
+    // and a "utm%5Fsource" disguise is unmasked before the filter
+    val query = dropTracking(percentNormalize(queryRaw))
     val norm = new java.lang.StringBuilder(scheme).append("://").append(host)
     if (keepPort) norm.append(':').append(port)
     norm.append(path)
     if (query.nonEmpty) norm.append('?').append(query)
-    (norm.toString, host, registeredDomain(host))
+    (norm.toString, host, registeredDomain(host, secondLevel))
   }
 }

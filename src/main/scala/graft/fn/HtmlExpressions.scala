@@ -28,12 +28,32 @@ import org.apache.spark.unsafe.types.UTF8String
   * The whitespace class in step 6 is written explicitly rather than
   * `\s` because RE2 (the oracle's engine) excludes `\x0B` from `\s`
   * while `java.util.regex` includes it — the explicit class is the
-  * portable intersection. Numeric character references (`&#x..;`,
-  * `&#NN;` beyond `&#39;`) are NOT decoded — SQL `replace()` cannot
-  * express them; documents needing them keep the reference as text on
-  * both engines, so parity holds. HtmlSpec pins every pass against a
-  * `java.util.regex` reference implementation (adversarial corners +
-  * randomized tag-soup fuzz), the PiiSpec discipline.
+  * portable intersection.
+  *
+  * Numeric character references: the DEFAULT pipeline does NOT decode
+  * `&#NN;`/`&#xHH;` beyond the literal `&#39;` — SQL `replace()`
+  * cannot express them, and q131's oracle replays the default
+  * pipeline hash-exact. The PRODUCTION variant (`html_text_full`,
+  * `numericRefs = true`) swaps pass 5 for [[decodeEntitiesNumeric]]:
+  * one left-to-right scan decoding the same five named entities PLUS
+  * `&#NN;` (≤ 10 decimal digits) and `&#xHH;`/`&#XHH;` (≤ 8 hex
+  * digits), strict-semicolon; supplementary planes emit surrogate
+  * pairs; malformed or out-of-range refs (no digits, no `;`, value 0,
+  * the surrogate block D800–DFFF, > 10FFFF) pass through as text.
+  * Decoded output is never rescanned, so `&amp;lt;` and `&amp;#65;`
+  * still resolve exactly one escape level — on entity-free and
+  * named-only inputs the two variants agree (the single-char
+  * replacements cannot create a new reference, and `&`-producing
+  * decodes are terminal in both forms). Real pages use `&#8217;`
+  * (curly apostrophe) constantly; leaving it as literal text poisons
+  * shingle/winnow dedup keys, which is why the production twin exists
+  * (graded rows-only as q131x by the xx convention — its decode is
+  * fuzz-pinned against an independent `java.util.regex` +
+  * `Character.toChars` reference in HtmlSpec instead).
+  *
+  * HtmlSpec pins every pass against a `java.util.regex` reference
+  * implementation (adversarial corners + randomized tag-soup fuzz),
+  * the PiiSpec discipline.
   */
 object HtmlKernels {
 
@@ -148,6 +168,64 @@ object HtmlKernels {
     s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
       .replace("&#39;", "'").replace("&nbsp;", " ").replace("&amp;", "&")
 
+  /** Tries to decode one reference at `s(i) == '&'` into `sb`;
+    * returns chars consumed, or 0 when nothing valid starts here
+    * (the caller then emits the `&` as text). See object scaladoc
+    * for the accepted forms.
+    */
+  private def tryDecodeRef(s: String, i: Int, sb: java.lang.StringBuilder): Int = {
+    val n = s.length
+    // named, case-sensitive (matching the literal-replace pipeline)
+    if (s.startsWith("&lt;", i)) { sb.append('<'); return 4 }
+    if (s.startsWith("&gt;", i)) { sb.append('>'); return 4 }
+    if (s.startsWith("&amp;", i)) { sb.append('&'); return 5 }
+    if (s.startsWith("&quot;", i)) { sb.append('"'); return 6 }
+    if (s.startsWith("&nbsp;", i)) { sb.append(' '); return 6 }
+    if (i + 2 >= n || s.charAt(i + 1) != '#') return 0
+    val hex = s.charAt(i + 2) == 'x' || s.charAt(i + 2) == 'X'
+    var j = i + (if (hex) 3 else 2)
+    val digitStart = j
+    val maxDigits = if (hex) 8 else 10
+    var v = 0L
+    while (j < n && j - digitStart < maxDigits + 1 && {
+      val c = s.charAt(j)
+      if (hex)
+        (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+      else c >= '0' && c <= '9'
+    }) {
+      val c = s.charAt(j)
+      val d = if (c <= '9') c - '0' else (c | 0x20) - 'a' + 10
+      v = math.min(v * (if (hex) 16 else 10) + d, 0x110000L)
+      j += 1
+    }
+    if (j == digitStart || j - digitStart > maxDigits) return 0
+    if (j >= n || s.charAt(j) != ';') return 0
+    val cp = v.toInt
+    if (cp < 1 || cp > 0x10FFFF || (cp >= 0xD800 && cp <= 0xDFFF)) return 0
+    sb.appendCodePoint(cp)
+    j + 1 - i
+  }
+
+  /** Pass 5, production form: one scan decoding named + numeric
+    * references; decoded output is not rescanned (see scaladoc).
+    */
+  def decodeEntitiesNumeric(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c != '&') { sb.append(c); i += 1 }
+      else {
+        val consumed = tryDecodeRef(s, i, sb)
+        if (consumed > 0) i += consumed
+        else { sb.append('&'); i += 1 }
+      }
+    }
+    sb.toString
+  }
+
   private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
 
@@ -171,30 +249,42 @@ object HtmlKernels {
     sb.toString
   }
 
-  /** The whole pipeline (see object scaladoc for the exact passes). */
-  def htmlText(s: String): String =
-    collapseWs(decodeEntities(stripTags(removeComments(
-      removeElement(removeElement(s, "script"), "style")))))
+  /** The whole pipeline (see object scaladoc for the exact passes);
+    * `numericRefs` swaps pass 5 for [[decodeEntitiesNumeric]].
+    */
+  def htmlText(s: String, numericRefs: Boolean = false): String = {
+    val stripped = stripTags(removeComments(
+      removeElement(removeElement(s, "script"), "style")))
+    collapseWs(
+      if (numericRefs) decodeEntitiesNumeric(stripped)
+      else decodeEntities(stripped))
+  }
 
   def htmlTextOrNull(u: UTF8String): UTF8String =
-    if (u == null) null else UTF8String.fromString(htmlText(u.toString))
+    htmlTextOrNull(u, false)
+
+  def htmlTextOrNull(u: UTF8String, numericRefs: Boolean): UTF8String =
+    if (u == null) null
+    else UTF8String.fromString(htmlText(u.toString, numericRefs))
 }
 
-/** `html_text(html)` → visible text (see [[HtmlKernels]]). */
-case class HtmlText(child: Expression)
+/** `html_text(html)` → visible text (see [[HtmlKernels]]);
+  * `html_text_full` is the `numericRefs = true` production variant.
+  */
+case class HtmlText(child: Expression, numericRefs: Boolean = false)
   extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
-  override def prettyName: String = "html_text"
+  override def prettyName: String = if (numericRefs) "html_text_full" else "html_text"
 
   override protected def nullSafeEval(v: Any): Any =
-    HtmlKernels.htmlTextOrNull(v.asInstanceOf[UTF8String])
+    HtmlKernels.htmlTextOrNull(v.asInstanceOf[UTF8String], numericRefs)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, t =>
-      s"${ev.value} = graft.fn.HtmlKernels.htmlTextOrNull($t);")
+      s"${ev.value} = graft.fn.HtmlKernels.htmlTextOrNull($t, $numericRefs);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

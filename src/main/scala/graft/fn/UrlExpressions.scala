@@ -10,9 +10,14 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Catalyst packing for [[graft.ext.Urls.normalizeOrNull]]. */
 object UrlKernels {
-  def normalizeRowOrNull(u: UTF8String): InternalRow = {
+  def normalizeRowOrNull(u: UTF8String): InternalRow =
+    normalizeRowOrNull(u, null)
+
+  /** `suffixes` null → the built-in default second-level set. */
+  def normalizeRowOrNull(u: UTF8String, suffixes: Set[String]): InternalRow = {
     if (u == null) return null
-    val t = graft.ext.Urls.normalizeOrNull(u.toString)
+    val t = graft.ext.Urls.normalizeOrNull(u.toString,
+      if (suffixes == null) graft.ext.Urls.DefaultSecondLevelSuffixes else suffixes)
     if (t == null) null
     else new GenericInternalRow(Array[Any](
       UTF8String.fromString(t._1), UTF8String.fromString(t._2),
@@ -22,8 +27,13 @@ object UrlKernels {
 
 /** `url_normalize(url)` → struct(norm_url, host, domain); null for
   * out-of-subset URLs ([[graft.ext.WebOps]] documents the rules).
+  * `suffixes` optionally injects a public-suffix-list snapshot for
+  * the registered-domain rollup — a `Broadcast` HANDLE (O(handle)
+  * in the task binary even when CollapseProject clones this
+  * expression), never an embedded set.
   */
-case class UrlNormalize(child: Expression)
+case class UrlNormalize(child: Expression,
+    suffixes: Option[org.apache.spark.broadcast.Broadcast[Set[String]]] = None)
   extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
@@ -35,19 +45,28 @@ case class UrlNormalize(child: Expression)
   override def prettyName: String = "url_normalize"
 
   override protected def nullSafeEval(v: Any): Any =
-    UrlKernels.normalizeRowOrNull(v.asInstanceOf[UTF8String])
+    UrlKernels.normalizeRowOrNull(v.asInstanceOf[UTF8String],
+      suffixes.map(_.value).orNull)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = suffixes match {
+      case Some(bc) =>
+        val r = ctx.addReferenceObj("pslSet", bc,
+          "org.apache.spark.broadcast.Broadcast")
+        s"(scala.collection.immutable.Set) $r.value()"
+      case None => "null"
+    }
     nullSafeCodeGen(ctx, ev, t =>
       s"""
          |org.apache.spark.sql.catalyst.InternalRow ${ev.value}_r =
-         |  graft.fn.UrlKernels.normalizeRowOrNull($t);
+         |  graft.fn.UrlKernels.normalizeRowOrNull($t, $setRef);
          |if (${ev.value}_r == null) {
          |  ${ev.isNull} = true;
          |} else {
          |  ${ev.value} = ${ev.value}_r;
          |}
        """.stripMargin)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

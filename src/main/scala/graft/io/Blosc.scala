@@ -114,8 +114,10 @@ object Blosc {
       val dst = if (doShuffle) tmp else out
       val dstBase = if (doShuffle) 0 else off
       var pos = le32(chunk, 16 + 4 * j)
-      require(pos >= 16 && pos <= chunk.length,
-        s"$ctx: blosc block $j starts at $pos, outside the chunk")
+      // a block must start past the header AND the bstarts index itself,
+      // or a corrupt index would decode its own entries as stream data
+      require(pos >= 16 + 4 * nblocks && pos + 4 <= chunk.length,
+        s"$ctx: blosc block $j starts at $pos, outside the chunk's data region")
       var s = 0
       while (s < nsplits) {
         require(pos + 4 <= chunk.length,

@@ -177,6 +177,16 @@ object Zarr {
             s"$dir: v3 codec '$other' not supported (gzip/zstd/blosc/crc32c)")
         }
       }
+      // blosc's frame carries no size of its own — the decoder is
+      // handed the final regenerated size, which is only correct when
+      // blosc sits directly on the raw bytes (first bytes→bytes codec
+      // in declaration order, applied last on decode). Reject other
+      // placements at parse time rather than failing mid-decode with
+      // a misleading size mismatch.
+      require(chain.count(_ == V3Blosc) <= 1 &&
+        (!chain.contains(V3Blosc) || chain.head == V3Blosc),
+        s"$dir: $what declares blosc after another compressor — blosc must be " +
+          "the innermost bytes→bytes codec (declared immediately after 'bytes')")
       (endian, chain)
     }
 

@@ -597,8 +597,10 @@ object Zstd {
     if (sb0 == 0) nSeq = 0
     else if (sb0 < 128) nSeq = sb0
     else if (sb0 < 255) {
+      require(pos < limit, "zstd: truncated 2-byte sequence count")
       nSeq = ((sb0 - 128) << 8) + (src(pos) & 0xFF); pos += 1
     } else {
+      require(pos + 2 <= limit, "zstd: truncated 3-byte sequence count")
       nSeq = (src(pos) & 0xFF) + ((src(pos + 1) & 0xFF) << 8) + 0x7F00; pos += 2
     }
 
@@ -607,12 +609,14 @@ object Zstd {
       return
     }
 
+    require(pos < limit, "zstd: missing sequence compression-modes byte")
     val modes = src(pos) & 0xFF; pos += 1
     require((modes & 3) == 0, "zstd: reserved sequence-mode bits set")
     def tableFor(mode: Int, predef: FseTable, maxAcc: Int, maxSym: Int,
                  prev: FseTable, what: String): FseTable = mode match {
       case 0 => predef
       case 1 =>
+        require(pos < limit, s"zstd: truncated $what RLE symbol byte")
         val sym = src(pos) & 0xFF; pos += 1
         require(sym <= maxSym, s"zstd: $what RLE symbol $sym > $maxSym")
         rleTable(sym)

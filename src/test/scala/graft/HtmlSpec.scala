@@ -41,6 +41,40 @@ class HtmlSpec extends AnyFunSuite {
     refCollapse(refEntities(refTags(refComments(
       refRemove(refRemove(s, "script"), "style")))))
 
+  // independent reference for the PRODUCTION pass 5': java.util.regex
+  // alternation + Long.parseLong + Character.toChars (the kernel is a
+  // hand scanner with its own accumulator — different machinery, same
+  // contract). Out-of-range/surrogate refs pass through via group().
+  private def refEntitiesNumeric(s: String): String = {
+    val p = Pattern.compile(
+      "&(?:(lt|gt|quot|nbsp|amp);|#([0-9]{1,10});|#[xX]([0-9a-fA-F]{1,8});)")
+    val m = p.matcher(s)
+    val sb = new java.lang.StringBuffer
+    while (m.find()) {
+      val rep =
+        if (m.group(1) != null) m.group(1) match {
+          case "lt" => "<"
+          case "gt" => ">"
+          case "quot" => "\""
+          case "nbsp" => " "
+          case "amp" => "&"
+        } else {
+          val v =
+            if (m.group(2) != null) java.lang.Long.parseLong(m.group(2))
+            else java.lang.Long.parseLong(m.group(3), 16)
+          if (v < 1 || v > 0x10FFFF || (v >= 0xD800 && v <= 0xDFFF)) m.group()
+          else new String(Character.toChars(v.toInt))
+        }
+      m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(rep))
+    }
+    m.appendTail(sb)
+    sb.toString
+  }
+
+  private def refHtmlTextFull(s: String): String =
+    refCollapse(refEntitiesNumeric(refTags(refComments(
+      refRemove(refRemove(s, "script"), "style")))))
+
   private def check(s: String): Unit = {
     assert(HtmlKernels.removeElement(s, "script") === refRemove(s, "script"), s"script: <$s>")
     assert(HtmlKernels.removeElement(s, "style") === refRemove(s, "style"), s"style: <$s>")
@@ -99,8 +133,59 @@ class HtmlSpec extends AnyFunSuite {
     }
   }
 
+  test("numeric character references: adversarial corners match the regex reference") {
+    Seq(
+      "it&#8217;s here",                   // the curly apostrophe that poisons dedup keys
+      "x&#x2019;y &#X2019; mixed case",
+      "A is &#65; and &#x41;",
+      "&#39; both forms &#x27;",
+      "emoji &#x1F600; pair",              // supplementary plane → surrogate pair
+      "max &#1114111; &#x10FFFF;",
+      "over &#1114112; &#x110000;",        // out of range → literal
+      "surrogate &#xD800; &#55296; block", // → literal
+      "zero &#0; &#x0;",
+      "&#; &#x; &#xG; &# partials",
+      "&#123456789012; too many digits",
+      "&#0000000065; leading zeros",
+      "&amp;#65; one escape level only",
+      "&amp;lt; still literal",
+      "100% &formed & loose",
+      "&#13;&#10;&#9; controls then collapse",
+      "&#160; is NBSP the char, not the collapse space"
+    ).foreach { s =>
+      assert(HtmlKernels.decodeEntitiesNumeric(s) === refEntitiesNumeric(s), s"numeric: <$s>")
+      assert(HtmlKernels.htmlText(s, numericRefs = true) === refHtmlTextFull(s), s"full: <$s>")
+    }
+  }
+
+  test("numeric-ref fuzz matches the regex reference; variants agree without numeric refs") {
+    val rnd = new scala.util.Random(20260815)
+    val atoms = Array(
+      "&#", "#", ";", "&", "x", "X", "8217", "41", "1F600", "D800",
+      "110000", "0", "65", "&#8217;", "&#x2019;", "&amp;", "&lt;", "&#39;",
+      "&nbsp;", "text", " ", "<b>", "</b>", "9999999999", "99999999999",
+      "&#xD7FF;", "&#xE000;", "é")
+    (0 until 4000).foreach { _ =>
+      val n = 1 + rnd.nextInt(20)
+      val s = (0 until n).map(_ => atoms(rnd.nextInt(atoms.length))).mkString
+      assert(HtmlKernels.decodeEntitiesNumeric(s) === refEntitiesNumeric(s), s"numeric: <$s>")
+      assert(HtmlKernels.htmlText(s, numericRefs = true) === refHtmlTextFull(s), s"full: <$s>")
+    }
+    // on inputs with no numeric refs, the production variant degrades
+    // to exactly the default pipeline (the documented agreement)
+    val namedAtoms = Array("&lt;", "&gt;", "&amp;", "&quot;", "&nbsp;",
+      "&copy;", "text", " ", "&", ";", "amp;", "<i>", "</i>")
+    (0 until 2000).foreach { _ =>
+      val n = 1 + rnd.nextInt(16)
+      val s = (0 until n).map(_ => namedAtoms(rnd.nextInt(namedAtoms.length))).mkString
+      assert(HtmlKernels.htmlText(s, numericRefs = true) === HtmlKernels.htmlText(s),
+        s"variant agreement: <$s>")
+    }
+  }
+
   test("null propagates") {
     assert(HtmlKernels.htmlTextOrNull(null) === null)
+    assert(HtmlKernels.htmlTextOrNull(null, true) === null)
   }
 
   test("the synthesized-page shape extracts the visible text") {

@@ -35,6 +35,51 @@ class WebOpsSpec extends SparkSpec {
     assert(n("h ttp://x.com/") == null)
   }
 
+  test("percentNormalize: RFC 3986 §6.2.2.2 goldens") {
+    // unreserved octets decode; reserved stay encoded but uppercase
+    assert(Urls.percentNormalize("%7e%41%2d%5f%2e") === "~A-_.")
+    assert(Urls.percentNormalize("a%2Fb%3fc") === "a%2Fb%3Fc")
+    assert(Urls.percentNormalize("%2fx%2F") === "%2Fx%2F")
+    // malformed escapes pass through verbatim
+    assert(Urls.percentNormalize("%zz%4") === "%zz%4")
+    assert(Urls.percentNormalize("100%") === "100%")
+    // no-% fast path returns the same reference
+    val s = "plain/path"
+    assert(Urls.percentNormalize(s) eq s)
+  }
+
+  test("normalizeOrNull: percent normalization in host, path, query") {
+    def n(u: String): String = {
+      val t = Urls.normalizeOrNull(u)
+      if (t == null) null else t._1
+    }
+    // %7E → ~ in path; mixed-case reserved hex uppercased
+    assert(n("http://a.com/%7Euser/x%2fy") === "http://a.com/~user/x%2Fy")
+    // §6.2.2 order: an escaped dot segment collapses like a literal one
+    assert(n("http://a.com/a/%2E%2E/b") === "http://a.com/b")
+    // host percent-decodes then lowercases
+    assert(Urls.normalizeOrNull("http://%41.com/x")._2 === "a.com")
+    // a disguised utm param is unmasked before the tracking filter
+    assert(n("http://a.com/?utm%5Fsource=x&id=3") === "http://a.com/?id=3")
+    // multi-colon authority is out of subset, not a silent "a:1" host
+    assert(n("http://a:1:2/x") == null)
+  }
+
+  test("registeredDomain and withNormalizedUrls accept an injected suffix set") {
+    val psl = Urls.DefaultSecondLevelSuffixes + "com.br" + "net.nz"
+    assert(Urls.registeredDomain("shop.example.com.br", psl) === "example.com.br")
+    // the default set does NOT know com.br — that's the injection point
+    assert(Urls.registeredDomain("shop.example.com.br") === "com.br")
+    assert(Urls.registeredDomain("sub.demo.co.uk", psl) === "demo.co.uk")
+    val bc = spark.sparkContext.broadcast(psl)
+    val got = WebOps.withNormalizedUrls(
+        Seq((1L, "https://Shop.Example.COM.br/a/../b")).toDF("id", "url"),
+        "url", Some(bc))
+      .select($"norm_url", $"domain").head()
+    assert(got.getString(0) === "https://shop.example.com.br/b")
+    assert(got.getString(1) === "example.com.br")
+  }
+
   test("registered domain: PSL second-level mechanism") {
     assert(Urls.registeredDomain("a.b.example.com") === "example.com")
     assert(Urls.registeredDomain("sub.demo.co.uk") === "demo.co.uk")
