@@ -103,7 +103,17 @@ object Queries11 extends ColumnSyntax {
       (i + 1000L, mp4Of(i + 1, (x, y) =>
         math.min(255, scene(i)(x, y) + (if ((x * 31 + y * 17) % 37 == 0) 2 else 0))))
     }
-    s.createDataFrame(originals ++ copies).toDF("vid_id", "content")
+    // round 10: High-profile (transform_8x8) I_8x8 keyframes — the
+    // same seed-derived coefficient scene through BOTH entropy layers
+    // (CAVLC original, CABAC dup with a +1 DC perturbation on one
+    // 8x8 block), so each (2000+i, 3000+i) planted pair exercises the
+    // High decode path end to end on both variants
+    val highs = (0 until 12).map(i =>
+      (2000L + i, graft.ext.VideoFixtures.i8KeyframeMp4Cavlc(seed = 77 + i)))
+    val highDups = (0 until 6).map(i =>
+      (3000L + i, graft.ext.VideoFixtures.i8KeyframeMp4Cabac(seed = 77 + i, dcBump = 1)))
+    s.createDataFrame(originals ++ copies ++ highs ++ highDups)
+      .toDF("vid_id", "content")
       .repartition(8)
   }
 

@@ -10,8 +10,12 @@ package graft.ext
   * entropy_coding_mode CAVLC (all slice types below) or CABAC for
   * I slices (round 9, [[H264Cabac]] — the Main-profile keyframe
   * path; P-slice CABAC stays out of scope), frame_mbs_only, 4:2:0
-  * 8-bit, 4x4 transform only, one slice group, I/IDR slices (mb
-  * types I_4x4 / I_16x16 / I_PCM).
+  * 8-bit, one slice group, I/IDR slices (mb types I_NxN — 4x4 AND,
+  * round 10, transform_size_8x8 with its filtered-reference intra
+  * prediction — I_16x16, I_PCM), High-profile scaling lists (SPS and
+  * PPS, Table 7-2 fallback rules, applied to the luma dequant).
+  * P slices stay 4x4/flat: a transform_8x8 PPS rejects the P path
+  * loudly while keyframe entries still decode the stream's I frames.
   * LUMA is reconstructed (the [[Images]] gray-plane contract); chroma
   * residuals are entropy-PARSED (the bitstream position requires it)
   * but not reconstructed. The in-loop deblocking filter is skipped —
@@ -93,10 +97,114 @@ object H264 {
 
   // -------------------------------------------------- SPS / PPS parse
 
+  /** Luma weight-scale matrices in RASTER order (High-profile scaling
+    * lists; 16 everywhere = the Flat_4x4_16 / Flat_8x8_16 default):
+    * 4x4 intra/inter and 8x8 intra/inter. Chroma lists are parsed for
+    * bit position but dropped — chroma is never reconstructed.
+    */
+  private[graft] final case class Weights(w4i: Array[Int], w4p: Array[Int],
+                                          w8i: Array[Int], w8p: Array[Int])
+
+  private[graft] val FlatWeights = Weights(Array.fill(16)(16),
+    Array.fill(16)(16), Array.fill(64)(16), Array.fill(64)(16))
+
+  /** Default scaling lists (Tables 7-3 / 7-4), raster order. */
+  private[graft] val Default4x4Intra: Array[Int] = Array(
+    6, 13, 20, 28, 13, 20, 28, 32, 20, 28, 32, 37, 28, 32, 37, 42)
+  private[graft] val Default4x4Inter: Array[Int] = Array(
+    10, 14, 20, 24, 14, 20, 24, 27, 20, 24, 27, 30, 24, 27, 30, 34)
+  private[graft] val Default8x8Intra: Array[Int] = Array(
+    6, 10, 13, 16, 18, 23, 25, 27,
+    10, 11, 16, 18, 23, 25, 27, 29,
+    13, 16, 18, 23, 25, 27, 29, 31,
+    16, 18, 23, 25, 27, 29, 31, 33,
+    18, 23, 25, 27, 29, 31, 33, 36,
+    23, 25, 27, 29, 31, 33, 36, 38,
+    25, 27, 29, 31, 33, 36, 38, 40,
+    27, 29, 31, 33, 36, 38, 40, 42)
+  private[graft] val Default8x8Inter: Array[Int] = Array(
+    9, 13, 15, 17, 19, 21, 22, 24,
+    13, 13, 17, 19, 21, 22, 24, 25,
+    15, 17, 19, 21, 22, 24, 25, 27,
+    17, 19, 21, 22, 24, 25, 27, 28,
+    19, 21, 22, 24, 25, 27, 28, 30,
+    21, 22, 24, 25, 27, 28, 30, 32,
+    22, 24, 25, 27, 28, 30, 32, 33,
+    24, 25, 27, 28, 30, 32, 33, 35)
+
+  /** scaling_list() (7.3.2.1.1.1): reads `size` delta-coded scales in
+    * zig-zag order, returns the list in RASTER order — or `default`
+    * when the first nextScale lands on 0 (UseDefaultScalingMatrix).
+    */
+  private[graft] def parseScalingList(r: Br, size: Int,
+                                      default: Array[Int]): Array[Int] = {
+    val scan = new Array[Int](size)
+    var lastScale = 8
+    var nextScale = 8
+    var useDefault = false
+    var j = 0
+    while (j < size) {
+      if (nextScale != 0) {
+        val delta = r.se()
+        if (delta < -128 || delta > 127) bad()
+        nextScale = (lastScale + delta + 256) % 256
+        if (j == 0 && nextScale == 0) useDefault = true
+      }
+      scan(j) = if (nextScale == 0) lastScale else nextScale
+      lastScale = scan(j)
+      j += 1
+    }
+    if (useDefault) default
+    else {
+      val zz = if (size == 16) ZigZag4x4 else ZigZag8x8
+      val out = new Array[Int](size)
+      j = 0
+      while (j < size) { out(zz(j)) = scan(j); j += 1 }
+      out
+    }
+  }
+
+  /** The 8-list (4:2:0) scaling matrix of an SPS or PPS.
+    * `fallback(i)` supplies the not-present list: Table 7-2 rule A
+    * (defaults) for an SPS or a PPS under a no-matrix SPS, rule B
+    * (the SPS lists) otherwise; chained lists (chroma, parsed for
+    * position only) always fall back to the previous list.
+    */
+  private def parseScalingMatrix(r: Br, nLists: Int,
+                                 fb0: Array[Int], fb3: Array[Int],
+                                 fb6: Array[Int], fb7: Array[Int]): Weights = {
+    val lists = new Array[Array[Int]](nLists)
+    var i = 0
+    while (i < nLists) {
+      val size = if (i < 6) 16 else 64
+      val default = i match {
+        case 0 | 1 | 2 => Default4x4Intra
+        case 3 | 4 | 5 => Default4x4Inter
+        case 6 => Default8x8Intra
+        case _ => Default8x8Inter
+      }
+      lists(i) =
+        if (r.u(1) == 1) parseScalingList(r, size, default)
+        else i match {
+          case 0 => fb0
+          case 3 => fb3
+          case 6 => fb6
+          case 7 => fb7
+          case _ => lists(i - 1)
+        }
+      i += 1
+    }
+    Weights(lists(0), lists(3),
+      if (nLists > 6) lists(6) else fb6,
+      if (nLists > 7) lists(7) else fb7)
+  }
+
   private[graft] final case class Sps(widthMbs: Int, heightMbs: Int,
                                     cropL: Int, cropR: Int, cropT: Int, cropB: Int,
                                     log2MaxFrameNum: Int, pocType: Int,
-                                    log2MaxPocLsb: Int)
+                                    log2MaxPocLsb: Int,
+                                    hasScalingMatrix: Boolean = false,
+                                    weights: Weights = FlatWeights)
 
   private[graft] final case class Pps(picInitQp: Int, deblockCtrl: Boolean,
                                     redundantPicCnt: Boolean,
@@ -104,7 +212,9 @@ object H264 {
                                     weightedPred: Boolean,
                                     numRefIdxL0Default: Int,
                                     constrainedIntra: Boolean,
-                                    cabac: Boolean)
+                                    cabac: Boolean,
+                                    transform8x8: Boolean = false,
+                                    weights: Weights = null /* = inherit SPS */)
 
   /** Decode-oriented SPS parse: only the baseline-decodable subset
     * returns; anything else (high-profile chroma/bit-depth/scaling,
@@ -116,14 +226,21 @@ object H264 {
     val profile = r.u(8)
     r.u(8); r.u(8) // constraints, level
     r.ue() // sps_id
+    var hasScaling = false
+    var weights = FlatWeights
     if (Set(100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135)
         .contains(profile)) {
-      // the decoder only supports 4:2:0 8-bit flat-scaling streams
+      // the decoder supports 4:2:0 8-bit; High-profile scaling lists
+      // parse per 7.3.2.1.1 (fallback rule A: defaults)
       if (r.ue() != 1) bad() // chroma_format_idc
       if (r.ue() != 0) bad() // bit_depth_luma_minus8
       if (r.ue() != 0) bad() // bit_depth_chroma_minus8
       r.u(1) // qpprime_y_zero_transform_bypass_flag
-      if (r.u(1) != 0) bad() // seq_scaling_matrix_present_flag
+      if (r.u(1) == 1) { // seq_scaling_matrix_present_flag
+        hasScaling = true
+        weights = parseScalingMatrix(r, 8, Default4x4Intra, Default4x4Inter,
+          Default8x8Intra, Default8x8Inter)
+      }
     }
     val log2MaxFrameNum = r.ue() + 4
     val pocType = r.ue()
@@ -149,10 +266,15 @@ object H264 {
     val h = heightMapUnits * 16 - 2 * (ct + cb)
     if (w <= 0 || h <= 0) bad()
     Sps(widthMbs, heightMapUnits, 2 * cl, 2 * cr, 2 * ct, 2 * cb,
-      log2MaxFrameNum, pocType, log2MaxPocLsb)
+      log2MaxFrameNum, pocType, log2MaxPocLsb, hasScaling, weights)
   }
 
-  private[graft] def parsePpsDecode(nal: Array[Byte]): Pps = {
+  /** `sps` feeds the PPS scaling-list fallback (Table 7-2 rule B:
+    * a not-present list 0/3/6/7 under a scaling-matrix SPS falls back
+    * to the SPS list; under a flat SPS, or with sps null, to the
+    * defaults — rule A).
+    */
+  private[graft] def parsePpsDecode(nal: Array[Byte], sps: Sps = null): Pps = {
     if (nal == null || nal.length < 2 || (nal(0) & 0x1F) != 8) bad()
     val r = new Br(rbsp(nal, 1))
     r.ue() // pps_id
@@ -170,14 +292,29 @@ object H264 {
     val deblockCtrl = r.u(1) == 1
     val constrainedIntra = r.u(1) == 1
     val redundantPicCnt = r.u(1) == 1
+    var transform8x8 = false
+    var weights: Weights = null
     if (hasMoreRbsp(r)) { // Main/High PPS extension
-      if (r.u(1) != 0) bad() // transform_8x8_mode_flag — 4x4 only
-      if (r.u(1) != 0) bad() // pic_scaling_matrix_present_flag — flat only
+      transform8x8 = r.u(1) == 1
+      if (r.u(1) == 1) { // pic_scaling_matrix_present_flag
+        val sw = if (sps != null && sps.hasScalingMatrix) sps.weights else null
+        weights = parseScalingMatrix(r, 6 + (if (transform8x8) 2 else 0),
+          if (sw != null) sw.w4i else Default4x4Intra,
+          if (sw != null) sw.w4p else Default4x4Inter,
+          if (sw != null) sw.w8i else Default8x8Intra,
+          if (sw != null) sw.w8p else Default8x8Inter)
+      }
       r.se() // second_chroma_qp_index_offset
     }
     Pps(picInitQp, deblockCtrl, redundantPicCnt, bottomFieldPoc, weightedPred,
-      numRefIdxL0Default, constrainedIntra, cabac)
+      numRefIdxL0Default, constrainedIntra, cabac, transform8x8, weights)
   }
+
+  /** The picture's effective luma weight matrices: PPS lists when
+    * present, else the SPS's (flat when neither codes any).
+    */
+  private[graft] def effectiveWeights(sps: Sps, pps: Pps): Weights =
+    if (pps.weights != null) pps.weights else sps.weights
 
   // ------------------------------------------------------ VLC tables
 
@@ -489,8 +626,12 @@ object H264 {
 
   /** 4x4 Hadamard for the I_16x16 luma DC block (8.5.10) + scaling;
     * input raster-order parsed levels, output per-block DC values.
+    * `ws0` = weightScale(0,0) of the intra 4x4 list (16 when flat —
+    * the general 8-bit formula below then collapses EXACTLY to the
+    * flat one the CAVLC goldens pinned).
     */
-  private[graft] def lumaDcTransform(c: Array[Int], qp: Int): Array[Int] = {
+  private[graft] def lumaDcTransform(c: Array[Int], qp: Int,
+                                     ws0: Int = 16): Array[Int] = {
     val f = new Array[Int](16)
     var i = 0
     while (i < 4) { // rows
@@ -508,30 +649,139 @@ object H264 {
       g(i) = s0 + s3; g(4 + i) = s1 + s2; g(8 + i) = s1 - s2; g(12 + i) = s0 - s3
       i += 1
     }
-    val v = DequantV(qp % 6)(0)
+    // LevelScale4x4(m,0,0) = ws(0,0) * normAdjust(m, class 0); the
+    // DC rescale (8-270/8-271): << (qP/6 − 6) above 36, rounded
+    // >> (6 − qP/6) below
+    val ls = ws0 * DequantV(qp % 6)(0)
     val shift = qp / 6
     val out = new Array[Int](16)
     i = 0
     while (i < 16) {
       out(i) =
-        if (qp >= 12) (g(i) * v) << (shift - 2)
-        else (g(i) * v + (1 << (1 - shift))) >> (2 - shift)
+        if (qp >= 36) (g(i) * ls) << (shift - 6)
+        else (g(i) * ls + (1 << (5 - shift))) >> (6 - shift)
       i += 1
     }
     out
   }
 
-  /** Dequantize AC (and I_4x4 DC) coefficients in raster order. For
-    * the I_16x16 AC path index 0 is overwritten by the Hadamard DC.
+  /** Dequantize AC (and I_4x4 DC) coefficients in raster order per
+    * 8.5.12.1 with a weight-scale list (`ws` raster; 16-flat default
+    * collapses to the legacy `(c*V) << qP/6`). For the I_16x16 AC
+    * path index 0 is overwritten by the Hadamard DC.
     */
-  private[graft] def dequant4x4(c: Array[Int], qp: Int, skipDc: Boolean): Unit = {
+  private[graft] def dequant4x4(c: Array[Int], qp: Int, skipDc: Boolean,
+                                ws: Array[Int] = null): Unit = {
     val m = qp % 6
     val shift = qp / 6
     var idx = 0
     while (idx < 16) {
-      if (!(skipDc && idx == 0) && c(idx) != 0)
-        c(idx) = (c(idx) * DequantV(m)(posClass(idx >> 2, idx & 3))) << shift
+      if (!(skipDc && idx == 0) && c(idx) != 0) {
+        val w = if (ws == null) 16 else ws(idx)
+        val ls = w * DequantV(m)(posClass(idx >> 2, idx & 3))
+        c(idx) =
+          if (qp >= 24) (c(idx) * ls) << (shift - 4)
+          else (c(idx) * ls + (1 << (3 - shift))) >> (4 - shift)
+      }
       idx += 1
+    }
+  }
+
+  /** 8x8 zig-zag scan (Table 8-12): scan index → raster index. */
+  private[graft] val ZigZag8x8: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** normAdjust8x8 (Table 8-16): 6 values per m over the 6 position
+    * classes; `Pos8Class` maps (i%4)*4 + (j%4) to the class column.
+    */
+  private val Dequant8V: Array[Array[Int]] = Array(
+    Array(20, 18, 32, 19, 25, 24), Array(22, 19, 35, 21, 28, 26),
+    Array(26, 23, 42, 24, 33, 31), Array(28, 25, 45, 26, 35, 33),
+    Array(32, 28, 51, 30, 40, 38), Array(36, 32, 58, 34, 46, 43))
+  private val Pos8Class: Array[Int] = Array(
+    0, 3, 4, 3, 3, 1, 5, 1, 4, 5, 2, 5, 3, 1, 5, 1)
+
+  /** 8x8 dequant (8.5.13.1): raster-order coefficients scaled by
+    * weightScale8x8 × normAdjust8x8, << (qP/6 − 6) above 36, rounded
+    * >> (6 − qP/6) below.
+    */
+  private[graft] def dequant8x8(c: Array[Int], qp: Int, ws: Array[Int]): Unit = {
+    val m = qp % 6
+    val shift = qp / 6
+    var idx = 0
+    while (idx < 64) {
+      if (c(idx) != 0) {
+        val i = idx >> 3
+        val j = idx & 7
+        val ls = ws(idx) * Dequant8V(m)(Pos8Class((i & 3) * 4 + (j & 3)))
+        c(idx) =
+          if (qp >= 36) (c(idx) * ls) << (shift - 6)
+          else (c(idx) * ls + (1 << (5 - shift))) >> (6 - shift)
+      }
+      idx += 1
+    }
+  }
+
+  /** In-place 8x8 inverse transform (8.5.13.2 / equations 8-342ff)
+    * of raster-order coefficients, writing (x+32)>>6 residuals —
+    * the 4x4 core's big sibling with the extra odd-part taps.
+    */
+  private[graft] def inverseTransform8x8(d: Array[Int]): Unit = {
+    var i = 0
+    while (i < 8) { // horizontal, row i
+      val o = i * 8
+      val a0 = d(o) + d(o + 4)
+      val a4 = d(o) - d(o + 4)
+      val a2 = (d(o + 2) >> 1) - d(o + 6)
+      val a6 = d(o + 2) + (d(o + 6) >> 1)
+      val a1 = -d(o + 3) + d(o + 5) - d(o + 7) - (d(o + 7) >> 1)
+      val a3 = d(o + 1) + d(o + 7) - d(o + 3) - (d(o + 3) >> 1)
+      val a5 = -d(o + 1) + d(o + 7) + d(o + 5) + (d(o + 5) >> 1)
+      val a7 = d(o + 3) + d(o + 5) + d(o + 1) + (d(o + 1) >> 1)
+      val b0 = a0 + a6
+      val b2 = a4 + a2
+      val b4 = a4 - a2
+      val b6 = a0 - a6
+      val b1 = a1 + (a7 >> 2)
+      val b3 = a3 + (a5 >> 2)
+      val b5 = (a3 >> 2) - a5
+      val b7 = a7 - (a1 >> 2)
+      d(o) = b0 + b7; d(o + 7) = b0 - b7
+      d(o + 1) = b2 + b5; d(o + 6) = b2 - b5
+      d(o + 2) = b4 + b3; d(o + 5) = b4 - b3
+      d(o + 3) = b6 + b1; d(o + 4) = b6 - b1
+      i += 1
+    }
+    i = 0
+    while (i < 8) { // vertical, column i
+      val a0 = d(i) + d(32 + i)
+      val a4 = d(i) - d(32 + i)
+      val a2 = (d(16 + i) >> 1) - d(48 + i)
+      val a6 = d(16 + i) + (d(48 + i) >> 1)
+      val a1 = -d(24 + i) + d(40 + i) - d(56 + i) - (d(56 + i) >> 1)
+      val a3 = d(8 + i) + d(56 + i) - d(24 + i) - (d(24 + i) >> 1)
+      val a5 = -d(8 + i) + d(56 + i) + d(40 + i) + (d(40 + i) >> 1)
+      val a7 = d(24 + i) + d(40 + i) + d(8 + i) + (d(8 + i) >> 1)
+      val b0 = a0 + a6
+      val b2 = a4 + a2
+      val b4 = a4 - a2
+      val b6 = a0 - a6
+      val b1 = a1 + (a7 >> 2)
+      val b3 = a3 + (a5 >> 2)
+      val b5 = (a3 >> 2) - a5
+      val b7 = a7 - (a1 >> 2)
+      d(i) = (b0 + b7 + 32) >> 6
+      d(56 + i) = (b0 - b7 + 32) >> 6
+      d(8 + i) = (b2 + b5 + 32) >> 6
+      d(48 + i) = (b2 - b5 + 32) >> 6
+      d(16 + i) = (b4 + b3 + 32) >> 6
+      d(40 + i) = (b4 - b3 + 32) >> 6
+      d(24 + i) = (b6 + b1 + 32) >> 6
+      d(32 + i) = (b6 - b1 + 32) >> 6
+      i += 1
     }
   }
 
@@ -549,6 +799,15 @@ object H264 {
       */
     val mbDecoded = new Array[Boolean](wMbs * hMbs)
     val mbIsI4x4 = new Array[Boolean](wMbs * hMbs)
+    /** I_NxN with transform_size_8x8_flag (High profile): drives the
+      * CABAC ctx-399 neighbor term and mode prediction (an I_8x8
+      * neighbor contributes its replicated per-4x4 modes, like I_4x4).
+      */
+    val mbIs8x8 = new Array[Boolean](wMbs * hMbs)
+    /** Effective luma scaling lists of the picture (flat unless the
+      * High-profile SPS/PPS coded scaling matrices).
+      */
+    var weights: Weights = FlatWeights
     /** CABAC neighbor-context state: I_PCM / Intra_16x16 markers,
       * decoded intra_chroma_pred_mode, and the DC coded_block_flags
       * (luma DC; chroma DC per component) that CAVLC's nz counts
@@ -780,7 +1039,7 @@ object H264 {
     val n = nmy * f.wMbs + nmx
     if (nmx != mbX || nmy != mbY) {
       if (!f.mbDecoded(n) || f.mbSliceId(n) != f.curSliceId) return -1
-      if (!f.mbIsI4x4(n)) return 2
+      if (!f.mbIsI4x4(n) && !f.mbIs8x8(n)) return 2
     }
     f.predModes(n)(RasterToBlk(nbx + 4 * nby))
   }
@@ -927,6 +1186,191 @@ object H264 {
   private def pAt(t: Array[Int], tl: Int, i: Int): Int = if (i < 0) tl else t(i)
   private def lAt(l: Array[Int], tl: Int, i: Int): Int = if (i < 0) tl else l(i)
 
+  /** Intra 8x8 prediction (8.3.2), modes 0-8, into `pred` (64).
+    * High-profile structure: raw neighbor gather (above-right
+    * substitution when p[8..15,-1] is unavailable), the 8.3.2.2.1
+    * low-pass REFERENCE FILTER (the step 4x4 prediction does not
+    * have), then the nine directional formulas over the filtered
+    * samples. `cornerAvail` is the true p[-1,-1] availability — for
+    * block 0 that is the above-LEFT macroblock, not left∧above.
+    */
+  private def predict8x8(f: Frame, mode: Int, x0: Int, y0: Int,
+                         leftAvail: Boolean, aboveAvail: Boolean,
+                         aboveRightAvail: Boolean,
+                         cornerAvail: Boolean): Array[Int] = {
+    // raw neighbors
+    val tr = new Array[Int](16)
+    val lr = new Array[Int](8)
+    var tlr = 0
+    if (aboveAvail) {
+      var i = 0
+      while (i < 8) { tr(i) = px(f, x0 + i, y0 - 1); i += 1 }
+      if (aboveRightAvail) {
+        i = 8
+        while (i < 16) { tr(i) = px(f, x0 + i, y0 - 1); i += 1 }
+      } else {
+        i = 8
+        while (i < 16) { tr(i) = tr(7); i += 1 }
+      }
+    }
+    if (leftAvail) {
+      var i = 0
+      while (i < 8) { lr(i) = px(f, x0 - 1, y0 + i); i += 1 }
+    }
+    if (cornerAvail) tlr = px(f, x0 - 1, y0 - 1)
+
+    // 8.3.2.2.1 reference filtering
+    val t = new Array[Int](16)
+    val l = new Array[Int](8)
+    var tl = 0
+    if (aboveAvail) {
+      t(0) =
+        if (cornerAvail) (tlr + 2 * tr(0) + tr(1) + 2) >> 2
+        else (3 * tr(0) + tr(1) + 2) >> 2
+      var x = 1
+      while (x < 15) { t(x) = (tr(x - 1) + 2 * tr(x) + tr(x + 1) + 2) >> 2; x += 1 }
+      t(15) = (tr(14) + 3 * tr(15) + 2) >> 2
+    }
+    if (cornerAvail) {
+      tl =
+        if (aboveAvail && leftAvail) (tr(0) + 2 * tlr + lr(0) + 2) >> 2
+        else if (aboveAvail) (3 * tlr + tr(0) + 2) >> 2
+        else if (leftAvail) (3 * tlr + lr(0) + 2) >> 2
+        else tlr
+    }
+    if (leftAvail) {
+      l(0) =
+        if (cornerAvail) (tlr + 2 * lr(0) + lr(1) + 2) >> 2
+        else (3 * lr(0) + lr(1) + 2) >> 2
+      var y = 1
+      while (y < 7) { l(y) = (lr(y - 1) + 2 * lr(y) + lr(y + 1) + 2) >> 2; y += 1 }
+      l(7) = (lr(6) + 3 * lr(7) + 2) >> 2
+    }
+
+    val p = new Array[Int](64)
+    def set(x: Int, y: Int, v: Int): Unit = p(y * 8 + x) = v
+    mode match {
+      case 0 => // vertical
+        if (!aboveAvail) bad()
+        var y = 0
+        while (y < 8) { var x = 0; while (x < 8) { set(x, y, t(x)); x += 1 }; y += 1 }
+      case 1 => // horizontal
+        if (!leftAvail) bad()
+        var y = 0
+        while (y < 8) { var x = 0; while (x < 8) { set(x, y, l(y)); x += 1 }; y += 1 }
+      case 2 => // DC
+        var s = 0
+        var n = 0
+        if (aboveAvail) { var x = 0; while (x < 8) { s += t(x); x += 1 }; n += 8 }
+        if (leftAvail) { var y = 0; while (y < 8) { s += l(y); y += 1 }; n += 8 }
+        val v = if (n == 16) (s + 8) >> 4 else if (n == 8) (s + 4) >> 3 else 128
+        var i = 0
+        while (i < 64) { p(i) = v; i += 1 }
+      case 3 => // diagonal down-left
+        if (!aboveAvail) bad()
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val v =
+              if (x == 7 && y == 7) (t(14) + 3 * t(15) + 2) >> 2
+              else (t(x + y) + 2 * t(x + y + 1) + t(x + y + 2) + 2) >> 2
+            set(x, y, v); x += 1
+          }
+          y += 1
+        }
+      case 4 => // diagonal down-right
+        if (!leftAvail || !aboveAvail || !cornerAvail) bad()
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val v =
+              if (x > y) (pAt(t, tl, x - y - 2) + 2 * pAt(t, tl, x - y - 1) + t(x - y) + 2) >> 2
+              else if (x < y) (lAt(l, tl, y - x - 2) + 2 * lAt(l, tl, y - x - 1) + l(y - x) + 2) >> 2
+              else (t(0) + 2 * tl + l(0) + 2) >> 2
+            set(x, y, v); x += 1
+          }
+          y += 1
+        }
+      case 5 => // vertical-right
+        if (!leftAvail || !aboveAvail || !cornerAvail) bad()
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val z = 2 * x - y
+            val v =
+              if (z >= 0 && z % 2 == 0) {
+                val i = x - (y >> 1)
+                (pAt(t, tl, i - 1) + pAt(t, tl, i) + 1) >> 1
+              } else if (z >= 0) {
+                val i = x - (y >> 1)
+                (pAt(t, tl, i - 2) + 2 * pAt(t, tl, i - 1) + pAt(t, tl, i) + 2) >> 2
+              } else if (z == -1) (l(0) + 2 * tl + t(0) + 2) >> 2
+              else (lAt(l, tl, y - 2 * x - 1) + 2 * lAt(l, tl, y - 2 * x - 2) +
+                lAt(l, tl, y - 2 * x - 3) + 2) >> 2
+            set(x, y, v); x += 1
+          }
+          y += 1
+        }
+      case 6 => // horizontal-down
+        if (!leftAvail || !aboveAvail || !cornerAvail) bad()
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val z = 2 * y - x
+            val v =
+              if (z >= 0 && z % 2 == 0) {
+                val i = y - (x >> 1)
+                (lAt(l, tl, i - 1) + lAt(l, tl, i) + 1) >> 1
+              } else if (z >= 0) {
+                val i = y - (x >> 1)
+                (lAt(l, tl, i - 2) + 2 * lAt(l, tl, i - 1) + lAt(l, tl, i) + 2) >> 2
+              } else if (z == -1) (t(0) + 2 * tl + l(0) + 2) >> 2
+              else (pAt(t, tl, x - 2 * y - 1) + 2 * pAt(t, tl, x - 2 * y - 2) +
+                pAt(t, tl, x - 2 * y - 3) + 2) >> 2
+            set(x, y, v); x += 1
+          }
+          y += 1
+        }
+      case 7 => // vertical-left
+        if (!aboveAvail) bad()
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val i = x + (y >> 1)
+            val v =
+              if (y % 2 == 0) (t(i) + t(i + 1) + 1) >> 1
+              else (t(i) + 2 * t(i + 1) + t(i + 2) + 2) >> 2
+            set(x, y, v); x += 1
+          }
+          y += 1
+        }
+      case 8 => // horizontal-up
+        if (!leftAvail) bad()
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val z = x + 2 * y
+            val v =
+              if (z < 13 && z % 2 == 0) (l(y + (x >> 1)) + l(y + (x >> 1) + 1) + 1) >> 1
+              else if (z < 13) (l(y + (x >> 1)) + 2 * l(y + (x >> 1) + 1) +
+                l(y + (x >> 1) + 2) + 2) >> 2
+              else if (z == 13) (l(6) + 3 * l(7) + 2) >> 2
+              else l(7)
+            set(x, y, v); x += 1
+          }
+          y += 1
+        }
+      case _ => bad()
+    }
+    p
+  }
+
   /** Intra 16x16 prediction (8.3.3), modes 0-3, into `pred` (256). */
   private def predict16x16(f: Frame, mode: Int, x0: Int, y0: Int,
                            leftAvail: Boolean, aboveAvail: Boolean): Array[Int] = {
@@ -1001,6 +1445,10 @@ object H264 {
     val isP = sliceTypeRaw % 5 == 0
     if (!isI && !isP) bad() // I and P slices only (baseline GOP)
     if (isP && ref == null) bad()
+    // P slices in a transform_8x8 PPS could carry 8x8 inter residuals
+    // this parser does not read — reject loudly (keyframe entries
+    // cover High streams; P chains stay 4x4)
+    if (isP && pps.transform8x8) bad()
     r.ue() // pps_id
     r.u(sps.log2MaxFrameNum) // frame_num
     if (idr) r.ue() // idr_pic_id
@@ -1050,13 +1498,14 @@ object H264 {
       while (!end) {
         if (mbAddr >= nMbs) bad()
         prevQpDelta = decodeMbIntraCabac(f, r, eng, mbAddr,
-          qpIn = qp, setQp = q => qp = q, prevQpDelta)
+          qpIn = qp, setQp = q => qp = q, prevQpDelta, pps.transform8x8)
         mbAddr += 1
         end = eng.terminate() == 1 // end_of_slice_flag
       }
     } else if (isI) {
       while (more && mbAddr < nMbs) {
-        decodeMb(f, r, mbAddr, qpIn = qp, setQp = q => qp = q)
+        decodeMb(f, r, mbAddr, qpIn = qp, setQp = q => qp = q,
+          pps.transform8x8)
         mbAddr += 1
         // more_rbsp_data: stop at (or past) the trailing stop bit
         more = hasMoreRbsp(r)
@@ -1266,7 +1715,7 @@ object H264 {
         nz = residualBlock(r, nC, 16, scan, 0)
         var t = 0
         while (t < 16) { coeffs(ZigZag4x4(t)) = scan(t); t += 1 }
-        dequant4x4(coeffs, qp, skipDc = false)
+        dequant4x4(coeffs, qp, skipDc = false, f.weights.w4p)
         inverseTransform4x4(coeffs)
       }
       f.lumaNz(mbAddr)(b) = nz
@@ -1326,15 +1775,18 @@ object H264 {
 
   /** One macroblock_layer + decode (I slices). */
   private def decodeMb(f: Frame, r: Br, mbAddr: Int, qpIn: Int,
-                      setQp: Int => Unit): Unit =
-    decodeMbIntra(f, r, mbAddr, qpIn, setQp, r.ue())
+                      setQp: Int => Unit, transform8x8: Boolean): Unit =
+    decodeMbIntra(f, r, mbAddr, qpIn, setQp, r.ue(), transform8x8)
 
   /** Intra macroblock body with the (slice-type-adjusted) mb_type
     * already read — shared by I slices and intra MBs inside P slices
     * (whose mb_type carries a +5 offset, stripped by the caller).
+    * `transform8x8` = the PPS transform_8x8_mode_flag gating the
+    * per-MB transform_size_8x8_flag read (High-profile keyframes).
     */
   private def decodeMbIntra(f: Frame, r: Br, mbAddr: Int, qpIn: Int,
-                            setQp: Int => Unit, mbType: Int): Unit = {
+                            setQp: Int => Unit, mbType: Int,
+                            transform8x8: Boolean = false): Unit = {
     var qp = qpIn
     val mbX = mbAddr % f.wMbs
     val mbY = mbAddr / f.wMbs
@@ -1368,13 +1820,42 @@ object H264 {
     }
     if (mbType > 25) bad()
 
-    val isI4x4 = mbType == 0
+    val isINxN = mbType == 0
+    // transform_size_8x8_flag (7.3.5): present for I_NxN when the
+    // PPS enables the 8x8 transform
+    val is8x8 = isINxN && transform8x8 && r.u(1) == 1
+    val isI4x4 = isINxN && !is8x8
     var i16PredMode = 0
     var cbpLuma = 0
     var cbpChroma = 0
     val modes = new Array[Int](16)
+    val modes8 = new Array[Int](4)
 
-    if (isI4x4) {
+    if (is8x8) {
+      var b8 = 0
+      while (b8 < 4) {
+        val bx8 = (b8 & 1) * 2
+        val by8 = (b8 >> 1) * 2
+        val mA = neighborMode(f, mbX, mbY, bx8 - 1, by8)
+        val mB = neighborMode(f, mbX, mbY, bx8, by8 - 1)
+        val pred = if (mA < 0 || mB < 0) 2 else math.min(mA, mB)
+        val mode =
+          if (r.u(1) == 1) pred
+          else { val rem = r.u(3); if (rem < pred) rem else rem + 1 }
+        modes8(b8) = mode
+        // replicate into the four covered 4x4 slots — neighbor mode
+        // lookups (8.3.2.1: an I_8x8 neighbor contributes its 8x8
+        // mode via the covering 4x4 block) then need no special case
+        fillQuad(f.predModes(idx), bx8, by8, mode)
+        b8 += 1
+      }
+      r.ue() // intra_chroma_pred_mode
+      val cbpCode = r.ue()
+      if (cbpCode >= 48) bad()
+      val cbp = CbpIntra(cbpCode)
+      cbpLuma = cbp & 15
+      cbpChroma = cbp >> 4
+    } else if (isI4x4) {
       var b = 0
       while (b < 16) {
         val bx = Blk4x4X(b)
@@ -1405,7 +1886,7 @@ object H264 {
     }
     if (cbpChroma > 2) bad()
 
-    if (cbpLuma > 0 || cbpChroma > 0 || !isI4x4) {
+    if (cbpLuma > 0 || cbpChroma > 0 || !isINxN) {
       val delta = r.se()
       if (delta < -26 || delta > 25) bad()
       qp = (qp + delta + 52) % 52 // 8-bit: QpBdOffsetY = 0 (7.4.5)
@@ -1413,10 +1894,70 @@ object H264 {
     }
 
     f.mbIsI4x4(idx) = isI4x4
+    f.mbIs8x8(idx) = is8x8
 
     val coeffs = new Array[Int](16)
 
-    if (isI4x4) {
+    if (is8x8) {
+      // one 8x8 block at a time: predict (filtered refs), parse its
+      // FOUR interleaved 4x4 CAVLC residual blocks (7.3.5.3.2 —
+      // scan position 4k+i4x4, 8.5.12.4), dequant 8x8, transform
+      val cornerMb = mbX > 0 && mbY > 0 && sameSlice(idx - f.wMbs - 1)
+      val c64 = new Array[Int](64)
+      val sub = new Array[Int](16)
+      var b8 = 0
+      while (b8 < 4) {
+        val bx8 = (b8 & 1) * 2
+        val by8 = (b8 >> 1) * 2
+        val px0 = x0 + bx8 * 4
+        val py0 = y0 + by8 * 4
+        val la = bx8 > 0 || leftMb
+        val aa = by8 > 0 || aboveMb
+        val ara = b8 match {
+          case 0 => aboveMb
+          case 1 => aboveRightMb
+          case 2 => true
+          case _ => false
+        }
+        val ca = b8 match {
+          case 0 => cornerMb
+          case 1 => aboveMb
+          case 2 => leftMb
+          case _ => true
+        }
+        val pred = predict8x8(f, modes8(b8), px0, py0, la, aa, ara, ca)
+        java.util.Arrays.fill(c64, 0)
+        var coded = false
+        if ((cbpLuma & (1 << b8)) != 0) {
+          coded = true
+          var i4 = 0
+          while (i4 < 4) {
+            val bx = bx8 + (i4 & 1)
+            val by = by8 + (i4 >> 1)
+            val nC = nCOf(lumaNzLeft(f, mbX, mbY, bx, by),
+              lumaNzAbove(f, mbX, mbY, bx, by))
+            val nz = residualBlock(r, nC, 16, sub, 0)
+            f.lumaNz(idx)(RasterToBlk(bx + 4 * by)) = nz
+            var k = 0
+            while (k < 16) { c64(ZigZag8x8(4 * k + i4)) = sub(k); k += 1 }
+            i4 += 1
+          }
+          dequant8x8(c64, qp, f.weights.w8i)
+          inverseTransform8x8(c64)
+        } else fillQuad(f.lumaNz(idx), bx8, by8, 0)
+        var yy = 0
+        while (yy < 8) {
+          var xx = 0
+          while (xx < 8) {
+            val res = if (coded) c64(yy * 8 + xx) else 0
+            f.luma((py0 + yy) * f.w + px0 + xx) = clip255(pred(yy * 8 + xx) + res)
+            xx += 1
+          }
+          yy += 1
+        }
+        b8 += 1
+      }
+    } else if (isI4x4) {
       var b = 0
       while (b < 16) {
         val bx = Blk4x4X(b)
@@ -1457,7 +1998,7 @@ object H264 {
           nz = residualBlock(r, nC, 16, scan, 0)
           var s = 0
           while (s < 16) { coeffs(ZigZag4x4(s)) = scan(s); s += 1 }
-          dequant4x4(coeffs, qp, skipDc = false)
+          dequant4x4(coeffs, qp, skipDc = false, f.weights.w4i)
           inverseTransform4x4(coeffs)
         }
         f.lumaNz(idx)(b) = nz
@@ -1483,7 +2024,7 @@ object H264 {
       val dcRaster = new Array[Int](16)
       var s = 0
       while (s < 16) { dcRaster(ZigZag4x4(s)) = dcScan(s); s += 1 }
-      val dc = lumaDcTransform(dcRaster, qp)
+      val dc = lumaDcTransform(dcRaster, qp, f.weights.w4i(0))
       var b = 0
       while (b < 16) {
         val bx = Blk4x4X(b)
@@ -1499,7 +2040,7 @@ object H264 {
           nz = residualBlock(r, nC, 15, scan, 1)
           var t = 1
           while (t < 16) { coeffs(ZigZag4x4(t)) = scan(t); t += 1 }
-          dequant4x4(coeffs, qp, skipDc = true)
+          dequant4x4(coeffs, qp, skipDc = true, f.weights.w4i)
         }
         f.lumaNz(idx)(b) = nz
         coeffs(0) = dc(by * 4 + bx)
@@ -1576,7 +2117,20 @@ object H264 {
       i += 1
     }
     if (!done) { sig(maxCoeff - 1) = true; numSig += 1 }
-    val absBase = 227 + AbsCatOffset(cat)
+    decodeAbsLevels(eng, 227 + AbsCatOffset(cat),
+      4 - (if (cat == 3) 1 else 0), sig, scan, off, maxCoeff)
+    numSig
+  }
+
+  /** coeff_abs_level_minus1 + sign state machine (9.3.3.1.3), shared
+    * by every ctxBlockCat incl. the 8x8 cat 5: walks the significant
+    * positions in reverse scan order, writes signed levels into
+    * `scan(off + j)`. `ctxNCap` is the >1-bin context cap — 3 for
+    * chroma DC, 4 otherwise.
+    */
+  private def decodeAbsLevels(eng: H264CabacEngine, absBase: Int, ctxNCap: Int,
+                              sig: Array[Boolean], scan: Array[Int], off: Int,
+                              maxCoeff: Int): Unit = {
     var numEq1 = 0
     var numGt1 = 0
     var j = maxCoeff - 1
@@ -1586,8 +2140,7 @@ object H264 {
         var prefix = 0
         if (eng.decision(ctx0) == 1) {
           prefix = 1
-          val ctxN = absBase + 5 +
-            math.min(4 - (if (cat == 3) 1 else 0), numGt1)
+          val ctxN = absBase + 5 + math.min(ctxNCap, numGt1)
           while (prefix < 14 && eng.decision(ctxN) == 1) prefix += 1
         }
         var absM1 = prefix
@@ -1605,7 +2158,45 @@ object H264 {
       }
       j -= 1
     }
+  }
+
+  /** ctxBlockCat-5 (luma 8x8) residual via CABAC: in 4:2:0 the
+    * coded_block_flag is NOT coded for 64-coefficient blocks
+    * (7.3.5.3.3 reads it only when maxNumCoeff != 64) — presence is
+    * the CBP bit alone. Significance/last contexts come from the
+    * Table 9-43 position maps; the abs-level state machine is the
+    * standard 9.3.3.1.3 one on the cat-5 offsets. Writes levels in
+    * scan order into `scan(0..63)`, returns the nonzero count.
+    */
+  private def residualBlockCabac8x8(eng: H264CabacEngine,
+                                    scan: Array[Int]): Int = {
+    import H264Cabac._
+    val sig = new Array[Boolean](64)
+    var numSig = 0
+    var i = 0
+    var done = false
+    while (!done && i < 63) {
+      if (eng.decision(402 + Sig8x8Ctx(i)) == 1) {
+        sig(i) = true
+        numSig += 1
+        if (eng.decision(417 + Last8x8Ctx(i)) == 1) done = true
+      }
+      i += 1
+    }
+    if (!done) { sig(63) = true; numSig += 1 }
+    decodeAbsLevels(eng, 426, 4, sig, scan, 0, 64)
     numSig
+  }
+
+  /** Writes `v` into the four 4x4 block-order slots the 8x8 block
+    * at 4x4-grid origin (bx8, by8) covers — pred-mode replication and
+    * nz bookkeeping share this shape.
+    */
+  private def fillQuad(arr: Array[Int], bx8: Int, by8: Int, v: Int): Unit = {
+    arr(RasterToBlk(bx8 + 4 * by8)) = v
+    arr(RasterToBlk(bx8 + 1 + 4 * by8)) = v
+    arr(RasterToBlk(bx8 + 4 * (by8 + 1))) = v
+    arr(RasterToBlk(bx8 + 1 + 4 * (by8 + 1))) = v
   }
 
   /** coded_block_flag neighbor term from an nz lookup that returns
@@ -1636,7 +2227,8 @@ object H264 {
     */
   private def decodeMbIntraCabac(f: Frame, r: Br, eng: H264CabacEngine,
                                  mbAddr: Int, qpIn: Int, setQp: Int => Unit,
-                                 prevQpDelta: Int): Int = {
+                                 prevQpDelta: Int,
+                                 transform8x8: Boolean = false): Int = {
     var qp = qpIn
     val mbX = mbAddr % f.wMbs
     val mbY = mbAddr / f.wMbs
@@ -1654,8 +2246,11 @@ object H264 {
     val aboveIdx = idx - f.wMbs
 
     // ---- mb_type (9.3.3.1.1.3 + Table 9-39, binarization Table 9-36)
-    val typeCondA = if (leftMb && !f.mbIsI4x4(leftIdx)) 1 else 0
-    val typeCondB = if (aboveMb && !f.mbIsI4x4(aboveIdx)) 1 else 0
+    // condTerm = neighbor mb_type != I_NxN (I_8x8 IS I_NxN)
+    val typeCondA =
+      if (leftMb && !f.mbIsI4x4(leftIdx) && !f.mbIs8x8(leftIdx)) 1 else 0
+    val typeCondB =
+      if (aboveMb && !f.mbIsI4x4(aboveIdx) && !f.mbIs8x8(aboveIdx)) 1 else 0
     var mbType = 0
     if (eng.decision(3 + typeCondA + typeCondB) == 1) {
       if (eng.terminate() == 1) mbType = 25 // I_PCM escape bin
@@ -1693,14 +2288,43 @@ object H264 {
       return 0
     }
 
-    val isI4x4 = mbType == 0
+    val isINxN = mbType == 0
+    // transform_size_8x8_flag: ctx 399 + the neighbor flags (9.3.3.1.1.10)
+    val is8x8 = isINxN && transform8x8 && {
+      val condA = if (leftMb && f.mbIs8x8(leftIdx)) 1 else 0
+      val condB = if (aboveMb && f.mbIs8x8(aboveIdx)) 1 else 0
+      eng.decision(399 + condA + condB) == 1
+    }
+    val isI4x4 = isINxN && !is8x8
     var i16PredMode = 0
     var cbpLuma = 0
     var cbpChroma = 0
     val modes = new Array[Int](16)
+    val modes8 = new Array[Int](4)
 
     // ---- mb_pred: intra modes
-    if (isI4x4) {
+    if (is8x8) {
+      // prev/rem_intra8x8_pred_mode ride the SAME contexts as their
+      // 4x4 twins (ctx 68 / 69, 9.3.3.1.1)
+      var b8 = 0
+      while (b8 < 4) {
+        val bx8 = (b8 & 1) * 2
+        val by8 = (b8 >> 1) * 2
+        val mA = neighborMode(f, mbX, mbY, bx8 - 1, by8)
+        val mB = neighborMode(f, mbX, mbY, bx8, by8 - 1)
+        val pred = if (mA < 0 || mB < 0) 2 else math.min(mA, mB)
+        val mode =
+          if (eng.decision(68) == 1) pred
+          else {
+            val rem = eng.decision(69) | (eng.decision(69) << 1) |
+              (eng.decision(69) << 2)
+            if (rem < pred) rem else rem + 1
+          }
+        modes8(b8) = mode
+        fillQuad(f.predModes(idx), bx8, by8, mode)
+        b8 += 1
+      }
+    } else if (isI4x4) {
       var b = 0
       while (b < 16) {
         val bx = Blk4x4X(b)
@@ -1742,8 +2366,8 @@ object H264 {
     }
     f.chromaPredMode(idx) = cip
 
-    // ---- coded_block_pattern (I_4x4 only; 9.3.3.1.1.4)
-    if (isI4x4) {
+    // ---- coded_block_pattern (I_NxN only; 9.3.3.1.1.4)
+    if (isINxN) {
       var b = 0
       while (b < 4) {
         // left neighbor 8x8 bit: in-MB for odd b, left MB's b+1 else
@@ -1779,7 +2403,7 @@ object H264 {
 
     // ---- mb_qp_delta (unary bins: 60+inc, 62, 63; 9.3.2.7 mapping)
     var qpDelta = 0
-    if (cbpLuma > 0 || cbpChroma > 0 || !isI4x4) {
+    if (cbpLuma > 0 || cbpChroma > 0 || !isINxN) {
       var k = 0
       if (eng.decision(60 + (if (prevQpDelta != 0) 1 else 0)) == 1) {
         k = 1
@@ -1793,11 +2417,66 @@ object H264 {
     }
 
     f.mbIsI4x4(idx) = isI4x4
-    f.mbIsI16(idx) = !isI4x4
+    f.mbIs8x8(idx) = is8x8
+    f.mbIsI16(idx) = !isINxN
 
     val coeffs = new Array[Int](16)
 
-    if (isI4x4) {
+    if (is8x8) {
+      // one 8x8 block at a time: predict, cat-5 residual when the
+      // CBP bit is set (no coded_block_flag in 4:2:0), dequant 8x8,
+      // transform — the CAVLC 8x8 path's entropy twin
+      val aboveRightMb = mbX + 1 < f.wMbs && mbY > 0 && sameSlice(idx - f.wMbs + 1)
+      val cornerMb = mbX > 0 && mbY > 0 && sameSlice(idx - f.wMbs - 1)
+      val c64 = new Array[Int](64)
+      val scan64 = new Array[Int](64)
+      var b8 = 0
+      while (b8 < 4) {
+        val bx8 = (b8 & 1) * 2
+        val by8 = (b8 >> 1) * 2
+        val px0 = x0 + bx8 * 4
+        val py0 = y0 + by8 * 4
+        val la = bx8 > 0 || leftMb
+        val aa = by8 > 0 || aboveMb
+        val ara = b8 match {
+          case 0 => aboveMb
+          case 1 => aboveRightMb
+          case 2 => true
+          case _ => false
+        }
+        val ca = b8 match {
+          case 0 => cornerMb
+          case 1 => aboveMb
+          case 2 => leftMb
+          case _ => true
+        }
+        val pred = predict8x8(f, modes8(b8), px0, py0, la, aa, ara, ca)
+        java.util.Arrays.fill(c64, 0)
+        var nz = 0
+        if ((cbpLuma & (1 << b8)) != 0) {
+          java.util.Arrays.fill(scan64, 0)
+          nz = residualBlockCabac8x8(eng, scan64)
+          var k = 0
+          while (k < 64) { c64(ZigZag8x8(k)) = scan64(k); k += 1 }
+          dequant8x8(c64, qp, f.weights.w8i)
+          inverseTransform8x8(c64)
+        }
+        // neighbor cbf/nC state: CABAC needs only the nonzero
+        // boolean, replicated into the four covered 4x4 slots
+        fillQuad(f.lumaNz(idx), bx8, by8, nz)
+        var yy = 0
+        while (yy < 8) {
+          var xx = 0
+          while (xx < 8) {
+            val res = if (nz > 0) c64(yy * 8 + xx) else 0
+            f.luma((py0 + yy) * f.w + px0 + xx) = clip255(pred(yy * 8 + xx) + res)
+            xx += 1
+          }
+          yy += 1
+        }
+        b8 += 1
+      }
+    } else if (isI4x4) {
       var b = 0
       while (b < 16) {
         val bx = Blk4x4X(b)
@@ -1832,7 +2511,7 @@ object H264 {
           nz = residualBlockCabac(eng, 2, inc, scan, 0, 16)
           var s = 0
           while (s < 16) { coeffs(ZigZag4x4(s)) = scan(s); s += 1 }
-          dequant4x4(coeffs, qp, skipDc = false)
+          dequant4x4(coeffs, qp, skipDc = false, f.weights.w4i)
           inverseTransform4x4(coeffs)
         }
         f.lumaNz(idx)(b) = nz
@@ -1859,7 +2538,7 @@ object H264 {
       val dcRaster = new Array[Int](16)
       var s = 0
       while (s < 16) { dcRaster(ZigZag4x4(s)) = dcScan(s); s += 1 }
-      val dc = lumaDcTransform(dcRaster, qp)
+      val dc = lumaDcTransform(dcRaster, qp, f.weights.w4i(0))
       var b = 0
       while (b < 16) {
         val bx = Blk4x4X(b)
@@ -1875,7 +2554,7 @@ object H264 {
           nz = residualBlockCabac(eng, 1, inc, scan, 1, 15)
           var t = 1
           while (t < 16) { coeffs(ZigZag4x4(t)) = scan(t); t += 1 }
-          dequant4x4(coeffs, qp, skipDc = true)
+          dequant4x4(coeffs, qp, skipDc = true, f.weights.w4i)
         }
         f.lumaNz(idx)(b) = nz
         coeffs(0) = dc(by * 4 + bx)
@@ -1939,22 +2618,26 @@ object H264 {
   def decodeIdrLumaOrNull(nals: Seq[Array[Byte]]): (Array[Double], Int, Int) = {
     try {
       var sps: Sps = null
-      var pps: Pps = null
+      var ppsNal: Array[Byte] = null
       val slices = scala.collection.mutable.ArrayBuffer[(Array[Byte], Boolean)]()
       nals.foreach { nal =>
         if (nal != null && nal.length >= 1) {
           (nal(0) & 0x1F) match {
             case 7 => if (sps == null) sps = parseSpsDecode(nal)
-            case 8 => if (pps == null) pps = parsePpsDecode(nal)
+            case 8 => if (ppsNal == null) ppsNal = nal
             case 5 => slices += ((nal, true))
             case 1 => slices += ((nal, false))
             case _ => ()
           }
         }
       }
-      if (sps == null || pps == null || slices.isEmpty) return null
+      if (sps == null || ppsNal == null || slices.isEmpty) return null
+      // parse the PPS only after the scan: a PPS NAL that precedes
+      // the SPS must still see it for the rule-B scaling fallback
+      val pps = parsePpsDecode(ppsNal, sps)
       if (sps.widthMbs * sps.heightMbs > (1 << 16)) return null // 16M px cap
       val f = new Frame(sps)
+      f.weights = effectiveWeights(sps, pps)
       slices.foreach { case (nal, idr) =>
         decodeSlice(f, pps, new Br(rbsp(nal, 1)), idr,
           (nal(0) >> 5) & 3, null)
@@ -1992,6 +2675,7 @@ object H264 {
   private def decodeAuFrame(sps: Sps, pps: Pps, nals: Seq[Array[Byte]],
                             ref: Frame): Frame = {
     val f = new Frame(sps)
+    f.weights = effectiveWeights(sps, pps)
     var any = false
     nals.foreach { nal =>
       if (nal != null && nal.length >= 1) {
@@ -2044,7 +2728,7 @@ object H264 {
       if (cfg == null) return null
       val (lengthSize, spsNal, ppsNal, _, _, timescale, durations) = cfg
       val sps = parseSpsDecode(spsNal)
-      val pps = parsePpsDecode(ppsNal)
+      val pps = parsePpsDecode(ppsNal, sps)
       if (sps.widthMbs * sps.heightMbs > (1 << 16)) return null
       val nDecode = (maxFrames.toLong * stride).min(1 << 14).toInt
       val spans = Avc.sampleSpansOrNull(bytes, nDecode)
@@ -2084,7 +2768,7 @@ object H264 {
       if (cfg == null) return null
       val (lengthSize, spsNal, ppsNal, _, _, _, _) = cfg
       val sps = parseSpsDecode(spsNal)
-      val pps = parsePpsDecode(ppsNal)
+      val pps = parsePpsDecode(ppsNal, sps)
       val spans = Avc.sampleSpansOrNull(bytes, math.min(maxFrames, 1 << 14))
       if (spans == null || spans.isEmpty) return null
       var ref: Frame = null

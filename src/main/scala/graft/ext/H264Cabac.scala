@@ -17,7 +17,10 @@ package graft.ext
   *    (64-67), prev/rem intra4x4 pred mode (68, 69), cbp (73-84),
   *    coded_block_flag (85-104), significant / last-significant
   *    coeff flags, frame-coded (105-226), coeff_abs_level_minus1
-  *    (227-275), and the fixed terminate context 276
+  *    (227-275), the fixed terminate context 276, and — round 10 —
+  *    the High-profile 8x8 block: transform_size_8x8_flag (399-401)
+  *    and the ctxBlockCat-5 residual family (402-435) with the
+  *    Table 9-43 significance-position maps
   *  - the decoding engine: DecodeDecision (9.3.3.2.1), DecodeBypass
   *    (9.3.3.2.3), DecodeTerminate (9.3.3.2.2), context init
   *    (9.3.1.1), engine (re)init (9.3.1.2, also run after I_PCM)
@@ -65,8 +68,12 @@ private[graft] object H264Cabac {
     24, 25, 26, 26, 27, 27, 28, 29, 29, 30, 30, 30, 31, 32, 32, 33,
     33, 33, 34, 34, 35, 35, 35, 36, 36, 36, 37, 37, 37, 38, 38, 63)
 
-  /** Highest context index the I-slice syntax uses. */
-  val NumCtx = 277
+  /** Context count: the I-slice syntax through ctx 276 (terminate),
+    * plus the High-profile 8x8-transform block at 399-435
+    * (transform_size_8x8_flag and the ctxBlockCat-5 residual).
+    * Intermediate indices stay uninitialized zeros — unreachable.
+    */
+  val NumCtx = 436
 
   /** I-slice (m, n) initialization values, indexed [ctxIdx * 2] /
     * [ctxIdx * 2 + 1]. Contexts outside the I-slice syntax stay 0
@@ -154,8 +161,41 @@ private[graft] object H264Cabac {
     put(266, // cat 4 (10)
       (29, 9), (35, 20), (29, 36), (14, 67), (17, 35),
       (18, 31), (17, 35), (21, 30), (17, 45), (20, 42))
+    // 399-401: transform_size_8x8_flag (Table 9-24 block, I column)
+    put(399, (31, 21), (31, 31), (25, 50))
+    // 402-416: significant_coeff_flag, ctxBlockCat 5 (frame coded)
+    put(402,
+      (-17, 120), (-20, 112), (-18, 114), (-11, 85), (-15, 92),
+      (-14, 89), (-26, 71), (-15, 81), (-14, 80), (0, 68),
+      (-14, 70), (-24, 56), (-23, 68), (-24, 50), (-11, 74))
+    // 417-425: last_significant_coeff_flag, ctxBlockCat 5 (frame)
+    put(417,
+      (23, -13), (26, -13), (40, -15), (49, -14), (44, 3),
+      (45, 6), (44, 34), (33, 54), (19, 82))
+    // 426-435: coeff_abs_level_minus1, ctxBlockCat 5
+    put(426,
+      (-3, 75), (-1, 23), (1, 34), (1, 43), (0, 54),
+      (-2, 55), (0, 61), (1, 64), (0, 68), (-9, 92))
     t
   }
+
+  /** Table 9-43, frame-coded: significant_coeff_flag ctxIdxInc per
+    * 8x8 scan position (63 entries — position 63 is never tested).
+    */
+  val Sig8x8Ctx: Array[Int] = Array(
+    0, 1, 2, 3, 4, 5, 5, 4, 4, 3, 3, 4, 4, 4, 5, 5,
+    4, 4, 4, 4, 3, 3, 6, 7, 7, 7, 8, 9, 10, 9, 8, 7,
+    7, 6, 11, 12, 13, 11, 6, 7, 8, 9, 14, 10, 9, 8, 6, 11,
+    12, 13, 11, 6, 9, 14, 10, 9, 11, 12, 13, 11, 14, 10, 12)
+
+  /** Table 9-43: last_significant_coeff_flag ctxIdxInc per 8x8 scan
+    * position.
+    */
+  val Last8x8Ctx: Array[Int] = Array(
+    0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2,
+    3, 3, 3, 3, 3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5)
 
   /** ctxBlockCat offsets (Table 9-40): coded_block_flag,
     * significant/last flags, coeff_abs_level_minus1.

@@ -154,6 +154,13 @@ object VideoFixtures {
       while (bits.size % 8 != 0) bits += 0
       raw.foreach(b => (7 to 0 by -1).foreach(k => bits += (b >> k) & 1))
     }
+    def bypass(bin: Int): Unit = {
+      low <<= 1
+      if (bin == 1) low += range
+      if (low >= 1024) { putBit(1); low -= 1024 }
+      else if (low < 512) putBit(0)
+      else { low -= 512; outstanding += 1 }
+    }
     def reinit(): Unit = { low = 0; range = 510; outstanding = 0; first = true }
     def appendTo(w: Bw): Unit = {
       while (w.bits.size % 8 != 0) w.u(1, 1) // cabac_alignment_one_bit
@@ -161,6 +168,212 @@ object VideoFixtures {
       w.align()
     }
   }
+
+  // ---------------- High-profile (transform_8x8) keyframe fixtures
+
+  private def spsHigh1x1(): Array[Byte] = {
+    val w = new Bw
+    w.u(0x67, 8).u(100, 8).u(0, 8).u(10, 8) // High profile
+    w.ue(0) // sps_id
+    w.ue(1).ue(0).ue(0).u(0, 1).u(0, 1) // 4:2:0 8-bit, no scaling matrix
+    w.ue(0).ue(2).ue(1).u(0, 1)
+    w.ue(0).ue(0) // 1x1 MBs
+    w.u(1, 1).u(1, 1).u(0, 1).u(0, 1)
+    w.stop(); w.bytes()
+  }
+
+  private def pps8x8Nal(cabac: Boolean): Array[Byte] = {
+    val w = new Bw
+    w.u(0x68, 8)
+    w.ue(0).ue(0).u(if (cabac) 1 else 0, 1).u(0, 1).ue(0).ue(0).ue(0)
+    w.u(0, 1).u(0, 2).se(0).se(0).se(0)
+    w.u(1, 1).u(0, 1).u(0, 1)
+    w.u(1, 1) // transform_8x8_mode_flag
+    w.u(0, 1) // pic_scaling_matrix_present = 0
+    w.se(0)   // second_chroma_qp_index_offset
+    w.stop(); w.bytes()
+  }
+
+  /** Deterministic sparse 8x8-scan coefficient scene: |levels| ≤ 6,
+    * ~1/5 density, every block nonempty (cbp 15). The texture IS the
+    * content — near-dup twins share the seed.
+    */
+  private def i8Coeffs(seed: Long, dcBump: Int): Array[Array[Int]] =
+    Array.tabulate(4) { b8 =>
+      val c = Array.tabulate(64) { k =>
+        val h = (seed * 1000003L + b8 * 8191L + k) * 2654435761L
+        if (((h >>> 16) % 5) == 0)
+          (1 + ((h >>> 24) % 6)).toInt * (if (((h >>> 33) & 1) == 0) 1 else -1)
+        else 0
+      }
+      if (b8 == 0) c(0) += dcBump
+      // non-empty AFTER the bump too — a bump that cancels the only
+      // level would otherwise leave cbp-15 promising a block the
+      // CABAC encoder cannot emit
+      if (!c.exists(_ != 0)) c(0) = 1
+      c
+    }
+
+  /** CAVLC residual block (9.2) over the decoder's own VLC tables —
+    * fixture synthesis; correctness is gated by the independent
+    * test-side encoders in CavlcRoundTripSpec/H264Spec.
+    */
+  private def cavlcRes(w: Bw, nC: Int, coeffs: Array[Int]): Unit = {
+    def codeOf(v: H264.Vlc, sym: Int): Unit = {
+      val i = v.syms.indexOf(sym)
+      require(i >= 0, s"symbol $sym not in VLC")
+      w.u(v.codes(i), v.lens(i))
+    }
+    val idxs = (0 until 16).filter(coeffs(_) != 0)
+    val totalCoeff = idxs.length
+    var t1 = 0
+    var i = idxs.length - 1
+    while (i >= 0 && t1 < 3 && math.abs(coeffs(idxs(i))) == 1) { t1 += 1; i -= 1 }
+    val tokSym = totalCoeff * 4 + t1
+    if (nC < 2) codeOf(H264.CoeffToken0, tokSym)
+    else if (nC < 4) codeOf(H264.CoeffToken1, tokSym)
+    else if (nC < 8) codeOf(H264.CoeffToken2, tokSym)
+    else w.u(if (totalCoeff == 0) 3 else ((totalCoeff - 1) << 2) | t1, 6)
+    if (totalCoeff == 0) return
+    for (k <- 0 until t1)
+      w.u(if (coeffs(idxs(idxs.length - 1 - k)) < 0) 1 else 0, 1)
+    var suffixLength = if (totalCoeff > 10 && t1 < 3) 1 else 0
+    for (k <- t1 until totalCoeff) {
+      val level = coeffs(idxs(idxs.length - 1 - k))
+      var lc = if (level > 0) 2 * level - 2 else -2 * level - 1
+      if (k == t1 && t1 < 3) lc -= 2
+      require(lc >= 0)
+      if (suffixLength == 0) {
+        if (lc < 14) w.u(1, lc + 1)
+        else if (lc < 30) { w.u(1, 15); w.u(lc - 14, 4) }
+        else { w.u(1, 16); w.u(lc - 30, 12) }
+      } else {
+        val cap = 15 << suffixLength
+        if (lc < cap) { w.u(1, (lc >> suffixLength) + 1); w.u(lc & ((1 << suffixLength) - 1), suffixLength) }
+        else { w.u(1, 16); w.u(lc - cap, 12) }
+      }
+      if (suffixLength == 0) suffixLength = 1
+      if (math.abs(level) > (3 << (suffixLength - 1)) && suffixLength < 6)
+        suffixLength += 1
+    }
+    val totalZeros = idxs.last + 1 - totalCoeff
+    if (totalCoeff < 16) codeOf(H264.TotalZeros4x4(totalCoeff), totalZeros)
+    var zerosLeft = totalZeros
+    for (k <- 0 until totalCoeff - 1) {
+      val run = idxs(idxs.length - 1 - k) - idxs(idxs.length - 2 - k) - 1
+      if (zerosLeft > 0) {
+        if (zerosLeft <= 6) codeOf(H264.RunBefore(zerosLeft), run)
+        else if (run < 7) w.u(7 - run, 3)
+        else { w.u(0, 3); w.u(1, run - 7 + 1) }
+        zerosLeft -= run
+      } else require(run == 0)
+    }
+  }
+
+  /** One I_NxN-8x8 IDR slice (CAVLC): DC modes, cbp 15, the four
+    * 64-coefficient blocks as interleaved 4x4 CAVLC residuals with
+    * the in-MB nC chain.
+    */
+  private def idrI8Cavlc(coeffs: Array[Array[Int]]): Array[Byte] = {
+    val w = new Bw
+    w.u(0x65, 8)
+    w.ue(0).ue(7).ue(0).u(0, 4).ue(0).u(0, 1).u(0, 1).se(0)
+    w.ue(1) // deblocking off
+    w.ue(0) // mb_type I_NxN
+    w.u(1, 1) // transform_size_8x8_flag
+    (0 until 4).foreach(_ => w.u(1, 1)) // prev modes → DC
+    w.ue(0) // intra_chroma_pred_mode
+    w.ue(H264.CbpIntra.indexOf(15)) // cbp luma 15, chroma 0
+    w.se(0) // mb_qp_delta
+    val nz = Array.fill(4, 4)(0)
+    for (b8 <- 0 until 4; i4 <- 0 until 4) {
+      val bx = (b8 & 1) * 2 + (i4 & 1)
+      val by = (b8 >> 1) * 2 + (i4 >> 1)
+      val nA = if (bx == 0) -1 else nz(by)(bx - 1)
+      val nB = if (by == 0) -1 else nz(by - 1)(bx)
+      val nC =
+        if (nA >= 0 && nB >= 0) (nA + nB + 1) >> 1
+        else if (nA >= 0) nA else if (nB >= 0) nB else 0
+      val sub = Array.tabulate(16)(k => coeffs(b8)(4 * k + i4))
+      cavlcRes(w, nC, sub)
+      nz(by)(bx) = sub.count(_ != 0)
+    }
+    w.stop(); w.bytes()
+  }
+
+  /** The same slice content CABAC-coded (ctx 399 flag, cat-5
+    * residuals over the Table 9-43 maps; levels capped below the
+    * UEG0 escape).
+    */
+  private def idrI8Cabac(coeffs: Array[Array[Int]]): Array[Byte] = {
+    val w = new Bw
+    w.u(0x65, 8)
+    w.ue(0).ue(7).ue(0).u(0, 4).ue(0).u(0, 1).u(0, 1).se(0)
+    w.ue(1)
+    val e = new CabacEnc(26)
+    e.decision(3, 0)   // mb_type I_NxN (no neighbors)
+    e.decision(399, 1) // transform_size_8x8_flag
+    (0 until 4).foreach(_ => e.decision(68, 1)) // DC modes
+    e.decision(64, 0)  // chroma pred 0
+    (0 until 4).foreach(_ => e.decision(73, 1)) // cbp luma 15 (all conds 0)
+    e.decision(77, 0)  // cbp chroma 0
+    e.decision(60, 0)  // mb_qp_delta 0
+    for (b8 <- 0 until 4) {
+      val lv = coeffs(b8)
+      val lastIdx = (0 until 64).filter(lv(_) != 0).max
+      var i = 0
+      var done = false
+      while (!done && i < 63) {
+        val sig = lv(i) != 0
+        e.decision(402 + H264Cabac.Sig8x8Ctx(i), if (sig) 1 else 0)
+        if (sig) {
+          val last = i == lastIdx
+          e.decision(417 + H264Cabac.Last8x8Ctx(i), if (last) 1 else 0)
+          if (last) done = true
+        }
+        i += 1
+      }
+      var numEq1 = 0
+      var numGt1 = 0
+      var j = lastIdx
+      while (j >= 0) {
+        if (lv(j) != 0) {
+          val a = math.abs(lv(j))
+          require(a <= 14, "fixture levels stay below the UEG0 escape")
+          val ctx0 = 426 + (if (numGt1 != 0) 0 else math.min(4, 1 + numEq1))
+          if (a == 1) e.decision(ctx0, 0)
+          else {
+            e.decision(ctx0, 1)
+            val ctxN = 426 + 5 + math.min(4, numGt1)
+            for (_ <- 1 until a - 1) e.decision(ctxN, 1)
+            e.decision(ctxN, 0)
+          }
+          e.bypass(if (lv(j) < 0) 1 else 0)
+          if (a == 1) numEq1 += 1 else numGt1 += 1
+        }
+        j -= 1
+      }
+    }
+    e.terminate(1) // end_of_slice_flag
+    e.appendTo(w)
+    w.bytes()
+  }
+
+  /** One-keyframe MP4 whose IDR is a High-profile (transform_8x8)
+    * I_8x8 slice built from a seed-derived coefficient scene —
+    * CAVLC entropy. `dcBump` perturbs block 0's DC for near-dup
+    * twins (+1 ≈ +2 gray on one quadrant).
+    */
+  def i8KeyframeMp4Cavlc(seed: Long, dcBump: Int = 0): Array[Byte] =
+    mp4From(escapeRbsp(spsHigh1x1()), escapeRbsp(pps8x8Nal(cabac = false)),
+      escapeRbsp(idrI8Cavlc(i8Coeffs(seed, dcBump))))
+
+  /** The CABAC twin: the same coefficient scene through the other
+    * entropy layer decodes to the same pixels.
+    */
+  def i8KeyframeMp4Cabac(seed: Long, dcBump: Int = 0): Array[Byte] =
+    mp4From(escapeRbsp(spsHigh1x1()), escapeRbsp(pps8x8Nal(cabac = true)),
+      escapeRbsp(idrI8Cabac(i8Coeffs(seed, dcBump))))
 
   /** CABAC IDR slice carrying one I_PCM macroblock per frame entry. */
   private def idrPcmCabac(px: (Int, Int) => Int): Array[Byte] = {

@@ -120,8 +120,38 @@ class H264CabacSpec extends AnyFunSuite {
       grp(257, (-5, 66), (-9, 64), (-5, 58), (2, 59), (21, -10)) ++
       grp(262, (24, -11), (28, -8), (28, 1), (29, 3)) ++
       grp(266, (29, 9), (35, 20), (29, 36), (14, 67), (17, 35)) ++
-      grp(271, (18, 31), (17, 35), (21, 30), (17, 45), (20, 42))
+      grp(271, (18, 31), (17, 35), (21, 30), (17, 45), (20, 42)) ++
+      grp(399, (31, 21), (31, 31), (25, 50)) ++
+      grp(402, (-17, 120), (-20, 112), (-18, 114), (-11, 85), (-15, 92)) ++
+      grp(407, (-14, 89), (-26, 71), (-15, 81), (-14, 80), (0, 68)) ++
+      grp(412, (-14, 70), (-24, 56), (-23, 68), (-24, 50), (-11, 74)) ++
+      grp(417, (23, -13), (26, -13), (40, -15), (49, -14), (44, 3)) ++
+      grp(422, (45, 6), (44, 34), (33, 54), (19, 82)) ++
+      grp(426, (-3, 75), (-1, 23), (1, 34), (1, 43), (0, 54)) ++
+      grp(431, (-2, 55), (0, 61), (1, 64), (0, 68), (-9, 92))
   }
+
+  /** Second transcriptions of the Table 9-43 position maps (typed as
+    * an 8-per-row grid here vs the decoder's 16-per-row layout).
+    */
+  private val TSig8: Array[Int] = Array(
+    0, 1, 2, 3, 4, 5, 5, 4,
+    4, 3, 3, 4, 4, 4, 5, 5,
+    4, 4, 4, 4, 3, 3, 6, 7,
+    7, 7, 8, 9, 10, 9, 8, 7,
+    7, 6, 11, 12, 13, 11, 6, 7,
+    8, 9, 14, 10, 9, 8, 6, 11,
+    12, 13, 11, 6, 9, 14, 10, 9,
+    11, 12, 13, 11, 14, 10, 12)
+  private val TLast8: Array[Int] = Array(
+    0, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1,
+    2, 2, 2, 2, 2, 2, 2, 2,
+    2, 2, 2, 2, 2, 2, 2, 2,
+    3, 3, 3, 3, 3, 3, 3, 3,
+    4, 4, 4, 4, 5, 5, 5)
 
   test("dual transcription: engine tables and init column agree with the decoder's") {
     for (s <- 0 until 64; q <- 0 until 4)
@@ -135,8 +165,12 @@ class H264CabacSpec extends AnyFunSuite {
     }
     // every context a decoder path can touch is covered by the list
     val covered = TInit.map(_._1).toSet
-    val needed = (3 to 10) ++ (60 to 69) ++ (73 to 275)
+    val needed = (3 to 10) ++ (60 to 69) ++ (73 to 275) ++ (399 to 435)
     needed.foreach(c => assert(covered.contains(c), s"ctx $c uncovered"))
+    for (i <- 0 until 63) {
+      assert(H264Cabac.Sig8x8Ctx(i) === TSig8(i), s"sig8x8[$i]")
+      assert(H264Cabac.Last8x8Ctx(i) === TLast8(i), s"last8x8[$i]")
+    }
   }
 
   // ===================== from-spec encoder (9.3.4.x), TEST tables
@@ -147,12 +181,12 @@ class H264CabacSpec extends AnyFunSuite {
     private var range = 510
     private var outstanding = 0
     private var first = true
-    val pState = new Array[Int](277)
-    val valMps = new Array[Int](277)
+    val pState = new Array[Int](436)
+    val valMps = new Array[Int](436)
 
     def initCtx(sliceQp: Int): Unit = {
       val qp = math.max(0, math.min(51, sliceQp))
-      for (c <- 0 until 277) { pState(c) = 62; valMps(c) = 0 } // unused ctx
+      for (c <- 0 until 436) { pState(c) = 62; valMps(c) = 0 } // unused ctx
       for ((ctx, m, n) <- TInit) {
         val pre = math.max(1, math.min(126, ((m * qp) >> 4) + n))
         if (pre <= 63) { pState(ctx) = 63 - pre; valMps(ctx) = 0 }
@@ -293,20 +327,29 @@ class H264CabacSpec extends AnyFunSuite {
                            ac: Array[Array[Int]], qpDelta: Int = 0) extends Mb
   private case class I4Mb(modes: Array[Int], coeffs: Array[Array[Int]],
                           qpDelta: Int = 0) extends Mb
+  /** High-profile I_NxN with transform_size_8x8: 4 modes, 4 optional
+    * 64-level coefficient arrays in 8x8 SCAN order.
+    */
+  private case class I8Mb(modes: Array[Int], coeffs: Array[Array[Int]],
+                          qpDelta: Int = 0,
+                          chromaDc: Array[Array[Int]] = null) extends Mb
 
   /** Encode a full I slice of `mbs` (wMbs × hMbs raster) and return
     * the escaped IDR NAL. Tracks the same neighbor state the decoder
     * derives contexts from.
     */
-  private def cabacIdrSlice(wMbs: Int, hMbs: Int, mbs: Seq[Mb]): Array[Byte] = {
+  private def cabacIdrSlice(wMbs: Int, hMbs: Int, mbs: Seq[Mb],
+                            transform8x8: Boolean = false): Array[Byte] = {
     val n = wMbs * hMbs
     require(mbs.length == n)
     val isI4 = new Array[Boolean](n)
+    val isI8 = new Array[Boolean](n)
     val isPcm = new Array[Boolean](n)
     val isI16 = new Array[Boolean](n)
     val cbpL = new Array[Int](n)
     val cbpC = new Array[Int](n)
     val lDc = new Array[Boolean](n)
+    val cDc = Array.fill(n)(new Array[Boolean](2)) // chroma DC cbf per comp
     val modes = Array.fill(n)(Array.fill(16)(2))
     val lumaCbf = Array.ofDim[Boolean](n, 16) // by coded block order
     val enc = new Enc
@@ -384,8 +427,59 @@ class H264CabacSpec extends AnyFunSuite {
       val above = if (mbY > 0) addr - wMbs else -1
       val mb = mbs(addr)
       // mb_type bin 0 (ctx 3 + neighbors not-I_NxN)
-      val condA = if (left >= 0 && !isI4(left)) 1 else 0
-      val condB = if (above >= 0 && !isI4(above)) 1 else 0
+      val condA = if (left >= 0 && !isI4(left) && !isI8(left)) 1 else 0
+      val condB = if (above >= 0 && !isI4(above) && !isI8(above)) 1 else 0
+      def encTransformFlag(bin: Int): Unit = {
+        val tA = if (left >= 0 && isI8(left)) 1 else 0
+        val tB = if (above >= 0 && isI8(above)) 1 else 0
+        enc.decision(399 + tA + tB, bin)
+      }
+      // cat-5 residual: no coded_block_flag in 4:2:0; Table 9-43 maps
+      def encResidual8x8(lv: Array[Int]): Unit = {
+        val lastIdx = (0 until 64).filter(lv(_) != 0).max
+        var i = 0
+        var done = false
+        while (!done && i < 63) {
+          val sig = lv(i) != 0
+          enc.decision(402 + TSig8(i), if (sig) 1 else 0)
+          if (sig) {
+            val last = i == lastIdx
+            enc.decision(417 + TLast8(i), if (last) 1 else 0)
+            if (last) done = true
+          }
+          i += 1
+        }
+        var numEq1 = 0
+        var numGt1 = 0
+        var j = lastIdx
+        while (j >= 0) {
+          if (lv(j) != 0) {
+            val a = math.abs(lv(j))
+            val m1 = a - 1
+            val ctx0 = 426 + (if (numGt1 != 0) 0 else math.min(4, 1 + numEq1))
+            if (m1 == 0) enc.decision(ctx0, 0)
+            else {
+              enc.decision(ctx0, 1)
+              val ctxN = 426 + 5 + math.min(4, numGt1)
+              val pref = math.min(m1, 14)
+              for (_ <- 1 until pref) enc.decision(ctxN, 1)
+              if (pref < 14) enc.decision(ctxN, 0)
+              else {
+                val rem = m1 - 14
+                var zeros = 0
+                while (rem > (1 << (zeros + 1)) - 2) zeros += 1
+                for (_ <- 0 until zeros) enc.bypass(1)
+                enc.bypass(0)
+                val suf = rem - ((1 << zeros) - 1)
+                for (k <- zeros - 1 to 0 by -1) enc.bypass((suf >> k) & 1)
+              }
+            }
+            enc.bypass(if (lv(j) < 0) 1 else 0)
+            if (a == 1) numEq1 += 1 else numGt1 += 1
+          }
+          j -= 1
+        }
+      }
       mb match {
         case PcmMb(luma) =>
           enc.decision(3 + condA + condB, 1)
@@ -396,6 +490,8 @@ class H264CabacSpec extends AnyFunSuite {
           cbpL(addr) = 15
           cbpC(addr) = 2
           lDc(addr) = true
+          cDc(addr)(0) = true
+          cDc(addr)(1) = true
           java.util.Arrays.fill(lumaCbf(addr), true)
           prevQpDelta = 0
         case I16Mb(pm, dc, ac, qpDelta) =>
@@ -428,15 +524,103 @@ class H264CabacSpec extends AnyFunSuite {
               lumaCbf(addr)(b) = encResidual(1, inc, block, 15)
             }
           }
+        case I8Mb(mds, coeffs, qpDelta, chromaDc) =>
+          enc.decision(3 + condA + condB, 0)
+          require(transform8x8)
+          encTransformFlag(1)
+          isI8(addr) = true
+          for (b8 <- 0 until 4) {
+            val bx8 = (b8 & 1) * 2
+            val by8 = (b8 >> 1) * 2
+            val mA =
+              if ((b8 & 1) == 1) modes(addr)(R2B(bx8 - 1 + 4 * by8))
+              else nbMode(addr, bx8 - 1, by8, wMbs, isI4, isPcm, modes, mbX, mbY, left,
+                isI8)
+            val mB =
+              if (b8 >= 2) modes(addr)(R2B(bx8 + 4 * (by8 - 1)))
+              else nbModeUp(addr, bx8, by8 - 1, wMbs, isI4, isPcm, modes, mbX, mbY, above,
+                isI8)
+            val pred = if (mA < 0 || mB < 0) 2 else math.min(mA, mB)
+            val want = mds(b8)
+            if (want == pred) enc.decision(68, 1)
+            else {
+              enc.decision(68, 0)
+              val rem = if (want < pred) want else want - 1
+              enc.decision(69, rem & 1)
+              enc.decision(69, (rem >> 1) & 1)
+              enc.decision(69, (rem >> 2) & 1)
+            }
+            // replicate into the covered 4x4 slots, like the decoder
+            modes(addr)(R2B(bx8 + 4 * by8)) = want
+            modes(addr)(R2B(bx8 + 1 + 4 * by8)) = want
+            modes(addr)(R2B(bx8 + 4 * (by8 + 1))) = want
+            modes(addr)(R2B(bx8 + 1 + 4 * (by8 + 1))) = want
+          }
+          enc.decision(64, 0) // chroma pred 0
+          var cbp8 = 0
+          for (g <- 0 until 4)
+            if (coeffs(g) != null && coeffs(g).exists(_ != 0)) cbp8 |= 1 << g
+          for (b <- 0 until 4) {
+            val cndA =
+              if ((b & 1) == 1) (if ((cbp8 & (1 << (b - 1))) != 0) 0 else 1)
+              else if (left < 0) 0
+              else if (isPcm(left)) 0
+              else if ((cbpL(left) & (1 << (b + 1))) != 0) 0
+              else 1
+            val cndB =
+              if (b >= 2) (if ((cbp8 & (1 << (b - 2))) != 0) 0 else 1)
+              else if (above < 0) 0
+              else if (isPcm(above)) 0
+              else if ((cbpL(above) & (1 << (b + 2))) != 0) 0
+              else 1
+            enc.decision(73 + cndA + 2 * cndB, (cbp8 >> b) & 1)
+          }
+          val chA8 = if (left >= 0 && (isPcm(left) || cbpC(left) != 0)) 1 else 0
+          val chB8 = if (above >= 0 && (isPcm(above) || cbpC(above) != 0)) 1 else 0
+          val hasChroma = chromaDc != null
+          enc.decision(77 + chA8 + 2 * chB8, if (hasChroma) 1 else 0)
+          if (hasChroma) {
+            val c2A = if (left >= 0 && (isPcm(left) || cbpC(left) == 2)) 1 else 0
+            val c2B = if (above >= 0 && (isPcm(above) || cbpC(above) == 2)) 1 else 0
+            enc.decision(81 + c2A + 2 * c2B, 0) // cbpChroma = 1 (DC only)
+            cbpC(addr) = 1
+          }
+          cbpL(addr) = cbp8
+          if (cbp8 != 0 || hasChroma) encQpDelta(qpDelta)
+          for (b8 <- 0 until 4 if (cbp8 & (1 << b8)) != 0) {
+            encResidual8x8(coeffs(b8))
+            val bx8 = (b8 & 1) * 2
+            val by8 = (b8 >> 1) * 2
+            lumaCbf(addr)(R2B(bx8 + 4 * by8)) = true
+            lumaCbf(addr)(R2B(bx8 + 1 + 4 * by8)) = true
+            lumaCbf(addr)(R2B(bx8 + 4 * (by8 + 1))) = true
+            lumaCbf(addr)(R2B(bx8 + 1 + 4 * (by8 + 1))) = true
+          }
+          if (hasChroma) {
+            // chroma 2x2 DC (cat 3) straight after the 8x8 luma
+            // residuals — the hand-off this fixture pins; cbf conds
+            // track neighbor chroma-DC state like the decoder's
+            // chromaDcCbfCond (unavailable/PCM → intra default 1)
+            for (comp <- 0 until 2) {
+              def cdCond(nb: Int): Int =
+                if (nb < 0) 1
+                else if (isPcm(nb)) 1
+                else if (cDc(nb)(comp)) 1
+                else 0
+              cDc(addr)(comp) = encResidual(3,
+                cdCond(left) + 2 * cdCond(above), chromaDc(comp), 4)
+            }
+          }
         case I4Mb(mds, coeffs, qpDelta) =>
           enc.decision(3 + condA + condB, 0)
+          if (transform8x8) encTransformFlag(0)
           isI4(addr) = true
           // pred modes, coded block order
           for (b <- 0 until 16) {
             val bx = BlkX(b)
             val by = BlkY(b)
-            val mA = nbMode(addr, bx - 1, by, wMbs, isI4, isPcm, modes, mbX, mbY, left)
-            val mB = nbModeUp(addr, bx, by - 1, wMbs, isI4, isPcm, modes, mbX, mbY, above)
+            val mA = nbMode(addr, bx - 1, by, wMbs, isI4, isPcm, modes, mbX, mbY, left, isI8)
+            val mB = nbModeUp(addr, bx, by - 1, wMbs, isI4, isPcm, modes, mbX, mbY, above, isI8)
             val pred = if (mA < 0 || mB < 0) 2 else math.min(mA, mB)
             val want = mds(b)
             if (want == pred) enc.decision(68, 1)
@@ -528,21 +712,21 @@ class H264CabacSpec extends AnyFunSuite {
   private def nbMode(addr: Int, bx: Int, by: Int, wMbs: Int,
                      isI4: Array[Boolean], isPcm: Array[Boolean],
                      modes: Array[Array[Int]], mbX: Int, mbY: Int,
-                     left: Int): Int =
+                     left: Int, isI8: Array[Boolean] = null): Int =
     if (bx >= 0) modes(addr)(R2B(bx + 4 * by))
     else if (left < 0) -1
     else if (isPcm(left)) 2
-    else if (!isI4(left)) 2
+    else if (!isI4(left) && !(isI8 != null && isI8(left))) 2
     else modes(left)(R2B(3 + 4 * by))
 
   private def nbModeUp(addr: Int, bx: Int, by: Int, wMbs: Int,
                        isI4: Array[Boolean], isPcm: Array[Boolean],
                        modes: Array[Array[Int]], mbX: Int, mbY: Int,
-                       above: Int): Int =
+                       above: Int, isI8: Array[Boolean] = null): Int =
     if (by >= 0) modes(addr)(R2B(bx + 4 * by))
     else if (above < 0) -1
     else if (isPcm(above)) 2
-    else if (!isI4(above)) 2
+    else if (!isI4(above) && !(isI8 != null && isI8(above))) 2
     else modes(above)(R2B(bx + 12))
 
   // ---- slice-header bit writer (local twin of H264Spec's Bw)
@@ -596,9 +780,32 @@ class H264CabacSpec extends AnyFunSuite {
     graft.ext.VideoFixtures.escapeRbsp(w.bytes())
   }
 
+  private def cabacPps8x8(): Array[Byte] = {
+    val w = new BwT
+    w.u(0x68, 8)
+    w.ue(0).ue(0)
+    w.u(1, 1) // CABAC
+    w.u(0, 1)
+    w.ue(0).ue(0).ue(0)
+    w.u(0, 1).u(0, 2)
+    w.se(0).se(0).se(0)
+    w.u(1, 1)
+    w.u(0, 1).u(0, 1)
+    w.u(1, 1) // transform_8x8_mode_flag
+    w.u(0, 1) // no pic scaling matrix
+    w.se(0)   // second_chroma_qp_index_offset
+    w.u(1, 1); w.align()
+    graft.ext.VideoFixtures.escapeRbsp(w.bytes())
+  }
+
   private def decode(wMbs: Int, hMbs: Int, mbs: Seq[Mb]): (Array[Double], Int, Int) =
     H264.decodeIdrLumaOrNull(
       Seq(spsNal(wMbs, hMbs), cabacPps(), cabacIdrSlice(wMbs, hMbs, mbs)))
+
+  private def decode8x8(wMbs: Int, hMbs: Int, mbs: Seq[Mb]): (Array[Double], Int, Int) =
+    H264.decodeIdrLumaOrNull(
+      Seq(spsNal(wMbs, hMbs), cabacPps8x8(),
+        cabacIdrSlice(wMbs, hMbs, mbs, transform8x8 = true)))
 
   // ===================== slice fixtures against the CAVLC goldens
 
@@ -772,6 +979,148 @@ class H264CabacSpec extends AnyFunSuite {
             s"trial $trial PCM mb $addr ($x,$y)")
       }
       assert(g.forall(v => v >= 0 && v <= 255))
+    }
+  }
+
+  // ================= High profile: CABAC transform_size_8x8
+
+  test("CABAC I_8x8 DC chain: the CAVLC-derived golden 130") {
+    // the H264Spec CAVLC twin pinned this: DC +1 in block 0 at QP 26
+    // dequants to 104, transforms to +2, and the 8x8 DC prediction
+    // chain spreads 130 across the whole MB — the CABAC entropy
+    // layer must be invisible in the reconstruction
+    val dc = new Array[Int](64)
+    dc(0) = 1
+    val got = decode8x8(1, 1, Seq(I8Mb(Array(2, 2, 2, 2),
+      Array(dc, null, null, null))))
+    assert(got != null)
+    assert(got._1.forall(_ === 130.0), got._1.take(8).toSeq.toString)
+  }
+
+  test("CABAC I_8x8 rich residual matches the independent transform transcription") {
+    // same coefficient content as the CAVLC interleave fixture plus a
+    // UEG0-escape-sized level; expected pixels via this test's own
+    // dequant + e/g/h-form transform (the H264Spec discipline)
+    val c64 = new Array[Int](64)
+    c64(1) = 3; c64(2) = -2; c64(4) = 1; c64(10) = 17; c64(63) = -1
+    val got = decode8x8(1, 1, Seq(I8Mb(Array(2, 2, 2, 2),
+      Array(null, null, c64, null))))
+    assert(got != null)
+    val clsMatrix = Array(
+      0, 3, 4, 3, 0, 3, 4, 3,
+      3, 1, 5, 1, 3, 1, 5, 1,
+      4, 5, 2, 5, 4, 5, 2, 5,
+      3, 1, 5, 1, 3, 1, 5, 1,
+      0, 3, 4, 3, 0, 3, 4, 3,
+      3, 1, 5, 1, 3, 1, 5, 1,
+      4, 5, 2, 5, 4, 5, 2, 5,
+      3, 1, 5, 1, 3, 1, 5, 1)
+    val v8 = Array(
+      Array(20, 18, 32, 19, 25, 24), Array(22, 19, 35, 21, 28, 26),
+      Array(26, 23, 42, 24, 33, 31), Array(28, 25, 45, 26, 35, 33),
+      Array(32, 28, 51, 30, 40, 38), Array(36, 32, 58, 34, 46, 43))
+    val d = new Array[Int](64)
+    for (k <- 0 until 64 if c64(k) != 0) {
+      val rp = H264.ZigZag8x8(k)
+      val ls = 16 * v8(2)(clsMatrix(rp))
+      d(rp) = (c64(k) * ls + 2) >> 2
+    }
+    def pass(g: Array[Int], stride: Int, base: Int, fin: Boolean): Unit = {
+      val f = Array.tabulate(8)(k => g(base + k * stride))
+      val e0 = f(0) + f(4)
+      val e1 = -f(3) + f(5) - f(7) - (f(7) >> 1)
+      val e2 = f(0) - f(4)
+      val e3 = f(1) + f(7) - f(3) - (f(3) >> 1)
+      val e4 = (f(2) >> 1) - f(6)
+      val e5 = -f(1) + f(7) + f(5) + (f(5) >> 1)
+      val e6 = f(2) + (f(6) >> 1)
+      val e7 = f(3) + f(5) + f(1) + (f(1) >> 1)
+      val g0 = e0 + e6; val g1 = e1 + (e7 >> 2); val g2 = e2 + e4
+      val g3 = e3 + (e5 >> 2); val g4 = e2 - e4; val g5 = (e3 >> 2) - e5
+      val g6 = e0 - e6; val g7 = e7 - (e1 >> 2)
+      val h = Array(g0 + g7, g2 + g5, g4 + g3, g6 + g1,
+        g6 - g1, g4 - g3, g2 - g5, g0 - g7)
+      for (k <- 0 until 8)
+        g(base + k * stride) = if (fin) (h(k) + 32) >> 6 else h(k)
+    }
+    for (row <- 0 until 8) pass(d, 1, row * 8, fin = false)
+    for (col <- 0 until 8) pass(d, 8, col, fin = true)
+    // block 2 sits at (0, 8); blocks 0/1 decode flat 128 before it,
+    // so its DC prediction is 128 (left unavailable, above = 128)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val want = math.max(0, math.min(255, 128 + d(y * 8 + x)))
+      assert(got._1((y + 8) * 16 + x) === want.toDouble, s"b2 ($x,$y)")
+    }
+  }
+
+  test("CABAC I_8x8 with chroma DC residuals: the luma hand-off stays aligned") {
+    // cbpChroma = 1 appends two cat-3 chroma DC blocks AFTER the
+    // cat-5 luma residuals; a mis-positioned bin stream would corrupt
+    // the end_of_slice decode or the luma itself — the luma must
+    // still land on the chroma-0 twin's golden 130
+    val dc = new Array[Int](64)
+    dc(0) = 1
+    val chroma = Array(Array(3, 0, -2, 0), Array(0, 1, 0, 0))
+    val got = decode8x8(1, 1, Seq(I8Mb(Array(2, 2, 2, 2),
+      Array(dc, null, null, null), chromaDc = chroma)))
+    assert(got != null)
+    assert(got._1.forall(_ === 130.0), got._1.take(8).toSeq.toString)
+  }
+
+  test("randomized mixed I4/I8/I16/PCM slices under a transform-8x8 PPS round-trip") {
+    val rnd = new scala.util.Random(20260815)
+    for (trial <- 0 until 25) {
+      val wMbs = 1 + rnd.nextInt(3)
+      val hMbs = 1 + rnd.nextInt(3)
+      val mbs: Seq[Mb] = (0 until wMbs * hMbs).map { i =>
+        rnd.nextInt(4) match {
+          case 0 => PcmMb(Array.tabulate(256)(_ => rnd.nextInt(256)))
+          case 1 =>
+            val dc = Array.tabulate(16)(k => if (rnd.nextInt(3) == 0) rnd.nextInt(7) - 3 else 0)
+            I16Mb(2, dc, null, qpDelta = rnd.nextInt(3) - 1)
+          case 2 =>
+            val coeffs = Array.tabulate[Array[Int]](16)(_ =>
+              if (rnd.nextInt(2) == 0) null
+              else Array.tabulate(16)(k => if (rnd.nextInt(5) == 0) rnd.nextInt(9) - 4 else 0))
+            I4Mb(Array.fill(16)(2), coeffs, qpDelta = rnd.nextInt(3) - 1)
+          case _ =>
+            val coeffs = Array.tabulate[Array[Int]](4)(_ =>
+              if (rnd.nextInt(3) == 0) null
+              else Array.tabulate(64)(k => if (rnd.nextInt(9) == 0) rnd.nextInt(31) - 15 else 0))
+            val chroma =
+              if (rnd.nextInt(2) == 0) null
+              else Array.tabulate(2)(_ => Array.tabulate(4)(_ => rnd.nextInt(5) - 2))
+            I8Mb(Array.fill(4)(2), coeffs, qpDelta = rnd.nextInt(3) - 1,
+              chromaDc = chroma)
+        }
+      }
+      val got = decode8x8(wMbs, hMbs, mbs)
+      assert(got != null, s"trial $trial ($wMbs x $hMbs)")
+      // planted PCM pixels must come back byte-exact through the
+      // surrounding 8x8 entropy state
+      for ((mb, a) <- mbs.zipWithIndex) mb match {
+        case PcmMb(luma) =>
+          val x0 = (a % wMbs) * 16
+          val y0 = (a / wMbs) * 16
+          for (i <- 0 until 256)
+            assert(got._1((y0 + (i >> 4)) * wMbs * 16 + x0 + (i & 15)) ===
+              luma(i).toDouble, s"trial $trial PCM MB $a px $i")
+        case _ => ()
+      }
+    }
+  }
+
+  test("fuzz: corrupted CABAC 8x8 streams never throw") {
+    val c64 = new Array[Int](64)
+    c64(0) = 2; c64(5) = -3
+    val slice = cabacIdrSlice(1, 1,
+      Seq(I8Mb(Array(2, 2, 2, 2), Array(c64, null, c64, null))),
+      transform8x8 = true)
+    val rnd = new scala.util.Random(53)
+    for (_ <- 0 until 400) {
+      val m = slice.clone()
+      for (_ <- 0 to rnd.nextInt(6)) m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      H264.decodeIdrLumaOrNull(Seq(spsNal(1, 1), cabacPps8x8(), m)) // no throw
     }
   }
 
