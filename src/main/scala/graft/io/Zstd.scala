@@ -31,8 +31,81 @@ object Zstd {
   private val SkippableMin = 0x184D2A50
   private val SkippableMax = 0x184D2A5F
 
-  /** Decompress a complete zstd stream (one or more frames). */
-  def decompress(src: Array[Byte]): Array[Byte] = {
+  /** Decompress a complete zstd stream (one or more frames).
+    *
+    * Fast path: when zstd-jni is on the classpath (it ships with the
+    * Spark distribution this engine targets), decoding delegates to
+    * it — ~5× the from-spec decoder's single-thread throughput
+    * (BENCH_NOTES r9/r10) on blosc-zstd Zarr ingests. The from-spec
+    * decoder remains the portability fallback AND the error surface:
+    * if the JNI path rejects a stream, the input is re-run through
+    * [[decompressSpec]] so callers always see this decoder's
+    * descriptive errors (and its verdict, should the native library
+    * ever disagree on validity). ZstdSpec asserts both paths
+    * byte-equal across levels, frame shapes, and window sizes.
+    */
+  def decompress(src: Array[Byte]): Array[Byte] =
+    if (Jni.available && !forceSpec) {
+      try Jni.decompress(src)
+      catch { case _: Exception => decompressSpec(src) }
+    } else decompressSpec(src)
+
+  /** `-Dgraft.zstd.forceSpec=true` pins [[decompress]] to the
+    * from-spec decoder even when zstd-jni is present — the A/B knob
+    * for measuring the fast path at the INGEST level (a real Zarr
+    * read, not a raw-buffer loop; `tools/ZarrZstdProbe`) and an
+    * operational escape hatch should a native-library build
+    * misbehave on some platform. Read per call so one JVM can time
+    * both sides.
+    */
+  private def forceSpec: Boolean =
+    java.lang.Boolean.getBoolean("graft.zstd.forceSpec")
+
+  /** True when the zstd-jni fast path is active (exposed so ZstdSpec
+    * can assert the A/B actually covered both implementations).
+    */
+  def fastPathAvailable: Boolean = Jni.available
+
+  /** The zstd-jni delegation, loaded lazily so a classpath without
+    * the native library falls back cleanly: symbolic references to
+    * `com.github.luben` classes resolve only when [[decompress]] is
+    * actually invoked, and [[available]] probes by name first.
+    * Streaming (not one-shot) decode: the stream form handles
+    * multi-frame concatenation, skippable frames, and
+    * unknown-content-size frames uniformly, and lets the same
+    * 1 GiB output bound apply incrementally instead of trusting a
+    * header-declared size.
+    */
+  private object Jni {
+    val available: Boolean =
+      try {
+        Class.forName("com.github.luben.zstd.ZstdInputStreamNoFinalizer")
+        true
+      } catch { case _: Throwable => false }
+
+    def decompress(src: Array[Byte]): Array[Byte] = {
+      val in = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
+        new java.io.ByteArrayInputStream(src))
+      try {
+        val out = new java.io.ByteArrayOutputStream(math.min(
+          math.max(64 * 1024, src.length * 4L), MaxOutput.toLong).toInt)
+        val buf = new Array[Byte](64 * 1024)
+        var n = in.read(buf)
+        while (n >= 0) {
+          require(out.size.toLong + math.max(n, 0) <= MaxOutput,
+            s"zstd: output exceeds $MaxOutput bytes")
+          if (n > 0) out.write(buf, 0, n)
+          n = in.read(buf)
+        }
+        out.toByteArray
+      } finally in.close()
+    }
+  }
+
+  /** The from-spec RFC 8878 decoder (the [[decompress]] fallback and
+    * the independent correctness cross-check for the JNI path).
+    */
+  def decompressSpec(src: Array[Byte]): Array[Byte] = {
     val out = new Out(64 * 1024)
     var pos = 0
     while (pos < src.length) {

@@ -100,7 +100,7 @@ object WebIngestProbe {
           val t0 = System.nanoTime(); val r = f()
           require(r.length == corpus.length); (System.nanoTime() - t0) / 1e9
         }.min
-      val tSpec = bench(() => graft.io.Zstd.decompress(comp))
+      val tSpec = bench(() => graft.io.Zstd.decompressSpec(comp))
       val tJni = bench(() => com.github.luben.zstd.Zstd.decompress(comp, corpus.length))
       println(f"zstd L$level: ratio ${corpus.length.toDouble / comp.length}%.2f; " +
         f"from-spec ${corpus.length / tSpec / 1e6}%.0f MB/s, " +

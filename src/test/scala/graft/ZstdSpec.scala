@@ -58,7 +58,7 @@ class ZstdSpec extends AnyFunSuite {
         ("struct", structLike(n)))
       for ((shape, data) <- shapes) {
         val compressed = jni(data, level)
-        val got = Zstd.decompress(compressed)
+        val got = Zstd.decompressSpec(compressed)
         assert(java.util.Arrays.equals(got, data),
           s"mismatch: n=$n level=$level shape=$shape")
       }
@@ -80,7 +80,7 @@ class ZstdSpec extends AnyFunSuite {
         p += run
       }
       val level = Seq(1, 3, 9, 19)(i % 4)
-      assert(java.util.Arrays.equals(Zstd.decompress(jni(data, level)), data), s"fuzz $i")
+      assert(java.util.Arrays.equals(Zstd.decompressSpec(jni(data, level)), data), s"fuzz $i")
     }
   }
 
@@ -98,11 +98,11 @@ class ZstdSpec extends AnyFunSuite {
     }
     for (level <- Seq(3, 19)) {
       val c = jni(data, level)
-      assert(java.util.Arrays.equals(Zstd.decompress(c), data), s"level $level")
+      assert(java.util.Arrays.equals(Zstd.decompressSpec(c), data), s"level $level")
     }
     // and a high-entropy 8 MB body (raw-block heavy path)
     val rnd8 = randomBytes(8 * 1024 * 1024)
-    assert(java.util.Arrays.equals(Zstd.decompress(jni(rnd8, 3)), rnd8))
+    assert(java.util.Arrays.equals(Zstd.decompressSpec(jni(rnd8, 3)), rnd8))
   }
 
   test("checksummed frames verify; corrupted payload fails loudly") {
@@ -110,11 +110,11 @@ class ZstdSpec extends AnyFunSuite {
     ctx.setLevel(3).setChecksum(true)
     val data = textLike(20_000)
     val c = ctx.compress(data)
-    assert(java.util.Arrays.equals(Zstd.decompress(c), data))
+    assert(java.util.Arrays.equals(Zstd.decompressSpec(c), data))
     // flip a byte mid-payload: either a structural check or the
     // checksum must reject it (it cannot decode silently wrong)
     val bad = c.clone(); bad(c.length / 2) = (bad(c.length / 2) ^ 0x41).toByte
-    intercept[Exception] { Zstd.decompress(bad) }
+    intercept[Exception] { Zstd.decompressSpec(bad) }
   }
 
   test("unknown-content-size streaming frames decode") {
@@ -122,7 +122,7 @@ class ZstdSpec extends AnyFunSuite {
     val zos = new com.github.luben.zstd.ZstdOutputStream(bos, 3)
     val data = textLike(400_000) // several 128 KB blocks
     zos.write(data); zos.close()
-    assert(java.util.Arrays.equals(Zstd.decompress(bos.toByteArray), data))
+    assert(java.util.Arrays.equals(Zstd.decompressSpec(bos.toByteArray), data))
   }
 
   test("concatenated frames and skippable frames") {
@@ -136,7 +136,7 @@ class ZstdSpec extends AnyFunSuite {
       out.array()
     }
     val cat = jni(a, 3) ++ skippable ++ jni(b, 9)
-    assert(java.util.Arrays.equals(Zstd.decompress(cat), a ++ b))
+    assert(java.util.Arrays.equals(Zstd.decompressSpec(cat), a ++ b))
   }
 
   test("hand-built raw and RLE blocks decode (paths encoders rarely emit)") {
@@ -154,21 +154,25 @@ class ZstdSpec extends AnyFunSuite {
       Array[Byte](0x20.toByte, content.length.toByte) ++ // single-segment, FCS=1 byte
       blockHeader(last = false, btype = 0, size = rawBytes.length) ++ rawBytes ++
       blockHeader(last = true, btype = 1, size = 10) ++ Array[Byte]('z'.toByte)
-    assert(new String(Zstd.decompress(frame), "UTF-8") === content)
+    assert(new String(Zstd.decompressSpec(frame), "UTF-8") === content)
   }
 
-  test("dictionaries and garbage are rejected loudly") {
-    val e1 = intercept[IllegalArgumentException] {
-      Zstd.decompress(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8))
+  test("dictionaries and garbage are rejected loudly (both entry points)") {
+    // the PUBLIC decompress falls back to the from-spec decoder on a
+    // JNI rejection, so both surfaces show the same descriptive errors
+    for (dec <- Seq[Array[Byte] => Array[Byte]](Zstd.decompressSpec, Zstd.decompress)) {
+      val e1 = intercept[IllegalArgumentException] {
+        dec(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8))
+      }
+      assert(e1.getMessage.contains("magic"))
+      // declared content size mismatch: hand-truncate a valid frame's
+      // final block flag cannot be built easily, so corrupt the FCS
+      val c = jni(textLike(1000), 3)
+      intercept[Exception] { dec(c.take(c.length - 1)) }
     }
-    assert(e1.getMessage.contains("magic"))
-    // declared content size mismatch: hand-truncate a valid frame's
-    // final block flag cannot be built easily, so corrupt the FCS
-    val c = jni(textLike(1000), 3)
-    intercept[Exception] { Zstd.decompress(c.take(c.length - 1)) }
   }
 
-  test("dictionary-flagged frame is rejected by name") {
+  test("dictionary-flagged frame is rejected by name (both entry points)") {
     val data = textLike(500)
     val dictBuf = new Array[Byte](16 * 1024)
     val dictLen = com.github.luben.zstd.Zstd.trainFromBuffer(
@@ -176,7 +180,36 @@ class ZstdSpec extends AnyFunSuite {
     val ctx = new com.github.luben.zstd.ZstdCompressCtx()
     ctx.setLevel(3).loadDict(java.util.Arrays.copyOf(dictBuf, dictLen.toInt))
     val c = ctx.compress(data)
-    val e = intercept[IllegalArgumentException] { Zstd.decompress(c) }
-    assert(e.getMessage.contains("dictionar"))
+    for (dec <- Seq[Array[Byte] => Array[Byte]](Zstd.decompressSpec, Zstd.decompress)) {
+      val e = intercept[IllegalArgumentException] { dec(c) }
+      assert(e.getMessage.contains("dictionar"))
+    }
+  }
+
+  test("jni fast path is active and byte-equal to the from-spec decoder") {
+    assert(Zstd.fastPathAvailable,
+      "zstd-jni expected on the provided Spark classpath")
+    for (n <- Seq(0, 1, 100, 17_000, 300_000); level <- Seq(1, 3, 19);
+         (shape, data) <- Seq(("text", textLike(n)), ("random", randomBytes(n)))) {
+      val c = jni(data, level)
+      val fast = Zstd.decompress(c)
+      val spec = Zstd.decompressSpec(c)
+      assert(java.util.Arrays.equals(fast, data), s"fast n=$n l=$level $shape")
+      assert(java.util.Arrays.equals(fast, spec), s"a/b n=$n l=$level $shape")
+    }
+    // the shapes one-shot encoders rarely emit, through the public path:
+    // concatenation + a skippable frame + an unknown-content-size frame
+    val a = textLike(5_000)
+    val b = randomBytes(3_000)
+    val skippable = java.nio.ByteBuffer.allocate(12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(0x184D2A57).putInt(4).putInt(0xDEAD).array()
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new com.github.luben.zstd.ZstdOutputStream(bos, 3)
+    zos.write(b); zos.close()
+    val cat = jni(a, 3) ++ skippable ++ bos.toByteArray
+    val fast = Zstd.decompress(cat)
+    assert(java.util.Arrays.equals(fast, a ++ b))
+    assert(java.util.Arrays.equals(fast, Zstd.decompressSpec(cat)))
   }
 }
