@@ -24,7 +24,7 @@ object Queries13 extends ColumnSyntax {
 
   import org.apache.spark.sql.{graftbridge => gb}
 
-  private def htmlTextCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[graft] def htmlTextCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     gb.column(graft.fn.HtmlText(gb.expression(c)))
 
   // ------------------------------------------- shared HTML template
@@ -57,11 +57,11 @@ object Queries13 extends ColumnSyntax {
       $"source", lit(H4), $"doc_id".cast("string"), lit(H5), escaped, lit(H6))
 
   /** doc_id, lang, source, html — the synthesized page. */
-  private def synthHtml(s: SparkSession, dir: String): DataFrame =
+  private[graft] def synthHtml(s: SparkSession, dir: String): DataFrame =
     Tables.docsPar(s, dir).select($"doc_id", $"lang", $"source",
       synthHtmlCol(escCol("text")).as("html"))
 
-  private def synthSqlOver(src: String): String =
+  private[graft] def synthSqlOver(src: String): String =
     s"""synth AS (
        |  SELECT doc_id, ${sqlStr(H1)} || lang || ${sqlStr(H2)} || doc_id ||
        |    ${sqlStr(H3)} || source || ${sqlStr(H4)} || doc_id ||
@@ -76,7 +76,7 @@ object Queries13 extends ColumnSyntax {
   /** The [[graft.fn.HtmlKernels]] pass pipeline, replayed in SQL
     * step for step (see that object's scaladoc for the contract).
     */
-  private val extractSql =
+  private[graft] val extractSql =
     """ext AS (
       |  SELECT doc_id,
       |    trim(regexp_replace(

@@ -173,12 +173,80 @@ object Queries14 extends ColumnSyntax {
       .orderBy($"doc_id")
   }
 
+  // --------- q136: WET-style WARC→text conversion, hash-gated
+  /** The conversion shape real crawl processing starts from (a
+    * Common-Crawl WET job): read a WARC corpus → keep 200 text/html
+    * responses → `html_text` extraction → token/quality gate → one
+    * text record per page with its profile signals. Composes
+    * [[graft.io.Warc]] (source AND sink, wire-variant encodings
+    * cycling per record), [[graft.fn.HtmlText]], and the
+    * [[graft.fn.TextProfile]] kernel in ONE plan over a corpus the
+    * engine writes itself — the q132 oracle-prediction pattern: docs
+    * with `doc_id % 13 = 0` are written as `application/pdf` so the
+    * response filter has real work, and DuckDB predicts the surviving
+    * set, the extracted text, and every profile signal from the
+    * `documents` table alone. Any framing, decode, extraction, or
+    * profile bug breaks the hash.
+    */
+  private val Q136Dir = "/tmp/graft_fixtures/q136_warc"
+
+  private def q136(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.{graftbridge => gb}
+    val rows = Queries13.synthHtml(s, dir).select(
+        concat(lit("https://wet.test/doc/"), col("doc_id").cast("string")),
+        lit("2026-08-15T00:00:00Z"),
+        when(col("doc_id") % 13 === 0, lit("application/pdf"))
+          .otherwise(lit("text/html; charset=utf-8")),
+        encode(col("html"), "UTF-8"))
+      .as[(String, String, String, Array[Byte])]
+    val hp = new org.apache.hadoop.fs.Path(Q136Dir)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(hp, true) // stale segments from a prior run/partitioning
+    val nSeg = math.max(8, s.sparkContext.defaultParallelism)
+    graft.io.Warc.writeWarcGz(rows.repartition(nSeg), Q136Dir, wireVariants = true)
+    val ext = graft.io.Warc.responses(graft.io.Warc.readWarc(s, Q136Dir))
+      .where(col("http_status") === 200 &&
+             col("http_content_type").startsWith("text/html"))
+      .select(
+        regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+        Queries13.htmlTextCol(decode(col("payload"), "UTF-8")).as("text_out"))
+    val p = gb.column(graft.fn.TextProfile(gb.expression(col("text_out"))))
+    ext.select(col("doc_id"), col("text_out"), p.as("__p"))
+      .filter(col("__p").isNotNull)
+      .select(col("doc_id"), col("text_out"),
+        col("__p.n_tokens").as("n_tokens"),
+        col("__p.lang_id").as("lang_id"),
+        round(col("__p.quality"), 6).as("quality"))
+      .where(col("n_tokens") >= 20 && col("quality") >= 0.5)
+      .withColumn("n_out", length(col("text_out")).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  // the oracle never reads the WARC files: it predicts the surviving
+  // records and their profiles from `documents` alone
+  private val q136Sql =
+    s"""WITH kept AS (SELECT * FROM documents WHERE doc_id % 13 <> 0),
+       |${Queries13.synthSqlOver("kept")},
+       |${Queries13.extractSql},
+       |${TextProfileSql.ctes("ext", "doc_id", "text_out")},
+       |prof AS (
+       |${TextProfileSql.select("doc_id")}
+       |)
+       |SELECT p.doc_id, e.text_out, p.n_tokens, p.lang_id, p.quality,
+       |  CAST(length(e.text_out) AS BIGINT) AS n_out
+       |FROM prof p JOIN ext e USING (doc_id)
+       |WHERE p.n_tokens >= 20 AND p.quality >= 0.5
+       |ORDER BY p.doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q129b_percent_norm" -> (q129b _),
-    "q131x_html_full_xx" -> (q131x _))
+    "q131x_html_full_xx" -> (q131x _),
+    "q136_wet_extract" -> (q136 _))
 
   val oracles: Map[String, String] = Map(
     // q131x: no oracle — numeric-ref decode is not SQL-expressible
     // (HtmlSpec fuzz parity is its gate), rows-only by the xx convention
-    "q129b_percent_norm" -> q129bSql)
+    "q129b_percent_norm" -> q129bSql,
+    "q136_wet_extract" -> q136Sql)
 }

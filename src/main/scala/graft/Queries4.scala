@@ -37,47 +37,10 @@ object Queries4 extends ColumnSyntax {
         round($"quality", 6).as("quality"))
       .orderBy($"doc_id")
 
-  private val q69Sql = {
-    val langCases = {
-      val langs = TextOps.Stopwords.map(_._1)
-      val cases = langs.zipWithIndex.map { case (lang, i) =>
-        val laterGe = langs.drop(i + 1).map(l2 => s"hits_$lang >= hits_$l2")
-        val conds = (s"hits_$lang > 0" +: laterGe).mkString(" AND ")
-        s"WHEN $conds THEN '$lang'"
-      }
-      cases.mkString("CASE ", " ", " ELSE 'und' END")
-    }
-    val hitSums = TextOps.Stopwords.map { case (lang, words) =>
-      val list = words.map(w => s"'$w'").mkString(", ")
-      s"SUM(CASE WHEN tok IN ($list) THEN 1 ELSE 0 END) AS hits_$lang"
-    }.mkString(",\n    ")
-    val enList = TextOps.Stopwords.head._2.map(w => s"'$w'").mkString(", ")
-    s"""WITH toks AS (
-       |  SELECT doc_id, tok FROM (
-       |    SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents)
-       |  WHERE tok <> ''
-       |), a AS (
-       |  SELECT doc_id,
-       |    COUNT(*) AS n_tokens,
-       |    COUNT(DISTINCT tok) AS n_distinct,
-       |    CAST(SUM(LENGTH(tok)) AS DOUBLE) / COUNT(*) AS mean_tok_len,
-       |    CAST(SUM(CASE WHEN tok IN ($enList) THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS stop_ratio,
-       |    CAST(SUM(LENGTH(REGEXP_REPLACE(tok, '[^a-zA-Z]', '', 'g'))) AS DOUBLE) / SUM(LENGTH(tok)) AS alpha_ratio,
-       |    CAST(SUM(LENGTH(REGEXP_REPLACE(tok, '[a-zA-Z0-9]', '', 'g'))) AS DOUBLE) / SUM(LENGTH(tok)) AS punct_ratio,
-       |    SUM(LENGTH(REGEXP_REPLACE(tok, '[^一-鿿]', '', 'g'))) AS cjk_chars,
-       |    $hitSums
-       |  FROM toks GROUP BY doc_id
-       |)
-       |SELECT doc_id, n_tokens, n_distinct,
-       |  ROUND(mean_tok_len, 6) AS mean_tok_len,
-       |  ROUND(stop_ratio, 6) AS stop_ratio,
-       |  ROUND(alpha_ratio, 6) AS alpha_ratio,
-       |  ROUND(punct_ratio, 6) AS punct_ratio,
-       |  CASE WHEN cjk_chars > 0 THEN 'zh' ELSE $langCases END AS lang_id,
-       |  ROUND(0.4 * LEAST(n_tokens / 50.0, 1.0) + 0.3 * LEAST(stop_ratio * 5.0, 1.0)
-       |        + 0.3 * alpha_ratio, 6) AS quality
-       |FROM a ORDER BY doc_id""".stripMargin
-  }
+  private val q69Sql =
+    s"""WITH ${TextProfileSql.ctes("documents", "doc_id", "text")}
+       |${TextProfileSql.select("doc_id")}
+       |ORDER BY doc_id""".stripMargin
 
   /** Embedding near-dup / similar pairs, bucketed: vector pairs
     * sharing an LSH band bucket, exact-cosine scored, kept above
@@ -363,4 +326,62 @@ object Queries4 extends ColumnSyntax {
     "q79_polyfit2" -> q79Sql
   )
 
+}
+
+/** DuckDB replay of the `text_profile` kernel, parameterized over the
+  * relation it profiles — defined ONCE so q69 (raw `documents.text`)
+  * and the WET-extraction composition (q136, profiling the
+  * `html_text` output of a WARC read-back) share one transcription of
+  * the [[graft.fn.TextKernels.profile]] contract. [[ctes]] emits the
+  * tokenize + aggregate CTE fragments (names prefixed `tp_` so they
+  * can be appended to an existing WITH chain); [[select]] emits the
+  * final projection (rounded ratios, stopword-vote language id, the
+  * quality blend) with NO ORDER BY, reading FROM `tp_agg`.
+  */
+private[graft] object TextProfileSql {
+  import graft.ext.TextOps
+
+  private val langCases = {
+    val langs = TextOps.Stopwords.map(_._1)
+    val cases = langs.zipWithIndex.map { case (lang, i) =>
+      val laterGe = langs.drop(i + 1).map(l2 => s"hits_$lang >= hits_$l2")
+      val conds = (s"hits_$lang > 0" +: laterGe).mkString(" AND ")
+      s"WHEN $conds THEN '$lang'"
+    }
+    cases.mkString("CASE ", " ", " ELSE 'und' END")
+  }
+  private val hitSums = TextOps.Stopwords.map { case (lang, words) =>
+    val list = words.map(w => s"'$w'").mkString(", ")
+    s"SUM(CASE WHEN tok IN ($list) THEN 1 ELSE 0 END) AS hits_$lang"
+  }.mkString(",\n    ")
+  private val enList = TextOps.Stopwords.head._2.map(w => s"'$w'").mkString(", ")
+
+  def ctes(src: String, idCol: String, textCol: String): String =
+    s"""tp_toks AS (
+       |  SELECT $idCol, tok FROM (
+       |    SELECT $idCol, UNNEST(STRING_SPLIT($textCol, ' ')) AS tok FROM $src)
+       |  WHERE tok <> ''
+       |), tp_agg AS (
+       |  SELECT $idCol,
+       |    COUNT(*) AS n_tokens,
+       |    COUNT(DISTINCT tok) AS n_distinct,
+       |    CAST(SUM(LENGTH(tok)) AS DOUBLE) / COUNT(*) AS mean_tok_len,
+       |    CAST(SUM(CASE WHEN tok IN ($enList) THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS stop_ratio,
+       |    CAST(SUM(LENGTH(REGEXP_REPLACE(tok, '[^a-zA-Z]', '', 'g'))) AS DOUBLE) / SUM(LENGTH(tok)) AS alpha_ratio,
+       |    CAST(SUM(LENGTH(REGEXP_REPLACE(tok, '[a-zA-Z0-9]', '', 'g'))) AS DOUBLE) / SUM(LENGTH(tok)) AS punct_ratio,
+       |    SUM(LENGTH(REGEXP_REPLACE(tok, '[^一-鿿]', '', 'g'))) AS cjk_chars,
+       |    $hitSums
+       |  FROM tp_toks GROUP BY $idCol
+       |)""".stripMargin
+
+  def select(idCol: String): String =
+    s"""SELECT $idCol, n_tokens, n_distinct,
+       |  ROUND(mean_tok_len, 6) AS mean_tok_len,
+       |  ROUND(stop_ratio, 6) AS stop_ratio,
+       |  ROUND(alpha_ratio, 6) AS alpha_ratio,
+       |  ROUND(punct_ratio, 6) AS punct_ratio,
+       |  CASE WHEN cjk_chars > 0 THEN 'zh' ELSE $langCases END AS lang_id,
+       |  ROUND(0.4 * LEAST(n_tokens / 50.0, 1.0) + 0.3 * LEAST(stop_ratio * 5.0, 1.0)
+       |        + 0.3 * alpha_ratio, 6) AS quality
+       |FROM tp_agg""".stripMargin
 }
