@@ -117,6 +117,9 @@ object GraftExtensions {
     unaryFn("flac_meta", classOf[graft.fn.FlacMeta], graft.fn.FlacMeta(_)),
     unaryFn("audio_fingerprint64", classOf[graft.fn.AudioFingerprint64],
       graft.fn.AudioFingerprint64(_)),
+    unaryFn("mp3_synth", classOf[graft.fn.Mp3Synth], graft.fn.Mp3Synth(_)),
+    unaryFn("mp3_side_stats", classOf[graft.fn.Mp3SideStats],
+      graft.fn.Mp3SideStats(_)),
     unaryFn("pii_scan", classOf[graft.fn.PiiScan], graft.fn.PiiScan(_)),
     unaryFn("url_normalize", classOf[graft.fn.UrlNormalize],
       graft.fn.UrlNormalize(_)),

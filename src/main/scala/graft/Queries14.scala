@@ -239,14 +239,100 @@ object Queries14 extends ColumnSyntax {
        |WHERE p.n_tokens >= 20 AND p.quality >= 0.5
        |ORDER BY p.doc_id""".stripMargin
 
+  // --------- q137: MP3 side-info walk, hash-gated byte round-trip
+  /** The [[graft.ext.Mp3]] walker under the correctness gate: the
+    * engine packs one real MPEG-1 Layer III stream per document row
+    * in-plan ([[graft.fn.Mp3Synth]] — every structural knob a
+    * closed-form function of `doc_id`: frame count, per-frame
+    * bitrate/samplerate indices, mono/stereo, padding, CRC, ID3v2
+    * prefix, ID3v1 trailer, and every granule-channel's side-info
+    * fields), walks the bytes back ([[graft.fn.Mp3SideStats]]), and
+    * emits integer-exact statistics. DuckDB predicts every column
+    * from `doc_id` alone — replaying the bitrate/samplerate tables,
+    * the 144·kbps/rate+pad frame-length rule, and the tag framing in
+    * SQL — so any bit-packing OR bit-reading defect breaks the hash.
+    * One scan, two narrow kernels, no shuffle before the final sort.
+    */
+  private def q137(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    val synth = gb.column(graft.fn.Mp3Synth(gb.expression($"doc_id".cast("long"))))
+    Tables.docsPar(s, dir).select($"doc_id", synth.as("mp3"))
+      .select($"doc_id", $"mp3",
+        gb.column(graft.fn.Mp3SideStats(gb.expression($"mp3"))).as("__s"))
+      .filter($"__s".isNotNull)
+      .select($"doc_id",
+        $"__s.n_frames".as("n_frames"),
+        $"__s.crc_frames".as("crc_frames"),
+        $"__s.brate_sum".as("brate_sum"),
+        $"__s.rate_sum".as("rate_sum"),
+        $"__s.mdb_sum".as("mdb_sum"),
+        $"__s.gain_sum".as("gain_sum"),
+        $"__s.gain_min".as("gain_min"),
+        $"__s.gain_max".as("gain_max"),
+        $"__s.wsf_grans".as("wsf_grans"),
+        length($"mp3").cast("long").as("len_bytes"))
+      .orderBy($"doc_id")
+  }
+
+  private val q137Sql =
+    """WITH fr AS (
+      |  SELECT doc_id, CAST(t.f AS BIGINT) AS f,
+      |    CAST(1 + (doc_id + 5*t.f) % 14 AS INT) AS kidx,
+      |    CAST((doc_id + t.f) % 3 AS INT) AS ridx
+      |  FROM documents, UNNEST(range(0, 4)) AS t(f)
+      |  WHERE t.f < 2 + doc_id % 3
+      |), fx AS (
+      |  SELECT doc_id, f,
+      |    [32,40,48,56,64,80,96,112,128,160,192,224,256,320][kidx] AS kbps,
+      |    [44100,48000,32000][ridx + 1] AS rate
+      |  FROM fr
+      |), fagg AS (
+      |  SELECT doc_id,
+      |    COUNT(*) AS n_frames,
+      |    SUM(CASE WHEN (doc_id + f) % 3 = 0 THEN 1 ELSE 0 END) AS crc_frames,
+      |    SUM(kbps) AS brate_sum,
+      |    SUM(rate) AS rate_sum,
+      |    SUM((doc_id*7 + f*11) % 512) AS mdb_sum,
+      |    SUM(144*kbps*1000 // rate + (doc_id + f) % 2) AS frame_bytes
+      |  FROM fx GROUP BY doc_id
+      |), gc AS (
+      |  SELECT doc_id, f, CAST(tg.g AS BIGINT) AS g, CAST(tc.ch AS BIGINT) AS ch
+      |  FROM fr, UNNEST(range(0, 2)) AS tg(g), UNNEST(range(0, 2)) AS tc(ch)
+      |  WHERE tc.ch < CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 2 END
+      |), gagg AS (
+      |  SELECT doc_id,
+      |    SUM((doc_id*31 + f*13 + g*7 + ch*3) % 256) AS gain_sum,
+      |    MIN((doc_id*31 + f*13 + g*7 + ch*3) % 256) AS gain_min,
+      |    MAX((doc_id*31 + f*13 + g*7 + ch*3) % 256) AS gain_max,
+      |    SUM(CASE WHEN (doc_id + f + g) % 2 = 1 THEN 1 ELSE 0 END) AS wsf_grans
+      |  FROM gc GROUP BY doc_id
+      |)
+      |SELECT fa.doc_id,
+      |  CAST(fa.n_frames AS INT) AS n_frames,
+      |  CAST(fa.crc_frames AS INT) AS crc_frames,
+      |  CAST(fa.brate_sum AS BIGINT) AS brate_sum,
+      |  CAST(fa.rate_sum AS BIGINT) AS rate_sum,
+      |  CAST(fa.mdb_sum AS BIGINT) AS mdb_sum,
+      |  CAST(ga.gain_sum AS BIGINT) AS gain_sum,
+      |  CAST(ga.gain_min AS INT) AS gain_min,
+      |  CAST(ga.gain_max AS INT) AS gain_max,
+      |  CAST(ga.wsf_grans AS INT) AS wsf_grans,
+      |  CAST(fa.frame_bytes
+      |    + CASE WHEN fa.doc_id % 6 = 0 THEN 10 + fa.doc_id % 50 ELSE 0 END
+      |    + CASE WHEN fa.doc_id % 9 = 0 THEN 128 ELSE 0 END AS BIGINT) AS len_bytes
+      |FROM fagg fa JOIN gagg ga USING (doc_id)
+      |ORDER BY fa.doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q129b_percent_norm" -> (q129b _),
     "q131x_html_full_xx" -> (q131x _),
-    "q136_wet_extract" -> (q136 _))
+    "q136_wet_extract" -> (q136 _),
+    "q137_mp3_sideinfo" -> (q137 _))
 
   val oracles: Map[String, String] = Map(
     // q131x: no oracle — numeric-ref decode is not SQL-expressible
     // (HtmlSpec fuzz parity is its gate), rows-only by the xx convention
     "q129b_percent_norm" -> q129bSql,
-    "q136_wet_extract" -> q136Sql)
+    "q136_wet_extract" -> q136Sql,
+    "q137_mp3_sideinfo" -> q137Sql)
 }

@@ -147,6 +147,50 @@ class Mp3Spec extends AnyFunSuite {
     assert(Mp3.framesOrNull(free) === null)
   }
 
+  test("q137 fixture synth: walker recovers every closed-form knob across a doc sweep") {
+    import graft.ext.Mp3Fixtures
+    for (docId <- 0L to 60L) {
+      val bytes = Mp3Fixtures.stream(docId)
+      // stream length is the sum of its predicted parts
+      val id3 = Mp3Fixtures.id3Size(docId)
+      val predictedLen =
+        (if (id3 >= 0) 10 + id3 else 0) +
+          (0 until Mp3Fixtures.nFrames(docId)).map(Mp3Fixtures.frameLen(docId, _)).sum +
+          (if (Mp3Fixtures.hasId3v1Trailer(docId)) 128 else 0)
+      assert(bytes.length === predictedLen, s"doc $docId length")
+      val fs = Mp3.framesOrNull(bytes)
+      assert(fs != null && fs.length === Mp3Fixtures.nFrames(docId), s"doc $docId frames")
+      val nch = if (Mp3Fixtures.isMono(docId)) 1 else 2
+      for ((fr, f) <- fs.zipWithIndex) {
+        assert(fr.lengthBytes === Mp3Fixtures.frameLen(docId, f), s"doc $docId f$f len")
+        assert(fr.channels === nch)
+        assert(fr.crcProtected === Mp3Fixtures.hasCrc(docId, f))
+        assert(fr.mainDataBegin === Mp3Fixtures.mainDataBegin(docId, f))
+        for (g <- 0 until 2; ch <- 0 until nch) {
+          val gi = fr.granules(g)(ch)
+          assert(gi.globalGain === Mp3Fixtures.gain(docId, f, g, ch),
+            s"doc $docId f$f g$g ch$ch gain")
+          val wsf = Mp3Fixtures.windowSwitch(docId, f, g)
+          assert((gi.blockType != 0) === wsf, s"doc $docId f$f g$g wsf")
+          if (wsf) assert(gi.blockType === Mp3Fixtures.blockType(docId, g))
+        }
+      }
+    }
+  }
+
+  test("mp3_side_stats kernel folds the walk to the oracle's integers") {
+    import graft.ext.Mp3Fixtures
+    val r = graft.fn.Mp3SideStats.statsOrNull(Mp3Fixtures.stream(7L))
+    assert(r != null)
+    val n = Mp3Fixtures.nFrames(7L)
+    assert(r.getInt(0) === n)
+    val gains = for (f <- 0 until n; g <- 0 until 2; ch <- 0 until 2)
+      yield Mp3Fixtures.gain(7L, f, g, ch)
+    assert(r.getLong(5) === gains.map(_.toLong).sum)
+    assert(r.getInt(6) === gains.min && r.getInt(7) === gains.max)
+    assert(graft.fn.Mp3SideStats.statsOrNull("junk".getBytes) === null)
+  }
+
   test("corrupt-stream fuzz: total, never throws, bounded") {
     val rnd = new scala.util.Random(10_2026)
     val base = frame(9, 0, mono = false, 0, g1) ++ frame(9, 0, mono = false, 1, g2)
