@@ -287,7 +287,9 @@ object DocStreams {
     * per-domain QUOTA deliberately stays a batch/compaction concern:
     * a global k-per-domain cap is unbounded state on an infinite
     * stream by definition (the batch pipeline's bounded bottom-k
-    * aggregate is the right home).
+    * aggregate is the right home). The windowed form IS bounded —
+    * [[domainQuotaGate]] (round 10) caps k per domain per tumbling
+    * window with timeout-evicted counters.
     *
     * On a batch frame the same plan runs with `dropDuplicates`.
     *
@@ -576,6 +578,108 @@ object DocStreams {
       .agg(count(lit(1)).as("__nb"))
       .filter(col("__nb") === bands)
       .select(col("asset_id"), unix_micros(col("ts_t")).as("ts"), col("dhash"))
+  }
+
+  /** Admitted row of [[domainQuotaGate]]: `seq` is the 1-based
+    * admission index within the page's (domain, window) group.
+    */
+  final case class AdmittedPage(doc_id: Long, ts: Long, domain: String,
+                                win_start: Long, seq: Int)
+
+  /** Internal state of [[domainQuotaGate]] (public: the state
+    * encoder's generated code needs constructor access).
+    */
+  final case class QuotaCount(n: Int)
+
+  /** WINDOWED per-domain admission quota — the bounded streaming form
+    * of q130's cap. [[crawlGate]]'s scaladoc argues a GLOBAL
+    * k-per-domain cap is unbounded state on an infinite stream by
+    * definition; the streaming-native semantics is k per domain per
+    * TUMBLING WINDOW (crawl rate limiting), where state is one
+    * counter per (domain, window) inside the watermark horizon,
+    * timeout-evicted when the watermark passes the window end —
+    * bounded, `flatMapGroupsWithState` with event-time timeouts (the
+    * [[EventStreams.sessionizeCustomState]] shape).
+    *
+    * Admission order: within one micro-batch, (event-time, doc_id)
+    * ascending — on a single-trigger frame this is exactly the batch
+    * `row_number() <= k` form (the parity test's gate); across
+    * micro-batches admission is arrival order, the same first-come
+    * convention as every other streaming gate here. Pages whose URL
+    * does not normalize drop (no domain evidence), and rows later
+    * than the watermark drop BEFORE the operator (Spark's stateful
+    * late-row filter) — so an evicted window's quota cannot be
+    * re-opened by stragglers: the decision is final within the
+    * horizon.
+    *
+    * On a batch frame the same contract runs as the window-function
+    * form. Contract: pages (doc_id: long, ts: long nanos, url:
+    * string) → [[AdmittedPage]] (ts and win_start in epoch micros).
+    */
+  def domainQuotaGate(pages: DataFrame, k: Int = 2,
+                      window: String = "1 hour",
+                      watermark: String = "2 hours")
+      : org.apache.spark.sql.Dataset[AdmittedPage] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.{graftbridge => gb}
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val normed = gb.column(graft.fn.UrlNormalize(gb.expression(col("url"))))
+    // _1 domain, _2 win_start µs, _3 win_end µs, _4 doc_id, _5 ts µs,
+    // _6 the watermarked event-time column (must stay visible to the
+    // stateful operator for event-time timeouts)
+    val keyed = pages
+      .withColumn("ts_t", EventStreams.tsCol)
+      .withWatermark("ts_t", watermark)
+      .withColumn("__u", normed)
+      .filter(col("__u.domain").isNotNull)
+      .withColumn("__w", org.apache.spark.sql.functions.window(col("ts_t"), window))
+      .select(col("__u.domain").as("_1"),
+        unix_micros(col("__w.start")).as("_2"),
+        unix_micros(col("__w.end")).as("_3"),
+        col("doc_id").as("_4"),
+        expr("ts div 1000").as("_5"),
+        col("ts_t").as("_6"))
+      .as[(String, Long, Long, Long, Long, java.sql.Timestamp)]
+
+    if (pages.isStreaming) {
+      def fn(key: (String, Long),
+             batch: Iterator[(String, Long, Long, Long, Long, java.sql.Timestamp)],
+             state: GroupState[QuotaCount]): Iterator[AdmittedPage] = {
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          val rows = batch.toSeq.sortBy(r => (r._5, r._4))
+          var n = state.getOption.map(_.n).getOrElse(0)
+          val out = scala.collection.mutable.ArrayBuffer[AdmittedPage]()
+          rows.foreach { r =>
+            if (n < k) {
+              n += 1
+              out += AdmittedPage(r._4, r._5, key._1, key._2, n)
+            }
+          }
+          state.update(QuotaCount(n))
+          // evict once the watermark passes the window end (must be
+          // strictly ahead of the current watermark to be accepted)
+          state.setTimeoutTimestamp(
+            math.max(rows.head._3 / 1000L, state.getCurrentWatermarkMs() + 1))
+          out.iterator
+        }
+      }
+      keyed.groupByKey(r => (r._1, r._2))
+        .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+    } else {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("_1"), col("_2")).orderBy(col("_5"), col("_4"))
+      keyed.toDF()
+        .withColumn("seq", row_number().over(w))
+        .filter(col("seq") <= k)
+        .select(col("_4").as("doc_id"), col("_5").as("ts"),
+          col("_1").as("domain"), col("_2").as("win_start"),
+          col("seq").cast("int").as("seq"))
+        .as[AdmittedPage]
+    }
   }
 
   def perplexityGate(docs: DataFrame, model: Map[String, Long],
