@@ -120,6 +120,9 @@ object GraftExtensions {
     unaryFn("mp3_synth", classOf[graft.fn.Mp3Synth], graft.fn.Mp3Synth(_)),
     unaryFn("mp3_side_stats", classOf[graft.fn.Mp3SideStats],
       graft.fn.Mp3SideStats(_)),
+    unaryFn("ogg_synth", classOf[graft.fn.OggSynth], graft.fn.OggSynth(_)),
+    unaryFn("ogg_stream_meta", classOf[graft.fn.OggStreamMeta],
+      graft.fn.OggStreamMeta(_)),
     unaryFn("pii_scan", classOf[graft.fn.PiiScan], graft.fn.PiiScan(_)),
     unaryFn("url_normalize", classOf[graft.fn.UrlNormalize],
       graft.fn.UrlNormalize(_)),

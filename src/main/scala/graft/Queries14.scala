@@ -323,16 +323,83 @@ object Queries14 extends ColumnSyntax {
       |FROM fagg fa JOIN gagg ga USING (doc_id)
       |ORDER BY fa.doc_id""".stripMargin
 
+  // --------- q138: Ogg Vorbis/Opus container walk, hash-gated
+  /** The [[graft.ext.Ogg]] walker under the correctness gate — the
+    * q137 pattern for the Ogg container family: real pages with real
+    * CRCs packed in-plan ([[graft.fn.OggSynth]], layout exercising
+    * zero-lacing terminators and cross-page packet continuation),
+    * walked back CRC-verified ([[graft.fn.OggStreamMeta]]). DuckDB
+    * replays the page/packet layout arithmetic, both codecs' header
+    * fields, the 48 kHz Opus granule-rate rule, and the audio payload
+    * accounting from `doc_id` alone.
+    */
+  private def q138(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    val synth = gb.column(graft.fn.OggSynth(gb.expression($"doc_id".cast("long"))))
+    Tables.docsPar(s, dir).select($"doc_id", synth.as("ogg"))
+      .select($"doc_id",
+        gb.column(graft.fn.OggStreamMeta(gb.expression($"ogg"))).as("__m"))
+      .filter($"__m".isNotNull)
+      .select($"doc_id",
+        $"__m.codec".as("codec"),
+        $"__m.channels".as("channels"),
+        $"__m.rate".as("rate"),
+        $"__m.pre_skip".as("pre_skip"),
+        $"__m.n_pages".as("n_pages"),
+        $"__m.n_packets".as("n_packets"),
+        $"__m.last_granule".as("last_granule"),
+        $"__m.duration_ms".as("duration_ms"),
+        $"__m.n_comments".as("n_comments"),
+        $"__m.vendor".as("vendor"),
+        $"__m.audio_bytes".as("audio_bytes"))
+      .orderBy($"doc_id")
+  }
+
+  private val q138Sql =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    doc_id % 5 = 0 AS opus,
+      |    [8000,22050,44100,48000][CAST(doc_id % 4 AS INT) + 1] AS rate,
+      |    3 + doc_id % 4 AS a,
+      |    256 + doc_id % 512 AS spp
+      |  FROM documents
+      |), audio AS (
+      |  SELECT b.doc_id,
+      |    SUM(CASE WHEN t.p = 1 THEN 510
+      |             WHEN t.p = 2 THEN 300 + b.doc_id % 100
+      |             ELSE 40 + (b.doc_id*17 + t.p*97) % 200 END) AS audio_bytes
+      |  FROM base b, UNNEST(range(0, 7)) AS t(p)
+      |  WHERE t.p < b.a
+      |  GROUP BY b.doc_id
+      |)
+      |SELECT b.doc_id,
+      |  CASE WHEN b.opus THEN 'opus' ELSE 'vorbis' END AS codec,
+      |  CAST(1 + b.doc_id % 2 AS INT) AS channels,
+      |  CAST(b.rate AS BIGINT) AS rate,
+      |  CAST(CASE WHEN b.opus THEN b.doc_id % 400 ELSE 0 END AS INT) AS pre_skip,
+      |  CAST(3 + b.a AS INT) AS n_pages,
+      |  CAST(CASE WHEN b.opus THEN 2 + b.a ELSE 3 + b.a END AS INT) AS n_packets,
+      |  CAST(b.a * b.spp AS BIGINT) AS last_granule,
+      |  CAST(b.a * b.spp * 1000 // (CASE WHEN b.opus THEN 48000 ELSE b.rate END)
+      |    AS BIGINT) AS duration_ms,
+      |  CAST(b.doc_id % 4 AS INT) AS n_comments,
+      |  'graft-' || CAST(b.doc_id % 10 AS VARCHAR) AS vendor,
+      |  CAST(au.audio_bytes AS BIGINT) AS audio_bytes
+      |FROM base b JOIN audio au USING (doc_id)
+      |ORDER BY b.doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q129b_percent_norm" -> (q129b _),
     "q131x_html_full_xx" -> (q131x _),
     "q136_wet_extract" -> (q136 _),
-    "q137_mp3_sideinfo" -> (q137 _))
+    "q137_mp3_sideinfo" -> (q137 _),
+    "q138_ogg_meta" -> (q138 _))
 
   val oracles: Map[String, String] = Map(
     // q131x: no oracle — numeric-ref decode is not SQL-expressible
     // (HtmlSpec fuzz parity is its gate), rows-only by the xx convention
     "q129b_percent_norm" -> q129bSql,
     "q136_wet_extract" -> q136Sql,
-    "q137_mp3_sideinfo" -> q137Sql)
+    "q137_mp3_sideinfo" -> q137Sql,
+    "q138_ogg_meta" -> q138Sql)
 }

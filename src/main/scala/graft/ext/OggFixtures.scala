@@ -1,0 +1,172 @@
+package graft.ext
+
+/** Deterministic Ogg Vorbis / Ogg Opus container synthesis — the q138
+  * corpus generator (the q137 discipline: every structural knob a
+  * closed-form function of `docId`, so a SQL oracle predicts the
+  * [[Ogg]] walker's complete output from `documents.doc_id` alone).
+  * Pages carry REAL CRCs; the layout deliberately exercises the
+  * walker's three packet-framing paths: a 510-byte packet needing the
+  * exact-multiple-of-255 zero-lacing terminator, a packet SPLIT
+  * across two pages (continuation flag + granule −1 on the
+  * unfinished page per RFC 3533), and ordinary single-lacing packets.
+  * Audio packet bytes are deterministic filler (the setup packet's
+  * body likewise — this layer stops at the comment header; see
+  * [[Ogg]]'s scope note).
+  *
+  * Layout: page 0 = identification header (BOS); page 1 = comment
+  * header (+ Vorbis setup packet); audio packet p gets its own page,
+  * except packet 2 which spans two pages → `nPages = 3 + nAudio`.
+  */
+object OggFixtures {
+
+  private val RateChoices = Array(8000L, 22050L, 44100L, 48000L)
+
+  def isOpus(docId: Long): Boolean = docId % 5 == 0
+  def channels(docId: Long): Int = (1 + docId % 2).toInt
+  def rate(docId: Long): Long = RateChoices((docId % 4).toInt)
+  def preSkip(docId: Long): Int = if (isOpus(docId)) (docId % 400).toInt else 0
+  def nAudio(docId: Long): Int = (3 + docId % 4).toInt
+  def samplesPerPacket(docId: Long): Long = 256 + docId % 512
+  def lastGranule(docId: Long): Long = nAudio(docId) * samplesPerPacket(docId)
+  def nComments(docId: Long): Int = (docId % 4).toInt
+  def vendor(docId: Long): String = "graft-" + (docId % 10)
+
+  /** Audio packet p's length: p=1 exercises the zero-lacing
+    * terminator (exact 2×255), p=2 the page split (forced > 255).
+    */
+  def audioLen(docId: Long, p: Int): Int = p match {
+    case 1 => 510
+    case 2 => (300 + docId % 100).toInt
+    case _ => (40 + (docId * 17 + p * 97L) % 200).toInt
+  }
+
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+  private def le32(v: Long): Array[Byte] =
+    Array.tabulate(4)(i => ((v >> (8 * i)) & 0xFF).toByte)
+  private def le64(v: Long): Array[Byte] =
+    Array.tabulate(8)(i => ((v >> (8 * i)) & 0xFF).toByte)
+
+  private def vorbisId(docId: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(1); out.write("vorbis".getBytes("US-ASCII"))
+    out.write(le32(0)) // vorbis_version
+    out.write(channels(docId))
+    out.write(le32(rate(docId)))
+    out.write(le32(0)); out.write(le32(128000)); out.write(le32(0)) // bitrates
+    out.write(0x86) // blocksize_0 = 2^6 (low nibble), blocksize_1 = 2^8 (high)
+    out.write(1) // framing bit
+    out.toByteArray
+  }
+
+  private def opusId(docId: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("OpusHead".getBytes("US-ASCII"))
+    out.write(1) // version
+    out.write(channels(docId))
+    out.write(le16(preSkip(docId)))
+    out.write(le32(rate(docId))) // input sample rate (informational)
+    out.write(le16(0)) // output gain
+    out.write(0) // mapping family 0
+    out.toByteArray
+  }
+
+  private def commentBlock(docId: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val v = vendor(docId).getBytes("UTF-8")
+    out.write(le32(v.length)); out.write(v)
+    val n = nComments(docId)
+    out.write(le32(n))
+    for (i <- 0 until n) {
+      val c = s"K$i=v${docId % 97}_$i".getBytes("UTF-8")
+      out.write(le32(c.length)); out.write(c)
+    }
+    out.toByteArray
+  }
+
+  private def commentPacket(docId: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    if (isOpus(docId)) out.write("OpusTags".getBytes("US-ASCII"))
+    else { out.write(3); out.write("vorbis".getBytes("US-ASCII")) }
+    out.write(commentBlock(docId))
+    if (!isOpus(docId)) out.write(1) // framing bit
+    out.toByteArray
+  }
+
+  private def setupPacket(docId: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(5); out.write("vorbis".getBytes("US-ASCII"))
+    for (j <- 0 until 50) out.write(((docId + j * 13) % 256).toInt)
+    out.toByteArray
+  }
+
+  private def audioPacket(docId: Long, p: Int): Array[Byte] =
+    Array.tabulate(audioLen(docId, p))(j => ((docId + p * 31L + j * 7) % 256).toByte)
+
+  /** Lacing values for whole packets ending on this page; `open`
+    * marks a trailing 255 run with NO terminator (packet continues).
+    */
+  private def lacings(lens: Seq[Int], openTail: Int = -1): Array[Int] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    for (l <- lens) {
+      var rem = l
+      while (rem >= 255) { out += 255; rem -= 255 }
+      out += rem // 0..254 terminator (0 when l is an exact multiple)
+    }
+    if (openTail >= 0) {
+      require(openTail > 0 && openTail % 255 == 0, "open tail must be 255-aligned")
+      for (_ <- 0 until openTail / 255) out += 255
+    }
+    out.toArray
+  }
+
+  private def page(htype: Int, granule: Long, serial: Long, seq: Long,
+                   segs: Array[Int], payload: Array[Byte]): Array[Byte] = {
+    require(segs.sum == payload.length && segs.length <= 255)
+    val head = new java.io.ByteArrayOutputStream()
+    head.write("OggS".getBytes("US-ASCII"))
+    head.write(0)
+    head.write(htype)
+    head.write(le64(granule))
+    head.write(le32(serial))
+    head.write(le32(seq))
+    head.write(le32(0)) // CRC placeholder
+    head.write(segs.length)
+    segs.foreach(head.write)
+    val full = head.toByteArray ++ payload
+    val c = Ogg.crc(full, 0, full.length, 22)
+    System.arraycopy(le32(c & 0xFFFFFFFFL), 0, full, 22, 4)
+    full
+  }
+
+  /** The complete container for one doc. */
+  def stream(docId: Long): Array[Byte] = {
+    val serial = docId % 100000
+    val out = new java.io.ByteArrayOutputStream(4096)
+    var seq = 0L
+    def emit(htype: Int, granule: Long, segs: Array[Int], payload: Array[Byte]): Unit = {
+      out.write(page(htype, granule, serial, seq, segs, payload)); seq += 1
+    }
+    val id = if (isOpus(docId)) opusId(docId) else vorbisId(docId)
+    emit(0x02, 0L, lacings(Seq(id.length)), id) // BOS
+    val headerTail =
+      if (isOpus(docId)) Seq(commentPacket(docId))
+      else Seq(commentPacket(docId), setupPacket(docId))
+    emit(0, 0L, lacings(headerTail.map(_.length)), headerTail.flatten.toArray)
+    val spp = samplesPerPacket(docId)
+    val a = nAudio(docId)
+    for (p <- 0 until a) {
+      val pkt = audioPacket(docId, p)
+      val eos = if (p == a - 1) 0x04 else 0
+      if (p == 2) {
+        // split: first 255 bytes end an OPEN page (granule −1, no
+        // packet finishes), remainder on a continuation page
+        emit(0, -1L, lacings(Nil, openTail = 255), pkt.take(255))
+        emit(0x01 | eos, (p + 1) * spp, lacings(Seq(pkt.length - 255)), pkt.drop(255))
+      } else {
+        emit(eos, (p + 1) * spp, lacings(Seq(pkt.length)), pkt)
+      }
+    }
+    out.toByteArray
+  }
+}
