@@ -253,10 +253,20 @@ object Queries14 extends ColumnSyntax {
     * SQL — so any bit-packing OR bit-reading defect breaks the hash.
     * One scan, two narrow kernels, no shuffle before the final sort.
     */
+  /** q137/q138 corpus base: only `doc_id` feeds the synth kernels and
+    * the per-row work is CPU-heavy (container packing + walking), so
+    * the spread is forced to the full core count — `docsPar`'s
+    * size-derived width (sized for hash-heavy text stages) would
+    * throttle an sf10 run to half the box.
+    */
+  private def docIds(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(s, Tables.tbl(s, dir, "documents").select($"doc_id"),
+      minParts = s.sparkContext.defaultParallelism)
+
   private def q137(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.{graftbridge => gb}
     val synth = gb.column(graft.fn.Mp3Synth(gb.expression($"doc_id".cast("long"))))
-    Tables.docsPar(s, dir).select($"doc_id", synth.as("mp3"))
+    docIds(s, dir).select($"doc_id", synth.as("mp3"))
       .select($"doc_id", $"mp3",
         gb.column(graft.fn.Mp3SideStats(gb.expression($"mp3"))).as("__s"))
       .filter($"__s".isNotNull)
@@ -336,7 +346,7 @@ object Queries14 extends ColumnSyntax {
   private def q138(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.{graftbridge => gb}
     val synth = gb.column(graft.fn.OggSynth(gb.expression($"doc_id".cast("long"))))
-    Tables.docsPar(s, dir).select($"doc_id", synth.as("ogg"))
+    docIds(s, dir).select($"doc_id", synth.as("ogg"))
       .select($"doc_id",
         gb.column(graft.fn.OggStreamMeta(gb.expression($"ogg"))).as("__m"))
       .filter($"__m".isNotNull)

@@ -40,7 +40,8 @@ object Ogg {
   final case class Meta(codec: String, channels: Int, rate: Long,
                         preSkip: Int, nPages: Int, nPackets: Int,
                         lastGranule: Long, vendor: String,
-                        comments: Array[(String, String)]) {
+                        comments: Array[(String, String)],
+                        audioBytes: Long) {
     def granuleRate: Long = if (codec == "opus") 48000L else rate
   }
 
@@ -145,6 +146,13 @@ object Ogg {
   def packetsOrNull(b: Array[Byte]): Array[Array[Byte]] = {
     val pages = pagesOrNull(b)
     if (pages == null) return null
+    packetsFrom(b, pages)
+  }
+
+  /** [[packetsOrNull]] over an already-validated page walk (so
+    * [[metaOrNull]] walks the container exactly once).
+    */
+  private def packetsFrom(b: Array[Byte], pages: Array[Page]): Array[Array[Byte]] = {
     try {
       val packets = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
       val cur = new java.io.ByteArrayOutputStream()
@@ -217,8 +225,14 @@ object Ogg {
       val pages = pagesOrNull(b)
       if (pages == null) return null
       if ((pages.head.headerType & 0x02) == 0) return null // no BOS
-      val packets = packetsOrNull(b)
+      val packets = packetsFrom(b, pages)
       if (packets == null || packets.length < 2) return null
+      def audioBytes(nHeader: Int): Long = {
+        var s = 0L
+        var i = nHeader
+        while (i < packets.length) { s += packets(i).length; i += 1 }
+        s
+      }
       val id = packets(0)
       if (id.length >= 30 && id(0) == 1 && startsWith(id, "vorbis", 1)) {
         if (le32(id, 7) != 0L) return null // vorbis_version
@@ -236,7 +250,7 @@ object Ogg {
             packets(2)(0) != 5 || !startsWith(packets(2), "vorbis", 1))
           return null
         Meta("vorbis", ch, rate, 0, pages.length, packets.length,
-          pages.last.granule, c._1, c._2)
+          pages.last.granule, c._1, c._2, audioBytes(3))
       } else if (startsWith(id, "OpusHead", 0)) {
         if (id.length < 19) return null
         if ((id(8) & 0xF0) != 0) return null // major version 0
@@ -249,7 +263,7 @@ object Ogg {
         val c = commentsOrNull(cm, 8)
         if (c == null) return null
         Meta("opus", ch, rate, preSkip, pages.length, packets.length,
-          pages.last.granule, c._1, c._2)
+          pages.last.granule, c._1, c._2, audioBytes(2))
       } else null
     } catch {
       case scala.util.control.NonFatal(_) => null

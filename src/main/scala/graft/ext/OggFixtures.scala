@@ -100,8 +100,15 @@ object OggFixtures {
     out.toByteArray
   }
 
-  private def audioPacket(docId: Long, p: Int): Array[Byte] =
-    Array.tabulate(audioLen(docId, p))(j => ((docId + p * 31L + j * 7) % 256).toByte)
+  private def audioPacket(docId: Long, p: Int): Array[Byte] = {
+    val out = new Array[Byte](audioLen(docId, p))
+    var j = 0
+    while (j < out.length) {
+      out(j) = ((docId + p * 31L + j * 7) % 256).toByte
+      j += 1
+    }
+    out
+  }
 
   /** Lacing values for whole packets ending on this page; `open`
     * marks a trailing 255 run with NO terminator (packet continues).
@@ -123,19 +130,24 @@ object OggFixtures {
   private def page(htype: Int, granule: Long, serial: Long, seq: Long,
                    segs: Array[Int], payload: Array[Byte]): Array[Byte] = {
     require(segs.sum == payload.length && segs.length <= 255)
-    val head = new java.io.ByteArrayOutputStream()
-    head.write("OggS".getBytes("US-ASCII"))
-    head.write(0)
-    head.write(htype)
-    head.write(le64(granule))
-    head.write(le32(serial))
-    head.write(le32(seq))
-    head.write(le32(0)) // CRC placeholder
-    head.write(segs.length)
-    segs.foreach(head.write)
-    val full = head.toByteArray ++ payload
+    val full = new Array[Byte](27 + segs.length + payload.length)
+    full(0) = 'O'; full(1) = 'g'; full(2) = 'g'; full(3) = 'S'
+    full(5) = htype.toByte
+    var i = 0
+    while (i < 8) { full(6 + i) = ((granule >> (8 * i)) & 0xFF).toByte; i += 1 }
+    i = 0
+    while (i < 4) {
+      full(14 + i) = ((serial >> (8 * i)) & 0xFF).toByte
+      full(18 + i) = ((seq >> (8 * i)) & 0xFF).toByte
+      i += 1
+    }
+    full(26) = segs.length.toByte
+    i = 0
+    while (i < segs.length) { full(27 + i) = segs(i).toByte; i += 1 }
+    System.arraycopy(payload, 0, full, 27 + segs.length, payload.length)
     val c = Ogg.crc(full, 0, full.length, 22)
-    System.arraycopy(le32(c & 0xFFFFFFFFL), 0, full, 22, 4)
+    i = 0
+    while (i < 4) { full(22 + i) = ((c >> (8 * i)) & 0xFF).toByte; i += 1 }
     full
   }
 

@@ -84,16 +84,10 @@ object OggStreamMeta {
   def metaOrNull(bytes: Array[Byte]): InternalRow = {
     val m = graft.ext.Ogg.metaOrNull(bytes)
     if (m == null) return null
-    val packets = graft.ext.Ogg.packetsOrNull(bytes)
-    if (packets == null) return null
-    val nHeader = if (m.codec == "opus") 2 else 3
-    var audio = 0L
-    var i = nHeader
-    while (i < packets.length) { audio += packets(i).length; i += 1 }
     new GenericInternalRow(Array[Any](
       UTF8String.fromString(m.codec), m.channels, m.rate, m.preSkip,
       m.nPages, m.nPackets, m.lastGranule,
       m.lastGranule * 1000L / m.granuleRate, m.comments.length,
-      UTF8String.fromString(m.vendor), audio))
+      UTF8String.fromString(m.vendor), m.audioBytes))
   }
 }

@@ -100,6 +100,7 @@ class OggSpec extends AnyFunSuite {
       val nHeader = if (OggFixtures.isOpus(docId)) 2 else 3
       val audioBytes = pk.drop(nHeader).map(_.length).sum
       assert(audioBytes === (0 until a).map(OggFixtures.audioLen(docId, _)).sum)
+      assert(m.audioBytes === audioBytes.toLong)
       // the split packet reassembled exactly
       assert(pk(nHeader + 2).length === OggFixtures.audioLen(docId, 2))
     }
