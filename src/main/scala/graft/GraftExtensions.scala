@@ -123,6 +123,8 @@ object GraftExtensions {
     unaryFn("ogg_synth", classOf[graft.fn.OggSynth], graft.fn.OggSynth(_)),
     unaryFn("ogg_stream_meta", classOf[graft.fn.OggStreamMeta],
       graft.fn.OggStreamMeta(_)),
+    unaryFn("vorbis_setup_stats", classOf[graft.fn.VorbisSetupStats],
+      graft.fn.VorbisSetupStats(_)),
     unaryFn("pii_scan", classOf[graft.fn.PiiScan], graft.fn.PiiScan(_)),
     unaryFn("url_normalize", classOf[graft.fn.UrlNormalize],
       graft.fn.UrlNormalize(_)),

@@ -398,12 +398,79 @@ object Queries14 extends ColumnSyntax {
       |FROM base b JOIN audio au USING (doc_id)
       |ORDER BY b.doc_id""".stripMargin
 
+  // --------- q139: Vorbis setup codebooks, hash-gated
+  /** The [[graft.ext.VorbisSetup]] codebook layer under the gate:
+    * q138's Vorbis fixtures carry REAL setup packets (book 0 is the
+    * fixed irregular-length book whose canonical codewords are
+    * hand-derivable — lengths 1,2,3,3 → words 0,10,110,111 → sum 15;
+    * later books parameterized uniform), parsed back through the
+    * LSB-first reader + canonical assembly trie. `cw_sum` gates the
+    * codeword assignment itself; the oracle replays every statistic
+    * from `doc_id`. Opus docs have no Vorbis setup and drop.
+    */
+  private def q139(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    val synth = gb.column(graft.fn.OggSynth(gb.expression($"doc_id".cast("long"))))
+    docIds(s, dir).select($"doc_id", synth.as("ogg"))
+      .select($"doc_id",
+        gb.column(graft.fn.VorbisSetupStats(gb.expression($"ogg"))).as("__v"))
+      .filter($"__v".isNotNull)
+      .select($"doc_id",
+        $"__v.n_books".as("n_books"),
+        $"__v.dim_sum".as("dim_sum"),
+        $"__v.entries_sum".as("entries_sum"),
+        $"__v.used_sum".as("used_sum"),
+        $"__v.maxlen".as("maxlen"),
+        $"__v.lookup_books".as("lookup_books"),
+        $"__v.lookup_values_sum".as("lookup_values_sum"),
+        $"__v.cw_sum".as("cw_sum"),
+        $"__v.complete_books".as("complete_books"))
+      .orderBy($"doc_id")
+  }
+
+  private val q139Sql =
+    """WITH base AS (
+      |  SELECT doc_id, 2 + doc_id % 2 AS n_books
+      |  FROM documents WHERE doc_id % 5 <> 0
+      |), bk AS (
+      |  SELECT b.doc_id, b.n_books, t.k,
+      |    1 + (b.doc_id + t.k) % 2 AS dims,
+      |    2 + (b.doc_id + t.k) % 3 AS l,
+      |    (b.doc_id + t.k) % 2 AS haslk
+      |  FROM base b, UNNEST(range(1, 3)) AS t(k)
+      |  WHERE t.k < b.n_books
+      |), agg AS (
+      |  SELECT doc_id,
+      |    SUM(dims) AS dim_sum,
+      |    SUM(CASE l WHEN 2 THEN 4 WHEN 3 THEN 8 ELSE 16 END) AS entries_sum,
+      |    MAX(l) AS maxlen,
+      |    SUM(haslk) AS lookup_books,
+      |    SUM(CASE WHEN haslk = 1
+      |             THEN CASE WHEN l = 4 THEN 4 ELSE 2 END ELSE 0 END)
+      |      AS lookup_values_sum,
+      |    SUM(CASE l WHEN 2 THEN 6 WHEN 3 THEN 28 ELSE 120 END) AS cw_sum
+      |  FROM bk GROUP BY doc_id
+      |)
+      |SELECT b.doc_id,
+      |  CAST(b.n_books AS INT) AS n_books,
+      |  CAST(1 + a.dim_sum AS BIGINT) AS dim_sum,
+      |  CAST(4 + a.entries_sum AS BIGINT) AS entries_sum,
+      |  CAST(4 + a.entries_sum AS BIGINT) AS used_sum,
+      |  CAST(GREATEST(3, a.maxlen) AS INT) AS maxlen,
+      |  CAST(a.lookup_books AS INT) AS lookup_books,
+      |  CAST(a.lookup_values_sum AS BIGINT) AS lookup_values_sum,
+      |  CAST(15 + a.cw_sum AS BIGINT) AS cw_sum,
+      |  CAST(b.n_books AS INT) AS complete_books
+      |FROM base b JOIN agg a USING (doc_id)
+      |ORDER BY b.doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q129b_percent_norm" -> (q129b _),
     "q131x_html_full_xx" -> (q131x _),
     "q136_wet_extract" -> (q136 _),
     "q137_mp3_sideinfo" -> (q137 _),
-    "q138_ogg_meta" -> (q138 _))
+    "q138_ogg_meta" -> (q138 _),
+    "q139_vorbis_books" -> (q139 _))
 
   val oracles: Map[String, String] = Map(
     // q131x: no oracle — numeric-ref decode is not SQL-expressible
@@ -411,5 +478,6 @@ object Queries14 extends ColumnSyntax {
     "q129b_percent_norm" -> q129bSql,
     "q136_wet_extract" -> q136Sql,
     "q137_mp3_sideinfo" -> q137Sql,
-    "q138_ogg_meta" -> q138Sql)
+    "q138_ogg_meta" -> q138Sql,
+    "q139_vorbis_books" -> q139Sql)
 }

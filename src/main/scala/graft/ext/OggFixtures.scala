@@ -93,10 +93,76 @@ object OggFixtures {
     out.toByteArray
   }
 
+  // ---- the setup packet carries REAL codebooks (q139's corpus;
+  // Vorbis I §3.2.1, LSB-first bitpacking per §2). Book 0 is a fixed
+  // IRREGULAR book whose canonical codewords are hand-derivable
+  // (lengths 1,2,3,3 → words 0,10,110,111 → sum 15 — the trie gate);
+  // books 1.. are parameterized uniform-length books.
+  def nSetupBooks(docId: Long): Int = (2 + docId % 2).toInt
+  def bookDims(docId: Long, k: Int): Int =
+    if (k == 0) 1 else (1 + (docId + k) % 2).toInt
+  def bookLog2Entries(docId: Long, k: Int): Int =
+    (2 + (docId + k) % 3).toInt // books k>=1; book 0 has 4 entries
+  def bookHasLookup(docId: Long, k: Int): Boolean =
+    k > 0 && (docId + k) % 2 == 1
+  def bookLookupValues(docId: Long, k: Int): Int = {
+    // type 1 ⟺ dims = 2 here: greatest v with v² ≤ 2^L
+    val l = bookLog2Entries(docId, k)
+    if (l == 4) 4 else 2
+  }
+
+  /** LSB-first bit writer (Vorbis §2; independent of the
+    * [[VorbisSetup]] reader and of VorbisSetupSpec's test writer).
+    */
+  private final class WLsb {
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    private var cur = 0
+    private var nbits = 0
+    def put(v: Long, n: Int): Unit = {
+      var i = 0
+      while (i < n) {
+        cur |= (((v >> i) & 1L) << nbits).toInt
+        nbits += 1
+        if (nbits == 8) { buf += cur.toByte; cur = 0; nbits = 0 }
+        i += 1
+      }
+    }
+    def bytes: Array[Byte] = {
+      if (nbits > 0) { buf += cur.toByte; cur = 0; nbits = 0 }
+      buf.toArray
+    }
+  }
+
   private def setupPacket(docId: Long): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     out.write(5); out.write("vorbis".getBytes("US-ASCII"))
-    for (j <- 0 until 50) out.write(((docId + j * 13) % 256).toInt)
+    val w = new WLsb
+    val n = nSetupBooks(docId)
+    w.put(n - 1, 8)
+    for (k <- 0 until n) {
+      w.put(0x564342, 24) // sync
+      if (k == 0) {
+        w.put(1, 16) // dimensions
+        w.put(4, 24) // entries
+        w.put(0, 1); w.put(0, 1) // unordered, non-sparse
+        Seq(1, 2, 3, 3).foreach(l => w.put(l - 1, 5))
+        w.put(0, 4) // no lookup
+      } else {
+        val l = bookLog2Entries(docId, k)
+        w.put(bookDims(docId, k), 16)
+        w.put(1 << l, 24)
+        w.put(0, 1); w.put(0, 1)
+        for (_ <- 0 until (1 << l)) w.put(l - 1, 5)
+        if (bookHasLookup(docId, k)) {
+          w.put(1, 4) // lookup type 1
+          w.put(0, 32); w.put(0, 32) // min/delta (float32-packed zero)
+          w.put(2, 4) // value_bits − 1 → 3-bit multiplicands
+          w.put(0, 1) // sequence_p
+          for (_ <- 0 until bookLookupValues(docId, k)) w.put(5, 3)
+        } else w.put(0, 4)
+      }
+    }
+    out.write(w.bytes)
     out.toByteArray
   }
 
