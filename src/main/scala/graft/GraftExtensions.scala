@@ -125,6 +125,8 @@ object GraftExtensions {
       graft.fn.OggStreamMeta(_)),
     unaryFn("vorbis_setup_stats", classOf[graft.fn.VorbisSetupStats],
       graft.fn.VorbisSetupStats(_)),
+    unaryFn("vorbis_setup_full", classOf[graft.fn.VorbisSetupFull],
+      graft.fn.VorbisSetupFull(_)),
     unaryFn("pii_scan", classOf[graft.fn.PiiScan], graft.fn.PiiScan(_)),
     unaryFn("url_normalize", classOf[graft.fn.UrlNormalize],
       graft.fn.UrlNormalize(_)),

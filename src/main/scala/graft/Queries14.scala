@@ -464,13 +464,101 @@ object Queries14 extends ColumnSyntax {
       |FROM base b JOIN agg a USING (doc_id)
       |ORDER BY b.doc_id""".stripMargin
 
+  // --------- q140: the complete Vorbis setup parse, hash-gated
+  /** [[graft.fn.VorbisSetupFull]] over the q138 corpus: the fixtures'
+    * setup packets now run through floors (type 1 with closed-form
+    * partitions/dims/multiplier/rangebits/x-lists), a residue with a
+    * cascade-driven book table, a channel mapping (stereo docs carry
+    * a real coupling step), modes, and the closing framing bit —
+    * every statistic replayed by DuckDB from `doc_id`. A conformant
+    * stream's entire decode CONFIGURATION is now validated in-plan.
+    */
+  private def q140(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    val synth = gb.column(graft.fn.OggSynth(gb.expression($"doc_id".cast("long"))))
+    docIds(s, dir).select($"doc_id", synth.as("ogg"))
+      .select($"doc_id",
+        gb.column(graft.fn.VorbisSetupFull(gb.expression($"ogg"))).as("__v"))
+      .filter($"__v".isNotNull)
+      .select($"doc_id",
+        $"__v.n_floors".as("n_floors"),
+        $"__v.floor_part_sum".as("floor_part_sum"),
+        $"__v.floor_dim_sum".as("floor_dim_sum"),
+        $"__v.floor_mult_sum".as("floor_mult_sum"),
+        $"__v.floor_range_sum".as("floor_range_sum"),
+        $"__v.floor_x_sum".as("floor_x_sum"),
+        $"__v.res_type".as("res_type"),
+        $"__v.res_begin".as("res_begin"),
+        $"__v.res_end".as("res_end"),
+        $"__v.res_psize".as("res_psize"),
+        $"__v.res_classes".as("res_classes"),
+        $"__v.res_cascade_sum".as("res_cascade_sum"),
+        $"__v.res_books".as("res_books"),
+        $"__v.coupling_steps".as("coupling_steps"),
+        $"__v.n_modes".as("n_modes"),
+        $"__v.blockflag_sum".as("blockflag_sum"))
+      .orderBy($"doc_id")
+  }
+
+  private val q140Sql =
+    """WITH base AS (
+      |  SELECT doc_id, 1 + doc_id % 2 AS n_floors, 1 + doc_id % 3 AS n_cls
+      |  FROM documents WHERE doc_id % 5 <> 0
+      |), fl AS (
+      |  SELECT b.doc_id,
+      |    SUM(1 + (b.doc_id + t.f) % 2) AS part_sum,
+      |    SUM(1 + (b.doc_id + t.f) % 3) AS dim_sum,
+      |    SUM(1 + (b.doc_id + t.f) % 4) AS mult_sum,
+      |    SUM(4 + (b.doc_id + t.f) % 3) AS range_sum,
+      |    SUM(CASE 4 + (b.doc_id + t.f) % 3
+      |          WHEN 4 THEN 16 WHEN 5 THEN 32 ELSE 64 END
+      |        + 3 * (1 + (b.doc_id + t.f) % 2) * (1 + (b.doc_id + t.f) % 3)
+      |        + (1 + (b.doc_id + t.f) % 2) * (1 + (b.doc_id + t.f) % 3)
+      |          * ((1 + (b.doc_id + t.f) % 2) * (1 + (b.doc_id + t.f) % 3) - 1)
+      |          // 2) AS x_sum
+      |  FROM base b, UNNEST(range(0, 2)) AS t(f)
+      |  WHERE t.f < b.n_floors GROUP BY b.doc_id
+      |), cl AS (
+      |  SELECT b.doc_id,
+      |    SUM((b.doc_id + t.c) % 8) AS cascade_sum,
+      |    SUM([0,1,1,2,1,2,2,3][CAST((b.doc_id + t.c) % 8 AS INT) + 1]) AS books
+      |  FROM base b, UNNEST(range(0, 3)) AS t(c)
+      |  WHERE t.c < b.n_cls GROUP BY b.doc_id
+      |), md AS (
+      |  SELECT b.doc_id,
+      |    SUM((b.doc_id + t.m) % 2) AS bf_sum
+      |  FROM base b, UNNEST(range(0, 2)) AS t(m)
+      |  WHERE t.m < 1 + b.doc_id % 2 GROUP BY b.doc_id
+      |)
+      |SELECT b.doc_id,
+      |  CAST(b.n_floors AS INT) AS n_floors,
+      |  CAST(f.part_sum AS BIGINT) AS floor_part_sum,
+      |  CAST(f.dim_sum AS BIGINT) AS floor_dim_sum,
+      |  CAST(f.mult_sum AS BIGINT) AS floor_mult_sum,
+      |  CAST(f.range_sum AS BIGINT) AS floor_range_sum,
+      |  CAST(f.x_sum AS BIGINT) AS floor_x_sum,
+      |  CAST(b.doc_id % 3 AS INT) AS res_type,
+      |  CAST(b.doc_id % 50 AS BIGINT) AS res_begin,
+      |  CAST(b.doc_id % 50 + 100 + b.doc_id % 100 AS BIGINT) AS res_end,
+      |  CAST(8 + b.doc_id % 8 AS INT) AS res_psize,
+      |  CAST(b.n_cls AS INT) AS res_classes,
+      |  CAST(c.cascade_sum AS BIGINT) AS res_cascade_sum,
+      |  CAST(c.books AS INT) AS res_books,
+      |  CAST(b.doc_id % 2 AS INT) AS coupling_steps,
+      |  CAST(1 + b.doc_id % 2 AS INT) AS n_modes,
+      |  CAST(m.bf_sum AS INT) AS blockflag_sum
+      |FROM base b JOIN fl f USING (doc_id) JOIN cl c USING (doc_id)
+      |  JOIN md m USING (doc_id)
+      |ORDER BY b.doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q129b_percent_norm" -> (q129b _),
     "q131x_html_full_xx" -> (q131x _),
     "q136_wet_extract" -> (q136 _),
     "q137_mp3_sideinfo" -> (q137 _),
     "q138_ogg_meta" -> (q138 _),
-    "q139_vorbis_books" -> (q139 _))
+    "q139_vorbis_books" -> (q139 _),
+    "q140_vorbis_setup" -> (q140 _))
 
   val oracles: Map[String, String] = Map(
     // q131x: no oracle — numeric-ref decode is not SQL-expressible
@@ -479,5 +567,6 @@ object Queries14 extends ColumnSyntax {
     "q136_wet_extract" -> q136Sql,
     "q137_mp3_sideinfo" -> q137Sql,
     "q138_ogg_meta" -> q138Sql,
-    "q139_vorbis_books" -> q139Sql)
+    "q139_vorbis_books" -> q139Sql,
+    "q140_vorbis_setup" -> q140Sql)
 }

@@ -111,6 +111,23 @@ object OggFixtures {
     if (l == 4) 4 else 2
   }
 
+  // ---- the post-codebook sections (q140's corpus): every knob a
+  // closed form of docId; floor 1 x-list values are 3 + running
+  // index (unique, below every 2^rangebits here)
+  def nFloors(docId: Long): Int = (1 + docId % 2).toInt
+  def floorPartitions(docId: Long, f: Int): Int = (1 + (docId + f) % 2).toInt
+  def floorClassDims(docId: Long, f: Int): Int = (1 + (docId + f) % 3).toInt
+  def floorMultiplier(docId: Long, f: Int): Int = (1 + (docId + f) % 4).toInt
+  def floorRangebits(docId: Long, f: Int): Int = (4 + (docId + f) % 3).toInt
+  def resType(docId: Long): Int = (docId % 3).toInt
+  def resBegin(docId: Long): Int = (docId % 50).toInt
+  def resEnd(docId: Long): Int = (docId % 50 + 100 + docId % 100).toInt
+  def resPartitionSize(docId: Long): Int = (8 + docId % 8).toInt
+  def resClassifications(docId: Long): Int = (1 + docId % 3).toInt
+  def resCascade(docId: Long, c: Int): Int = ((docId + c) % 8).toInt
+  def nModes(docId: Long): Int = (1 + docId % 2).toInt
+  def modeBlockFlag(docId: Long, m: Int): Boolean = (docId + m) % 2 == 1
+
   /** LSB-first bit writer (Vorbis §2; independent of the
     * [[VorbisSetup]] reader and of VorbisSetupSpec's test writer).
     */
@@ -162,6 +179,57 @@ object OggFixtures {
         } else w.put(0, 4)
       }
     }
+    // time transforms: one, type 0
+    w.put(0, 6); w.put(0, 16)
+    // floors (all type 1, single class 0, no subclasses)
+    val nf = nFloors(docId)
+    w.put(nf - 1, 6)
+    for (f <- 0 until nf) {
+      w.put(1, 16)
+      val p = floorPartitions(docId, f)
+      w.put(p, 5)
+      for (_ <- 0 until p) w.put(0, 4) // class_list: all class 0
+      w.put(floorClassDims(docId, f) - 1, 3)
+      w.put(0, 2) // subclasses = 0
+      w.put(0, 8) // the single subclass book: read(8)−1 → −1 unused
+      w.put(floorMultiplier(docId, f) - 1, 2)
+      val rb = floorRangebits(docId, f)
+      w.put(rb, 4)
+      var x = 3
+      for (_ <- 0 until p * floorClassDims(docId, f)) { w.put(x, rb); x += 1 }
+    }
+    // one residue
+    w.put(0, 6)
+    w.put(resType(docId), 16)
+    w.put(resBegin(docId), 24)
+    w.put(resEnd(docId), 24)
+    w.put(resPartitionSize(docId) - 1, 24)
+    val rc = resClassifications(docId)
+    w.put(rc - 1, 6)
+    w.put(0, 8) // classbook 0
+    for (c <- 0 until rc) { w.put(resCascade(docId, c), 3); w.put(0, 1) }
+    for (c <- 0 until rc; pass <- 0 until 8
+         if (resCascade(docId, c) & (1 << pass)) != 0)
+      w.put(c % n, 8)
+    // one mapping: submaps 1; stereo streams get one coupling step
+    w.put(0, 6)
+    w.put(0, 16)
+    w.put(0, 1) // submaps flag → 1 submap
+    if (channels(docId) == 2) {
+      w.put(1, 1) // coupling present
+      w.put(0, 8) // one step
+      w.put(0, 1); w.put(1, 1) // magnitude 0, angle 1 (ilog(1)=1 bit)
+    } else w.put(0, 1)
+    w.put(0, 2) // reserved
+    w.put(0, 8); w.put(0, 8); w.put(0, 8) // submap 0: time, floor 0, residue 0
+    // modes
+    val nm = nModes(docId)
+    w.put(nm - 1, 6)
+    for (m <- 0 until nm) {
+      w.put(if (modeBlockFlag(docId, m)) 1 else 0, 1)
+      w.put(0, 16); w.put(0, 16); w.put(0, 8)
+    }
+    w.put(1, 1) // framing
     out.write(w.bytes)
     out.toByteArray
   }

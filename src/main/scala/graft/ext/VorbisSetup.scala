@@ -40,6 +40,44 @@ object VorbisSetup {
 
   final case class Setup(codebooks: Array[Codebook])
 
+  // ---- the post-codebook setup sections (§4.2.4, §6.2.2, §7.2.2,
+  // §8.6.1): time transforms, floors, residues, mappings, modes.
+  // Parsed with full fidelity so round-11 audio decode starts from a
+  // complete configuration, validated per the spec's own error rules.
+
+  sealed trait FloorCfg
+  final case class Floor0Cfg(order: Int, rate: Int, barkMapSize: Int,
+                             amplitudeBits: Int, amplitudeOffset: Int,
+                             books: Array[Int]) extends FloorCfg
+  final case class Floor1Cfg(partitions: Int, classList: Array[Int],
+                             classDimensions: Array[Int],
+                             classSubclasses: Array[Int],
+                             classMasterbooks: Array[Int],
+                             subclassBooks: Array[Array[Int]],
+                             multiplier: Int, rangebits: Int,
+                             xList: Array[Int]) extends FloorCfg
+
+  /** `books(c)(pass)` = codebook index or -1 where the cascade bit is
+    * clear.
+    */
+  final case class ResidueCfg(residueType: Int, begin: Long, end: Long,
+                              partitionSize: Int, classifications: Int,
+                              classbook: Int, cascade: Array[Int],
+                              books: Array[Array[Int]])
+
+  final case class MappingCfg(submaps: Int, couplingSteps: Int,
+                              magnitudes: Array[Int], angles: Array[Int],
+                              mux: Array[Int], submapFloor: Array[Int],
+                              submapResidue: Array[Int])
+
+  final case class ModeCfg(blockFlag: Boolean, mapping: Int)
+
+  final case class FullSetup(codebooks: Array[Codebook],
+                             floors: Array[FloorCfg],
+                             residues: Array[ResidueCfg],
+                             mappings: Array[MappingCfg],
+                             modes: Array[ModeCfg])
+
   private val MaxEntries = 4096
   private val MaxLen = 32
 
@@ -201,31 +239,220 @@ object VorbisSetup {
       lookupType, lookupValues, minV, delta, seqP)
   }
 
+  private def codebooksOrNull(r: BitsLsb): Array[Codebook] = {
+    val n = r.read(8) + 1
+    val books = new Array[Codebook](n)
+    var k = 0
+    while (k < n) {
+      val b = codebookOrNull(r)
+      if (b == null) return null
+      books(k) = b
+      k += 1
+    }
+    books
+  }
+
+  private def headerOk(packet: Array[Byte]): Boolean = {
+    if (packet == null || packet.length < 8 || packet(0) != 5) return false
+    var i = 0
+    while (i < 6) {
+      if (packet(1 + i) != "vorbis".charAt(i).toByte) return false
+      i += 1
+    }
+    true
+  }
+
   /** Parse the codebook section of a Vorbis setup packet (packet
-    * type 5). Null for anything else. Floors/residues/mappings after
-    * the codebooks are round-11 scope — this returns the books and
-    * leaves the reader there.
+    * type 5) — the q139 surface. [[fullSetupOrNull]] continues through
+    * the remaining sections.
     */
   def setupOrNull(packet: Array[Byte]): Setup = {
     try {
-      if (packet == null || packet.length < 8) return null
-      if (packet(0) != 5) return null
+      if (!headerOk(packet)) return null
+      val r = new BitsLsb(packet, 7)
+      val books = codebooksOrNull(r)
+      if (books == null) null else Setup(books)
+    } catch {
+      case scala.util.control.NonFatal(_) => null
+    }
+  }
+
+  private def floorOrNull(r: BitsLsb, nBooks: Int): FloorCfg = {
+    r.read(16) match {
+      case 0 =>
+        val order = r.read(8)
+        val rate = r.read(16)
+        val bark = r.read(16)
+        val ampBits = r.read(6)
+        val ampOff = r.read(8)
+        val nb = r.read(4) + 1
+        val books = Array.fill(nb)(r.read(8))
+        if (books.exists(_ >= nBooks)) return null
+        Floor0Cfg(order, rate, bark, ampBits, ampOff, books)
+      case 1 =>
+        val partitions = r.read(5)
+        val classList = Array.fill(partitions)(r.read(4))
+        val maxClass = if (partitions == 0) -1 else classList.max
+        val dims = new Array[Int](maxClass + 1)
+        val subs = new Array[Int](maxClass + 1)
+        val masters = Array.fill(maxClass + 1)(-1)
+        val subBooks = new Array[Array[Int]](maxClass + 1)
+        var c = 0
+        while (c <= maxClass) {
+          dims(c) = r.read(3) + 1
+          subs(c) = r.read(2)
+          if (subs(c) > 0) {
+            masters(c) = r.read(8)
+            if (masters(c) >= nBooks) return null
+          }
+          subBooks(c) = Array.fill(1 << subs(c))(r.read(8) - 1)
+          if (subBooks(c).exists(b => b >= nBooks)) return null
+          c += 1
+        }
+        val multiplier = r.read(2) + 1
+        val rangebits = r.read(4)
+        val xs = scala.collection.mutable.ArrayBuffer(0, 1 << rangebits)
+        var p = 0
+        while (p < partitions) {
+          var j = 0
+          while (j < dims(classList(p))) { xs += r.read(rangebits); j += 1 }
+          p += 1
+        }
+        // §7.2.2: > 65 values or non-unique values render the stream
+        // undecodable
+        if (xs.length > 65 || xs.distinct.length != xs.length) return null
+        Floor1Cfg(partitions, classList, dims, subs, masters, subBooks,
+          multiplier, rangebits, xs.toArray)
+      case _ => null
+    }
+  }
+
+  private def residueOrNull(r: BitsLsb, nBooks: Int): ResidueCfg = {
+    val rtype = r.read(16)
+    if (rtype > 2) return null
+    val begin = r.read(24).toLong
+    val end = r.read(24).toLong
+    if (begin > end) return null
+    val psize = r.read(24) + 1
+    val cls = r.read(6) + 1
+    val classbook = r.read(8)
+    if (classbook >= nBooks) return null
+    val cascade = new Array[Int](cls)
+    var c = 0
+    while (c < cls) {
+      val low = r.read(3)
+      val high = if (r.read(1) == 1) r.read(5) else 0
+      cascade(c) = (high << 3) | low
+      c += 1
+    }
+    val books = Array.ofDim[Int](cls, 8)
+    c = 0
+    while (c < cls) {
+      var pass = 0
+      while (pass < 8) {
+        if ((cascade(c) & (1 << pass)) != 0) {
+          books(c)(pass) = r.read(8)
+          if (books(c)(pass) >= nBooks) return null
+        } else books(c)(pass) = -1
+        pass += 1
+      }
+      c += 1
+    }
+    ResidueCfg(rtype, begin, end, psize, cls, classbook, cascade, books)
+  }
+
+  private def mappingOrNull(r: BitsLsb, channels: Int, nFloors: Int,
+                            nResidues: Int): MappingCfg = {
+    if (r.read(16) != 0) return null
+    val submaps = if (r.read(1) == 1) r.read(4) + 1 else 1
+    var steps = 0
+    var mags = Array.emptyIntArray
+    var angs = Array.emptyIntArray
+    if (r.read(1) == 1) {
+      steps = r.read(8) + 1
+      mags = new Array[Int](steps)
+      angs = new Array[Int](steps)
+      val w = ilog(channels - 1)
+      var s = 0
+      while (s < steps) {
+        mags(s) = r.read(w)
+        angs(s) = r.read(w)
+        if (mags(s) == angs(s) || mags(s) >= channels || angs(s) >= channels)
+          return null
+        s += 1
+      }
+    }
+    if (r.read(2) != 0) return null // reserved
+    val mux =
+      if (submaps > 1) {
+        val m = Array.fill(channels)(r.read(4))
+        if (m.exists(_ >= submaps)) return null
+        m
+      } else Array.emptyIntArray
+    val sf = new Array[Int](submaps)
+    val sr = new Array[Int](submaps)
+    var s = 0
+    while (s < submaps) {
+      r.read(8) // discarded time configuration placeholder
+      sf(s) = r.read(8)
+      sr(s) = r.read(8)
+      if (sf(s) >= nFloors || sr(s) >= nResidues) return null
+      s += 1
+    }
+    MappingCfg(submaps, steps, mags, angs, mux, sf, sr)
+  }
+
+  /** The complete setup parse — codebooks, time transforms (must all
+    * be type 0), floors, residues, mappings, modes, and the closing
+    * framing bit. `channels` comes from the identification header
+    * (coupling step widths are ilog(channels−1)). Null on any
+    * violation the spec declares undecodable.
+    */
+  def fullSetupOrNull(packet: Array[Byte], channels: Int): FullSetup = {
+    try {
+      if (!headerOk(packet) || channels < 1) return null
+      val r = new BitsLsb(packet, 7)
+      val books = codebooksOrNull(r)
+      if (books == null) return null
+      val timeCount = r.read(6) + 1
+      var t = 0
+      while (t < timeCount) {
+        if (r.read(16) != 0) return null
+        t += 1
+      }
+      val floors = new Array[FloorCfg](r.read(6) + 1)
       var i = 0
-      while (i < 6) {
-        if (packet(1 + i) != "vorbis".charAt(i).toByte) return null
+      while (i < floors.length) {
+        floors(i) = floorOrNull(r, books.length)
+        if (floors(i) == null) return null
         i += 1
       }
-      val r = new BitsLsb(packet, 7)
-      val n = r.read(8) + 1
-      val books = new Array[Codebook](n)
-      var k = 0
-      while (k < n) {
-        val b = codebookOrNull(r)
-        if (b == null) return null
-        books(k) = b
-        k += 1
+      val residues = new Array[ResidueCfg](r.read(6) + 1)
+      i = 0
+      while (i < residues.length) {
+        residues(i) = residueOrNull(r, books.length)
+        if (residues(i) == null) return null
+        i += 1
       }
-      Setup(books)
+      val mappings = new Array[MappingCfg](r.read(6) + 1)
+      i = 0
+      while (i < mappings.length) {
+        mappings(i) = mappingOrNull(r, channels, floors.length, residues.length)
+        if (mappings(i) == null) return null
+        i += 1
+      }
+      val modes = new Array[ModeCfg](r.read(6) + 1)
+      i = 0
+      while (i < modes.length) {
+        val bf = r.read(1) == 1
+        if (r.read(16) != 0 || r.read(16) != 0) return null // window/transform
+        val m = r.read(8)
+        if (m >= mappings.length) return null
+        modes(i) = ModeCfg(bf, m)
+        i += 1
+      }
+      if (r.read(1) != 1) return null // framing
+      FullSetup(books, floors, residues, mappings, modes)
     } catch {
       case scala.util.control.NonFatal(_) => null
     }

@@ -141,6 +141,98 @@ object VorbisSetupStats {
   }
 }
 
+/** `vorbis_setup_full(content)` — the COMPLETE setup-header parse
+  * ([[graft.ext.VorbisSetup.fullSetupOrNull]]: codebooks, time
+  * transforms, floor 0/1 configurations, residue cascades, channel
+  * mappings with coupling steps, modes, closing framing bit) folded
+  * to oracle-exact integers. With this, a conformant Vorbis stream's
+  * entire DECODE CONFIGURATION is validated in-plan; the remaining
+  * round-11 lift is pure signal path (floor curve synthesis, residue
+  * decode, MDCT). Null for non-Vorbis containers or any setup the
+  * spec declares undecodable.
+  */
+case class VorbisSetupFull(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = VorbisSetupFull.Schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "vorbis_setup_full"
+
+  override protected def nullSafeEval(bytes: Any): Any =
+    VorbisSetupFull.statsOrNull(bytes.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, bytes =>
+      s"""
+         |org.apache.spark.sql.catalyst.InternalRow ${ev.value}_r =
+         |  graft.fn.VorbisSetupFull.statsOrNull($bytes);
+         |if (${ev.value}_r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}_r;
+         |}
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object VorbisSetupFull {
+  val Schema: StructType = StructType(Seq(
+    StructField("n_floors", IntegerType, nullable = false),
+    StructField("floor_part_sum", LongType, nullable = false),
+    StructField("floor_dim_sum", LongType, nullable = false),
+    StructField("floor_mult_sum", LongType, nullable = false),
+    StructField("floor_range_sum", LongType, nullable = false),
+    StructField("floor_x_sum", LongType, nullable = false),
+    StructField("res_type", IntegerType, nullable = false),
+    StructField("res_begin", LongType, nullable = false),
+    StructField("res_end", LongType, nullable = false),
+    StructField("res_psize", IntegerType, nullable = false),
+    StructField("res_classes", IntegerType, nullable = false),
+    StructField("res_cascade_sum", LongType, nullable = false),
+    StructField("res_books", IntegerType, nullable = false),
+    StructField("coupling_steps", IntegerType, nullable = false),
+    StructField("n_modes", IntegerType, nullable = false),
+    StructField("blockflag_sum", IntegerType, nullable = false)))
+
+  def statsOrNull(bytes: Array[Byte]): InternalRow = {
+    val pk = graft.ext.Ogg.packetsOrNull(bytes)
+    if (pk == null || pk.length < 3) return null
+    val id = pk(0)
+    if (id.length < 30 || id(0) != 1) return null
+    val ch = id(11) & 0xFF
+    val s = graft.ext.VorbisSetup.fullSetupOrNull(pk(2), ch)
+    if (s == null) return null
+    var fp = 0L; var fd = 0L; var fm = 0L; var fr = 0L; var fx = 0L
+    for (f <- s.floors) f match {
+      case f1: graft.ext.VorbisSetup.Floor1Cfg =>
+        fp += f1.partitions
+        fd += f1.classDimensions.sum
+        fm += f1.multiplier
+        fr += f1.rangebits
+        fx += f1.xList.map(_.toLong).sum
+      case f0: graft.ext.VorbisSetup.Floor0Cfg =>
+        fd += f0.order // floor0 contributes its order as the dim line
+    }
+    // residue/mapping statistics are SUMS over the section's entries
+    // (a general fold; the q140 fixture has one of each, so its
+    // oracle reads them as the single entry's values)
+    new GenericInternalRow(Array[Any](
+      s.floors.length, fp, fd, fm, fr, fx,
+      s.residues.map(_.residueType).sum,
+      s.residues.map(_.begin).sum,
+      s.residues.map(_.end).sum,
+      s.residues.map(_.partitionSize).sum,
+      s.residues.map(_.classifications).sum,
+      s.residues.flatMap(_.cascade).map(_.toLong).sum,
+      s.residues.map(_.books.map(_.count(_ >= 0)).sum).sum,
+      s.mappings.map(_.couplingSteps).sum, s.modes.length,
+      s.modes.count(_.blockFlag)))
+  }
+}
+
 object OggStreamMeta {
   val Schema: StructType = StructType(Seq(
     StructField("codec", StringType, nullable = false),

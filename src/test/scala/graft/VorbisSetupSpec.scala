@@ -166,6 +166,98 @@ class VorbisSetupSpec extends AnyFunSuite {
     assert(r != null && r.getLong(7) >= 15L) // cw_sum includes book 0's 15
   }
 
+  /** Minimal hand-built FULL setup: one 2-entry codebook, one empty
+    * floor-1, one cascade-less residue, one uncoupled mapping, one
+    * mode. `mutate` hooks let violation tests flip one section.
+    */
+  private def fullSetup(time16: Int = 0, framing: Int = 1,
+                        floorX: Seq[Int] = Nil): Array[Byte] = {
+    val w = new W().put(0, 8)
+    book(w, 1, Seq(1, 1))
+    w.put(0, 6).put(time16, 16) // one time transform
+    w.put(0, 6) // one floor
+    w.put(1, 16) // type 1
+    if (floorX.isEmpty) {
+      w.put(0, 5) // zero partitions → no classes
+      w.put(0, 2).put(4, 4) // multiplier 1, rangebits 4
+    } else {
+      w.put(1, 5).put(0, 4) // one partition, class 0
+      w.put(floorX.length - 1, 3).put(0, 2).put(0, 8) // dims, subclasses
+      w.put(0, 2).put(4, 4)
+      floorX.foreach(x => w.put(x, 4))
+    }
+    w.put(0, 6) // one residue
+    w.put(0, 16).put(0, 24).put(0, 24).put(0, 24) // type 0, begin/end, psize 1
+    w.put(0, 6).put(0, 8) // one class, classbook 0
+    w.put(0, 3).put(0, 1) // cascade 0
+    w.put(0, 6) // one mapping
+    w.put(0, 16).put(0, 1).put(0, 1).put(0, 2) // type, 1 submap, no coupling
+    w.put(0, 8).put(0, 8).put(0, 8) // submap 0
+    w.put(0, 6) // one mode
+    w.put(0, 1).put(0, 16).put(0, 16).put(0, 8)
+    w.put(framing, 1)
+    packet(w)
+  }
+
+  test("full setup parse: the minimal hand-built configuration walks") {
+    val s = VorbisSetup.fullSetupOrNull(fullSetup(), 1)
+    assert(s != null)
+    assert(s.floors.length === 1 && s.residues.length === 1)
+    assert(s.mappings.length === 1 && s.modes.length === 1)
+    val f1 = s.floors(0).asInstanceOf[VorbisSetup.Floor1Cfg]
+    assert(f1.partitions === 0 && f1.xList.toSeq === Seq(0, 16))
+    assert(s.residues(0).partitionSize === 1)
+    assert(s.mappings(0).couplingSteps === 0)
+  }
+
+  test("full-parse violations null loudly: time type, duplicate x, framing") {
+    assert(VorbisSetup.fullSetupOrNull(fullSetup(time16 = 1), 1) === null)
+    assert(VorbisSetup.fullSetupOrNull(fullSetup(framing = 0), 1) === null)
+    assert(VorbisSetup.fullSetupOrNull(fullSetup(floorX = Seq(5, 5)), 1) === null)
+    assert(VorbisSetup.fullSetupOrNull(fullSetup(floorX = Seq(5, 7)), 1) != null)
+  }
+
+  test("q140 fixture sweep: the complete setup recovers every closed-form knob") {
+    for (docId <- 0L to 40L if !OggFixtures.isOpus(docId)) {
+      val pk = Ogg.packetsOrNull(OggFixtures.stream(docId))
+      val ch = OggFixtures.channels(docId)
+      val s = VorbisSetup.fullSetupOrNull(pk(2), ch)
+      assert(s != null, s"doc $docId")
+      assert(s.floors.length === OggFixtures.nFloors(docId))
+      for ((fl, f) <- s.floors.zipWithIndex) {
+        val f1 = fl.asInstanceOf[VorbisSetup.Floor1Cfg]
+        assert(f1.partitions === OggFixtures.floorPartitions(docId, f))
+        assert(f1.classDimensions.toSeq === Seq(OggFixtures.floorClassDims(docId, f)))
+        assert(f1.multiplier === OggFixtures.floorMultiplier(docId, f))
+        assert(f1.rangebits === OggFixtures.floorRangebits(docId, f))
+        val pd = f1.partitions * f1.classDimensions(0)
+        assert(f1.xList.toSeq === Seq(0, 1 << f1.rangebits) ++ (3 until 3 + pd))
+      }
+      val r = s.residues(0)
+      assert(r.residueType === OggFixtures.resType(docId))
+      assert(r.begin === OggFixtures.resBegin(docId))
+      assert(r.end === OggFixtures.resEnd(docId))
+      assert(r.partitionSize === OggFixtures.resPartitionSize(docId))
+      assert(r.classifications === OggFixtures.resClassifications(docId))
+      for (c <- 0 until r.classifications) {
+        assert(r.cascade(c) === OggFixtures.resCascade(docId, c))
+        assert(r.books(c).count(_ >= 0) === Integer.bitCount(r.cascade(c)))
+      }
+      val m = s.mappings(0)
+      assert(m.couplingSteps === (if (ch == 2) 1 else 0))
+      if (ch == 2) {
+        assert(m.magnitudes.toSeq === Seq(0) && m.angles.toSeq === Seq(1))
+      }
+      assert(s.modes.length === OggFixtures.nModes(docId))
+      for (mm <- s.modes.indices)
+        assert(s.modes(mm).blockFlag === OggFixtures.modeBlockFlag(docId, mm))
+    }
+    // the stats kernel nulls for opus and folds for vorbis
+    assert(graft.fn.VorbisSetupFull.statsOrNull(OggFixtures.stream(10L)) === null)
+    val st = graft.fn.VorbisSetupFull.statsOrNull(OggFixtures.stream(2L))
+    assert(st != null && st.getInt(0) === OggFixtures.nFloors(2L))
+  }
+
   test("corrupt-setup fuzz: total, never throws") {
     val rnd = new scala.util.Random(139)
     val base = Ogg.packetsOrNull(OggFixtures.stream(3L))(2)
@@ -175,6 +267,8 @@ class VorbisSetupSpec extends AnyFunSuite {
         m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
       VorbisSetup.setupOrNull(m)
       VorbisSetup.setupOrNull(m.take(rnd.nextInt(m.length)))
+      VorbisSetup.fullSetupOrNull(m, 1 + rnd.nextInt(2))
+      VorbisSetup.fullSetupOrNull(m.take(rnd.nextInt(m.length)), 2)
     }
   }
 }
