@@ -150,29 +150,69 @@ object Ogg {
   }
 
   /** [[packetsOrNull]] over an already-validated page walk (so
-    * [[metaOrNull]] walks the container exactly once).
+    * [[metaOrNull]] walks the container exactly once). Two passes:
+    * lengths first, then exact-size arrays filled by arraycopy — no
+    * per-packet stream buffers (the walk is a per-row hot kernel in
+    * q138–q140).
     */
   private def packetsFrom(b: Array[Byte], pages: Array[Page]): Array[Array[Byte]] = {
     try {
-      val packets = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-      val cur = new java.io.ByteArrayOutputStream()
+      // pass 1: packet count + lengths, verifying continuation flags
+      var nPackets = 0
+      var curLen = 0
       var open = false
-      for (p <- pages) {
-        val contFlag = (p.headerType & 0x01) != 0
-        if (contFlag != open) return null // flag must match reality
-        var payloadPos = p.payloadOff
-        for (s <- p.segs) {
-          cur.write(b, payloadPos, s)
-          payloadPos += s
-          if (s < 255) {
-            packets += cur.toByteArray
-            cur.reset()
-            open = false
-          } else open = true
+      var pi = 0
+      while (pi < pages.length) {
+        val p = pages(pi)
+        if (((p.headerType & 0x01) != 0) != open) return null
+        var si = 0
+        while (si < p.segs.length) {
+          val s = p.segs(si)
+          curLen += s
+          if (s < 255) { nPackets += 1; curLen = 0; open = false }
+          else open = true
+          si += 1
         }
+        pi += 1
       }
       if (open) return null // truncated final packet
-      packets.toArray
+      val packets = new Array[Array[Byte]](nPackets)
+      // pass 2: sizes, then fill
+      var k = 0
+      curLen = 0
+      pi = 0
+      while (pi < pages.length) {
+        val segs = pages(pi).segs
+        var si = 0
+        while (si < segs.length) {
+          curLen += segs(si)
+          if (segs(si) < 255) {
+            packets(k) = new Array[Byte](curLen)
+            k += 1
+            curLen = 0
+          }
+          si += 1
+        }
+        pi += 1
+      }
+      var fill = 0 // bytes already placed in packets(k)
+      k = 0
+      pi = 0
+      while (pi < pages.length) {
+        val p = pages(pi)
+        var pos = p.payloadOff
+        var si = 0
+        while (si < p.segs.length) {
+          val s = p.segs(si)
+          System.arraycopy(b, pos, packets(k), fill, s)
+          pos += s
+          fill += s
+          if (s < 255) { k += 1; fill = 0 }
+          si += 1
+        }
+        pi += 1
+      }
+      packets
     } catch {
       case scala.util.control.NonFatal(_) => null
     }

@@ -136,14 +136,24 @@ object VorbisSetup {
     * nulls the walk); [[isComplete]] is Kraft equality.
     */
   private final class CodeTrie {
-    private val left = scala.collection.mutable.ArrayBuffer(-1)
-    private val right = scala.collection.mutable.ArrayBuffer(-1)
-    private val used = scala.collection.mutable.ArrayBuffer(false)
-    private val full = scala.collection.mutable.ArrayBuffer(false)
+    // unboxed growable node store (this runs per row in q139/q140)
+    private var left = new Array[Int](64)
+    private var right = new Array[Int](64)
+    private var used = new Array[Boolean](64)
+    private var full = new Array[Boolean](64)
+    private var n = 1
+    left(0) = -1; right(0) = -1
 
     private def newNode(): Int = {
-      left += -1; right += -1; used += false; full += false
-      left.length - 1
+      if (n == left.length) {
+        left = java.util.Arrays.copyOf(left, n * 2)
+        right = java.util.Arrays.copyOf(right, n * 2)
+        used = java.util.Arrays.copyOf(used, n * 2)
+        full = java.util.Arrays.copyOf(full, n * 2)
+      }
+      left(n) = -1; right(n) = -1; used(n) = false; full(n) = false
+      n += 1
+      n - 1
     }
     private def childFull(c: Int): Boolean = c != -1 && full(c)
 

@@ -34,5 +34,15 @@ object MediaKernelMicro {
       val m = graft.ext.Ogg.metaOrNull(b)
       if (m == null) 0L else m.audioBytes
     }
+    timed("vorbis books stats") { id =>
+      val r = graft.fn.VorbisSetupStats.statsOrNull(
+        graft.ext.OggFixtures.stream(id * 5 / 4 * 4 / 4 + 1)) // mostly vorbis ids
+      if (r == null) 0L else r.getLong(7)
+    }
+    timed("vorbis full stats") { id =>
+      val r = graft.fn.VorbisSetupFull.statsOrNull(
+        graft.ext.OggFixtures.stream(id * 5 / 4 * 4 / 4 + 1))
+      if (r == null) 0L else r.getLong(5)
+    }
   }
 }
