@@ -155,7 +155,7 @@ object Ogg {
     * per-packet stream buffers (the walk is a per-row hot kernel in
     * q138–q140).
     */
-  private def packetsFrom(b: Array[Byte], pages: Array[Page]): Array[Array[Byte]] = {
+  private[graft] def packetsFrom(b: Array[Byte], pages: Array[Page]): Array[Array[Byte]] = {
     try {
       // pass 1: packet count + lengths, verifying continuation flags
       var nPackets = 0

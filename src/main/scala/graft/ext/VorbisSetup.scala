@@ -28,12 +28,16 @@ object VorbisSetup {
 
   /** One parsed codebook. `codewords(i)` is the canonical word for
     * entry i (MSB-first value, `lengths(i)` bits; -1 = unused entry).
+    * `multiplicands` retains the raw VQ table values (§3.2.1 step 18)
+    * so [[VorbisDecode]] can reconstruct lookup vectors; empty for
+    * lookup type 0 (scalar) books.
     */
   final case class Codebook(dimensions: Int, entries: Int,
                             lengths: Array[Int], codewords: Array[Long],
                             complete: Boolean, lookupType: Int,
                             lookupValues: Int, minimumValue: Double,
-                            deltaValue: Double, sequenceP: Boolean) {
+                            deltaValue: Double, sequenceP: Boolean,
+                            multiplicands: Array[Int] = Array.emptyIntArray) {
     def usedEntries: Int = lengths.count(_ > 0)
     def maxLength: Int = if (lengths.isEmpty) 0 else lengths.max
   }
@@ -234,6 +238,7 @@ object VorbisSetup {
     var minV = 0.0
     var delta = 0.0
     var seqP = false
+    var mults = Array.emptyIntArray
     if (lookupType == 1 || lookupType == 2) {
       minV = float32Unpack(r.readLong(32) & 0xFFFFFFFFL)
       delta = float32Unpack(r.readLong(32) & 0xFFFFFFFFL)
@@ -242,11 +247,15 @@ object VorbisSetup {
       lookupValues =
         if (lookupType == 1) lookup1Values(entries, dims)
         else entries * dims
+      mults = new Array[Int](lookupValues)
       var j = 0
-      while (j < lookupValues) { r.readLong(valueBits); j += 1 } // multiplicands
+      while (j < lookupValues) {
+        mults(j) = r.readLong(valueBits).toInt // valueBits <= 16 here
+        j += 1
+      }
     } else if (lookupType != 0) return null
     Codebook(dims, entries, lengths, codewords, complete,
-      lookupType, lookupValues, minV, delta, seqP)
+      lookupType, lookupValues, minV, delta, seqP, mults)
   }
 
   private def codebooksOrNull(r: BitsLsb): Array[Codebook] = {
