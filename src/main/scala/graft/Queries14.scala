@@ -551,6 +551,184 @@ object Queries14 extends ColumnSyntax {
       |  JOIN md m USING (doc_id)
       |ORDER BY b.doc_id""".stripMargin
 
+  // --------- q141: the Vorbis audio signal path, hash-gated
+  /** [[graft.fn.VorbisPcmStats]] over FULLY-DECODABLE fixtures
+    * ([[graft.ext.VorbisPcmFixtures]]): the engine packs a complete
+    * Ogg Vorbis stream per row — real codebooks, floor posts, residue
+    * classwords and VQ entries, truthful window flags, lapped
+    * granules — decodes it back through the ENTIRE signal path
+    * (Huffman → floor posts → residue in the doc's own type 0/1/2
+    * shape and 1-or-2-pass cascade → coupling → integer floor curve →
+    * IMDCT → window → overlap-add), and emits the integer-exact stage
+    * sums. DuckDB replays the mode schedule, post arithmetic, the
+    * classword/VQ lattice sums, the §9.2.6 integer line render, and
+    * the center-to-center lapping arithmetic from `doc_id` alone —
+    * a wrong bit in packing or decoding anywhere in the chain breaks
+    * the hash. The float stages the oracle cannot see (dB table,
+    * IMDCT, window) are gated by VorbisDecodeSpec's independent
+    * synthesis and the Princen–Bradley reconstruction property.
+    */
+  private def q141(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    val synth = gb.column(graft.fn.VorbisPcmSynth(gb.expression($"doc_id".cast("long"))))
+    docIds(s, dir).select($"doc_id", synth.as("ogg"))
+      .select($"doc_id",
+        gb.column(graft.fn.VorbisPcmStats(gb.expression($"ogg"))).as("__v"))
+      .filter($"__v".isNotNull)
+      .select($"doc_id",
+        $"__v.channels".as("channels"),
+        $"__v.rate".as("rate"),
+        $"__v.n_packets".as("n_packets"),
+        $"__v.post_sum".as("post_sum"),
+        $"__v.res_sum".as("res_sum"),
+        $"__v.curve_sum".as("curve_sum"),
+        $"__v.pcm_samples".as("pcm_samples"))
+      .orderBy($"doc_id")
+  }
+
+  private val q141Sql =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    CAST(1 + doc_id % 2 AS INT) AS c,
+      |    [8000,22050,44100,48000][CAST(doc_id % 4 AS INT) + 1] AS rate,
+      |    1 + doc_id % 2 AS m,
+      |    20 + doc_id % 3 AS a,
+      |    1 + doc_id % 4 AS mult,
+      |    [256,128,86,64][CAST(doc_id % 4 AS INT) + 1] AS rng,
+      |    [16,32,64][CAST(doc_id % 3 AS INT) + 1] AS adx,
+      |    doc_id % 3 AS rt,
+      |    1 + 2 * (doc_id % 2) AS casc
+      |  FROM documents
+      |), posts AS (
+      |  SELECT b.doc_id,
+      |    SUM((11*b.doc_id + 7*t.p + 3*u.ch) % b.rng
+      |      + (5*b.doc_id + 13*t.p + 2*u.ch + 17) % b.rng) AS post_sum
+      |  FROM base b, UNNEST(range(0, 23)) AS t(p), UNNEST(range(0, 2)) AS u(ch)
+      |  WHERE t.p < b.a AND u.ch < b.c
+      |  GROUP BY b.doc_id
+      |), res AS (
+      |  SELECT b.doc_id,
+      |    SUM(5 + 4 * ((b.doc_id + 2*t.p + 3*v.j + 5*w.t + x.k) % 4 % 2)
+      |      + CASE WHEN b.casc = 3 AND (b.doc_id + t.p + v.j + w.t) % 2 = 1
+      |             THEN 9 - 4 * ((b.doc_id + 2*t.p + 3*v.j + 5*w.t + 7 + x.k) % 4 % 2)
+      |             ELSE 0 END) AS res_sum
+      |  FROM base b, UNNEST(range(0, 23)) AS t(p), UNNEST(range(0, 2)) AS v(j),
+      |       UNNEST(range(0, 2)) AS w(t), UNNEST(range(0, 4)) AS x(k)
+      |  WHERE t.p < b.a
+      |    AND v.j < CASE WHEN b.rt = 2 THEN 1 ELSE b.c END
+      |  GROUP BY b.doc_id
+      |), blocks AS (
+      |  SELECT b.doc_id, t.p,
+      |    CASE WHEN b.m = 1 THEN 256
+      |         WHEN (b.doc_id + t.p) % 2 = 1 THEN 2048 ELSE 256 END AS n
+      |  FROM base b, UNNEST(range(0, 23)) AS t(p)
+      |  WHERE t.p < b.a
+      |), lines AS (
+      |  -- per (packet, channel) the rendered line: y0m, y1m on the
+      |  -- §9.2.6 integer slope over [0, adx); flat y1m beyond
+      |  SELECT b.doc_id, bl.p, u.ch, b.adx, b.mult, bl.n,
+      |    ((11*b.doc_id + 7*bl.p + 3*u.ch) % b.rng) * b.mult AS y0m,
+      |    ((5*b.doc_id + 13*bl.p + 2*u.ch + 17) % b.rng) * b.mult AS y1m
+      |  FROM base b JOIN blocks bl USING (doc_id), UNNEST(range(0, 2)) AS u(ch)
+      |  WHERE u.ch < b.c
+      |), curve AS (
+      |  -- line part enumerates only x < min(n/2, adx) (adx <= 64);
+      |  -- the flat extension is closed-form
+      |  SELECT l.doc_id,
+      |    SUM(CASE WHEN l.y1m < l.y0m
+      |             THEN l.y0m - ((l.y0m - l.y1m) * x.x) // l.adx
+      |             ELSE l.y0m + ((l.y1m - l.y0m) * x.x) // l.adx END)
+      |    + SUM(CASE WHEN x.x = 0
+      |               THEN GREATEST(l.n // 2 - l.adx, 0) * l.y1m
+      |               ELSE 0 END) AS curve_sum
+      |  FROM lines l, UNNEST(range(0, 64)) AS x(x)
+      |  WHERE x.x < LEAST(l.n // 2, l.adx)
+      |  GROUP BY l.doc_id
+      |), pcm AS (
+      |  SELECT b.doc_id,
+      |    SUM((bp.n + bc.n) // 4) AS pcm_samples
+      |  FROM base b
+      |  JOIN blocks bc USING (doc_id)
+      |  JOIN blocks bp ON bp.doc_id = b.doc_id AND bp.p = bc.p - 1
+      |  WHERE bc.p >= 1
+      |  GROUP BY b.doc_id
+      |)
+      |SELECT b.doc_id,
+      |  b.c AS channels,
+      |  CAST(b.rate AS BIGINT) AS rate,
+      |  CAST(b.a AS INT) AS n_packets,
+      |  CAST(p.post_sum AS BIGINT) AS post_sum,
+      |  CAST(r.res_sum AS BIGINT) AS res_sum,
+      |  CAST(cv.curve_sum AS BIGINT) AS curve_sum,
+      |  CAST(pc.pcm_samples AS BIGINT) AS pcm_samples
+      |FROM base b JOIN posts p USING (doc_id) JOIN res r USING (doc_id)
+      |  JOIN curve cv USING (doc_id) JOIN pcm pc USING (doc_id)
+      |ORDER BY b.doc_id""".stripMargin
+
+  // --------- q142: mixed-container audio dedup, pair stage hash-gated
+  /** The audio near-dup family over a MIXED-container corpus: FLAC
+    * tone clips ([[graft.ext.AudioFixtures]] — with planted ±LSB
+    * near-dup twins) and Ogg Vorbis streams
+    * ([[graft.ext.VorbisPcmFixtures]] — decoded through the complete
+    * [[graft.ext.VorbisDecode]] signal path) flow through ONE
+    * format-routed fingerprint kernel into the shared band-join pair
+    * stage. The q128p pattern: computed fingerprints persist to
+    * parquet and BOTH engines replay the pair stage from the same
+    * rows — so the gate covers the routing and the join, while the
+    * decodes behind the fingerprints are gated by q128/q141 and the
+    * codec spec suites.
+    */
+  private val Q142FpFixture = "/tmp/graft_fixtures/q142_audio_fp.parquet"
+
+  private def q142Assets(s: SparkSession): DataFrame = {
+    val flacs = (0 until 40).map(i =>
+      (i.toLong, graft.ext.AudioFixtures.toneClip(i, nSamples = 8192)))
+    val twins = (0 until 10).map(i =>
+      (i + 1000L, graft.ext.AudioFixtures.toneClip(i, nSamples = 8192, perturb = true)))
+    val oggs = (0 until 24).map(d =>
+      (d + 2000L, graft.ext.VorbisPcmFixtures.stream(d.toLong)))
+    s.createDataFrame(flacs ++ twins ++ oggs).toDF("aud_id", "content")
+      .repartition(8)
+  }
+
+  private def q142(s: SparkSession, dir: String): DataFrame = {
+    graft.ext.Audio.withFingerprint(q142Assets(s))
+      .where($"afp".isNotNull)
+      .select($"aud_id".as("id"), $"afp".as("dhash"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(Q142FpFixture)
+    graft.ext.Images.nearDupPairsFromHashes(
+        s.read.parquet(Q142FpFixture), maxHamming = 3)
+      .orderBy($"a_id", $"b_id")
+  }
+
+  private val q142Sql =
+    s"""WITH h AS (
+       |  SELECT id, dhash FROM read_parquet('$Q142FpFixture/*.parquet')
+       |), eq AS (
+       |  SELECT x.id AS a_id, y.id AS b_id, 0 AS hamming
+       |  FROM h x JOIN h y ON x.dhash = y.dhash AND x.id < y.id
+       |), uniq AS (
+       |  SELECT DISTINCT dhash FROM h
+       |), banded AS (
+       |  SELECT dhash, i AS band_idx, (dhash >> CAST(16 * i AS INT)) & 65535 AS band_val
+       |  FROM uniq, UNNEST(range(0, 4)) AS t(i)
+       |), near AS (
+       |  SELECT DISTINCT a.dhash AS ha, b.dhash AS hb
+       |  FROM banded a
+       |  JOIN banded b ON a.band_idx = b.band_idx
+       |    AND a.band_val = b.band_val AND a.dhash < b.dhash
+       |), nearh AS (
+       |  SELECT ha, hb, bit_count(xor(ha, hb)) AS hamming
+       |  FROM near WHERE bit_count(xor(ha, hb)) <= 3
+       |), neq AS (
+       |  SELECT LEAST(x.id, y.id) AS a_id, GREATEST(x.id, y.id) AS b_id, hamming
+       |  FROM nearh JOIN h x ON ha = x.dhash JOIN h y ON hb = y.dhash
+       |)
+       |SELECT a_id, b_id, CAST(hamming AS INT) AS hamming
+       |FROM (SELECT * FROM eq UNION ALL SELECT * FROM neq)
+       |ORDER BY a_id, b_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q129b_percent_norm" -> (q129b _),
     "q131x_html_full_xx" -> (q131x _),
@@ -558,7 +736,9 @@ object Queries14 extends ColumnSyntax {
     "q137_mp3_sideinfo" -> (q137 _),
     "q138_ogg_meta" -> (q138 _),
     "q139_vorbis_books" -> (q139 _),
-    "q140_vorbis_setup" -> (q140 _))
+    "q140_vorbis_setup" -> (q140 _),
+    "q141_vorbis_decode" -> (q141 _),
+    "q142_audio_mixed" -> (q142 _))
 
   val oracles: Map[String, String] = Map(
     // q131x: no oracle — numeric-ref decode is not SQL-expressible
@@ -568,5 +748,7 @@ object Queries14 extends ColumnSyntax {
     "q137_mp3_sideinfo" -> q137Sql,
     "q138_ogg_meta" -> q138Sql,
     "q139_vorbis_books" -> q139Sql,
-    "q140_vorbis_setup" -> q140Sql)
+    "q140_vorbis_setup" -> q140Sql,
+    "q141_vorbis_decode" -> q141Sql,
+    "q142_audio_mixed" -> q142Sql)
 }

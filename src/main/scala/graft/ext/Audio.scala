@@ -43,7 +43,9 @@ object Audio {
   private val MinSegment = 1 << Levels
 
   /** Format-routed mono decode: (samples in [-1, 1], sampleRate) or
-    * null. WAV by RIFF magic, FLAC by fLaC magic; anything else null.
+    * null. WAV by RIFF magic, FLAC by fLaC magic, Ogg Vorbis by OggS
+    * magic (the [[VorbisDecode]] signal path — real sample decode,
+    * not headers); anything else null.
     */
   def monoOrNull(bytes: Array[Byte]): (Array[Double], Int) = {
     if (bytes == null || bytes.length < 4) return null
@@ -51,6 +53,11 @@ object Audio {
       return Wav.monoOrNull(bytes)
     if (bytes(0) == 'f' && bytes(1) == 'L' && bytes(2) == 'a' && bytes(3) == 'C') {
       val pcm = Flac.decodeOrNull(bytes)
+      if (pcm == null || pcm.nSamples == 0) return null
+      return (pcm.mono, pcm.sampleRate)
+    }
+    if (bytes(0) == 'O' && bytes(1) == 'g' && bytes(2) == 'g' && bytes(3) == 'S') {
+      val pcm = VorbisDecode.decodeOrNull(bytes)
       if (pcm == null || pcm.nSamples == 0) return null
       return (pcm.mono, pcm.sampleRate)
     }

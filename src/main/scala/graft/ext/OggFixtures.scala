@@ -131,7 +131,7 @@ object OggFixtures {
   /** LSB-first bit writer (Vorbis §2; independent of the
     * [[VorbisSetup]] reader and of VorbisSetupSpec's test writer).
     */
-  private final class WLsb {
+  private[ext] final class WLsb {
     private val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
     private var cur = 0
     private var nbits = 0
@@ -247,7 +247,7 @@ object OggFixtures {
   /** Lacing values for whole packets ending on this page; `open`
     * marks a trailing 255 run with NO terminator (packet continues).
     */
-  private def lacings(lens: Seq[Int], openTail: Int = -1): Array[Int] = {
+  private[ext] def lacings(lens: Seq[Int], openTail: Int = -1): Array[Int] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Int]
     for (l <- lens) {
       var rem = l
@@ -261,7 +261,7 @@ object OggFixtures {
     out.toArray
   }
 
-  private def page(htype: Int, granule: Long, serial: Long, seq: Long,
+  private[ext] def page(htype: Int, granule: Long, serial: Long, seq: Long,
                    segs: Array[Int], payload: Array[Byte]): Array[Byte] = {
     require(segs.sum == payload.length && segs.length <= 255)
     val full = new Array[Byte](27 + segs.length + payload.length)

@@ -257,3 +257,85 @@ object OggStreamMeta {
       UTF8String.fromString(m.vendor), m.audioBytes))
   }
 }
+
+/** `vorbis_pcm_synth(doc_id)` — the deterministic FULLY-DECODABLE
+  * Ogg Vorbis container of [[graft.ext.VorbisPcmFixtures]] as a
+  * per-row codegen kernel (q141's corpus; the q137/q138 pattern
+  * extended to the audio signal path).
+  */
+case class VorbisPcmSynth(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "vorbis_pcm_synth"
+
+  override protected def nullSafeEval(id: Any): Any =
+    graft.ext.VorbisPcmFixtures.stream(id.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, id =>
+      s"${ev.value} = graft.ext.VorbisPcmFixtures.stream($id);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `vorbis_pcm_stats(content)` — the complete
+  * [[graft.ext.VorbisDecode]] audio decode (Huffman over the
+  * stream's own books, floor-1 posts, residue, coupling, floor curve,
+  * IMDCT, window, overlap-add) folded to its INTEGER-EXACT stage
+  * accounting: decoded packet count, floor post sum, residue lattice
+  * sum (pre-coupling; exact because the fixtures' books carry
+  * integral min/delta/multiplicands), the §7.2.4 integer curve sum,
+  * and the lapped PCM sample count after granule trim. Null for
+  * anything that is not a decodable single-stream Ogg Vorbis
+  * container.
+  */
+case class VorbisPcmStats(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = VorbisPcmStats.Schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "vorbis_pcm_stats"
+
+  override protected def nullSafeEval(bytes: Any): Any =
+    VorbisPcmStats.statsOrNull(bytes.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, bytes =>
+      s"""
+         |org.apache.spark.sql.catalyst.InternalRow ${ev.value}_r =
+         |  graft.fn.VorbisPcmStats.statsOrNull($bytes);
+         |if (${ev.value}_r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}_r;
+         |}
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object VorbisPcmStats {
+  val Schema: StructType = StructType(Seq(
+    StructField("channels", IntegerType, nullable = false),
+    StructField("rate", LongType, nullable = false),
+    StructField("n_packets", IntegerType, nullable = false),
+    StructField("post_sum", LongType, nullable = false),
+    StructField("res_sum", LongType, nullable = false),
+    StructField("curve_sum", LongType, nullable = false),
+    StructField("pcm_samples", LongType, nullable = false)))
+
+  def statsOrNull(bytes: Array[Byte]): InternalRow = {
+    val st = new graft.ext.VorbisDecode.Stats
+    val pcm = graft.ext.VorbisDecode.decodeOrNull(bytes, st)
+    if (pcm == null) return null
+    new GenericInternalRow(Array[Any](
+      pcm.channels, pcm.sampleRate.toLong, st.audioPackets,
+      st.postSum, st.residueSum, st.curveSum, st.pcmSamples))
+  }
+}

@@ -510,8 +510,9 @@ object DocStreams {
   }
 
   /** The AUDIO face of [[imageDedupGate]] (round 9): the energy-band
-    * fingerprint of decoded WAV/FLAC PCM
-    * ([[graft.fn.AudioFingerprint64]]) through the same
+    * fingerprint of decoded WAV/FLAC/Ogg-Vorbis PCM
+    * ([[graft.fn.AudioFingerprint64]]; Vorbis via the round-10
+    * [[graft.ext.VorbisDecode]] signal path) through the same
     * watermark-bounded band state — identical conservatism contract,
     * identical output shape.
     */

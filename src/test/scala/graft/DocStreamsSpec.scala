@@ -723,6 +723,10 @@ class DocStreamsSpec extends SparkSpec {
     write(Seq((10L, 4 * min, clip(0)),              // exact dup of 1
       (20L, 5 * min, clip(1, perturb = true)),      // perceptual dup of 2
       (3L, 6 * min, clip(2))))                      // fresh
+    // Ogg Vorbis routes through the SAME gate (round-10 decode path):
+    // one fresh stream, then its exact byte dup inside the horizon
+    write(Seq((4L, 7 * min, graft.ext.VorbisPcmFixtures.stream(5L)),
+      (30L, 8 * min, graft.ext.VorbisPcmFixtures.stream(5L))))
     val q = DocStreams.audioDedupGate(
         spark.readStream.schema(sch).option("maxFilesPerTrigger", "1").parquet(dir),
         horizon = "30 minutes")
@@ -735,7 +739,7 @@ class DocStreamsSpec extends SparkSpec {
       spark.table("audgate").filter($"asset_id" < 100)
         .select($"asset_id").as[Long].collect().toSet
     } finally q.stop()
-    assert(streamed === Set(1L, 2L, 3L), s"kept=$streamed")
+    assert(streamed === Set(1L, 2L, 3L, 4L), s"kept=$streamed")
   }
 
   test("batch gate determinism: every collision component keeps exactly its minimal representative") {
