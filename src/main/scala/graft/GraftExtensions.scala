@@ -127,6 +127,10 @@ object GraftExtensions {
       graft.fn.VorbisSetupStats(_)),
     unaryFn("vorbis_setup_full", classOf[graft.fn.VorbisSetupFull],
       graft.fn.VorbisSetupFull(_)),
+    unaryFn("vorbis_pcm_synth", classOf[graft.fn.VorbisPcmSynth],
+      graft.fn.VorbisPcmSynth(_)),
+    unaryFn("vorbis_pcm_stats", classOf[graft.fn.VorbisPcmStats],
+      graft.fn.VorbisPcmStats(_)),
     unaryFn("pii_scan", classOf[graft.fn.PiiScan], graft.fn.PiiScan(_)),
     unaryFn("url_normalize", classOf[graft.fn.UrlNormalize],
       graft.fn.UrlNormalize(_)),

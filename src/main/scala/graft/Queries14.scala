@@ -263,12 +263,23 @@ object Queries14 extends ColumnSyntax {
     Tables.spread(s, Tables.tbl(s, dir, "documents").select($"doc_id"),
       minParts = s.sparkContext.defaultParallelism)
 
+  /** Every synth+walk query below wraps its struct kernel in
+    * `explode(array(...))`: the Generate is a CollapseProject /
+    * predicate-pushdown barrier that pins the expensive kernel to
+    * exactly ONE evaluation per row. Without it the not-null filter
+    * and the field-extraction project each re-run the kernel —
+    * measured 7.7× slower on q141's full audio decode
+    * (`tools/Q141Shape`). `explode` of a one-element array preserves
+    * the row (a null struct explodes to one null row, which the
+    * filter then drops), so query semantics and hashes are unchanged.
+    */
+
   private def q137(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.{graftbridge => gb}
     val synth = gb.column(graft.fn.Mp3Synth(gb.expression($"doc_id".cast("long"))))
     docIds(s, dir).select($"doc_id", synth.as("mp3"))
       .select($"doc_id", $"mp3",
-        gb.column(graft.fn.Mp3SideStats(gb.expression($"mp3"))).as("__s"))
+        explode(array(gb.column(graft.fn.Mp3SideStats(gb.expression($"mp3"))))).as("__s"))
       .filter($"__s".isNotNull)
       .select($"doc_id",
         $"__s.n_frames".as("n_frames"),
@@ -348,7 +359,7 @@ object Queries14 extends ColumnSyntax {
     val synth = gb.column(graft.fn.OggSynth(gb.expression($"doc_id".cast("long"))))
     docIds(s, dir).select($"doc_id", synth.as("ogg"))
       .select($"doc_id",
-        gb.column(graft.fn.OggStreamMeta(gb.expression($"ogg"))).as("__m"))
+        explode(array(gb.column(graft.fn.OggStreamMeta(gb.expression($"ogg"))))).as("__m"))
       .filter($"__m".isNotNull)
       .select($"doc_id",
         $"__m.codec".as("codec"),
@@ -413,7 +424,7 @@ object Queries14 extends ColumnSyntax {
     val synth = gb.column(graft.fn.OggSynth(gb.expression($"doc_id".cast("long"))))
     docIds(s, dir).select($"doc_id", synth.as("ogg"))
       .select($"doc_id",
-        gb.column(graft.fn.VorbisSetupStats(gb.expression($"ogg"))).as("__v"))
+        explode(array(gb.column(graft.fn.VorbisSetupStats(gb.expression($"ogg"))))).as("__v"))
       .filter($"__v".isNotNull)
       .select($"doc_id",
         $"__v.n_books".as("n_books"),
@@ -478,7 +489,7 @@ object Queries14 extends ColumnSyntax {
     val synth = gb.column(graft.fn.OggSynth(gb.expression($"doc_id".cast("long"))))
     docIds(s, dir).select($"doc_id", synth.as("ogg"))
       .select($"doc_id",
-        gb.column(graft.fn.VorbisSetupFull(gb.expression($"ogg"))).as("__v"))
+        explode(array(gb.column(graft.fn.VorbisSetupFull(gb.expression($"ogg"))))).as("__v"))
       .filter($"__v".isNotNull)
       .select($"doc_id",
         $"__v.n_floors".as("n_floors"),
@@ -573,7 +584,7 @@ object Queries14 extends ColumnSyntax {
     val synth = gb.column(graft.fn.VorbisPcmSynth(gb.expression($"doc_id".cast("long"))))
     docIds(s, dir).select($"doc_id", synth.as("ogg"))
       .select($"doc_id",
-        gb.column(graft.fn.VorbisPcmStats(gb.expression($"ogg"))).as("__v"))
+        explode(array(gb.column(graft.fn.VorbisPcmStats(gb.expression($"ogg"))))).as("__v"))
       .filter($"__v".isNotNull)
       .select($"doc_id",
         $"__v.channels".as("channels"),

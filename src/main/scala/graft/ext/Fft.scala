@@ -14,6 +14,32 @@ package graft.ext
   */
 object Fft {
 
+  /** Per-length twiddle tables: stage `len`'s `len/2` roots
+    * e^{+2πik/len} live at indices `[len/2, len)` — n entries total
+    * per transform size, cached across rows/tasks (block sizes are
+    * the 8 powers of two in [64, 8192]; pure values, race-benign).
+    */
+  private val tables =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Array[Double]]]()
+
+  private def tablesFor(n: Int): Array[Array[Double]] =
+    tables.computeIfAbsent(n, { _ =>
+      val c = new Array[Double](n)
+      val s = new Array[Double](n)
+      var len = 2
+      while (len <= n) {
+        var k = 0
+        while (k < len / 2) {
+          val ang = 2.0 * math.Pi * k / len
+          c(len / 2 + k) = math.cos(ang)
+          s(len / 2 + k) = math.sin(ang)
+          k += 1
+        }
+        len <<= 1
+      }
+      Array(c, s)
+    })
+
   /** In-place unscaled inverse FFT over `re`/`im` (length a power of
     * two): replaces the arrays with Σ_k x[k]·e^{+2πikj/n}.
     */
@@ -34,29 +60,28 @@ object Fft {
       }
       i += 1
     }
-    // butterflies
+    // butterflies, twiddles from the cached per-stage tables
+    // (positive sign: inverse orientation)
+    val tw = tablesFor(n)
+    val cosT = tw(0)
+    val sinT = tw(1)
     var len = 2
     while (len <= n) {
-      val ang = 2.0 * math.Pi / len // positive: inverse orientation
-      val wr = math.cos(ang)
-      val wi = math.sin(ang)
+      val half = len / 2
       var blk = 0
       while (blk < n) {
-        var cr = 1.0
-        var ci = 0.0
         var k = 0
-        while (k < len / 2) {
+        while (k < half) {
           val a = blk + k
-          val b = a + len / 2
+          val b = a + half
+          val cr = cosT(half + k)
+          val ci = sinT(half + k)
           val vr = re(b) * cr - im(b) * ci
           val vi = re(b) * ci + im(b) * cr
           re(b) = re(a) - vr
           im(b) = im(a) - vi
           re(a) += vr
           im(a) += vi
-          val ncr = cr * wr - ci * wi
-          ci = cr * wi + ci * wr
-          cr = ncr
           k += 1
         }
         blk += len

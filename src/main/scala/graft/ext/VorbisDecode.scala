@@ -361,22 +361,52 @@ object VorbisDecode {
     out
   }
 
+  /** Pre/post IMDCT twiddles per block size — block sizes are the 8
+    * powers of two in [64, 8192], so the cache is bounded and shared
+    * across rows/tasks (pure values, race-benign).
+    */
+  private val twiddles =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Array[Double]]]()
+
+  private def twiddlesFor(n: Int): Array[Array[Double]] =
+    twiddles.computeIfAbsent(n, { _ =>
+      val preC = new Array[Double](n / 2)
+      val preS = new Array[Double](n / 2)
+      var k = 0
+      while (k < n / 2) {
+        val ang = math.Pi * k / n + math.Pi * k / 2.0
+        preC(k) = math.cos(ang)
+        preS(k) = math.sin(ang)
+        k += 1
+      }
+      val postC = new Array[Double](n)
+      val postS = new Array[Double](n)
+      var j = 0
+      while (j < n) {
+        val ang = math.Pi * (j + 0.5 + n / 4.0) / n
+        postC(j) = math.cos(ang)
+        postS(j) = math.sin(ang)
+        j += 1
+      }
+      Array(preC, preS, postC, postS)
+    })
+
   private[graft] def imdct(spec: Array[Double], n: Int): Array[Double] = {
+    val tw = twiddlesFor(n)
+    val preC = tw(0); val preS = tw(1); val postC = tw(2); val postS = tw(3)
     val re = new Array[Double](n)
     val im = new Array[Double](n)
     var k = 0
     while (k < n / 2) {
-      val ang = math.Pi * k / n + math.Pi * k / 2.0
-      re(k) = spec(k) * math.cos(ang)
-      im(k) = spec(k) * math.sin(ang)
+      re(k) = spec(k) * preC(k)
+      im(k) = spec(k) * preS(k)
       k += 1
     }
     Fft.inverseUnscaled(re, im)
     val out = new Array[Double](n)
     var j = 0
     while (j < n) {
-      val ang = math.Pi * (j + 0.5 + n / 4.0) / n
-      out(j) = re(j) * math.cos(ang) - im(j) * math.sin(ang)
+      out(j) = re(j) * postC(j) - im(j) * postS(j)
       j += 1
     }
     out
@@ -387,7 +417,19 @@ object VorbisDecode {
     * neighbor narrowing falls out of the widths), 1 between the
     * slopes, 0 outside.
     */
-  private[graft] def window(n: Int, leftN: Int, rightN: Int): Array[Double] = {
+  /** Window cache: (n, leftN, rightN) has at most 4 shapes per block
+    * size (full/full, narrow/full, full/narrow, narrow/narrow) —
+    * bounded, shared, race-benign.
+    */
+  private val windows =
+    new java.util.concurrent.ConcurrentHashMap[Long, Array[Double]]()
+
+  private[graft] def window(n: Int, leftN: Int, rightN: Int): Array[Double] =
+    windows.computeIfAbsent(
+      (n.toLong << 32) | (leftN.toLong << 16) | rightN.toLong,
+      _ => windowUncached(n, leftN, rightN))
+
+  private def windowUncached(n: Int, leftN: Int, rightN: Int): Array[Double] = {
     val w = new Array[Double](n)
     val ls = n / 4 - leftN / 2
     val le = n / 4 + leftN / 2

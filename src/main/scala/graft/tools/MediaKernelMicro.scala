@@ -44,5 +44,19 @@ object MediaKernelMicro {
         graft.ext.OggFixtures.stream(id * 5 / 4 * 4 / 4 + 1))
       if (r == null) 0L else r.getLong(5)
     }
+    // the round-10 signal path: full synth + FULL AUDIO DECODE
+    // (~21 packets, FFT-IMDCT, ~2.4k–11k samples per stream)
+    timed("vorbis pcm synth")(id =>
+      graft.ext.VorbisPcmFixtures.stream(id).length.toLong)
+    timed("vorbis pcm decode") { id =>
+      val r = graft.fn.VorbisPcmStats.statsOrNull(
+        graft.ext.VorbisPcmFixtures.stream(id))
+      if (r == null) 0L else r.getLong(6)
+    }
+    timed("vorbis fingerprint") { id =>
+      val f = graft.ext.Audio.fingerprint64OrNull(
+        graft.ext.VorbisPcmFixtures.stream(id))
+      if (f == null) 0L else f.longValue()
+    }
   }
 }

@@ -28,4 +28,21 @@ class MediaSynthPlanSpec extends SparkSpec {
     // Σ_{id<30} (3 + 3 + id%4) = 30·6 + (7·6 + 0 + 1) = 223
     assert(r.getLong(1) === 223L)
   }
+
+  test("vorbis decode kernel: one codegen span, no shuffle, closed-form sums") {
+    GraftExtensions.install(spark)
+    val df = spark.range(20)
+      .selectExpr("vorbis_pcm_stats(vorbis_pcm_synth(id)) AS v")
+      .selectExpr("v.n_packets AS np", "v.pcm_samples AS ps")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("*(1) Project"), plan)
+    val r = df.agg(sum("np"), sum("ps")).head
+    val expNp = (0L until 20L).map(d => graft.ext.VorbisPcmFixtures.nAudio(d).toLong).sum
+    val expPs = (0L until 20L).map(d =>
+      graft.ext.VorbisPcmFixtures.granuleAfter(d,
+        graft.ext.VorbisPcmFixtures.nAudio(d) - 1)).sum
+    assert(r.getLong(0) === expNp)
+    assert(r.getLong(1) === expPs)
+  }
 }
