@@ -398,15 +398,18 @@ class VorbisDecodeSpec extends AnyFunSuite {
     Array[Byte](3) ++ "vorbis".getBytes("US-ASCII") ++ w.bytes
   }
 
-  /** Setup: 3 books (class / VQ-type-2 / floor scalar), one 4-point
-    * floor (multiplier 2, rangebits 5), three residues (types 0/1/2,
-    * classes 2, cascade [1, 3]), three mappings (one per residue,
-    * stereo coupling when channels = 2), six modes (short+long per
-    * mapping).
+  /** Setup: 4 books (class / VQ-type-2 / floor scalar / VQ-type-1
+    * with sequence_p), one 4-point floor (multiplier 2, rangebits 5,
+    * ONE subclass bit — the masterbook/subclass-select decode path:
+    * master value bit 0 routes dim 0 to book 2 or the unused −1
+    * book, bit 1 routes dim 1), three residues (types 0/1/2,
+    * classes 2, cascade [1, 3]; class-1 pass 1 uses the type-1
+    * lattice book), three mappings (one per residue, stereo coupling
+    * when channels = 2), six modes (short+long per mapping).
     */
   private def setupPkt(channels: Int): Array[Byte] = {
     val w = new W
-    w.put(2, 8) // 3 books
+    w.put(3, 8) // 4 books
     // book 0: classbook, dims 2, 4 entries, uniform 2
     w.put(0x564342, 24).put(2, 16).put(4, 24).put(0, 1).put(0, 1)
     for (_ <- 0 until 4) w.put(1, 5)
@@ -420,19 +423,32 @@ class VorbisDecodeSpec extends AnyFunSuite {
     w.put(3, 4) // value_bits 4
     w.put(0, 1) // sequence_p
     for (m <- Seq(1, 2, 3, 4, 5, 6, 7, 0)) w.put(m, 4)
-    // book 2: floor scalar, dims 1, 8 entries, uniform 3
+    // book 2: floor scalar (also the floor masterbook), dims 1,
+    // 8 entries, uniform 3
     w.put(0x564342, 24).put(1, 16).put(8, 24).put(0, 1).put(0, 1)
     for (_ <- 0 until 8) w.put(2, 5)
     w.put(0, 4)
+    // book 3: VQ type 1 lattice, dims 2, 16 entries, uniform 4,
+    // lookup1_values = 4, mults 0..3, sequence_p SET
+    w.put(0x564342, 24).put(2, 16).put(16, 24).put(0, 1).put(0, 1)
+    for (_ <- 0 until 16) w.put(3, 5)
+    w.put(1, 4) // lookup type 1
+    w.put(0, 32) // min = 0
+    w.put((788L << 21) | 1, 32) // delta = 1.0
+    w.put(2, 4) // value_bits 3
+    w.put(1, 1) // sequence_p
+    for (m <- Seq(0, 1, 2, 3)) w.put(m, 3)
     // one time transform
     w.put(0, 6).put(0, 16)
-    // one floor: type 1, 1 partition, class 0 (dims 2, no subclasses,
-    // subclass book 2), multiplier 2 (range 128), rangebits 5, xs 10, 20
+    // one floor: type 1, 1 partition, class 0 (dims 2, ONE subclass
+    // bit, masterbook 2, subclass books [2, unused]), multiplier 2
+    // (range 128), rangebits 5, xs 10, 20
     w.put(0, 6)
     w.put(1, 16).put(1, 5).put(0, 4)
     w.put(1, 3) // class dims − 1 → 2
-    w.put(0, 2) // subclasses
-    w.put(3, 8) // subclass book: read − 1 → book 2
+    w.put(1, 2) // subclasses = 1 bit
+    w.put(2, 8) // masterbook = book 2
+    w.put(3, 8).put(0, 8) // subclass books: read−1 → [2, −1]
     w.put(1, 2) // multiplier − 1 → 2
     w.put(5, 4) // rangebits
     w.put(10, 5).put(20, 5)
@@ -445,7 +461,7 @@ class VorbisDecodeSpec extends AnyFunSuite {
       w.put(1, 3).put(0, 1) // cascade class 0 = 1
       w.put(3, 3).put(0, 1) // cascade class 1 = 3
       w.put(1, 8) // class 0 pass 0 → book 1
-      w.put(1, 8).put(1, 8) // class 1 passes 0, 1 → book 1
+      w.put(1, 8).put(3, 8) // class 1: pass 0 → book 1, pass 1 → book 3
     }
     // three mappings (one per residue)
     w.put(2, 6)
@@ -472,10 +488,24 @@ class VorbisDecodeSpec extends AnyFunSuite {
   private def postsFor(p: Int, c: Int): Array[Int] =
     Array((13 + 7 * p + 3 * c) % 128, (90 - 5 * p + c) % 128,
       (p + c) % 8, (3 * p + 2 * c + 1) % 8)
+  /** Floor masterbook value: bit 0 routes dim 0 (0 → book 2,
+    * 1 → unused), bit 1 routes dim 1.
+    */
+  private def masterFor(p: Int, c: Int): Int = (p + 2 * c + 1) % 8
+  /** The post values the decoder should see after subclass routing. */
+  private def effPostsFor(p: Int, c: Int): Array[Int] = {
+    val raw = postsFor(p, c)
+    val m = masterFor(p, c)
+    Array(raw(0), raw(1),
+      if ((m & 1) == 0) raw(2) else 0,
+      if (((m >> 1) & 1) == 0) raw(3) else 0)
+  }
   private def classesFor(p: Int, j: Int): Array[Int] =
     Array((p + j) % 2, (p + j + 1) % 2)
   private def entryFor(p: Int, j: Int, t: Int, pass: Int, k: Int): Int =
     (p + 2 * j + 3 * t + pass + k) % 4
+  private def entry16For(p: Int, j: Int, t: Int, k: Int): Int =
+    (p + 2 * j + 5 * t + 3 * k) % 16
 
   /** Encode one audio packet, mirroring the decoder's exact read
     * order (mode → window flags → floors → residue).
@@ -491,7 +521,10 @@ class VorbisDecodeSpec extends AnyFunSuite {
       w.put(1, 1) // nonzero
       val posts = postsFor(p, c)
       w.put(posts(0), 7).put(posts(1), 7)
-      w.code(posts(2), 3).code(posts(3), 3) // book 2, canonical = identity
+      val m = masterFor(p, c)
+      w.code(m, 3) // masterbook codeword (book 2, canonical = identity)
+      if ((m & 1) == 0) w.code(posts(2), 3)       // dim 0 via book 2
+      if (((m >> 1) & 1) == 0) w.code(posts(3), 3) // dim 1 via book 2
     }
     val rtype = mode / 2
     val nVecs = if (rtype == 2) 1 else channels
@@ -504,8 +537,11 @@ class VorbisDecodeSpec extends AnyFunSuite {
         for (j <- 0 until nVecs) w.code(cls(j)(0) * 2 + cls(j)(1), 2)
       for (t <- 0 until 2; j <- 0 until nVecs) {
         // class cascade: class 0 → pass 0 only; class 1 → passes 0+1
-        if (pass == 0 || cls(j)(t) == 1)
-          for (k <- 0 until 4) w.code(entryFor(p, j, t, pass, k), 2)
+        // (pass 1 through the 4-bit type-1 lattice book)
+        if (pass == 0)
+          for (k <- 0 until 4) w.code(entryFor(p, j, t, 0, k), 2)
+        else if (cls(j)(t) == 1)
+          for (k <- 0 until 4) w.code(entry16For(p, j, t, k), 4)
       }
     }
     w.bytes
@@ -590,8 +626,17 @@ class VorbisDecodeSpec extends AnyFunSuite {
         val cl = classesFor(p, j)(t)
         if (pass == 0 || cl == 1) {
           for (k <- 0 until 4) {
-            val e = entryFor(p, j, t, pass, k)
-            val (v0, v1) = (mults(2 * e).toDouble, mults(2 * e + 1).toDouble)
+            val (v0, v1) =
+              if (pass == 0) {
+                val e = entryFor(p, j, t, 0, k)
+                (mults(2 * e).toDouble, mults(2 * e + 1).toDouble)
+              } else {
+                // book 3: type-1 lattice, mults 0..3, sequence_p adds
+                // the previous dim's value
+                val e = entry16For(p, j, t, k)
+                val a = (e % 4).toDouble
+                (a, ((e / 4) % 4).toDouble + a)
+              }
             if (rtype == 0) { // strided: step 4, entry k → slots k, k+4
               vecs(j)(8 * t + k) += v0; vecs(j)(8 * t + k + 4) += v1
             } else {
@@ -623,7 +668,7 @@ class VorbisDecodeSpec extends AnyFunSuite {
       val rightN = if (long && !nextLong) Bs0 / 2 else n / 2
       val w = testWin(n, leftN, rightN)
       val windowed = Array.tabulate(channels) { c =>
-        val pts = finalY(postsFor(p, c))
+        val pts = finalY(effPostsFor(p, c))
         val spec = Array.tabulate(n / 2)(i => res(c)(i) * testDb(curveAt(pts, 2, i)))
         val time = new Array[Double](n)
         for (j <- 0 until n; k <- 0 until n / 2)
@@ -708,7 +753,7 @@ class VorbisDecodeSpec extends AnyFunSuite {
     val stats = new VorbisDecode.Stats
     assert(VorbisDecode.decodeOrNull(bytes, stats) != null)
     assert(stats.audioPackets === 3)
-    val expPosts = (0 until 3).flatMap(p => postsFor(p, 0)).map(_.toLong).sum
+    val expPosts = (0 until 3).flatMap(p => effPostsFor(p, 0)).map(_.toLong).sum
     assert(stats.postSum === expPosts)
     assert(stats.pcmSamples === 64L)
     assert(stats.residueSum > 0 && stats.curveSum > 0)
