@@ -759,6 +759,33 @@ class VorbisDecodeSpec extends AnyFunSuite {
     assert(stats.residueSum > 0 && stats.curveSum > 0)
   }
 
+  test("fuzz: random corruption and truncation never throw (400 trials)") {
+    val rnd = new scala.util.Random(1234)
+    val goods = Array(buildStream(5, Seq(0, 1, 2, 3, 4), 2),
+      buildStream(4, Seq(1, 5, 3, 0), 1))
+    var nulls = 0
+    for (t <- 0 until 400) {
+      val base = goods(t % 2)
+      val b = base.clone()
+      rnd.nextInt(3) match {
+        case 0 => // flip 1-4 random bytes
+          for (_ <- 0 to rnd.nextInt(4))
+            b(rnd.nextInt(b.length)) = (b(rnd.nextInt(b.length)) ^ (1 << rnd.nextInt(8))).toByte
+        case 1 => // truncate
+          val cut = java.util.Arrays.copyOf(b, 1 + rnd.nextInt(b.length - 1))
+          if (VorbisDecode.decodeOrNull(cut) == null) nulls += 1
+        case _ => // random garbage with the magic kept
+          rnd.nextBytes(b)
+          b(0) = 'O'; b(1) = 'g'; b(2) = 'g'; b(3) = 'S'
+      }
+      val r = VorbisDecode.decodeOrNull(b) // must not throw
+      if (r == null) nulls += 1
+    }
+    // page CRCs catch nearly everything; the count just proves the
+    // corruption actually bit
+    assert(nulls > 300, s"nulls=$nulls")
+  }
+
   test("violations null loudly: truncation, bad mode, floor-0 absence") {
     val good = buildStream(3, Seq(0, 1, 2), 2)
     assert(VorbisDecode.decodeOrNull(good) != null)
