@@ -146,6 +146,16 @@ object VorbisDecode {
     */
   private[graft] def vqVector(b: Codebook, entry: Int): Array[Double] = {
     val out = new Array[Double](b.dimensions)
+    vqVectorInto(b, entry, out)
+    out
+  }
+
+  /** Allocation-free form for the residue hot loop (one scratch per
+    * partition, not one array per codeword — the decode path runs
+    * ~10⁴ codewords per stream).
+    */
+  private def vqVectorInto(b: Codebook, entry: Int,
+                           out: Array[Double]): Unit = {
     var last = 0.0
     if (b.lookupType == 1) {
       var idxDiv = 1
@@ -167,7 +177,6 @@ object VorbisDecode {
         i += 1
       }
     }
-    out
   }
 
   // ---------------------------------------------------------------
@@ -266,11 +275,12 @@ object VorbisDecode {
   private[graft] def decodePartition(r: BitsLsb, book: Codebook, tree: HuffTree,
                               v: Array[Double], offset: Int, psize: Int,
                               format0: Boolean): Unit = {
+    val vec = new Array[Double](book.dimensions) // one scratch per partition
     if (format0) {
       val step = psize / book.dimensions
       var i = 0
       while (i < step) {
-        val vec = vqVector(book, tree.decode(r))
+        vqVectorInto(book, tree.decode(r), vec)
         var d = 0
         while (d < book.dimensions) {
           v(offset + i + d * step) += vec(d)
@@ -281,7 +291,7 @@ object VorbisDecode {
     } else {
       var i = 0
       while (i < psize) {
-        val vec = vqVector(book, tree.decode(r))
+        vqVectorInto(book, tree.decode(r), vec)
         var d = 0
         while (d < book.dimensions && i < psize) {
           v(offset + i) += vec(d)
