@@ -115,12 +115,14 @@ class VorbisSetupSpec extends AnyFunSuite {
     w.put(0x80000000L | (788L << 21) | 1, 32) // delta −1.0
     w.put(4, 4) // value_bits = 5
     w.put(1, 1) // sequence_p
-    for (_ <- 0 until 4) w.put(9, 5) // lookup1_values(16,2) = 4
+    for (m <- Seq(9, 30, 0, 17)) w.put(m, 5) // lookup1_values(16,2) = 4
     val s = VorbisSetup.setupOrNull(packet(w))
     assert(s != null)
     val b = s.codebooks(0)
     assert(b.lookupType === 1 && b.lookupValues === 4)
     assert(b.minimumValue === 2.0 && b.deltaValue === -1.0 && b.sequenceP)
+    // multiplicands retained verbatim for the decode layer (round 10)
+    assert(b.multiplicands.toSeq === Seq(9, 30, 0, 17))
   }
 
   test("violations null loudly: bad sync, over-specification, prefix conflict, underrun") {
