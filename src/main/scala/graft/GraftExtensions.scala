@@ -131,6 +131,8 @@ object GraftExtensions {
       graft.fn.VorbisPcmSynth(_)),
     unaryFn("vorbis_pcm_stats", classOf[graft.fn.VorbisPcmStats],
       graft.fn.VorbisPcmStats(_)),
+    unaryFn("charset_sniff", classOf[graft.fn.CharsetSniff],
+      graft.fn.CharsetSniff(_)),
     unaryFn("pii_scan", classOf[graft.fn.PiiScan], graft.fn.PiiScan(_)),
     unaryFn("url_normalize", classOf[graft.fn.UrlNormalize],
       graft.fn.UrlNormalize(_)),

@@ -740,6 +740,62 @@ object Queries14 extends ColumnSyntax {
        |FROM (SELECT * FROM eq UNION ALL SELECT * FROM neq)
        |ORDER BY a_id, b_id""".stripMargin
 
+  // --------- q143: charset sniffing + decoding, hash-gated
+  /** [[graft.fn.CharsetSniff]] over planted payload BYTES (the
+    * q129/q137 convention, built entirely from Spark's own
+    * encode/unhex so the plan carries real bytes): pure-ASCII and
+    * multibyte UTF-8, a windows-1252 body whose 0xE9/0x93/0x94/0x80
+    * bytes must fail strict UTF-8 validation and map through the
+    * WHATWG 1252 row, a BOM'd UTF-16LE body, and a BOM'd UTF-8 body.
+    * DuckDB predicts the detected charset, the decoded text, and the
+    * code-point count per variant; the kernel itself is pinned
+    * byte-for-byte against the JDK's own decoders in CharsetSpec.
+    */
+  private def plantedBytesCol(d: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    element_at(array(
+      encode(concat(lit("plain doc "), d.cast("string")), "UTF-8"),
+      encode(concat(lit("café 中文 – doc "), d.cast("string")), "UTF-8"),
+      concat(unhex(lit("636166E92093")),
+        encode(d.cast("string"), "UTF-8"), unhex(lit("942080"))),
+      concat(unhex(lit("FFFE")),
+        encode(concat(lit("w16 Ü doc "), d.cast("string")), "UTF-16LE")),
+      concat(unhex(lit("EFBBBF")),
+        encode(concat(lit("bom doc "), d.cast("string")), "UTF-8"))),
+      (d % 5 + 1).cast("int"))
+
+  private def q143(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    docIds(s, dir)
+      .select($"doc_id", plantedBytesCol($"doc_id").as("payload"))
+      .select($"doc_id",
+        explode(array(gb.column(graft.fn.CharsetSniff(
+          gb.expression($"payload"))))).as("__c"))
+      .filter($"__c".isNotNull)
+      .select($"doc_id",
+        $"__c.charset".as("charset"),
+        $"__c.text".as("text"),
+        $"__c.n_chars".as("n_chars"))
+      .orderBy($"doc_id")
+  }
+
+  private val q143Sql =
+    """WITH expected AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 5 AS INT)
+      |      WHEN 2 THEN 'windows-1252'
+      |      WHEN 3 THEN 'utf-16le'
+      |      ELSE 'utf-8' END AS charset,
+      |    CASE CAST(doc_id % 5 AS INT)
+      |      WHEN 0 THEN 'plain doc ' || doc_id
+      |      WHEN 1 THEN 'café 中文 – doc ' || doc_id
+      |      WHEN 2 THEN 'café “' || doc_id || '” €'
+      |      WHEN 3 THEN 'w16 Ü doc ' || doc_id
+      |      ELSE 'bom doc ' || doc_id END AS text
+      |  FROM documents
+      |)
+      |SELECT doc_id, charset, text, CAST(length(text) AS INT) AS n_chars
+      |FROM expected ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q129b_percent_norm" -> (q129b _),
     "q131x_html_full_xx" -> (q131x _),
@@ -749,7 +805,8 @@ object Queries14 extends ColumnSyntax {
     "q139_vorbis_books" -> (q139 _),
     "q140_vorbis_setup" -> (q140 _),
     "q141_vorbis_decode" -> (q141 _),
-    "q142_audio_mixed" -> (q142 _))
+    "q142_audio_mixed" -> (q142 _),
+    "q143_charset_sniff" -> (q143 _))
 
   val oracles: Map[String, String] = Map(
     // q131x: no oracle — numeric-ref decode is not SQL-expressible
@@ -761,5 +818,6 @@ object Queries14 extends ColumnSyntax {
     "q139_vorbis_books" -> q139Sql,
     "q140_vorbis_setup" -> q140Sql,
     "q141_vorbis_decode" -> q141Sql,
-    "q142_audio_mixed" -> q142Sql)
+    "q142_audio_mixed" -> q142Sql,
+    "q143_charset_sniff" -> q143Sql)
 }
