@@ -28,20 +28,20 @@ object Queries13 extends ColumnSyntax {
     gb.column(graft.fn.HtmlText(gb.expression(c)))
 
   // ------------------------------------------- shared HTML template
-  private val H1 = "<!DOCTYPE html><html lang=\""
-  private val H2 = "\"><head><title>Doc "
-  private val H3 = "</title><style type=\"text/css\">body{color:#222}\n" +
+  private[graft] val H1 = "<!DOCTYPE html><html lang=\""
+  private[graft] val H2 = "\"><head><title>Doc "
+  private[graft] val H3 = "</title><style type=\"text/css\">body{color:#222}\n" +
     ".nav{display:none}</style><script type=\"text/javascript\">var t=1<2&&\"x\";\n" +
     "if(t){t=0}</script></head><body><!-- source: "
-  private val H4 = "\n --><div class=\"nav\"><a href=\"/home\">Home</a>" +
+  private[graft] val H4 = "\n --><div class=\"nav\"><a href=\"/home\">Home</a>" +
     "&nbsp;|&nbsp;<a href=\"/about?id="
-  private val H5 = "\">About</a></div><p>"
-  private val H6 = "</p><p>&amp;copy; 2026 &quot;Graft&quot; &#39;q&#39; &copy;</p></body></html>"
+  private[graft] val H5 = "\">About</a></div><p>"
+  private[graft] val H6 = "</p><p>&amp;copy; 2026 &quot;Graft&quot; &#39;q&#39; &copy;</p></body></html>"
 
   /** DuckDB expression for a Scala string constant: quotes doubled,
     * newlines as `chr(10)` (standard strings do not process escapes).
     */
-  private def sqlStr(s: String): String =
+  private[graft] def sqlStr(s: String): String =
     s.split("\n", -1).map(p => "'" + p.replace("'", "''") + "'")
       .mkString(" || chr(10) || ")
 
@@ -52,7 +52,7 @@ object Queries13 extends ColumnSyntax {
   private def escCol(textCol: String): org.apache.spark.sql.Column = expr(
     s"replace(replace(replace($textCol, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')")
 
-  private def synthHtmlCol(escaped: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[graft] def synthHtmlCol(escaped: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     concat(lit(H1), $"lang", lit(H2), $"doc_id".cast("string"), lit(H3),
       $"source", lit(H4), $"doc_id".cast("string"), lit(H5), escaped, lit(H6))
 

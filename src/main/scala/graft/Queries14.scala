@@ -796,6 +796,100 @@ object Queries14 extends ColumnSyntax {
       |SELECT doc_id, charset, text, CAST(length(text) AS INT) AS n_chars
       |FROM expected ORDER BY doc_id""".stripMargin
 
+  // ------ q144: the full ingestion chain — WARC → charset → text
+  /** q136 with the round-10 charset stage in its real position: the
+    * corpus is written with MIXED payload encodings — UTF-8 pages,
+    * BOM'd UTF-16LE pages (the full synth page survives any UTF
+    * transform), and windows-1252 pages whose planted 0x93/0x94/0x80
+    * bytes force the 1252 fallback and decode through the WHATWG row
+    * — plus `application/pdf` rows for the response filter. readWarc
+    * → filter → `charset_sniff` → `html_text` → `text_profile` in
+    * ONE plan over a corpus the engine writes itself; DuckDB
+    * predicts every surviving row's charset, extracted text, and
+    * profile from `documents` alone. A defect in the container, the
+    * sniffer, the 1252 table, the UTF-16 scan, the extraction, or
+    * the profile breaks the hash.
+    */
+  private val Q144Dir = "/tmp/graft_fixtures/q144_warc"
+
+  private def q144(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.{graftbridge => gb}
+    val id = col("doc_id").cast("string")
+    val base = Queries13.synthHtml(s, dir) // doc_id, lang, source, html
+    val asciiPre = concat(lit(Queries13.H1), col("lang"), lit(Queries13.H2), id,
+      lit(Queries13.H3), col("source"), lit(Queries13.H4), id, lit(Queries13.H5),
+      lit("quote "))
+    val v1252 = concat(
+      encode(asciiPre, "ISO-8859-1"),
+      unhex(lit("93")), encode(concat(lit("q"), id), "ISO-8859-1"),
+      unhex(lit("94")),
+      encode(lit(" price "), "ISO-8859-1"), unhex(lit("80")),
+      encode(concat((col("doc_id") % 90).cast("string"), lit(Queries13.H6)),
+        "ISO-8859-1"))
+    val payload = when(col("doc_id") % 4 === 2, v1252)
+      .when(col("doc_id") % 4 === 3,
+        concat(unhex(lit("FFFE")), encode(col("html"), "UTF-16LE")))
+      .otherwise(encode(col("html"), "UTF-8"))
+    val rows = base.select(
+        concat(lit("https://mixed.test/doc/"), id),
+        lit("2026-08-15T00:00:00Z"),
+        when(col("doc_id") % 13 === 0, lit("application/pdf"))
+          .otherwise(lit("text/html")),
+        payload)
+      .as[(String, String, String, Array[Byte])]
+    val hp = new org.apache.hadoop.fs.Path(Q144Dir)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(hp, true)
+    val nSeg = math.max(8, s.sparkContext.defaultParallelism)
+    graft.io.Warc.writeWarcGz(rows.repartition(nSeg), Q144Dir, wireVariants = true)
+    val sniffed = graft.io.Warc.responses(graft.io.Warc.readWarc(s, Q144Dir))
+      .where(col("http_status") === 200 &&
+             col("http_content_type").startsWith("text/html"))
+      .select(
+        regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+        explode(array(gb.column(graft.fn.CharsetSniff(
+          gb.expression(col("payload")))))).as("__c"))
+      .filter(col("__c").isNotNull)
+      .select(col("doc_id"), col("__c.charset").as("charset"),
+        Queries13.htmlTextCol(col("__c.text")).as("text_out"))
+    val p = gb.column(graft.fn.TextProfile(gb.expression(col("text_out"))))
+    sniffed.select(col("doc_id"), col("charset"), col("text_out"),
+        explode(array(p)).as("__p"))
+      .filter(col("__p").isNotNull)
+      .select(col("doc_id"), col("charset"), col("text_out"),
+        col("__p.n_tokens").as("n_tokens"),
+        col("__p.lang_id").as("lang_id"),
+        round(col("__p.quality"), 6).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  // the oracle never reads the WARC files or the bytes: the 1252
+  // plant re-enters the SHARED synth template as its decoded string
+  private val q144Sql =
+    s"""WITH kept AS (SELECT * FROM documents WHERE doc_id % 13 <> 0),
+       |esc AS (
+       |  SELECT doc_id, lang, source,
+       |    CASE WHEN doc_id % 4 = 2
+       |      THEN 'quote “q' || doc_id || '” price €' || (doc_id % 90)
+       |      ELSE text
+       |    END AS text
+       |  FROM kept
+       |),
+       |${Queries13.synthSqlOver("esc")},
+       |${Queries13.extractSql},
+       |${TextProfileSql.ctes("ext", "doc_id", "text_out")},
+       |prof AS (
+       |${TextProfileSql.select("doc_id")}
+       |)
+       |SELECT e.doc_id,
+       |  CASE WHEN e.doc_id % 4 = 2 THEN 'windows-1252'
+       |       WHEN e.doc_id % 4 = 3 THEN 'utf-16le'
+       |       ELSE 'utf-8' END AS charset,
+       |  e.text_out, p.n_tokens, p.lang_id, p.quality
+       |FROM ext e JOIN prof p USING (doc_id)
+       |ORDER BY e.doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q129b_percent_norm" -> (q129b _),
     "q131x_html_full_xx" -> (q131x _),
@@ -806,7 +900,8 @@ object Queries14 extends ColumnSyntax {
     "q140_vorbis_setup" -> (q140 _),
     "q141_vorbis_decode" -> (q141 _),
     "q142_audio_mixed" -> (q142 _),
-    "q143_charset_sniff" -> (q143 _))
+    "q143_charset_sniff" -> (q143 _),
+    "q144_warc_charset_chain" -> (q144 _))
 
   val oracles: Map[String, String] = Map(
     // q131x: no oracle — numeric-ref decode is not SQL-expressible
@@ -819,5 +914,6 @@ object Queries14 extends ColumnSyntax {
     "q140_vorbis_setup" -> q140Sql,
     "q141_vorbis_decode" -> q141Sql,
     "q142_audio_mixed" -> q142Sql,
-    "q143_charset_sniff" -> q143Sql)
+    "q143_charset_sniff" -> q143Sql,
+    "q144_warc_charset_chain" -> q144Sql)
 }
