@@ -131,8 +131,18 @@ object GraftExtensions {
       graft.fn.VorbisPcmSynth(_)),
     unaryFn("vorbis_pcm_stats", classOf[graft.fn.VorbisPcmStats],
       graft.fn.VorbisPcmStats(_)),
+    unaryFn("opus_synth", classOf[graft.fn.OpusSynth],
+      graft.fn.OpusSynth(_)),
+    unaryFn("vorbis_encode_synth", classOf[graft.fn.VorbisEncodeSynth],
+      graft.fn.VorbisEncodeSynth(_)),
+    unaryFn("opus_toc_stats", classOf[graft.fn.OpusTocStats],
+      graft.fn.OpusTocStats(_)),
     unaryFn("charset_sniff", classOf[graft.fn.CharsetSniff],
       graft.fn.CharsetSniff(_)),
+    binaryFn("charset_decode", classOf[graft.fn.CharsetDecode],
+      graft.fn.CharsetDecode(_, _)),
+    binaryFn("charset_detect", classOf[graft.fn.CharsetDetect],
+      graft.fn.CharsetDetect(_, _)),
     unaryFn("pii_scan", classOf[graft.fn.PiiScan], graft.fn.PiiScan(_)),
     unaryFn("url_normalize", classOf[graft.fn.UrlNormalize],
       graft.fn.UrlNormalize(_)),

@@ -1,0 +1,546 @@
+package graft.ext
+
+import java.nio.charset.{Charset, CodingErrorAction}
+
+/** Legacy charset families + the full WHATWG charset authority chain
+  * — the round-11 extension of [[Charsets]] (which stays the
+  * BOM/UTF-8/1252 bytes-only sniffer behind `charset_sniff`).
+  *
+  * A real crawl is full of Shift_JIS / EUC-JP / GBK / Big5 / EUC-KR /
+  * KOI8 / ISO-8859-x pages; routing them through the 1252 fallback
+  * produces mojibake that poisons `text_profile` language gates and
+  * shingle/winnow dedup keys downstream. Those pages declare their
+  * encoding out-of-band (Content-Type header parameter) or in-band
+  * (`<meta charset>` / http-equiv prescan) — content sniffing cannot
+  * distinguish the legacy families, and WHATWG does not ask it to.
+  * The authority chain implemented here (HTML §13.2 + Encoding spec
+  * "decode"):
+  *
+  *   1. BOM always wins (EF BB BF / FF FE / FE FF).
+  *   2. `charset=` parameter of the Content-Type header value.
+  *   3. `<meta charset>` / `<meta http-equiv=content-type>` prescan
+  *      over the first 1024 payload bytes (§13.2.3.2; utf-16 labels
+  *      resolve to utf-8 and x-user-defined to windows-1252 in this
+  *      position, per the spec's meta-specific overrides).
+  *   4. Strict UTF-8 validation ([[Charsets.isValidUtf8]]).
+  *   5. windows-1252 (the web's historical default).
+  *
+  * Label normalization follows the WHATWG "get an encoding" alias
+  * table for the supported families (trim ASCII whitespace,
+  * ASCII-lowercase, alias → canonical; iso-8859-1/ascii →
+  * windows-1252 and iso-8859-9/latin5 → windows-1254 exactly as the
+  * standard maps them). Unknown labels are a normalization failure —
+  * the caller falls through to the next authority (never a throw).
+  *
+  * DECODER STRUCTURE vs MAPPING DATA. The per-family byte state
+  * machines (lead/trail ranges, single-byte shortcuts, the
+  * error-prepend rule) are hand-written from the public WHATWG
+  * encoding spec. The code-point mapping tables (thousands of cells
+  * per CJK family) are DATA, not code — they are materialized once
+  * per JVM from the JDK's own decoders (the in-environment snapshot
+  * of the published mapping indexes, the same deployment-data
+  * convention as the injected public-suffix list in
+  * [[WebOps.registeredDomain]]). CharsetFamiliesSpec then validates
+  * the state machines against the JDK on well-formed inputs
+  * (JDK-encoder-generated, so boundary disagreements surface as
+  * parity failures), pins hand-known anchors that are independent of
+  * the JDK (あ=82A0 in Shift_JIS, 中=D6D0 in GBK, 한=C7D1 in EUC-KR,
+  * 中=A4A4 in Big5, 日=C6FC in EUC-JP, α=E1 in ISO-8859-7, …), and
+  * exercises the malformed-input contract the JDK can't express.
+  *
+  * Malformed-input contract (uniform across families, WHATWG's
+  * "prepend" rule): an invalid or unmapped sequence emits ONE U+FFFD
+  * for the lead byte, and a would-be trail byte below 0x80 is
+  * re-processed as its own character (so `[0x82, 'A']` in Shift_JIS
+  * is U+FFFD followed by 'A', not a silently swallowed 'A').
+  * Truncated tails emit one U+FFFD. Decoders never throw and output
+  * length is bounded by input length (each consumed byte produces at
+  * most one char).
+  *
+  * Scale shape: every decode is a per-row linear scan over the
+  * payload (the html_text/pii_scan discipline) — no shuffle, no
+  * cross-row state; the mapping tables are JVM-static (~1.5 MB
+  * total), shared by all executor threads.
+  */
+object CharsetFamilies {
+
+  // ---------------------------------------------------------------
+  // Label normalization (WHATWG "get an encoding", supported subset)
+  // ---------------------------------------------------------------
+
+  /** alias (already lowercased/trimmed) → canonical name */
+  private val Aliases: Map[String, String] = {
+    def m(canon: String, aliases: String*) = aliases.map(_ -> canon)
+    (m("utf-8", "utf-8", "utf8", "unicode-1-1-utf-8", "unicode11utf8", "unicode20utf8", "x-unicode20utf8") ++
+      m("utf-16le", "utf-16", "utf-16le", "ucs-2", "unicode", "unicodefeff", "iso-10646-ucs-2", "csunicode") ++
+      m("utf-16be", "utf-16be", "unicodefffe") ++
+      m("windows-1252", "windows-1252", "cp1252", "x-cp1252", "iso-8859-1", "iso8859-1",
+        "iso_8859-1", "iso88591", "iso_8859-1:1987", "iso-ir-100", "latin1", "l1",
+        "ascii", "us-ascii", "ansi_x3.4-1968", "cp819", "ibm819", "csisolatin1",
+        "x-user-defined") ++
+      m("shift_jis", "shift_jis", "shift-jis", "sjis", "x-sjis", "ms_kanji", "csshiftjis",
+        "ms932", "windows-31j") ++
+      m("euc-jp", "euc-jp", "x-euc-jp", "cseucpkdfmtjapanese") ++
+      m("gbk", "gbk", "x-gbk", "gb2312", "gb_2312", "gb_2312-80", "chinese", "csgb2312",
+        "csiso58gb231280", "iso-ir-58") ++
+      m("big5", "big5", "big5-hkscs", "cn-big5", "csbig5", "x-x-big5") ++
+      m("euc-kr", "euc-kr", "cseuckr", "windows-949", "csksc56011987", "korean",
+        "ks_c_5601-1987", "ks_c_5601-1989", "ksc5601", "ksc_5601", "iso-ir-149") ++
+      m("koi8-r", "koi8-r", "koi8_r", "koi", "koi8", "cskoi8r") ++
+      m("koi8-u", "koi8-u", "koi8-ru") ++
+      m("iso-8859-2", "iso-8859-2", "iso8859-2", "iso88592", "iso_8859-2", "iso_8859-2:1987",
+        "iso-ir-101", "latin2", "l2", "csisolatin2") ++
+      m("iso-8859-5", "iso-8859-5", "iso8859-5", "iso88595", "iso_8859-5", "iso_8859-5:1988",
+        "iso-ir-144", "cyrillic", "csisolatincyrillic") ++
+      m("iso-8859-7", "iso-8859-7", "iso8859-7", "iso88597", "iso_8859-7", "iso_8859-7:1987",
+        "iso-ir-126", "greek", "greek8", "ecma-118", "elot_928", "csisolatingreek",
+        "sun_eu_greek") ++
+      m("iso-8859-8", "iso-8859-8", "iso8859-8", "iso88598", "iso_8859-8", "iso_8859-8:1988",
+        "iso-ir-138", "hebrew", "csisolatinhebrew", "csiso88598e", "iso-8859-8-e", "visual") ++
+      m("iso-8859-15", "iso-8859-15", "iso8859-15", "iso885915", "iso_8859-15", "latin9",
+        "l9", "csisolatin9") ++
+      m("windows-1250", "windows-1250", "cp1250", "x-cp1250") ++
+      m("windows-1251", "windows-1251", "cp1251", "x-cp1251") ++
+      // WHATWG maps the iso-8859-9/latin5 labels to windows-1254
+      m("windows-1254", "windows-1254", "cp1254", "x-cp1254", "iso-8859-9", "iso8859-9",
+        "iso88599", "iso_8859-9", "iso_8859-9:1989", "iso-ir-148", "latin5", "l5",
+        "csisolatin5") ++
+      m("windows-1256", "windows-1256", "cp1256", "x-cp1256")).toMap
+  }
+
+  /** WHATWG "get an encoding": trim ASCII whitespace, lowercase,
+    * alias lookup. Null for unknown/unsupported labels (caller falls
+    * through to the next authority in the chain).
+    */
+  def normalizeLabel(label: String): String = {
+    if (label == null) return null
+    var s = 0; var e = label.length
+    while (s < e && isAsciiWs(label.charAt(s))) s += 1
+    while (e > s && isAsciiWs(label.charAt(e - 1))) e -= 1
+    if (e <= s) return null
+    val sb = new java.lang.StringBuilder(e - s)
+    var i = s
+    while (i < e) {
+      val c = label.charAt(i)
+      sb.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+      i += 1
+    }
+    Aliases.getOrElse(sb.toString, null)
+  }
+
+  private def isAsciiWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
+
+  // ---------------------------------------------------------------
+  // Mapping tables, materialized once per JVM from the JDK decoders
+  // ---------------------------------------------------------------
+
+  /** Decode one candidate byte sequence through the given JDK
+    * charset with REPORT semantics; null unless it decodes cleanly
+    * to exactly one char (so unmapped / multi-char cells read as
+    * "no mapping" and fall to the malformed-input contract).
+    */
+  private def jdkOne(cs: Charset, bytes: Array[Byte]): String = {
+    val dec = cs.newDecoder()
+      .onMalformedInput(CodingErrorAction.REPORT)
+      .onUnmappableCharacter(CodingErrorAction.REPORT)
+    try {
+      val out = dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+      if (out.length == 1) out else null
+    } catch { case _: java.nio.charset.CharacterCodingException => null }
+  }
+
+  private def charsetOrElse(name: String, fallback: String): Charset =
+    if (Charset.isSupported(name)) Charset.forName(name) else Charset.forName(fallback)
+
+  /** 256-entry single-byte table (identity below 0x80 for every
+    * supported family). NUL — the array-default cell — marks an
+    * unmapped high cell → U+FFFD at decode time; no legacy high cell
+    * maps to NUL, and the legitimate 0x00 byte rides the identity
+    * arm.
+    */
+  private def singleByteTable(jdkName: String): Array[Char] = {
+    val cs = Charset.forName(jdkName)
+    val t = new Array[Char](256)
+    var v = 0
+    while (v < 256) {
+      if (v < 0x80) t(v) = v.toChar
+      else {
+        val s = jdkOne(cs, Array(v.toByte))
+        if (s != null) t(v) = s.charAt(0)
+      }
+      v += 1
+    }
+    t
+  }
+
+  /** (lead << 8 | trail)-indexed pair table over the given lead and
+    * trail ranges; NUL (the array default) = unmapped — no two-byte
+    * cell in any of these families maps to NUL. ~24k JDK probes per
+    * family, built lazily once per JVM.
+    */
+  private def pairTable(cs: Charset, leads: Seq[Int], trail: Int => Boolean,
+                        prefix: Array[Byte] = Array.emptyByteArray): Array[Char] = {
+    val t = new Array[Char](65536)
+    leads.foreach { l =>
+      var tr = 0x40
+      while (tr <= 0xFE) {
+        if (trail(tr)) {
+          val s = jdkOne(cs, prefix ++ Array(l.toByte, tr.toByte))
+          if (s != null) t((l << 8) | tr) = s.charAt(0)
+        }
+        tr += 1
+      }
+    }
+    t
+  }
+
+  // WHATWG shift_jis is the windows-31j flavor of the JIS X 0208 index
+  private lazy val SjisTable = pairTable(charsetOrElse("windows-31j", "Shift_JIS"),
+    (0x81 to 0x9F) ++ (0xE0 to 0xFC), tr => tr != 0x7F && tr <= 0xFC)
+  private lazy val EucJpTable = pairTable(Charset.forName("EUC-JP"),
+    0xA1 to 0xFE, tr => tr >= 0xA1)
+  // JIS X 0212 plane: the 0x8F-prefixed triples, indexed by (b2<<8|b3)
+  private lazy val EucJp212Table = pairTable(Charset.forName("EUC-JP"),
+    0xA1 to 0xFE, tr => tr >= 0xA1, prefix = Array(0x8F.toByte))
+  private lazy val GbkTable = pairTable(Charset.forName("GBK"),
+    0x81 to 0xFE, tr => tr != 0x7F)
+  private lazy val Big5Table = pairTable(Charset.forName("Big5"),
+    0x81 to 0xFE, tr => tr <= 0x7E || tr >= 0xA1)
+  // WHATWG euc-kr IS the UHC/windows-949 extension of KS X 1001
+  private lazy val EucKrTable = pairTable(charsetOrElse("x-windows-949", "EUC-KR"),
+    0x81 to 0xFE, tr => tr >= 0x41)
+
+  private lazy val SingleByteTables: Map[String, Array[Char]] = Map(
+    "koi8-r" -> singleByteTable("KOI8-R"),
+    "koi8-u" -> singleByteTable("KOI8-U"),
+    "iso-8859-2" -> singleByteTable("ISO-8859-2"),
+    "iso-8859-5" -> singleByteTable("ISO-8859-5"),
+    "iso-8859-7" -> singleByteTable("ISO-8859-7"),
+    "iso-8859-8" -> singleByteTable("ISO-8859-8"),
+    "iso-8859-15" -> singleByteTable("ISO-8859-15"),
+    "windows-1250" -> singleByteTable("windows-1250"),
+    "windows-1251" -> singleByteTable("windows-1251"),
+    "windows-1254" -> singleByteTable("windows-1254"),
+    "windows-1256" -> singleByteTable("windows-1256"))
+
+  /** Canonical names routed to the single-byte scanner. */
+  def supportedSingleByte: Set[String] = SingleByteTables.keySet
+
+  // ---------------------------------------------------------------
+  // Family scanners (structure from the WHATWG encoding spec)
+  // ---------------------------------------------------------------
+
+  private def decodeSingle(b: Array[Byte], from: Int, table: Array[Char]): String = {
+    val out = new Array[Char](b.length - from)
+    var i = from
+    while (i < b.length) {
+      val v = b(i) & 0xFF
+      val c = table(v)
+      out(i - from) = if (c == 0 && v != 0) '\uFFFD' else c
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Generic two-byte scanner: `leadOk` gates the lead byte,
+    * `single` maps high bytes that decode alone (katakana rows,
+    * GBK's lone 0x80 euro; returns NUL for "not single"), and the
+    * pair table supplies the two-byte cells. Errors follow the
+    * prepend rule documented above.
+    */
+  private def decodePairs(b: Array[Byte], from: Int, table: Array[Char],
+                          leadOk: Int => Boolean, single: Int => Char): String = {
+    val sb = new java.lang.StringBuilder(b.length - from)
+    var i = from
+    val n = b.length
+    while (i < n) {
+      val c = b(i) & 0xFF
+      if (c < 0x80) { sb.append(c.toChar); i += 1 }
+      else {
+        val s = single(c)
+        if (s != 0) { sb.append(s); i += 1 }
+        else if (leadOk(c) && i + 1 < n) {
+          val tr = b(i + 1) & 0xFF
+          val m = table((c << 8) | tr)
+          if (m != 0) { sb.append(m); i += 2 }
+          else { // invalid/unmapped pair: FFFD, prepend ASCII trails
+            sb.append('\uFFFD')
+            i += (if (tr < 0x80) 1 else 2)
+          }
+        } else { sb.append('\uFFFD'); i += 1 } // bad lead / truncated tail
+      }
+    }
+    sb.toString
+  }
+
+  private def decodeShiftJis(b: Array[Byte], from: Int): String =
+    decodePairs(b, from, SjisTable,
+      c => (c >= 0x81 && c <= 0x9F) || (c >= 0xE0 && c <= 0xFC),
+      c => if (c == 0x80) '\u0080' // WHATWG: 0x80 passes through
+           else if (c >= 0xA1 && c <= 0xDF) (0xFF61 + (c - 0xA1)).toChar
+           else '\u0000')
+
+  private def decodeEucJp(b: Array[Byte], from: Int): String = {
+    // 0x8E+kana and 0x8F+0212 triples need their own arms; the
+    // A1–FE × A1–FE plane is the table path
+    val sb = new java.lang.StringBuilder(b.length - from)
+    var i = from
+    val n = b.length
+    while (i < n) {
+      val c = b(i) & 0xFF
+      if (c < 0x80) { sb.append(c.toChar); i += 1 }
+      else if (c == 0x8E && i + 1 < n && (b(i + 1) & 0xFF) >= 0xA1 && (b(i + 1) & 0xFF) <= 0xDF) {
+        sb.append((0xFF61 + ((b(i + 1) & 0xFF) - 0xA1)).toChar); i += 2
+      } else if (c == 0x8F && i + 2 < n) {
+        val m = EucJp212Table(((b(i + 1) & 0xFF) << 8) | (b(i + 2) & 0xFF))
+        if (m != 0) { sb.append(m); i += 3 }
+        else { sb.append('\uFFFD'); i += (if ((b(i + 1) & 0xFF) < 0x80) 1 else 2) }
+      } else if (c >= 0xA1 && c <= 0xFE && i + 1 < n) {
+        val tr = b(i + 1) & 0xFF
+        val m = EucJpTable((c << 8) | tr)
+        if (m != 0) { sb.append(m); i += 2 }
+        else { sb.append('\uFFFD'); i += (if (tr < 0x80) 1 else 2) }
+      } else { sb.append('\uFFFD'); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def decodeGbk(b: Array[Byte], from: Int): String =
+    decodePairs(b, from, GbkTable,
+      c => c >= 0x81 && c <= 0xFE,
+      c => if (c == 0x80) '€' else '\u0000') // lone 0x80 is the euro
+
+  private def decodeBig5(b: Array[Byte], from: Int): String =
+    decodePairs(b, from, Big5Table, c => c >= 0x81 && c <= 0xFE, _ => '\u0000')
+
+  private def decodeEucKr(b: Array[Byte], from: Int): String =
+    decodePairs(b, from, EucKrTable, c => c >= 0x81 && c <= 0xFE, _ => '\u0000')
+
+  // ---------------------------------------------------------------
+  // Labeled decode + the authority chain
+  // ---------------------------------------------------------------
+
+  /** Decode under an already-normalized canonical name. A matching
+    * BOM was stripped by the caller; `from` is the payload start.
+    */
+  def decodeCanonical(b: Array[Byte], from: Int, canonical: String): String =
+    canonical match {
+      case "utf-8" => new String(b, from, b.length - from,
+        java.nio.charset.StandardCharsets.UTF_8)
+      case "utf-16le" => Charsets.decodeUtf16For(b, from, bigEndian = false)
+      case "utf-16be" => Charsets.decodeUtf16For(b, from, bigEndian = true)
+      case "windows-1252" => Charsets.decodeW1252For(b, from)
+      case "shift_jis" => decodeShiftJis(b, from)
+      case "euc-jp" => decodeEucJp(b, from)
+      case "gbk" => decodeGbk(b, from)
+      case "big5" => decodeBig5(b, from)
+      case "euc-kr" => decodeEucKr(b, from)
+      case other => decodeSingle(b, from, SingleByteTables(other))
+    }
+
+  /** `charset=` parameter of a Content-Type header value
+    * (case-insensitive name, token or quoted-string value), null if
+    * absent — RFC 9110 §8.3 parameter syntax, linear scan.
+    */
+  def headerCharset(contentType: String): String = {
+    if (contentType == null) return null
+    val s = contentType
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      while (i < n && s.charAt(i) != ';') i += 1
+      if (i >= n) return null
+      i += 1
+      while (i < n && isAsciiWs(s.charAt(i))) i += 1
+      val nameStart = i
+      while (i < n && s.charAt(i) != '=' && s.charAt(i) != ';') i += 1
+      if (i < n && s.charAt(i) == '=') {
+        val name = s.substring(nameStart, i).trim
+        i += 1
+        if (name.equalsIgnoreCase("charset")) {
+          if (i < n && s.charAt(i) == '"') {
+            val e = s.indexOf('"', i + 1)
+            return if (e < 0) s.substring(i + 1) else s.substring(i + 1, e)
+          }
+          var e = i
+          while (e < n && s.charAt(e) != ';' && !isAsciiWs(s.charAt(e))) e += 1
+          return s.substring(i, e)
+        }
+      }
+    }
+    null
+  }
+
+  /** WHATWG §13.2.3.2 "prescan a byte stream to determine its
+    * encoding" over the first 1024 bytes: `<!--…-->` comments
+    * skipped, `<meta>` attributes parsed with the spec's crude
+    * tokenizer, `charset` attr or http-equiv=content-type +
+    * `content` honored (a charset attribute overrides a
+    * content-derived label, per the spec's processing order),
+    * utf-16 results resolved to utf-8 (x-user-defined already
+    * normalizes to windows-1252). Returns the CANONICAL name or
+    * null.
+    */
+  def metaPrescan(b: Array[Byte]): String = {
+    if (b == null) return null
+    val n = math.min(b.length, 1024)
+    def at(i: Int) = b(i) & 0xFF
+    def lower(i: Int) = { val c = at(i); if (c >= 'A' && c <= 'Z') c + 32 else c }
+    def matches(i: Int, s: String): Boolean = {
+      if (i + s.length > n) return false
+      var k = 0
+      while (k < s.length) { if (lower(i + k) != s.charAt(k)) return false; k += 1 }
+      true
+    }
+    def isWs(c: Int) = c == 0x09 || c == 0x0A || c == 0x0C || c == 0x0D || c == 0x20
+    var i = 0
+    while (i < n) {
+      if (at(i) == '<') {
+        if (matches(i, "<!--")) { // comment: skip to -->
+          var j = i + 4
+          while (j + 2 < n && !(at(j) == '-' && at(j + 1) == '-' && at(j + 2) == '>')) j += 1
+          i = if (j + 2 < n) j + 3 else n
+        } else if (matches(i, "<meta") && i + 5 < n && (isWs(at(i + 5)) || at(i + 5) == '/')) {
+          var j = i + 5
+          var gotPragma = false
+          var fromCharsetAttr: String = null
+          var fromContent: String = null
+          var attr = nextAttribute(b, j, n)
+          while (attr != null) {
+            val (name, value, next) = attr
+            name match {
+              case "http-equiv" =>
+                if (value.equalsIgnoreCase("content-type")) gotPragma = true
+              case "content" if fromContent == null =>
+                fromContent = charsetFromMetaContent(value)
+              case "charset" => fromCharsetAttr = value
+              case _ => ()
+            }
+            j = next
+            attr = nextAttribute(b, j, n)
+          }
+          val charset =
+            if (fromCharsetAttr != null) fromCharsetAttr
+            else if (gotPragma) fromContent
+            else null
+          if (charset != null) {
+            var canon = normalizeLabel(charset)
+            if (canon == "utf-16le" || canon == "utf-16be") canon = "utf-8"
+            if (canon != null) return canon
+          }
+          i = j
+        } else if (i + 1 < n && (at(i + 1) == '!' || at(i + 1) == '/' || at(i + 1) == '?')) {
+          while (i < n && at(i) != '>') i += 1
+          i += 1
+        } else i += 1
+      } else i += 1
+    }
+    null
+  }
+
+  /** The spec's "get an attribute" over raw bytes: (lowercased name,
+    * lowercased value, position after) or null when the tag ends /
+    * the window ends before another attribute starts.
+    */
+  private def nextAttribute(b: Array[Byte], start: Int, n: Int): (String, String, Int) = {
+    def at(i: Int) = b(i) & 0xFF
+    def isWs(c: Int) = c == 0x09 || c == 0x0A || c == 0x0C || c == 0x0D || c == 0x20
+    var i = start
+    while (i < n && (isWs(at(i)) || at(i) == '/')) i += 1
+    if (i >= n || at(i) == '>') return null
+    val name = new java.lang.StringBuilder
+    while (i < n && at(i) != '=' && !isWs(at(i)) && at(i) != '/' && at(i) != '>') {
+      val c = at(i); name.append((if (c >= 'A' && c <= 'Z') c + 32 else c).toChar); i += 1
+    }
+    while (i < n && isWs(at(i))) i += 1
+    if (i >= n || at(i) != '=') return (name.toString, "", i)
+    i += 1
+    while (i < n && isWs(at(i))) i += 1
+    val value = new java.lang.StringBuilder
+    if (i < n && (at(i) == '"' || at(i) == '\'')) {
+      val q = at(i); i += 1
+      while (i < n && at(i) != q) {
+        val c = at(i); value.append((if (c >= 'A' && c <= 'Z') c + 32 else c).toChar); i += 1
+      }
+      i += 1
+    } else {
+      while (i < n && !isWs(at(i)) && at(i) != '>') {
+        val c = at(i); value.append((if (c >= 'A' && c <= 'Z') c + 32 else c).toChar); i += 1
+      }
+    }
+    (name.toString, value.toString, i)
+  }
+
+  /** "Extract a character encoding from a meta element" (HTML
+    * §13.2.3.3): find "charset", skip ws, '=', then a (possibly
+    * quoted) label. The input is already lowercased by the
+    * attribute tokenizer.
+    */
+  private def charsetFromMetaContent(content: String): String = {
+    var i = content.indexOf("charset")
+    while (i >= 0) {
+      var j = i + 7
+      while (j < content.length && isAsciiWs(content.charAt(j))) j += 1
+      if (j < content.length && content.charAt(j) == '=') {
+        j += 1
+        while (j < content.length && isAsciiWs(content.charAt(j))) j += 1
+        if (j >= content.length) return null
+        val c = content.charAt(j)
+        if (c == '"' || c == '\'') {
+          val e = content.indexOf(c, j + 1)
+          return if (e < 0) null else content.substring(j + 1, e)
+        }
+        var e = j
+        while (e < content.length && !isAsciiWs(content.charAt(e)) && content.charAt(e) != ';') e += 1
+        return content.substring(j, e)
+      }
+      i = content.indexOf("charset", i + 7)
+    }
+    null
+  }
+
+  /** The full authority chain: BOM → header param → meta prescan →
+    * strict UTF-8 → windows-1252. Null only for null content.
+    */
+  def detectDecode(contentType: String, b: Array[Byte]): Charsets.Decoded = {
+    if (b == null) return null
+    val bomed = bomDecode(b)
+    if (bomed != null) return bomed
+    val fromHeader = normalizeLabel(headerCharset(contentType))
+    if (fromHeader != null)
+      return Charsets.Decoded(fromHeader, decodeCanonical(b, 0, fromHeader))
+    val fromMeta = metaPrescan(b)
+    if (fromMeta != null)
+      return Charsets.Decoded(fromMeta, decodeCanonical(b, 0, fromMeta))
+    if (Charsets.isValidUtf8(b, 0))
+      Charsets.Decoded("utf-8", decodeCanonical(b, 0, "utf-8"))
+    else Charsets.Decoded("windows-1252", decodeCanonical(b, 0, "windows-1252"))
+  }
+
+  /** Label-first decode (the `charset_decode` kernel): BOM still
+    * wins (Encoding spec "decode" step 1), an unknown/absent label
+    * falls through to the sniff chain. Null only for null content.
+    */
+  def decodeLabeled(label: String, b: Array[Byte]): Charsets.Decoded = {
+    if (b == null) return null
+    val bomed = bomDecode(b)
+    if (bomed != null) return bomed
+    val canon = normalizeLabel(label)
+    if (canon != null) Charsets.Decoded(canon, decodeCanonical(b, 0, canon))
+    else if (Charsets.isValidUtf8(b, 0))
+      Charsets.Decoded("utf-8", decodeCanonical(b, 0, "utf-8"))
+    else Charsets.Decoded("windows-1252", decodeCanonical(b, 0, "windows-1252"))
+  }
+
+  private def bomDecode(b: Array[Byte]): Charsets.Decoded = {
+    if (b.length >= 3 && (b(0) & 0xFF) == 0xEF && (b(1) & 0xFF) == 0xBB &&
+      (b(2) & 0xFF) == 0xBF)
+      return Charsets.Decoded("utf-8", decodeCanonical(b, 3, "utf-8"))
+    if (b.length >= 2 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xFE)
+      return Charsets.Decoded("utf-16le", decodeCanonical(b, 2, "utf-16le"))
+    if (b.length >= 2 && (b(0) & 0xFF) == 0xFE && (b(1) & 0xFF) == 0xFF)
+      return Charsets.Decoded("utf-16be", decodeCanonical(b, 2, "utf-16be"))
+    null
+  }
+}

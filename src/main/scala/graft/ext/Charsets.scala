@@ -124,6 +124,15 @@ object Charsets {
     sb.toString
   }
 
+  /** The UTF-16 / 1252 scanners shared with [[CharsetFamilies]]'s
+    * labeled-decode dispatch (same kernels, same JDK-parity
+    * contract).
+    */
+  private[ext] def decodeUtf16For(b: Array[Byte], from: Int, bigEndian: Boolean): String =
+    decodeUtf16(b, from, bigEndian)
+  private[ext] def decodeW1252For(b: Array[Byte], from: Int): String =
+    decodeW1252(b, from)
+
   /** Sniff + decode. Null only for null input; empty bytes are an
     * empty UTF-8 text.
     */

@@ -6,12 +6,12 @@ package graft.ext
   * this walker verifies every page CRC, reassembles packets across
   * page boundaries via the continuation flag, and parses the
   * identification + comment headers of the two codecs that dominate
-  * web audio in Ogg). Scope stops at the comment header: Vorbis/Opus
-  * SAMPLE decode stays deferred by the round-10 MP3 build-vs-defer
-  * argument's little sibling — Vorbis carries its codebooks in-stream
-  * (validatable), but the synthesis lift is a later round's decision;
-  * the container layer is what crawl triage, duration accounting, and
-  * tag extraction need today.
+  * web audio in Ogg). This walker's scope stops at the comment
+  * header; the full Vorbis SAMPLE decode lives in [[VorbisDecode]]
+  * (shipped round 10 — Huffman → floor → residue → coupling → IMDCT
+  * → overlap-add), fed by the packet streams this walker reassembles.
+  * Opus sample decode (SILK/CELT synthesis) remains deferred — see
+  * the BENCH_NOTES round-11 scoping probe.
   *
   * Parsing is bounded and total: every read is range-checked, any
   * structural violation (bad magic, version ≠ 0, CRC mismatch,

@@ -29,6 +29,12 @@ import graft.ext.VorbisSetup._
   */
 object VorbisDecode {
 
+  /** Decoded-output budget across all channels — the same
+    * bounded-and-total cap [[Flac]] enforces, applied both to the
+    * id-header's declared shape and to the running produced total.
+    */
+  private val MaxTotalSamples = 1L << 26
+
   /** Decoded PCM: `samples(c)(i)` in [-1, 1] nominal range. */
   final case class Pcm(sampleRate: Int, channels: Int,
                        samples: Array[Array[Double]]) {
@@ -609,7 +615,10 @@ object VorbisDecode {
       if (le32(7) != 0L) return null // vorbis_version
       val channels = id(11) & 0xFF
       val rate = le32(12)
-      if (channels < 1 || rate < 1) return null
+      // rate is the unsigned 32-bit id-header field: reject values
+      // past Int.MaxValue before the .toInt at the end narrows them
+      // negative (crafted-container hardening, not a spec case)
+      if (channels < 1 || rate < 1 || rate > 0x7FFFFFFFL) return null
       val bsByte = id(28) & 0xFF
       val bs0 = 1 << (bsByte & 0xF)
       val bs1 = 1 << (bsByte >> 4)
@@ -621,6 +630,13 @@ object VorbisDecode {
       val trees = setup.codebooks.map(new HuffTree(_))
 
       val lastGranule = pages.last.granule
+      // bounded-and-total contract (the Flac MaxTotalSamples rule):
+      // a few KB of crafted container (255 channels × thousands of
+      // tiny long-block packets) must not amplify into GBs of PCM —
+      // reject an implausible declared length up front and bail
+      // inside the packet loop once the produced total would pass
+      // the same budget
+      if (lastGranule > 0 && lastGranule * channels > MaxTotalSamples) return null
       val chans = Array.fill(channels)(
         new scala.collection.mutable.ArrayBuilder.ofDouble)
       var produced = 0L
@@ -638,6 +654,7 @@ object VorbisDecode {
           np = nc
         } else {
           val outputLen = np / 4 + nc / 4
+          if ((produced + outputLen) * channels > MaxTotalSamples) return null
           val shift = np / 4 - nc / 4
           var c = 0
           while (c < channels) {

@@ -1,0 +1,207 @@
+package graft
+
+import graft.ext.{Charsets, CharsetFamilies}
+import java.nio.charset.{Charset, CodingErrorAction}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[graft.ext.CharsetFamilies]] — the CharsetSpec discipline
+  * extended to the legacy families: JDK-encoder-generated
+  * well-formed inputs decoded byte-for-byte against the JDK's own
+  * decoders (boundary disagreements in OUR state machines surface as
+  * parity failures — the mapping tables are JDK-derived, the
+  * lead/trail structure is not), hand-pinned anchors that are
+  * independent of the JDK entirely, and the malformed-input contract
+  * (prepend rule, truncated tails, never-throw) the JDK can't
+  * express.
+  */
+class CharsetFamiliesSpec extends AnyFunSuite {
+
+  private def jdk(name: String, b: Array[Byte]): String = {
+    val dec = Charset.forName(name).newDecoder()
+      .onMalformedInput(CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(CodingErrorAction.REPLACE)
+    dec.decode(java.nio.ByteBuffer.wrap(b)).toString
+  }
+
+  // canonical → (JDK charset backing it, a pangram-ish seed of
+  // in-charset chars used to generate well-formed random inputs)
+  private val Families: Seq[(String, String, String)] = Seq(
+    ("shift_jis", "windows-31j", "abcあいうえお漢字カナ日本語テスト012 ｱｲｳ"),
+    ("euc-jp", "EUC-JP", "abc日本語のテキストあいうえお漢字xyz ｶﾅ"),
+    ("gbk", "GBK", "abc中文文本汉字测试012去来 xyz€"),
+    ("big5", "Big5", "abc中文測試漢字繁體 xyz012"),
+    ("euc-kr", "x-windows-949", "abc한국어 텍스트 테스트 xyz012"),
+    ("koi8-r", "KOI8-R", "abc привет русский текст xyz Ёё"),
+    ("koi8-u", "KOI8-U", "abc мова текст українська ҐґЄє"),
+    ("iso-8859-2", "ISO-8859-2", "abc čžšěřůłą xyz"),
+    ("iso-8859-5", "ISO-8859-5", "abc мир текст Ёжз xyz"),
+    ("iso-8859-7", "ISO-8859-7", "abc αβγδε κείμενο ΩΣ xyz"),
+    ("iso-8859-8", "ISO-8859-8", "abc שלום טקסט xyz"),
+    ("iso-8859-15", "ISO-8859-15", "abc €ŠšŽžŒœŸ café xyz"),
+    ("windows-1250", "windows-1250", "abc řůčž €„“ xyz"),
+    ("windows-1251", "windows-1251", "abc Привет текст €„“ xyz"),
+    ("windows-1254", "windows-1254", "abc ğşİı çö €„“ xyz"),
+    ("windows-1256", "windows-1256", "abc مرحبا نص €„“ xyz"))
+
+  test("well-formed inputs decode byte-for-byte like the JDK, every family") {
+    val rnd = new scala.util.Random(42)
+    for ((canon, jdkName, seed) <- Families) {
+      val enc = Charset.forName(jdkName)
+      for (trial <- 0 until 300) {
+        val len = rnd.nextInt(40)
+        val s = new StringBuilder
+        (0 until len).foreach(_ => s.append(seed.charAt(rnd.nextInt(seed.length))))
+        val bytes = s.toString.getBytes(enc)
+        val mine = CharsetFamilies.decodeCanonical(bytes, 0, canon)
+        val theirs = jdk(jdkName, bytes)
+        assert(mine === theirs,
+          s"$canon trial $trial bytes=${bytes.map(b => f"${b & 0xFF}%02x").mkString}")
+      }
+    }
+  }
+
+  test("hand anchors independent of the JDK (public mapping knowledge)") {
+    def dec(canon: String, hex: String): String =
+      CharsetFamilies.decodeCanonical(
+        hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray, 0, canon)
+    assert(dec("shift_jis", "82A082A2") === "あい")
+    assert(dec("shift_jis", "B1B2B3") === "ｱｲｳ") // halfwidth katakana row
+    assert(dec("euc-jp", "C6FCCBDC") === "日本")
+    assert(dec("euc-jp", "8EB1") === "ｱ") // SS2 katakana
+    assert(dec("gbk", "D6D0CEC4") === "中文")
+    assert(dec("gbk", "80") === "€") // lone 0x80 is the euro
+    assert(dec("big5", "A4A4A4E5") === "中文")
+    assert(dec("euc-kr", "C7D1B1B9") === "한국")
+    assert(dec("koi8-r", "D0D2C9D7C5D4") === "привет")
+    assert(dec("iso-8859-5", "DCD8E0") === "мир")
+    assert(dec("iso-8859-7", "E1E2E3") === "αβγ")
+    assert(dec("iso-8859-15", "A4") === "€")
+    assert(dec("windows-1251", "CFF0E8E2E5F2") === "Привет")
+    assert(dec("windows-1254", "F0FE") === "ğş")
+  }
+
+  test("malformed-input contract: prepend rule, truncated tails, never throws") {
+    // Shift_JIS lead + ASCII non-trail: FFFD then the ASCII re-processed
+    // (0x3A ':' is below the 0x40 trail floor so the table cell is empty)
+    assert(CharsetFamilies.decodeCanonical(Array(0x82.toByte, ':'.toByte), 0,
+      "shift_jis") === "�:")
+    // truncated multi-byte tail: one FFFD
+    assert(CharsetFamilies.decodeCanonical(Array(0x82.toByte), 0, "shift_jis") === "�")
+    assert(CharsetFamilies.decodeCanonical(Array(0xA4.toByte), 0, "euc-jp") === "�")
+    // GBK invalid trail 0x7F: FFFD + DEL re-processed
+    assert(CharsetFamilies.decodeCanonical(Array(0x81.toByte, 0x7F.toByte), 0,
+      "gbk") === "�")
+    // high trail on an unmapped cell consumes both bytes as one FFFD
+    assert(CharsetFamilies.decodeCanonical(Array(0xA0.toByte, 0xA0.toByte), 0,
+      "big5").forall(_ == '�'))
+    // random garbage never throws, for every family
+    val rnd = new scala.util.Random(7)
+    for ((canon, _, _) <- Families; _ <- 0 until 100) {
+      val b = new Array[Byte](rnd.nextInt(32))
+      rnd.nextBytes(b)
+      val out = CharsetFamilies.decodeCanonical(b, 0, canon)
+      assert(out != null && out.length <= b.length)
+    }
+  }
+
+  test("label normalization: WHATWG aliases, whitespace, case, unknowns") {
+    assert(CharsetFamilies.normalizeLabel("  SJIS \t") === "shift_jis")
+    assert(CharsetFamilies.normalizeLabel("Shift-JIS") === "shift_jis")
+    assert(CharsetFamilies.normalizeLabel("x-sjis") === "shift_jis")
+    assert(CharsetFamilies.normalizeLabel("GB2312") === "gbk")
+    assert(CharsetFamilies.normalizeLabel("ISO-8859-1") === "windows-1252")
+    assert(CharsetFamilies.normalizeLabel("us-ascii") === "windows-1252")
+    assert(CharsetFamilies.normalizeLabel("latin5") === "windows-1254")
+    assert(CharsetFamilies.normalizeLabel("ISO-8859-9") === "windows-1254")
+    assert(CharsetFamilies.normalizeLabel("latin9") === "iso-8859-15")
+    assert(CharsetFamilies.normalizeLabel("windows-949") === "euc-kr")
+    assert(CharsetFamilies.normalizeLabel("UTF-16") === "utf-16le")
+    assert(CharsetFamilies.normalizeLabel("x-user-defined") === "windows-1252")
+    assert(CharsetFamilies.normalizeLabel("iso-2022-jp") === null)
+    assert(CharsetFamilies.normalizeLabel("") === null)
+    assert(CharsetFamilies.normalizeLabel(null) === null)
+  }
+
+  test("Content-Type charset parameter extraction") {
+    import CharsetFamilies.headerCharset
+    assert(headerCharset("text/html; charset=utf-8") === "utf-8")
+    assert(headerCharset("text/html;charset=Shift_JIS") === "Shift_JIS")
+    assert(headerCharset("text/html; CHARSET=\"euc-kr\"") === "euc-kr")
+    assert(headerCharset("text/html; boundary=x; charset=gbk; q=1") === "gbk")
+    assert(headerCharset("text/html") === null)
+    assert(headerCharset("text/html; charsetx=koi8-r") === null)
+    assert(headerCharset(null) === null)
+  }
+
+  test("meta prescan: charset attr, http-equiv, comments, quotes, 1024 cap") {
+    def pre(html: String): String =
+      CharsetFamilies.metaPrescan(html.getBytes("ISO-8859-1"))
+    assert(pre("""<html><head><meta charset="shift_jis"></head>""") === "shift_jis")
+    assert(pre("""<META CHARSET=EUC-KR>""") === "euc-kr")
+    assert(pre("""<meta http-equiv="Content-Type" content="text/html; charset=gbk">""") === "gbk")
+    assert(pre("""<meta content="text/html; charset=big5" http-equiv="content-type">""") === "big5")
+    // charset attr overrides content-derived; pragma content needs http-equiv
+    assert(pre("""<meta content="text/html; charset=gbk" charset="koi8-r">""") === "koi8-r")
+    assert(pre("""<meta content="text/html; charset=gbk">""") === null)
+    // comments are skipped, even containing meta
+    assert(pre("""<!-- <meta charset="gbk"> --><meta charset="euc-jp">""") === "euc-jp")
+    // utf-16 labels resolve to utf-8 in meta position (HTML §13.2)
+    assert(pre("""<meta charset="utf-16le">""") === "utf-8")
+    // beyond the 1024-byte window: not seen
+    assert(pre(("x" * 1100) + """<meta charset="gbk">""") === null)
+    // unknown labels fall through (do not abort the scan)
+    assert(pre("""<meta charset="iso-2022-jp"><meta charset="sjis">""") === "shift_jis")
+    // <meta> with no ws/slash after the name is not a prescan meta
+    assert(pre("""<metacharset="gbk">""") === null)
+  }
+
+  test("authority chain: BOM > header > meta > utf-8 sniff > 1252") {
+    import CharsetFamilies.detectDecode
+    val sjis = "あい doc".getBytes("windows-31j")
+    // header wins over meta
+    val withMeta = ("""<meta charset="gbk">""").getBytes("ISO-8859-1") ++ sjis
+    val d1 = detectDecode("text/html; charset=sjis", withMeta)
+    assert(d1.charset === "shift_jis")
+    assert(d1.text.contains("あい doc"))
+    // meta wins when the header has no param
+    val d2 = detectDecode("text/html",
+      ("""<meta charset="shift_jis">""").getBytes("ISO-8859-1") ++ sjis)
+    assert(d2.charset === "shift_jis" && d2.text.contains("あい doc"))
+    // BOM beats even an explicit header label
+    val bomed = Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++ "x".getBytes
+    assert(detectDecode("text/html; charset=koi8-r", bomed).charset === "utf-8")
+    // no declarations: strict-utf8 then 1252, same as charset_sniff
+    assert(detectDecode("text/html", "plain".getBytes).charset === "utf-8")
+    val high = Array(0x63.toByte, 0xE9.toByte)
+    assert(detectDecode("text/html", high).charset === "windows-1252")
+    assert(detectDecode("text/html", high).text === "cé")
+    assert(detectDecode(null, "plain".getBytes).charset === "utf-8")
+    assert(detectDecode("text/html", null) == null)
+  }
+
+  test("decodeLabeled: BOM first, label routing, unknown-label fallback") {
+    import CharsetFamilies.decodeLabeled
+    val d = decodeLabeled("euc-kr", "한국 x".getBytes("x-windows-949"))
+    assert(d.charset === "euc-kr" && d.text === "한국 x")
+    val fallback = decodeLabeled("no-such-charset", "plain".getBytes)
+    assert(fallback.charset === "utf-8" && fallback.text === "plain")
+    val bomed = decodeLabeled("gbk",
+      Array(0xFF.toByte, 0xFE.toByte) ++ "hi".getBytes("UTF-16LE"))
+    assert(bomed.charset === "utf-16le" && bomed.text === "hi")
+  }
+
+  test("expression kernels: charset_decode and charset_detect rows") {
+    val r = graft.fn.CharsetDecode.rowOrNull("sjis", "あ".getBytes("windows-31j"))
+    assert(r.getUTF8String(0).toString === "shift_jis")
+    assert(r.getUTF8String(1).toString === "あ")
+    assert(r.getInt(2) === 1)
+    // empty label means "no label" → sniff path
+    val s = graft.fn.CharsetDecode.rowOrNull("", "plain".getBytes)
+    assert(s.getUTF8String(0).toString === "utf-8")
+    val t = graft.fn.CharsetDetect.rowOrNull("text/html; charset=gbk",
+      "中文".getBytes("GBK"))
+    assert(t.getUTF8String(0).toString === "gbk")
+    assert(t.getUTF8String(1).toString === "中文")
+    assert(graft.fn.CharsetDetect.rowOrNull("", null) == null)
+  }
+}

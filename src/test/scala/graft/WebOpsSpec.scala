@@ -89,6 +89,35 @@ class WebOpsSpec extends SparkSpec {
     assert(Urls.registeredDomain("x.ac.uk") === "x.ac.uk")
   }
 
+  test("full PSL snapshot file: wildcard + exception rules end-to-end") {
+    val psl = graft.ext.Psl.parseFile("data/psl_snapshot.dat")
+    assert(psl.rules.size + psl.wildcards.size + psl.exceptions.size > 4000)
+    // plain rules, any depth
+    assert(psl.registeredDomain("shop.example.co.uk") === "example.co.uk")
+    assert(psl.registeredDomain("a.b.gov.qab") === "b.gov.qab") // synthetic family
+    // wildcard *.ck: every single label under ck is itself a suffix
+    assert(psl.registeredDomain("a.b.ck") === "a.b.ck")
+    assert(psl.registeredDomain("x.a.b.ck") === "a.b.ck")
+    assert(psl.registeredDomain("b.ck") === "b.ck") // IS a public suffix → pass through
+    // exception !www.ck: registrable directly at the TLD
+    assert(psl.registeredDomain("www.ck") === "www.ck")
+    assert(psl.registeredDomain("a.www.ck") === "www.ck")
+    // deep wildcard + exception pair (*.kobe.jp / !city.kobe.jp)
+    assert(psl.registeredDomain("x.chuo.kobe.jp") === "x.chuo.kobe.jp")
+    assert(psl.registeredDomain("city.kobe.jp") === "city.kobe.jp")
+    assert(psl.registeredDomain("x.city.kobe.jp") === "city.kobe.jp")
+    // unknown TLD falls to the implicit default rule `*`
+    assert(psl.registeredDomain("foo.bar.unknowntld") === "bar.unknowntld")
+    // rollup changes ONLY where the list says so: hosts governed by
+    // plain second-level semantics agree with the built-in mechanism
+    for (h <- Seq("a.b.example.com", "sub.demo.co.uk", "demo.co.uk",
+                  "x.ac.uk", "localhost"))
+      assert(psl.registeredDomain(h) === Urls.registeredDomain(h), h)
+    // ...and wildcard/deep rules diverge exactly as the PSL dictates
+    assert(Urls.registeredDomain("x.a.b.ck") === "b.ck") // default 2-label view
+    assert(psl.registeredDomain("x.a.b.ck") === "a.b.ck") // PSL wildcard view
+  }
+
   test("removeDotSegments: the RFC 3986 §5.2.4 examples") {
     assert(Urls.removeDotSegments("/a/b/c/./../../g") === "/a/g")
     assert(Urls.removeDotSegments("mid/content=5/../6") === "mid/6")
