@@ -53,8 +53,9 @@ object Queries15 extends ColumnSyntax {
     ("latin5", "F0FE", "windows-1254", "ğş"),
     ("cp1250", "F8F9", "windows-1250", "řů"),
     ("cp1256", "E3D1CDC8C7", "windows-1256", "مرحبا"),
-    // unsupported label → sniff fallback (pure-ASCII payload → utf-8)
-    ("iso-2022-jp", null, "utf-8", "ascii"))
+    // unsupported label → sniff fallback (pure-ASCII payload →
+    // utf-8; utf-7 is permanently outside the WHATWG registry)
+    ("utf-7", null, "utf-8", "ascii"))
 
   private def q145(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.{graftbridge => gb}
@@ -95,6 +96,63 @@ object Queries15 extends ColumnSyntax {
        |$charsetCases
        |    END AS charset,
        |    CASE CAST(doc_id % 16 AS INT)
+       |$textCases
+       |    END AS text
+       |  FROM documents
+       |)
+       |SELECT doc_id, charset, text, CAST(length(text) AS INT) AS n_chars
+       |FROM expected ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------- q149: the STATEFUL charset families — ISO-2022-JP
+  // escape switching (JIS X 0208 + the ESC ( I katakana state) and
+  // GB18030's four-byte extension incl. a supplementary-plane char
+  private val Plants149: Seq[(String, String, String, String)] = Seq(
+    ("iso-2022-jp", "1B2442467C4B5C386C1B2842", "iso-2022-jp", "日本語"),
+    ("csiso2022jp", "1B2442252B254A1B2842", "iso-2022-jp", "カナ"),
+    ("gb18030", "D6D0CEC4A2E3", "gb18030", "中文€"),
+    // 4-byte BMP (JDK GB18030-2022 mapping — U+1E3F moved to the
+    // 2-byte plane in the 2022 amendment, so Ā anchors this path)
+    ("gb18030", "81308B38", "gb18030", "Ā"),
+    ("gb18030", "9432BE34", "gb18030", "𝄞"), // 4-byte supplementary
+    ("iso-2022-jp", "1B284931321B2842", "iso-2022-jp", "ｱｲ")) // ESC ( I
+
+  private def q149(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    val d = $"doc_id"
+    val id = d.cast("string")
+    val label = element_at(
+      array(Plants149.map(p => lit(p._1)): _*), (d % 6 + 1).cast("int"))
+    val payload = element_at(
+      array(Plants149.map { case (_, hex, _, _) =>
+        concat(unhex(lit(hex)), encode(concat(lit(" doc "), id), "UTF-8"))
+      }: _*), (d % 6 + 1).cast("int"))
+    docIds(s, dir)
+      .select(d, label.as("label"), payload.as("payload"))
+      .select(d,
+        explode(array(gb.column(graft.fn.CharsetDecode(
+          gb.expression($"label"), gb.expression($"payload"))))).as("__c"))
+      .filter($"__c".isNotNull)
+      .select(d,
+        $"__c.charset".as("charset"),
+        $"__c.text".as("text"),
+        $"__c.n_chars".as("n_chars"))
+      .orderBy(d)
+  }
+
+  private val q149Sql: String = {
+    val charsetCases = Plants149.zipWithIndex.map { case ((_, _, canon, _), i) =>
+      s"      WHEN $i THEN '$canon'"
+    }.mkString("\n")
+    val textCases = Plants149.zipWithIndex.map { case ((_, _, _, native), i) =>
+      s"      WHEN $i THEN '$native doc ' || doc_id"
+    }.mkString("\n")
+    s"""WITH expected AS (
+       |  SELECT doc_id,
+       |    CASE CAST(doc_id % 6 AS INT)
+       |$charsetCases
+       |    END AS charset,
+       |    CASE CAST(doc_id % 6 AS INT)
        |$textCases
        |    END AS text
        |  FROM documents
@@ -289,7 +347,11 @@ object Queries15 extends ColumnSyntax {
     import s.implicits._
     import org.apache.spark.sql.{graftbridge => gb}
     val enc = gb.column(graft.fn.VorbisEncodeSynth(gb.expression(col("doc_id").cast("long"))))
-    val dfE = docIds(s, dir)
+    // bounded corpus (the q142 media-gate convention): the round-trip
+    // gate's value is the bit-for-bit accounting, not file-sink
+    // throughput — a growing sf would only multiply .ogg files
+    // against an oracle that reads a parquet fixture by construction
+    val dfE = docIds(s, dir).where(col("doc_id") < 1000)
       .select(col("doc_id"), explode(array(enc)).as("__e"))
       .select(col("doc_id"), col("__e.ogg").as("ogg"), col("__e.rate").as("rate"),
         col("__e.n_packets").as("n_packets"), col("__e.res_sum").as("res_sum"),
@@ -332,11 +394,13 @@ object Queries15 extends ColumnSyntax {
     "q145_charset_legacy" -> (q145 _),
     "q146_charset_chain" -> (q146 _),
     "q147_opus_toc" -> (q147 _),
-    "q148_vorbis_roundtrip" -> (q148 _))
+    "q148_vorbis_roundtrip" -> (q148 _),
+    "q149_charset_stateful" -> (q149 _))
 
   val oracles: Map[String, String] = Map(
     "q145_charset_legacy" -> q145Sql,
     "q146_charset_chain" -> q146Sql,
     "q147_opus_toc" -> q147Sql,
-    "q148_vorbis_roundtrip" -> q148Sql)
+    "q148_vorbis_roundtrip" -> q148Sql,
+    "q149_charset_stateful" -> q149Sql)
 }

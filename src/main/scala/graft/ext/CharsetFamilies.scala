@@ -99,6 +99,8 @@ object CharsetFamilies {
         "iso-ir-138", "hebrew", "csisolatinhebrew", "csiso88598e", "iso-8859-8-e", "visual") ++
       m("iso-8859-15", "iso-8859-15", "iso8859-15", "iso885915", "iso_8859-15", "latin9",
         "l9", "csisolatin9") ++
+      m("iso-2022-jp", "iso-2022-jp", "csiso2022jp") ++
+      m("gb18030", "gb18030") ++
       m("windows-1250", "windows-1250", "cp1250", "x-cp1250") ++
       m("windows-1251", "windows-1251", "cp1251", "x-cp1251") ++
       // WHATWG maps the iso-8859-9/latin5 labels to windows-1254
@@ -180,13 +182,14 @@ object CharsetFamilies {
     * family, built lazily once per JVM.
     */
   private def pairTable(cs: Charset, leads: Seq[Int], trail: Int => Boolean,
-                        prefix: Array[Byte] = Array.emptyByteArray): Array[Char] = {
+                        prefix: Array[Byte] = Array.emptyByteArray,
+                        suffix: Array[Byte] = Array.emptyByteArray): Array[Char] = {
     val t = new Array[Char](65536)
     leads.foreach { l =>
-      var tr = 0x40
+      var tr = 0x21 // families gate their own trail ranges via `trail`
       while (tr <= 0xFE) {
         if (trail(tr)) {
-          val s = jdkOne(cs, prefix ++ Array(l.toByte, tr.toByte))
+          val s = jdkOne(cs, prefix ++ Array(l.toByte, tr.toByte) ++ suffix)
           if (s != null) t((l << 8) | tr) = s.charAt(0)
         }
         tr += 1
@@ -210,6 +213,17 @@ object CharsetFamilies {
   // WHATWG euc-kr IS the UHC/windows-949 extension of KS X 1001
   private lazy val EucKrTable = pairTable(charsetOrElse("x-windows-949", "EUC-KR"),
     0x81 to 0xFE, tr => tr >= 0x41)
+  // gb18030's TWO-byte plane (its four-byte extension rides the
+  // JDK-delegated rare path in decodeGb18030)
+  private lazy val Gb18030Table = pairTable(Charset.forName("GB18030"),
+    0x81 to 0xFE, tr => tr != 0x7F)
+  private lazy val Gb18030Charset = Charset.forName("GB18030")
+  // JIS X 0208 plane probed through the full escape wrapper (the
+  // return-to-ASCII escape closes the shift state for the JDK probe)
+  private lazy val Jis0208Table = pairTable(Charset.forName("ISO-2022-JP"),
+    0x21 to 0x7E, tr => tr >= 0x21 && tr <= 0x7E,
+    prefix = Array(0x1B.toByte, 0x24.toByte, 0x42.toByte),
+    suffix = Array(0x1B.toByte, 0x28.toByte, 0x42.toByte))
 
   private lazy val SingleByteTables: Map[String, Array[Char]] = Map(
     "koi8-r" -> singleByteTable("KOI8-R"),
@@ -317,6 +331,116 @@ object CharsetFamilies {
   private def decodeEucKr(b: Array[Byte], from: Int): String =
     decodePairs(b, from, EucKrTable, c => c >= 0x81 && c <= 0xFE, _ => '\u0000')
 
+  /** GB18030: GBK's two-byte plane plus the four-byte extension
+    * (lead 81-FE, then 30-39 / 81-FE / 30-39). The two-byte cells
+    * ride the JDK-derived table; a well-formed four-byte sequence --
+    * which can land OUTSIDE the BMP -- is delegated per occurrence to
+    * the JDK decoder (the rare path; real gb18030 text is
+    * overwhelmingly 1/2-byte). Structural errors follow the prepend
+    * rule. Lone 0x80 is an error here (WHATWG gb18030), unlike the
+    * gbk decoder's euro shortcut.
+    */
+  private def decodeGb18030(b: Array[Byte], from: Int): String = {
+    val sb = new java.lang.StringBuilder(b.length - from)
+    val n = b.length
+    var i = from
+    while (i < n) {
+      val c = b(i) & 0xFF
+      if (c < 0x80) { sb.append(c.toChar); i += 1 }
+      else if (c >= 0x81 && c <= 0xFE && i + 1 < n) {
+        val b2 = b(i + 1) & 0xFF
+        if (b2 >= 0x30 && b2 <= 0x39) { // four-byte candidate
+          if (i + 3 < n && (b(i + 2) & 0xFF) >= 0x81 && (b(i + 2) & 0xFF) <= 0xFE &&
+            (b(i + 3) & 0xFF) >= 0x30 && (b(i + 3) & 0xFF) <= 0x39) {
+            val s = jdkOneOrTwo(Gb18030Charset, b, i, 4)
+            if (s != null) { sb.append(s); i += 4 }
+            else { sb.append('\uFFFD'); i += 1 } // unmapped pointer: reprocess from b2
+          } else { sb.append('\uFFFD'); i += 1 } // malformed tail: reprocess from b2
+        } else {
+          val m = Gb18030Table((c << 8) | b2)
+          if (m != 0) { sb.append(m); i += 2 }
+          else { sb.append('\uFFFD'); i += (if (b2 < 0x80) 1 else 2) }
+        }
+      } else { sb.append('\uFFFD'); i += 1 } // 0x80/0xFF lead or truncated
+    }
+    sb.toString
+  }
+
+  /** One decoded scalar from the JDK (1 BMP char or a surrogate
+    * pair), null on malformed/unmappable -- the gb18030 four-byte
+    * delegate.
+    */
+  private def jdkOneOrTwo(cs: Charset, b: Array[Byte], off: Int, len: Int): String = {
+    val dec = cs.newDecoder()
+      .onMalformedInput(CodingErrorAction.REPORT)
+      .onUnmappableCharacter(CodingErrorAction.REPORT)
+    try {
+      val out = dec.decode(java.nio.ByteBuffer.wrap(b, off, len)).toString
+      if (out.length == 1 || (out.length == 2 && out.codePointCount(0, 2) == 1)) out
+      else null
+    } catch { case _: java.nio.charset.CharacterCodingException => null }
+  }
+
+  /** ISO-2022-JP (RFC 1468 + the WHATWG state set): escape-switched
+    * states ASCII / Roman (5C -> yen, 7E -> overline) / half-width
+    * katakana (ESC ( I, 21-5F -> U+FF61+) / JIS X 0208 two-byte
+    * (ESC $ @ and ESC $ B both select the same index). Documented
+    * error contract: an unknown or truncated escape emits one U+FFFD
+    * and re-processes after the ESC byte; a state-invalid byte emits
+    * one U+FFFD; an invalid 0208 trail consumes only the lead.
+    * SO/SI (0x0E/0x0F) are errors in every state, per the WHATWG
+    * decoder.
+    */
+  private def decodeIso2022Jp(b: Array[Byte], from: Int): String = {
+    val sb = new java.lang.StringBuilder(b.length - from)
+    val n = b.length
+    var i = from
+    var state = 0 // 0 ascii, 1 roman, 2 katakana, 3 jis0208
+    while (i < n) {
+      val c = b(i) & 0xFF
+      if (c == 0x1B) {
+        if (i + 2 < n && (b(i + 1) & 0xFF) == '(' &&
+          ((b(i + 2) & 0xFF) == 'B' || (b(i + 2) & 0xFF) == 'J' || (b(i + 2) & 0xFF) == 'I')) {
+          state = (b(i + 2) & 0xFF) match {
+            case 'B' => 0
+            case 'J' => 1
+            case _ => 2
+          }
+          i += 3
+        } else if (i + 2 < n && (b(i + 1) & 0xFF) == '$' &&
+          ((b(i + 2) & 0xFF) == '@' || (b(i + 2) & 0xFF) == 'B')) {
+          state = 3
+          i += 3
+        } else { sb.append('\uFFFD'); i += 1 } // unknown/truncated escape
+      } else if (c == 0x0E || c == 0x0F) { sb.append('\uFFFD'); i += 1 }
+      else state match {
+        case 0 =>
+          if (c < 0x80) sb.append(c.toChar) else sb.append('\uFFFD')
+          i += 1
+        case 1 =>
+          if (c == 0x5C) sb.append('¥')
+          else if (c == 0x7E) sb.append('‾')
+          else if (c < 0x80) sb.append(c.toChar)
+          else sb.append('\uFFFD')
+          i += 1
+        case 2 =>
+          if (c >= 0x21 && c <= 0x5F) sb.append((0xFF61 + (c - 0x21)).toChar)
+          else sb.append('\uFFFD')
+          i += 1
+        case _ =>
+          if (c >= 0x21 && c <= 0x7E && i + 1 < n) {
+            val tr = b(i + 1) & 0xFF
+            if (tr >= 0x21 && tr <= 0x7E) {
+              val m = Jis0208Table((c << 8) | tr)
+              if (m != 0) sb.append(m) else sb.append('\uFFFD')
+              i += 2
+            } else { sb.append('\uFFFD'); i += 1 } // invalid trail: lead only
+          } else { sb.append('\uFFFD'); i += 1 } // invalid lead / truncated
+      }
+    }
+    sb.toString
+  }
+
   // ---------------------------------------------------------------
   // Labeled decode + the authority chain
   // ---------------------------------------------------------------
@@ -334,8 +458,10 @@ object CharsetFamilies {
       case "shift_jis" => decodeShiftJis(b, from)
       case "euc-jp" => decodeEucJp(b, from)
       case "gbk" => decodeGbk(b, from)
+      case "gb18030" => decodeGb18030(b, from)
       case "big5" => decodeBig5(b, from)
       case "euc-kr" => decodeEucKr(b, from)
+      case "iso-2022-jp" => decodeIso2022Jp(b, from)
       case other => decodeSingle(b, from, SingleByteTables(other))
     }
 

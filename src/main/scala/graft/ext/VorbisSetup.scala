@@ -140,13 +140,25 @@ object VorbisSetup {
     * nulls the walk); [[isComplete]] is Kraft equality.
     */
   private final class CodeTrie {
-    // unboxed growable node store (this runs per row in q139/q140)
+    // unboxed growable node store (this runs per row in q139/q140);
+    // instances are per-thread scratch (see [[CodeTrie.local]]) —
+    // reset is O(1) because newNode() initializes every cell it hands
+    // out, so stale nodes beyond `n` are never observed
     private var left = new Array[Int](64)
     private var right = new Array[Int](64)
     private var used = new Array[Boolean](64)
     private var full = new Array[Boolean](64)
     private var n = 1
     left(0) = -1; right(0) = -1
+
+    def reset(): Unit = {
+      if (left.length > (1 << 15)) { // shrink after an adversarial book
+        left = new Array[Int](64); right = new Array[Int](64)
+        used = new Array[Boolean](64); full = new Array[Boolean](64)
+      }
+      n = 1
+      left(0) = -1; right(0) = -1; used(0) = false; full(0) = false
+    }
 
     private def newNode(): Int = {
       if (n == left.length) {
@@ -188,6 +200,17 @@ object VorbisSetup {
     def isComplete: Boolean = full(0)
   }
 
+  private object CodeTrie {
+    /** Per-thread scratch: the q139 allocation diet (VERDICT r10
+      * item 3) — one trie per executor thread instead of four array
+      * allocations per codebook per row. Bounded: ≤32 KB resident
+      * per thread (shrunk on reset after an adversarial book).
+      */
+    val local: ThreadLocal[CodeTrie] = new ThreadLocal[CodeTrie] {
+      override def initialValue(): CodeTrie = new CodeTrie
+    }
+  }
+
   /** Parse one codebook at the reader's position. Null on any
     * structural violation.
     */
@@ -222,7 +245,8 @@ object VorbisSetup {
     // canonical assembly — single-used-entry books are the spec's
     // special case (one entry, zero or more bits, always "complete")
     val codewords = Array.fill(entries)(-1L)
-    val trie = new CodeTrie
+    val trie = CodeTrie.local.get()
+    trie.reset()
     var i = 0
     while (i < entries) {
       if (lengths(i) > 0) {

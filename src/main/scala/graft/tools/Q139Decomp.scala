@@ -63,8 +63,10 @@ object Q139Decomp {
       docs.select(pktUdf(synth).as("np")).agg(sum("np")).collect(); 0L
     }
     timed("synth + full setup parse") {
+      // one-evaluation barrier, same as the graded query
       docs.select(col("doc_id"),
-          gb.column(graft.fn.VorbisSetupStats(gb.expression(synth))).as("__s"))
+          explode(array(gb.column(graft.fn.VorbisSetupStats(
+            gb.expression(synth))))).as("__s"))
         .filter(col("__s").isNotNull)
         .agg(sum(col("__s.cw_sum"))).collect(); 0L
     }

@@ -60,6 +60,66 @@ class CharsetFamiliesSpec extends AnyFunSuite {
     }
   }
 
+  test("iso-2022-jp: JDK-encoder parity, escape states, hand anchors") {
+    // parity on JDK-encoder-generated input (escape placement is the
+    // encoder's own; our state machine must track it byte-for-byte)
+    val enc = Charset.forName("ISO-2022-JP")
+    val seed = "abc 日本語のテキスト xyz 漢字 012"
+    val rnd = new scala.util.Random(5)
+    for (trial <- 0 until 300) {
+      val len = rnd.nextInt(30)
+      val t = new StringBuilder
+      (0 until len).foreach(_ => t.append(seed.charAt(rnd.nextInt(seed.length))))
+      val bytes = t.toString.getBytes(enc)
+      val mine = CharsetFamilies.decodeCanonical(bytes, 0, "iso-2022-jp")
+      assert(mine === jdk("ISO-2022-JP", bytes), s"trial $trial")
+    }
+    def dec(hex: String): String = CharsetFamilies.decodeCanonical(
+      hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray, 0, "iso-2022-jp")
+    assert(dec("1B2442467C4B5C1B2842") === "日本")
+    // ESC ( I half-width katakana (the WHATWG state the JDK encoder
+    // never emits): 0x21 → U+FF61, 0x31 → U+FF71
+    assert(dec("1B28492131") === "｡ｱ")
+    // ESC ( J Roman: 5C → yen, 7E → overline
+    assert(dec("1B284A5C7E61") === "¥‾a")
+    // unknown escape: one FFFD, re-process after ESC
+    assert(dec("1B2858") === "�(X")
+    // truncated 0208 pair and state-invalid bytes never throw
+    assert(dec("1B244246") === "�")
+    assert(dec("1B24428080") === "��")
+  }
+
+  test("gb18030: JDK parity incl. 4-byte, supplementary, structure errors") {
+    val enc = Charset.forName("GB18030")
+    val seed = "abc 中文文本汉字 xyz €ḿ𝄞 012"
+    val rnd = new scala.util.Random(6)
+    for (trial <- 0 until 300) {
+      val len = rnd.nextInt(30)
+      val t = new StringBuilder
+      (0 until len).foreach(_ => t.append(seed.charAt(rnd.nextInt(seed.length))))
+      val str = t.toString
+      val bytes = str.getBytes(enc)
+      val mine = CharsetFamilies.decodeCanonical(bytes, 0, "gb18030")
+      assert(mine === jdk("GB18030", bytes), s"trial $trial")
+    }
+    def dec(hex: String): String = CharsetFamilies.decodeCanonical(
+      hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray, 0, "gb18030")
+    assert(dec("D6D0CEC4") === "中文")
+    assert(dec("A2E3") === "€")
+    // the JDK implements GB18030-2022: ḿ (U+1E3F, the classic 2000
+    // 4-byte anchor 8135F437) moved to the 2-byte plane
+    assert(dec("A8BC") === "ḿ")
+    assert(dec("81308B38") === "Ā") // 4-byte BMP under 2022
+    assert(dec("9432BE34") === "𝄞") // supplementary plane via 4-byte
+    // malformed 4-byte tail: FFFD then re-process from the digit
+    assert(dec("81304142") === "�0AB")
+    // lone 0x80 is an error in gb18030 (the gbk euro stays in gbk)
+    assert(dec("80") === "�")
+    assert(CharsetFamilies.decodeCanonical(Array(0x80.toByte), 0, "gbk") === "€")
+    assert(CharsetFamilies.normalizeLabel("gb18030") === "gb18030")
+    assert(CharsetFamilies.normalizeLabel("csiso2022jp") === "iso-2022-jp")
+  }
+
   test("hand anchors independent of the JDK (public mapping knowledge)") {
     def dec(canon: String, hex: String): String =
       CharsetFamilies.decodeCanonical(
@@ -117,7 +177,8 @@ class CharsetFamiliesSpec extends AnyFunSuite {
     assert(CharsetFamilies.normalizeLabel("windows-949") === "euc-kr")
     assert(CharsetFamilies.normalizeLabel("UTF-16") === "utf-16le")
     assert(CharsetFamilies.normalizeLabel("x-user-defined") === "windows-1252")
-    assert(CharsetFamilies.normalizeLabel("iso-2022-jp") === null)
+    assert(CharsetFamilies.normalizeLabel("iso-2022-jp") === "iso-2022-jp")
+    assert(CharsetFamilies.normalizeLabel("utf-7") === null)
     assert(CharsetFamilies.normalizeLabel("") === null)
     assert(CharsetFamilies.normalizeLabel(null) === null)
   }
@@ -150,7 +211,7 @@ class CharsetFamiliesSpec extends AnyFunSuite {
     // beyond the 1024-byte window: not seen
     assert(pre(("x" * 1100) + """<meta charset="gbk">""") === null)
     // unknown labels fall through (do not abort the scan)
-    assert(pre("""<meta charset="iso-2022-jp"><meta charset="sjis">""") === "shift_jis")
+    assert(pre("""<meta charset="utf-7"><meta charset="sjis">""") === "shift_jis")
     // <meta> with no ws/slash after the name is not a prescan meta
     assert(pre("""<metacharset="gbk">""") === null)
   }
