@@ -390,17 +390,131 @@ object Queries15 extends ColumnSyntax {
        |FROM read_parquet('$Q148Fixture/*.parquet')
        |ORDER BY doc_id""".stripMargin
 
+  // ------------- q150: crawl pipeline v2 — the round-11 integration
+  // flagship. A WARC corpus whose pages declare their encodings the
+  // way the real web does (nothing / meta / header param) and whose
+  // hosts exercise the full PSL (plain deep suffixes, *.ck wildcard,
+  // !www.ck and !city.kobe.jp exceptions, an unknown TLD, a bare
+  // hostname): readWarc → response filter → charset_detect →
+  // html_text → text_profile → registered_domain_psl in ONE plan.
+  // DuckDB predicts every surviving row's domain, charset, extracted
+  // text, and profile from `documents` alone.
+  private val Q150Dir = "/tmp/graft_fixtures/q150_warc"
+
+  private def q150(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.{graftbridge => gb}
+    val d = col("doc_id")
+    val id = d.cast("string")
+    def iso(c: org.apache.spark.sql.Column) = encode(c, "ISO-8859-1")
+    val host = element_at(array(
+      concat(lit("w"), (d % 7).cast("string"), lit(".news.example.co.uk")),
+      concat(lit("x"), (d % 5).cast("string"), lit(".a.b.ck")),
+      lit("www.ck"),
+      concat(lit("m"), (d % 3).cast("string"), lit(".city.kobe.jp")),
+      concat(lit("s"), (d % 4).cast("string"), lit(".chuo.kobe.jp")),
+      lit("cdn.example.qab"),
+      concat(lit("p"), (d % 2).cast("string"), lit(".site.com")),
+      lit("intranet")), (d % 8 + 1).cast("int"))
+    val bodyPre = concat(lit("<html><head></head><body>p "), id, lit(" "))
+    val metaPre = concat(
+      lit("""<html><head><meta charset="sjis"></head><body>p """), id, lit(" "))
+    val payload =
+      when(d % 3 === 0,
+        encode(concat(bodyPre, lit("quick brown fox 中文</body></html>")), "UTF-8"))
+      .when(d % 3 === 1,
+        concat(iso(concat(metaPre, lit("lazy dog jumps "))),
+          unhex(lit("82A082A2")), iso(lit("</body></html>"))))
+      .otherwise(
+        concat(iso(concat(bodyPre, lit("over the moon "))),
+          unhex(lit("C7D1B1B9")), iso(lit("</body></html>"))))
+    val ctype =
+      when(d % 3 === 2, lit("text/html; charset=euc-kr"))
+        .otherwise(lit("text/html"))
+    val rows = Tables.tbl(s, dir, "documents").select(d)
+      .select(
+        concat(lit("https://"), host, lit("/doc/"), id),
+        lit("2026-08-15T00:00:00Z"),
+        ctype,
+        payload)
+      .as[(String, String, String, Array[Byte])]
+    val hp = new org.apache.hadoop.fs.Path(Q150Dir)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(hp, true)
+    val nSeg = math.max(8, s.sparkContext.defaultParallelism)
+    graft.io.Warc.writeWarcGz(rows.repartition(nSeg), Q150Dir, wireVariants = true)
+    val psl = s.sparkContext.broadcast(
+      graft.ext.Psl.parseFile("data/psl_snapshot.dat"))
+    val detected = graft.io.Warc.responses(graft.io.Warc.readWarc(s, Q150Dir))
+      .where(col("http_status") === 200 &&
+             col("http_content_type").startsWith("text/html"))
+      .select(
+        regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+        regexp_extract(col("target_uri"), "^https://([^/]+)/", 1).as("host"),
+        explode(array(gb.column(graft.fn.CharsetDetect(
+          gb.expression(col("http_content_type")),
+          gb.expression(col("payload")))))).as("__c"))
+      .filter(col("__c").isNotNull)
+      .select(col("doc_id"),
+        gb.column(graft.fn.RegisteredDomainPsl(
+          gb.expression(col("host")), psl)).as("domain"),
+        col("__c.charset").as("charset"),
+        Queries13.htmlTextCol(col("__c.text")).as("text_out"))
+    val p = gb.column(graft.fn.TextProfile(gb.expression(col("text_out"))))
+    detected.select(col("doc_id"), col("domain"), col("charset"),
+        col("text_out"), explode(array(p)).as("__p"))
+      .filter(col("__p").isNotNull)
+      .select(col("doc_id"), col("domain"), col("charset"), col("text_out"),
+        col("__p.n_tokens").as("n_tokens"),
+        col("__p.lang_id").as("lang_id"),
+        round(col("__p.quality"), 6).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q150Sql =
+    s"""WITH ext AS (
+       |  SELECT doc_id,
+       |    CASE CAST(doc_id % 3 AS INT)
+       |      WHEN 0 THEN 'p ' || doc_id || ' quick brown fox 中文'
+       |      WHEN 1 THEN 'p ' || doc_id || ' lazy dog jumps あい'
+       |      ELSE 'p ' || doc_id || ' over the moon 한국' END AS text_out
+       |  FROM documents
+       |),
+       |${TextProfileSql.ctes("ext", "doc_id", "text_out")},
+       |prof AS (
+       |${TextProfileSql.select("doc_id")}
+       |)
+       |SELECT e.doc_id,
+       |  CASE CAST(e.doc_id % 8 AS INT)
+       |    WHEN 0 THEN 'example.co.uk'
+       |    WHEN 1 THEN 'a.b.ck'
+       |    WHEN 2 THEN 'www.ck'
+       |    WHEN 3 THEN 'city.kobe.jp'
+       |    WHEN 4 THEN 's' || (e.doc_id % 4) || '.chuo.kobe.jp'
+       |    WHEN 5 THEN 'example.qab'
+       |    WHEN 6 THEN 'site.com'
+       |    ELSE 'intranet' END AS domain,
+       |  CASE CAST(e.doc_id % 3 AS INT)
+       |    WHEN 0 THEN 'utf-8'
+       |    WHEN 1 THEN 'shift_jis'
+       |    ELSE 'euc-kr' END AS charset,
+       |  e.text_out, p.n_tokens, p.lang_id, p.quality
+       |FROM ext e JOIN prof p USING (doc_id)
+       |ORDER BY e.doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q145_charset_legacy" -> (q145 _),
     "q146_charset_chain" -> (q146 _),
     "q147_opus_toc" -> (q147 _),
     "q148_vorbis_roundtrip" -> (q148 _),
-    "q149_charset_stateful" -> (q149 _))
+    "q149_charset_stateful" -> (q149 _),
+    "q150_crawl_v2" -> (q150 _))
 
   val oracles: Map[String, String] = Map(
     "q145_charset_legacy" -> q145Sql,
     "q146_charset_chain" -> q146Sql,
     "q147_opus_toc" -> q147Sql,
     "q148_vorbis_roundtrip" -> q148Sql,
-    "q149_charset_stateful" -> q149Sql)
+    "q149_charset_stateful" -> q149Sql,
+    "q150_crawl_v2" -> q150Sql)
 }

@@ -71,3 +71,38 @@ case class UrlNormalize(child: Expression,
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** `registered_domain_psl(host)` — the FULL public-suffix-list
+  * rollup ([[graft.ext.Psl]]: wildcard + exception rules, any
+  * depth) as a per-row codegen kernel. The list rides a `Broadcast`
+  * (the UrlNormalize rule: O(handle) in the task binary even when
+  * the optimizer clones the expression). Null in, null out; a host
+  * that IS a public suffix passes through, matching the
+  * second-level rollup's convention.
+  */
+case class RegisteredDomainPsl(child: Expression,
+    psl: org.apache.spark.broadcast.Broadcast[graft.ext.Psl])
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "registered_domain_psl"
+
+  override protected def nullSafeEval(v: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      psl.value.registeredDomain(v.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.addReferenceObj("pslRules", psl,
+      "org.apache.spark.broadcast.Broadcast")
+    nullSafeCodeGen(ctx, ev, t =>
+      s"""
+         |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  ((graft.ext.Psl) $r.value()).registeredDomain($t.toString()));
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
