@@ -199,7 +199,13 @@ object Queries15 extends ColumnSyntax {
       when(d % 6 === 3, lit("text/html; charset=euc-kr"))
       .when(d % 6 === 4, lit("text/html; charset=koi8-r"))
       .otherwise(lit("text/html"))
+    // bounded corpus (the media-gate convention): this entry gates
+    // the authority CHAIN's correctness — WARC-at-scale throughput
+    // is q133/q136/q144's ledger; an unbounded corpus would only
+    // multiply gzip members against an oracle that replays string
+    // arithmetic by construction
     val rows = Tables.tbl(s, dir, "documents").select(d)
+      .where(d < 2000)
       .select(
         concat(lit("https://chain.test/doc/"), id),
         lit("2026-08-15T00:00:00Z"),
@@ -243,6 +249,7 @@ object Queries15 extends ColumnSyntax {
       |    WHEN 4 THEN '<html><head><meta charset="gbk"></head><body>p ' || doc_id || ' привет</body></html>'
       |    ELSE '<html><head></head><body>p ' || doc_id || ' “”€</body></html>' END AS text
       |FROM documents
+      |WHERE doc_id < 2000
       |ORDER BY doc_id""".stripMargin
 
   // ------------- q147: Opus packet structure (RFC 6716 §3) over a
@@ -431,7 +438,10 @@ object Queries15 extends ColumnSyntax {
     val ctype =
       when(d % 3 === 2, lit("text/html; charset=euc-kr"))
         .otherwise(lit("text/html"))
+    // bounded corpus, same rationale as q146: the v2 pipeline gates
+    // chain SEMANTICS; the scale-graded crawl pipeline remains q133
     val rows = Tables.tbl(s, dir, "documents").select(d)
+      .where(d < 5000)
       .select(
         concat(lit("https://"), host, lit("/doc/"), id),
         lit("2026-08-15T00:00:00Z"),
@@ -479,6 +489,7 @@ object Queries15 extends ColumnSyntax {
        |      WHEN 1 THEN 'p ' || doc_id || ' lazy dog jumps あい'
        |      ELSE 'p ' || doc_id || ' over the moon 한국' END AS text_out
        |  FROM documents
+       |  WHERE doc_id < 5000
        |),
        |${TextProfileSql.ctes("ext", "doc_id", "text_out")},
        |prof AS (
