@@ -323,6 +323,38 @@ object DocStreams {
         col("__u.norm_url").as("norm_url"), col("n_pii"), col("text_out"))
   }
 
+  /** [[crawlGate]] fed from RAW BYTES — the round-11 front door: the
+    * WHATWG charset authority chain ([[graft.fn.CharsetDetect]]: BOM
+    * → Content-Type param → meta prescan → strict UTF-8 → 1252)
+    * decodes each payload, and the decoded page flows through the
+    * UNCHANGED stateful crawl gate (extract, min-token gate, PII
+    * scrub, within-watermark content dedup, URL normalization). One
+    * consequence worth the name: the dedup fingerprint is computed on
+    * DECODED text, so the same page captured twice in different
+    * encodings (a UTF-16 mirror of a UTF-8 original, a 1252 relic)
+    * collapses to one document — byte-level dedup can never see
+    * that pair.
+    *
+    * Contract: pages (doc_id: long, ts: long nanos, url: string,
+    * content_type: string nullable, payload: binary) → crawlGate's
+    * output. Stateless prefix + the gate's own watermark state; no
+    * new state store.
+    */
+  def byteCrawlGate(pages: DataFrame, minTokens: Int = 20,
+                    horizon: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    val det = gb.column(graft.fn.CharsetDetect(
+      gb.expression(coalesce(col("content_type"), lit(""))),
+      gb.expression(col("payload"))))
+    val decoded = pages
+      .select(col("doc_id"), col("ts"), col("url"),
+        explode(array(det)).as("__c"))
+      .filter(col("__c").isNotNull)
+      .select(col("doc_id"), col("ts"), col("url"),
+        col("__c.text").as("html"))
+    crawlGate(decoded, minTokens, horizon)
+  }
+
   def curationGate(docs: DataFrame, minQuality: Double = 0.3,
                    langs: Seq[String] = Nil,
                    horizon: String = "10 minutes"): DataFrame = {

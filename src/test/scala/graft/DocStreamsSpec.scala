@@ -707,6 +707,71 @@ class DocStreamsSpec extends SparkSpec {
     assert(batch.intersect(Set(1L, 10L)).size === 1)
   }
 
+  test("streaming byte crawl gate: authority chain decodes, dedup is encoding-invariant, stream == batch") {
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(StructField("doc_id", LongType),
+      StructField("ts", LongType), StructField("url", StringType),
+      StructField("content_type", StringType),
+      StructField("payload", BinaryType)))
+    def page(head: String, body: String): String =
+      s"<html><head>$head</head><body><p>$body</p></body></html>"
+    val long1 = "alpha " * 30 + "mail user9@example.com now"
+    val longJa = ("beta " * 30) + "カナ 日本語"
+    val longKo = ("gamma " * 30) + "한국 텍스트"
+    val dir = java.nio.file.Files.createTempDirectory("bytegate").toString
+    val min = 60L * 1000000000L
+    def write(rows: Seq[(Long, Long, String, String, Array[Byte])]): Unit =
+      spark.createDataFrame(
+        rows.toDF("doc_id", "ts", "url", "content_type", "payload").rdd, sch)
+        .coalesce(1).write.mode("append").parquet(dir)
+    write(Seq(
+      // plain UTF-8, no declaration
+      (1L, 1 * min, "https://a.example.com/u8", "text/html",
+        page("", long1).getBytes("UTF-8")),
+      // meta-declared Shift_JIS (bytes are NOT valid UTF-8 fallback fodder)
+      (2L, 2 * min, "https://b.example.org/sj", "text/html",
+        page("""<meta charset="sjis">""", longJa).getBytes("windows-31j")),
+      // header-declared EUC-KR
+      (3L, 2 * min, "https://c.example.org/kr", "text/html; charset=euc-kr",
+        page("", longKo).getBytes("x-windows-949"))))
+    write(Seq(
+      // the SAME document as 1, captured as BOM'd UTF-16LE: decoded
+      // text is identical, so the content dedup must drop it even
+      // though not one payload byte matches
+      (10L, 4 * min, "https://mirror.example.net/u16", "text/html",
+        Array[Byte](0xFF.toByte, 0xFE.toByte) ++
+          page("", long1).getBytes("UTF-16LE")),
+      (4L, 5 * min, "https://d.example.org/short", "text/html",
+        page("", "too short").getBytes("UTF-8"))))
+    val q = DocStreams.byteCrawlGate(
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", "1").parquet(dir),
+        horizon = "30 minutes")
+      .writeStream.format("memory").queryName("bytegate")
+      .outputMode("append").start()
+    val streamed = try {
+      q.processAllAvailable()
+      write(Seq((100L, 600 * min, "https://z.example.org/z", "text/html",
+        page("", "omega " * 40).getBytes("UTF-8"))))
+      q.processAllAvailable()
+      spark.table("bytegate").filter($"doc_id" < 100).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("domain"),
+          r.getAs[Long]("n_pii"), r.getAs[String]("text_out"))).toSet
+    } finally q.stop()
+    // 4 dropped (short), 10 dropped (encoding-changed content dup of 1)
+    assert(streamed.map(_._1) === Set(1L, 2L, 3L), s"kept=$streamed")
+    val ja = streamed.find(_._1 == 2L).get
+    assert(ja._4.contains("カナ 日本語"), s"sjis text=${ja._4}")
+    val ko = streamed.find(_._1 == 3L).get
+    assert(ko._4.contains("한국 텍스트"), s"euckr text=${ko._4}")
+    assert(streamed.find(_._1 == 1L).get._3 === 1L) // planted email redacted
+    // batch parity: same frame through the same gate
+    val batch = DocStreams.byteCrawlGate(
+        spark.read.schema(sch).parquet(dir).filter($"doc_id" < 100))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(batch.size === 3 && batch.contains(2L) && batch.contains(3L))
+    assert(batch.intersect(Set(1L, 10L)).size === 1)
+  }
+
   test("streaming audio dedup gate: exact + perceptual dups dropped over FLAC clips, stream kept-set") {
     import org.apache.spark.sql.types._
     val sch = StructType(Seq(StructField("asset_id", LongType),
