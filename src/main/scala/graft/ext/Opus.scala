@@ -123,10 +123,9 @@ object Opus {
             sum += fl._1
             k += 1
           }
+          // last ≥ 0 also guarantees the explicit lengths fit
           val last = b.length - o - pad - sum
           if (last < 0 || last > 1275) return null
-          // the explicit lengths must fit in the available region
-          if (sum > b.length - o - pad) return null
           PacketInfo(config, stereo, 3, m, sum + last, pad, vbr = true)
         } else {
           if (avail % m != 0 || avail / m > 1275) return null
