@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
   * hiragana via the `sjis` alias, katakana via `Shift-JIS`), EUC-JP,
   * GBK (via its `GB2312` alias), Big5, EUC-KR (via `windows-949`),
   * KOI8-R/U, ISO-8859-5/-7/-15, windows-1250/51/54/56 — plus an
-  * unsupported `iso-2022-jp` label that must fall through to the
-  * sniff chain. The planted hex constants are hand-anchored public
+  * unsupported `utf-7` label that must fall through to the sniff
+  * chain (ISO-2022-JP itself became a supported stateful family
+  * later the same round; q149 gates it). The planted hex constants are hand-anchored public
   * mapping knowledge (あ=82A0 in Shift_JIS, 中=D6D0 in GBK,
   * 한=C7D1 in EUC-KR, …); DuckDB predicts the canonical charset,
   * the decoded text, and the code-point count per variant, so a

@@ -53,6 +53,9 @@ import java.nio.charset.{Charset, CodingErrorAction}
   * for the lead byte, and a would-be trail byte below 0x80 is
   * re-processed as its own character (so `[0x82, 'A']` in Shift_JIS
   * is U+FFFD followed by 'A', not a silently swallowed 'A').
+  * Shift_JIS alone additionally re-processes a 0x80 trail — its
+  * WHATWG error-prepend set is "ASCII byte or 0x80", mirroring the
+  * lone-0x80 → U+0080 pass-through that only shift_jis has.
   * Truncated tails emit one U+FFFD. Decoders never throw and output
   * length is bounded by input length (each consumed byte produces at
   * most one char).
@@ -264,7 +267,8 @@ object CharsetFamilies {
     * prepend rule documented above.
     */
   private def decodePairs(b: Array[Byte], from: Int, table: Array[Char],
-                          leadOk: Int => Boolean, single: Int => Char): String = {
+                          leadOk: Int => Boolean, single: Int => Char,
+                          reprocess80: Boolean = false): String = {
     val sb = new java.lang.StringBuilder(b.length - from)
     var i = from
     val n = b.length
@@ -279,8 +283,11 @@ object CharsetFamilies {
           val m = table((c << 8) | tr)
           if (m != 0) { sb.append(m); i += 2 }
           else { // invalid/unmapped pair: FFFD, prepend ASCII trails
+            // (shift_jis additionally prepends a 0x80 trail \u2014 WHATWG's
+            // error-prepend set there is "ASCII byte or 0x80", mirroring
+            // its lone-0x80 \u2192 U+0080 pass-through)
             sb.append('\uFFFD')
-            i += (if (tr < 0x80) 1 else 2)
+            i += (if (tr < 0x80 || (reprocess80 && tr == 0x80)) 1 else 2)
           }
         } else { sb.append('\uFFFD'); i += 1 } // bad lead / truncated tail
       }
@@ -293,7 +300,8 @@ object CharsetFamilies {
       c => (c >= 0x81 && c <= 0x9F) || (c >= 0xE0 && c <= 0xFC),
       c => if (c == 0x80) '\u0080' // WHATWG: 0x80 passes through
            else if (c >= 0xA1 && c <= 0xDF) (0xFF61 + (c - 0xA1)).toChar
-           else '\u0000')
+           else '\u0000',
+      reprocess80 = true)
 
   private def decodeEucJp(b: Array[Byte], from: Int): String = {
     // 0x8E+kana and 0x8F+0212 triples need their own arms; the

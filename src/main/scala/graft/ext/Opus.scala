@@ -79,7 +79,9 @@ object Opus {
     val dur = FrameSamples(config)
     code match {
       case 0 =>
-        PacketInfo(config, stereo, 0, 1, b.length - 1L, 0, vbr = false)
+        // [R2]: the single frame is the whole payload, still ≤ 1275
+        if (b.length - 1 > 1275) null
+        else PacketInfo(config, stereo, 0, 1, b.length - 1L, 0, vbr = false)
       case 1 =>
         val body = b.length - 1
         if (body % 2 != 0 || body / 2 > 1275) null

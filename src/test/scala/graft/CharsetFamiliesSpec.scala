@@ -145,6 +145,25 @@ class CharsetFamiliesSpec extends AnyFunSuite {
     // (0x3A ':' is below the 0x40 trail floor so the table cell is empty)
     assert(CharsetFamilies.decodeCanonical(Array(0x82.toByte, ':'.toByte), 0,
       "shift_jis") === "�:")
+    // Shift_JIS lead + 0x80 trail on an UNMAPPED cell: shift_jis is the
+    // one family whose WHATWG error-prepend set is "ASCII byte or 0x80"
+    // (a lone 0x80 decodes to U+0080 there), so the trail re-processes:
+    // FFFD + U+0080, never one swallowed FFFD. The JIS rows are sparse,
+    // so unmapped [lead, 0x80] cells exist; assert every one of them.
+    locally {
+      val unmapped = (0x81 to 0xFC).filter { l =>
+        (l <= 0x9F || l >= 0xE0) && {
+          val out = CharsetFamilies.decodeCanonical(
+            Array(l.toByte, 0x80.toByte), 0, "shift_jis")
+          out.nonEmpty && out.charAt(0) == '�'
+        }
+      }
+      assert(unmapped.nonEmpty, "expected at least one unmapped [lead,0x80]")
+      unmapped.foreach { l =>
+        assert(CharsetFamilies.decodeCanonical(Array(l.toByte, 0x80.toByte), 0,
+          "shift_jis") === "�", s"lead $l")
+      }
+    }
     // truncated multi-byte tail: one FFFD
     assert(CharsetFamilies.decodeCanonical(Array(0x82.toByte), 0, "shift_jis") === "�")
     assert(CharsetFamilies.decodeCanonical(Array(0xA4.toByte), 0, "euc-jp") === "�")
