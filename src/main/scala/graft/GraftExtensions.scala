@@ -135,6 +135,9 @@ object GraftExtensions {
       graft.fn.OpusSynth(_)),
     unaryFn("vorbis_encode_synth", classOf[graft.fn.VorbisEncodeSynth],
       graft.fn.VorbisEncodeSynth(_)),
+    unaryFn("pdf_synth", classOf[graft.fn.PdfSynth], graft.fn.PdfSynth(_)),
+    unaryFn("pdf_text", classOf[graft.fn.PdfTextStats],
+      graft.fn.PdfTextStats(_)),
     unaryFn("opus_toc_stats", classOf[graft.fn.OpusTocStats],
       graft.fn.OpusTocStats(_)),
     unaryFn("charset_sniff", classOf[graft.fn.CharsetSniff],

@@ -1,0 +1,1050 @@
+package graft.ext
+
+import scala.collection.mutable
+import scala.util.control.NonFatal
+
+/** PDF text extraction — a restricted-but-conformant subset of the
+  * public PDF specification (ISO 32000-1, distilled from the freely
+  * published Adobe PDF Reference), sized like the repo's WARC/Zarr
+  * readers: real-world structure coverage, bounded-and-total parsing,
+  * per-row kernel shape (VERDICT r11 item 1).
+  *
+  * PDFs are a top-3 text source for real LLM training-data pipelines;
+  * this reader turns an `application/pdf` crawl payload into the
+  * extracted text + document statistics that feed the same
+  * text_profile / dedup / quality gates as HTML.
+  *
+  * SUPPORTED (the subset a text pipeline actually hits):
+  *   - classic cross-reference tables (20-byte entries, subsections,
+  *     `trailer` dict, `/Prev` chains)
+  *   - cross-reference STREAMS (`/Type/XRef`, `/W`/`/Index`, type-0/1/2
+  *     rows) and object streams (`/Type/ObjStm`, `/N`/`/First`) — the
+  *     PDF 1.5+ layout that dominates the modern web
+  *   - FlateDecode (JDK Inflater) with `/DecodeParms` PNG predictors
+  *     10–15 (Sub/Up/Average/Paeth row unfiltering) and TIFF
+  *     predictor 2 at 8 bits per component
+  *   - the document tree: trailer → `/Root` → `/Pages` → `/Kids`
+  *     recursion with `/Resources` inheritance, `/Contents` as a
+  *     stream or an array of streams (concatenated per spec)
+  *   - content-stream text operators: BT/ET, Tf, Td, TD, T*, TL, Tm,
+  *     Tj, TJ, ' and " — everything else is consumed and ignored
+  *   - simple-font encodings WinAnsiEncoding (the windows-1252 table,
+  *     reusing [[Charsets]]' WHATWG index) and StandardEncoding
+  *     (printable ASCII with the famous quoteright/quoteleft
+  *     substitution at 0x27/0x60), and `/ToUnicode` CMaps (codespace
+  *     ranges, bfchar, bfrange incl. the array form) for everything
+  *     else — the Type0/Identity-H path included
+  *   - `/Info` `/Title` (ASCII PDFDocEncoding or UTF-16BE with BOM)
+  *
+  * RESTRICTED (documented, nulls or substitutes loudly — never a
+  * silent wrong answer):
+  *   - non-Flate filters (DCT/LZW/RunLength/ASCIIHex/ASCII85…) fail
+  *     the stream → the document nulls (a text pipeline must know it
+  *     did not extract, not get garbage)
+  *   - `/Encoding` dicts use `/BaseEncoding` only; `/Differences`
+  *     glyph lists are ignored (the Adobe glyph-list lookup is out of
+  *     subset) — affected codes decode through the base table
+  *   - MacRomanEncoding decodes its ASCII range; high bytes → U+FFFD
+  *   - encrypted documents (`/Encrypt` in the trailer) → null
+  *   - linearization hints, incremental-save shadowing beyond the
+  *     `/Prev` chain's first-definition-wins rule, and hybrid
+  *     `/XRefStm` side-tables are not chased
+  *
+  * LAYOUT SEMANTICS (deterministic, oracle-replayable): text runs are
+  * emitted in content-stream order. Td/TD with a non-zero ty emit a
+  * newline separator, with zero ty and non-zero tx a space; T*, ' and
+  * " emit a newline; Tm is positional state this extractor does not
+  * interpret (documented above). Separators buffer until the next
+  * show and are dropped at page start; page texts join with a single
+  * newline. TJ numeric adjustments ≤ −200/1000 em emit one space (the
+  * conventional word-gap heuristic); smaller kerns vanish.
+  *
+  * Bounded-and-total: every loop is capped (objects, pages, output
+  * chars, inflate expansion), reference resolution carries a depth
+  * guard and a visited set (cycles null), and the whole walk is
+  * wrapped — malformed input returns null, never throws, never
+  * amplifies.
+  */
+object Pdf {
+
+  final case class PdfDoc(nPages: Int, nObjects: Int, title: String, text: String)
+
+  // ---------------------------------------------------------------
+  // bounds
+  // ---------------------------------------------------------------
+  private val MaxObjects = 1 << 20
+  private val MaxPages = 10000
+  private val MaxOutChars = 1 << 22
+  private val MaxInflate = 1 << 26
+  private val MaxDepth = 32
+
+  // ---------------------------------------------------------------
+  // value model
+  // ---------------------------------------------------------------
+  sealed trait PVal
+  final case class PNum(d: Double) extends PVal { def toInt: Int = d.toInt }
+  final case class PStr(bytes: Array[Byte]) extends PVal
+  final case class PName(s: String) extends PVal
+  final case class PBool(b: Boolean) extends PVal
+  case object PNull extends PVal
+  final case class PArr(items: Vector[PVal]) extends PVal
+  final case class PDict(m: Map[String, PVal]) extends PVal
+  final case class PRef(num: Int) extends PVal
+  final case class PStream(dict: PDict, raw: Array[Byte]) extends PVal
+  /** content-stream operator keyword (never appears in object data) */
+  final case class POp(s: String) extends PVal
+
+  private def isWs(b: Int): Boolean =
+    b == 0 || b == 9 || b == 10 || b == 12 || b == 13 || b == 32
+  private def isDelim(b: Int): Boolean =
+    b == '(' || b == ')' || b == '<' || b == '>' || b == '[' || b == ']' ||
+      b == '{' || b == '}' || b == '/' || b == '%'
+
+  /** Mutable cursor lexer over the raw bytes. Every `parseValue` call
+    * either returns a PVal or throws (caught at the kernel boundary).
+    */
+  private final class Lexer(val b: Array[Byte], var pos: Int) {
+    def atEnd: Boolean = pos >= b.length
+    def peek: Int = if (pos < b.length) b(pos) & 0xFF else -1
+
+    def skipWs(): Unit = {
+      while (pos < b.length) {
+        val c = b(pos) & 0xFF
+        if (isWs(c)) pos += 1
+        else if (c == '%') { // comment to EOL
+          while (pos < b.length && b(pos) != '\n' && b(pos) != '\r') pos += 1
+        } else return
+      }
+    }
+
+    /** keyword/operator token: run of regular characters */
+    def readKeyword(): String = {
+      val s = pos
+      while (pos < b.length && !isWs(b(pos) & 0xFF) && !isDelim(b(pos) & 0xFF)) pos += 1
+      new String(b, s, pos - s, java.nio.charset.StandardCharsets.ISO_8859_1)
+    }
+
+    def expect(s: String): Unit = {
+      skipWs()
+      var i = 0
+      while (i < s.length) {
+        if (pos >= b.length || b(pos) != s.charAt(i).toByte) sys.error(s"expected $s")
+        pos += 1; i += 1
+      }
+    }
+
+    def name(): PName = { // pos at '/'
+      pos += 1
+      val sb = new java.lang.StringBuilder
+      while (pos < b.length && !isWs(b(pos) & 0xFF) && !isDelim(b(pos) & 0xFF)) {
+        val c = b(pos) & 0xFF
+        if (c == '#' && pos + 2 < b.length) {
+          val h = Character.digit(b(pos + 1), 16); val l = Character.digit(b(pos + 2), 16)
+          if (h >= 0 && l >= 0) { sb.append(((h << 4) | l).toChar); pos += 3 }
+          else { sb.append(c.toChar); pos += 1 }
+        } else { sb.append(c.toChar); pos += 1 }
+      }
+      PName(sb.toString)
+    }
+
+    def literalString(): PStr = { // pos at '('
+      pos += 1
+      val out = new java.io.ByteArrayOutputStream()
+      var depth = 1
+      while (pos < b.length && depth > 0) {
+        val c = b(pos) & 0xFF
+        if (c == '\\') {
+          pos += 1
+          if (pos < b.length) {
+            val e = b(pos) & 0xFF
+            e match {
+              case 'n' => out.write('\n'); pos += 1
+              case 'r' => out.write('\r'); pos += 1
+              case 't' => out.write('\t'); pos += 1
+              case 'b' => out.write('\b'); pos += 1
+              case 'f' => out.write('\f'); pos += 1
+              case '(' => out.write('('); pos += 1
+              case ')' => out.write(')'); pos += 1
+              case '\\' => out.write('\\'); pos += 1
+              case '\r' => // line continuation: \CR[LF] drops
+                pos += 1; if (pos < b.length && b(pos) == '\n') pos += 1
+              case '\n' => pos += 1
+              case d if d >= '0' && d <= '7' =>
+                var v = 0; var k = 0
+                while (k < 3 && pos < b.length && b(pos) >= '0' && b(pos) <= '7') {
+                  v = v * 8 + (b(pos) - '0'); pos += 1; k += 1
+                }
+                out.write(v & 0xFF)
+              case other => out.write(other); pos += 1 // unknown: drop backslash
+            }
+          }
+        } else if (c == '(') { depth += 1; out.write(c); pos += 1 }
+        else if (c == ')') { depth -= 1; if (depth > 0) out.write(c); pos += 1 }
+        else if (c == '\r') { // raw EOL in a literal records as \n (spec 7.3.4.2)
+          out.write('\n'); pos += 1
+          if (pos < b.length && b(pos) == '\n') pos += 1
+        } else { out.write(c); pos += 1 }
+      }
+      PStr(out.toByteArray)
+    }
+
+    def hexString(): PStr = { // pos at '<' (single)
+      pos += 1
+      val out = new java.io.ByteArrayOutputStream()
+      var hi = -1
+      var closed = false
+      while (pos < b.length && !closed) {
+        val c = b(pos) & 0xFF
+        if (c == '>') { closed = true; pos += 1 }
+        else {
+          val d = Character.digit(c, 16)
+          if (d >= 0) { if (hi < 0) hi = d else { out.write((hi << 4) | d); hi = -1 } }
+          pos += 1 // whitespace and junk skipped
+        }
+      }
+      if (hi >= 0) out.write(hi << 4) // odd digit pads 0
+      PStr(out.toByteArray)
+    }
+
+    def number(): PNum = {
+      val s = pos
+      if (pos < b.length && (b(pos) == '+' || b(pos) == '-')) pos += 1
+      while (pos < b.length && ((b(pos) >= '0' && b(pos) <= '9') || b(pos) == '.')) pos += 1
+      val str = new String(b, s, pos - s, java.nio.charset.StandardCharsets.ISO_8859_1)
+      PNum(if (str == "." || str == "-" || str == "+" || str.isEmpty) 0.0 else str.toDouble)
+    }
+
+    /** one value; `refs` enables the `N G R` lookahead (object data),
+      * content streams parse with refs=false and yield POp keywords.
+      */
+    def parseValue(refs: Boolean, depth: Int = 0): PVal = {
+      if (depth > 64) sys.error("value nesting too deep")
+      skipWs()
+      if (atEnd) sys.error("eof")
+      val c = peek
+      if (c == '/') name()
+      else if (c == '(') literalString()
+      else if (c == '[') {
+        pos += 1
+        val items = Vector.newBuilder[PVal]
+        skipWs()
+        var n = 0
+        while (peek != ']') {
+          items += parseValue(refs, depth + 1); skipWs()
+          n += 1; if (n > 65536) sys.error("array too long")
+        }
+        pos += 1
+        PArr(items.result())
+      } else if (c == '<') {
+        if (pos + 1 < b.length && b(pos + 1) == '<') {
+          pos += 2
+          val m = Map.newBuilder[String, PVal]
+          skipWs()
+          var n = 0
+          while (peek != '>') {
+            val k = parseValue(refs, depth + 1) match {
+              case PName(s) => s
+              case _ => sys.error("dict key not a name")
+            }
+            m += k -> parseValue(refs, depth + 1)
+            skipWs()
+            n += 1; if (n > 65536) sys.error("dict too long")
+          }
+          pos += 2 // >>
+          PDict(m.result())
+        } else hexString()
+      } else if (c == '-' || c == '+' || c == '.' || (c >= '0' && c <= '9')) {
+        val n1 = number()
+        if (refs && n1.d >= 0 && n1.d == math.floor(n1.d)) {
+          val save = pos
+          skipWs()
+          val c2 = peek
+          if (c2 >= '0' && c2 <= '9') {
+            number() // generation, ignored
+            skipWs()
+            if (peek == 'R') {
+              pos += 1
+              val after = if (pos < b.length) b(pos) & 0xFF else 32
+              if (isWs(after) || isDelim(after)) return PRef(n1.d.toInt)
+            }
+          }
+          pos = save
+        }
+        n1
+      } else {
+        val kw = readKeyword()
+        kw match {
+          case "true" => PBool(true)
+          case "false" => PBool(false)
+          case "null" => PNull
+          case "" => sys.error(s"lex stall at $pos")
+          case other => POp(other)
+        }
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // filters
+  // ---------------------------------------------------------------
+  /** per-thread Inflater (the CodeTrie-scratch discipline from the
+    * Vorbis allocation diet): a fresh Inflater per stream costs a
+    * native allocation + finalizer registration per row, which
+    * serializes 32-thread scaling; reset() reuses the native state.
+    */
+  private val TlInflater = new ThreadLocal[java.util.zip.Inflater] {
+    override def initialValue(): java.util.zip.Inflater =
+      new java.util.zip.Inflater()
+  }
+
+  private def inflate(in: Array[Byte]): Array[Byte] = {
+    val inf = TlInflater.get()
+    inf.reset()
+    inf.setInput(in)
+    val out = new java.io.ByteArrayOutputStream(math.min(in.length * 4, 1 << 16))
+    val buf = new Array[Byte](8192)
+    while (!inf.finished()) {
+      val n = inf.inflate(buf)
+      if (n == 0) {
+        if (inf.needsInput() || inf.needsDictionary()) sys.error("bad deflate")
+      } else out.write(buf, 0, n)
+      if (out.size > MaxInflate) sys.error("inflate bound")
+    }
+    out.toByteArray
+  }
+
+  /** PNG predictors 10–15 (per-row tag) and TIFF predictor 2 (bpc 8). */
+  private def unpredict(data: Array[Byte], predictor: Int, columns: Int,
+                        colors: Int, bpc: Int): Array[Byte] = {
+    if (predictor <= 1) return data
+    val bpp = math.max(1, (colors * bpc + 7) / 8)
+    val rowLen = (columns * colors * bpc + 7) / 8
+    if (predictor == 2) { // TIFF horizontal differencing
+      if (bpc != 8) sys.error("tiff predictor bpc != 8 unsupported")
+      val out = data.clone()
+      var r = 0
+      while (r + rowLen <= out.length) {
+        var i = bpp
+        while (i < rowLen) {
+          out(r + i) = ((out(r + i) + out(r + i - bpp)) & 0xFF).toByte
+          i += 1
+        }
+        r += rowLen
+      }
+      return out
+    }
+    // PNG: rows are (tag, rowLen bytes)
+    val stride = rowLen + 1
+    val nRows = data.length / stride
+    val out = new Array[Byte](nRows * rowLen)
+    val prev = new Array[Int](rowLen)
+    var r = 0
+    while (r < nRows) {
+      val tag = data(r * stride) & 0xFF
+      val src = r * stride + 1
+      val dst = r * rowLen
+      var i = 0
+      while (i < rowLen) {
+        val raw = data(src + i) & 0xFF
+        val left = if (i >= bpp) out(dst + i - bpp) & 0xFF else 0
+        val up = prev(i)
+        val ul = if (i >= bpp) {
+          if (r > 0) out(dst - rowLen + i - bpp) & 0xFF else 0
+        } else 0
+        val v = tag match {
+          case 0 => raw
+          case 1 => raw + left
+          case 2 => raw + up
+          case 3 => raw + ((left + up) >> 1)
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+            raw + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+          case _ => sys.error(s"png filter tag $tag")
+        }
+        out(dst + i) = (v & 0xFF).toByte
+        i += 1
+      }
+      i = 0
+      while (i < rowLen) { prev(i) = out(dst + i) & 0xFF; i += 1 }
+      r += 1
+    }
+    out
+  }
+
+  // ---------------------------------------------------------------
+  // document
+  // ---------------------------------------------------------------
+  private sealed trait XEntry
+  private final case class XOffset(off: Int) extends XEntry
+  private final case class XInStream(stmNum: Int, idx: Int) extends XEntry
+
+  private final class Doc(bytes: Array[Byte]) {
+    val xref = mutable.HashMap.empty[Int, XEntry]
+    var root: PVal = PNull
+    var info: PVal = PNull
+    private val objCache = mutable.HashMap.empty[Int, PVal]
+    private val resolving = mutable.HashSet.empty[Int]
+
+    // ---- xref bootstrap -------------------------------------------------
+    locally {
+      // header within the first 1024 bytes (spec allows leading junk)
+      val head = new String(bytes, 0, math.min(bytes.length, 1024),
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      if (!head.contains("%PDF-")) sys.error("no %PDF header")
+      val tail = new String(bytes, math.max(0, bytes.length - 2048),
+        math.min(bytes.length, 2048), java.nio.charset.StandardCharsets.ISO_8859_1)
+      val sx = tail.lastIndexOf("startxref")
+      if (sx < 0) sys.error("no startxref")
+      val lx = new Lexer(bytes, math.max(0, bytes.length - 2048) + sx + "startxref".length)
+      val start = lx.parseValue(refs = false) match {
+        case PNum(d) => d.toInt
+        case _ => sys.error("bad startxref")
+      }
+      val visited = mutable.HashSet.empty[Int]
+      var off = start
+      var hops = 0
+      while (off >= 0 && !visited.contains(off) && hops < 64) {
+        visited += off
+        off = parseXrefSection(off)
+        hops += 1
+      }
+      if (xref.isEmpty) sys.error("empty xref")
+      if (xref.size > MaxObjects) sys.error("xref bound")
+    }
+
+    /** parse one xref section (classic table or xref stream) at
+      * `off`; merge entries first-definition-wins (newest section is
+      * parsed first); return the /Prev offset or -1.
+      */
+    private def parseXrefSection(off: Int): Int = {
+      if (off < 0 || off >= bytes.length) sys.error("xref offset out of range")
+      val lx = new Lexer(bytes, off)
+      lx.skipWs()
+      if (lx.peek == 'x') { // classic: "xref"
+        if (lx.readKeyword() != "xref") sys.error("bad xref keyword")
+        lx.skipWs()
+        // subsections until "trailer"
+        while (lx.peek >= '0' && lx.peek <= '9') {
+          val first = lx.number().toInt
+          lx.skipWs()
+          val count = lx.number().toInt
+          if (count < 0 || count > MaxObjects) sys.error("xref subsection bound")
+          lx.skipWs()
+          var i = 0
+          while (i < count) {
+            // entries "nnnnnnnnnn ggggg n" + 2-byte EOL (20 bytes per
+            // spec; 1-byte-EOL writers exist, so skip 1–2 ws bytes)
+            if (lx.pos + 18 > lx.b.length) sys.error("truncated xref entry")
+            val ent = new String(lx.b, lx.pos, 18,
+              java.nio.charset.StandardCharsets.ISO_8859_1)
+            val eOff = ent.substring(0, 10).trim.toInt
+            val kind = ent.charAt(17)
+            val num = first + i
+            if (kind == 'n' && num > 0 && !xref.contains(num)) xref(num) = XOffset(eOff)
+            lx.pos += 18
+            var e = 0
+            while (e < 2 && lx.pos < lx.b.length && isWs(lx.b(lx.pos) & 0xFF)) {
+              lx.pos += 1; e += 1
+            }
+            i += 1
+          }
+          lx.skipWs()
+        }
+        if (lx.readKeyword() != "trailer") sys.error("no trailer")
+        val tr = lx.parseValue(refs = true) match {
+          case d: PDict => d
+          case _ => sys.error("trailer not a dict")
+        }
+        if (tr.m.contains("Encrypt")) sys.error("encrypted document")
+        if (root == PNull) root = tr.m.getOrElse("Root", PNull)
+        if (info == PNull) info = tr.m.getOrElse("Info", PNull)
+        tr.m.get("Prev") match { case Some(PNum(p)) => p.toInt; case _ => -1 }
+      } else { // xref stream: "N G obj <<...>> stream"
+        val (dict, data) = parseStreamObjectAt(off)
+        if (dict.m.get("Type") != Some(PName("XRef"))) sys.error("not an XRef stream")
+        if (dict.m.contains("Encrypt")) sys.error("encrypted document")
+        val w = dict.m.get("W") match {
+          case Some(PArr(items)) if items.length >= 3 =>
+            items.take(3).map { case PNum(d) => d.toInt; case _ => sys.error("bad /W") }
+          case _ => sys.error("missing /W")
+        }
+        val size = dict.m.get("Size") match {
+          case Some(PNum(d)) => d.toInt; case _ => sys.error("missing /Size")
+        }
+        val index: Seq[(Int, Int)] = dict.m.get("Index") match {
+          case Some(PArr(items)) =>
+            items.grouped(2).collect {
+              case Vector(PNum(a), PNum(b)) => (a.toInt, b.toInt)
+            }.toSeq
+          case _ => Seq((0, size))
+        }
+        val decoded = decodeStreamData(dict, data)
+        val rowLen = w.sum
+        if (rowLen <= 0) sys.error("zero /W row")
+        var p = 0
+        for ((first, count) <- index) {
+          if (count < 0 || count > MaxObjects) sys.error("xref stream bound")
+          var i = 0
+          while (i < count && p + rowLen <= decoded.length) {
+            def field(k: Int): Long = {
+              var v = 0L
+              val base = p + w.take(k).sum
+              var j = 0
+              while (j < w(k)) { v = (v << 8) | (decoded(base + j) & 0xFF); j += 1 }
+              v
+            }
+            val typ = if (w(0) == 0) 1L else field(0)
+            val num = first + i
+            if (num > 0 && !xref.contains(num)) {
+              if (typ == 1L) xref(num) = XOffset(field(1).toInt)
+              else if (typ == 2L) xref(num) = XInStream(field(1).toInt, field(2).toInt)
+              // type 0 = free: skip
+            }
+            p += rowLen
+            i += 1
+          }
+        }
+        if (root == PNull) root = dict.m.getOrElse("Root", PNull)
+        if (info == PNull) info = dict.m.getOrElse("Info", PNull)
+        dict.m.get("Prev") match { case Some(PNum(pv)) => pv.toInt; case _ => -1 }
+      }
+    }
+
+    /** parse `N G obj <<dict>> stream ... endstream` at a byte offset;
+      * returns (dict, RAW stream bytes). Throws if not a stream object.
+      */
+    private def parseStreamObjectAt(off: Int): (PDict, Array[Byte]) = {
+      parseObjectAt(off) match {
+        case PStream(d, raw) => (d, raw)
+        case _ => sys.error("expected stream object")
+      }
+    }
+
+    /** parse the object that starts at a byte offset. */
+    private def parseObjectAt(off: Int): PVal = {
+      if (off < 0 || off >= bytes.length) sys.error("object offset out of range")
+      val lx = new Lexer(bytes, off)
+      lx.skipWs(); lx.number() // obj num
+      lx.skipWs(); lx.number() // gen
+      lx.skipWs()
+      if (lx.readKeyword() != "obj") sys.error("missing obj keyword")
+      val v = lx.parseValue(refs = true)
+      v match {
+        case d: PDict =>
+          lx.skipWs()
+          val save = lx.pos
+          val kw = lx.readKeyword()
+          if (kw == "stream") {
+            // EOL after "stream": CRLF or LF
+            if (lx.peek == '\r') lx.pos += 1
+            if (lx.peek == '\n') lx.pos += 1
+            val start = lx.pos
+            val len = d.m.get("Length") match {
+              case Some(PNum(n)) => n.toInt
+              case Some(r: PRef) => deref(r, 0) match {
+                case PNum(n) => n.toInt
+                case _ => -1
+              }
+              case _ => -1
+            }
+            val end =
+              if (len >= 0 && start + len <= bytes.length &&
+                  endstreamAt(start + len)) start + len
+              else scanEndstream(start)
+            PStream(d, java.util.Arrays.copyOfRange(bytes, start, end))
+          } else { lx.pos = save; d }
+        case other => other
+      }
+    }
+
+    private def endstreamAt(p: Int): Boolean = {
+      var q = p
+      while (q < bytes.length && isWs(bytes(q) & 0xFF)) q += 1
+      q + 9 <= bytes.length &&
+        new String(bytes, q, 9, java.nio.charset.StandardCharsets.ISO_8859_1) == "endstream"
+    }
+
+    private def scanEndstream(start: Int): Int = {
+      val pat = "endstream".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      var p = start
+      while (p + pat.length <= bytes.length) {
+        var k = 0
+        while (k < pat.length && bytes(p + k) == pat(k)) k += 1
+        if (k == pat.length) {
+          var e = p
+          // back off the EOL before endstream
+          if (e > start && bytes(e - 1) == '\n') e -= 1
+          if (e > start && bytes(e - 1) == '\r') e -= 1
+          return e
+        }
+        p += 1
+      }
+      sys.error("no endstream")
+    }
+
+    /** decode a stream's data through /Filter (+ /DecodeParms). */
+    def decodeStreamData(dict: PDict, raw: Array[Byte]): Array[Byte] = {
+      val filters: Seq[String] = dict.m.get("Filter") match {
+        case None => Seq.empty
+        case Some(PName(n)) => Seq(n)
+        case Some(PArr(items)) => items.map {
+          case PName(n) => n; case _ => sys.error("bad /Filter entry")
+        }
+        case _ => sys.error("bad /Filter")
+      }
+      val parms: Seq[Option[PDict]] = dict.m.get("DecodeParms")
+        .orElse(dict.m.get("DP")) match {
+        case None => filters.map(_ => None)
+        case Some(d: PDict) => Seq(Some(d)) ++ filters.drop(1).map(_ => None)
+        case Some(PArr(items)) => filters.zipWithIndex.map { case (_, i) =>
+          items.lift(i) match { case Some(d: PDict) => Some(d); case _ => None }
+        }
+        case Some(PNull) => filters.map(_ => None)
+        case _ => sys.error("bad /DecodeParms")
+      }
+      var data = raw
+      filters.zip(parms).foreach {
+        case ("FlateDecode" | "Fl", pm) =>
+          data = inflate(data)
+          pm.foreach { d =>
+            def num(k: String, dflt: Int) = d.m.get(k) match {
+              case Some(PNum(v)) => v.toInt
+              case Some(r: PRef) => deref(r, 0) match {
+                case PNum(v) => v.toInt; case _ => dflt
+              }
+              case _ => dflt
+            }
+            data = unpredict(data, num("Predictor", 1), num("Columns", 1),
+              num("Colors", 1), num("BitsPerComponent", 8))
+          }
+        case (other, _) => sys.error(s"unsupported filter $other")
+      }
+      data
+    }
+
+    // ---- object resolution ---------------------------------------------
+    def obj(num: Int): PVal = {
+      objCache.get(num) match {
+        case Some(v) => v
+        case None =>
+          if (resolving.contains(num)) sys.error("reference cycle")
+          if (resolving.size > MaxDepth) sys.error("resolution depth")
+          resolving += num
+          try {
+            val v = xref.get(num) match {
+              case Some(XOffset(off)) => parseObjectAt(off)
+              case Some(XInStream(stmNum, idx)) => objFromStream(stmNum, idx)
+              case None => PNull
+            }
+            objCache(num) = v
+            v
+          } finally resolving -= num
+      }
+    }
+
+    private val objStmCache = mutable.HashMap.empty[Int, (Array[Byte], Vector[(Int, Int)])]
+
+    private def objFromStream(stmNum: Int, idx: Int): PVal = {
+      val (data, pairs) = objStmCache.getOrElseUpdate(stmNum, {
+        obj(stmNum) match {
+          case PStream(d, raw) =>
+            if (d.m.get("Type") != Some(PName("ObjStm"))) sys.error("not an ObjStm")
+            val n = d.m.get("N") match {
+              case Some(PNum(v)) => v.toInt; case _ => sys.error("ObjStm missing /N")
+            }
+            val first = d.m.get("First") match {
+              case Some(PNum(v)) => v.toInt; case _ => sys.error("ObjStm missing /First")
+            }
+            if (n < 0 || n > 65536) sys.error("ObjStm /N bound")
+            val data = decodeStreamData(d, raw)
+            val lx = new Lexer(data, 0)
+            val pairs = Vector.newBuilder[(Int, Int)]
+            var i = 0
+            while (i < n) {
+              lx.skipWs(); lx.number() // objnum (positional: trust idx)
+              lx.skipWs()
+              val off = lx.number().toInt
+              pairs += ((0, first + off))
+              i += 1
+            }
+            (data, pairs.result())
+          case _ => sys.error("ObjStm target is not a stream")
+        }
+      })
+      if (idx < 0 || idx >= pairs.length) sys.error("ObjStm index out of range")
+      val lx = new Lexer(data, pairs(idx)._2)
+      lx.parseValue(refs = true)
+    }
+
+    def deref(v: PVal, depth: Int): PVal = {
+      if (depth > MaxDepth) sys.error("deref depth")
+      v match {
+        case PRef(n) => deref(obj(n), depth + 1)
+        case other => other
+      }
+    }
+
+    def dictGet(d: PDict, key: String): PVal =
+      deref(d.m.getOrElse(key, PNull), 0)
+
+    def nObjects: Int = xref.keysIterator.count(_ > 0)
+  }
+
+  // ---------------------------------------------------------------
+  // encodings
+  // ---------------------------------------------------------------
+  /** WinAnsiEncoding ≡ the windows-1252 table ([[Charsets]]' WHATWG
+    * index supplies the 0x80–0x9F row); control range → U+FFFD.
+    */
+  private lazy val WinAnsiTable: Array[String] = {
+    val t = new Array[String](256)
+    var i = 0
+    while (i < 256) {
+      t(i) =
+        if (i < 32) "�"
+        else Charsets.decodeW1252For(Array(i.toByte), 0)
+      i += 1
+    }
+    t
+  }
+
+  /** StandardEncoding, restricted to its printable-ASCII range with
+    * the published quoteright (0x27 → U+2019) and quoteleft
+    * (0x60 → U+2018) substitutions; codes ≥ 0x80 → U+FFFD
+    * (documented above).
+    */
+  private lazy val StandardTable: Array[String] = {
+    val t = new Array[String](256)
+    var i = 0
+    while (i < 256) {
+      t(i) =
+        if (i == 0x27) "’"
+        else if (i == 0x60) "‘"
+        else if (i >= 32 && i < 127) i.toChar.toString
+        else "�"
+      i += 1
+    }
+    t
+  }
+
+  /** MacRomanEncoding restricted to ASCII (high bytes U+FFFD). */
+  private lazy val MacAsciiTable: Array[String] = {
+    val t = new Array[String](256)
+    var i = 0
+    while (i < 256) {
+      t(i) = if (i >= 32 && i < 127) i.toChar.toString else "�"
+      i += 1
+    }
+    t
+  }
+
+  private sealed trait FontDec
+  private final case class SimpleFont(table: Array[String]) extends FontDec
+  private final case class CMapFont(width: Int, map: Map[Int, String]) extends FontDec
+
+  private def decodeShown(bytes: Array[Byte], font: FontDec): String = font match {
+    case SimpleFont(t) =>
+      val sb = new java.lang.StringBuilder(bytes.length)
+      var i = 0
+      while (i < bytes.length) { sb.append(t(bytes(i) & 0xFF)); i += 1 }
+      sb.toString
+    case CMapFont(w, m) =>
+      val sb = new java.lang.StringBuilder(bytes.length)
+      var i = 0
+      while (i + w <= bytes.length) {
+        var code = 0
+        var j = 0
+        while (j < w) { code = (code << 8) | (bytes(i + j) & 0xFF); j += 1 }
+        sb.append(m.getOrElse(code, "�"))
+        i += w
+      }
+      if (i < bytes.length) sb.append("�") // ragged tail
+      sb.toString
+  }
+
+  /** ToUnicode CMap: codespace width + bfchar/bfrange mappings. */
+  private def parseToUnicode(data: Array[Byte]): CMapFont = {
+    val lx = new Lexer(data, 0)
+    var width = 0
+    val map = mutable.HashMap.empty[Int, String]
+    val stack = mutable.ArrayBuffer.empty[PVal]
+    def hexInt(s: PStr): Int = {
+      var v = 0; var i = 0
+      while (i < s.bytes.length) { v = (v << 8) | (s.bytes(i) & 0xFF); i += 1 }
+      v
+    }
+    def utf16(s: PStr): String =
+      new String(s.bytes, java.nio.charset.StandardCharsets.UTF_16BE)
+    var guard = 0
+    while (!lx.atEnd && guard < 1000000) {
+      guard += 1
+      lx.skipWs()
+      if (!lx.atEnd) {
+        val v = try lx.parseValue(refs = false) catch { case NonFatal(_) => POp("?skip") }
+        v match {
+          case POp("begincodespacerange") => stack.clear()
+          case POp("endcodespacerange") =>
+            stack.collectFirst { case s: PStr => s }.foreach { lo =>
+              width = math.max(1, math.min(2, lo.bytes.length))
+            }
+            stack.clear()
+          case POp("beginbfchar") => stack.clear()
+          case POp("endbfchar") =>
+            stack.grouped(2).foreach {
+              case mutable.ArrayBuffer(src: PStr, dst: PStr) =>
+                if (width == 0) width = math.max(1, math.min(2, src.bytes.length))
+                map(hexInt(src)) = utf16(dst)
+              case _ =>
+            }
+            stack.clear()
+          case POp("beginbfrange") => stack.clear()
+          case POp("endbfrange") =>
+            stack.grouped(3).foreach {
+              case mutable.ArrayBuffer(lo: PStr, hi: PStr, dst) =>
+                if (width == 0) width = math.max(1, math.min(2, lo.bytes.length))
+                val l = hexInt(lo); val h = math.min(hexInt(hi), l + 65535)
+                dst match {
+                  case d: PStr =>
+                    val base = utf16(d)
+                    if (base.nonEmpty) {
+                      var c = l
+                      while (c <= h) {
+                        // increment the LAST code unit (spec 9.10.3 usage)
+                        val off = c - l
+                        val s = base.substring(0, base.length - 1) +
+                          (base.charAt(base.length - 1) + off).toChar
+                        map(c) = s
+                        c += 1
+                      }
+                    }
+                  case PArr(items) =>
+                    var c = l
+                    items.foreach {
+                      case d: PStr => if (c <= h) { map(c) = utf16(d); c += 1 }
+                      case _ =>
+                    }
+                  case _ =>
+                }
+              case _ =>
+            }
+            stack.clear()
+          case POp(_) => stack.clear() // any other operator flushes
+          case operand => stack += operand
+        }
+      }
+    }
+    CMapFont(if (width == 0) 1 else width, map.toMap)
+  }
+
+  // ---------------------------------------------------------------
+  // content interpreter
+  // ---------------------------------------------------------------
+  private final class TextSink {
+    private val sb = new java.lang.StringBuilder
+    private var pending = new java.lang.StringBuilder
+    private var emitted = false
+    def sep(s: Char): Unit = pending.append(s)
+    def show(s: String): Unit = {
+      if (s.isEmpty && pending.length == 0) return
+      if (emitted && pending.length > 0) sb.append(pending)
+      pending = new java.lang.StringBuilder
+      if (sb.length + s.length <= MaxOutChars) sb.append(s)
+      emitted = true
+    }
+    def result: String = sb.toString
+  }
+
+  private def runContent(doc: Doc, content: Array[Byte],
+                         fonts: Map[String, PVal], sink: TextSink): Unit = {
+    val lx = new Lexer(content, 0)
+    val stack = mutable.ArrayBuffer.empty[PVal]
+    var font: FontDec = SimpleFont(StandardTable)
+    val fontCache = mutable.HashMap.empty[String, FontDec]
+
+    def resolveFont(name: String): FontDec = fontCache.getOrElseUpdate(name, {
+      fonts.get(name).map(f => doc.deref(f, 0)) match {
+        case Some(fd: PDict) =>
+          doc.dictGet(fd, "ToUnicode") match {
+            case PStream(sd, raw) =>
+              parseToUnicode(doc.decodeStreamData(sd, raw))
+            case _ =>
+              doc.dictGet(fd, "Encoding") match {
+                case PName("WinAnsiEncoding") => SimpleFont(WinAnsiTable)
+                case PName("MacRomanEncoding") => SimpleFont(MacAsciiTable)
+                case PName("StandardEncoding") => SimpleFont(StandardTable)
+                case ed: PDict =>
+                  doc.dictGet(ed, "BaseEncoding") match {
+                    case PName("WinAnsiEncoding") => SimpleFont(WinAnsiTable)
+                    case PName("MacRomanEncoding") => SimpleFont(MacAsciiTable)
+                    case _ => SimpleFont(StandardTable)
+                  }
+                case _ => SimpleFont(StandardTable)
+              }
+          }
+        case _ => SimpleFont(StandardTable)
+      }
+    })
+
+    def num(v: PVal): Double = v match { case PNum(d) => d; case _ => 0.0 }
+
+    var guard = 0
+    while (!lx.atEnd && guard < 4000000) {
+      guard += 1
+      lx.skipWs()
+      if (!lx.atEnd) {
+        val v = try lx.parseValue(refs = false) catch {
+          case NonFatal(_) => lx.pos += 1; POp("?skip")
+        }
+        v match {
+          case POp(op) =>
+            op match {
+              case "Tf" =>
+                if (stack.length >= 2) stack(stack.length - 2) match {
+                  case PName(n) => font = resolveFont(n)
+                  case _ =>
+                }
+              case "Td" | "TD" =>
+                if (stack.length >= 2) {
+                  val ty = num(stack(stack.length - 1))
+                  val tx = num(stack(stack.length - 2))
+                  if (ty != 0) sink.sep('\n') else if (tx != 0) sink.sep(' ')
+                }
+              case "T*" => sink.sep('\n')
+              case "Tj" =>
+                stack.lastOption.foreach {
+                  case s: PStr => sink.show(decodeShown(s.bytes, font))
+                  case _ =>
+                }
+              case "'" =>
+                sink.sep('\n')
+                stack.lastOption.foreach {
+                  case s: PStr => sink.show(decodeShown(s.bytes, font))
+                  case _ =>
+                }
+              case "\"" =>
+                sink.sep('\n')
+                stack.lastOption.foreach {
+                  case s: PStr => sink.show(decodeShown(s.bytes, font))
+                  case _ =>
+                }
+              case "TJ" =>
+                stack.lastOption.foreach {
+                  case PArr(items) => items.foreach {
+                    case s: PStr => sink.show(decodeShown(s.bytes, font))
+                    case PNum(d) => if (d <= -200) sink.sep(' ')
+                    case _ =>
+                  }
+                  case _ =>
+                }
+              case _ => // BT/ET/Tm/TL/Tc/Tw/graphics/…: consume operands
+            }
+            stack.clear()
+          case operand =>
+            stack += operand
+            if (stack.length > 4096) stack.clear() // runaway operand guard
+        }
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // page tree + top level
+  // ---------------------------------------------------------------
+  private def collectPages(doc: Doc, node: PVal, inheritedRes: PVal,
+                           out: mutable.ArrayBuffer[(PDict, PVal)],
+                           depth: Int): Unit = {
+    if (depth > MaxDepth || out.length >= MaxPages) return
+    doc.deref(node, 0) match {
+      case d: PDict =>
+        val res = d.m.get("Resources") match {
+          case Some(r) => r
+          case None => inheritedRes
+        }
+        doc.dictGet(d, "Type") match {
+          case PName("Pages") =>
+            doc.dictGet(d, "Kids") match {
+              case PArr(kids) =>
+                kids.foreach(k => collectPages(doc, k, res, out, depth + 1))
+              case _ =>
+            }
+          case PName("Page") =>
+            out += ((d, res))
+          case _ => // tolerate missing /Type on leaf dicts with /Contents
+            if (d.m.contains("Contents")) out += ((d, res))
+            else if (d.m.contains("Kids")) doc.dictGet(d, "Kids") match {
+              case PArr(kids) =>
+                kids.foreach(k => collectPages(doc, k, res, out, depth + 1))
+              case _ =>
+            }
+        }
+      case _ =>
+    }
+  }
+
+  private def pageText(doc: Doc, page: PDict, res: PVal): String = {
+    val fonts: Map[String, PVal] = doc.deref(res, 0) match {
+      case rd: PDict => doc.dictGet(rd, "Font") match {
+        case fd: PDict => fd.m
+        case _ => Map.empty
+      }
+      case _ => Map.empty
+    }
+    val sink = new TextSink
+    def run(v: PVal): Unit = doc.deref(v, 0) match {
+      case PStream(sd, raw) =>
+        runContent(doc, doc.decodeStreamData(sd, raw), fonts, sink)
+      case PArr(items) => items.foreach(run)
+      case _ =>
+    }
+    page.m.get("Contents").foreach(run)
+    sink.result
+  }
+
+  private def decodeTitle(v: PVal): String = v match {
+    case PStr(b) =>
+      if (b.length >= 2 && (b(0) & 0xFF) == 0xFE && (b(1) & 0xFF) == 0xFF)
+        new String(b, 2, b.length - 2, java.nio.charset.StandardCharsets.UTF_16BE)
+      else {
+        // PDFDocEncoding, restricted to its ASCII range
+        val sb = new java.lang.StringBuilder(b.length)
+        var i = 0
+        while (i < b.length) {
+          val c = b(i) & 0xFF
+          sb.append(if (c >= 32 && c < 127) c.toChar else '�')
+          i += 1
+        }
+        sb.toString
+      }
+    case _ => ""
+  }
+
+  /** Extract (page count, object count, /Info /Title, text) from a
+    * PDF payload. Null for anything this restricted subset cannot
+    * prove it extracted correctly — malformed, encrypted, unsupported
+    * filter, broken xref. Never throws.
+    */
+  def textOrNull(bytes: Array[Byte]): PdfDoc = {
+    if (bytes == null || bytes.length < 16) return null
+    try {
+      val doc = new Doc(bytes)
+      val catalog = doc.deref(doc.root, 0) match {
+        case d: PDict => d
+        case _ => sys.error("no catalog")
+      }
+      val pagesRoot = catalog.m.getOrElse("Pages", PNull)
+      val pages = mutable.ArrayBuffer.empty[(PDict, PVal)]
+      collectPages(doc, pagesRoot, PNull, pages, 0)
+      if (pages.isEmpty) sys.error("no pages")
+      val text = pages.iterator.map { case (p, r) => pageText(doc, p, r) }
+        .mkString("\n")
+      val title = doc.deref(doc.info, 0) match {
+        case d: PDict => decodeTitle(doc.dictGet(d, "Title"))
+        case _ => ""
+      }
+      PdfDoc(pages.length, doc.nObjects, title, text)
+    } catch {
+      case NonFatal(_) => null
+    }
+  }
+}

@@ -1,0 +1,274 @@
+package graft.ext
+
+import scala.collection.mutable
+
+/** Deterministic PDF corpus for the [[Pdf]] reader — the engine
+  * WRITES the documents it extracts (the q132 WARC / q148 Vorbis
+  * synthesize-your-own-fixture loop): every byte derives from
+  * `doc_id` by closed forms a SQL oracle replays with string
+  * arithmetic, and the writer exercises each supported structure
+  * axis so a defect in ANY layer breaks the q151 hash.
+  *
+  * Variants by `doc_id % 4`:
+  *   0. classic xref table, UNCOMPRESSED content streams, 1–2 pages,
+  *      WinAnsiEncoding with high-byte text (é = \351, € = \200) and
+  *      octal escapes — gates the classic table walk, the literal-
+  *      string parser, the WinAnsi table, and the page tree
+  *   1. classic xref + FlateDecode content, TJ kerning arrays with
+  *      gaps on both sides of the −200 word-gap threshold, escaped
+  *      parens + octal \101 — gates inflate and TJ semantics
+  *   2. PDF 1.5 layout: cross-reference STREAM (/W [1 4 2],
+  *      /Predictor 12 PNG-Up) + object stream holding the document
+  *      dicts + a Type0/Identity-H font with a /ToUnicode CMap
+  *      (bfchar + bfrange) shown via a hex string — gates the xref-
+  *      stream decoder, the predictor, ObjStm extraction, and the
+  *      2-byte CMap path
+  *   3. classic xref, /Contents ARRAY of two Flate streams, the '
+  *      and " text operators, /Info /Title — gates stream
+  *      concatenation, the quote operators, and metadata
+  *
+  * The `expected*` mirrors are the same closed forms in Scala, used
+  * by PdfSpec; q151's DuckDB oracle re-states them in SQL.
+  */
+object PdfFixtures {
+
+  private val Latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+
+  /** per-thread Deflater (see [[Pdf.inflate]]'s note: per-row native
+    * allocations serialize wide executors)
+    */
+  private val TlDeflater = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater()
+  }
+
+  private def flate(data: Array[Byte]): Array[Byte] = {
+    val d = TlDeflater.get()
+    d.reset()
+    d.setInput(data); d.finish()
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 16)
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    out.toByteArray
+  }
+
+  /** classic-xref document assembler */
+  private final class Classic {
+    private val out = new java.io.ByteArrayOutputStream()
+    private val offsets = mutable.TreeMap.empty[Int, Int]
+    raw("%PDF-1.4\n%âãÏÓ\n")
+
+    def raw(s: String): Unit = out.write(s.getBytes(Latin1))
+
+    def obj(num: Int, body: String): Unit = {
+      offsets(num) = out.size
+      raw(s"$num 0 obj\n$body\nendobj\n")
+    }
+
+    def streamObj(num: Int, extraDict: String, data: Array[Byte]): Unit = {
+      offsets(num) = out.size
+      raw(s"$num 0 obj\n<< $extraDict/Length ${data.length} >>\nstream\n")
+      out.write(data)
+      raw("\nendstream\nendobj\n")
+    }
+
+    def finish(rootNum: Int, infoNum: Int = -1): Array[Byte] = {
+      val xrefOff = out.size
+      val maxNum = offsets.keys.max
+      raw(s"xref\n0 ${maxNum + 1}\n")
+      raw("0000000000 65535 f\r\n")
+      (1 to maxNum).foreach { n =>
+        raw(f"${offsets.getOrElse(n, 0)}%010d 00000 n\r\n")
+      }
+      val info = if (infoNum > 0) s" /Info $infoNum 0 R" else ""
+      raw(s"trailer\n<< /Size ${maxNum + 1} /Root $rootNum 0 R$info >>\n")
+      raw(s"startxref\n$xrefOff\n%%EOF\n")
+      out.toByteArray
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // variants
+  // ---------------------------------------------------------------
+  private def v0(id: Long): Array[Byte] = {
+    // id % 4 == 0 selects this variant, so page count derives from
+    // id/4 (id % 2 would be constant-even here)
+    val pages = 1 + ((id / 4) % 2).toInt
+    val b = new Classic
+    val kids = (0 until pages).map(p => s"${4 + 2 * p} 0 R").mkString(" ")
+    b.obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    b.obj(2, s"<< /Type /Pages /Kids [ $kids ] /Count $pages >>")
+    b.obj(3, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+      "/Encoding /WinAnsiEncoding >>")
+    (0 until pages).foreach { p =>
+      b.obj(4 + 2 * p, s"<< /Type /Page /Parent 2 0 R " +
+        s"/Resources << /Font << /F1 3 0 R >> >> " +
+        s"/MediaBox [ 0 0 612 792 ] /Contents ${5 + 2 * p} 0 R >>")
+      val content =
+        s"BT /F1 12 Tf 72 720 Td (Doc $id page $p) Tj " +
+          s"0 -14 Td (caf\\351 \\200${id % 7}) Tj ET"
+      b.streamObj(5 + 2 * p, "", content.getBytes(Latin1))
+    }
+    b.finish(1)
+  }
+
+  private def v1(id: Long): Array[Byte] = {
+    val b = new Classic
+    b.obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    b.obj(2, "<< /Type /Pages /Kids [ 4 0 R ] /Count 1 >>")
+    b.obj(3, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+      "/Encoding /WinAnsiEncoding >>")
+    b.obj(4, "<< /Type /Page /Parent 2 0 R " +
+      "/Resources << /Font << /F1 3 0 R >> >> " +
+      "/MediaBox [ 0 0 612 792 ] /Contents 5 0 R >>")
+    val content =
+      s"BT /F1 12 Tf 72 720 Td (Doc $id \\(\\101\\)) Tj " +
+        s"0 -14 TD [ (kern) -150 (ed) -250 (text ${id % 5}) ] TJ ET"
+    b.streamObj(5, "/Filter /FlateDecode ", flate(content.getBytes(Latin1)))
+    b.finish(1)
+  }
+
+  /** PNG Up (tag 2) forward filter for the xref stream rows. */
+  private def pngUp(rows: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var prev = new Array[Byte](if (rows.isEmpty) 0 else rows.head.length)
+    rows.foreach { r =>
+      out.write(2)
+      var i = 0
+      while (i < r.length) { out.write((r(i) - prev(i)) & 0xFF); i += 1 }
+      prev = r
+    }
+    out.toByteArray
+  }
+
+  private def v2(id: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def raw(s: String): Unit = out.write(s.getBytes(Latin1))
+    raw("%PDF-1.5\n%âãÏÓ\n")
+
+    // objects 1–4 live in the object stream (obj 7)
+    val inner = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>",
+      3 -> ("<< /Type /Page /Parent 2 0 R " +
+        "/Resources << /Font << /F1 4 0 R >> >> " +
+        "/MediaBox [ 0 0 612 792 ] /Contents 6 0 R >>"),
+      4 -> ("<< /Type /Font /Subtype /Type0 /BaseFont /GraftCJK " +
+        "/Encoding /Identity-H /ToUnicode 5 0 R >>"))
+    val bodies = inner.map(_._2)
+    val offs = bodies.scanLeft(0)(_ + _.length + 1).init
+    val header = inner.map(_._1).zip(offs)
+      .map { case (n, o) => s"$n $o" }.mkString(" ") + "\n"
+    val stmPayload = (header + bodies.mkString("\n") + "\n").getBytes(Latin1)
+
+    val offsets = mutable.TreeMap.empty[Int, Int]
+    def streamObj(num: Int, extraDict: String, data: Array[Byte]): Unit = {
+      offsets(num) = out.size
+      raw(s"$num 0 obj\n<< $extraDict/Length ${data.length} >>\nstream\n")
+      out.write(data)
+      raw("\nendstream\nendobj\n")
+    }
+
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |12 dict begin
+        |begincmap
+        |/CMapName /GraftToUni def
+        |1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |3 beginbfchar
+        |<0041> <4E2D>
+        |<0042> <6587>
+        |<0020> <0020>
+        |endbfchar
+        |1 beginbfrange
+        |<0030> <0039> <FF10>
+        |endbfrange
+        |endcmap
+        |CMapName currentdict /CMap defineresource pop
+        |end
+        |end""".stripMargin
+    streamObj(5, "/Filter /FlateDecode ", flate(cmap.getBytes(Latin1)))
+
+    val d = (id % 10).toInt
+    val content =
+      f"BT /F1 12 Tf 72 720 Td <0041004200200030> Tj ET"
+        .replace("0030", f"00${0x30 + d}%02X")
+    streamObj(6, "/Filter /FlateDecode ", flate(content.getBytes(Latin1)))
+    streamObj(7, s"/Type /ObjStm /N ${inner.length} /First ${header.length} ",
+      stmPayload)
+
+    // xref stream (obj 8): /W [1 4 2], rows for 0..8
+    val xrefOff = out.size
+    def row(t: Int, f2: Int, f3: Int): Array[Byte] = Array[Byte](
+      t.toByte,
+      (f2 >> 24).toByte, (f2 >> 16).toByte, (f2 >> 8).toByte, f2.toByte,
+      (f3 >> 8).toByte, f3.toByte)
+    val rows = Seq(
+      row(0, 0, 65535), // obj 0 free
+      row(2, 7, 0), row(2, 7, 1), row(2, 7, 2), row(2, 7, 3), // in ObjStm
+      row(1, offsets(5), 0), row(1, offsets(6), 0), row(1, offsets(7), 0),
+      row(1, xrefOff, 0)) // the xref stream itself
+    val xdata = flate(pngUp(rows))
+    raw(s"8 0 obj\n<< /Type /XRef /Size 9 /W [ 1 4 2 ] /Index [ 0 9 ] " +
+      s"/Root 1 0 R /Filter /FlateDecode " +
+      s"/DecodeParms << /Predictor 12 /Columns 7 >> " +
+      s"/Length ${xdata.length} >>\nstream\n")
+    out.write(xdata)
+    raw("\nendstream\nendobj\n")
+    raw(s"startxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
+  }
+
+  private def v3(id: Long): Array[Byte] = {
+    val b = new Classic
+    b.obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    b.obj(2, "<< /Type /Pages /Kids [ 4 0 R ] /Count 1 >>")
+    b.obj(3, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+      "/Encoding /WinAnsiEncoding >>")
+    b.obj(4, "<< /Type /Page /Parent 2 0 R " +
+      "/Resources << /Font << /F1 3 0 R >> >> " +
+      "/MediaBox [ 0 0 612 792 ] /Contents [ 5 0 R 6 0 R ] >>")
+    val c1 = s"BT /F1 10 Tf 10 700 Td (Part ${id % 6}) Tj ET"
+    val c2 = s"BT /F1 10 Tf 10 680 Td (alpha) Tj (beta ${id % 4}) ' " +
+      s"0.5 0.1 (gamma ${id % 3}) \" ET"
+    b.streamObj(5, "/Filter /FlateDecode ", flate(c1.getBytes(Latin1)))
+    b.streamObj(6, "/Filter /FlateDecode ", flate(c2.getBytes(Latin1)))
+    b.obj(7, s"<< /Title (Graft Doc $id) /Producer (graft) >>")
+    b.finish(1, infoNum = 7)
+  }
+
+  /** the deterministic document for `doc_id` */
+  def pdf(id: Long): Array[Byte] = ((id % 4).toInt: @unchecked) match {
+    case 0 => v0(id)
+    case 1 => v1(id)
+    case 2 => v2(id)
+    case 3 => v3(id)
+  }
+
+  // ---------------------------------------------------------------
+  // closed-form mirrors (PdfSpec; q151's oracle re-states them in SQL)
+  // ---------------------------------------------------------------
+  def expectedText(id: Long): String = (id % 4).toInt match {
+    case 0 =>
+      (0 until (1 + ((id / 4) % 2).toInt))
+        .map(p => s"Doc $id page $p\ncafé €${id % 7}").mkString("\n")
+    case 1 => s"Doc $id (A)\nkerned text ${id % 5}"
+    case 2 => "中文 " + (0xFF10 + (id % 10).toInt).toChar
+    case _ => s"Part ${id % 6}\nalpha\nbeta ${id % 4}\ngamma ${id % 3}"
+  }
+
+  def expectedPages(id: Long): Int =
+    if (id % 4 == 0) 1 + ((id / 4) % 2).toInt else 1
+
+  def expectedObjects(id: Long): Int = (id % 4).toInt match {
+    case 0 => 3 + 2 * (1 + ((id / 4) % 2).toInt)
+    case 1 => 5
+    case 2 => 8
+    case _ => 7
+  }
+
+  def expectedTitle(id: Long): String =
+    if (id % 4 == 3) s"Graft Doc $id" else ""
+}

@@ -45,4 +45,22 @@ class MediaSynthPlanSpec extends SparkSpec {
     assert(r.getLong(0) === expNp)
     assert(r.getLong(1) === expPs)
   }
+
+  test("pdf synth+extract kernels: one codegen span, no shuffle, closed forms") {
+    GraftExtensions.install(spark)
+    val df = spark.range(40)
+      .selectExpr("pdf_text(pdf_synth(id)) AS p")
+      .selectExpr("p.n_pages AS np", "p.n_objects AS no", "p.n_chars AS nc")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("*(1) Project"), plan)
+    val r = df.agg(sum("np"), sum("no"), sum("nc")).head
+    val ids = 0L until 40L
+    assert(r.getLong(0) === ids.map(graft.ext.PdfFixtures.expectedPages(_).toLong).sum)
+    assert(r.getLong(1) === ids.map(graft.ext.PdfFixtures.expectedObjects(_).toLong).sum)
+    assert(r.getLong(2) === ids.map { i =>
+      val t = graft.ext.PdfFixtures.expectedText(i)
+      t.codePointCount(0, t.length).toLong
+    }.sum)
+  }
 }

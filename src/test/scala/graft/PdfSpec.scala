@@ -1,0 +1,196 @@
+package graft
+
+import graft.ext.{Pdf, PdfFixtures}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[graft.ext.Pdf]] — the restricted-subset PDF text extractor.
+  *
+  * Validation layers:
+  *   1. a HAND-ASSEMBLED golden document written inline here, byte by
+  *      byte, independent of [[PdfFixtures]] (so a shared bug in the
+  *      writer and reader cannot self-certify)
+  *   2. writer round-trips: every fixture variant × many ids must
+  *      reproduce the closed-form text/pages/objects/title mirrors
+  *   3. structure coverage: xref stream + ObjStm + predictor, CMap
+  *      bfchar/bfrange, TJ threshold semantics, escapes
+  *   4. the malformed contract: truncations at every offset, byte
+  *      flips, garbage, encrypted and unsupported-filter documents
+  *      null loudly and never throw
+  */
+class PdfSpec extends AnyFunSuite {
+
+  private val L1 = java.nio.charset.StandardCharsets.ISO_8859_1
+
+  // ---------------------------------------------------------------
+  // 1. hand-assembled golden (classic xref, plain content)
+  // ---------------------------------------------------------------
+  private def handGolden(): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def raw(s: String): Unit = out.write(s.getBytes(L1))
+    val offs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    raw("%PDF-1.4\n")
+    offs += out.size
+    raw("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    offs += out.size
+    raw("2 0 obj\n<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>\nendobj\n")
+    offs += out.size
+    raw("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /Font << /Fa 5 0 R >> >> >>\nendobj\n")
+    val content = "BT /Fa 9 Tf 5 10 Td (Hello) Tj 0 -11 Td (world \\050x\\051) Tj ET"
+    offs += out.size
+    raw(s"4 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n")
+    offs += out.size
+    raw("5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Times-Roman >>\nendobj\n")
+    val xref = out.size
+    raw("xref\n0 6\n")
+    raw("0000000000 65535 f\r\n")
+    offs.foreach(o => raw(f"$o%010d 00000 n\r\n"))
+    raw("trailer\n<< /Size 6 /Root 1 0 R >>\n")
+    raw(s"startxref\n$xref\n%%EOF\n")
+    out.toByteArray
+  }
+
+  test("hand-assembled golden extracts exactly") {
+    val d = Pdf.textOrNull(handGolden())
+    assert(d != null)
+    assert(d.nPages === 1)
+    assert(d.nObjects === 5)
+    assert(d.title === "")
+    // StandardEncoding default font; \050 = '(' and \051 = ')'
+    assert(d.text === "Hello\nworld (x)")
+  }
+
+  // ---------------------------------------------------------------
+  // 2. writer round-trips against the closed-form mirrors
+  // ---------------------------------------------------------------
+  test("every fixture variant round-trips its closed forms") {
+    for (id <- 0L until 64L) {
+      val d = Pdf.textOrNull(PdfFixtures.pdf(id))
+      assert(d != null, s"doc $id nulled")
+      assert(d.text === PdfFixtures.expectedText(id), s"doc $id text")
+      assert(d.nPages === PdfFixtures.expectedPages(id), s"doc $id pages")
+      assert(d.nObjects === PdfFixtures.expectedObjects(id), s"doc $id objects")
+      assert(d.title === PdfFixtures.expectedTitle(id), s"doc $id title")
+    }
+  }
+
+  test("variant structure is what it claims (layout axes differ)") {
+    val v0 = new String(PdfFixtures.pdf(0), L1)
+    val v1 = new String(PdfFixtures.pdf(1), L1)
+    val v2 = new String(PdfFixtures.pdf(2), L1)
+    val v3 = new String(PdfFixtures.pdf(3), L1)
+    assert(v0.contains("xref\n0 ") && !v0.contains("/Type /XRef"))
+    assert(v0.contains("(Doc 0 page 0)")) // uncompressed content visible
+    assert(v1.contains("/Filter /FlateDecode") && !v1.contains("(kern)"))
+    assert(v2.contains("/Type /XRef") && v2.contains("/Type /ObjStm") &&
+      v2.contains("/Predictor 12") && v2.contains("Identity-H"))
+    assert(v3.contains("/Title (Graft Doc 3)"))
+  }
+
+  // ---------------------------------------------------------------
+  // 3. focused structure cases
+  // ---------------------------------------------------------------
+  test("TJ adjustments: <= -200 is a word gap, smaller kerns vanish") {
+    // id % 4 == 1 exercises [-150, -250]: "kern"+"ed" fuse, then a space
+    val d = Pdf.textOrNull(PdfFixtures.pdf(1))
+    assert(d.text.contains("kerned text"))
+    assert(!d.text.contains("kern ed"))
+  }
+
+  test("2-byte ToUnicode CMap path decodes bfchar and bfrange cells") {
+    val d = Pdf.textOrNull(PdfFixtures.pdf(2)) // 中文 + fullwidth 2
+    assert(d.text === "中文 ２")
+    val d6 = Pdf.textOrNull(PdfFixtures.pdf(6)) // fullwidth 6
+    assert(d6.text === "中文 ６")
+  }
+
+  test("WinAnsi high bytes decode through the 1252 table") {
+    val d = Pdf.textOrNull(PdfFixtures.pdf(4)) // v0, id 4
+    assert(d.text.contains("café €4"))
+  }
+
+  test("quote operators break lines; /Info /Title decodes") {
+    val d = Pdf.textOrNull(PdfFixtures.pdf(3))
+    assert(d.text === "Part 3\nalpha\nbeta 3\ngamma 0")
+    assert(d.title === "Graft Doc 3")
+  }
+
+  test("UTF-16BE titles decode via the BOM") {
+    val out = new java.io.ByteArrayOutputStream()
+    def raw(s: String): Unit = out.write(s.getBytes(L1))
+    val offs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    raw("%PDF-1.4\n")
+    offs += out.size
+    raw("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    offs += out.size
+    raw("2 0 obj\n<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>\nendobj\n")
+    offs += out.size
+    raw("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n")
+    val content = "BT (t) Tj ET"
+    offs += out.size
+    raw(s"4 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n")
+    // UTF-16BE "Ωmega" as a hex string with BOM
+    val hex = "FEFF" + "Ωmega".map(c => f"${c.toInt}%04X").mkString
+    offs += out.size
+    raw(s"5 0 obj\n<< /Title <$hex> >>\nendobj\n")
+    val xref = out.size
+    raw("xref\n0 6\n0000000000 65535 f\r\n")
+    offs.foreach(o => raw(f"$o%010d 00000 n\r\n"))
+    raw("trailer\n<< /Size 6 /Root 1 0 R /Info 5 0 R >>\n")
+    raw(s"startxref\n$xref\n%%EOF\n")
+    val d = Pdf.textOrNull(out.toByteArray)
+    assert(d != null)
+    assert(d.title === "Ωmega")
+    assert(d.text === "t")
+  }
+
+  // ---------------------------------------------------------------
+  // 4. malformed contract: null loudly, never throw, never hang
+  // ---------------------------------------------------------------
+  test("truncations at every stride never throw") {
+    for (id <- 0L until 4L) {
+      val full = PdfFixtures.pdf(id)
+      var k = 1
+      while (k < full.length) {
+        val cut = java.util.Arrays.copyOfRange(full, 0, k)
+        Pdf.textOrNull(cut) // may be null or (rarely) still parseable; must not throw
+        k += 37
+      }
+      // cutting the tail (startxref) must null
+      assert(Pdf.textOrNull(java.util.Arrays.copyOfRange(full, 0, full.length - 24)) == null)
+    }
+  }
+
+  test("byte flips never throw") {
+    val rnd = new scala.util.Random(11)
+    for (id <- 0L until 4L; _ <- 0 until 50) {
+      val b = PdfFixtures.pdf(id).clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      Pdf.textOrNull(b)
+    }
+  }
+
+  test("garbage, empty, and non-PDF inputs null") {
+    assert(Pdf.textOrNull(null) == null)
+    assert(Pdf.textOrNull(Array.emptyByteArray) == null)
+    assert(Pdf.textOrNull("not a pdf at all, nope".getBytes(L1)) == null)
+    val rnd = new scala.util.Random(12)
+    for (_ <- 0 until 200) {
+      val b = new Array[Byte](rnd.nextInt(512))
+      rnd.nextBytes(b)
+      assert(Pdf.textOrNull(b) == null)
+    }
+  }
+
+  test("encrypted documents null loudly") {
+    val src = new String(PdfFixtures.pdf(0), L1)
+    val enc = src.replace("/Size", "/Encrypt 9 0 R /Size")
+    assert(Pdf.textOrNull(enc.getBytes(L1)) == null)
+  }
+
+  test("unsupported filters null loudly (no silent garbage)") {
+    val src = new String(PdfFixtures.pdf(1), L1)
+    val bad = src.replace("/Filter /FlateDecode", "/Filter /LZWDecode")
+    assert(Pdf.textOrNull(bad.getBytes(L1)) == null)
+  }
+}
