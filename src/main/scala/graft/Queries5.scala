@@ -146,13 +146,30 @@ object Queries5 extends ColumnSyntax {
       (i + 1000L, png((x, y) =>
         scene(i)(x, y) + (if ((x * 31 + y * 17) % 29 == 0) 2 else 0)))
     }
-    s.createDataFrame(originals ++ copies).toDF("img_id", "content")
+    // WebP plants (round 12): the same scenes through the VP8L
+    // writer — cross-FORMAT perceptual duplicates. dHash is invariant
+    // to the decoder's positive luminance scaling, so a PNG original
+    // and its WebP twin must pair at hamming 0 (40–49), and the
+    // perturbed WebP twins (50–54) at hamming ≤ 3, exactly like the
+    // PNG copies. A WebP routing/decode defect breaks these pairs.
+    def webp(px: (Int, Int) => Int): Array[Byte] =
+      graft.ext.WebpFixtures.encodeGray(
+        Array.tabulate(48 * 32)(p => px(p % 48, p / 48)), 48, 32)
+    val webpTwins = (40 until 50).map(i => (i + 2000L, webp(scene(i))))
+    val webpNear = (50 until 55).map { i =>
+      (i + 3000L, webp((x, y) =>
+        scene(i)(x, y) + (if ((x * 31 + y * 17) % 29 == 0) 2 else 0)))
+    }
+    s.createDataFrame(originals ++ copies ++ webpTwins ++ webpNear)
+      .toDF("img_id", "content")
       .repartition(8)
   }
 
   private def q84(s: SparkSession, dir: String): DataFrame =
     graft.ext.Images.nearDupImagePairs(q84Assets(s), "img_id", maxHamming = 3)
-      .withColumn("planted", ($"b_id" - $"a_id" === 1000L).cast("int"))
+      .withColumn("planted",
+        ($"b_id" - $"a_id" === 1000L || $"b_id" - $"a_id" === 2000L ||
+         $"b_id" - $"a_id" === 3000L).cast("int"))
       .orderBy($"a_id", $"b_id")
 
   /** q84p — q84's PAIR stage under the hash gate (VERDICT r6 item 5):

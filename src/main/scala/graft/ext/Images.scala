@@ -61,6 +61,10 @@ object Images {
       Tiff.decodeGrayOrNull(bytes) // uncompressed baseline TIFF (round 8)
     } else if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F') {
       Gif.firstFrameGrayOrNull(bytes) // GIF stills / animation posters (round 8)
+    } else if (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+        bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'E' &&
+        bytes(10) == 'B' && bytes(11) == 'P') {
+      WebpVp8l.decodeGrayOrNull(bytes) // WebP lossless (round 12); lossy → null
     } else null
   }
 
