@@ -252,6 +252,10 @@ object Warc {
     val residual = coding match {
       case Some("gzip") | Some("x-gzip") => body = gunzip(body, what); None
       case Some("deflate") => body = inflate(body, what); None
+      case Some("br") => // RFC 7932 via the from-spec decoder (round 12)
+        val d = graft.ext.Brotli.decodeOrNull(body)
+        if (d == null) throw new java.io.IOException(s"$what: malformed brotli body")
+        body = d; None
       case other => other // undecoded wire bytes, surfaced to the row
     }
     (status, hs.get("content-type"), body, residual, digestOk)
@@ -497,7 +501,7 @@ object Warc {
         try {
           var i = 0
           it.foreach { case (uri, date, ctype, body) =>
-            val variant = if (wireVariants) i % 4 else 0
+            val variant = if (wireVariants) i % 5 else 0
             val (framing, wireBody) = variant match {
               // chunked carries no Content-Length (RFC 9112 §6.2);
               // coded bodies state the WIRE length
@@ -508,6 +512,9 @@ object Warc {
               case 3 =>
                 val wb = zlibBytes(body)
                 ("Content-Encoding: deflate\r\nContent-Length: " + wb.length + "\r\n", wb)
+              case 4 => // brotli (null-compression metablocks, round 12)
+                val wb = graft.ext.Brotli.encodeRaw(body)
+                ("Content-Encoding: br\r\nContent-Length: " + wb.length + "\r\n", wb)
               case _ => ("Content-Length: " + body.length + "\r\n", body)
             }
             val httpHead = ("HTTP/1.1 200 OK\r\nContent-Type: " + ctype +
@@ -517,7 +524,7 @@ object Warc {
             http.write(httpHead); http.write(wireBody)
             // digest over the transfer-decoded body: the coded bytes
             // for the content-coding variants, the plain body otherwise
-            val digestBody = if (variant == 2 || variant == 3) wireBody else body
+            val digestBody = if (variant >= 2) wireBody else body
             val sha1 = java.security.MessageDigest.getInstance("SHA-1")
             val rec = recordBytes("response",
               s"<urn:graft:$part-$i>", Some(uri), date,

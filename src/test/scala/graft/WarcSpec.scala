@@ -140,14 +140,14 @@ class WarcSpec extends SparkSpec {
   test("unknown content coding is surfaced for quarantine, not silently kept") {
     val wire = Array[Byte](1, 2, 3, 4, 5)
     val head = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
-      "Content-Encoding: br\r\nContent-Length: 5\r\n\r\n"
+      "Content-Encoding: compress\r\nContent-Length: 5\r\n\r\n"
     val block = b(head) ++ wire
     val rec = b("WARC/1.0\r\nWARC-Type: response\r\n" +
-      "WARC-Record-ID: <urn:test:br>\r\nWARC-Date: 2026-08-14T00:00:04Z\r\n" +
+      "WARC-Record-ID: <urn:test:lzw>\r\nWARC-Date: 2026-08-14T00:00:04Z\r\n" +
       "Content-Type: application/http; msgtype=response\r\n" +
       s"Content-Length: ${block.length}\r\n\r\n") ++ block ++ b("\r\n\r\n")
     val r = parse(rec).head
-    assert(r.payload_encoding === Some("br"))
+    assert(r.payload_encoding === Some("compress"))
     assert(r.payload.toSeq === wire.toSeq) // wire bytes kept, not dropped
     assert(r.http_status === Some(200))
     // identity coding is NOT residual
@@ -155,6 +155,26 @@ class WarcSpec extends SparkSpec {
       "HTTP/1.1 200 OK\r\nContent-Encoding: identity\r\nContent-Length: 2\r\n\r\nok")).head
     assert(r2.payload_encoding === None)
     assert(new String(r2.payload, ISO_8859_1) === "ok")
+  }
+
+  test("Content-Encoding br decodes (round 12); malformed br fails loudly") {
+    val raw = ("brotli coded response body " * 8).getBytes(ISO_8859_1)
+    val wire = graft.ext.Brotli.encodeRaw(raw)
+    def rec(body: Array[Byte]): Array[Byte] = {
+      val head = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+        s"Content-Encoding: br\r\nContent-Length: ${body.length}\r\n\r\n"
+      val block = b(head) ++ body
+      b("WARC/1.0\r\nWARC-Type: response\r\n" +
+        "WARC-Record-ID: <urn:test:br2>\r\nWARC-Date: 2026-08-14T00:00:05Z\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${block.length}\r\n\r\n") ++ block ++ b("\r\n\r\n")
+    }
+    val r = parse(rec(wire)).head
+    assert(r.payload_encoding === None) // decoded, nothing residual
+    assert(r.payload.toSeq === raw.toSeq)
+    // a corrupted brotli body must fail the record loudly, not pass
+    // garbage downstream
+    assertThrows[Exception] { parse(rec(Array[Byte](1, 2, 3, 4, 5))) }
   }
 
   test("malformed HTTP payload header lines are data, not fatal") {
