@@ -115,9 +115,108 @@ object Queries16 {
        |FROM ext e JOIN prof p USING (doc_id)
        |ORDER BY e.doc_id""".stripMargin
 
+  // ------------- q152: trained language-ID scoring pass (the q98
+  // convention: [[graft.ext.LangId.PinnedW]] is a genuinely trained
+  // one-vs-rest model — tools/LangIdTrain — pinned as literals so the
+  // whole featurize → K·σ(w·x) → argmax path is oracle-checkable).
+  // The corpus is a deterministic 4-language text built from per-
+  // language word pools by id arithmetic; DuckDB rebuilds the texts,
+  // recomputes every n-gram feature with the same replace/length
+  // identity, replays all four logistic heads, and predicts the
+  // argmax — so a defect in the feature kernel, a weight, or the
+  // tie-break chain breaks the hash.
+  private def q152Text(s: SparkSession): org.apache.spark.sql.Column = {
+    val d = col("doc_id")
+    val idx = (d * 31 + col("k") * 7 + (d - d % 13) / 13) % 12
+    val pools = graft.tools.LangIdTrain.Pools
+    val word = when(d % 4 === 0,
+        element_at(array(pools("en").map(lit): _*), (idx + 1).cast("int")))
+      .when(d % 4 === 1,
+        element_at(array(pools("de").map(lit): _*), (idx + 1).cast("int")))
+      .when(d % 4 === 2,
+        element_at(array(pools("fr").map(lit): _*), (idx + 1).cast("int")))
+      .otherwise(
+        element_at(array(pools("es").map(lit): _*), (idx + 1).cast("int")))
+    word
+  }
+
+  private def q152(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val txt = Tables.tbl(s, dir, "documents").select(d)
+      .where(d < 4000)
+      .select(d, explode(sequence(lit(0L), lit(13L))).as("k"))
+      .select(d, col("k"), q152Text(s).as("w"))
+      .groupBy(d)
+      .agg(array_join(array_sort(collect_list(struct(col("k"), col("w"))))
+        .getField("w"), " ").as("text"))
+    val feats = graft.ext.LangId.features(col("text"))
+    val sc = graft.ext.LangId.scores(col("__f"), graft.ext.LangId.PinnedW)
+    txt.withColumn("__f", feats)
+      .select(d,
+        graft.ext.LangId.classify(col("__f"), graft.ext.LangId.PinnedW)
+          .as("lang_pred"),
+        round(sc(0), 6).as("s_en"), round(sc(1), 6).as("s_de"),
+        round(sc(2), 6).as("s_fr"), round(sc(3), 6).as("s_es"))
+      .orderBy(d)
+  }
+
+  private val q152Sql: String = {
+    val pools = graft.tools.LangIdTrain.Pools
+    def lst(l: String) = pools(l).map(w => s"'$w'").mkString("[", ", ", "]")
+    val featExprs = graft.ext.LangId.Ngrams.zipWithIndex.map { case (g, i) =>
+      val ge = g.replace("'", "''")
+      s"LEAST(1.0, CAST((LENGTH(p) - LENGTH(REPLACE(p, '$ge', ''))) / ${g.length} AS DOUBLE) * 8.0 / n) AS f$i"
+    }.mkString(",\n    ")
+    def head(w: Seq[Double]): String =
+      "1.0 / (1.0 + EXP(-(" + w.head.toString +
+        w.tail.zipWithIndex.map { case (v, i) => s" + ($v) * f$i" }.mkString +
+        ")))"
+    val Seq(sen, sde, sfr, ses) = graft.ext.LangId.PinnedW.map(head)
+    s"""WITH base AS (
+       |  SELECT doc_id FROM documents WHERE doc_id < 4000
+       |), wk AS (
+       |  SELECT b.doc_id, t.k,
+       |    CAST((b.doc_id * 31 + t.k * 7 + b.doc_id // 13) % 12 AS INT) AS idx
+       |  FROM base b, UNNEST(range(0, 14)) AS t(k)
+       |), words AS (
+       |  SELECT doc_id, k,
+       |    CASE CAST(doc_id % 4 AS INT)
+       |      WHEN 0 THEN list_extract(${lst("en")}, idx + 1)
+       |      WHEN 1 THEN list_extract(${lst("de")}, idx + 1)
+       |      WHEN 2 THEN list_extract(${lst("fr")}, idx + 1)
+       |      ELSE list_extract(${lst("es")}, idx + 1) END AS w
+       |  FROM wk
+       |), txt AS (
+       |  SELECT doc_id, string_agg(w, ' ' ORDER BY k) AS text
+       |  FROM words GROUP BY doc_id
+       |), pad AS (
+       |  SELECT doc_id, ' ' || text || ' ' AS p,
+       |    GREATEST(CAST(LENGTH(' ' || text || ' ') AS DOUBLE), 1.0) AS n
+       |  FROM txt
+       |), f AS (
+       |  SELECT doc_id,
+       |    $featExprs
+       |  FROM pad
+       |), sc AS (
+       |  SELECT doc_id,
+       |    $sen AS s_en, $sde AS s_de, $sfr AS s_fr, $ses AS s_es
+       |  FROM f
+       |)
+       |SELECT doc_id,
+       |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+       |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+       |       WHEN s_fr >= s_es THEN 'fr'
+       |       ELSE 'es' END AS lang_pred,
+       |  ROUND(s_en, 6) + 0 AS s_en, ROUND(s_de, 6) + 0 AS s_de,
+       |  ROUND(s_fr, 6) + 0 AS s_fr, ROUND(s_es, 6) + 0 AS s_es
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q151_pdf_text" -> (q151 _))
+    "q151_pdf_text" -> (q151 _),
+    "q152_lang_id" -> (q152 _))
 
   val oracles: Map[String, String] = Map(
-    "q151_pdf_text" -> q151Sql)
+    "q151_pdf_text" -> q151Sql,
+    "q152_lang_id" -> q152Sql)
 }

@@ -473,6 +473,28 @@ object DocStreams {
         col("q_score"))
   }
 
+  /** TRAINED language gate ([[graft.ext.LangId]], round 12) — the
+    * model-based language filter next to [[qualityModelGate]]:
+    * K per-language σ(w_k·x) scores over fixed character-n-gram
+    * features with LITERAL trained weights, deterministic argmax,
+    * keep-set filter. Completely STATELESS — one codegen projection
+    * + filter, no state store, no watermark, stream plan ≡ batch
+    * plan (DocStreamsSpec asserts parity and batch-operator
+    * decision-identity).
+    *
+    * Contract: docs (doc_id: long, ts: long nanos, text: string) →
+    * kept (doc_id, ts micros, text, lang_pred).
+    */
+  def langGate(docs: DataFrame, keep: Seq[String],
+               weights: Seq[Seq[Double]] = graft.ext.LangId.PinnedW): DataFrame =
+    docs
+      .select(col("doc_id"), EventStreams.tsCol.as("ts_t"), col("text"))
+      .withColumn("__f", graft.ext.LangId.features(col("text")))
+      .withColumn("lang_pred", graft.ext.LangId.classify(col("__f"), weights))
+      .filter(col("lang_pred").isin(keep: _*))
+      .select(col("doc_id"), unix_micros(col("ts_t")).as("ts"), col("text"),
+        col("lang_pred"))
+
   /** EXACT-substring contamination gate — the [[graft.ext.SpanDedup]]
     * screen on streams: drop arriving docs whose L-char-window overlap
     * with a STATIC reference corpus (benchmark/eval suites) exceeds

@@ -417,6 +417,38 @@ class DocStreamsSpec extends SparkSpec {
     assert(streamed.values.forall(_ <= maxPpl))
   }
 
+  test("streaming language gate: stream == batch, off-language dropped, stateless") {
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ts", LongType),
+      StructField("text", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("langgate").toString
+    val min = 60L * 1000000000L
+    spark.createDataFrame(Seq(
+        (1L, 1 * min, "the people and the water of the house and the time"),
+        (2L, 2 * min, "der kleine und die leute mit der zeit und der welt"),
+        (3L, 3 * min, "les gens est une grande maison des mots les temps"),
+        (4L, 4 * min, "los tiempos las aguas para la gente como antes"))
+        .toDF("doc_id", "ts", "text").rdd, sch)
+      .coalesce(1).write.mode("append").parquet(dir)
+
+    val q = DocStreams.langGate(
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", "1").parquet(dir),
+        keep = Seq("en", "de"))
+      .writeStream.format("memory").queryName("langgate")
+      .outputMode("append").start()
+    val streamed = try {
+      q.processAllAvailable()
+      spark.table("langgate").select($"doc_id", $"lang_pred").as[(Long, String)]
+        .collect().toMap
+    } finally q.stop()
+    val batch = DocStreams.langGate(
+        spark.read.schema(sch).parquet(dir), keep = Seq("en", "de"))
+      .select($"doc_id", $"lang_pred").as[(Long, String)].collect().toMap
+    assert(streamed === batch, "stateless gate must be plan-identical")
+    assert(streamed === Map(1L -> "en", 2L -> "de"), s"kept=$streamed")
+  }
+
   test("streaming quality-model gate: stream == batch, junk dropped, token-less dropped") {
     import org.apache.spark.sql.types._
     val sch = StructType(Seq(

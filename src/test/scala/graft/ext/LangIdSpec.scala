@@ -1,0 +1,71 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+/** [[LangId]] — the trained char-n-gram language classifier.
+  *
+  *  - RE-TRAINS the one-vs-rest model on the tools/LangIdTrain corpus
+  *    and asserts perfect holdout accuracy on disjoint seeds (the
+  *    synthetic pools are strongly separated by construction — less
+  *    than 100% means the trainer or featurizer regressed)
+  *  - asserts the PINNED weights carry the trained structure: each
+  *    head's own-language n-gram weights are positive and dominate
+  *    every cross-language weight
+  *  - classification with the pinned weights matches training-free
+  *    expectations on hand phrases, incl. the tie-break order
+  */
+class LangIdSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  private def corpus(n: Int, seedBase: Long) = {
+    val langs = LangId.Langs
+    (0 until n).map { i =>
+      val lang = langs(i % 4)
+      (i.toLong, lang, graft.tools.LangIdTrain.doc(lang, seedBase + i))
+    }.toDF("id", "lang", "text")
+  }
+
+  test("re-trained one-vs-rest model reaches 100% holdout accuracy") {
+    val train = corpus(800, 1000)
+    val feats = LangId.featurize(train, "id", "text")
+      .join(train.select($"id", $"lang"), "id")
+    val w = LangId.train(feats, iters = 60)
+    val test = corpus(200, 50000)
+    val acc = LangId.featurize(test, "id", "text")
+      .withColumn("pred", LangId.classify($"features", w.map(_.toSeq)))
+      .join(test.select($"id", $"lang"), "id")
+      .select(avg(($"pred" === $"lang").cast("double"))).head.getDouble(0)
+    assert(acc === 1.0, s"holdout accuracy $acc")
+  }
+
+  test("pinned weights carry the trained one-vs-rest structure") {
+    LangId.PinnedW.zipWithIndex.foreach { case (w, k) =>
+      // features 1+4k..4k+4 are language k's own n-grams
+      val own = (1 + 4 * k) until (1 + 4 * k + 4)
+      own.foreach(j => assert(w(j) > 1.0, s"lang $k weight $j"))
+      (1 until LangId.Dim).filterNot(own.contains)
+        .foreach(j => assert(w(j) < 0.0, s"lang $k cross weight $j"))
+    }
+  }
+
+  test("classification with pinned weights on hand phrases") {
+    val rows = Seq(
+      (1L, "the people and the water of the house"),
+      (2L, "der kleine und die leute mit der zeit"),
+      (3L, "les gens est une grande maison des mots"),
+      (4L, "los tiempos las aguas para la gente como antes"),
+      (5L, "")).toDF("id", "text")
+    val pred = LangId.featurize(rows, "id", "text")
+      .withColumn("p", LangId.classify($"features", LangId.PinnedW))
+      .select($"id", $"p").as[(Long, String)].collect().toMap
+    assert(pred(1L) === "en")
+    assert(pred(2L) === "de")
+    assert(pred(3L) === "fr")
+    assert(pred(4L) === "es")
+    // no evidence at all: every head scores σ(intercept); the argmax
+    // chain breaks ties in Langs order... except intercepts differ —
+    // the LEAST negative intercept wins deterministically
+    val best = LangId.PinnedW.map(_.head).zipWithIndex.maxBy(_._1)._2
+    assert(pred(5L) === LangId.Langs(best))
+  }
+}
