@@ -41,7 +41,21 @@ class CharsetFamiliesSpec extends AnyFunSuite {
     ("windows-1250", "windows-1250", "abc řůčž €„“ xyz"),
     ("windows-1251", "windows-1251", "abc Привет текст €„“ xyz"),
     ("windows-1254", "windows-1254", "abc ğşİı çö €„“ xyz"),
-    ("windows-1256", "windows-1256", "abc مرحبا نص €„“ xyz"))
+    ("windows-1256", "windows-1256", "abc مرحبا نص €„“ xyz"),
+    // round-12 registry completion
+    ("iso-8859-3", "ISO-8859-3", "abc ĉirkaŭ ĝis ĥoro ŝi xyz"),
+    ("iso-8859-4", "ISO-8859-4", "abc āēīūņķļ žšc xyz"),
+    ("iso-8859-6", "ISO-8859-6", "abc مرحبا نص عربي xyz"),
+    ("iso-8859-13", "ISO-8859-13", "abc ąčęėįšųū žiema xyz"),
+    ("iso-8859-16", "ISO-8859-16", "abc șțăâî română €xyz"),
+    ("windows-874", "x-windows-874", "abc ไทย ทดสอบ xyz"),
+    ("windows-1253", "windows-1253", "abc αβγ κείμενο € xyz"),
+    ("windows-1255", "windows-1255", "abc שלום טקסט ₪€ xyz"),
+    ("windows-1257", "windows-1257", "abc ąčęėįšųū € xyz"),
+    ("windows-1258", "windows-1258", "abc việt nam € xyz"),
+    ("ibm866", "IBM866", "abc привет текст xyz"),
+    ("macintosh", "x-MacRoman", "abc café déjà vu xyz"),
+    ("x-mac-cyrillic", "x-MacCyrillic", "abc привет мир xyz"))
 
   test("well-formed inputs decode byte-for-byte like the JDK, every family") {
     val rnd = new scala.util.Random(42)
@@ -181,6 +195,38 @@ class CharsetFamiliesSpec extends AnyFunSuite {
       val out = CharsetFamilies.decodeCanonical(b, 0, canon)
       assert(out != null && out.length <= b.length)
     }
+  }
+
+  test("registry boundary: replacement labels, intentional absences (round 12)") {
+    // WHATWG maps the stateful XSS-vector codings to `replacement`:
+    // one U+FFFD for any non-empty stream, empty for empty
+    Seq("iso-2022-kr", "csiso2022kr", "hz-gb-2312", "iso-2022-cn",
+        "iso-2022-cn-ext", "replacement").foreach { l =>
+      assert(CharsetFamilies.normalizeLabel(l) === "replacement", l)
+    }
+    assert(CharsetFamilies.decodeCanonical(
+      "anything at all".getBytes("ISO-8859-1"), 0, "replacement") === "�")
+    assert(CharsetFamilies.decodeCanonical(Array.emptyByteArray, 0,
+      "replacement") === "")
+    // a replacement-label header drives the full chain to one U+FFFD
+    val viaChain = CharsetFamilies.detectDecode(
+      "text/html; charset=iso-2022-kr", "<html>body</html>".getBytes("ISO-8859-1"))
+    assert(viaChain != null && viaChain.charset === "replacement")
+    assert(viaChain.text === "�")
+    // the two registry rows with NO in-environment mapping source:
+    // labels fail normalization and fall through to the sniff chain
+    Seq("iso-8859-10", "latin6", "iso-8859-14", "iso-ir-199").foreach { l =>
+      assert(CharsetFamilies.normalizeLabel(l) === null, l)
+      val d = CharsetFamilies.detectDecode(s"text/html; charset=$l",
+        "plain ascii body".getBytes("ISO-8859-1"))
+      assert(d != null && d.charset === "utf-8", s"$l must fall through to sniff")
+    }
+    // new round-12 single-byte labels normalize
+    assert(CharsetFamilies.normalizeLabel("tis-620") === "windows-874")
+    assert(CharsetFamilies.normalizeLabel("cp866") === "ibm866")
+    assert(CharsetFamilies.normalizeLabel("x-mac-roman") === "macintosh")
+    assert(CharsetFamilies.normalizeLabel("x-mac-ukrainian") === "x-mac-cyrillic")
+    assert(CharsetFamilies.normalizeLabel("asmo-708") === "iso-8859-6")
   }
 
   test("label normalization: WHATWG aliases, whitespace, case, unknowns") {
