@@ -136,6 +136,8 @@ object GraftExtensions {
     unaryFn("vorbis_encode_synth", classOf[graft.fn.VorbisEncodeSynth],
       graft.fn.VorbisEncodeSynth(_)),
     unaryFn("pdf_synth", classOf[graft.fn.PdfSynth], graft.fn.PdfSynth(_)),
+    unaryFn("mp4_multiref_synth", classOf[graft.fn.Mp4MultiRefSynth],
+      graft.fn.Mp4MultiRefSynth(_)),
     unaryFn("pdf_text", classOf[graft.fn.PdfTextStats],
       graft.fn.PdfTextStats(_)),
     unaryFn("opus_toc_stats", classOf[graft.fn.OpusTocStats],

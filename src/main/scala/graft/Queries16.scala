@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Oracle corpus, batch 16 (round 12): PDF text extraction.
+/** Oracle corpus, batch 16 (round 12): PDF text extraction (q151),
+  * trained language-ID (q152), multi-reference H.264 GOP decode
+  * (q153).
   *
   * q151 closes the synthesize-your-own-fixture loop for PDFs (the
   * q132 WARC / q148 Vorbis pattern, VERDICT r11 item 1): the engine
@@ -212,11 +214,78 @@ object Queries16 {
        |FROM sc ORDER BY doc_id""".stripMargin
   }
 
+  // ---------- q153: multi-reference P-frame GOP decode (round 12,
+  // the H.264 inter-prediction extension). Corpus: per-doc 4-frame
+  // MP4s from [[graft.ext.VideoFixtures.multiRefGop]] — constant-row
+  // luma, every P frame a pure integer-pel vertical shift from a
+  // ref_idx-SELECTED reference over a 3-deep sliding-window DPB (te
+  // inverted-bit AND ue branches, 16x16 and 16x8 partitions). The
+  // decode runs the real chain (avcC → NAL split → slice decode →
+  // DPB/L0 ordering → MC) per row; DuckDB predicts every frame's
+  // mean/std/histogram from doc_id arithmetic because the decoded
+  // rows are closed-form. A decoder that picks the wrong reference,
+  // mis-orders L0, or drops the window decodes different pixels and
+  // breaks the hash.
+  private def q153(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    val d = col("doc_id")
+    val gop = graft.fn.H264GopFrames(
+      graft.fn.Mp4MultiRefSynth(gb.expression(d.cast("long"))),
+      nBins = 4, stride = 1, maxFrames = 4)
+    Tables.tbl(s, dir, "documents").select(d)
+      .where(d < 1000)
+      .select(d, explode(gb.column(gop)).as("__fr"))
+      .select(d,
+        element_at(col("__fr"), 1).cast("int").as("frame_idx"),
+        element_at(col("__fr"), 2).as("t_ms"),
+        round(element_at(col("__fr"), 3), 6).as("mean_g"),
+        round(element_at(col("__fr"), 4), 6).as("std_g"),
+        round(element_at(col("__fr"), 5), 6).as("h0"),
+        round(element_at(col("__fr"), 6), 6).as("h1"),
+        round(element_at(col("__fr"), 7), 6).as("h2"),
+        round(element_at(col("__fr"), 8), 6).as("h3"))
+      .orderBy(d, col("frame_idx"))
+  }
+
+  private val q153Sql =
+    """WITH ids AS (
+      |  SELECT doc_id,
+      |    10 + doc_id % 40 AS base, 1 + doc_id % 5 AS d1,
+      |    2 + doc_id % 7 AS d2, doc_id % 4 AS d3t, 1 + doc_id % 3 AS d3b
+      |  FROM documents WHERE doc_id < 1000
+      |), px AS (
+      |  SELECT doc_id, k, y,
+      |    CAST(CASE CAST(k AS INT)
+      |      WHEN 0 THEN base + 13 * y
+      |      WHEN 1 THEN base + 13 * LEAST(15, y + d1)
+      |      WHEN 2 THEN base + 13 * LEAST(15, y + d2)
+      |      ELSE CASE WHEN y < 8 THEN base + 13 * LEAST(15, y + d3t)
+      |        ELSE base + 13 * LEAST(15, LEAST(15, y + d3b) + d1) END
+      |    END AS DOUBLE) AS v
+      |  FROM ids, UNNEST(range(0, 4)) AS f(k), UNNEST(range(0, 16)) AS t(y)
+      |), st AS (
+      |  SELECT doc_id, k,
+      |    AVG(v) AS m, AVG(v * v) AS m2,
+      |    AVG(CASE WHEN CAST(v AS INT) // 64 = 0 THEN 1.0 ELSE 0.0 END) AS h0,
+      |    AVG(CASE WHEN CAST(v AS INT) // 64 = 1 THEN 1.0 ELSE 0.0 END) AS h1,
+      |    AVG(CASE WHEN CAST(v AS INT) // 64 = 2 THEN 1.0 ELSE 0.0 END) AS h2,
+      |    AVG(CASE WHEN CAST(v AS INT) // 64 = 3 THEN 1.0 ELSE 0.0 END) AS h3
+      |  FROM px GROUP BY doc_id, k
+      |)
+      |SELECT doc_id, CAST(k AS INT) AS frame_idx, k * 500.0 AS t_ms,
+      |  ROUND(m / 255.0, 6) + 0 AS mean_g,
+      |  ROUND(SQRT(GREATEST(0.0, m2 - m * m)) / 255.0, 6) + 0 AS std_g,
+      |  ROUND(h0, 6) + 0 AS h0, ROUND(h1, 6) + 0 AS h1,
+      |  ROUND(h2, 6) + 0 AS h2, ROUND(h3, 6) + 0 AS h3
+      |FROM st ORDER BY doc_id, frame_idx""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q151_pdf_text" -> (q151 _),
-    "q152_lang_id" -> (q152 _))
+    "q152_lang_id" -> (q152 _),
+    "q153_video_multiref" -> (q153 _))
 
   val oracles: Map[String, String] = Map(
     "q151_pdf_text" -> q151Sql,
-    "q152_lang_id" -> q152Sql)
+    "q152_lang_id" -> q152Sql,
+    "q153_video_multiref" -> q153Sql)
 }

@@ -16,6 +16,13 @@ package graft.ext
   * PPS, Table 7-2 fallback rules, applied to the luma dequant).
   * P slices stay 4x4/flat: a transform_8x8 PPS rejects the P path
   * loudly while keyframe entries still decode the stream's I frames.
+  * P slices support MULTIPLE reference frames (round 12): a sliding-
+  * window DPB bounded by max_num_ref_frames, the initial L0 list in
+  * descending-PicNum order (8.2.4.2.1 incl. frame_num wrap), and
+  * per-partition ref_idx_l0 te(v) parsing with ref-matching MV
+  * prediction (8.4.1.3). Adaptive memory management (MMCO) and
+  * explicit ref-list modification stay out of scope — rejected
+  * loudly, never misdecoded.
   * LUMA is reconstructed (the [[Images]] gray-plane contract); chroma
   * residuals are entropy-PARSED (the bitstream position requires it)
   * but not reconstructed. The in-loop deblocking filter is skipped —
@@ -204,7 +211,8 @@ object H264 {
                                     log2MaxFrameNum: Int, pocType: Int,
                                     log2MaxPocLsb: Int,
                                     hasScalingMatrix: Boolean = false,
-                                    weights: Weights = FlatWeights)
+                                    weights: Weights = FlatWeights,
+                                    maxRefFrames: Int = 1)
 
   private[graft] final case class Pps(picInitQp: Int, deblockCtrl: Boolean,
                                     redundantPicCnt: Boolean,
@@ -253,7 +261,8 @@ object H264 {
       var i = 0
       while (i < n) { r.se(); i += 1 }
     }
-    r.ue() // max_num_ref_frames
+    val maxRefFrames = r.ue() // bounds the sliding-window DPB (8.2.5.3)
+    if (maxRefFrames > 16) bad()
     r.u(1) // gaps_in_frame_num_value_allowed_flag
     val widthMbs = r.ue() + 1
     val heightMapUnits = r.ue() + 1
@@ -266,7 +275,8 @@ object H264 {
     val h = heightMapUnits * 16 - 2 * (ct + cb)
     if (w <= 0 || h <= 0) bad()
     Sps(widthMbs, heightMapUnits, 2 * cl, 2 * cr, 2 * ct, 2 * cb,
-      log2MaxFrameNum, pocType, log2MaxPocLsb, hasScaling, weights)
+      log2MaxFrameNum, pocType, log2MaxPocLsb, hasScaling, weights,
+      maxRefFrames)
   }
 
   /** `sps` feeds the PPS scaling-list fallback (Table 7-2 rule B:
@@ -844,6 +854,10 @@ object H264 {
       */
     val mbSliceId = Array.fill(wMbs * hMbs)(-1)
     var curSliceId: Int = -1
+    /** Slice-header frame_num (8.2.4.1 PicNum input): orders the DPB
+      * into the P-slice initial reference list.
+      */
+    var frameNum: Int = 0
   }
 
   // ------------------------------------------ inter prediction (P)
@@ -947,20 +961,20 @@ object H264 {
     * shares the ref", then the component-wise median.
     */
   private def predictMv(f: Frame, gx: Int, gy: Int, bw4: Int,
-                        shape: Int): (Int, Int) = {
+                        shape: Int, refIdx: Int): (Int, Int) = {
     val a = motionAt(f, gx - 1, gy)
     val b = motionAt(f, gx, gy - 1)
     var c = motionAt(f, gx + bw4, gy - 1)
     if (!c._4) c = motionAt(f, gx - 1, gy - 1) // D substitution
     shape match {
-      case 1 => if (b._3 == 0) return (b._1, b._2)
-      case 2 => if (a._3 == 0) return (a._1, a._2)
-      case 3 => if (a._3 == 0) return (a._1, a._2)
-      case 4 => if (c._3 == 0) return (c._1, c._2)
+      case 1 => if (b._3 == refIdx) return (b._1, b._2)
+      case 2 => if (a._3 == refIdx) return (a._1, a._2)
+      case 3 => if (a._3 == refIdx) return (a._1, a._2)
+      case 4 => if (c._3 == refIdx) return (c._1, c._2)
       case _ => ()
     }
     if (!b._4 && !c._4 && a._4) return (a._1, a._2)
-    val same = Seq(a, b, c).filter(n => n._4 && n._3 == 0)
+    val same = Seq(a, b, c).filter(n => n._4 && n._3 == refIdx)
     if (same.length == 1) return (same.head._1, same.head._2)
     def med(x: Int, y: Int, z: Int): Int =
       math.max(math.min(x, y), math.min(math.max(x, y), z))
@@ -1433,42 +1447,56 @@ object H264 {
 
   /** Decode one slice's macroblocks into the frame. `r` positioned
     * after the NAL header byte (RBSP). `ref` = the previous decoded
-    * frame for P slices (null decodes I-only); `nalRefIdc` gates the
-    * dec_ref_pic_marking parse for non-IDR slices.
+    * list (`dpb`, reference frames in any order — the initial L0
+    * list is rebuilt here from PicNum) feeds P slices (empty decodes
+    * I-only); `nalRefIdc` gates the dec_ref_pic_marking parse for
+    * non-IDR slices.
     */
   private def decodeSlice(f: Frame, pps: Pps, r: Br, idr: Boolean,
-                          nalRefIdc: Int, ref: Frame): Unit = {
+                          nalRefIdc: Int, dpb: IndexedSeq[Frame]): Unit = {
     val sps = f.sps
     val firstMb = r.ue()
     val sliceTypeRaw = r.ue()
     val isI = sliceTypeRaw % 5 == 2
     val isP = sliceTypeRaw % 5 == 0
-    if (!isI && !isP) bad() // I and P slices only (baseline GOP)
-    if (isP && ref == null) bad()
+    if (!isI && !isP) bad() // I and P slices only (no B: direct/L1 machinery)
+    if (isP && (dpb == null || dpb.isEmpty)) bad()
     // P slices in a transform_8x8 PPS could carry 8x8 inter residuals
     // this parser does not read — reject loudly (keyframe entries
     // cover High streams; P chains stay 4x4)
     if (isP && pps.transform8x8) bad()
     r.ue() // pps_id
-    r.u(sps.log2MaxFrameNum) // frame_num
+    val frameNum = r.u(sps.log2MaxFrameNum)
+    f.frameNum = frameNum
     if (idr) r.ue() // idr_pic_id
     if (sps.pocType == 0) {
       r.u(sps.log2MaxPocLsb)
       if (pps.bottomFieldPoc) r.se() // delta_pic_order_cnt_bottom
     } else if (sps.pocType == 1) bad() // needs SPS cycle arrays; out of scope
     if (pps.redundantPicCnt) r.ue()
+    var list0: IndexedSeq[Frame] = null
+    var numRefs = 1
     if (isP) {
       if (pps.weightedPred) bad() // baseline forbids weighted pred
       // constrained_intra_pred changes which pixels intra MBs in P
       // slices may predict from — unsupported, reject loudly rather
       // than reconstruct from neighbors the encoder excluded
       if (pps.constrainedIntra) bad()
-      // EFFECTIVE active refs must be 1: either the slice overrides
-      // to 1, or the PPS default already is 1 — otherwise the
-      // ref_idx_l0 fields this parser never reads would be present
-      if (r.u(1) == 1) { if (r.ue() != 0) bad() }
-      else if (pps.numRefIdxL0Default != 1) bad()
-      if (r.u(1) != 0) bad() // ref_pic_list_modification: default order only
+      numRefs =
+        if (r.u(1) == 1) r.ue() + 1 // num_ref_idx_active_override_flag
+        else pps.numRefIdxL0Default
+      if (numRefs < 1 || numRefs > 16) bad()
+      // Initial L0 order (8.2.4.2.1): descending PicNum, where
+      // PicNum wraps below the current frame_num (8.2.4.1). The DPB
+      // holds only short-term references (sliding window), so the
+      // long-term tail is always empty here.
+      val maxFn = 1 << sps.log2MaxFrameNum
+      list0 = dpb.sortBy(g =>
+        -(if (g.frameNum > frameNum) g.frameNum - maxFn else g.frameNum))
+      // active refs beyond the decoded-reference set would index
+      // frames a gaps_in_frame_num stream implies — unsupported
+      if (numRefs > list0.length) bad()
+      if (r.u(1) != 0) bad() // ref_pic_list_modification: initial order only
     }
     if (idr) { r.u(1); r.u(1) } // no_output_of_prior / long_term_reference
     else if (nalRefIdc != 0) {
@@ -1516,13 +1544,13 @@ object H264 {
         var i = 0
         while (i < skipRun) {
           if (mbAddr >= nMbs) bad()
-          decodeSkipMb(f, ref, mbAddr)
+          decodeSkipMb(f, list0(0), mbAddr)
           mbAddr += 1
           i += 1
         }
         more = hasMoreRbsp(r)
         if (more && mbAddr < nMbs) {
-          decodeMbP(f, ref, r, mbAddr, qpIn = qp, setQp = q => qp = q)
+          decodeMbP(f, list0, numRefs, r, mbAddr, qpIn = qp, setQp = q => qp = q)
           mbAddr += 1
           more = hasMoreRbsp(r)
         }
@@ -1548,7 +1576,7 @@ object H264 {
       if (!a._4 || !b._4 ||
           (a._3 == 0 && a._1 == 0 && a._2 == 0) ||
           (b._3 == 0 && b._1 == 0 && b._2 == 0)) (0, 0)
-      else predictMv(f, gx, gy, 4, 0)
+      else predictMv(f, gx, gy, 4, 0, 0)
     val buf = new Array[Int](256)
     mcLumaBlock(ref, mbX * 16, mbY * 16, mv._1, mv._2, 16, 16, buf)
     var yy = 0
@@ -1572,11 +1600,14 @@ object H264 {
   }
 
   /** One P-slice macroblock_layer: inter partitions (P_16x16 /
-    * P_16x8 / P_8x16 / P_8x8 incl. sub-partitions) with MV
+    * P_16x8 / P_8x16 / P_8x8 incl. sub-partitions) with per-partition
+    * reference selection (ref_idx_l0 over the initial L0 list), MV
     * prediction + quarter-pel MC + CAVLC residual, or an intra MB
-    * (mb_type − 5 → the I-slice layer).
+    * (mb_type − 5 → the I-slice layer). Syntax order per 7.3.5.1:
+    * every partition's ref_idx_l0 precedes the first mvd_l0.
     */
-  private def decodeMbP(f: Frame, ref: Frame, r: Br, mbAddr: Int,
+  private def decodeMbP(f: Frame, list0: IndexedSeq[Frame], numRefs: Int,
+                        r: Br, mbAddr: Int,
                         qpIn: Int, setQp: Int => Unit): Unit = {
     val mbType = r.ue()
     if (mbType >= 5) { // intra MB inside a P slice
@@ -1596,8 +1627,21 @@ object H264 {
     val pred = new Array[Int](256)
     val pbuf = new Array[Int](256)
 
-    def mcInto(bx4: Int, by4: Int, bw4: Int, bh4: Int, mvx: Int, mvy: Int): Unit = {
-      mcLumaBlock(ref, x0 + bx4 * 4, y0 + by4 * 4, mvx, mvy, bw4 * 4, bh4 * 4, pbuf)
+    // ref_idx_l0: te(v) with cMax = numRefs − 1 — absent when one ref
+    // is active, one inverted bit when two, ue(v) beyond (9.1.1)
+    def refIdxL0(): Int = {
+      val v =
+        if (numRefs == 1) 0
+        else if (numRefs == 2) 1 - r.u(1)
+        else r.ue()
+      if (v >= numRefs) bad()
+      v
+    }
+
+    def mcInto(bx4: Int, by4: Int, bw4: Int, bh4: Int,
+               mvx: Int, mvy: Int, refIdx: Int): Unit = {
+      mcLumaBlock(list0(refIdx), x0 + bx4 * 4, y0 + by4 * 4, mvx, mvy,
+        bw4 * 4, bh4 * 4, pbuf)
       var yy = 0
       while (yy < bh4 * 4) {
         var xx = 0
@@ -1614,7 +1658,7 @@ object H264 {
           val blk = by * 4 + bx
           f.mvx(mbAddr)(blk) = mvx
           f.mvy(mbAddr)(blk) = mvy
-          f.refIdx(mbAddr)(blk) = 0
+          f.refIdx(mbAddr)(blk) = refIdx
           f.curAssigned(blk) = true
           bx += 1
         }
@@ -1622,27 +1666,39 @@ object H264 {
       }
     }
 
-    def part(bx4: Int, by4: Int, bw4: Int, shape: Int): Unit = {
-      val p = predictMv(f, gx0 + bx4, gy0 + by4, bw4, shape)
-      val mvdx = r.se()
-      val mvdy = r.se()
+    // mvd bits are state-independent, so partitions decode in order
+    // AFTER all ref_idx fields are consumed; the caller passes each
+    // partition's already-read mvd pair
+    def part(bx4: Int, by4: Int, bw4: Int, shape: Int, refIdx: Int,
+             mvdx: Int, mvdy: Int): Unit = {
+      val p = predictMv(f, gx0 + bx4, gy0 + by4, bw4, shape, refIdx)
       val bh4 = shape match {
         case 1 | 2 => 2
         case 3 | 4 => 4
         case _ => if (bw4 == 4) 4 else bw4 // square sub-parts handled below
       }
-      mcInto(bx4, by4, bw4, bh4, p._1 + mvdx, p._2 + mvdy)
+      mcInto(bx4, by4, bw4, bh4, p._1 + mvdx, p._2 + mvdy, refIdx)
     }
 
     mbType match {
-      case 0 => part(0, 0, 4, 0) // P_L0_16x16
+      case 0 => // P_L0_16x16
+        val ri = refIdxL0()
+        part(0, 0, 4, 0, ri, r.se(), r.se())
       case 1 => // P_L0_L0_16x8
-        part(0, 0, 4, 1)
-        part(0, 2, 4, 2)
+        val ri0 = refIdxL0()
+        val ri1 = refIdxL0()
+        val (d0x, d0y) = (r.se(), r.se())
+        val (d1x, d1y) = (r.se(), r.se())
+        part(0, 0, 4, 1, ri0, d0x, d0y)
+        part(0, 2, 4, 2, ri1, d1x, d1y)
       case 2 => // P_L0_L0_8x16
-        part(0, 0, 2, 3)
-        part(2, 0, 2, 4)
-      case 3 | 4 => // P_8x8 / P_8x8ref0 (1 active ref: identical)
+        val ri0 = refIdxL0()
+        val ri1 = refIdxL0()
+        val (d0x, d0y) = (r.se(), r.se())
+        val (d1x, d1y) = (r.se(), r.se())
+        part(0, 0, 2, 3, ri0, d0x, d0y)
+        part(2, 0, 2, 4, ri1, d1x, d1y)
+      case 3 | 4 => // P_8x8 / P_8x8ref0 (ref_idx inferred 0 for the latter)
         val subTypes = new Array[Int](4)
         var i = 0
         while (i < 4) {
@@ -1650,34 +1706,42 @@ object H264 {
           if (subTypes(i) > 3) bad()
           i += 1
         }
+        // all four ref_idx_l0 precede the first mvd (7.3.5.2); P_8x8ref0
+        // codes none even with >1 active ref
+        val refs = new Array[Int](4)
+        if (mbType == 3) {
+          i = 0
+          while (i < 4) { refs(i) = refIdxL0(); i += 1 }
+        }
         i = 0
         while (i < 4) {
           val bx8 = (i & 1) * 2
           val by8 = (i >> 1) * 2
+          val ri = refs(i)
           subTypes(i) match {
             case 0 => // 8x8
-              val p = predictMv(f, gx0 + bx8, gy0 + by8, 2, 0)
-              mcInto(bx8, by8, 2, 2, p._1 + r.se(), p._2 + r.se())
+              val p = predictMv(f, gx0 + bx8, gy0 + by8, 2, 0, ri)
+              mcInto(bx8, by8, 2, 2, p._1 + r.se(), p._2 + r.se(), ri)
             case 1 => // 8x4 (two rows)
               var j = 0
               while (j < 2) {
-                val p = predictMv(f, gx0 + bx8, gy0 + by8 + j, 2, 0)
-                mcInto(bx8, by8 + j, 2, 1, p._1 + r.se(), p._2 + r.se())
+                val p = predictMv(f, gx0 + bx8, gy0 + by8 + j, 2, 0, ri)
+                mcInto(bx8, by8 + j, 2, 1, p._1 + r.se(), p._2 + r.se(), ri)
                 j += 1
               }
             case 2 => // 4x8 (two columns)
               var j = 0
               while (j < 2) {
-                val p = predictMv(f, gx0 + bx8 + j, gy0 + by8, 1, 0)
-                mcInto(bx8 + j, by8, 1, 2, p._1 + r.se(), p._2 + r.se())
+                val p = predictMv(f, gx0 + bx8 + j, gy0 + by8, 1, 0, ri)
+                mcInto(bx8 + j, by8, 1, 2, p._1 + r.se(), p._2 + r.se(), ri)
                 j += 1
               }
             case _ => // 4x4
               var j = 0
               while (j < 4) {
-                val p = predictMv(f, gx0 + bx8 + (j & 1), gy0 + by8 + (j >> 1), 1, 0)
+                val p = predictMv(f, gx0 + bx8 + (j & 1), gy0 + by8 + (j >> 1), 1, 0, ri)
                 mcInto(bx8 + (j & 1), by8 + (j >> 1), 1, 1,
-                  p._1 + r.se(), p._2 + r.se())
+                  p._1 + r.se(), p._2 + r.se(), ri)
                 j += 1
               }
           }
@@ -2640,7 +2704,7 @@ object H264 {
       f.weights = effectiveWeights(sps, pps)
       slices.foreach { case (nal, idr) =>
         decodeSlice(f, pps, new Br(rbsp(nal, 1)), idr,
-          (nal(0) >> 5) & 3, null)
+          (nal(0) >> 5) & 3, Vector.empty)
       }
       if (!f.mbDecoded.forall(identity)) return null // frame not covered
       cropOut(f)
@@ -2669,11 +2733,11 @@ object H264 {
   }
 
   /** Decode one access unit (a sample's NALs) into a full Frame —
-    * `ref` = previous frame for P slices. Throws Malformed when the
-    * frame is not fully covered.
+    * `dpb` = decoded reference frames (any order) for P slices.
+    * Throws Malformed when the frame is not fully covered.
     */
   private def decodeAuFrame(sps: Sps, pps: Pps, nals: Seq[Array[Byte]],
-                            ref: Frame): Frame = {
+                            dpb: IndexedSeq[Frame]): Frame = {
     val f = new Frame(sps)
     f.weights = effectiveWeights(sps, pps)
     var any = false
@@ -2681,13 +2745,36 @@ object H264 {
       if (nal != null && nal.length >= 1) {
         val t = nal(0) & 0x1F
         if (t == 5 || t == 1) {
-          decodeSlice(f, pps, new Br(rbsp(nal, 1)), t == 5, (nal(0) >> 5) & 3, ref)
+          decodeSlice(f, pps, new Br(rbsp(nal, 1)), t == 5, (nal(0) >> 5) & 3, dpb)
           any = true
         }
       }
     }
     if (!any || !f.mbDecoded.forall(identity)) bad()
     f
+  }
+
+  /** Advance the decoded-reference buffer past frame `f` whose NALs
+    * are `nals`: an IDR flushes (5.3.5.1's no_output_of_prior path —
+    * both flags are parsed as fixed in this subset); a reference
+    * frame (nal_ref_idc ≠ 0) enters front-of-line and the sliding
+    * window (8.2.5.3) evicts past max_num_ref_frames — newest-first
+    * retention IS minimum-FrameNumWrap eviction for in-order
+    * frame_num; a non-reference frame leaves the DPB untouched.
+    */
+  private def advanceDpb(dpb: Vector[Frame], f: Frame,
+                         nals: Seq[Array[Byte]]): Vector[Frame] = {
+    var isIdr = false
+    var isRef = false
+    nals.foreach { nal =>
+      if (nal != null && nal.length >= 1) {
+        val t = nal(0) & 0x1F
+        if (t == 5) isIdr = true
+        if ((t == 5 || t == 1) && ((nal(0) >> 5) & 3) != 0) isRef = true
+      }
+    }
+    val base = if (isIdr) Vector.empty[Frame] else dpb
+    if (isRef) (f +: base).take(math.max(1, f.sps.maxRefFrames)) else base
   }
 
   /** Split one stsz-bounded sample span into its length-prefixed
@@ -2735,13 +2822,13 @@ object H264 {
       if (spans == null || spans.isEmpty) return null
       val prefix = sttsPrefix(durations)
       val out = new scala.collection.mutable.ArrayBuffer[Array[Double]]()
-      var ref: Frame = null
+      var dpb = Vector.empty[Frame]
       var k = 0
       while (k < spans.length && out.length < maxFrames) {
         val (off, size, sn) = spans(k)
-        val f = decodeAuFrame(sps, pps,
-          sampleNals(bytes, lengthSize, off, size), ref)
-        ref = f
+        val nals = sampleNals(bytes, lengthSize, off, size)
+        val f = decodeAuFrame(sps, pps, nals, dpb)
+        dpb = advanceDpb(dpb, f, nals)
         if (k % stride == 0) {
           val (g, _, _) = cropOut(f)
           val tMedia =
@@ -2771,12 +2858,12 @@ object H264 {
       val pps = parsePpsDecode(ppsNal, sps)
       val spans = Avc.sampleSpansOrNull(bytes, math.min(maxFrames, 1 << 14))
       if (spans == null || spans.isEmpty) return null
-      var ref: Frame = null
+      var dpb = Vector.empty[Frame]
       val out = scala.collection.mutable.ArrayBuffer[(Array[Double], Int, Int)]()
       spans.foreach { case (off, size, _) =>
-        val f = decodeAuFrame(sps, pps,
-          sampleNals(bytes, lengthSize, off, size), ref)
-        ref = f
+        val nals = sampleNals(bytes, lengthSize, off, size)
+        val f = decodeAuFrame(sps, pps, nals, dpb)
+        dpb = advanceDpb(dpb, f, nals)
         out += cropOut(f)
       }
       out.toSeq

@@ -474,6 +474,137 @@ object VideoFixtures {
   def pcmKeyframeMp4(px: (Int, Int) => Int): Array[Byte] =
     mp4From(escapeRbsp(sps1x1()), escapeRbsp(ppsNal()), escapeRbsp(idrPcm(px)))
 
+  /** 1×1-MB SPS with `maxRef` reference frames (the multi-ref GOP
+    * fixtures' DPB bound); otherwise identical to [[sps1x1]].
+    */
+  private def sps1x1Refs(maxRef: Int): Array[Byte] = {
+    val w = new Bw
+    w.u(0x67, 8).u(66, 8).u(0, 8).u(10, 8)
+    w.ue(0).ue(0).ue(2).ue(maxRef).u(0, 1)
+    w.ue(0).ue(0) // 1x1 MBs
+    w.u(1, 1).u(1, 1).u(0, 1).u(0, 1)
+    w.stop(); w.bytes()
+  }
+
+  /** Non-IDR CAVLC P slice against [[ppsNal]]'s geometry (deblocking
+    * control present → idc written, QP 26, sliding-window marking,
+    * nal_ref_idc 2 so the frame ENTERS the reference buffer).
+    * `numRefsOverride` > 0 codes num_ref_idx_active_override.
+    */
+  private def pSliceNal(frameNum: Int, numRefsOverride: Int)
+                       (body: Bw => Unit): Array[Byte] = {
+    val w = new Bw
+    w.u(0x41, 8) // nal_ref_idc 2, nal_unit_type 1
+    w.ue(0) // first_mb_in_slice
+    w.ue(5) // slice_type P (all-slices form)
+    w.ue(0) // pps_id
+    w.u(frameNum & 15, 4) // frame_num (log2 = 4); poc_type 2: no poc
+    if (numRefsOverride > 0) { w.u(1, 1); w.ue(numRefsOverride - 1) }
+    else w.u(0, 1)
+    w.u(0, 1) // ref_pic_list_modification_flag_l0
+    w.u(0, 1) // adaptive_ref_pic_marking_mode_flag → sliding window
+    w.se(0) // slice_qp_delta
+    w.ue(1) // disable_deblocking_filter_idc
+    body(w)
+    w.stop(); w.bytes()
+  }
+
+  /** ref_idx_l0 in te(v): one inverted bit when two refs are active,
+    * ue(v) beyond, absent with one (9.1.1).
+    */
+  private def wRefIdx(w: Bw, ri: Int, numRefs: Int): Unit =
+    if (numRefs == 2) w.u(1 - ri, 1)
+    else if (numRefs > 2) w.ue(ri)
+
+  /** Four-frame 16×16 GOP exercising MULTI-REFERENCE P decode — the
+    * q153 corpus. Luma rows are constant (`v(y) = base + 13y`) so a
+    * SQL oracle predicts every decoded frame from (base, shifts):
+    *
+    *   frame 0  IDR I_PCM                     v(y)
+    *   frame 1  P_16x16, 1 active ref, mv (0,d1)      → v(min(15, y+d1))
+    *   frame 2  P_16x16, 2 active refs, ref_idx 1 (te
+    *            inverted-bit branch) = frame 0        → v(min(15, y+d2))
+    *   frame 3  P_16x8, 3 active refs (te ue branch):
+    *            top from ref_idx 2 = frame 0          → v(min(15, y+d3t))
+    *            bottom from ref_idx 1 = frame 1       → v(min(15, min(15, y+d3b)+d1))
+    *
+    * A decoder that ignores ref_idx (always nearest frame), mis-orders
+    * the initial L0 list, or breaks the sliding window decodes
+    * DIFFERENT pixels — the features hash catches it. Only sample 1
+    * is an stss sync.
+    */
+  def multiRefGopMp4(base: Int, d1: Int, d2: Int, d3t: Int, d3b: Int): Array[Byte] = {
+    require(base >= 0 && base + 13 * 15 <= 255 && d1 >= 0 && d2 >= 0 &&
+      d3t >= 0 && d3b >= 0)
+    val sps = escapeRbsp(sps1x1Refs(3))
+    val pps = escapeRbsp(ppsNal())
+    val f0 = escapeRbsp(idrPcm((_, y) => base + 13 * y))
+    val p1 = escapeRbsp(pSliceNal(1, 0) { w =>
+      w.ue(0) // mb_skip_run
+      w.ue(0) // P_L0_16x16
+      w.se(0).se(4 * d1) // mvd (quarter-pel)
+      w.ue(0) // cbp 0: no residual, no qp delta
+    })
+    val p2 = escapeRbsp(pSliceNal(2, 2) { w =>
+      w.ue(0); w.ue(0)
+      wRefIdx(w, 1, 2) // frame 0 via the inverted-bit te branch
+      w.se(0).se(4 * d2)
+      w.ue(0)
+    })
+    val p3 = escapeRbsp(pSliceNal(3, 3) { w =>
+      w.ue(0)
+      w.ue(1) // P_L0_L0_16x8
+      wRefIdx(w, 2, 3) // top → frame 0 (ue branch)
+      wRefIdx(w, 1, 3) // bottom → frame 1
+      w.se(0).se(4 * d3t)
+      w.se(0).se(4 * d3b)
+      w.ue(0)
+    })
+    mp4Gop(sps, pps, Seq(f0, p1, p2, p3), syncs = Seq(1))
+  }
+
+  /** Id-addressed [[multiRefGopMp4]] (the q153 corpus contract): all
+    * five parameters are doc_id arithmetic MIRRORED by the oracle SQL
+    * — change one side and the hash breaks.
+    */
+  def multiRefGop(id: Long): Array[Byte] =
+    multiRefGopMp4(
+      base = (10 + id % 40).toInt,
+      d1 = (1 + id % 5).toInt,
+      d2 = (2 + id % 7).toInt,
+      d3t = (id % 4).toInt,
+      d3b = (1 + id % 3).toInt)
+
+  /** Multi-sample MP4 from already-escaped slice NALs, `syncs` =
+    * 1-based stss entries (same boxes/timing as [[multiKeyframeMp4]]:
+    * timescale 1000, 500 per frame).
+    */
+  private def mp4Gop(sps: Array[Byte], pps: Array[Byte],
+                     slices: Seq[Array[Byte]], syncs: Seq[Int]): Array[Byte] = {
+    val avcc = box("avcC", Array[Byte](1), sps.slice(1, 2), Array[Byte](0),
+      sps.slice(3, 4), Array(0xFF.toByte), Array(0xE1.toByte),
+      be16(sps.length), sps, Array[Byte](1), be16(pps.length), pps)
+    val samples = slices.map(s => be32(s.length.toLong) ++ s)
+    val ftyp = box("ftyp", "isom".getBytes, be32(0x200), "isomiso2".getBytes)
+    val mdatOff = ftyp.length + 8L
+    val stsd = box("stsd", be32(0), be32(1),
+      box("avc1", new Array[Byte](78), avcc))
+    val stsz = box("stsz", be32(0), be32(0), be32(samples.length.toLong),
+      samples.flatMap(sm => be32(sm.length.toLong)).toArray)
+    val stsc = box("stsc", be32(0), be32(1), be32(1),
+      be32(samples.length.toLong), be32(1))
+    val stco = box("stco", be32(0), be32(1), be32(mdatOff))
+    val stss = box("stss", be32(0), be32(syncs.length.toLong),
+      syncs.flatMap(i => be32(i.toLong)).toArray)
+    val stts = box("stts", be32(0), be32(1),
+      be32(samples.length.toLong), be32(500))
+    val stbl = box("stbl", stsd, stsz, stsc, stco, stss, stts)
+    val mdia = box("mdia", box("mdhd", be32(0), be32(0), be32(0), be32(1000),
+      be32(0), be32(0x55c40000L)), box("minf", stbl))
+    val moov = box("moov", box("mvhd", new Array[Byte](100)), box("trak", mdia))
+    ftyp ++ box("mdat", samples.flatten.toArray) ++ moov
+  }
+
   /** Wrap one SPS/PPS/slice into the minimal real MP4. */
   private def mp4From(sps: Array[Byte], pps: Array[Byte],
                       slice: Array[Byte]): Array[Byte] = {

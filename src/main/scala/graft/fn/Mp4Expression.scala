@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression,
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.AbstractDataType
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, LongType}
 
 /** ISO BMFF (MP4) container metadata as a native Catalyst expression:
   * `[timescale, duration_sec, n_tracks]` via the JDK-only box walk
@@ -375,6 +375,31 @@ case class Mp4KeyframeDhashes(child: Expression, maxN: Int)
          |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(${ev.value}_f);
          |}
        """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** SQL `mp4_multiref_synth(doc_id)` — the q153 multi-reference GOP
+  * corpus ([[graft.ext.VideoFixtures.multiRefGop]]): doc_id → a
+  * 4-frame MP4 whose P frames select their reference by ref_idx_l0
+  * over a 3-deep sliding-window DPB. All shift/base parameters are
+  * id arithmetic mirrored by the q153 oracle.
+  */
+case class Mp4MultiRefSynth(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "mp4_multiref_synth"
+
+  override protected def nullSafeEval(id: Any): Any =
+    graft.ext.VideoFixtures.multiRefGop(id.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, id =>
+      s"${ev.value} = graft.ext.VideoFixtures.multiRefGop($id);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

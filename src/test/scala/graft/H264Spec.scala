@@ -1519,4 +1519,255 @@ class H264Spec extends AnyFunSuite {
       H264.decodeIdrLumaOrNull(Seq(m, pps8x8(), slice))
     }
   }
+
+  // ------------------- multi-reference P prediction (round 12) ----
+
+  /** SPS with an explicit max_num_ref_frames (the DPB bound). */
+  private def spsRefs(widthMbs: Int, heightMbs: Int, maxRef: Int): Array[Byte] = {
+    val w = new Bw
+    w.u(0x67, 8).u(66, 8).u(0, 8).u(10, 8)
+    w.ue(0) // sps_id
+    w.ue(0) // log2_max_frame_num_minus4
+    w.ue(2) // poc_type 2
+    w.ue(maxRef)
+    w.u(0, 1)
+    w.ue(widthMbs - 1).ue(heightMbs - 1)
+    w.u(1, 1).u(1, 1).u(0, 1).u(0, 1)
+    w.stop()
+    escapeRbsp(w.bytes())
+  }
+
+  /** P slice with explicit frame_num and (when > 0) a
+    * num_ref_idx_active override.
+    */
+  private def pSliceN(frameNum: Int, numRefs: Int)(body: Bw => Unit): Array[Byte] = {
+    val w = new Bw
+    w.u(0x61, 8) // ref_idc 3, non-IDR
+    w.ue(0) // first_mb_in_slice
+    w.ue(5) // slice_type P (all slices)
+    w.ue(0) // pps_id
+    w.u(frameNum & 15, 4)
+    if (numRefs > 0) { w.u(1, 1); w.ue(numRefs - 1) } else w.u(0, 1)
+    w.u(0, 1) // ref_pic_list_modification_flag_l0
+    w.u(0, 1) // adaptive_ref_pic_marking_mode_flag (sliding window)
+    w.se(0) // slice_qp_delta
+    w.ue(1) // disable_deblocking_filter_idc
+    body(w)
+    w.stop()
+    escapeRbsp(w.bytes())
+  }
+
+  private def gopN(spsNal: Array[Byte],
+                   slices: Seq[Array[Byte]]): Seq[(Array[Double], Int, Int)] =
+    H264.gopLumasOrNull(
+      mp4Multi(spsNal, pps(), slices, Seq(1), 1000L, 500L), slices.length)
+
+  test("multi-ref P_16x16: ref_idx 1 (te inverted bit) selects TWO frames back") {
+    val pcm = Array.tabulate(256)(i => ((i & 15) * 9 + (i >> 4) * 3 + 7) & 0xFF)
+    val p1 = pSliceN(1, 0) { w =>
+      w.ue(0); w.ue(0); w.se(4).se(0); w.ue(0) // shift 1 px right, ref = f0
+    }
+    // override to 2 active refs; te bit 0 -> ref_idx 1 = the IDR
+    val p2 = pSliceN(2, 2) { w =>
+      w.ue(0); w.ue(0)
+      w.u(0, 1) // ref_idx_l0 = 1
+      w.se(8).se(0) // 2 px right OF FRAME 0
+      w.ue(0)
+    }
+    val frames = gopN(spsRefs(1, 1, 3), Seq(pcmIdr(pcm), p1, p2))
+    assert(frames != null && frames.length === 3)
+    val (g2, fw, _) = frames(2)
+    for (y <- 0 until 16; x <- 0 until 16)
+      assert(g2(y * fw + x) === pcm(y * 16 + math.min(15, x + 2)).toDouble,
+        s"($x,$y)")
+  }
+
+  test("multi-ref P_16x16: te bit 1 -> ref_idx 0 keeps the single-ref chain") {
+    val pcm = Array.tabulate(256)(i => ((i & 15) * 11 + (i >> 4) * 5 + 3) & 0xFF)
+    val p1 = pSliceN(1, 0) { w => w.ue(0); w.ue(0); w.se(4).se(0); w.ue(0) }
+    val p2 = pSliceN(2, 2) { w =>
+      w.ue(0); w.ue(0)
+      w.u(1, 1) // ref_idx_l0 = 0 = previous frame
+      w.se(4).se(0)
+      w.ue(0)
+    }
+    val frames = gopN(spsRefs(1, 1, 3), Seq(pcmIdr(pcm), p1, p2))
+    assert(frames != null && frames.length === 3)
+    val (g2, fw, _) = frames(2)
+    // compound shift with clamp at each hop
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val want = pcm(y * 16 + math.min(15, math.min(15, x + 1) + 1))
+      assert(g2(y * fw + x) === want.toDouble, s"($x,$y)")
+    }
+  }
+
+  test("P_16x8 partitions select DIFFERENT references (ue te branch, 3 active)") {
+    val pcm = Array.tabulate(256)(i => ((i & 15) * 7 + (i >> 4) * 13 + 5) & 0xFF)
+    def p(x: Int, y: Int): Int = pcm(math.min(15, y) * 16 + x)
+    val p1 = pSliceN(1, 0) { w => w.ue(0); w.ue(0); w.se(0).se(4); w.ue(0) }
+    // identity copy deepens the DPB to 3 before the 3-active slice
+    val p2 = pSliceN(2, 0) { w => w.ue(0); w.ue(0); w.se(0).se(0); w.ue(0) }
+    val p3 = pSliceN(3, 3) { w =>
+      w.ue(0)
+      w.ue(1) // P_L0_L0_16x8
+      w.ue(2) // top ref_idx = 2 = f0  (ue branch: 3 active)
+      w.ue(1) // bottom ref_idx = 1 = f1
+      w.se(0).se(8) // top: 2 px down of f0
+      w.se(0).se(4) // bottom: 1 px down of f1
+      w.ue(0)
+    }
+    val frames = gopN(spsRefs(1, 1, 3), Seq(pcmIdr(pcm), p1, p2, p3))
+    assert(frames != null && frames.length === 4)
+    val (g3, fw, _) = frames(3)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val want =
+        if (y < 8) p(x, y + 2) // from f0
+        else p(x, math.min(15, y + 1) + 1) // f1 = f0 down 1, then 1 more
+      assert(g3(y * fw + x) === want.toDouble, s"($x,$y)")
+    }
+  }
+
+  test("P_8x8: per-8x8 ref_idx mixes references inside one MB") {
+    val pcm = Array.tabulate(256)(i => ((i & 15) * 3 + (i >> 4) * 17 + 9) & 0xFF)
+    def p(x: Int, y: Int): Int = pcm(math.min(15, y) * 16 + x)
+    val p1 = pSliceN(1, 0) { w => w.ue(0); w.ue(0); w.se(0).se(4); w.ue(0) }
+    val p2 = pSliceN(2, 2) { w =>
+      w.ue(0)
+      w.ue(3) // P_8x8
+      (0 until 4).foreach(_ => w.ue(0)) // all sub 8x8
+      // refs TL=0 TR=1 BL=1 BR=0 (te inverted bits)
+      w.u(1, 1); w.u(0, 1); w.u(0, 1); w.u(1, 1)
+      (0 until 8).foreach(_ => w.se(0)) // all mvd zero
+      w.ue(0)
+    }
+    val frames = gopN(spsRefs(1, 1, 3), Seq(pcmIdr(pcm), p1, p2))
+    assert(frames != null && frames.length === 3)
+    val (g2, fw, _) = frames(2)
+    // every quadrant's MV resolves to (0,0): TL has no neighbors ->
+    // zeros; TR fires only-A (A = TL, mv 0); BL and BR land on the
+    // exactly-one-matching-ref rule (C / substituted D) -> mv 0
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val fromF1 = (x < 8 && y < 8) || (x >= 8 && y >= 8)
+      val want = if (fromF1) p(x, y + 1) else p(x, y)
+      assert(g2(y * fw + x) === want.toDouble, s"($x,$y)")
+    }
+  }
+
+  test("P_8x8ref0 codes NO ref_idx even with 2 active refs") {
+    val pcm = Array.tabulate(256)(i => ((i & 15) * 5 + (i >> 4) * 7 + 1) & 0xFF)
+    def p(x: Int, y: Int): Int = pcm(math.min(15, y) * 16 + x)
+    val p1 = pSliceN(1, 0) { w => w.ue(0); w.ue(0); w.se(0).se(4); w.ue(0) }
+    val p2 = pSliceN(2, 2) { w =>
+      w.ue(0)
+      w.ue(4) // P_8x8ref0: all refs inferred 0
+      (0 until 4).foreach(_ => w.ue(0))
+      (0 until 8).foreach(_ => w.se(0))
+      w.ue(0)
+    }
+    val frames = gopN(spsRefs(1, 1, 3), Seq(pcmIdr(pcm), p1, p2))
+    assert(frames != null && frames.length === 3)
+    val (g2, fw, _) = frames(2)
+    for (y <- 0 until 16; x <- 0 until 16)
+      assert(g2(y * fw + x) === p(x, y + 1).toDouble, s"($x,$y)")
+  }
+
+  test("only-A MV rule fires regardless of the neighbor's reference") {
+    // 2x1-MB frame: MB0 ref0 mv (4,0); MB1 ref1 mvd 0 -> B/C unavailable,
+    // A available with a DIFFERENT ref -> mvp = mvA (8.4.1.3.1 clause 2),
+    // so MB1 reads frame 0 shifted 1 px right
+    val pcm = Array.tabulate(512)(i => ((i % 32) * 5 + (i / 32) * 9 + 2) & 0xFF)
+    val idr = idrSlice { w =>
+      for (mb <- 0 until 2) {
+        w.ue(25).align()
+        for (y <- 0 until 16; x <- 0 until 16) w.raw(pcm(y * 32 + mb * 16 + x))
+        (0 until 128).foreach(_ => w.raw(0x80))
+      }
+    }
+    val p1 = pSliceN(1, 0) { w =>
+      w.ue(0); w.ue(0); w.se(0).se(0); w.ue(0) // MB0: identity copy
+      w.ue(0); w.ue(0); w.se(0).se(0); w.ue(0) // MB1: identity copy
+    }
+    val p2 = pSliceN(2, 2) { w =>
+      w.ue(0); w.ue(0)
+      w.u(1, 1) // MB0 ref_idx 0
+      w.se(16).se(0) // mv (16,0) = 4 px right
+      w.ue(0)
+      w.ue(0); w.ue(0)
+      w.u(0, 1) // MB1 ref_idx 1 (= f0, same pixels as f1 here)
+      w.se(0).se(0) // mvd 0 -> inherits A's mv (4 px right)
+      w.ue(0)
+    }
+    val frames = gopN(spsRefs(2, 1, 3), Seq(idr, p1, p2))
+    assert(frames != null && frames.length === 3)
+    val (g2, fw, _) = frames(2)
+    for (y <- 0 until 16; x <- 0 until 32) {
+      val want = pcm(y * 32 + math.min(31, x + 4))
+      assert(g2(y * fw + x) === want.toDouble, s"($x,$y)")
+    }
+  }
+
+  test("sliding window: ref_idx past max_num_ref_frames rejects; a deeper DPB decodes") {
+    val pcm = Array.tabulate(256)(i => (i * 3 + 4) & 0xFF)
+    val p1 = pSliceN(1, 0) { w => w.ue(0); w.ue(0); w.se(4).se(0); w.ue(0) }
+    val p2 = pSliceN(2, 2) { w =>
+      w.ue(0); w.ue(0); w.u(0, 1); w.se(0).se(0); w.ue(0)
+    }
+    def video(maxRef: Int) = mp4Multi(spsRefs(1, 1, maxRef), pps(),
+      Seq(pcmIdr(pcm), p1, p2), Seq(1), 1000L, 500L)
+    // maxRef 1: after p1 the window evicted f0 -> 2 active refs is malformed
+    assert(H264.gopLumasOrNull(video(1), 3) === null)
+    assert(H264.gopFrameFeaturesOrNull(video(1), 4, 1, 3) === null)
+    val ok = H264.gopLumasOrNull(video(2), 3)
+    assert(ok != null && ok.length === 3)
+    // and ref_idx 1 with the deeper window really is the IDR
+    assert(ok(2)._1.toSeq === ok(0)._1.toSeq)
+  }
+
+  test("multi-ref malformed forms null, never throw") {
+    val pcm = Array.tabulate(256)(i => (i * 5 + 1) & 0xFF)
+    val p1 = pSliceN(1, 0) { w => w.ue(0); w.ue(0); w.se(0).se(0); w.ue(0) }
+    // ref_idx ue(3) with only 3 active (max legal: 2)
+    val badRef = pSliceN(2, 3) { w =>
+      w.ue(0); w.ue(0); w.ue(3); w.se(0).se(0); w.ue(0)
+    }
+    // active-override beyond 16
+    val badCount = pSliceN(2, 17) { w =>
+      w.ue(0); w.ue(0); w.ue(0); w.se(0).se(0); w.ue(0)
+    }
+    // more active refs than decoded references (2 active, DPB holds 1)
+    val badDepth = pSliceN(1, 2) { w =>
+      w.ue(0); w.ue(0); w.u(0, 1); w.se(0).se(0); w.ue(0)
+    }
+    def video(second: Array[Byte], third: Array[Byte]) =
+      mp4Multi(spsRefs(1, 1, 3), pps(),
+        if (third == null) Seq(pcmIdr(pcm), second)
+        else Seq(pcmIdr(pcm), second, third), Seq(1), 1000L, 500L)
+    assert(H264.gopLumasOrNull(video(p1, badRef), 3) === null)
+    assert(H264.gopLumasOrNull(video(p1, badCount), 3) === null)
+    assert(H264.gopLumasOrNull(video(badDepth, null), 2) === null)
+  }
+
+  test("q153 fixture: the multi-ref GOP decodes and matches its closed form") {
+    for (id <- Seq(0L, 1L, 7L, 41L, 999L)) {
+      val video = graft.ext.VideoFixtures.multiRefGop(id)
+      val frames = H264.gopLumasOrNull(video, 4)
+      assert(frames != null && frames.length === 4, s"id=$id")
+      val base = (10 + id % 40).toInt
+      val d1 = (1 + id % 5).toInt
+      val d2 = (2 + id % 7).toInt
+      val d3t = (id % 4).toInt
+      val d3b = (1 + id % 3).toInt
+      def v(y: Int): Double = (base + 13 * y).toDouble
+      def row(k: Int, y: Int): Double = k match {
+        case 0 => v(y)
+        case 1 => v(math.min(15, y + d1))
+        case 2 => v(math.min(15, y + d2))
+        case _ =>
+          if (y < 8) v(math.min(15, y + d3t))
+          else v(math.min(15, math.min(15, y + d3b) + d1))
+      }
+      for (k <- 0 until 4; y <- 0 until 16; x <- 0 until 16)
+        assert(frames(k)._1(y * 16 + x) === row(k, y), s"id=$id k=$k ($x,$y)")
+    }
+  }
 }
