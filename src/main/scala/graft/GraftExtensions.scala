@@ -138,6 +138,8 @@ object GraftExtensions {
     unaryFn("pdf_synth", classOf[graft.fn.PdfSynth], graft.fn.PdfSynth(_)),
     unaryFn("mp4_multiref_synth", classOf[graft.fn.Mp4MultiRefSynth],
       graft.fn.Mp4MultiRefSynth(_)),
+    unaryFn("mp4_bgop_synth", classOf[graft.fn.Mp4BGopSynth],
+      graft.fn.Mp4BGopSynth(_)),
     unaryFn("pdf_text", classOf[graft.fn.PdfTextStats],
       graft.fn.PdfTextStats(_)),
     unaryFn("opus_toc_stats", classOf[graft.fn.OpusTocStats],

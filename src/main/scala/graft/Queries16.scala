@@ -279,13 +279,81 @@ object Queries16 {
       |  ROUND(h2, 6) + 0 AS h2, ROUND(h3, 6) + 0 AS h3
       |FROM st ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ---------- q154: B-slice GOP decode (round 12 — bi-prediction,
+  // POC-ordered reference lists, temporal direct). Corpus:
+  // [[graft.ext.VideoFixtures.bGop]] — frame 2 is an EXPLICIT
+  // B_Bi_16x16 averaging a past (L0) and future (L1) reference;
+  // frame 3 is a TEMPORAL-DIRECT B_Skip whose motion is the
+  // colocated P MV scaled by POC distances (distScaleFactor = 128
+  // by construction, so the scaled MVs land integer-pel and DuckDB
+  // replays the shifts). A decoder that mis-orders either list,
+  // breaks POC, averages wrong, or mis-scales direct motion decodes
+  // different pixels and breaks the hash.
+  private def q154(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    val d = col("doc_id")
+    val gop = graft.fn.H264GopFrames(
+      graft.fn.Mp4BGopSynth(gb.expression(d.cast("long"))),
+      nBins = 4, stride = 1, maxFrames = 4)
+    Tables.tbl(s, dir, "documents").select(d)
+      .where(d < 1000)
+      .select(d, explode(gb.column(gop)).as("__fr"))
+      .select(d,
+        element_at(col("__fr"), 1).cast("int").as("frame_idx"),
+        element_at(col("__fr"), 2).as("t_ms"),
+        round(element_at(col("__fr"), 3), 6).as("mean_g"),
+        round(element_at(col("__fr"), 4), 6).as("std_g"),
+        round(element_at(col("__fr"), 5), 6).as("h0"),
+        round(element_at(col("__fr"), 6), 6).as("h1"),
+        round(element_at(col("__fr"), 7), 6).as("h2"),
+        round(element_at(col("__fr"), 8), 6).as("h3"))
+      .orderBy(d, col("frame_idx"))
+  }
+
+  private val q154Sql =
+    """WITH ids AS (
+      |  SELECT doc_id,
+      |    10 + doc_id % 40 AS base, 2 + 2 * (doc_id % 2) AS d1,
+      |    doc_id % 5 AS a, 1 + doc_id % 3 AS b
+      |  FROM documents WHERE doc_id < 1000
+      |), px AS (
+      |  SELECT doc_id, k, y,
+      |    CAST(CASE CAST(k AS INT)
+      |      WHEN 0 THEN base + 13 * y
+      |      WHEN 1 THEN base + 13 * LEAST(15, y + d1)
+      |      WHEN 2 THEN (
+      |        (base + 13 * LEAST(15, y + a)) +
+      |        (base + 13 * LEAST(15, LEAST(15, y + b) + d1)) + 1) // 2
+      |      ELSE (
+      |        (base + 13 * LEAST(15, y + d1 // 2)) +
+      |        (base + 13 * LEAST(15, GREATEST(0, y - d1 // 2) + d1)) + 1) // 2
+      |    END AS DOUBLE) AS v
+      |  FROM ids, UNNEST(range(0, 4)) AS f(k), UNNEST(range(0, 16)) AS t(y)
+      |), st AS (
+      |  SELECT doc_id, k,
+      |    AVG(v) AS m, AVG(v * v) AS m2,
+      |    AVG(CASE WHEN CAST(v AS INT) // 64 = 0 THEN 1.0 ELSE 0.0 END) AS h0,
+      |    AVG(CASE WHEN CAST(v AS INT) // 64 = 1 THEN 1.0 ELSE 0.0 END) AS h1,
+      |    AVG(CASE WHEN CAST(v AS INT) // 64 = 2 THEN 1.0 ELSE 0.0 END) AS h2,
+      |    AVG(CASE WHEN CAST(v AS INT) // 64 = 3 THEN 1.0 ELSE 0.0 END) AS h3
+      |  FROM px GROUP BY doc_id, k
+      |)
+      |SELECT doc_id, CAST(k AS INT) AS frame_idx, k * 500.0 AS t_ms,
+      |  ROUND(m / 255.0, 6) + 0 AS mean_g,
+      |  ROUND(SQRT(GREATEST(0.0, m2 - m * m)) / 255.0, 6) + 0 AS std_g,
+      |  ROUND(h0, 6) + 0 AS h0, ROUND(h1, 6) + 0 AS h1,
+      |  ROUND(h2, 6) + 0 AS h2, ROUND(h3, 6) + 0 AS h3
+      |FROM st ORDER BY doc_id, frame_idx""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q151_pdf_text" -> (q151 _),
     "q152_lang_id" -> (q152 _),
-    "q153_video_multiref" -> (q153 _))
+    "q153_video_multiref" -> (q153 _),
+    "q154_video_bslice" -> (q154 _))
 
   val oracles: Map[String, String] = Map(
     "q151_pdf_text" -> q151Sql,
     "q152_lang_id" -> q152Sql,
-    "q153_video_multiref" -> q153Sql)
+    "q153_video_multiref" -> q153Sql,
+    "q154_video_bslice" -> q154Sql)
 }

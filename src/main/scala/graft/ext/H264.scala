@@ -20,9 +20,18 @@ package graft.ext
   * window DPB bounded by max_num_ref_frames, the initial L0 list in
   * descending-PicNum order (8.2.4.2.1 incl. frame_num wrap), and
   * per-partition ref_idx_l0 te(v) parsing with ref-matching MV
-  * prediction (8.4.1.3). Adaptive memory management (MMCO) and
-  * explicit ref-list modification stay out of scope — rejected
-  * loudly, never misdecoded.
+  * prediction (8.4.1.3). B slices decode too (round 12, CAVLC):
+  * picture order count type 0 (8.2.1.1 incl. lsb wrap, tracked from
+  * the previous reference), POC-ordered initial L0/L1 lists
+  * (8.2.4.2.3 with the identical-lists swap), all Table 7-14 mb
+  * types and 7-18 sub types, per-partition per-list ref_idx + MV
+  * prediction, bi-prediction averaging (8.4.2.3.2, weighted off),
+  * and BOTH direct modes — spatial (8.4.1.2.2: MinPositive refs,
+  * colZeroFlag) and temporal (8.4.1.2.3: distScaleFactor POC
+  * scaling) at 8x8 granularity (direct_8x8_inference_flag = 1
+  * required). B boundary, each arm rejected loudly: poc_type 0
+  * only, weighted_bipred_idc 0 only, no MMCO, no explicit list
+  * modification, CAVLC only.
   * LUMA is reconstructed (the [[Images]] gray-plane contract); chroma
   * residuals are entropy-PARSED (the bitstream position requires it)
   * but not reconstructed. The in-loop deblocking filter is skipped —
@@ -212,7 +221,8 @@ object H264 {
                                     log2MaxPocLsb: Int,
                                     hasScalingMatrix: Boolean = false,
                                     weights: Weights = FlatWeights,
-                                    maxRefFrames: Int = 1)
+                                    maxRefFrames: Int = 1,
+                                    direct8x8Inference: Boolean = true)
 
   private[graft] final case class Pps(picInitQp: Int, deblockCtrl: Boolean,
                                     redundantPicCnt: Boolean,
@@ -222,7 +232,9 @@ object H264 {
                                     constrainedIntra: Boolean,
                                     cabac: Boolean,
                                     transform8x8: Boolean = false,
-                                    weights: Weights = null /* = inherit SPS */)
+                                    weights: Weights = null /* = inherit SPS */,
+                                    numRefIdxL1Default: Int = 1,
+                                    weightedBipredIdc: Int = 0)
 
   /** Decode-oriented SPS parse: only the baseline-decodable subset
     * returns; anything else (high-profile chroma/bit-depth/scaling,
@@ -267,7 +279,7 @@ object H264 {
     val widthMbs = r.ue() + 1
     val heightMapUnits = r.ue() + 1
     if (r.u(1) != 1) bad() // frame_mbs_only_flag — fields unsupported
-    r.u(1) // direct_8x8_inference_flag
+    val direct8x8 = r.u(1) == 1 // direct_8x8_inference_flag
     var cl = 0; var cr = 0; var ct = 0; var cb = 0
     if (r.u(1) == 1) { cl = r.ue(); cr = r.ue(); ct = r.ue(); cb = r.ue() }
     if (widthMbs > 1024 || heightMapUnits > 1024) bad() // 16384px ceiling
@@ -276,7 +288,7 @@ object H264 {
     if (w <= 0 || h <= 0) bad()
     Sps(widthMbs, heightMapUnits, 2 * cl, 2 * cr, 2 * ct, 2 * cb,
       log2MaxFrameNum, pocType, log2MaxPocLsb, hasScaling, weights,
-      maxRefFrames)
+      maxRefFrames, direct8x8)
   }
 
   /** `sps` feeds the PPS scaling-list fallback (Table 7-2 rule B:
@@ -293,9 +305,9 @@ object H264 {
     val bottomFieldPoc = r.u(1) == 1
     if (r.ue() != 0) bad() // num_slice_groups_minus1 — no FMO
     val numRefIdxL0Default = r.ue() + 1
-    r.ue() // num_ref_idx_l1_default_active_minus1
+    val numRefIdxL1Default = r.ue() + 1
     val weightedPred = r.u(1) == 1
-    r.u(2) // weighted_bipred_idc
+    val weightedBipredIdc = r.u(2)
     val picInitQp = 26 + r.se()
     r.se() // pic_init_qs_minus26
     r.se() // chroma_qp_index_offset
@@ -317,7 +329,8 @@ object H264 {
       r.se() // second_chroma_qp_index_offset
     }
     Pps(picInitQp, deblockCtrl, redundantPicCnt, bottomFieldPoc, weightedPred,
-      numRefIdxL0Default, constrainedIntra, cabac, transform8x8, weights)
+      numRefIdxL0Default, constrainedIntra, cabac, transform8x8, weights,
+      numRefIdxL1Default, weightedBipredIdc)
   }
 
   /** The picture's effective luma weight matrices: PPS lists when
@@ -858,6 +871,34 @@ object H264 {
       * into the P-slice initial reference list.
       */
     var frameNum: Int = 0
+    /** Picture order count (8.2.1, poc_type 0) — orders the DPB into
+      * the B-slice L0/L1 lists and scales temporal-direct MVs.
+      */
+    var poc: Int = 0
+    /** B-slice LIST-1 motion state (the arrays above are list 0) and
+      * the per-block POC of each list's referenced picture —
+      * temporal direct reads the COLOCATED picture's refPoc0, so
+      * every inter path must stamp it. MinValue = no reference.
+      */
+    val mvx1 = Array.fill(wMbs * hMbs)(new Array[Int](16))
+    val mvy1 = Array.fill(wMbs * hMbs)(new Array[Int](16))
+    val refIdx1 = Array.fill(wMbs * hMbs)(Array.fill(16)(-1))
+    val refPoc0 = Array.fill(wMbs * hMbs)(Array.fill(16)(Int.MinValue))
+    val refPoc1 = Array.fill(wMbs * hMbs)(Array.fill(16)(Int.MinValue))
+    /** POC of this picture's OWN RefPicList0[0] at decode time —
+      * temporal direct substitutes it for intra colocated blocks
+      * (8.4.1.2.3's refIdxCol = 0 arm). MinValue for I frames.
+      */
+    var list0Poc0: Int = Int.MinValue
+  }
+
+  /** Picture-order-count decoder state (8.2.1.1): msb/lsb of the
+    * previous REFERENCE picture in decode order — one per decode
+    * chain, reset at IDR.
+    */
+  private final class PocCtx {
+    var prevMsb = 0
+    var prevLsb = 0
   }
 
   // ------------------------------------------ inter prediction (P)
@@ -940,7 +981,8 @@ object H264 {
     * picture AND already decoded; an available INTRA block carries
     * mv (0,0) with refIdx −1 (the spec's "different reference").
     */
-  private def motionAt(f: Frame, gx: Int, gy: Int): (Int, Int, Int, Boolean) = {
+  private def motionAt(f: Frame, gx: Int, gy: Int,
+                       list: Int = 0): (Int, Int, Int, Boolean) = {
     if (gx < 0 || gy < 0 || gx >= f.wMbs * 4 || gy >= f.hMbs * 4)
       return (0, 0, -1, false)
     val mb = (gy / 4) * f.wMbs + (gx / 4)
@@ -949,7 +991,8 @@ object H264 {
       if (mb == f.curMb) f.curAssigned(b)
       else f.mbDecoded(mb) && f.mbSliceId(mb) == f.curSliceId
     if (!avail) return (0, 0, -1, false)
-    (f.mvx(mb)(b), f.mvy(mb)(b), f.refIdx(mb)(b), true)
+    if (list == 0) (f.mvx(mb)(b), f.mvy(mb)(b), f.refIdx(mb)(b), true)
+    else (f.mvx1(mb)(b), f.mvy1(mb)(b), f.refIdx1(mb)(b), true)
   }
 
   /** Luma MV predictor (8.4.1.3): neighbors A (left), B (above), C
@@ -961,11 +1004,11 @@ object H264 {
     * shares the ref", then the component-wise median.
     */
   private def predictMv(f: Frame, gx: Int, gy: Int, bw4: Int,
-                        shape: Int, refIdx: Int): (Int, Int) = {
-    val a = motionAt(f, gx - 1, gy)
-    val b = motionAt(f, gx, gy - 1)
-    var c = motionAt(f, gx + bw4, gy - 1)
-    if (!c._4) c = motionAt(f, gx - 1, gy - 1) // D substitution
+                        shape: Int, refIdx: Int, list: Int = 0): (Int, Int) = {
+    val a = motionAt(f, gx - 1, gy, list)
+    val b = motionAt(f, gx, gy - 1, list)
+    var c = motionAt(f, gx + bw4, gy - 1, list)
+    if (!c._4) c = motionAt(f, gx - 1, gy - 1, list) // D substitution
     shape match {
       case 1 => if (b._3 == refIdx) return (b._1, b._2)
       case 2 => if (a._3 == refIdx) return (a._1, a._2)
@@ -1453,50 +1496,102 @@ object H264 {
     * non-IDR slices.
     */
   private def decodeSlice(f: Frame, pps: Pps, r: Br, idr: Boolean,
-                          nalRefIdc: Int, dpb: IndexedSeq[Frame]): Unit = {
+                          nalRefIdc: Int, dpb: IndexedSeq[Frame],
+                          pocCtx: PocCtx): Unit = {
     val sps = f.sps
     val firstMb = r.ue()
     val sliceTypeRaw = r.ue()
     val isI = sliceTypeRaw % 5 == 2
     val isP = sliceTypeRaw % 5 == 0
-    if (!isI && !isP) bad() // I and P slices only (no B: direct/L1 machinery)
-    if (isP && (dpb == null || dpb.isEmpty)) bad()
-    // P slices in a transform_8x8 PPS could carry 8x8 inter residuals
-    // this parser does not read — reject loudly (keyframe entries
-    // cover High streams; P chains stay 4x4)
-    if (isP && pps.transform8x8) bad()
+    val isB = sliceTypeRaw % 5 == 1
+    if (!isI && !isP && !isB) bad() // SP/SI out of scope
+    if ((isP || isB) && (dpb == null || dpb.isEmpty)) bad()
+    // P/B slices in a transform_8x8 PPS could carry 8x8 inter
+    // residuals this parser does not read — reject loudly (keyframe
+    // entries cover High streams; inter chains stay 4x4)
+    if ((isP || isB) && pps.transform8x8) bad()
     r.ue() // pps_id
     val frameNum = r.u(sps.log2MaxFrameNum)
     f.frameNum = frameNum
     if (idr) r.ue() // idr_pic_id
     if (sps.pocType == 0) {
-      r.u(sps.log2MaxPocLsb)
+      // 8.2.1.1: msb tracked from the previous reference picture,
+      // reset at IDR; wrap by half the lsb range
+      val lsb = r.u(sps.log2MaxPocLsb)
+      val maxLsb = 1 << sps.log2MaxPocLsb
+      if (idr) { pocCtx.prevMsb = 0; pocCtx.prevLsb = 0 }
+      val msb =
+        if (lsb < pocCtx.prevLsb && pocCtx.prevLsb - lsb >= maxLsb / 2)
+          pocCtx.prevMsb + maxLsb
+        else if (lsb > pocCtx.prevLsb && lsb - pocCtx.prevLsb > maxLsb / 2)
+          pocCtx.prevMsb - maxLsb
+        else pocCtx.prevMsb
+      f.poc = msb + lsb
+      if (nalRefIdc != 0) { pocCtx.prevMsb = msb; pocCtx.prevLsb = lsb }
       if (pps.bottomFieldPoc) r.se() // delta_pic_order_cnt_bottom
     } else if (sps.pocType == 1) bad() // needs SPS cycle arrays; out of scope
+    else {
+      // poc_type 2: output order == decode order. B slices would
+      // need the FrameNumOffset wrap chain for a poc nothing can
+      // reorder around — rejected below; I/P never read poc here.
+      f.poc = 2 * frameNum
+    }
     if (pps.redundantPicCnt) r.ue()
+    var directSpatial = false
+    if (isB) {
+      // the subset's B boundary, each rejected LOUDLY:
+      if (sps.pocType != 0) bad() // B list/direct semantics need real POC
+      if (pps.weightedBipredIdc != 0) bad() // explicit/implicit weighting
+      if (!sps.direct8x8Inference) bad() // direct derived per 8x8 corner
+      directSpatial = r.u(1) == 1 // direct_spatial_mv_pred_flag
+    }
     var list0: IndexedSeq[Frame] = null
+    var list1: IndexedSeq[Frame] = null
     var numRefs = 1
-    if (isP) {
-      if (pps.weightedPred) bad() // baseline forbids weighted pred
-      // constrained_intra_pred changes which pixels intra MBs in P
-      // slices may predict from — unsupported, reject loudly rather
-      // than reconstruct from neighbors the encoder excluded
+    var numRefsL1 = 1
+    if (isP || isB) {
+      if (pps.weightedPred && isP) bad() // weighted pred unsupported
+      // constrained_intra_pred changes which pixels intra MBs in
+      // inter slices may predict from — unsupported, reject loudly
+      // rather than reconstruct from neighbors the encoder excluded
       if (pps.constrainedIntra) bad()
-      numRefs =
-        if (r.u(1) == 1) r.ue() + 1 // num_ref_idx_active_override_flag
-        else pps.numRefIdxL0Default
+      if (r.u(1) == 1) { // num_ref_idx_active_override_flag
+        numRefs = r.ue() + 1
+        if (isB) numRefsL1 = r.ue() + 1
+      } else {
+        numRefs = pps.numRefIdxL0Default
+        if (isB) numRefsL1 = pps.numRefIdxL1Default
+      }
       if (numRefs < 1 || numRefs > 16) bad()
-      // Initial L0 order (8.2.4.2.1): descending PicNum, where
-      // PicNum wraps below the current frame_num (8.2.4.1). The DPB
-      // holds only short-term references (sliding window), so the
-      // long-term tail is always empty here.
-      val maxFn = 1 << sps.log2MaxFrameNum
-      list0 = dpb.sortBy(g =>
-        -(if (g.frameNum > frameNum) g.frameNum - maxFn else g.frameNum))
+      if (numRefsL1 < 1 || numRefsL1 > 16) bad()
+      if (isP) {
+        // Initial L0 order (8.2.4.2.1): descending PicNum, where
+        // PicNum wraps below the current frame_num (8.2.4.1). The DPB
+        // holds only short-term references (sliding window), so the
+        // long-term tail is always empty here.
+        val maxFn = 1 << sps.log2MaxFrameNum
+        list0 = dpb.sortBy(g =>
+          -(if (g.frameNum > frameNum) g.frameNum - maxFn else g.frameNum))
+      } else {
+        // B initial lists (8.2.4.2.3, short-term only): L0 = past by
+        // POC descending then future ascending; L1 = future ascending
+        // then past descending; if the lists coincide and hold more
+        // than one picture, L1's first two entries swap
+        val past = dpb.filter(_.poc < f.poc).sortBy(g => -g.poc)
+        val future = dpb.filter(_.poc > f.poc).sortBy(_.poc)
+        if (dpb.exists(_.poc == f.poc)) bad() // POC collision: malformed
+        list0 = past ++ future
+        list1 = future ++ past
+        if (list1.length > 1 && list0 == list1)
+          list1 = IndexedSeq(list1(1), list1(0)) ++ list1.drop(2)
+      }
       // active refs beyond the decoded-reference set would index
       // frames a gaps_in_frame_num stream implies — unsupported
       if (numRefs > list0.length) bad()
-      if (r.u(1) != 0) bad() // ref_pic_list_modification: initial order only
+      if (isB && numRefsL1 > list1.length) bad()
+      if (r.u(1) != 0) bad() // ref_pic_list_modification_l0: initial order
+      if (isB && r.u(1) != 0) bad() // ref_pic_list_modification_l1
+      f.list0Poc0 = list0(0).poc // temporal direct's intra-col fallback
     }
     if (idr) { r.u(1); r.u(1) } // no_output_of_prior / long_term_reference
     else if (nalRefIdc != 0) {
@@ -1537,6 +1632,24 @@ object H264 {
         mbAddr += 1
         // more_rbsp_data: stop at (or past) the trailing stop bit
         more = hasMoreRbsp(r)
+      }
+    } else if (isB) {
+      while (more && mbAddr < nMbs) {
+        val skipRun = r.ue()
+        var i = 0
+        while (i < skipRun) {
+          if (mbAddr >= nMbs) bad()
+          decodeSkipMbB(f, list0, list1, directSpatial, mbAddr)
+          mbAddr += 1
+          i += 1
+        }
+        more = hasMoreRbsp(r)
+        if (more && mbAddr < nMbs) {
+          decodeMbB(f, list0, list1, numRefs, numRefsL1, directSpatial,
+            r, mbAddr, qpIn = qp, setQp = q => qp = q)
+          mbAddr += 1
+          more = hasMoreRbsp(r)
+        }
       }
     } else {
       while (more && mbAddr < nMbs) {
@@ -1593,6 +1706,7 @@ object H264 {
       f.mvx(mbAddr)(blk) = mv._1
       f.mvy(mbAddr)(blk) = mv._2
       f.refIdx(mbAddr)(blk) = 0
+      f.refPoc0(mbAddr)(blk) = ref.poc
       blk += 1
     }
     f.mbIsI4x4(mbAddr) = false
@@ -1659,6 +1773,7 @@ object H264 {
           f.mvx(mbAddr)(blk) = mvx
           f.mvy(mbAddr)(blk) = mvy
           f.refIdx(mbAddr)(blk) = refIdx
+          f.refPoc0(mbAddr)(blk) = list0(refIdx).poc
           f.curAssigned(blk) = true
           bx += 1
         }
@@ -1750,7 +1865,21 @@ object H264 {
       case _ => bad()
     }
 
-    // coded_block_pattern (inter mapping) + residual
+    interResidualAndWrite(f, r, mbAddr, pred, qpIn = qp, setQp)
+  }
+
+  /** Inter-MB coded_block_pattern + CAVLC residual + reconstruction
+    * over a 16x16 `pred` buffer — shared by the P and B macroblock
+    * layers (identical syntax from the cbp field on).
+    */
+  private def interResidualAndWrite(f: Frame, r: Br, mbAddr: Int,
+                                    pred: Array[Int], qpIn: Int,
+                                    setQp: Int => Unit): Unit = {
+    var qp = qpIn
+    val mbX = mbAddr % f.wMbs
+    val mbY = mbAddr / f.wMbs
+    val x0 = mbX * 16
+    val y0 = mbY * 16
     val cbpCode = r.ue()
     if (cbpCode >= 48) bad()
     val cbp = CbpInter(cbpCode)
@@ -1819,6 +1948,434 @@ object H264 {
     }
     f.mbIsI4x4(mbAddr) = false
     f.mbDecoded(mbAddr) = true
+  }
+
+  // ---------------------------------------------- B slices (round 12)
+
+  private def clip3(lo: Int, hi: Int, v: Int): Int =
+    math.max(lo, math.min(hi, v))
+
+  /** 8.4.1.2.2's MinPositive: min when both non-negative, else the
+    * non-negative one, else negative.
+    */
+  private def minPositive(a: Int, b: Int): Int =
+    if (a >= 0 && b >= 0) math.min(a, b) else math.max(a, b)
+
+  /** Direct-mode motion (8.4.1.2.2 spatial / 8.4.1.2.3 temporal) at
+    * 8x8 granularity — direct_8x8_inference_flag == 1 is enforced at
+    * the slice header, so each quadrant samples the COLOCATED
+    * picture (RefPicList1[0]) at the macroblock's outer-corner 4x4
+    * (blocks 0/3/12/15). Returns per quadrant
+    * [mvx0, mvy0, ref0, mvx1, mvy1, ref1] with ref −1 = list unused.
+    * The DPB holds only short-term references, so the spec's
+    * long-term arms never arise.
+    */
+  private def directMotion(f: Frame, list0: IndexedSeq[Frame],
+                           list1: IndexedSeq[Frame], spatial: Boolean,
+                           mbAddr: Int): Array[Array[Int]] = {
+    val colPic = list1(0)
+    val out = Array.ofDim[Int](4, 6)
+    // colocated corner 4x4 (raster) of quadrant i
+    def colBlk(i: Int): Int = ((i >> 1) * 3) * 4 + (i & 1) * 3
+    // colocated motion: colPic's L0, falling back to its L1; intra →
+    // (0,0) with ref −1 (callers substitute per mode)
+    def colMotion(i: Int): (Int, Int, Int, Int) = {
+      val b = colBlk(i)
+      val r0 = colPic.refIdx(mbAddr)(b)
+      if (r0 >= 0)
+        (colPic.mvx(mbAddr)(b), colPic.mvy(mbAddr)(b), r0,
+          colPic.refPoc0(mbAddr)(b))
+      else {
+        val r1 = colPic.refIdx1(mbAddr)(b)
+        if (r1 >= 0)
+          (colPic.mvx1(mbAddr)(b), colPic.mvy1(mbAddr)(b), r1,
+            colPic.refPoc1(mbAddr)(b))
+        else (0, 0, -1, Int.MinValue)
+      }
+    }
+    if (spatial) {
+      val mbX = mbAddr % f.wMbs
+      val mbY = mbAddr / f.wMbs
+      val gx0 = mbX * 4
+      val gy0 = mbY * 4
+      // MB-level neighbor reference indices per list (A/B/C, D sub)
+      def nbrRef(list: Int): Int = {
+        val a = motionAt(f, gx0 - 1, gy0, list)
+        val b = motionAt(f, gx0, gy0 - 1, list)
+        var c = motionAt(f, gx0 + 4, gy0 - 1, list)
+        if (!c._4) c = motionAt(f, gx0 - 1, gy0 - 1, list)
+        minPositive(minPositive(a._3, b._3), c._3)
+      }
+      val ref0 = nbrRef(0)
+      val ref1 = nbrRef(1)
+      val directZero = ref0 < 0 && ref1 < 0
+      val r0 = if (directZero) 0 else ref0
+      val r1 = if (directZero) 0 else ref1
+      val mv0 =
+        if (directZero || r0 < 0) (0, 0)
+        else predictMv(f, gx0, gy0, 4, 0, r0, 0)
+      val mv1 =
+        if (directZero || r1 < 0) (0, 0)
+        else predictMv(f, gx0, gy0, 4, 0, r1, 1)
+      var i = 0
+      while (i < 4) {
+        val (cmx, cmy, cr, _) = colMotion(i)
+        // colZeroFlag (colPic is short-term by construction)
+        val colZero = cr == 0 &&
+          cmx >= -1 && cmx <= 1 && cmy >= -1 && cmy <= 1
+        val o = out(i)
+        if (r0 >= 0) {
+          if (colZero && r0 == 0) { o(0) = 0; o(1) = 0 }
+          else { o(0) = mv0._1; o(1) = mv0._2 }
+          o(2) = r0
+        } else o(2) = -1
+        if (r1 >= 0) {
+          if (colZero && r1 == 0) { o(3) = 0; o(4) = 0 }
+          else { o(3) = mv1._1; o(4) = mv1._2 }
+          o(5) = r1
+        } else o(5) = -1
+        if (r0 < 0 && r1 < 0) bad() // unreachable: directZero forces 0/0
+        i += 1
+      }
+    } else {
+      // temporal: scale the colocated MV by POC distances (8.4.1.2.3)
+      var i = 0
+      while (i < 4) {
+        val (cmxRaw, cmyRaw, cr, crPocRaw) = colMotion(i)
+        // intra colocated: mvCol = 0 with refIdxCol = 0 → the POC of
+        // colPic's own RefPicList0[0] (retained on the Frame)
+        val (cmx, cmy, refPocCol) =
+          if (cr < 0) {
+            if (colPic.list0Poc0 == Int.MinValue) bad() // I colPic
+            (0, 0, colPic.list0Poc0)
+          } else (cmxRaw, cmyRaw, crPocRaw)
+        val idx0 = list0.indexWhere(_.poc == refPocCol)
+        if (idx0 < 0) bad() // colocated reference absent from L0
+        val td = clip3(-128, 127, colPic.poc - refPocCol)
+        val o = out(i)
+        if (td == 0) {
+          o(0) = cmx; o(1) = cmy
+          o(3) = 0; o(4) = 0
+        } else {
+          val tb = clip3(-128, 127, f.poc - refPocCol)
+          val tx = (16384 + math.abs(td / 2)) / td
+          val dsf = clip3(-1024, 1023, (tb * tx + 32) >> 6)
+          o(0) = (dsf * cmx + 128) >> 8
+          o(1) = (dsf * cmy + 128) >> 8
+          o(3) = o(0) - cmx
+          o(4) = o(1) - cmy
+        }
+        o(2) = idx0
+        o(5) = 0
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** Per-list / bi-predicted MC into a 16x16-local `pred` buffer +
+    * motion-state stamping — the B twin of decodeMbP's mcInto.
+    * ref −1 = list unused; both −1 is malformed. Bi averages the two
+    * CLIPPED per-list predictions ((p0 + p1 + 1) >> 1, 8.4.2.3.2
+    * with weighted prediction off — enforced at the slice header).
+    */
+  private def bMcInto(f: Frame, list0: IndexedSeq[Frame],
+                      list1: IndexedSeq[Frame], mbAddr: Int,
+                      bx4: Int, by4: Int, bw4: Int, bh4: Int,
+                      mv0x: Int, mv0y: Int, ref0: Int,
+                      mv1x: Int, mv1y: Int, ref1: Int,
+                      pred: Array[Int], buf0: Array[Int],
+                      buf1: Array[Int]): Unit = {
+    if (ref0 < 0 && ref1 < 0) bad()
+    val mbX = mbAddr % f.wMbs
+    val mbY = mbAddr / f.wMbs
+    val x0 = mbX * 16 + bx4 * 4
+    val y0 = mbY * 16 + by4 * 4
+    val bw = bw4 * 4
+    val bh = bh4 * 4
+    if (ref0 >= 0) mcLumaBlock(list0(ref0), x0, y0, mv0x, mv0y, bw, bh, buf0)
+    if (ref1 >= 0) mcLumaBlock(list1(ref1), x0, y0, mv1x, mv1y, bw, bh, buf1)
+    var yy = 0
+    while (yy < bh) {
+      var xx = 0
+      while (xx < bw) {
+        val v =
+          if (ref0 >= 0 && ref1 >= 0)
+            (buf0(yy * bw + xx) + buf1(yy * bw + xx) + 1) >> 1
+          else if (ref0 >= 0) buf0(yy * bw + xx)
+          else buf1(yy * bw + xx)
+        pred((by4 * 4 + yy) * 16 + bx4 * 4 + xx) = v
+        xx += 1
+      }
+      yy += 1
+    }
+    var by = by4
+    while (by < by4 + bh4) {
+      var bx = bx4
+      while (bx < bx4 + bw4) {
+        val blk = by * 4 + bx
+        if (ref0 >= 0) {
+          f.mvx(mbAddr)(blk) = mv0x
+          f.mvy(mbAddr)(blk) = mv0y
+          f.refIdx(mbAddr)(blk) = ref0
+          f.refPoc0(mbAddr)(blk) = list0(ref0).poc
+        } else {
+          f.mvx(mbAddr)(blk) = 0
+          f.mvy(mbAddr)(blk) = 0
+          f.refIdx(mbAddr)(blk) = -1
+          f.refPoc0(mbAddr)(blk) = Int.MinValue
+        }
+        if (ref1 >= 0) {
+          f.mvx1(mbAddr)(blk) = mv1x
+          f.mvy1(mbAddr)(blk) = mv1y
+          f.refIdx1(mbAddr)(blk) = ref1
+          f.refPoc1(mbAddr)(blk) = list1(ref1).poc
+        } else {
+          f.mvx1(mbAddr)(blk) = 0
+          f.mvy1(mbAddr)(blk) = 0
+          f.refIdx1(mbAddr)(blk) = -1
+          f.refPoc1(mbAddr)(blk) = Int.MinValue
+        }
+        f.curAssigned(blk) = true
+        bx += 1
+      }
+      by += 1
+    }
+  }
+
+  /** Direct prediction of a whole MB (B_Skip / B_Direct_16x16) into
+    * `pred`: per-quadrant motion from [[directMotion]].
+    */
+  private def bDirectInto(f: Frame, list0: IndexedSeq[Frame],
+                          list1: IndexedSeq[Frame], spatial: Boolean,
+                          mbAddr: Int, pred: Array[Int],
+                          buf0: Array[Int], buf1: Array[Int]): Unit = {
+    val dm = directMotion(f, list0, list1, spatial, mbAddr)
+    var i = 0
+    while (i < 4) {
+      val o = dm(i)
+      bMcInto(f, list0, list1, mbAddr, (i & 1) * 2, (i >> 1) * 2, 2, 2,
+        o(0), o(1), o(2), o(3), o(4), o(5), pred, buf0, buf1)
+      i += 1
+    }
+  }
+
+  /** B_Skip: direct prediction, no residual. */
+  private def decodeSkipMbB(f: Frame, list0: IndexedSeq[Frame],
+                            list1: IndexedSeq[Frame], spatial: Boolean,
+                            mbAddr: Int): Unit = {
+    f.curMb = mbAddr
+    java.util.Arrays.fill(f.curAssigned, false)
+    f.mbSliceId(mbAddr) = f.curSliceId
+    val pred = new Array[Int](256)
+    val buf0 = new Array[Int](256)
+    val buf1 = new Array[Int](256)
+    bDirectInto(f, list0, list1, spatial, mbAddr, pred, buf0, buf1)
+    val mbX = mbAddr % f.wMbs
+    val mbY = mbAddr / f.wMbs
+    var yy = 0
+    while (yy < 16) {
+      var xx = 0
+      while (xx < 16) {
+        f.luma((mbY * 16 + yy) * f.w + mbX * 16 + xx) = pred(yy * 16 + xx)
+        xx += 1
+      }
+      yy += 1
+    }
+    f.mbIsI4x4(mbAddr) = false
+    f.mbDecoded(mbAddr) = true
+  }
+
+  /** Table 7-14 partition list usage for mb_type 4–21 (two-partition
+    * B types): per (mbType − 4) / 2 — {L0,L0} {L1,L1} {L0,L1} {L1,L0}
+    * {L0,Bi} {L1,Bi} {Bi,L0} {Bi,L1} {Bi,Bi}; even = 16x8, odd =
+    * 8x16. use: 1 = L0, 2 = L1, 3 = Bi. Normative enumeration.
+    */
+  private val BPairUse: Array[(Int, Int)] = Array(
+    (1, 1), (2, 2), (1, 2), (2, 1), (1, 3), (2, 3), (3, 1), (3, 2), (3, 3))
+
+  /** Table 7-18 sub_mb_type: (use, sub-shape 0=8x8 1=8x4 2=4x8 3=4x4);
+    * use 0 = B_Direct_8x8. Normative enumeration.
+    */
+  private val BSubUse: Array[(Int, Int)] = Array(
+    (0, 0), (1, 0), (2, 0), (3, 0), (1, 1), (1, 2), (2, 1), (2, 2),
+    (3, 1), (3, 2), (1, 3), (2, 3), (3, 3))
+
+  /** One B-slice macroblock_layer (7.3.5/7.3.5.1/7.3.5.2): direct /
+    * explicit 16x16 / two-partition / B_8x8 sub-partitions with
+    * per-partition list selection, per-list ref_idx + MV prediction,
+    * bi-prediction averaging, then the shared inter residual. Intra
+    * MBs map through mb_type − 23.
+    */
+  private def decodeMbB(f: Frame, list0: IndexedSeq[Frame],
+                        list1: IndexedSeq[Frame], numRefs: Int,
+                        numRefsL1: Int, spatial: Boolean, r: Br,
+                        mbAddr: Int, qpIn: Int, setQp: Int => Unit): Unit = {
+    val mbType = r.ue()
+    if (mbType >= 23) { // intra MB inside a B slice
+      decodeMbIntra(f, r, mbAddr, qpIn, setQp, mbType - 23)
+      return
+    }
+    val mbX = mbAddr % f.wMbs
+    val mbY = mbAddr / f.wMbs
+    f.curMb = mbAddr
+    java.util.Arrays.fill(f.curAssigned, false)
+    f.mbSliceId(mbAddr) = f.curSliceId
+    val gx0 = mbX * 4
+    val gy0 = mbY * 4
+    val pred = new Array[Int](256)
+    val buf0 = new Array[Int](256)
+    val buf1 = new Array[Int](256)
+
+    def refIdxIn(max: Int): Int = {
+      val v =
+        if (max == 1) 0
+        else if (max == 2) 1 - r.u(1)
+        else r.ue()
+      if (v >= max) bad()
+      v
+    }
+
+    def explicitPart(bx4: Int, by4: Int, bw4: Int, bh4: Int, shape: Int,
+                     use: Int, ref0: Int, ref1: Int,
+                     d0: (Int, Int), d1: (Int, Int)): Unit = {
+      var m0x = 0; var m0y = 0; var m1x = 0; var m1y = 0
+      if ((use & 1) != 0) {
+        val p = predictMv(f, gx0 + bx4, gy0 + by4, bw4, shape, ref0, 0)
+        m0x = p._1 + d0._1; m0y = p._2 + d0._2
+      }
+      if ((use & 2) != 0) {
+        val p = predictMv(f, gx0 + bx4, gy0 + by4, bw4, shape, ref1, 1)
+        m1x = p._1 + d1._1; m1y = p._2 + d1._2
+      }
+      bMcInto(f, list0, list1, mbAddr, bx4, by4, bw4, bh4,
+        m0x, m0y, if ((use & 1) != 0) ref0 else -1,
+        m1x, m1y, if ((use & 2) != 0) ref1 else -1, pred, buf0, buf1)
+    }
+
+    mbType match {
+      case 0 => // B_Direct_16x16 (+ residual below)
+        bDirectInto(f, list0, list1, spatial, mbAddr, pred, buf0, buf1)
+      case 1 | 2 | 3 => // B_L0 / B_L1 / B_Bi 16x16
+        val use = mbType // 1=L0, 2=L1, 3=Bi by construction
+        val ref0 = if ((use & 1) != 0) refIdxIn(numRefs) else -1
+        val ref1 = if ((use & 2) != 0) refIdxIn(numRefsL1) else -1
+        val d0 = if ((use & 1) != 0) (r.se(), r.se()) else (0, 0)
+        val d1 = if ((use & 2) != 0) (r.se(), r.se()) else (0, 0)
+        explicitPart(0, 0, 4, 4, 0, use, ref0, ref1, d0, d1)
+      case t if t >= 4 && t <= 21 =>
+        val (useA, useB) = BPairUse((t - 4) / 2)
+        val is16x8 = (t - 4) % 2 == 0
+        // 7.3.5.1: every partition's ref_idx_l0, then ref_idx_l1,
+        // then mvd_l0 pairs, then mvd_l1 pairs
+        val refA0 = if ((useA & 1) != 0) refIdxIn(numRefs) else -1
+        val refB0 = if ((useB & 1) != 0) refIdxIn(numRefs) else -1
+        val refA1 = if ((useA & 2) != 0) refIdxIn(numRefsL1) else -1
+        val refB1 = if ((useB & 2) != 0) refIdxIn(numRefsL1) else -1
+        val dA0 = if ((useA & 1) != 0) (r.se(), r.se()) else (0, 0)
+        val dB0 = if ((useB & 1) != 0) (r.se(), r.se()) else (0, 0)
+        val dA1 = if ((useA & 2) != 0) (r.se(), r.se()) else (0, 0)
+        val dB1 = if ((useB & 2) != 0) (r.se(), r.se()) else (0, 0)
+        if (is16x8) {
+          explicitPart(0, 0, 4, 2, 1, useA, refA0, refA1, dA0, dA1)
+          explicitPart(0, 2, 4, 2, 2, useB, refB0, refB1, dB0, dB1)
+        } else {
+          explicitPart(0, 0, 2, 4, 3, useA, refA0, refA1, dA0, dA1)
+          explicitPart(2, 0, 2, 4, 4, useB, refB0, refB1, dB0, dB1)
+        }
+      case 22 => // B_8x8
+        val subTypes = new Array[Int](4)
+        var i = 0
+        while (i < 4) {
+          subTypes(i) = r.ue()
+          if (subTypes(i) > 12) bad()
+          i += 1
+        }
+        val refs0 = Array.fill(4)(-1)
+        val refs1 = Array.fill(4)(-1)
+        i = 0
+        while (i < 4) {
+          if ((BSubUse(subTypes(i))._1 & 1) != 0) refs0(i) = refIdxIn(numRefs)
+          i += 1
+        }
+        i = 0
+        while (i < 4) {
+          if ((BSubUse(subTypes(i))._1 & 2) != 0) refs1(i) = refIdxIn(numRefsL1)
+          i += 1
+        }
+        // mvd_l0 for every sub-partition of every sub-MB, then mvd_l1
+        val nParts = subTypes.map(st => BSubUse(st)._2 match {
+          case 0 => 1
+          case 3 => 4
+          case _ => 2
+        })
+        val mvd0 = Array.ofDim[Int](4, 4, 2)
+        val mvd1 = Array.ofDim[Int](4, 4, 2)
+        i = 0
+        while (i < 4) {
+          if (refs0(i) >= 0) {
+            var j = 0
+            while (j < nParts(i)) {
+              mvd0(i)(j)(0) = r.se(); mvd0(i)(j)(1) = r.se(); j += 1
+            }
+          }
+          i += 1
+        }
+        i = 0
+        while (i < 4) {
+          if (refs1(i) >= 0) {
+            var j = 0
+            while (j < nParts(i)) {
+              mvd1(i)(j)(0) = r.se(); mvd1(i)(j)(1) = r.se(); j += 1
+            }
+          }
+          i += 1
+        }
+        // decode sub-MBs in order; direct quadrants pull their motion
+        // from the (MB-level) direct derivation
+        var dm: Array[Array[Int]] = null
+        i = 0
+        while (i < 4) {
+          val bx8 = (i & 1) * 2
+          val by8 = (i >> 1) * 2
+          val (use, shape) = BSubUse(subTypes(i))
+          if (use == 0) {
+            if (dm == null) dm = directMotion(f, list0, list1, spatial, mbAddr)
+            val o = dm(i)
+            bMcInto(f, list0, list1, mbAddr, bx8, by8, 2, 2,
+              o(0), o(1), o(2), o(3), o(4), o(5), pred, buf0, buf1)
+          } else {
+            def sub(j: Int, bx4: Int, by4: Int, bw4: Int, bh4: Int): Unit = {
+              var m0x = 0; var m0y = 0; var m1x = 0; var m1y = 0
+              if (refs0(i) >= 0) {
+                val p = predictMv(f, gx0 + bx4, gy0 + by4, bw4, 0, refs0(i), 0)
+                m0x = p._1 + mvd0(i)(j)(0); m0y = p._2 + mvd0(i)(j)(1)
+              }
+              if (refs1(i) >= 0) {
+                val p = predictMv(f, gx0 + bx4, gy0 + by4, bw4, 0, refs1(i), 1)
+                m1x = p._1 + mvd1(i)(j)(0); m1y = p._2 + mvd1(i)(j)(1)
+              }
+              bMcInto(f, list0, list1, mbAddr, bx4, by4, bw4, bh4,
+                m0x, m0y, refs0(i), m1x, m1y, refs1(i), pred, buf0, buf1)
+            }
+            shape match {
+              case 0 => sub(0, bx8, by8, 2, 2)
+              case 1 => sub(0, bx8, by8, 2, 1); sub(1, bx8, by8 + 1, 2, 1)
+              case 2 => sub(0, bx8, by8, 1, 2); sub(1, bx8 + 1, by8, 1, 2)
+              case _ =>
+                var j = 0
+                while (j < 4) {
+                  sub(j, bx8 + (j & 1), by8 + (j >> 1), 1, 1)
+                  j += 1
+                }
+            }
+          }
+          i += 1
+        }
+      case _ => bad()
+    }
+
+    interResidualAndWrite(f, r, mbAddr, pred, qpIn, setQp)
   }
 
   /** more_rbsp_data(): true iff bits remain BEFORE the
@@ -2704,7 +3261,7 @@ object H264 {
       f.weights = effectiveWeights(sps, pps)
       slices.foreach { case (nal, idr) =>
         decodeSlice(f, pps, new Br(rbsp(nal, 1)), idr,
-          (nal(0) >> 5) & 3, Vector.empty)
+          (nal(0) >> 5) & 3, Vector.empty, new PocCtx)
       }
       if (!f.mbDecoded.forall(identity)) return null // frame not covered
       cropOut(f)
@@ -2737,7 +3294,7 @@ object H264 {
     * Throws Malformed when the frame is not fully covered.
     */
   private def decodeAuFrame(sps: Sps, pps: Pps, nals: Seq[Array[Byte]],
-                            dpb: IndexedSeq[Frame]): Frame = {
+                            dpb: IndexedSeq[Frame], pocCtx: PocCtx): Frame = {
     val f = new Frame(sps)
     f.weights = effectiveWeights(sps, pps)
     var any = false
@@ -2745,7 +3302,8 @@ object H264 {
       if (nal != null && nal.length >= 1) {
         val t = nal(0) & 0x1F
         if (t == 5 || t == 1) {
-          decodeSlice(f, pps, new Br(rbsp(nal, 1)), t == 5, (nal(0) >> 5) & 3, dpb)
+          decodeSlice(f, pps, new Br(rbsp(nal, 1)), t == 5, (nal(0) >> 5) & 3,
+            dpb, pocCtx)
           any = true
         }
       }
@@ -2823,11 +3381,12 @@ object H264 {
       val prefix = sttsPrefix(durations)
       val out = new scala.collection.mutable.ArrayBuffer[Array[Double]]()
       var dpb = Vector.empty[Frame]
+      val pocCtx = new PocCtx
       var k = 0
       while (k < spans.length && out.length < maxFrames) {
         val (off, size, sn) = spans(k)
         val nals = sampleNals(bytes, lengthSize, off, size)
-        val f = decodeAuFrame(sps, pps, nals, dpb)
+        val f = decodeAuFrame(sps, pps, nals, dpb, pocCtx)
         dpb = advanceDpb(dpb, f, nals)
         if (k % stride == 0) {
           val (g, _, _) = cropOut(f)
@@ -2859,10 +3418,11 @@ object H264 {
       val spans = Avc.sampleSpansOrNull(bytes, math.min(maxFrames, 1 << 14))
       if (spans == null || spans.isEmpty) return null
       var dpb = Vector.empty[Frame]
+      val pocCtx = new PocCtx
       val out = scala.collection.mutable.ArrayBuffer[(Array[Double], Int, Int)]()
       spans.foreach { case (off, size, _) =>
         val nals = sampleNals(bytes, lengthSize, off, size)
-        val f = decodeAuFrame(sps, pps, nals, dpb)
+        val f = decodeAuFrame(sps, pps, nals, dpb, pocCtx)
         dpb = advanceDpb(dpb, f, nals)
         out += cropOut(f)
       }

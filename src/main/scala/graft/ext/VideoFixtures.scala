@@ -575,6 +575,121 @@ object VideoFixtures {
       d3t = (id % 4).toInt,
       d3b = (1 + id % 3).toInt)
 
+  /** poc_type-0 1×1-MB SPS (B GOPs need real POC): 4-bit lsb,
+    * `maxRef` references, direct_8x8_inference = 1.
+    */
+  private def sps1x1Poc0(maxRef: Int): Array[Byte] = {
+    val w = new Bw
+    w.u(0x67, 8).u(66, 8).u(0, 8).u(10, 8)
+    w.ue(0).ue(0).ue(0).ue(0) // sps_id, log2fn, poc_type 0, log2lsb→4
+    w.ue(maxRef).u(0, 1)
+    w.ue(0).ue(0) // 1x1 MBs
+    w.u(1, 1).u(1, 1).u(0, 1).u(0, 1)
+    w.stop(); w.bytes()
+  }
+
+  /** 16×16 I_PCM IDR under a poc_type-0 SPS (lsb 0). */
+  private def idrPcmPoc0(px: (Int, Int) => Int): Array[Byte] = {
+    val w = new Bw
+    w.u(0x65, 8)
+    w.ue(0).ue(7).ue(0).u(0, 4).ue(0)
+    w.u(0, 4) // pic_order_cnt_lsb
+    w.u(0, 1).u(0, 1).se(0)
+    w.ue(1)
+    w.ue(25).align()
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 16) { w.raw(px(x, y) & 0xFF); x += 1 }
+      y += 1
+    }
+    var i = 0
+    while (i < 128) { w.raw(0x80); i += 1 }
+    w.stop(); w.bytes()
+  }
+
+  /** Non-IDR P slice under the poc_type-0 SPS (carries the lsb). */
+  private def pSlicePoc0(frameNum: Int, lsb: Int)(body: Bw => Unit): Array[Byte] = {
+    val w = new Bw
+    w.u(0x41, 8)
+    w.ue(0).ue(5).ue(0)
+    w.u(frameNum & 15, 4)
+    w.u(lsb & 15, 4)
+    w.u(0, 1).u(0, 1).u(0, 1)
+    w.se(0).ue(1)
+    body(w)
+    w.stop(); w.bytes()
+  }
+
+  /** Non-reference B slice (nal_ref_idc 0 — stays out of the DPB). */
+  private def bSlicePoc0(frameNum: Int, lsb: Int, spatial: Boolean)
+                        (body: Bw => Unit): Array[Byte] = {
+    val w = new Bw
+    w.u(0x01, 8) // ref_idc 0, non-IDR
+    w.ue(0).ue(6).ue(0) // first_mb, slice_type B, pps
+    w.u(frameNum & 15, 4)
+    w.u(lsb & 15, 4)
+    w.u(if (spatial) 1 else 0, 1) // direct_spatial_mv_pred_flag
+    w.u(0, 1) // no active override
+    w.u(0, 1).u(0, 1) // no list modification (either list)
+    // nal_ref_idc == 0: no dec_ref_pic_marking
+    w.se(0).ue(1)
+    body(w)
+    w.stop(); w.bytes()
+  }
+
+  /** Four-frame 16×16 GOP exercising B-SLICE decode — the q154
+    * corpus. Constant-row luma (`v(y) = base + 13y`), so a SQL
+    * oracle predicts every decoded frame:
+    *
+    *   frame 0  IDR I_PCM, poc 0                    v(y)
+    *   frame 1  P, poc 8, mv (0,d1)                 v(min(15, y+d1))
+    *   frame 2  B, poc 2, EXPLICIT B_Bi_16x16:
+    *            L0[0] = frame 0 (past), mv (0,a);
+    *            L1[0] = frame 1 (future), mv (0,b)  → rounded average
+    *   frame 3  B, poc 4, TEMPORAL-DIRECT B_Skip:
+    *            colocated = frame 1's (0,4·d1) onto frame 0 →
+    *            td = 8, tb = 4, distScaleFactor = 128 →
+    *            mvL0 = (0, 2·d1) quarter-pel = d1/2 px of frame 0,
+    *            mvL1 = −(0, 2·d1) = −d1/2 px of frame 1 → average
+    *
+    * d1 must be EVEN so the scaled direct MVs land integer-pel (the
+    * oracle replays pixel shifts, not 6-tap interpolation). B frames
+    * are non-references: the DPB stays {frame 0, frame 1} and both
+    * lists order by POC (past-desc / future-asc).
+    */
+  def bGopMp4(base: Int, d1: Int, a: Int, b: Int): Array[Byte] = {
+    require(base >= 0 && base + 13 * 15 <= 255 && d1 >= 2 && d1 % 2 == 0 &&
+      a >= 0 && b >= 0)
+    val sps = escapeRbsp(sps1x1Poc0(2))
+    val pps = escapeRbsp(ppsNal())
+    val f0 = escapeRbsp(idrPcmPoc0((_, y) => base + 13 * y))
+    val p1 = escapeRbsp(pSlicePoc0(1, 8) { w =>
+      w.ue(0); w.ue(0); w.se(0).se(4 * d1); w.ue(0)
+    })
+    val b2 = escapeRbsp(bSlicePoc0(2, 2, spatial = true) { w =>
+      w.ue(0) // mb_skip_run
+      w.ue(3) // B_Bi_16x16 (1 active ref per list: no ref_idx fields)
+      w.se(0).se(4 * a) // mvd_l0
+      w.se(0).se(4 * b) // mvd_l1
+      w.ue(0) // cbp 0
+    })
+    val b3 = escapeRbsp(bSlicePoc0(2, 4, spatial = false) { w =>
+      w.ue(1) // mb_skip_run covers the frame: temporal-direct B_Skip
+    })
+    mp4Gop(sps, pps, Seq(f0, p1, b2, b3), syncs = Seq(1))
+  }
+
+  /** Id-addressed [[bGopMp4]] (the q154 corpus contract): parameters
+    * are doc_id arithmetic MIRRORED by the oracle SQL.
+    */
+  def bGop(id: Long): Array[Byte] =
+    bGopMp4(
+      base = (10 + id % 40).toInt,
+      d1 = (2 + 2 * (id % 2)).toInt,
+      a = (id % 5).toInt,
+      b = (1 + id % 3).toInt)
+
   /** Multi-sample MP4 from already-escaped slice NALs, `syncs` =
     * 1-based stss entries (same boxes/timing as [[multiKeyframeMp4]]:
     * timescale 1000, 500 per frame).

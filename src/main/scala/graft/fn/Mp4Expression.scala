@@ -404,3 +404,28 @@ case class Mp4MultiRefSynth(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** SQL `mp4_bgop_synth(doc_id)` — the q154 B-slice GOP corpus
+  * ([[graft.ext.VideoFixtures.bGop]]): doc_id → a 4-frame MP4 whose
+  * last two frames are an explicit-bi B and a temporal-direct B_Skip
+  * over POC-ordered lists. Parameters are id arithmetic mirrored by
+  * the q154 oracle.
+  */
+case class Mp4BGopSynth(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "mp4_bgop_synth"
+
+  override protected def nullSafeEval(id: Any): Any =
+    graft.ext.VideoFixtures.bGop(id.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, id =>
+      s"${ev.value} = graft.ext.VideoFixtures.bGop($id);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

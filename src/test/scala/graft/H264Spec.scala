@@ -1770,4 +1770,355 @@ class H264Spec extends AnyFunSuite {
         assert(frames(k)._1(y * 16 + x) === row(k, y), s"id=$id k=$k ($x,$y)")
     }
   }
+
+  // --------------------- B slices (round 12) ----------------------
+
+  /** poc_type-0 SPS (B slices need real POC): 4-bit lsb, explicit
+    * max refs, direct_8x8_inference = 1.
+    */
+  private def spsB(widthMbs: Int, heightMbs: Int, maxRef: Int,
+                   inference: Boolean = true): Array[Byte] = {
+    val w = new Bw
+    w.u(0x67, 8).u(66, 8).u(0, 8).u(10, 8)
+    w.ue(0) // sps_id
+    w.ue(0) // log2_max_frame_num_minus4
+    w.ue(0) // poc_type 0
+    w.ue(0) // log2_max_pic_order_cnt_lsb_minus4 -> 4-bit lsb
+    w.ue(maxRef)
+    w.u(0, 1)
+    w.ue(widthMbs - 1).ue(heightMbs - 1)
+    w.u(1, 1) // frame_mbs_only
+    w.u(if (inference) 1 else 0, 1) // direct_8x8_inference_flag
+    w.u(0, 1).u(0, 1)
+    w.stop()
+    escapeRbsp(w.bytes())
+  }
+
+  /** IDR PCM under a poc_type-0 SPS (header carries the poc lsb). */
+  private def idrPcmPoc0(pcms: Array[Int]*): Array[Byte] = {
+    val w = new Bw
+    w.u(0x65, 8)
+    w.ue(0).ue(7).ue(0) // first_mb, slice_type I, pps_id
+    w.u(0, 4) // frame_num
+    w.ue(0) // idr_pic_id
+    w.u(0, 4) // pic_order_cnt_lsb
+    w.u(0, 1).u(0, 1) // dec_ref_pic_marking
+    w.se(0) // qp delta
+    w.ue(1) // deblocking off
+    pcms.foreach { pcm =>
+      w.ue(25).align(); pcm.foreach(w.raw); (0 until 128).foreach(_ => w.raw(0x80))
+    }
+    w.stop()
+    escapeRbsp(w.bytes())
+  }
+
+  /** P slice under a poc_type-0 SPS. */
+  private def pPoc0(frameNum: Int, lsb: Int)(body: Bw => Unit): Array[Byte] = {
+    val w = new Bw
+    w.u(0x61, 8) // ref_idc 3, non-IDR
+    w.ue(0).ue(5).ue(0)
+    w.u(frameNum & 15, 4)
+    w.u(lsb & 15, 4)
+    w.u(0, 1) // no active override
+    w.u(0, 1) // no list modification
+    w.u(0, 1) // sliding window
+    w.se(0)
+    w.ue(1)
+    body(w)
+    w.stop()
+    escapeRbsp(w.bytes())
+  }
+
+  /** B slice: refIdc 0 keeps the frame OUT of the DPB; nL0/nL1 > 0
+    * writes the active override pair.
+    */
+  private def bSliceN(frameNum: Int, lsb: Int, spatial: Boolean,
+                      nL0: Int = 0, nL1: Int = 0, refIdc: Int = 0)
+                     (body: Bw => Unit): Array[Byte] = {
+    val w = new Bw
+    w.u((refIdc << 5) | 1, 8)
+    w.ue(0) // first_mb
+    w.ue(6) // slice_type B (all slices)
+    w.ue(0) // pps_id
+    w.u(frameNum & 15, 4)
+    w.u(lsb & 15, 4)
+    w.u(if (spatial) 1 else 0, 1) // direct_spatial_mv_pred_flag
+    if (nL0 > 0) { w.u(1, 1); w.ue(nL0 - 1); w.ue(nL1 - 1) } else w.u(0, 1)
+    w.u(0, 1) // ref_pic_list_modification_flag_l0
+    w.u(0, 1) // ref_pic_list_modification_flag_l1
+    if (refIdc != 0) w.u(0, 1) // adaptive_ref_pic_marking_mode_flag
+    w.se(0)
+    w.ue(1)
+    body(w)
+    w.stop()
+    escapeRbsp(w.bytes())
+  }
+
+  test("B_Bi_16x16: averages the POC-ordered L0/L1 references") {
+    val pcm = Array.tabulate(256)(i => ((i & 15) * 7 + (i >> 4) * 11 + 4) & 0xFF)
+    def p(x: Int, y: Int): Int = pcm(math.min(15, math.max(0, y)) * 16 + x)
+    val p1 = pPoc0(1, 8) { w => w.ue(0); w.ue(0); w.se(0).se(4); w.ue(0) } // f1 = f0 down 1, poc 8
+    val b2 = bSliceN(2, 4, spatial = true) { w =>
+      w.ue(0) // mb_skip_run
+      w.ue(3) // B_Bi_16x16 (1 active ref each: no ref_idx fields)
+      w.se(0).se(8) // mvd_l0: 2 px down of L0[0] = f0 (poc 0 < 4)
+      w.se(0).se(4) // mvd_l1: 1 px down of L1[0] = f1 (poc 8 > 4)
+      w.ue(0) // cbp 0
+    }
+    val frames = gopN(spsB(1, 1, 2), Seq(idrPcmPoc0(pcm), p1, b2))
+    assert(frames != null && frames.length === 3)
+    val (g2, fw, _) = frames(2)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val l0 = p(x, y + 2)
+      val l1 = p(x, math.min(15, y + 1) + 1) // f1 = f0 down 1
+      assert(g2(y * fw + x) === ((l0 + l1 + 1) >> 1).toDouble, s"($x,$y)")
+    }
+  }
+
+  test("temporal direct B_Skip: colocated MV scaled by POC distances") {
+    val pcm = Array.tabulate(256)(i => ((i & 15) * 9 + (i >> 4) * 13 + 6) & 0xFF)
+    def p(x: Int, y: Int): Int = pcm(math.min(15, math.max(0, y)) * 16 + x)
+    // f1 (poc 8): 16x16 mv (0,8) = 2 px down, ref f0 (poc 0)
+    val p1 = pPoc0(1, 8) { w => w.ue(0); w.ue(0); w.se(0).se(8); w.ue(0) }
+    // f2 (poc 4), temporal direct whole-frame skip:
+    // td = 8, tb = 4, tx = (16384+4)/8 = 2048,
+    // dsf = (4*2048+32)>>6 = 128 -> mvL0 = (128*8+128)>>8 = 4 (1 px
+    // down of f0), mvL1 = 4-8 = -4 (1 px UP of f1)
+    val b2 = bSliceN(2, 4, spatial = false) { w => w.ue(1) }
+    val frames = gopN(spsB(1, 1, 2), Seq(idrPcmPoc0(pcm), p1, b2))
+    assert(frames != null && frames.length === 3)
+    val (g2, fw, _) = frames(2)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val l0 = p(x, y + 1)
+      val l1 = p(x, math.min(15, math.max(0, y - 1) + 2)) // f1 shifted up 1
+      assert(g2(y * fw + x) === ((l0 + l1 + 1) >> 1).toDouble, s"($x,$y)")
+    }
+  }
+
+  test("spatial direct zero-prediction: no neighbors -> refs 0/0, mv 0") {
+    val pcm = Array.tabulate(256)(i => ((i & 15) * 5 + (i >> 4) * 17 + 2) & 0xFF)
+    def p(x: Int, y: Int): Int = pcm(math.min(15, y) * 16 + x)
+    val p1 = pPoc0(1, 8) { w => w.ue(0); w.ue(0); w.se(0).se(4); w.ue(0) }
+    val b2 = bSliceN(2, 4, spatial = true) { w => w.ue(1) } // skip all
+    val frames = gopN(spsB(1, 1, 2), Seq(idrPcmPoc0(pcm), p1, b2))
+    assert(frames != null && frames.length === 3)
+    val (g2, fw, _) = frames(2)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val want = (p(x, y) + p(x, y + 1) + 1) >> 1 // avg(f0, f1) at rest
+      assert(g2(y * fw + x) === want.toDouble, s"($x,$y)")
+    }
+  }
+
+  test("spatial direct: neighbor refs/MVs inherited; colZero pins moving blocks") {
+    // 2-MB frame. f1 = P_Skip twice (mv 0 everywhere -> colZero TRUE).
+    // B: MB0 explicit Bi with shifts; MB1 B_Direct_16x16 -> spatial
+    // refs from A = (0,0), MVs would inherit A's via only-A, but
+    // colZero (colocated f1 blocks at rest, refIdxCol 0) forces mv 0.
+    val pcm = Array.tabulate(512)(i => ((i % 32) * 3 + (i / 32) * 7 + 1) & 0xFF)
+    def p(x: Int, y: Int): Int =
+      pcm(math.min(15, math.max(0, y)) * 32 + math.min(31, x))
+    val idr = idrPcmPoc0(
+      Array.tabulate(256)(i => pcm((i >> 4) * 32 + (i & 15))),
+      Array.tabulate(256)(i => pcm((i >> 4) * 32 + 16 + (i & 15))))
+    val p1 = pPoc0(1, 8) { w => w.ue(2) } // P_Skip run: f1 == f0
+    val b2 = bSliceN(2, 4, spatial = true) { w =>
+      w.ue(0)
+      w.ue(3) // MB0: B_Bi_16x16
+      w.se(0).se(8) // L0 = f0, 2 px down
+      w.se(0).se(4) // L1 = f1, 1 px down
+      w.ue(0)
+      w.ue(0)
+      w.ue(0) // MB1: B_Direct_16x16
+      w.ue(0)
+    }
+    val frames = gopN(spsB(2, 1, 2), Seq(idr, p1, b2))
+    assert(frames != null && frames.length === 3)
+    val (g2, fw, _) = frames(2)
+    for (y <- 0 until 16; x <- 0 until 32) {
+      val want =
+        if (x < 16) (p(x, y + 2) + p(x, y + 1) + 1) >> 1
+        else p(x, y) // direct MB: colZero -> both lists at rest, f1 == f0
+      assert(g2(y * fw + x) === want.toDouble, s"($x,$y)")
+    }
+  }
+
+  test("B_8x8: per-quadrant list selection (L0 / L1 / Bi / L0_8x4)") {
+    val pcm = Array.tabulate(256)(i => ((i & 15) * 11 + (i >> 4) * 3 + 8) & 0xFF)
+    def p(x: Int, y: Int): Int = pcm(math.min(15, y) * 16 + x)
+    val p1 = pPoc0(1, 8) { w => w.ue(0); w.ue(0); w.se(0).se(4); w.ue(0) }
+    // all mvds zero; MV prediction resolves to 0 in every quadrant
+    // (no-neighbor medians, only-A over zeros, exactly-one-same zeros)
+    val b2 = bSliceN(2, 4, spatial = true) { w =>
+      w.ue(0)
+      w.ue(22) // B_8x8
+      w.ue(1) // q0: B_L0_8x8
+      w.ue(2) // q1: B_L1_8x8
+      w.ue(3) // q2: B_Bi_8x8
+      w.ue(4) // q3: B_L0_8x4
+      // 1 active ref per list: no ref_idx fields
+      w.se(0).se(0) // q0 mvd_l0
+      w.se(0).se(0) // q2 mvd_l0
+      w.se(0).se(0); w.se(0).se(0) // q3 mvd_l0 (two 8x4 rows)
+      w.se(0).se(0) // q1 mvd_l1
+      w.se(0).se(0) // q2 mvd_l1
+      w.ue(0)
+    }
+    val frames = gopN(spsB(1, 1, 2), Seq(idrPcmPoc0(pcm), p1, b2))
+    assert(frames != null && frames.length === 3)
+    val (g2, fw, _) = frames(2)
+    def f1At(x: Int, y: Int): Int = p(x, y + 1)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val want =
+        if (x < 8 && y < 8) p(x, y) // L0 = f0
+        else if (x >= 8 && y < 8) f1At(x, y) // L1 = f1
+        else if (x < 8) (p(x, y) + f1At(x, y) + 1) >> 1 // Bi
+        else p(x, y) // L0_8x4 = f0
+      assert(g2(y * fw + x) === want.toDouble, s"($x,$y)")
+    }
+  }
+
+  test("B 16x8 L0/L1 partitions with 2-deep lists: te fields precede mvds") {
+    val pcm = Array.tabulate(256)(i => ((i & 15) * 13 + (i >> 4) * 5 + 3) & 0xFF)
+    def p(x: Int, y: Int): Int = pcm(math.min(15, y) * 16 + x)
+    val p1 = pPoc0(1, 12) { w => w.ue(0); w.ue(0); w.se(0).se(4); w.ue(0) }
+    // B at poc 4: L0 = [f0 (past), f1 (future)], L1 = [f1, f0]
+    // B_L0_L1_16x8 with override (2,2): top ref_idx_l0 = 1 -> f1;
+    // bottom ref_idx_l1 = 1 -> f0. All mvds zero.
+    val b2 = bSliceN(2, 4, spatial = true, nL0 = 2, nL1 = 2) { w =>
+      w.ue(0)
+      w.ue(8) // B_L0_L1_16x8
+      w.u(0, 1) // ref_idx_l0[top] = 1 (te inverted bit)
+      w.u(0, 1) // ref_idx_l1[bottom] = 1
+      w.se(0).se(0) // mvd_l0 top
+      w.se(0).se(0) // mvd_l1 bottom
+      w.ue(0)
+    }
+    val frames = gopN(spsB(1, 1, 2), Seq(idrPcmPoc0(pcm), p1, b2))
+    assert(frames != null && frames.length === 3)
+    val (g2, fw, _) = frames(2)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val want = if (y < 8) p(x, y + 1) /* f1 */ else p(x, y) /* f0 */
+      assert(g2(y * fw + x) === want.toDouble, s"($x,$y)")
+    }
+  }
+
+  test("POC lsb wrap: the B list orders by wrapped POC, not raw lsb") {
+    val pcm = Array.tabulate(256)(i => ((i & 15) * 3 + (i >> 4) * 9 + 5) & 0xFF)
+    def p(x: Int, y: Int): Int = pcm(math.min(15, y) * 16 + x)
+    // poc walk: f0 = 0, f1 lsb 6 -> 6, f2 lsb 12 -> 12, f3 lsb 2 ->
+    // WRAP UP -> 18. The B at lsb 14 -> 14 sees future = {f3 (18)};
+    // a raw-lsb decoder reads f3 as poc 2 (past), leaving L1 empty
+    // and the stream undecodable. B_L1_16x16 must reproduce f3.
+    val shift = { w: Bw => w.ue(0); w.ue(0); w.se(0).se(4); w.ue(0); () }
+    val p1 = pPoc0(1, 6)(shift)
+    val p2 = pPoc0(2, 12)(shift)
+    val p3 = pPoc0(3, 2)(shift)
+    val b4 = bSliceN(4, 14, spatial = true) { w =>
+      w.ue(0)
+      w.ue(2) // B_L1_16x16, ref_idx absent (1 active)
+      w.se(0).se(0)
+      w.ue(0)
+    }
+    val frames = gopN(spsB(1, 1, 4), Seq(idrPcmPoc0(pcm), p1, p2, p3, b4))
+    assert(frames != null && frames.length === 5)
+    val (g4, fw, _) = frames(4)
+    // f3 = f0 shifted down three times with per-hop clamping
+    def f3(x: Int, y: Int): Int =
+      p(x, math.min(15, math.min(15, math.min(15, y + 1) + 1) + 1))
+    for (y <- 0 until 16; x <- 0 until 16)
+      assert(g4(y * fw + x) === f3(x, y).toDouble, s"($x,$y)")
+  }
+
+  test("B-slice malformed forms null, never throw") {
+    val pcm = Array.tabulate(256)(i => (i * 7 + 3) & 0xFF)
+    val p1 = pPoc0(1, 8) { w => w.ue(0); w.ue(0); w.se(0).se(4); w.ue(0) }
+    val bOk = bSliceN(2, 4, spatial = true) { w => w.ue(1) }
+    // B under a poc_type-2 SPS (sps1x1-style, via the P-test builder)
+    val bPoc2 = pSliceN(2, 0) { w => w.ue(1) } // placeholder; build B below
+    assert(bPoc2 != null)
+    val bPocType2 = {
+      val w = new Bw
+      w.u(0x01, 8)
+      w.ue(0).ue(6).ue(0)
+      w.u(2, 4) // frame_num; poc_type 2: NO lsb field
+      w.u(1, 1)
+      w.u(0, 1); w.u(0, 1); w.u(0, 1)
+      w.se(0); w.ue(1); w.ue(1)
+      w.stop()
+      escapeRbsp(w.bytes())
+    }
+    assert(H264.gopLumasOrNull(mp4Multi(spsRefs(1, 1, 2), pps(),
+      Seq(pcmIdr(pcm), pSliceN(1, 0) { w => w.ue(0); w.ue(0); w.se(0).se(4); w.ue(0) },
+        bPocType2), Seq(1), 1000L, 500L), 3) === null)
+    // direct_8x8_inference = 0 rejects B
+    assert(H264.gopLumasOrNull(mp4Multi(spsB(1, 1, 2, inference = false), pps(),
+      Seq(idrPcmPoc0(pcm), p1, bOk), Seq(1), 1000L, 500L), 3) === null)
+    // a B with no future reference has an EMPTY L1 — undecodable
+    val bNoFuture = bSliceN(1, 4, spatial = false) { w => w.ue(1) }
+    assert(H264.gopLumasOrNull(mp4Multi(spsB(1, 1, 2), pps(),
+      Seq(idrPcmPoc0(pcm), bNoFuture), Seq(1), 1000L, 500L), 2) === null)
+    // temporal direct against an all-INTRA colocated picture (a
+    // non-IDR I reference frame in the future): the refIdxCol = 0
+    // fallback has no list to read — rejected loudly
+    val iNonIdr = {
+      val w = new Bw
+      w.u(0x41, 8) // ref_idc 2, non-IDR slice
+      w.ue(0).ue(7).ue(0) // first_mb, slice_type I, pps
+      w.u(1, 4) // frame_num
+      w.u(8, 4) // poc lsb 8
+      w.u(0, 1) // adaptive_ref_pic_marking
+      w.se(0); w.ue(1)
+      w.ue(25).align(); pcm.foreach(w.raw)
+      (0 until 128).foreach(_ => w.raw(0x80))
+      w.stop()
+      escapeRbsp(w.bytes())
+    }
+    val bTemporal = bSliceN(2, 4, spatial = false) { w => w.ue(1) }
+    assert(H264.gopLumasOrNull(mp4Multi(spsB(1, 1, 2), pps(),
+      Seq(idrPcmPoc0(pcm), iNonIdr, bTemporal), Seq(1), 1000L, 500L), 3) === null)
+    // ...while SPATIAL direct against the same stream decodes (the
+    // all-intra colPic only matters to the temporal arm)
+    val bSpatial = bSliceN(2, 4, spatial = true) { w => w.ue(1) }
+    assert(H264.gopLumasOrNull(mp4Multi(spsB(1, 1, 2), pps(),
+      Seq(idrPcmPoc0(pcm), iNonIdr, bSpatial), Seq(1), 1000L, 500L), 3) != null)
+    // ref_idx beyond the active count (ue branch: 3 active)
+    val p2b = pPoc0(2, 12) { w => w.ue(0); w.ue(0); w.se(0).se(4); w.ue(0) }
+    val bBadRef = bSliceN(3, 7, spatial = true, nL0 = 3, nL1 = 1) { w =>
+      w.ue(0); w.ue(1); w.ue(5); w.se(0).se(0); w.ue(0)
+    }
+    assert(H264.gopLumasOrNull(mp4Multi(spsB(1, 1, 3), pps(),
+      Seq(idrPcmPoc0(pcm), p1, p2b, bBadRef), Seq(1), 1000L, 500L), 4) === null)
+    // more active refs than decoded references
+    val bDeep = bSliceN(2, 4, spatial = true, nL0 = 2, nL1 = 3) { w => w.ue(1) }
+    assert(H264.gopLumasOrNull(mp4Multi(spsB(1, 1, 2), pps(),
+      Seq(idrPcmPoc0(pcm), p1, bDeep), Seq(1), 1000L, 500L), 3) === null)
+    // the good stream still decodes (guards the asserts above)
+    assert(H264.gopLumasOrNull(mp4Multi(spsB(1, 1, 2), pps(),
+      Seq(idrPcmPoc0(pcm), p1, bOk), Seq(1), 1000L, 500L), 3) != null)
+  }
+
+  test("q154 fixture: the B-slice GOP decodes and matches its closed form") {
+    for (id <- Seq(0L, 1L, 5L, 42L, 997L)) {
+      val video = graft.ext.VideoFixtures.bGop(id)
+      val frames = H264.gopLumasOrNull(video, 4)
+      assert(frames != null && frames.length === 4, s"id=$id")
+      val base = (10 + id % 40).toInt
+      val d1 = (2 + 2 * (id % 2)).toInt
+      val a = (id % 5).toInt
+      val b = (1 + id % 3).toInt
+      def v(y: Int): Int = base + 13 * y
+      def row(k: Int, y: Int): Double = (k match {
+        case 0 => v(y)
+        case 1 => v(math.min(15, y + d1))
+        case 2 =>
+          (v(math.min(15, y + a)) +
+            v(math.min(15, math.min(15, y + b) + d1)) + 1) >> 1
+        case _ =>
+          (v(math.min(15, y + d1 / 2)) +
+            v(math.min(15, math.max(0, y - d1 / 2) + d1)) + 1) >> 1
+      }).toDouble
+      for (k <- 0 until 4; y <- 0 until 16; x <- 0 until 16)
+        assert(frames(k)._1(y * 16 + x) === row(k, y), s"id=$id k=$k ($x,$y)")
+    }
+  }
 }
