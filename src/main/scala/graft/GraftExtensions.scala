@@ -140,6 +140,8 @@ object GraftExtensions {
       graft.fn.Mp4MultiRefSynth(_)),
     unaryFn("mp4_bgop_synth", classOf[graft.fn.Mp4BGopSynth],
       graft.fn.Mp4BGopSynth(_)),
+    unaryFn("mp4_wgop_synth", classOf[graft.fn.Mp4WGopSynth],
+      graft.fn.Mp4WGopSynth(_)),
     unaryFn("pdf_text", classOf[graft.fn.PdfTextStats],
       graft.fn.PdfTextStats(_)),
     unaryFn("opus_toc_stats", classOf[graft.fn.OpusTocStats],

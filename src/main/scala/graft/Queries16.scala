@@ -345,15 +345,91 @@ object Queries16 {
       |  ROUND(h2, 6) + 0 AS h2, ROUND(h3, 6) + 0 AS h3
       |FROM st ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ---------- q155: weighted prediction (round 12 — explicit P/Bi
+  // weights on even ids, implicit POC-derived bi weights on odd).
+  // DuckDB replays the exact 8.4.2.3.2 integer arithmetic: the
+  // per-ref (w,o) scaling of the P frame, the pooled-offset bi
+  // combine, and the implicit w1 = 8·tb weights — any defect in the
+  // pred_weight_table parse, the rounding, the clip, or the implicit
+  // DistScaleFactor derivation breaks the hash.
+  private def q155(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    val d = col("doc_id")
+    val gop = graft.fn.H264GopFrames(
+      graft.fn.Mp4WGopSynth(gb.expression(d.cast("long"))),
+      nBins = 4, stride = 1, maxFrames = 3)
+    Tables.tbl(s, dir, "documents").select(d)
+      .where(d < 1000)
+      .select(d, explode(gb.column(gop)).as("__fr"))
+      .select(d,
+        element_at(col("__fr"), 1).cast("int").as("frame_idx"),
+        element_at(col("__fr"), 2).as("t_ms"),
+        round(element_at(col("__fr"), 3), 6).as("mean_g"),
+        round(element_at(col("__fr"), 4), 6).as("std_g"),
+        round(element_at(col("__fr"), 5), 6).as("h0"),
+        round(element_at(col("__fr"), 6), 6).as("h1"),
+        round(element_at(col("__fr"), 7), 6).as("h2"),
+        round(element_at(col("__fr"), 8), 6).as("h3"))
+      .orderBy(d, col("frame_idx"))
+  }
+
+  private val q155Sql =
+    """WITH ids AS (
+      |  SELECT doc_id,
+      |    10 + doc_id % 40 AS base, 1 + doc_id % 3 AS d1,
+      |    doc_id % 5 AS a, 1 + doc_id % 4 AS b,
+      |    2 + doc_id % 3 AS wl, doc_id % 7 - 3 AS ol,
+      |    1 + doc_id % 4 AS w0, doc_id % 5 - 2 AS o0,
+      |    2 + doc_id % 3 AS w1, doc_id % 3 - 1 AS o1,
+      |    doc_id % 2 AS odd
+      |  FROM documents WHERE doc_id < 1000
+      |), px AS (
+      |  SELECT doc_id, k, y,
+      |    CAST(CASE CAST(k AS INT)
+      |      WHEN 0 THEN base + 13 * y
+      |      WHEN 1 THEN CASE WHEN odd = 0
+      |        THEN LEAST(255, GREATEST(0,
+      |          ((base + 13 * LEAST(15, y + d1)) * wl + 1) // 2 + ol))
+      |        ELSE base + 13 * LEAST(15, y + d1) END
+      |      ELSE CASE WHEN odd = 0
+      |        THEN LEAST(255, GREATEST(0,
+      |          ((base + 13 * LEAST(15, y + a)) * w0 +
+      |           LEAST(255, GREATEST(0,
+      |             ((base + 13 * LEAST(15, LEAST(15, y + b) + d1)) * wl + 1) // 2 + ol)) * w1 +
+      |           4) // 8 + CAST(FLOOR((o0 + o1 + 1) / 2.0) AS BIGINT)))
+      |        ELSE LEAST(255, GREATEST(0,
+      |          ((base + 13 * LEAST(15, y + a)) * (64 - 16 * d1) +
+      |           (base + 13 * LEAST(15, LEAST(15, y + b) + d1)) * (16 * d1) +
+      |           32) // 64)) END
+      |    END AS DOUBLE) AS v
+      |  FROM ids, UNNEST(range(0, 3)) AS f(k), UNNEST(range(0, 16)) AS t(y)
+      |), st AS (
+      |  SELECT doc_id, k,
+      |    AVG(v) AS m, AVG(v * v) AS m2,
+      |    AVG(CASE WHEN CAST(v AS INT) // 64 = 0 THEN 1.0 ELSE 0.0 END) AS h0,
+      |    AVG(CASE WHEN CAST(v AS INT) // 64 = 1 THEN 1.0 ELSE 0.0 END) AS h1,
+      |    AVG(CASE WHEN CAST(v AS INT) // 64 = 2 THEN 1.0 ELSE 0.0 END) AS h2,
+      |    AVG(CASE WHEN CAST(v AS INT) // 64 = 3 THEN 1.0 ELSE 0.0 END) AS h3
+      |  FROM px GROUP BY doc_id, k
+      |)
+      |SELECT doc_id, CAST(k AS INT) AS frame_idx, k * 500.0 AS t_ms,
+      |  ROUND(m / 255.0, 6) + 0 AS mean_g,
+      |  ROUND(SQRT(GREATEST(0.0, m2 - m * m)) / 255.0, 6) + 0 AS std_g,
+      |  ROUND(h0, 6) + 0 AS h0, ROUND(h1, 6) + 0 AS h1,
+      |  ROUND(h2, 6) + 0 AS h2, ROUND(h3, 6) + 0 AS h3
+      |FROM st ORDER BY doc_id, frame_idx""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q151_pdf_text" -> (q151 _),
     "q152_lang_id" -> (q152 _),
     "q153_video_multiref" -> (q153 _),
-    "q154_video_bslice" -> (q154 _))
+    "q154_video_bslice" -> (q154 _),
+    "q155_video_weighted" -> (q155 _))
 
   val oracles: Map[String, String] = Map(
     "q151_pdf_text" -> q151Sql,
     "q152_lang_id" -> q152Sql,
     "q153_video_multiref" -> q153Sql,
-    "q154_video_bslice" -> q154Sql)
+    "q154_video_bslice" -> q154Sql,
+    "q155_video_weighted" -> q155Sql)
 }

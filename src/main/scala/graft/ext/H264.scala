@@ -29,9 +29,14 @@ package graft.ext
   * and BOTH direct modes — spatial (8.4.1.2.2: MinPositive refs,
   * colZeroFlag) and temporal (8.4.1.2.3: distScaleFactor POC
   * scaling) at 8x8 granularity (direct_8x8_inference_flag = 1
-  * required). B boundary, each arm rejected loudly: poc_type 0
-  * only, weighted_bipred_idc 0 only, no MMCO, no explicit list
-  * modification, CAVLC only.
+  * required). WEIGHTED prediction decodes too (round 12): explicit
+  * per-reference luma weights (pred_weight_table, 7.3.3.2) on P and
+  * B slices with the 8.4.2.3.2 uni and pooled-offset bi formulas,
+  * and implicit bi weights from POC distances (8.4.2.3.1,
+  * weighted_bipred_idc = 2; uni partitions stay default). Chroma
+  * weight fields are parsed for bitstream position only. B boundary,
+  * each arm rejected loudly: poc_type 0 only, no MMCO, no explicit
+  * list modification, CAVLC only.
   * LUMA is reconstructed (the [[Images]] gray-plane contract); chroma
   * residuals are entropy-PARSED (the bitstream position requires it)
   * but not reconstructed. The in-loop deblocking filter is skipped —
@@ -901,6 +906,50 @@ object H264 {
     var prevLsb = 0
   }
 
+  /** Weighted-prediction state of one slice (8.4.2.3.1/8.4.2.3.2).
+    * mode 0 = default (unweighted), 1 = explicit (pred_weight_table:
+    * per-list per-ref luma weight/offset at a slice-coded logWD),
+    * 2 = implicit (B only: bi weights from POC distances, logWD 5,
+    * zero offsets; uni-predicted partitions stay default).
+    */
+  private final class WeightCfg(val mode: Int, val logWD: Int,
+                                val w0: Array[Int], val o0: Array[Int],
+                                val w1: Array[Int], val o1: Array[Int])
+
+  private val NoWeights = new WeightCfg(0, 0, null, null, null, null)
+
+  /** Implicit-bi weights (8.4.2.3.1): w1 = DistScaleFactor >> 2,
+    * w0 = 64 − w1, falling back to 32/32 when the references share a
+    * POC or the scale leaves [−64, 128]. Long-term references cannot
+    * occur here (sliding-window DPB).
+    */
+  private def implicitW1(curPoc: Int, poc0: Int, poc1: Int): Int = {
+    if (poc1 == poc0) return 32
+    val td = clip3(-128, 127, poc1 - poc0)
+    val tb = clip3(-128, 127, curPoc - poc0)
+    val tx = (16384 + math.abs(td / 2)) / td
+    val dsf = clip3(-1024, 1023, (tb * tx + 32) >> 6)
+    val w1 = dsf >> 2
+    if (w1 < -64 || w1 > 128) 32 else w1
+  }
+
+  /** Explicit uni-directional weighting (8.4.2.3.2): applied in place
+    * over a clipped prediction buffer.
+    */
+  private def weighUni(buf: Array[Int], n: Int, w: Int, o: Int,
+                       logWD: Int): Unit = {
+    var i = 0
+    if (logWD >= 1) {
+      val rnd = 1 << (logWD - 1)
+      while (i < n) {
+        buf(i) = clip255(((buf(i) * w + rnd) >> logWD) + o)
+        i += 1
+      }
+    } else {
+      while (i < n) { buf(i) = clip255(buf(i) * w + o); i += 1 }
+    }
+  }
+
   // ------------------------------------------ inter prediction (P)
 
   /** Clamped reference sample (unrestricted MVs reach past the frame;
@@ -1541,7 +1590,6 @@ object H264 {
     if (isB) {
       // the subset's B boundary, each rejected LOUDLY:
       if (sps.pocType != 0) bad() // B list/direct semantics need real POC
-      if (pps.weightedBipredIdc != 0) bad() // explicit/implicit weighting
       if (!sps.direct8x8Inference) bad() // direct derived per 8x8 corner
       directSpatial = r.u(1) == 1 // direct_spatial_mv_pred_flag
     }
@@ -1549,8 +1597,8 @@ object H264 {
     var list1: IndexedSeq[Frame] = null
     var numRefs = 1
     var numRefsL1 = 1
+    var wcfg = NoWeights
     if (isP || isB) {
-      if (pps.weightedPred && isP) bad() // weighted pred unsupported
       // constrained_intra_pred changes which pixels intra MBs in
       // inter slices may predict from — unsupported, reject loudly
       // rather than reconstruct from neighbors the encoder excluded
@@ -1592,6 +1640,37 @@ object H264 {
       if (r.u(1) != 0) bad() // ref_pic_list_modification_l0: initial order
       if (isB && r.u(1) != 0) bad() // ref_pic_list_modification_l1
       f.list0Poc0 = list0(0).poc // temporal direct's intra-col fallback
+      // pred_weight_table (7.3.3.2): explicit per-ref luma weights;
+      // chroma fields are consumed for bitstream position only
+      // (chroma is never reconstructed — the file-header contract)
+      if ((pps.weightedPred && isP) ||
+          (pps.weightedBipredIdc == 1 && isB)) {
+        val logWD = r.ue()
+        if (logWD > 7) bad()
+        r.ue() // chroma_log2_weight_denom (4:2:0 streams carry it)
+        def lst(n: Int): (Array[Int], Array[Int]) = {
+          val w = Array.fill(n)(1 << logWD)
+          val o = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            if (r.u(1) == 1) { // luma_weight_lX_flag
+              w(i) = r.se()
+              o(i) = r.se()
+              if (w(i) < -128 || w(i) > 127 || o(i) < -128 || o(i) > 127) bad()
+            }
+            if (r.u(1) == 1) { // chroma_weight_lX_flag
+              r.se(); r.se(); r.se(); r.se()
+            }
+            i += 1
+          }
+          (w, o)
+        }
+        val (w0, o0) = lst(numRefs)
+        val (w1, o1) = if (isB) lst(numRefsL1) else (null, null)
+        wcfg = new WeightCfg(1, logWD, w0, o0, w1, o1)
+      } else if (pps.weightedBipredIdc == 2 && isB) {
+        wcfg = new WeightCfg(2, 5, null, null, null, null)
+      }
     }
     if (idr) { r.u(1); r.u(1) } // no_output_of_prior / long_term_reference
     else if (nalRefIdc != 0) {
@@ -1639,14 +1718,14 @@ object H264 {
         var i = 0
         while (i < skipRun) {
           if (mbAddr >= nMbs) bad()
-          decodeSkipMbB(f, list0, list1, directSpatial, mbAddr)
+          decodeSkipMbB(f, list0, list1, directSpatial, wcfg, mbAddr)
           mbAddr += 1
           i += 1
         }
         more = hasMoreRbsp(r)
         if (more && mbAddr < nMbs) {
           decodeMbB(f, list0, list1, numRefs, numRefsL1, directSpatial,
-            r, mbAddr, qpIn = qp, setQp = q => qp = q)
+            wcfg, r, mbAddr, qpIn = qp, setQp = q => qp = q)
           mbAddr += 1
           more = hasMoreRbsp(r)
         }
@@ -1657,13 +1736,13 @@ object H264 {
         var i = 0
         while (i < skipRun) {
           if (mbAddr >= nMbs) bad()
-          decodeSkipMb(f, list0(0), mbAddr)
+          decodeSkipMb(f, list0(0), wcfg, mbAddr)
           mbAddr += 1
           i += 1
         }
         more = hasMoreRbsp(r)
         if (more && mbAddr < nMbs) {
-          decodeMbP(f, list0, numRefs, r, mbAddr, qpIn = qp, setQp = q => qp = q)
+          decodeMbP(f, list0, numRefs, wcfg, r, mbAddr, qpIn = qp, setQp = q => qp = q)
           mbAddr += 1
           more = hasMoreRbsp(r)
         }
@@ -1675,7 +1754,8 @@ object H264 {
     * condition pins it to (0,0); copy from the reference, no
     * residual.
     */
-  private def decodeSkipMb(f: Frame, ref: Frame, mbAddr: Int): Unit = {
+  private def decodeSkipMb(f: Frame, ref: Frame, wcfg: WeightCfg,
+                           mbAddr: Int): Unit = {
     val mbX = mbAddr % f.wMbs
     val mbY = mbAddr / f.wMbs
     f.curMb = mbAddr
@@ -1692,6 +1772,7 @@ object H264 {
       else predictMv(f, gx, gy, 4, 0, 0)
     val buf = new Array[Int](256)
     mcLumaBlock(ref, mbX * 16, mbY * 16, mv._1, mv._2, 16, 16, buf)
+    if (wcfg.mode == 1) weighUni(buf, 256, wcfg.w0(0), wcfg.o0(0), wcfg.logWD)
     var yy = 0
     while (yy < 16) {
       var xx = 0
@@ -1721,7 +1802,7 @@ object H264 {
     * every partition's ref_idx_l0 precedes the first mvd_l0.
     */
   private def decodeMbP(f: Frame, list0: IndexedSeq[Frame], numRefs: Int,
-                        r: Br, mbAddr: Int,
+                        wcfg: WeightCfg, r: Br, mbAddr: Int,
                         qpIn: Int, setQp: Int => Unit): Unit = {
     val mbType = r.ue()
     if (mbType >= 5) { // intra MB inside a P slice
@@ -1756,6 +1837,9 @@ object H264 {
                mvx: Int, mvy: Int, refIdx: Int): Unit = {
       mcLumaBlock(list0(refIdx), x0 + bx4 * 4, y0 + by4 * 4, mvx, mvy,
         bw4 * 4, bh4 * 4, pbuf)
+      if (wcfg.mode == 1)
+        weighUni(pbuf, bw4 * 4 * bh4 * 4, wcfg.w0(refIdx), wcfg.o0(refIdx),
+          wcfg.logWD)
       var yy = 0
       while (yy < bh4 * 4) {
         var xx = 0
@@ -2083,7 +2167,7 @@ object H264 {
                       list1: IndexedSeq[Frame], mbAddr: Int,
                       bx4: Int, by4: Int, bw4: Int, bh4: Int,
                       mv0x: Int, mv0y: Int, ref0: Int,
-                      mv1x: Int, mv1y: Int, ref1: Int,
+                      mv1x: Int, mv1y: Int, ref1: Int, wcfg: WeightCfg,
                       pred: Array[Int], buf0: Array[Int],
                       buf1: Array[Int]): Unit = {
     if (ref0 < 0 && ref1 < 0) bad()
@@ -2095,12 +2179,35 @@ object H264 {
     val bh = bh4 * 4
     if (ref0 >= 0) mcLumaBlock(list0(ref0), x0, y0, mv0x, mv0y, bw, bh, buf0)
     if (ref1 >= 0) mcLumaBlock(list1(ref1), x0, y0, mv1x, mv1y, bw, bh, buf1)
+    val bi = ref0 >= 0 && ref1 >= 0
+    // weighted combination (8.4.2.3.2): explicit weights apply to
+    // uni AND bi partitions; implicit only to bi (uni stays default)
+    var w0 = 0; var w1 = 0; var o0 = 0; var o1 = 0; var logWD = 0
+    var weightedBi = false
+    if (bi && wcfg.mode == 1) {
+      weightedBi = true
+      logWD = wcfg.logWD
+      w0 = wcfg.w0(ref0); o0 = wcfg.o0(ref0)
+      w1 = wcfg.w1(ref1); o1 = wcfg.o1(ref1)
+    } else if (bi && wcfg.mode == 2) {
+      weightedBi = true
+      logWD = 5
+      w1 = implicitW1(f.poc, list0(ref0).poc, list1(ref1).poc)
+      w0 = 64 - w1
+    } else if (!bi && wcfg.mode == 1) {
+      if (ref0 >= 0) weighUni(buf0, bw * bh, wcfg.w0(ref0), wcfg.o0(ref0),
+        wcfg.logWD)
+      else weighUni(buf1, bw * bh, wcfg.w1(ref1), wcfg.o1(ref1), wcfg.logWD)
+    }
     var yy = 0
     while (yy < bh) {
       var xx = 0
       while (xx < bw) {
         val v =
-          if (ref0 >= 0 && ref1 >= 0)
+          if (weightedBi)
+            clip255((((buf0(yy * bw + xx) * w0 + buf1(yy * bw + xx) * w1 +
+              (1 << logWD)) >> (logWD + 1)) + ((o0 + o1 + 1) >> 1)))
+          else if (bi)
             (buf0(yy * bw + xx) + buf1(yy * bw + xx) + 1) >> 1
           else if (ref0 >= 0) buf0(yy * bw + xx)
           else buf1(yy * bw + xx)
@@ -2148,14 +2255,14 @@ object H264 {
     */
   private def bDirectInto(f: Frame, list0: IndexedSeq[Frame],
                           list1: IndexedSeq[Frame], spatial: Boolean,
-                          mbAddr: Int, pred: Array[Int],
+                          wcfg: WeightCfg, mbAddr: Int, pred: Array[Int],
                           buf0: Array[Int], buf1: Array[Int]): Unit = {
     val dm = directMotion(f, list0, list1, spatial, mbAddr)
     var i = 0
     while (i < 4) {
       val o = dm(i)
       bMcInto(f, list0, list1, mbAddr, (i & 1) * 2, (i >> 1) * 2, 2, 2,
-        o(0), o(1), o(2), o(3), o(4), o(5), pred, buf0, buf1)
+        o(0), o(1), o(2), o(3), o(4), o(5), wcfg, pred, buf0, buf1)
       i += 1
     }
   }
@@ -2163,14 +2270,14 @@ object H264 {
   /** B_Skip: direct prediction, no residual. */
   private def decodeSkipMbB(f: Frame, list0: IndexedSeq[Frame],
                             list1: IndexedSeq[Frame], spatial: Boolean,
-                            mbAddr: Int): Unit = {
+                            wcfg: WeightCfg, mbAddr: Int): Unit = {
     f.curMb = mbAddr
     java.util.Arrays.fill(f.curAssigned, false)
     f.mbSliceId(mbAddr) = f.curSliceId
     val pred = new Array[Int](256)
     val buf0 = new Array[Int](256)
     val buf1 = new Array[Int](256)
-    bDirectInto(f, list0, list1, spatial, mbAddr, pred, buf0, buf1)
+    bDirectInto(f, list0, list1, spatial, wcfg, mbAddr, pred, buf0, buf1)
     val mbX = mbAddr % f.wMbs
     val mbY = mbAddr / f.wMbs
     var yy = 0
@@ -2209,7 +2316,8 @@ object H264 {
     */
   private def decodeMbB(f: Frame, list0: IndexedSeq[Frame],
                         list1: IndexedSeq[Frame], numRefs: Int,
-                        numRefsL1: Int, spatial: Boolean, r: Br,
+                        numRefsL1: Int, spatial: Boolean,
+                        wcfg: WeightCfg, r: Br,
                         mbAddr: Int, qpIn: Int, setQp: Int => Unit): Unit = {
     val mbType = r.ue()
     if (mbType >= 23) { // intra MB inside a B slice
@@ -2250,12 +2358,12 @@ object H264 {
       }
       bMcInto(f, list0, list1, mbAddr, bx4, by4, bw4, bh4,
         m0x, m0y, if ((use & 1) != 0) ref0 else -1,
-        m1x, m1y, if ((use & 2) != 0) ref1 else -1, pred, buf0, buf1)
+        m1x, m1y, if ((use & 2) != 0) ref1 else -1, wcfg, pred, buf0, buf1)
     }
 
     mbType match {
       case 0 => // B_Direct_16x16 (+ residual below)
-        bDirectInto(f, list0, list1, spatial, mbAddr, pred, buf0, buf1)
+        bDirectInto(f, list0, list1, spatial, wcfg, mbAddr, pred, buf0, buf1)
       case 1 | 2 | 3 => // B_L0 / B_L1 / B_Bi 16x16
         val use = mbType // 1=L0, 2=L1, 3=Bi by construction
         val ref0 = if ((use & 1) != 0) refIdxIn(numRefs) else -1
@@ -2343,7 +2451,7 @@ object H264 {
             if (dm == null) dm = directMotion(f, list0, list1, spatial, mbAddr)
             val o = dm(i)
             bMcInto(f, list0, list1, mbAddr, bx8, by8, 2, 2,
-              o(0), o(1), o(2), o(3), o(4), o(5), pred, buf0, buf1)
+              o(0), o(1), o(2), o(3), o(4), o(5), wcfg, pred, buf0, buf1)
           } else {
             def sub(j: Int, bx4: Int, by4: Int, bw4: Int, bh4: Int): Unit = {
               var m0x = 0; var m0y = 0; var m1x = 0; var m1y = 0
@@ -2356,7 +2464,7 @@ object H264 {
                 m1x = p._1 + mvd1(i)(j)(0); m1y = p._2 + mvd1(i)(j)(1)
               }
               bMcInto(f, list0, list1, mbAddr, bx4, by4, bw4, bh4,
-                m0x, m0y, refs0(i), m1x, m1y, refs1(i), pred, buf0, buf1)
+                m0x, m0y, refs0(i), m1x, m1y, refs1(i), wcfg, pred, buf0, buf1)
             }
             shape match {
               case 0 => sub(0, bx8, by8, 2, 2)

@@ -690,6 +690,97 @@ object VideoFixtures {
       a = (id % 5).toInt,
       b = (1 + id % 3).toInt)
 
+  /** PPS with weighted-prediction flags (the q155 corpus). */
+  private def ppsWNal(weightedPred: Boolean, bipredIdc: Int): Array[Byte] = {
+    val w = new Bw
+    w.u(0x68, 8)
+    w.ue(0).ue(0).u(0, 1).u(0, 1).ue(0).ue(0).ue(0)
+    w.u(if (weightedPred) 1 else 0, 1).u(bipredIdc, 2)
+    w.se(0).se(0).se(0)
+    w.u(1, 1).u(0, 1).u(0, 1)
+    w.stop(); w.bytes()
+  }
+
+  /** Three-frame 16×16 GOP exercising WEIGHTED prediction — the q155
+    * corpus, two variants by id parity:
+    *
+    * EVEN ids (weighted_pred = 1, weighted_bipred_idc = 1, explicit):
+    *   frame 1  P, weights (logWD 1, w, o): clip(((p·w+1)>>1)+o) of
+    *            the d1-shifted IDR
+    *   frame 2  B_Bi, weights (logWD 2, w0/o0, w1/o1):
+    *            clip(((p0·w0 + p1·w1 + 4)>>3) + ((o0+o1+1)>>1))
+    *
+    * ODD ids (weighted_bipred_idc = 2, implicit): frame 1 plain P;
+    *   frame 2 B_Bi at poc tb ∈ {2,4,6} between refs at poc 0/8 →
+    *   w1 = DistScaleFactor>>2 = 8·tb, w0 = 64 − w1,
+    *   pixel = clip((p0·w0 + p1·w1 + 32) >> 6)
+    *
+    * All parameters id arithmetic mirrored by the oracle.
+    */
+  def wGopMp4(id: Long): Array[Byte] = {
+    val base = (10 + id % 40).toInt
+    val d1 = (1 + id % 3).toInt
+    val a = (id % 5).toInt
+    val b = (1 + id % 4).toInt
+    val sps = escapeRbsp(sps1x1Poc0(2))
+    val f0 = escapeRbsp(idrPcmPoc0((_, y) => base + 13 * y))
+    if (id % 2 == 0) {
+      val wL = (2 + id % 3).toInt
+      val oL = (id % 7).toInt - 3
+      val w0 = (1 + id % 4).toInt
+      val o0 = (id % 5).toInt - 2
+      val w1 = (2 + id % 3).toInt
+      val o1 = (id % 3).toInt - 1
+      val pps = escapeRbsp(ppsWNal(weightedPred = true, bipredIdc = 1))
+      val p1 = escapeRbsp {
+        val w = new Bw
+        w.u(0x41, 8)
+        w.ue(0).ue(5).ue(0)
+        w.u(1, 4).u(8, 4) // frame_num, poc lsb
+        w.u(0, 1).u(0, 1) // no override, no modification
+        w.ue(1).ue(0) // luma/chroma log2 denom
+        w.u(1, 1).se(wL).se(oL).u(0, 1) // luma w/o, no chroma
+        w.u(0, 1) // sliding window
+        w.se(0).ue(1)
+        w.ue(0); w.ue(0); w.se(0).se(4 * d1); w.ue(0)
+        w.stop(); w.bytes()
+      }
+      val b2 = escapeRbsp {
+        val w = new Bw
+        w.u(0x01, 8)
+        w.ue(0).ue(6).ue(0)
+        w.u(2, 4).u(2, 4) // frame_num 2, poc lsb 2
+        w.u(1, 1) // direct flag (unused)
+        w.u(0, 1).u(0, 1).u(0, 1) // no override, no modification (l0/l1)
+        w.ue(2).ue(0) // logWD 2
+        w.u(1, 1).se(w0).se(o0).u(0, 1) // L0 ref 0
+        w.u(1, 1).se(w1).se(o1).u(0, 1) // L1 ref 0
+        w.se(0).ue(1)
+        w.ue(0)
+        w.ue(3) // B_Bi_16x16
+        w.se(0).se(4 * a)
+        w.se(0).se(4 * b)
+        w.ue(0)
+        w.stop(); w.bytes()
+      }
+      mp4Gop(sps, pps, Seq(f0, p1, b2), syncs = Seq(1))
+    } else {
+      val tb = 2 * d1 // poc of the B: 2, 4 or 6 between refs 0 and 8
+      val pps = escapeRbsp(ppsWNal(weightedPred = false, bipredIdc = 2))
+      val p1 = escapeRbsp(pSlicePoc0(1, 8) { w =>
+        w.ue(0); w.ue(0); w.se(0).se(4 * d1); w.ue(0)
+      })
+      val b2 = escapeRbsp(bSlicePoc0(2, tb, spatial = true) { w =>
+        w.ue(0)
+        w.ue(3) // B_Bi_16x16: implicit weights apply
+        w.se(0).se(4 * a)
+        w.se(0).se(4 * b)
+        w.ue(0)
+      })
+      mp4Gop(sps, pps, Seq(f0, p1, b2), syncs = Seq(1))
+    }
+  }
+
   /** Multi-sample MP4 from already-escaped slice NALs, `syncs` =
     * 1-based stss entries (same boxes/timing as [[multiKeyframeMp4]]:
     * timescale 1000, 500 per frame).

@@ -429,3 +429,27 @@ case class Mp4BGopSynth(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** SQL `mp4_wgop_synth(doc_id)` — the q155 WEIGHTED-prediction GOP
+  * corpus ([[graft.ext.VideoFixtures.wGopMp4]]): even ids carry
+  * explicit per-ref weights (P and Bi), odd ids implicit POC-derived
+  * bi weights. Parameters are id arithmetic mirrored by the oracle.
+  */
+case class Mp4WGopSynth(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "mp4_wgop_synth"
+
+  override protected def nullSafeEval(id: Any): Any =
+    graft.ext.VideoFixtures.wGopMp4(id.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, id =>
+      s"${ev.value} = graft.ext.VideoFixtures.wGopMp4($id);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

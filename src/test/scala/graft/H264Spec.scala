@@ -2121,4 +2121,200 @@ class H264Spec extends AnyFunSuite {
         assert(frames(k)._1(y * 16 + x) === row(k, y), s"id=$id k=$k ($x,$y)")
     }
   }
+
+  // ----------------- weighted prediction (round 12) ----------------
+
+  /** PPS with explicit weighted-pred flags. */
+  private def ppsW(weightedPred: Boolean, bipredIdc: Int): Array[Byte] = {
+    val w = new Bw
+    w.u(0x68, 8)
+    w.ue(0).ue(0).u(0, 1).u(0, 1).ue(0).ue(0).ue(0)
+    w.u(if (weightedPred) 1 else 0, 1).u(bipredIdc, 2)
+    w.se(0).se(0).se(0)
+    w.u(1, 1).u(0, 1).u(0, 1)
+    w.stop()
+    escapeRbsp(w.bytes())
+  }
+
+  test("explicit weighted P: ((p*w + rnd) >> logWD) + o, skip runs included") {
+    val pcm = Array.tabulate(256)(i => ((i & 15) * 6 + (i >> 4) * 10 + 12) & 0xFF)
+    // P slice with pred_weight_table: logWD 1, luma w 3 o 10; the MB
+    // is a zero-MV P_16x16 with no residual, so decoded =
+    // clip(((p*3 + 1) >> 1) + 10)
+    val p1 = {
+      val w = new Bw
+      w.u(0x61, 8)
+      w.ue(0).ue(5).ue(0)
+      w.u(1, 4) // frame_num
+      w.u(8, 4) // poc lsb
+      w.u(0, 1) // no active override
+      w.u(0, 1) // no list modification
+      w.ue(1) // luma_log2_weight_denom
+      w.ue(0) // chroma_log2_weight_denom
+      w.u(1, 1).se(3).se(10) // luma_weight_l0_flag, w, o
+      w.u(0, 1) // chroma_weight_l0_flag
+      w.u(0, 1) // adaptive_ref_pic_marking
+      w.se(0).ue(1)
+      w.ue(0); w.ue(0); w.se(0).se(0); w.ue(0)
+      w.stop()
+      escapeRbsp(w.bytes())
+    }
+    // second weighted P: whole-frame SKIP — weights must apply there too
+    val p2 = {
+      val w = new Bw
+      w.u(0x61, 8)
+      w.ue(0).ue(5).ue(0)
+      w.u(2, 4)
+      w.u(12, 4)
+      w.u(0, 1).u(0, 1)
+      w.ue(0) // logWD 0 -> pred = clip(p*w + o)
+      w.ue(0)
+      w.u(1, 1).se(1).se(-5)
+      w.u(0, 1)
+      w.u(0, 1)
+      w.se(0).ue(1)
+      w.ue(1) // mb_skip_run covers the frame
+      w.stop()
+      escapeRbsp(w.bytes())
+    }
+    val video = mp4Multi(spsB(1, 1, 2), ppsW(weightedPred = true, 0),
+      Seq(idrPcmPoc0(pcm), p1, p2), Seq(1), 1000L, 500L)
+    val frames = H264.gopLumasOrNull(video, 3)
+    assert(frames != null && frames.length === 3)
+    val (g1, fw, _) = frames(1)
+    val (g2, _, _) = frames(2)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val w1 = math.max(0, math.min(255, ((pcm(y * 16 + x) * 3 + 1) >> 1) + 10))
+      assert(g1(y * fw + x) === w1.toDouble, s"f1 ($x,$y)")
+      val w2 = math.max(0, math.min(255, w1 * 1 - 5))
+      assert(g2(y * fw + x) === w2.toDouble, s"f2 ($x,$y)")
+    }
+  }
+
+  test("explicit weighted bi B: per-list weights, pooled offset rounding") {
+    val pcm = Array.tabulate(256)(i => ((i & 15) * 4 + (i >> 4) * 14 + 20) & 0xFF)
+    def p(x: Int, y: Int): Int = pcm(math.min(15, y) * 16 + x)
+    val p1 = pPoc0(1, 8) { w => w.ue(0); w.ue(0); w.se(0).se(4); w.ue(0) }
+    // B with idc=1: tables for BOTH lists; logWD 2, L0 (w 2, o 4),
+    // L1 (w 6, o -2); zero-MV Bi ->
+    // clip(((p0*2 + p1*6 + 4) >> 3) + ((4 + (-2) + 1) >> 1))
+    val b2 = {
+      val w = new Bw
+      w.u(0x01, 8)
+      w.ue(0).ue(6).ue(0)
+      w.u(2, 4)
+      w.u(4, 4)
+      w.u(1, 1) // spatial direct flag (unused by the explicit MB)
+      w.u(0, 1) // no active override
+      w.u(0, 1).u(0, 1) // no list modification
+      w.ue(2) // luma_log2_weight_denom
+      w.ue(0)
+      w.u(1, 1).se(2).se(4); w.u(0, 1) // L0 ref 0
+      w.u(1, 1).se(6).se(-2); w.u(0, 1) // L1 ref 0
+      // nal_ref_idc 0: no marking
+      w.se(0).ue(1)
+      w.ue(0)
+      w.ue(3) // B_Bi_16x16
+      w.se(0).se(0)
+      w.se(0).se(0)
+      w.ue(0)
+      w.stop()
+      escapeRbsp(w.bytes())
+    }
+    val video = mp4Multi(spsB(1, 1, 2), ppsW(weightedPred = false, 1),
+      Seq(idrPcmPoc0(pcm), p1, b2), Seq(1), 1000L, 500L)
+    val frames = H264.gopLumasOrNull(video, 3)
+    assert(frames != null && frames.length === 3)
+    val (g2, fw, _) = frames(2)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val p0 = p(x, y)
+      val pL1 = p(x, y + 1) // f1 = f0 down 1
+      val want = math.max(0, math.min(255,
+        ((p0 * 2 + pL1 * 6 + 4) >> 3) + ((4 - 2 + 1) >> 1)))
+      assert(g2(y * fw + x) === want.toDouble, s"($x,$y)")
+    }
+  }
+
+  test("implicit bi weights follow POC distances; uni partitions stay default") {
+    // B at poc 2 between poc 0 and poc 8: tb=2, td=8, tx=2048,
+    // dsf=(2*2048+32)>>6=64 -> w1=16, w0=48 ->
+    // bi pixel = clip((p0*48 + p1*16 + 32) >> 6)
+    val pcm = Array.tabulate(512)(i => ((i % 32) * 5 + (i / 32) * 9 + 7) & 0xFF)
+    def p(x: Int, y: Int): Int =
+      pcm(math.min(15, math.max(0, y)) * 32 + math.min(31, x))
+    val idr = idrPcmPoc0(
+      Array.tabulate(256)(i => pcm((i >> 4) * 32 + (i & 15))),
+      Array.tabulate(256)(i => pcm((i >> 4) * 32 + 16 + (i & 15))))
+    val p1 = pPoc0(1, 8) { w =>
+      w.ue(0); w.ue(0); w.se(0).se(4); w.ue(0) // MB0: f0 down 1
+      w.ue(0); w.ue(0); w.se(0).se(4); w.ue(0) // MB1: f0 down 1
+    }
+    val b2 = bSliceN(2, 2, spatial = true) { w =>
+      w.ue(0)
+      w.ue(3) // MB0: B_Bi_16x16, zero MVs
+      w.se(0).se(0); w.se(0).se(0)
+      w.ue(0)
+      w.ue(0)
+      w.ue(1) // MB1: B_L0_16x16 — implicit weighting must NOT apply
+      w.se(0).se(0)
+      w.ue(0)
+    }
+    val video = mp4Multi(spsB(2, 1, 2), ppsW(weightedPred = false, 2),
+      Seq(idr, p1, b2), Seq(1), 1000L, 500L)
+    val frames = H264.gopLumasOrNull(video, 3)
+    assert(frames != null && frames.length === 3)
+    val (g2, fw, _) = frames(2)
+    for (y <- 0 until 16; x <- 0 until 32) {
+      val want =
+        if (x < 16) {
+          val p0 = p(x, y)
+          val pL1 = p(x, math.min(15, y + 1)) // f1 at rest
+          math.max(0, math.min(255, (p0 * 48 + pL1 * 16 + 32) >> 6))
+        } else p(x, y) // uni L0 from f0, unweighted
+      assert(g2(y * fw + x) === want.toDouble, s"($x,$y)")
+    }
+  }
+
+  test("q155 fixture: weighted GOPs match their closed forms (both parities)") {
+    for (id <- Seq(0L, 1L, 2L, 3L, 7L, 40L, 41L, 998L, 999L)) {
+      val video = graft.ext.VideoFixtures.wGopMp4(id)
+      val frames = H264.gopLumasOrNull(video, 3)
+      assert(frames != null && frames.length === 3, s"id=$id")
+      val base = (10 + id % 40).toInt
+      val d1 = (1 + id % 3).toInt
+      val a = (id % 5).toInt
+      val b = (1 + id % 4).toInt
+      def v(y: Int): Int = base + 13 * y
+      def clip(x: Int): Int = math.max(0, math.min(255, x))
+      def row(k: Int, y: Int): Double = {
+        if (id % 2 == 0) {
+          val wl = (2 + id % 3).toInt
+          val ol = (id % 7).toInt - 3
+          val w0 = (1 + id % 4).toInt
+          val o0 = (id % 5).toInt - 2
+          val w1 = (2 + id % 3).toInt
+          val o1 = (id % 3).toInt - 1
+          def f1(r: Int): Int = clip(((v(math.min(15, r + d1)) * wl + 1) >> 1) + ol)
+          k match {
+            case 0 => v(y)
+            case 1 => f1(y)
+            case _ => clip(((v(math.min(15, y + a)) * w0 +
+              f1(math.min(15, y + b)) * w1 + 4) >> 3) + ((o0 + o1 + 1) >> 1))
+          }
+        } else {
+          val w1 = 16 * d1
+          val w0 = 64 - w1
+          def f1(r: Int): Int = v(math.min(15, r + d1))
+          k match {
+            case 0 => v(y)
+            case 1 => f1(y)
+            case _ => clip((v(math.min(15, y + a)) * w0 +
+              f1(math.min(15, y + b)) * w1 + 32) >> 6)
+          }
+        }
+      }.toDouble
+      for (k <- 0 until 3; y <- 0 until 16; x <- 0 until 16)
+        assert(frames(k)._1(y * 16 + x) === row(k, y), s"id=$id k=$k ($x,$y)")
+    }
+  }
 }
