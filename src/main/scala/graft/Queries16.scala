@@ -419,17 +419,49 @@ object Queries16 {
       |  ROUND(h2, 6) + 0 AS h2, ROUND(h3, 6) + 0 AS h3
       |FROM st ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ---------- q156: FRAGMENTED MP4 (fMP4/CMAF/DASH) sample walk
+  // (round 12). The q153 multi-ref GOP frames repacked as moof/traf/
+  // trun — container layout cycling by id over default-base-is-moof
+  // + per-sample fields, explicit base_data_offset, and tfhd-default
+  // size/duration with first_sample_flags. The decoded features (and
+  // the trun-derived timeline) must equal q153's closed forms, so
+  // the oracle IS q153's SQL: a defect anywhere in the §8.8 walk —
+  // trex/tfhd defaults, data offsets, sync flags, durations —
+  // breaks the hash.
+  private def q156(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    val d = col("doc_id")
+    val gop = graft.fn.H264GopFrames(
+      graft.fn.Mp4Fmp4Synth(gb.expression(d.cast("long"))),
+      nBins = 4, stride = 1, maxFrames = 4)
+    Tables.tbl(s, dir, "documents").select(d)
+      .where(d < 1000)
+      .select(d, explode(gb.column(gop)).as("__fr"))
+      .select(d,
+        element_at(col("__fr"), 1).cast("int").as("frame_idx"),
+        element_at(col("__fr"), 2).as("t_ms"),
+        round(element_at(col("__fr"), 3), 6).as("mean_g"),
+        round(element_at(col("__fr"), 4), 6).as("std_g"),
+        round(element_at(col("__fr"), 5), 6).as("h0"),
+        round(element_at(col("__fr"), 6), 6).as("h1"),
+        round(element_at(col("__fr"), 7), 6).as("h2"),
+        round(element_at(col("__fr"), 8), 6).as("h3"))
+      .orderBy(d, col("frame_idx"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q151_pdf_text" -> (q151 _),
     "q152_lang_id" -> (q152 _),
     "q153_video_multiref" -> (q153 _),
     "q154_video_bslice" -> (q154 _),
-    "q155_video_weighted" -> (q155 _))
+    "q155_video_weighted" -> (q155 _),
+    "q156_video_fmp4" -> (q156 _))
 
   val oracles: Map[String, String] = Map(
     "q151_pdf_text" -> q151Sql,
     "q152_lang_id" -> q152Sql,
     "q153_video_multiref" -> q153Sql,
     "q154_video_bslice" -> q154Sql,
-    "q155_video_weighted" -> q155Sql)
+    "q155_video_weighted" -> q155Sql,
+    "q156_video_fmp4" -> q153Sql) // fragmented twin: SAME closed forms
 }

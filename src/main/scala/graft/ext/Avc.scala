@@ -8,10 +8,12 @@ package graft.ext
   * (ITU-T H.264 §7.3.2.1.1, Exp-Golomb coded) carries the CODED
   * dimensions — authoritative where container width/height fields are
   * absent or wrong, which is exactly the real-data failure mode.
-  * FRAME decode is real as of round 8 for the baseline subset
-  * ([[H264]]: CAVLC + intra prediction for I frames, quarter-pel
-  * motion compensation for P frames); only CABAC/B-frame/multi-ref
-  * streams remain metadata-only ([[Multimodal]]).
+  * FRAME decode is real as of round 8 and extended through round 12
+  * ([[H264]]: CAVLC I/P/B with multi-ref + weighted prediction,
+  * CABAC I keyframes); only CABAC P/B streams remain metadata-only
+  * ([[Multimodal]]). Sample walking covers BOTH layouts: classic
+  * stbl tables and FRAGMENTED moof/traf/trun (fMP4/CMAF/DASH —
+  * round 12, [[fragmentSamplesOrNull]]).
   *
   * Sync-sample (keyframe) BYTE offsets come from stss (sync sample
   * numbers) composed with the stsz/stsc/stco mapping ([[Bmff]]) — the
@@ -363,6 +365,14 @@ object Avc {
     // same bound the nSamples path enforces — a corrupt stss count
     // must not ride out as garbage metadata
     if (nSync < 0 || nSync > MaxSamples) return null
+    if (nSamples == 0) {
+      // zero-sample stbl: fragmented layout — count moof samples
+      val frag = fragmentSamplesOrNull(bytes, hevc, MaxSamples)
+      if (frag != null) {
+        nSamples = frag.length
+        nSync = frag.count(_.sync)
+      }
+    }
     meta ++ Array(nSamples.toDouble, nSync.toDouble)
   }
 
@@ -391,7 +401,14 @@ object Avc {
       if (avc != null) avc else findVideoStbl(bytes, hevc = true)
     }
     if (got == null) return null
-    spansFromStbl(bytes, got._1, got._2, maxN, syncOnly = true)
+    val stbl = spansFromStbl(bytes, got._1, got._2, maxN, syncOnly = true)
+    if (stbl != null) stbl
+    else {
+      // zero-sample stbl = fragmented layout: walk moof/traf/trun
+      val avc = fragmentSpansOrNull(bytes, hevc = false, maxN, syncOnly = true)
+      if (avc != null) avc
+      else fragmentSpansOrNull(bytes, hevc = true, maxN, syncOnly = true)
+    }
   }
 
   /** ALL sample spans (offset, size, 1-based number) in decode order
@@ -402,7 +419,205 @@ object Avc {
     if (maxN < 1) return null
     val got = findAvcStbl(bytes)
     if (got == null) return null
-    spansFromStbl(bytes, got._1, got._2, maxN, syncOnly = false)
+    val stbl = spansFromStbl(bytes, got._1, got._2, maxN, syncOnly = false)
+    if (stbl != null) stbl
+    else fragmentSpansOrNull(bytes, hevc = false, maxN, syncOnly = false)
+  }
+
+  // ------------------------------- fragmented MP4 (moof/traf/trun)
+
+  /** tkhd track_ID of the first matching video track (the trak whose
+    * stbl [[findVideoStbl]] selects), or −1.
+    */
+  private def findVideoTrackId(b: Array[Byte], hevc: Boolean): Long = {
+    if (b == null || b.length < 16 || tag(b, 4) != "ftyp") return -1
+    val fourccs = if (hevc) HevcFourccs else AvcFourccs
+    val cfgTag = if (hevc) "hvcC" else "avcC"
+    val moov = find(b, 0, b.length, "moov").getOrElse(return -1)
+    children(b, moov._1, moov._2).foreach {
+      case ("trak", ts, te) =>
+        val ok = (for {
+          mdia <- find(b, ts, te, "mdia")
+          minf <- find(b, mdia._1, mdia._2, "minf")
+          stbl <- find(b, minf._1, minf._2, "stbl")
+          stsd <- find(b, stbl._1, stbl._2, "stsd")
+          entry <- children(b, stsd._1 + 8, stsd._2)
+            .find(e => fourccs.contains(e._1))
+          _ <- find(b, entry._2 + 78, entry._3, cfgTag)
+        } yield ()).isDefined
+        if (ok) {
+          find(b, ts, te, "tkhd").foreach { case (hs, he) =>
+            if (hs + 4 <= he) {
+              val ver = b(hs.toInt) & 0xFF
+              val idOff = hs + (if (ver == 1) 20 else 12)
+              if (idOff + 4 <= he) return beU32(b, idOff.toInt)
+            }
+          }
+        }
+      case _ => ()
+    }
+    -1
+  }
+
+  /** One fragmented sample: absolute byte span, 1-based number in
+    * walk order, trun duration (0 when absent everywhere), sync flag.
+    */
+  private[ext] final case class FragSample(off: Long, size: Long, sn: Long,
+                                           dur: Long, sync: Boolean)
+
+  /** Movie-fragment sample walk (ISO 14496-12 §8.8) for FRAGMENTED
+    * MP4s — the CMAF/DASH/HLS-fMP4 shape where `stbl` carries no
+    * samples and media lives in moof+mdat pairs. Supported: trex
+    * defaults, tfhd base_data_offset / default-base-is-moof /
+    * first-traf default, per-sample and default sizes/durations/
+    * flags, first_sample_flags, multiple truns per traf, multiple
+    * trafs per moof (only the matching track contributes),
+    * duration-is-empty trafs, tfdt (parsed, timing uses trun
+    * durations — continuous-fragment assumption, validated by the
+    * round-trip fixtures). Null on any malformed structure — never
+    * wrong spans.
+    */
+  private[ext] def fragmentSamplesOrNull(b: Array[Byte], hevc: Boolean,
+                                         maxN: Int): Array[FragSample] = {
+    val trackId = findVideoTrackId(b, hevc)
+    if (trackId < 0) return null
+    // trex defaults for this track
+    var trexDur = 0L
+    var trexSize = 0L
+    var trexFlags = 0L
+    for {
+      moov <- find(b, 0, b.length, "moov")
+      mvex <- find(b, moov._1, moov._2, "mvex")
+    } children(b, mvex._1, mvex._2).foreach {
+      case ("trex", s, e) if e - s >= 24 =>
+        if (beU32(b, s.toInt + 4) == trackId) {
+          trexDur = beU32(b, s.toInt + 12)
+          trexSize = beU32(b, s.toInt + 16)
+          trexFlags = beU32(b, s.toInt + 20)
+        }
+      case _ => ()
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[FragSample]()
+    // top-level walk tracking BOX starts (default-base-is-moof needs
+    // the first byte of the moof box, not its payload)
+    var off = 0L
+    var sawMoof = false
+    while (off + 8 <= b.length && out.length < maxN) {
+      val size0 = beU32(b, off.toInt)
+      val t = tag(b, off.toInt + 4)
+      val (size, hdr) =
+        if (size0 == 1 && off + 16 <= b.length) (Bmff.beU64(b, off.toInt + 8), 16L)
+        else if (size0 == 0) (b.length - off, 8L)
+        else (size0, 8L)
+      if (size < hdr || off + size > b.length) return null
+      if (t == "moof") {
+        sawMoof = true
+        val moofStart = off
+        var firstTraf = true
+        children(b, off + hdr, off + size).foreach {
+          case ("traf", fs, fe) =>
+            val tfhd = find(b, fs, fe, "tfhd").getOrElse(return null)
+            if (fe - fs >= 0 && tfhd._2 - tfhd._1 >= 8) {
+              val tfFlags = beU32(b, tfhd._1.toInt) & 0xFFFFFF
+              val tid = beU32(b, tfhd._1.toInt + 4)
+              val isOurs = tid == trackId
+              var p = tfhd._1 + 8
+              var base = 0L
+              if ((tfFlags & 0x1) != 0) { // explicit base_data_offset
+                if (p + 8 > tfhd._2) return null
+                base = Bmff.beU64(b, p.toInt); p += 8
+              } else if (firstTraf || (tfFlags & 0x20000) != 0) {
+                base = moofStart // default-base-is-moof / first-traf default
+              } else return null // later traf without any base
+              if ((tfFlags & 0x2) != 0) p += 4 // sample_description_index
+              val defDur = if ((tfFlags & 0x8) != 0) {
+                if (p + 4 > tfhd._2) return null
+                val v = beU32(b, p.toInt); p += 4; v
+              } else trexDur
+              val defSize = if ((tfFlags & 0x10) != 0) {
+                if (p + 4 > tfhd._2) return null
+                val v = beU32(b, p.toInt); p += 4; v
+              } else trexSize
+              val defFlags = if ((tfFlags & 0x20) != 0) {
+                if (p + 4 > tfhd._2) return null
+                val v = beU32(b, p.toInt); p += 4; v
+              } else trexFlags
+              if (isOurs && (tfFlags & 0x10000) == 0) { // not duration-is-empty
+                var cursor = base // running data offset across truns
+                children(b, fs, fe).foreach {
+                  case ("trun", rs, re) =>
+                    if (re - rs < 8) return null
+                    val trFlags = beU32(b, rs.toInt) & 0xFFFFFF
+                    val n = beU32(b, rs.toInt + 4)
+                    if (n < 0 || n > MaxSamples) return null
+                    var q = rs + 8
+                    if ((trFlags & 0x1) != 0) {
+                      if (q + 4 > re) return null
+                      val dataOff = beU32(b, q.toInt).toInt // SIGNED i32
+                      cursor = base + dataOff
+                      q += 4
+                    }
+                    val firstFlags =
+                      if ((trFlags & 0x4) != 0) {
+                        if (q + 4 > re) return null
+                        val v = beU32(b, q.toInt); q += 4; v
+                      } else -1L
+                    var i = 0L
+                    while (i < n && out.length < maxN) {
+                      var dur = defDur
+                      var sz = defSize
+                      var fl = defFlags
+                      if ((trFlags & 0x100) != 0) {
+                        if (q + 4 > re) return null
+                        dur = beU32(b, q.toInt); q += 4
+                      }
+                      if ((trFlags & 0x200) != 0) {
+                        if (q + 4 > re) return null
+                        sz = beU32(b, q.toInt); q += 4
+                      }
+                      if ((trFlags & 0x400) != 0) {
+                        if (q + 4 > re) return null
+                        fl = beU32(b, q.toInt); q += 4
+                      } else if (i == 0 && firstFlags >= 0) fl = firstFlags
+                      if ((trFlags & 0x800) != 0) q += 4 // cts offset (unused)
+                      if (sz <= 0 || cursor < 0 || cursor + sz > b.length)
+                        return null
+                      out += FragSample(cursor, sz, out.length + 1L, dur,
+                        ((fl >> 16) & 1) == 0)
+                      cursor += sz
+                      i += 1
+                    }
+                  case _ => ()
+                }
+              }
+            }
+            firstTraf = false
+          case _ => ()
+        }
+      }
+      off += size
+    }
+    if (!sawMoof || out.isEmpty) null else out.toArray
+  }
+
+  /** Fragment-walk twins of the stbl span forms (used when the stbl
+    * carries zero samples — the fMP4 signature).
+    */
+  private[ext] def fragmentSpansOrNull(bytes: Array[Byte], hevc: Boolean,
+                                       maxN: Int, syncOnly: Boolean)
+      : Array[(Long, Long, Long)] = {
+    val all = fragmentSamplesOrNull(bytes, hevc, if (syncOnly) MaxSamples else maxN)
+    if (all == null) return null
+    val picked = if (syncOnly) all.filter(_.sync).take(maxN) else all
+    if (picked.isEmpty) null else picked.map(s => (s.off, s.size, s.sn))
+  }
+
+  /** Per-sample trun durations of the fragmented video track (for
+    * stts-less fMP4 timing), or null.
+    */
+  private[ext] def fragmentDurationsOrNull(bytes: Array[Byte]): Array[Long] = {
+    val all = fragmentSamplesOrNull(bytes, hevc = false, MaxSamples)
+    if (all == null) null else all.map(_.dur)
   }
 
   private def spansFromStbl(bytes: Array[Byte], ss: Long, se: Long,

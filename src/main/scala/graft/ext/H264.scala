@@ -3631,6 +3631,10 @@ object H264 {
                 }
               }
             }
+            // fragmented layout: no stts samples — trun durations
+            // carry the timing (continuous-fragment assumption)
+            if (durations == null)
+              durations = Avc.fragmentDurationsOrNull(bytes)
             out = (cfg._1, cfg._2, cfg._3, stbl._1, stbl._2, timescale, durations)
           }
         }

@@ -534,6 +534,41 @@ object VideoFixtures {
     * is an stss sync.
     */
   def multiRefGopMp4(base: Int, d1: Int, d2: Int, d3t: Int, d3b: Int): Array[Byte] = {
+    val (sps, pps, slices) = multiRefSlices(base, d1, d2, d3t, d3b)
+    mp4Gop(sps, pps, slices, syncs = Seq(1))
+  }
+
+  /** [[multiRefGopMp4]]'s frames in a FRAGMENTED container (the q156
+    * corpus): same decode, moof/traf/trun layout cycling by `layout`
+    * (0: 2-sample fragments + default-base-is-moof + per-sample
+    * fields; 1: explicit base_data_offset; 2: tfhd default
+    * size/duration + first_sample_flags).
+    */
+  def multiRefGopFmp4(base: Int, d1: Int, d2: Int, d3t: Int, d3b: Int,
+                      layout: Int): Array[Byte] = {
+    val (sps, pps, slices) = multiRefSlices(base, d1, d2, d3t, d3b)
+    layout % 3 match {
+      case 0 => mp4FragmentedGop(sps, pps, slices, Seq(1), 2, false, true)
+      case 1 => mp4FragmentedGop(sps, pps, slices, Seq(1), 1, true, true)
+      case _ => mp4FragmentedGop(sps, pps, slices, Seq(1), 1, false, false)
+    }
+  }
+
+  /** Id-addressed [[multiRefGopFmp4]]: same id arithmetic as
+    * [[multiRefGop]] (so q156's oracle IS q153's formulas) with the
+    * container layout cycling by id.
+    */
+  def multiRefGopFragmented(id: Long): Array[Byte] =
+    multiRefGopFmp4(
+      base = (10 + id % 40).toInt,
+      d1 = (1 + id % 5).toInt,
+      d2 = (2 + id % 7).toInt,
+      d3t = (id % 4).toInt,
+      d3b = (1 + id % 3).toInt,
+      layout = (id % 3).toInt)
+
+  private def multiRefSlices(base: Int, d1: Int, d2: Int, d3t: Int,
+                             d3b: Int): (Array[Byte], Array[Byte], Seq[Array[Byte]]) = {
     require(base >= 0 && base + 13 * 15 <= 255 && d1 >= 0 && d2 >= 0 &&
       d3t >= 0 && d3b >= 0)
     val sps = escapeRbsp(sps1x1Refs(3))
@@ -560,7 +595,7 @@ object VideoFixtures {
       w.se(0).se(4 * d3b)
       w.ue(0)
     })
-    mp4Gop(sps, pps, Seq(f0, p1, p2, p3), syncs = Seq(1))
+    (sps, pps, Seq(f0, p1, p2, p3))
   }
 
   /** Id-addressed [[multiRefGopMp4]] (the q153 corpus contract): all
@@ -779,6 +814,118 @@ object VideoFixtures {
       })
       mp4Gop(sps, pps, Seq(f0, p1, b2), syncs = Seq(1))
     }
+  }
+
+  /** FRAGMENTED MP4 (fMP4/CMAF shape) from already-escaped slice
+    * NALs: a zero-sample `stbl` + `mvex`/`trex`, then one
+    * moof+mdat pair per `perFrag` samples. Layout knobs exercise the
+    * §8.8 variants the reader supports:
+    *  - `explicitBase`: tfhd base_data_offset instead of
+    *    default-base-is-moof
+    *  - `perSample`: trun carries per-sample size+duration+flags;
+    *    otherwise sizes/durations come from trex defaults with a
+    *    first_sample_flags sync override (requires equal-size
+    *    samples per fragment — callers pass perFrag = 1)
+    * Timing matches [[multiKeyframeMp4]]: timescale 1000, 500/frame.
+    */
+  def mp4FragmentedGop(sps: Array[Byte], pps: Array[Byte],
+                       slices: Seq[Array[Byte]], syncs: Seq[Int],
+                       perFrag: Int, explicitBase: Boolean,
+                       perSample: Boolean): Array[Byte] = {
+    require(perFrag >= 1 && (perSample || perFrag == 1))
+    val avcc = box("avcC", Array[Byte](1), sps.slice(1, 2), Array[Byte](0),
+      sps.slice(3, 4), Array(0xFF.toByte), Array(0xE1.toByte),
+      be16(sps.length), sps, Array[Byte](1), be16(pps.length), pps)
+    val samples = slices.map(s => be32(s.length.toLong) ++ s)
+    val syncSet = syncs.toSet
+    val ftyp = box("ftyp", "isom".getBytes, be32(0x200),
+      "iso6cmfc".getBytes)
+    val stsd = box("stsd", be32(0), be32(1),
+      box("avc1", new Array[Byte](78), avcc))
+    // zero-sample stbl: the fMP4 signature the reader keys on
+    val stbl = box("stbl", stsd,
+      box("stts", be32(0), be32(0)),
+      box("stsc", be32(0), be32(0)),
+      box("stsz", be32(0), be32(0), be32(0)),
+      box("stco", be32(0), be32(0)))
+    val tkhd = box("tkhd", {
+      val p = new Array[Byte](84) // version 0 payload
+      System.arraycopy(be32(1), 0, p, 12, 4) // track_ID = 1
+      p
+    })
+    val mdia = box("mdia", box("mdhd", be32(0), be32(0), be32(0), be32(1000),
+      be32(0), be32(0x55c40000L)), box("minf", stbl))
+    // trex defaults: duration 500, size of the FIRST sample (only
+    // consulted on the non-per-sample layout where sizes are equal),
+    // non-sync flags (0x010000 bit set; depends-on 1)
+    val trex = box("trex", be32(0), be32(1), be32(1),
+      be32(500), be32(samples.head.length.toLong), be32(0x01010000L))
+    val moov = box("moov", box("mvhd", new Array[Byte](100)),
+      box("trak", tkhd, mdia), box("mvex", trex))
+    var outBytes = ftyp ++ moov
+    var sn = 1
+    samples.grouped(perFrag).zipWithIndex.foreach { case (grp, gi) =>
+      val mdatPayload = grp.flatten.toArray
+      // trun flags
+      val trFlags =
+        (if (perSample) 0x100L | 0x200L | 0x400L else 0L) |
+          0x1L | // data_offset always present
+          (if (!perSample && syncSet.contains(sn)) 0x4L else 0L)
+      def sampleFlags(num: Int): Long =
+        if (syncSet.contains(num)) 0x02000000L else 0x01010000L
+      val trunBody = new scala.collection.mutable.ArrayBuffer[Byte]()
+      trunBody ++= be32(trFlags)
+      trunBody ++= be32(grp.length.toLong)
+      val dataOffSlot = trunBody.length // patched after moof size known
+      trunBody ++= be32(0)
+      if (!perSample && syncSet.contains(sn))
+        trunBody ++= be32(0x02000000L) // first_sample_flags
+      if (perSample) grp.zipWithIndex.foreach { case (sm, i) =>
+        trunBody ++= be32(500) // duration
+        trunBody ++= be32(sm.length.toLong)
+        trunBody ++= be32(sampleFlags(sn + i))
+      }
+      val tfFlags =
+        (if (explicitBase) 0x1L else 0x20000L) | // base | default-base-is-moof
+          (if (!perSample) 0x8L | 0x10L else 0L) // tfhd default dur+size
+      val tfhdBody = new scala.collection.mutable.ArrayBuffer[Byte]()
+      tfhdBody ++= be32(tfFlags)
+      tfhdBody ++= be32(1) // track_ID
+      val baseSlot = tfhdBody.length
+      if (explicitBase) tfhdBody ++= (be32(0) ++ be32(0)) // patched u64
+      if (!perSample) {
+        tfhdBody ++= be32(500) // default_sample_duration
+        tfhdBody ++= be32(grp.head.length.toLong) // default_sample_size
+      }
+      val tfdt = box("tfdt", be32(0), be32(500L * (sn - 1)))
+      def assemble(): Array[Byte] = {
+        val tfhd = box("tfhd", tfhdBody.toArray)
+        val trun = box("trun", trunBody.toArray)
+        val traf = box("traf", tfhd, tfdt, trun)
+        box("moof", box("mfhd", be32(0), be32(gi + 1L)), traf)
+      }
+      // two-pass: sizes are flag-determined, so one re-assembly after
+      // patching the offsets is exact
+      val probe = assemble()
+      val moofStart = outBytes.length.toLong
+      val firstSampleAbs = moofStart + probe.length + 8
+      if (explicitBase) {
+        val b8 = java.nio.ByteBuffer.allocate(8).putLong(firstSampleAbs).array()
+        var i = 0
+        while (i < 8) { tfhdBody(baseSlot + i) = b8(i); i += 1 }
+        val z = be32(0)
+        var j = 0
+        while (j < 4) { trunBody(dataOffSlot + j) = z(j); j += 1 }
+      } else {
+        val rel = be32(probe.length + 8L)
+        var j = 0
+        while (j < 4) { trunBody(dataOffSlot + j) = rel(j); j += 1 }
+      }
+      val moof = assemble()
+      outBytes = outBytes ++ moof ++ box("mdat", mdatPayload)
+      sn += grp.length
+    }
+    outBytes
   }
 
   /** Multi-sample MP4 from already-escaped slice NALs, `syncs` =

@@ -453,3 +453,27 @@ case class Mp4WGopSynth(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** SQL `mp4_fmp4_synth(doc_id)` — the q156 FRAGMENTED-container
+  * corpus ([[graft.ext.VideoFixtures.multiRefGopFragmented]]): the
+  * q153 multi-ref GOP frames repacked as fMP4 (moof/traf/trun,
+  * layout cycling by id). Decoded features must equal q153's.
+  */
+case class Mp4Fmp4Synth(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "mp4_fmp4_synth"
+
+  override protected def nullSafeEval(id: Any): Any =
+    graft.ext.VideoFixtures.multiRefGopFragmented(id.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, id =>
+      s"${ev.value} = graft.ext.VideoFixtures.multiRefGopFragmented($id);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

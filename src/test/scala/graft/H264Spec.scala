@@ -2317,4 +2317,56 @@ class H264Spec extends AnyFunSuite {
         assert(frames(k)._1(y * 16 + x) === row(k, y), s"id=$id k=$k ($x,$y)")
     }
   }
+
+  // ---------------- fragmented MP4 (round 12) ----------------------
+
+  test("fragmented MP4 (moof/trun): decode equals the stbl twin across layouts") {
+    val pcm = Array.tabulate(256)(i => ((i & 15) * 9 + (i >> 4) * 7 + 11) & 0xFF)
+    val p1 = pSliceN(1, 0) { w => w.ue(0); w.ue(0); w.se(4).se(0); w.ue(0) }
+    val p2 = pSliceN(2, 2) { w =>
+      w.ue(0); w.ue(0); w.u(0, 1); w.se(8).se(0); w.ue(0)
+    }
+    val slices = Seq(pcmIdr(pcm), p1, p2)
+    val spsN = spsRefs(1, 1, 3)
+    val classic = mp4Multi(spsN, pps(), slices, Seq(1), 1000L, 500L)
+    val want = H264.gopLumasOrNull(classic, 3)
+    val wantF = H264.gopFrameFeaturesOrNull(classic, 4, 1, 3)
+    assert(want != null && wantF != null)
+    val layouts = Seq(
+      (2, false, true),  // 2-sample fragments, default-base-is-moof, per-sample
+      (1, true, true),   // explicit base_data_offset
+      (1, false, false)) // tfhd default size/duration + first_sample_flags
+    for ((pf, eb, ps) <- layouts) {
+      val frag = graft.ext.VideoFixtures.mp4FragmentedGop(
+        spsN, pps(), slices, Seq(1), pf, eb, ps)
+      val got = H264.gopLumasOrNull(frag, 3)
+      assert(got != null && got.length === 3, s"layout ($pf,$eb,$ps)")
+      for (k <- 0 until 3)
+        assert(got(k)._1.toSeq === want(k)._1.toSeq, s"layout ($pf,$eb,$ps) k=$k")
+      // trun durations must reproduce the stts timeline (t_ms column)
+      val gotF = H264.gopFrameFeaturesOrNull(frag, 4, 1, 3)
+      assert(gotF != null && gotF.length === wantF.length)
+      for (k <- wantF.indices)
+        assert(gotF(k).toSeq === wantF(k).toSeq, s"features ($pf,$eb,$ps) k=$k")
+    }
+  }
+
+  test("fragmented MP4: sync flags drive the keyframe path; metadata counts") {
+    val s1 = Array.tabulate(256)(i => (i * 3 + 2) & 0xFF)
+    val s2 = Array.tabulate(256)(i => (255 - i * 5) & 0xFF)
+    // two IDR samples, only sample 1 marked sync in trun flags
+    val slices = Seq(pcmIdr(s1), pcmIdr(s2))
+    val frag = graft.ext.VideoFixtures.mp4FragmentedGop(
+      spsRefs(1, 1, 2), pps(), slices, Seq(1), 1, false, true)
+    val kf = H264.keyframeFrameFeaturesOrNull(frag, 4, 1, 8)
+    assert(kf != null && kf.length === 1) // only the sync sample
+    val meta = graft.ext.Avc.h264MetaOrNull(frag)
+    assert(meta != null && meta(4) === 2.0 && meta(5) === 1.0)
+    // truncation never throws
+    for (cut <- Seq(frag.length / 4, frag.length / 2, frag.length - 3)) {
+      val t = java.util.Arrays.copyOf(frag, cut)
+      H264.gopLumasOrNull(t, 3) // null or partial, never a throw
+      graft.ext.Avc.h264MetaOrNull(t)
+    }
+  }
 }
