@@ -449,7 +449,97 @@ object Queries16 {
       .orderBy(d, col("frame_idx"))
   }
 
+  // ---------- q157/q157p: ANY-FRAME video near-dup (round 12). The
+  // re-encode shape keyframe matching cannot catch: originals are
+  // I/P/B GOPs (frame 1 an 8-px shift, frame 2 the Bi average);
+  // re-cuts are single-keyframe videos whose content IS a decoded
+  // NON-keyframe frame of their source, bit-exact by the fixture's
+  // closed forms. Keyframe-vs-keyframe hashes differ (the shift is
+  // half the frame), so only frame-level indexing — running the full
+  // P/B decode chain per asset — recovers the planted (i, 1000+i) /
+  // (i, 2000+i) pairs. q157 is rows-only by the media convention
+  // (the self-check column carries the evidence); q157p hash-gates
+  // the pair stage over the persisted fingerprint fixture (the
+  // q125p/q84p convention).
+  private def q157Scene(seed: Int)(x: Int, y: Int): Int = {
+    val h = seed * 2654435761L
+    val fu = 2 + (h % 5).toInt.abs
+    val fv = 1 + ((h >> 8) % 5).toInt.abs
+    val p1 = ((h >> 16) % 628).toInt / 100.0
+    (127 + 110 * math.sin(fu * x / 1.9 + fv * y / 2.3 + p1)).toInt & 0xFF
+  }
+  private def q157F1(sc: (Int, Int) => Int)(x: Int, y: Int): Int =
+    sc(math.min(15, x + 8), y)
+  private def q157F2(sc: (Int, Int) => Int)(x: Int, y: Int): Int =
+    (sc(x, y) + q157F1(sc)(x, y) + 1) >> 1
+
+  private def q157Assets(s: SparkSession): DataFrame = {
+    val originals = (0 until 60).map(i =>
+      (i.toLong, graft.ext.VideoFixtures.gopSceneMp4(q157Scene(i), 8)))
+    val recutP = (0 until 8).map(i =>
+      (1000L + i, graft.ext.VideoFixtures.pcmKeyframeMp4(q157F1(q157Scene(i)))))
+    val recutB = (0 until 6).map(i =>
+      (2000L + i, graft.ext.VideoFixtures.pcmKeyframeMp4(q157F2(q157Scene(i)))))
+    s.createDataFrame(originals ++ recutP ++ recutB)
+      .toDF("vid_id", "content")
+      .repartition(8)
+  }
+
+  private def q157(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Multimodal.nearDupVideoPairsAnyFrame(
+        q157Assets(s), "vid_id", maxHamming = 3, maxFrames = 4)
+      .withColumn("planted",
+        ((col("b_id") - col("a_id") === 1000L) ||
+          (col("b_id") - col("a_id") === 2000L)).cast("int"))
+      .orderBy(col("a_id"), col("b_id"))
+
+  private val Q157HashFixture = "/tmp/graft_fixtures/q157_gop_dhash.parquet"
+
+  private def q157p(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    q157Assets(s).select(col("vid_id").as("id"),
+        explode(gb.column(graft.fn.H264GopDhashes(
+          gb.expression(col("content")), 4))).as("dhash"))
+      .distinct()
+      .coalesce(1)
+      .write.mode("overwrite").parquet(Q157HashFixture)
+    graft.ext.Multimodal.nearDupPairsFromMultiHashes(
+        s.read.parquet(Q157HashFixture), maxHamming = 3)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private val q157pSql =
+    s"""WITH h AS (
+       |  SELECT id, dhash FROM read_parquet('$Q157HashFixture/*.parquet')
+       |), eq AS (
+       |  SELECT x.id AS a_id, y.id AS b_id, 0 AS hamming
+       |  FROM h x JOIN h y ON x.dhash = y.dhash AND x.id < y.id
+       |), uniq AS (
+       |  SELECT DISTINCT dhash FROM h
+       |), banded AS (
+       |  SELECT dhash, i AS band_idx, (dhash >> CAST(16 * i AS INT)) & 65535 AS band_val
+       |  FROM uniq, UNNEST(range(0, 4)) AS t(i)
+       |), near AS (
+       |  SELECT DISTINCT a.dhash AS ha, b.dhash AS hb
+       |  FROM banded a
+       |  JOIN banded b ON a.band_idx = b.band_idx
+       |    AND a.band_val = b.band_val AND a.dhash < b.dhash
+       |), nearh AS (
+       |  SELECT ha, hb, bit_count(xor(ha, hb)) AS hamming
+       |  FROM near WHERE bit_count(xor(ha, hb)) <= 3
+       |), neq AS (
+       |  SELECT LEAST(x.id, y.id) AS a_id, GREATEST(x.id, y.id) AS b_id, hamming
+       |  FROM nearh JOIN h x ON ha = x.dhash JOIN h y ON hb = y.dhash
+       |)
+       |SELECT a_id, b_id, CAST(MIN(hamming) AS INT) AS hamming
+       |FROM (SELECT * FROM eq UNION ALL SELECT * FROM neq)
+       |WHERE a_id <> b_id
+       |GROUP BY a_id, b_id
+       |ORDER BY a_id, b_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q157_video_anyframe" -> (q157 _),
+    "q157p_gop_dhash_pairs" -> (q157p _),
     "q151_pdf_text" -> (q151 _),
     "q152_lang_id" -> (q152 _),
     "q153_video_multiref" -> (q153 _),
@@ -458,6 +548,9 @@ object Queries16 {
     "q156_video_fmp4" -> (q156 _))
 
   val oracles: Map[String, String] = Map(
+    // q157: rows-only by the media convention (DuckDB cannot decode
+    // video); the pair stage is hash-gated by q157p
+    "q157p_gop_dhash_pairs" -> q157pSql,
     "q151_pdf_text" -> q151Sql,
     "q152_lang_id" -> q152Sql,
     "q153_video_multiref" -> q153Sql,

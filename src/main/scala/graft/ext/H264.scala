@@ -3779,6 +3779,30 @@ object H264 {
     }
   }
 
+  /** Per-FRAME 64-bit dHashes across a full I/P/B GOP (the decode
+    * chain [[gopLumasOrNull]] runs: DPB, multi-ref, bi-prediction,
+    * weighted prediction, both container layouts) — the ANY-FRAME
+    * near-dup index: a re-encode that starts mid-GOP shares no
+    * keyframe with its source, but its first frame IS some decoded
+    * frame of the source, so frame-level hashing finds the pair the
+    * keyframe index cannot.
+    */
+  def gopDhashesOrNull(bytes: Array[Byte], maxN: Int): Array[Long] = {
+    try {
+      if (maxN < 1) return null
+      require(maxN <= (1 << 12),
+        s"frame index bounded at 4096 frames; got $maxN") // loud, not silent
+      val frames = gopLumasOrNull(bytes, maxN)
+      if (frames == null || frames.isEmpty) return null
+      frames.map { case (g, w, h) =>
+        Images.dhashOfThumb(Images.resizeGray(g, w, h, 9, 8))
+      }.toArray
+    } catch {
+      case _: Malformed => null
+      case scala.util.control.NonFatal(_) => null
+    }
+  }
+
   /** Keyframe 64-bit dHash (9×8 + adjacent compare — the
     * [[Images.dhash64OrNull]] convention), composing with the q84p
     * band-join pair stage for video near-dup.

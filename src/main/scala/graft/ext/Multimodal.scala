@@ -394,6 +394,26 @@ object Multimodal {
     else nearDupPairsFromMultiHashes(hashed, maxHamming, bands)
   }
 
+  /** ANY-FRAME video near-duplicate pairs: every decoded frame of
+    * the full I/P/B GOP indexes its video
+    * ([[graft.fn.H264GopDhashes]] — DPB, multi-ref, bi-prediction,
+    * weighted prediction all run), then the shared multi-hash pair
+    * stage. This is the re-encode shape keyframe matching cannot
+    * catch: a clip cut mid-GOP shares no keyframe with its source
+    * but its frames ARE the source's frames.
+    */
+  def nearDupVideoPairsAnyFrame(assets: DataFrame, idCol: String,
+                                maxHamming: Int = 3, bands: Int = 4,
+                                contentCol: String = "content",
+                                maxFrames: Int = 16): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    val hashed = assets.select(col(idCol).as("id"),
+        explode(gb.column(graft.fn.H264GopDhashes(
+          gb.expression(col(contentCol)), maxFrames))).as("dhash"))
+      .distinct()
+    nearDupPairsFromMultiHashes(hashed, maxHamming, bands)
+  }
+
   /** The multi-hash pair stage alone, from a persisted `(id, dhash)`
     * table where one id may carry SEVERAL keyframe hashes (q125p's
     * oracle-gated shape, the video twin of q84p): the shared

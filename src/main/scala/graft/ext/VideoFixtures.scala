@@ -816,6 +816,26 @@ object VideoFixtures {
     }
   }
 
+  /** Three-frame I/P/B GOP over an arbitrary 16×16 PCM scene — the
+    * q157 any-frame near-dup corpus: frame 1 is the scene shifted
+    * `shiftPx` right (P_16x16, edge clamp), frame 2 the rounded
+    * average of frames 0 and 1 (B_Bi at zero MVs). Decoded frames
+    * are closed-form in the scene, so a re-cut plants EXACT frame
+    * twins via [[pcmKeyframeMp4]] over the same arithmetic.
+    */
+  def gopSceneMp4(px: (Int, Int) => Int, shiftPx: Int): Array[Byte] = {
+    val sps = escapeRbsp(sps1x1Poc0(2))
+    val pps = escapeRbsp(ppsNal())
+    val f0 = escapeRbsp(idrPcmPoc0(px))
+    val p1 = escapeRbsp(pSlicePoc0(1, 8) { w =>
+      w.ue(0); w.ue(0); w.se(4 * shiftPx).se(0); w.ue(0)
+    })
+    val b2 = escapeRbsp(bSlicePoc0(2, 4, spatial = true) { w =>
+      w.ue(0); w.ue(3); w.se(0).se(0); w.se(0).se(0); w.ue(0)
+    })
+    mp4Gop(sps, pps, Seq(f0, p1, b2), syncs = Seq(1))
+  }
+
   /** FRAGMENTED MP4 (fMP4/CMAF shape) from already-escaped slice
     * NALs: a zero-sample `stbl` + `mvex`/`trex`, then one
     * moof+mdat pair per `perFrag` samples. Layout knobs exercise the

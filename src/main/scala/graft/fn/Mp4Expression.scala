@@ -477,3 +477,40 @@ case class Mp4Fmp4Synth(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** SQL `h264_gop_dhashes(content, maxN)` — per-frame dHashes across a
+  * full I/P/B GOP ([[graft.ext.H264.gopDhashesOrNull]]); the
+  * ANY-FRAME near-dup index behind re-encode detection (a clip cut
+  * mid-GOP shares no keyframe with its source but shares frames).
+  */
+case class H264GopDhashes(child: Expression, maxN: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(maxN >= 1 && maxN <= (1 << 12),
+    s"maxN must be in [1, 4096], got $maxN")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "h264_gop_dhashes"
+
+  override protected def nullSafeEval(bytes: Any): Any = {
+    val f = graft.ext.H264.gopDhashesOrNull(bytes.asInstanceOf[Array[Byte]], maxN)
+    if (f == null) null else new GenericArrayData(f)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, bytes =>
+      s"""
+         |long[] ${ev.value}_f = graft.ext.H264.gopDhashesOrNull($bytes, $maxN);
+         |if (${ev.value}_f == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(${ev.value}_f);
+         |}
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -2369,4 +2369,33 @@ class H264Spec extends AnyFunSuite {
       graft.ext.Avc.h264MetaOrNull(t)
     }
   }
+
+  test("any-frame near-dup: a mid-GOP re-cut matches only via frame-level hashing") {
+    def scene(x: Int, y: Int): Int =
+      (127 + 110 * math.sin(3 * x / 1.9 + 2 * y / 2.3 + 0.7)).toInt & 0xFF
+    def f1(x: Int, y: Int): Int = scene(math.min(15, x + 8), y)
+    def f2(x: Int, y: Int): Int = (scene(x, y) + f1(x, y) + 1) >> 1
+    val gop = graft.ext.VideoFixtures.gopSceneMp4(scene, 8)
+    val recutP = graft.ext.VideoFixtures.pcmKeyframeMp4(f1)
+    val recutB = graft.ext.VideoFixtures.pcmKeyframeMp4(f2)
+    // decoded GOP frames equal the closed forms the re-cuts plant
+    val frames = H264.gopLumasOrNull(gop, 3)
+    assert(frames != null && frames.length === 3)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      assert(frames(1)._1(y * 16 + x) === f1(x, y).toDouble, s"P ($x,$y)")
+      assert(frames(2)._1(y * 16 + x) === f2(x, y).toDouble, s"B ($x,$y)")
+    }
+    // frame-level hashes: re-cut keyframes are EXACT twins of the
+    // GOP's frames 1/2; the GOP's own keyframe is far from both
+    val gh = H264.gopDhashesOrNull(gop, 4)
+    val hp = H264.gopDhashesOrNull(recutP, 4)
+    val hb = H264.gopDhashesOrNull(recutB, 4)
+    assert(gh != null && gh.length === 3 && hp != null && hb != null)
+    assert(gh(1) === hp(0) && gh(2) === hb(0))
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(ham(gh(0), hp(0)) > 3, s"keyframe too close: ${ham(gh(0), hp(0))}")
+    // keyframe-only indexing sees ONLY frame 0 (the single sync)
+    val kf = H264.keyframeDhashesOrNull(gop, 4)
+    assert(kf != null && kf.length === 1 && kf(0) === gh(0))
+  }
 }
