@@ -590,6 +590,55 @@ object DocStreams {
       bands, horizon)
   }
 
+  /** The ANY-FRAME video face (round 12): every decoded frame of the
+    * full I/P/B GOP indexes the asset
+    * ([[graft.fn.H264GopDhashes]] — DPB, multi-ref, bi-prediction,
+    * weighted prediction, fMP4 all run), so a mid-GOP re-encode that
+    * shares NO keyframe with its source still collides. The bucket
+    * list per asset — distinct (band, band_val) pairs over the
+    * distinct frame hashes — is built STATELESSLY with array ops, so
+    * the stateful step is the same watermark-bounded first-wins band
+    * state as the single-hash gates; an asset is admitted iff it
+    * wins EVERY bucket it occupies (the multi-hash twin of the
+    * all-bands rule, batch==stream by the same winner discipline).
+    */
+  def videoAnyFrameDedupGate(assets: DataFrame, maxFrames: Int = 16,
+                             bands: Int = 4,
+                             horizon: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    require(bands >= 1 && 16 * bands == 64, s"bands must split 64 bits; got $bands")
+    val hashes = array_distinct(gb.column(graft.fn.H264GopDhashes(
+      gb.expression(col("content")), maxFrames)))
+    val perBand = (0 until bands).map { bi =>
+      transform(hashes, h => struct(lit(bi).as("band"),
+        shiftrightunsigned(h, 16 * bi).bitwiseAND(lit(0xffffL)).as("band_val")))
+    }
+    val buckets = array_distinct(flatten(array(perBand: _*)))
+    val rows = assets
+      .select(col("asset_id"), EventStreams.tsCol.as("ts_t"), buckets.as("__bk"))
+      .filter(col("__bk").isNotNull && size(col("__bk")) > 0)
+      .select(col("asset_id"), col("ts_t"), size(col("__bk")).as("__nb"),
+        explode(col("__bk")).as("__b"))
+      .select(col("asset_id"), col("ts_t"), col("__nb"),
+        col("__b.band").as("band"), col("__b.band_val").as("band_val"))
+      .withWatermark("ts_t", horizon)
+    val surviving =
+      if (rows.isStreaming)
+        rows.dropDuplicatesWithinWatermark(Seq("band", "band_val"))
+      else {
+        val win = rows.groupBy(col("band"), col("band_val"))
+          .agg(min(struct(col("ts_t"), col("asset_id"))).as("__w"))
+        rows.join(win, Seq("band", "band_val"))
+          .where(struct(col("ts_t"), col("asset_id")) === col("__w"))
+          .drop("__w")
+      }
+    surviving
+      .groupBy(col("ts_t"), col("asset_id"), col("__nb"))
+      .agg(count(lit(1)).as("__won"))
+      .filter(col("__won") === col("__nb"))
+      .select(col("asset_id"), unix_micros(col("ts_t")).as("ts"))
+  }
+
   private def bandDedupGate(assets: DataFrame,
                             fingerprint: org.apache.spark.sql.Column,
                             bands: Int, horizon: String): DataFrame = {

@@ -953,4 +953,50 @@ class DocStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+
+  test("streaming ANY-FRAME video gate: a mid-GOP re-cut is deduped; keyframe gate admits it") {
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(StructField("asset_id", LongType),
+      StructField("ts", LongType), StructField("content", BinaryType)))
+    val dir = java.nio.file.Files.createTempDirectory("vidgate3").toString
+    val min = 60L * 1000000000L
+    def write(rows: Seq[(Long, Long, Array[Byte])]): Unit =
+      spark.createDataFrame(rows.toDF("asset_id", "ts", "content").rdd, sch)
+        .coalesce(1).write.mode("append").parquet(dir)
+    def scene(seed: Int)(x: Int, y: Int): Int =
+      (127 + 110 * math.sin((2 + seed % 5) * x / 1.9 + (1 + seed % 4) * y / 2.3 + seed)).toInt & 0xFF
+    def recutOf(seed: Int): Array[Byte] =
+      graft.ext.VideoFixtures.pcmKeyframeMp4(
+        (x, y) => scene(seed)(math.min(15, x + 8), y))
+    // asset 1: I/P/B GOP; asset 2: re-cut planting asset 1's decoded
+    // P frame (no keyframe shared); asset 3: fresh scene
+    write(Seq((1L, 1 * min, graft.ext.VideoFixtures.gopSceneMp4(scene(5), 8)),
+      (2L, 3 * min, recutOf(5)),
+      (3L, 6 * min, graft.ext.VideoFixtures.gopSceneMp4(scene(9), 8))))
+    val rowsDf = spark.read.schema(sch).parquet(dir)
+    // batch frame: any-frame gate drops the re-cut, keeps 1 and 3
+    val batchKept = graft.streaming.DocStreams.videoAnyFrameDedupGate(
+      rowsDf, maxFrames = 4).select("asset_id").as[Long].collect().toSet
+    assert(batchKept === Set(1L, 3L), s"batch kept=$batchKept")
+    // the KEYFRAME gate admits the re-cut (keyframes differ) — the
+    // discrimination the any-frame gate exists for
+    val kfKept = graft.streaming.DocStreams.videoDedupGate(rowsDf)
+      .select("asset_id").as[Long].collect().toSet
+    assert(kfKept === Set(1L, 2L, 3L), s"keyframe kept=$kfKept")
+    // streaming parity
+    val q = graft.streaming.DocStreams.videoAnyFrameDedupGate(
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", "1").parquet(dir),
+        maxFrames = 4, horizon = "30 minutes")
+      .writeStream.format("memory").queryName("vidgate3")
+      .outputMode("append").start()
+    val kept = try {
+      q.processAllAvailable()
+      write(Seq((100L, 600 * min,
+        graft.ext.VideoFixtures.pcmKeyframeMp4(scene(7)))))
+      q.processAllAvailable()
+      spark.table("vidgate3").filter($"asset_id" < 100)
+        .select($"asset_id").as[Long].collect().toSet
+    } finally q.stop()
+    assert(kept === batchKept, s"stream kept=$kept vs batch=$batchKept")
+  }
 }
