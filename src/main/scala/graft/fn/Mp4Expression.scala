@@ -295,12 +295,16 @@ case class H264KeyframeFrames(child: Expression, nBins: Int = 16,
 }
 
 /** SQL `h264_gop_frames(content[, nBins[, stride[, maxFrames]]])` —
-  * per-FRAME feature rows across a baseline I+P GOP
+  * per-FRAME feature rows across an I/P/B GOP
   * ([[graft.ext.H264.gopFrameFeaturesOrNull]]): every sample decodes
-  * (P frames motion-compensate against their predecessor), frame_idx
-  * = sample ordinal, t_ms from stts. The full-sequence member of the
-  * frame-sampling family; [[H264KeyframeFrames]] stays the cheap
-  * keyframes-only form.
+  * (P/B frames motion-compensate over the DPB), frame_idx = sample
+  * ordinal in DECODE order, t_ms from stts (or trun durations for
+  * fragmented files). NOTE: t_ms is the DECODE timeline — B-frame
+  * presentation reordering (ctts / trun cts offsets) is not
+  * restamped; a presentation-order sampler should sort by POC, which
+  * the decode layer honors internally for reference lists. The
+  * full-sequence member of the frame-sampling family;
+  * [[H264KeyframeFrames]] stays the cheap keyframes-only form.
   */
 case class H264GopFrames(child: Expression, nBins: Int = 16,
                          stride: Int = 1, maxFrames: Int = 256)

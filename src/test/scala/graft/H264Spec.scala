@@ -2398,4 +2398,38 @@ class H264Spec extends AnyFunSuite {
     val kf = H264.keyframeDhashesOrNull(gop, 4)
     assert(kf != null && kf.length === 1 && kf(0) === gh(0))
   }
+
+  test("round-12 decode paths: corruption fuzz never throws") {
+    val pcm = Array.tabulate(256)(i => ((i & 15) * 7 + (i >> 4) * 11 + 9) & 0xFF)
+    def sc(x: Int, y: Int): Int = pcm(y * 16 + x)
+    val seeds = Seq(
+      graft.ext.VideoFixtures.multiRefGop(7L),
+      graft.ext.VideoFixtures.bGop(11L),
+      graft.ext.VideoFixtures.wGopMp4(4L),
+      graft.ext.VideoFixtures.wGopMp4(5L),
+      graft.ext.VideoFixtures.multiRefGopFragmented(8L),
+      graft.ext.VideoFixtures.gopSceneMp4(sc, 8))
+    val rnd = new scala.util.Random(0xC0DEC)
+    var decoded = 0
+    for (s <- seeds; trial <- 0 until 120) {
+      val b = s.clone()
+      val flips = 1 + rnd.nextInt(8)
+      for (_ <- 0 until flips) {
+        val i = rnd.nextInt(b.length)
+        b(i) = (b(i) ^ (1 << rnd.nextInt(8))).toByte
+      }
+      // every public decode entry must be total on corrupted input
+      val g = H264.gopLumasOrNull(b, 4)
+      if (g != null) decoded += 1
+      H264.gopFrameFeaturesOrNull(b, 4, 1, 4)
+      H264.gopDhashesOrNull(b, 4)
+      H264.keyframeFrameFeaturesOrNull(b, 4, 1, 4)
+      graft.ext.Avc.h264MetaOrNull(b)
+      graft.ext.Avc.syncOffsetsOrNull(b, 4)
+    }
+    // sanity: the fuzz actually exercised live decodes, not just
+    // container rejections (flips in moov/mdat often leave a
+    // decodable stream)
+    assert(decoded > 0)
+  }
 }
