@@ -63,4 +63,67 @@ class MediaSynthPlanSpec extends SparkSpec {
       t.codePointCount(0, t.length).toLong
     }.sum)
   }
+
+  test("round-12 video synth+decode kernels: one codegen span, no shuffle, closed-form sums") {
+    GraftExtensions.install(spark)
+    // sum of per-GOP frame means through every round-12 synth family:
+    // multi-ref (stbl), the same frames fragmented, B-slice, weighted
+    val df = spark.range(24)
+      .selectExpr(
+        "aggregate(h264_gop_frames(mp4_multiref_synth(id), 4, 1, 4), " +
+          "CAST(0.0 AS DOUBLE), (a, fr) -> a + fr[2]) AS mr",
+        "aggregate(h264_gop_frames(mp4_fmp4_synth(id), 4, 1, 4), " +
+          "CAST(0.0 AS DOUBLE), (a, fr) -> a + fr[2]) AS fm",
+        "aggregate(h264_gop_frames(mp4_bgop_synth(id), 4, 1, 4), " +
+          "CAST(0.0 AS DOUBLE), (a, fr) -> a + fr[2]) AS bg",
+        "aggregate(h264_gop_frames(mp4_wgop_synth(id), 4, 1, 3), " +
+          "CAST(0.0 AS DOUBLE), (a, fr) -> a + fr[2]) AS wg")
+    val plan = df.queryExecution.executedPlan.toString
+    // the fold is a higher-order function (interpreted Project by
+    // Spark design); the scale property is NO shuffle anywhere
+    // before the aggregate — the decode kernels stay per-row
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("Range"), plan)
+    val r = df.agg(sum("mr"), sum("fm"), sum("bg"), sum("wg")).head
+    // the fragmented twin must sum EXACTLY like the stbl original
+    assert(r.getDouble(0) === r.getDouble(1))
+    // closed forms from the fixture contracts
+    def meanRows(rows: Int => Int, n: Int): Double =
+      (0 until n).map(k => (0 until 16).map(y => rows(k * 16 + y)).sum / 16.0 / 255.0).sum
+    val expMr = (0L until 24L).map { id =>
+      val base = (10 + id % 40).toInt; val d1 = (1 + id % 5).toInt
+      val d2 = (2 + id % 7).toInt; val d3t = (id % 4).toInt
+      val d3b = (1 + id % 3).toInt
+      def v(y: Int) = base + 13 * y
+      meanRows(i => {
+        val k = i / 16; val y = i % 16
+        k match {
+          case 0 => v(y)
+          case 1 => v(math.min(15, y + d1))
+          case 2 => v(math.min(15, y + d2))
+          case _ => if (y < 8) v(math.min(15, y + d3t))
+            else v(math.min(15, math.min(15, y + d3b) + d1))
+        }
+      }, 4)
+    }.sum
+    assert(math.abs(r.getDouble(0) - expMr) < 1e-9 * expMr)
+    val expBg = (0L until 24L).map { id =>
+      val base = (10 + id % 40).toInt; val d1 = (2 + 2 * (id % 2)).toInt
+      val a = (id % 5).toInt; val b = (1 + id % 3).toInt
+      def v(y: Int) = base + 13 * y
+      meanRows(i => {
+        val k = i / 16; val y = i % 16
+        k match {
+          case 0 => v(y)
+          case 1 => v(math.min(15, y + d1))
+          case 2 => (v(math.min(15, y + a)) +
+            v(math.min(15, math.min(15, y + b) + d1)) + 1) >> 1
+          case _ => (v(math.min(15, y + d1 / 2)) +
+            v(math.min(15, math.max(0, y - d1 / 2) + d1)) + 1) >> 1
+        }
+      }, 4)
+    }.sum
+    assert(math.abs(r.getDouble(2) - expBg) < 1e-9 * expBg)
+    assert(r.getDouble(3) > 0.0) // weighted family pinned per-pixel in H264Spec
+  }
 }
