@@ -144,6 +144,8 @@ object GraftExtensions {
       graft.fn.Mp4WGopSynth(_)),
     unaryFn("mp4_fmp4_synth", classOf[graft.fn.Mp4Fmp4Synth],
       graft.fn.Mp4Fmp4Synth(_)),
+    unaryFn("mp4_bgop_pts_synth", classOf[graft.fn.Mp4BGopPtsSynth],
+      graft.fn.Mp4BGopPtsSynth(_)),
     unaryFn("pdf_text", classOf[graft.fn.PdfTextStats],
       graft.fn.PdfTextStats(_)),
     unaryFn("opus_toc_stats", classOf[graft.fn.OpusTocStats],

@@ -537,7 +537,64 @@ object Queries16 {
        |GROUP BY a_id, b_id
        |ORDER BY a_id, b_id""".stripMargin
 
+  // ---------- q158: presentation timestamps (ctts) over the B GOP
+  // (round 12). Same decode as q154 plus a VERSION-1 ctts box
+  // carrying the GOP's real display reordering; the pts_ms feature
+  // (appended last in the row) must read the DISPLAY timeline
+  // (0/1500/500/1000 by frame) while t_ms stays the decode timeline
+  // (0/500/1000/1500) — a reader that drops the signed composition
+  // offsets, mis-runs the run-length decode, or confuses the two
+  // timelines breaks the hash.
+  private def q158(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    val d = col("doc_id")
+    val gop = graft.fn.H264GopFrames(
+      graft.fn.Mp4BGopPtsSynth(gb.expression(d.cast("long"))),
+      nBins = 4, stride = 1, maxFrames = 4)
+    Tables.tbl(s, dir, "documents").select(d)
+      .where(d < 1000)
+      .select(d, explode(gb.column(gop)).as("__fr"))
+      .select(d,
+        element_at(col("__fr"), 1).cast("int").as("frame_idx"),
+        element_at(col("__fr"), 2).as("t_ms"),
+        element_at(col("__fr"), 9).as("pts_ms"),
+        round(element_at(col("__fr"), 3), 6).as("mean_g"),
+        round(element_at(col("__fr"), 4), 6).as("std_g"))
+      .orderBy(d, col("frame_idx"))
+  }
+
+  private val q158Sql =
+    """WITH ids AS (
+      |  SELECT doc_id,
+      |    10 + doc_id % 40 AS base, 2 + 2 * (doc_id % 2) AS d1,
+      |    doc_id % 5 AS a, 1 + doc_id % 3 AS b
+      |  FROM documents WHERE doc_id < 1000
+      |), px AS (
+      |  SELECT doc_id, k, y,
+      |    CAST(CASE CAST(k AS INT)
+      |      WHEN 0 THEN base + 13 * y
+      |      WHEN 1 THEN base + 13 * LEAST(15, y + d1)
+      |      WHEN 2 THEN (
+      |        (base + 13 * LEAST(15, y + a)) +
+      |        (base + 13 * LEAST(15, LEAST(15, y + b) + d1)) + 1) // 2
+      |      ELSE (
+      |        (base + 13 * LEAST(15, y + d1 // 2)) +
+      |        (base + 13 * LEAST(15, GREATEST(0, y - d1 // 2) + d1)) + 1) // 2
+      |    END AS DOUBLE) AS v
+      |  FROM ids, UNNEST(range(0, 4)) AS f(k), UNNEST(range(0, 16)) AS t(y)
+      |), st AS (
+      |  SELECT doc_id, k, AVG(v) AS m, AVG(v * v) AS m2
+      |  FROM px GROUP BY doc_id, k
+      |)
+      |SELECT doc_id, CAST(k AS INT) AS frame_idx, k * 500.0 AS t_ms,
+      |  CAST(CASE CAST(k AS INT) WHEN 0 THEN 0.0 WHEN 1 THEN 1500.0
+      |    WHEN 2 THEN 500.0 ELSE 1000.0 END AS DOUBLE) AS pts_ms,
+      |  ROUND(m / 255.0, 6) + 0 AS mean_g,
+      |  ROUND(SQRT(GREATEST(0.0, m2 - m * m)) / 255.0, 6) + 0 AS std_g
+      |FROM st ORDER BY doc_id, frame_idx""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q158_video_pts" -> (q158 _),
     "q157_video_anyframe" -> (q157 _),
     "q157p_gop_dhash_pairs" -> (q157p _),
     "q151_pdf_text" -> (q151 _),
@@ -551,6 +608,7 @@ object Queries16 {
     // q157: rows-only by the media convention (DuckDB cannot decode
     // video); the pair stage is hash-gated by q157p
     "q157p_gop_dhash_pairs" -> q157pSql,
+    "q158_video_pts" -> q158Sql,
     "q151_pdf_text" -> q151Sql,
     "q152_lang_id" -> q152Sql,
     "q153_video_multiref" -> q153Sql,

@@ -460,10 +460,11 @@ object Avc {
   }
 
   /** One fragmented sample: absolute byte span, 1-based number in
-    * walk order, trun duration (0 when absent everywhere), sync flag.
+    * walk order, trun duration (0 when absent everywhere),
+    * composition-time offset (signed; 0 when absent), sync flag.
     */
   private[ext] final case class FragSample(off: Long, size: Long, sn: Long,
-                                           dur: Long, sync: Boolean)
+                                           dur: Long, cts: Long, sync: Boolean)
 
   /** Movie-fragment sample walk (ISO 14496-12 §8.8) for FRAGMENTED
     * MP4s — the CMAF/DASH/HLS-fMP4 shape where `stbl` carries no
@@ -547,6 +548,7 @@ object Avc {
                 children(b, fs, fe).foreach {
                   case ("trun", rs, re) =>
                     if (re - rs < 8) return null
+                    val trVer = b(rs.toInt) & 0xFF
                     val trFlags = beU32(b, rs.toInt) & 0xFFFFFF
                     val n = beU32(b, rs.toInt + 4)
                     if (n < 0 || n > MaxSamples) return null
@@ -579,11 +581,18 @@ object Avc {
                         if (q + 4 > re) return null
                         fl = beU32(b, q.toInt); q += 4
                       } else if (i == 0 && firstFlags >= 0) fl = firstFlags
-                      if ((trFlags & 0x800) != 0) q += 4 // cts offset (unused)
+                      var cts = 0L
+                      if ((trFlags & 0x800) != 0) {
+                        if (q + 4 > re) return null
+                        val raw = beU32(b, q.toInt)
+                        // trun version 1: signed composition offsets
+                        cts = if (trVer >= 1) raw.toInt.toLong else raw
+                        q += 4
+                      }
                       if (sz <= 0 || cursor < 0 || cursor + sz > b.length)
                         return null
                       out += FragSample(cursor, sz, out.length + 1L, dur,
-                        ((fl >> 16) & 1) == 0)
+                        cts, ((fl >> 16) & 1) == 0)
                       cursor += sz
                       i += 1
                     }
@@ -612,12 +621,14 @@ object Avc {
     if (picked.isEmpty) null else picked.map(s => (s.off, s.size, s.sn))
   }
 
-  /** Per-sample trun durations of the fragmented video track (for
-    * stts-less fMP4 timing), or null.
+  /** Per-sample (duration, composition-offset) pairs of the
+    * fragmented video track (for stts/ctts-less fMP4 timing), or
+    * null.
     */
-  private[ext] def fragmentDurationsOrNull(bytes: Array[Byte]): Array[Long] = {
+  private[ext] def fragmentTimingOrNull(bytes: Array[Byte])
+      : (Array[Long], Array[Long]) = {
     val all = fragmentSamplesOrNull(bytes, hevc = false, MaxSamples)
-    if (all == null) null else all.map(_.dur)
+    if (all == null) null else (all.map(_.dur), all.map(_.cts))
   }
 
   private def spansFromStbl(bytes: Array[Byte], ss: Long, se: Long,

@@ -3479,7 +3479,8 @@ object H264 {
       if (stride < 1 || maxFrames < 1 || nBins < 1) return null
       val cfg = avcTrackConfig(bytes)
       if (cfg == null) return null
-      val (lengthSize, spsNal, ppsNal, _, _, timescale, durations) = cfg
+      val (lengthSize, spsNal, ppsNal, _, _, timescale, durations,
+        ctsOffsets) = cfg
       val sps = parseSpsDecode(spsNal)
       val pps = parsePpsDecode(ppsNal, sps)
       if (sps.widthMbs * sps.heightMbs > (1 << 16)) return null
@@ -3502,7 +3503,17 @@ object H264 {
             if (prefix != null && sn - 1 < prefix.length) prefix((sn - 1).toInt)
             else 0L
           val tMs = if (timescale > 0) 1000.0 * tMedia / timescale else 0.0
-          out += (Array(k.toDouble, tMs) ++ Png.grayStats(g, nBins))
+          // presentation time = decode time + composition offset
+          // (ctts / trun cts; B streams reorder — pts_ms is appended
+          // LAST so the row prefix keeps its shape)
+          val cts =
+            if (ctsOffsets != null && sn - 1 < ctsOffsets.length)
+              ctsOffsets((sn - 1).toInt)
+            else 0L
+          val ptsMs =
+            if (timescale > 0) 1000.0 * (tMedia + cts) / timescale else 0.0
+          out += (Array(k.toDouble, tMs) ++ Png.grayStats(g, nBins) ++
+            Array(ptsMs))
         }
         k += 1
       }
@@ -3520,7 +3531,7 @@ object H264 {
     try {
       val cfg = avcTrackConfig(bytes)
       if (cfg == null) return null
-      val (lengthSize, spsNal, ppsNal, _, _, _, _) = cfg
+      val (lengthSize, spsNal, ppsNal, _, _, _, _, _) = cfg
       val sps = parseSpsDecode(spsNal)
       val pps = parsePpsDecode(ppsNal, sps)
       val spans = Avc.sampleSpansOrNull(bytes, math.min(maxFrames, 1 << 14))
@@ -3586,11 +3597,11 @@ object H264 {
     * (lengthSize, sps, pps, stbl start, stbl end, timescale,
     * sttsDurations-or-null). Null when absent.
     */
-  private def avcTrackConfig(bytes: Array[Byte]): (Int, Array[Byte], Array[Byte], Long, Long, Long, Array[Long]) = {
+  private def avcTrackConfig(bytes: Array[Byte]): (Int, Array[Byte], Array[Byte], Long, Long, Long, Array[Long], Array[Long]) = {
     if (bytes == null || bytes.length < 16 || Bmff.tag(bytes, 4) != "ftyp")
       return null
     val moov = Bmff.find(bytes, 0, bytes.length, "moov").getOrElse(return null)
-    var out: (Int, Array[Byte], Array[Byte], Long, Long, Long, Array[Long]) = null
+    var out: (Int, Array[Byte], Array[Byte], Long, Long, Long, Array[Long], Array[Long]) = null
     Bmff.children(bytes, moov._1, moov._2).foreach {
       case ("trak", ts, te) if out == null =>
         for {
@@ -3631,11 +3642,41 @@ object H264 {
                 }
               }
             }
-            // fragmented layout: no stts samples — trun durations
-            // carry the timing (continuous-fragment assumption)
-            if (durations == null)
-              durations = Avc.fragmentDurationsOrNull(bytes)
-            out = (cfg._1, cfg._2, cfg._3, stbl._1, stbl._2, timescale, durations)
+            // ctts → per-sample composition offsets (pts = dts + cts;
+            // version 1 codes SIGNED offsets, version 0 unsigned)
+            var ctsOffsets: Array[Long] = null
+            Bmff.find(bytes, stbl._1, stbl._2, "ctts").foreach { case (cs, ce) =>
+              if (cs + 8 <= ce) {
+                val ver = bytes(cs.toInt) & 0xFF
+                val n = beU32(bytes, cs.toInt + 4)
+                if (n >= 1 && n <= (1 << 20) && cs + 8 + 8L * n <= ce) {
+                  val runs = Array.tabulate(n.toInt) { i =>
+                    val o = (cs + 8 + 8L * i).toInt
+                    val raw = beU32(bytes, o + 4)
+                    (beU32(bytes, o),
+                      if (ver >= 1) raw.toInt.toLong else raw)
+                  }
+                  val total = runs.map(_._1).sum
+                  if (total >= 1 && total <= (1 << 20)) {
+                    ctsOffsets = new Array[Long](total.toInt)
+                    var i = 0
+                    runs.foreach { case (cnt, c) =>
+                      var j = 0L
+                      while (j < cnt) { ctsOffsets(i) = c; i += 1; j += 1 }
+                    }
+                  }
+                }
+              }
+            }
+            // fragmented layout: no stts samples — trun durations and
+            // composition offsets carry the timing
+            // (continuous-fragment assumption)
+            if (durations == null) {
+              val t = Avc.fragmentTimingOrNull(bytes)
+              if (t != null) { durations = t._1; ctsOffsets = t._2 }
+            }
+            out = (cfg._1, cfg._2, cfg._3, stbl._1, stbl._2, timescale,
+              durations, ctsOffsets)
           }
         }
       case _ => ()
@@ -3695,7 +3736,7 @@ object H264 {
       if (stride < 1 || maxFrames < 1 || nBins < 1) return null
       val cfg = avcTrackConfig(bytes)
       if (cfg == null) return null
-      val (lengthSize, spsNal, ppsNal, _, _, timescale, durations) = cfg
+      val (lengthSize, spsNal, ppsNal, _, _, timescale, durations, _) = cfg
       val spans = Avc.syncSpansOrNull(bytes, maxFrames.toLong
         .*(stride).min(1 << 20).toInt)
       if (spans == null || spans.isEmpty) return null
@@ -3761,7 +3802,7 @@ object H264 {
       if (maxN < 1) return null
       val cfg = avcTrackConfig(bytes)
       if (cfg == null) return null
-      val (lengthSize, spsNal, ppsNal, _, _, _, _) = cfg
+      val (lengthSize, spsNal, ppsNal, _, _, _, _, _) = cfg
       require(maxN <= (1 << 12),
         s"keyframe index bounded at 4096 frames; got $maxN") // loud, not silent
       val spans = Avc.syncSpansOrNull(bytes, maxN)

@@ -693,7 +693,8 @@ object VideoFixtures {
     * are non-references: the DPB stays {frame 0, frame 1} and both
     * lists order by POC (past-desc / future-asc).
     */
-  def bGopMp4(base: Int, d1: Int, a: Int, b: Int): Array[Byte] = {
+  def bGopMp4(base: Int, d1: Int, a: Int, b: Int,
+              ctts: Seq[Long] = Nil): Array[Byte] = {
     require(base >= 0 && base + 13 * 15 <= 255 && d1 >= 2 && d1 % 2 == 0 &&
       a >= 0 && b >= 0)
     val sps = escapeRbsp(sps1x1Poc0(2))
@@ -712,8 +713,22 @@ object VideoFixtures {
     val b3 = escapeRbsp(bSlicePoc0(2, 4, spatial = false) { w =>
       w.ue(1) // mb_skip_run covers the frame: temporal-direct B_Skip
     })
-    mp4Gop(sps, pps, Seq(f0, p1, b2, b3), syncs = Seq(1))
+    mp4Gop(sps, pps, Seq(f0, p1, b2, b3), syncs = Seq(1), ctts = ctts)
   }
+
+  /** [[bGop]] with a VERSION-1 ctts box carrying the GOP's real
+    * presentation reordering (decode order f0,f1,f2,f3 at dts
+    * 0/500/1000/1500; display order by POC 0,8,2,4 → pts
+    * 0/1500/500/1000 → signed composition offsets 0/+1000/−500/−500)
+    * — the q158 corpus.
+    */
+  def bGopPts(id: Long): Array[Byte] =
+    bGopMp4(
+      base = (10 + id % 40).toInt,
+      d1 = (2 + 2 * (id % 2)).toInt,
+      a = (id % 5).toInt,
+      b = (1 + id % 3).toInt,
+      ctts = Seq(0L, 1000L, -500L, -500L))
 
   /** Id-addressed [[bGopMp4]] (the q154 corpus contract): parameters
     * are doc_id arithmetic MIRRORED by the oracle SQL.
@@ -953,7 +968,8 @@ object VideoFixtures {
     * timescale 1000, 500 per frame).
     */
   private def mp4Gop(sps: Array[Byte], pps: Array[Byte],
-                     slices: Seq[Array[Byte]], syncs: Seq[Int]): Array[Byte] = {
+                     slices: Seq[Array[Byte]], syncs: Seq[Int],
+                     ctts: Seq[Long] = Nil): Array[Byte] = {
     val avcc = box("avcC", Array[Byte](1), sps.slice(1, 2), Array[Byte](0),
       sps.slice(3, 4), Array(0xFF.toByte), Array(0xE1.toByte),
       be16(sps.length), sps, Array[Byte](1), be16(pps.length), pps)
@@ -971,7 +987,12 @@ object VideoFixtures {
       syncs.flatMap(i => be32(i.toLong)).toArray)
     val stts = box("stts", be32(0), be32(1),
       be32(samples.length.toLong), be32(500))
-    val stbl = box("stbl", stsd, stsz, stsc, stco, stss, stts)
+    val stblBoxes = Seq(stsd, stsz, stsc, stco, stss, stts) ++
+      (if (ctts.isEmpty) Nil
+       else Seq(box("ctts", Array[Byte](1, 0, 0, 0) ++ // version 1: signed
+         be32(ctts.length.toLong) ++
+         ctts.flatMap(c => be32(1) ++ be32(c & 0xFFFFFFFFL)).toArray)))
+    val stbl = box("stbl", stblBoxes: _*)
     val mdia = box("mdia", box("mdhd", be32(0), be32(0), be32(0), be32(1000),
       be32(0), be32(0x55c40000L)), box("minf", stbl))
     val moov = box("moov", box("mvhd", new Array[Byte](100)), box("trak", mdia))

@@ -299,12 +299,12 @@ case class H264KeyframeFrames(child: Expression, nBins: Int = 16,
   * ([[graft.ext.H264.gopFrameFeaturesOrNull]]): every sample decodes
   * (P/B frames motion-compensate over the DPB), frame_idx = sample
   * ordinal in DECODE order, t_ms from stts (or trun durations for
-  * fragmented files). NOTE: t_ms is the DECODE timeline — B-frame
-  * presentation reordering (ctts / trun cts offsets) is not
-  * restamped; a presentation-order sampler should sort by POC, which
-  * the decode layer honors internally for reference lists. The
-  * full-sequence member of the frame-sampling family;
-  * [[H264KeyframeFrames]] stays the cheap keyframes-only form.
+  * fragmented files), and pts_ms — the PRESENTATION timeline
+  * (t_ms + the ctts / trun composition offset; B streams reorder) —
+  * appended as the row's LAST element so the prefix keeps its shape.
+  * A presentation-order sampler sorts by pts_ms. The full-sequence
+  * member of the frame-sampling family; [[H264KeyframeFrames]] stays
+  * the cheap keyframes-only form.
   */
 case class H264GopFrames(child: Expression, nBins: Int = 16,
                          stride: Int = 1, maxFrames: Int = 256)
@@ -514,6 +514,31 @@ case class H264GopDhashes(child: Expression, maxN: Int)
          |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(${ev.value}_f);
          |}
        """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** SQL `mp4_bgop_pts_synth(doc_id)` — the q158 PRESENTATION-TIME
+  * corpus ([[graft.ext.VideoFixtures.bGopPts]]): the q154 B GOP plus
+  * a version-1 `ctts` box carrying the real display reordering
+  * (signed composition offsets 0/+1000/−500/−500), so the appended
+  * pts_ms feature differs from the decode timeline.
+  */
+case class Mp4BGopPtsSynth(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "mp4_bgop_pts_synth"
+
+  override protected def nullSafeEval(id: Any): Any =
+    graft.ext.VideoFixtures.bGopPts(id.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, id =>
+      s"${ev.value} = graft.ext.VideoFixtures.bGopPts($id);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
