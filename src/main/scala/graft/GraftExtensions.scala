@@ -146,6 +146,22 @@ object GraftExtensions {
       graft.fn.Mp4Fmp4Synth(_)),
     unaryFn("mp4_bgop_pts_synth", classOf[graft.fn.Mp4BGopPtsSynth],
       graft.fn.Mp4BGopPtsSynth(_)),
+    (
+      new FunctionIdentifier("h264_clip_frames"),
+      new ExpressionInfo(classOf[graft.fn.H264ClipFrames].getName,
+        "h264_clip_frames"),
+      (children: Seq[Expression]) => {
+        require(children.size == 5,
+          s"h264_clip_frames expects (content, nBins, everyMs, maxN, maxFrames); got ${children.size} args")
+        val everyMs = children(2) match {
+          case Literal(v: Double, _) => v
+          case Literal(v: Int, _) => v.toDouble
+          case other => throw new IllegalArgumentException(
+            s"everyMs must be a numeric literal, got $other")
+        }
+        graft.fn.H264ClipFrames(children.head, litInt(children(1), "nBins"),
+          everyMs, litInt(children(3), "maxN"), litInt(children(4), "maxFrames"))
+      }),
     unaryFn("pdf_text", classOf[graft.fn.PdfTextStats],
       graft.fn.PdfTextStats(_)),
     unaryFn("opus_toc_stats", classOf[graft.fn.OpusTocStats],

@@ -593,7 +593,69 @@ object Queries16 {
       |  ROUND(SQRT(GREATEST(0.0, m2 - m * m)) / 255.0, 6) + 0 AS std_g
       |FROM st ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ---------- q159: presentation-order clip sampling (round 12).
+  // `h264_clip_frames` over the ctts B GOP: instants k·400 ms pick
+  // the pts-NEAREST decoded frame (display timeline 0/1500/500/1000),
+  // so the sampled frame sequence is 0, 2, 3, 3 — out of decode
+  // order, impossible to produce from t_ms. DuckDB predicts the
+  // instant→frame mapping and each sampled frame's stats.
+  private def q159(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    val d = col("doc_id")
+    val clip = graft.fn.H264ClipFrames(
+      graft.fn.Mp4BGopPtsSynth(gb.expression(d.cast("long"))),
+      nBins = 4, everyMs = 400.0, maxN = 8, maxFrames = 4)
+    Tables.tbl(s, dir, "documents").select(d)
+      .where(d < 1000)
+      .select(d, explode(gb.column(clip)).as("__cs"))
+      .select(d,
+        element_at(col("__cs"), 1).as("sample_ms"),
+        element_at(col("__cs"), 2).cast("int").as("frame_idx"),
+        element_at(col("__cs"), 10).as("pts_ms"),
+        round(element_at(col("__cs"), 4), 6).as("mean_g"),
+        round(element_at(col("__cs"), 5), 6).as("std_g"))
+      .orderBy(d, col("sample_ms"))
+  }
+
+  private val q159Sql =
+    """WITH ids AS (
+      |  SELECT doc_id,
+      |    10 + doc_id % 40 AS base, 2 + 2 * (doc_id % 2) AS d1,
+      |    doc_id % 5 AS a, 1 + doc_id % 3 AS b
+      |  FROM documents WHERE doc_id < 1000
+      |), px AS (
+      |  SELECT doc_id, k, y,
+      |    CAST(CASE CAST(k AS INT)
+      |      WHEN 0 THEN base + 13 * y
+      |      WHEN 1 THEN base + 13 * LEAST(15, y + d1)
+      |      WHEN 2 THEN (
+      |        (base + 13 * LEAST(15, y + a)) +
+      |        (base + 13 * LEAST(15, LEAST(15, y + b) + d1)) + 1) // 2
+      |      ELSE (
+      |        (base + 13 * LEAST(15, y + d1 // 2)) +
+      |        (base + 13 * LEAST(15, GREATEST(0, y - d1 // 2) + d1)) + 1) // 2
+      |    END AS DOUBLE) AS v
+      |  FROM ids, UNNEST(range(0, 4)) AS f(k), UNNEST(range(0, 16)) AS t(y)
+      |), st AS (
+      |  SELECT doc_id, k, AVG(v) AS m, AVG(v * v) AS m2
+      |  FROM px GROUP BY doc_id, k
+      |), samp AS (
+      |  -- pts timeline 0/1500/500/1000 by frame; instants k*400 pick
+      |  -- the pts-nearest frame (ties to the earlier pts): 0,2,3,3
+      |  SELECT * FROM (VALUES
+      |    (0.0, 0, 0.0), (400.0, 2, 500.0),
+      |    (800.0, 3, 1000.0), (1200.0, 3, 1000.0))
+      |    AS s(sample_ms, fk, pts_ms)
+      |)
+      |SELECT st.doc_id, samp.sample_ms, CAST(st.k AS INT) AS frame_idx,
+      |  samp.pts_ms,
+      |  ROUND(st.m / 255.0, 6) + 0 AS mean_g,
+      |  ROUND(SQRT(GREATEST(0.0, st.m2 - st.m * st.m)) / 255.0, 6) + 0 AS std_g
+      |FROM st JOIN samp ON st.k = samp.fk
+      |ORDER BY st.doc_id, samp.sample_ms""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q159_video_clip_sample" -> (q159 _),
     "q158_video_pts" -> (q158 _),
     "q157_video_anyframe" -> (q157 _),
     "q157p_gop_dhash_pairs" -> (q157p _),
@@ -609,6 +671,7 @@ object Queries16 {
     // video); the pair stage is hash-gated by q157p
     "q157p_gop_dhash_pairs" -> q157pSql,
     "q158_video_pts" -> q158Sql,
+    "q159_video_clip_sample" -> q159Sql,
     "q151_pdf_text" -> q151Sql,
     "q152_lang_id" -> q152Sql,
     "q153_video_multiref" -> q153Sql,

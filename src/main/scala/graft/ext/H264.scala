@@ -3820,6 +3820,46 @@ object H264 {
     }
   }
 
+  /** PRESENTATION-ORDER clip sampling — the frame-sampling primitive
+    * a vision-language training pipeline runs per video: decode the
+    * GOP (all of [[gopFrameFeaturesOrNull]]'s machinery), order
+    * frames by pts, then for each instant `k·everyMs` (k < maxN,
+    * clipped to the covered pts range) emit the feature row of the
+    * pts-NEAREST frame (ties to the earlier pts). Rows are the
+    * gop-feature rows with the sampling instant PREPENDED:
+    * `[sample_ms, frame_idx, t_ms, mean, std, hist…, pts_ms]`.
+    */
+  def clipFrameFeaturesOrNull(bytes: Array[Byte], nBins: Int,
+                              everyMs: Double, maxN: Int,
+                              maxFrames: Int): Array[Array[Double]] = {
+    try {
+      if (everyMs <= 0 || maxN < 1) return null
+      val rows = gopFrameFeaturesOrNull(bytes, nBins, 1, maxFrames)
+      if (rows == null || rows.isEmpty) return null
+      val byPts = rows.sortBy(_.last)
+      val maxPts = byPts.last.last
+      val out = new scala.collection.mutable.ArrayBuffer[Array[Double]]()
+      var k = 0
+      while (k < maxN && k * everyMs <= maxPts) {
+        val t = k * everyMs
+        var best = 0
+        var i = 1
+        while (i < byPts.length) {
+          // strict improvement only: ties keep the earlier pts
+          if (math.abs(byPts(i).last - t) < math.abs(byPts(best).last - t))
+            best = i
+          i += 1
+        }
+        out += (Array(t) ++ byPts(best))
+        k += 1
+      }
+      if (out.isEmpty) null else out.toArray
+    } catch {
+      case _: Malformed => null
+      case scala.util.control.NonFatal(_) => null
+    }
+  }
+
   /** Per-FRAME 64-bit dHashes across a full I/P/B GOP (the decode
     * chain [[gopLumasOrNull]] runs: DPB, multi-ref, bi-prediction,
     * weighted prediction, both container layouts) — the ANY-FRAME

@@ -543,3 +543,52 @@ case class Mp4BGopPtsSynth(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** SQL `h264_clip_frames(content, nBins, everyMs, maxN, maxFrames)` —
+  * PRESENTATION-ORDER clip sampling
+  * ([[graft.ext.H264.clipFrameFeaturesOrNull]]): per instant
+  * k·everyMs the pts-nearest decoded frame's feature row, the
+  * sampling instant prepended. The frame-sampling primitive a
+  * vision-language training pipeline runs per video.
+  */
+case class H264ClipFrames(child: Expression, nBins: Int, everyMs: Double,
+                          maxN: Int, maxFrames: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(nBins >= 1 && everyMs > 0 && maxN >= 1 && maxN <= (1 << 12) &&
+    maxFrames >= 1 && maxFrames <= (1 << 12),
+    s"invalid clip-sampling bounds ($nBins, $everyMs, $maxN, $maxFrames)")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "h264_clip_frames"
+
+  override protected def nullSafeEval(bytes: Any): Any = {
+    val f = graft.ext.H264.clipFrameFeaturesOrNull(
+      bytes.asInstanceOf[Array[Byte]], nBins, everyMs, maxN, maxFrames)
+    if (f == null) null
+    else new GenericArrayData(f.map(r => new GenericArrayData(r): Any))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val arrCls = "org.apache.spark.sql.catalyst.util.GenericArrayData"
+    nullSafeCodeGen(ctx, ev, bytes =>
+      s"""
+         |double[][] ${ev.value}_f = graft.ext.H264.clipFrameFeaturesOrNull($bytes, $nBins, $everyMs, $maxN, $maxFrames);
+         |if (${ev.value}_f == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  Object[] ${ev.value}_rows = new Object[${ev.value}_f.length];
+         |  for (int i = 0; i < ${ev.value}_f.length; i++) {
+         |    ${ev.value}_rows[i] = new $arrCls(${ev.value}_f[i]);
+         |  }
+         |  ${ev.value} = new $arrCls(${ev.value}_rows);
+         |}
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -2472,4 +2472,20 @@ class H264Spec extends AnyFunSuite {
     val h = H264.gopFrameFeaturesOrNull(v0, 4, 1, 2)
     assert(h != null && h.forall(r => r(8) === r(1))) // no ctts -> pts == dts
   }
+
+  test("clip sampling: instants pick the pts-nearest frame, ties to earlier pts") {
+    val v = graft.ext.VideoFixtures.bGopPts(6L)
+    val rows = H264.clipFrameFeaturesOrNull(v, 4, 400.0, 8, 4)
+    assert(rows != null && rows.length === 4) // instants 0..1200 within pts 1500
+    assert(rows.map(_(0)).toSeq === Seq(0.0, 400.0, 800.0, 1200.0))
+    assert(rows.map(_(1)).toSeq === Seq(0.0, 2.0, 3.0, 3.0)) // frame_idx
+    assert(rows.map(_.last).toSeq === Seq(0.0, 500.0, 1000.0, 1000.0)) // pts
+    // exact-tie: instant 750 between pts 500 and 1000 -> earlier wins
+    val tied = H264.clipFrameFeaturesOrNull(v, 4, 750.0, 3, 4)
+    assert(tied != null && tied.map(_.last).toSeq === Seq(0.0, 500.0, 1500.0))
+    // a ctts-less GOP samples in decode order
+    val plain = graft.ext.VideoFixtures.bGop(6L)
+    val p = H264.clipFrameFeaturesOrNull(plain, 4, 500.0, 8, 4)
+    assert(p != null && p.map(_(1)).toSeq === Seq(0.0, 1.0, 2.0, 3.0))
+  }
 }
