@@ -164,6 +164,10 @@ object GraftExtensions {
       }),
     unaryFn("pdf_text", classOf[graft.fn.PdfTextStats],
       graft.fn.PdfTextStats(_)),
+    unaryFn("subtitle_synth", classOf[graft.fn.SubtitleSynth],
+      graft.fn.SubtitleSynth(_)),
+    unaryFn("subtitle_cues", classOf[graft.fn.SubtitleCues],
+      graft.fn.SubtitleCues(_)),
     unaryFn("opus_toc_stats", classOf[graft.fn.OpusTocStats],
       graft.fn.OpusTocStats(_)),
     unaryFn("charset_sniff", classOf[graft.fn.CharsetSniff],

@@ -654,7 +654,51 @@ object Queries16 {
       |FROM st JOIN samp ON st.k = samp.fk
       |ORDER BY st.doc_id, samp.sample_ms""".stripMargin
 
+  // ---------- q160: subtitle extraction (WebVTT + SRT, round 12) —
+  // the path by which video corpora become training TEXT. Every
+  // third doc is SRT (comma timings, numeric indices); the rest are
+  // WebVTT with a NOTE block, optional cue-id lines, settings after
+  // the end stamp, inline <v>-tags, the entity subset, and a
+  // two-line cue. DuckDB replays every cue's timing and CLEANED text
+  // from id arithmetic — a defect in signature detection, block
+  // skipping, timestamp math (either decimal convention), tag
+  // stripping, or entity decoding breaks the hash.
+  private def q160(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    val d = col("doc_id")
+    val cues = gb.column(graft.fn.SubtitleCues(graft.fn.SubtitleSynth(
+      gb.expression(d.cast("long")))))
+    Tables.tbl(s, dir, "documents").select(d)
+      .where(d < 4000)
+      .select(d, posexplode(cues).as(Seq("cue_idx", "__c")))
+      .select(d, col("cue_idx"),
+        col("__c.start_ms").as("start_ms"),
+        col("__c.end_ms").as("end_ms"),
+        col("__c.text").as("text"))
+      .orderBy(d, col("cue_idx"))
+  }
+
+  private val q160Sql =
+    """WITH ids AS (
+      |  SELECT doc_id, 2 + doc_id % 4 AS n
+      |  FROM documents WHERE doc_id < 4000
+      |)
+      |SELECT doc_id, CAST(t.k AS INT) AS cue_idx,
+      |  doc_id % 500 + 2000 * t.k AS start_ms,
+      |  doc_id % 500 + 2000 * t.k + 1500 AS end_ms,
+      |  CASE WHEN t.k % 2 = 1
+      |      THEN 'cue ' || t.k || ' says word' || (doc_id + t.k) % 7
+      |    WHEN t.k = 2
+      |      THEN 'cue 2 says word' || (doc_id + 2) % 7 || chr(10) || 'line two'
+      |    WHEN t.k % 3 = 0
+      |      THEN 'cue ' || t.k || ' says word' || (doc_id + t.k) % 7 || ' & more'
+      |    ELSE 'cue ' || t.k || ' says word' || (doc_id + t.k) % 7
+      |  END AS text
+      |FROM ids, UNNEST(range(0, n)) AS t(k)
+      |ORDER BY doc_id, cue_idx""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q160_subtitle_cues" -> (q160 _),
     "q159_video_clip_sample" -> (q159 _),
     "q158_video_pts" -> (q158 _),
     "q157_video_anyframe" -> (q157 _),
@@ -672,6 +716,7 @@ object Queries16 {
     "q157p_gop_dhash_pairs" -> q157pSql,
     "q158_video_pts" -> q158Sql,
     "q159_video_clip_sample" -> q159Sql,
+    "q160_subtitle_cues" -> q160Sql,
     "q151_pdf_text" -> q151Sql,
     "q152_lang_id" -> q152Sql,
     "q153_video_multiref" -> q153Sql,

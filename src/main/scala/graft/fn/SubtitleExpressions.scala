@@ -1,0 +1,83 @@
+package graft.fn
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.AbstractDataType
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL `subtitle_synth(doc_id)` — the q160 corpus
+  * ([[graft.ext.SubtitleFixtures.doc]]): id arithmetic decides
+  * WebVTT-vs-SRT and every cue's timing/text, mirrored by the
+  * oracle.
+  */
+case class SubtitleSynth(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  override def prettyName: String = "subtitle_synth"
+
+  override protected def nullSafeEval(id: Any): Any =
+    UTF8String.fromString(
+      graft.ext.SubtitleFixtures.doc(id.asInstanceOf[Long]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, id =>
+      s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  graft.ext.SubtitleFixtures.doc($id));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** SQL `subtitle_cues(text)` — WebVTT/SRT cue extraction
+  * ([[graft.ext.Subtitles.cuesOrNull]]): array of
+  * (start_ms, end_ms, text) structs in document order; null for
+  * non-subtitle content. The path by which video corpora become
+  * training text — the rows feed the same text_profile / language-ID
+  * / dedup gates as any document.
+  */
+case class SubtitleCues(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = SubtitleCues.Schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "subtitle_cues"
+
+  override protected def nullSafeEval(text: Any): Any =
+    SubtitleCues.eval(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, text =>
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value}_c =
+         |  graft.fn.SubtitleCues.eval($text);
+         |if (${ev.value}_c == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}_c;
+         |}
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SubtitleCues {
+  val Schema: DataType = ArrayType(StructType(Seq(
+    StructField("start_ms", LongType, nullable = false),
+    StructField("end_ms", LongType, nullable = false),
+    StructField("text", StringType, nullable = false))), containsNull = false)
+
+  def eval(text: UTF8String): GenericArrayData = {
+    val cues = graft.ext.Subtitles.cuesOrNull(text.toString)
+    if (cues == null) null
+    else new GenericArrayData(cues.map(c => InternalRow(
+      c.startMs, c.endMs, UTF8String.fromString(c.text)): Any))
+  }
+}
