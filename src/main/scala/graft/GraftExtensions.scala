@@ -168,6 +168,10 @@ object GraftExtensions {
       graft.fn.SubtitleSynth(_)),
     unaryFn("subtitle_cues", classOf[graft.fn.SubtitleCues],
       graft.fn.SubtitleCues(_)),
+    unaryFn("mp4_subtitle_synth", classOf[graft.fn.Mp4SubtitleSynth],
+      graft.fn.Mp4SubtitleSynth(_)),
+    unaryFn("mp4_subtitle_cues", classOf[graft.fn.Mp4SubtitleCues],
+      graft.fn.Mp4SubtitleCues(_)),
     unaryFn("opus_toc_stats", classOf[graft.fn.OpusTocStats],
       graft.fn.OpusTocStats(_)),
     unaryFn("charset_sniff", classOf[graft.fn.CharsetSniff],

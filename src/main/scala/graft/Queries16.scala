@@ -697,7 +697,30 @@ object Queries16 {
       |FROM ids, UNNEST(range(0, n)) AS t(k)
       |ORDER BY doc_id, cue_idx""".stripMargin
 
+  // ---------- q161: wvtt subtitle tracks INSIDE MP4 (ISO 14496-30,
+  // round 12). The q160 cue corpus carried as container samples —
+  // vtte gap samples + vttc/payl cue samples whose TIMING is the
+  // sample timeline (stts on even ids; trun durations in fragmented
+  // CMAF segments on odd ids). The oracle is q160's arithmetic
+  // UNCHANGED: a defect in track selection, either sample walk, the
+  // timeline prefix sums, or the payl/text cleaning breaks the hash.
+  private def q161(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    val d = col("doc_id")
+    val cues = gb.column(graft.fn.Mp4SubtitleCues(graft.fn.Mp4SubtitleSynth(
+      gb.expression(d.cast("long")))))
+    Tables.tbl(s, dir, "documents").select(d)
+      .where(d < 4000)
+      .select(d, posexplode(cues).as(Seq("cue_idx", "__c")))
+      .select(d, col("cue_idx"),
+        col("__c.start_ms").as("start_ms"),
+        col("__c.end_ms").as("end_ms"),
+        col("__c.text").as("text"))
+      .orderBy(d, col("cue_idx"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_mp4_subtitles" -> (q161 _),
     "q160_subtitle_cues" -> (q160 _),
     "q159_video_clip_sample" -> (q159 _),
     "q158_video_pts" -> (q158 _),
@@ -717,6 +740,7 @@ object Queries16 {
     "q158_video_pts" -> q158Sql,
     "q159_video_clip_sample" -> q159Sql,
     "q160_subtitle_cues" -> q160Sql,
+    "q161_mp4_subtitles" -> q160Sql, // in-container twin: SAME arithmetic
     "q151_pdf_text" -> q151Sql,
     "q152_lang_id" -> q152Sql,
     "q153_video_multiref" -> q153Sql,

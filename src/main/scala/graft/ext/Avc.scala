@@ -482,6 +482,15 @@ object Avc {
                                          maxN: Int): Array[FragSample] = {
     val trackId = findVideoTrackId(b, hevc)
     if (trackId < 0) return null
+    fragmentSamplesForTrack(b, trackId, maxN)
+  }
+
+  /** [[fragmentSamplesOrNull]] for an EXPLICIT track id — the
+    * non-video tracks (wvtt subtitle carriage) walk the same moof
+    * machinery.
+    */
+  private[ext] def fragmentSamplesForTrack(b: Array[Byte], trackId: Long,
+                                           maxN: Int): Array[FragSample] = {
     // trex defaults for this track
     var trexDur = 0L
     var trexSize = 0L
@@ -629,6 +638,94 @@ object Avc {
       : (Array[Long], Array[Long]) = {
     val all = fragmentSamplesOrNull(bytes, hevc = false, MaxSamples)
     if (all == null) null else (all.map(_.dur), all.map(_.cts))
+  }
+
+  // --------------------------- wvtt subtitle carriage (14496-30)
+
+  /** WebVTT cues carried INSIDE an MP4 (ISO 14496-30, the CMAF/DASH
+    * caption shape): the first `wvtt` track's samples are box
+    * sequences — each `vttc` child's `payl` box holds one cue's
+    * text, `vtte` marks empty intervals — and cue TIMING is the
+    * SAMPLE timing (stts in the classic layout, trun durations in
+    * fragments; the continuous-fragment assumption as elsewhere).
+    * Returns (start_ms, end_ms, cleaned text) rows in track order —
+    * one row per vttc (a sample may carry simultaneous cues) — or
+    * null when no wvtt track parses. Tag/entity cleaning is the
+    * [[Subtitles]] contract, so in-container and standalone cues
+    * land identically.
+    */
+  def wvttCuesOrNull(bytes: Array[Byte], maxN: Int): Array[(Long, Long, String)] = {
+    try {
+      if (maxN < 1 || bytes == null || bytes.length < 16 ||
+        tag(bytes, 4) != "ftyp") return null
+      val moov = find(bytes, 0, bytes.length, "moov").getOrElse(return null)
+      var stbl: (Long, Long) = null
+      var timescale = 0L
+      var trackId = -1L
+      children(bytes, moov._1, moov._2).foreach {
+        case ("trak", ts, te) if stbl == null =>
+          val got = for {
+            mdia <- find(bytes, ts, te, "mdia")
+            minf <- find(bytes, mdia._1, mdia._2, "minf")
+            sb <- find(bytes, minf._1, minf._2, "stbl")
+            stsd <- find(bytes, sb._1, sb._2, "stsd")
+            _ <- children(bytes, stsd._1 + 8, stsd._2).find(_._1 == "wvtt")
+          } yield (sb, mdia)
+          got.foreach { case (sb, mdia) =>
+            stbl = sb
+            timescale = find(bytes, mdia._1, mdia._2, "mdhd")
+              .filter { case (ms, me) => ms + 16 <= me }
+              .map { case (ms, _) => beU32(bytes, ms.toInt + 12) }
+              .getOrElse(0L)
+            find(bytes, ts, te, "tkhd").foreach { case (hs, he) =>
+              if (hs + 4 <= he) {
+                val ver = bytes(hs.toInt) & 0xFF
+                val idOff = hs + (if (ver == 1) 20 else 12)
+                if (idOff + 4 <= he) trackId = beU32(bytes, idOff.toInt)
+              }
+            }
+          }
+        case _ => ()
+      }
+      if (stbl == null || timescale <= 0) return null
+      // sample spans + durations: stbl tables, falling through to the
+      // fragment walk when the stbl carries zero samples
+      var spans = spansFromStbl(bytes, stbl._1, stbl._2, maxN, syncOnly = false)
+      var durations: Array[Long] = Bmff.sttsDurations(bytes, stbl._1, stbl._2)
+      if (spans == null && trackId >= 0) {
+        val frag = fragmentSamplesForTrack(bytes, trackId, maxN)
+        if (frag != null) {
+          spans = frag.map(f => (f.off, f.size, f.sn))
+          durations = frag.map(_.dur)
+        }
+      }
+      if (spans == null || spans.isEmpty || durations == null) return null
+      val prefix = new Array[Long](durations.length + 1)
+      var i = 0
+      while (i < durations.length) {
+        prefix(i + 1) = prefix(i) + durations(i); i += 1
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, String)]()
+      spans.foreach { case (off, size, sn) =>
+        if (sn >= 1 && sn <= durations.length && off >= 0 &&
+            off + size <= bytes.length && out.length < maxN) {
+          val t0 = 1000L * prefix((sn - 1).toInt) / timescale
+          val t1 = 1000L * prefix(sn.toInt) / timescale
+          // the sample is a sequence of boxes: vttc(payl) / vtte
+          children(bytes, off, off + size).foreach {
+            case ("vttc", cs, ce) =>
+              find(bytes, cs, ce, "payl").foreach { case (ps, pe) =>
+                val raw = new String(bytes, ps.toInt, (pe - ps).toInt, "UTF-8")
+                out += ((t0, t1, Subtitles.cleanText(raw)))
+              }
+            case _ => () // vtte (empty) and unknown boxes skip
+          }
+        }
+      }
+      if (out.isEmpty) null else out.toArray
+    } catch {
+      case scala.util.control.NonFatal(_) => null
+    }
   }
 
   private def spansFromStbl(bytes: Array[Byte], ss: Long, se: Long,

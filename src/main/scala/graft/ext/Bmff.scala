@@ -36,6 +36,31 @@ private[ext] object Bmff {
     out.toSeq
   }
 
+  /** Run-length-decoded stts per-sample durations of an stbl, or
+    * null (absent / zero samples / corrupt counts).
+    */
+  def sttsDurations(b: Array[Byte], ss: Long, se: Long): Array[Long] = {
+    find(b, ss, se, "stts") match {
+      case Some((s, e)) if s + 8 <= e =>
+        val n = beU32(b, s.toInt + 4)
+        if (n < 1 || n > (1 << 20) || s + 8 + 8L * n > e) return null
+        val runs = Array.tabulate(n.toInt) { i =>
+          val o = (s + 8 + 8L * i).toInt
+          (beU32(b, o), beU32(b, o + 4))
+        }
+        val total = runs.map(_._1).sum
+        if (total < 1 || total > (1 << 20)) return null
+        val out = new Array[Long](total.toInt)
+        var i = 0
+        runs.foreach { case (cnt, d) =>
+          var j = 0L
+          while (j < cnt) { out(i) = d; i += 1; j += 1 }
+        }
+        out
+      case _ => null
+    }
+  }
+
   def find(b: Array[Byte], start: Long, end: Long, t: String): Option[(Long, Long)] =
     children(b, start, end).collectFirst { case (`t`, s, e) => (s, e) }
 

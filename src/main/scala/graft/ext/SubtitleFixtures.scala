@@ -70,4 +70,97 @@ object SubtitleFixtures {
     }
     sb.toString
   }
+
+  // ------------------- wvtt carriage (ISO 14496-30) fixtures
+
+  private def be32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def box(tag: String, payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatten.toArray
+    be32(body.length + 8L) ++ tag.getBytes("US-ASCII") ++ body
+  }
+
+  /** The doc's cues as a 14496-30 sample sequence: vtte gap samples
+    * between vttc cue samples, durations reproducing exactly the
+    * standalone corpus's timeline (timescale 1000 → 1 unit = 1 ms).
+    */
+  private def wvttSamples(id: Long): Seq[(Array[Byte], Long)] = {
+    val n = nCues(id)
+    val out = scala.collection.mutable.ArrayBuffer[(Array[Byte], Long)]()
+    var t = 0L
+    var k = 0
+    while (k < n) {
+      val s0 = startMs(id, k)
+      if (s0 > t) { out += ((box("vtte"), s0 - t)); t = s0 }
+      out += ((box("vttc",
+        box("payl", rawText(id, k).getBytes("UTF-8"))), 1500L))
+      t += 1500
+      k += 1
+    }
+    out.toSeq
+  }
+
+  /** wvtt subtitle TRACK inside an MP4 — classic stbl layout on even
+    * halves of the corpus, FRAGMENTED (moof/traf/trun) on odd (the
+    * CMAF caption-segment shape). Cue payloads and the sample
+    * timeline reproduce [[doc]]'s corpus exactly, so the q161 oracle
+    * IS q160's arithmetic.
+    */
+  def wvttMp4(id: Long): Array[Byte] = {
+    val samples = wvttSamples(id)
+    val entries = samples.map(_._1)
+    val durs = samples.map(_._2)
+    val stsd = box("stsd", be32(0), be32(1),
+      box("wvtt", new Array[Byte](8), box("vttC", "WEBVTT".getBytes("UTF-8"))))
+    val tkhd = box("tkhd", {
+      val p = new Array[Byte](84)
+      System.arraycopy(be32(1), 0, p, 12, 4) // track_ID = 1
+      p
+    })
+    def mdiaOf(stbl: Array[Byte]) =
+      box("mdia", box("mdhd", be32(0), be32(0), be32(0), be32(1000),
+        be32(0), be32(0x55c40000L)), box("minf", stbl))
+    val ftyp = box("ftyp", "isom".getBytes, be32(0x200), "iso6cmfc".getBytes)
+    if (id % 2 == 0) {
+      // classic layout: one chunk, per-sample stsz, run-compressed stts
+      val mdatOff = ftyp.length + 8L
+      val stsz = box("stsz", be32(0), be32(0), be32(entries.length.toLong),
+        entries.flatMap(e => be32(e.length.toLong)).toArray)
+      val stsc = box("stsc", be32(0), be32(1), be32(1),
+        be32(entries.length.toLong), be32(1))
+      val stco = box("stco", be32(0), be32(1), be32(mdatOff))
+      val stts = box("stts", be32(0), be32(durs.length.toLong),
+        durs.flatMap(d => be32(1) ++ be32(d)).toArray)
+      val stbl = box("stbl", stsd, stsz, stsc, stco, stts)
+      val moov = box("moov", box("mvhd", new Array[Byte](100)),
+        box("trak", tkhd, mdiaOf(stbl)))
+      ftyp ++ box("mdat", entries.flatten.toArray) ++ moov
+    } else {
+      // fragmented: zero-sample stbl, one moof+mdat per sample
+      val stbl = box("stbl", stsd,
+        box("stts", be32(0), be32(0)),
+        box("stsc", be32(0), be32(0)),
+        box("stsz", be32(0), be32(0), be32(0)),
+        box("stco", be32(0), be32(0)))
+      val trex = box("trex", be32(0), be32(1), be32(1),
+        be32(0), be32(0), be32(0))
+      val moov = box("moov", box("mvhd", new Array[Byte](100)),
+        box("trak", tkhd, mdiaOf(stbl)), box("mvex", trex))
+      var out = ftyp ++ moov
+      samples.zipWithIndex.foreach { case ((sm, dur), gi) =>
+        val tfhd = box("tfhd", be32(0x20000L), be32(1)) // default-base-is-moof
+        val trunBody = be32(0x100L | 0x200L | 0x1L) ++ be32(1) ++
+          be32(0 /* patched */) ++ be32(dur) ++ be32(sm.length.toLong)
+        def moofOf(dataOff: Long) = box("moof",
+          box("mfhd", be32(0), be32(gi + 1L)),
+          box("traf", tfhd, box("trun",
+            trunBody.patch(8, be32(dataOff), 4))))
+        val probe = moofOf(0)
+        out = out ++ moofOf(probe.length + 8L) ++ box("mdat", sm)
+      }
+      out
+    }
+  }
 }

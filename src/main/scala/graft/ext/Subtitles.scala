@@ -54,7 +54,7 @@ object Subtitles {
   /** Strip inline tags, decode the 6-entity subset (amp LAST so
     * `&amp;lt;` decodes to the literal `&lt;` — the html_text rule).
     */
-  private def cleanText(raw: String): String = {
+  private[ext] def cleanText(raw: String): String = {
     val sb = new StringBuilder(raw.length)
     var i = 0
     var inTag = false

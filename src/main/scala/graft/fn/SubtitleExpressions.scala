@@ -50,13 +50,13 @@ case class SubtitleCues(child: Expression)
   override def prettyName: String = "subtitle_cues"
 
   override protected def nullSafeEval(text: Any): Any =
-    SubtitleCues.eval(text.asInstanceOf[UTF8String])
+    SubtitleCues.cuesData(text.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, text =>
       s"""
          |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value}_c =
-         |  graft.fn.SubtitleCues.eval($text);
+         |  graft.fn.SubtitleCues.cuesData($text);
          |if (${ev.value}_c == null) {
          |  ${ev.isNull} = true;
          |} else {
@@ -74,10 +74,77 @@ object SubtitleCues {
     StructField("end_ms", LongType, nullable = false),
     StructField("text", StringType, nullable = false))), containsNull = false)
 
-  def eval(text: UTF8String): GenericArrayData = {
+  def cuesData(text: UTF8String): GenericArrayData = {
     val cues = graft.ext.Subtitles.cuesOrNull(text.toString)
     if (cues == null) null
     else new GenericArrayData(cues.map(c => InternalRow(
       c.startMs, c.endMs, UTF8String.fromString(c.text)): Any))
+  }
+}
+
+/** SQL `mp4_subtitle_synth(doc_id)` — the q161 corpus
+  * ([[graft.ext.SubtitleFixtures.wvttMp4]]): the q160 cue corpus
+  * carried INSIDE MP4 wvtt tracks (classic stbl on even ids,
+  * fragmented CMAF segments on odd).
+  */
+case class Mp4SubtitleSynth(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "mp4_subtitle_synth"
+
+  override protected def nullSafeEval(id: Any): Any =
+    graft.ext.SubtitleFixtures.wvttMp4(id.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, id =>
+      s"${ev.value} = graft.ext.SubtitleFixtures.wvttMp4($id);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** SQL `mp4_subtitle_cues(content)` — WebVTT cues carried inside an
+  * MP4 (ISO 14496-30 wvtt tracks, both container layouts;
+  * [[graft.ext.Avc.wvttCuesOrNull]]): same row schema and text
+  * cleaning as [[SubtitleCues]], so in-container and standalone
+  * subtitles land identically in the text pipeline.
+  */
+case class Mp4SubtitleCues(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = SubtitleCues.Schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "mp4_subtitle_cues"
+
+  override protected def nullSafeEval(bytes: Any): Any =
+    Mp4SubtitleCues.cuesData(bytes.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, bytes =>
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value}_c =
+         |  graft.fn.Mp4SubtitleCues.cuesData($bytes);
+         |if (${ev.value}_c == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}_c;
+         |}
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Mp4SubtitleCues {
+  def cuesData(bytes: Array[Byte]): GenericArrayData = {
+    val cues = graft.ext.Avc.wvttCuesOrNull(bytes, 1 << 16)
+    if (cues == null) null
+    else new GenericArrayData(cues.map { case (s, e, t) =>
+      InternalRow(s, e, UTF8String.fromString(t)): Any
+    })
   }
 }

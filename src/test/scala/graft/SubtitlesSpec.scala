@@ -59,4 +59,26 @@ class SubtitlesSpec extends AnyFunSuite {
       Subtitles.cuesOrNull(base.substring(a, b))
     }
   }
+
+  test("wvtt carriage (14496-30): both container layouts reproduce the standalone corpus") {
+    for (id <- Seq(0L, 1L, 2L, 3L, 7L, 499L)) { // even = stbl, odd = fragmented
+      val mp4 = SubtitleFixtures.wvttMp4(id)
+      val cues = graft.ext.Avc.wvttCuesOrNull(mp4, 1 << 16)
+      assert(cues != null, s"id=$id")
+      assert(cues.length === SubtitleFixtures.nCues(id), s"id=$id")
+      cues.zipWithIndex.foreach { case ((s0, e0, t), k) =>
+        assert(s0 === SubtitleFixtures.startMs(id, k), s"id=$id k=$k")
+        assert(e0 === SubtitleFixtures.endMs(id, k), s"id=$id k=$k")
+        assert(t === SubtitleFixtures.expectedText(id, k), s"id=$id k=$k")
+      }
+      // truncation never throws
+      val rnd = new scala.util.Random(id)
+      for (_ <- 0 until 50)
+        graft.ext.Avc.wvttCuesOrNull(
+          java.util.Arrays.copyOf(mp4, 1 + rnd.nextInt(mp4.length)), 100)
+    }
+    // a video-only MP4 has no wvtt track
+    assert(graft.ext.Avc.wvttCuesOrNull(
+      graft.ext.VideoFixtures.bGop(1L), 100) === null)
+  }
 }
