@@ -172,6 +172,8 @@ object GraftExtensions {
       graft.fn.Mp4SubtitleSynth(_)),
     unaryFn("mp4_subtitle_cues", classOf[graft.fn.Mp4SubtitleCues],
       graft.fn.Mp4SubtitleCues(_)),
+    unaryFn("subtitle_enc_synth", classOf[graft.fn.SubtitleEncSynth],
+      graft.fn.SubtitleEncSynth(_)),
     unaryFn("opus_toc_stats", classOf[graft.fn.OpusTocStats],
       graft.fn.OpusTocStats(_)),
     unaryFn("charset_sniff", classOf[graft.fn.CharsetSniff],

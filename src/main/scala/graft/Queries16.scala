@@ -719,7 +719,56 @@ object Queries16 {
       .orderBy(d, col("cue_idx"))
   }
 
+  // ---------- q162: subtitles in LEGACY ENCODINGS (round 12) — the
+  // crawl reality: WebVTT bytes arrive in rotating charsets (utf-8 /
+  // shift_jis / windows-1252). charset_decode (the round-11 family
+  // machinery) feeds subtitle_cues in ONE plan; DuckDB predicts the
+  // canonical charset AND every cue's DECODED unicode text from id
+  // arithmetic — a defect in either subsystem or their composition
+  // breaks the hash.
+  private def q162(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    val d = col("doc_id")
+    val label = when(d % 3 === 0, lit("utf-8"))
+      .when(d % 3 === 1, lit("shift_jis"))
+      .otherwise(lit("windows-1252"))
+    val dec = gb.column(graft.fn.CharsetDecode(gb.expression(label),
+      graft.fn.SubtitleEncSynth(gb.expression(d.cast("long")))))
+    Tables.tbl(s, dir, "documents").select(d)
+      .where(d < 3000)
+      .select(d, explode(array(dec)).as("__d"))
+      .filter(col("__d").isNotNull)
+      .select(d, col("__d.charset").as("charset"),
+        gb.column(graft.fn.SubtitleCues(
+          gb.expression(col("__d.text")))).as("__cues"))
+      .select(d, col("charset"), posexplode(col("__cues")).as(Seq("cue_idx", "__c")))
+      .select(d, col("charset"), col("cue_idx"),
+        col("__c.start_ms").as("start_ms"),
+        col("__c.end_ms").as("end_ms"),
+        col("__c.text").as("text"))
+      .orderBy(d, col("cue_idx"))
+  }
+
+  private val q162Sql =
+    """WITH ids AS (
+      |  SELECT doc_id, 2 + doc_id % 4 AS n,
+      |    CASE CAST(doc_id % 3 AS INT)
+      |      WHEN 0 THEN 'utf-8' WHEN 1 THEN 'shift_jis'
+      |      ELSE 'windows-1252' END AS charset,
+      |    CASE CAST(doc_id % 3 AS INT)
+      |      WHEN 0 THEN 'mañana' WHEN 1 THEN '字幕'
+      |      ELSE 'café' END AS w
+      |  FROM documents WHERE doc_id < 3000
+      |)
+      |SELECT doc_id, charset, CAST(t.k AS INT) AS cue_idx,
+      |  doc_id % 500 + 2000 * t.k AS start_ms,
+      |  doc_id % 500 + 2000 * t.k + 1500 AS end_ms,
+      |  'cue ' || t.k || ' ' || w || ' ' || (doc_id + t.k) % 7 AS text
+      |FROM ids, UNNEST(range(0, n)) AS t(k)
+      |ORDER BY doc_id, cue_idx""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q162_subtitle_charsets" -> (q162 _),
     "q161_mp4_subtitles" -> (q161 _),
     "q160_subtitle_cues" -> (q160 _),
     "q159_video_clip_sample" -> (q159 _),
@@ -741,6 +790,7 @@ object Queries16 {
     "q159_video_clip_sample" -> q159Sql,
     "q160_subtitle_cues" -> q160Sql,
     "q161_mp4_subtitles" -> q160Sql, // in-container twin: SAME arithmetic
+    "q162_subtitle_charsets" -> q162Sql,
     "q151_pdf_text" -> q151Sql,
     "q152_lang_id" -> q152Sql,
     "q153_video_multiref" -> q153Sql,

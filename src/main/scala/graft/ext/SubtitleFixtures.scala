@@ -163,4 +163,48 @@ object SubtitleFixtures {
       out
     }
   }
+
+  // --------------- legacy-encoding subtitle corpus (q162)
+
+  /** WHATWG charset label by id — the legacy encodings real subtitle
+    * files arrive in.
+    */
+  def encLabel(id: Long): String = (id % 3) match {
+    case 0 => "utf-8"
+    case 1 => "shift_jis"
+    case _ => "windows-1252"
+  }
+
+  /** The charset-discriminating token each cue carries (must round-
+    * trip its encoding: JIS X 0208 kanji for shift_jis, Latin-1
+    * accents for 1252, multi-byte UTF-8 otherwise).
+    */
+  def i18nWord(id: Long): String = (id % 3) match {
+    case 0 => "mañana"
+    case 1 => "字幕" // 字幕
+    case _ => "café"
+  }
+
+  /** Expected cue text of the i18n corpus. */
+  def i18nText(id: Long, k: Int): String =
+    s"cue $k ${i18nWord(id)} ${(id + k) % 7}"
+
+  /** WebVTT document whose cue texts carry [[i18nWord]], ENCODED in
+    * [[encLabel]]'s charset — the bytes a crawler actually fetches.
+    */
+  def encodedDoc(id: Long): Array[Byte] = {
+    val n = nCues(id)
+    val sb = new StringBuilder("WEBVTT\n\n")
+    var k = 0
+    while (k < n) {
+      val s0 = startMs(id, k)
+      val e0 = endMs(id, k)
+      def f(ms: Long) =
+        f"${ms / 3600000}%02d:${(ms / 60000) % 60}%02d:${(ms / 1000) % 60}%02d.${ms % 1000}%03d"
+      sb.append(f(s0)).append(" --> ").append(f(e0)).append('\n')
+      sb.append(i18nText(id, k)).append("\n\n")
+      k += 1
+    }
+    sb.toString.getBytes(java.nio.charset.Charset.forName(encLabel(id)))
+  }
 }

@@ -148,3 +148,27 @@ object Mp4SubtitleCues {
     })
   }
 }
+
+/** SQL `subtitle_enc_synth(doc_id)` — the q162 corpus
+  * ([[graft.ext.SubtitleFixtures.encodedDoc]]): WebVTT documents
+  * ENCODED in rotating legacy charsets (utf-8 / shift_jis /
+  * windows-1252) — the bytes a crawler actually fetches.
+  */
+case class SubtitleEncSynth(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "subtitle_enc_synth"
+
+  override protected def nullSafeEval(id: Any): Any =
+    graft.ext.SubtitleFixtures.encodedDoc(id.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, id =>
+      s"${ev.value} = graft.ext.SubtitleFixtures.encodedDoc($id);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
