@@ -155,7 +155,11 @@ object GraftExtensions {
           s"h264_clip_frames expects (content, nBins, everyMs, maxN, maxFrames); got ${children.size} args")
         val everyMs = children(2) match {
           case Literal(v: Double, _) => v
+          case Literal(v: Float, _) => v.toDouble
           case Literal(v: Int, _) => v.toDouble
+          case Literal(v: Long, _) => v.toDouble
+          // SQL decimal literals (e.g. 400.0) parse as Decimal
+          case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
           case other => throw new IllegalArgumentException(
             s"everyMs must be a numeric literal, got $other")
         }
