@@ -640,21 +640,28 @@ object Avc {
     if (all == null) null else (all.map(_.dur), all.map(_.cts))
   }
 
-  // --------------------------- wvtt subtitle carriage (14496-30)
+  // ------------------ subtitle carriage (ISO 14496-30: wvtt + stpp)
 
-  /** WebVTT cues carried INSIDE an MP4 (ISO 14496-30, the CMAF/DASH
-    * caption shape): the first `wvtt` track's samples are box
-    * sequences — each `vttc` child's `payl` box holds one cue's
-    * text, `vtte` marks empty intervals — and cue TIMING is the
-    * SAMPLE timing (stts in the classic layout, trun durations in
-    * fragments; the continuous-fragment assumption as elsewhere).
-    * Returns (start_ms, end_ms, cleaned text) rows in track order —
-    * one row per vttc (a sample may carry simultaneous cues) — or
-    * null when no wvtt track parses. Tag/entity cleaning is the
-    * [[Subtitles]] contract, so in-container and standalone cues
-    * land identically.
+  /** Subtitle cues carried INSIDE an MP4 — BOTH ISO 14496-30
+    * carriages:
+    *
+    *  - `wvtt` (WebVTT, the CMAF/HLS caption shape): samples are box
+    *    sequences — each `vttc` child's `payl` box holds one cue's
+    *    text, `vtte` marks empty intervals — and cue TIMING is the
+    *    SAMPLE timing (stts in the classic layout, trun durations in
+    *    fragments; the continuous-fragment assumption as elsewhere);
+    *  - `stpp` (TTML/IMSC1, what DASH/CMAF broadcast streams carry):
+    *    each sample is a complete TTML document whose `<p begin/end>`
+    *    attributes ARE the cue timing on the media timeline
+    *    ([[Subtitles.ttmlCuesOrNull]] subset), the sample span only
+    *    scoping document activity.
+    *
+    * Returns (start_ms, end_ms, cleaned text) rows in track order, or
+    * null when no subtitle track parses. Tag/entity cleaning is the
+    * [[Subtitles]] contract, so in-container and standalone cues land
+    * identically.
     */
-  def wvttCuesOrNull(bytes: Array[Byte], maxN: Int): Array[(Long, Long, String)] = {
+  def mp4SubtitleCuesOrNull(bytes: Array[Byte], maxN: Int): Array[(Long, Long, String)] = {
     try {
       if (maxN < 1 || bytes == null || bytes.length < 16 ||
         tag(bytes, 4) != "ftyp") return null
@@ -662,6 +669,7 @@ object Avc {
       var stbl: (Long, Long) = null
       var timescale = 0L
       var trackId = -1L
+      var isTtml = false
       children(bytes, moov._1, moov._2).foreach {
         case ("trak", ts, te) if stbl == null =>
           val got = for {
@@ -669,13 +677,14 @@ object Avc {
             minf <- find(bytes, mdia._1, mdia._2, "minf")
             sb <- find(bytes, minf._1, minf._2, "stbl")
             stsd <- find(bytes, sb._1, sb._2, "stsd")
-            _ <- children(bytes, stsd._1 + 8, stsd._2).find(_._1 == "wvtt")
-          } yield (sb, mdia)
-          got.foreach { case (sb, mdia) =>
+            entry <- children(bytes, stsd._1 + 8, stsd._2)
+              .find(e => e._1 == "wvtt" || e._1 == "stpp")
+          } yield (sb, mdia, entry._1)
+          got.foreach { case (sb, mdia, fourcc) =>
             stbl = sb
+            isTtml = fourcc == "stpp"
             timescale = find(bytes, mdia._1, mdia._2, "mdhd")
-              .filter { case (ms, me) => ms + 16 <= me }
-              .map { case (ms, _) => beU32(bytes, ms.toInt + 12) }
+              .map { case (ms, me) => Bmff.headerTimescale(bytes, ms, me) }
               .getOrElse(0L)
             find(bytes, ts, te, "tkhd").foreach { case (hs, he) =>
               if (hs + 4 <= he) {
@@ -709,16 +718,26 @@ object Avc {
       spans.foreach { case (off, size, sn) =>
         if (sn >= 1 && sn <= durations.length && off >= 0 &&
             off + size <= bytes.length && out.length < maxN) {
-          val t0 = 1000L * prefix((sn - 1).toInt) / timescale
-          val t1 = 1000L * prefix(sn.toInt) / timescale
-          // the sample is a sequence of boxes: vttc(payl) / vtte
-          children(bytes, off, off + size).foreach {
-            case ("vttc", cs, ce) =>
-              find(bytes, cs, ce, "payl").foreach { case (ps, pe) =>
-                val raw = new String(bytes, ps.toInt, (pe - ps).toInt, "UTF-8")
-                out += ((t0, t1, Subtitles.cleanText(raw)))
-              }
-            case _ => () // vtte (empty) and unknown boxes skip
+          if (isTtml) {
+            // stpp: the sample is a TTML document carrying its own
+            // cue timing
+            val doc = new String(bytes, off.toInt, size.toInt, "UTF-8")
+            val cues = Subtitles.ttmlCuesOrNull(doc)
+            if (cues != null) cues.foreach { c =>
+              if (out.length < maxN) out += ((c.startMs, c.endMs, c.text))
+            }
+          } else {
+            val t0 = 1000L * prefix((sn - 1).toInt) / timescale
+            val t1 = 1000L * prefix(sn.toInt) / timescale
+            // the sample is a sequence of boxes: vttc(payl) / vtte
+            children(bytes, off, off + size).foreach {
+              case ("vttc", cs, ce) =>
+                find(bytes, cs, ce, "payl").foreach { case (ps, pe) =>
+                  val raw = new String(bytes, ps.toInt, (pe - ps).toInt, "UTF-8")
+                  out += ((t0, t1, Subtitles.cleanText(raw)))
+                }
+              case _ => () // vtte (empty) and unknown boxes skip
+            }
           }
         }
       }

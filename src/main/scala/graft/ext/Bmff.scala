@@ -64,6 +64,18 @@ private[ext] object Bmff {
   def find(b: Array[Byte], start: Long, end: Long, t: String): Option[(Long, Long)] =
     children(b, start, end).collectFirst { case (`t`, s, e) => (s, e) }
 
+  /** mdhd/mvhd timescale, VERSION-AWARE: version 1 stores 64-bit
+    * creation/modification times, pushing the u32 timescale from
+    * payload offset 12 to 20 (ISO 14496-12 §8.2.2/§8.4.2). 0 when
+    * the payload is too short.
+    */
+  def headerTimescale(b: Array[Byte], hs: Long, he: Long): Long = {
+    if (hs + 4 > he) return 0L
+    val ver = b(hs.toInt) & 0xFF
+    val off = hs + (if (ver >= 1) 20 else 12)
+    if (off + 4 > he) 0L else beU32(b, off.toInt)
+  }
+
   /** Per-sample absolute byte offsets via the stsc chunk mapping, or
     * null if the tables are inconsistent. stsc first_chunk entries
     * must be strictly ascending (valid-file invariant) so the

@@ -884,12 +884,38 @@ object H264 {
       * the per-block POC of each list's referenced picture —
       * temporal direct reads the COLOCATED picture's refPoc0, so
       * every inter path must stamp it. MinValue = no reference.
+      * Allocated LAZILY on first inter use: the hot keyframe-hash
+      * path decodes I-only frames and the DPB can retain up to 16
+      * frames, so eager allocation multiplied peak allocation for
+      * state those paths never touch (ADVICE r12).
       */
-    val mvx1 = Array.fill(wMbs * hMbs)(new Array[Int](16))
-    val mvy1 = Array.fill(wMbs * hMbs)(new Array[Int](16))
-    val refIdx1 = Array.fill(wMbs * hMbs)(Array.fill(16)(-1))
-    val refPoc0 = Array.fill(wMbs * hMbs)(Array.fill(16)(Int.MinValue))
-    val refPoc1 = Array.fill(wMbs * hMbs)(Array.fill(16)(Int.MinValue))
+    private var _mvx1: Array[Array[Int]] = null
+    private var _mvy1: Array[Array[Int]] = null
+    private var _refIdx1: Array[Array[Int]] = null
+    private var _refPoc0: Array[Array[Int]] = null
+    private var _refPoc1: Array[Array[Int]] = null
+    def mvx1: Array[Array[Int]] = {
+      if (_mvx1 == null) _mvx1 = Array.fill(wMbs * hMbs)(new Array[Int](16))
+      _mvx1
+    }
+    def mvy1: Array[Array[Int]] = {
+      if (_mvy1 == null) _mvy1 = Array.fill(wMbs * hMbs)(new Array[Int](16))
+      _mvy1
+    }
+    def refIdx1: Array[Array[Int]] = {
+      if (_refIdx1 == null) _refIdx1 = Array.fill(wMbs * hMbs)(Array.fill(16)(-1))
+      _refIdx1
+    }
+    def refPoc0: Array[Array[Int]] = {
+      if (_refPoc0 == null)
+        _refPoc0 = Array.fill(wMbs * hMbs)(Array.fill(16)(Int.MinValue))
+      _refPoc0
+    }
+    def refPoc1: Array[Array[Int]] = {
+      if (_refPoc1 == null)
+        _refPoc1 = Array.fill(wMbs * hMbs)(Array.fill(16)(Int.MinValue))
+      _refPoc1
+    }
     /** POC of this picture's OWN RefPicList0[0] at decode time —
       * temporal direct substitutes it for intra colocated blocks
       * (8.4.1.2.3's refIdxCol = 0 arm). MinValue for I frames.
@@ -3479,10 +3505,12 @@ object H264 {
       if (stride < 1 || maxFrames < 1 || nBins < 1) return null
       val cfg = avcTrackConfig(bytes)
       if (cfg == null) return null
-      val (lengthSize, spsNal, ppsNal, _, _, timescale, durations,
-        ctsOffsets) = cfg
-      val sps = parseSpsDecode(spsNal)
-      val pps = parsePpsDecode(ppsNal, sps)
+      val lengthSize = cfg.lengthSize
+      val timescale = cfg.timescale
+      val durations = cfg.durations
+      val ctsOffsets = cfg.ctsOffsets
+      val sps = parseSpsDecode(cfg.sps)
+      val pps = parsePpsDecode(cfg.pps, sps)
       if (sps.widthMbs * sps.heightMbs > (1 << 16)) return null
       val nDecode = (maxFrames.toLong * stride).min(1 << 14).toInt
       val spans = Avc.sampleSpansOrNull(bytes, nDecode)
@@ -3505,13 +3533,20 @@ object H264 {
           val tMs = if (timescale > 0) 1000.0 * tMedia / timescale else 0.0
           // presentation time = decode time + composition offset
           // (ctts / trun cts; B streams reorder — pts_ms is appended
-          // LAST so the row prefix keeps its shape)
+          // LAST so the row prefix keeps its shape), then through the
+          // EDIT LIST mapping: −editStart (media_time trims/shifts
+          // the timeline origin) +editDelay (leading empty edits
+          // delay presentation). Pre-roll frames the edit trims land
+          // at NEGATIVE pts — reported as-is here; the clip sampler
+          // excludes them.
           val cts =
             if (ctsOffsets != null && sn - 1 < ctsOffsets.length)
               ctsOffsets((sn - 1).toInt)
             else 0L
           val ptsMs =
-            if (timescale > 0) 1000.0 * (tMedia + cts) / timescale else 0.0
+            if (timescale > 0)
+              1000.0 * (tMedia + cts - cfg.editStart + cfg.editDelay) / timescale
+            else 0.0
           out += (Array(k.toDouble, tMs) ++ Png.grayStats(g, nBins) ++
             Array(ptsMs))
         }
@@ -3531,9 +3566,9 @@ object H264 {
     try {
       val cfg = avcTrackConfig(bytes)
       if (cfg == null) return null
-      val (lengthSize, spsNal, ppsNal, _, _, _, _, _) = cfg
-      val sps = parseSpsDecode(spsNal)
-      val pps = parsePpsDecode(ppsNal, sps)
+      val lengthSize = cfg.lengthSize
+      val sps = parseSpsDecode(cfg.sps)
+      val pps = parsePpsDecode(cfg.pps, sps)
       val spans = Avc.sampleSpansOrNull(bytes, math.min(maxFrames, 1 << 14))
       if (spans == null || spans.isEmpty) return null
       var dpb = Vector.empty[Frame]
@@ -3593,15 +3628,73 @@ object H264 {
     * Null for non-MP4 payloads, non-AVC tracks, or streams outside
     * the baseline subset — never a throw.
     */
-  /** avcC config + track bounds of the first avc1/avc3 track:
-    * (lengthSize, sps, pps, stbl start, stbl end, timescale,
-    * sttsDurations-or-null). Null when absent.
+  /** avcC config + track bounds + timing of the first avc1/avc3
+    * track. `editStart`/`editDelay` carry the trak's EDIT LIST
+    * (`edts/elst`, ISO 14496-12 §8.6.6) reduced to the presentation
+    * mapping real files use it for: `editStart` = the first
+    * non-empty edit's media_time (the media instant presentation
+    * time zero maps to — device recorders park the initial B-delay
+    * here), `editDelay` = the summed EMPTY-edit durations converted
+    * from movie to media timescale (a leading blank shifts every
+    * pts later). Presentation time of a sample is then
+    * `dts + cts − editStart + editDelay`; both are 0 without an
+    * elst, so edit-free files keep their exact pre-round-13
+    * timeline.
     */
-  private def avcTrackConfig(bytes: Array[Byte]): (Int, Array[Byte], Array[Byte], Long, Long, Long, Array[Long], Array[Long]) = {
+  private final case class TrackCfg(lengthSize: Int, sps: Array[Byte],
+                                    pps: Array[Byte], stblS: Long, stblE: Long,
+                                    timescale: Long, durations: Array[Long],
+                                    ctsOffsets: Array[Long], editStart: Long,
+                                    editDelay: Long)
+
+  /** Parse a trak's `edts/elst` into (editStart, editDelayMedia) —
+    * (0, 0) when absent or malformed (loud truncation is the
+    * container walk's job; a malformed elst must not shift a
+    * timeline). Versions 0 (u32/s32) and 1 (u64/s64) both decode;
+    * media_rate is ignored (dwell/rate edits are out of subset).
+    */
+  private def parseEditList(bytes: Array[Byte], ts: Long, te: Long,
+                            movieTs: Long, mediaTs: Long): (Long, Long) = {
+    val elst = (for {
+      edts <- Bmff.find(bytes, ts, te, "edts")
+      e <- Bmff.find(bytes, edts._1, edts._2, "elst")
+    } yield e).getOrElse(return (0L, 0L))
+    val (es, ee) = elst
+    if (es + 8 > ee) return (0L, 0L)
+    val ver = bytes(es.toInt) & 0xFF
+    val n = beU32(bytes, es.toInt + 4)
+    val entrySize = if (ver >= 1) 20L else 12L
+    if (n < 1 || n > (1 << 12) || es + 8 + entrySize * n > ee) return (0L, 0L)
+    var editStart = 0L
+    var delayMovie = 0L
+    var sawNonEmpty = false
+    var i = 0
+    while (i < n) {
+      val o = (es + 8 + entrySize * i).toInt
+      val (segDur, mediaTime) =
+        if (ver >= 1) (Bmff.beU64(bytes, o), Bmff.beU64(bytes, o + 8))
+        else (beU32(bytes, o), beU32(bytes, o + 4).toInt.toLong)
+      if (mediaTime == -1L) delayMovie += segDur
+      else if (!sawNonEmpty && mediaTime >= 0) {
+        editStart = mediaTime
+        sawNonEmpty = true
+      }
+      i += 1
+    }
+    val editDelay =
+      if (movieTs > 0 && mediaTs > 0) delayMovie * mediaTs / movieTs else 0L
+    (editStart, editDelay)
+  }
+
+  private def avcTrackConfig(bytes: Array[Byte]): TrackCfg = {
     if (bytes == null || bytes.length < 16 || Bmff.tag(bytes, 4) != "ftyp")
       return null
     val moov = Bmff.find(bytes, 0, bytes.length, "moov").getOrElse(return null)
-    var out: (Int, Array[Byte], Array[Byte], Long, Long, Long, Array[Long], Array[Long]) = null
+    // movie timescale (mvhd): empty-edit durations are coded in it
+    val movieTs = Bmff.find(bytes, moov._1, moov._2, "mvhd")
+      .map { case (ms, me) => Bmff.headerTimescale(bytes, ms, me) }
+      .getOrElse(0L)
+    var out: TrackCfg = null
     Bmff.children(bytes, moov._1, moov._2).foreach {
       case ("trak", ts, te) if out == null =>
         for {
@@ -3615,10 +3708,10 @@ object H264 {
         } {
           val cfg = parseAvcc(bytes, c._1.toInt, c._2.toInt)
           if (cfg != null) {
-            // timescale: mdhd payload — version 0: u32 at offset 12
+            // timescale: mdhd payload, version-aware (v1 stores
+            // 64-bit times, pushing the field to offset 20)
             val timescale = Bmff.find(bytes, mdia._1, mdia._2, "mdhd")
-              .filter { case (ms, me) => ms + 16 <= me }
-              .map { case (ms, _) => beU32(bytes, ms.toInt + 12) }
+              .map { case (ms, me) => Bmff.headerTimescale(bytes, ms, me) }
               .getOrElse(0L)
             // stts → per-sample durations (run-length decoded)
             var durations: Array[Long] = null
@@ -3675,8 +3768,10 @@ object H264 {
               val t = Avc.fragmentTimingOrNull(bytes)
               if (t != null) { durations = t._1; ctsOffsets = t._2 }
             }
-            out = (cfg._1, cfg._2, cfg._3, stbl._1, stbl._2, timescale,
-              durations, ctsOffsets)
+            val (editStart, editDelay) =
+              parseEditList(bytes, ts, te, movieTs, timescale)
+            out = TrackCfg(cfg._1, cfg._2, cfg._3, stbl._1, stbl._2, timescale,
+              durations, ctsOffsets, editStart, editDelay)
           }
         }
       case _ => ()
@@ -3715,7 +3810,7 @@ object H264 {
       val spans = Avc.syncSpansOrNull(bytes, 1)
       if (spans == null || spans.isEmpty) return null
       val (off, size, _) = spans(0)
-      sampleLumaOrNull(bytes, cfg._1, cfg._2, cfg._3, off, size)
+      sampleLumaOrNull(bytes, cfg.lengthSize, cfg.sps, cfg.pps, off, size)
     } catch {
       case _: Malformed => null
       case scala.util.control.NonFatal(_) => null
@@ -3736,7 +3831,11 @@ object H264 {
       if (stride < 1 || maxFrames < 1 || nBins < 1) return null
       val cfg = avcTrackConfig(bytes)
       if (cfg == null) return null
-      val (lengthSize, spsNal, ppsNal, _, _, timescale, durations, _) = cfg
+      val lengthSize = cfg.lengthSize
+      val spsNal = cfg.sps
+      val ppsNal = cfg.pps
+      val timescale = cfg.timescale
+      val durations = cfg.durations
       val spans = Avc.syncSpansOrNull(bytes, maxFrames.toLong
         .*(stride).min(1 << 20).toInt)
       if (spans == null || spans.isEmpty) return null
@@ -3802,7 +3901,9 @@ object H264 {
       if (maxN < 1) return null
       val cfg = avcTrackConfig(bytes)
       if (cfg == null) return null
-      val (lengthSize, spsNal, ppsNal, _, _, _, _, _) = cfg
+      val lengthSize = cfg.lengthSize
+      val spsNal = cfg.sps
+      val ppsNal = cfg.pps
       require(maxN <= (1 << 12),
         s"keyframe index bounded at 4096 frames; got $maxN") // loud, not silent
       val spans = Avc.syncSpansOrNull(bytes, maxN)
@@ -3836,7 +3937,12 @@ object H264 {
       if (everyMs <= 0 || maxN < 1) return null
       val rows = gopFrameFeaturesOrNull(bytes, nBins, 1, maxFrames)
       if (rows == null || rows.isEmpty) return null
-      val byPts = rows.sortBy(_.last)
+      // frames at negative pts are pre-roll the edit list TRIMMED —
+      // they decode (later frames reference them) but are never
+      // presented, so a presentation-order sampler must skip them
+      val presented = rows.filter(_.last >= 0)
+      if (presented.isEmpty) return null
+      val byPts = presented.sortBy(_.last)
       val maxPts = byPts.last.last
       val out = new scala.collection.mutable.ArrayBuffer[Array[Double]]()
       var k = 0

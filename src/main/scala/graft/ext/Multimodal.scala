@@ -11,8 +11,12 @@ import org.apache.spark.sql.functions._
   * PNG pixels ([[Png]], inflate + unfilter), WAV PCM samples
   * ([[Wav]], chunk walk), and animated-PNG FRAMES ([[Apng]], per-frame
   * inflate + unfilter + canvas compositing — real video-frame
-  * sampling) are REAL decodes behind native codegen expressions; only
-  * inter-coded video (H.264-in-MP4) falls back to one
+  * sampling) are REAL decodes behind native codegen expressions.
+  * H.264-in-MP4 decodes for real too ([[H264]]: CAVLC I/P/B with
+  * multi-reference, weighted and temporal/spatial-direct prediction,
+  * CABAC I keyframes, classic and fragmented containers); only
+  * streams outside that subset (CABAC P/B slices, MMCO, explicit
+  * reference-list modification, poc_type ≠ 0) fall back to one
   * clearly-marked deterministic stub with the real distributed
   * plumbing (schema, batching, partition shape) in place.
   *
@@ -130,13 +134,15 @@ object Multimodal {
     * overwhelmingly common layout, via codegen substring) + the
     * [[graft.fn.Mp4Meta]] box walk (timescale, duration, track
     * count). MJPEG tracks additionally decode REAL frames
-    * ([[withMjpegFrames]]); baseline H.264 tracks decode their
-    * KEYFRAMES ([[H264]], [[withKeyframeDhash]]) AND, as of the
-    * round-8 inter decoder, their full I+P GOPs
-    * ([[withGopFrames]]: quarter-pel motion compensation against the
-    * previous frame, P_Skip/16x16/16x8/8x16/8x8 partitions). The
-    * remaining stub surface is streams outside the baseline subset
-    * (CABAC, B frames, multi-ref) — and metadata is fully real:
+    * ([[withMjpegFrames]]); H.264 tracks decode their KEYFRAMES
+    * ([[H264]], [[withKeyframeDhash]], CAVLC and CABAC I) AND their
+    * full I/P/B GOPs ([[withGopFrames]]: quarter-pel motion
+    * compensation over a multi-picture DPB, P_Skip/16x16/16x8/8x16/
+    * 8x8 partitions, B bi-prediction with spatial + temporal direct,
+    * explicit + implicit weighted prediction — rounds 8–12). The
+    * remaining stub surface is CABAC P/B slices, MMCO, explicit
+    * reference-list modification, and poc_type ≠ 0 — and metadata
+    * is fully real:
     * [[graft.fn.Mp4AvcMeta]] surfaces SPS-derived resolution/profile
     * and [[graft.fn.Mp4SyncOffsets]] the keyframe byte index, like
     * PNG's IHDR and WAV's fmt.

@@ -164,6 +164,112 @@ object SubtitleFixtures {
     }
   }
 
+  // --------------- TTML / stpp carriage (ISO 14496-30) fixtures
+
+  /** TTML time expression by cue parity — clock-time on even cues,
+    * offset-time on odd — so one corpus exercises both forms.
+    */
+  private def ttmlTime(ms: Long, offset: Boolean): String =
+    if (offset) s"${ms}ms"
+    else f"${ms / 3600000}%02d:${(ms / 60000) % 60}%02d:${(ms / 1000) % 60}%02d.${ms % 1000}%03d"
+
+  /** Raw TTML cue markup whose CLEANED text equals [[expectedText]]
+    * (the q160 arithmetic): styled spans on odd cues, `<br/>` for the
+    * two-line cue, the entity form on multiples of 3.
+    */
+  private def ttmlRawText(id: Long, k: Int): String = {
+    val w = (id + k) % 7
+    if (k % 2 == 1) s"""<span style="s1">cue $k says word$w</span>"""
+    else if (k == 2) s"cue $k says word$w<br/>line two"
+    else if (k % 3 == 0) s"cue $k says word$w &amp; more"
+    else s"cue $k says word$w"
+  }
+
+  /** TTML/IMSC1 document carrying the given cues of the q160 corpus
+    * — the `stpp` sample payload (and the standalone .ttml shape).
+    */
+  def ttmlDoc(id: Long, ks: Seq[Int]): String = {
+    val sb = new StringBuilder
+    sb.append("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n")
+    sb.append("<tt xmlns=\"http://www.w3.org/ns/ttml\" xml:lang=\"en\">\n")
+    sb.append("  <body><div>\n")
+    ks.foreach { k =>
+      sb.append("    <p begin=\"").append(ttmlTime(startMs(id, k), k % 2 == 1))
+        .append("\" end=\"").append(ttmlTime(endMs(id, k), k % 2 == 1))
+        .append("\">").append(ttmlRawText(id, k)).append("</p>\n")
+    }
+    sb.append("  </div></body>\n</tt>\n")
+    sb.toString
+  }
+
+  /** TTML subtitle track inside an MP4 — the `stpp` carriage (ISO
+    * 14496-30 §6, the DASH/CMAF broadcast shape). Classic stbl layout
+    * on even ids with ONE SAMPLE PER CUE (each a complete TTML doc —
+    * the live-DASH ISD shape); FRAGMENTED on odd ids with one
+    * whole-document sample (the on-demand shape). Cue timing comes
+    * from the documents' begin/end attributes, so the q165 oracle IS
+    * q160's arithmetic.
+    */
+  def stppMp4(id: Long): Array[Byte] = {
+    val n = nCues(id)
+    val samples: Seq[Array[Byte]] =
+      if (id % 2 == 0) (0 until n).map(k => ttmlDoc(id, Seq(k)).getBytes("UTF-8"))
+      else Seq(ttmlDoc(id, 0 until n).getBytes("UTF-8"))
+    val durs = samples.map(_ => 2000L) // sample spans; timing is in-doc
+    // XMLSubtitleSampleEntry: 6 reserved + 2 data_reference_index,
+    // then namespace / schema_location / auxiliary mime z-strings
+    val stsd = box("stsd", be32(0), be32(1),
+      box("stpp", new Array[Byte](8),
+        "http://www.w3.org/ns/ttml".getBytes("US-ASCII"), Array[Byte](0),
+        Array[Byte](0), Array[Byte](0)))
+    val tkhd = box("tkhd", {
+      val p = new Array[Byte](84)
+      System.arraycopy(be32(1), 0, p, 12, 4) // track_ID = 1
+      p
+    })
+    def mdiaOf(stbl: Array[Byte]) =
+      box("mdia", box("mdhd", be32(0), be32(0), be32(0), be32(1000),
+        be32(0), be32(0x55c40000L)), box("minf", stbl))
+    val ftyp = box("ftyp", "isom".getBytes, be32(0x200), "iso6cmfc".getBytes)
+    if (id % 2 == 0) {
+      val mdatOff = ftyp.length + 8L
+      val stsz = box("stsz", be32(0), be32(0), be32(samples.length.toLong),
+        samples.flatMap(e => be32(e.length.toLong)).toArray)
+      val stsc = box("stsc", be32(0), be32(1), be32(1),
+        be32(samples.length.toLong), be32(1))
+      val stco = box("stco", be32(0), be32(1), be32(mdatOff))
+      val stts = box("stts", be32(0), be32(durs.length.toLong),
+        durs.flatMap(d => be32(1) ++ be32(d)).toArray)
+      val stbl = box("stbl", stsd, stsz, stsc, stco, stts)
+      val moov = box("moov", box("mvhd", new Array[Byte](100)),
+        box("trak", tkhd, mdiaOf(stbl)))
+      ftyp ++ box("mdat", samples.flatten.toArray) ++ moov
+    } else {
+      val stbl = box("stbl", stsd,
+        box("stts", be32(0), be32(0)),
+        box("stsc", be32(0), be32(0)),
+        box("stsz", be32(0), be32(0), be32(0)),
+        box("stco", be32(0), be32(0)))
+      val trex = box("trex", be32(0), be32(1), be32(1),
+        be32(0), be32(0), be32(0))
+      val moov = box("moov", box("mvhd", new Array[Byte](100)),
+        box("trak", tkhd, mdiaOf(stbl)), box("mvex", trex))
+      var out = ftyp ++ moov
+      samples.zipWithIndex.foreach { case (sm, gi) =>
+        val tfhd = box("tfhd", be32(0x20000L), be32(1)) // default-base-is-moof
+        val trunBody = be32(0x100L | 0x200L | 0x1L) ++ be32(1) ++
+          be32(0 /* patched */) ++ be32(durs(gi)) ++ be32(sm.length.toLong)
+        def moofOf(dataOff: Long) = box("moof",
+          box("mfhd", be32(0), be32(gi + 1L)),
+          box("traf", tfhd, box("trun",
+            trunBody.patch(8, be32(dataOff), 4))))
+        val probe = moofOf(0)
+        out = out ++ moofOf(probe.length + 8L) ++ box("mdat", sm)
+      }
+      out
+    }
+  }
+
   // --------------- legacy-encoding subtitle corpus (q162)
 
   /** WHATWG charset label by id — the legacy encodings real subtitle

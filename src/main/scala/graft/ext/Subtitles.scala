@@ -72,13 +72,130 @@ object Subtitles {
       .replace("&amp;", "&")
   }
 
-  /** Parse a WebVTT or SRT document to its cues, or null when the
-    * content is neither. Never throws.
+  /** TTML time expression \u2192 milliseconds, or -1. Subset: clock-time
+    * `hh:mm:ss(.fraction)` and offset-time `N(.N)(s|ms)` \u2014 the IMSC1
+    * text-profile forms; frame-based `hh:mm:ss:ff` is out of subset.
+    */
+  private def ttmlTs(s: String): Long = {
+    val t = s.trim
+    if (t.isEmpty) return -1
+    try {
+      if (t.endsWith("ms")) {
+        val v = t.dropRight(2).toDouble
+        if (v < 0) -1 else math.round(v)
+      } else if (t.endsWith("s")) {
+        val v = t.dropRight(1).toDouble
+        if (v < 0) -1 else math.round(v * 1000)
+      } else {
+        val parts = t.split(":")
+        if (parts.length != 3) return -1
+        val h = parts(0).toLong
+        val m = parts(1).toLong
+        val sec = parts(2).toDouble
+        if (h < 0 || m < 0 || m > 59 || sec < 0 || sec >= 60) return -1
+        (h * 60 + m) * 60000 + math.round(sec * 1000)
+      }
+    } catch { case _: NumberFormatException => -1 }
+  }
+
+  /** Attribute value out of a tag's attribute run (both quote
+    * styles), or null.
+    */
+  private def attrValue(attrs: String, name: String): String = {
+    var from = 0
+    while (from < attrs.length) {
+      val at = attrs.indexOf(name, from)
+      if (at < 0) return null
+      // must be a whole attribute name (preceded by whitespace)
+      val pre = at == 0 || Character.isWhitespace(attrs.charAt(at - 1))
+      var p = at + name.length
+      while (p < attrs.length && Character.isWhitespace(attrs.charAt(p))) p += 1
+      if (pre && p < attrs.length && attrs.charAt(p) == '=') {
+        p += 1
+        while (p < attrs.length && Character.isWhitespace(attrs.charAt(p))) p += 1
+        if (p < attrs.length && (attrs.charAt(p) == '"' || attrs.charAt(p) == '\'')) {
+          val q = attrs.charAt(p)
+          val close = attrs.indexOf(q, p + 1)
+          if (close > p) return attrs.substring(p + 1, close)
+        }
+        return null
+      }
+      from = at + name.length
+    }
+    null
+  }
+
+  /** Parse a TTML/IMSC1 document (the ISO 14496-30 `stpp` carriage
+    * payload \u2014 what DASH/CMAF broadcast streams actually carry \u2014 and
+    * standalone .ttml) to its cues, or null when the content is not
+    * TTML. Restricted-but-conformant text-profile subset:
+    * `<p begin=".." end="..">` cue paragraphs in document order,
+    * `<br/>` as the line break, other inline tags (span/styling)
+    * stripped, the same 6-entity decode as [[cuesOrNull]]; times in
+    * clock or offset form ([[ttmlTs]]). Cue-less documents yield an
+    * EMPTY array (valid TTML, no text), non-TTML yields null.
+    */
+  def ttmlCuesOrNull(doc: String): Array[Cue] = {
+    try {
+      if (doc == null) return null
+      val content =
+        if (doc.nonEmpty && doc.charAt(0) == '\uFEFF') doc.substring(1) else doc
+      // signature: a <tt \u2026> root in the TTML namespace
+      val ttAt = content.indexOf("<tt")
+      if (ttAt < 0 || !content.contains("http://www.w3.org/ns/ttml"))
+        return null
+      val out = new scala.collection.mutable.ArrayBuffer[Cue]()
+      var i = ttAt
+      while (i < content.length && out.length < MaxCues) {
+        val p = content.indexOf("<p", i)
+        if (p < 0) i = content.length
+        else {
+          val after = if (p + 2 < content.length) content.charAt(p + 2) else ' '
+          val tagEnd = content.indexOf('>', p)
+          if (tagEnd < 0) i = content.length
+          else if (after != ' ' && after != '\t' && after != '\n' &&
+            after != '\r' && after != '>' && after != '/') i = p + 2
+          else {
+            val attrs = content.substring(p + 2, tagEnd)
+            val close = content.indexOf("</p>", tagEnd)
+            if (close < 0) i = content.length
+            else {
+              val begin = ttmlTs(Option(attrValue(attrs, "begin")).getOrElse(""))
+              val end = ttmlTs(Option(attrValue(attrs, "end")).getOrElse(""))
+              val raw = content.substring(tagEnd + 1, close)
+                .replace("<br/>", "\n").replace("<br />", "\n")
+              val text = cleanText(raw)
+              // a malformed cue is SKIPPED, the cuesOrNull contract
+              if (begin >= 0 && end >= begin && text.nonEmpty)
+                out += Cue(begin, end, text)
+              i = close + 4
+            }
+          }
+        }
+      }
+      out.toArray
+    } catch {
+      case NonFatal(_) => null
+    }
+  }
+
+  /** Parse a WebVTT, SRT, or TTML document to its cues, or null when
+    * the content is none of them. Never throws.
     */
   def cuesOrNull(doc: String): Array[Cue] = {
     try {
       if (doc == null) return null
-      val lines = doc.split("\r\n|\n|\r", -1)
+      // the WebVTT spec allows an optional leading U+FEFF BOM before
+      // the signature; strip it (the robots.txt convention) so
+      // BOM-retaining decodes still parse
+      val content =
+        if (doc.nonEmpty && doc.charAt(0) == '\uFEFF') doc.substring(1) else doc
+      // XML-shaped content routes to the TTML parser (VTT/SRT never
+      // start with '<')
+      val firstNonWs = content.indexWhere(!Character.isWhitespace(_))
+      if (firstNonWs >= 0 && content.charAt(firstNonWs) == '<')
+        return ttmlCuesOrNull(content)
+      val lines = content.split("\r\n|\n|\r", -1)
       var i = 0
       val isVtt = lines.nonEmpty && lines(0).startsWith("WEBVTT")
       if (isVtt) i = 1

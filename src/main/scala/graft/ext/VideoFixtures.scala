@@ -693,8 +693,8 @@ object VideoFixtures {
     * are non-references: the DPB stays {frame 0, frame 1} and both
     * lists order by POC (past-desc / future-asc).
     */
-  def bGopMp4(base: Int, d1: Int, a: Int, b: Int,
-              ctts: Seq[Long] = Nil): Array[Byte] = {
+  private def bGopSlices(base: Int, d1: Int, a: Int, b: Int)
+      : (Array[Byte], Array[Byte], Seq[Array[Byte]]) = {
     require(base >= 0 && base + 13 * 15 <= 255 && d1 >= 2 && d1 % 2 == 0 &&
       a >= 0 && b >= 0)
     val sps = escapeRbsp(sps1x1Poc0(2))
@@ -713,7 +713,54 @@ object VideoFixtures {
     val b3 = escapeRbsp(bSlicePoc0(2, 4, spatial = false) { w =>
       w.ue(1) // mb_skip_run covers the frame: temporal-direct B_Skip
     })
-    mp4Gop(sps, pps, Seq(f0, p1, b2, b3), syncs = Seq(1), ctts = ctts)
+    (sps, pps, Seq(f0, p1, b2, b3))
+  }
+
+  def bGopMp4(base: Int, d1: Int, a: Int, b: Int,
+              ctts: Seq[Long] = Nil): Array[Byte] = {
+    val (sps, pps, slices) = bGopSlices(base, d1, a, b)
+    mp4Gop(sps, pps, slices, syncs = Seq(1), ctts = ctts)
+  }
+
+  /** The q163/q164 EDIT-LIST corpus: the [[bGopPts]] B GOP (ctts
+    * composition offsets 0/+1000/−500/−500 on dts 0/500/1000/1500 →
+    * raw pts 0/1500/500/1000) plus an `edts/elst` that real
+    * device/DASH files carry:
+    *
+    *  - a LEADING EMPTY EDIT of `300·(id % 3)` movie units at movie
+    *    timescale 600 (≠ the media's 1000, so the reader must
+    *    convert) → +`500·(id % 3)` ms of presentation delay;
+    *  - a media edit whose media_time = `500·(id % 2)` →
+    *    presentation zero maps 500 ms into the media timeline,
+    *    trimming frame 0 to pts −500 when id is odd (the classic
+    *    B-delay normalization).
+    *
+    * Final pts = raw pts − 500·(id % 2) + 500·(id % 3). Container
+    * layout alternates (classic stbl on even ids, fMP4 with trun
+    * composition offsets on odd); elst version alternates v0/v1 by
+    * id/2 parity. All parameters are doc_id arithmetic mirrored by
+    * the q163 oracle.
+    */
+  def bGopElst(id: Long): Array[Byte] = {
+    val (sps, pps, slices) = bGopSlices(
+      base = (10 + id % 40).toInt,
+      d1 = (2 + 2 * (id % 2)).toInt,
+      a = (id % 5).toInt,
+      b = (1 + id % 3).toInt)
+    val cts = Seq(0L, 1000L, -500L, -500L)
+    val emptyDurMovie = 300L * (id % 3) // movie ts 600 → 500·(id%3) ms
+    val mediaTime = 500L * (id % 2)
+    val entries =
+      (if (emptyDurMovie > 0) Seq((emptyDurMovie, -1L)) else Nil) :+
+        ((1200L, mediaTime)) // segment_duration nominal; rate 1.0
+    val edts = edtsBox(entries, v1 = (id / 2) % 2 == 1)
+    if (id % 2 == 0)
+      mp4Gop(sps, pps, slices, syncs = Seq(1), ctts = cts,
+        edts = edts, movieTimescale = 600L)
+    else
+      mp4FragmentedGop(sps, pps, slices, syncs = Seq(1), perFrag = 4,
+        explicitBase = false, perSample = true, ctsList = cts,
+        edts = edts, movieTimescale = 600L)
   }
 
   /** [[bGop]] with a VERSION-1 ctts box carrying the GOP's real
@@ -866,8 +913,15 @@ object VideoFixtures {
   def mp4FragmentedGop(sps: Array[Byte], pps: Array[Byte],
                        slices: Seq[Array[Byte]], syncs: Seq[Int],
                        perFrag: Int, explicitBase: Boolean,
-                       perSample: Boolean): Array[Byte] = {
+                       perSample: Boolean,
+                       ctsList: Seq[Long] = Nil,
+                       edts: Array[Byte] = Array.emptyByteArray,
+                       movieTimescale: Long = 0L): Array[Byte] = {
     require(perFrag >= 1 && (perSample || perFrag == 1))
+    // composition offsets ride per-sample trun fields (version-1
+    // signed), so they require the per-sample layout
+    require(ctsList.isEmpty ||
+      (perSample && ctsList.length == slices.length))
     val avcc = box("avcC", Array[Byte](1), sps.slice(1, 2), Array[Byte](0),
       sps.slice(3, 4), Array(0xFF.toByte), Array(0xE1.toByte),
       be16(sps.length), sps, Array[Byte](1), be16(pps.length), pps)
@@ -895,15 +949,19 @@ object VideoFixtures {
     // non-sync flags (0x010000 bit set; depends-on 1)
     val trex = box("trex", be32(0), be32(1), be32(1),
       be32(500), be32(samples.head.length.toLong), be32(0x01010000L))
-    val moov = box("moov", box("mvhd", new Array[Byte](100)),
-      box("trak", tkhd, mdia), box("mvex", trex))
+    val trak =
+      if (edts.isEmpty) box("trak", tkhd, mdia)
+      else box("trak", tkhd, edts, mdia)
+    val moov = box("moov", box("mvhd", mvhdPayload(movieTimescale)),
+      trak, box("mvex", trex))
     var outBytes = ftyp ++ moov
     var sn = 1
     samples.grouped(perFrag).zipWithIndex.foreach { case (grp, gi) =>
       val mdatPayload = grp.flatten.toArray
-      // trun flags
+      // trun flags; composition offsets force version 1 (signed cts)
       val trFlags =
         (if (perSample) 0x100L | 0x200L | 0x400L else 0L) |
+          (if (ctsList.nonEmpty) 0x01000800L else 0L) |
           0x1L | // data_offset always present
           (if (!perSample && syncSet.contains(sn)) 0x4L else 0L)
       def sampleFlags(num: Int): Long =
@@ -919,6 +977,8 @@ object VideoFixtures {
         trunBody ++= be32(500) // duration
         trunBody ++= be32(sm.length.toLong)
         trunBody ++= be32(sampleFlags(sn + i))
+        if (ctsList.nonEmpty)
+          trunBody ++= be32(ctsList(sn + i - 1) & 0xFFFFFFFFL)
       }
       val tfFlags =
         (if (explicitBase) 0x1L else 0x20000L) | // base | default-base-is-moof
@@ -963,13 +1023,49 @@ object VideoFixtures {
     outBytes
   }
 
+  /** mvhd payload (version 0) with an explicit movie timescale at
+    * offset 12 — edit-list empty-edit durations are coded in it, so
+    * elst fixtures must pin a DIFFERENT timescale than the media's
+    * 1000 to prove the reader converts.
+    */
+  private def mvhdPayload(movieTimescale: Long): Array[Byte] = {
+    val p = new Array[Byte](100)
+    if (movieTimescale > 0) System.arraycopy(be32(movieTimescale), 0, p, 12, 4)
+    p
+  }
+
+  /** `edts/elst` box: entries are (segment_duration, media_time) —
+    * duration in MOVIE timescale units, media_time in MEDIA units or
+    * −1 for an empty edit (ISO 14496-12 §8.6.6). `v1 = true` codes
+    * the 64-bit layout. media_rate fixed at 1.0.
+    */
+  private[graft] def edtsBox(entries: Seq[(Long, Long)], v1: Boolean): Array[Byte] = {
+    val body = new scala.collection.mutable.ArrayBuffer[Byte]()
+    body ++= Array[Byte](if (v1) 1 else 0, 0, 0, 0)
+    body ++= be32(entries.length.toLong)
+    entries.foreach { case (dur, mt) =>
+      if (v1) {
+        body ++= be32(dur >>> 32) ++ be32(dur & 0xFFFFFFFFL)
+        body ++= be32(mt >>> 32) ++ be32(mt & 0xFFFFFFFFL)
+      } else {
+        body ++= be32(dur & 0xFFFFFFFFL)
+        body ++= be32(mt & 0xFFFFFFFFL)
+      }
+      body ++= be16(1) ++ be16(0) // media_rate 1.0
+    }
+    box("edts", box("elst", body.toArray))
+  }
+
   /** Multi-sample MP4 from already-escaped slice NALs, `syncs` =
     * 1-based stss entries (same boxes/timing as [[multiKeyframeMp4]]:
-    * timescale 1000, 500 per frame).
+    * timescale 1000, 500 per frame). `edts` (with `movieTimescale`)
+    * splices an edit list into the trak.
     */
   private def mp4Gop(sps: Array[Byte], pps: Array[Byte],
                      slices: Seq[Array[Byte]], syncs: Seq[Int],
-                     ctts: Seq[Long] = Nil): Array[Byte] = {
+                     ctts: Seq[Long] = Nil,
+                     edts: Array[Byte] = Array.emptyByteArray,
+                     movieTimescale: Long = 0L): Array[Byte] = {
     val avcc = box("avcC", Array[Byte](1), sps.slice(1, 2), Array[Byte](0),
       sps.slice(3, 4), Array(0xFF.toByte), Array(0xE1.toByte),
       be16(sps.length), sps, Array[Byte](1), be16(pps.length), pps)
@@ -995,7 +1091,9 @@ object VideoFixtures {
     val stbl = box("stbl", stblBoxes: _*)
     val mdia = box("mdia", box("mdhd", be32(0), be32(0), be32(0), be32(1000),
       be32(0), be32(0x55c40000L)), box("minf", stbl))
-    val moov = box("moov", box("mvhd", new Array[Byte](100)), box("trak", mdia))
+    val trak =
+      if (edts.isEmpty) box("trak", mdia) else box("trak", edts, mdia)
+    val moov = box("moov", box("mvhd", mvhdPayload(movieTimescale)), trak)
     ftyp ++ box("mdat", samples.flatten.toArray) ++ moov
   }
 

@@ -544,6 +544,32 @@ case class Mp4BGopPtsSynth(child: Expression)
     copy(child = newChild)
 }
 
+/** SQL `mp4_elst_synth(doc_id)` — the q163/q164 EDIT-LIST corpus
+  * ([[graft.ext.VideoFixtures.bGopElst]]): the ctts B GOP plus an
+  * `edts/elst` carrying a leading empty edit (movie-timescale 600)
+  * and a media_time offset; classic/fMP4 layout and elst v0/v1
+  * alternate by id. Parameters are id arithmetic mirrored by the
+  * oracle.
+  */
+case class Mp4ElstSynth(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "mp4_elst_synth"
+
+  override protected def nullSafeEval(id: Any): Any =
+    graft.ext.VideoFixtures.bGopElst(id.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, id =>
+      s"${ev.value} = graft.ext.VideoFixtures.bGopElst($id);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** SQL `h264_clip_frames(content, nBins, everyMs, maxN, maxFrames)` —
   * PRESENTATION-ORDER clip sampling
   * ([[graft.ext.H264.clipFrameFeaturesOrNull]]): per instant

@@ -106,11 +106,12 @@ case class Mp4SubtitleSynth(child: Expression)
     copy(child = newChild)
 }
 
-/** SQL `mp4_subtitle_cues(content)` — WebVTT cues carried inside an
-  * MP4 (ISO 14496-30 wvtt tracks, both container layouts;
-  * [[graft.ext.Avc.wvttCuesOrNull]]): same row schema and text
-  * cleaning as [[SubtitleCues]], so in-container and standalone
-  * subtitles land identically in the text pipeline.
+/** SQL `mp4_subtitle_cues(content)` — subtitle cues carried inside
+  * an MP4, BOTH ISO 14496-30 carriages (`wvtt` WebVTT and `stpp`
+  * TTML/IMSC1 — the DASH/CMAF broadcast shape), both container
+  * layouts ([[graft.ext.Avc.mp4SubtitleCuesOrNull]]): same row
+  * schema and text cleaning as [[SubtitleCues]], so in-container and
+  * standalone subtitles land identically in the text pipeline.
   */
 case class Mp4SubtitleCues(child: Expression)
   extends UnaryExpression with ExpectsInputTypes {
@@ -141,12 +142,37 @@ case class Mp4SubtitleCues(child: Expression)
 
 object Mp4SubtitleCues {
   def cuesData(bytes: Array[Byte]): GenericArrayData = {
-    val cues = graft.ext.Avc.wvttCuesOrNull(bytes, 1 << 16)
+    val cues = graft.ext.Avc.mp4SubtitleCuesOrNull(bytes, 1 << 16)
     if (cues == null) null
     else new GenericArrayData(cues.map { case (s, e, t) =>
       InternalRow(s, e, UTF8String.fromString(t)): Any
     })
   }
+}
+
+/** SQL `mp4_ttml_synth(doc_id)` — the q165 corpus
+  * ([[graft.ext.SubtitleFixtures.stppMp4]]): the q160 cue corpus as
+  * TTML documents inside MP4 `stpp` tracks (ISO 14496-30's OTHER
+  * carriage — the DASH/CMAF broadcast shape); classic per-cue
+  * samples on even ids, one fragmented whole-document sample on odd.
+  */
+case class Mp4TtmlSynth(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "mp4_ttml_synth"
+
+  override protected def nullSafeEval(id: Any): Any =
+    graft.ext.SubtitleFixtures.stppMp4(id.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, id =>
+      s"${ev.value} = graft.ext.SubtitleFixtures.stppMp4($id);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** SQL `subtitle_enc_synth(doc_id)` — the q162 corpus

@@ -2488,4 +2488,39 @@ class H264Spec extends AnyFunSuite {
     val p = H264.clipFrameFeaturesOrNull(plain, 4, 500.0, 8, 4)
     assert(p != null && p.map(_(1)).toSeq === Seq(0.0, 1.0, 2.0, 3.0))
   }
+
+  test("edit list (elst): media_time + empty-edit delay shift pts, trim pre-roll") {
+    // pts = raw(0/1500/500/1000) − 500·(id%2) + 500·(id%3): both
+    // layouts (even classic, odd fMP4), both elst versions (id/2)
+    for (id <- 0L to 11L) {
+      val mp4 = graft.ext.VideoFixtures.bGopElst(id)
+      val f = H264.gopFrameFeaturesOrNull(mp4, 4, 1, 4)
+      assert(f != null && f.length === 4, s"id=$id")
+      val exp = Seq(0.0, 1500.0, 500.0, 1000.0)
+        .map(_ - 500.0 * (id % 2) + 500.0 * (id % 3))
+      assert(f.map(_.last).toSeq === exp, s"id=$id")
+      // the DECODE timeline is untouched by the edit
+      assert(f.map(_(1)).toSeq === Seq(0.0, 500.0, 1000.0, 1500.0), s"id=$id")
+    }
+    // trim: id ≡ 3 (mod 6) parks frame 0 at pts −500; the clip
+    // sampler must exclude it (decoded but never presented)
+    val trimmed = graft.ext.VideoFixtures.bGopElst(3L)
+    val rows = H264.clipFrameFeaturesOrNull(trimmed, 4, 400.0, 8, 4)
+    assert(rows != null && rows.length === 3) // instants 0/400/800 ≤ maxPts 1000
+    assert(rows.map(_(1)).toSeq === Seq(2.0, 3.0, 1.0)) // presented frames only
+    assert(rows.map(_.last).toSeq === Seq(0.0, 500.0, 1000.0))
+    assert(rows.forall(_.last >= 0))
+    // edit-free twins keep their exact pre-round-13 timeline
+    val free = graft.ext.VideoFixtures.bGopPts(7L)
+    val g = H264.gopFrameFeaturesOrNull(free, 4, 1, 4)
+    assert(g.map(_.last).toSeq === Seq(0.0, 1500.0, 500.0, 1000.0))
+    // truncation fuzz on the new fixture never throws
+    for (id <- Seq(2L, 3L)) {
+      val mp4 = graft.ext.VideoFixtures.bGopElst(id)
+      val rnd = new scala.util.Random(id)
+      for (_ <- 0 until 100)
+        H264.gopFrameFeaturesOrNull(
+          java.util.Arrays.copyOf(mp4, 1 + rnd.nextInt(mp4.length)), 4, 1, 4)
+    }
+  }
 }
