@@ -173,7 +173,12 @@ object Queries16 {
       "1.0 / (1.0 + EXP(-(" + w.head.toString +
         w.tail.zipWithIndex.map { case (v, i) => s" + ($v) * f$i" }.mkString +
         ")))"
-    val Seq(sen, sde, sfr, ses) = graft.ext.LangId.PinnedW.map(head)
+    // round 13: the model is 9-language + none floor; the chain and
+    // all heads regenerate from the pinned matrix (the corpus stays
+    // the Latin 4 — breadth is q166's corpus)
+    val scoreCols = graft.ext.LangId.Langs.map(l => s"s_$l")
+    val heads = graft.ext.LangId.PinnedW.zip(scoreCols)
+      .map { case (w, c) => s"${head(w)} AS $c" }.mkString(",\n    ")
     s"""WITH base AS (
        |  SELECT doc_id FROM documents WHERE doc_id < 4000
        |), wk AS (
@@ -201,14 +206,11 @@ object Queries16 {
        |  FROM pad
        |), sc AS (
        |  SELECT doc_id,
-       |    $sen AS s_en, $sde AS s_de, $sfr AS s_fr, $ses AS s_es
+       |    $heads
        |  FROM f
        |)
        |SELECT doc_id,
-       |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
-       |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
-       |       WHEN s_fr >= s_es THEN 'fr'
-       |       ELSE 'es' END AS lang_pred,
+       |  ${graft.ext.LangId.sqlClassifyCase(scoreCols)} AS lang_pred,
        |  ROUND(s_en, 6) + 0 AS s_en, ROUND(s_de, 6) + 0 AS s_de,
        |  ROUND(s_fr, 6) + 0 AS s_fr, ROUND(s_es, 6) + 0 AS s_es
        |FROM sc ORDER BY doc_id""".stripMargin

@@ -191,14 +191,178 @@ object Queries17 {
       |FROM ids, UNNEST(range(0, n)) AS t(k)
       |ORDER BY doc_id, cue_idx""".stripMargin
 
+  // ---------- q166: language-ID BREADTH (round 13, VERDICT item 3)
+  // — the 9-language + none-floor classifier over a corpus planting
+  // Cyrillic, Arabic, and CJK rows plus OUT-OF-SET rows (the Finnish-
+  // shaped none pool): doc_id % 10 picks the class, texts build from
+  // the documented word pools by the q152 id arithmetic. DuckDB
+  // rebuilds every text, recomputes all 36 n-gram features, replays
+  // all nine logistic heads AND the none floor, and predicts the
+  // argmax — a defect in any new head, the floor, a CJK feature
+  // count, or the 9-way tie chain breaks the hash.
+  private def q166Text(s: SparkSession): org.apache.spark.sql.Column = {
+    val d = col("doc_id")
+    val idx = ((d * 31 + col("k") * 7 + (d - d % 13) / 13) % 12 + 1).cast("int")
+    val pools = graft.tools.LangIdTrain.Pools
+    val langs = graft.ext.LangId.Langs
+    val chain = langs.zipWithIndex.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+      case (acc, (l, i)) =>
+        val v = element_at(array(pools(l).map(lit): _*), idx)
+        Some(acc.fold(when(d % 10 === i, v))(_.when(d % 10 === i, v)))
+    }.get.otherwise(
+      element_at(array(graft.tools.LangIdTrain.NonePool.map(lit): _*), idx))
+    chain
+  }
+
+  private def q166(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val txt = Tables.tbl(s, dir, "documents").select(d)
+      .where(d < 4000)
+      .select(d, explode(sequence(lit(0L), lit(13L))).as("k"))
+      .select(d, col("k"), q166Text(s).as("w"))
+      .groupBy(d)
+      .agg(array_join(array_sort(collect_list(struct(col("k"), col("w"))))
+        .getField("w"), " ").as("text"))
+    val feats = graft.ext.LangId.features(col("text"))
+    val sc = graft.ext.LangId.scores(col("__f"), graft.ext.LangId.PinnedW)
+    txt.withColumn("__f", feats)
+      .select(d,
+        graft.ext.LangId.classify(col("__f"), graft.ext.LangId.PinnedW)
+          .as("lang_pred"),
+        round(sc(4), 6).as("s_ru"), round(sc(5), 6).as("s_ar"),
+        round(sc(6), 6).as("s_zh"), round(sc(7), 6).as("s_ja"),
+        round(sc(8), 6).as("s_ko"))
+      .orderBy(d)
+  }
+
+  private val q166Sql: String = {
+    val pools = graft.tools.LangIdTrain.Pools
+    val langs = graft.ext.LangId.Langs
+    def lst(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+    val featExprs = graft.ext.LangId.Ngrams.zipWithIndex.map { case (g, i) =>
+      val ge = g.replace("'", "''")
+      s"LEAST(1.0, CAST((LENGTH(p) - LENGTH(REPLACE(p, '$ge', ''))) / ${g.length} AS DOUBLE) * 8.0 / n) AS f$i"
+    }.mkString(",\n    ")
+    def head(w: Seq[Double]): String =
+      "1.0 / (1.0 + EXP(-(" + w.head.toString +
+        w.tail.zipWithIndex.map { case (v, i) => s" + ($v) * f$i" }.mkString +
+        ")))"
+    val scoreCols = langs.map(l => s"s_$l")
+    val heads = graft.ext.LangId.PinnedW.zip(scoreCols)
+      .map { case (w, c) => s"${head(w)} AS $c" }.mkString(",\n    ")
+    val wordCase = langs.zipWithIndex.map { case (l, i) =>
+      s"WHEN $i THEN list_extract(${lst(pools(l))}, idx + 1)"
+    }.mkString("\n      ") +
+      s"\n      ELSE list_extract(${lst(graft.tools.LangIdTrain.NonePool)}, idx + 1)"
+    s"""WITH base AS (
+       |  SELECT doc_id FROM documents WHERE doc_id < 4000
+       |), wk AS (
+       |  SELECT b.doc_id, t.k,
+       |    CAST((b.doc_id * 31 + t.k * 7 + b.doc_id // 13) % 12 AS INT) AS idx
+       |  FROM base b, UNNEST(range(0, 14)) AS t(k)
+       |), words AS (
+       |  SELECT doc_id, k,
+       |    CASE CAST(doc_id % 10 AS INT)
+       |      $wordCase END AS w
+       |  FROM wk
+       |), txt AS (
+       |  SELECT doc_id, string_agg(w, ' ' ORDER BY k) AS text
+       |  FROM words GROUP BY doc_id
+       |), pad AS (
+       |  SELECT doc_id, ' ' || text || ' ' AS p,
+       |    GREATEST(CAST(LENGTH(' ' || text || ' ') AS DOUBLE), 1.0) AS n
+       |  FROM txt
+       |), f AS (
+       |  SELECT doc_id,
+       |    $featExprs
+       |  FROM pad
+       |), sc AS (
+       |  SELECT doc_id,
+       |    $heads
+       |  FROM f
+       |)
+       |SELECT doc_id,
+       |  ${graft.ext.LangId.sqlClassifyCase(scoreCols)} AS lang_pred,
+       |  ROUND(s_ru, 6) + 0 AS s_ru, ROUND(s_ar, 6) + 0 AS s_ar,
+       |  ROUND(s_zh, 6) + 0 AS s_zh, ROUND(s_ja, 6) + 0 AS s_ja,
+       |  ROUND(s_ko, 6) + 0 AS s_ko
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------- q167: WebM/Matroska subtitle tracks (round 13) — the
+  // q160 cue corpus inside S_TEXT tracks (the second-most-common
+  // container in scraped corpora): S_TEXT/UTF8 on even ids,
+  // S_TEXT/WEBVTT (the public Matroska storage layout: settings /
+  // identifier / text lines) on odd; per-cue clusters vs one cluster
+  // with relative block timestamps by id/2. PURE TEXT — no codec
+  // work — and the oracle is q160's arithmetic unchanged, so a
+  // defect in the EBML walk, track selection, cluster/relative
+  // timing, the storage-layout split, or text cleaning breaks the
+  // hash.
+  private def q167(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    val d = col("doc_id")
+    val cues = gb.column(graft.fn.WebmSubtitleCues(graft.fn.WebmSubtitleSynth(
+      gb.expression(d.cast("long")))))
+    Tables.tbl(s, dir, "documents").select(d)
+      .where(d < 4000)
+      .select(d, posexplode(cues).as(Seq("cue_idx", "__c")))
+      .select(d, col("cue_idx"),
+        col("__c.start_ms").as("start_ms"),
+        col("__c.end_ms").as("end_ms"),
+        col("__c.text").as("text"))
+      .orderBy(d, col("cue_idx"))
+  }
+
+  // ---------- q168: WebM block index (round 13) — container triage
+  // parity with the MP4 side's stss/stsz walk: SimpleBlock
+  // timestamps (cluster base + relative), keyframe flags, and frame
+  // sizes with NO codec work. The fixture splits clusters every 3
+  // blocks, so a reader that drops cluster bases or misreads the
+  // signed relative timestamp breaks the hash.
+  private def q168(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    val d = col("doc_id")
+    val blocks = gb.column(graft.fn.WebmBlockIndex(graft.fn.WebmBlockSynth(
+      gb.expression(d.cast("long"))), maxN = 64))
+    Tables.tbl(s, dir, "documents").select(d)
+      .where(d < 4000)
+      .select(d, posexplode(blocks).as(Seq("block_idx", "__b")))
+      .select(d, col("block_idx"),
+        col("__b.track").as("track"),
+        col("__b.t_ms").as("t_ms"),
+        col("__b.keyframe").as("keyframe"),
+        col("__b.size").as("size"))
+      .orderBy(d, col("block_idx"))
+  }
+
+  private val q168Sql =
+    """WITH ids AS (
+      |  SELECT doc_id, 4 + doc_id % 5 AS n
+      |  FROM documents WHERE doc_id < 4000
+      |)
+      |SELECT doc_id, CAST(t.j AS INT) AS block_idx,
+      |  CAST(1 AS BIGINT) AS track,
+      |  250 * t.j AS t_ms,
+      |  CAST(CASE WHEN t.j % 4 = 0 THEN 1 ELSE 0 END AS INT) AS keyframe,
+      |  10 + (doc_id + t.j) % 17 AS size
+      |FROM ids, UNNEST(range(0, n)) AS t(j)
+      |ORDER BY doc_id, block_idx""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q163_video_elst_pts" -> (q163 _),
     "q164_clip_elst" -> (q164 _),
-    "q165_mp4_ttml" -> (q165 _))
+    "q165_mp4_ttml" -> (q165 _),
+    "q166_lang_breadth" -> (q166 _),
+    "q167_webm_subtitles" -> (q167 _),
+    "q168_webm_blocks" -> (q168 _))
 
   val oracles: Map[String, String] = Map(
     "q163_video_elst_pts" -> q163Sql,
     "q164_clip_elst" -> q164Sql,
-    // stpp carriage twin: SAME arithmetic as the standalone corpus
-    "q165_mp4_ttml" -> q165Sql)
+    // stpp/WebM carriage twins: SAME arithmetic as the standalone corpus
+    "q165_mp4_ttml" -> q165Sql,
+    "q166_lang_breadth" -> q166Sql,
+    "q167_webm_subtitles" -> q165Sql,
+    "q168_webm_blocks" -> q168Sql)
 }

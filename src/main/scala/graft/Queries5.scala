@@ -160,7 +160,48 @@ object Queries5 extends ColumnSyntax {
       (i + 3000L, webp((x, y) =>
         scene(i)(x, y) + (if ((x * 31 + y * 17) % 29 == 0) 2 else 0)))
     }
-    s.createDataFrame(originals ++ copies ++ webpTwins ++ webpNear)
+    // EXIF plants (round 13): the same scenes stored PRE-ROTATED as
+    // camera JPEGs whose APP1 orientation tag (2..8, all seven
+    // non-identity transforms) says how to display them — dHash is
+    // not rotation-invariant, so these pair with their PNG originals
+    // ONLY if the decode normalizes orientation before hashing.
+    def jpegExif(px: (Int, Int) => Int, orientation: Int): Array[Byte] = {
+      // stored plane = the inverse transform of the displayed scene
+      val inv = orientation match { case 6 => 8; case 8 => 6; case o => o }
+      val scenePlane = Array.tabulate(48 * 32)(p => px(p % 48, p / 48).toDouble)
+      val (st, sw, sh) = graft.ext.Images.orientGray(scenePlane, 48, 32, inv)
+      val img = new java.awt.image.BufferedImage(
+        sw, sh, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      var y = 0
+      while (y < sh) {
+        var x = 0
+        while (x < sw) {
+          img.getRaster.setSample(x, y, 0, st(y * sw + x).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", baos)
+      val jpg = baos.toByteArray
+      // splice a minimal APP1 Exif segment (little-endian TIFF, one
+      // IFD0 entry: tag 0x0112 SHORT = orientation) right after SOI
+      val tiff = Array[Int](
+        'I', 'I', 0x2A, 0, 8, 0, 0, 0, // header + IFD0 at offset 8
+        1, 0, // one entry
+        0x12, 0x01, 3, 0, 1, 0, 0, 0, orientation, 0, 0, 0,
+        0, 0, 0, 0 // next IFD: none
+      ).map(_.toByte)
+      val payload = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ tiff
+      val len = payload.length + 2
+      val app1 = Array[Byte](0xFF.toByte, 0xE1.toByte,
+        ((len >> 8) & 0xFF).toByte, (len & 0xFF).toByte) ++ payload
+      jpg.take(2) ++ app1 ++ jpg.drop(2)
+    }
+    val exifTwins = (60 until 74).map { i =>
+      (i + 4000L, jpegExif(scene(i), 2 + (i % 7)))
+    }
+    s.createDataFrame(originals ++ copies ++ webpTwins ++ webpNear ++ exifTwins)
       .toDF("img_id", "content")
       .repartition(8)
   }
@@ -169,7 +210,7 @@ object Queries5 extends ColumnSyntax {
     graft.ext.Images.nearDupImagePairs(q84Assets(s), "img_id", maxHamming = 3)
       .withColumn("planted",
         ($"b_id" - $"a_id" === 1000L || $"b_id" - $"a_id" === 2000L ||
-         $"b_id" - $"a_id" === 3000L).cast("int"))
+         $"b_id" - $"a_id" === 3000L || $"b_id" - $"a_id" === 4000L).cast("int"))
       .orderBy($"a_id", $"b_id")
 
   /** q84p — q84's PAIR stage under the hash gate (VERDICT r6 item 5):

@@ -232,7 +232,7 @@ object Gif {
     * Returns exactly `outLen` palette indices or null (truncated
     * stream, bad code, dictionary overflow).
     */
-  private def lzwDecode(data: Array[Byte], minCodeSize: Int, outLen: Int): Array[Byte] = {
+  private[graft] def lzwDecode(data: Array[Byte], minCodeSize: Int, outLen: Int): Array[Byte] = {
     val clear = 1 << minCodeSize
     val eoi = clear + 1
     val prefix = new Array[Int](4096)

@@ -53,7 +53,10 @@ object Images {
         System.arraycopy(lp.plane, y * lp.planeW, g, y * lp.w, lp.w)
         y += 1
       }
-      (g, lp.w, lp.h)
+      // EXIF orientation normalization (round 13): cameras store the
+      // sensor plane + a rotation tag; dHash is not rotation-
+      // invariant, so fingerprints must hash the DISPLAYED image
+      orientGray(g, lp.w, lp.h, Jpeg.exifOrientation(bytes))
     } else if (bytes(0) == 'B' && bytes(1) == 'M') {
       Bmp.decodeGrayOrNull(bytes) // uncompressed DIB (round 8)
     } else if ((bytes(0) == 'I' && bytes(1) == 'I') ||
@@ -66,6 +69,39 @@ object Images {
         bytes(10) == 'B' && bytes(11) == 'P') {
       WebpVp8l.decodeGrayOrNull(bytes) // WebP lossless (round 12); lossy → null
     } else null
+  }
+
+  /** Apply an EXIF orientation (1..8) to a row-major gray plane —
+    * the standard eight transforms (identity, mirrors, 90/180/270
+    * rotations, transpose/transverse); 0 and 1 are identity.
+    * Returns (plane, w, h) with dims swapped for the 90°-family.
+    */
+  def orientGray(g: Array[Double], w: Int, h: Int,
+                 orientation: Int): (Array[Double], Int, Int) = {
+    if (orientation <= 1) return (g, w, h)
+    val swap = orientation >= 5
+    val (tw, th) = if (swap) (h, w) else (w, h)
+    val out = new Array[Double](w * h)
+    var y = 0
+    while (y < th) {
+      var x = 0
+      while (x < tw) {
+        // source pixel of destination (x, y)
+        val (sx, sy) = orientation match {
+          case 2 => (w - 1 - x, y)          // mirror horizontal
+          case 3 => (w - 1 - x, h - 1 - y)  // rotate 180
+          case 4 => (x, h - 1 - y)          // mirror vertical
+          case 5 => (y, x)                  // transpose
+          case 6 => (y, h - 1 - x)          // rotate 90 CW
+          case 7 => (w - 1 - y, h - 1 - x)  // transverse
+          case _ => (w - 1 - y, x)          // 8: rotate 270 CW
+        }
+        out(y * tw + x) = g(sy * w + sx)
+        x += 1
+      }
+      y += 1
+    }
+    (out, tw, th)
   }
 
   /** Exact fractional box-filter resize of a row-major gray plane:

@@ -102,6 +102,72 @@ object Jpeg {
     }
   }
 
+  /** EXIF orientation (tag 0x0112 of IFD0 inside the APP1 "Exif"
+    * segment) — 1..8, or 0 when absent/malformed. Round 13: dHash is
+    * not rotation-invariant, so a camera image and its EXIF-rotated
+    * twin miss as near-dups unless the decode normalizes; the tag
+    * parse is a plain marker walk + TIFF IFD scan (both endians),
+    * never a throw.
+    */
+  def exifOrientation(bytes: Array[Byte]): Int = {
+    try {
+      if (bytes == null || bytes.length < 4) return 0
+      if ((bytes(0) & 0xFF) != 0xFF || (bytes(1) & 0xFF) != 0xD8) return 0
+      def u16be(o: Int): Int = ((bytes(o) & 0xFF) << 8) | (bytes(o + 1) & 0xFF)
+      var off = 2
+      while (off + 4 <= bytes.length) {
+        if ((bytes(off) & 0xFF) != 0xFF) return 0
+        val marker = bytes(off + 1) & 0xFF
+        if (marker == 0xD9 || marker == 0xDA) return 0 // EOI / SOS: no APP1
+        if (marker >= 0xD0 && marker <= 0xD7 || marker == 0x01) { off += 2 }
+        else {
+          val len = u16be(off + 2)
+          if (len < 2 || off + 2 + len > bytes.length) return 0
+          if (marker == 0xE1 && len >= 16 &&
+              bytes(off + 4) == 'E' && bytes(off + 5) == 'x' &&
+              bytes(off + 6) == 'i' && bytes(off + 7) == 'f' &&
+              bytes(off + 8) == 0 && bytes(off + 9) == 0) {
+            // TIFF header at tiff0: II*\0 or MM\0*
+            val tiff0 = off + 10
+            val end = off + 2 + len
+            if (tiff0 + 8 > end) return 0
+            val le =
+              if (bytes(tiff0) == 'I' && bytes(tiff0 + 1) == 'I') true
+              else if (bytes(tiff0) == 'M' && bytes(tiff0 + 1) == 'M') false
+              else return 0
+            def u16(o: Int): Int =
+              if (le) (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+              else ((bytes(o) & 0xFF) << 8) | (bytes(o + 1) & 0xFF)
+            def u32(o: Int): Long =
+              if (le) (bytes(o) & 0xFFL) | ((bytes(o + 1) & 0xFFL) << 8) |
+                ((bytes(o + 2) & 0xFFL) << 16) | ((bytes(o + 3) & 0xFFL) << 24)
+              else ((bytes(o) & 0xFFL) << 24) | ((bytes(o + 1) & 0xFFL) << 16) |
+                ((bytes(o + 2) & 0xFFL) << 8) | (bytes(o + 3) & 0xFFL)
+            if (u16(tiff0 + 2) != 42) return 0
+            val ifd0 = tiff0 + u32(tiff0 + 4)
+            if (ifd0 < tiff0 || ifd0 + 2 > end) return 0
+            val n = u16(ifd0.toInt)
+            var i = 0
+            while (i < n) {
+              val e = ifd0.toInt + 2 + 12 * i
+              if (e + 12 > end) return 0
+              if (u16(e) == 0x0112 && u16(e + 2) == 3) { // SHORT
+                val v = u16(e + 8) // value fits inline
+                return if (v >= 1 && v <= 8) v else 0
+              }
+              i += 1
+            }
+            return 0
+          }
+          off += 2 + len
+        }
+      }
+      0
+    } catch {
+      case scala.util.control.NonFatal(_) => 0
+    }
+  }
+
   /** Decoded Y plane (w×h, values [0,255]) or null. */
   def decodeLuma(bytes: Array[Byte]): LumaPlane = {
     if (bytes == null || bytes.length < 4) return null

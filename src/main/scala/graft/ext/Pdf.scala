@@ -20,9 +20,11 @@ import scala.util.control.NonFatal
   *   - cross-reference STREAMS (`/Type/XRef`, `/W`/`/Index`, type-0/1/2
   *     rows) and object streams (`/Type/ObjStm`, `/N`/`/First`) — the
   *     PDF 1.5+ layout that dominates the modern web
-  *   - FlateDecode (JDK Inflater) with `/DecodeParms` PNG predictors
-  *     10–15 (Sub/Up/Average/Paeth row unfiltering) and TIFF
-  *     predictor 2 at 8 bits per component
+  *   - FlateDecode (JDK Inflater) and LZWDecode (round 13: the TIFF
+  *     LZW variant — MSB-first codes, EarlyChange, ClearTable/EOD —
+  *     what scanned-PDF producers emit), both with `/DecodeParms`
+  *     PNG predictors 10–15 (Sub/Up/Average/Paeth row unfiltering)
+  *     and TIFF predictor 2 at 8 bits per component
   *   - the document tree: trailer → `/Root` → `/Pages` → `/Kids`
   *     recursion with `/Resources` inheritance, `/Contents` as a
   *     stream or an array of streams (concatenated per spec)
@@ -309,6 +311,62 @@ object Pdf {
         if (inf.needsInput() || inf.needsDictionary()) sys.error("bad deflate")
       } else out.write(buf, 0, n)
       if (out.size > MaxInflate) sys.error("inflate bound")
+    }
+    out.toByteArray
+  }
+
+  /** LZWDecode (ISO 32000-1 §7.4.4 — the TIFF LZW variant): MSB-first
+    * bit packing, 9-bit initial codes, 256 = ClearTable, 257 = EOD,
+    * new entries from 258, width grows 9→12 one code EARLY when
+    * `earlyChange` = 1 (the default; scanned-PDF producers emit it).
+    * Decoded with the standard KwKwK rule (code == next ⇒ prev +
+    * prev[0]); any other out-of-table code is malformed. Bounded by
+    * [[MaxInflate]] like the Flate path.
+    */
+  private[graft] def lzwDecode(in: Array[Byte], earlyChange: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(in.length * 3)
+    var bitPos = 0
+    val nBits = in.length * 8
+    def read(width: Int): Int = {
+      if (bitPos + width > nBits) return -1
+      var v = 0
+      var i = 0
+      while (i < width) {
+        v = (v << 1) | ((in(bitPos >> 3) >> (7 - (bitPos & 7))) & 1)
+        bitPos += 1
+        i += 1
+      }
+      v
+    }
+    val table = new Array[Array[Byte]](4096)
+    var i = 0
+    while (i < 256) { table(i) = Array(i.toByte); i += 1 }
+    var next = 258
+    var width = 9
+    var prev: Array[Byte] = null
+    var done = false
+    while (!done) {
+      val code = read(width)
+      if (code < 0 || code == 257) done = true // EOD (or data exhausted)
+      else if (code == 256) { // ClearTable
+        next = 258
+        width = 9
+        prev = null
+      } else {
+        val entry =
+          if (code < 256) table(code)
+          else if (code < next && table(code) != null) table(code)
+          else if (code == next && prev != null) prev :+ prev(0)
+          else sys.error("bad lzw code")
+        out.write(entry, 0, entry.length)
+        if (out.size > MaxInflate) sys.error("lzw bound")
+        if (prev != null && next < 4096) {
+          table(next) = prev :+ entry(0)
+          next += 1
+        }
+        prev = entry
+        if (width < 12 && next + earlyChange >= (1 << width)) width += 1
+      }
     }
     out.toByteArray
   }
@@ -604,20 +662,26 @@ object Pdf {
         case _ => sys.error("bad /DecodeParms")
       }
       var data = raw
+      def parmNum(pm: Option[PDict], k: String, dflt: Int): Int =
+        pm.flatMap(_.m.get(k)) match {
+          case Some(PNum(v)) => v.toInt
+          case Some(r: PRef) => deref(r, 0) match {
+            case PNum(v) => v.toInt; case _ => dflt
+          }
+          case _ => dflt
+        }
+      def applyPredictor(pm: Option[PDict]): Unit =
+        if (pm.isDefined)
+          data = unpredict(data, parmNum(pm, "Predictor", 1),
+            parmNum(pm, "Columns", 1), parmNum(pm, "Colors", 1),
+            parmNum(pm, "BitsPerComponent", 8))
       filters.zip(parms).foreach {
         case ("FlateDecode" | "Fl", pm) =>
           data = inflate(data)
-          pm.foreach { d =>
-            def num(k: String, dflt: Int) = d.m.get(k) match {
-              case Some(PNum(v)) => v.toInt
-              case Some(r: PRef) => deref(r, 0) match {
-                case PNum(v) => v.toInt; case _ => dflt
-              }
-              case _ => dflt
-            }
-            data = unpredict(data, num("Predictor", 1), num("Columns", 1),
-              num("Colors", 1), num("BitsPerComponent", 8))
-          }
+          applyPredictor(pm)
+        case ("LZWDecode" | "LZW", pm) =>
+          data = lzwDecode(data, parmNum(pm, "EarlyChange", 1))
+          applyPredictor(pm)
         case (other, _) => sys.error(s"unsupported filter $other")
       }
       data

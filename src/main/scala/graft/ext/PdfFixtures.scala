@@ -14,9 +14,12 @@ import scala.collection.mutable
   *      WinAnsiEncoding with high-byte text (é = \351, € = \200) and
   *      octal escapes — gates the classic table walk, the literal-
   *      string parser, the WinAnsi table, and the page tree
-  *   1. classic xref + FlateDecode content, TJ kerning arrays with
-  *      gaps on both sides of the −200 word-gap threshold, escaped
-  *      parens + octal \101 — gates inflate and TJ semantics
+  *   1. classic xref + compressed content (FlateDecode; round 13:
+  *      ids ≡ 5 (mod 8) route through LZWDecode — the scanned-PDF
+  *      filter — with the same text closed forms), TJ kerning arrays
+  *      with gaps on both sides of the −200 word-gap threshold,
+  *      escaped parens + octal \101 — gates inflate, LZW, and TJ
+  *      semantics
   *   2. PDF 1.5 layout: cross-reference STREAM (/W [1 4 2],
   *      /Predictor 12 PNG-Up) + object stream holding the document
   *      dicts + a Type0/Identity-H font with a /ToUnicode CMap
@@ -124,8 +127,89 @@ object PdfFixtures {
     val content =
       s"BT /F1 12 Tf 72 720 Td (Doc $id \\(\\101\\)) Tj " +
         s"0 -14 TD [ (kern) -150 (ed) -250 (text ${id % 5}) ] TJ ET"
-    b.streamObj(5, "/Filter /FlateDecode ", flate(content.getBytes(Latin1)))
+    // round 13: half of this variant routes through LZWDecode (the
+    // scanned-PDF filter) — same text closed forms, so the q151
+    // oracle is untouched while the LZW arm joins the hash gate
+    if (id % 8 == 5)
+      b.streamObj(5, "/Filter /LZWDecode ", lzw(content.getBytes(Latin1)))
+    else
+      b.streamObj(5, "/Filter /FlateDecode ", flate(content.getBytes(Latin1)))
     b.finish(1)
+  }
+
+  /** TIFF-variant LZW ENCODER (ISO 32000-1 §7.4.4 semantics):
+    * leading ClearTable, trailing EOD, codes from 258, width 9→12
+    * (`earlyChange` = 1 widens one code early, the PDF default) —
+    * the test side of [[Pdf]]'s round-13 decoder and the generator
+    * for the q151 LZW arm. `msb = false` packs the SAME code stream
+    * LSB-first, which with an 8-bit root alphabet is byte-exact GIF
+    * LZW — the in-repo cross-validator ([[Gif]]'s independently
+    * golden-validated decoder replays it; PdfSpec does exactly
+    * that). Emits ClearTable when the table fills.
+    */
+  private[graft] def lzw(data: Array[Byte], earlyChange: Int = 1,
+                         msb: Boolean = true): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var cur = 0L
+    var curBits = 0
+    var width = 9
+    def emit(code: Int): Unit = {
+      if (msb) cur = (cur << width) | code
+      else cur = cur | (code.toLong << curBits)
+      curBits += width
+      while (curBits >= 8) {
+        if (msb) out.write(((cur >> (curBits - 8)) & 0xFF).toInt)
+        else { out.write((cur & 0xFF).toInt); cur >>= 8 }
+        curBits -= 8
+      }
+    }
+    val table = mutable.HashMap.empty[Seq[Byte], Int]
+    def reset(): Unit = {
+      table.clear()
+      var i = 0
+      while (i < 256) { table(Seq(i.toByte)) = i; i += 1 }
+    }
+    reset()
+    var next = 258
+    emit(256) // leading ClearTable (the spec example's shape)
+    var i = 0
+    while (i < data.length) {
+      // longest match starting at i
+      var j = i + 1
+      var seq: Seq[Byte] = Seq(data(i))
+      var code = table(seq)
+      while (j < data.length && table.contains(seq :+ data(j))) {
+        seq = seq :+ data(j)
+        code = table(seq)
+        j += 1
+      }
+      emit(code)
+      if (j < data.length) {
+        if (next < 4096 - 1) {
+          table(seq :+ data(j)) = next
+          next += 1
+          // width must match what the DECODER uses for the next code:
+          // its delayed insert leaves its table ONE entry behind ours
+          // at every code position, hence the −1 (earlyChange shifts
+          // the boundary the other way; the GIF cross-validation in
+          // PdfSpec pins this alignment against the independent
+          // decoder)
+          if (width < 12 && next - 1 + earlyChange >= (1 << width)) width += 1
+        } else {
+          emit(256) // table full: clear
+          reset()
+          next = 258
+          width = 9
+        }
+      }
+      i = j
+    }
+    emit(257) // EOD
+    if (curBits > 0) {
+      if (msb) out.write(((cur << (8 - curBits)) & 0xFF).toInt)
+      else out.write((cur & 0xFF).toInt)
+    }
+    out.toByteArray
   }
 
   /** PNG Up (tag 2) forward filter for the xref stream rows. */

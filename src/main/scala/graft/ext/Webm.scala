@@ -90,6 +90,7 @@ object Webm {
   private val DurationId = 0x4489L
   private val TrackEntry = 0xAEL
   private val TrackType = 0x83L
+  private val TrackNumber = 0xD7L
   private val CodecId = 0x86L
   private val VideoEl = 0xE0L
   private val AudioEl = 0xE1L
@@ -98,6 +99,12 @@ object Webm {
   private val SamplingFrequency = 0xB5L
   private val Channels = 0x9FL
   private val DocType = 0x4282L
+  private val Cluster = 0x1F43B675L
+  private val ClusterTimestamp = 0xE7L
+  private val SimpleBlock = 0xA3L
+  private val BlockGroup = 0xA0L
+  private val BlockEl = 0xA1L
+  private val BlockDuration = 0x9BL
 
   /** Typed metadata of a WebM/Matroska payload, or null:
     * (docType, durationSec, videoCodec, width, height, audioCodec,
@@ -152,6 +159,178 @@ object Webm {
         }
       }
       (docType, durationSec, vCodec, w, h, aCodec, rate, ch)
+    } catch {
+      case scala.util.control.NonFatal(_) => null
+    }
+  }
+
+  // ------------------- block walk (round 13: triage parity with MP4)
+
+  /** One block: track number, presentation time (ms), keyframe flag,
+    * FRAME byte size (payload after the block header).
+    */
+  final case class Block(track: Long, tMs: Long, keyframe: Boolean,
+                         size: Long, off: Long)
+
+  /** (tsScale, segStart, segEnd) or null — the cluster walks share
+    * this prologue.
+    */
+  private def segmentInfo(bytes: Array[Byte]): (Long, Long, Long) = {
+    if (bytes == null || bytes.length < 8) return null
+    val header = find(bytes, 0, bytes.length, Ebml).getOrElse(return null)
+    val seg = find(bytes, header._2, bytes.length, Segment).getOrElse(return null)
+    var tsScale = 1000000L
+    find(bytes, seg._1, seg._2, Info).foreach { case (is, ie) =>
+      find(bytes, is, ie, TimestampScale).foreach { case (s, e) =>
+        tsScale = uint(bytes, s, e)
+      }
+    }
+    if (tsScale <= 0) return null
+    (tsScale, seg._1, seg._2)
+  }
+
+  /** Parse one (Simple)Block header at [s, e): (track, relTs, flags,
+    * payloadStart) or null. Only non-laced blocks are in subset
+    * (lacing bits 0x06 must be 0) — every subtitle block and the
+    * overwhelming majority of video blocks.
+    */
+  private def blockHeader(b: Array[Byte], s: Long, e: Long): (Long, Int, Int, Long) = {
+    if (s >= e) return null
+    val first = b(s.toInt) & 0xFF
+    if (first == 0) return null
+    val len = Integer.numberOfLeadingZeros(first) - 24 + 1
+    if (len < 1 || len > 8 || s + len + 3 > e) return null
+    var track: Long = first & ((1 << (8 - len)) - 1)
+    var i = 1
+    while (i < len) { track = (track << 8) | (b((s + i).toInt) & 0xFF); i += 1 }
+    val rel = (((b((s + len).toInt) & 0xFF) << 8) |
+      (b((s + len + 1).toInt) & 0xFF)).toShort.toInt
+    val flags = b((s + len + 2).toInt) & 0xFF
+    if ((flags & 0x06) != 0) return null // laced: out of subset
+    (track, rel, flags, s + len + 3)
+  }
+
+  /** Block index of a WebM/Matroska payload — (track, t_ms, keyframe,
+    * frame size) per block in storage order, or null when the payload
+    * is not EBML / carries no clusters. Keyframes: the SimpleBlock
+    * 0x80 flag; a BlockGroup block is a keyframe iff it carries no
+    * ReferenceBlock (subset: BlockGroups here are subtitle-shaped, so
+    * they report keyframe = true). The triage index an MP4's
+    * stss/stsz walk provides — no codec work.
+    */
+  def blockIndexOrNull(bytes: Array[Byte], maxN: Int): Array[Block] = {
+    try {
+      if (maxN < 1) return null
+      val si = segmentInfo(bytes)
+      if (si == null) return null
+      val (tsScale, ss, se) = si
+      val out = new scala.collection.mutable.ArrayBuffer[Block]()
+      elements(bytes, ss, se).foreach {
+        case (Cluster, cs, ce) if out.length < maxN =>
+          var base = 0L
+          elements(bytes, cs, ce).foreach {
+            case (ClusterTimestamp, s, e) => base = uint(bytes, s, e)
+            case (SimpleBlock, s, e) if out.length < maxN =>
+              val h = blockHeader(bytes, s, e)
+              if (h != null)
+                out += Block(h._1, (base + h._2) * tsScale / 1000000L,
+                  (h._3 & 0x80) != 0, e - h._4, h._4)
+            case (BlockGroup, gs, ge) if out.length < maxN =>
+              find(bytes, gs, ge, BlockEl).foreach { case (s, e) =>
+                val h = blockHeader(bytes, s, e)
+                if (h != null)
+                  out += Block(h._1, (base + h._2) * tsScale / 1000000L,
+                    keyframe = true, e - h._4, h._4)
+              }
+            case _ => ()
+          }
+        case _ => ()
+      }
+      if (out.isEmpty) null else out.toArray
+    } catch {
+      case scala.util.control.NonFatal(_) => null
+    }
+  }
+
+  /** Subtitle cues out of a WebM/Matroska payload — the S_TEXT
+    * tracks are PURE TEXT, no codec work (the round-12 verdict's
+    * point): S_TEXT/UTF8 blocks carry the cue text directly (SRT-ish
+    * inline tags cleaned by the [[Subtitles]] contract);
+    * S_TEXT/WEBVTT blocks use the public Matroska WebVTT storage
+    * layout (line 1 = cue settings, line 2 = cue identifier, the
+    * rest = cue text). Timing: cluster timestamp + block relative
+    * timestamp (ticks of TimestampScale ns → ms), end from
+    * BlockGroup's BlockDuration (start == end for duration-less
+    * SimpleBlocks). Returns (start_ms, end_ms, text) rows in storage
+    * order, or null when no S_TEXT track exists.
+    */
+  def subtitleCuesOrNull(bytes: Array[Byte], maxN: Int): Array[(Long, Long, String)] = {
+    try {
+      if (maxN < 1) return null
+      val si = segmentInfo(bytes)
+      if (si == null) return null
+      val (tsScale, ss, se) = si
+      // subtitle track: type 0x11, an S_TEXT codec id
+      var subTrack = -1L
+      var isVtt = false
+      find(bytes, ss, se, Tracks).foreach { case (ts, te) =>
+        elements(bytes, ts, te).foreach {
+          case (TrackEntry, es, ee) if subTrack < 0 =>
+            val tpe = find(bytes, es, ee, TrackType)
+              .map(p => uint(bytes, p._1, p._2)).getOrElse(0L)
+            val codec = find(bytes, es, ee, CodecId)
+              .map { case (s, e) => new String(bytes, s.toInt, (e - s).toInt, "US-ASCII") }
+              .getOrElse("")
+            if (tpe == 0x11 && codec.startsWith("S_TEXT/")) {
+              subTrack = find(bytes, es, ee, TrackNumber)
+                .map(p => uint(bytes, p._1, p._2)).getOrElse(-1L)
+              isVtt = codec == "S_TEXT/WEBVTT"
+            }
+          case _ => ()
+        }
+      }
+      if (subTrack < 0) return null
+      def toMs(ticks: Long): Long = ticks * tsScale / 1000000L
+      def cueText(b: Array[Byte], s: Long, e: Long): String = {
+        val raw = new String(b, s.toInt, (e - s).toInt, "UTF-8")
+        val body =
+          if (isVtt) {
+            // Matroska WebVTT storage: settings \n identifier \n text
+            val lines = raw.split("\n", 3)
+            if (lines.length == 3) lines(2) else lines.last
+          } else raw
+        Subtitles.cleanText(body)
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, String)]()
+      elements(bytes, ss, se).foreach {
+        case (Cluster, cs, ce) if out.length < maxN =>
+          var base = 0L
+          elements(bytes, cs, ce).foreach {
+            case (ClusterTimestamp, s, e) => base = uint(bytes, s, e)
+            case (SimpleBlock, s, e) if out.length < maxN =>
+              val h = blockHeader(bytes, s, e)
+              if (h != null && h._1 == subTrack) {
+                val t0 = toMs(base + h._2)
+                val txt = cueText(bytes, h._4, e)
+                if (txt.nonEmpty) out += ((t0, t0, txt))
+              }
+            case (BlockGroup, gs, ge) if out.length < maxN =>
+              val blk = find(bytes, gs, ge, BlockEl).orNull
+              if (blk != null) {
+                val h = blockHeader(bytes, blk._1, blk._2)
+                if (h != null && h._1 == subTrack) {
+                  val dur = find(bytes, gs, ge, BlockDuration)
+                    .map(p => uint(bytes, p._1, p._2)).getOrElse(0L)
+                  val t0 = toMs(base + h._2)
+                  val txt = cueText(bytes, h._4, blk._2)
+                  if (txt.nonEmpty) out += ((t0, t0 + toMs(dur), txt))
+                }
+              }
+            case _ => ()
+          }
+        case _ => ()
+      }
+      if (out.isEmpty) null else out.toArray
     } catch {
       case scala.util.control.NonFatal(_) => null
     }

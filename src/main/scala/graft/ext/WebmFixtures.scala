@@ -1,0 +1,161 @@
+package graft.ext
+
+/** Deterministic WebM/Matroska corpus for q167/q168 (the
+  * SubtitleFixtures pattern): a minimal EBML writer (RFC 8794
+  * encoding — element IDs written with their marker bits, sizes as
+  * minimal VINTs) emitting files whose every block/cue parameter is
+  * id arithmetic mirrored by the oracle SQL.
+  */
+object WebmFixtures {
+
+  // ------------------------------------------- EBML writer
+
+  /** Element ID as stored (marker bit included): minimal big-endian
+    * bytes.
+    */
+  private def idBytes(id: Long): Array[Byte] = {
+    var n = 1
+    while (n < 8 && (id >>> (8 * n)) != 0) n += 1
+    Array.tabulate(n)(i => ((id >>> (8 * (n - 1 - i))) & 0xFF).toByte)
+  }
+
+  /** Size as a VINT (marker in the leading byte). */
+  private def vint(v: Long): Array[Byte] = {
+    var n = 1
+    while (n < 8 && v >= (1L << (7 * n)) - 1) n += 1
+    val marked = v | (1L << (7 * n))
+    Array.tabulate(n)(i => ((marked >>> (8 * (n - 1 - i))) & 0xFF).toByte)
+  }
+
+  private def el(id: Long, payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatten.toArray
+    idBytes(id) ++ vint(body.length.toLong) ++ body
+  }
+
+  /** Unsigned integer payload: minimal big-endian, ≥ 1 byte. */
+  private def uintBytes(v: Long): Array[Byte] = {
+    var n = 1
+    while (n < 8 && (v >>> (8 * n)) != 0) n += 1
+    Array.tabulate(n)(i => ((v >>> (8 * (n - 1 - i))) & 0xFF).toByte)
+  }
+
+  // element IDs (the registry subset the reader walks)
+  private val Ebml = 0x1A45DFA3L
+  private val DocType = 0x4282L
+  private val Segment = 0x18538067L
+  private val Info = 0x1549A966L
+  private val TimestampScale = 0x2AD7B1L
+  private val Tracks = 0x1654AE6BL
+  private val TrackEntry = 0xAEL
+  private val TrackNumber = 0xD7L
+  private val TrackType = 0x83L
+  private val CodecId = 0x86L
+  private val VideoEl = 0xE0L
+  private val PixelWidth = 0xB0L
+  private val PixelHeight = 0xBAL
+  private val Cluster = 0x1F43B675L
+  private val ClusterTimestamp = 0xE7L
+  private val SimpleBlockId = 0xA3L
+  private val BlockGroup = 0xA0L
+  private val BlockEl = 0xA1L
+  private val BlockDuration = 0x9BL
+
+  private def header: Array[Byte] =
+    el(Ebml, el(DocType, "webm".getBytes("US-ASCII")))
+
+  private def info: Array[Byte] =
+    el(Info, el(TimestampScale, uintBytes(1000000L))) // 1 ms ticks
+
+  /** (Simple)Block body: VINT track, s16 relative timestamp, flags,
+    * frame payload (no lacing).
+    */
+  private def blockBody(track: Long, relTs: Int, flags: Int,
+                        frame: Array[Byte]): Array[Byte] =
+    vint(track) ++ Array(((relTs >> 8) & 0xFF).toByte, (relTs & 0xFF).toByte,
+      flags.toByte) ++ frame
+
+  // ------------------------------------------- q167: subtitle cues
+
+  /** WebM carrying the q160 cue corpus in an S_TEXT subtitle track
+    * (track 2, after a VP9 video track entry the selector must skip):
+    * S_TEXT/UTF8 on even ids (payload = raw cue text), S_TEXT/WEBVTT
+    * on odd (the public Matroska WebVTT storage: settings \n
+    * identifier \n text). Cluster layout alternates by id/2 parity:
+    * one cluster PER CUE (cluster ts = cue start, rel 0) vs one
+    * cluster for the file (rel = cue start). Cues sit in BlockGroups
+    * with BlockDuration = 1500 — exactly the standalone corpus's
+    * timeline, so the q167 oracle IS q160's arithmetic.
+    */
+  def subtitleWebm(id: Long): Array[Byte] = {
+    val n = SubtitleFixtures.nCues(id)
+    val vtt = id % 2 == 1
+    val codec = if (vtt) "S_TEXT/WEBVTT" else "S_TEXT/UTF8"
+    val tracks = el(Tracks,
+      el(TrackEntry,
+        el(TrackNumber, uintBytes(1)),
+        el(TrackType, uintBytes(1)),
+        el(CodecId, "V_VP9".getBytes("US-ASCII")),
+        el(VideoEl, el(PixelWidth, uintBytes(320)),
+          el(PixelHeight, uintBytes(240)))),
+      el(TrackEntry,
+        el(TrackNumber, uintBytes(2)),
+        el(TrackType, uintBytes(0x11)),
+        el(CodecId, codec.getBytes("US-ASCII"))))
+    def cuePayload(k: Int): Array[Byte] = {
+      val raw = SubtitleFixtures.rawText(id, k)
+      val body = if (vtt) s"align:start\nc$k\n$raw" else raw
+      body.getBytes("UTF-8")
+    }
+    def group(k: Int, relTs: Int): Array[Byte] =
+      el(BlockGroup,
+        el(BlockEl, blockBody(2, relTs, 0, cuePayload(k))),
+        el(BlockDuration, uintBytes(1500)))
+    val clusters: Seq[Array[Byte]] =
+      if ((id / 2) % 2 == 0)
+        (0 until n).map { k =>
+          el(Cluster,
+            el(ClusterTimestamp, uintBytes(SubtitleFixtures.startMs(id, k))),
+            group(k, 0))
+        }
+      else
+        Seq(el(Cluster,
+          (el(ClusterTimestamp, uintBytes(0)) +:
+            (0 until n).map(k =>
+              group(k, SubtitleFixtures.startMs(id, k).toInt))): _*))
+    header ++ el(Segment, (Seq(info, tracks) ++ clusters): _*)
+  }
+
+  // ------------------------------------------- q168: block index
+
+  def q168NBlocks(id: Long): Int = (4 + id % 5).toInt
+
+  /** WebM with a video track whose SimpleBlock timeline is pure id
+    * arithmetic — block j at t = 250·j ms, keyframe iff j % 4 == 0,
+    * frame size 10 + (id + j) % 17 — the triage shape (timestamps /
+    * keyframe flags / sizes without codec work) q168 hash-gates.
+    * Clusters split every 3 blocks; cluster ts = its first block's t.
+    */
+  def blockWebm(id: Long): Array[Byte] = {
+    val n = q168NBlocks(id)
+    val tracks = el(Tracks,
+      el(TrackEntry,
+        el(TrackNumber, uintBytes(1)),
+        el(TrackType, uintBytes(1)),
+        el(CodecId, "V_VP8".getBytes("US-ASCII")),
+        el(VideoEl, el(PixelWidth, uintBytes(640)),
+          el(PixelHeight, uintBytes(360)))))
+    val clusters = (0 until n).grouped(3).map { grp =>
+      val base = 250L * grp.head
+      el(Cluster,
+        (el(ClusterTimestamp, uintBytes(base)) +:
+          grp.map { j =>
+            val size = (10 + (id + j) % 17).toInt
+            val frame = Array.tabulate(size)(i => ((id + j * 31 + i) & 0xFF).toByte)
+            el(SimpleBlockId,
+              blockBody(1, (250L * j - base).toInt,
+                if (j % 4 == 0) 0x80 else 0x00, frame))
+          }): _*)
+    }.toSeq
+    header ++ el(Segment, (Seq(info, tracks) ++ clusters): _*)
+  }
+}

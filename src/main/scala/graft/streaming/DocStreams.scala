@@ -495,6 +495,56 @@ object DocStreams {
       .select(col("doc_id"), unix_micros(col("ts_t")).as("ts"), col("text"),
         col("lang_pred"))
 
+  /** Streaming SUBTITLE-TEXT gate (round 13, VERDICT r12 item 6) —
+    * the path by which streamed video corpora become TRAINING TEXT:
+    * subtitle payloads route by a container sniff (codegen substring
+    * — `ftyp` → the MP4 wvtt/stpp walk, the EBML magic → the WebM
+    * S_TEXT walk, else standalone WebVTT/SRT/TTML bytes through
+    * `charset_decode`, since standalone files arrive in legacy
+    * encodings while container payloads are UTF-8 by spec), extract
+    * to cues, and each cue lands as one text row with the stateless
+    * language-ID appended. EVERY kernel is a per-row codegen
+    * Expression — no state store, no watermark, no shuffle — so
+    * stream plan ≡ batch plan (the q162 batch composition is the
+    * template; DocStreamsSpec asserts parity over all three
+    * carriages).
+    *
+    * Contract: docs (doc_id: long, ts: long nanos, content: binary,
+    * charset: string label for the standalone arm) → cues (doc_id,
+    * ts micros, cue_idx, start_ms, end_ms, text, lang_pred).
+    * `keepLangs` non-empty filters to those languages ("none" rows
+    * drop unless listed).
+    */
+  def subtitleGate(docs: DataFrame, keepLangs: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    val c = col("content")
+    val isMp4 = substring(c, 5, 4).cast("string") === "ftyp"
+    val isWebm = hex(substring(c, 1, 4)) === "1A45DFA3"
+    val mp4Cues = gb.column(graft.fn.Mp4SubtitleCues(gb.expression(c)))
+    val webmCues = gb.column(graft.fn.WebmSubtitleCues(gb.expression(c)))
+    val dec = gb.column(graft.fn.CharsetDecode(
+      gb.expression(coalesce(col("charset"), lit("utf-8"))), gb.expression(c)))
+    val textCues = gb.column(graft.fn.SubtitleCues(
+      gb.expression(dec.getField("text"))))
+    val cues = when(isMp4, mp4Cues).when(isWebm, webmCues).otherwise(textCues)
+    val rows = docs
+      .select(col("doc_id"), EventStreams.tsCol.as("ts_t"), cues.as("__cues"))
+      .filter(col("__cues").isNotNull)
+      .select(col("doc_id"), col("ts_t"),
+        posexplode(col("__cues")).as(Seq("cue_idx", "__c")))
+      .select(col("doc_id"), col("ts_t"), col("cue_idx"),
+        col("__c.start_ms").as("start_ms"), col("__c.end_ms").as("end_ms"),
+        col("__c.text").as("text"))
+      .withColumn("lang_pred", graft.ext.LangId.classify(
+        graft.ext.LangId.features(col("text")), graft.ext.LangId.PinnedW))
+    val kept =
+      if (keepLangs.isEmpty) rows
+      else rows.filter(col("lang_pred").isin(keepLangs: _*))
+    kept.select(col("doc_id"), unix_micros(col("ts_t")).as("ts"),
+      col("cue_idx"), col("start_ms"), col("end_ms"), col("text"),
+      col("lang_pred"))
+  }
+
   /** EXACT-substring contamination gate — the [[graft.ext.SpanDedup]]
     * screen on streams: drop arriving docs whose L-char-window overlap
     * with a STATIC reference corpus (benchmark/eval suites) exceeds

@@ -999,4 +999,58 @@ class DocStreamsSpec extends SparkSpec {
     } finally q.stop()
     assert(kept === batchKept, s"stream kept=$kept vs batch=$batchKept")
   }
+
+  test("streaming subtitle gate: all three carriages + legacy encodings, stream == batch") {
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ts", LongType),
+      StructField("content", BinaryType), StructField("charset", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("subgate").toString
+    val min = 60L * 1000000000L
+    import graft.ext.SubtitleFixtures
+    // ids 1/4: standalone WebVTT in legacy encodings (shift_jis /
+    // windows-1252); 2: MP4 wvtt; 3: MP4 stpp (TTML); 6: WebM S_TEXT;
+    // 9: non-subtitle bytes (dropped)
+    spark.createDataFrame(Seq(
+        (1L, 1 * min, SubtitleFixtures.encodedDoc(1L), "shift_jis"),
+        (2L, 2 * min, SubtitleFixtures.wvttMp4(2L), null),
+        (3L, 3 * min, SubtitleFixtures.stppMp4(3L), null),
+        (4L, 4 * min, SubtitleFixtures.encodedDoc(2L), "windows-1252"),
+        (6L, 6 * min, graft.ext.WebmFixtures.subtitleWebm(6L), null),
+        (9L, 9 * min, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8), null))
+        .toDF("doc_id", "ts", "content", "charset").rdd, sch)
+      .coalesce(1).write.mode("append").parquet(dir)
+
+    val q = DocStreams.subtitleGate(
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", "1").parquet(dir))
+      .writeStream.format("memory").queryName("subgate")
+      .outputMode("append").start()
+    val streamed = try {
+      q.processAllAvailable()
+      spark.table("subgate")
+        .select($"doc_id", $"cue_idx", $"start_ms", $"end_ms", $"text")
+        .as[(Long, Int, Long, Long, String)].collect().toSet
+    } finally q.stop()
+    val batch = DocStreams.subtitleGate(spark.read.schema(sch).parquet(dir))
+      .select($"doc_id", $"cue_idx", $"start_ms", $"end_ms", $"text")
+      .as[(Long, Int, Long, Long, String)].collect().toSet
+    assert(streamed === batch, "stateless gate must be plan-identical")
+    assert(streamed.map(_._1) === Set(1L, 2L, 3L, 4L, 6L), "junk must drop")
+    // every carriage reproduces its fixture's cue arithmetic
+    for ((doc, fid) <- Seq(1L -> 1L, 2L -> 2L, 3L -> 3L, 6L -> 6L)) {
+      val got = streamed.filter(_._1 == doc).toSeq.sortBy(_._2)
+      assert(got.size === SubtitleFixtures.nCues(fid), s"doc=$doc")
+      got.zipWithIndex.foreach { case ((_, _, s0, e0, _), k) =>
+        assert(s0 === SubtitleFixtures.startMs(fid, k), s"doc=$doc k=$k")
+        assert(e0 === SubtitleFixtures.endMs(fid, k), s"doc=$doc k=$k")
+      }
+    }
+    // the i18n arm decoded through the right charset
+    val sj = streamed.filter(_._1 == 1L).map(_._5)
+    assert(sj.forall(_.contains(SubtitleFixtures.i18nWord(1L))), s"got=$sj")
+    // language-ID rode along statelessly
+    val langs = spark.table("subgate").select($"doc_id", $"lang_pred")
+      .as[(Long, String)].collect().toSet
+    assert(langs.nonEmpty && langs.forall(_._2 != null))
+  }
 }

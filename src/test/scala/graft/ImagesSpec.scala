@@ -129,10 +129,14 @@ class ImagesSpec extends SparkSpec {
     assert(first === second, "q84 pair list not deterministic across runs")
     val plantedPairs = first.filter(_._3 == 1).map(p => (p._1, p._2)).toSet
     // round 12 adds the WebP plants: cross-format twins (i, i+2000)
-    // for 40..49 and perturbed VP8L copies (i, i+3000) for 50..54
+    // for 40..49 and perturbed VP8L copies (i, i+3000) for 50..54;
+    // round 13 adds the EXIF plants: camera JPEGs stored pre-rotated
+    // with orientation tags 2..8, (i, i+4000) for 60..73 — recovered
+    // ONLY because the decode normalizes orientation before hashing
     val expected = (0L until 20L).map(i => (i, i + 1000L)).toSet ++
       (40L until 50L).map(i => (i, i + 2000L)).toSet ++
-      (50L until 55L).map(i => (i, i + 3000L)).toSet
+      (50L until 55L).map(i => (i, i + 3000L)).toSet ++
+      (60L until 74L).map(i => (i, i + 4000L)).toSet
     assert(plantedPairs === expected,
       s"planted recovery incomplete: $plantedPairs")
     // accidental pairs are allowed (near hashes among 120 scenes) but

@@ -190,7 +190,68 @@ class PdfSpec extends AnyFunSuite {
 
   test("unsupported filters null loudly (no silent garbage)") {
     val src = new String(PdfFixtures.pdf(1), L1)
-    val bad = src.replace("/Filter /FlateDecode", "/Filter /LZWDecode")
+    val bad = src.replace("/Filter /FlateDecode", "/Filter /DCTDecode")
     assert(Pdf.textOrNull(bad.getBytes(L1)) == null)
+    // a stream RELABELED as LZW is malformed LZW — null, not garbage
+    val mislabeled = src.replace("/Filter /FlateDecode", "/Filter /LZWDecode")
+    assert(Pdf.textOrNull(mislabeled.getBytes(L1)) == null)
+  }
+
+  test("LZWDecode: GIF cross-validation, round-trips, full PDFs") {
+    // CROSS-VALIDATION against the independently golden-validated
+    // [[Gif]] decoder (the one other LZW articulation in the repo):
+    // with an 8-bit root alphabet, GIF LZW and TIFF/PDF LZW share the
+    // ENTIRE code semantics (clear 256 / EOD 257 / entries from 258 /
+    // 9→12-bit growth at 512/1024/2048 / KwKwK) and differ only in
+    // bit packing (LSB vs MSB) and PDF's EarlyChange. So one encoder
+    // run at earlyChange=0 packed both ways must decode identically
+    // through BOTH decoders — a shared misconception in table
+    // semantics cannot survive two independent implementations.
+    val rnd0 = new scala.util.Random(7)
+    for (len <- Seq(10, 3000, 20000)) {
+      val data = new Array[Byte](len)
+      rnd0.nextBytes(data)
+      val viaGif = graft.ext.Gif.lzwDecode(
+        PdfFixtures.lzw(data, earlyChange = 0, msb = false), 8, len)
+      assert(viaGif != null && viaGif.toSeq === data.toSeq,
+        s"GIF cross-decode len=$len")
+      assert(Pdf.lzwDecode(PdfFixtures.lzw(data, earlyChange = 0), 0).toSeq
+        === data.toSeq, s"earlyChange=0 round-trip len=$len")
+    }
+    // round-trips across the width-growth boundaries (511/1023/2047
+    // entries — low-redundancy random input grows the table fastest;
+    // 40 KB crosses all three and a repeated motif exercises KwKwK)
+    val rnd = new scala.util.Random(42)
+    for (len <- Seq(1, 2, 300, 5000, 40000)) {
+      val data = new Array[Byte](len)
+      rnd.nextBytes(data)
+      assert(Pdf.lzwDecode(PdfFixtures.lzw(data), 1).toSeq === data.toSeq,
+        s"random round-trip len=$len")
+    }
+    val kwk = Array.fill(3000)(Array[Byte](7, 7, 7, 8, 7, 7)).flatten
+    assert(Pdf.lzwDecode(PdfFixtures.lzw(kwk), 1).toSeq === kwk.toSeq,
+      "repetitive round-trip (KwKwK states)")
+    val kwkGif = graft.ext.Gif.lzwDecode(
+      PdfFixtures.lzw(kwk, earlyChange = 0, msb = false), 8, kwk.length)
+    assert(kwkGif != null && kwkGif.toSeq === kwk.toSeq, "GIF KwKwK cross")
+    // end-to-end: the q151-corpus LZW arm (id % 8 == 5) extracts the
+    // SAME closed-form text as its Flate siblings
+    for (id <- Seq(5L, 13L, 21L, 1005L)) {
+      val doc = PdfFixtures.pdf(id)
+      assert(new String(doc, L1).contains("/LZWDecode"), s"id=$id routes LZW")
+      val got = Pdf.textOrNull(doc)
+      assert(got != null && got.text === PdfFixtures.expectedText(id), s"id=$id")
+    }
+    // Flate siblings unchanged
+    for (id <- Seq(1L, 9L, 17L)) {
+      assert(Pdf.textOrNull(PdfFixtures.pdf(id)).text ===
+        PdfFixtures.expectedText(id))
+    }
+    // width-boundary round-trip through a REAL document: a content
+    // stream long enough to push the table past 511 and 1023 entries
+    val longTail = (0 until 900).map(k => s"w${k % 997}x${(k * 37) % 991}")
+      .mkString(" ")
+    val b = PdfFixtures.lzw(("BT (x) Tj ET % " + longTail).getBytes(L1))
+    assert(b.length > 1000) // genuinely grew the code table
   }
 }

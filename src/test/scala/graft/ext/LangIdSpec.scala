@@ -20,22 +20,42 @@ class LangIdSpec extends graft.SparkSpec {
   private def corpus(n: Int, seedBase: Long) = {
     val langs = LangId.Langs
     (0 until n).map { i =>
-      val lang = langs(i % 4)
+      val lang = langs(i % langs.length)
       (i.toLong, lang, graft.tools.LangIdTrain.doc(lang, seedBase + i))
     }.toDF("id", "lang", "text")
   }
 
   test("re-trained one-vs-rest model reaches 100% holdout accuracy") {
-    val train = corpus(800, 1000)
+    val train = corpus(1800, 1000)
     val feats = LangId.featurize(train, "id", "text")
       .join(train.select($"id", $"lang"), "id")
-    val w = LangId.train(feats, iters = 60)
-    val test = corpus(200, 50000)
+    val w = LangId.train(feats, iters = 250)
+    val test = corpus(360, 50000)
     val acc = LangId.featurize(test, "id", "text")
       .withColumn("pred", LangId.classify($"features", w.map(_.toSeq)))
       .join(test.select($"id", $"lang"), "id")
       .select(avg(($"pred" === $"lang").cast("double"))).head.getDouble(0)
     assert(acc === 1.0, s"holdout accuracy $acc")
+    // none floor: out-of-set docs classify as none on the SAME model
+    val noneDocs = (0 until 60).map { i =>
+      (i.toLong, (0 until 14).map(j => graft.tools.LangIdTrain.NonePool(
+        ((i * 31 + j * 7 + i / 13) % 12).abs)).mkString(" "))
+    }.toDF("id", "text")
+    val noneAcc = LangId.featurize(noneDocs, "id", "text")
+      .withColumn("pred", LangId.classify($"features", w.map(_.toSeq)))
+      .select(avg(($"pred" === "none").cast("double"))).head.getDouble(0)
+    assert(noneAcc === 1.0, s"none-floor accuracy $noneAcc")
+  }
+
+  test("the none pool is disjoint from every feature n-gram") {
+    // the floor's calibration rests on out-of-set text hitting NO
+    // feature — assert the invariant the pools were built to
+    // a doc is pool words space-joined then space-padded: the worst
+    // case for cross-word matches is the full concatenation
+    val doc = " " + graft.tools.LangIdTrain.NonePool.mkString(" ") + " "
+    LangId.Ngrams.foreach { g =>
+      assert(!doc.contains(g), s"'$g' hits the none pool")
+    }
   }
 
   test("pinned weights carry the trained one-vs-rest structure") {
@@ -54,7 +74,12 @@ class LangIdSpec extends graft.SparkSpec {
       (2L, "der kleine und die leute mit der zeit"),
       (3L, "les gens est une grande maison des mots"),
       (4L, "los tiempos las aguas para la gente como antes"),
-      (5L, "")).toDF("id", "text")
+      (5L, "вода и время не на что дом"),
+      (6L, "الكلمة في البيت من الماء على الوقت أن يكون"),
+      (7L, "水的时间是了在房子"),
+      (8L, "みずのじかんですことばますいえに に "),
+      (9L, "물의 시간은 집에서 단어이다"),
+      (10L, "")).toDF("id", "text")
     val pred = LangId.featurize(rows, "id", "text")
       .withColumn("p", LangId.classify($"features", LangId.PinnedW))
       .select($"id", $"p").as[(Long, String)].collect().toMap
@@ -62,10 +87,14 @@ class LangIdSpec extends graft.SparkSpec {
     assert(pred(2L) === "de")
     assert(pred(3L) === "fr")
     assert(pred(4L) === "es")
-    // no evidence at all: every head scores σ(intercept); the argmax
-    // chain breaks ties in Langs order... except intercepts differ —
-    // the LEAST negative intercept wins deterministically
-    val best = LangId.PinnedW.map(_.head).zipWithIndex.maxBy(_._1)._2
-    assert(pred(5L) === LangId.Langs(best))
+    assert(pred(5L) === "ru")
+    assert(pred(6L) === "ar")
+    assert(pred(7L) === "zh")
+    assert(pred(8L) === "ja")
+    assert(pred(9L) === "ko")
+    // no evidence at all: every head scores σ(intercept) — all far
+    // below the NONE floor, so absence of signal is "none", not a
+    // laundered language
+    assert(pred(10L) === "none")
   }
 }
