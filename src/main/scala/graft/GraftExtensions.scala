@@ -178,6 +178,27 @@ object GraftExtensions {
       graft.fn.Mp4SubtitleCues(_)),
     unaryFn("subtitle_enc_synth", classOf[graft.fn.SubtitleEncSynth],
       graft.fn.SubtitleEncSynth(_)),
+    unaryFn("lang_id_predict", classOf[graft.fn.LangIdPredict],
+      graft.fn.LangIdPredict(_)),
+    unaryFn("mp4_ttml_synth", classOf[graft.fn.Mp4TtmlSynth],
+      graft.fn.Mp4TtmlSynth(_)),
+    unaryFn("mp4_elst_synth", classOf[graft.fn.Mp4ElstSynth],
+      graft.fn.Mp4ElstSynth(_)),
+    unaryFn("webm_subtitle_synth", classOf[graft.fn.WebmSubtitleSynth],
+      graft.fn.WebmSubtitleSynth(_)),
+    unaryFn("webm_subtitle_cues", classOf[graft.fn.WebmSubtitleCues],
+      graft.fn.WebmSubtitleCues(_)),
+    unaryFn("webm_block_synth", classOf[graft.fn.WebmBlockSynth],
+      graft.fn.WebmBlockSynth(_)),
+    (
+      new FunctionIdentifier("webm_block_index"),
+      new ExpressionInfo(classOf[graft.fn.WebmBlockIndex].getName,
+        "webm_block_index"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"webm_block_index expects (content, maxN); got ${children.size} args")
+        graft.fn.WebmBlockIndex(children(0), litInt(children(1), "maxN"))
+      }),
     unaryFn("opus_toc_stats", classOf[graft.fn.OpusTocStats],
       graft.fn.OpusTocStats(_)),
     unaryFn("charset_sniff", classOf[graft.fn.CharsetSniff],

@@ -97,21 +97,67 @@ object LangId {
 
   /** deterministic argmax over the K scores with the NONE floor,
     * ties in [[Langs]] order, and a winner below [[NoneThreshold]]
-    * is "none". Implementation note: the scores build ONE array and
-    * the argmax is `array_position(s, array_max(s))` (first
-    * occurrence = the [[Langs]]-order tie-break) — a pairwise
-    * when-chain would re-inline every σ(w·x) (and, after projection
-    * collapse, the 36-replace feature array) tens of times, which
-    * round 13 measured as a codegen heap explosion at K = 9. The SQL
-    * twin ([[sqlClassifyCase]]) states the equivalent comparison
-    * chain over once-computed score columns.
+    * is "none".
+    *
+    * Implementation: for the PINNED production model this routes to
+    * the native [[graft.fn.LangIdPredict]] kernel — at K = 9 the
+    * Column composition (9 × 37-term dots + argmax over the
+    * 36-replace feature array) exceeds the 64 KB generated-method
+    * limit: the pairwise when-chain form OOM'd codegen outright and
+    * even the array_position(array_max) form silently fell back to
+    * interpreted eval (R13PlanCheck pins both). For RUNTIME-trained
+    * weight matrices (spec/training paths) the array form is kept —
+    * its semantics are the contract the kernel mirrors bit-exactly
+    * (same left-to-right dot, same σ, same first-max tie break, same
+    * floor; LangIdSpec asserts parity). The SQL twin
+    * ([[sqlClassifyCase]]) states the equivalent comparison chain
+    * over once-computed score columns.
     */
-  def classify(featCol: Column, weights: Seq[Seq[Double]]): Column = {
-    val sArr = array(scores(featCol, weights): _*)
-    val mx = array_max(sArr)
-    val idx = array_position(sArr, mx) // 1-based FIRST max: Langs order
-    when(mx < lit(NoneThreshold), lit("none"))
-      .otherwise(element_at(array(Langs.map(lit): _*), idx.cast("int")))
+  def classify(featCol: Column, weights: Seq[Seq[Double]]): Column =
+    if (weights eq PinnedW) {
+      import org.apache.spark.sql.{graftbridge => gb}
+      gb.column(graft.fn.LangIdPredict(gb.expression(featCol)))
+    } else {
+      val sArr = array(scores(featCol, weights): _*)
+      val mx = array_max(sArr)
+      val idx = array_position(sArr, mx) // 1-based FIRST max: Langs order
+      when(mx < lit(NoneThreshold), lit("none"))
+        .otherwise(element_at(array(Langs.map(lit): _*), idx.cast("int")))
+    }
+
+  /** [[PinnedW]] flattened for the native kernel. */
+  private lazy val PinnedWArr: Array[Array[Double]] = PinnedW.map(_.toArray).toArray
+
+  /** Native 9-head predict over a features array — bit-identical to
+    * the Column composition [[classify]] states: the same
+    * left-to-right Σ w(i)·f(i) ([[graft.fn.VecKernels.dotBoxed]]'s
+    * order), the same σ, strict `>` so ties keep the FIRST (=
+    * [[Langs]]-order) head, the same [[NoneThreshold]] floor. Null
+    * feature elements or a dimension mismatch null the prediction
+    * (the poisoned-fold contract).
+    */
+  def predictBoxed(f: org.apache.spark.sql.catalyst.util.ArrayData): org.apache.spark.unsafe.types.UTF8String = {
+    if (f == null) return null
+    val n = f.numElements()
+    var best = -1
+    var bestS = 0.0
+    var k = 0
+    while (k < PinnedWArr.length) {
+      val w = PinnedWArr(k)
+      if (w.length != n) return null
+      var z = 0.0
+      var i = 0
+      while (i < n) {
+        if (f.isNullAt(i)) return null
+        z += w(i) * f.getDouble(i)
+        i += 1
+      }
+      val s = 1.0 / (1.0 + math.exp(-z))
+      if (best < 0 || s > bestS) { best = k; bestS = s }
+      k += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      if (bestS < NoneThreshold) "none" else Langs(best))
   }
 
   /** The SQL twin of [[classify]] — the exact CASE chain over the

@@ -535,8 +535,14 @@ object DocStreams {
       .select(col("doc_id"), col("ts_t"), col("cue_idx"),
         col("__c.start_ms").as("start_ms"), col("__c.end_ms").as("end_ms"),
         col("__c.text").as("text"))
+      // features land in their OWN projection (referenced twice by
+      // classify, so CollapseProject keeps the split): inlining the
+      // 36-replace array into the 9-head argmax exceeds the 64 KB
+      // generated-method limit and silently falls back to
+      // interpreted eval (R13PlanCheck pins this with fallback=false)
+      .withColumn("__f", graft.ext.LangId.features(col("text")))
       .withColumn("lang_pred", graft.ext.LangId.classify(
-        graft.ext.LangId.features(col("text")), graft.ext.LangId.PinnedW))
+        col("__f"), graft.ext.LangId.PinnedW))
     val kept =
       if (keepLangs.isEmpty) rows
       else rows.filter(col("lang_pred").isin(keepLangs: _*))

@@ -47,6 +47,31 @@ class LangIdSpec extends graft.SparkSpec {
     assert(noneAcc === 1.0, s"none-floor accuracy $noneAcc")
   }
 
+  test("native pinned kernel == Column classify, bitwise") {
+    // the hot paths run graft.fn.LangIdPredict (one generated call);
+    // the SQL oracles replay the Column/CASE composition — they must
+    // agree on every row, including near-floor and none rows
+    val rows = (0 until 400).map { i =>
+      val cls = i % 11
+      val text =
+        if (cls == 10) "" // zero-evidence row
+        else if (cls == 9) (0 until 14).map(j => graft.tools.LangIdTrain
+          .NonePool(((i * 31 + j * 7) % 12).abs)).mkString(" ")
+        else graft.tools.LangIdTrain.doc(LangId.Langs(cls), 7000 + i)
+      (i.toLong, text)
+    }.toDF("id", "text")
+    // force the ARRAY form by passing a same-valued copy (different
+    // reference, so classify does not route to the kernel)
+    val copied = LangId.PinnedW.map(w => w.map(identity))
+    val both = LangId.featurize(rows, "id", "text")
+      .withColumn("native", LangId.classify($"features", LangId.PinnedW))
+      .withColumn("column", LangId.classify($"features", copied))
+    val diff = both.filter($"native" =!= $"column").count()
+    assert(diff === 0L, s"$diff rows disagree")
+    val none = both.filter($"native" === "none").count()
+    assert(none >= 36L, s"none rows under-represented: $none") // 2 of 11 classes
+  }
+
   test("the none pool is disjoint from every feature n-gram") {
     // the floor's calibration rests on out-of-set text hitting NO
     // feature — assert the invariant the pools were built to
