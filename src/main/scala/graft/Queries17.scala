@@ -291,13 +291,15 @@ object Queries17 {
 
   // ---------- q167: WebM/Matroska subtitle tracks (round 13) — the
   // q160 cue corpus inside S_TEXT tracks (the second-most-common
-  // container in scraped corpora): S_TEXT/UTF8 on even ids,
-  // S_TEXT/WEBVTT (the public Matroska storage layout: settings /
-  // identifier / text lines) on odd; per-cue clusters vs one cluster
+  // container in scraped corpora), rotating ALL THREE Matroska text
+  // codecs by id % 3: S_TEXT/UTF8, S_TEXT/WEBVTT (the public
+  // storage layout: settings / identifier / text lines), and
+  // S_TEXT/ASS (Dialogue fields after Start/End — override blocks
+  // and \\N hard breaks cleaned); per-cue clusters vs one cluster
   // with relative block timestamps by id/2. PURE TEXT — no codec
   // work — and the oracle is q160's arithmetic unchanged, so a
   // defect in the EBML walk, track selection, cluster/relative
-  // timing, the storage-layout split, or text cleaning breaks the
+  // timing, any codec's storage layout, or text cleaning breaks the
   // hash.
   private def q167(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.{graftbridge => gb}

@@ -252,15 +252,53 @@ object Webm {
     }
   }
 
+  /** ASS/SSA dialogue text → plain cue text: the Matroska S_TEXT/ASS
+    * block stores the Dialogue line's fields after Start/End
+    * (ReadOrder, Layer, Style, Name, 3 margins, Effect, Text — text
+    * is everything after the 8th comma), and the text itself carries
+    * `{\…}` override blocks, `\N`/`\n` hard/soft breaks, and `\h`
+    * hard spaces.
+    */
+  private def assText(raw: String): String = {
+    var t = raw
+    var commas = 0
+    var cut = 0
+    while (commas < 8 && cut < t.length) {
+      if (t.charAt(cut) == ',') commas += 1
+      cut += 1
+    }
+    if (commas == 8) t = t.substring(cut)
+    val sb = new StringBuilder(t.length)
+    var i = 0
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (c == '{') {
+        val close = t.indexOf('}', i)
+        i = if (close < 0) t.length else close + 1 // drop the override
+      } else if (c == '\\' && i + 1 < t.length) {
+        t.charAt(i + 1) match {
+          case 'N' | 'n' => sb.append('\n')
+          case 'h' => sb.append(' ')
+          case other => sb.append('\\').append(other)
+        }
+        i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Subtitle cues out of a WebM/Matroska payload — the S_TEXT
     * tracks are PURE TEXT, no codec work (the round-12 verdict's
     * point): S_TEXT/UTF8 blocks carry the cue text directly (SRT-ish
     * inline tags cleaned by the [[Subtitles]] contract);
     * S_TEXT/WEBVTT blocks use the public Matroska WebVTT storage
     * layout (line 1 = cue settings, line 2 = cue identifier, the
-    * rest = cue text). Timing: cluster timestamp + block relative
-    * timestamp (ticks of TimestampScale ns → ms), end from
-    * BlockGroup's BlockDuration (start == end for duration-less
+    * rest = cue text); S_TEXT/ASS and S_TEXT/SSA blocks carry the
+    * Dialogue fields after Start/End ([[assText]]: text after the
+    * 8th comma, `{\…}` overrides stripped, `\N`→newline, `\h`→space
+    * — the mkv anime-corpus shape). Timing: cluster timestamp +
+    * block relative timestamp (ticks of TimestampScale ns → ms), end
+    * from BlockGroup's BlockDuration (start == end for duration-less
     * SimpleBlocks). Returns (start_ms, end_ms, text) rows in storage
     * order, or null when no S_TEXT track exists.
     */
@@ -272,7 +310,7 @@ object Webm {
       val (tsScale, ss, se) = si
       // subtitle track: type 0x11, an S_TEXT codec id
       var subTrack = -1L
-      var isVtt = false
+      var codecId = ""
       find(bytes, ss, se, Tracks).foreach { case (ts, te) =>
         elements(bytes, ts, te).foreach {
           case (TrackEntry, es, ee) if subTrack < 0 =>
@@ -284,22 +322,27 @@ object Webm {
             if (tpe == 0x11 && codec.startsWith("S_TEXT/")) {
               subTrack = find(bytes, es, ee, TrackNumber)
                 .map(p => uint(bytes, p._1, p._2)).getOrElse(-1L)
-              isVtt = codec == "S_TEXT/WEBVTT"
+              codecId = codec
             }
           case _ => ()
         }
       }
       if (subTrack < 0) return null
+      val isVtt = codecId == "S_TEXT/WEBVTT"
+      val isAss = codecId == "S_TEXT/ASS" || codecId == "S_TEXT/SSA"
       def toMs(ticks: Long): Long = ticks * tsScale / 1000000L
       def cueText(b: Array[Byte], s: Long, e: Long): String = {
         val raw = new String(b, s.toInt, (e - s).toInt, "UTF-8")
-        val body =
-          if (isVtt) {
-            // Matroska WebVTT storage: settings \n identifier \n text
-            val lines = raw.split("\n", 3)
-            if (lines.length == 3) lines(2) else lines.last
-          } else raw
-        Subtitles.cleanText(body)
+        if (isAss) assText(raw)
+        else {
+          val body =
+            if (isVtt) {
+              // Matroska WebVTT storage: settings \n identifier \n text
+              val lines = raw.split("\n", 3)
+              if (lines.length == 3) lines(2) else lines.last
+            } else raw
+          Subtitles.cleanText(body)
+        }
       }
       val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, String)]()
       elements(bytes, ss, se).foreach {

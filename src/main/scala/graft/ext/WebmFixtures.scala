@@ -77,19 +77,26 @@ object WebmFixtures {
   // ------------------------------------------- q167: subtitle cues
 
   /** WebM carrying the q160 cue corpus in an S_TEXT subtitle track
-    * (track 2, after a VP9 video track entry the selector must skip):
-    * S_TEXT/UTF8 on even ids (payload = raw cue text), S_TEXT/WEBVTT
-    * on odd (the public Matroska WebVTT storage: settings \n
-    * identifier \n text). Cluster layout alternates by id/2 parity:
-    * one cluster PER CUE (cluster ts = cue start, rel 0) vs one
-    * cluster for the file (rel = cue start). Cues sit in BlockGroups
-    * with BlockDuration = 1500 — exactly the standalone corpus's
+    * (track 2, after a VP9 video track entry the selector must skip),
+    * rotating ALL THREE Matroska text codecs by id % 3:
+    * S_TEXT/UTF8 (payload = raw cue text), S_TEXT/WEBVTT (the public
+    * Matroska WebVTT storage: settings \n identifier \n text), and
+    * S_TEXT/ASS (Dialogue fields after Start/End — text after the
+    * 8th comma, `{\…}` overrides and `\N` hard breaks the reader
+    * must clean). Cluster layout alternates by id/2 parity: one
+    * cluster PER CUE (cluster ts = cue start, rel 0) vs one cluster
+    * for the file (rel = cue start). Cues sit in BlockGroups with
+    * BlockDuration = 1500 — exactly the standalone corpus's
     * timeline, so the q167 oracle IS q160's arithmetic.
     */
   def subtitleWebm(id: Long): Array[Byte] = {
     val n = SubtitleFixtures.nCues(id)
-    val vtt = id % 2 == 1
-    val codec = if (vtt) "S_TEXT/WEBVTT" else "S_TEXT/UTF8"
+    val vtt = id % 3 == 1
+    val ass = id % 3 == 2
+    val codec =
+      if (vtt) "S_TEXT/WEBVTT"
+      else if (ass) "S_TEXT/ASS"
+      else "S_TEXT/UTF8"
     val tracks = el(Tracks,
       el(TrackEntry,
         el(TrackNumber, uintBytes(1)),
@@ -102,8 +109,16 @@ object WebmFixtures {
         el(TrackType, uintBytes(0x11)),
         el(CodecId, codec.getBytes("US-ASCII"))))
     def cuePayload(k: Int): Array[Byte] = {
-      val raw = SubtitleFixtures.rawText(id, k)
-      val body = if (vtt) s"align:start\nc$k\n$raw" else raw
+      val body =
+        if (ass) {
+          // the cleaned text is the q160 closed form: overrides strip,
+          // \N becomes the newline of the two-line cue
+          val t = SubtitleFixtures.expectedText(id, k).replace("\n", "\\N")
+          s"$k,0,Default,,0,0,0,,{\\an8}$t"
+        } else {
+          val raw = SubtitleFixtures.rawText(id, k)
+          if (vtt) s"align:start\nc$k\n$raw" else raw
+        }
       body.getBytes("UTF-8")
     }
     def group(k: Int, relTs: Int): Array[Byte] =

@@ -9,10 +9,11 @@ import graft.ext.{SubtitleFixtures, Webm, WebmFixtures}
   */
 class WebmSpec extends AnyFunSuite {
 
-  test("S_TEXT subtitle cues: both codec ids, both cluster layouts") {
-    // id%2: UTF8 vs WEBVTT storage; (id/2)%2: per-cue clusters vs one
+  test("S_TEXT subtitle cues: all three codec ids, both cluster layouts") {
+    // id%3: UTF8 vs WEBVTT storage vs ASS (Dialogue fields + override
+    // stripping + \N breaks); (id/2)%2: per-cue clusters vs one
     // cluster with relative timestamps
-    for (id <- Seq(0L, 1L, 2L, 3L, 4L, 5L, 499L)) {
+    for (id <- Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 499L)) {
       val webm = WebmFixtures.subtitleWebm(id)
       val cues = Webm.subtitleCuesOrNull(webm, 1 << 16)
       assert(cues != null, s"id=$id")
@@ -29,7 +30,7 @@ class WebmSpec extends AnyFunSuite {
           java.util.Arrays.copyOf(webm, 1 + rnd.nextInt(webm.length)), 100)
     }
     // metadata walk still reads the same files (video entry first)
-    val meta = Webm.metaOrNull(WebmFixtures.subtitleWebm(2L))
+    val meta = Webm.metaOrNull(WebmFixtures.subtitleWebm(3L))
     assert(meta != null && meta._1 === "webm" && meta._3 === "V_VP9")
     // a subtitle-less file nulls
     assert(Webm.subtitleCuesOrNull(WebmFixtures.blockWebm(1L), 100) === null)
