@@ -179,8 +179,83 @@ object Subtitles {
     }
   }
 
-  /** Parse a WebVTT, SRT, or TTML document to its cues, or null when
-    * the content is none of them. Never throws.
+  /** ASS/SSA timestamp `H:MM:SS.CC` (centiseconds) → ms, or -1. */
+  private def assTs(s: String): Long = {
+    val t = s.trim
+    val parts = t.split(":")
+    if (parts.length != 3) return -1
+    val secParts = parts(2).split("\\.")
+    if (secParts.length != 2 || secParts(1).length != 2) return -1
+    try {
+      val h = parts(0).toLong
+      val m = parts(1).toLong
+      val sec = secParts(0).toLong
+      val cs = secParts(1).toLong
+      if (h < 0 || m < 0 || m > 59 || sec < 0 || sec > 59 || cs < 0) return -1
+      ((h * 60 + m) * 60 + sec) * 1000 + cs * 10
+    } catch { case _: NumberFormatException => -1 }
+  }
+
+  /** ASS/SSA dialogue text → plain cue text: `{\…}` override blocks
+    * stripped, `\N`/`\n` hard/soft breaks, `\h` hard spaces — shared
+    * by the standalone parser here and the Matroska S_TEXT/ASS block
+    * walk ([[Webm]]).
+    */
+  private[ext] def assClean(raw: String): String = {
+    val sb = new StringBuilder(raw.length)
+    var i = 0
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (c == '{') {
+        val close = raw.indexOf('}', i)
+        i = if (close < 0) raw.length else close + 1
+      } else if (c == '\\' && i + 1 < raw.length) {
+        raw.charAt(i + 1) match {
+          case 'N' | 'n' => sb.append('\n')
+          case 'h' => sb.append(' ')
+          case other => sb.append('\\').append(other)
+        }
+        i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Parse a STANDALONE ASS/SSA document ([Script Info] sections,
+    * `Dialogue:` event lines in the standard field order — Layer,
+    * Start, End, Style, Name, 3 margins, Effect, Text with text
+    * after the 9th comma) to its cues, or null when the content is
+    * not ASS. Same tolerant contract as the other parsers: a
+    * malformed Dialogue line skips, only non-ASS content nulls.
+    */
+  def assCuesOrNull(doc: String): Array[Cue] = {
+    try {
+      if (doc == null) return null
+      val content =
+        if (doc.nonEmpty && doc.charAt(0) == '\uFEFF') doc.substring(1) else doc
+      if (!content.contains("[Script Info]")) return null
+      val out = new scala.collection.mutable.ArrayBuffer[Cue]()
+      content.split("\r\n|\n|\r", -1).foreach { line =>
+        val t = line.trim
+        if (t.startsWith("Dialogue:") && out.length < MaxCues) {
+          val fields = t.substring("Dialogue:".length).split(",", 10)
+          if (fields.length == 10) {
+            val start = assTs(fields(1))
+            val end = assTs(fields(2))
+            val text = assClean(fields(9))
+            if (start >= 0 && end >= start && text.nonEmpty)
+              out += Cue(start, end, text)
+          }
+        }
+      }
+      out.toArray // a Dialogue-less ASS doc is valid: empty, not null
+    } catch {
+      case NonFatal(_) => null
+    }
+  }
+
+  /** Parse a WebVTT, SRT, TTML, or ASS/SSA document to its cues, or
+    * null when the content is none of them. Never throws.
     */
   def cuesOrNull(doc: String): Array[Cue] = {
     try {
@@ -191,10 +266,13 @@ object Subtitles {
       val content =
         if (doc.nonEmpty && doc.charAt(0) == '\uFEFF') doc.substring(1) else doc
       // XML-shaped content routes to the TTML parser (VTT/SRT never
-      // start with '<')
+      // start with '<'); [Script Info] headers route to ASS/SSA
       val firstNonWs = content.indexWhere(!Character.isWhitespace(_))
       if (firstNonWs >= 0 && content.charAt(firstNonWs) == '<')
         return ttmlCuesOrNull(content)
+      if (firstNonWs >= 0 && content.charAt(firstNonWs) == '[' &&
+        content.startsWith("[Script Info]", firstNonWs))
+        return assCuesOrNull(content)
       val lines = content.split("\r\n|\n|\r", -1)
       var i = 0
       val isVtt = lines.nonEmpty && lines(0).startsWith("WEBVTT")

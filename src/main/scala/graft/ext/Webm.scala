@@ -268,23 +268,7 @@ object Webm {
       cut += 1
     }
     if (commas == 8) t = t.substring(cut)
-    val sb = new StringBuilder(t.length)
-    var i = 0
-    while (i < t.length) {
-      val c = t.charAt(i)
-      if (c == '{') {
-        val close = t.indexOf('}', i)
-        i = if (close < 0) t.length else close + 1 // drop the override
-      } else if (c == '\\' && i + 1 < t.length) {
-        t.charAt(i + 1) match {
-          case 'N' | 'n' => sb.append('\n')
-          case 'h' => sb.append(' ')
-          case other => sb.append('\\').append(other)
-        }
-        i += 2
-      } else { sb.append(c); i += 1 }
-    }
-    sb.toString
+    Subtitles.assClean(t) // one cleaner for block and standalone ASS
   }
 
   /** Subtitle cues out of a WebM/Matroska payload — the S_TEXT

@@ -124,6 +124,39 @@ class SubtitlesSpec extends AnyFunSuite {
     }
   }
 
+  test("standalone ASS/SSA: Dialogue lines, centisecond stamps, overrides, breaks") {
+    val doc = """[Script Info]
+      |Title: fixture
+      |ScriptType: v4.00+
+      |
+      |[V4+ Styles]
+      |Format: Name, Fontname
+      |Style: Default,Arial
+      |
+      |[Events]
+      |Format: Layer, Start, End, Style, Name, MarginL, MarginR, MarginV, Effect, Text
+      |Dialogue: 0,0:00:01.50,0:00:03.25,Default,,0,0,0,,{\an8}first {\i1}styled{\i0} cue
+      |Dialogue: 0,0:01:00.00,0:01:02.00,Default,,0,0,0,,line one\Nline two, with comma
+      |Dialogue: 0,0:00:09.00,bad,Default,,0,0,0,,skipped
+      |Comment: 0,0:00:05.00,0:00:06.00,Default,,0,0,0,,not a dialogue
+      |""".stripMargin
+    val cues = Subtitles.cuesOrNull(doc)
+    assert(cues != null && cues.length === 2)
+    assert(cues(0).startMs === 1500L && cues(0).endMs === 3250L)
+    assert(cues(0).text === "first styled cue")
+    assert(cues(1).startMs === 60000L && cues(1).endMs === 62000L)
+    assert(cues(1).text === "line one\nline two, with comma")
+    // dialogue-less ASS is valid-but-empty; non-ASS bracketed text nulls
+    assert(Subtitles.assCuesOrNull("[Script Info]\nTitle: x\n").isEmpty)
+    assert(Subtitles.cuesOrNull("[just brackets]\nprose") === null)
+    // fuzz: random slices never throw
+    val rnd = new scala.util.Random(17)
+    for (_ <- 0 until 300) {
+      val a = rnd.nextInt(doc.length)
+      Subtitles.cuesOrNull(doc.substring(a, a + rnd.nextInt(doc.length - a)))
+    }
+  }
+
   test("stpp carriage (14496-30): both layouts reproduce the standalone corpus") {
     for (id <- Seq(0L, 1L, 2L, 3L, 7L, 499L)) { // even = stbl per-cue, odd = fMP4 whole-doc
       val mp4 = SubtitleFixtures.stppMp4(id)
