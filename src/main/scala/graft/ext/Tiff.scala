@@ -4,8 +4,11 @@ package graft.ext
   * byte orders, Compression=1, 8-bit samples, grayscale (spp 1,
   * photometric 0/1) or RGB (spp 3), chunky planar config, strip
   * layout — to the shared Rec.601 luminance plane, so TIFF payloads
-  * join the [[Images]] family like [[Bmp]]. Anything else (LZW/
-  * deflate/JPEG-in-TIFF, 16-bit, tiles, planar) returns null.
+  * join the [[Images]] family like [[Bmp]]; the Orientation tag
+  * (274) is applied so fingerprints hash the DISPLAYED image (the
+  * round-13 EXIF rule — TIFF carries the same tag natively).
+  * Anything else (LZW/deflate/JPEG-in-TIFF, 16-bit, tiles, planar)
+  * returns null.
   */
 object Tiff {
 
@@ -36,6 +39,7 @@ object Tiff {
       var w = -1L; var h = -1L
       var bps = 1L; var spp = 1L; var compression = 1L
       var photometric = 1L; var planar = 1L
+      var orientation = 1L // tag 0x0112: scanners/cameras emit it
       var rowsPerStrip = Long.MaxValue
       var stripOffsets: Array[Long] = null
       var stripCounts: Array[Long] = null
@@ -74,6 +78,7 @@ object Tiff {
           case 262 => photometric = scalar
           case 273 => stripOffsets = vector
           case 277 => spp = scalar
+          case 274 => orientation = scalar
           case 278 => rowsPerStrip = scalar
           case 279 => stripCounts = vector
           case 284 => planar = scalar
@@ -124,7 +129,12 @@ object Tiff {
         y += rowsHere
         strip += 1
       }
-      (out, width, height)
+      // orientation normalization (round 13, the JPEG/EXIF rule):
+      // fingerprints must hash the DISPLAYED image, and TIFF carries
+      // the SAME tag 274 semantics natively
+      if (orientation >= 2 && orientation <= 8)
+        Images.orientGray(out, width, height, orientation.toInt)
+      else (out, width, height)
     } catch {
       case scala.util.control.NonFatal(_) => null
     }
