@@ -151,8 +151,14 @@ object Jpeg {
             while (i < n) {
               val e = ifd0.toInt + 2 + 12 * i
               if (e + 12 > end) return 0
-              if (u16(e) == 0x0112 && u16(e + 2) == 3) { // SHORT
-                val v = u16(e + 8) // value fits inline
+              if (u16(e) == 0x0112) {
+                val typ = u16(e + 2)
+                // SHORT (3) is the spec type; some writers emit LONG (4).
+                // Both fit inline when count == 1.
+                val v =
+                  if (typ == 3) u16(e + 8)
+                  else if (typ == 4 && u32(e + 4) == 1L) u32(e + 8).toInt
+                  else -1
                 return if (v >= 1 && v <= 8) v else 0
               }
               i += 1

@@ -347,7 +347,8 @@ object Pdf {
     var done = false
     while (!done) {
       val code = read(width)
-      if (code < 0 || code == 257) done = true // EOD (or data exhausted)
+      if (code < 0) sys.error("truncated lzw") // exhausted before EOD → null loudly
+      else if (code == 257) done = true // EOD
       else if (code == 256) { // ClearTable
         next = 258
         width = 9

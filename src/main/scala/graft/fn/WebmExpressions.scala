@@ -10,8 +10,8 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** SQL `webm_subtitle_synth(doc_id)` — the q167 corpus
   * ([[graft.ext.WebmFixtures.subtitleWebm]]): the q160 cue corpus in
-  * WebM S_TEXT tracks (S_TEXT/UTF8 even ids, S_TEXT/WEBVTT odd;
-  * per-cue vs single-cluster layouts by id/2).
+  * WebM S_TEXT tracks, codec rotating by id % 3 (UTF8 / WEBVTT /
+  * ASS) with per-cue vs single-cluster layouts by id/2 parity.
   */
 case class WebmSubtitleSynth(child: Expression)
   extends UnaryExpression with ExpectsInputTypes {

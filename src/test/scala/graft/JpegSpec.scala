@@ -325,4 +325,33 @@ class JpegSpec extends SparkSpec {
       .as[Seq[Double]].head()
     assert(viaSql === real)
   }
+
+  test("EXIF orientation: type-3 SHORT and type-4 LONG both read, junk degrades to 0") {
+    // minimal SOI + APP1(Exif) prefix — exifOrientation only walks
+    // the marker chain, so no scan data is needed
+    def jpegWith(tiffEntry: Array[Int]): Array[Byte] = {
+      val tiff = Array[Int](
+        'I', 'I', 0x2A, 0, 8, 0, 0, 0, // LE header, IFD0 at 8
+        1, 0) ++ tiffEntry ++ Array[Int](0, 0, 0, 0)
+      val payload = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++
+        tiff.map(_.toByte)
+      val len = payload.length + 2
+      Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE1.toByte,
+        ((len >> 8) & 0xFF).toByte, (len & 0xFF).toByte) ++ payload
+    }
+    // spec form: tag 0x0112, type 3 (SHORT), count 1, inline value
+    assert(Jpeg.exifOrientation(jpegWith(
+      Array(0x12, 0x01, 3, 0, 1, 0, 0, 0, 6, 0, 0, 0))) === 6)
+    // real-world variant: type 4 (LONG), count 1, inline u32 value
+    assert(Jpeg.exifOrientation(jpegWith(
+      Array(0x12, 0x01, 4, 0, 1, 0, 0, 0, 8, 0, 0, 0))) === 8)
+    // LONG with count != 1 (offset form) and out-of-range values → 0
+    assert(Jpeg.exifOrientation(jpegWith(
+      Array(0x12, 0x01, 4, 0, 2, 0, 0, 0, 8, 0, 0, 0))) === 0)
+    assert(Jpeg.exifOrientation(jpegWith(
+      Array(0x12, 0x01, 4, 0, 1, 0, 0, 0, 9, 0, 0, 0))) === 0)
+    // other types (e.g. BYTE) stay unread
+    assert(Jpeg.exifOrientation(jpegWith(
+      Array(0x12, 0x01, 1, 0, 1, 0, 0, 0, 6, 0, 0, 0))) === 0)
+  }
 }

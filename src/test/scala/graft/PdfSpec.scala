@@ -254,4 +254,16 @@ class PdfSpec extends AnyFunSuite {
     val b = PdfFixtures.lzw(("BT (x) Tj ET % " + longTail).getBytes(L1))
     assert(b.length > 1000) // genuinely grew the code table
   }
+
+  test("LZWDecode: truncated code stream errors (nulls the doc), EOD succeeds") {
+    // the filter contract: data exhaustion BEFORE the 257 EOD code is
+    // malformed and must error loudly (like a truncated Flate stream),
+    // not silently return the decoded prefix
+    val data = new Array[Byte](500)
+    new scala.util.Random(11).nextBytes(data)
+    val full = PdfFixtures.lzw(data)
+    assert(Pdf.lzwDecode(full, 1).toSeq === data.toSeq)
+    for (cut <- Seq(1, 5, full.length / 2, full.length - 2))
+      assertThrows[RuntimeException](Pdf.lzwDecode(full.take(cut), 1))
+  }
 }
