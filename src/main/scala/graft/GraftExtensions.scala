@@ -229,6 +229,30 @@ object GraftExtensions {
           s"mp4_keyframe_dhashes expects (content, maxN); got ${children.size} args")
         graft.fn.Mp4KeyframeDhashes(children(0), litInt(children(1), "maxN"))
       }),
+    (
+      new FunctionIdentifier("webm_vp8_dhashes"),
+      new ExpressionInfo(classOf[graft.fn.WebmVp8Dhashes].getName, "webm_vp8_dhashes"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"webm_vp8_dhashes expects (content, maxN); got ${children.size} args")
+        graft.fn.WebmVp8Dhashes(children(0), litInt(children(1), "maxN"))
+      }),
+    (
+      new FunctionIdentifier("video_gop_dhashes"),
+      new ExpressionInfo(classOf[graft.fn.VideoGopDhashes].getName, "video_gop_dhashes"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"video_gop_dhashes expects (content, maxN); got ${children.size} args")
+        graft.fn.VideoGopDhashes(children(0), litInt(children(1), "maxN"))
+      }),
+    (
+      new FunctionIdentifier("video_kf_dhashes"),
+      new ExpressionInfo(classOf[graft.fn.VideoKeyframeDhashes].getName, "video_kf_dhashes"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"video_kf_dhashes expects (content, maxN); got ${children.size} args")
+        graft.fn.VideoKeyframeDhashes(children(0), litInt(children(1), "maxN"))
+      }),
     unaryFn("image_dims", classOf[graft.fn.ImageDims], graft.fn.ImageDims(_)),
     unaryFn("audio_meta", classOf[graft.fn.AudioMeta], graft.fn.AudioMeta(_)),
     (

@@ -201,7 +201,18 @@ object Queries5 extends ColumnSyntax {
     val exifTwins = (60 until 74).map { i =>
       (i + 4000L, jpegExif(scene(i), 2 + (i % 7)))
     }
-    s.createDataFrame(originals ++ copies ++ webpTwins ++ webpNear ++ exifTwins)
+    // lossy-WebP plants (round 14): the same scenes through the VP8
+    // keyframe ENCODER — unlike the VP8L twins these are LOSSY
+    // (quantizer index 8), so recovery proves the full RFC 6386
+    // pixel path (prediction + transform + reconstruction), not just
+    // routing. Box-filter averaging absorbs the quantization noise,
+    // keeping the pairs within the hamming-3 gate like the others.
+    val webpLossyTwins = (80 until 90).map { i =>
+      (i + 2000L, graft.ext.Vp8Fixtures.webpGray(
+        Array.tabulate(48 * 32)(p => scene(i)(p % 48, p / 48)), 48, 32, qi = 8))
+    }
+    s.createDataFrame(originals ++ copies ++ webpTwins ++ webpNear ++
+        exifTwins ++ webpLossyTwins)
       .toDF("img_id", "content")
       .repartition(8)
   }

@@ -67,7 +67,11 @@ object Images {
     } else if (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
         bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'E' &&
         bytes(10) == 'B' && bytes(11) == 'P') {
-      WebpVp8l.decodeGrayOrNull(bytes) // WebP lossless (round 12); lossy → null
+      // WebP: lossless (VP8L, round 12) or lossy (VP8 keyframe,
+      // round 14) — the two chunk kinds route to their own decoders
+      val lossless = WebpVp8l.decodeGrayOrNull(bytes)
+      if (lossless != null) lossless
+      else Vp8.grayOrNull(Vp8.decodeWebpOrNull(bytes))
     } else null
   }
 

@@ -435,4 +435,48 @@ object Multimodal {
       .groupBy(col("a_id"), col("b_id"))
       .agg(min(col("hamming")).cast("int").as("hamming"))
 
+  /** Container-ROUTED keyframe dHashes (round 14): EBML magic → the
+    * WebM/VP8 walk ([[Webm.vp8KeyframeDhashes]]), anything else → the
+    * MP4/H.264 walk ([[H264.keyframeDhashesOrNull]], which nulls
+    * non-MP4 loudly). Both hash through [[Images.dhashOfThumb]], so a
+    * WebM re-encode of an MP4 (or of a still) pairs by construction.
+    */
+  def keyframeDhashesRouted(bytes: Array[Byte], maxN: Int): Array[Long] = {
+    if (bytes == null || bytes.length < 12) return null
+    if ((bytes(0) & 0xFF) == 0x1A && (bytes(1) & 0xFF) == 0x45 &&
+        (bytes(2) & 0xFF) == 0xDF && (bytes(3) & 0xFF) == 0xA3)
+      Webm.vp8KeyframeDhashes(bytes, maxN)
+    else H264.keyframeDhashesOrNull(bytes, maxN)
+  }
+
+  /** Container-routed ANY-FRAME index: EBML → all VP8 keyframes of
+    * the WebM (VP8 inter frames are out of decode scope — keyframes
+    * are what a re-encode shares); else → the full H.264 GOP walk
+    * (I+P+B). The streaming video gate runs on this, so one stream
+    * admits both containers.
+    */
+  def gopDhashesRouted(bytes: Array[Byte], maxFrames: Int): Array[Long] = {
+    if (bytes == null || bytes.length < 12) return null
+    if ((bytes(0) & 0xFF) == 0x1A && (bytes(1) & 0xFF) == 0x45 &&
+        (bytes(2) & 0xFF) == 0xDF && (bytes(3) & 0xFF) == 0xA3)
+      Webm.vp8KeyframeDhashes(bytes, maxFrames)
+    else H264.gopDhashesOrNull(bytes, maxFrames)
+  }
+
+  /** CROSS-CONTAINER video near-duplicate pairs: one mixed MP4+WebM
+    * corpus through the routed index, then the shared multi-hash pair
+    * stage — the re-encode shape where the same title ships as
+    * H.264-in-MP4 on one host and VP8-in-WebM on another.
+    */
+  def nearDupVideoPairsCross(assets: DataFrame, idCol: String,
+                             maxHamming: Int = 3, bands: Int = 4,
+                             contentCol: String = "content",
+                             maxKeyframes: Int = 8): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    val hashed = assets.select(col(idCol).as("id"),
+        explode(gb.column(graft.fn.VideoKeyframeDhashes(
+          gb.expression(col(contentCol)), maxKeyframes))).as("dhash"))
+      .distinct()
+    nearDupPairsFromMultiHashes(hashed, maxHamming, bands)
+  }
 }

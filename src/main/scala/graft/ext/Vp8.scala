@@ -46,7 +46,7 @@ object Vp8 {
   // -----------------------------------------------------------------
   // bool decoder (RFC 6386 §7.3 reference semantics)
   // -----------------------------------------------------------------
-  private final class Br(b: Array[Byte], var pos: Int, end: Int) {
+  private[graft] final class Br(b: Array[Byte], var pos: Int, end: Int) {
     private var range = 255
     private var value = ((next() << 8) | next())
     private var bitCount = 0
@@ -107,7 +107,7 @@ object Vp8 {
   // 16x16 mode → implied subblock mode for neighbor context (§11.3)
   private val ImpliedBMode = Array(0, 2, 3, 1)
 
-  private val Zigzag = Array(0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+  private[graft] val Zigzag = Array(0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
   private val Cat3456 = Array(
     Array(173, 148, 140), Array(176, 155, 140, 135),
     Array(180, 157, 141, 134, 130),
@@ -692,7 +692,7 @@ object Vp8 {
   private def mul2(a: Int): Int = (a * 35468) >> 16
 
   /** inverse DCT of coeffs[off..off+15] (raster) added into the plane */
-  private def idctAdd(coeffs: Array[Short], off: Int,
+  private[graft] def idctAdd(coeffs: Array[Short], off: Int,
                       p: Array[Byte], o: Int, stride: Int): Unit = {
     val c = new Array[Int](16)
     var i = 0
@@ -724,7 +724,7 @@ object Vp8 {
   // -----------------------------------------------------------------
   // whole-block intra prediction (16x16 luma / 8x8 chroma, §12.2)
   // -----------------------------------------------------------------
-  private def predictWhole(p: Array[Byte], o: Int, stride: Int, size: Int,
+  private[graft] def predictWhole(p: Array[Byte], o: Int, stride: Int, size: Int,
                            mode: Int, hasLeft: Boolean, hasAbove: Boolean): Unit = {
     mode match {
       case 0 => // DC with edge-count special cases
@@ -785,7 +785,7 @@ object Vp8 {
   private def avg2(a: Int, b: Int): Int = (a + b + 1) >> 1
   private def avg3(a: Int, b: Int, c: Int): Int = (a + 2 * b + c + 2) >> 2
 
-  private def predict4(p: Array[Byte], o: Int, stride: Int, mode: Int): Unit = {
+  private[graft] def predict4(p: Array[Byte], o: Int, stride: Int, mode: Int): Unit = {
     val tl = p(o - stride - 1) & 0xFF
     val a0 = p(o - stride) & 0xFF
     val a1 = p(o - stride + 1) & 0xFF

@@ -252,6 +252,58 @@ object Webm {
     }
   }
 
+  /** dHashes of the first `maxN` VP8 KEYFRAMES of the file's V_VP8
+    * track — WebM's entry into the image/video near-duplicate family
+    * (round 14): blocks from the triage walk, pixels from the [[Vp8]]
+    * keyframe decoder, the hash bit rule shared with
+    * [[Images.dhashOfThumb]] so WebM, MP4 and still-image hashes stay
+    * comparable by construction. Null when the payload is not EBML,
+    * carries no VP8 video track, or nothing decodes.
+    */
+  def vp8KeyframeDhashes(bytes: Array[Byte], maxN: Int): Array[Long] = {
+    try {
+      if (maxN < 1) return null
+      val si = segmentInfo(bytes)
+      if (si == null) return null
+      val (_, ss, se) = si
+      var vp8Track = -1L
+      find(bytes, ss, se, Tracks).foreach { case (ts, te) =>
+        elements(bytes, ts, te).foreach {
+          case (TrackEntry, es, ee) if vp8Track < 0 =>
+            val tpe = find(bytes, es, ee, TrackType)
+              .map(p => uint(bytes, p._1, p._2)).getOrElse(0L)
+            val codec = find(bytes, es, ee, CodecId)
+              .map { case (s, e) => new String(bytes, s.toInt, (e - s).toInt, "US-ASCII") }
+              .getOrElse("")
+            if (tpe == 1L && codec == "V_VP8")
+              vp8Track = find(bytes, es, ee, TrackNumber)
+                .map(p => uint(bytes, p._1, p._2)).getOrElse(-1L)
+          case _ => ()
+        }
+      }
+      if (vp8Track < 0) return null
+      val blocks = blockIndexOrNull(bytes, 1 << 14)
+      if (blocks == null) return null
+      val out = new scala.collection.mutable.ArrayBuffer[Long]()
+      var i = 0
+      while (i < blocks.length && out.length < maxN) {
+        val blk = blocks(i)
+        if (blk.track == vp8Track && blk.keyframe &&
+            blk.off + blk.size <= bytes.length) {
+          val p = Vp8.decodeFrameOrNull(bytes, blk.off.toInt, blk.size.toInt)
+          if (p != null) {
+            val g = Vp8.grayOrNull(p)
+            out += Images.dhashOfThumb(Images.resizeGray(g._1, g._2, g._3, 9, 8))
+          }
+        }
+        i += 1
+      }
+      if (out.isEmpty) null else out.toArray
+    } catch {
+      case scala.util.control.NonFatal(_) => null
+    }
+  }
+
   /** ASS/SSA dialogue text → plain cue text: the Matroska S_TEXT/ASS
     * block stores the Dialogue line's fields after Start/End
     * (ReadOrder, Layer, Style, Name, 3 margins, Effect, Text — text

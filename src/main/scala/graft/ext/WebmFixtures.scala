@@ -173,4 +173,25 @@ object WebmFixtures {
     }.toSeq
     header ++ el(Segment, (Seq(info, tracks) ++ clusters): _*)
   }
+
+  /** WebM carrying REAL VP8 keyframes (round 14): a V_VP8 video
+    * track whose SimpleBlocks hold the given `(tMs, frame)` payloads
+    * (all keyframe-flagged — the [[graft.ext.Vp8Fixtures]] encoder
+    * emits keyframes only). The fixture source for WebM/VP8 and
+    * cross-container near-dup corpora.
+    */
+  def vp8Webm(frames: Seq[(Long, Array[Byte])], w: Int, h: Int): Array[Byte] = {
+    val tracks = el(Tracks, el(TrackEntry,
+      el(TrackNumber, uintBytes(1)),
+      el(TrackType, uintBytes(1)),
+      el(CodecId, "V_VP8".getBytes("US-ASCII")),
+      el(VideoEl, el(PixelWidth, uintBytes(w.toLong)),
+        el(PixelHeight, uintBytes(h.toLong)))))
+    val clusters = frames.map { case (tMs, frame) =>
+      el(Cluster,
+        el(ClusterTimestamp, uintBytes(tMs)),
+        el(SimpleBlockId, blockBody(1, 0, 0x80, frame)))
+    }
+    header ++ el(Segment, (Seq(info, tracks) ++ clusters): _*)
+  }
 }

@@ -148,3 +148,115 @@ object WebmBlockIndex {
     })
   }
 }
+
+/** SQL `webm_vp8_dhashes(content, maxN)` — dHashes of the first maxN
+  * VP8 keyframes of a WebM's V_VP8 track
+  * ([[graft.ext.Webm.vp8KeyframeDhashes]]): the WebM face of the
+  * any-keyframe video near-dup index (round 14).
+  */
+case class WebmVp8Dhashes(child: Expression, maxN: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(maxN >= 1 && maxN <= (1 << 12),
+    s"maxN must be in [1, 4096], got $maxN")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "webm_vp8_dhashes"
+
+  override protected def nullSafeEval(bytes: Any): Any = {
+    val f = graft.ext.Webm.vp8KeyframeDhashes(
+      bytes.asInstanceOf[Array[Byte]], maxN)
+    if (f == null) null else new GenericArrayData(f)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, bytes =>
+      s"""
+         |long[] ${ev.value}_f = graft.ext.Webm.vp8KeyframeDhashes($bytes, $maxN);
+         |if (${ev.value}_f == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(${ev.value}_f);
+         |}
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** SQL `video_kf_dhashes(content, maxN)` — container-ROUTED keyframe
+  * dHashes: ftyp → the MP4/H.264 walk, EBML → the WebM/VP8 walk
+  * ([[graft.ext.Multimodal.keyframeDhashesRouted]]). One index for a
+  * mixed crawl, and the cross-container near-dup entry point (an
+  * MP4 re-encode of a WebM pairs because both hash the same rule).
+  */
+case class VideoKeyframeDhashes(child: Expression, maxN: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(maxN >= 1 && maxN <= (1 << 12),
+    s"maxN must be in [1, 4096], got $maxN")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "video_kf_dhashes"
+
+  override protected def nullSafeEval(bytes: Any): Any = {
+    val f = graft.ext.Multimodal.keyframeDhashesRouted(
+      bytes.asInstanceOf[Array[Byte]], maxN)
+    if (f == null) null else new GenericArrayData(f)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, bytes =>
+      s"""
+         |long[] ${ev.value}_f = graft.ext.Multimodal.keyframeDhashesRouted($bytes, $maxN);
+         |if (${ev.value}_f == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(${ev.value}_f);
+         |}
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** SQL `video_gop_dhashes(content, maxN)` — container-routed ANY-FRAME
+  * dHashes ([[graft.ext.Multimodal.gopDhashesRouted]]): EBML → all VP8
+  * keyframes, else → the full H.264 GOP (I+P+B). The streaming
+  * any-frame dedup gate's index, so one stream admits both containers.
+  */
+case class VideoGopDhashes(child: Expression, maxN: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(maxN >= 1 && maxN <= (1 << 12),
+    s"maxN must be in [1, 4096], got $maxN")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "video_gop_dhashes"
+
+  override protected def nullSafeEval(bytes: Any): Any = {
+    val f = graft.ext.Multimodal.gopDhashesRouted(
+      bytes.asInstanceOf[Array[Byte]], maxN)
+    if (f == null) null else new GenericArrayData(f)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, bytes =>
+      s"""
+         |long[] ${ev.value}_f = graft.ext.Multimodal.gopDhashesRouted($bytes, $maxN);
+         |if (${ev.value}_f == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(${ev.value}_f);
+         |}
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -663,7 +663,9 @@ object DocStreams {
                              horizon: String = "10 minutes"): DataFrame = {
     import org.apache.spark.sql.{graftbridge => gb}
     require(bands >= 1 && 16 * bands == 64, s"bands must split 64 bits; got $bands")
-    val hashes = array_distinct(gb.column(graft.fn.H264GopDhashes(
+    // container-ROUTED index (round 14): MP4 → full H.264 GOP,
+    // WebM → all VP8 keyframes; one stream admits both containers
+    val hashes = array_distinct(gb.column(graft.fn.VideoGopDhashes(
       gb.expression(col("content")), maxFrames)))
     val perBand = (0 until bands).map { bi =>
       transform(hashes, h => struct(lit(bi).as("band"),

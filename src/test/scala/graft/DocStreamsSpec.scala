@@ -1000,6 +1000,49 @@ class DocStreamsSpec extends SparkSpec {
     assert(kept === batchKept, s"stream kept=$kept vs batch=$batchKept")
   }
 
+  test("streaming any-frame gate on a MIXED MP4+WebM stream: cross-container dups drop, stream == batch") {
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(StructField("asset_id", LongType),
+      StructField("ts", LongType), StructField("content", BinaryType)))
+    val dir = java.nio.file.Files.createTempDirectory("vidgate4").toString
+    val min = 60L * 1000000000L
+    def write(rows: Seq[(Long, Long, Array[Byte])]): Unit =
+      spark.createDataFrame(rows.toDF("asset_id", "ts", "content").rdd, sch)
+        .coalesce(1).write.mode("append").parquet(dir)
+    // smooth scene (the Vp8SqlSpec pairing shape): high-frequency
+    // content would alias through the 9×8 resize and let VP8
+    // quantization noise drift the hash past the hamming gate
+    def scene(seed: Int)(x: Int, y: Int): Int =
+      (127 + 90 * math.sin((1 + seed % 5) * x / 2.5 + y / 2.0 + seed)).toInt & 0xFF
+    def webmOf(seed: Int): Array[Byte] = {
+      val g = Array.tabulate(16 * 16)(p => scene(seed)(p % 16, p / 16))
+      graft.ext.WebmFixtures.vp8Webm(
+        Seq((0L, graft.ext.Vp8Fixtures.encodeGrayFrame(g, 16, 16, 4)._1)), 16, 16)
+    }
+    // 1: MP4 original; 2: its VP8-in-WebM re-encode (must drop —
+    // the cross-container shape); 3: fresh WebM-only scene (kept)
+    write(Seq((1L, 1 * min, graft.ext.VideoFixtures.pcmKeyframeMp4(scene(4))),
+      (2L, 3 * min, webmOf(4)),
+      (3L, 6 * min, webmOf(21))))
+    val rowsDf = spark.read.schema(sch).parquet(dir)
+    val batchKept = graft.streaming.DocStreams.videoAnyFrameDedupGate(
+      rowsDf, maxFrames = 4).select("asset_id").as[Long].collect().toSet
+    assert(batchKept === Set(1L, 3L), s"batch kept=$batchKept")
+    val q = graft.streaming.DocStreams.videoAnyFrameDedupGate(
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", "1").parquet(dir),
+        maxFrames = 4, horizon = "30 minutes")
+      .writeStream.format("memory").queryName("vidgate4")
+      .outputMode("append").start()
+    val kept = try {
+      q.processAllAvailable()
+      write(Seq((100L, 600 * min, webmOf(77))))
+      q.processAllAvailable()
+      spark.table("vidgate4").filter($"asset_id" < 100)
+        .select($"asset_id").as[Long].collect().toSet
+    } finally q.stop()
+    assert(kept === batchKept, s"stream kept=$kept vs batch=$batchKept")
+  }
+
   test("streaming subtitle gate: all three carriages + legacy encodings, stream == batch") {
     import org.apache.spark.sql.types._
     val sch = StructType(Seq(
