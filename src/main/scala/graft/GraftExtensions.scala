@@ -237,6 +237,11 @@ object GraftExtensions {
           s"webm_vp8_dhashes expects (content, maxN); got ${children.size} args")
         graft.fn.WebmVp8Dhashes(children(0), litInt(children(1), "maxN"))
       }),
+    unaryFn("justext_blocks", classOf[graft.fn.JustextBlocks],
+      graft.fn.JustextBlocks(_)),
+    unaryFn("main_text", classOf[graft.fn.MainText], graft.fn.MainText(_)),
+    unaryFn("justext_synth", classOf[graft.fn.JustextSynth],
+      graft.fn.JustextSynth(_)),
     (
       new FunctionIdentifier("video_gop_dhashes"),
       new ExpressionInfo(classOf[graft.fn.VideoGopDhashes].getName, "video_gop_dhashes"),

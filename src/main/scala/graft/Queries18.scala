@@ -117,12 +117,90 @@ object Queries18 {
        |GROUP BY a_id, b_id
        |ORDER BY a_id, b_id""".stripMargin
 
+  // ---------- q170/q171: in-page boilerplate extraction (round 14,
+  // the verdict's #2 item — jusText's published deterministic rules).
+  // The corpus is synthesized from doc_id arithmetic
+  // ([[graft.ext.BoilerplateFixtures]]), so the oracle recomputes
+  // every block's length / link chars / stopword hits / context-free
+  // class / final class in CLOSED FORM — a defect in segmentation,
+  // density arithmetic, any threshold, or any revision pass breaks
+  // the hash (the q131/q160 discipline).
+  private def q170(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val blocks = gb.column(graft.fn.JustextBlocks(
+      graft.fn.JustextSynth(gb.expression(d.cast("long")))))
+    Tables.tbl(s, dir, "documents").select(d)
+      .where(d < 2000)
+      .select(d, explode(blocks).as("__b"))
+      .select(d, col("__b.block_idx").as("block_idx"),
+        col("__b.heading").as("heading"), col("__b.length").as("length"),
+        col("__b.link_chars").as("link_chars"),
+        col("__b.stop_hits").as("stop_hits"),
+        col("__b.n_words").as("n_words"),
+        col("__b.cf_class").as("cf_class"), col("__b.class").as("cls"))
+      .orderBy(d, col("block_idx"))
+  }
+
+  private val q170Sql =
+    """WITH m AS (
+      |  SELECT doc_id, 10 + doc_id % 3 AS m1, 10 + (doc_id + 1) % 3 AS m2
+      |  FROM documents WHERE doc_id < 2000
+      |), b AS (SELECT UNNEST(range(0, 8)) AS block_idx)
+      |SELECT doc_id, CAST(block_idx AS INT) AS block_idx,
+      |  CAST(CASE WHEN block_idx = 1 THEN 1 ELSE 0 END AS INT) AS heading,
+      |  CAST(CASE block_idx
+      |    WHEN 0 THEN 18 WHEN 1 THEN 9 WHEN 2 THEN 22 * m1 - 1
+      |    WHEN 3 THEN 21 WHEN 4 THEN 22 * m2 - 1 WHEN 5 THEN 87
+      |    WHEN 6 THEN 14 ELSE 19 END AS INT) AS length,
+      |  CAST(CASE block_idx WHEN 0 THEN 16 WHEN 3 THEN 7 ELSE 0 END AS INT)
+      |    AS link_chars,
+      |  CAST(CASE block_idx
+      |    WHEN 0 THEN 1 WHEN 2 THEN 3 * m1 WHEN 3 THEN 1
+      |    WHEN 4 THEN 3 * m2 WHEN 5 THEN 12 WHEN 6 THEN 1
+      |    ELSE 0 END AS INT) AS stop_hits,
+      |  CAST(CASE block_idx
+      |    WHEN 0 THEN 3 WHEN 1 THEN 2 WHEN 2 THEN 5 * m1 WHEN 3 THEN 4
+      |    WHEN 4 THEN 5 * m2 WHEN 5 THEN 20 WHEN 6 THEN 3
+      |    ELSE 4 END AS INT) AS n_words,
+      |  CASE block_idx
+      |    WHEN 0 THEN 'bad' WHEN 1 THEN 'short' WHEN 2 THEN 'good'
+      |    WHEN 3 THEN 'bad' WHEN 4 THEN 'good' WHEN 5 THEN 'neargood'
+      |    WHEN 6 THEN 'short' ELSE 'bad' END AS cf_class,
+      |  CASE block_idx
+      |    WHEN 0 THEN 'bad' WHEN 1 THEN 'good' WHEN 2 THEN 'good'
+      |    WHEN 3 THEN 'bad' WHEN 4 THEN 'good' WHEN 5 THEN 'good'
+      |    WHEN 6 THEN 'bad' ELSE 'bad' END AS cls
+      |FROM m, b
+      |ORDER BY doc_id, block_idx""".stripMargin
+
+  private def q171(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    Tables.tbl(s, dir, "documents").select(d)
+      .where(d < 2000)
+      .select(d, gb.column(graft.fn.MainText(
+        graft.fn.JustextSynth(gb.expression(d.cast("long"))))).as("main_text"))
+      .orderBy(d)
+  }
+
+  private val q171Sql =
+    """SELECT doc_id,
+      |  'Section ' || CAST(doc_id % 10 AS VARCHAR) || chr(10) ||
+      |  rtrim(repeat('the data was fine and ', CAST(10 + doc_id % 3 AS INT))) || chr(10) ||
+      |  rtrim(repeat('the data was fine and ', CAST(10 + (doc_id + 1) % 3 AS INT))) || chr(10) ||
+      |  rtrim(repeat('the data was fine and ', 4)) AS main_text
+      |FROM documents WHERE doc_id < 2000
+      |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q169_cross_container_neardup" -> (q169 _),
-    "q169p_video_dhash_pairs" -> (q169p _))
+    "q169p_video_dhash_pairs" -> (q169p _),
+    "q170_boilerplate_blocks" -> (q170 _),
+    "q171_main_text" -> (q171 _))
 
   val oracles: Map[String, String] = Map(
     // q169: rows-only by the documented media convention (no video
     // codec in DuckDB); its pair algebra is hash-gated via q169p
-    "q169p_video_dhash_pairs" -> q169pSql)
+    "q169p_video_dhash_pairs" -> q169pSql,
+    "q170_boilerplate_blocks" -> q170Sql,
+    "q171_main_text" -> q171Sql)
 }
