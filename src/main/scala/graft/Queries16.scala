@@ -84,10 +84,15 @@ object Queries16 {
        |  SELECT doc_id,
        |    CASE CAST(doc_id % 4 AS INT)
        |      WHEN 0 THEN 'Doc ' || doc_id || ' page 0' || chr(10) ||
-       |        'café €' || (doc_id % 7) ||
+       |        'café ' ||
+       |        -- doc_id % 16 = 4: the /Differences remap arm (round 14)
+       |        CASE WHEN doc_id % 16 = 4 THEN '•☃' ELSE '€' END ||
+       |        (doc_id % 7) ||
        |        CASE WHEN (doc_id // 4) % 2 = 1
        |          THEN chr(10) || 'Doc ' || doc_id || ' page 1' || chr(10) ||
-       |            'café €' || (doc_id % 7)
+       |            'café ' ||
+       |            CASE WHEN doc_id % 16 = 4 THEN '•☃' ELSE '€' END ||
+       |            (doc_id % 7)
        |          ELSE '' END
        |      WHEN 1 THEN 'Doc ' || doc_id || ' (A)' || chr(10) ||
        |        'kerned text ' || (doc_id % 5)
@@ -101,7 +106,10 @@ object Queries16 {
        |      WHEN 0 THEN 5 + 2 * ((doc_id // 4) % 2)
        |      WHEN 1 THEN 5
        |      WHEN 2 THEN 8
-       |      ELSE 7 END AS INT) AS n_objects,
+       |      ELSE 7 END
+       |      -- the round-14 encryption axis adds the Encrypt dict
+       |      + CASE WHEN doc_id % 16 IN (0, 1, 3) THEN 1 ELSE 0 END
+       |      AS INT) AS n_objects,
        |    CASE WHEN doc_id % 4 = 3 THEN 'Graft Doc ' || doc_id
        |         ELSE '' END AS title
        |  FROM documents

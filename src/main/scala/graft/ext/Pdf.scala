@@ -40,14 +40,21 @@ import scala.util.control.NonFatal
   *
   * RESTRICTED (documented, nulls or substitutes loudly — never a
   * silent wrong answer):
-  *   - non-Flate filters (DCT/LZW/RunLength/ASCIIHex/ASCII85…) fail
-  *     the stream → the document nulls (a text pipeline must know it
-  *     did not extract, not get garbage)
-  *   - `/Encoding` dicts use `/BaseEncoding` only; `/Differences`
-  *     glyph lists are ignored (the Adobe glyph-list lookup is out of
-  *     subset) — affected codes decode through the base table
+  *   - filters beyond Flate/LZW (DCT/RunLength/ASCIIHex/ASCII85…)
+  *     fail the stream → the document nulls (a text pipeline must
+  *     know it did not extract, not get garbage)
+  *   - `/Differences` glyph names resolve through the AGL subset in
+  *     [[GlyphNames]] + the `uniXXXX`/`uXXXX` hex rules; names
+  *     outside it → U+FFFD (loud), never the base-table character
   *   - MacRomanEncoding decodes its ASCII range; high bytes → U+FFFD
-  *   - encrypted documents (`/Encrypt` in the trailer) → null
+  *   - encryption (round 14): the STANDARD security handler with an
+  *     EMPTY user password — RC4-40/128 (V1/V2, R2/R3) and
+  *     AES-128-CBC (V4 AESV2, R4), key from the published Algorithm 2
+  *     and /U verified (Algorithms 4/5); owner-password-only files
+  *     decode (by design — /O only feeds derivation), files whose /U
+  *     rejects the empty password null loudly, as do non-Standard
+  *     handlers, V5/AESV3 (SHA-based, out of subset), and /StmF other
+  *     than StdCF
   *   - linearization hints, incremental-save shadowing beyond the
   *     `/Prev` chain's first-definition-wins rule, and hybrid
   *     `/XRefStm` side-tables are not chased
@@ -438,10 +445,131 @@ object Pdf {
   private final case class XOffset(off: Int) extends XEntry
   private final case class XInStream(stmNum: Int, idx: Int) extends XEntry
 
+  /** Standard security handler math (PDF 32000-1 §7.6.3, the
+    * published algorithms 2/4/5 with their public test-vector
+    * behavior): empty-user-password key derivation + /U verification.
+    * RC4-40/128 (V1/V2, R2/R3) and AES-128-CBC (V4 AESV2, R4).
+    */
+  private[graft] object PdfCrypt {
+    /** the 32-byte padding constant (Algorithm 2 step a) */
+    val Pad: Array[Byte] = Array(
+      0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+      0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+      0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+    def md5(parts: Array[Byte]*): Array[Byte] = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      parts.foreach(d.update)
+      d.digest()
+    }
+
+    def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+      val s = Array.tabulate(256)(_.toByte)
+      var j = 0
+      var i = 0
+      while (i < 256) {
+        j = (j + (s(i) & 0xFF) + (key(i % key.length) & 0xFF)) & 0xFF
+        val t = s(i); s(i) = s(j); s(j) = t
+        i += 1
+      }
+      val out = new Array[Byte](data.length)
+      var x = 0; var y = 0
+      i = 0
+      while (i < data.length) {
+        x = (x + 1) & 0xFF
+        y = (y + (s(x) & 0xFF)) & 0xFF
+        val t = s(x); s(x) = s(y); s(y) = t
+        out(i) = (data(i) ^ s(((s(x) & 0xFF) + (s(y) & 0xFF)) & 0xFF)).toByte
+        i += 1
+      }
+      out
+    }
+
+    /** AES-128-CBC: data = 16-byte IV + ciphertext; PKCS#5 padding
+      * stripped (a bad pad byte is malformed → error → null)
+      */
+    def aesCbcDecrypt(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+      if (data.length < 32 || data.length % 16 != 0) sys.error("bad aes stream")
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(javax.crypto.Cipher.DECRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(key, "AES"),
+        new javax.crypto.spec.IvParameterSpec(
+          java.util.Arrays.copyOfRange(data, 0, 16)))
+      val plain = c.doFinal(data, 16, data.length - 16)
+      val pad = plain(plain.length - 1) & 0xFF
+      if (pad < 1 || pad > 16 || pad > plain.length) sys.error("bad aes padding")
+      java.util.Arrays.copyOf(plain, plain.length - pad)
+    }
+
+    /** Algorithm 2 with the EMPTY user password (pad alone). */
+    def computeKey(o: Array[Byte], p: Int, id: Array[Byte], r: Int,
+                   keyLen: Int, encryptMetadata: Boolean): Array[Byte] = {
+      val pLe = Array[Byte]((p & 0xFF).toByte, ((p >> 8) & 0xFF).toByte,
+        ((p >> 16) & 0xFF).toByte, ((p >> 24) & 0xFF).toByte)
+      val noMeta =
+        if (r >= 4 && !encryptMetadata)
+          Array[Byte](-1, -1, -1, -1)
+        else Array.emptyByteArray
+      var digest = md5(Pad, java.util.Arrays.copyOf(o, 32), pLe, id, noMeta)
+      if (r >= 3) {
+        var i = 0
+        while (i < 50) {
+          digest = md5(java.util.Arrays.copyOf(digest, keyLen))
+          i += 1
+        }
+      }
+      java.util.Arrays.copyOf(digest, keyLen)
+    }
+
+    /** Algorithms 4 (R2) / 5 (R3+): recompute /U and compare (first
+      * 16 bytes for R3+).
+      */
+    def verifyEmptyUserPassword(key: Array[Byte], id: Array[Byte], r: Int,
+                                u: Array[Byte]): Boolean = {
+      if (r == 2) {
+        val mine = rc4(key, Pad)
+        java.util.Arrays.equals(mine, java.util.Arrays.copyOf(u, 32))
+      } else {
+        var x = rc4(key, md5(Pad, id))
+        var i = 1
+        while (i <= 19) {
+          val k = key.map(b => (b ^ i).toByte)
+          x = rc4(k, x)
+          i += 1
+        }
+        java.util.Arrays.equals(x, java.util.Arrays.copyOf(u, 16))
+      }
+    }
+  }
+
+  /** per-object decryption (Algorithm 1): obj/gen-salted MD5 key,
+    * then RC4 or AES-128-CBC
+    */
+  private final class Decryptor(key: Array[Byte], aes: Boolean) {
+    def decrypt(data: Array[Byte], num: Int, gen: Int): Array[Byte] = {
+      if (data.isEmpty) return data
+      val salt =
+        if (aes) Array[Byte](0x73, 0x41, 0x6C, 0x54) // "sAlT"
+        else Array.emptyByteArray
+      val ok = PdfCrypt.md5(key,
+        Array[Byte]((num & 0xFF).toByte, ((num >> 8) & 0xFF).toByte,
+          ((num >> 16) & 0xFF).toByte,
+          (gen & 0xFF).toByte, ((gen >> 8) & 0xFF).toByte),
+        salt)
+      val objKey = java.util.Arrays.copyOf(ok, math.min(key.length + 5, 16))
+      if (aes) PdfCrypt.aesCbcDecrypt(objKey, data)
+      else PdfCrypt.rc4(objKey, data)
+    }
+  }
+
   private final class Doc(bytes: Array[Byte]) {
     val xref = mutable.HashMap.empty[Int, XEntry]
     var root: PVal = PNull
     var info: PVal = PNull
+    private var encryptVal: PVal = PNull
+    private var fileId: Array[Byte] = Array.emptyByteArray
+    private var decryptor: Decryptor = null
+    private var encryptObjNum = -1 // the Encrypt dict itself stays plaintext
     private val objCache = mutable.HashMap.empty[Int, PVal]
     private val resolving = mutable.HashSet.empty[Int]
 
@@ -470,6 +598,94 @@ object Pdf {
       }
       if (xref.isEmpty) sys.error("empty xref")
       if (xref.size > MaxObjects) sys.error("xref bound")
+      // standard security handler (round 14): resolve /Encrypt while
+      // the decryptor is still null (its own strings stay plaintext),
+      // derive the key from the EMPTY user password, verify /U —
+      // owner-only / passworded documents error here and null loudly
+      encryptVal match {
+        case PRef(n) => encryptObjNum = n
+        case _ => ()
+      }
+      deref(encryptVal, 0) match {
+        case PNull => ()
+        case ed: PDict => decryptor = buildDecryptor(ed)
+        case _ => sys.error("bad /Encrypt")
+      }
+    }
+
+    private def buildDecryptor(ed: PDict): Decryptor = {
+      if (dictGet(ed, "Filter") != PName("Standard"))
+        sys.error("unsupported security handler")
+      def num(k: String, dflt: Int): Int = dictGet(ed, k) match {
+        case PNum(v) => v.toInt; case _ => dflt
+      }
+      val v = num("V", 0)
+      val r = num("R", 0)
+      val o = dictGet(ed, "O") match {
+        case PStr(b) => b; case _ => sys.error("missing /O")
+      }
+      val u = dictGet(ed, "U") match {
+        case PStr(b) => b; case _ => sys.error("missing /U")
+      }
+      val p = num("P", -1)
+      if (o.length < 32 || u.length < 32) sys.error("short /O or /U")
+      val encryptMetadata = dictGet(ed, "EncryptMetadata") match {
+        case PBool(b) => b; case _ => true
+      }
+      val (aes, keyLen) = v match {
+        case 1 => (false, 5)
+        case 2 =>
+          val n = num("Length", 40) / 8
+          if (n < 5 || n > 16) sys.error("bad /Length")
+          (false, n)
+        case 4 =>
+          // crypt filters: the /StdCF entry names the method
+          val cf = dictGet(ed, "CF") match {
+            case d: PDict => dictGet(d, "StdCF") match {
+              case s: PDict => s; case _ => sys.error("missing /StdCF")
+            }
+            case _ => sys.error("missing /CF")
+          }
+          val stmF = dictGet(ed, "StmF")
+          if (stmF != PName("StdCF")) sys.error("unsupported /StmF")
+          dictGet(cf, "CFM") match {
+            case PName("AESV2") => (true, 16)
+            case PName("V2") => (false, math.max(5, num("Length", 128) / 8))
+            case other => sys.error(s"unsupported /CFM $other")
+          }
+        case other => sys.error(s"unsupported /V $other")
+      }
+      if (r < 2 || r > 4) sys.error(s"unsupported /R $r")
+      val key = PdfCrypt.computeKey(o, p, fileId, r, keyLen, encryptMetadata)
+      if (!PdfCrypt.verifyEmptyUserPassword(key, fileId, r, u))
+        sys.error("password protected (empty user password rejected)")
+      new Decryptor(key, aes)
+    }
+
+    /** decrypt every string in an object's value tree (spec: strings
+      * are encrypted with their containing object's key)
+      */
+    private def decryptStrings(v: PVal, n: Int, g: Int): PVal = v match {
+      case PStr(b) => PStr(decryptor.decrypt(b, n, g))
+      case PArr(items) => PArr(items.map(decryptStrings(_, n, g)))
+      case PDict(m) => PDict(m.map { case (k, x) => k -> decryptStrings(x, n, g) })
+      case PStream(d, raw) => PStream(decryptStrings(d, n, g).asInstanceOf[PDict], raw)
+      case other => other
+    }
+
+    /** newest-section-wins capture of the trailer's /Encrypt + /ID
+      * (first xref section parsed is the newest)
+      */
+    private def captureEncrypt(tr: PDict): Unit = {
+      if (encryptVal == PNull)
+        encryptVal = tr.m.getOrElse("Encrypt", PNull)
+      if (fileId.isEmpty) tr.m.get("ID") match {
+        case Some(PArr(items)) if items.nonEmpty => items.head match {
+          case PStr(b) => fileId = b
+          case _ => ()
+        }
+        case _ => ()
+      }
     }
 
     /** parse one xref section (classic table or xref stream) at
@@ -515,14 +731,14 @@ object Pdf {
           case d: PDict => d
           case _ => sys.error("trailer not a dict")
         }
-        if (tr.m.contains("Encrypt")) sys.error("encrypted document")
+        captureEncrypt(tr)
         if (root == PNull) root = tr.m.getOrElse("Root", PNull)
         if (info == PNull) info = tr.m.getOrElse("Info", PNull)
         tr.m.get("Prev") match { case Some(PNum(p)) => p.toInt; case _ => -1 }
       } else { // xref stream: "N G obj <<...>> stream"
         val (dict, data) = parseStreamObjectAt(off)
         if (dict.m.get("Type") != Some(PName("XRef"))) sys.error("not an XRef stream")
-        if (dict.m.contains("Encrypt")) sys.error("encrypted document")
+        captureEncrypt(dict)
         val w = dict.m.get("W") match {
           case Some(PArr(items)) if items.length >= 3 =>
             items.take(3).map { case PNum(d) => d.toInt; case _ => sys.error("bad /W") }
@@ -584,11 +800,17 @@ object Pdf {
     private def parseObjectAt(off: Int): PVal = {
       if (off < 0 || off >= bytes.length) sys.error("object offset out of range")
       val lx = new Lexer(bytes, off)
-      lx.skipWs(); lx.number() // obj num
-      lx.skipWs(); lx.number() // gen
+      lx.skipWs()
+      val objNum = lx.number().toInt
+      lx.skipWs()
+      val genNum = lx.number().toInt
       lx.skipWs()
       if (lx.readKeyword() != "obj") sys.error("missing obj keyword")
-      val v = lx.parseValue(refs = true)
+      val v0 = lx.parseValue(refs = true)
+      val v =
+        if (decryptor != null && objNum != encryptObjNum)
+          decryptStrings(v0, objNum, genNum)
+        else v0
       v match {
         case d: PDict =>
           lx.skipWs()
@@ -611,7 +833,13 @@ object Pdf {
               if (len >= 0 && start + len <= bytes.length &&
                   endstreamAt(start + len)) start + len
               else scanEndstream(start)
-            PStream(d, java.util.Arrays.copyOfRange(bytes, start, end))
+            var raw = java.util.Arrays.copyOfRange(bytes, start, end)
+            // stream decryption precedes filters; XRef streams are
+            // never encrypted (spec), the Encrypt object neither
+            if (decryptor != null && objNum != encryptObjNum &&
+                d.m.get("Type") != Some(PName("XRef")))
+              raw = decryptor.decrypt(raw, objNum, genNum)
+            PStream(d, raw)
           } else { lx.pos = save; d }
         case other => other
       }
@@ -779,6 +1007,54 @@ object Pdf {
     * (0x60 → U+2018) substitutions; codes ≥ 0x80 → U+FFFD
     * (documented above).
     */
+  /** Glyph name → text (round 14, for `/Differences`): the AGL
+    * algorithm's deterministic core — `uniXXXX`/`uXXXX[XX]` hex names
+    * decode directly, single-char names map to themselves, plus the
+    * punctuation/digit/Latin-1 names simple fonts actually use;
+    * unknown names → U+FFFD (loud, never silent garbage).
+    */
+  private lazy val GlyphNames: Map[String, String] = Map(
+    "space" -> " ", "exclam" -> "!", "quotedbl" -> "\"",
+    "numbersign" -> "#", "dollar" -> "$", "percent" -> "%",
+    "ampersand" -> "&", "quotesingle" -> "'", "parenleft" -> "(",
+    "parenright" -> ")", "asterisk" -> "*", "plus" -> "+", "comma" -> ",",
+    "hyphen" -> "-", "period" -> ".", "slash" -> "/", "zero" -> "0",
+    "one" -> "1", "two" -> "2", "three" -> "3", "four" -> "4",
+    "five" -> "5", "six" -> "6", "seven" -> "7", "eight" -> "8",
+    "nine" -> "9", "colon" -> ":", "semicolon" -> ";", "less" -> "<",
+    "equal" -> "=", "greater" -> ">", "question" -> "?", "at" -> "@",
+    "bracketleft" -> "[", "backslash" -> "\\", "bracketright" -> "]",
+    "asciicircum" -> "^", "underscore" -> "_", "grave" -> "`",
+    "braceleft" -> "{", "bar" -> "|", "braceright" -> "}",
+    "asciitilde" -> "~", "eacute" -> "é", "egrave" -> "è",
+    "agrave" -> "à", "ccedilla" -> "ç", "adieresis" -> "ä",
+    "odieresis" -> "ö", "udieresis" -> "ü", "ntilde" -> "ñ",
+    "Euro" -> "€", "copyright" -> "©", "registered" -> "®",
+    "trademark" -> "™", "bullet" -> "•", "endash" -> "–",
+    "emdash" -> "—", "quoteleft" -> "‘", "quoteright" -> "’",
+    "quotedblleft" -> "“", "quotedblright" -> "”",
+    "ellipsis" -> "…", "dagger" -> "†", "section" -> "§",
+    "paragraph" -> "¶", "degree" -> "°", "plusminus" -> "±",
+    "multiply" -> "×", "divide" -> "÷", "sterling" -> "£", "yen" -> "¥",
+    "cent" -> "¢", "exclamdown" -> "¡", "questiondown" -> "¿")
+
+  private def glyphChar(name: String): String = {
+    if (name.length == 1) return name
+    if (name.length == 7 && name.startsWith("uni") &&
+        name.drop(3).forall(c => Character.digit(c, 16) >= 0)) {
+      val cp = Integer.parseInt(name.drop(3), 16)
+      if (cp >= 0xD800 && cp <= 0xDFFF) return "�"
+      return new String(Character.toChars(cp))
+    }
+    if (name.length >= 5 && name.length <= 7 && name.startsWith("u") &&
+        name.drop(1).forall(c => Character.digit(c, 16) >= 0)) {
+      val cp = Integer.parseInt(name.drop(1), 16)
+      if (cp > 0x10FFFF || (cp >= 0xD800 && cp <= 0xDFFF)) return "�"
+      return new String(Character.toChars(cp))
+    }
+    GlyphNames.getOrElse(name, "�")
+  }
+
   private lazy val StandardTable: Array[String] = {
     val t = new Array[String](256)
     var i = 0
@@ -939,10 +1215,30 @@ object Pdf {
                 case PName("MacRomanEncoding") => SimpleFont(MacAsciiTable)
                 case PName("StandardEncoding") => SimpleFont(StandardTable)
                 case ed: PDict =>
-                  doc.dictGet(ed, "BaseEncoding") match {
-                    case PName("WinAnsiEncoding") => SimpleFont(WinAnsiTable)
-                    case PName("MacRomanEncoding") => SimpleFont(MacAsciiTable)
-                    case _ => SimpleFont(StandardTable)
+                  val base = doc.dictGet(ed, "BaseEncoding") match {
+                    case PName("WinAnsiEncoding") => WinAnsiTable
+                    case PName("MacRomanEncoding") => MacAsciiTable
+                    case _ => StandardTable
+                  }
+                  // /Differences (round 14): [code name name ... code
+                  // name ...] — each name overrides consecutive codes
+                  // from the last code marker (glyph names resolved
+                  // through the AGL subset + the uniXXXX rule)
+                  doc.dictGet(ed, "Differences") match {
+                    case PArr(items) =>
+                      val t = base.clone()
+                      var code = 0
+                      items.foreach {
+                        case PNum(d) => code = d.toInt
+                        case PName(g) =>
+                          if (code >= 0 && code < 256) {
+                            t(code) = glyphChar(g)
+                            code += 1
+                          }
+                        case _ => ()
+                      }
+                      SimpleFont(t)
+                    case _ => SimpleFont(base)
                   }
                 case _ => SimpleFont(StandardTable)
               }

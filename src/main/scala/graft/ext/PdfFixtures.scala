@@ -55,8 +55,78 @@ object PdfFixtures {
     out.toByteArray
   }
 
-  /** classic-xref document assembler */
-  private final class Classic {
+  /** Standard-security-handler parameters for the encrypting writer
+    * (round 14): the reader never checks /O — it only feeds the key
+    * derivation — so the writer picks deterministic /O bytes, derives
+    * the empty-user-password key with the READER'S OWN published
+    * algorithms ([[Pdf.PdfCrypt]]), and computes a matching /U. A
+    * derivation defect on either side breaks the round-trip.
+    * kind: 0 = RC4-40 (V1/R2), 1 = RC4-128 (V2/R3), 2 = AES-128-CBC
+    * (V4/R4, AESV2 crypt filter).
+    */
+  private[graft] final case class Enc(kind: Int, docId: Long) {
+    import Pdf.PdfCrypt
+    val fileId: Array[Byte] = PdfCrypt.md5(s"graft-pdf-id-$docId".getBytes)
+    val p: Int = -44
+    val o: Array[Byte] = PdfCrypt.md5(s"graft-owner-$docId".getBytes) ++
+      PdfCrypt.md5(s"graft-owner-b-$docId".getBytes)
+    val r: Int = kind match { case 0 => 2; case 1 => 3; case _ => 4 }
+    private val keyLen = if (kind == 0) 5 else 16
+    val key: Array[Byte] =
+      PdfCrypt.computeKey(o, p, fileId, r, keyLen, encryptMetadata = true)
+    val u: Array[Byte] =
+      if (r == 2) PdfCrypt.rc4(key, PdfCrypt.Pad)
+      else {
+        var x = PdfCrypt.rc4(key, PdfCrypt.md5(PdfCrypt.Pad, fileId))
+        var i = 1
+        while (i <= 19) { x = PdfCrypt.rc4(key.map(b => (b ^ i).toByte), x); i += 1 }
+        x ++ new Array[Byte](16) // 32 bytes; only the first 16 compare
+      }
+
+    def encrypt(data: Array[Byte], num: Int): Array[Byte] = {
+      val salt =
+        if (kind == 2) Array[Byte](0x73, 0x41, 0x6C, 0x54) else Array.emptyByteArray
+      val ok = PdfCrypt.md5(key,
+        Array[Byte]((num & 0xFF).toByte, ((num >> 8) & 0xFF).toByte,
+          ((num >> 16) & 0xFF).toByte, 0, 0), salt)
+      val objKey = java.util.Arrays.copyOf(ok, math.min(keyLen + 5, 16))
+      if (kind == 2) {
+        val iv = java.util.Arrays.copyOf(
+          PdfCrypt.md5(s"graft-iv-$docId-$num".getBytes), 16)
+        val padN = 16 - (data.length % 16)
+        val padded = java.util.Arrays.copyOf(data, data.length + padN)
+        java.util.Arrays.fill(padded, data.length, padded.length, padN.toByte)
+        val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+        c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+          new javax.crypto.spec.SecretKeySpec(objKey, "AES"),
+          new javax.crypto.spec.IvParameterSpec(iv))
+        iv ++ c.doFinal(padded)
+      } else PdfCrypt.rc4(objKey, data)
+    }
+
+    private def hex(b: Array[Byte]): String =
+      "<" + b.map(x => f"${x & 0xFF}%02X").mkString + ">"
+
+    def dictBody: String = {
+      val ou = s"/O ${hex(o)} /U ${hex(u)} /P $p"
+      kind match {
+        case 0 => s"<< /Filter /Standard /V 1 /R 2 $ou >>"
+        case 1 => s"<< /Filter /Standard /V 2 /R 3 /Length 128 $ou >>"
+        case _ => "<< /Filter /Standard /V 4 /R 4 /Length 128 " +
+          "/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen >> >> " +
+          s"/StmF /StdCF /StrF /StdCF $ou >>"
+      }
+    }
+
+    def trailerExtra(encNum: Int): String =
+      s" /Encrypt $encNum 0 R /ID [ ${hex(fileId)} ${hex(fileId)} ]"
+  }
+
+  /** classic-xref document assembler; pass `enc` to emit the document
+    * under the standard security handler (streams and literal strings
+    * written through [[Enc.encrypt]], /Encrypt + /ID in the trailer)
+    */
+  private final class Classic(enc: Enc = null) {
     private val out = new java.io.ByteArrayOutputStream()
     private val offsets = mutable.TreeMap.empty[Int, Int]
     raw("%PDF-1.4\n%âãÏÓ\n")
@@ -68,14 +138,38 @@ object PdfFixtures {
       raw(s"$num 0 obj\n$body\nendobj\n")
     }
 
+    /** a literal-string token for `s`, encrypted with the containing
+      * object's key when the document is encrypted (escaped so any
+      * ciphertext byte survives the lexer)
+      */
+    def lit(s: String, objNum: Int): String = {
+      val plain = s.getBytes(Latin1)
+      val bytes = if (enc == null) plain else enc.encrypt(plain, objNum)
+      val sb = new StringBuilder("(")
+      bytes.foreach { b =>
+        val v = b & 0xFF
+        if (v == '(' || v == ')' || v == '\\') sb.append('\\').append(v.toChar)
+        else if (v >= 32 && v < 127) sb.append(v.toChar)
+        else sb.append(f"\\${v}%03o")
+      }
+      sb.append(")").toString
+    }
+
     def streamObj(num: Int, extraDict: String, data: Array[Byte]): Unit = {
       offsets(num) = out.size
-      raw(s"$num 0 obj\n<< $extraDict/Length ${data.length} >>\nstream\n")
-      out.write(data)
+      val body = if (enc == null) data else enc.encrypt(data, num)
+      raw(s"$num 0 obj\n<< $extraDict/Length ${body.length} >>\nstream\n")
+      out.write(body)
       raw("\nendstream\nendobj\n")
     }
 
     def finish(rootNum: Int, infoNum: Int = -1): Array[Byte] = {
+      var encExtra = ""
+      if (enc != null) {
+        val encNum = offsets.keys.max + 1
+        obj(encNum, enc.dictBody) // plaintext by definition
+        encExtra = enc.trailerExtra(encNum)
+      }
       val xrefOff = out.size
       val maxNum = offsets.keys.max
       raw(s"xref\n0 ${maxNum + 1}\n")
@@ -84,7 +178,7 @@ object PdfFixtures {
         raw(f"${offsets.getOrElse(n, 0)}%010d 00000 n\r\n")
       }
       val info = if (infoNum > 0) s" /Info $infoNum 0 R" else ""
-      raw(s"trailer\n<< /Size ${maxNum + 1} /Root $rootNum 0 R$info >>\n")
+      raw(s"trailer\n<< /Size ${maxNum + 1} /Root $rootNum 0 R$info$encExtra >>\n")
       raw(s"startxref\n$xrefOff\n%%EOF\n")
       out.toByteArray
     }
@@ -93,30 +187,55 @@ object PdfFixtures {
   // ---------------------------------------------------------------
   // variants
   // ---------------------------------------------------------------
+  /** the encryption axis (round 14), orthogonal to the variant axis:
+    * ids ≡ 0 (mod 16) → RC4-128 over v0, ≡ 1 → AES-128 over v1
+    * (string + stream + Flate composition), ≡ 3 → RC4-40 over v3
+    * (whose /Title string exercises STRING decryption). Text/pages/
+    * title closed forms are untouched — decryption is transparent —
+    * and n_objects grows by the Encrypt dict.
+    */
+  private def encFor(id: Long): Enc = (id % 16) match {
+    case 0 => Enc(1, id)
+    case 1 => Enc(2, id)
+    case 3 => Enc(0, id)
+    case _ => null
+  }
+
   private def v0(id: Long): Array[Byte] = {
     // id % 4 == 0 selects this variant, so page count derives from
     // id/4 (id % 2 would be constant-even here)
     val pages = 1 + ((id / 4) % 2).toInt
-    val b = new Classic
+    // ids == 4 (mod 16): an /Encoding dict with /Differences REMAPPING
+    // codes 128/129 away from WinAnsi (to /bullet and the AGL uniXXXX
+    // form) — round 14's simple-font encoding-override arm; the text
+    // closed form changes visibly so an ignored override breaks q151
+    val diffs = id % 16 == 4
+    val b = new Classic(encFor(id))
     val kids = (0 until pages).map(p => s"${4 + 2 * p} 0 R").mkString(" ")
     b.obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
     b.obj(2, s"<< /Type /Pages /Kids [ $kids ] /Count $pages >>")
+    val enc =
+      if (diffs)
+        "/Encoding << /BaseEncoding /WinAnsiEncoding " +
+          "/Differences [ 128 /bullet /uni2603 ] >>"
+      else "/Encoding /WinAnsiEncoding"
     b.obj(3, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
-      "/Encoding /WinAnsiEncoding >>")
+      s"$enc >>")
     (0 until pages).foreach { p =>
       b.obj(4 + 2 * p, s"<< /Type /Page /Parent 2 0 R " +
         s"/Resources << /Font << /F1 3 0 R >> >> " +
         s"/MediaBox [ 0 0 612 792 ] /Contents ${5 + 2 * p} 0 R >>")
+      val accent = if (diffs) "\\200\\201" else "\\200"
       val content =
         s"BT /F1 12 Tf 72 720 Td (Doc $id page $p) Tj " +
-          s"0 -14 Td (caf\\351 \\200${id % 7}) Tj ET"
+          s"0 -14 Td (caf\\351 $accent${id % 7}) Tj ET"
       b.streamObj(5 + 2 * p, "", content.getBytes(Latin1))
     }
     b.finish(1)
   }
 
   private def v1(id: Long): Array[Byte] = {
-    val b = new Classic
+    val b = new Classic(encFor(id))
     b.obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
     b.obj(2, "<< /Type /Pages /Kids [ 4 0 R ] /Count 1 >>")
     b.obj(3, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
@@ -306,7 +425,7 @@ object PdfFixtures {
   }
 
   private def v3(id: Long): Array[Byte] = {
-    val b = new Classic
+    val b = new Classic(encFor(id))
     b.obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
     b.obj(2, "<< /Type /Pages /Kids [ 4 0 R ] /Count 1 >>")
     b.obj(3, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
@@ -319,7 +438,8 @@ object PdfFixtures {
       s"0.5 0.1 (gamma ${id % 3}) \" ET"
     b.streamObj(5, "/Filter /FlateDecode ", flate(c1.getBytes(Latin1)))
     b.streamObj(6, "/Filter /FlateDecode ", flate(c2.getBytes(Latin1)))
-    b.obj(7, s"<< /Title (Graft Doc $id) /Producer (graft) >>")
+    b.obj(7, s"<< /Title ${b.lit(s"Graft Doc $id", 7)} " +
+      s"/Producer ${b.lit("graft", 7)} >>")
     b.finish(1, infoNum = 7)
   }
 
@@ -336,8 +456,9 @@ object PdfFixtures {
   // ---------------------------------------------------------------
   def expectedText(id: Long): String = (id % 4).toInt match {
     case 0 =>
+      val accent = if (id % 16 == 4) "•☃" else "€" // the /Differences arm
       (0 until (1 + ((id / 4) % 2).toInt))
-        .map(p => s"Doc $id page $p\ncafé €${id % 7}").mkString("\n")
+        .map(p => s"Doc $id page $p\ncafé $accent${id % 7}").mkString("\n")
     case 1 => s"Doc $id (A)\nkerned text ${id % 5}"
     case 2 => "中文 " + (0xFF10 + (id % 10).toInt).toChar
     case _ => s"Part ${id % 6}\nalpha\nbeta ${id % 4}\ngamma ${id % 3}"
@@ -346,11 +467,15 @@ object PdfFixtures {
   def expectedPages(id: Long): Int =
     if (id % 4 == 0) 1 + ((id / 4) % 2).toInt else 1
 
-  def expectedObjects(id: Long): Int = (id % 4).toInt match {
-    case 0 => 3 + 2 * (1 + ((id / 4) % 2).toInt)
-    case 1 => 5
-    case 2 => 8
-    case _ => 7
+  def expectedObjects(id: Long): Int = {
+    val base = (id % 4).toInt match {
+      case 0 => 3 + 2 * (1 + ((id / 4) % 2).toInt)
+      case 1 => 5
+      case 2 => 8
+      case _ => 7
+    }
+    // the Encrypt dict itself (the id % 16 encryption axis)
+    base + (if (id % 16 == 0 || id % 16 == 1 || id % 16 == 3) 1 else 0)
   }
 
   def expectedTitle(id: Long): String =

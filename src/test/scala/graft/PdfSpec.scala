@@ -75,16 +75,21 @@ class PdfSpec extends AnyFunSuite {
   }
 
   test("variant structure is what it claims (layout axes differ)") {
-    val v0 = new String(PdfFixtures.pdf(0), L1)
-    val v1 = new String(PdfFixtures.pdf(1), L1)
+    // ids 4/9/2/7: one per variant, all OUTSIDE the id % 16 ∈
+    // {0,1,3} encryption axis so the plaintext markers are visible
+    val v0 = new String(PdfFixtures.pdf(4), L1)
+    val v1 = new String(PdfFixtures.pdf(9), L1)
     val v2 = new String(PdfFixtures.pdf(2), L1)
-    val v3 = new String(PdfFixtures.pdf(3), L1)
+    val v3 = new String(PdfFixtures.pdf(7), L1)
     assert(v0.contains("xref\n0 ") && !v0.contains("/Type /XRef"))
-    assert(v0.contains("(Doc 0 page 0)")) // uncompressed content visible
+    assert(v0.contains("(Doc 4 page 0)")) // uncompressed content visible
     assert(v1.contains("/Filter /FlateDecode") && !v1.contains("(kern)"))
     assert(v2.contains("/Type /XRef") && v2.contains("/Type /ObjStm") &&
       v2.contains("/Predictor 12") && v2.contains("Identity-H"))
-    assert(v3.contains("/Title (Graft Doc 3)"))
+    assert(v3.contains("/Title (Graft Doc 7)"))
+    // the encrypted siblings hide the same markers
+    assert(!new String(PdfFixtures.pdf(0), L1).contains("(Doc 0 page 0)"))
+    assert(!new String(PdfFixtures.pdf(3), L1).contains("Graft Doc 3"))
   }
 
   // ---------------------------------------------------------------
@@ -105,8 +110,17 @@ class PdfSpec extends AnyFunSuite {
   }
 
   test("WinAnsi high bytes decode through the 1252 table") {
-    val d = Pdf.textOrNull(PdfFixtures.pdf(4)) // v0, id 4
-    assert(d.text.contains("café €4"))
+    val d = Pdf.textOrNull(PdfFixtures.pdf(8)) // v0, id 8 (no overrides)
+    assert(d.text.contains("café €1")) // 8 % 7 = 1
+  }
+
+  test("/Differences remaps codes over the base encoding (AGL + uniXXXX)") {
+    // id 4 declares /Differences [128 /bullet /uni2603]: code 0x80
+    // leaves WinAnsi's € for •, 0x81 decodes through the uniXXXX rule
+    val d = Pdf.textOrNull(PdfFixtures.pdf(4))
+    assert(d.text.contains("café •☃4"))
+    // codes OUTSIDE the differences still ride the base table
+    assert(d.text.contains("café")) // é = \351 via WinAnsi
   }
 
   test("quote operators break lines; /Info /Title decodes") {
@@ -182,10 +196,32 @@ class PdfSpec extends AnyFunSuite {
     }
   }
 
-  test("encrypted documents null loudly") {
-    val src = new String(PdfFixtures.pdf(0), L1)
-    val enc = src.replace("/Size", "/Encrypt 9 0 R /Size")
-    assert(Pdf.textOrNull(enc.getBytes(L1)) == null)
+  test("standard security handler: RC4-40/128 + AES-128 decode; wrong password nulls") {
+    // the id % 16 axis: 0 → RC4-128 (V2/R3) over v0, 1 → AES-128-CBC
+    // (V4/R4) over v1 (ciphertext through Flate), 3 → RC4-40 (V1/R2)
+    // over v3 (whose /Title gates STRING decryption). Same closed-form
+    // text/title as their plaintext siblings — decryption transparent.
+    for (id <- Seq(0L, 16L, 32L, 1L, 17L, 33L, 3L, 19L, 35L)) {
+      val doc = Pdf.textOrNull(PdfFixtures.pdf(id))
+      assert(doc != null, s"id=$id")
+      assert(doc.text === PdfFixtures.expectedText(id), s"id=$id")
+      assert(doc.title === PdfFixtures.expectedTitle(id), s"id=$id title")
+      assert(doc.nObjects === PdfFixtures.expectedObjects(id), s"id=$id objs")
+    }
+    // a NON-empty user password (here: a corrupted /U that no key
+    // derived from the empty password can match) nulls loudly —
+    // owner-only / passworded documents never yield garbage text
+    val src = PdfFixtures.pdf(16L)
+    val marker = "/U <".getBytes(L1)
+    val at = new String(src, L1).indexOf("/U <")
+    assert(at > 0 && marker.length > 0)
+    val bad = src.clone()
+    bad(at + 4) = (if (bad(at + 4) == '0') '1' else '0').toByte
+    bad(at + 5) = (if (bad(at + 5) == '0') '1' else '0').toByte
+    assert(Pdf.textOrNull(bad) == null, "wrong password must null")
+    // truncation fuzz over an encrypted doc: null or decode, no throw
+    for (cut <- Seq(30, src.length / 2, src.length - 4))
+      Pdf.textOrNull(java.util.Arrays.copyOf(src, cut))
   }
 
   test("unsupported filters null loudly (no silent garbage)") {
