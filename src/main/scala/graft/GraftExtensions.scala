@@ -242,6 +242,8 @@ object GraftExtensions {
     unaryFn("main_text", classOf[graft.fn.MainText], graft.fn.MainText(_)),
     unaryFn("justext_synth", classOf[graft.fn.JustextSynth],
       graft.fn.JustextSynth(_)),
+    unaryFn("av1_meta", classOf[graft.fn.Av1Meta], graft.fn.Av1Meta(_)),
+    unaryFn("av1_synth", classOf[graft.fn.Av1Synth], graft.fn.Av1Synth(_)),
     (
       new FunctionIdentifier("video_gop_dhashes"),
       new ExpressionInfo(classOf[graft.fn.VideoGopDhashes].getName, "video_gop_dhashes"),

@@ -191,16 +191,62 @@ object Queries18 {
       |FROM documents WHERE doc_id < 2000
       |ORDER BY doc_id""".stripMargin
 
+  // ---------- q172: AV1 metadata triage (round 14, verdict item 4).
+  // A bit-written sequence-header OBU (the Mp4Spec discipline) inside
+  // an av1C record, carried in an MP4 av01 entry (even ids) or a WebM
+  // V_AV1 CodecPrivate (odd ids); every field — profile, level, tier,
+  // dimensions, bit depth, monochrome — is doc_id arithmetic the
+  // oracle recomputes, so a defect in the OBU bit walk, the leb128
+  // size, either container's config-record extraction, or any closed
+  // form breaks the hash.
+  private def q172(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val m = gb.column(graft.fn.Av1Meta(
+      graft.fn.Av1Synth(gb.expression(d.cast("long")))))
+    Tables.tbl(s, dir, "documents").select(d)
+      .where(d < 2000)
+      .select(d, m.as("__m"))
+      .select(d,
+        col("__m")(0).cast("int").as("width"),
+        col("__m")(1).cast("int").as("height"),
+        col("__m")(2).cast("int").as("profile"),
+        col("__m")(3).cast("int").as("level"),
+        col("__m")(4).cast("int").as("tier"),
+        col("__m")(5).cast("int").as("bit_depth"),
+        col("__m")(6).cast("int").as("monochrome"))
+      .orderBy(d)
+  }
+
+  private val q172Sql =
+    """SELECT doc_id,
+      |  CAST(160 + 16 * (doc_id % 20) AS INT) AS width,
+      |  CAST(90 + 10 * (doc_id % 15) AS INT) AS height,
+      |  CAST(doc_id % 3 AS INT) AS profile,
+      |  CAST(doc_id % 12 AS INT) AS level,
+      |  CAST(CASE WHEN doc_id % 12 > 7 AND doc_id % 7 <> 0
+      |    THEN (doc_id // 3) % 2 ELSE 0 END AS INT) AS tier,
+      |  CAST(CASE
+      |    WHEN doc_id % 3 = 2 AND (doc_id // 2) % 2 = 1 THEN
+      |      CASE WHEN doc_id % 4 = 3 THEN 12 ELSE 10 END
+      |    WHEN (doc_id // 2) % 2 = 1 THEN 10
+      |    ELSE 8 END AS INT) AS bit_depth,
+      |  CAST(CASE WHEN doc_id % 3 <> 1 AND doc_id % 5 = 0
+      |    THEN 1 ELSE 0 END AS INT) AS monochrome
+      |FROM documents WHERE doc_id < 2000
+      |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q169_cross_container_neardup" -> (q169 _),
     "q169p_video_dhash_pairs" -> (q169p _),
     "q170_boilerplate_blocks" -> (q170 _),
-    "q171_main_text" -> (q171 _))
+    "q171_main_text" -> (q171 _),
+    "q172_av1_meta" -> (q172 _))
 
   val oracles: Map[String, String] = Map(
     // q169: rows-only by the documented media convention (no video
     // codec in DuckDB); its pair algebra is hash-gated via q169p
     "q169p_video_dhash_pairs" -> q169pSql,
     "q170_boilerplate_blocks" -> q170Sql,
-    "q171_main_text" -> q171Sql)
+    "q171_main_text" -> q171Sql,
+    "q172_av1_meta" -> q172Sql)
 }

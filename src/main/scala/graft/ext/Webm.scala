@@ -105,6 +105,7 @@ object Webm {
   private val BlockGroup = 0xA0L
   private val BlockEl = 0xA1L
   private val BlockDuration = 0x9BL
+  private val CodecPrivate = 0x63A2L
 
   /** Typed metadata of a WebM/Matroska payload, or null:
     * (docType, durationSec, videoCodec, width, height, audioCodec,
@@ -247,6 +248,35 @@ object Webm {
         case _ => ()
       }
       if (out.isEmpty) null else out.toArray
+    } catch {
+      case scala.util.control.NonFatal(_) => null
+    }
+  }
+
+  /** CodecPrivate bytes of the first video track whose CodecID is
+    * `codecId` (round 14: the V_AV1 av1C record), or null.
+    */
+  def codecPrivateOrNull(bytes: Array[Byte], codecId: String): Array[Byte] = {
+    try {
+      val si = segmentInfo(bytes)
+      if (si == null) return null
+      val (_, ss, se) = si
+      find(bytes, ss, se, Tracks).foreach { case (ts, te) =>
+        elements(bytes, ts, te).foreach {
+          case (TrackEntry, es, ee) =>
+            val codec = find(bytes, es, ee, CodecId)
+              .map { case (s, e) => new String(bytes, s.toInt, (e - s).toInt, "US-ASCII") }
+              .getOrElse("")
+            if (codec == codecId) {
+              find(bytes, es, ee, CodecPrivate).foreach { case (s, e) =>
+                return java.util.Arrays.copyOfRange(bytes, s.toInt, e.toInt)
+              }
+              return null
+            }
+          case _ => ()
+        }
+      }
+      null
     } catch {
       case scala.util.control.NonFatal(_) => null
     }

@@ -174,6 +174,21 @@ object WebmFixtures {
     header ++ el(Segment, (Seq(info, tracks) ++ clusters): _*)
   }
 
+  /** WebM carrying a V_AV1 track whose CodecPrivate is the given
+    * av1C record (round 14: the metadata triage carriage — no
+    * clusters needed)
+    */
+  def av1Webm(codecPrivate: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val tracks = el(Tracks, el(TrackEntry,
+      el(TrackNumber, uintBytes(1)),
+      el(TrackType, uintBytes(1)),
+      el(CodecId, "V_AV1".getBytes("US-ASCII")),
+      el(0x63A2L, codecPrivate), // CodecPrivate
+      el(VideoEl, el(PixelWidth, uintBytes(w.toLong)),
+        el(PixelHeight, uintBytes(h.toLong)))))
+    header ++ el(Segment, info, tracks)
+  }
+
   /** WebM carrying REAL VP8 keyframes (round 14): a V_VP8 video
     * track whose SimpleBlocks hold the given `(tMs, frame)` payloads
     * (all keyframe-flagged — the [[graft.ext.Vp8Fixtures]] encoder

@@ -618,3 +618,63 @@ case class H264ClipFrames(child: Expression, nBins: Int, everyMs: Double,
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** SQL `av1_meta(content)` — AV1 sequence-header triage (round 14):
+  * `[width, height, profile, level, tier, bit_depth, monochrome]`
+  * from the av1C record's sequence-header OBU, container-routed
+  * (MP4 `av01` sample entry / WebM `V_AV1` CodecPrivate) —
+  * dimensions/profile parity with the avcC/hvcC walks
+  * ([[graft.ext.Av1.metaOrNull]]). Null for payloads without an AV1
+  * track.
+  */
+case class Av1Meta(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "av1_meta"
+
+  override protected def nullSafeEval(bytes: Any): Any = {
+    val f = graft.ext.Av1.metaOrNull(bytes.asInstanceOf[Array[Byte]])
+    if (f == null) null else new GenericArrayData(f)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, bytes =>
+      s"""
+         |double[] ${ev.value}_f = graft.ext.Av1.metaOrNull($bytes);
+         |if (${ev.value}_f == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(${ev.value}_f);
+         |}
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** SQL `av1_synth(doc_id)` — the q172 corpus
+  * ([[graft.ext.Av1Fixtures.doc]]): a bit-written sequence-header OBU
+  * in an av1C record, MP4-carried for even ids and WebM-carried for
+  * odd; every meta field is doc_id arithmetic mirrored by the oracle.
+  */
+case class Av1Synth(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "av1_synth"
+
+  override protected def nullSafeEval(id: Any): Any =
+    graft.ext.Av1Fixtures.doc(id.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, id =>
+      s"${ev.value} = graft.ext.Av1Fixtures.doc($id);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
