@@ -244,6 +244,12 @@ object GraftExtensions {
       graft.fn.JustextSynth(_)),
     unaryFn("av1_meta", classOf[graft.fn.Av1Meta], graft.fn.Av1Meta(_)),
     unaryFn("av1_synth", classOf[graft.fn.Av1Synth], graft.fn.Av1Synth(_)),
+    unaryFn("hls_variants", classOf[graft.fn.HlsVariants], graft.fn.HlsVariants(_)),
+    unaryFn("hls_segments", classOf[graft.fn.HlsSegments], graft.fn.HlsSegments(_)),
+    unaryFn("mpd_representations", classOf[graft.fn.MpdRepresentations],
+      graft.fn.MpdRepresentations(_)),
+    unaryFn("m3u8_synth", classOf[graft.fn.M3u8Synth], graft.fn.M3u8Synth(_)),
+    unaryFn("mpd_synth", classOf[graft.fn.MpdSynth], graft.fn.MpdSynth(_)),
     (
       new FunctionIdentifier("video_gop_dhashes"),
       new ExpressionInfo(classOf[graft.fn.VideoGopDhashes].getName, "video_gop_dhashes"),

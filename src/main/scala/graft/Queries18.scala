@@ -235,7 +235,105 @@ object Queries18 {
       |FROM documents WHERE doc_id < 2000
       |ORDER BY doc_id""".stripMargin
 
+  // ---------- q173/q174: streaming manifests (round 14, verdict
+  // item 5 — crawls capture HLS/DASH manifests beside the CMAF
+  // segments q156 already reads; (representation, codec, bandwidth,
+  // segment URIs) link assets into per-title groups). Fixtures from
+  // doc_id arithmetic, oracles pure string arithmetic (the q135
+  // sitemap discipline).
+  private def q173(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val base = Tables.tbl(s, dir, "documents").select(d).where(d < 2000)
+    val masters = base.where(d % 2 === 0)
+      .select(d, posexplode(gb.column(graft.fn.HlsVariants(
+        graft.fn.M3u8Synth(gb.expression(d.cast("long")))))).as(Seq("idx", "__v")))
+      .select(d, col("idx"), lit("variant").as("kind"),
+        col("__v.bandwidth").as("bandwidth"),
+        col("__v.width").as("width"), col("__v.height").as("height"),
+        col("__v.codecs").as("codecs"), col("__v.uri").as("uri"),
+        lit(null).cast("long").as("seq"),
+        lit(null).cast("double").as("duration"))
+    val medias = base.where(d % 2 === 1)
+      .select(d, posexplode(gb.column(graft.fn.HlsSegments(
+        graft.fn.M3u8Synth(gb.expression(d.cast("long")))))).as(Seq("idx", "__s")))
+      .select(d, col("idx"), lit("segment").as("kind"),
+        lit(null).cast("long").as("bandwidth"),
+        lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+        lit(null).cast("string").as("codecs"), col("__s.uri").as("uri"),
+        col("__s.seq").as("seq"), col("__s.duration").as("duration"))
+    masters.unionByName(medias).orderBy(d, col("idx"))
+  }
+
+  private val q173Sql =
+    """WITH masters AS (
+      |  SELECT doc_id, CAST(v AS INT) AS idx, 'variant' AS kind,
+      |    CAST(200000 + 150000 * v + 1000 * (doc_id % 7) AS BIGINT) AS bandwidth,
+      |    CAST(640 + 320 * v AS INT) AS width,
+      |    CAST(360 + 180 * v AS INT) AS height,
+      |    CASE CAST(v % 3 AS INT)
+      |      WHEN 0 THEN 'avc1.64001f,mp4a.40.2'
+      |      WHEN 1 THEN 'hvc1.1.6.L93.B0,mp4a.40.2'
+      |      ELSE 'av01.0.05M.08,opus' END AS codecs,
+      |    'v' || v || '/prog_' || doc_id || '.m3u8' AS uri,
+      |    CAST(NULL AS BIGINT) AS seq, CAST(NULL AS DOUBLE) AS duration
+      |  FROM documents, UNNEST(range(0, 5)) AS t(v)
+      |  WHERE doc_id < 2000 AND doc_id % 2 = 0 AND v < 2 + doc_id % 3
+      |), medias AS (
+      |  SELECT doc_id, CAST(k AS INT) AS idx, 'segment' AS kind,
+      |    CAST(NULL AS BIGINT) AS bandwidth,
+      |    CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+      |    CAST(NULL AS VARCHAR) AS codecs,
+      |    'seg_' || doc_id || '_' || k || '.ts' AS uri,
+      |    CAST(doc_id % 50 + k AS BIGINT) AS seq,
+      |    CAST(4 + (doc_id + k) % 3 AS DOUBLE) AS duration
+      |  FROM documents, UNNEST(range(0, 7)) AS t(k)
+      |  WHERE doc_id < 2000 AND doc_id % 2 = 1 AND k < 3 + doc_id % 4
+      |)
+      |SELECT * FROM (SELECT * FROM masters UNION ALL SELECT * FROM medias)
+      |ORDER BY doc_id, idx""".stripMargin
+
+  private def q174(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    Tables.tbl(s, dir, "documents").select(d)
+      .where(d < 2000)
+      .select(d, posexplode(gb.column(graft.fn.MpdRepresentations(
+        graft.fn.MpdSynth(gb.expression(d.cast("long")))))).as(Seq("idx", "__r")))
+      .select(d, col("idx"),
+        col("__r.period").as("period"), col("__r.rep_id").as("rep_id"),
+        col("__r.mime").as("mime"), col("__r.codecs").as("codecs"),
+        col("__r.bandwidth").as("bandwidth"),
+        col("__r.width").as("width"), col("__r.height").as("height"),
+        col("__r.media").as("media"))
+      .orderBy(d, col("idx"))
+  }
+
+  private val q174Sql =
+    """WITH video AS (
+      |  SELECT doc_id, CAST(r AS INT) AS idx, 0 AS period,
+      |    'v' || r AS rep_id, 'video/mp4' AS mime,
+      |    CASE WHEN r = 1 THEN 'avc1.640028' ELSE 'avc1.4d401f' END AS codecs,
+      |    CAST(300000 + 200000 * r + 1000 * (doc_id % 9) AS BIGINT) AS bandwidth,
+      |    CAST(640 + 320 * r AS INT) AS width,
+      |    CAST(360 + 180 * r AS INT) AS height,
+      |    'video_$RepresentationID$_$Number$.m4s' AS media
+      |  FROM documents, UNNEST(range(0, 3)) AS t(r)
+      |  WHERE doc_id < 2000 AND r < 2 + doc_id % 2
+      |), audio AS (
+      |  SELECT doc_id, CAST(2 + doc_id % 2 AS INT) AS idx, 0 AS period,
+      |    'a0' AS rep_id, 'audio/mp4' AS mime, 'mp4a.40.2' AS codecs,
+      |    CAST(96000 + 100 * (doc_id % 5) AS BIGINT) AS bandwidth,
+      |    0 AS width, 0 AS height, 'audio_$Number$.m4s' AS media
+      |  FROM documents WHERE doc_id < 2000
+      |)
+      |SELECT doc_id, idx, CAST(period AS INT) AS period, rep_id, mime,
+      |  codecs, bandwidth, CAST(width AS INT) AS width,
+      |  CAST(height AS INT) AS height, media
+      |FROM (SELECT * FROM video UNION ALL SELECT * FROM audio)
+      |ORDER BY doc_id, idx""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_hls_playlists" -> (q173 _),
+    "q174_mpd_representations" -> (q174 _),
     "q169_cross_container_neardup" -> (q169 _),
     "q169p_video_dhash_pairs" -> (q169p _),
     "q170_boilerplate_blocks" -> (q170 _),
@@ -248,5 +346,7 @@ object Queries18 {
     "q169p_video_dhash_pairs" -> q169pSql,
     "q170_boilerplate_blocks" -> q170Sql,
     "q171_main_text" -> q171Sql,
-    "q172_av1_meta" -> q172Sql)
+    "q172_av1_meta" -> q172Sql,
+    "q173_hls_playlists" -> q173Sql,
+    "q174_mpd_representations" -> q174Sql)
 }
