@@ -250,6 +250,10 @@ object GraftExtensions {
       graft.fn.MpdRepresentations(_)),
     unaryFn("m3u8_synth", classOf[graft.fn.M3u8Synth], graft.fn.M3u8Synth(_)),
     unaryFn("mpd_synth", classOf[graft.fn.MpdSynth], graft.fn.MpdSynth(_)),
+    unaryFn("audio_profile", classOf[graft.fn.AudioProfile],
+      graft.fn.AudioProfile(_)),
+    unaryFn("audio_profile_synth", classOf[graft.fn.AudioProfileSynth],
+      graft.fn.AudioProfileSynth(_)),
     (
       new FunctionIdentifier("video_gop_dhashes"),
       new ExpressionInfo(classOf[graft.fn.VideoGopDhashes].getName, "video_gop_dhashes"),

@@ -331,7 +331,53 @@ object Queries18 {
       |FROM (SELECT * FROM video UNION ALL SELECT * FROM audio)
       |ORDER BY doc_id, idx""".stripMargin
 
+  // ---------- q175: audio curation signals (round 14, verdict item
+  // 6 — the audio `text_profile`): clipping / silence / RMS / peak
+  // over the canonical mono stream of REAL decodes (WAV even ids,
+  // FLAC odd — lossless, so ONE arithmetic oracle covers both
+  // decoders end-to-end). The fixture's three-region signal keeps
+  // every sample a dyadic rational: the sums are exact in double for
+  // ANY accumulation order, so rms replays bit-identically.
+  private def q175(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val p = gb.column(graft.fn.AudioProfile(
+      graft.fn.AudioProfileSynth(gb.expression(d.cast("long")))))
+    Tables.tbl(s, dir, "documents").select(d)
+      .where(d < 2000)
+      .select(d, p.as("__p"))
+      .select(d,
+        col("__p")(0).cast("long").as("n_samples"),
+        col("__p")(1).cast("int").as("sample_rate"),
+        col("__p")(2).cast("long").as("clip_n"),
+        col("__p")(3).cast("long").as("silence_n"),
+        round(col("__p")(4), 9).as("rms"),
+        round(col("__p")(5), 9).as("peak"))
+      .orderBy(d)
+  }
+
+  private val q175Sql =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    1000 + (doc_id % 5) * 200 AS n,
+      |    200 + (doc_id % 3) * 50 AS na,
+      |    CASE WHEN doc_id % 4 = 0 THEN 32767
+      |         ELSE 8192 + (doc_id % 7) * 1024 END AS a,
+      |    100 + (doc_id % 50) AS b
+      |  FROM documents WHERE doc_id < 2000
+      |)
+      |SELECT doc_id,
+      |  CAST(n AS BIGINT) AS n_samples,
+      |  CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+      |  CAST(CASE WHEN doc_id % 4 = 0 THEN 300 ELSE 0 END AS BIGINT) AS clip_n,
+      |  CAST(n - 300 AS BIGINT) AS silence_n,
+      |  ROUND(sqrt((300 * a * a + (n - na - 300) * b * b)
+      |    / 1073741824.0 / n), 9) AS rms,
+      |  ROUND(a / 32768.0, 9) AS peak
+      |FROM p
+      |ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q175_audio_profile" -> (q175 _),
     "q173_hls_playlists" -> (q173 _),
     "q174_mpd_representations" -> (q174 _),
     "q169_cross_container_neardup" -> (q169 _),
@@ -348,5 +394,6 @@ object Queries18 {
     "q171_main_text" -> q171Sql,
     "q172_av1_meta" -> q172Sql,
     "q173_hls_playlists" -> q173Sql,
-    "q174_mpd_representations" -> q174Sql)
+    "q174_mpd_representations" -> q174Sql,
+    "q175_audio_profile" -> q175Sql)
 }

@@ -64,6 +64,37 @@ object Audio {
     null
   }
 
+  /** Audio curation signals over the canonical mono stream (round 14
+    * — the audio `text_profile` feeding the quality gates):
+    * `[n_samples, sample_rate, clip_n, silence_n, rms, peak]` where
+    * clipping means |s| ≥ 32767/32768 (full-scale 16-bit), silence
+    * means |s| ≤ 0.01 (−40 dBFS), rms = sqrt(Σs²/n), peak = max |s|.
+    * Null for undecodable payloads.
+    */
+  def profileOrNull(bytes: Array[Byte]): Array[Double] = {
+    val m = monoOrNull(bytes)
+    if (m == null) return null
+    val (s, rate) = m
+    val n = s.length
+    if (n == 0) return null
+    val clipT = 32767.0 / 32768.0
+    var clipN = 0L
+    var silN = 0L
+    var sumSq = 0.0
+    var peak = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(s(i))
+      if (a >= clipT) clipN += 1
+      if (a <= 0.01) silN += 1
+      sumSq += s(i) * s(i)
+      if (a > peak) peak = a
+      i += 1
+    }
+    Array(n.toDouble, rate.toDouble, clipN.toDouble, silN.toDouble,
+      math.sqrt(sumSq / n), peak)
+  }
+
   /** Mean detail energy per Haar cascade level over
     * `s[from, from+len)` (index 0 = top octave) plus the final
     * approximation energy at index [[Levels]].

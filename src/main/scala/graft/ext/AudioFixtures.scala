@@ -168,6 +168,49 @@ object AudioFixtures {
     out.toArray
   }
 
+  /** 16-bit PCM mono WAV (RIFF/fmt/data) — the round-14 profile
+    * corpus carriage twin of [[flac]]
+    */
+  def wav16(samples: Array[Int], sampleRate: Int): Array[Byte] = {
+    val n = samples.length
+    val dataLen = n * 2
+    val out = new java.io.ByteArrayOutputStream(44 + dataLen)
+    def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def le32(v: Int): Unit = { le16(v & 0xFFFF); le16((v >>> 16) & 0xFFFF) }
+    out.write("RIFF".getBytes("US-ASCII")); le32(36 + dataLen)
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); le32(16)
+    le16(1); le16(1); le32(sampleRate); le32(sampleRate * 2); le16(2); le16(16)
+    out.write("data".getBytes("US-ASCII")); le32(dataLen)
+    samples.foreach(le16)
+    out.toByteArray
+  }
+
+  /** q175 corpus: a three-region 16-bit signal whose profile is pure
+    * id arithmetic — nA leading zeros (silence), 300 samples of an
+    * alternating-sign square wave at amplitude a (FULL SCALE when
+    * id % 4 == 0 → exactly 300 clipped samples), then a constant
+    * sub-−40 dBFS tail. WAV carriage for even ids, FLAC (lossless,
+    * same samples) for odd — one profile oracle covers both decoders.
+    */
+  def profileSamples(id: Long): (Array[Int], Int) = {
+    val n = 1000 + (id % 5).toInt * 200
+    val nA = 200 + (id % 3).toInt * 50
+    val a = if (id % 4 == 0) 32767 else 8192 + (id % 7).toInt * 1024
+    val b = 100 + (id % 50).toInt
+    val s = new Array[Int](n)
+    var k = nA
+    while (k < nA + 300) { s(k) = if ((k - nA) % 2 == 0) a else -a; k += 1 }
+    k = nA + 300
+    while (k < n) { s(k) = b; k += 1 }
+    (s, 8000 + (id % 3).toInt * 4000)
+  }
+
+  def profileDoc(id: Long): Array[Byte] = {
+    val (s, rate) = profileSamples(id)
+    if (id % 2 == 0) wav16(s, rate) else flac(Array(s), rate)
+  }
+
   /** A deterministic synthetic clip: a sum of two seed-derived tones
     * plus a seed-hashed envelope, 16-bit mono — distinct seeds land
     * far apart in fingerprint space, `perturb` adds a sparse ±LSB

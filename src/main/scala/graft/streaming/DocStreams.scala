@@ -473,6 +473,40 @@ object DocStreams {
         col("q_score"))
   }
 
+  /** AUDIO quality gate (round 14) — the audio `text_profile` face:
+    * decode-real curation signals ([[graft.fn.AudioProfile]]:
+    * clipping / silence / RMS / peak over the canonical mono stream
+    * of WAV/FLAC/Vorbis payloads) filtering assets whose audio is
+    * mostly silence, clipped, or too quiet. Completely STATELESS —
+    * one codegen projection + filter, no state store, no watermark,
+    * stream plan ≡ batch plan. Undecodable payloads drop (a gate
+    * must know it measured, not pass garbage).
+    *
+    * Contract: assets (asset_id: long, ts: long nanos, content:
+    * binary) → kept rows + (n_samples, clip_frac, silence_frac, rms).
+    */
+  def audioQualityGate(assets: DataFrame, maxClipFrac: Double = 0.01,
+                       maxSilenceFrac: Double = 0.9,
+                       minRms: Double = 0.005): DataFrame = {
+    import org.apache.spark.sql.{graftbridge => gb}
+    val p = gb.column(graft.fn.AudioProfile(gb.expression(col("content"))))
+    assets
+      .select(col("asset_id"), EventStreams.tsCol.as("ts_t"), col("content"),
+        p.as("__p"))
+      .filter(col("__p").isNotNull)
+      .select(col("asset_id"), col("ts_t"), col("content"),
+        col("__p")(0).as("n_samples"),
+        (col("__p")(2) / col("__p")(0)).as("clip_frac"),
+        (col("__p")(3) / col("__p")(0)).as("silence_frac"),
+        col("__p")(4).as("rms"))
+      .filter(col("clip_frac") <= maxClipFrac &&
+        col("silence_frac") <= maxSilenceFrac &&
+        col("rms") >= minRms)
+      .select(col("asset_id"), unix_micros(col("ts_t")).as("ts"),
+        col("content"), col("n_samples").cast("long").as("n_samples"),
+        col("clip_frac"), col("silence_frac"), col("rms"))
+  }
+
   /** TRAINED language gate ([[graft.ext.LangId]], round 12) — the
     * model-based language filter next to [[qualityModelGate]]:
     * K per-language σ(w_k·x) scores over fixed character-n-gram
