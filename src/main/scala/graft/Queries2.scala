@@ -442,19 +442,25 @@ object Queries2 extends ColumnSyntax {
     * The testdata events file is ONE parquet row group — an unsplit
     * scan would run the (expensive, per-row) JSON parse in a single
     * task no matter the core count (sf1: 2.3 s single-task vs 0.3 s
-    * spread; a real deployment has many files and skips this).
-    * Repartition moves only (event_id, props) bytes once, BEFORE the
-    * parse.
+    * spread). Round 14 (verdict item 9): the spreading repartition is
+    * CONDITIONAL on the observed scan parallelism, so a real
+    * deployment — many files, many row groups — plans NO exchange
+    * here, while the single-row-group testdata still spreads before
+    * the parse.
     */
-  private def q72(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
-      .select($"event_id", $"props")
-      .repartition(s.sparkContext.defaultParallelism)
+  private def q72(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.events(s, dir).select($"event_id", $"props")
+    val par = s.sparkContext.defaultParallelism
+    val spread =
+      if (src.rdd.getNumPartitions < math.min(par, 8)) src.repartition(par)
+      else src
+    spread
       .select($"event_id",
         get_json_object($"props", "$.k").cast("int").as("k"))
       .groupBy($"k")
       .agg(count(lit(1)).as("n"))
       .orderBy($"k")
+  }
 
   private val q72Sql =
     """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, COUNT(*) AS n
