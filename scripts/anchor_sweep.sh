@@ -55,7 +55,10 @@ run_duck() {
 }
 
 echo "=== anchor sweep $(date -u +%FT%TZ) ==="
-gate || exit 1
+# in-storm fallback (r13 convention): if no clean window opens, run
+# anyway — per-run steal is recorded and min-of-3 interleaved is the
+# estimator of record
+gate || echo "[gate] proceeding IN-STORM (min-of-3 interleaved fallback)"
 for n in 1 2 3; do
   run_spark $n
   run_duck $n

@@ -149,6 +149,44 @@ object WebmBlockIndex {
   }
 }
 
+/** SQL `vp8_webm_synth(doc_id)` — a WebM carrying one REAL VP8
+  * keyframe (32×32 seed-derived scene through the
+  * [[graft.ext.Vp8Fixtures]] encoder): the scale-smoke corpus for the
+  * full encode→container→decode→hash chain.
+  */
+case class Vp8WebmSynth(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "vp8_webm_synth"
+
+  override protected def nullSafeEval(id: Any): Any =
+    Vp8WebmSynth.doc(id.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, id =>
+      s"${ev.value} = graft.fn.Vp8WebmSynth.doc($id);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Vp8WebmSynth {
+  def doc(id: Long): Array[Byte] = {
+    val h = id * 2654435761L
+    val fu = 1 + (h % 6).toInt.abs
+    val fv = 1 + ((h >> 8) % 5).toInt.abs
+    val gray = Array.tabulate(32 * 32) { p =>
+      val x = p % 32; val y = p / 32
+      (127 + 90 * math.sin(fu * x / 2.5 + fv * y / 2.0 + id)).toInt & 0xFF
+    }
+    val (frame, _) = graft.ext.Vp8Fixtures.encodeGrayFrame(gray, 32, 32, 8)
+    graft.ext.WebmFixtures.vp8Webm(Seq((0L, frame)), 32, 32)
+  }
+}
+
 /** SQL `webm_vp8_dhashes(content, maxN)` — dHashes of the first maxN
   * VP8 keyframes of a WebM's V_VP8 track
   * ([[graft.ext.Webm.vp8KeyframeDhashes]]): the WebM face of the
