@@ -193,8 +193,10 @@ object Queries18 {
 
   // ---------- q172: AV1 metadata triage (round 14, verdict item 4).
   // A bit-written sequence-header OBU (the Mp4Spec discipline) inside
-  // an av1C record, carried in an MP4 av01 entry (even ids) or a WebM
-  // V_AV1 CodecPrivate (odd ids); every field — profile, level, tier,
+  // an av1C record, carried in an MP4 av01 entry, a WebM V_AV1
+  // CodecPrivate, or an AVIF still's ipco (rotating by id % 3 — the
+  // still carriage is the crawl-dominant one); every field — profile,
+  // level, tier,
   // dimensions, bit depth, monochrome — is doc_id arithmetic the
   // oracle recomputes, so a defect in the OBU bit walk, the leb128
   // size, either container's config-record extraction, or any closed

@@ -196,6 +196,26 @@ object Av1 {
     } catch { case NonFatal(_) => null }
   }
 
+  /** AVIF still (AV1-in-HEIF): the `meta` FULLBOX → `iprp` → `ipco`
+    * property container holds the `av1C` record (beside `ispe`).
+    * Triage fields come from the sequence-header OBU, same as the
+    * track carriages.
+    */
+  def avifMetaOrNull(bytes: Array[Byte]): Array[Double] = {
+    try {
+      if (bytes == null || bytes.length < 16 || Bmff.tag(bytes, 4) != "ftyp")
+        return null
+      val meta = Bmff.find(bytes, 0, bytes.length, "meta").getOrElse(return null)
+      // meta is a FULL box: 4 version/flags bytes precede its children
+      val found = for {
+        iprp <- Bmff.find(bytes, meta._1 + 4, meta._2, "iprp")
+        ipco <- Bmff.find(bytes, iprp._1, iprp._2, "ipco")
+        cfg <- Bmff.find(bytes, ipco._1, ipco._2, "av1C")
+      } yield cfg
+      found.map { case (cs, ce) => fromAv1c(bytes, cs.toInt, ce.toInt) }.orNull
+    } catch { case NonFatal(_) => null }
+  }
+
   /** WebM: first V_AV1 track's CodecPrivate (an av1C record) →
     * sequence-header meta, or null
     */
@@ -206,12 +226,15 @@ object Av1 {
     } catch { case NonFatal(_) => null }
   }
 
-  /** container-routed: EBML → WebM walk, else MP4 walk */
+  /** container-routed: EBML → WebM walk; BMFF → the `av01` track walk,
+    * falling through to the AVIF-still item walk
+    */
   def metaOrNull(bytes: Array[Byte]): Array[Double] = {
     if (bytes == null || bytes.length < 12) return null
     if ((bytes(0) & 0xFF) == 0x1A && (bytes(1) & 0xFF) == 0x45 &&
         (bytes(2) & 0xFF) == 0xDF && (bytes(3) & 0xFF) == 0xA3)
-      webmMetaOrNull(bytes)
-    else mp4MetaOrNull(bytes)
+      return webmMetaOrNull(bytes)
+    val track = mp4MetaOrNull(bytes)
+    if (track != null) track else avifMetaOrNull(bytes)
   }
 }

@@ -3,9 +3,10 @@ package graft.ext
 /** Deterministic AV1 fixture corpus for q172 (the Mp4Spec bit-writer
   * discipline): a sequence-header OBU written bit-exactly from
   * doc_id arithmetic, wrapped in an av1C record and carried in an MP4
-  * `av01` sample entry (even ids) or a WebM `V_AV1` CodecPrivate
-  * (odd ids). Every meta field is a closed form the oracle SQL
-  * mirrors.
+  * `av01` sample entry, a WebM `V_AV1` CodecPrivate, or an AVIF
+  * still's `ipco` (rotating by id % 3). Every meta field is a closed
+  * form the oracle SQL mirrors — carriage-independent, so one oracle
+  * covers all three walks.
   *
   * Closed forms: profile = id%3; reduced header iff id%7 == 0;
   * level = id%12; tier = (id/3)%2 when level > 7 and not reduced;
@@ -155,6 +156,23 @@ object Av1Fixtures {
   def webm(id: Long): Array[Byte] =
     WebmFixtures.av1Webm(av1c(id), width(id), height(id))
 
-  /** the q172 corpus: carriage alternates by parity */
-  def doc(id: Long): Array[Byte] = if (id % 2 == 0) mp4(id) else webm(id)
+  /** AVIF still: HEIF `meta` FULLBOX → `iprp` → `ipco` holding
+    * `ispe` + the av1C (the crawl-dominant AV1 carriage for images)
+    */
+  def avif(id: Long): Array[Byte] = {
+    val ispe = box("ispe", be32(0), be32(width(id).toLong), be32(height(id).toLong))
+    val ipco = box("ipco", ispe, box("av1C", av1c(id)))
+    val meta = box("meta", be32(0), // FULL box version/flags
+      box("hdlr", be32(0), be32(0), "pict".getBytes("US-ASCII"),
+        new Array[Byte](12)),
+      box("iprp", ipco))
+    box("ftyp", "avif".getBytes, be32(0), "avifmif1".getBytes) ++ meta
+  }
+
+  /** the q172 corpus: carriage rotates MP4 track / WebM / AVIF still */
+  def doc(id: Long): Array[Byte] = (id % 3) match {
+    case 0 => mp4(id)
+    case 1 => webm(id)
+    case _ => avif(id)
+  }
 }

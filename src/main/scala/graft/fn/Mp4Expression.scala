@@ -622,7 +622,8 @@ case class H264ClipFrames(child: Expression, nBins: Int, everyMs: Double,
 /** SQL `av1_meta(content)` — AV1 sequence-header triage (round 14):
   * `[width, height, profile, level, tier, bit_depth, monochrome]`
   * from the av1C record's sequence-header OBU, container-routed
-  * (MP4 `av01` sample entry / WebM `V_AV1` CodecPrivate) —
+  * (MP4 `av01` sample entry / WebM `V_AV1` CodecPrivate / AVIF
+  * still `ipco`) —
   * dimensions/profile parity with the avcC/hvcC walks
   * ([[graft.ext.Av1.metaOrNull]]). Null for payloads without an AV1
   * track.
@@ -657,8 +658,9 @@ case class Av1Meta(child: Expression)
 
 /** SQL `av1_synth(doc_id)` — the q172 corpus
   * ([[graft.ext.Av1Fixtures.doc]]): a bit-written sequence-header OBU
-  * in an av1C record, MP4-carried for even ids and WebM-carried for
-  * odd; every meta field is doc_id arithmetic mirrored by the oracle.
+  * in an av1C record, carriage rotating MP4 / WebM / AVIF still by
+  * id % 3; every meta field is doc_id arithmetic mirrored by the
+  * oracle.
   */
 case class Av1Synth(child: Expression)
   extends UnaryExpression with ExpectsInputTypes {

@@ -21,9 +21,14 @@ class Av1Spec extends AnyFunSuite {
       assert(m(5) === Av1Fixtures.bitDepth(id).toDouble, s"id=$id depth")
       assert(m(6) === Av1Fixtures.mono(id).toDouble, s"id=$id mono")
     }
-    // explicit routing: the MP4 walk rejects WebM bytes and vice versa
+    // explicit routing: each walk rejects the other carriages
     assert(Av1.mp4MetaOrNull(Av1Fixtures.webm(3)) === null)
     assert(Av1.webmMetaOrNull(Av1Fixtures.mp4(2)) === null)
+    assert(Av1.mp4MetaOrNull(Av1Fixtures.avif(4)) === null) // no av01 track
+    // the AVIF still walk agrees with the track walks on every field
+    for (id <- 0L until 30L)
+      assert(Av1.avifMetaOrNull(Av1Fixtures.avif(id)).toSeq ===
+        Av1.mp4MetaOrNull(Av1Fixtures.mp4(id)).toSeq, s"id=$id avif")
   }
 
   test("non-AV1 and malformed payloads null, never throw") {
@@ -39,7 +44,7 @@ class Av1Spec extends AnyFunSuite {
       16, 16)) === null)
     // truncation + corruption fuzz over both carriages
     val rnd = new scala.util.Random(17)
-    for (id <- Seq(0L, 1L, 6L, 7L)) {
+    for (id <- Seq(0L, 1L, 2L, 6L, 7L, 8L)) {
       val good = Av1Fixtures.doc(id)
       for (cut <- Seq(4, 20, good.length / 2, good.length - 2))
         Av1.metaOrNull(java.util.Arrays.copyOf(good, cut))
