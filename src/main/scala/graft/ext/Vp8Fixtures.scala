@@ -155,17 +155,41 @@ object Vp8Fixtures {
     bw.bool(128, if (v < 0) 1 else 0) // sign
   }
 
+  /** Header-path coverage options (round 14, late): the libwebp
+    * encoder never emits DELTA-mode segmentation, multiple token
+    * partitions, the simple-filter type bit, or loop-filter-delta
+    * records, so those decoder paths would otherwise see only fuzz.
+    * All options keep the effective filter level at 0, so the
+    * encoder's recon stays the exact expected output.
+    */
+  final case class EncOpts(
+      nParts: Int = 1,               // 1/2/4/8 token partitions
+      segDeltas: Array[Int] = null,  // 4 DELTA-mode per-segment q deltas
+      simpleFilterFlag: Boolean = false, // filter_type=simple (level 0)
+      lfDeltaFlag: Boolean = false)      // lf-delta records, all zero
+
+  def encodeGrayFrame(gray: Array[Int], w: Int, h: Int,
+                      qi: Int): (Array[Byte], Array[Int]) =
+    encodeGrayFrame(gray, w, h, qi, EncOpts())
+
   /** Encode a gray image (values [0,255], row-major) as a raw VP8
     * keyframe at quantizer index `qi`; returns (frame bytes, the
     * decoder-exact luma recon plane).
     */
-  def encodeGrayFrame(gray: Array[Int], w: Int, h: Int,
-                      qi: Int): (Array[Byte], Array[Int]) = {
+  def encodeGrayFrame(gray: Array[Int], w: Int, h: Int, qi: Int,
+                      opts: EncOpts): (Array[Byte], Array[Int]) = {
     require(w > 0 && h > 0 && gray.length == w * h && qi >= 0 && qi <= 127)
+    require(Set(1, 2, 4, 8)(opts.nParts), "nParts must be 1/2/4/8")
+    require(opts.segDeltas == null || opts.segDeltas.length == 4)
     val mbW = (w + 15) / 16
     val mbH = (h + 15) / 16
-    val dqDc = Vp8Tables.DcQ(qi)
-    val dqAc = Vp8Tables.AcQ(qi)
+    // per-segment dequant (DELTA mode: clamp(qi + delta)); segment of
+    // MB (x, y) is (x + y) % 4 when segmentation is on, else 0
+    def clampQ(v: Int) = math.max(0, math.min(127, v))
+    val segQi = Array.tabulate(4)(s =>
+      if (opts.segDeltas == null) qi else clampQ(qi + opts.segDeltas(s)))
+    val segDqDc = segQi.map(Vp8Tables.DcQ)
+    val segDqAc = segQi.map(Vp8Tables.AcQ)
 
     // padded source plane (edge-replicated into MB padding, the
     // standard encoder convention)
@@ -190,12 +214,38 @@ object Vp8Fixtures {
     // ---- header (part 0)
     val bw = new Bw
     bw.bool(128, 0); bw.bool(128, 0) // color_space, clamping
-    bw.bool(128, 0) // segmentation_enabled = 0
-    bw.bool(128, 0) // filter_type normal
-    bw.lit(6, 0) // loop_filter_level 0 → no-op
+    if (opts.segDeltas == null) bw.bool(128, 0) // segmentation off
+    else {
+      bw.bool(128, 1) // segmentation_enabled
+      bw.bool(128, 1) // update_mb_segmentation_map
+      bw.bool(128, 1) // update_segment_feature_data
+      bw.bool(128, 0) // segment_feature_mode = DELTA
+      var s = 0
+      while (s < 4) { // quantizer deltas (magnitude + sign)
+        bw.bool(128, 1)
+        bw.lit(7, math.abs(opts.segDeltas(s)))
+        bw.bool(128, if (opts.segDeltas(s) < 0) 1 else 0)
+        s += 1
+      }
+      s = 0
+      while (s < 4) { bw.bool(128, 0); s += 1 } // no lf-strength updates
+      s = 0
+      while (s < 3) { bw.bool(128, 1); bw.lit(8, 128); s += 1 } // tree probs
+    }
+    bw.bool(128, if (opts.simpleFilterFlag) 1 else 0) // filter_type
+    bw.lit(6, 0) // loop_filter_level 0 → no-op either way
     bw.lit(3, 0) // sharpness
-    bw.bool(128, 0) // lf_delta_enable = 0
-    bw.lit(2, 0) // 1 token partition
+    if (!opts.lfDeltaFlag) bw.bool(128, 0) // lf_delta_enable = 0
+    else {
+      bw.bool(128, 1) // enabled
+      bw.bool(128, 1) // update
+      var s = 0
+      while (s < 8) { // 4 ref + 4 mode records, all zero magnitude
+        bw.bool(128, 1); bw.lit(6, 0); bw.bool(128, 0)
+        s += 1
+      }
+    }
+    bw.lit(2, Integer.numberOfTrailingZeros(opts.nParts)) // log2 partitions
     bw.lit(7, qi) // y_ac_qi
     var i = 0
     while (i < 5) { bw.bool(128, 0); i += 1 } // five quant deltas absent
@@ -208,8 +258,9 @@ object Vp8Fixtures {
     bw.bool(128, 1) // mb_no_coeff_skip enabled
     bw.lit(8, 128) // prob_skip_false
 
-    // ---- per-MB: modes into part 0, tokens into partition 1
-    val tw = new Bw
+    // ---- per-MB: modes into part 0, tokens into partition
+    // (mbY % nParts) — contexts stay GLOBAL across partitions
+    val parts = Array.fill(opts.nParts)(new Bw)
     val probs = Vp8Tables.CoeffProbs
     val aboveNz = new Array[Int](mbW * 4)
     val leftNz = new Array[Int](4)
@@ -223,8 +274,12 @@ object Vp8Fixtures {
     var mbY = 0
     while (mbY < mbH) {
       java.util.Arrays.fill(leftNz, 0)
+      val tw = parts(mbY % opts.nParts)
       var mbX = 0
       while (mbX < mbW) {
+        val seg = if (opts.segDeltas == null) 0 else (mbX + mbY) % 4
+        val dqDc = segDqDc(seg)
+        val dqAc = segDqAc(seg)
         // the skip flag precedes the modes in part0, so quantize the
         // whole MB first into a staging list
         val staged = new Array[Array[Int]](16)
@@ -277,7 +332,12 @@ object Vp8Fixtures {
           sb += 1
         }
         val mbSkip = !anyNz
-        // part0 record: skip, ymode=B_PRED, 16×B_DC, uv=DC
+        // part0 record: [segment id,] skip, ymode=B_PRED, 16×B_DC, uv=DC
+        if (opts.segDeltas != null) {
+          // segment tree {2,4,-0,-1,-2,-3} with all-128 probs: two bits
+          bw.bool(128, seg >> 1)
+          bw.bool(128, seg & 1)
+        }
         bw.bool(128, if (mbSkip) 1 else 0)
         bw.bool(145, 0) // kf ymode tree: B_PRED leaf
         var k = 0
@@ -341,14 +401,19 @@ object Vp8Fixtures {
     }
 
     val part0 = bw.bytes
-    val part1 = tw.bytes
+    val partBytes = parts.map(_.bytes)
     val tag = (part0.length << 5) | (1 << 4) // keyframe, version 0, shown
     val head = Array[Byte](
       (tag & 0xFF).toByte, ((tag >> 8) & 0xFF).toByte, ((tag >> 16) & 0xFF).toByte,
       0x9D.toByte, 0x01, 0x2A,
       (w & 0xFF).toByte, ((w >> 8) & 0x3F).toByte,
       (h & 0xFF).toByte, ((h >> 8) & 0x3F).toByte)
-    val frame = head ++ part0 ++ part1
+    // partition sizes: 3-byte LE for all but the last
+    val sizes = partBytes.dropRight(1).flatMap { p =>
+      Array((p.length & 0xFF).toByte, ((p.length >> 8) & 0xFF).toByte,
+        ((p.length >> 16) & 0xFF).toByte)
+    }
+    val frame = head ++ part0 ++ sizes ++ partBytes.flatten
 
     // crop the recon plane for the caller's assertions
     val out = new Array[Int](w * h)

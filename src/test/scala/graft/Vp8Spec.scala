@@ -87,6 +87,41 @@ class Vp8Spec extends AnyFunSuite {
     }
   }
 
+  test("header-path variants decode exactly: delta segmentation, multi-partition, simple filter, lf deltas") {
+    // libwebp never emits these header shapes, so the goldens cannot
+    // cover them — the encoder writes each (effective filter level
+    // stays 0) and the decoder must still reproduce the exact recon
+    val rnd = new scala.util.Random(41)
+    val w = 80; val h = 48
+    val gray = Array.tabulate(w * h) { p =>
+      val x = p % w; val y = p / w
+      (127 + 70 * math.sin(x / 3.0) + 40 * math.cos(y / 2.0)).toInt
+        .max(0).min(255) + rnd.nextInt(3)
+    }
+    val variants = Seq(
+      "parts=2" -> Vp8Fixtures.EncOpts(nParts = 2),
+      "parts=8" -> Vp8Fixtures.EncOpts(nParts = 8),
+      "segDelta" -> Vp8Fixtures.EncOpts(segDeltas = Array(0, 8, 16, 24)),
+      "segDeltaNeg" -> Vp8Fixtures.EncOpts(segDeltas = Array(12, -4, 0, 30)),
+      "simpleFilter" -> Vp8Fixtures.EncOpts(simpleFilterFlag = true),
+      "lfDeltas" -> Vp8Fixtures.EncOpts(lfDeltaFlag = true),
+      "all" -> Vp8Fixtures.EncOpts(nParts = 4,
+        segDeltas = Array(4, 0, 20, 9), simpleFilterFlag = true,
+        lfDeltaFlag = true))
+    for ((label, opts) <- variants) {
+      val (frame, recon) = Vp8Fixtures.encodeGrayFrame(gray, w, h, 12, opts)
+      val p = Vp8.decodeFrameOrNull(frame)
+      assert(p != null, label)
+      assert(p.y.map(_ & 0xFF).toSeq === recon.toSeq, label)
+    }
+    // the variants must actually produce DIFFERENT bitstreams than
+    // the plain form (i.e., the options were really written)
+    val plain = Vp8Fixtures.encodeGrayFrame(gray, w, h, 12)._1
+    for ((label, opts) <- variants)
+      assert(!java.util.Arrays.equals(
+        Vp8Fixtures.encodeGrayFrame(gray, w, h, 12, opts)._1, plain), label)
+  }
+
   test("webp container wrap: RIFF route decodes like the raw frame") {
     val gray = Array.tabulate(40 * 24)(p => (p * 7) % 256)
     val webp = Vp8Fixtures.webpGray(gray, 40, 24, 12)
