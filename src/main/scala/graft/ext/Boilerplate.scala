@@ -133,8 +133,10 @@ object Boilerplate {
             i += 1
           } else if (!closing && SkipTags.contains(name)) {
             // drop the whole subtree (no nesting of same-name tags in
-            // practice for these elements)
-            val close = html.toLowerCase.indexOf("</" + name, end)
+            // practice for these elements); case-insensitive scan in
+            // place — lowercasing the whole document per skip tag
+            // would be O(tags x doc_size) copying in a hot expression
+            val close = indexOfIgnoreCase(html, "</" + name, end)
             i = if (close < 0) n else {
               val ce = html.indexOf('>', close)
               if (ce < 0) n else ce + 1
@@ -178,6 +180,19 @@ object Boilerplate {
     }
     flush()
     out.toArray
+  }
+
+  /** first case-insensitive occurrence of `needle` in `s` at/after
+    * `from`, via regionMatches — no copy, no per-call lowercasing
+    */
+  private def indexOfIgnoreCase(s: String, needle: String, from: Int): Int = {
+    val last = s.length - needle.length
+    var i = if (from < 0) 0 else from
+    while (i <= last) {
+      if (s.regionMatches(true, i, needle, 0, needle.length)) return i
+      i += 1
+    }
+    -1
   }
 
   private def stopHits(b: Block, stoplist: java.util.HashSet[String]): Int = {

@@ -111,6 +111,10 @@ object Manifests {
       while (i < ls.length) {
         val l = ls(i).trim
         if (l.startsWith("#EXT-X-MEDIA-SEQUENCE:"))
+          // a running counter, reset whenever the tag appears (even
+          // mid-playlist, nonconformant but seen in the wild) and
+          // advanced per emitted segment — deriving from out.length
+          // would silently shift earlier segments on a late tag
           seq = l.substring("#EXT-X-MEDIA-SEQUENCE:".length).trim
             .toLongOption.getOrElse(0L)
         else if (l.startsWith("#EXTINF:")) {
@@ -122,7 +126,8 @@ object Manifests {
           while (j < ls.length &&
                  (ls(j).trim.isEmpty || ls(j).trim.startsWith("#"))) j += 1
           if (j < ls.length) {
-            out += HlsSegment(seq + out.length, dur, ls(j).trim)
+            out += HlsSegment(seq, dur, ls(j).trim)
+            seq += 1
             i = j
           }
         }
@@ -133,6 +138,25 @@ object Manifests {
   }
 
   // ------------------------------- DASH MPD (a bounded tag scanner)
+
+  /** index of the tag-closing '>' at/after `from`, skipping quoted
+    * attribute spans — a literal '>' inside a quoted value is legal
+    * XML and must not truncate the tag (mirrors parseTag's quote
+    * handling). -1 when unterminated.
+    */
+  private def tagEnd(xml: String, from: Int): Int = {
+    var i = from
+    val n = xml.length
+    var quote: Char = 0
+    while (i < n) {
+      val c = xml.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '"' || c == '\'') quote = c
+      else if (c == '>') return i
+      i += 1
+    }
+    -1
+  }
 
   /** (name without ns prefix, attrs, selfClosing, isClosing) */
   private def parseTag(s: String): (String, Map[String, String], Boolean, Boolean) = {
@@ -204,10 +228,10 @@ object Manifests {
           val e = xml.indexOf("-->", lt)
           i = if (e < 0) n else e + 3
         } else if (lt + 1 < n && (xml.charAt(lt + 1) == '?' || xml.charAt(lt + 1) == '!')) {
-          val gt = xml.indexOf('>', lt)
+          val gt = tagEnd(xml, lt)
           i = if (gt < 0) n else gt + 1
         } else {
-          val gt = xml.indexOf('>', lt)
+          val gt = tagEnd(xml, lt)
           if (gt < 0) i = n
           else {
             val (name, attrs, selfClose, closing) =

@@ -650,7 +650,13 @@ object Pdf {
           if (stmF != PName("StdCF")) sys.error("unsupported /StmF")
           dictGet(cf, "CFM") match {
             case PName("AESV2") => (true, 16)
-            case PName("V2") => (false, math.max(5, num("Length", 128) / 8))
+            case PName("V2") =>
+              // validate like the top-level V2 arm: a hostile /Length
+              // (e.g. 4096) must not zero-pad the MD5 digest to
+              // hundreds of bytes before the /U check rejects it
+              val n = num("Length", 128) / 8
+              if (n < 5 || n > 16) sys.error("bad /Length")
+              (false, n)
             case other => sys.error(s"unsupported /CFM $other")
           }
         case other => sys.error(s"unsupported /V $other")

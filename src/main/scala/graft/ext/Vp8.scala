@@ -125,13 +125,21 @@ object Vp8 {
   /** last decoded frame's header summary (probe/spec diagnostics) */
   private[graft] val lastHeader = new ThreadLocal[String]
 
-  /** per-MB decode records when non-null (probe diagnostics only) */
-  private[graft] var debugMb: java.util.ArrayList[String] = null
+  /** per-MB decode records when non-null (probe diagnostics only).
+    * ThreadLocal like lastHeader: a JVM-global flag would silently
+    * change decode OUTPUT for concurrent executor-thread decodes if a
+    * probe ever shares the JVM.
+    */
+  private[graft] val debugMb =
+    new ThreadLocal[java.util.ArrayList[String]]
 
   /** probe diagnostics only: skip the loop filter to separate
-    * reconstruction defects from filter defects
+    * reconstruction defects from filter defects (ThreadLocal — see
+    * debugMb)
     */
-  private[graft] var debugNoFilter: Boolean = false
+  private[graft] val debugNoFilter = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+  }
 
   /** raw VP8 frame (WebP 'VP8 ' chunk payload / WebM block payload) */
   def decodeFrameOrNull(bytes: Array[Byte]): Planes =
@@ -510,8 +518,8 @@ object Vp8 {
         }
         lfLevel(mbY * mbW + mbX) = lvl.toByte
         lfInner(mbY * mbW + mbX) = hasCoeffs || isB
-        if (debugMb != null)
-          debugMb.add(s"mb($mbX,$mbY) seg=$seg skip=$skip y=$yMode uv=$uvMode " +
+        if (debugMb.get != null)
+          debugMb.get.add(s"mb($mbX,$mbY) seg=$seg skip=$skip y=$yMode uv=$uvMode " +
             s"lvl=$lvl nz=$hasCoeffs" +
             (if (isB) s" b=${bModes.mkString("")}" else ""))
 
@@ -521,7 +529,7 @@ object Vp8 {
     }
 
     // ---- loop filter (§15), MB raster order, after full reconstruction
-    if (filterLevel > 0 && !debugNoFilter) {
+    if (filterLevel > 0 && !debugNoFilter.get) {
       mbY = 0
       while (mbY < mbH) {
         var mbX = 0

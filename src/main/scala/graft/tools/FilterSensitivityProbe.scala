@@ -27,9 +27,9 @@ object FilterSensitivityProbe {
       val w = ws.toInt; val h = hs.toInt
       val webp = Files.readAllBytes(dir.resolve(name + ".webp"))
       val filtered = graft.ext.Vp8.decodeWebpOrNull(webp)
-      graft.ext.Vp8.debugNoFilter = true
+      graft.ext.Vp8.debugNoFilter.set(true)
       val raw = graft.ext.Vp8.decodeWebpOrNull(webp)
-      graft.ext.Vp8.debugNoFilter = false
+      graft.ext.Vp8.debugNoFilter.set(false)
       val lvl = graft.ext.Vp8.lastHeader.get()
         .split("lvl=")(1).split(" ")(0)
       var sum = 0L; var max = 0

@@ -19,13 +19,13 @@ object Vp8Check {
       val webp = Files.readAllBytes(dir.resolve(name + ".webp"))
       val yuv = Files.readAllBytes(dir.resolve(name + ".yuv"))
       val wantMb = args.length > 1 && args(1) == name
-      graft.ext.Vp8.debugNoFilter = args.contains("--nofilter")
-      if (wantMb) graft.ext.Vp8.debugMb = new java.util.ArrayList[String]
+      graft.ext.Vp8.debugNoFilter.set(args.contains("--nofilter"))
+      if (wantMb) graft.ext.Vp8.debugMb.set(new java.util.ArrayList[String])
       val planes = graft.ext.Vp8.decodeWebpOrNull(webp)
       println(s"$name hdr: ${graft.ext.Vp8.lastHeader.get}")
       if (wantMb) {
-        graft.ext.Vp8.debugMb.forEach(s => println(s"  $s"))
-        graft.ext.Vp8.debugMb = null
+        graft.ext.Vp8.debugMb.get.forEach(s => println(s"  $s"))
+        graft.ext.Vp8.debugMb.remove()
         // per-MB luma diff map
         if (planes != null) {
           val mbW = (w + 15) / 16; val mbH = (h + 15) / 16

@@ -77,6 +77,35 @@ class ManifestsSpec extends AnyFunSuite {
     }
   }
 
+  test("HLS: mid-playlist MEDIA-SEQUENCE resets the running counter") {
+    // nonconformant but seen in the wild: the tag after some EXTINFs
+    // must not retroactively shift the earlier segments' numbers
+    val m = """#EXTM3U
+      |#EXT-X-MEDIA-SEQUENCE:10
+      |#EXTINF:6,
+      |s10.ts
+      |#EXTINF:6,
+      |s11.ts
+      |#EXT-X-MEDIA-SEQUENCE:50
+      |#EXTINF:6,
+      |s50.ts""".stripMargin
+    val ss = Manifests.hlsSegmentsOrNull(m)
+    assert(ss.map(_.seq).toSeq === Seq(10L, 11L, 50L))
+    assert(ss(2).uri === "s50.ts")
+  }
+
+  test("MPD: '>' inside a quoted attribute value does not truncate the tag") {
+    val m = """<MPD><Period>
+      |<AdaptationSet mimeType="video/mp4" label="a &gt; b > c" codecs="avc1.4d401f">
+      |<Representation id="v0" bandwidth="500000" width="640" height="360"/>
+      |</AdaptationSet>
+      |</Period></MPD>""".stripMargin
+    val reps = Manifests.mpdRepresentationsOrNull(m)
+    assert(reps != null && reps.length === 1)
+    assert(reps(0).id === "v0" && reps(0).codecs === "avc1.4d401f" &&
+      reps(0).width === 640)
+  }
+
   test("junk and malformed input null, never throw") {
     assert(Manifests.hlsVariantsOrNull(null) === null)
     assert(Manifests.hlsVariantsOrNull("not a playlist") === null)

@@ -224,6 +224,20 @@ class PdfSpec extends AnyFunSuite {
       Pdf.textOrNull(java.util.Arrays.copyOf(src, cut))
   }
 
+  test("hostile /Length in the V4 /CFM V2 arm is rejected (5..16 bytes)") {
+    // pdf(1) is the V4/R4 AESV2-encrypted sibling; relabel its crypt
+    // filter as /V2 (RC4) with an out-of-range /Length — the key
+    // derivation must refuse (no zero-padded multi-hundred-byte MD5
+    // input), the document nulls, nothing throws
+    val src = new String(PdfFixtures.pdf(1), L1)
+    assert(src.contains("/CFM /AESV2") && src.contains("/Length 128"))
+    for (len <- Seq(4096, 24, 0)) {
+      val bad = src.replace("/CFM /AESV2", "/CFM /V2")
+        .replace("/V 4 /R 4 /Length 128", s"/V 4 /R 4 /Length $len")
+      assert(Pdf.textOrNull(bad.getBytes(L1)) == null, s"len=$len")
+    }
+  }
+
   test("unsupported filters null loudly (no silent garbage)") {
     val src = new String(PdfFixtures.pdf(1), L1)
     val bad = src.replace("/Filter /FlateDecode", "/Filter /DCTDecode")
