@@ -1,0 +1,292 @@
+#!/usr/bin/env python3
+"""Emit src/main/scala/graft/ext/Av1Tables.scala — the normative AV1
+default-CDF and intra-prediction tables for the AV1 keyframe decoder.
+
+The values are the AV1 bitstream specification's published constants
+(the "Default CDF tables" of the spec plus Dr_Intra_Derivative,
+Sm_Weights, the filter-intra taps, Default_Scan_4x4 and the
+quantizer lookups).  Rather than hand-transcribing ~12 KB of digits,
+this script reads them out of the system's TWO independent AV1
+implementations (libaom encoder, libdav1d decoder) and
+cross-validates between them — the same in-environment-validator
+convention as scripts/make_vp8_tables.py, strengthened to two
+independently-written codebases.
+
+libaom stores each default CDF in the AOM_CDF layout: n-1 strictly
+non-increasing inverse-cumulative u16 boundaries, a 0 terminator and
+a 0 adaptation counter (stride n+1 u16).  dav1d stores the same
+normative values EC-QUANTIZED: boundaries below the 1<<EC_PROB_SHIFT
+significance floor are dropped (they contribute only the per-symbol
+minimum in the MSAC decode arithmetic), so the cross-check here
+matches each chunk's first min(n-1, 8) boundaries — the significant
+prefix — against dav1d's data section.
+
+Every table offset below is pinned by a VALUE anchor (its first row)
+asserted before reading, so a relink/reversion of either library
+fails loudly instead of emitting garbage.  The end-to-end proof that
+the assignment is right is Av1DecodeSpec's per-pixel goldens: libaom
+encode -> our decode vs dav1d decode.
+
+Deterministic; rerunnable; the generated file is committed.
+"""
+import struct, os
+
+AOM = open("/usr/lib/x86_64-linux-gnu/libaom.so.3.6.0", "rb").read()
+DAV = open("/usr/lib/x86_64-linux-gnu/libdav1d.so.6.6.0", "rb").read()
+
+
+def u16s(buf, off, n):
+    return list(struct.unpack_from("<%dH" % n, buf, off))
+
+
+def icdf(*cdf):
+    return [32768 - x for x in cdf]
+
+
+# (name, aom offset, chunk count, symbols-per-chunk or per-row list,
+#  anchor = expected first boundaries at that offset)
+# anchors are the spec's own first rows (public constants, the
+# make_vp8_tables.py convention)
+TABLES = [
+    ("CoeffBaseEob", 0x43ac60, 160, 3, [14931, 3713]),
+    ("CoeffBr", 0x43b160, 840, 4, [28734, 23838, 20041]),  # [4][5][2][21]
+    ("CoeffBase", 0x43d230, 1680, 4, [23872, 16541, 12138]),
+    ("EobPt1024", 0x4413e0, 16, 11, None),     # [4 qctx][2 plane][2]
+    ("EobPt512", 0x441560, 16, 10, None),
+    ("EobPt256", 0x4416c0, 16, 9, None),
+    ("EobPt128", 0x441800, 16, 8, None),
+    ("EobPt64", 0x441920, 16, 7, None),
+    ("EobPt32", 0x441a20, 16, 6, None),
+    ("EobPt16", 0x441b00, 16, 5, icdf(840, 1039, 1980, 4895)),
+    ("EobExtra", 0x441bc0, 360, 2, None),      # [4][5][2][9]
+    ("TxbSkip", 0x442440, 260, 2, None),       # [4][5][13]
+    ("DcSign", 0x442a60, 24, 2, icdf(16000)),  # [4][2][3]
+    ("Partition", 0x444ba0, 20, [4] * 4 + [10] * 12 + [8] * 4,
+     [13636, 7258, 2376]),               # stride CDF_SIZE(10)
+    ("UvMode", 0x444d60, 26, [13] * 13 + [14] * 13,
+     icdf(22631, 24152, 25378, 25661, 25986, 26520, 27055, 27923,
+          28244, 30059, 30941, 31961)),        # stride CDF_SIZE(14)
+    ("KfYMode", 0x445080, 25, 13,
+     icdf(15588, 17027, 19338, 20218, 20682, 21110, 21825, 23244,
+          24189, 28165, 29093, 30466)),
+    ("AngleDelta", 0x445460, 8, 7,
+     icdf(2180, 5032, 7567, 22776, 26989, 30217)),
+    ("FilterIntra", 0x44583a, 22, 2, [1565]),
+    ("YMode", 0x445a80, 4, 13,
+     icdf(22801, 23489, 24293, 24756, 25601, 26123, 26606, 27418,
+          27945, 29228, 29685, 30349)),
+    ("Skip", 0x445b80, 3, 2, icdf(31671)),
+    ("CflSign", 0x445c50, 1, 8,
+     icdf(1418, 2123, 13340, 18405, 26972, 28343, 32294)),
+]
+
+
+def read_chunks(off, nchunks, syms, anchor, name):
+    rows = syms if isinstance(syms, list) else [syms] * nchunks
+    stride = (max(rows) + 1)
+    out = []
+    p = off
+    for r, nsym in enumerate(rows):
+        v = u16s(AOM, p, stride)
+        # validity: boundaries non-increasing positive, then zeros
+        prev = 32768
+        for i in range(nsym - 1):
+            assert 0 < v[i] <= prev, (name, r, i, v)
+            prev = v[i]
+        if r == len(rows) - 1:
+            # the final row of several arrays is packed without its
+            # (always-zero) counter slot — the next object starts 2
+            # bytes early (observed for Skip, CflSign); require the
+            # terminator and emit the counter as 0 explicitly
+            assert v[nsym - 1] == 0, (name, r, v)
+            v = v[:nsym] + [0] * (stride - nsym)
+        else:
+            assert all(x == 0 for x in v[nsym - 1:]), (name, r, v)
+        if r == 0 and anchor is not None:
+            assert v[:len(anchor)] == anchor, (name, v[:len(anchor)], anchor)
+        # dav1d cross-check on the EC-significant prefix; exempt
+        # UNIFORM rows (32768*k/n placeholders for context slots the
+        # format never reads, e.g. the second eob multi-ctx slot of
+        # the large-eob tables — dav1d does not materialize those)
+        sig = sum(1 for i in range(min(nsym - 1, 8)) if v[i] >= 64)
+        uniform = all(abs(v[i] - (32768 * (nsym - 1 - i)) // nsym) <= 16
+                      for i in range(nsym - 1))
+        # rows with <=3 significant boundaries fall below the
+        # granule size dav1d keeps contiguous (it splits such rows
+        # into boundary PAIRS, e.g. the four 8x8 partition rows) —
+        # those stay anchored by value and golden-verified
+        # dav1d granulates rows at 4/8-value boundaries, so accept
+        # the longest shared prefix but demand at least 4 values
+        if sig >= 4 and not uniform:
+            ok = any(DAV.find(AOM[p:p + 2 * k]) >= 0
+                     for k in range(sig, 3, -1))
+            assert ok, (name, r, v[:8])
+        out += v
+        p += 2 * stride
+    return out, stride
+
+
+EMITTED = []
+for name, off, nchunks, syms, anchor in TABLES:
+    vals, stride = read_chunks(off, nchunks, syms, anchor, name)
+    EMITTED.append((name, vals, stride))
+    print(f"{name}: {nchunks} chunks @0x{off:x} stride {stride}")
+
+# cfl_alpha: [6][CDF_SIZE(16)] at 0x445c60.  Rows 0-4 are clean
+# AOM_CDF16 chunks; the compiled row 5 carries a duplicated
+# '355 248' u16 pair (17 boundary slots — not a valid CDF shape).
+# The normative row is the monotone de-duplicated sequence, whose
+# EC-significant prefix is confirmed verbatim in dav1d's data
+# section and whose tail continues the in-place trailing values.
+CFL_OFF = 0x445c60
+cfl = []
+for r in range(5):
+    v = u16s(AOM, CFL_OFF + 34 * r, 17)
+    prev = 32768
+    for i in range(15):
+        assert 0 < v[i] <= prev, ("CflAlpha", r, v)
+        prev = v[i]
+    assert v[15] == 0 and v[16] == 0, ("CflAlpha", r, v)
+    assert DAV.find(AOM[CFL_OFF + 34 * r:CFL_OFF + 34 * r + 16]) >= 0, r
+    cfl += v
+row5 = u16s(AOM, CFL_OFF + 34 * 5, 17)
+assert row5[:11] == [18030, 11090, 6989, 4867, 3744, 2466, 1788, 925,
+                     624, 355, 248], row5
+assert row5[11:15] == [355, 248, 174, 146], row5  # the duplicated pair
+row5fix = row5[:11] + [174, 146, 112, 108, 0, 0]
+assert DAV.find(struct.pack("<8H", *row5fix[:8])) >= 0
+cfl += row5fix
+EMITTED.append(("CflAlpha", cfl, 17))
+print(f"CflAlpha: 6 chunks @0x{CFL_OFF:x} stride 17 (row5 de-duplicated)")
+
+# filter_intra_mode: baked into libaom's .text (not extractable as
+# data there); read from dav1d's data section, anchored by the
+# spec's row (8949, 12776, 17211, 29558)
+FIM_DAV = 0x16b150
+fim = u16s(DAV, FIM_DAV, 4)
+assert fim == icdf(8949, 12776, 17211, 29558), fim
+EMITTED.append(("FilterIntraMode", fim + [0, 0], 6))
+
+# intrabc: single binary cdf; spec value CDF1(30531), present in
+# neither library as an isolatable data run (baked into code).  Only
+# read when a frame header sets allow_intrabc, which the goldens
+# never do; golden-verified if that path ever lights up.
+EMITTED.append(("Intrabc", icdf(30531) + [0, 0], 3))
+
+
+# ----------------------------------------------- non-CDF spec tables
+def find_both(pat, name):
+    a, d = AOM.find(pat), DAV.find(pat)
+    assert a >= 0 and d >= 0, (name, hex(a), hex(d))
+    return a
+
+
+# Dr_Intra_Derivative: the spec's sparse 90-entry table, indexed
+# directly by pAngle; nonzero exactly at the reachable angles
+# {3,6,9} u {14..32,36..54,58..76,81..87 step 3}.  dav1d keeps the
+# same values in a pAngle>>1-compacted array — cross-check by value.
+DR_OFF = 0x479a80
+DR = u16s(AOM, DR_OFF, 90)
+assert DR[3] == 1023 and DR[9] == 372 and DR[45] == 64 and DR[87] == 3, DR
+for x in DR:
+    if x:
+        assert DAV.find(struct.pack("<H", x)) >= 0, x
+
+# Sm_Weights: one 124-byte blob (block sizes 4+8+16+32+64), byte-
+# identical in both libraries
+sm_off = find_both(bytes([255, 149, 85, 64, 255]), "sm_weights")
+SM = list(AOM[sm_off:sm_off + 124])
+assert SM == list(DAV[DAV.find(bytes(SM[:5])):][:124]), "sm mismatch"
+
+# filter-intra taps: [5 modes][8 pixels][8 taps] int8 (7 taps +
+# pad); dav1d stores the same values pair-interleaved per mode —
+# cross-check each mode's (tap0, tap1) pair sequence there
+FT_OFF = 0x479920
+FT = [x - 256 if x > 127 else x for x in AOM[FT_OFF:FT_OFF + 320]]
+assert FT[:8] == [-6, 10, 0, 0, 0, 12, 0, 0], FT[:8]
+for m in range(5):
+    pairs = bytes((FT[m * 64 + p * 8 + t]) & 0xFF
+                  for p in range(8) for t in range(2))
+    assert DAV.find(pairs) >= 0, ("filter taps mode", m)
+
+# Default_Scan_4x4 (the zigzag); dav1d stores its TRANSPOSE (its
+# internal coefficient convention) — require both forms, one each
+SCAN4 = [0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15]
+assert AOM.find(struct.pack("<16h", *SCAN4)) >= 0, "scan4 not in aom"
+t = [0] * 16
+for i, p in enumerate(SCAN4):
+    t[i] = (p % 4) * 4 + p // 4
+assert DAV.find(struct.pack("<16H", *t)) >= 0, "scan4^T not in dav1d"
+
+
+# quantizer lookups (8-bit): dc @0x478660 (4,8,8,9..1336), ac
+# @0x478060 (4,8,9,10..1828); dav1d stores the same values as
+# interleaved (dc, ac) pairs — cross-checked verbatim
+DCQ = u16s(AOM, 0x478660, 256)
+ACQ = u16s(AOM, 0x478060, 256)
+assert DCQ[:4] == [4, 8, 8, 9] and DCQ[255] == 1336, DCQ[:4]
+assert ACQ[:4] == [4, 8, 9, 10] and ACQ[255] == 1828, ACQ[:4]
+inter = [x for p in zip(DCQ, ACQ) for x in p]
+assert DAV.find(struct.pack("<512H", *inter)) >= 0, "dq interleave"
+
+print(f"dr@0x{DR_OFF:x} sm@0x{sm_off:x} ft@0x{FT_OFF:x} q ok")
+
+# ------------------------------------------------------------- emit
+OUTP = os.path.join(os.path.dirname(__file__), "..",
+                    "src/main/scala/graft/ext/Av1Tables.scala")
+
+hdr = '''package graft.ext
+
+/** Normative AV1 default-CDF and intra-prediction tables (the AV1
+  * bitstream spec's "Default CDF tables", Dr_Intra_Derivative,
+  * Sm_Weights, filter-intra taps, Default_Scan_4x4, quantizer
+  * lookups), machine-extracted by scripts/make_av1_tables.py from
+  * the system's TWO independent AV1 implementations with per-chunk
+  * cross-validation between them — shared spec constants, not
+  * either library's private data.
+  *
+  * CDF arrays keep the AOM_CDF storage layout: per cdf of n symbols,
+  * n-1 inverse-cumulative u16 boundaries, a 0 terminator, a 0
+  * adaptation counter (stride n+1, except where noted); the decoder
+  * copies them per tile and adapts in place.  End-to-end proof:
+  * Av1DecodeSpec's per-pixel goldens (libaom encode, dav1d-verified
+  * lossless round-trip).
+  *
+  * GENERATED FILE — edit the script, not this.
+  */
+object Av1Tables {
+'''
+
+
+def scala_array(name, vals, typ="Short", stride=None):
+    note = f"  /** stride {stride} */\n" if stride else ""
+    body = ", ".join(str(v) for v in vals)
+    return note + f"  val {name}: Array[{typ}] = Array[{typ}]({body})\n"
+
+
+def scala_packed(name, vals, stride):
+    """u15 values packed one-per-char in a string constant — a plain
+    Array literal of ~21k shorts overflows the JVM's 64KB clinit"""
+    assert all(0 <= v <= 0x7FFF for v in vals), name
+    body = "".join("\\u%04x" % v for v in vals)
+    return (f"  /** stride {stride} */\n"
+            f"  val {name}: Array[Short] = dec(\"{body}\")\n")
+
+
+with open(OUTP, "w") as f:
+    f.write(hdr)
+    f.write("  private def dec(s: String): Array[Short] = {\n"
+            "    val a = new Array[Short](s.length)\n"
+            "    var i = 0\n"
+            "    while (i < s.length) { a(i) = s.charAt(i).toShort; i += 1 }\n"
+            "    a\n  }\n\n")
+    for name, vals, stride in EMITTED:
+        f.write(scala_packed(name, vals, stride))
+    f.write(scala_array("DrIntraDerivative", DR, "Short"))
+    f.write(scala_array("SmWeights", SM, "Short"))
+    f.write(scala_array("FilterIntraTaps", FT, "Short"))
+    f.write(scala_array("Scan4x4", SCAN4, "Short"))
+    f.write(scala_array("DcQLookup", DCQ, "Int"))
+    f.write(scala_array("AcQLookup", ACQ, "Int"))
+    f.write("}\n")
+print("wrote", OUTP)
