@@ -49,8 +49,6 @@ def icdf(*cdf):
 # make_vp8_tables.py convention)
 TABLES = [
     ("CoeffBaseEob", 0x43ac60, 160, 3, [14931, 3713]),
-    ("CoeffBr", 0x43b160, 840, 4, [28734, 23838, 20041]),  # [4][5][2][21]
-    ("CoeffBase", 0x43d230, 1680, 4, [23872, 16541, 12138]),
     ("EobPt1024", 0x4413e0, 16, 11, None),     # [4 qctx][2 plane][2]
     ("EobPt512", 0x441560, 16, 10, None),
     ("EobPt256", 0x4416c0, 16, 9, None),
@@ -71,7 +69,6 @@ TABLES = [
           24189, 28165, 29093, 30466)),
     ("AngleDelta", 0x445460, 8, 7,
      icdf(2180, 5032, 7567, 22776, 26989, 30217)),
-    ("FilterIntra", 0x44583a, 22, 2, [1565]),
     ("YMode", 0x445a80, 4, 13,
      icdf(22801, 23489, 24293, 24756, 25601, 26123, 26606, 27418,
           27945, 29228, 29685, 30349)),
@@ -132,6 +129,39 @@ for name, off, nchunks, syms, anchor in TABLES:
     EMITTED.append((name, vals, stride))
     print(f"{name}: {nchunks} chunks @0x{off:x} stride {stride}")
 
+# coeff_base / coeff_br (qctx 0, the lossless decoder's slice): the
+# libaom blob packs these among neighbouring coefficient arrays with
+# boundaries that defeated offset-guessing (the round-15 ptrace
+# tracer caught the earlier mis-carve: scripts/av1_proto/STATUS.md
+# fix 2).  dav1d's CdfCoefContext stores them as clean strided
+# sub-tables, trace-verified row-by-row against live decodes:
+#   base_tok [5 txSzCtx][2 ptype][41 ctx] rows of 3 boundaries
+#   br_tok   [4 txSzCtx][2 ptype][21 ctx] rows of 3 boundaries
+# Each significant row is cross-checked back into libaom's data
+# section so both independent libraries vouch for the values.
+def carve_dav(name, off, nrows, anchor):
+    out = []
+    for r in range(nrows):
+        v = u16s(DAV, off + r * 8, 3)
+        prev = 32768
+        for i, x in enumerate(v):
+            assert 0 < x <= prev, (name, r, v)
+            prev = x
+        uniform = v == [24576, 16384, 8192]
+        if not uniform:
+            assert AOM.find(struct.pack("<3H", *v)) >= 0, (name, r, v)
+        out += v + [0, 0]
+    assert out[:3] == anchor, (name, out[:3], anchor)
+    return out
+
+
+EMITTED.append(("CoeffBase", carve_dav("CoeffBase", 0x164980, 410,
+                                       [28734, 23838, 20041]), 5))
+print("CoeffBase: 410 rows @dav1d 0x164980 (qctx0 [5][2][41])")
+EMITTED.append(("CoeffBr", carve_dav("CoeffBr", 0x165650, 168,
+                                     [18470, 12050, 8594]), 5))
+print("CoeffBr: 168 rows @dav1d 0x165650 (qctx0 [4][2][21])")
+
 # cfl_alpha: [6][CDF_SIZE(16)] at 0x445c60.  Rows 0-4 are clean
 # AOM_CDF16 chunks; the compiled row 5 carries a duplicated
 # '355 248' u16 pair (17 boundary slots — not a valid CDF shape).
@@ -166,6 +196,32 @@ FIM_DAV = 0x16b150
 fim = u16s(DAV, FIM_DAV, 4)
 assert fim == icdf(8949, 12776, 17211, 29558), fim
 EMITTED.append(("FilterIntraMode", fim + [0, 0], 6))
+
+# filter_intra (use flag) [BLOCK_SIZES_ALL=22][CDF_SIZE(2)]: libaom
+# stores the table at 0x445a20 with its six consecutive identical
+# uniform rows (bsizes 10-15, never read: filter-intra requires
+# max(w,h)<=32) section-folded; read the ten real small-size rows and
+# the four rect rows around the fold, anchor each against the spec's
+# published values, and emit the normative 22-row layout.  (The old
+# 0x44583a guess read unrelated data -- caught by the dav1d
+# cross-decode probes, scripts/av1_proto provenance.)
+FI_OFF = 0x445a20
+fi_small = []
+for r in range(10):
+    row = u16s(AOM, FI_OFF + r * 6, 3)
+    assert row[1] == 0 and row[0] > row[1], row
+    fi_small.append(row[0])
+assert fi_small == icdf(4621, 6743, 5893, 7866, 12551, 9394, 12408,
+                        14301, 12756, 22343), fi_small
+# after the folded 16384 run the four rect (<=32) rows follow
+tail = u16s(AOM, FI_OFF + 10 * 6 + 4, 12)
+assert tail[0::3] == icdf(12770, 10368, 20229, 18101), tail
+fi_rows = fi_small + [16384] * 6 + list(tail[0::3]) + [16384] * 2
+fi_flat = []
+for b in fi_rows:
+    fi_flat += [b, 0, 0]
+EMITTED.append(("FilterIntra", fi_flat, 3))
+print("FilterIntra: 22 rows @0x%x (6 folded uniform)" % FI_OFF)
 
 # intrabc: single binary cdf; spec value CDF1(30531), present in
 # neither library as an isolatable data run (baked into code).  Only

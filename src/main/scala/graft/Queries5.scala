@@ -211,8 +211,23 @@ object Queries5 extends ColumnSyntax {
       (i + 2000L, graft.ext.Vp8Fixtures.webpGray(
         Array.tabulate(48 * 32)(p => scene(i)(p % 48, p / 48)), 48, 32, qi = 8))
     }
+    // AVIF plants (round 15): the same scenes as CodedLossless AV1
+    // stills through the test-side AV1 encoder — LOSSLESS, so the
+    // AVIF twin of a PNG original pairs at hamming 0, proving the
+    // whole route: container item extraction → AV1 keyframe decode
+    // (partition tree, MSAC entropy decode, WHT reconstruction).
+    def avif(px: (Int, Int) => Int): Array[Byte] = {
+      val g = Array.tabulate(48 * 32)(p => px(p % 48, p / 48))
+      graft.ext.Av1Enc.avifWrap(
+        graft.ext.Av1Enc.encodeGray(g, 48, 32), 48, 32)
+    }
+    val avifTwins = (90 until 100).map(i => (i + 2000L, avif(scene(i))))
+    val avifNear = (100 until 105).map { i =>
+      (i + 3000L, avif((x, y) =>
+        scene(i)(x, y) + (if ((x * 31 + y * 17) % 29 == 0) 2 else 0)))
+    }
     s.createDataFrame(originals ++ copies ++ webpTwins ++ webpNear ++
-        exifTwins ++ webpLossyTwins)
+        exifTwins ++ webpLossyTwins ++ avifTwins ++ avifNear)
       .toDF("img_id", "content")
       .repartition(8)
   }

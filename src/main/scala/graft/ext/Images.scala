@@ -72,6 +72,13 @@ object Images {
       val lossless = WebpVp8l.decodeGrayOrNull(bytes)
       if (lossless != null) lossless
       else Vp8.grayOrNull(Vp8.decodeWebpOrNull(bytes))
+    } else if (bytes.length > 12 && bytes(4) == 'f' && bytes(5) == 't' &&
+        bytes(6) == 'y' && bytes(7) == 'p' && bytes(8) == 'a' &&
+        bytes(9) == 'v' && bytes(10) == 'i' && bytes(11) == 'f') {
+      // AVIF still (round 15): primary-item OBUs -> AV1 keyframe
+      // decode (CodedLossless scope, Av1Decode's documented boundary)
+      val payload = Av1Enc.avifPayloadOrNull(bytes)
+      if (payload == null) null else Av1Decode.grayOrNull(payload)
     } else null
   }
 

@@ -134,17 +134,24 @@ class ImagesSpec extends SparkSpec {
     // with orientation tags 2..8, (i, i+4000) for 60..73 — recovered
     // ONLY because the decode normalizes orientation before hashing;
     // round 14 adds LOSSY WebP twins (i, i+2000) for 80..89 — the
-    // full RFC 6386 VP8 keyframe pixel path, not just routing
+    // full RFC 6386 VP8 keyframe pixel path, not just routing;
+    // round 15 adds AVIF twins (i, i+2000) for 90..99 and perturbed
+    // AVIF copies (i, i+3000) for 100..104 — lossless AV1 keyframes
+    // through the container-item + Av1Decode route
     val expected = (0L until 20L).map(i => (i, i + 1000L)).toSet ++
       (40L until 50L).map(i => (i, i + 2000L)).toSet ++
       (50L until 55L).map(i => (i, i + 3000L)).toSet ++
       (60L until 74L).map(i => (i, i + 4000L)).toSet ++
-      (80L until 90L).map(i => (i, i + 2000L)).toSet
+      (80L until 90L).map(i => (i, i + 2000L)).toSet ++
+      (90L until 100L).map(i => (i, i + 2000L)).toSet ++
+      (100L until 105L).map(i => (i, i + 3000L)).toSet
     assert(plantedPairs === expected,
       s"planted recovery incomplete: $plantedPairs")
     // accidental pairs are allowed (near hashes among 120 scenes +
     // their cross-format twins) but must be few — the planted signal
     // dominates the output
-    assert(first.count(_._3 == 0) <= 12, s"too many accidental pairs: $first")
+    // (budget raised 12 -> 16 in round 15: the AVIF plants enlarge
+    // the corpus to 184 images and scene 7/98 collide near-hash)
+    assert(first.count(_._3 == 0) <= 16, s"too many accidental pairs: $first")
   }
 }
