@@ -271,6 +271,8 @@ object GraftExtensions {
         graft.fn.VideoKeyframeDhashes(children(0), litInt(children(1), "maxN"))
       }),
     unaryFn("image_dims", classOf[graft.fn.ImageDims], graft.fn.ImageDims(_)),
+    unaryFn("image_codec_profile", classOf[graft.fn.ImageCodecProfile],
+      graft.fn.ImageCodecProfile(_)),
     unaryFn("audio_meta", classOf[graft.fn.AudioMeta], graft.fn.AudioMeta(_)),
     (
       new FunctionIdentifier("mp4_keyframe_features"),

@@ -19,13 +19,25 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // per-query wall time -> timings.json (round 15, verdict item 10):
+    // the suite is big enough that a judge needs to separate hypervisor
+    // steal from real drift without re-deriving it from bench tails
+    val timings = scala.collection.mutable.ArrayBuffer[(String, Double)]()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        timings += ((name, (System.nanoTime() - t0) / 1e9))
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        timings += ((name, -1.0))
       }
     }
+    Files.writeString(Paths.get(s"$outDir/timings.json"),
+      timings.sortBy(_._1)
+        .map { case (n, s) => f""""$n": $s%.3f""" }
+        .mkString("{", ", ", "}"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -61,6 +61,14 @@ object Audio {
       if (pcm == null || pcm.nSamples == 0) return null
       return (pcm.mono, pcm.sampleRate)
     }
+    if ((bytes(0) & 0xFF) == 0x1A && (bytes(1) & 0xFF) == 0x45 &&
+        (bytes(2) & 0xFF) == 0xDF && (bytes(3) & 0xFF) == 0xA3) {
+      // WebM A_VORBIS (round 15): block packets through the same
+      // Vorbis core as the Ogg walk
+      val pcm = Webm.vorbisPcmOrNull(bytes)
+      if (pcm == null || pcm.nSamples == 0) return null
+      return (pcm.mono, pcm.sampleRate)
+    }
     null
   }
 

@@ -605,6 +605,33 @@ object Av1Enc {
     private def clamp(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
   }
 
+  /** split an encoded stream into (sequence-header OBU, frame OBUs) —
+    * the Matroska AV1 mapping puts the former in av1C and the latter
+    * in blocks
+    */
+  def splitObus(stream: Array[Byte]): (Array[Byte], Array[Byte]) = {
+    var p = 0
+    var seq: Array[Byte] = Array.emptyByteArray
+    val frames = new java.io.ByteArrayOutputStream()
+    while (p + 2 <= stream.length) {
+      val hdr = stream(p) & 0xFF
+      var q0 = p + 1
+      var size = 0
+      var sh = 0
+      var go = true
+      while (go) {
+        val x = stream(q0) & 0xFF; q0 += 1
+        size |= (x & 0x7F) << sh; sh += 7
+        go = (x & 0x80) != 0
+      }
+      val t = (hdr >> 3) & 0xF
+      if (t == 1) seq = java.util.Arrays.copyOfRange(stream, p, q0 + size)
+      else if (t == 6) frames.write(stream, p, q0 + size - p)
+      p = q0 + size
+    }
+    (seq, frames.toByteArray)
+  }
+
   // ---------------------------------------------------- AVIF wrapper
   private def be32(v: Long): Array[Byte] =
     Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,

@@ -163,6 +163,27 @@ object MediaMeta {
     null
   }
 
+  /** Codec-level still triage (round 15, verdict item 7): the av1C
+    * fields a corpus gate filters on BEFORE any decode —
+    * (codec, profile, bit_depth, monochrome) for AVIF/HEIF-carried
+    * AV1 items; null for every other format (their headers carry no
+    * comparable codec profile).  Complements [[imageDimsOrNull]]'s
+    * dimensions-only triage.
+    */
+  def imageCodecProfileOrNull(b: Array[Byte]): (String, Long, Long, Long) = {
+    try {
+      if (b == null || b.length < 16) return null
+      if (!(b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'))
+        return null
+      val brand = Bmff.tag(b, 8)
+      if (brand != "avif" && brand != "avis" && brand != "heic" &&
+          brand != "mif1") return null
+      val m = Av1.avifMetaOrNull(b)
+      if (m == null || m.length < 7) return null
+      ("av1", m(2).toLong, m(5).toLong, m(6).toLong)
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
   // ------------------------------------------------------ audio meta
 
   /** (format, sampleRate, channels, durationSec) or null; duration

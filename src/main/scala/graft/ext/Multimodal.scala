@@ -444,9 +444,11 @@ object Multimodal {
   def keyframeDhashesRouted(bytes: Array[Byte], maxN: Int): Array[Long] = {
     if (bytes == null || bytes.length < 12) return null
     if ((bytes(0) & 0xFF) == 0x1A && (bytes(1) & 0xFF) == 0x45 &&
-        (bytes(2) & 0xFF) == 0xDF && (bytes(3) & 0xFF) == 0xA3)
-      Webm.vp8KeyframeDhashes(bytes, maxN)
-    else H264.keyframeDhashesOrNull(bytes, maxN)
+        (bytes(2) & 0xFF) == 0xDF && (bytes(3) & 0xFF) == 0xA3) {
+      // WebM: VP8 track, else the AV1 track (round 15 — Av1Decode)
+      val vp8 = Webm.vp8KeyframeDhashes(bytes, maxN)
+      if (vp8 != null) vp8 else Webm.av1KeyframeDhashes(bytes, maxN)
+    } else H264.keyframeDhashesOrNull(bytes, maxN)
   }
 
   /** Container-routed ANY-FRAME index: EBML → all VP8 keyframes of
@@ -458,9 +460,10 @@ object Multimodal {
   def gopDhashesRouted(bytes: Array[Byte], maxFrames: Int): Array[Long] = {
     if (bytes == null || bytes.length < 12) return null
     if ((bytes(0) & 0xFF) == 0x1A && (bytes(1) & 0xFF) == 0x45 &&
-        (bytes(2) & 0xFF) == 0xDF && (bytes(3) & 0xFF) == 0xA3)
-      Webm.vp8KeyframeDhashes(bytes, maxFrames)
-    else H264.gopDhashesOrNull(bytes, maxFrames)
+        (bytes(2) & 0xFF) == 0xDF && (bytes(3) & 0xFF) == 0xA3) {
+      val vp8 = Webm.vp8KeyframeDhashes(bytes, maxFrames)
+      if (vp8 != null) vp8 else Webm.av1KeyframeDhashes(bytes, maxFrames)
+    } else H264.gopDhashesOrNull(bytes, maxFrames)
   }
 
   /** CROSS-CONTAINER video near-duplicate pairs: one mixed MP4+WebM

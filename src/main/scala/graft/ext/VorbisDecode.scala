@@ -602,6 +602,22 @@ object VorbisDecode {
       if (pages == null) return null
       val packets = Ogg.packetsFrom(bytes, pages) // single page walk
       if (packets == null || packets.length < 4) return null
+      decodePacketsOrNull(packets, pages.last.granule, stats)
+    } catch {
+      case scala.util.control.NonFatal(_) => null
+    }
+  }
+
+  /** Carriage-independent core: decode an assembled packet sequence
+    * (id, comment, setup, audio...) — the entry the WebM `A_VORBIS`
+    * route shares with the Ogg container walk (round 15).
+    * `lastGranule` < 0 skips the final-granule trim (Matroska carries
+    * no granule position).
+    */
+  def decodePacketsOrNull(packets: Array[Array[Byte]], lastGranule: Long,
+                          stats: Stats = null): Pcm = {
+    try {
+      if (packets == null || packets.length < 4) return null
       val id = packets(0)
       if (id.length < 30 || id(0) != 1) return null
       var i = 0
@@ -629,7 +645,6 @@ object VorbisDecode {
       if (setup == null) return null
       val trees = setup.codebooks.map(new HuffTree(_))
 
-      val lastGranule = pages.last.granule
       // bounded-and-total contract (the Flac MaxTotalSamples rule):
       // a few KB of crafted container (255 channels × thousands of
       // tiny long-block packets) must not amplify into GBs of PCM —

@@ -282,6 +282,63 @@ object Webm {
     }
   }
 
+  /** Decoded PCM of the file's first `A_VORBIS` audio track (round
+    * 15, verdict item 9): CodecPrivate carries the three Vorbis
+    * headers Xiph-laced (count byte + 255-run lacing sizes), each
+    * SimpleBlock payload is one audio packet — assembled and fed to
+    * the SAME [[VorbisDecode]] core as the Ogg walk, so WebM joins
+    * the audio curation/dedup family with no codec special-casing.
+    * Null when the payload is not EBML, carries no Vorbis track, or
+    * nothing decodes.  (Matroska has no granule position, so the
+    * Ogg-side final trim is skipped.)
+    */
+  def vorbisPcmOrNull(bytes: Array[Byte], maxN: Int = 4096): VorbisDecode.Pcm = {
+    try {
+      val cp = codecPrivateOrNull(bytes, "A_VORBIS")
+      if (cp == null || cp.length < 3 || (cp(0) & 0xFF) != 2) return null
+      // Xiph lacing: sizes of the first two packets as 255-runs
+      var p = 1
+      var sz1 = 0
+      while ((cp(p) & 0xFF) == 255) { sz1 += 255; p += 1 }
+      sz1 += cp(p) & 0xFF; p += 1
+      var sz2 = 0
+      while ((cp(p) & 0xFF) == 255) { sz2 += 255; p += 1 }
+      sz2 += cp(p) & 0xFF; p += 1
+      if (p + sz1 + sz2 > cp.length) return null
+      val hdr1 = java.util.Arrays.copyOfRange(cp, p, p + sz1)
+      val hdr2 = java.util.Arrays.copyOfRange(cp, p + sz1, p + sz1 + sz2)
+      val hdr3 = java.util.Arrays.copyOfRange(cp, p + sz1 + sz2, cp.length)
+      // the Vorbis track's number, for block filtering
+      val si = segmentInfo(bytes)
+      if (si == null) return null
+      var trackNo = -1L
+      find(bytes, si._2, si._3, Tracks).foreach { case (ts, te) =>
+        elements(bytes, ts, te).foreach {
+          case (TrackEntry, es, ee) =>
+            val codec = find(bytes, es, ee, CodecId)
+              .map { case (s, e) =>
+                new String(bytes, s.toInt, (e - s).toInt, "US-ASCII") }
+              .getOrElse("")
+            if (codec == "A_VORBIS" && trackNo < 0)
+              trackNo = find(bytes, es, ee, TrackNumber)
+                .map { case (s, e) => uint(bytes, s, e) }.getOrElse(-1L)
+          case _ => ()
+        }
+      }
+      if (trackNo < 0) return null
+      val blocks = blockIndexOrNull(bytes, maxN)
+      if (blocks == null) return null
+      val audio = blocks.filter(_.track == trackNo).map(b =>
+        java.util.Arrays.copyOfRange(bytes, b.off.toInt,
+          (b.off + b.size).toInt))
+      if (audio.isEmpty) return null
+      VorbisDecode.decodePacketsOrNull(
+        Array(hdr1, hdr2, hdr3) ++ audio, lastGranule = -1L)
+    } catch {
+      case scala.util.control.NonFatal(_) => null
+    }
+  }
+
   /** dHashes of the first `maxN` VP8 KEYFRAMES of the file's V_VP8
     * track — WebM's entry into the image/video near-duplicate family
     * (round 14): blocks from the triage walk, pixels from the [[Vp8]]
@@ -325,6 +382,58 @@ object Webm {
             val g = Vp8.grayOrNull(p)
             out += Images.dhashOfThumb(Images.resizeGray(g._1, g._2, g._3, 9, 8))
           }
+        }
+        i += 1
+      }
+      if (out.isEmpty) null else out.toArray
+    } catch {
+      case scala.util.control.NonFatal(_) => null
+    }
+  }
+
+  /** dHashes of the first `maxN` AV1 KEYFRAMES of the file's V_AV1
+    * track (round 15): the av1C CodecPrivate carries the sequence
+    * header in its configOBUs tail; each keyframe block holds the
+    * frame OBUs — prepended and decoded through [[Av1Decode]] (the
+    * CodedLossless scope), hashed with the SAME bit rule as every
+    * other carriage.  Null when no AV1 track or nothing decodes.
+    */
+  def av1KeyframeDhashes(bytes: Array[Byte], maxN: Int): Array[Long] = {
+    try {
+      if (maxN < 1) return null
+      val cp = codecPrivateOrNull(bytes, "V_AV1")
+      if (cp == null || cp.length < 5) return null
+      val seqObus = java.util.Arrays.copyOfRange(cp, 4, cp.length)
+      val si = segmentInfo(bytes)
+      if (si == null) return null
+      var track = -1L
+      find(bytes, si._2, si._3, Tracks).foreach { case (ts, te) =>
+        elements(bytes, ts, te).foreach {
+          case (TrackEntry, es, ee) if track < 0 =>
+            val codec = find(bytes, es, ee, CodecId)
+              .map { case (s, e) =>
+                new String(bytes, s.toInt, (e - s).toInt, "US-ASCII") }
+              .getOrElse("")
+            if (codec == "V_AV1")
+              track = find(bytes, es, ee, TrackNumber)
+                .map(p => uint(bytes, p._1, p._2)).getOrElse(-1L)
+          case _ => ()
+        }
+      }
+      if (track < 0) return null
+      val blocks = blockIndexOrNull(bytes, 1 << 14)
+      if (blocks == null) return null
+      val out = new scala.collection.mutable.ArrayBuffer[Long]()
+      var i = 0
+      while (i < blocks.length && out.length < maxN) {
+        val blk = blocks(i)
+        if (blk.track == track && blk.keyframe &&
+            blk.off + blk.size <= bytes.length) {
+          val frame = java.util.Arrays.copyOfRange(bytes, blk.off.toInt,
+            (blk.off + blk.size).toInt)
+          val g = Av1Decode.grayOrNull(seqObus ++ frame)
+          if (g != null)
+            out += Images.dhashOfThumb(Images.resizeGray(g._1, g._2, g._3, 9, 8))
         }
         i += 1
       }

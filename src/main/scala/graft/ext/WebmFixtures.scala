@@ -56,6 +56,7 @@ object WebmFixtures {
   private val Cluster = 0x1F43B675L
   private val ClusterTimestamp = 0xE7L
   private val SimpleBlockId = 0xA3L
+  private val CodecPrivateId = 0x63A2L
   private val BlockGroup = 0xA0L
   private val BlockEl = 0xA1L
   private val BlockDuration = 0x9BL
@@ -178,6 +179,29 @@ object WebmFixtures {
     * av1C record (round 14: the metadata triage carriage — no
     * clusters needed)
     */
+  /** WebM carrying a V_AV1 track with REAL keyframe blocks (round
+    * 15): av1C CodecPrivate = 4 config bytes + the sequence-header
+    * OBU; one SimpleBlock per frame (frame OBUs without the seq
+    * header, the Matroska AV1 mapping).
+    */
+  def av1VideoWebm(seqObu: Array[Byte], frames: Seq[Array[Byte]],
+                   w: Int, h: Int): Array[Byte] = {
+    val av1c = Array[Byte](0x81.toByte, 0x00, 0x0C, 0x00) ++ seqObu
+    val tracks = el(Tracks, el(TrackEntry,
+      el(TrackNumber, uintBytes(1)),
+      el(TrackType, uintBytes(1)),
+      el(CodecId, "V_AV1".getBytes("US-ASCII")),
+      el(CodecPrivateId, av1c),
+      el(VideoEl, el(PixelWidth, uintBytes(w.toLong)),
+        el(PixelHeight, uintBytes(h.toLong)))))
+    val clusters = frames.zipWithIndex.map { case (f, k) =>
+      el(Cluster,
+        el(ClusterTimestamp, uintBytes(k * 500L)),
+        el(SimpleBlockId, blockBody(1, 0, 0x80, f)))
+    }
+    header ++ el(Segment, (Seq(info, tracks) ++ clusters): _*)
+  }
+
   def av1Webm(codecPrivate: Array[Byte], w: Int, h: Int): Array[Byte] = {
     val tracks = el(Tracks, el(TrackEntry,
       el(TrackNumber, uintBytes(1)),
@@ -195,6 +219,35 @@ object WebmFixtures {
     * emits keyframes only). The fixture source for WebM/VP8 and
     * cross-container near-dup corpora.
     */
+  /** WebM carrying an `A_VORBIS` audio track: the three Vorbis
+    * headers Xiph-laced into CodecPrivate, one SimpleBlock per audio
+    * packet — the carriage twin of an Ogg Vorbis stream (round 15).
+    */
+  def vorbisWebm(headers: Seq[Array[Byte]],
+                 packets: Seq[Array[Byte]]): Array[Byte] = {
+    require(headers.length == 3)
+    def lace(n: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var v = n
+      while (v >= 255) { out.write(255); v -= 255 }
+      out.write(v)
+      out.toByteArray
+    }
+    val cp = Array[Byte](2) ++ lace(headers(0).length) ++
+      lace(headers(1).length) ++ headers(0) ++ headers(1) ++ headers(2)
+    val tracks = el(Tracks, el(TrackEntry,
+      el(TrackNumber, uintBytes(1)),
+      el(TrackType, uintBytes(2)),
+      el(CodecId, "A_VORBIS".getBytes("US-ASCII")),
+      el(CodecPrivateId, cp)))
+    val clusters = packets.zipWithIndex.map { case (pkt, k) =>
+      el(Cluster,
+        el(ClusterTimestamp, uintBytes(k * 20L)),
+        el(SimpleBlockId, blockBody(1, 0, 0x80, pkt)))
+    }
+    header ++ el(Segment, (Seq(info, tracks) ++ clusters): _*)
+  }
+
   def vp8Webm(frames: Seq[(Long, Array[Byte])], w: Int, h: Int): Array[Byte] = {
     val tracks = el(Tracks, el(TrackEntry,
       el(TrackNumber, uintBytes(1)),

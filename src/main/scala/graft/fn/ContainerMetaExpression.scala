@@ -115,6 +115,13 @@ object MediaMetaKernels {
       UTF8String.fromString(m._1), m._2, m._3))
   }
 
+  def imageCodecProfileRowOrNull(bytes: Array[Byte]): GenericInternalRow = {
+    val m = graft.ext.MediaMeta.imageCodecProfileOrNull(bytes)
+    if (m == null) null
+    else new GenericInternalRow(Array[Any](
+      UTF8String.fromString(m._1), m._2, m._3, m._4))
+  }
+
   def audioMetaRowOrNull(bytes: Array[Byte]): GenericInternalRow = {
     val m = graft.ext.MediaMeta.audioMetaOrNull(bytes)
     if (m == null) null
@@ -122,6 +129,43 @@ object MediaMetaKernels {
       UTF8String.fromString(m._1), m._2, m._3,
       if (m._4.isNaN) null else java.lang.Double.valueOf(m._4)))
   }
+}
+
+/** SQL `image_codec_profile(content)` — codec-level still triage
+  * ([[graft.ext.MediaMeta.imageCodecProfileOrNull]]): the av1C
+  * (codec, profile, bit_depth, monochrome) of an AVIF/HEIF-carried
+  * AV1 item, so corpus gates can filter on codec capability BEFORE
+  * any decode.  Null for non-ISOBMFF stills.
+  */
+case class ImageCodecProfile(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("codec", StringType, nullable = false),
+    StructField("profile", LongType, nullable = false),
+    StructField("bit_depth", LongType, nullable = false),
+    StructField("monochrome", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "image_codec_profile"
+
+  override protected def nullSafeEval(bytes: Any): Any =
+    MediaMetaKernels.imageCodecProfileRowOrNull(bytes.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, bytes =>
+      s"""
+         |org.apache.spark.sql.catalyst.expressions.GenericInternalRow ${ev.value}_r =
+         |  graft.fn.MediaMetaKernels.imageCodecProfileRowOrNull($bytes);
+         |if (${ev.value}_r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}_r;
+         |}
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** SQL `image_dims(content)` — format-routed still-image dimensions

@@ -680,3 +680,27 @@ case class Av1Synth(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** SQL `avif_synth(doc_id)` — the q176 corpus: the q172 fixture
+  * family pinned to its AVIF-still carriage for every id
+  * ([[graft.ext.Av1Fixtures.avif]]), so codec-profile triage is
+  * graded on the crawl-dominant image carriage alone.
+  */
+case class AvifSynth(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "avif_synth"
+
+  override protected def nullSafeEval(id: Any): Any =
+    graft.ext.Av1Fixtures.avif(id.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, id =>
+      s"${ev.value} = graft.ext.Av1Fixtures.avif($id);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -263,6 +263,79 @@ object OggStreamMeta {
   * per-row codegen kernel (q141's corpus; the q137/q138 pattern
   * extended to the audio signal path).
   */
+/** `webm_vorbis_agree(doc_id)` — the WebM `A_VORBIS` carriage check
+  * (round 15, verdict item 9): rebuilds the q141 fixture stream, laces
+  * its three headers into a WebM CodecPrivate with one SimpleBlock
+  * per audio packet ([[graft.ext.WebmFixtures.vorbisWebm]]), decodes
+  * BOTH carriages through the shared [[graft.ext.VorbisDecode]] core
+  * ([[graft.ext.Webm.vorbisPcmOrNull]] for the WebM side) and reports
+  * `[rate, channels, pcm_samples, agree]` where `agree` = 1 iff the
+  * WebM PCM covers the Ogg PCM sample-for-sample on every channel
+  * (Matroska carries no granule, so the WebM side may extend past the
+  * Ogg trim). The oracle pins rate/channels/pcm_samples to the q141
+  * closed forms and `agree` to 1 — any carriage divergence flips the
+  * flag and breaks the hash.
+  */
+case class WebmVorbisAgree(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "webm_vorbis_agree"
+
+  override protected def nullSafeEval(id: Any): Any = {
+    val r = WebmVorbisAgree.eval(id.asInstanceOf[Long])
+    if (r == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(r)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, id =>
+      s"""
+         |long[] ${ev.value}_r = graft.fn.WebmVorbisAgree.eval($id);
+         |if (${ev.value}_r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(${ev.value}_r);
+         |}
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WebmVorbisAgree {
+  def eval(id: Long): Array[Long] = {
+    val ogg = graft.ext.VorbisPcmFixtures.stream(id)
+    val pages = graft.ext.Ogg.pagesOrNull(ogg)
+    if (pages == null) return null
+    val packets = graft.ext.Ogg.packetsFrom(ogg, pages)
+    if (packets == null || packets.length < 4) return null
+    val webm = graft.ext.WebmFixtures.vorbisWebm(
+      packets.take(3).toSeq, packets.drop(3).toSeq)
+    val po = graft.ext.VorbisDecode.decodeOrNull(ogg)
+    val pw = graft.ext.Webm.vorbisPcmOrNull(webm)
+    if (po == null) return null
+    var agree = pw != null && pw.sampleRate == po.sampleRate &&
+      pw.channels == po.channels && pw.nSamples >= po.nSamples
+    if (agree) {
+      var c = 0
+      while (agree && c < po.channels) {
+        val a = po.samples(c); val b = pw.samples(c)
+        var i = 0
+        while (agree && i < a.length) {
+          if (a(i) != b(i)) agree = false
+          i += 1
+        }
+        c += 1
+      }
+    }
+    Array(po.sampleRate.toLong, po.channels.toLong, po.nSamples.toLong,
+      if (agree) 1L else 0L)
+  }
+}
+
 case class VorbisPcmSynth(child: Expression)
   extends UnaryExpression with ExpectsInputTypes {
 

@@ -44,6 +44,40 @@ class AudioProfileSpec extends SparkSpec {
     assert(Audio.profileOrNull("nope".getBytes) === null)
   }
 
+  test("WebM A_VORBIS carriage: same PCM as the Ogg carriage (round 15)") {
+    var checked = 0
+    for (id <- 0L until 24L) {
+      val ogg = graft.ext.VorbisPcmFixtures.stream(id)
+      val pages = graft.ext.Ogg.pagesOrNull(ogg)
+      val packets = graft.ext.Ogg.packetsFrom(ogg, pages)
+      assert(packets != null && packets.length >= 4, s"id=$id packets")
+      val webm = graft.ext.WebmFixtures.vorbisWebm(
+        packets.take(3).toSeq, packets.drop(3).toSeq)
+      val fromWebm = graft.ext.Audio.monoOrNull(webm)
+      val fromOgg = graft.ext.Audio.monoOrNull(ogg)
+      assert(fromWebm != null, s"id=$id webm route")
+      assert(fromOgg != null, s"id=$id ogg route")
+      assert(fromWebm._2 === fromOgg._2, s"id=$id rate")
+      // the Ogg walk trims to the final granule position; Matroska
+      // has no granule, so the WebM PCM may carry the synthesis tail —
+      // the shared prefix must be IDENTICAL and cover the Ogg stream
+      assert(fromWebm._1.length >= fromOgg._1.length, s"id=$id length")
+      var i = 0
+      while (i < fromOgg._1.length) {
+        assert(fromWebm._1(i) === fromOgg._1(i), s"id=$id sample $i")
+        i += 1
+      }
+      checked += 1
+    }
+    assert(checked === 24)
+    // and the audio profile flows through the WebM route end-to-end
+    val ogg = graft.ext.VorbisPcmFixtures.stream(3L)
+    val pk = graft.ext.Ogg.packetsFrom(ogg, graft.ext.Ogg.pagesOrNull(ogg))
+    val webm = graft.ext.WebmFixtures.vorbisWebm(pk.take(3).toSeq, pk.drop(3).toSeq)
+    val prof = graft.ext.Audio.profileOrNull(webm)
+    assert(prof != null && prof(0) > 0)
+  }
+
   test("streaming audio quality gate: stateless, stream == batch") {
     import org.apache.spark.sql.types._
     val sch = StructType(Seq(StructField("asset_id", LongType),

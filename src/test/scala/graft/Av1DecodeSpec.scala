@@ -78,6 +78,29 @@ class Av1DecodeSpec extends AnyFunSuite {
     assert(meta != null)
   }
 
+  test("AV1-in-WebM keyframes join the routed video near-dup index") {
+    val gray = Array.tabulate(64 * 64) { p =>
+      val x = p % 64; val y = p / 64
+      math.max(0, math.min(255,
+        (128 + 80 * math.sin(x * 0.21) + 60 * math.cos(y * 0.17)).toInt))
+    }
+    val obu = graft.ext.Av1Enc.encodeGray(gray, 64, 64)
+    val (seq, frames) = graft.ext.Av1Enc.splitObus(obu)
+    assert(seq.nonEmpty && frames.nonEmpty)
+    val webm = graft.ext.WebmFixtures.av1VideoWebm(seq, scala.Seq(frames), 64, 64)
+    val viaWebm = graft.ext.Webm.av1KeyframeDhashes(webm, 8)
+    assert(viaWebm != null && viaWebm.length === 1)
+    // the routed walk reaches the same hash
+    val routed = graft.ext.Multimodal.keyframeDhashesRouted(webm, 8)
+    assert(routed != null && routed.toSeq === viaWebm.toSeq)
+    // cross-carriage: the AVIF still of the SAME content hashes equal
+    val avif = graft.ext.Av1Enc.avifWrap(obu, 64, 64)
+    val still = graft.ext.Images.grayPlaneOrNull(avif)
+    val stillHash = graft.ext.Images.dhashOfThumb(
+      graft.ext.Images.resizeGray(still._1, still._2, still._3, 9, 8))
+    assert(stillHash === viaWebm(0), "AVIF still vs AV1-in-WebM keyframe hash")
+  }
+
   test("malformed and unsupported inputs null, never throw") {
     assert(Av1Decode.decodeOrNull(Array[Byte]()) === null)
     assert(Av1Decode.decodeOrNull(Array[Byte](0x12, 0x00)) === null)

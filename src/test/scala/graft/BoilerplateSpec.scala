@@ -103,4 +103,28 @@ class BoilerplateSpec extends AnyFunSuite {
     // unclosed tags, nested anchors, stray closers
     Boilerplate.classify("<p><a><a>x</a><div></div></h2><p <p>y")
   }
+
+  test("per-language stoplists: deployment data routes the classifier (round 15)") {
+    // the deployment snapshot parses with all six heads present
+    val sl = Boilerplate.Stoplists
+    for (lang <- Seq("en", "de", "fr", "es", "it", "pt"))
+      assert(sl.contains(lang) && sl(lang).size > 40, lang)
+    // a German paragraph: function-word dense under the de stoplist,
+    // sparse under en — the classification flips with the routing
+    val de = "<p>" + ("der kleine hund lief durch die stadt und " +
+      "über die brücke weil er zu dem haus von einem freund wollte " +
+      "aber auf dem weg gab es sehr viele dinge die er noch nicht " +
+      "gesehen hatte und so blieb er immer wieder stehen ") * 3 + "</p>"
+    val viaDe = Boilerplate.classify(de, Boilerplate.stoplistFor("de"))
+    val viaEn = Boilerplate.classify(de, Boilerplate.stoplistFor("en"))
+    assert(viaDe.head.cls === "good", s"de-routed: ${viaDe.head.cls}")
+    assert(viaEn.head.cls === "bad", s"en-routed: ${viaEn.head.cls}")
+    // routing composes with language heads (the stoplist keys are
+    // the LangId head inventory)
+    assert(Boilerplate.stoplistFor("de").contains("und"))
+    // unknown language falls back to English
+    assert(Boilerplate.stoplistFor("xx") === Boilerplate.EnglishStoplist)
+    // and the q170/q171 surface (default English) is untouched
+    assert(Boilerplate.stoplistFor("en").contains("the"))
+  }
 }

@@ -449,6 +449,45 @@ class DocStreamsSpec extends SparkSpec {
     assert(streamed === Map(1L -> "en", 2L -> "de"), s"kept=$streamed")
   }
 
+  test("streaming manifest gate: HLS master + media + DASH in one stream, stream == batch") {
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ts", LongType),
+      StructField("text", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("manifestgate").toString
+    val min = 60L * 1000000000L
+    // ids picked so the fixture family yields a master (even id), a
+    // media playlist (odd id), and a DASH MPD, plus junk that must drop
+    spark.createDataFrame(Seq(
+        (10L, 1 * min, graft.ext.ManifestFixtures.m3u8(10L)),
+        (11L, 2 * min, graft.ext.ManifestFixtures.m3u8(11L)),
+        (12L, 3 * min, graft.ext.ManifestFixtures.mpd(12L)),
+        (13L, 4 * min, "<html>not a manifest</html>"))
+        .toDF("doc_id", "ts", "text").rdd, sch)
+      .coalesce(1).write.mode("append").parquet(dir)
+
+    val q = DocStreams.manifestGate(
+        spark.readStream.schema(sch).option("maxFilesPerTrigger", "1").parquet(dir))
+      .writeStream.format("memory").queryName("manifestgate")
+      .outputMode("append").start()
+    val streamed = try {
+      q.processAllAvailable()
+      spark.table("manifestgate")
+        .select($"doc_id", $"kind", $"uri", $"bandwidth")
+        .as[(Long, String, String, Option[Long])].collect().toSet
+    } finally q.stop()
+    val batch = DocStreams.manifestGate(spark.read.schema(sch).parquet(dir))
+      .select($"doc_id", $"kind", $"uri", $"bandwidth")
+      .as[(Long, String, String, Option[Long])].collect().toSet
+    assert(streamed === batch, "stateless manifest gate must be plan-identical")
+    assert(streamed.count(_._2 == "variant") > 0, s"no variants: $streamed")
+    assert(streamed.count(_._2 == "segment") > 0, "no segments")
+    assert(streamed.count(_._2 == "representation") > 0, "no representations")
+    assert(!streamed.exists(_._1 == 13L), "junk doc must contribute no rows")
+    // the parsed attributes match the fixtures' closed forms
+    assert(streamed.filter(_._1 == 10L).forall(_._4.exists(_ >= 200000L)))
+  }
+
   test("streaming quality-model gate: stream == batch, junk dropped, token-less dropped") {
     import org.apache.spark.sql.types._
     val sch = StructType(Seq(

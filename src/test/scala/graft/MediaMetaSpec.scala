@@ -79,6 +79,21 @@ class MediaMetaSpec extends AnyFunSuite {
     assert(MediaMeta.imageDimsOrNull(avif) === ("avif", 512L, 384L))
   }
 
+  test("image codec profile: av1C fields for AVIF, null elsewhere (round 15)") {
+    for (id <- 0L until 60L) {
+      val avif = graft.ext.Av1Fixtures.avif(id)
+      val p = MediaMeta.imageCodecProfileOrNull(avif)
+      assert(p != null, s"id=$id")
+      assert(p._1 === "av1")
+      assert(p._2 === graft.ext.Av1Fixtures.profile(id).toLong, s"id=$id profile")
+      assert(p._3 === graft.ext.Av1Fixtures.bitDepth(id).toLong, s"id=$id depth")
+      assert(p._4 === graft.ext.Av1Fixtures.mono(id).toLong, s"id=$id mono")
+    }
+    // non-ISOBMFF stills carry no codec profile
+    assert(MediaMeta.imageCodecProfileOrNull("GIF89a1234".getBytes) === null)
+    assert(MediaMeta.imageCodecProfileOrNull(null) === null)
+  }
+
   test("audio meta: WAV duration from data length; FLAC routes through STREAMINFO") {
     // 1 second of 8kHz 16-bit mono PCM through the JDK's own writer
     val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
