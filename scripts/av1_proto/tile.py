@@ -63,18 +63,59 @@ class Dec:
 
     def decode_frame(self):
         fh = self.fh
-        # single tile assumed (goldens); general: iterate tileCols x tileRows
-        assert len(fh['tileCols'])==1 and len(fh['tileRows'])==1
-        self.r = Msac(self.tb, allow_update=(fh['disable_cdf_update']==0))
-        for sr in range(0, self.MiRows, self.sbMi):
-            # clear left contexts at SB row start
-            for p in range(3):
-                for i in range(len(self.LeftLvl[p])): self.LeftLvl[p][i]=0; self.LeftDc[p][i]=0
-            self.LeftPart = [0]*32
-            for sc in range(0, self.MiCols, self.sbMi):
+        shift = 5 if self.seq['use128'] else 4
+        cols = fh['tileCols'] + [fh['sbCols']]
+        rows = fh['tileRows'] + [fh['sbRows']]
+        ntiles = (len(cols) - 1) * (len(rows) - 1)
+        tb = self.tb
+        p = 0
+        if ntiles > 1:
+            # tile_group header: tile_start_and_end_present_flag then
+            # byte alignment (libaom emits one full tile group, flag 0)
+            assert (tb[0] & 0x80) == 0, 'partial tile groups unsupported'
+            p = 1
+        ti = 0
+        for tr in range(len(rows) - 1):
+            for tc in range(len(cols) - 1):
+                if ti < ntiles - 1:
+                    sz = int.from_bytes(
+                        tb[p:p + fh['tileSzBytes']], 'little') + 1
+                    p += fh['tileSzBytes']
+                else:
+                    sz = len(tb) - p
+                self.decode_tile(tb[p:p + sz],
+                                 min(rows[tr] << shift, self.MiRows),
+                                 min(rows[tr + 1] << shift, self.MiRows),
+                                 min(cols[tc] << shift, self.MiCols),
+                                 min(cols[tc + 1] << shift, self.MiCols))
+                p += sz
+                ti += 1
+        return self
+
+    def decode_tile(self, data, r0, r1, c0, c1):
+        fh = self.fh
+        self.tile_r0, self.tile_r1 = r0, r1
+        self.tile_c0, self.tile_c1 = c0, c1
+        # tiles are independent: fresh default CDFs, cleared above
+        # context over the tile's columns
+        self.cdfs = Cdfs()
+        for c in range(c0, c1):
+            self.AbovePart[c] = 0
+        for pl in range(3):
+            sub = 1 if pl else 0
+            for c in range(c0 >> sub, max(c0 >> sub, c1 >> sub)):
+                self.AboveLvl[pl][c] = 0
+                self.AboveDc[pl][c] = 0
+        self.r = Msac(data, allow_update=(fh['disable_cdf_update'] == 0))
+        for sr in range(r0, r1, self.sbMi):
+            for pl in range(3):
+                for i in range(len(self.LeftLvl[pl])):
+                    self.LeftLvl[pl][i] = 0
+                    self.LeftDc[pl][i] = 0
+            self.LeftPart = [0] * 32
+            for sc in range(c0, c1, self.sbMi):
                 self.clear_block_decoded(sr, sc)
                 self.decode_partition(sr, sc, self.sbBs)
-        return self
 
     # ---------------- BlockDecoded ----------------
     def clear_block_decoded(self, r, c):

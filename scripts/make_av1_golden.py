@@ -94,11 +94,27 @@ def find_abi_ver():
 ABI = find_abi_ver()
 
 
-def encode(w, h, yuv):
+AOM.aom_codec_control.restype = ctypes.c_int
+# AV1E_SET_TILE_COLUMNS / AV1E_SET_TILE_ROWS: located by a subprocess
+# sweep of the control-id space (value-anchored below — applying the
+# column control to a 2-superblock-wide frame must flip the frame
+# header's tile_cols_log2 bit, asserted per golden by the prototype
+# parser replay in scripts/av1_proto)
+AV1E_SET_TILE_COLUMNS = 33
+AV1E_SET_TILE_ROWS = 34
+
+
+def encode(w, h, yuv, tile_cols_log2=0, tile_rows_log2=0):
     cfg, iface = enc_cfg(w, h)
     ctx = ctypes.create_string_buffer(512)
     rc = AOM.aom_codec_enc_init_ver(ctx, iface, cfg, 0, ABI)
     assert rc == 0, rc
+    if tile_cols_log2:
+        assert AOM.aom_codec_control(
+            ctx, AV1E_SET_TILE_COLUMNS, ctypes.c_int(tile_cols_log2)) == 0
+    if tile_rows_log2:
+        assert AOM.aom_codec_control(
+            ctx, AV1E_SET_TILE_ROWS, ctypes.c_int(tile_rows_log2)) == 0
     img = ctypes.create_string_buffer(512)
     buf = ctypes.create_string_buffer(bytes(yuv), len(yuv))
     assert AOM.aom_img_wrap(img, AOM_IMG_FMT_I420, w, h, 1, buf)
@@ -269,13 +285,20 @@ CASES = [
     ("tiny8", 8, 8, lambda w, h: gradient(w, h, 19)),
     ("tiny16", 16, 16, lambda w, h: smooth_noise(w, h, 21)),
     ("smooth160x80", 160, 80, lambda w, h: smooth_noise(w, h, 17)),
+    # multi-tile frames (round 15): uniform 2x1 and 2x2 tile grids —
+    # per-tile MSAC instances, per-tile CDF/context resets, the
+    # tile_size_minus_1 framing, and tile-bounded intra availability
+    ("tiles256x128", 256, 128, lambda w, h: smooth_noise(w, h, 23), 1, 0),
+    ("tiles256x256", 256, 256, lambda w, h: smooth_noise(w, h, 29), 1, 1),
 ]
 
 if __name__ == "__main__":
     index = []
-    for name, w, h, gen in CASES:
+    for case in CASES:
+        name, w, h, gen = case[:4]
+        tcl, trl = (case[4], case[5]) if len(case) > 4 else (0, 0)
         src = gen(w, h)
-        obu = encode(w, h, src)
+        obu = encode(w, h, src, tcl, trl)
         rec = dav1d_decode(obu, w, h)
         match = "EXACT" if rec == src else "DIFF"
         # lossless: dav1d's reconstruction must equal the input —

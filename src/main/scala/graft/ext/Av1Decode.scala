@@ -3,7 +3,7 @@ package graft.ext
 import scala.util.control.NonFatal
 
 /** AV1 keyframe decoder — CodedLossless intra frames, profile 0,
-  * 8-bit 4:2:0 (or monochrome), single tile.
+  * 8-bit 4:2:0 (or monochrome), uniform tile grids.
   *
   * A from-scratch port of the spec's decode process (AV1 Bitstream &
   * Decoding Process Specification §5–§8): MSAC symbol decoder with
@@ -23,8 +23,8 @@ import scala.util.control.NonFatal
   * cross-validated between both libraries).
   *
   * Scope boundary (documented, not silent): quantized (lossy)
-  * frames, non-4:2:0 subsampling, high bit depth, multi-tile frames
-  * and inter frames return null.  That covers the lossless AVIF /
+  * frames, non-4:2:0 subsampling, high bit depth, partial tile
+  * groups and inter frames return null.  That covers the lossless AVIF /
   * still corpus this engine's near-dup pipeline decodes; lossy DCT
   * paths are the next phase (scripts/av1_proto/STATUS.md).
   */
@@ -294,7 +294,9 @@ object Av1Decode {
   }
 
   private final case class Fh(miCols: Int, miRows: Int,
-                              disableCdfUpdate: Boolean, tileOff: Int)
+                              disableCdfUpdate: Boolean, tileOff: Int,
+                              tileColsLog2: Int, tileRowsLog2: Int,
+                              tileSzBytes: Int, sbCols: Int, sbRows: Int)
 
   private def parseFrame(b: Array[Byte], off: Int, end: Int, sq: Seq,
                          reduced: Boolean): Fh = {
@@ -346,7 +348,10 @@ object Av1Decode {
     while (more && trl < maxLog2Rows) {
       if (r.f(1) == 1) trl += 1 else more = false
     }
-    if (tcl > 0 || trl > 0) sys.error("multi-tile unsupported")
+    if (tcl > 0 || trl > 0) {
+      r.f(tcl + trl) // context_update_tile_id
+    }
+    val tileSzBytes = if (tcl > 0 || trl > 0) r.f(2) + 1 else 1
     val baseQ = r.f(8)
     def dq(): Int =
       if (r.f(1) == 1) { val v = r.f(6); if (r.f(1) == 1) v - 64 else v }
@@ -361,7 +366,7 @@ object Av1Decode {
       sys.error("lossy frames unsupported")
     r.f(1) // reduced_tx_set (CodedLossless: no lf/cdef/lr/tx-mode bits)
     val pos = (r.pos + 7) & ~7
-    Fh(miCols, miRows, dcu, pos >> 3)
+    Fh(miCols, miRows, dcu, pos >> 3, tcl, trl, tileSzBytes, sbCols, sbRows)
   }
 
   // ------------------------------------------------------- CDF state
@@ -444,10 +449,14 @@ object Av1Decode {
     private val leftLvl = Array.fill(3)(new Array[Int](miRows))
     private val aboveDc = Array.fill(3)(new Array[Int](miCols))
     private val leftDc = Array.fill(3)(new Array[Int](miRows))
-    private val cdfs = new Cdfs
+    private var cdfs = new Cdfs
     private val sbMi = if (sq.use128) 32 else 16
     private val sbBs = if (sq.use128) BS_128X128 else BS_64X64
     private var rd: Msac = _
+    private var tileR0 = 0
+    private var tileR1 = miRows
+    private var tileC0 = 0
+    private var tileC1 = miCols
     // BlockDecoded per plane: (sbMi/sub + 2)^2 grid, offset +1
     private val bdStride = sbMi + 2
     private val bd = Array.fill(3)(new Array[Boolean](bdStride * bdStride))
@@ -476,25 +485,83 @@ object Av1Decode {
     private val lvBuf = new Array[Int](36) // 6x6 padded level grid
 
     def run(): Frame = {
-      rd = new Msac(data, tileOff, tileLen, !fh.disableCdfUpdate)
-      var sr = 0
-      while (sr < miRows) {
-        var pIdx = 0
+      val shift = if (sq.use128) 5 else 4
+      val nTc = 1 << fh.tileColsLog2
+      val nTr = 1 << fh.tileRowsLog2
+      val nTiles = nTc * nTr
+      val colSb = (fh.sbCols + nTc - 1) / nTc
+      val rowSb = (fh.sbRows + nTr - 1) / nTr
+      var p = tileOff
+      val end = tileOff + tileLen
+      if (nTiles > 1) {
+        // tile_group header: tile_start_and_end_present_flag + align
+        // (one full tile group — the libaom/AVIF shape)
+        if ((data(p) & 0x80) != 0) sys.error("partial tile groups")
+        p += 1
+      }
+      var ti = 0
+      var tr = 0
+      while (tr < nTr) {
+        var tc = 0
+        while (tc < nTc) {
+          var sz = end - p
+          if (ti < nTiles - 1) {
+            var v = 0
+            var i = 0
+            while (i < fh.tileSzBytes) {
+              v |= (data(p) & 0xFF) << (8 * i); p += 1; i += 1
+            }
+            sz = v + 1
+          }
+          decodeTile(p, sz,
+            math.min(tr * rowSb << shift, miRows),
+            math.min((tr + 1) * rowSb << shift, miRows),
+            math.min(tc * colSb << shift, miCols),
+            math.min((tc + 1) * colSb << shift, miCols))
+          p += sz
+          ti += 1
+          tc += 1
+        }
+        tr += 1
+      }
+      emit()
+    }
+
+    private def decodeTile(off: Int, len: Int, r0: Int, r1: Int,
+                           c0: Int, c1: Int): Unit = {
+      tileR0 = r0; tileR1 = r1; tileC0 = c0; tileC1 = c1
+      // tiles are independent: fresh default CDFs, cleared above
+      // context over the tile's columns
+      cdfs = new Cdfs
+      var c = c0
+      while (c < c1) { abovePart(c) = 0; c += 1 }
+      var pIdx = 0
+      while (pIdx < 3) {
+        val sub = if (pIdx == 0) 0 else 1
+        var x = c0 >> sub
+        while (x < (c1 >> sub)) {
+          aboveLvl(pIdx)(x) = 0; aboveDc(pIdx)(x) = 0; x += 1
+        }
+        pIdx += 1
+      }
+      rd = new Msac(data, off, len, !fh.disableCdfUpdate)
+      var sr = r0
+      while (sr < r1) {
+        pIdx = 0
         while (pIdx < 3) {
           java.util.Arrays.fill(leftLvl(pIdx), 0)
           java.util.Arrays.fill(leftDc(pIdx), 0)
           pIdx += 1
         }
         java.util.Arrays.fill(leftPart, 0)
-        var sc = 0
-        while (sc < miCols) {
+        var sc = c0
+        while (sc < c1) {
           clearBlockDecoded(sr, sc)
           decodePartition(sr, sc, sbBs)
           sc += sbMi
         }
         sr += sbMi
       }
-      emit()
     }
 
     private def emit(): Frame = {
@@ -534,8 +601,8 @@ object Av1Decode {
       while (pIdx < 3) {
         val sub = if (pIdx == 0) 0 else 1
         val sz = sbMi >> sub
-        val sbW4 = (miCols - c) >> sub
-        val sbH4 = (miRows - r) >> sub
+        val sbW4 = (tileC1 - c) >> sub
+        val sbH4 = (tileR1 - r) >> sub
         val g = bd(pIdx)
         java.util.Arrays.fill(g, false)
         var x = -1
@@ -566,18 +633,18 @@ object Av1Decode {
 
     // ---------------------------------------------------- partitions
     private def isInside(r: Int, c: Int): Boolean =
-      r >= 0 && r < miRows && c >= 0 && c < miCols
+      r >= tileR0 && r < tileR1 && c >= tileC0 && c < tileC1
 
     private def partNsym(bs: Int): Int =
       if (BW(bs) == 8) 4 else if (BW(bs) == 128) 8 else 10
 
     private def decodePartition(r: Int, c: Int, bs: Int): Unit = {
-      if (r >= miRows || c >= miCols) return
+      if (r >= tileR1 || c >= tileC1) return
       val w4 = BW(bs) >> 2
       val hbs = w4 >> 1
       val bsl = 32 - Integer.numberOfLeadingZeros(BW(bs)) - 3
-      val hasRows = (r + hbs) < miRows
-      val hasCols = (c + hbs) < miCols
+      val hasRows = (r + hbs) < tileR1
+      val hasCols = (c + hbs) < tileC1
       val nsym = partNsym(bs)
       var part = P_SPLIT
       if (BW(bs) < 8) part = P_NONE
@@ -630,7 +697,7 @@ object Av1Decode {
           var stop = false
           while (i < 4 && !stop) {
             val rr = r + i * qbs
-            if (i > 0 && rr >= miRows) stop = true
+            if (i > 0 && rr >= tileR1) stop = true
             else decodeBlock(rr, c, sub)
             i += 1
           }
@@ -640,7 +707,7 @@ object Av1Decode {
           var stop = false
           while (i < 4 && !stop) {
             val cc = c + i * qbs
-            if (i > 0 && cc >= miCols) stop = true
+            if (i > 0 && cc >= tileC1) stop = true
             else decodeBlock(r, cc, sub)
             i += 1
           }

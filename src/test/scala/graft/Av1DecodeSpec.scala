@@ -13,13 +13,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * The corpus spans flat / gradient / smooth / noise / edge content,
   * 64x64 and 128x64 (128-superblock chunked blocks), 96x96 and
   * 160x80 multi-superblock frames, odd crop sizes (52x36, 50x34 —
-  * frame-edge partition bools) and tiny 8x8 / 16x16 frames.
+  * frame-edge partition bools), tiny 8x8 / 16x16 frames, and
+  * 2x1 / 2x2 uniform tile grids (per-tile entropy contexts, the
+  * tile_size framing, tile-bounded intra availability).
   */
 class Av1DecodeSpec extends AnyFunSuite {
 
   private val goldenDir = Paths.get("data", "av1_golden")
 
-  test("libaom/dav1d goldens decode pixel-exactly (all twelve, Y+U+V)") {
+  test("libaom/dav1d goldens decode pixel-exactly (all fourteen, Y+U+V)") {
     val index =
       new String(Files.readAllBytes(goldenDir.resolve("index.txt")), "UTF-8")
     var cases = 0
@@ -39,7 +41,7 @@ class Av1DecodeSpec extends AnyFunSuite {
         w * h + 2 * uvW * uvH).toSeq, s"$name V")
       cases += 1
     }
-    assert(cases === 12)
+    assert(cases === 14)
   }
 
   test("test-side encoder round-trips arbitrary gray images losslessly") {
