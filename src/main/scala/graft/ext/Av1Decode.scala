@@ -30,6 +30,12 @@ import scala.util.control.NonFatal
   */
 object Av1Decode {
 
+  /** bounded-and-total contract on untrusted input (the VP8/VP8L
+    * guard): reject frames whose pixel count could drive multi-GB
+    * plane allocations before any tile data is validated
+    */
+  private val MaxPixels = 1 << 24
+
   final case class Frame(w: Int, h: Int, mono: Boolean,
                          y: Array[Byte], u: Array[Byte], v: Array[Byte])
 
@@ -405,17 +411,26 @@ object Av1Decode {
       if ((hdr & 4) != 0) q += 1 // extension
       var size = 0
       if ((hdr & 2) != 0) {
+        // leb128 per spec 4.10.5: at most 8 bytes, value < 2^31 —
+        // unchecked accumulation lets a crafted 5-byte run go
+        // negative and walk the cursor backwards forever
+        var v = 0L
         var sh = 0
+        var nb = 0
         var done = false
         while (!done) {
-          val x = data(q) & 0xFF; q += 1
-          size |= (x & 0x7F) << sh; sh += 7
+          if (nb >= 8) sys.error("leb128 too long")
+          val x = data(q) & 0xFF; q += 1; nb += 1
+          v |= (x & 0x7FL) << sh; sh += 7
           done = (x & 0x80) == 0
         }
+        if (v < 0 || v > Int.MaxValue) sys.error("leb128 overflow")
+        size = v.toInt
       } else size = data.length - q
       if (obuType == 1) {
         reduced = ((data(q) & 0xFF) >> 3 & 1) == 1 // bit 4 = reduced flag
         sq = parseSeq(data, q, q + size)
+        if (sq.w.toLong * sq.h > MaxPixels) sys.error("frame too large")
       } else if (obuType == 6 && fh == null) {
         if (sq == null) sys.error("no sequence header")
         fh = parseFrame(data, q, q + size, sq, reduced)

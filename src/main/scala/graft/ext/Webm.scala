@@ -282,6 +282,87 @@ object Webm {
     }
   }
 
+  /** Per-packet payload ranges of one (Simple)Block at [s, e) with
+    * FULL lacing support (none / Xiph / fixed-size / EBML — RFC 9559
+    * §10.3): real-world Matroska muxers Xiph-lace small audio packets,
+    * so the audio decode route cannot ride [[blockHeader]]'s
+    * non-laced triage subset (dropping laced packets mid-stream would
+    * corrupt the Vorbis overlap-add chain, not fail it).  Returns
+    * (track, packet ranges in order) or null on malformed framing.
+    */
+  private[graft] def blockPackets(b: Array[Byte], s: Long, e: Long): (Long, Array[(Long, Long)]) = {
+    if (s >= e) return null
+    val first = b(s.toInt) & 0xFF
+    if (first == 0) return null
+    val len = Integer.numberOfLeadingZeros(first) - 24 + 1
+    if (len < 1 || len > 8 || s + len + 3 > e) return null
+    var track: Long = first & ((1 << (8 - len)) - 1)
+    var i = 1
+    while (i < len) { track = (track << 8) | (b((s + i).toInt) & 0xFF); i += 1 }
+    val flags = b((s + len + 2).toInt) & 0xFF
+    var p = s + len + 3
+    val lacing = (flags >> 1) & 3
+    if (lacing == 0) return (track, Array((p, e)))
+    if (p >= e) return null
+    val n = (b(p.toInt) & 0xFF) + 1
+    p += 1
+    val sizes = new Array[Long](n)
+    lacing match {
+      case 1 => // Xiph: 255-run sizes for the first n-1 frames
+        var k = 0
+        while (k < n - 1) {
+          var sz = 0L
+          var more = true
+          while (more) {
+            if (p >= e) return null
+            val x = b(p.toInt) & 0xFF; p += 1
+            sz += x
+            more = x == 255
+          }
+          sizes(k) = sz; k += 1
+        }
+      case 3 => // EBML: first size unsigned VINT, then signed deltas
+        var k = 0
+        var prev = 0L
+        while (k < n - 1) {
+          if (p >= e) return null
+          val f0 = b(p.toInt) & 0xFF
+          if (f0 == 0) return null
+          val l0 = Integer.numberOfLeadingZeros(f0) - 24 + 1
+          if (l0 < 1 || l0 > 8 || p + l0 > e) return null
+          var v: Long = f0 & ((1 << (8 - l0)) - 1)
+          var j = 1
+          while (j < l0) { v = (v << 8) | (b((p + j).toInt) & 0xFF); j += 1 }
+          p += l0
+          val sz = if (k == 0) v else prev + (v - ((1L << (7 * l0 - 1)) - 1))
+          if (sz < 0) return null
+          sizes(k) = sz; prev = sz
+          k += 1
+        }
+      case _ => // 2 = fixed-size: remainder split evenly
+        val rem = e - p
+        if (rem <= 0 || rem % n != 0) return null
+        var k = 0
+        while (k < n) { sizes(k) = rem / n; k += 1 }
+    }
+    if (lacing != 2) {
+      var used = 0L
+      var k = 0
+      while (k < n - 1) { used += sizes(k); k += 1 }
+      if (p + used > e) return null
+      sizes(n - 1) = e - p - used
+    }
+    val out = new Array[(Long, Long)](n)
+    var k = 0
+    var q0 = p
+    while (k < n) {
+      out(k) = (q0, q0 + sizes(k))
+      q0 += sizes(k)
+      k += 1
+    }
+    (track, out)
+  }
+
   /** Decoded PCM of the file's first `A_VORBIS` audio track (round
     * 15, verdict item 9): CodecPrivate carries the three Vorbis
     * headers Xiph-laced (count byte + 255-run lacing sizes), each
@@ -326,14 +407,35 @@ object Webm {
         }
       }
       if (trackNo < 0) return null
-      val blocks = blockIndexOrNull(bytes, maxN)
-      if (blocks == null) return null
-      val audio = blocks.filter(_.track == trackNo).map(b =>
-        java.util.Arrays.copyOfRange(bytes, b.off.toInt,
-          (b.off + b.size).toInt))
+      // direct cluster walk: lacing-aware packet extraction, and the
+      // maxN budget counts VORBIS packets only (a muxed video track's
+      // interleaved blocks must not starve the audio stream)
+      val audio = new scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+      def addBlock(s: Long, e: Long): Unit = {
+        val bp = blockPackets(bytes, s, e)
+        if (bp != null && bp._1 == trackNo) {
+          var k = 0
+          while (k < bp._2.length && audio.length < maxN) {
+            val (ps, pe) = bp._2(k)
+            if (pe <= bytes.length && pe > ps)
+              audio += java.util.Arrays.copyOfRange(bytes, ps.toInt, pe.toInt)
+            k += 1
+          }
+        }
+      }
+      elements(bytes, si._2, si._3).foreach {
+        case (Cluster, cs, ce) if audio.length < maxN =>
+          elements(bytes, cs, ce).foreach {
+            case (SimpleBlock, s, e) if audio.length < maxN => addBlock(s, e)
+            case (BlockGroup, gs, ge) if audio.length < maxN =>
+              find(bytes, gs, ge, BlockEl).foreach { case (s, e) => addBlock(s, e) }
+            case _ => ()
+          }
+        case _ => ()
+      }
       if (audio.isEmpty) return null
       VorbisDecode.decodePacketsOrNull(
-        Array(hdr1, hdr2, hdr3) ++ audio, lastGranule = -1L)
+        (Array(hdr1, hdr2, hdr3) ++ audio).toArray, lastGranule = -1L)
     } catch {
       case scala.util.control.NonFatal(_) => null
     }

@@ -248,6 +248,74 @@ object WebmFixtures {
     header ++ el(Segment, (Seq(info, tracks) ++ clusters): _*)
   }
 
+  /** The laced twin of [[vorbisWebm]] (round 16, ADVICE item 3):
+    * audio packets grouped three-per-SimpleBlock with Xiph (groups
+    * alternating with EBML) lacing — the shape real Matroska muxers
+    * emit for small Vorbis packets — and a dummy video track whose
+    * blocks interleave BEFORE every audio block, so a budget counted
+    * across all tracks (the old bug) would truncate the audio stream.
+    */
+  def vorbisWebmLaced(headers: Seq[Array[Byte]],
+                      packets: Seq[Array[Byte]]): Array[Byte] = {
+    require(headers.length == 3)
+    def lace255(n: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var v = n
+      while (v >= 255) { out.write(255); v -= 255 }
+      out.write(v)
+      out.toByteArray
+    }
+    val cp = Array[Byte](2) ++ lace255(headers(0).length) ++
+      lace255(headers(1).length) ++ headers(0) ++ headers(1) ++ headers(2)
+    val tracks = el(Tracks,
+      el(TrackEntry,
+        el(TrackNumber, uintBytes(1)),
+        el(TrackType, uintBytes(2)),
+        el(CodecId, "A_VORBIS".getBytes("US-ASCII")),
+        el(CodecPrivateId, cp)),
+      el(TrackEntry,
+        el(TrackNumber, uintBytes(2)),
+        el(TrackType, uintBytes(1)),
+        el(CodecId, "V_VP9".getBytes("US-ASCII")),
+        el(VideoEl, el(PixelWidth, uintBytes(64)),
+          el(PixelHeight, uintBytes(64)))))
+    // signed-delta VINT with an explicit 2-byte width (covers deltas
+    // in [-8191, 8191] — Vorbis packet-size deltas at test scale)
+    def ebmlDelta(d: Long): Array[Byte] = {
+      val v = d + 8191 // bias = 2^(7*2-1) - 1
+      Array(((v >> 8) | 0x40).toByte, (v & 0xFF).toByte)
+    }
+    val groups = packets.grouped(3).toSeq
+    val clusters = groups.zipWithIndex.map { case (g, k) =>
+      val body = new java.io.ByteArrayOutputStream()
+      body.write(0x81) // track 1 (1-byte VINT)
+      body.write(0); body.write(0) // relative timestamp
+      val useEbml = k % 2 == 1 && g.length > 1
+      body.write(0x80 | (if (useEbml) 0x06 else 0x02)) // key + lacing
+      body.write(g.length - 1)
+      if (useEbml) {
+        // first size: unsigned VINT (2-byte form); rest: signed deltas
+        val s0 = g(0).length
+        body.write(((s0 >> 8) | 0x40)); body.write(s0 & 0xFF)
+        var i = 1
+        while (i < g.length - 1) {
+          body.write(ebmlDelta(g(i).length.toLong - g(i - 1).length))
+          i += 1
+        }
+      } else {
+        var i = 0
+        while (i < g.length - 1) { body.write(lace255(g(i).length)); i += 1 }
+      }
+      g.foreach(p => body.write(p))
+      val video = Array.fill(9)((k % 251).toByte)
+      el(Cluster,
+        el(ClusterTimestamp, uintBytes(k * 20L)),
+        el(SimpleBlockId, blockBody(2, 0, 0x80, video)),
+        el(SimpleBlockId, body.toByteArray))
+    }
+    header ++ el(Segment, (Seq(info, tracks) ++ clusters): _*)
+  }
+
   def vp8Webm(frames: Seq[(Long, Array[Byte])], w: Int, h: Int): Array[Byte] = {
     val tracks = el(Tracks, el(TrackEntry,
       el(TrackNumber, uintBytes(1)),

@@ -78,6 +78,33 @@ class AudioProfileSpec extends SparkSpec {
     assert(prof != null && prof(0) > 0)
   }
 
+  test("WebM A_VORBIS laced carriage: Xiph/EBML-laced blocks decode to the same PCM (round 16)") {
+    // real muxers lace small Vorbis packets; the laced fixture also
+    // interleaves a video track so a cross-track packet budget (the
+    // old bug) would truncate the audio stream
+    for (id <- Seq(0L, 3L, 7L, 11L, 19L)) {
+      val ogg = graft.ext.VorbisPcmFixtures.stream(id)
+      val pk = graft.ext.Ogg.packetsFrom(ogg, graft.ext.Ogg.pagesOrNull(ogg))
+      val plain = graft.ext.WebmFixtures.vorbisWebm(
+        pk.take(3).toSeq, pk.drop(3).toSeq)
+      val laced = graft.ext.WebmFixtures.vorbisWebmLaced(
+        pk.take(3).toSeq, pk.drop(3).toSeq)
+      val a = graft.ext.Webm.vorbisPcmOrNull(plain)
+      val b = graft.ext.Webm.vorbisPcmOrNull(laced)
+      assert(a != null && b != null, s"id=$id")
+      val am = a.mono; val bm = b.mono
+      assert(bm.length === am.length, s"id=$id length")
+      var i = 0
+      while (i < am.length) {
+        assert(bm(i) === am(i), s"id=$id sample $i")
+        i += 1
+      }
+      // a tight budget now counts VORBIS packets, not video blocks:
+      // budget 4 must still decode (3 headers ride CodecPrivate)
+      assert(graft.ext.Webm.vorbisPcmOrNull(laced, maxN = 4) != null, s"id=$id budget")
+    }
+  }
+
   test("streaming audio quality gate: stateless, stream == batch") {
     import org.apache.spark.sql.types._
     val sch = StructType(Seq(StructField("asset_id", LongType),

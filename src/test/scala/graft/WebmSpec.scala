@@ -60,4 +60,42 @@ class WebmSpec extends AnyFunSuite {
     assert(sub != null && sub.forall(b => b.track === 2L && b.keyframe))
     assert(Webm.blockIndexOrNull(Array[Byte](1, 2, 3), 100) === null)
   }
+
+  test("blockPackets: Xiph / EBML / fixed lacing, malformed framing nulls (round 16)") {
+    def sizesOf(body: Array[Byte]): Seq[Long] = {
+      val r = Webm.blockPackets(body, 0, body.length)
+      assert(r != null && r._1 === 1L)
+      // ranges must tile the payload contiguously
+      r._2.sliding(2).foreach {
+        case Array(a, b) => assert(a._2 === b._1)
+        case _ =>
+      }
+      assert(r._2.last._2 === body.length.toLong)
+      r._2.toSeq.map(p => p._2 - p._1)
+    }
+    def hdr(flags: Int): Array[Byte] =
+      Array[Byte](0x81.toByte, 0, 0, flags.toByte)
+    // no lacing: one packet = whole payload
+    assert(sizesOf(hdr(0x80) ++ Array.fill(7)(1.toByte)) === Seq(7L))
+    // Xiph: sizes 2, 300 (255-run), last = remainder 4
+    val xiph = hdr(0x82) ++ Array[Byte](2, 2, 255.toByte, 45) ++
+      Array.fill(2 + 300 + 4)(9.toByte)
+    assert(sizesOf(xiph) === Seq(2L, 300L, 4L))
+    // EBML: first 300 as a 2-byte VINT, then delta -100 (biased 8091)
+    val ebml = hdr(0x86) ++ Array[Byte](2, 0x41, 0x2C, 0x5F, 0x9B.toByte) ++
+      Array.fill(300 + 200 + 7)(9.toByte)
+    assert(sizesOf(ebml) === Seq(300L, 200L, 7L))
+    // fixed-size: 4 frames over a 20-byte payload
+    val fixed = hdr(0x84) ++ Array[Byte](3) ++ Array.fill(20)(9.toByte)
+    assert(sizesOf(fixed) === Seq(5L, 5L, 5L, 5L))
+    // malformed: fixed payload not divisible by the frame count
+    assert(Webm.blockPackets(hdr(0x84) ++ Array[Byte](3) ++
+      Array.fill(21)(9.toByte), 0, 4 + 1 + 21) === null)
+    // malformed: Xiph size table overruns the block
+    assert(Webm.blockPackets(hdr(0x82) ++ Array[Byte](2, 255.toByte),
+      0, 4 + 2) === null)
+    // malformed: declared sizes exceed the payload
+    assert(Webm.blockPackets(hdr(0x82) ++ Array[Byte](2, 50, 50) ++
+      Array.fill(10)(9.toByte), 0, 4 + 3 + 10) === null)
+  }
 }
