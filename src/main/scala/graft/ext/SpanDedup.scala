@@ -63,24 +63,41 @@ object SpanDedup {
     */
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
                      L: Int, xx: Boolean = false,
-                     minOccurs: Long = 2L): DataFrame = {
+                     minOccurs: Long = 2L): DataFrame =
+    islandArrays(docs, idCol, textCol, L, xx, minOccurs)
+      .select(col(idCol), explode(col("__sp")).as("__s"))
+      .select(col(idCol),
+        col("__s.span_start").as("span_start"),
+        col("__s.span_end").as("span_end"))
+
+  /** Per-doc merged islands as ONE row per document:
+    * (idCol, __sp array<struct<span_start, span_end>>), spans sorted
+    * ascending and non-overlapping. The shared core of
+    * [[duplicateSpans]] (explodes it) and [[stripDuplicateSpans]]
+    * (consumes the arrays directly — no explode/re-collect round
+    * trip). Islands merge in [[graft.fn.IslandAgg]] — a MERGEABLE
+    * interval-set aggregate (round 16): interval union is associative
+    * and the gap ≤ L rule equals span-overlap-or-touch, so the
+    * map-side partial collapses each partition's hit positions to
+    * merged spans BEFORE the doc-keyed exchange. The previous form
+    * shuffled every individual hit position and merged under a
+    * doc-partitioned window sort — at corpus scale that exchange is
+    * proportional to duplicated WINDOWS; this one is proportional to
+    * duplicated SPANS. Same rule, bit-identical spans, and no
+    * dependence on row order or join strategy.
+    */
+  private def islandArrays(docs: DataFrame, idCol: String, textCol: String,
+                           L: Int, xx: Boolean,
+                           minOccurs: Long): DataFrame = {
     val wins = windowHashes(docs, idCol, textCol, L, xx)
     val dup = wins.groupBy(col("h"))
       .agg(count(lit(1)).as("__c"))
       .where(col("__c") >= minOccurs)
       .select(col("h"))
-    val hits = wins.join(dup, Seq("h")).select(col(idCol), col("pos"))
-    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    hits
-      .withColumn("__prev", lag(col("pos"), 1).over(byDoc))
-      .withColumn("__new",
-        when(col("__prev").isNull || col("pos") - col("__prev") > L, 1)
-          .otherwise(0))
-      .withColumn("__isl", sum(col("__new")).over(byDoc))
-      .groupBy(col(idCol), col("__isl"))
-      .agg(min(col("pos")).as("span_start"),
-        (max(col("pos")) + (L - 1)).as("span_end"))
-      .select(col(idCol), col("span_start"), col("span_end"))
+    wins.join(dup, Seq("h")).select(col(idCol), col("pos"))
+      .groupBy(col(idCol))
+      .agg(gb.column(graft.fn.IslandAgg(gb.expression(col("pos")), L)
+        .toAggregateExpression()).as("__sp"))
   }
 
   /** Distinct window hashes of a REFERENCE corpus (the contamination
@@ -142,10 +159,11 @@ object SpanDedup {
                           L: Int, xx: Boolean = false,
                           cleanCol: String = "text_clean",
                           minOccurs: Long = 2L): DataFrame = {
-    val spans = duplicateSpans(docs, idCol, textCol, L, xx, minOccurs)
-      .groupBy(col(idCol))
-      .agg(sort_array(collect_list(struct(col("span_start"), col("span_end"))))
-        .as("__sp"))
+    // islandArrays emits each doc's spans already collected and sorted
+    // (the merge kernel's output contract) — the previous
+    // explode-then-re-collect_list round trip was two aggregates for
+    // the same rows
+    val spans = islandArrays(docs, idCol, textCol, L, xx, minOccurs)
     docs.join(spans, Seq(idCol), "left")
       .withColumn(cleanCol,
         when(col("__sp").isNull, col(textCol))

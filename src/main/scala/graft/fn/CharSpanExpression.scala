@@ -148,6 +148,176 @@ case class CharWindowHits(child: Expression, L: Int, xx: Boolean,
     copy(child = newChild)
 }
 
+/** Sorted disjoint interval set — the O(islands) aggregation state of
+  * [[IslandAgg]]. A duplicated-window start position p contributes the
+  * interval [p, p+L−1]; intervals that overlap or TOUCH merge, which
+  * is exactly the paper's gap ≤ L island rule on positions (span end
+  * = pos + L − 1, so `nextPos − prevPos ≤ L` ⟺ the two windows' spans
+  * overlap or are adjacent). Union of interval sets is associative
+  * and commutative, so partial buffers combine exactly — map-side
+  * combine collapses every partition's hit positions to merged spans
+  * BEFORE the exchange (round 16: the previous form shuffled every
+  * hit position and merged under a doc-keyed window sort).
+  */
+final class IslandBuffer {
+  var starts = new Array[Long](8)
+  var ends = new Array[Long](8)
+  var size = 0
+
+  private def grow(): Unit = {
+    starts = java.util.Arrays.copyOf(starts, starts.length * 2)
+    ends = java.util.Arrays.copyOf(ends, ends.length * 2)
+  }
+
+  /** Insert [s, e], merging with any overlapping-or-touching runs.
+    * Ascending inserts (the common case: positions stream in document
+    * order) hit the O(1) append/extend fast path.
+    */
+  def addInterval(s: Long, e: Long): Unit = {
+    if (size > 0 && s >= starts(size - 1)) {
+      // at-or-after the last interval: extend or append
+      if (s <= ends(size - 1) + 1) {
+        if (e > ends(size - 1)) ends(size - 1) = e
+        return
+      }
+      if (size == starts.length) grow()
+      starts(size) = s; ends(size) = e; size += 1
+      return
+    }
+    // general (out-of-order) insert: find first interval ending at or
+    // after s-1, swallow every interval starting at or before e+1
+    var lo = 0
+    var hi = size
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (ends(mid) < s - 1) lo = mid + 1 else hi = mid
+    }
+    var j = lo
+    var ns = s
+    var ne = e
+    while (j < size && starts(j) <= e + 1) {
+      if (starts(j) < ns) ns = starts(j)
+      if (ends(j) > ne) ne = ends(j)
+      j += 1
+    }
+    if (j == lo) {
+      // no overlap: shift right, insert at lo
+      if (size == starts.length) grow()
+      System.arraycopy(starts, lo, starts, lo + 1, size - lo)
+      System.arraycopy(ends, lo, ends, lo + 1, size - lo)
+      starts(lo) = ns; ends(lo) = ne; size += 1
+    } else {
+      // replace [lo, j) with the merged interval
+      starts(lo) = ns; ends(lo) = ne
+      if (j < size) {
+        System.arraycopy(starts, j, starts, lo + 1, size - j)
+        System.arraycopy(ends, j, ends, lo + 1, size - j)
+      }
+      size -= (j - lo - 1)
+    }
+  }
+
+  def mergeIn(o: IslandBuffer): Unit = {
+    var i = 0
+    while (i < o.size) { addInterval(o.starts(i), o.ends(i)); i += 1 }
+  }
+
+  def serialize(): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(4 + 16 * size)
+    out.putInt(size)
+    var i = 0
+    while (i < size) { out.putLong(starts(i)); out.putLong(ends(i)); i += 1 }
+    out.array()
+  }
+
+  def toArrayData: ArrayData = {
+    val rows = new Array[Any](size)
+    var i = 0
+    while (i < size) {
+      rows(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](starts(i), ends(i)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+}
+
+object IslandBuffer {
+  def deserialize(bytes: Array[Byte]): IslandBuffer = {
+    val in = java.nio.ByteBuffer.wrap(bytes)
+    val b = new IslandBuffer
+    val n = in.getInt()
+    var i = 0
+    // serialized form is already sorted-disjoint — ascending fast path
+    while (i < n) { b.addInterval(in.getLong(), in.getLong()); i += 1 }
+    b
+  }
+}
+
+/** `island_agg(pos, L)` — per-group merged duplicated-window spans as
+  * a sorted array of (span_start, span_end) structs, 1-based
+  * inclusive: each position contributes [pos, pos+L−1] and
+  * overlapping-or-touching intervals merge ([[IslandBuffer]] — the
+  * gap ≤ L gaps-and-islands rule, unchanged). A mergeable
+  * [[TypedImperativeAggregate]] whose state is the merged span list
+  * itself (O(islands), bounded by doc_length/L), so the map-side
+  * partial collapses every partition's positions to spans before the
+  * doc-keyed exchange — the previous window-sort form shuffled every
+  * individual hit position. Order-insensitive: no dependence on row
+  * order, join strategy, or partitioning.
+  */
+case class IslandAgg(
+    child: Expression,
+    L: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[IslandBuffer]
+  with ExpectsInputTypes
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  require(L >= 2, s"window length must be >= 2 chars, got $L")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("span_start", LongType, nullable = false),
+    StructField("span_end", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "island_agg"
+
+  override def createAggregationBuffer(): IslandBuffer = new IslandBuffer
+
+  override def update(
+      b: IslandBuffer,
+      input: org.apache.spark.sql.catalyst.InternalRow): IslandBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val p = v.asInstanceOf[Long]
+      b.addInterval(p, p + (L - 1))
+    }
+    b
+  }
+
+  override def merge(b: IslandBuffer, o: IslandBuffer): IslandBuffer = {
+    b.mergeIn(o); b
+  }
+
+  override def eval(b: IslandBuffer): Any = b.toArrayData
+
+  override def serialize(b: IslandBuffer): Array[Byte] = b.serialize()
+  override def deserialize(bytes: Array[Byte]): IslandBuffer =
+    IslandBuffer.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(
+      newOffset: Int): org.apache.spark.sql.catalyst.expressions.aggregate.ImperativeAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(
+      newOffset: Int): org.apache.spark.sql.catalyst.expressions.aggregate.ImperativeAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** SQL `strip_char_spans(text, starts, ends)` — remove the 1-based
   * inclusive char spans [starts(i), ends(i)] (sorted, non-overlapping)
   * from the text ([[TextKernels.stripCharSpans]]). The APPLY half of

@@ -709,4 +709,5 @@ object TextKernels {
     }
     UTF8String.fromBytes(java.util.Arrays.copyOf(outBuf, pos))
   }
+
 }

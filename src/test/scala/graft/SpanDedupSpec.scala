@@ -145,4 +145,44 @@ class SpanDedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("IslandBuffer == windowed gaps-and-islands reference (any order, any split)") {
+    val rnd = new scala.util.Random(421)
+    for (trial <- 0 until 300) {
+      val l = 2 + rnd.nextInt(40)
+      val n = 1 + rnd.nextInt(60)
+      // distinct positions (a doc's window starts are distinct), any order
+      val ps = rnd.shuffle(
+        Iterator.continually(1L + rnd.nextInt(400)).distinct.take(n).toList)
+      // reference: the pre-round-16 formulation — sort, lag, new island
+      // on gap > L, span = [min, max + L - 1]
+      val ref = ps.sorted.foldLeft(List.empty[(Long, Long)]) {
+        case ((s, e) :: rest, p) if p - e <= l => (s, p) :: rest
+        case (acc, p) => (p, p) :: acc
+      }.reverse.map { case (s, e) => (s, e + (l - 1)) }
+      def spans(b: graft.fn.IslandBuffer) =
+        (0 until b.size).map(i => (b.starts(i), b.ends(i)))
+      // single buffer, stream order
+      val one = new graft.fn.IslandBuffer
+      ps.foreach(p => one.addInterval(p, p + (l - 1)))
+      assert(spans(one) == ref, s"trial $trial L=$l ps=$ps")
+      // split across two partial buffers at a random point, then merge
+      // (the map-side-combine path), via a serialize round trip
+      val cut = rnd.nextInt(ps.length + 1)
+      val (pa, pb) = ps.splitAt(cut)
+      val ba = new graft.fn.IslandBuffer
+      val bb = new graft.fn.IslandBuffer
+      pa.foreach(p => ba.addInterval(p, p + (l - 1)))
+      pb.foreach(p => bb.addInterval(p, p + (l - 1)))
+      val merged = graft.fn.IslandBuffer.deserialize(ba.serialize())
+      merged.mergeIn(graft.fn.IslandBuffer.deserialize(bb.serialize()))
+      assert(spans(merged) == ref, s"merge trial $trial L=$l cut=$cut ps=$ps")
+    }
+  }
+
+  test("IslandBuffer: empty buffer serializes and evals to no spans") {
+    val b = new graft.fn.IslandBuffer
+    assert(graft.fn.IslandBuffer.deserialize(b.serialize()).size === 0)
+    assert(b.toArrayData.numElements() === 0)
+  }
 }
