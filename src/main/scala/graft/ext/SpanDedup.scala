@@ -89,12 +89,26 @@ object SpanDedup {
   private def islandArrays(docs: DataFrame, idCol: String, textCol: String,
                            L: Int, xx: Boolean,
                            minOccurs: Long): DataFrame = {
+    // Hash every corpus byte ONCE (round 16). The previous shape
+    // computed the window-hash stream TWICE — once under the
+    // duplicated-set aggregate, once under the position join — i.e.
+    // two full scan+md5 passes over the corpus, plus a broadcast of
+    // the duplicated-hash set that only stays cheap while the corpus
+    // has little boilerplate (past its threshold the join falls back
+    // to shuffling the full window stream anyway, after having paid
+    // the second hash pass). Instead: one exchange partitioned by h —
+    // every occurrence of a hash is co-located, so the corpus-wide
+    // occurrence count IS a window count over the h-partition, and the
+    // ≥ minOccurs filter needs no join at all. One pass over the
+    // corpus bytes, one exchange of the window stream, no broadcast,
+    // no join-strategy bet; the gaps-and-islands aggregate then
+    // collapses surviving positions map-side as before.
     val wins = windowHashes(docs, idCol, textCol, L, xx)
-    val dup = wins.groupBy(col("h"))
-      .agg(count(lit(1)).as("__c"))
+    val byH = Window.partitionBy(col("h"))
+    wins
+      .withColumn("__c", count(lit(1)).over(byH))
       .where(col("__c") >= minOccurs)
-      .select(col("h"))
-    wins.join(dup, Seq("h")).select(col(idCol), col("pos"))
+      .select(col(idCol), col("pos"))
       .groupBy(col(idCol))
       .agg(gb.column(graft.fn.IslandAgg(gb.expression(col("pos")), L)
         .toAggregateExpression()).as("__sp"))
