@@ -444,8 +444,12 @@ object Queries16 {
     val gop = graft.fn.H264GopFrames(
       graft.fn.Mp4Fmp4Synth(gb.expression(d.cast("long"))),
       nBins = 4, stride = 1, maxFrames = 4)
-    Tables.tbl(s, dir, "documents").select(d)
-      .where(d < 1000)
+    // round 16: CPU-bound synth+decode kernel over a single-row-group
+    // scan — spread to the core count (the q137 docIds rule; this ran
+    // the whole GOP decode in ONE task)
+    Tables.spread(s,
+        Tables.tbl(s, dir, "documents").select(d).where(d < 1000),
+        minParts = s.sparkContext.defaultParallelism)
       .select(d, explode(gb.column(gop)).as("__fr"))
       .select(d,
         element_at(col("__fr"), 1).cast("int").as("frame_idx"),
@@ -719,8 +723,11 @@ object Queries16 {
     val d = col("doc_id")
     val cues = gb.column(graft.fn.Mp4SubtitleCues(graft.fn.Mp4SubtitleSynth(
       gb.expression(d.cast("long")))))
-    Tables.tbl(s, dir, "documents").select(d)
-      .where(d < 4000)
+    // round 16: 4000 container walks ran in ONE task (single-row-group
+    // scan, no spread) — the q137 docIds rule applies
+    Tables.spread(s,
+        Tables.tbl(s, dir, "documents").select(d).where(d < 4000),
+        minParts = s.sparkContext.defaultParallelism)
       .select(d, posexplode(cues).as(Seq("cue_idx", "__c")))
       .select(d, col("cue_idx"),
         col("__c.start_ms").as("start_ms"),

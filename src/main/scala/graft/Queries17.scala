@@ -162,8 +162,11 @@ object Queries17 {
     val d = col("doc_id")
     val cues = gb.column(graft.fn.Mp4SubtitleCues(graft.fn.Mp4TtmlSynth(
       gb.expression(d.cast("long")))))
-    Tables.tbl(s, dir, "documents").select(d)
-      .where(d < 4000)
+    // round 16: 4000 TTML walks ran in ONE task (single-row-group
+    // scan, no spread) — the q137 docIds rule applies
+    Tables.spread(s,
+        Tables.tbl(s, dir, "documents").select(d).where(d < 4000),
+        minParts = s.sparkContext.defaultParallelism)
       .select(d, posexplode(cues).as(Seq("cue_idx", "__c")))
       .select(d, col("cue_idx"),
         col("__c.start_ms").as("start_ms"),

@@ -189,9 +189,18 @@ object Queries19 {
   private def q178(s: SparkSession, dir: String): DataFrame = {
     val d = col("doc_id")
     val m = gb.column(graft.fn.WebmVorbisAgree(gb.expression(d.cast("long"))))
-    Tables.tbl(s, dir, "documents").select(d)
-      .where(d < 500)
-      .select(d, m.as("__m"))
+    // Round 16: this query shipped without the two conventions every
+    // other synth+decode query uses, and paid for both — the
+    // single-row-group scan ran the double-carriage decode of all 500
+    // streams in ONE task (measured 2.5 s single-task stages), and the
+    // missing Generate barrier let CollapseProject re-evaluate the
+    // kernel under the not-null filter. Spread to the core count
+    // (doc_id-only input, CPU-bound kernel — the q137 docIds rule) and
+    // pin one evaluation per row with explode(array(...)).
+    Tables.spread(s,
+        Tables.tbl(s, dir, "documents").select(d).where(d < 500),
+        minParts = s.sparkContext.defaultParallelism)
+      .select(d, explode(array(m)).as("__m"))
       .where(col("__m").isNotNull)
       .select(d,
         col("__m")(0).cast("long").as("rate"),
