@@ -205,8 +205,7 @@ object Queries15 extends ColumnSyntax {
     // is q133/q136/q144's ledger; an unbounded corpus would only
     // multiply gzip members against an oracle that replays string
     // arithmetic by construction
-    val rows = Tables.tbl(s, dir, "documents").select(d)
-      .where(d < 2000)
+    val rows = Tables.docIdsUnder(s, dir, 2000)
       .select(
         concat(lit("https://chain.test/doc/"), id),
         lit("2026-08-15T00:00:00Z"),
@@ -446,8 +445,7 @@ object Queries15 extends ColumnSyntax {
         .otherwise(lit("text/html"))
     // bounded corpus, same rationale as q146: the v2 pipeline gates
     // chain SEMANTICS; the scale-graded crawl pipeline remains q133
-    val rows = Tables.tbl(s, dir, "documents").select(d)
-      .where(d < 5000)
+    val rows = Tables.docIdsUnder(s, dir, 5000)
       .select(
         concat(lit("https://"), host, lit("/doc/"), id),
         lit("2026-08-15T00:00:00Z"),

@@ -38,8 +38,7 @@ object Queries16 {
         encode(concat(lit("<html><body>skip "), id, lit("</body></html>")), "UTF-8"))
       .otherwise(gb.column(graft.fn.PdfSynth(gb.expression(d.cast("long")))))
     val ctype = when(isHtml, lit("text/html")).otherwise(lit("application/pdf"))
-    val rows = Tables.tbl(s, dir, "documents").select(d)
-      .where(d < 2000)
+    val rows = Tables.docIdsUnder(s, dir, 2000)
       .select(
         concat(lit("https://pdf.test/doc/"), id),
         lit("2026-08-15T00:00:00Z"),
@@ -152,8 +151,7 @@ object Queries16 {
 
   private def q152(s: SparkSession, dir: String): DataFrame = {
     val d = col("doc_id")
-    val txt = Tables.tbl(s, dir, "documents").select(d)
-      .where(d < 4000)
+    val txt = Tables.docIdsUnder(s, dir, 4000)
       .select(d, explode(sequence(lit(0L), lit(13L))).as("k"))
       .select(d, col("k"), q152Text(s).as("w"))
       .groupBy(d)
@@ -242,8 +240,7 @@ object Queries16 {
     val gop = graft.fn.H264GopFrames(
       graft.fn.Mp4MultiRefSynth(gb.expression(d.cast("long"))),
       nBins = 4, stride = 1, maxFrames = 4)
-    Tables.tbl(s, dir, "documents").select(d)
-      .where(d < 1000)
+    Tables.docIdsUnder(s, dir, 1000)
       .select(d, explode(gb.column(gop)).as("__fr"))
       .select(d,
         element_at(col("__fr"), 1).cast("int").as("frame_idx"),
@@ -305,8 +302,7 @@ object Queries16 {
     val gop = graft.fn.H264GopFrames(
       graft.fn.Mp4BGopSynth(gb.expression(d.cast("long"))),
       nBins = 4, stride = 1, maxFrames = 4)
-    Tables.tbl(s, dir, "documents").select(d)
-      .where(d < 1000)
+    Tables.docIdsUnder(s, dir, 1000)
       .select(d, explode(gb.column(gop)).as("__fr"))
       .select(d,
         element_at(col("__fr"), 1).cast("int").as("frame_idx"),
@@ -368,8 +364,7 @@ object Queries16 {
     val gop = graft.fn.H264GopFrames(
       graft.fn.Mp4WGopSynth(gb.expression(d.cast("long"))),
       nBins = 4, stride = 1, maxFrames = 3)
-    Tables.tbl(s, dir, "documents").select(d)
-      .where(d < 1000)
+    Tables.docIdsUnder(s, dir, 1000)
       .select(d, explode(gb.column(gop)).as("__fr"))
       .select(d,
         element_at(col("__fr"), 1).cast("int").as("frame_idx"),
@@ -447,9 +442,7 @@ object Queries16 {
     // round 16: CPU-bound synth+decode kernel over a single-row-group
     // scan — spread to the core count (the q137 docIds rule; this ran
     // the whole GOP decode in ONE task)
-    Tables.spread(s,
-        Tables.tbl(s, dir, "documents").select(d).where(d < 1000),
-        minParts = s.sparkContext.defaultParallelism)
+    Tables.docIdsUnder(s, dir, 1000)
       .select(d, explode(gb.column(gop)).as("__fr"))
       .select(d,
         element_at(col("__fr"), 1).cast("int").as("frame_idx"),
@@ -565,8 +558,7 @@ object Queries16 {
     val gop = graft.fn.H264GopFrames(
       graft.fn.Mp4BGopPtsSynth(gb.expression(d.cast("long"))),
       nBins = 4, stride = 1, maxFrames = 4)
-    Tables.tbl(s, dir, "documents").select(d)
-      .where(d < 1000)
+    Tables.docIdsUnder(s, dir, 1000)
       .select(d, explode(gb.column(gop)).as("__fr"))
       .select(d,
         element_at(col("__fr"), 1).cast("int").as("frame_idx"),
@@ -619,8 +611,7 @@ object Queries16 {
     val clip = graft.fn.H264ClipFrames(
       graft.fn.Mp4BGopPtsSynth(gb.expression(d.cast("long"))),
       nBins = 4, everyMs = 400.0, maxN = 8, maxFrames = 4)
-    Tables.tbl(s, dir, "documents").select(d)
-      .where(d < 1000)
+    Tables.docIdsUnder(s, dir, 1000)
       .select(d, explode(gb.column(clip)).as("__cs"))
       .select(d,
         element_at(col("__cs"), 1).as("sample_ms"),
@@ -682,8 +673,7 @@ object Queries16 {
     val d = col("doc_id")
     val cues = gb.column(graft.fn.SubtitleCues(graft.fn.SubtitleSynth(
       gb.expression(d.cast("long")))))
-    Tables.tbl(s, dir, "documents").select(d)
-      .where(d < 4000)
+    Tables.docIdsUnder(s, dir, 4000)
       .select(d, posexplode(cues).as(Seq("cue_idx", "__c")))
       .select(d, col("cue_idx"),
         col("__c.start_ms").as("start_ms"),
@@ -725,9 +715,7 @@ object Queries16 {
       gb.expression(d.cast("long")))))
     // round 16: 4000 container walks ran in ONE task (single-row-group
     // scan, no spread) — the q137 docIds rule applies
-    Tables.spread(s,
-        Tables.tbl(s, dir, "documents").select(d).where(d < 4000),
-        minParts = s.sparkContext.defaultParallelism)
+    Tables.docIdsUnder(s, dir, 4000)
       .select(d, posexplode(cues).as(Seq("cue_idx", "__c")))
       .select(d, col("cue_idx"),
         col("__c.start_ms").as("start_ms"),
@@ -751,8 +739,7 @@ object Queries16 {
       .otherwise(lit("windows-1252"))
     val dec = gb.column(graft.fn.CharsetDecode(gb.expression(label),
       graft.fn.SubtitleEncSynth(gb.expression(d.cast("long")))))
-    Tables.tbl(s, dir, "documents").select(d)
-      .where(d < 3000)
+    Tables.docIdsUnder(s, dir, 3000)
       .select(d, explode(array(dec)).as("__d"))
       .filter(col("__d").isNotNull)
       .select(d, col("__d.charset").as("charset"),

@@ -33,8 +33,7 @@ object Queries17 {
     val gop = graft.fn.H264GopFrames(
       graft.fn.Mp4ElstSynth(gb.expression(d.cast("long"))),
       nBins = 4, stride = 1, maxFrames = 4)
-    Tables.tbl(s, dir, "documents").select(d)
-      .where(d < 1000)
+    Tables.docIdsUnder(s, dir, 1000)
       .select(d, explode(gb.column(gop)).as("__fr"))
       .select(d,
         element_at(col("__fr"), 1).cast("int").as("frame_idx"),
@@ -89,8 +88,7 @@ object Queries17 {
     val clip = graft.fn.H264ClipFrames(
       graft.fn.Mp4ElstSynth(gb.expression(d.cast("long"))),
       nBins = 4, everyMs = 400.0, maxN = 8, maxFrames = 4)
-    Tables.tbl(s, dir, "documents").select(d)
-      .where(d < 1000)
+    Tables.docIdsUnder(s, dir, 1000)
       .select(d, explode(gb.column(clip)).as("__cs"))
       .select(d,
         element_at(col("__cs"), 1).as("sample_ms"),
@@ -164,9 +162,7 @@ object Queries17 {
       gb.expression(d.cast("long")))))
     // round 16: 4000 TTML walks ran in ONE task (single-row-group
     // scan, no spread) — the q137 docIds rule applies
-    Tables.spread(s,
-        Tables.tbl(s, dir, "documents").select(d).where(d < 4000),
-        minParts = s.sparkContext.defaultParallelism)
+    Tables.docIdsUnder(s, dir, 4000)
       .select(d, posexplode(cues).as(Seq("cue_idx", "__c")))
       .select(d, col("cue_idx"),
         col("__c.start_ms").as("start_ms"),
@@ -219,8 +215,7 @@ object Queries17 {
 
   private def q166(s: SparkSession, dir: String): DataFrame = {
     val d = col("doc_id")
-    val txt = Tables.tbl(s, dir, "documents").select(d)
-      .where(d < 4000)
+    val txt = Tables.docIdsUnder(s, dir, 4000)
       .select(d, explode(sequence(lit(0L), lit(13L))).as("k"))
       .select(d, col("k"), q166Text(s).as("w"))
       .groupBy(d)
@@ -309,8 +304,7 @@ object Queries17 {
     val d = col("doc_id")
     val cues = gb.column(graft.fn.WebmSubtitleCues(graft.fn.WebmSubtitleSynth(
       gb.expression(d.cast("long")))))
-    Tables.tbl(s, dir, "documents").select(d)
-      .where(d < 4000)
+    Tables.docIdsUnder(s, dir, 4000)
       .select(d, posexplode(cues).as(Seq("cue_idx", "__c")))
       .select(d, col("cue_idx"),
         col("__c.start_ms").as("start_ms"),
@@ -330,8 +324,7 @@ object Queries17 {
     val d = col("doc_id")
     val blocks = gb.column(graft.fn.WebmBlockIndex(graft.fn.WebmBlockSynth(
       gb.expression(d.cast("long"))), maxN = 64))
-    Tables.tbl(s, dir, "documents").select(d)
-      .where(d < 4000)
+    Tables.docIdsUnder(s, dir, 4000)
       .select(d, posexplode(blocks).as(Seq("block_idx", "__b")))
       .select(d, col("block_idx"),
         col("__b.track").as("track"),

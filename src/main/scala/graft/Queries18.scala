@@ -129,8 +129,7 @@ object Queries18 {
     val d = col("doc_id")
     val blocks = gb.column(graft.fn.JustextBlocks(
       graft.fn.JustextSynth(gb.expression(d.cast("long")))))
-    Tables.tbl(s, dir, "documents").select(d)
-      .where(d < 2000)
+    Tables.docIdsUnder(s, dir, 2000)
       .select(d, explode(blocks).as("__b"))
       .select(d, col("__b.block_idx").as("block_idx"),
         col("__b.heading").as("heading"), col("__b.length").as("length"),
@@ -175,8 +174,7 @@ object Queries18 {
 
   private def q171(s: SparkSession, dir: String): DataFrame = {
     val d = col("doc_id")
-    Tables.tbl(s, dir, "documents").select(d)
-      .where(d < 2000)
+    Tables.docIdsUnder(s, dir, 2000)
       .select(d, gb.column(graft.fn.MainText(
         graft.fn.JustextSynth(gb.expression(d.cast("long"))))).as("main_text"))
       .orderBy(d)
@@ -205,8 +203,7 @@ object Queries18 {
     val d = col("doc_id")
     val m = gb.column(graft.fn.Av1Meta(
       graft.fn.Av1Synth(gb.expression(d.cast("long")))))
-    Tables.tbl(s, dir, "documents").select(d)
-      .where(d < 2000)
+    Tables.docIdsUnder(s, dir, 2000)
       .select(d, m.as("__m"))
       .select(d,
         col("__m")(0).cast("int").as("width"),
@@ -296,8 +293,7 @@ object Queries18 {
 
   private def q174(s: SparkSession, dir: String): DataFrame = {
     val d = col("doc_id")
-    Tables.tbl(s, dir, "documents").select(d)
-      .where(d < 2000)
+    Tables.docIdsUnder(s, dir, 2000)
       .select(d, posexplode(gb.column(graft.fn.MpdRepresentations(
         graft.fn.MpdSynth(gb.expression(d.cast("long")))))).as(Seq("idx", "__r")))
       .select(d, col("idx"),
@@ -344,8 +340,7 @@ object Queries18 {
     val d = col("doc_id")
     val p = gb.column(graft.fn.AudioProfile(
       graft.fn.AudioProfileSynth(gb.expression(d.cast("long")))))
-    Tables.tbl(s, dir, "documents").select(d)
-      .where(d < 2000)
+    Tables.docIdsUnder(s, dir, 2000)
       .select(d, p.as("__p"))
       .select(d,
         col("__p")(0).cast("long").as("n_samples"),

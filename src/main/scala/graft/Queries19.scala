@@ -21,8 +21,7 @@ object Queries19 {
   private def q176(s: SparkSession, dir: String): DataFrame = {
     val d = col("doc_id")
     val avif = gb.column(graft.fn.AvifSynth(gb.expression(d.cast("long"))))
-    Tables.tbl(s, dir, "documents").select(d)
-      .where(d < 2000)
+    Tables.docIdsUnder(s, dir, 2000)
       .select(d, avif.as("__b"))
       .select(d,
         gb.column(graft.fn.ImageDims(gb.expression(col("__b")))).as("__d"),
@@ -197,9 +196,7 @@ object Queries19 {
     // kernel under the not-null filter. Spread to the core count
     // (doc_id-only input, CPU-bound kernel — the q137 docIds rule) and
     // pin one evaluation per row with explode(array(...)).
-    Tables.spread(s,
-        Tables.tbl(s, dir, "documents").select(d).where(d < 500),
-        minParts = s.sparkContext.defaultParallelism)
+    Tables.docIdsUnder(s, dir, 500)
       .select(d, explode(array(m)).as("__m"))
       .where(col("__m").isNotNull)
       .select(d,

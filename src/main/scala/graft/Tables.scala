@@ -116,6 +116,23 @@ object Tables {
   def docsPar(spark: SparkSession, dir: String): DataFrame =
     spread(spark, tbl(spark, dir, "documents"))
 
+  /** `doc_id < n` over the documents table, spread to the full core
+    * count — the shared base of the synth+walk/decode query family
+    * (round 16). The testdata file is one row group, so without the
+    * spread every one of these CPU-bound kernels ran in a SINGLE task
+    * (q178 measured 2.5 s single-task vs 0.14 s spread); the spread
+    * moves 8 bytes/row, nothing next to the kernel cost. On a real
+    * many-row-group table the repartition is a no-op-sized safety
+    * net, not the parallelism source (the docIds rule of Queries14).
+    */
+  def docIdsUnder(spark: SparkSession, dir: String, n: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spread(spark,
+      tbl(spark, dir, "documents").select(col("doc_id"))
+        .where(col("doc_id") < n),
+      minParts = spark.sparkContext.defaultParallelism)
+  }
+
   /** Drop every cached relation for this session (e.g. after a test
     * rewrites a path it already read through the cache). */
   def invalidate(spark: SparkSession): Unit =

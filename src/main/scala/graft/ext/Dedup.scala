@@ -268,12 +268,20 @@ object Dedup {
   def winnowSharedPairs(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 5, w: Int = 4, minShared: Int = 2,
                         maxBucket: Int = 10000, xx: Boolean = false): DataFrame = {
+    // Fingerprint the corpus ONCE (round 16, the SpanDedup rule): the
+    // previous shape ran the winnow kernel twice — under the bucket
+    // COUNT aggregate and again under the semi-join back — because
+    // column pruning specializes the two subtrees and defeats exchange
+    // reuse. All rows of a fingerprint are co-located after one
+    // fp-partitioned exchange, so the bucket size IS a window count
+    // over that partition; the [2, maxBucket] guard still applies
+    // BEFORE any member list materializes, and the groupBy that
+    // follows rides the same partitioning with no further exchange.
     val fps = winnowFingerprints(docs, idCol, textCol, k, w, xx)
-    val ok = fps.groupBy(col("fp"))
-      .agg(count(lit(1)).as("__n"))
+    val byFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val buckets = fps
+      .withColumn("__n", count(lit(1)).over(byFp))
       .filter(col("__n").between(2, maxBucket))
-      .select(col("fp"))
-    val buckets = fps.join(ok, Seq("fp"), "left_semi")
       .groupBy(col("fp"))
       .agg(collect_list(col(idCol)).as("__m"))
     buckets
@@ -311,24 +319,24 @@ object Dedup {
     */
   def candidatePairs(bands: DataFrame, idCol: String,
                      maxBucket: Int = 10000): DataFrame = {
-    // Two-phase guard (ADVICE r2): a COUNT aggregation (map-side
-    // partial combine, constant state per bucket) finds qualifying
-    // buckets first, and only then is the member list collected — so
-    // no task ever materializes an unbounded list for a degenerate
-    // bucket (e.g. a common empty-text signature with millions of
-    // members). The semi-join and both aggregations hash-partition on
-    // the same (band, band_hash) key, so the bands exchange is reused
-    // rather than re-shuffled. After the prune, a collected list holds
-    // at most maxBucket ids (~80 KB at the default) and pair
-    // generation is two codegen'd generators — the quadratic blow-up
-    // is capped BEFORE any pair or any oversized list materializes.
-    val okBuckets = bands
-      .groupBy(col("band"), col("band_hash"))
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n").between(2, maxBucket))
-      .select(col("band"), col("band_hash"))
+    // Two-phase guard (ADVICE r2), single-pass form (round 16): all
+    // members of a bucket are co-located after one (band, band_hash)
+    // exchange, so the bucket size is a window COUNT over that
+    // partition and the [2, maxBucket] prune applies BEFORE any member
+    // list materializes — same guard as the original count-aggregate +
+    // semi-join shape, but the bands subtree (and the signature kernel
+    // feeding it) evaluates once instead of twice: column pruning
+    // specialized the two subtrees and silently defeated the exchange
+    // reuse the previous comment assumed. The collect_list that
+    // follows rides the same partitioning (no further exchange) and
+    // still holds at most maxBucket ids (~80 KB at the default); pair
+    // generation stays two codegen'd generators — the quadratic
+    // blow-up is capped before any pair or oversized list exists.
+    val byBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("band_hash"))
     val buckets = bands
-      .join(okBuckets, Seq("band", "band_hash"), "left_semi")
+      .withColumn("__n", count(lit(1)).over(byBucket))
+      .filter(col("__n").between(2, maxBucket))
       .groupBy(col("band"), col("band_hash"))
       .agg(collect_list(col(idCol)).as("__m"))
     buckets
