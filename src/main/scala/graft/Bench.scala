@@ -42,6 +42,19 @@ object Bench {
       // execution bottleneck) is the same.
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "8m"))
+      // Shuffle files on the fastest local medium (round 16). Thread
+      // dumps during 32-task stages showed the tasks in shuffle-file
+      // syscalls (FileChannel map/unmap, open, write) on the virtio
+      // disk behind /tmp — ~0.25 s of a 0.58 s exchange+agg stage was
+      // file I/O, not compute. tmpfs removes it (probe: 0.58 → 0.31 s
+      // per exchange stage). This is the standard "shuffle on the
+      // fastest local disk" deployment rule (guide §2.1: local disk
+      // bandwidth can be the binding shuffle limit); a production
+      // cluster provisions NVMe for exactly this. Parameterised; falls
+      // back to the JVM default when tmpfs is absent.
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
+        if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
+        else System.getProperty("java.io.tmpdir")))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

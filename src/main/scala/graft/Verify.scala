@@ -16,6 +16,12 @@ object Verify {
       // represent), read as Long nanos; Tables.events normalizes either
       // physical type to Long nanos
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // shuffle files on tmpfs when present (see Bench.scala round-16
+      // note: task threads otherwise spend ~40% of small exchange
+      // stages in shuffle-file syscalls on the virtio disk)
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
+        if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
+        else System.getProperty("java.io.tmpdir")))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -51,13 +51,16 @@ object QBench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
+        if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
+        else System.getProperty("java.io.tmpdir")))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     plansDir.foreach(d => Files.createDirectories(Paths.get(d)))
     // per-stage wall/task-time/shuffle metrics for the LAST timed rep
     // (guide §7.1 empirics without the UI: find where the time goes)
     val stageLog =
-      new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Long, Long, Long, Long, Int)]()
+      new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Long, Long, Long, Long, Long, Int)]()
     if (stages) spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
@@ -66,7 +69,7 @@ object QBench {
           yield c - s).getOrElse(-1L)
         stageLog.add((si.stageId,
           si.name.linesIterator.next().take(60), wall,
-          m.executorRunTime,
+          m.executorRunTime, m.jvmGCTime,
           m.shuffleReadMetrics.totalBytesRead, m.shuffleWriteMetrics.bytesWritten,
           si.numTasks))
       }
@@ -101,9 +104,10 @@ object QBench {
       if (stages) {
         import scala.jdk.CollectionConverters._
         stageLog.asScala.toSeq.sortBy(-_._3).take(12).foreach {
-          case (id, nm, wall, run, sr, sw, nt) =>
+          case (id, nm, wall, run, gc, sr, sw, nt) =>
             println(f"[stage] $id%4d wall=${wall}%6d ms run=${run}%7d ms " +
-              f"sr=${sr / 1024}%7d KB sw=${sw / 1024}%7d KB tasks=$nt%3d  $nm")
+              f"gc=${gc}%5d ms sr=${sr / 1024}%7d KB sw=${sw / 1024}%7d KB " +
+              f"tasks=$nt%3d  $nm")
         }
       }
       spark.sparkContext.setJobDescription(null)
