@@ -406,20 +406,42 @@ object Dedup {
     verifyPairs(cands, sets, idCol, minJaccard)
   }
 
-  /** Common tail of the verify forms: join each pair to its two
-    * shingle sets and compute exact set Jaccard in codegen.
+  /** Common tail of the verify forms: attach each pair's two shingle
+    * sets and compute exact set Jaccard in codegen.
+    *
+    * Round 16: the former two-join form (pairs ⋈ sets on a_id, then
+    * ⋈ sets on b_id) physically evaluated the `sets` subtree TWICE —
+    * the planner streams it into one join and broadcasts it into the
+    * other, so no exchange reuse is possible and the whole
+    * semi-join + shingle + collect_set pipeline ran two full passes
+    * (q67: twin 0.6 s stages). Instead each pair melts into one row
+    * per member, `sets` is consumed by ONE equi-join, and the pair
+    * regroups its two sets. Jaccard is symmetric (|∩| and |A|+|B| do
+    * not depend on which side is which), so the collected order is
+    * irrelevant; a pair missing a set row (doc too short to shingle)
+    * collects fewer than two sets and is dropped — exactly the old
+    * inner-join semantics. The regroup exchange carries each
+    * candidate doc's set once per pair membership, bounded by the
+    * candidate-pair count — the same verify-scale invariant as
+    * before, minus one full sets pass.
     */
   private def verifyPairs(cands: DataFrame, sets: DataFrame, idCol: String,
                           minJaccard: Double): DataFrame =
     cands
-      .join(sets.select(col(idCol).as("a_id"), col("__set").as("__sa")), "a_id")
-      .join(sets.select(col(idCol).as("b_id"), col("__set").as("__sb")), "b_id")
       .select(col("a_id"), col("b_id"),
-        size(array_intersect(col("__sa"), col("__sb"))).as("__inter"),
-        size(col("__sa")).as("__za"), size(col("__sb")).as("__zb"))
+        explode(array(col("a_id"), col("b_id"))).as(idCol))
+      .join(sets, Seq(idCol))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(collect_list(col("__set")).as("__ss"))
+      .filter(size(col("__ss")) === 2)
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(element_at(col("__ss"), 1),
+          element_at(col("__ss"), 2))).as("__inter"),
+        (size(element_at(col("__ss"), 1)) +
+          size(element_at(col("__ss"), 2))).as("__zab"))
       .select(col("a_id"), col("b_id"),
         (col("__inter").cast("double") /
-          (col("__za") + col("__zb") - col("__inter"))).as("jaccard"))
+          (col("__zab") - col("__inter"))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
 
   /** The full near-dup pipeline: docs → verified near-dup pairs
